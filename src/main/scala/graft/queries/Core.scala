@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A declared query: a Spark-first implementation plus (when SQL-expressible)
+  * an equivalent ANSI SQL oracle runnable by DuckDB over the same parquet
+  * tables. Column names/types must match between the two — the driver sorts
+  * columns by name and hash-compares values.
+  */
+final case class DQ(name: String, oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+object Core {
+  /** Driver test tables (TESTDATA.md). One parquet file per table. */
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The driver writes events.ts as parquet INT64 TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects; read nanos as long and surface a
+      // microsecond TIMESTAMP (integral division — double math would lose
+      // precision above 2^53 ns).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `chunks` derived view (FIXTURES.md §3): deterministic 64-char chunking of
+    * `documents` — the relational mirror of the reference's file chunker
+    * (openmsistream data_file_io/entity/upload_data_file.py:230-304).
+    * Spark-first: explode over `sequence(1, n_total)`; the generator runs
+    * inside whole-stage codegen, no shuffle.
+    */
+  def chunks(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "documents")
+      .withColumn("n_total", ceil(col("n_chars") / 64.0).cast("int"))
+      .withColumn("chunk_i", explode(sequence(lit(1), greatest(col("n_total"), lit(1)))))
+      .withColumn("chunk", col("text").substr((col("chunk_i") - 1) * 64 + 1, lit(64)))
+      .select("doc_id", "chunk_i", "n_total", "chunk")
+  }
+
+  /** DuckDB CTE equivalent of [[chunks]] (scalar generate_series + unnest —
+    * the table function form rejects non-constant bounds). */
+  val chunksCte: String =
+    """chunks AS (
+      |  SELECT doc_id, CAST(chunk_i AS INT) AS chunk_i,
+      |         CAST(ceil(n_chars/64.0) AS INT) AS n_total,
+      |         substring(text, (CAST(chunk_i AS INT)-1)*64+1, 64) AS chunk
+      |  FROM (SELECT doc_id, text, n_chars,
+      |               unnest(generate_series(1, greatest(CAST(ceil(n_chars/64.0) AS BIGINT), 1))) AS chunk_i
+      |        FROM documents) t
+      |)""".stripMargin
+
+  /** `chunks_dup`: chunks plus a stale duplicated generation for Q6/Q7
+    * (generation 0 = the `doc_id % 7 = 0` slice with n_total-1). */
+  def chunksDup(spark: SparkSession, dir: String): DataFrame = {
+    val c = chunks(spark, dir)
+    c.withColumn("generation", lit(1))
+      .unionByName(
+        c.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_total", col("n_total") - 1)
+          .withColumn("generation", lit(0)))
+  }
+
+  val chunksDupCte: String =
+    chunksCte + """,
+      |chunks_dup AS (
+      |  SELECT doc_id, chunk_i, n_total, chunk, 1 AS generation FROM chunks
+      |  UNION ALL
+      |  SELECT doc_id, chunk_i, n_total - 1, chunk, 0 AS generation
+      |  FROM chunks WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  /** Exact money arithmetic: route 2-decimal doubles through DECIMAL so sums
+    * are order-independent and bit-identical across Spark and DuckDB, then
+    * surface as double rounded to 6 dp. */
+  def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(12,2)")
+  def rate(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(4,2)")
+}

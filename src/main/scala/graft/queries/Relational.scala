@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Core._
+
+/** Relational declared queries over the TPC-H-ish star + `events`
+  * (SURVEY.md §2.12 Q1, Q3, Q8, Q11–Q24). Spark-first: DataFrame API,
+  * Catalyst handles pushdown/pruning; dimension joins broadcast.
+  */
+object Relational {
+
+  /** Q1 projection / expression (T6 key derivation shape,
+    * reference data_file_chunk.py:101-107). */
+  val q01 = DQ("q01_projection", Some(
+    """SELECT l_orderkey, l_linenumber, l_orderkey*10+l_linenumber AS k,
+      |       concat(l_returnflag, '_', l_linestatus) AS tag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, tag LIMIT 1000""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+          concat(col("l_returnflag"), lit("_"), col("l_linestatus")).as("tag"))
+        .orderBy("l_orderkey", "l_linenumber", "tag").limit(1000)
+  }
+
+  /** Q3 regex/path admission filters (T3/T5,
+    * reference upload_directory_event_handler.py:81-117). */
+  val q03 = DQ("q03_path_filter", Some(
+    """SELECT doc_id, source FROM documents
+      |WHERE source NOT LIKE '.%' AND source NOT LIKE '%.log' AND lang = 'en'
+      |ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .filter(!col("source").like(".%") && !col("source").like("%.log")
+          && col("lang") === "en")
+        .select("doc_id", "source").orderBy("doc_id")
+  }
+
+  /** Q8 offset-gated message-key filter (T4,
+    * reference openmsistream_consumer.py:351-449). */
+  val q08 = DQ("q08_offset_gate", Some(
+    """SELECT event_type, count(*) AS n FROM events
+      |WHERE event_id >= 1000 OR event_type LIKE 'click%'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "events")
+        .filter(col("event_id") >= 1000 || col("event_type").like("click%"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+  }
+
+  /** Q11 heartbeat tumbling-window aggregation (G6,
+    * reference heartbeat_producibles.py:9-108). */
+  val q11 = DQ("q11_heartbeat_window", Some(
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n,
+      |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(money(col("value"))).cast("double"), 6).as("sum_value"))
+        .orderBy("window_start", "event_type")
+  }
+
+  /** Q12 recent-N per key (G8 "50 most recent files",
+    * reference data_file_chunk_handlers.py:148-155). */
+  val q12 = DQ("q12_recent_n", Some(
+    """WITH ranked AS (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, count(*) AS n FROM ranked WHERE rn <= 50
+      |GROUP BY user_id ORDER BY user_id""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id"))
+      table(spark, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+        .groupBy("user_id").agg(count(lit(1)).as("n")).orderBy("user_id")
+  }
+
+  /** Q13 star join with broadcast dims (J3). */
+  val q13 = DQ("q13_star_join", Some(
+    """SELECT r_name, n_name,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE l_discount > 0.02
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem").filter(col("l_discount") > 0.02)
+        .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double"), 6).as("revenue"))
+        .orderBy("r_name", "n_name")
+  }
+
+  /** Q14 outer/semi/anti joins (J1/J2 registry shapes). */
+  val q14 = DQ("q14_semi_anti", Some(
+    """SELECT c.c_mktsegment, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+      |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_without
+      |FROM customer c GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)) {
+    (spark, dir) =>
+      val customer = table(spark, dir, "customer")
+      val orders = table(spark, dir, "orders")
+      val cond = customer("c_custkey") === orders("o_custkey")
+      val total = customer.groupBy("c_mktsegment").agg(count(lit(1)).as("n_total"))
+      val nWith = customer.join(orders, cond, "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+      val nWithout = customer.join(orders, cond, "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+      total.join(nWith, Seq("c_mktsegment"), "left")
+        .join(nWithout, Seq("c_mktsegment"), "left")
+        .select(col("c_mktsegment"), col("n_total"),
+          coalesce(col("n_with"), lit(0L)).as("n_with"),
+          coalesce(col("n_without"), lit(0L)).as("n_without"))
+        .orderBy("c_mktsegment")
+  }
+
+  /** Q15a range/interval join (J8 byte-range shape): events into hour buckets
+    * via non-equi join (bucket list broadcast — nested-loop stays cheap). */
+  val q15r = DQ("q15_range_join", Some(
+    """WITH buckets AS (SELECT DISTINCT date_trunc('hour', ts) AS bucket_start FROM events)
+      |SELECT strftime(b.bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket, count(*) AS n
+      |FROM events e JOIN buckets b
+      |  ON e.ts >= b.bucket_start AND e.ts < b.bucket_start + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY bucket""".stripMargin)) {
+    (spark, dir) =>
+      val events = table(spark, dir, "events")
+      val buckets = events.select(date_trunc("hour", col("ts")).as("bucket_start")).distinct()
+      events.join(broadcast(buckets),
+          col("ts") >= col("bucket_start") &&
+          col("ts") < col("bucket_start") + expr("INTERVAL 1 HOUR"))
+        .groupBy(date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+  }
+
+  /** Q15b as-of join (J4): latest order at-or-before each event ts per user. */
+  val q15a = DQ("q15_asof_join", Some(
+    """WITH pairs AS (
+      |  SELECT e.event_id, o.o_orderkey,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |SELECT event_id, o_orderkey AS last_orderkey FROM pairs WHERE rn = 1
+      |ORDER BY event_id""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      table(spark, dir, "events")
+        .join(table(spark, dir, "orders"),
+          col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey").as("last_orderkey"))
+        .orderBy("event_id")
+  }
+
+  /** Q16 registry anti/semi (J1/J2): completed = odd orderkeys,
+    * failed = o_orderkey % 97 = 0 (FIXTURES.md §3). */
+  val q16 = DQ("q16_registry_filter", Some(
+    """WITH completed_registry AS
+      |  (SELECT o_orderkey AS rel_key FROM orders WHERE o_orderkey % 2 = 1),
+      |failed_registry AS
+      |  (SELECT o_orderkey AS rel_key FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT 'anti' AS part, count(*) AS n FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM completed_registry c WHERE c.rel_key = o.o_orderkey)
+      |UNION ALL
+      |SELECT 'semi' AS part, count(*) AS n FROM lineitem l
+      |  WHERE EXISTS (SELECT 1 FROM failed_registry f WHERE f.rel_key = l.l_orderkey)
+      |ORDER BY part""".stripMargin)) {
+    (spark, dir) =>
+      val orders = table(spark, dir, "orders")
+      val lineitem = table(spark, dir, "lineitem")
+      val completed = orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("rel_key"))
+      val failed = orders.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("rel_key"))
+      val anti = orders.join(completed, orders("o_orderkey") === completed("rel_key"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("part", lit("anti"))
+      val semi = lineitem.join(failed, lineitem("l_orderkey") === failed("rel_key"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("part", lit("semi"))
+      anti.unionByName(semi).select("part", "n").orderBy("part")
+  }
+
+  /** Q17 set ops (J6/J7). */
+  val q17 = DQ("q17_set_ops", Some(
+    """WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+      |     b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+      |SELECT 'except' AS op, count(*) AS n FROM (SELECT o_orderkey FROM a EXCEPT SELECT o_orderkey FROM b) t
+      |UNION ALL
+      |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT o_orderkey FROM a INTERSECT SELECT o_orderkey FROM b) t
+      |UNION ALL
+      |SELECT 'union_all' AS op, count(*) AS n FROM (SELECT o_orderkey FROM a UNION ALL SELECT o_orderkey FROM b) t
+      |ORDER BY op""".stripMargin)) {
+    (spark, dir) =>
+      val orders = table(spark, dir, "orders")
+      val a = orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+      val b = orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+      val ex = a.except(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+      val in = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+      val un = a.unionByName(b).agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
+      ex.unionByName(in).unionByName(un).select("op", "n").orderBy("op")
+  }
+
+  /** Q18 aggregate breadth — TPC-H Q1 shape. */
+  val q18 = DQ("q18_agg_breadth", Some(
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  round(sum(l_quantity), 6) AS sum_qty,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(min(l_extendedprice), 6) AS min_price,
+      |  round(max(l_extendedprice), 6) AS max_price,
+      |  round(stddev_samp(l_discount), 6) AS sd_disc,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                 (1 - CAST(l_discount AS DECIMAL(4,2))) *
+      |                 (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 6) AS revenue
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          round(sum("l_quantity"), 6).as("sum_qty"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(min("l_extendedprice"), 6).as("min_price"),
+          round(max("l_extendedprice"), 6).as("max_price"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+            * (lit(1) + rate(col("l_tax")))).cast("double"), 6).as("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q19 rollup with grouping() disambiguation. */
+  val q19 = DQ("q19_rollup", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g1,
+      |  CAST(grouping(l_linestatus) AS INT) AS g2,
+      |  count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"),
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 6).as("sum_qty"))
+        .orderBy(col("g1"), col("g2"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Q20 window functions: rank/dense_rank/lag/lead/moving sum. */
+  val q20 = DQ("q20_window_funcs", Some(
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS rnk,
+      |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS drnk,
+      |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key,
+      |  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_sum
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)) {
+    (spark, dir) =>
+      val byDate = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      val byDateKey = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val moving = byDateKey.rowsBetween(-3, Window.currentRow)
+      table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(byDate).cast("int").as("rnk"),
+          dense_rank().over(byDate).cast("int").as("drnk"),
+          lag("o_orderkey", 1).over(byDateKey).as("prev_key"),
+          lead("o_orderkey", 1).over(byDateKey).as("next_key"),
+          round(sum(money(col("o_totalprice"))).over(moving).cast("double"), 6).as("moving_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q21a global top-k. */
+  val q21t = DQ("q21_topk", Some(
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+  }
+
+  /** Q21b per-group top-3 via window rank. */
+  val q21g = DQ("q21_group_topk", Some(
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+      |FROM ranked WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("int").as("rn"))
+        .filter(col("rn") <= 3).orderBy("o_custkey", "rn")
+  }
+
+  /** Q22 registry lifecycle status counts (K5/G8 shape,
+    * reference stream_handler_registries.py:19-51). */
+  val q22 = DQ("q22_registry_lifecycle", Some(
+    """SELECT CASE o_orderstatus WHEN 'F' THEN 'completed'
+      |                          WHEN 'O' THEN 'in_progress'
+      |                          ELSE 'failed' END AS status,
+      |       count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "orders")
+        .withColumn("status",
+          when(col("o_orderstatus") === "F", "completed")
+            .when(col("o_orderstatus") === "O", "in_progress")
+            .otherwise("failed"))
+        .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
+  }
+
+  /** Q23 scalar-function sweep (§2.7 surface). */
+  val q23 = DQ("q23_scalar_sweep", Some(
+    """SELECT l_orderkey, l_linenumber,
+      |  upper(l_returnflag) AS u, substring(l_linestatus, 1, 1) AS s,
+      |  replace(l_returnflag, 'N', 'X') AS r,
+      |  round(abs(l_discount - 0.05), 6) AS ad,
+      |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS fl,
+      |  round(ln(l_extendedprice + 1), 6) AS lg,
+      |  CAST(extract(year FROM l_shipdate) AS INT) AS yr,
+      |  CAST(length(concat(l_returnflag, l_linestatus)) AS INT) AS len
+      |FROM lineitem WHERE l_orderkey % 100 = 0
+      |ORDER BY l_orderkey, l_linenumber, u, s, ad, fl, lg, yr""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          upper(col("l_returnflag")).as("u"),
+          substring(col("l_linestatus"), 1, 1).as("s"),
+          regexp_replace(col("l_returnflag"), "N", "X").as("r"),
+          round(abs(col("l_discount") - 0.05), 6).as("ad"),
+          floor(col("l_extendedprice") / 100).cast("bigint").as("fl"),
+          round(log(col("l_extendedprice") + 1), 6).as("lg"),
+          year(col("l_shipdate")).cast("int").as("yr"),
+          length(concat(col("l_returnflag"), col("l_linestatus"))).cast("int").as("len"))
+        .orderBy("l_orderkey", "l_linenumber", "u", "s", "ad", "fl", "lg", "yr")
+  }
+
+  /** Q24 date/time histogram. */
+  val q24 = DQ("q24_date_histogram", Some(
+    """SELECT CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS INT) AS hr,
+      |       count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY day, hr""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).cast("int").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day", "hr")
+  }
+
+  val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
+    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24)
+}

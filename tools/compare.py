@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run Verify's parquet output
+against the DuckDB oracle SQL and diff. Usage: compare.py SFDIR OUTDIR [name...]
+"""
+import duckdb, json, sys, math
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = []
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    sql = oracle[name]
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"{name}: ORACLE ERROR: {e}")
+        fail.append(name); continue
+    try:
+        got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    except Exception as e:
+        print(f"{name}: SPARK OUTPUT MISSING: {e}")
+        fail.append(name); continue
+    exp = exp[sorted(exp.columns)]
+    got_cols = sorted(got.columns)
+    if list(exp.columns) != got_cols:
+        print(f"{name}: COLUMNS exp={list(exp.columns)} got={got_cols}")
+        fail.append(name); continue
+    got = got[got_cols]
+    if exp.shape != got.shape:
+        print(f"{name}: SHAPE exp={exp.shape} got={got.shape}")
+        fail.append(name); continue
+    bad = []
+    for c in exp.columns:
+        ev, gv = exp[c].tolist(), got[c].tolist()
+        for i, (x, y) in enumerate(zip(ev, gv)):
+            same = (x == y)
+            if not same:
+                try:
+                    same = (x is None and y is None) or \
+                           (isinstance(x, float) and isinstance(y, float)
+                            and math.isnan(x) and math.isnan(y)) or \
+                           (x != x and y != y)
+                except Exception:
+                    pass
+            if not same and str(x) != str(y):
+                bad.append((c, i, x, y))
+                if len(bad) >= 3:
+                    break
+        if bad:
+            break
+    if bad:
+        print(f"{name}: VALUES {bad}")
+        fail.append(name)
+    else:
+        print(f"{name}: OK rows={len(exp)} cols={list(exp.columns)}")
+missing = [n for n in (only or [])]
+print(f"\n{len(oracle) - len(fail)}/{len(oracle)} OK" + (f", FAILED: {fail}" if fail else ""))
+sys.exit(1 if fail else 0)
