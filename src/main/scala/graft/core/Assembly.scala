@@ -1,0 +1,104 @@
+package graft.core
+
+/** File reassembly with generation policy (G1/G2) as a pure, deterministic
+  * state machine `(State, Chunk) => (State, Code)` — the heart of the engine
+  * (reference download_data_file.py:76-272 semantics; SURVEY.md §2.4, §7.3).
+  *
+  * Codes mirror the reference (data_file_io/config.py:9-13):
+  * 2 in-progress, 3 complete+verified, 10 duplicate/stale dropped,
+  * 11 new generation adopted, -1 whole-file hash mismatch.
+  *
+  * Generation policy on a chunk whose `file_hash` differs from the tracked
+  * generation (download_data_file.py:160-272):
+  *  - higher `n_total_chunks` ⇒ newer generation: discard partial state,
+  *    adopt (code 11);
+  *  - lower `n` ⇒ stale: drop chunk (code 10);
+  *  - equal `n` ⇒ adopt only if the chunk's mtime is strictly newer than the
+  *    tracked one (both present), else drop;
+  *  - same hash but different `n` ⇒ corruption ⇒ error.
+  * Duplicate offsets of the same generation short-circuit (code 10). The
+  * outcome is order-independent: the maximal generation by (n, mtime, hash)
+  * wins under any interleaving, so states merge associatively — which is what
+  * lets the batch Aggregator run map-side partials.
+  */
+object Assembly {
+
+  object Code {
+    val InProgress = 2
+    val Complete = 3
+    val Duplicate = 10
+    val NewGeneration = 11
+    val HashMismatch = -1
+  }
+
+  /** Per-file assembly state. `buffered` maps write offset → payload.
+    * Scale note (SURVEY §7.3 #2): payloads live in the state here; the
+    * 100 TB path spills payloads and keeps only an offsets bitmap — the
+    * policy logic is unchanged. */
+  final case class State(
+      fileHash: Array[Byte],
+      nTotal: Int,
+      mtime: Option[Double],
+      buffered: Map[Long, Array[Byte]]) {
+    def sameGeneration(c: FileChunk): Boolean =
+      java.util.Arrays.equals(fileHash, c.fileHash)
+    def complete: Boolean = buffered.size == nTotal
+  }
+
+  final class AssemblyCorruption(msg: String) extends RuntimeException(msg)
+
+  private def adopt(c: FileChunk): State =
+    State(c.fileHash, c.nTotalChunks, c.fileMtime, Map(c.chunkOffsetWrite -> c.data))
+
+  /** Pure transition. Returns the new state and the reference's code. */
+  def step(state: Option[State], c: FileChunk): (State, Int) = state match {
+    case None => (adopt(c), Code.InProgress)
+    case Some(s) if s.sameGeneration(c) =>
+      if (c.nTotalChunks != s.nTotal)
+        throw new AssemblyCorruption(
+          s"same hash, different n_total (${c.nTotalChunks} vs ${s.nTotal}) for ${c.relFilepath}")
+      if (s.buffered.contains(c.chunkOffsetWrite)) (s, Code.Duplicate)
+      else (s.copy(buffered = s.buffered + (c.chunkOffsetWrite -> c.data)), Code.InProgress)
+    case Some(s) =>
+      if (c.nTotalChunks > s.nTotal) (adopt(c), Code.NewGeneration)
+      else if (c.nTotalChunks < s.nTotal) (s, Code.Duplicate)
+      else (s.mtime, c.fileMtime) match {
+        case (Some(old), Some(nw)) if nw > old => (adopt(c), Code.NewGeneration)
+        case _ => (s, Code.Duplicate)
+      }
+  }
+
+  /** Merge two partial states for the same file (order-independent partial
+    * aggregation). The newer generation wins; equal generations union their
+    * offset maps. */
+  def merge(a: State, b: State): State =
+    if (java.util.Arrays.equals(a.fileHash, b.fileHash)) {
+      if (a.nTotal != b.nTotal)
+        throw new AssemblyCorruption(s"same hash, different n_total (${a.nTotal} vs ${b.nTotal})")
+      a.copy(buffered = a.buffered ++ b.buffered)
+    } else if (a.nTotal > b.nTotal) a
+    else if (b.nTotal > a.nTotal) b
+    else (a.mtime, b.mtime) match {
+      case (Some(ma), Some(mb)) if mb > ma => b
+      case (Some(ma), Some(mb)) if ma > mb => a
+      case _ => a // no strictly-newer evidence: keep the incumbent (left)
+    }
+
+  /** Completion check: all offsets present AND `sha512(whole) == file_hash`
+    * (the reference verifies the reconstructed content, not just counts —
+    * download_data_file.py:149-156). Returns code 3 with the file, or -1. */
+  def finish(relFilepath: String, filename: String, s: State): (Int, Option[CompletedFile]) = {
+    if (!s.complete) (Code.InProgress, None)
+    else {
+      val ordered = s.buffered.toSeq.sortBy(_._1)
+      val size = ordered.map(_._2.length.toLong).sum
+      val out = new java.io.ByteArrayOutputStream(size.toInt)
+      ordered.foreach { case (_, d) => out.write(d, 0, d.length) }
+      val whole = out.toByteArray
+      if (java.util.Arrays.equals(ChunkCodec.sha512(whole), s.fileHash))
+        (Code.Complete,
+          Some(CompletedFile(relFilepath, filename, s.nTotal, size, s.fileHash, s.mtime, whole)))
+      else (Code.HashMismatch, None)
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.ChunkPipeline
+import Core._
+
+/** Declared queries that drive the real binary dataflow (chunker → msgpack
+  * wire codec → shuffle/duplication → hash-verified reassembly) rather than
+  * its SQL mirror. The oracle is the identity: every document must come back
+  * byte-identical (code 3 = whole-content sha512 verified).
+  */
+object Dataflow {
+
+  /** End-to-end roundtrip of the reference's core dataflow over `documents`
+    * at chunk size 64: chunk → pack → duplicate a slice (at-least-once
+    * delivery) → repartition by key (broker shuffle) → unpack → reassemble.
+    * The aggregator's merge dedups map-side; code 3 proves content hash. */
+  val x01 = DQ("x01_binary_roundtrip", Some(
+    """SELECT doc_id, CAST(1 AS INT) AS ok FROM documents ORDER BY doc_id""")) {
+    (spark, dir) =>
+      import spark.implicits._
+      val files = table(spark, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          (id.toString, "docs", text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            Some(1.0e9): Option[Double])
+        }
+      val wire = ChunkPipeline.encode(ChunkPipeline.chunkFiles(files, 64))
+      val dup = wire.filter(xxhash64(col("key")) % 3 === 0)
+      val shuffled = wire.union(dup).repartition(col("key"))
+      val assembled = ChunkPipeline.assemble(ChunkPipeline.decode(shuffled))
+      assembled.select(col("filename").cast("long").as("doc_id"),
+          when(col("code") === Assembly.Code.Complete, 1).otherwise(0).cast("int").as("ok"))
+        .orderBy("doc_id")
+  }
+  private val Assembly = graft.core.Assembly
+
+  val all: Seq[DQ] = Seq(x01)
+}
