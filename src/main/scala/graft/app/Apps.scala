@@ -1,0 +1,112 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.batch.ChunkRow
+import graft.core.ChunkCodec
+import graft.streaming.{AssemblyStream, CompletedFileWriter, Pipelines}
+
+/** CLI entry points mirroring the reference's console scripts
+  * (openmsistream pyproject.toml:22-31): upload a directory as chunks,
+  * reconstruct a directory from chunks, run a stream processor over
+  * completed files. The transport here is a file-backed topic (a directory
+  * of parquet `(key, value)` batches) so the apps run in this offline
+  * environment; `graft.streaming.Pipelines.toKafka/fromKafka` swap in the
+  * broker transport unchanged.
+  */
+object AppSession {
+  def require(ok: Boolean, usage: String): Unit =
+    if (!ok) { System.err.println(s"usage: $usage"); sys.exit(1) }
+
+  def make(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** `UploadDirectoryApp <srcDir> <topicDir> [chunkSize]` — S1/S2+T1+C1+K1:
+  * watch/scan a directory, chunk, wire-encode, produce to the topic. Runs
+  * one availableNow pass (the standing-watch mode just drops the trigger). */
+object UploadDirectoryApp {
+  def main(args: Array[String]): Unit = {
+    AppSession.require(args.length >= 2, "UploadDirectoryApp <srcDir> <topicDir> [chunkSize]")
+    val Array(srcDir, topicDir, rest @ _*) = args: @unchecked
+    val chunkSize = rest.headOption.map(_.toInt).getOrElse(graft.core.Chunker.DefaultChunkSize)
+    val spark = AppSession.make("graft-upload")
+    val wire = Pipelines.uploadDirectoryStream(spark, srcDir, chunkSize)
+    val q = wire.writeStream
+      .format("parquet")
+      .option("path", topicDir)
+      .option("checkpointLocation", s"$topicDir/_checkpoint_upload")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}
+
+/** `DownloadDirectoryApp <topicDir> <outDir>` — S4+C2+G1/G2+K2: consume the
+  * topic, hash-verify + reassemble, write completed files to disk. */
+object DownloadDirectoryApp {
+  def main(args: Array[String]): Unit = {
+    AppSession.require(args.length == 2, "DownloadDirectoryApp <topicDir> <outDir>")
+    val Array(topicDir, outDir) = args: @unchecked
+    val spark = AppSession.make("graft-download")
+    import spark.implicits._
+    val wire = spark.readStream
+      .schema("key STRING, value BINARY")
+      .parquet(topicDir)
+    val chunks = wire.select("value").as[Array[Byte]].map(b => ChunkRow(ChunkCodec.unpack(b)))
+    val q = AssemblyStream.assemble(chunks, timeoutMs = 0)
+      .writeStream
+      .foreach(new CompletedFileWriter(outDir))
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint_download")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}
+
+/** `StreamProcessorApp <topicDir> <registryDir>` — G3/G5+K5: consume,
+  * reassemble, extract metadata per completed file (size, sha256, mtime),
+  * append to a parquet registry table (the reference's CSV registry as a
+  * queryable table, SURVEY.md §1.4). */
+object StreamProcessorApp {
+  def main(args: Array[String]): Unit = {
+    AppSession.require(args.length == 2, "StreamProcessorApp <topicDir> <registryDir>")
+    val Array(topicDir, registryDir) = args: @unchecked
+    val spark = AppSession.make("graft-processor")
+    import spark.implicits._
+    val wire = spark.readStream
+      .schema("key STRING, value BINARY")
+      .parquet(topicDir)
+    val chunks = wire.select("value").as[Array[Byte]].map(b => ChunkRow(ChunkCodec.unpack(b)))
+    val processed = AssemblyStream.assemble(chunks, timeoutMs = 0)
+      .map { f =>
+        val sha = if (f.data == null) null
+          else java.security.MessageDigest.getInstance("SHA-256").digest(f.data)
+            .map("%02x".format(_)).mkString
+        (f.rel_filepath, f.code, f.n_chunks, f.size, sha, f.file_mtime)
+      }
+      .toDF("rel_filepath", "status_code", "n_chunks", "size", "sha256", "mtime")
+    val q = processed.writeStream
+      .format("parquet")
+      .option("path", registryDir)
+      .option("checkpointLocation", s"$registryDir/_checkpoint_processor")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.batch.{AsmBuf, AssembledFile, ChunkRow}
+import graft.core.Assembly
+
+/** Streaming reassembly (G1/G2 over a stream): chunks grouped by file path,
+  * per-group state driven by the same pure [[Assembly]] policy as the batch
+  * aggregator, completed files emitted in append mode.
+  *
+  * The reference keeps partial-file state forever
+  * (data_file_chunk_handlers.py:51-53); we add the eviction the reference
+  * lacks (SURVEY.md §2.8): a processing-time timeout that surfaces timed-out
+  * partials as quarantine rows (code 2) instead of leaking state.
+  *
+  * Scale posture: state lives in the state store (RocksDB provider at scale),
+  * partitioned by `rel_filepath` — single-writer-per-file with no locks; the
+  * shuffle carries each chunk payload once; Kafka-source offsets + the
+  * checkpoint give exactly-once state updates over at-least-once delivery,
+  * with duplicate chunks collapsing idempotently in [[Assembly.step]].
+  */
+object AssemblyStream {
+
+  val DefaultTimeoutMs: Long = 15 * 60 * 1000L
+
+  private def state2buf(rel: String, name: String, s: Assembly.State): AsmBuf =
+    AsmBuf(rel, name, s.fileHash, s.nTotal, s.mtime, s.buffered)
+  private def buf2state(b: AsmBuf): Assembly.State =
+    Assembly.State(b.fileHash, b.nTotal, b.mtime, b.buffered)
+
+  /** The per-group update function (pure policy + state-store plumbing). */
+  def update(timeoutMs: Long)(
+      key: String,
+      rows: Iterator[ChunkRow],
+      state: GroupState[AsmBuf]): Iterator[AssembledFile] = {
+    if (state.hasTimedOut) {
+      // Quarantine: emit the partial as an in-progress row and drop state.
+      val b = state.get
+      val out = AssembledFile(b.relFilepath, b.filename, Assembly.Code.InProgress,
+        b.buffered.size, b.buffered.valuesIterator.map(_.length.toLong).sum,
+        b.fileHash, b.mtime, null)
+      state.remove()
+      Iterator.single(out)
+    } else {
+      var current: Option[Assembly.State] = state.getOption.map(buf2state)
+      var filename: String = state.getOption.map(_.filename).orNull
+      val emitted = Seq.newBuilder[AssembledFile]
+      rows.foreach { r =>
+        val c = r.toChunk
+        filename = c.filename
+        val (next, _) = Assembly.step(current, c)
+        current = Some(next)
+        if (next.complete) {
+          val (code, fileOpt) = Assembly.finish(key, c.filename, next)
+          fileOpt match {
+            case Some(f) =>
+              emitted += AssembledFile(f.relFilepath, f.filename, code, f.nChunks,
+                f.size, f.fileHash, f.fileMtime, f.data)
+              current = None
+            case None =>
+              // complete but hash-mismatched: surface and drop (reference
+              // registers mismatched_hash and relies on replay)
+              emitted += AssembledFile(key, c.filename, code, next.buffered.size,
+                next.buffered.valuesIterator.map(_.length.toLong).sum,
+                next.fileHash, next.mtime, null)
+              current = None
+          }
+        }
+      }
+      current match {
+        case Some(s) =>
+          state.update(state2buf(key, filename, s))
+          if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+        case None => if (state.exists) state.remove()
+      }
+      emitted.result().iterator
+    }
+  }
+
+  /** Wire the streaming assembly over a (streaming) chunk Dataset.
+    * `timeoutMs <= 0` disables eviction (NoTimeout) — processing-time
+    * timeouts make the microbatch loop re-trigger continuously even with no
+    * data, which is the right behavior for a standing production stream but
+    * pure churn for availableNow/test runs. */
+  def assemble(
+      chunks: Dataset[ChunkRow],
+      timeoutMs: Long = DefaultTimeoutMs): Dataset[AssembledFile] = {
+    import chunks.sparkSession.implicits._
+    val timeout =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    chunks
+      .groupByKey(_.toChunk.relFilepath)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update(timeoutMs))
+  }
+}

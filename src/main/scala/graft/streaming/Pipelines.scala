@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.batch.{ChunkRow, ChunkPipeline}
+import graft.core.{ChunkCodec, Chunker}
+
+/** Streaming source/sink wiring (S1–S4, K1): the reference's standing
+  * dataflows as Structured Streaming plans. Kafka endpoints are plain
+  * format("kafka") wiring (untestable offline — no broker in this
+  * environment); the file-based paths are exercised in tests.
+  */
+object Pipelines {
+
+  /** S1/S2/S3 upload side: a directory watched by the binaryFile file source
+    * (existing files read first batch, new files per microbatch —
+    * `maxFilesPerTrigger` paces; reference debounce becomes the source's
+    * file-listing cadence) → chunker → wire `(key, value)` rows. */
+  def uploadDirectoryStream(
+      spark: SparkSession,
+      dir: String,
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      pathGlobFilter: String = "*"): DataFrame = {
+    import spark.implicits._
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    val root = dir.stripSuffix("/")
+    val chunks = files
+      .select("path", "modificationTime", "content")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (path, mtime, content) =>
+        val rel = path.stripPrefix("file:").stripPrefix(root.stripPrefix("file:"))
+          .stripPrefix("/")
+        val (subdir, name) = rel.lastIndexOf('/') match {
+          case -1 => ("", rel)
+          case i => (rel.substring(0, i), rel.substring(i + 1))
+        }
+        Chunker.chunk(name, subdir, content, chunkSize, Nil,
+          Some(mtime.getTime / 1000.0)).map(ChunkRow(_))
+      }
+    ChunkPipeline.encode(chunks.toDF().as[ChunkRow])
+  }
+
+  /** K1: wire rows → Kafka topic (at-least-once; reassembly dedups). */
+  def toKafka(wire: DataFrame, servers: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    wire.selectExpr("CAST(key AS BINARY) AS key", "value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** S4 download side: Kafka topic → hash-verified chunk rows. Offset
+    * tracking/commit is the checkpoint (exactly-once within Spark). */
+  def fromKafka(spark: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "earliest"): Dataset[ChunkRow] = {
+    import spark.implicits._
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select("value").as[Array[Byte]]
+      .map(b => ChunkRow(ChunkCodec.unpack(b)))
+  }
+
+  /** T4/T5 consumer-side filters: message-key regex and filepath regex
+    * (openmsistream_consumer.py:351-449). */
+  def filterChunks(chunks: Dataset[ChunkRow],
+      keyRegex: Option[String] = None,
+      filepathRegex: Option[String] = None): Dataset[ChunkRow] = {
+    import chunks.sparkSession.implicits._
+    val afterKey = keyRegex.fold(chunks) { re =>
+      chunks.filter(r => re.r.findFirstIn(r.toChunk.msgKey).isDefined)
+    }
+    filepathRegex.fold(afterKey) { re =>
+      afterKey.filter(r => re.r.findFirstIn(r.toChunk.relFilepath).isDefined)
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.ForeachWriter
+
+import graft.batch.{AssembledFile, ChunkRow}
+
+/** Executor-side sinks (K2 family).
+  *
+  * [[CompletedFileWriter]] writes whole verified files (the memory-mode path,
+  * data_file_stream_handler.py:57-74): idempotent under replay because the
+  * content is hash-verified upstream, so a rewrite is byte-identical.
+  *
+  * [[PositionedChunkWriter]] is the disk-mode path
+  * (download_data_file.py:355-372): seek to `chunk_offset_write`, write,
+  * flush — per-partition channels, one file per `rel_filepath`; partitioning
+  * by file path upstream gives single-writer-per-file without locks.
+  */
+final class CompletedFileWriter(rootDir: String) extends ForeachWriter[AssembledFile] {
+  override def open(partitionId: Long, epochId: Long): Boolean = true
+  override def process(f: AssembledFile): Unit = {
+    if (f.code == graft.core.Assembly.Code.Complete && f.data != null) {
+      val target = Paths.get(rootDir, f.rel_filepath)
+      Files.createDirectories(target.getParent)
+      Files.write(target, f.data)
+    }
+  }
+  override def close(errorOrNull: Throwable): Unit = ()
+}
+
+final class PositionedChunkWriter(rootDir: String) extends ForeachWriter[ChunkRow] {
+  @transient private var channels: scala.collection.mutable.Map[String, FileChannel] = _
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    channels = scala.collection.mutable.Map.empty
+    true
+  }
+  private def channel(rel: String): FileChannel =
+    channels.getOrElseUpdate(rel, {
+      val target = Paths.get(rootDir, rel)
+      Files.createDirectories(target.getParent)
+      FileChannel.open(target, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    })
+  override def process(c: ChunkRow): Unit = {
+    val ch = channel(if (c.subdir_str == null || c.subdir_str.isEmpty) c.filename
+      else s"${c.subdir_str}/${c.filename}")
+    ch.write(ByteBuffer.wrap(c.data), c.chunk_offset_write)
+  }
+  override def close(errorOrNull: Throwable): Unit = {
+    if (channels != null) channels.valuesIterator.foreach { ch =>
+      try { ch.force(false); ch.close() } catch { case _: Throwable => }
+    }
+  }
+}
