@@ -36,5 +36,29 @@ object Dataflow {
   }
   private val Assembly = graft.core.Assembly
 
-  val all: Seq[DQ] = Seq(x01)
+  /** x11: multimodal decode plumbing — documents' UTF-8 bytes stand in for
+    * media payloads (binary column + kind tag), run through the batched
+    * per-partition decode stage ([[graft.multimodal.Multimodal]], stub
+    * codec); the oracle recomputes the deterministic metadata in SQL. */
+  val x11 = DQ("x11_multimodal_meta", Some(
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |                               WHEN 1 THEN 'audio'
+      |                               ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(ascii(text) AS INT) AS first_cp,
+      |  substring(md5(text), 1, 8) AS sig
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      val media = table(spark, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          encode(col("text"), "UTF-8").as("media"))
+      graft.multimodal.Multimodal.decodeStage(media, 32)
+        .toDF().orderBy("media_id")
+  }
+
+  val all: Seq[DQ] = Seq(x01, x11)
 }

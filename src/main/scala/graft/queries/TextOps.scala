@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Core._
+
+/** Training-data text operators beyond the declared Q-series (north star):
+  * MinHash+LSH near-dup candidates, SimHash, language ID, quality scoring,
+  * token statistics, document fingerprinting, and a non-trivial-threshold
+  * shingle-Jaccard. All hashing routes through md5 hex strings so Spark and
+  * the DuckDB oracle compute identical signatures (min over lexicographic
+  * hex = a uniform permutation proxy; no engine-specific hash functions).
+  *
+  * Scale posture: every operator is a per-row map + hash-partitioned
+  * aggregation; the LSH band join replaces the quadratic all-pairs shingle
+  * join — candidates meet only inside (band, signature) buckets.
+  */
+object TextOps {
+
+  /** Cleaned lowercase word tokens. */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), x => x =!= "")
+
+  /** Word 3-gram shingle set (distinct) per doc — Spark side. */
+  private def wordShingles(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.select(col("doc_id"), tokens(col("text")).as("l"))
+      .withColumn("i", explode(
+        when(size(col("l")) >= 3, sequence(lit(1), size(col("l")) - 2))
+          .otherwise(array())))
+      .select(col("doc_id"), array_join(slice(col("l"), col("i"), lit(3)), " ").as("g"))
+      .distinct()
+  }
+
+  /** Word 3-gram shingle CTE — DuckDB side (aligned with [[wordShingles]]). */
+  private val wordShinglesCte: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |               unnest(generate_series(1, greatest(len(l)-2, 0))) AS i
+      |        FROM (SELECT doc_id,
+      |                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                 x -> x <> '') AS l
+      |              FROM documents) t0) t1
+      |)""".stripMargin
+
+  /** x02: MinHash (8 hashes) + LSH (4 bands × 2 rows) near-dup candidates.
+    * Bucket key = (band = seed % 4, concatenated minhashes of the band);
+    * pairs meet only within buckets — the 100 TB path (no all-pairs join). */
+  val x02 = DQ("x02_minhash_lsh", Some(
+    s"""WITH $wordShinglesCte,
+       |seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(s)),
+       |mh AS (
+       |  SELECT doc_id, s, min(md5(g || ':' || CAST(s AS VARCHAR))) AS mh
+       |  FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+       |bands AS (
+       |  SELECT doc_id, s % 4 AS band, string_agg(mh, '' ORDER BY s) AS sig
+       |  FROM mh GROUP BY doc_id, s % 4),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin)) {
+    (spark, dir) =>
+      val sh = wordShingles(spark, dir)
+      val seeds = spark.range(8).select(col("id").cast("int").as("s"))
+      val mh = sh.crossJoin(broadcast(seeds))
+        .groupBy("doc_id", "s")
+        .agg(min(md5(concat(col("g"), lit(":"), col("s").cast("string")))).as("mh"))
+      val bands = mh.groupBy(col("doc_id"), (col("s") % 4).as("band"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("s"), col("mh")))),
+          x => x.getField("mh")), "").as("sig"))
+      val a = bands.select(col("doc_id").as("id1"), col("band"), col("sig"))
+      val b = bands.select(col("doc_id").as("id2"), col("band").as("band2"), col("sig").as("sig2"))
+      a.join(b, col("band") === col("band2") && col("sig") === col("sig2")
+          && col("id1") < col("id2"))
+        .select("id1", "id2").distinct().orderBy("id1", "id2")
+  }
+
+  /** x03: 16-bit SimHash over char-4-grams; bit b = sign of Σ±1 where +1 iff
+    * hex digit b of md5(shingle) has its top nibble-bit set. */
+  val x03 = DQ("x03_simhash", Some(
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, substring(lower(text), CAST(i AS INT), 4) AS g
+      |  FROM (SELECT doc_id, text,
+      |               unnest(generate_series(1, greatest(length(text)-3, 0))) AS i
+      |        FROM documents) t),
+      |ps AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+      |                             (9),(10),(11),(12),(13),(14),(15),(16)) p(p)),
+      |bits AS (
+      |  SELECT doc_id, p,
+      |         CASE WHEN sum(CASE WHEN substring(md5(g), p, 1)
+      |                            IN ('8','9','a','b','c','d','e','f')
+      |                       THEN 1 ELSE -1 END) >= 0
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM sh CROSS JOIN ps GROUP BY doc_id, p)
+      |SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val d = table(spark, dir, "documents")
+      val sh = d.select(col("doc_id"), lower(col("text")).as("t"))
+        .withColumn("i", explode(
+          when(length(col("t")) >= 4, sequence(lit(1), length(col("t")) - 3))
+            .otherwise(array())))
+        .select(col("doc_id"), col("t").substr(col("i"), lit(4)).as("g"))
+        .distinct()
+      val ps = spark.range(1, 17).select(col("id").cast("int").as("p"))
+      val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val bits = sh.crossJoin(broadcast(ps))
+        .groupBy("doc_id", "p")
+        .agg(when(sum(when(md5(col("g")).substr(col("p"), lit(1)).isin(topBit: _*), 1)
+          .otherwise(-1)) >= 0, "1").otherwise("0").as("bit"))
+      bits.groupBy("doc_id")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("bit")))),
+          x => x.getField("bit")), "").as("simhash"))
+        .orderBy("doc_id")
+  }
+
+  /** x05: language ID by marker-word hits (word-gram heuristic): count hits
+    * per candidate language's marker set, argmax with deterministic tiebreak,
+    * 'und' when nothing hits. */
+  val x05 = DQ("x05_lang_id", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN tok IN ('the','and','is','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      |    CAST(sum(CASE WHEN tok IN ('el','la','de','que','y') THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      |    CAST(sum(CASE WHEN tok IN ('le','les','et','un','est') THEN 1 ELSE 0 END) AS BIGINT) AS fr
+      |  FROM toks GROUP BY doc_id),
+      |pred AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN coalesce(h.en,0) = 0 AND coalesce(h.es,0) = 0 AND coalesce(h.fr,0) = 0 THEN 'und'
+      |         WHEN coalesce(h.en,0) >= coalesce(h.es,0) AND coalesce(h.en,0) >= coalesce(h.fr,0) THEN 'en'
+      |         WHEN coalesce(h.es,0) >= coalesce(h.fr,0) THEN 'es'
+      |         ELSE 'fr' END AS pred_lang
+      |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+      |SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang""".stripMargin)) {
+    (spark, dir) =>
+      val d = table(spark, dir, "documents")
+      val en = Seq("the", "and", "is", "of", "to")
+      val es = Seq("el", "la", "de", "que", "y")
+      val fr = Seq("le", "les", "et", "un", "est")
+      def hitCount(ws: Seq[String]): Column =
+        coalesce(sum(when(col("tok").isin(ws: _*), 1).otherwise(0)), lit(0L))
+      val hits = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id")
+        .agg(hitCount(en).as("en"), hitCount(es).as("es"), hitCount(fr).as("fr"))
+      d.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("en", "es", "fr"))
+        .withColumn("pred_lang",
+          when(col("en") === 0 && col("es") === 0 && col("fr") === 0, "und")
+            .when(col("en") >= col("es") && col("en") >= col("fr"), "en")
+            .when(col("es") >= col("fr"), "es")
+            .otherwise("fr"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang")
+  }
+
+  /** x06: document quality scoring — length, mean token length, stopword
+    * ratio, non-alpha ratio; composite score rounded to 6 dp. */
+  val x06 = DQ("x06_quality_score", Some(
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l,
+       |         CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS BIGINT) AS n_nonalpha
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(l) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(l, x -> x IN (${Documents.stopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS n_stop,
+       |         n_nonalpha
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       |  round(CAST(n_nonalpha AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+       |        (1.0 - CAST(n_nonalpha AS DOUBLE) / greatest(n_chars, 1)), 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val d = table(spark, dir, "documents")
+      val stop = Documents.stopwords
+      val m = d.select(col("doc_id"), col("n_chars"),
+          tokens(col("text")).as("l"),
+          length(regexp_replace(lower(col("text")), "[a-z ]", "")).cast("bigint").as("n_nonalpha"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("l")).cast("bigint").as("n_tokens"),
+          size(filter(col("l"), x => x.isin(stop: _*))).cast("bigint").as("n_stop"),
+          col("n_nonalpha"))
+      m.select(col("doc_id"), col("n_tokens"),
+          round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)), 6).as("stopword_ratio"),
+          round(col("n_nonalpha").cast("double") / greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"),
+          round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - col("n_nonalpha").cast("double") / greatest(col("n_chars"), lit(1))), 6).as("quality"))
+        .orderBy("doc_id")
+  }
+
+  /** x07: token statistics — whitespace tokens vs a BPE-ish regex
+    * segmentation (letter runs | digit runs | single other glyphs). */
+  val x07 = DQ("x07_token_stats", Some(
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("bigint").as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("bigint").as("bpe_tokens"))
+        .orderBy("doc_id")
+  }
+
+  /** x08: document fingerprint — min md5 over char-8-grams (winnowing-style
+    * content signature, robust to local reordering) plus length. */
+  val x08 = DQ("x08_fingerprint", Some(
+    """WITH sh AS (
+      |  SELECT doc_id, substring(lower(text), CAST(i AS INT), 8) AS g
+      |  FROM (SELECT doc_id, text,
+      |               unnest(generate_series(1, greatest(length(text)-7, 0))) AS i
+      |        FROM documents) t)
+      |SELECT s.doc_id, min(md5(s.g)) AS fingerprint, max(d.n_chars) AS n_chars
+      |FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val d = table(spark, dir, "documents")
+      d.select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
+        .withColumn("i", explode(
+          when(length(col("t")) >= 8, sequence(lit(1), length(col("t")) - 7))
+            .otherwise(array())))
+        .select(col("doc_id"), md5(col("t").substr(col("i"), lit(8))).as("h"), col("n_chars"))
+        .groupBy("doc_id")
+        .agg(min(col("h")).as("fingerprint"), max(col("n_chars")).as("n_chars"))
+        .orderBy("doc_id")
+  }
+
+  /** x09: the Q28 shingle-Jaccard pipeline at a threshold the synthetic
+    * corpus actually crosses (0.2), so the pair list is non-trivial. */
+  val x09 = DQ("x09_ngram_jaccard_02", Some(Documents.neardupSql(0.2))) {
+    (spark, dir) => Documents.neardup(spark, dir, 0.2)
+  }
+
+  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09)
+}
