@@ -64,14 +64,17 @@ object TextOps {
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
        |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin)) {
     (spark, dir) =>
+      // One aggregation pass computes all 8 minhashes (no seed cross join —
+      // an 8x input blowup and an extra shuffle at 100 TB); bands then
+      // explode from a single row per doc.
       val sh = wordShingles(spark, dir)
-      val seeds = spark.range(8).select(col("id").cast("int").as("s"))
-      val mh = sh.crossJoin(broadcast(seeds))
-        .groupBy("doc_id", "s")
-        .agg(min(md5(concat(col("g"), lit(":"), col("s").cast("string")))).as("mh"))
-      val bands = mh.groupBy(col("doc_id"), (col("s") % 4).as("band"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("s"), col("mh")))),
-          x => x.getField("mh")), "").as("sig"))
+      val mhCols = (0 until 8).map(s =>
+        min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
+      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bands = mh.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          concat(col(s"mh$b"), col(s"mh${b + 4}")).as("sig"))): _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val a = bands.select(col("doc_id").as("id1"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("id2"), col("band").as("band2"), col("sig").as("sig2"))
       a.join(b, col("band") === col("band2") && col("sig") === col("sig2")
@@ -106,15 +109,17 @@ object TextOps {
             .otherwise(array())))
         .select(col("doc_id"), col("t").substr(col("i"), lit(4)).as("g"))
         .distinct()
-      val ps = spark.range(1, 17).select(col("id").cast("int").as("p"))
+      // All 16 bit-sums in one aggregation pass over a single md5 per
+      // shingle (the positional cross join would blow the input up 16x and
+      // add a second shuffle — fatal at 100 TB).
       val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val bits = sh.crossJoin(broadcast(ps))
-        .groupBy("doc_id", "p")
-        .agg(when(sum(when(md5(col("g")).substr(col("p"), lit(1)).isin(topBit: _*), 1)
-          .otherwise(-1)) >= 0, "1").otherwise("0").as("bit"))
-      bits.groupBy("doc_id")
-        .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("bit")))),
-          x => x.getField("bit")), "").as("simhash"))
+      val withMd5 = sh.select(col("doc_id"), md5(col("g")).as("h"))
+      val bitCols = (1 to 16).map { p =>
+        when(sum(when(substring(col("h"), p, 1).isin(topBit: _*), 1).otherwise(-1)) >= 0,
+          "1").otherwise("0").as(s"b$p")
+      }
+      withMd5.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"), concat((1 to 16).map(p => col(s"b$p")): _*).as("simhash"))
         .orderBy("doc_id")
   }
 
