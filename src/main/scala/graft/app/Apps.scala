@@ -55,7 +55,10 @@ object UploadDirectoryApp {
 }
 
 /** `DownloadDirectoryApp <topicDir> <outDir>` — S4+C2+G1/G2+K2: consume the
-  * topic, hash-verify + reassemble, write completed files to disk. */
+  * topic, hash-verify + reassemble, write completed files to disk.
+  * Undecodable/corrupt messages dead-letter to `<outDir>/_quarantine`
+  * instead of failing the run (the reference's ENCRYPTED_MESSAGES/ shape,
+  * data_file_download_directory.py:108-136). */
 object DownloadDirectoryApp {
   def main(args: Array[String]): Unit = {
     AppSession.require(args.length == 2, "DownloadDirectoryApp <topicDir> <outDir>")
@@ -65,8 +68,17 @@ object DownloadDirectoryApp {
     val wire = spark.readStream
       .schema("key STRING, value BINARY")
       .parquet(topicDir)
-    val chunks = wire.select("value").as[Array[Byte]].map(b => ChunkRow(ChunkCodec.unpack(b)))
-    val q = AssemblyStream.assemble(chunks, timeoutMs = 0)
+    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
+    val good = decoded.filter(_.error == null).map(_.chunk.get)
+    val bad = decoded.filter(_.error != null)
+      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
+    val qBad = bad.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/_quarantine")
+      .option("checkpointLocation", s"$outDir/_checkpoint_quarantine")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val q = AssemblyStream.assemble(good, timeoutMs = 0)
       .writeStream
       .foreach(new CompletedFileWriter(outDir))
       .outputMode("append")
@@ -74,6 +86,7 @@ object DownloadDirectoryApp {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    qBad.awaitTermination()
     spark.stop()
   }
 }

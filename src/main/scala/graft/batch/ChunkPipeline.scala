@@ -115,6 +115,29 @@ object ChunkPipeline {
     wire.select("value").as[Array[Byte]].map(b => ChunkRow(ChunkCodec.unpack(b)))
   }
 
+  /** Decode outcome row for dead-letter routing. */
+  final case class DecodeResult(
+      chunk: Option[ChunkRow], key: String, value: Array[Byte], error: String)
+
+  /** Decode with dead-letter routing (the C4 shape: the reference dumps
+    * undecryptable/corrupt messages to ENCRYPTED_MESSAGES/ instead of
+    * failing, data_file_download_directory.py:108-136). Callers split with
+    * `.filter(_.error == null)` / `.filter(_.error != null)`. */
+  def decodeOrDeadLetter(wire: DataFrame): Dataset[DecodeResult] = {
+    import wire.sparkSession.implicits._
+    wire.selectExpr("CAST(key AS STRING) AS key", "value")
+      .as[(String, Array[Byte])]
+      .map { case (k, v) =>
+        try DecodeResult(Some(ChunkRow(ChunkCodec.unpack(v))), k, v, null)
+        catch {
+          case e: Exception =>
+            // some JDK exceptions (e.g. BufferUnderflow) carry a null message
+            DecodeResult(None, k, v,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+        }
+      }
+  }
+
   /** Reassemble chunks into verified files. */
   def assemble(chunks: Dataset[ChunkRow]): Dataset[AssembledFile] = {
     import chunks.sparkSession.implicits._

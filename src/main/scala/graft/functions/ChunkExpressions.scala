@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{ChunkCodec, FileChunk}
+
+/** Native Catalyst expressions for the chunk wire codec (C1/C2) — the
+  * SURVEY §4 upgrade from the v0 udf: no Row/case-class round trip, null
+  * semantics handled by `UnaryExpression.nullSafeEval`, usable from SQL via
+  * [[ChunkFunctions.register]]. CodegenFallback is appropriate here: the
+  * body is a single opaque codec call, so generated code would just inline
+  * the same virtual call.
+  */
+case class PackChunk(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType if s.length == FileChunk.schema.length =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_chunk expects the 10-field chunk struct, got $other")
+    }
+  override def nullSafeEval(input: Any): Any = {
+    val r = input.asInstanceOf[InternalRow]
+    val c = FileChunk(
+      filename = r.getUTF8String(0).toString,
+      fileHash = r.getBinary(1),
+      chunkHash = r.getBinary(2),
+      chunkOffsetWrite = r.getLong(3),
+      chunkI = r.getInt(4),
+      nTotalChunks = r.getInt(5),
+      subdirStr = if (r.isNullAt(6)) "" else r.getUTF8String(6).toString,
+      filenameAppend = if (r.isNullAt(7)) "" else r.getUTF8String(7).toString,
+      data = r.getBinary(8),
+      fileMtime = if (r.isNullAt(9)) None else Some(r.getDouble(9)))
+    ChunkCodec.pack(c)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PackChunk =
+    copy(child = newChild)
+}
+
+case class UnpackChunk(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = FileChunk.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unpack_chunk expects BINARY, got $other")
+    }
+  override def nullSafeEval(input: Any): Any = {
+    val c = ChunkCodec.unpack(input.asInstanceOf[Array[Byte]])
+    InternalRow(
+      UTF8String.fromString(c.filename), c.fileHash, c.chunkHash,
+      c.chunkOffsetWrite, c.chunkI, c.nTotalChunks,
+      UTF8String.fromString(c.subdirStr), UTF8String.fromString(c.filenameAppend),
+      c.data, c.fileMtime.map(Double.box).orNull)
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnpackChunk =
+    copy(child = newChild)
+}
+
+object ChunkFunctions {
+  /** Register `pack_chunk` / `unpack_chunk` for SQL use in this session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("pack_chunk", es => PackChunk(es.head), "built-in")
+    reg.createOrReplaceTempFunction("unpack_chunk", es => UnpackChunk(es.head), "built-in")
+  }
+}

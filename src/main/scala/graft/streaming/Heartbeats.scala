@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Heartbeat and log-forwarding aggregations (G6/G7): tumbling event-time
+  * windows over the message stream, emitted as JSON `(key, value)` rows for
+  * a heartbeat/log topic sink (reference heartbeat_producibles.py:9-108,
+  * log_producibles.py:10-27; intervals default 900 s / 60 s per
+  * utilities/argument_parsing.py:95-97).
+  *
+  * The reference counts activity since the last beat with mutable counters;
+  * the windowed aggregation is the Spark-native equivalent — watermarking
+  * bounds state, and counts are per (window, program) exactly-once.
+  */
+object Heartbeats {
+
+  /** `msgs` needs columns (ts TIMESTAMP, program_id STRING, n_bytes LONG). */
+  def heartbeatStream(
+      msgs: DataFrame,
+      intervalSecs: Int = 900,
+      watermark: String = "1 minute"): DataFrame = {
+    msgs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$intervalSecs seconds"), col("program_id"))
+      .agg(count(lit(1)).as("n_messages"), sum("n_bytes").as("n_bytes"))
+      .select(
+        concat(col("program_id"), lit("_heartbeat")).as("key"),
+        to_json(struct(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+          col("program_id"), col("n_messages"), col("n_bytes"))).as("value"))
+  }
+
+  /** Log forwarding (G7): drain log records into one JSON message per
+    * (window, program), capped at `maxLogsPerMessage` (default 65536,
+    * controlled_processes_heartbeats_logs.py:266-269). */
+  def logStream(
+      logs: DataFrame, // (ts TIMESTAMP, program_id STRING, message STRING)
+      intervalSecs: Int = 60,
+      maxLogsPerMessage: Int = 65536,
+      watermark: String = "1 minute"): DataFrame = {
+    logs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$intervalSecs seconds"), col("program_id"))
+      .agg(slice(collect_list(col("message")), 1, maxLogsPerMessage).as("messages"))
+      .select(
+        concat(col("program_id"), lit("_logs")).as("key"),
+        to_json(struct(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+          col("program_id"), col("messages"))).as("value"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.IniConfig
+import graft.batch.ChunkPipeline
+import graft.core.Chunker
+import graft.functions.ChunkFunctions
+import graft.streaming.{Heartbeats, ObjectStoreSink}
+
+/** Catalyst codec expressions, dead-letter routing, verified object sink,
+  * heartbeat windows, and the INI config system. */
+class ExtrasSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("pack_chunk/unpack_chunk Catalyst expressions roundtrip via SQL") {
+    import spark.implicits._
+    ChunkFunctions.register(spark)
+    val content = "catalyst expression roundtrip payload".getBytes
+    val chunks = Chunker.chunk("f.bin", "s", content, 16, Nil, Some(42.0))
+      .map(graft.batch.ChunkRow(_))
+    spark.createDataset(chunks).createOrReplaceTempView("chunks_v")
+    val back = spark.sql(
+      """SELECT unpack_chunk(pack_chunk(struct(
+        |  filename, file_hash, chunk_hash, chunk_offset_write, chunk_i,
+        |  n_total_chunks, subdir_str, filename_append, data, file_mtime))) AS c
+        |FROM chunks_v""".stripMargin)
+      .selectExpr("c.filename", "c.chunk_i", "c.data", "c.file_mtime")
+      .as[(String, Int, Array[Byte], Option[Double])]
+      .collect().sortBy(_._2)
+    assert(back.length == chunks.length)
+    chunks.sortBy(_.chunk_i).zip(back).foreach { case (orig, (name, i, data, mtime)) =>
+      assert(name == "f.bin" && i == orig.chunk_i)
+      assert(data.toSeq == orig.data.toSeq && mtime.contains(42.0))
+    }
+    // null in -> null out through the native expression
+    assert(spark.sql("SELECT unpack_chunk(CAST(NULL AS BINARY)) IS NULL AS n")
+      .collect().head.getBoolean(0))
+  }
+
+  test("decodeOrDeadLetter routes corrupt wire bytes to quarantine") {
+    import spark.implicits._
+    val content = "dead letter test content".getBytes
+    val good = Chunker.chunk("g.bin", "", content, 8, Nil, None)
+      .map(c => (c.msgKey, graft.core.ChunkCodec.pack(c)))
+    val bad = Seq(("bad_key_1", "not msgpack at all".getBytes),
+      ("bad_key_2", Array[Byte](0x9a.toByte, 0x01)))
+    val wire = spark.createDataset(good ++ bad).toDF("key", "value")
+    val decoded = ChunkPipeline.decodeOrDeadLetter(wire)
+    val ok = decoded.filter(_.error == null).collect()
+    val dead = decoded.filter(_.error != null).collect()
+    assert(ok.length == good.length && ok.forall(_.chunk.isDefined))
+    assert(dead.map(_.key).toSet == Set("bad_key_1", "bad_key_2"))
+    assert(dead.forall(d => d.error != null && d.value != null)) // replayable
+  }
+
+  test("object-store sink writes and verifies objects (file:// transport)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_objstore")
+    val rnd = new scala.util.Random(9)
+    val files = (0 until 4).map { i =>
+      val c = new Array[Byte](500 + rnd.nextInt(2000)); rnd.nextBytes(c)
+      (s"d$i/f$i.bin", c)
+    }
+    val ds = spark.createDataset(files.map { case (rel, c) =>
+      graft.batch.AssembledFile(rel, rel.split('/').last, graft.core.Assembly.Code.Complete,
+        1, c.length.toLong, graft.core.ChunkCodec.sha512(c), None, c)
+    })
+    val results = ObjectStoreSink.putVerified(ds, s"file://$out", "topic1").collect()
+    assert(results.length == 4 && results.forall(_.ok))
+    files.foreach { case (rel, c) =>
+      val written = Files.readAllBytes(out.resolve("topic1").resolve(rel))
+      assert(written.toSeq == c.toSeq)
+    }
+  }
+
+  test("heartbeat window aggregation emits JSON beats per program") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val msgs = input.toDF().toDF("ts", "program_id", "n_bytes")
+    val q = Heartbeats.heartbeatStream(msgs, intervalSecs = 60, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("beats").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 00:00:10"), "prog_a", 100L),
+        (ts("2024-01-01 00:00:50"), "prog_a", 200L),
+        (ts("2024-01-01 00:00:30"), "prog_b", 10L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:05:00"), "prog_a", 1L)) // advances watermark
+      q.processAllAvailable()
+      val beats = spark.table("beats").as[(String, String)].collect().toMap
+      assert(beats.keySet == Set("prog_a_heartbeat", "prog_b_heartbeat"))
+      assert(beats("prog_a_heartbeat").contains("\"n_messages\":2"))
+      assert(beats("prog_a_heartbeat").contains("\"n_bytes\":300"))
+      assert(beats("prog_b_heartbeat").contains("\"n_messages\":1"))
+    } finally q.stop()
+  }
+
+  test("INI config parses sections, expands $ENV, builds kafka options") {
+    val env = Map("KAFKA_PASSWORD" -> "sekrit")
+    val cfg = IniConfig.parse(
+      """# comment
+        |[broker]
+        |bootstrap.servers = broker1:9092
+        |sasl.password = $KAFKA_PASSWORD
+        |[producer]
+        |batch.size = 2000000
+        |linger.ms = 100
+        |compression.type = lz4
+        |[consumer]
+        |fetch.min.bytes = 100000
+        |""".stripMargin.linesIterator, env)
+    assert(cfg.section("broker")("sasl.password") == "sekrit")
+    val opts = cfg.kafkaOptions("producer")
+    assert(opts("kafka.batch.size") == "2000000")
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092")
+    assert(!opts.contains("kafka.fetch.min.bytes"))
+    assertThrows[IllegalArgumentException](
+      IniConfig.parse(Iterator("[s]", "x = $MISSING_VAR"), Map.empty))
+  }
+}
