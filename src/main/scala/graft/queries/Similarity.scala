@@ -105,5 +105,70 @@ object Similarity {
         .orderBy(col("sim").desc, col("vec_id")).limit(5)
   }
 
-  val all: Seq[DQ] = Seq(q26, x04)
+  /** x12: embedding-cosine near-duplicate pairs (north star dedup): all
+    * same-label pairs scored exactly, threshold on the 6-dp-rounded cosine
+    * (label blocking bounds the pair space; x13 is the unblocked LSH path). */
+  val x12 = DQ("x12_embedding_neardup", Some(
+    """WITH ser AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)),
+      |ex AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+      |         sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS na,
+      |         sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS nb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  CROSS JOIN ser GROUP BY a.vec_id, b.vec_id)
+      |SELECT v1, v2, round(dp / (na * nb), 6) AS sim FROM ex
+      |WHERE round(dp / (na * nb), 6) >= 0.3 ORDER BY v1, v2""".stripMargin)) {
+    (spark, dir) =>
+      val emb = table(spark, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+      val b = emb.select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
+      a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+        .withColumn("sim", round(dot(col("e1"), col("e2")) / (norm(col("e1")) * norm(col("e2"))), 6))
+        .filter(col("sim") >= 0.3)
+        .select("v1", "v2", "sim").orderBy("v1", "v2")
+  }
+
+  /** x13: sign-LSH signatures for embeddings — 8 deterministic hyperplanes
+    * whose ±1 components come from md5 parity of `k:i` (engine-neutral);
+    * bit k = sign(Σ v[i]·h(k,i)). Vectors sharing a signature bucket are
+    * the candidate near-dups at scale (no pairwise join; the x02 band-join
+    * pattern applies unchanged). */
+  val x13 = DQ("x13_embedding_lsh_sig", Some(
+    """WITH ks AS (SELECT CAST(generate_series AS INT) AS k FROM generate_series(1, 8)),
+      |is_ AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)),
+      |hyper AS (
+      |  SELECT k, i,
+      |         CASE WHEN substring(md5(CAST(k AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+      |              IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS s
+      |  FROM ks CROSS JOIN is_),
+      |proj AS (
+      |  SELECT e.vec_id, h.k,
+      |         CASE WHEN sum(CAST(e.embedding[h.i] AS DOUBLE) * h.s) >= 0
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM embeddings e CROSS JOIN hyper h
+      |  GROUP BY e.vec_id, h.k)
+      |SELECT vec_id, string_agg(bit, '' ORDER BY k) AS sig
+      |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin)) {
+    (spark, dir) =>
+      val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val ks = spark.range(1, 9).select(col("id").cast("int").as("k"))
+      val is = spark.range(1, 65).select(col("id").cast("int").as("i"))
+      val hyper = ks.crossJoin(is).select(col("k"), col("i"),
+        when(substring(md5(concat(col("k").cast("string"), lit(":"), col("i").cast("string"))),
+          1, 1).isin(topBit: _*), 1.0).otherwise(-1.0).as("s"))
+      val exploded = table(spark, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"), col("x").cast("double").as("x"))
+      exploded.join(broadcast(hyper), "i")
+        .groupBy("vec_id", "k")
+        .agg(when(sum(col("x") * col("s")) >= 0, "1").otherwise("0").as("bit"))
+        .groupBy("vec_id")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("bit")))),
+          x => x.getField("bit")), "").as("sig"))
+        .orderBy("vec_id")
+  }
+
+  val all: Seq[DQ] = Seq(q26, x04, x12, x13)
 }
