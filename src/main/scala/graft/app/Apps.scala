@@ -21,13 +21,18 @@ object AppSession {
 
   def make(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(name)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // RocksDB state store for large assembly state (SCALE.md); HDFS-backed
+    // default keeps small runs light. SPARK_GRAFT_STATE_STORE=rocksdb opts in.
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
