@@ -30,14 +30,20 @@ object ChunkRow {
     c.filenameAppend, c.data, c.fileMtime)
 }
 
-/** Assembler aggregation buffer — Assembly.State plus the group's path. */
+/** Assembler aggregation buffer — Assembly.State plus the group's path.
+  * `completed` is the streaming tombstone: after a file is emitted, the
+  * generation identity stays in state so late duplicates of the same
+  * generation drop instead of re-opening (and, in disk mode, clobbering)
+  * the finished file; a genuinely newer generation still adopts. Batch
+  * aggregation never sets it (completion is evaluated once, in finish). */
 final case class AsmBuf(
     relFilepath: String,
     filename: String,
     fileHash: Array[Byte],
     nTotal: Int,
     mtime: Option[Double],
-    buffered: Map[Long, Array[Byte]])
+    buffered: Map[Long, Array[Byte]],
+    completed: Boolean)
 
 /** Assembler output row. `code` follows the reference
   * (3 complete+verified, 2 incomplete, -1 hash mismatch). */
@@ -63,12 +69,12 @@ object ChunkPipeline {
   val assembler: Aggregator[ChunkRow, AsmBuf, AssembledFile] =
     new Aggregator[ChunkRow, AsmBuf, AssembledFile] {
       import org.apache.spark.sql.{Encoder, Encoders}
-      def zero: AsmBuf = AsmBuf(null, null, null, 0, None, Map.empty)
+      def zero: AsmBuf = AsmBuf(null, null, null, 0, None, Map.empty, completed = false)
       private def state(b: AsmBuf): Option[Assembly.State] =
         if (b.relFilepath == null) None
         else Some(Assembly.State(b.fileHash, b.nTotal, b.mtime, b.buffered))
       private def buf(rel: String, name: String, s: Assembly.State): AsmBuf =
-        AsmBuf(rel, name, s.fileHash, s.nTotal, s.mtime, s.buffered)
+        AsmBuf(rel, name, s.fileHash, s.nTotal, s.mtime, s.buffered, completed = false)
       def reduce(b: AsmBuf, r: ChunkRow): AsmBuf = {
         val c = r.toChunk
         val (next, _) = Assembly.step(state(b), c)

@@ -50,22 +50,36 @@ object Assembly {
   private def adopt(c: FileChunk): State =
     State(c.fileHash, c.nTotalChunks, c.fileMtime, Map(c.chunkOffsetWrite -> c.data))
 
+  /** Generation decision, shared by the buffered and disk-mode assemblers. */
+  sealed trait Decision
+  case object SameGeneration extends Decision
+  case object AdoptNew extends Decision
+  case object DropStale extends Decision
+
+  def decide(curHash: Array[Byte], curN: Int, curMtime: Option[Double],
+      c: FileChunk): Decision =
+    if (java.util.Arrays.equals(curHash, c.fileHash)) {
+      if (c.nTotalChunks != curN)
+        throw new AssemblyCorruption(
+          s"same hash, different n_total (${c.nTotalChunks} vs $curN) for ${c.relFilepath}")
+      SameGeneration
+    } else if (c.nTotalChunks > curN) AdoptNew
+    else if (c.nTotalChunks < curN) DropStale
+    else (curMtime, c.fileMtime) match {
+      case (Some(old), Some(nw)) if nw > old => AdoptNew
+      case _ => DropStale
+    }
+
   /** Pure transition. Returns the new state and the reference's code. */
   def step(state: Option[State], c: FileChunk): (State, Int) = state match {
     case None => (adopt(c), Code.InProgress)
-    case Some(s) if s.sameGeneration(c) =>
-      if (c.nTotalChunks != s.nTotal)
-        throw new AssemblyCorruption(
-          s"same hash, different n_total (${c.nTotalChunks} vs ${s.nTotal}) for ${c.relFilepath}")
-      if (s.buffered.contains(c.chunkOffsetWrite)) (s, Code.Duplicate)
-      else (s.copy(buffered = s.buffered + (c.chunkOffsetWrite -> c.data)), Code.InProgress)
-    case Some(s) =>
-      if (c.nTotalChunks > s.nTotal) (adopt(c), Code.NewGeneration)
-      else if (c.nTotalChunks < s.nTotal) (s, Code.Duplicate)
-      else (s.mtime, c.fileMtime) match {
-        case (Some(old), Some(nw)) if nw > old => (adopt(c), Code.NewGeneration)
-        case _ => (s, Code.Duplicate)
-      }
+    case Some(s) => decide(s.fileHash, s.nTotal, s.mtime, c) match {
+      case SameGeneration =>
+        if (s.buffered.contains(c.chunkOffsetWrite)) (s, Code.Duplicate)
+        else (s.copy(buffered = s.buffered + (c.chunkOffsetWrite -> c.data)), Code.InProgress)
+      case AdoptNew => (adopt(c), Code.NewGeneration)
+      case DropStale => (s, Code.Duplicate)
+    }
   }
 
   /** Merge two partial states for the same file (order-independent partial

@@ -26,9 +26,13 @@ object AssemblyStream {
   val DefaultTimeoutMs: Long = 15 * 60 * 1000L
 
   private def state2buf(rel: String, name: String, s: Assembly.State): AsmBuf =
-    AsmBuf(rel, name, s.fileHash, s.nTotal, s.mtime, s.buffered)
+    AsmBuf(rel, name, s.fileHash, s.nTotal, s.mtime, s.buffered, completed = false)
   private def buf2state(b: AsmBuf): Assembly.State =
     Assembly.State(b.fileHash, b.nTotal, b.mtime, b.buffered)
+  /** Completion tombstone: generation identity only, no payloads — late
+    * duplicates of this generation drop instead of re-opening the file. */
+  private def tombstone(rel: String, name: String, s: Assembly.State): AsmBuf =
+    AsmBuf(rel, name, s.fileHash, s.nTotal, s.mtime, Map.empty, completed = true)
 
   /** The per-group update function (pure policy + state-store plumbing). */
   def update(timeoutMs: Long)(
@@ -36,44 +40,54 @@ object AssemblyStream {
       rows: Iterator[ChunkRow],
       state: GroupState[AsmBuf]): Iterator[AssembledFile] = {
     if (state.hasTimedOut) {
-      // Quarantine: emit the partial as an in-progress row and drop state.
       val b = state.get
-      val out = AssembledFile(b.relFilepath, b.filename, Assembly.Code.InProgress,
-        b.buffered.size, b.buffered.valuesIterator.map(_.length.toLong).sum,
-        b.fileHash, b.mtime, null)
       state.remove()
-      Iterator.single(out)
+      if (b.completed) Iterator.empty // tombstone expiry, nothing to report
+      else Iterator.single(AssembledFile(b.relFilepath, b.filename,
+        Assembly.Code.InProgress, b.buffered.size,
+        b.buffered.valuesIterator.map(_.length.toLong).sum, b.fileHash, b.mtime, null))
     } else {
-      var current: Option[Assembly.State] = state.getOption.map(buf2state)
+      var tomb: Option[AsmBuf] = state.getOption.filter(_.completed)
+      var current: Option[Assembly.State] =
+        state.getOption.filterNot(_.completed).map(buf2state)
       var filename: String = state.getOption.map(_.filename).orNull
       val emitted = Seq.newBuilder[AssembledFile]
       rows.foreach { r =>
         val c = r.toChunk
         filename = c.filename
-        val (next, _) = Assembly.step(current, c)
-        current = Some(next)
-        if (next.complete) {
-          val (code, fileOpt) = Assembly.finish(key, c.filename, next)
-          fileOpt match {
-            case Some(f) =>
-              emitted += AssembledFile(f.relFilepath, f.filename, code, f.nChunks,
-                f.size, f.fileHash, f.fileMtime, f.data)
-              current = None
-            case None =>
-              // complete but hash-mismatched: surface and drop (reference
-              // registers mismatched_hash and relies on replay)
-              emitted += AssembledFile(key, c.filename, code, next.buffered.size,
-                next.buffered.valuesIterator.map(_.length.toLong).sum,
-                next.fileHash, next.mtime, null)
-              current = None
+        val dropAsCompletedDup = tomb.exists { t =>
+          Assembly.decide(t.fileHash, t.nTotal, t.mtime, c) != Assembly.AdoptNew
+        }
+        if (!dropAsCompletedDup) {
+          if (tomb.isDefined) tomb = None // newer generation supersedes tombstone
+          val (next, _) = Assembly.step(current, c)
+          current = Some(next)
+          if (next.complete) {
+            val (code, fileOpt) = Assembly.finish(key, c.filename, next)
+            fileOpt match {
+              case Some(f) =>
+                emitted += AssembledFile(f.relFilepath, f.filename, code, f.nChunks,
+                  f.size, f.fileHash, f.fileMtime, f.data)
+                tomb = Some(tombstone(key, c.filename, next))
+              case None =>
+                // complete but hash-mismatched: surface and drop (reference
+                // registers mismatched_hash and relies on replay)
+                emitted += AssembledFile(key, c.filename, code, next.buffered.size,
+                  next.buffered.valuesIterator.map(_.length.toLong).sum,
+                  next.fileHash, next.mtime, null)
+            }
+            current = None
           }
         }
       }
-      current match {
-        case Some(s) =>
+      (current, tomb) match {
+        case (Some(s), _) =>
           state.update(state2buf(key, filename, s))
           if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
-        case None => if (state.exists) state.remove()
+        case (None, Some(t)) =>
+          state.update(t)
+          if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+        case (None, None) => if (state.exists) state.remove()
       }
       emitted.result().iterator
     }

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.batch.ChunkRow
+import graft.core.Assembly
+
+/** Disk-mode reassembly — the large-file path (SURVEY §7.3 #2, mirroring the
+  * reference's `mode="disk"`, data_file_stream_handler.py:57-74): chunk
+  * payloads go straight to positioned writes on the target file; the state
+  * store keeps only `(generation, offsets)` — a few hundred bytes per file
+  * regardless of file size — and completion emits a verified *manifest* row,
+  * not the bytes. A 50 GB file costs 50 GB of sequential-ish I/O and ~1 KB
+  * of state, vs. 50 GB of state in the buffered assembler.
+  *
+  * Partitioning by `rel_filepath` keeps one writer per file (no locks);
+  * positioned re-writes of identical verified bytes make microbatch replay
+  * idempotent. `rootDir` must be storage every executor attempt of the same
+  * partition can reach (shared FS on a cluster; any local dir on local[N]).
+  */
+object DiskModeAssembly {
+
+  /** Tiny per-file state: generation identity + written offsets.
+    * `completed=true` is the tombstone — offsets empty, dups of this
+    * generation drop rather than deleting the finished file. */
+  final case class DiskState(
+      fileHash: Array[Byte],
+      nTotal: Int,
+      mtime: Option[Double],
+      offsets: Set[Long],
+      completed: Boolean)
+
+  /** Completion manifest (the output row — no payload). */
+  final case class FileManifest(
+      rel_filepath: String,
+      path: String,
+      code: Int,
+      n_chunks: Int,
+      size: Long,
+      hash_ok: Boolean)
+
+  private def target(rootDir: String, rel: String): Path = {
+    val p = Paths.get(rootDir, rel)
+    Files.createDirectories(p.getParent)
+    p
+  }
+
+  private def writeAt(p: Path, off: Long, data: Array[Byte]): Unit = {
+    val ch = FileChannel.open(p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try ch.write(ByteBuffer.wrap(data), off) finally ch.close()
+  }
+
+  private def sha512File(p: Path): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-512")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest()
+  }
+
+  def update(rootDir: String, timeoutMs: Long)(
+      key: String,
+      rows: Iterator[ChunkRow],
+      state: GroupState[DiskState]): Iterator[FileManifest] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      if (s.completed) Iterator.empty // tombstone expiry
+      else Iterator.single(FileManifest(key, target(rootDir, key).toString,
+        Assembly.Code.InProgress, s.offsets.size, -1L, hash_ok = false))
+    } else {
+      var cur: Option[DiskState] = state.getOption
+      val out = Seq.newBuilder[FileManifest]
+      val path = target(rootDir, key)
+      def adopt(c: graft.core.FileChunk): DiskState = {
+        Files.deleteIfExists(path) // fresh generation, drop leftovers
+        writeAt(path, c.chunkOffsetWrite, c.data)
+        DiskState(c.fileHash, c.nTotalChunks, c.fileMtime, Set(c.chunkOffsetWrite),
+          completed = false)
+      }
+      rows.foreach { r =>
+        val c = r.toChunk
+        val next = cur match {
+          case None => Some(adopt(c))
+          case Some(s) => Assembly.decide(s.fileHash, s.nTotal, s.mtime, c) match {
+            case Assembly.SameGeneration =>
+              if (s.completed || s.offsets.contains(c.chunkOffsetWrite)) Some(s)
+              else {
+                writeAt(path, c.chunkOffsetWrite, c.data)
+                Some(s.copy(offsets = s.offsets + c.chunkOffsetWrite))
+              }
+            case Assembly.AdoptNew => Some(adopt(c))
+            case Assembly.DropStale => Some(s)
+          }
+        }
+        cur = next.flatMap { s =>
+          if (!s.completed && s.offsets.size == s.nTotal) {
+            val ok = java.util.Arrays.equals(sha512File(path), s.fileHash)
+            out += FileManifest(key, path.toString,
+              if (ok) Assembly.Code.Complete else Assembly.Code.HashMismatch,
+              s.nTotal, Files.size(path), ok)
+            // success -> tombstone (late dups must not clobber the file);
+            // mismatch -> drop state, replay reassembles (reference semantics)
+            if (ok) Some(s.copy(offsets = Set.empty, completed = true)) else None
+          } else Some(s)
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+        case None => if (state.exists) state.remove()
+      }
+      out.result().iterator
+    }
+  }
+
+  def assemble(
+      chunks: Dataset[ChunkRow],
+      rootDir: String,
+      timeoutMs: Long = AssemblyStream.DefaultTimeoutMs): Dataset[FileManifest] = {
+    import chunks.sparkSession.implicits._
+    val timeout =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    chunks
+      .groupByKey(_.toChunk.relFilepath)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update(rootDir, timeoutMs))
+  }
+}

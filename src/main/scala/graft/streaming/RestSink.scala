@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Dataset
+
+import graft.batch.AssembledFile
+
+/** Girder-shaped REST upload sink (K4): per completed file, ensure the
+  * nested folder path exists, skip the upload when the server already holds
+  * an item with the same checksum, upload otherwise, and attach metadata —
+  * with bounded retry/backoff on 403/429/5xx (reference
+  * girder_upload_stream_processor.py:28-552: folder reuse :224-263,
+  * checksum skip :299-315, retry :145-151). Connector shape only — the
+  * protocol here is a minimal generic REST contract, not the Girder API:
+  *   GET  {base}/item?path=...      -> 200 {"sha256": "..."} | 404
+  *   POST {base}/folder?path=...    -> 200
+  *   POST {base}/item?path=...&sha256=...  body=bytes -> 200
+  * One HttpClient per partition (the reference's thread-local sessions).
+  */
+object RestSink {
+
+  final case class UploadResult(rel_filepath: String, action: String, attempts: Int)
+
+  private def sha256hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
+
+  /** Statuses worth retrying, per the reference's retry filter. */
+  private[streaming] def retryable(status: Int): Boolean =
+    status == 403 || status == 429 || status >= 500
+
+  private[streaming] def withRetry[A](maxAttempts: Int, sleepMs: Long)(
+      send: () => (Int, A)): (Int, A, Int) = {
+    var attempt = 1
+    var last = send()
+    while (retryable(last._1) && attempt < maxAttempts) {
+      Thread.sleep(sleepMs * attempt) // linear backoff
+      attempt += 1
+      last = send()
+    }
+    (last._1, last._2, attempt)
+  }
+
+  def upload(
+      files: Dataset[AssembledFile],
+      baseUrl: String,
+      maxAttempts: Int = 5,
+      backoffMs: Long = 100): Dataset[UploadResult] = {
+    import files.sparkSession.implicits._
+    files.filter(_.code == graft.core.Assembly.Code.Complete).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val client = HttpClient.newHttpClient() // partition-local session
+        def call(method: String, path: String, body: Array[Byte]): (Int, String) = {
+          val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
+          val req = (method match {
+            case "GET" => b.GET()
+            case "POST" => b.POST(HttpRequest.BodyPublishers.ofByteArray(
+              Option(body).getOrElse(Array.empty)))
+          }).build()
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          (resp.statusCode(), resp.body())
+        }
+        it.map { f =>
+          val sha = sha256hex(f.data)
+          val enc = java.net.URLEncoder.encode(f.rel_filepath, "UTF-8")
+          // checksum-based skip-if-same (idempotent under replay)
+          val (gs, gb, a1) = withRetry(maxAttempts, backoffMs)(
+            () => call("GET", s"/item?path=$enc", null))
+          if (gs == 200 && gb.contains(sha))
+            UploadResult(f.rel_filepath, "skipped", a1)
+          else {
+            // ensure nested folders (reuseExisting semantics server-side)
+            val parent = f.rel_filepath.split('/').dropRight(1).mkString("/")
+            if (parent.nonEmpty) withRetry(maxAttempts, backoffMs)(() =>
+              call("POST", s"/folder?path=${java.net.URLEncoder.encode(parent, "UTF-8")}", null))
+            val (us, _, a2) = withRetry(maxAttempts, backoffMs)(() =>
+              call("POST", s"/item?path=$enc&sha256=$sha", f.data))
+            UploadResult(f.rel_filepath,
+              if (us == 200) "uploaded" else s"failed_$us", a1 + a2)
+          }
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.batch.{AssembledFile, ChunkRow}
+import graft.core.{Assembly, Chunker}
+import graft.streaming.{DiskModeAssembly, RestSink}
+
+/** Disk-mode (manifest) assembly and the Girder-shaped REST sink, driven
+  * against a real local HTTP server. */
+class DiskModeRestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("disk-mode assembly writes files on disk, keeps only offsets in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rootDir = Files.createTempDirectory("graft_diskmode")
+    val rnd = new scala.util.Random(31)
+    val big = new Array[Byte](5000); rnd.nextBytes(big)
+    val stale = new Array[Byte](4000); rnd.nextBytes(stale)
+    val other = new Array[Byte](1000); rnd.nextBytes(other)
+    val gNew = Chunker.chunk("big.bin", "d", big, 512, Nil, Some(200.0)).map(ChunkRow(_))
+    val gOld = Chunker.chunk("big.bin", "d", stale, 512, Nil, Some(50.0)).map(ChunkRow(_))
+    val gOther = Chunker.chunk("o.bin", "", other, 512, Nil, None).map(ChunkRow(_))
+
+    val input = MemoryStream[ChunkRow]
+    val q = DiskModeAssembly.assemble(input.toDS(), rootDir.toString, timeoutMs = 0)
+      .writeStream.format("memory").queryName("manifests").outputMode("append").start()
+    try {
+      input.addData(gOld ++ gNew.take(4) ++ gOther.take(1)) // stale gen first
+      q.processAllAvailable()
+      input.addData(gNew.drop(4) ++ gNew.take(2) ++ gOther.drop(1)) // rest + dups
+      q.processAllAvailable()
+      val ms = spark.table("manifests")
+        .selectExpr("rel_filepath", "code", "size", "hash_ok").collect()
+        .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+      assert(ms.keySet == Set("d/big.bin", "o.bin"))
+      assert(ms("d/big.bin") == ((Assembly.Code.Complete, 5000L, true)))
+      assert(ms("o.bin") == ((Assembly.Code.Complete, 1000L, true)))
+      assert(Files.readAllBytes(rootDir.resolve("d/big.bin")).toSeq == big.toSeq)
+      assert(Files.readAllBytes(rootDir.resolve("o.bin")).toSeq == other.toSeq)
+    } finally q.stop()
+  }
+
+  /** Minimal in-memory REST server implementing the RestSink contract. */
+  private class FakeServer {
+    val items = new ConcurrentHashMap[String, (String, Array[Byte])]()
+    val folders = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var failuresRemaining = 0 // serve this many 503s first
+    val uploads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        def respond(status: Int, body: String): Unit = {
+          val b = body.getBytes
+          ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length)
+          if (b.nonEmpty) ex.getResponseBody.write(b)
+          ex.close()
+        }
+        if (failuresRemaining > 0) { failuresRemaining -= 1; respond(503, ""); return }
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("="))
+          .map { kv => val Array(k, v) = kv.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
+        (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+          case ("GET", "/item") =>
+            items.get(params("path")) match {
+              case null => respond(404, "")
+              case (sha, _) => respond(200, s"""{"sha256": "$sha"}""")
+            }
+          case ("POST", "/folder") =>
+            folders.add(params("path")); respond(200, "")
+          case ("POST", "/item") =>
+            val body = ex.getRequestBody.readAllBytes()
+            items.put(params("path"), (params("sha256"), body))
+            uploads.incrementAndGet()
+            respond(200, "")
+          case _ => respond(400, "unknown")
+        }
+      }
+    })
+    server.start()
+    def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("REST sink uploads, creates folders, checksum-skips, retries 5xx") {
+    import spark.implicits._
+    val srv = new FakeServer
+    try {
+      val rnd = new scala.util.Random(41)
+      val mk = (rel: String) => {
+        val c = new Array[Byte](300 + rnd.nextInt(500)); rnd.nextBytes(c)
+        AssembledFile(rel, rel.split('/').last, Assembly.Code.Complete, 1,
+          c.length.toLong, graft.core.ChunkCodec.sha512(c), None, c)
+      }
+      val files = Seq(mk("a/b/f1.bin"), mk("f2.bin"))
+      val ds = spark.createDataset(files)
+      srv.failuresRemaining = 2 // first two calls get 503 -> retried
+      val r1 = RestSink.upload(ds, srv.base, maxAttempts = 5, backoffMs = 1)
+        .collect().map(r => r.rel_filepath -> r.action).toMap
+      assert(r1 == Map("a/b/f1.bin" -> "uploaded", "f2.bin" -> "uploaded"))
+      assert(srv.folders.contains("a/b"))
+      assert(srv.uploads.get() == 2)
+      // replay: same content -> checksum skip, no re-upload
+      val r2 = RestSink.upload(ds, srv.base).collect().map(_.action).toSet
+      assert(r2 == Set("skipped"))
+      assert(srv.uploads.get() == 2)
+      // changed content under same path -> re-upload (replace semantics)
+      val changed = files.head.copy(data = files.head.data.map(b => (b ^ 1).toByte))
+      val r3 = RestSink.upload(spark.createDataset(Seq(changed)), srv.base)
+        .collect().head
+      assert(r3.action == "uploaded" && srv.uploads.get() == 3)
+    } finally srv.stop()
+  }
+}
