@@ -76,3 +76,19 @@ object ChunkFunctions {
     reg.createOrReplaceTempFunction("unpack_chunk", es => UnpackChunk(es.head), "built-in")
   }
 }
+
+/** Session extension installing the codec functions at session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("pack_chunk"),
+      new ExpressionInfo(classOf[PackChunk].getName, "pack_chunk"),
+      es => PackChunk(es.head)))
+    e.injectFunction((FunctionIdentifier("unpack_chunk"),
+      new ExpressionInfo(classOf[UnpackChunk].getName, "unpack_chunk"),
+      es => UnpackChunk(es.head)))
+  }
+}

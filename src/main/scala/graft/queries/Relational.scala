@@ -377,6 +377,48 @@ object Relational {
         .orderBy("day", "hr")
   }
 
+  /** x16: event sessionization — the gaps-and-islands operator every
+    * training-data pipeline needs (session = run of events per user with
+    * inter-event gaps ≤ 30 min). Session id = running count of gap-breaks,
+    * all integer arithmetic → engine-exact. */
+  val x16 = DQ("x16_sessionize", Some(
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |gaps AS (
+      |  SELECT user_id, event_id, us,
+      |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+      |              WHEN us - lag(us) OVER w > 1800000000 THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id
+      |                                     ORDER BY us, event_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      |  FROM gaps),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events FROM sess
+      |  GROUP BY user_id, session_id)
+      |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)) {
+    (spark, dir) =>
+      val byTs = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(spark, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_session",
+          when(lag("us", 1).over(byTs).isNull, 1)
+            .when(col("us") - lag("us", 1).over(byTs) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(cum).cast("int"))
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_session_events"),
+          sum("n_events").cast("bigint").as("n_events"))
+        .orderBy("user_id")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
-    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24)
+    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16)
 }
