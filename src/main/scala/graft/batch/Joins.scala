@@ -1,0 +1,42 @@
+package graft.batch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew- and shuffle-aware join utilities (SCALE.md):
+  *
+  * [[saltedJoin]] — for a skewed equi-join key (one hot key swamping a
+  * partition): the left (large, skewed) side gets a deterministic salt in
+  * [0, buckets); the right side is replicated once per salt value. Each hot
+  * key spreads over `buckets` partitions. AQE's skew-join handles moderate
+  * skew automatically; salting is for pathological keys beyond even split
+  * thresholds.
+  *
+  * [[writeBucketed]] — persist a table bucketed+sorted by its join key: two
+  * tables bucketed the same way join with zero Exchange (asserted on the
+  * physical plan in the spec).
+  */
+object Joins {
+
+  /** Salt is xxhash of the whole left row → deterministic under replay. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = left.withColumn("_salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
+    val saltValues = right.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("_salt"))
+    val replicated = right.crossJoin(broadcast(saltValues))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Write a DataFrame as a bucketed+sorted managed parquet table
+    * (co-located join input). Join via `spark.table(name)`. */
+  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(name)
+}

@@ -419,6 +419,25 @@ object Relational {
         .orderBy("user_id")
   }
 
+  /** x17: exact percentiles per group (Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition; rounded to
+    * 6 dp; at 100 TB the swap is percentile_approx, noted in SCALE.md). */
+  val x17 = DQ("x17_percentiles", Some(
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
-    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16)
+    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17)
 }

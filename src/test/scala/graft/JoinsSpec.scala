@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.batch.Joins
+
+/** Salted-join equivalence under skew and bucketed join shuffle elimination. */
+class JoinsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ paths
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("saltedJoin returns exactly the plain-join result under heavy skew") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key
+    val left = spark.range(10000)
+      .select((when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 50)).as("k"),
+        col("id").as("v"))
+    val right = spark.range(50).select(col("id").as("k"), (col("id") * 100).as("w"))
+    val plain = left.join(right, "k").select("k", "v", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val salted = Joins.saltedJoin(left, right, "k", 8).select("k", "v", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(salted.length == plain.length)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val a = spark.range(5000).select(col("id").as("k"), (col("id") * 2).as("a"))
+    val b = spark.range(5000).select(col("id").as("k"), (col("id") * 3).as("b"))
+    Joins.writeBucketed(a, "bkt_a", "k", 4)
+    Joins.writeBucketed(b, "bkt_b", "k", 4)
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), s"expected shuffle-free plan:\n$physical")
+    assert(joined.count() == 5000)
+  }
+}
