@@ -121,11 +121,17 @@ object Similarity {
       |SELECT v1, v2, round(dp / (na * nb), 6) AS sim FROM ex
       |WHERE round(dp / (na * nb), 6) >= 0.3 ORDER BY v1, v2""".stripMargin)) {
     (spark, dir) =>
+      // Norms precomputed once per vector (identical double values to the
+      // per-pair form — same inputs, same op) so each of the O(n²/labels)
+      // pairs does one dot product, not one dot plus two norms.
       val emb = table(spark, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
-      val b = emb.select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
+        .withColumn("nrm", norm(col("embedding")))
+      val a = emb.select(col("vec_id").as("v1"), col("label"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = emb.select(col("vec_id").as("v2"), col("label").as("label2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
       a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
-        .withColumn("sim", round(dot(col("e1"), col("e2")) / (norm(col("e1")) * norm(col("e2"))), 6))
+        .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
         .filter(col("sim") >= 0.3)
         .select("v1", "v2", "sim").orderBy("v1", "v2")
   }
