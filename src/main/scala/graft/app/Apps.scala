@@ -59,15 +59,21 @@ object UploadDirectoryApp {
   }
 }
 
-/** `DownloadDirectoryApp <topicDir> <outDir>` — S4+C2+G1/G2+K2: consume the
-  * topic, hash-verify + reassemble, write completed files to disk.
-  * Undecodable/corrupt messages dead-letter to `<outDir>/_quarantine`
-  * instead of failing the run (the reference's ENCRYPTED_MESSAGES/ shape,
-  * data_file_download_directory.py:108-136). */
+/** `DownloadDirectoryApp <topicDir> <outDir> [--disk-mode]` —
+  * S4+C2+G1/G2+K2: consume the topic, hash-verify + reassemble, write
+  * completed files to disk. Undecodable/corrupt messages dead-letter to
+  * `<outDir>/_quarantine` instead of failing the run (the reference's
+  * ENCRYPTED_MESSAGES/ shape, data_file_download_directory.py:108-136).
+  * `--disk-mode` selects the large-file path (reference `mode="disk"`):
+  * payloads write straight to positioned offsets, state stays tiny, and
+  * verified manifests land in `<outDir>/_manifests`. */
 object DownloadDirectoryApp {
   def main(args: Array[String]): Unit = {
-    AppSession.require(args.length == 2, "DownloadDirectoryApp <topicDir> <outDir>")
-    val Array(topicDir, outDir) = args: @unchecked
+    val diskMode = args.contains("--disk-mode")
+    val positional = args.filterNot(_.startsWith("--"))
+    AppSession.require(positional.length == 2,
+      "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode]")
+    val Array(topicDir, outDir) = positional: @unchecked
     val spark = AppSession.make("graft-download")
     import spark.implicits._
     val wire = spark.readStream
@@ -83,13 +89,23 @@ object DownloadDirectoryApp {
       .option("checkpointLocation", s"$outDir/_checkpoint_quarantine")
       .trigger(Trigger.AvailableNow())
       .start()
-    val q = AssemblyStream.assemble(good, timeoutMs = 0)
-      .writeStream
-      .foreach(new CompletedFileWriter(outDir))
-      .outputMode("append")
-      .option("checkpointLocation", s"$outDir/_checkpoint_download")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q =
+      if (diskMode)
+        graft.streaming.DiskModeAssembly.assemble(good, outDir, timeoutMs = 0)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$outDir/_manifests")
+          .option("checkpointLocation", s"$outDir/_checkpoint_download")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      else
+        AssemblyStream.assemble(good, timeoutMs = 0)
+          .writeStream
+          .foreach(new CompletedFileWriter(outDir))
+          .outputMode("append")
+          .option("checkpointLocation", s"$outDir/_checkpoint_download")
+          .trigger(Trigger.AvailableNow())
+          .start()
     q.awaitTermination()
     qBad.awaitTermination()
     spark.stop()

@@ -34,9 +34,19 @@ object Joins {
   }
 
   /** Write a DataFrame as a bucketed+sorted managed parquet table
-    * (co-located join input). Join via `spark.table(name)`. */
-  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    * (co-located join input). Join via `spark.table(name)`. Drops any prior
+    * table AND its leftover warehouse location first — an in-memory catalog
+    * (fresh session) forgets tables but not their directories, and
+    * saveAsTable refuses to create over an existing location. */
+  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(warehouse), name)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(name)
+  }
 }

@@ -74,6 +74,8 @@ object ChunkFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("pack_chunk", es => PackChunk(es.head), "built-in")
     reg.createOrReplaceTempFunction("unpack_chunk", es => UnpackChunk(es.head), "built-in")
+    reg.createOrReplaceTempFunction("chunk_binary",
+      es => ChunkBinary(es.head, es(1)), "built-in")
   }
 }
 

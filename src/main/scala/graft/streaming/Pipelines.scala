@@ -69,6 +69,18 @@ object Pipelines {
       .map(b => ChunkRow(ChunkCodec.unpack(b)))
   }
 
+  /** Streaming exact dedup (north-star dedup over a stream): watermarked
+    * drop-duplicates on the given keys — state bounded by the watermark
+    * horizon instead of stream length; duplicates from at-least-once
+    * delivery collapse before downstream processing. */
+  def dedupStream(
+      df: DataFrame,
+      eventTimeCol: String,
+      watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** T4/T5 consumer-side filters: message-key regex and filepath regex
     * (openmsistream_consumer.py:351-449). */
   def filterChunks(chunks: Dataset[ChunkRow],

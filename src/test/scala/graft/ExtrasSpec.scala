@@ -108,6 +108,52 @@ class ExtrasSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunk_binary generator chunks via SQL and reassembles to the original") {
+    import spark.implicits._
+    ChunkFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    val payloads = (0 until 6).map { i =>
+      val b = new Array[Byte](1 + rnd.nextInt(500)); rnd.nextBytes(b); (i.toLong, b)
+    }
+    spark.createDataset(payloads).toDF("id", "content").createOrReplaceTempView("blobs")
+    val rows = spark.sql(
+      """SELECT id, chunk_i, n_total_chunks, chunk_offset, chunk_hash, chunk_data
+        |FROM blobs LATERAL VIEW chunk_binary(content, 64) c
+        |  AS chunk_i, n_total_chunks, chunk_offset, chunk_hash, chunk_data""".stripMargin)
+      .as[(Long, Int, Int, Long, Array[Byte], Array[Byte])].collect()
+    payloads.foreach { case (id, content) =>
+      val mine = rows.filter(_._1 == id).sortBy(_._2)
+      assert(mine.length == math.max(1, (content.length + 63) / 64))
+      assert(mine.forall(_._3 == mine.length))
+      val reassembled = mine.flatMap(_._6)
+      assert(reassembled.toSeq == content.toSeq, s"blob $id differs")
+      mine.foreach(r => assert(r._5.toSeq == graft.core.ChunkCodec.sha512(r._6).toSeq))
+    }
+  }
+
+  test("streaming dedup drops at-least-once duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val deduped = graft.streaming.Pipelines.dedupStream(
+      input.toDF().toDF("ts", "k", "v"), "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 00:00:01"), "a", 1L),
+        (ts("2024-01-01 00:00:02"), "a", 1L), // duplicate key in-batch
+        (ts("2024-01-01 00:00:03"), "b", 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:01:00"), "a", 1L)) // cross-batch dup
+      q.processAllAvailable()
+      val rows = spark.table("dd").selectExpr("k").as[String].collect().sorted
+      assert(rows.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("INI config parses sections, expands $ENV, builds kafka options") {
     val env = Map("KAFKA_PASSWORD" -> "sekrit")
     val cfg = IniConfig.parse(

@@ -9,12 +9,17 @@ import graft.batch.Joins
 /** Salted-join equivalence under skew and bucketed join shuffle elimination. */
 class JoinsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ paths
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // set at runtime: builder config is ignored when another suite already
+    // created the shared session
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ paths
+    s
+  }
 
   test("saltedJoin returns exactly the plain-join result under heavy skew") {
     import spark.implicits._
