@@ -25,13 +25,18 @@ object AppSession {
       .master(s"local[$cpus]")
       .appName(name)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // RocksDB state store for large assembly state (SCALE.md); HDFS-backed
-    // default keeps small runs light. SPARK_GRAFT_STATE_STORE=rocksdb opts in.
-    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+    // default keeps small runs light. SPARK_GRAFT_STATE_STORE=rocksdb opts in,
+    // with changelog checkpointing (incremental deltas, not full snapshots).
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
