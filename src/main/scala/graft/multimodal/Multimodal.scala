@@ -50,4 +50,40 @@ object Multimodal {
         rows.map { case (id, kind, payload) => StubCodec.decode(id, kind, payload) }
       }
   }
+
+  /** Feature extraction stage: media → dense float vector. STUB embedding
+    * (dim buckets over byte histogram, L2-normalized — deterministic and
+    * shape-correct); a real model would batch-infer per partition. The
+    * output feeds the Similarity operators (q26/x04/x12/x13) unchanged. */
+  def featureStage(media: DataFrame, dim: Int = 16, partitions: Int = 0): DataFrame = {
+    import media.sparkSession.implicits._
+    val parted = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    parted.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val v = new Array[Float](dim)
+          payload.foreach(b => v((b & 0xff) % dim) += 1f)
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+          (id, if (n == 0) v else v.map(x => (x / n).toFloat))
+        }
+      }.toDF("media_id", "embedding")
+  }
+
+  /** Frame sampling stage: pick `n` evenly-spaced fixed-size frames from the
+    * payload — real byte-stride logic (a video codec would replace the
+    * frame boundaries, not the sampling plumbing). */
+  def frameSample(media: DataFrame, n: Int, frameBytes: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val frames = math.max(1, payload.length / frameBytes)
+        val take = math.min(n, frames)
+        (0 until take).map { i =>
+          val frameIdx = (i.toLong * frames / take).toInt
+          val start = frameIdx * frameBytes
+          (id, i, java.util.Arrays.copyOfRange(payload, start,
+            math.min(payload.length, start + frameBytes)))
+        }
+      }.toDF("media_id", "sample_i", "frame")
+  }
 }

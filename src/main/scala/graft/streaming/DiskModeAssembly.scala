@@ -51,11 +51,6 @@ object DiskModeAssembly {
     p
   }
 
-  private def writeAt(p: Path, off: Long, data: Array[Byte]): Unit = {
-    val ch = FileChannel.open(p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try ch.write(ByteBuffer.wrap(data), off) finally ch.close()
-  }
-
   private def sha512File(p: Path): Array[Byte] = {
     val md = MessageDigest.getInstance("SHA-512")
     val in = Files.newInputStream(p)
@@ -81,13 +76,26 @@ object DiskModeAssembly {
       var cur: Option[DiskState] = state.getOption
       val out = Seq.newBuilder[FileManifest]
       val path = target(rootDir, key)
+      // One channel per group invocation, not per chunk — a 300 MB file is
+      // ~600 chunks; open/close per chunk costs more than the writes.
+      var channel: FileChannel = null
+      def ch(): FileChannel = {
+        if (channel == null)
+          channel = FileChannel.open(path,
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        channel
+      }
+      def closeCh(): Unit = if (channel != null) { channel.close(); channel = null }
+      def write(off: Long, data: Array[Byte]): Unit =
+        ch().write(ByteBuffer.wrap(data), off)
       def adopt(c: graft.core.FileChunk): DiskState = {
+        closeCh()
         Files.deleteIfExists(path) // fresh generation, drop leftovers
-        writeAt(path, c.chunkOffsetWrite, c.data)
+        write(c.chunkOffsetWrite, c.data)
         DiskState(c.fileHash, c.nTotalChunks, c.fileMtime, Set(c.chunkOffsetWrite),
           completed = false)
       }
-      rows.foreach { r =>
+      try rows.foreach { r =>
         val c = r.toChunk
         val next = cur match {
           case None => Some(adopt(c))
@@ -95,7 +103,7 @@ object DiskModeAssembly {
             case Assembly.SameGeneration =>
               if (s.completed || s.offsets.contains(c.chunkOffsetWrite)) Some(s)
               else {
-                writeAt(path, c.chunkOffsetWrite, c.data)
+                write(c.chunkOffsetWrite, c.data)
                 Some(s.copy(offsets = s.offsets + c.chunkOffsetWrite))
               }
             case Assembly.AdoptNew => Some(adopt(c))
@@ -104,6 +112,7 @@ object DiskModeAssembly {
         }
         cur = next.flatMap { s =>
           if (!s.completed && s.offsets.size == s.nTotal) {
+            closeCh() // flush before the verification read
             val ok = java.util.Arrays.equals(sha512File(path), s.fileHash)
             out += FileManifest(key, path.toString,
               if (ok) Assembly.Code.Complete else Assembly.Code.HashMismatch,
@@ -113,7 +122,7 @@ object DiskModeAssembly {
             if (ok) Some(s.copy(offsets = Set.empty, completed = true)) else None
           } else Some(s)
         }
-      }
+      } finally closeCh()
       cur match {
         case Some(s) =>
           state.update(s)

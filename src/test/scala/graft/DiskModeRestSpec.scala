@@ -54,6 +54,37 @@ class DiskModeRestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multimodal feature/frame-sample stages: shapes, determinism, coverage") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(51)
+    val payloads = (0L until 5L).map { i =>
+      val b = new Array[Byte](200 + rnd.nextInt(2000)); rnd.nextBytes(b); (i, "video", b)
+    }
+    val media = spark.createDataset(payloads).toDF("media_id", "kind", "media")
+    val feats = graft.multimodal.Multimodal.featureStage(media, dim = 16)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(feats.size == 5)
+    feats.values.foreach { v =>
+      assert(v.length == 16)
+      assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5) // L2-normalized
+    }
+    // determinism
+    val again = graft.multimodal.Multimodal.featureStage(media, dim = 16)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(feats.keys.forall(k => feats(k).toSeq == again(k).toSeq))
+    val frames = graft.multimodal.Multimodal.frameSample(media, n = 4, frameBytes = 128)
+      .as[(Long, Int, Array[Byte])].collect()
+    payloads.foreach { case (id, _, payload) =>
+      val mine = frames.filter(_._1 == id).sortBy(_._2)
+      assert(mine.nonEmpty && mine.length <= 4)
+      mine.foreach { case (_, _, f) =>
+        assert(f.length <= 128 && f.nonEmpty)
+        // each frame is a verbatim slice of the payload
+        assert(payload.containsSlice(f))
+      }
+    }
+  }
+
   /** Minimal in-memory REST server implementing the RestSink contract. */
   private class FakeServer {
     val items = new ConcurrentHashMap[String, (String, Array[Byte])]()
