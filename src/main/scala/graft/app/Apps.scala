@@ -94,13 +94,16 @@ object DownloadDirectoryApp {
       .option("checkpointLocation", s"$outDir/_checkpoint_quarantine")
       .trigger(Trigger.AvailableNow())
       .start()
+    // per-mode checkpoints: buffered (AsmBuf state, foreach sink) and disk
+    // mode (DiskState, parquet sink) are schema-incompatible — resuming one
+    // mode's checkpoint with the other fails confusingly
     val q =
       if (diskMode)
         graft.streaming.DiskModeAssembly.assemble(good, outDir, timeoutMs = 0)
           .writeStream
           .format("parquet")
           .option("path", s"$outDir/_manifests")
-          .option("checkpointLocation", s"$outDir/_checkpoint_download")
+          .option("checkpointLocation", s"$outDir/_checkpoint_download_disk")
           .trigger(Trigger.AvailableNow())
           .start()
       else
@@ -130,12 +133,22 @@ object StreamProcessorApp {
     val wire = spark.readStream
       .schema("key STRING, value BINARY")
       .parquet(topicDir)
-    val chunks = wire.select("value").as[Array[Byte]].map(b => ChunkRow(ChunkCodec.unpack(b)))
+    // dead-letter like the download app: a single corrupt message must not
+    // become a poison pill that refails the checkpointed query forever
+    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
+    val chunks = decoded.filter(_.error == null).map(_.chunk.get)
+    val qBad = decoded.filter(_.error != null)
+      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$registryDir/_quarantine")
+      .option("checkpointLocation", s"$registryDir/_checkpoint_quarantine")
+      .trigger(Trigger.AvailableNow())
+      .start()
     val processed = AssemblyStream.assemble(chunks, timeoutMs = 0)
       .map { f =>
         val sha = if (f.data == null) null
-          else java.security.MessageDigest.getInstance("SHA-256").digest(f.data)
-            .map("%02x".format(_)).mkString
+          else graft.core.ChunkCodec.digestHex("SHA-256", f.data)
         (f.rel_filepath, f.code, f.n_chunks, f.size, sha, f.file_mtime)
       }
       .toDF("rel_filepath", "status_code", "n_chunks", "size", "sha256", "mtime")
@@ -146,6 +159,7 @@ object StreamProcessorApp {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    qBad.awaitTermination()
     spark.stop()
   }
 }

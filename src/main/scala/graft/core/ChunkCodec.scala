@@ -17,6 +17,11 @@ object ChunkCodec {
   def sha512(data: Array[Byte]): Array[Byte] =
     MessageDigest.getInstance("SHA-512").digest(data)
 
+  /** Shared hex-digest helper (single home for the format — sinks and apps
+    * reuse it rather than re-implementing the %02x fold). */
+  def digestHex(algorithm: String, data: Array[Byte]): String =
+    MessageDigest.getInstance(algorithm).digest(data).map("%02x".format(_)).mkString
+
   /** Serialize; verifies the payload hash first (the reference lazily
     * re-reads + verifies at serialize time, data_file_chunk.py:226-270). */
   def pack(c: FileChunk): Array[Byte] = {

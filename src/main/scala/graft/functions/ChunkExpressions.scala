@@ -92,5 +92,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("unpack_chunk"),
       new ExpressionInfo(classOf[UnpackChunk].getName, "unpack_chunk"),
       es => UnpackChunk(es.head)))
+    e.injectFunction((FunctionIdentifier("chunk_binary"),
+      new ExpressionInfo(classOf[ChunkBinary].getName, "chunk_binary"),
+      es => ChunkBinary(es.head, es(1))))
   }
 }

@@ -45,10 +45,10 @@ case class ChunkBinary(content: Expression, size: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val bytes = content.eval(input).asInstanceOf[Array[Byte]]
     val chunkSize = size.eval(input).asInstanceOf[Int]
-    if (bytes == null) Nil
+    if (bytes == null || bytes.isEmpty) Nil // empty content → zero chunks, like Chunker.chunk
     else {
       require(Chunker.isPowerOfTwo(chunkSize), s"chunk size $chunkSize not a power of two")
-      val n = math.max(1, (bytes.length + chunkSize - 1) / chunkSize)
+      val n = (bytes.length + chunkSize - 1) / chunkSize
       (0 until n).iterator.map { i =>
         val off = i.toLong * chunkSize
         val data = java.util.Arrays.copyOfRange(bytes, off.toInt,

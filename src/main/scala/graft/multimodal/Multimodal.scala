@@ -29,12 +29,11 @@ object Multimodal {
       * (e.g. JPEG dims, PCM duration). Deterministic fake: byte length,
       * first code point, md5 head — enough to pin the plumbing end-to-end. */
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
       MediaMeta(id, kind, payload.length.toLong,
         if (payload.isEmpty) -1
         else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
           .codePointAt(0),
-        md.take(4).map("%02x".format(_)).mkString)
+        graft.core.ChunkCodec.digestHex("MD5", payload).take(8))
     }
   }
 

@@ -51,6 +51,15 @@ object DiskModeAssembly {
     p
   }
 
+  /** Corrupt/timed-out partials must not sit at the destination path where
+    * a consumer would read them as finished files — move them aside. */
+  private def quarantine(rootDir: String, rel: String, path: Path): Unit =
+    if (Files.exists(path)) {
+      val q = Paths.get(rootDir, "_quarantine_files", rel)
+      Files.createDirectories(q.getParent)
+      Files.move(path, q, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
   private def sha512File(p: Path): Array[Byte] = {
     val md = MessageDigest.getInstance("SHA-512")
     val in = Files.newInputStream(p)
@@ -69,9 +78,13 @@ object DiskModeAssembly {
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      if (s.completed) Iterator.empty // tombstone expiry
-      else Iterator.single(FileManifest(key, target(rootDir, key).toString,
-        Assembly.Code.InProgress, s.offsets.size, -1L, hash_ok = false))
+      if (s.completed) Iterator.empty // tombstone expiry; the file is verified
+      else {
+        val p = target(rootDir, key)
+        quarantine(rootDir, key, p)
+        Iterator.single(FileManifest(key, p.toString,
+          Assembly.Code.InProgress, s.offsets.size, -1L, hash_ok = false))
+      }
     } else {
       var cur: Option[DiskState] = state.getOption
       val out = Seq.newBuilder[FileManifest]
@@ -114,12 +127,15 @@ object DiskModeAssembly {
           if (!s.completed && s.offsets.size == s.nTotal) {
             closeCh() // flush before the verification read
             val ok = java.util.Arrays.equals(sha512File(path), s.fileHash)
+            val size = Files.size(path)
             out += FileManifest(key, path.toString,
               if (ok) Assembly.Code.Complete else Assembly.Code.HashMismatch,
-              s.nTotal, Files.size(path), ok)
+              s.nTotal, size, ok)
             // success -> tombstone (late dups must not clobber the file);
-            // mismatch -> drop state, replay reassembles (reference semantics)
-            if (ok) Some(s.copy(offsets = Set.empty, completed = true)) else None
+            // mismatch -> quarantine the bytes and drop state, replay
+            // reassembles (reference semantics; destination stays clean)
+            if (ok) Some(s.copy(offsets = Set.empty, completed = true))
+            else { quarantine(rootDir, key, path); None }
           } else Some(s)
         }
       } finally closeCh()

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.net.URI
-import java.security.MessageDigest
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -24,21 +23,30 @@ object ObjectStoreSink {
 
   final case class PutResult(rel_filepath: String, uri: String, ok: Boolean, md5: String)
 
-  private def md5hex(b: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+  private def md5hex(b: Array[Byte]): String = graft.core.ChunkCodec.digestHex("MD5", b)
 
   /** Executor-side put+verify of one batch of completed files. Returns one
     * row per object so callers can route verification failures. Use from
-    * `foreachBatch` on the assembled stream, or directly on a batch Dataset. */
+    * `foreachBatch` on the assembled stream, or directly on a batch Dataset.
+    * The driver's Hadoop conf ships to executors as a plain map (a bare
+    * `new Configuration()` there would drop every `spark.hadoop.*` setting —
+    * s3a credentials/endpoints in particular). */
   def putVerified(
       files: Dataset[AssembledFile],
       baseUri: String,
       topic: String): Dataset[PutResult] = {
     import files.sparkSession.implicits._
+    val hadoopEntries: Seq[(String, String)] = {
+      val it = files.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     files.filter(_.code == graft.core.Assembly.Code.Complete).mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
-        val conf = new Configuration() // picks up cluster core-site on executors
+        val conf = new Configuration(false)
+        hadoopEntries.foreach { case (k, v) => conf.set(k, v) }
         val fs = FileSystem.get(URI.create(baseUri), conf)
         it.map { f =>
           val path = new Path(s"${baseUri.stripSuffix("/")}/$topic/${f.rel_filepath}")

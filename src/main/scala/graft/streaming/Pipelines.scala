@@ -29,13 +29,17 @@ object Pipelines {
       .option("recursiveFileLookup", "true")
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .load(dir)
-    val root = dir.stripSuffix("/")
+    // The source renders paths as absolute URIs (file:/abs/...); normalize
+    // the root the same way so relative dirs and file:// URIs both strip
+    // cleanly (a raw prefix-strip of a relative dir silently no-ops and the
+    // "relative" path becomes the whole absolute path).
+    val root = new java.io.File(
+      dir.stripPrefix("file://").stripPrefix("file:")).getAbsolutePath.stripSuffix("/")
     val chunks = files
       .select("path", "modificationTime", "content")
       .as[(String, java.sql.Timestamp, Array[Byte])]
       .flatMap { case (path, mtime, content) =>
-        val rel = path.stripPrefix("file:").stripPrefix(root.stripPrefix("file:"))
-          .stripPrefix("/")
+        val rel = path.stripPrefix("file:").stripPrefix(root).stripPrefix("/")
         val (subdir, name) = rel.lastIndexOf('/') match {
           case -1 => ("", rel)
           case i => (rel.substring(0, i), rel.substring(i + 1))

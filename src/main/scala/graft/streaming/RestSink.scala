@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Dataset
 
@@ -25,7 +24,7 @@ object RestSink {
   final case class UploadResult(rel_filepath: String, action: String, attempts: Int)
 
   private def sha256hex(b: Array[Byte]): String =
-    MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
+    graft.core.ChunkCodec.digestHex("SHA-256", b)
 
   /** Statuses worth retrying, per the reference's retry filter. */
   private[streaming] def retryable(status: Int): Boolean =

@@ -12,9 +12,14 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = []
+ran = 0
+unknown = sorted(only - set(oracle)) if only else []
+if unknown:
+    print(f"WARNING: not in oracle_sql.json: {unknown}")
 for name in sorted(oracle):
     if only and name not in only:
         continue
+    ran += 1
     sql = oracle[name]
     try:
         exp = con.execute(sql).df()
@@ -59,6 +64,7 @@ for name in sorted(oracle):
         fail.append(name)
     else:
         print(f"{name}: OK rows={len(exp)} cols={list(exp.columns)}")
-missing = [n for n in (only or [])]
-print(f"\n{len(oracle) - len(fail)}/{len(oracle)} OK" + (f", FAILED: {fail}" if fail else ""))
-sys.exit(1 if fail else 0)
+print(f"\n{ran - len(fail)}/{ran} OK"
+      + (f" (of {len(oracle)} total)" if only else "")
+      + (f", FAILED: {fail}" if fail else ""))
+sys.exit(1 if (fail or unknown) else 0)
