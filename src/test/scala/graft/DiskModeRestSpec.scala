@@ -54,6 +54,58 @@ class DiskModeRestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("disk-mode quarantines hash-mismatched files off the destination path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rootDir = Files.createTempDirectory("graft_diskmode_bad")
+    val rnd = new scala.util.Random(61)
+    val content = new Array[Byte](1000); rnd.nextBytes(content)
+    val cs = Chunker.chunk("bad.bin", "", content, 256, Nil, Some(1.0)).map(ChunkRow(_))
+    // corrupt one chunk's payload but keep its chunk_hash consistent so the
+    // codec layer passes and only the whole-file verification fails
+    val tampered = cs.updated(1, {
+      val t = cs(1).data.map(b => (b ^ 1).toByte)
+      cs(1).copy(data = t, chunk_hash = graft.core.ChunkCodec.sha512(t))
+    })
+    val input = MemoryStream[ChunkRow]
+    val q = DiskModeAssembly.assemble(input.toDS(), rootDir.toString, timeoutMs = 0)
+      .writeStream.format("memory").queryName("badman").outputMode("append").start()
+    try {
+      input.addData(tampered)
+      q.processAllAvailable()
+      val m = spark.table("badman").selectExpr("code", "hash_ok").collect().head
+      assert(m.getInt(0) == Assembly.Code.HashMismatch && !m.getBoolean(1))
+      assert(!Files.exists(rootDir.resolve("bad.bin")), "corrupt file left at destination")
+      assert(Files.exists(rootDir.resolve("_quarantine_files/bad.bin")))
+    } finally q.stop()
+  }
+
+  test("PositionedChunkWriter reconstructs files from positioned chunk writes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_poswriter")
+    val rnd = new scala.util.Random(71)
+    val contents = (0 until 3).map { i =>
+      val c = new Array[Byte](300 + rnd.nextInt(2000)); rnd.nextBytes(c)
+      (s"sub$i/p$i.bin", c)
+    }
+    val chunks = contents.flatMap { case (rel, c) =>
+      val Array(sub, name) = rel.split("/")
+      scala.util.Random.shuffle(Chunker.chunk(name, sub, c, 256, Nil, None).map(ChunkRow(_)))
+    }
+    val input = MemoryStream[ChunkRow]
+    val q = input.toDS().writeStream
+      .foreach(new graft.streaming.PositionedChunkWriter(outDir.toString))
+      .outputMode("append").start()
+    try {
+      input.addData(chunks)
+      q.processAllAvailable()
+      contents.foreach { case (rel, c) =>
+        assert(Files.readAllBytes(outDir.resolve(rel)).toSeq == c.toSeq, s"$rel differs")
+      }
+    } finally q.stop()
+  }
+
   test("multimodal feature/frame-sample stages: shapes, determinism, coverage") {
     import spark.implicits._
     val rnd = new scala.util.Random(51)
