@@ -109,7 +109,10 @@ object Relational {
         .orderBy("r_name", "n_name")
   }
 
-  /** Q14 outer/semi/anti joins (J1/J2 registry shapes). */
+  /** Q14 outer/semi/anti joins (J1/J2 registry shapes). Deliberately built
+    * from real left_semi/left_anti joins — the operators under test — rather
+    * than one left-join + conditional aggregation; the extra scans are the
+    * cost of exercising the actual plan shapes. */
   val q14 = DQ("q14_semi_anti", Some(
     """SELECT c.c_mktsegment, count(*) AS n_total,
       |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -438,6 +441,65 @@ object Relational {
         .orderBy("o_orderpriority")
   }
 
+  /** x18: CUBE grouping sets (all four grouping combinations, vs Q19's
+    * rollup prefix sets). */
+  val x18 = DQ("x18_cube", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g1,
+      |  CAST(grouping(l_linestatus) AS INT) AS g2,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g1"), col("g2"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** x19: array-function sweep (Q23's deferred array leg): array_agg with
+    * distinct/sort/slice caps, joined to strings for engine-neutral output. */
+  val x19 = DQ("x19_array_sweep", Some(
+    """SELECT l_returnflag,
+      |  CAST(len(list_distinct(array_agg(l_linestatus))) AS INT) AS n_status,
+      |  array_to_string(list_sort(list_distinct(array_agg(l_linestatus))), ',') AS statuses,
+      |  array_to_string(list_sort(list_distinct(array_agg(l_orderkey)))[1:5], ',') AS first_keys
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          size(array_distinct(collect_list(col("l_linestatus")))).cast("int").as("n_status"),
+          array_join(sort_array(array_distinct(collect_list(col("l_linestatus")))), ",")
+            .as("statuses"),
+          array_join(transform(
+            slice(sort_array(array_distinct(collect_list(col("l_orderkey")))), 1, 5),
+            x => x.cast("string")), ",").as("first_keys"))
+        .orderBy("l_returnflag")
+  }
+
+  /** x20: pivot / conditional aggregation (status counts spread to columns). */
+  val x20 = DQ("x20_pivot", Some(
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy("o_orderpriority")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
-    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17)
+    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20)
 }
