@@ -1,10 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,11 +12,12 @@ import graft.core.{ChunkCodec, FileChunk}
 /** Native Catalyst expressions for the chunk wire codec (C1/C2) — the
   * SURVEY §4 upgrade from the v0 udf: no Row/case-class round trip, null
   * semantics handled by `UnaryExpression.nullSafeEval`, usable from SQL via
-  * [[ChunkFunctions.register]]. CodegenFallback is appropriate here: the
-  * body is a single opaque codec call, so generated code would just inline
-  * the same virtual call.
+  * [[ChunkFunctions.register]]. `doGenCode` emits a call back into the
+  * expression object (the codec body is one opaque call, so inlining buys
+  * nothing) — unlike CodegenFallback this keeps the surrounding operators
+  * inside one WholeStageCodegen span instead of splitting the pipeline.
   */
-case class PackChunk(child: Expression) extends UnaryExpression with CodegenFallback {
+case class PackChunk(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -42,11 +42,15 @@ case class PackChunk(child: Expression) extends UnaryExpression with CodegenFall
       fileMtime = if (r.isNullAt(9)) None else Some(r.getDouble(9)))
     ChunkCodec.pack(c)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("packChunk", this, classOf[PackChunk].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (byte[]) $self.nullSafeEval($c);")
+  }
   override protected def withNewChildInternal(newChild: Expression): PackChunk =
     copy(child = newChild)
 }
 
-case class UnpackChunk(child: Expression) extends UnaryExpression with CodegenFallback {
+case class UnpackChunk(child: Expression) extends UnaryExpression {
   override def dataType: DataType = FileChunk.schema
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -63,6 +67,11 @@ case class UnpackChunk(child: Expression) extends UnaryExpression with CodegenFa
       c.chunkOffsetWrite, c.chunkI, c.nTotalChunks,
       UTF8String.fromString(c.subdirStr), UTF8String.fromString(c.filenameAppend),
       c.data, c.fileMtime.map(Double.box).orNull)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unpackChunk", this, classOf[UnpackChunk].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.nullSafeEval($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): UnpackChunk =
     copy(child = newChild)

@@ -18,6 +18,9 @@ class ExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      // Fail loudly (no interpreted fallback) if the codec expressions'
+      // doGenCode emits Java that janino can't compile.
+      .config("spark.sql.codegen.fallback", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
