@@ -49,4 +49,43 @@ object Joins {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(name)
   }
+
+  /** Range (interval) join via bin-bucketing — the scale rewrite of the
+    * naive nested-loop interval join. Each interval row is exploded into
+    * the fixed-width time bins it overlaps; the probe side computes its
+    * single bin; the two equi-join on the bin id (hash or broadcast —
+    * Catalyst's pick) and the exact range predicate
+    * `start <= probeTs < end` re-applies as a residual filter. Cost is
+    * O(probe + intervals·binsPerInterval) instead of O(probe·intervals),
+    * and the shuffle partitions by bin, so time-skew spreads across the
+    * cluster. Pick `binSeconds` near the typical interval length: one bin
+    * replica per interval, probe rows never duplicated.
+    *
+    * Column names in `probe` and `intervals` must be disjoint (standard
+    * for a join you'll project from). Intervals with `end <= start` match
+    * nothing.
+    */
+  def rangeJoinBinned(
+      probe: DataFrame,
+      probeTs: String,
+      intervals: DataFrame,
+      start: String,
+      end: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val binMicros = binSeconds * 1000000L
+    val p = probe.withColumn("_bin_p", floor(unix_micros(col(probeTs)) / binMicros))
+    // Last covered bin uses end-1µs: `end` is exclusive. greatest() guards
+    // degenerate end<=start intervals from sequence()'s descending mode.
+    val iv = intervals.withColumn("_bin_i",
+      explode(sequence(
+        floor(unix_micros(col(start)) / binMicros),
+        greatest(
+          floor((unix_micros(col(end)) - 1) / binMicros),
+          floor(unix_micros(col(start)) / binMicros)))))
+    p.join(iv,
+        col("_bin_p") === col("_bin_i") &&
+        col(probeTs) >= col(start) && col(probeTs) < col(end))
+      .drop("_bin_p", "_bin_i")
+  }
 }

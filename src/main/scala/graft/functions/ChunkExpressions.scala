@@ -85,6 +85,10 @@ object ChunkFunctions {
     reg.createOrReplaceTempFunction("unpack_chunk", es => UnpackChunk(es.head), "built-in")
     reg.createOrReplaceTempFunction("chunk_binary",
       es => ChunkBinary(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => FloatVecDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm",
+      es => FloatVecNorm(es.head), "built-in")
   }
 }
 
@@ -104,5 +108,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("chunk_binary"),
       new ExpressionInfo(classOf[ChunkBinary].getName, "chunk_binary"),
       es => ChunkBinary(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      es => FloatVecDot(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[FloatVecNorm].getName, "vec_norm"),
+      es => FloatVecNorm(es.head)))
   }
 }

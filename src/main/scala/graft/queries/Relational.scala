@@ -148,9 +148,9 @@ object Relational {
     (spark, dir) =>
       val events = table(spark, dir, "events")
       val buckets = events.select(date_trunc("hour", col("ts")).as("bucket_start")).distinct()
-      events.join(broadcast(buckets),
-          col("ts") >= col("bucket_start") &&
-          col("ts") < col("bucket_start") + expr("INTERVAL 1 HOUR"))
+        .withColumn("bucket_end", col("bucket_start") + expr("INTERVAL 1 HOUR"))
+      graft.batch.Joins.rangeJoinBinned(
+          events, "ts", buckets, "bucket_start", "bucket_end", binSeconds = 3600L)
         .groupBy(date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
@@ -167,13 +167,17 @@ object Relational {
       |SELECT event_id, o_orderkey AS last_orderkey FROM pairs WHERE rn = 1
       |ORDER BY event_id""".stripMargin)) {
     (spark, dir) =>
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      // As-of via argmax: the equi-join on custkey (range as residual)
+      // feeds a partial-aggregating max_by instead of a full per-key sort +
+      // row_number — map-side combine collapses each event's candidates
+      // before the shuffle. Tie-break (o_orderdate, o_orderkey) struct
+      // ordering == the oracle's ORDER BY ... DESC, ... DESC rn=1.
       table(spark, dir, "events")
         .join(table(spark, dir, "orders"),
           col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("event_id"), col("o_orderkey").as("last_orderkey"))
+        .groupBy("event_id")
+        .agg(max_by(col("o_orderkey"),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("last_orderkey"))
         .orderBy("event_id")
   }
 

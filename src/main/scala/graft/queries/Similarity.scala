@@ -6,20 +6,19 @@ import org.apache.spark.sql.functions._
 import Core._
 
 /** Embedding similarity search (SURVEY.md §2.12 Q26 + scale-path variants).
-  * Vectors are `array<float>` columns; math runs through codegen'd
-  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, no explode on
-  * the Spark side.
+  * Vectors are `array<float>` columns; dot/norm run through the native
+  * codegen expressions in [[graft.functions.FloatVecDot]] — no UDFs, no
+  * intermediate arrays, no explode on the Spark side.
   */
 object Similarity {
 
-  /** Double-accumulated dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Double-accumulated dot product of two float vectors — the native
+    * codegen expression ([[graft.functions.FloatVecDot]]); accumulation
+    * order (and thus every bit of the result) matches the HOF
+    * `aggregate(zip_with(...))` formulation it replaced. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = graft.functions.VectorFunctions.vecNorm(a)
 
   /** Q26 brute-force cosine top-k vs the `vec_id = 1` query vector (north
     * star baseline ANN; 1-row broadcast cross join, single pass, no shuffle

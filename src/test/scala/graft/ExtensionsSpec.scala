@@ -36,6 +36,17 @@ class ExtensionsSpec extends AnyFunSuite {
           |  n_total_chunks, subdir_str, filename_append, data, file_mtime))).chunk_i = chunk_i
           |""".stripMargin).as[Long].head()
       assert(n == chunk.length)
+      // Native vector math (same session, still with codegen fallback off):
+      // exact doubles vs the HOF formulation they replaced.
+      val (d, nrm, hofD) = spark.sql(
+        """SELECT vec_dot(a, b), vec_norm(a),
+          |       aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+          |FROM VALUES (array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT), CAST(0.25 AS FLOAT)),
+          |             array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT), CAST(8.0 AS FLOAT))) t(a, b)
+          |""".stripMargin).as[(Double, Double, Double)].head()
+      assert(d == hofD && d == 1.5 * 4.0 + -2.0 * 0.5 + 0.25 * 8.0)
+      assert(nrm == math.sqrt(1.5 * 1.5 + 2.0 * 2.0 + 0.25 * 0.25))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

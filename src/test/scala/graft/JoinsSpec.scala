@@ -47,4 +47,33 @@ class JoinsSpec extends AnyFunSuite {
     assert(!physical.contains("Exchange"), s"expected shuffle-free plan:\n$physical")
     assert(joined.count() == 5000)
   }
+
+  test("rangeJoinBinned == naive interval join, without a nested-loop plan") {
+    import spark.implicits._
+    // Probe: one event per minute over ~7 hours. Intervals deliberately NOT
+    // bin-aligned and of mixed width (shorter, equal, and longer than the
+    // 1800 s bin), plus a degenerate end<=start row that must match nothing.
+    val probe = spark.range(400)
+      .select(col("id").as("ev"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 60).as("ts"))
+    val iv = spark.createDataset(Seq(
+      (1L, 1700000100L, 1700000700L),  // 10 min, inside one bin
+      (2L, 1700001700L, 1700002000L),  // straddles a bin boundary
+      (3L, 1700003000L, 1700009000L),  // 100 min, spans 4 bins
+      (4L, 1700010000L, 1700010000L),  // empty
+      (5L, 1700011000L, 1700010000L))) // inverted
+      .toDF("iv_id", "s", "e")
+      .select(col("iv_id"), timestamp_seconds(col("s")).as("start"),
+        timestamp_seconds(col("e")).as("end"))
+    val naive = probe.join(iv, col("ts") >= col("start") && col("ts") < col("end"))
+      .select("ev", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val binned = Joins.rangeJoinBinned(probe, "ts", iv, "start", "end", binSeconds = 1800L)
+      .select("ev", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(naive.nonEmpty && binned.toSeq == naive.toSeq)
+    assert(naive.count(_._2 == 4L) == 0 && naive.count(_._2 == 5L) == 0)
+    val physical = Joins.rangeJoinBinned(probe, "ts", iv, "start", "end", 1800L)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop"),
+      s"bin equi-key should give a hash/merge join:\n$physical")
+  }
 }
