@@ -80,4 +80,37 @@ object Core {
     c.cast("decimal(12,2)")
   def rate(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(4,2)")
+
+  /** Spread a compact input across all cores before a CPU-heavy per-row
+    * stage (shingling, per-position hashing). A narrow parquet scan can
+    * come up in 1–2 partitions (one ~40 MB file ≪ maxPartitionBytes) and a
+    * fully per-row pipeline would then run on one core; the round-robin
+    * shuffle of one-row-per-doc input is cheap, the parallelism is not.
+    * On a real cluster defaultParallelism = total executor cores. */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Distinct char n-gram shingles of `t`, computed INSIDE the row
+    * (`transform` + `array_distinct`). Equivalent to explode→DISTINCT when
+    * each input row carries a unique doc_id — but with zero shuffle: the
+    * downstream per-doc aggregation collapses map-side, so only one row per
+    * document ever crosses the wire. At 100 TB the exploded-shingle
+    * exchange is the dominant cost of the naive plan. */
+  def charShingles(t: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    array_distinct(
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct word n-gram shingles of token array `l`, inside the row. */
+  def wordNgrams(l: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    array_distinct(
+      when(size(l) >= n,
+        transform(sequence(lit(1), size(l) - (n - 1)),
+          i => array_join(slice(l, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
 }

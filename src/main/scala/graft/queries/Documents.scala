@@ -198,11 +198,8 @@ object Documents {
     val docs = table(spark, dir, "documents").filter(col("doc_id") < 100)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
     val sh = docs
-      .withColumn("i", explode(
-        when(length(col("t")) >= 5, sequence(lit(1), length(col("t")) - 4))
-          .otherwise(array())))
-      .select(col("doc_id"), col("lang"), col("t").substr(col("i"), lit(5)).as("g"))
-      .distinct()
+      .select(col("doc_id"), col("lang"),
+        explode(charShingles(col("t"), 5)).as("g"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id1"), col("lang"), col("g"))
     val b = sh.select(col("doc_id").as("id2"), col("lang").as("lang2"), col("g").as("g2"))

@@ -23,15 +23,13 @@ object TextOps {
   private def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), x => x =!= "")
 
-  /** Word 3-gram shingle set (distinct) per doc — Spark side. */
+  /** Word 3-gram shingle set (distinct) per doc — Spark side. Dedup happens
+    * inside the row ([[Core.wordNgrams]]), so no shuffle precedes the
+    * per-doc aggregations that consume this. */
   private def wordShingles(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
+    val d = spread(table(spark, dir, "documents"))
     d.select(col("doc_id"), tokens(col("text")).as("l"))
-      .withColumn("i", explode(
-        when(size(col("l")) >= 3, sequence(lit(1), size(col("l")) - 2))
-          .otherwise(array())))
-      .select(col("doc_id"), array_join(slice(col("l"), col("i"), lit(3)), " ").as("g"))
-      .distinct()
+      .select(col("doc_id"), explode(wordNgrams(col("l"), 3)).as("g"))
   }
 
   /** Word 3-gram shingle CTE — DuckDB side (aligned with [[wordShingles]]). */
@@ -102,13 +100,9 @@ object TextOps {
       |SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
     (spark, dir) =>
-      val d = table(spark, dir, "documents")
-      val sh = d.select(col("doc_id"), lower(col("text")).as("t"))
-        .withColumn("i", explode(
-          when(length(col("t")) >= 4, sequence(lit(1), length(col("t")) - 3))
-            .otherwise(array())))
-        .select(col("doc_id"), col("t").substr(col("i"), lit(4)).as("g"))
-        .distinct()
+      val d = spread(table(spark, dir, "documents"))
+      val sh = d.select(col("doc_id"),
+        explode(charShingles(lower(col("text")), 4)).as("g"))
       // All 16 bit-sums in one aggregation pass over a single md5 per
       // shingle (the positional cross join would blow the input up 16x and
       // add a second shuffle — fatal at 100 TB).
@@ -232,7 +226,7 @@ object TextOps {
       |FROM sh s JOIN documents d ON d.doc_id = s.doc_id
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
     (spark, dir) =>
-      val d = table(spark, dir, "documents")
+      val d = spread(table(spark, dir, "documents"))
       d.select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
         .withColumn("i", explode(
           when(length(col("t")) >= 8, sequence(lit(1), length(col("t")) - 7))
