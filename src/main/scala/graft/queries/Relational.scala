@@ -504,6 +504,32 @@ object Relational {
         .orderBy("o_orderpriority")
   }
 
+  /** x21: variable-width interval-overlap join — the general
+    * [[graft.batch.Joins.rangeJoinBinned]] path (q15_range_join's intervals
+    * are bin-aligned; these are 1–7 min wide starting at arbitrary
+    * timestamps, so each interval explodes into 1–5 of the 2-minute bins).
+    * Anchors = every 101st event; probe = all events. */
+  val x21 = DQ("x21_interval_overlap", Some(
+    """WITH anchors AS (
+      |  SELECT event_id AS anchor_id, ts AS astart,
+      |         ts + to_minutes(CAST(event_id % 7 + 1 AS BIGINT)) AS aend
+      |  FROM events WHERE event_id % 101 = 0)
+      |SELECT anchor_id, count(*) AS n
+      |FROM events e JOIN anchors a ON e.ts >= a.astart AND e.ts < a.aend
+      |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin)) {
+    (spark, dir) =>
+      val events = table(spark, dir, "events")
+      val anchors = events.filter(col("event_id") % 101 === 0)
+        .select(col("event_id").as("anchor_id"), col("ts").as("astart"),
+          (col("ts") + make_dt_interval(
+            lit(0), lit(0), col("event_id") % 7 + 1, lit(0))).as("aend"))
+      graft.batch.Joins.rangeJoinBinned(
+          events.select(col("ts")), "ts", anchors, "astart", "aend", binSeconds = 120L)
+        .groupBy("anchor_id").agg(count(lit(1)).as("n"))
+        .orderBy("anchor_id")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
-    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20)
+    q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
+    x21)
 }

@@ -243,5 +243,55 @@ object TextOps {
     (spark, dir) => Documents.neardup(spark, dir, 0.2)
   }
 
-  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09)
+  /** x22: deterministic hash-stratified sampling (north star: reproducible
+    * subsetting at 100 TB): membership = a prefix test on md5 of the stable
+    * key, so the sample is identical across engines, runs, and retries —
+    * no RNG state, no seed plumbing, and the filter pushes down to a
+    * per-row predicate with no shuffle. '40'/'ff' ≈ a 25% Bernoulli rate. */
+  val x22 = DQ("x22_hash_sample", Some(
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+      |GROUP BY lang ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "40")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+  }
+
+  /** x23: TF-IDF-style top term per document — tf from a per-doc partial
+    * aggregation, df via a token-keyed join (both map-side-combining), score
+    * = tf/df (exact IEEE division, engine-portable), top-1 by window with a
+    * deterministic tiebreak. */
+  val x23 = DQ("x23_tfidf_top", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT t.doc_id, t.tok, CAST(t.tf AS DOUBLE) / d.df AS score,
+      |         row_number() OVER (PARTITION BY t.doc_id
+      |                            ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.tok) AS rn
+      |  FROM tf t JOIN df d ON t.tok = d.tok)
+      |SELECT doc_id, tok AS top_term, score FROM scored WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+        .orderBy("doc_id")
+  }
+
+  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x22, x23)
 }
