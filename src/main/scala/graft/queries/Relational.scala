@@ -529,7 +529,26 @@ object Relational {
         .orderBy("anchor_id")
   }
 
+  /** x24: sketch-based approximate statistics — the operators that replace
+    * their exact counterparts at 100 TB: HyperLogLog++ distinct counts
+    * (fixed-size sketch, map-side mergeable — vs q18's exact countDistinct
+    * expand) and Greenwald-Khanna approximate percentiles (bounded state —
+    * vs x17's exact sort-based percentiles). Sketch values are
+    * engine-specific, so no DuckDB oracle: the driver records a rows-only
+    * check, and the spec bounds the estimates against exact answers. */
+  val x24 = DQ("x24_approx_stats", None) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("nd_orders"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21)
+    x21, x24)
 }
