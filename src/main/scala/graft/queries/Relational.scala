@@ -548,7 +548,31 @@ object Relational {
         .orderBy("l_returnflag")
   }
 
+  /** x25: time-RANGE window frames — per-user rolling 10-minute event count
+    * (velocity / rate-limit shape) plus inter-event gap. The frame is
+    * value-based (micros since epoch), so tied timestamps are peers and the
+    * result is deterministic without a row tiebreak; the gap uses a
+    * row-ordered window with (ts, event_id) for a total order. */
+  val x25 = DQ("x25_window_range", Some(
+    """SELECT user_id, event_id,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n10m,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |         ORDER BY ts, event_id) AS gap_us
+      |FROM events ORDER BY user_id, event_id""".stripMargin)) {
+    (spark, dir) =>
+      val e = table(spark, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val wRange = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-600000000L, Window.currentRow)
+      val wRow = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_id"),
+          count(lit(1)).over(wRange).as("n10m"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(wRow)).as("gap_us"))
+        .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21, x24)
+    x21, x24, x25)
 }
