@@ -293,5 +293,33 @@ object TextOps {
         .orderBy("doc_id")
   }
 
-  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x22, x23)
+  /** x26: overlapping token windows (training context packing): each doc
+    * splits into 50-token windows with stride 25. Pure per-row explode —
+    * no shuffle at all until the output sort, so it streams at scan speed
+    * at any scale. */
+  val x26 = DQ("x26_token_windows", Some(
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |w AS (SELECT doc_id, l, unnest(generate_series(1, len(l), 25)) AS s
+      |      FROM t WHERE len(l) > 0)
+      |SELECT doc_id, CAST((s - 1) // 25 AS INT) AS win_id,
+      |       CAST(len(l[s:s+49]) AS INT) AS n_toks,
+      |       array_to_string(l[s:s+49], ' ') AS win_text
+      |FROM w ORDER BY doc_id, win_id""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .filter(size(col("l")) > 0)
+        .select(col("doc_id"), col("l"),
+          explode(sequence(lit(1), size(col("l")), lit(25))).as("s"))
+        .select(col("doc_id"),
+          expr("CAST((s - 1) DIV 25 AS INT)").as("win_id"),
+          size(slice(col("l"), col("s"), lit(50))).as("n_toks"),
+          array_join(slice(col("l"), col("s"), lit(50)), " ").as("win_text"))
+        .orderBy("doc_id", "win_id")
+  }
+
+  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x22, x23, x26)
 }
