@@ -47,32 +47,40 @@ object TextOps {
   /** x02: MinHash (8 hashes) + LSH (4 bands × 2 rows) near-dup candidates.
     * Bucket key = (band = seed % 4, concatenated minhashes of the band);
     * pairs meet only within buckets — the 100 TB path (no all-pairs join). */
-  val x02 = DQ("x02_minhash_lsh", Some(
-    s"""WITH $wordShinglesCte,
+  /** LSH bands per doc: 8 minhashes in ONE aggregation pass (no seed cross
+    * join — an 8x input blowup and an extra shuffle at 100 TB), 4 bands of
+    * 2 rows exploding from the single row per doc. Shared by x02 / x27. */
+  private def lshBands(spark: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(spark, dir)
+    val mhCols = (0 until 8).map(s =>
+      min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    mh.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        concat(col(s"mh$b"), col(s"mh${b + 4}")).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Bands CTE — DuckDB side (aligned with [[lshBands]]). */
+  private val lshBandsCte: String =
+    s"""$wordShinglesCte,
        |seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(s)),
        |mh AS (
        |  SELECT doc_id, s, min(md5(g || ':' || CAST(s AS VARCHAR))) AS mh
        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
        |bands AS (
        |  SELECT doc_id, s % 4 AS band, string_agg(mh, '' ORDER BY s) AS sig
-       |  FROM mh GROUP BY doc_id, s % 4),
+       |  FROM mh GROUP BY doc_id, s % 4)""".stripMargin
+
+  val x02 = DQ("x02_minhash_lsh", Some(
+    s"""WITH $lshBandsCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
        |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin)) {
     (spark, dir) =>
-      // One aggregation pass computes all 8 minhashes (no seed cross join —
-      // an 8x input blowup and an extra shuffle at 100 TB); bands then
-      // explode from a single row per doc.
-      val sh = wordShingles(spark, dir)
-      val mhCols = (0 until 8).map(s =>
-        min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
-      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      val bands = mh.select(col("doc_id"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          concat(col(s"mh$b"), col(s"mh${b + 4}")).as("sig"))): _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val bands = lshBands(spark, dir)
       val a = bands.select(col("doc_id").as("id1"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("id2"), col("band").as("band2"), col("sig").as("sig2"))
       a.join(b, col("band") === col("band2") && col("sig") === col("sig2")
@@ -321,5 +329,26 @@ object TextOps {
         .orderBy("doc_id", "win_id")
   }
 
-  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x22, x23, x26)
+  /** x27: dedup survivor labeling — the step after LSH candidate
+    * generation: each doc takes the minimum doc_id of any (band, sig)
+    * bucket it belongs to as its cluster label, so every near-dup bucket
+    * collapses onto one canonical survivor (rep = doc_id). One round of
+    * min-label propagation; chain-shaped clusters converge by iterating
+    * this operator to fixpoint (each round = one shuffle by bucket). */
+  val x27 = DQ("x27_dedup_survivors", Some(
+    s"""WITH $lshBandsCte,
+       |bmin AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) AS bucket_min
+       |  FROM bands)
+       |SELECT doc_id, min(bucket_min) AS rep FROM bmin
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val bands = lshBands(spark, dir)
+      val w = Window.partitionBy("band", "sig")
+      bands.withColumn("bucket_min", min(col("doc_id")).over(w))
+        .groupBy("doc_id").agg(min("bucket_min").as("rep"))
+        .orderBy("doc_id")
+  }
+
+  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x22, x23, x26, x27)
 }
