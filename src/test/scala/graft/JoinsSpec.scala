@@ -76,4 +76,26 @@ class JoinsSpec extends AnyFunSuite {
     assert(!physical.contains("NestedLoop"),
       s"bin equi-key should give a hash/merge join:\n$physical")
   }
+
+  test("property: rangeJoinBinned == naive join for random intervals and bin sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000L
+    val probe = spark.createDataset(
+        (0 until 300).map(i => (i.toLong, base + rnd.nextInt(36000).toLong)))
+      .toDF("ev", "s0").select(col("ev"), timestamp_seconds(col("s0")).as("ts"))
+    for (binSeconds <- Seq(60L, 700L, 3600L, 100000L)) {
+      val iv = spark.createDataset((0 until 40).map { k =>
+        val s = base + rnd.nextInt(36000)
+        (k.toLong, s, s - 100 + rnd.nextInt(7200))  // some inverted/empty
+      }).toDF("iv_id", "s1", "e1")
+        .select(col("iv_id"), timestamp_seconds(col("s1")).as("start"),
+          timestamp_seconds(col("e1")).as("end"))
+      val naive = probe.join(iv, col("ts") >= col("start") && col("ts") < col("end"))
+        .select("ev", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val binned = Joins.rangeJoinBinned(probe, "ts", iv, "start", "end", binSeconds)
+        .select("ev", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(binned.toSeq == naive.toSeq, s"mismatch at binSeconds=$binSeconds")
+    }
+  }
 }
