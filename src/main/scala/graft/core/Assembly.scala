@@ -13,13 +13,16 @@ package graft.core
   *  - higher `n_total_chunks` ⇒ newer generation: discard partial state,
   *    adopt (code 11);
   *  - lower `n` ⇒ stale: drop chunk (code 10);
-  *  - equal `n` ⇒ adopt only if the chunk's mtime is strictly newer than the
-  *    tracked one (both present), else drop;
+  *  - equal `n` ⇒ newer mtime wins (a missing mtime loses to a present one);
+  *    equal/absent mtimes fall through to an unsigned-lexicographic
+  *    `file_hash` tiebreak (engine addition over the reference's
+  *    arrival-order incumbent-wins, which is not associative);
   *  - same hash but different `n` ⇒ corruption ⇒ error.
   * Duplicate offsets of the same generation short-circuit (code 10). The
-  * outcome is order-independent: the maximal generation by (n, mtime, hash)
-  * wins under any interleaving, so states merge associatively — which is what
-  * lets the batch Aggregator run map-side partials.
+  * outcome is order-independent: generations are totally ordered by
+  * (n, mtime, hash) via `cmpGeneration`, so the same maximal generation
+  * wins under any interleaving and states merge associatively — which is
+  * what lets the batch Aggregator run map-side partials.
   */
 object Assembly {
 
@@ -29,6 +32,9 @@ object Assembly {
     val Duplicate = 10
     val NewGeneration = 11
     val HashMismatch = -1
+    /** Engine addition (not in the reference): wire-derived rel_filepath
+      * failed [[SafePaths]] validation; the row is dead-lettered unwritten. */
+    val UnsafePath = -2
   }
 
   /** Per-file assembly state. `buffered` maps write offset → payload.
@@ -56,6 +62,29 @@ object Assembly {
   case object AdoptNew extends Decision
   case object DropStale extends Decision
 
+  /** Total order on generations: `(n_total, mtime, file_hash)` with a missing
+    * mtime sorting below any present one and an unsigned-lexicographic hash
+    * comparison as the final tiebreak. The hash tiebreak is what makes the
+    * equal-n/equal-mtime case deterministic under ANY merge interleaving —
+    * without it the survivor would depend on Spark's partial-merge order
+    * (the reference's incumbent-wins is arrival-order dependent; we trade
+    * that for associativity, which map-side partial aggregation requires). */
+  private def cmpGeneration(
+      n1: Int, m1: Option[Double], h1: Array[Byte],
+      n2: Int, m2: Option[Double], h2: Array[Byte]): Int = {
+    val nc = Integer.compare(n1, n2)
+    if (nc != 0) nc
+    else {
+      val mc = (m1, m2) match {
+        case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+        case (None, Some(_)) => -1
+        case (Some(_), None) => 1
+        case (None, None) => 0
+      }
+      if (mc != 0) mc else java.util.Arrays.compareUnsigned(h1, h2)
+    }
+  }
+
   def decide(curHash: Array[Byte], curN: Int, curMtime: Option[Double],
       c: FileChunk): Decision =
     if (java.util.Arrays.equals(curHash, c.fileHash)) {
@@ -63,12 +92,9 @@ object Assembly {
         throw new AssemblyCorruption(
           s"same hash, different n_total (${c.nTotalChunks} vs $curN) for ${c.relFilepath}")
       SameGeneration
-    } else if (c.nTotalChunks > curN) AdoptNew
-    else if (c.nTotalChunks < curN) DropStale
-    else (curMtime, c.fileMtime) match {
-      case (Some(old), Some(nw)) if nw > old => AdoptNew
-      case _ => DropStale
-    }
+    } else if (cmpGeneration(c.nTotalChunks, c.fileMtime, c.fileHash,
+      curN, curMtime, curHash) > 0) AdoptNew
+    else DropStale
 
   /** Pure transition. Returns the new state and the reference's code. */
   def step(state: Option[State], c: FileChunk): (State, Int) = state match {
@@ -90,13 +116,9 @@ object Assembly {
       if (a.nTotal != b.nTotal)
         throw new AssemblyCorruption(s"same hash, different n_total (${a.nTotal} vs ${b.nTotal})")
       a.copy(buffered = a.buffered ++ b.buffered)
-    } else if (a.nTotal > b.nTotal) a
-    else if (b.nTotal > a.nTotal) b
-    else (a.mtime, b.mtime) match {
-      case (Some(ma), Some(mb)) if mb > ma => b
-      case (Some(ma), Some(mb)) if ma > mb => a
-      case _ => a // no strictly-newer evidence: keep the incumbent (left)
-    }
+    } else if (cmpGeneration(a.nTotal, a.mtime, a.fileHash,
+      b.nTotal, b.mtime, b.fileHash) >= 0) a
+    else b // total order (incl. hash tiebreak): same winner as decide()
 
   /** Completion check: all offsets present AND `sha512(whole) == file_hash`
     * (the reference verifies the reconstructed content, not just counts —

@@ -45,18 +45,17 @@ object DiskModeAssembly {
       size: Long,
       hash_ok: Boolean)
 
-  private def target(rootDir: String, rel: String): Path = {
-    val p = Paths.get(rootDir, rel)
-    Files.createDirectories(p.getParent)
-    p
-  }
+  // Wire-derived rel paths are untrusted — a subdir of "../../etc" must not
+  // become a write outside rootDir (SafePaths rejects absolute and `..`).
+  private def target(rootDir: String, rel: String): Path =
+    graft.core.SafePaths.resolveUnderMkdirs(rootDir, rel)
 
   /** Corrupt/timed-out partials must not sit at the destination path where
     * a consumer would read them as finished files — move them aside. */
   private def quarantine(rootDir: String, rel: String, path: Path): Unit =
     if (Files.exists(path)) {
-      val q = Paths.get(rootDir, "_quarantine_files", rel)
-      Files.createDirectories(q.getParent)
+      val q = graft.core.SafePaths.resolveUnderMkdirs(
+        Paths.get(rootDir, "_quarantine_files").toString, rel)
       Files.move(path, q, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
@@ -75,7 +74,13 @@ object DiskModeAssembly {
       key: String,
       rows: Iterator[ChunkRow],
       state: GroupState[DiskState]): Iterator[FileManifest] = {
-    if (state.hasTimedOut) {
+    if (!graft.core.SafePaths.isSafe(key)) {
+      // dead-letter row, no filesystem touch; throwing here would make the
+      // malicious message a poison pill on every checkpoint restart
+      if (state.exists) state.remove()
+      Iterator.single(FileManifest(key, "", Assembly.Code.UnsafePath,
+        0, -1L, hash_ok = false))
+    } else if (state.hasTimedOut) {
       val s = state.get
       state.remove()
       if (s.completed) Iterator.empty // tombstone expiry; the file is verified

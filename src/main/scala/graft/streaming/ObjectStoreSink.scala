@@ -49,7 +49,13 @@ object ObjectStoreSink {
         hadoopEntries.foreach { case (k, v) => conf.set(k, v) }
         val fs = FileSystem.get(URI.create(baseUri), conf)
         it.map { f =>
-          val path = new Path(s"${baseUri.stripSuffix("/")}/$topic/${f.rel_filepath}")
+          if (!graft.core.SafePaths.isSafe(f.rel_filepath))
+            // `..` in an object key still traverses on file:// (and confuses
+            // listing on real object stores) — dead-letter row, no put
+            PutResult(f.rel_filepath, "", ok = false, md5 = "")
+          else {
+          val key = graft.core.SafePaths.safeKey(f.rel_filepath)
+          val path = new Path(s"${baseUri.stripSuffix("/")}/$topic/$key")
           val out = fs.create(path, true)
           try out.write(f.data) finally out.close()
           // read back + digest compare (verify-after-write)
@@ -63,6 +69,7 @@ object ObjectStoreSink {
           val expect = md5hex(f.data)
           val got = md5hex(buf.toByteArray)
           PutResult(f.rel_filepath, path.toString, expect == got, got)
+          }
         }
       }
     }

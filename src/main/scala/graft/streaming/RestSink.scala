@@ -30,6 +30,13 @@ object RestSink {
   private[streaming] def retryable(status: Int): Boolean =
     status == 403 || status == 429 || status >= 500
 
+  /** True iff the GET body carries `"sha256": "<hex>"` as a field value —
+    * a raw substring test would false-match a digest echoed in an error
+    * message or a multi-item listing and skip an upload that never landed. */
+  private[streaming] def bodyHasSha(body: String, sha: String): Boolean =
+    ("\"sha256\"\\s*:\\s*\"" + java.util.regex.Pattern.quote(sha) + "\"").r
+      .findFirstIn(body).isDefined
+
   private[streaming] def withRetry[A](maxAttempts: Int, sleepMs: Long)(
       send: () => (Int, A)): (Int, A, Int) = {
     var attempt = 1
@@ -63,22 +70,27 @@ object RestSink {
           (resp.statusCode(), resp.body())
         }
         it.map { f =>
+          if (!graft.core.SafePaths.isSafe(f.rel_filepath))
+            UploadResult(f.rel_filepath, "rejected_unsafe_path", 0)
+          else {
           val sha = sha256hex(f.data)
-          val enc = java.net.URLEncoder.encode(f.rel_filepath, "UTF-8")
+          val rel = graft.core.SafePaths.safeKey(f.rel_filepath)
+          val enc = java.net.URLEncoder.encode(rel, "UTF-8")
           // checksum-based skip-if-same (idempotent under replay)
           val (gs, gb, a1) = withRetry(maxAttempts, backoffMs)(
             () => call("GET", s"/item?path=$enc", null))
-          if (gs == 200 && gb.contains(sha))
+          if (gs == 200 && bodyHasSha(gb, sha))
             UploadResult(f.rel_filepath, "skipped", a1)
           else {
             // ensure nested folders (reuseExisting semantics server-side)
-            val parent = f.rel_filepath.split('/').dropRight(1).mkString("/")
+            val parent = rel.split('/').dropRight(1).mkString("/")
             if (parent.nonEmpty) withRetry(maxAttempts, backoffMs)(() =>
               call("POST", s"/folder?path=${java.net.URLEncoder.encode(parent, "UTF-8")}", null))
             val (us, _, a2) = withRetry(maxAttempts, backoffMs)(() =>
               call("POST", s"/item?path=$enc&sha256=$sha", f.data))
             UploadResult(f.rel_filepath,
               if (us == 200) "uploaded" else s"failed_$us", a1 + a2)
+          }
           }
         }
       }

@@ -23,9 +23,13 @@ final class CompletedFileWriter(rootDir: String) extends ForeachWriter[Assembled
   override def open(partitionId: Long, epochId: Long): Boolean = true
   override def process(f: AssembledFile): Unit = {
     if (f.code == graft.core.Assembly.Code.Complete && f.data != null) {
-      val target = Paths.get(rootDir, f.rel_filepath)
-      Files.createDirectories(target.getParent)
-      Files.write(target, f.data)
+      // untrusted wire path: validate before any write (no `..`/absolute);
+      // skip rather than throw so one malicious row can't poison the stream
+      if (graft.core.SafePaths.isSafe(f.rel_filepath)) {
+        val target = graft.core.SafePaths.resolveUnderMkdirs(rootDir, f.rel_filepath)
+        Files.write(target, f.data)
+      } else System.err.println(
+        s"[CompletedFileWriter] unsafe rel_filepath skipped: '${f.rel_filepath}'")
     }
   }
   override def close(errorOrNull: Throwable): Unit = ()
@@ -39,14 +43,16 @@ final class PositionedChunkWriter(rootDir: String) extends ForeachWriter[ChunkRo
   }
   private def channel(rel: String): FileChannel =
     channels.getOrElseUpdate(rel, {
-      val target = Paths.get(rootDir, rel)
-      Files.createDirectories(target.getParent)
+      val target = graft.core.SafePaths.resolveUnderMkdirs(rootDir, rel)
       FileChannel.open(target, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     })
   override def process(c: ChunkRow): Unit = {
-    val ch = channel(if (c.subdir_str == null || c.subdir_str.isEmpty) c.filename
-      else s"${c.subdir_str}/${c.filename}")
-    ch.write(ByteBuffer.wrap(c.data), c.chunk_offset_write)
+    val rel = if (c.subdir_str == null || c.subdir_str.isEmpty) c.filename
+      else s"${c.subdir_str}/${c.filename}"
+    if (graft.core.SafePaths.isSafe(rel))
+      channel(rel).write(ByteBuffer.wrap(c.data), c.chunk_offset_write)
+    else System.err.println(
+      s"[PositionedChunkWriter] unsafe rel_filepath skipped: '$rel'")
   }
   override def close(errorOrNull: Throwable): Unit = {
     if (channels != null) channels.valuesIterator.foreach { ch =>

@@ -102,13 +102,24 @@ class ChunkerAssemblySpec extends AnyFunSuite {
     assert(completed(st2).get.data.toSeq == b.toSeq)
   }
 
-  test("scenario 6: equal n, missing mtime on either side → keep incumbent") {
+  test("scenario 6: equal n → deterministic winner regardless of arrival order") {
     val a = bytes(1000); val b = bytes(1000)
+    // present mtime beats missing (total order: None < Some)
     val ga = chunksOf(a, 512, None)
     val gb = chunksOf(b, 512, Some(200.0))
-    val (st, codes) = drive(ga ++ gb)
-    assert(codes.drop(ga.length).forall(_ == Code.Duplicate))
-    assert(completed(st).get.data.toSeq == a.toSeq)
+    for (stream <- Seq(ga ++ gb, gb ++ ga)) {
+      val (st, _) = drive(stream)
+      assert(completed(st).get.data.toSeq == b.toSeq)
+    }
+    // both missing → unsigned-lex file_hash tiebreak, same winner either way
+    val gb2 = chunksOf(b, 512, None)
+    val lexWinner =
+      if (java.util.Arrays.compareUnsigned(
+        ga.head.fileHash, gb2.head.fileHash) > 0) a else b
+    for (stream <- Seq(ga ++ gb2, gb2 ++ ga)) {
+      val (st, _) = drive(stream)
+      assert(completed(st).get.data.toSeq == lexWinner.toSeq)
+    }
   }
 
   test("scenario 7: same hash, different n_total is corruption") {
