@@ -135,13 +135,31 @@ object Similarity {
         .select("v1", "v2", "sim").orderBy("v1", "v2")
   }
 
-  /** x13: sign-LSH signatures for embeddings — 8 deterministic hyperplanes
-    * whose ±1 components come from md5 parity of `k:i` (engine-neutral);
-    * bit k = sign(Σ v[i]·h(k,i)). Vectors sharing a signature bucket are
-    * the candidate near-dups at scale (no pairwise join; the x02 band-join
-    * pattern applies unchanged). */
-  val x13 = DQ("x13_embedding_lsh_sig", Some(
-    """WITH ks AS (SELECT CAST(generate_series AS INT) AS k FROM generate_series(1, 8)),
+  /** Sign-LSH signatures for embeddings — 8 deterministic hyperplanes whose
+    * ±1 components come from md5 parity of `k:i` (engine-neutral);
+    * bit k = sign(Σ v[i]·h(k,i)). Shared by x13 (signature dump) and x29
+    * (bucketed ANN search). */
+  private def signLshSigs(spark: SparkSession, dir: String): DataFrame = {
+    val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val ks = spark.range(1, 9).select(col("id").cast("int").as("k"))
+    val is = spark.range(1, 65).select(col("id").cast("int").as("i"))
+    val hyper = ks.crossJoin(is).select(col("k"), col("i"),
+      when(substring(md5(concat(col("k").cast("string"), lit(":"), col("i").cast("string"))),
+        1, 1).isin(topBit: _*), 1.0).otherwise(-1.0).as("s"))
+    val exploded = table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("x").cast("double").as("x"))
+    exploded.join(broadcast(hyper), "i")
+      .groupBy("vec_id", "k")
+      .agg(when(sum(col("x") * col("s")) >= 0, "1").otherwise("0").as("bit"))
+      .groupBy("vec_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("bit")))),
+        x => x.getField("bit")), "").as("sig"))
+  }
+
+  /** Sign-LSH signature CTE — DuckDB side (aligned with [[signLshSigs]]). */
+  private val signLshSigsCte: String =
+    """ks AS (SELECT CAST(generate_series AS INT) AS k FROM generate_series(1, 8)),
       |is_ AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)),
       |hyper AS (
       |  SELECT k, i,
@@ -153,27 +171,75 @@ object Similarity {
       |         CASE WHEN sum(CAST(e.embedding[h.i] AS DOUBLE) * h.s) >= 0
       |              THEN '1' ELSE '0' END AS bit
       |  FROM embeddings e CROSS JOIN hyper h
-      |  GROUP BY e.vec_id, h.k)
-      |SELECT vec_id, string_agg(bit, '' ORDER BY k) AS sig
-      |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin)) {
-    (spark, dir) =>
-      val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val ks = spark.range(1, 9).select(col("id").cast("int").as("k"))
-      val is = spark.range(1, 65).select(col("id").cast("int").as("i"))
-      val hyper = ks.crossJoin(is).select(col("k"), col("i"),
-        when(substring(md5(concat(col("k").cast("string"), lit(":"), col("i").cast("string"))),
-          1, 1).isin(topBit: _*), 1.0).otherwise(-1.0).as("s"))
-      val exploded = table(spark, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"), col("x").cast("double").as("x"))
-      exploded.join(broadcast(hyper), "i")
-        .groupBy("vec_id", "k")
-        .agg(when(sum(col("x") * col("s")) >= 0, "1").otherwise("0").as("bit"))
-        .groupBy("vec_id")
-        .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("bit")))),
-          x => x.getField("bit")), "").as("sig"))
-        .orderBy("vec_id")
+      |  GROUP BY e.vec_id, h.k),
+      |sigs AS (
+      |  SELECT vec_id, string_agg(bit, '' ORDER BY k) AS sig
+      |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  /** x13: sign-LSH signature dump. Vectors sharing a signature bucket are
+    * the candidate near-dups at scale (no pairwise join; the x02 band-join
+    * pattern applies unchanged). */
+  val x13 = DQ("x13_embedding_lsh_sig", Some(
+    s"""WITH $signLshSigsCte
+       |SELECT vec_id, sig FROM sigs ORDER BY vec_id""".stripMargin)) {
+    (spark, dir) => signLshSigs(spark, dir).orderBy("vec_id")
   }
 
-  val all: Seq[DQ] = Seq(q26, x04, x12, x13)
+  /** x15: per-label centroid vectors (mean pooling) — the k-means update
+    * step / class-prototype computation. Element sums route through DECIMAL
+    * so the per-dimension mean is order-independent and bit-identical across
+    * engines (the [[Core.money]] discipline applied to vector math). Scale
+    * shape: posexplode + hash-agg on (label, dim) — fully partial-aggregated
+    * map-side, one shuffle of |labels|×|dims| rows regardless of corpus size. */
+  val x15 = DQ("x15_vec_centroids", Some(
+    """WITH u AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64))
+      |SELECT label, i,
+      |       round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+      |             / count(*), 6) AS c
+      |FROM embeddings CROSS JOIN u
+      |GROUP BY label, i ORDER BY label, i""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), (col("pos") + 1).cast("int").as("i"),
+          col("x").cast("double").cast("decimal(20,10)").as("x"))
+        .groupBy("label", "i")
+        .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6).as("c"))
+        .orderBy("label", "i")
+  }
+
+  /** x29: LSH-bucketed ANN — the sign-LSH counterpart of x04's IVF: search
+    * only the query's signature bucket, rank candidates by exact cosine.
+    * At 100 TB the signature table is the index: bucket membership is a
+    * broadcast semi-join on an 8-bit key, and the exact re-rank touches
+    * ~n/2^8 of the vectors instead of all of them. */
+  val x29 = DQ("x29_ann_lsh", Some(
+    s"""WITH $signLshSigsCte,
+       |qs AS (SELECT sig FROM sigs WHERE vec_id = 1),
+       |cand AS (SELECT s.vec_id FROM sigs s JOIN qs ON s.sig = qs.sig),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+       |ex AS (
+       |  SELECT e.vec_id,
+       |         CAST(e.embedding[u.i] AS DOUBLE) AS x, CAST(q.qv[u.i] AS DOUBLE) AS y
+       |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+       |  CROSS JOIN (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)) u),
+       |s AS (SELECT vec_id, sum(x*y) AS dp, sqrt(sum(x*x)) AS ne, sqrt(sum(y*y)) AS nq
+       |      FROM ex GROUP BY vec_id)
+       |SELECT vec_id, round(dp / (ne * nq), 6) AS sim FROM s
+       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)) {
+    (spark, dir) =>
+      val emb = table(spark, dir, "embeddings")
+      val sigs = signLshSigs(spark, dir)
+      val qsig = sigs.filter(col("vec_id") === 1).select(col("sig").as("qsig"))
+      val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+      emb.join(sigs, "vec_id")
+        .join(broadcast(qsig), col("sig") === col("qsig")) // bucket semi-join
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(
+          dot(col("embedding"), col("qv")) / (norm(col("embedding")) * norm(col("qv"))), 6))
+        .select("vec_id", "sim")
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+  }
+
+  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29)
 }

@@ -23,13 +23,13 @@ object TextOps {
   private def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), x => x =!= "")
 
-  /** Word 3-gram shingle set (distinct) per doc — Spark side. Dedup happens
+  /** Word n-gram shingle set (distinct) per doc — Spark side. Dedup happens
     * inside the row ([[Core.wordNgrams]]), so no shuffle precedes the
     * per-doc aggregations that consume this. */
-  private def wordShingles(spark: SparkSession, dir: String): DataFrame = {
+  private def wordShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val d = spread(table(spark, dir, "documents"))
     d.select(col("doc_id"), tokens(col("text")).as("l"))
-      .select(col("doc_id"), explode(wordNgrams(col("l"), 3)).as("g"))
+      .select(col("doc_id"), explode(wordNgrams(col("l"), n)).as("g"))
   }
 
   /** Word 3-gram shingle CTE — DuckDB side (aligned with [[wordShingles]]). */
@@ -271,8 +271,12 @@ object TextOps {
 
   /** x23: TF-IDF-style top term per document — tf from a per-doc partial
     * aggregation, df via a token-keyed join (both map-side-combining), score
-    * = tf/df (exact IEEE division, engine-portable), top-1 by window with a
-    * deterministic tiebreak. */
+    * = tf/df (exact IEEE division, engine-portable), top-1 as a `min_by`
+    * argmax on the ordering struct (-score, tok): a hash aggregate with
+    * map-side combine instead of the oracle's row_number window, which
+    * would re-shuffle AND sort every (doc, tok) pair just to keep row 1.
+    * Negating an IEEE double is exact, so the ordering matches the
+    * oracle's ORDER BY score DESC, tok ASC bit-for-bit. */
   val x23 = DQ("x23_tfidf_top", Some(
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -292,12 +296,12 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("tok"))
       tf.join(df, "tok")
         .withColumn("score", col("tf").cast("double") / col("df"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+        .groupBy("doc_id")
+        .agg(min_by(struct(col("tok"), col("score")),
+          struct(negate(col("score")), col("tok"))).as("top"))
+        .select(col("doc_id"), col("top.tok").as("top_term"), col("top.score").as("score"))
         .orderBy("doc_id")
   }
 
@@ -350,5 +354,108 @@ object TextOps {
         .orderBy("doc_id")
   }
 
-  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x22, x23, x26, x27)
+  /** x10: PII/URL scrubbing — the redaction pass every web-scale training
+    * pipeline runs before tokenization. The fixture text is synthetic word
+    * salad, so the view deterministically appends an email + URL derived
+    * from doc_id; the operator then counts and redacts them. Pure per-row
+    * regex map — streams at scan speed, no shuffle until the output sort. */
+  val x10 = DQ("x10_pii_scrub", Some(
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         text || ' mail user' || CAST(doc_id AS VARCHAR) || '@ex' ||
+      |         CAST(doc_id % 7 AS VARCHAR) || '.com web http://s' ||
+      |         CAST(doc_id % 5 AS VARCHAR) || '.org/p/' || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_urls,
+      |         CAST(len(regexp_extract_all(t, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+      |         regexp_replace(regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+      |                        '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS clean
+      |  FROM aug)
+      |SELECT doc_id, n_urls, n_emails,
+      |       CAST(length(clean) AS INT) AS clean_len,
+      |       substring(md5(clean), 1, 16) AS clean_sig
+      |FROM red ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val urlPat = "https?://[^\\s]+"
+      val mailPat = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      table(spark, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" mail user"), col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 7).cast("string"), lit(".com web http://s"),
+          (col("doc_id") % 5).cast("string"), lit(".org/p/"),
+          col("doc_id").cast("string")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(urlPat), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("t"), lit(mailPat), lit(0))).as("n_emails"),
+          regexp_replace(regexp_replace(col("t"), urlPat, "<URL>"),
+            mailPat, "<EMAIL>").as("clean"))
+        .select(col("doc_id"), col("n_urls"), col("n_emails"),
+          length(col("clean")).as("clean_len"),
+          substring(md5(col("clean")), 1, 16).as("clean_sig"))
+        .orderBy("doc_id")
+  }
+
+  /** x14: benchmark decontamination — flag training docs that share any
+    * word-5-gram with the held-out set (doc_id % 97 = 0 stands in for the
+    * benchmark). The 100 TB shape: the benchmark's shingle set is tiny and
+    * BROADCASTS, so the check is a map-side semi-join over the training
+    * shingles — no all-pairs comparison, no shuffle of the corpus. */
+  val x14 = DQ("x14_contamination", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+4], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |               unnest(generate_series(1, greatest(len(l)-4, 0))) AS i
+      |        FROM t0) t1),
+      |test AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+      |SELECT s.doc_id, CAST(count(DISTINCT s.g) AS BIGINT) AS n_shared
+      |FROM sh s JOIN test t ON s.g = t.g
+      |WHERE s.doc_id % 97 <> 0
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val sh = wordShingles(spark, dir, 5)
+      val test = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(test), "g") // benchmark shingles broadcast: map-side
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+  }
+
+  /** x28: context packing across documents — assign docs to fixed
+    * token-budget packs (512 tokens) by cumulative token count per lang in
+    * doc_id order (the deterministic streaming-concatenation packer, vs
+    * x26's within-doc windowing). One window cumsum per lang partition;
+    * at 100 TB the lang partitions sort-spill independently, and a skewed
+    * lang is subdivided by a coarse doc_id range prefix first. */
+  val x28 = DQ("x28_doc_packing", Some(
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                              x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, n_toks,
+      |         sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT doc_id, lang, n_toks, CAST((cum - n_toks) // 512 AS INT) AS pack_id
+      |FROM p ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("cum", sum("n_toks").over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          expr("CAST((cum - n_toks) DIV 512 AS INT)").as("pack_id"))
+        .orderBy("doc_id")
+  }
+
+  val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
+    x23, x26, x27, x28)
 }
