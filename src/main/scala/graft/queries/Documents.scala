@@ -61,9 +61,12 @@ object Documents {
        |SELECT doc_id, count(*) AS n_surviving FROM ranked WHERE rn = 1
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
     (spark, dir) =>
-      val w = Window.partitionBy("doc_id", "chunk_i").orderBy(col("generation").desc)
+      // rn=1 keeps exactly one row per (doc_id, chunk_i), so the count per
+      // doc is the distinct chunk_i count — two hash aggregations (both with
+      // map-side partials) instead of a per-partition sort + row_number;
+      // at-least-once duplicate inflation collapses before the exchange.
       chunksDup(spark, dir)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("doc_id", "chunk_i").agg(count(lit(1)).as("dups"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_surviving"))
         .orderBy("doc_id")
   }
@@ -81,11 +84,15 @@ object Documents {
        |SELECT doc_id, generation AS kept_generation FROM ranked WHERE rn = 1
        |ORDER BY doc_id""".stripMargin)) {
     (spark, dir) =>
-      val w = Window.partitionBy("doc_id").orderBy(col("n_total").desc, col("generation").desc)
+      // Argmax, not sort: max_by over the (n_total, generation) struct picks
+      // the same winner as the oracle's ORDER BY n_total DESC, generation
+      // DESC rn=1, and duplicate chunks of one generation can't change a
+      // max — so the pre-DISTINCT and the window sort both disappear into
+      // one partial-aggregating shuffle (the q15_asof/x23 argmax pattern).
       chunksDup(spark, dir)
-        .select("doc_id", "generation", "n_total").distinct()
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("generation").as("kept_generation"))
+        .groupBy("doc_id")
+        .agg(max_by(col("generation"), struct(col("n_total"), col("generation")))
+          .as("kept_generation"))
         .orderBy("doc_id")
   }
 
