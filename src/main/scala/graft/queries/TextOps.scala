@@ -88,10 +88,29 @@ object TextOps {
         .select("id1", "id2").distinct().orderBy("id1", "id2")
   }
 
-  /** x03: 16-bit SimHash over char-4-grams; bit b = sign of Σ±1 where +1 iff
-    * hex digit b of md5(shingle) has its top nibble-bit set. */
-  val x03 = DQ("x03_simhash", Some(
-    """WITH sh AS (
+  /** 16-bit SimHash signature per doc over char-4-grams; bit b = sign of Σ±1
+    * where +1 iff hex digit b of md5(shingle) has its top nibble-bit set.
+    * All 16 bit-sums run in ONE aggregation pass over a single md5 per
+    * shingle (the positional cross join would blow the input up 16x and add
+    * a second shuffle — fatal at 100 TB). Shared by x03 / x31. */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(table(spark, dir, "documents"))
+    val sh = d.select(col("doc_id"),
+      explode(charShingles(lower(col("text")), 4)).as("g"))
+    val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val withMd5 = sh.select(col("doc_id"), md5(col("g")).as("h"))
+    val bitCols = (1 to 16).map { p =>
+      when(sum(when(substring(col("h"), p, 1).isin(topBit: _*), 1).otherwise(-1)) >= 0,
+        "1").otherwise("0").as(s"b$p")
+    }
+    withMd5.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), concat((1 to 16).map(p => col(s"b$p")): _*).as("simhash"))
+  }
+
+  /** SimHash signature CTE (ends in `sig(doc_id, simhash)`) — DuckDB side,
+    * aligned with [[simhashSigs]]. */
+  private val simhashCte: String =
+    """sh AS (
       |  SELECT DISTINCT doc_id, substring(lower(text), CAST(i AS INT), 4) AS g
       |  FROM (SELECT doc_id, text,
       |               unnest(generate_series(1, greatest(length(text)-3, 0))) AS i
@@ -104,25 +123,15 @@ object TextOps {
       |                            IN ('8','9','a','b','c','d','e','f')
       |                       THEN 1 ELSE -1 END) >= 0
       |              THEN '1' ELSE '0' END AS bit
-      |  FROM sh CROSS JOIN ps GROUP BY doc_id, p)
-      |SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash
-      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
-    (spark, dir) =>
-      val d = spread(table(spark, dir, "documents"))
-      val sh = d.select(col("doc_id"),
-        explode(charShingles(lower(col("text")), 4)).as("g"))
-      // All 16 bit-sums in one aggregation pass over a single md5 per
-      // shingle (the positional cross join would blow the input up 16x and
-      // add a second shuffle — fatal at 100 TB).
-      val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val withMd5 = sh.select(col("doc_id"), md5(col("g")).as("h"))
-      val bitCols = (1 to 16).map { p =>
-        when(sum(when(substring(col("h"), p, 1).isin(topBit: _*), 1).otherwise(-1)) >= 0,
-          "1").otherwise("0").as(s"b$p")
-      }
-      withMd5.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-        .select(col("doc_id"), concat((1 to 16).map(p => col(s"b$p")): _*).as("simhash"))
-        .orderBy("doc_id")
+      |  FROM sh CROSS JOIN ps GROUP BY doc_id, p),
+      |sig AS (
+      |  SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val x03 = DQ("x03_simhash", Some(
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) => simhashSigs(spark, dir).orderBy("doc_id")
   }
 
   /** x05: language ID by marker-word hits (word-gram heuristic): count hits
@@ -456,6 +465,131 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** Non-distinct word n-grams (for repetition ratios — the duplicate count
+    * is the signal, so [[Core.wordNgrams]]'s in-row dedup would destroy it).
+    * Spark's `sequence(1, 0)` DESCENDS instead of returning empty, hence the
+    * size guard. */
+  private def ngramsAll(l: Column, n: Int): Column =
+    when(size(l) >= n,
+      transform(sequence(lit(1), size(l) - (n - 1)),
+        i => array_join(slice(l, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** x30: intra-document repetition ratios (Gopher/C4-style repetition
+    * filters): duplicate-token, duplicate-2-gram and duplicate-3-gram
+    * fractions. Everything is computed INSIDE the row (token list + n-gram
+    * lists + their distinct counts), so the operator is entirely
+    * shuffle-free — it streams at scan speed at any scale; CPU is bounded
+    * by document length. */
+  val x30 = DQ("x30_repetition", Some(
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, l,
+      |         list_transform(generate_series(1, greatest(len(l)-1, 0)),
+      |                        i -> array_to_string(l[i:i+1], ' ')) AS g2,
+      |         list_transform(generate_series(1, greatest(len(l)-2, 0)),
+      |                        i -> array_to_string(l[i:i+2], ' ')) AS g3
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(l) AS BIGINT) AS n_toks,
+      |  round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / greatest(len(l), 1), 6) AS dup_tok_frac,
+      |  round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1), 6) AS dup_2gram_frac,
+      |  round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1), 6) AS dup_3gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      def dupFrac(c: Column): Column =
+        round(lit(1.0) - size(array_distinct(c)).cast("double") / greatest(size(c), lit(1)), 6)
+      table(spark, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .select(col("doc_id"), col("l"),
+          ngramsAll(col("l"), 2).as("g2"), ngramsAll(col("l"), 3).as("g3"))
+        .select(col("doc_id"),
+          size(col("l")).cast("bigint").as("n_toks"),
+          dupFrac(col("l")).as("dup_tok_frac"),
+          dupFrac(col("g2")).as("dup_2gram_frac"),
+          dupFrac(col("g3")).as("dup_3gram_frac"))
+        .orderBy("doc_id")
+  }
+
+  /** x31: SimHash Hamming-neighborhood degree — for each doc, how many other
+    * docs sit within Hamming distance 2 of its 16-bit SimHash (the
+    * clustering signal a near-dup pass thresholds on). The Spark plan is the
+    * 100 TB shape: 3 bands (6+5+5 bits) explode per doc and candidates meet
+    * only inside equal-band buckets — by pigeonhole, ham ≤ 2 over 3 bands
+    * forces at least one band to match exactly, so banding loses nothing —
+    * then the exact Hamming residual (`bit_count(xor)` on the integer form)
+    * filters and pairs dedupe across bands. The oracle does the quadratic
+    * all-pairs join; the banded plan replaces it with O(docs × bands)
+    * shuffle volume. Output is the per-doc degree (linear), not the pair
+    * list (quadratic on this clustered corpus). */
+  val x31 = DQ("x31_simhash_neighbors", Some(
+    s"""WITH $simhashCte
+       |SELECT a.doc_id, CAST(count(b.doc_id) AS BIGINT) AS n_near
+       |FROM sig a LEFT JOIN sig b
+       |  ON a.doc_id <> b.doc_id
+       | AND len(list_filter(generate_series(1,16),
+       |         p -> substring(a.simhash, CAST(p AS INT), 1)
+       |              <> substring(b.simhash, CAST(p AS INT), 1))) <= 2
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val sig = simhashSigs(spark, dir)
+        .withColumn("iv", conv(col("simhash"), 2, 10).cast("long"))
+      val bands = sig.select(col("doc_id"), col("iv"), explode(array(
+          struct(lit(0).as("band"), substring(col("simhash"), 1, 6).as("bv")),
+          struct(lit(1).as("band"), substring(col("simhash"), 7, 5).as("bv")),
+          struct(lit(2).as("band"), substring(col("simhash"), 12, 5).as("bv")))).as("b"))
+        .select(col("doc_id"), col("iv"), col("b.band").as("band"), col("b.bv").as("bv"))
+      val cand = bands.toDF("id1", "iv1", "band1", "bv1")
+        .join(bands.toDF("id2", "iv2", "band2", "bv2"),
+          col("band1") === col("band2") && col("bv1") === col("bv2")
+            && col("id1") =!= col("id2"))
+        .filter(bit_count(col("iv1").bitwiseXOR(col("iv2"))) <= 2)
+        .select("id1", "id2").distinct() // a pair can match in several bands
+      sig.select("doc_id")
+        .join(cand.groupBy("id1").agg(count(lit(1)).as("deg")),
+          col("doc_id") === col("id1"), "left")
+        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("n_near"))
+        .orderBy("doc_id")
+  }
+
+  /** x32: vocabulary-coverage scoring (the LM-lite commonness filter: CCNet
+    * scores docs by language-model fit; the deterministic stand-in is the
+    * fraction of token occurrences covered by the corpus's top-K
+    * vocabulary). Two-pass: corpus token counts → top-K vocab (tiny —
+    * TakeOrderedAndProject, then BROADCAST to the per-doc pass, so the
+    * corpus is never shuffled for the join). K=10 because the synthetic
+    * fixture vocabulary is only ~31 tokens; at web scale K≈50k-vocab with
+    * the identical plan. */
+  val x32 = DQ("x32_vocab_coverage", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+      |v AS (SELECT tok FROM c ORDER BY n DESC, tok LIMIT 10)
+      |SELECT t.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_toks,
+      |  CAST(count(v.tok) AS BIGINT) AS n_in,
+      |  round(CAST(count(v.tok) AS DOUBLE) / count(*), 6) AS coverage
+      |FROM toks t LEFT JOIN v ON t.tok = v.tok
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(10)
+        .select(col("tok"), lit(1).as("hit"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          count(col("hit")).as("n_in"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6).as("coverage"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
-    x23, x26, x27, x28)
+    x23, x26, x27, x28, x30, x31, x32)
 }
