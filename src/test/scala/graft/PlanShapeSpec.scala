@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DQ, Documents, Relational, TextOps}
+
+/** Physical-plan shape assertions for the declared queries whose 100 TB
+  * viability rests on a specific plan property (SCALE.md): argmax rewrites
+  * must not re-introduce window sorts, banded similarity joins must never
+  * fall back to nested loops, tiny sides must broadcast, and per-row
+  * pipelines must stay shuffle-free. Data: the sf0.001 fixtures (plan
+  * shapes, not results — results are the oracle gate's job).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(dq: DQ): String =
+    dq.run(spark, sf).queryExecution.executedPlan.toString
+
+  test("argmax queries plan as partial-merging aggregates, not window sorts") {
+    for (dq <- Seq(Documents.q06, Documents.q07, Relational.q15a, TextOps.x23)) {
+      val p = plan(dq)
+      assert(!p.contains("Window"), s"${dq.name} re-introduced a window:\n$p")
+      // HashAggregate where the buffer is fixed-width; struct-keyed max_by
+      // falls to SortAggregate — either way the partial_ stage must combine
+      // before the exchange (the property that makes the shape scale).
+      assert(p.contains("Aggregate") && p.contains("partial_"),
+        s"${dq.name} lost its map-side partial aggregate:\n$p")
+    }
+  }
+
+  test("banded similarity joins never plan a nested loop or cartesian product") {
+    for (dq <- Seq(TextOps.x02, TextOps.x31)) {
+      val p = plan(dq)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"${dq.name} degenerated to an all-pairs plan:\n$p")
+    }
+  }
+
+  test("broadcast-designed joins actually broadcast the small side") {
+    // q13: all dimension joins; x32: the top-K vocab; x31: the degree map-back
+    for (dq <- Seq(Relational.q13, TextOps.x32, TextOps.x31)) {
+      val p = plan(dq)
+      assert(p.contains("BroadcastHashJoin"),
+        s"${dq.name} lost its broadcast join:\n$p")
+    }
+  }
+
+  test("in-row repetition stats stay shuffle-free up to the output sort") {
+    val p = plan(TextOps.x30)
+    assert(!p.contains("hashpartitioning"),
+      s"x30 should have no aggregation/join exchange (only the final range sort):\n$p")
+  }
+
+  test("star-join filter pushes down to the lineitem scan") {
+    val p = plan(Relational.q13)
+    assert(p.contains("PushedFilters: [") && p.contains("l_discount"),
+      s"q13 lost predicate pushdown:\n$p")
+  }
+}
