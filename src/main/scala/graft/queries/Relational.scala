@@ -574,7 +574,45 @@ object Relational {
         .orderBy("user_id", "event_id")
   }
 
+  /** x33: native session windows — the same 30-minute-gap sessionization as
+    * x16, but via Spark's built-in `session_window` aggregation (the
+    * Structured-Streaming session operator run in batch: one hash exchange
+    * by user, in-partition window merge — no gaps-and-islands double window
+    * pass, and the identical code runs over `readStream` with a watermark).
+    * The oracle reproduces the native semantics manually: a gap of EXACTLY
+    * the threshold starts a new session ([ts, ts+gap) intervals must
+    * overlap to merge), and session end = last event + gap. Epoch-micro
+    * BIGINTs keep the comparison engine-neutral. */
+  val x33 = DQ("x33_session_window", Some(
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |gaps AS (
+      |  SELECT user_id, us,
+      |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+      |              WHEN us - lag(us) OVER w >= 1800000000 THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+      |                                ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM gaps)
+      |SELECT user_id, min(us) AS sess_start_us,
+      |       max(us) + 1800000000 AS sess_end_us,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start_us""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("sess_start_us"),
+          unix_micros(col("sw.end")).as("sess_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start_us")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21, x24, x25)
+    x21, x24, x25, x33)
 }
