@@ -612,7 +612,47 @@ object Relational {
         .orderBy("user_id", "sess_start_us")
   }
 
+  /** x34: as-of join with TOLERANCE (pandas merge_asof's bounded-staleness
+    * variant of q15a): latest order at-or-before each event, but only if it
+    * is within the tolerance — stale matches drop instead of joining. Same
+    * argmax shape as q15a (equi-join on custkey + range residual feeding a
+    * map-side-combining max_by); the tolerance is one more residual
+    * predicate, so the plan is identical and the bound caps the candidate
+    * fan-in per event at scale. (Tolerance = 8400 days: the fixture's
+    * orders end in 2001 and its events run in 2024, so nearest-order
+    * staleness spans 8190–9799 days; 8400 keeps roughly half — a 90-day
+    * tolerance would keep nothing.) */
+  val x34 = DQ("x34_asof_tolerance", Some(
+    """WITH pairs AS (
+      |  SELECT e.event_id, o.o_orderkey,
+      |         date_diff('day', o.o_orderdate, CAST(e.ts AS DATE)) AS staleness_days,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON o.o_custkey = e.user_id
+      |   AND o.o_orderdate <= e.ts
+      |   AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY)
+      |SELECT event_id, o_orderkey AS last_orderkey,
+      |       CAST(staleness_days AS BIGINT) AS staleness_days
+      |FROM pairs WHERE rn = 1 ORDER BY event_id""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "events")
+        .join(table(spark, dir, "orders"),
+          col("o_custkey") === col("user_id")
+            && col("o_orderdate") <= col("ts")
+            && col("o_orderdate") >= col("ts") - expr("INTERVAL 8400 DAY"))
+        .groupBy("event_id")
+        .agg(max_by(
+          struct(col("o_orderkey"),
+            datediff(col("ts").cast("date"), col("o_orderdate")).cast("bigint")
+              .as("staleness_days")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("m.o_orderkey").as("last_orderkey"),
+          col("m.staleness_days").as("staleness_days"))
+        .orderBy("event_id")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21, x24, x25, x33)
+    x21, x24, x25, x33, x34)
 }

@@ -601,6 +601,32 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x36: per-stratum quota sampling — cap each language at 50 documents,
+    * chosen by md5(doc_id) rank (the deterministic "downsample
+    * over-represented sources" step of corpus mixing; x22 is the rate-based
+    * cousin). Hash-ranking makes the kept set reproducible across engines,
+    * runs and retries; the rank itself is the per-doc mixing key. One
+    * window sort per stratum — at 100 TB the strata sort independently, and
+    * a quota ≪ stratum size admits a pre-filter on the hash prefix
+    * (x22-style) to shrink the sort input first. */
+  val x36 = DQ("x36_stratum_quota", Some(
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk
+      |FROM ranked WHERE rk <= 50 ORDER BY lang, rk""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 50)
+        .orderBy("lang", "rk")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
-    x23, x26, x27, x28, x30, x31, x32)
+    x23, x26, x27, x28, x30, x31, x32, x36)
 }
