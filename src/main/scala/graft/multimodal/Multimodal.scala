@@ -68,6 +68,32 @@ object Multimodal {
       }.toDF("media_id", "embedding")
   }
 
+  /** Resize stage: downsample each payload to at most `targetBytes` by
+    * evenly-strided byte selection — the STUB for an image resize (a real
+    * codec would decode, scale pixels, re-encode; the partition-batched
+    * plumbing, size contract, and determinism are what this stage pins).
+    * Payloads already within budget pass through untouched. */
+  def resizeStage(media: DataFrame, targetBytes: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = if (payload.length <= targetBytes) payload
+          else {
+            val v = new Array[Byte](targetBytes)
+            var i = 0
+            while (i < targetBytes) {
+              // evenly-spaced source index, deterministic integer math
+              v(i) = payload((i.toLong * payload.length / targetBytes).toInt)
+              i += 1
+            }
+            v
+          }
+          (id, out.length, out)
+        }
+      }.toDF("media_id", "n_bytes", "media")
+  }
+
   /** Frame sampling stage: pick `n` evenly-spaced fixed-size frames from the
     * payload — real byte-stride logic (a video codec would replace the
     * frame boundaries, not the sampling plumbing). */

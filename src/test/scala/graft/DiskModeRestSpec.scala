@@ -124,6 +124,17 @@ class DiskModeRestSpec extends AnyFunSuite {
     val again = graft.multimodal.Multimodal.featureStage(media, dim = 16)
       .as[(Long, Array[Float])].collect().toMap
     assert(feats.keys.forall(k => feats(k).toSeq == again(k).toSeq))
+    // resize: bounded output, deterministic, identity under budget
+    val resized = graft.multimodal.Multimodal.resizeStage(media, targetBytes = 256)
+      .select("media_id", "media").as[(Long, Array[Byte])].collect().toMap
+    payloads.foreach { case (id, _, payload) =>
+      assert(resized(id).length == math.min(payload.length, 256))
+      if (payload.length <= 256) assert(resized(id).toSeq == payload.toSeq)
+      else assert(resized(id).head == payload.head) // stride starts at byte 0
+    }
+    val resizedAgain = graft.multimodal.Multimodal.resizeStage(media, targetBytes = 256)
+      .select("media_id", "media").as[(Long, Array[Byte])].collect().toMap
+    assert(resized.keys.forall(k => resized(k).toSeq == resizedAgain(k).toSeq))
     val frames = graft.multimodal.Multimodal.frameSample(media, n = 4, frameBytes = 128)
       .as[(Long, Int, Array[Byte])].collect()
     payloads.foreach { case (id, _, payload) =>
