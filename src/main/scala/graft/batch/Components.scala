@@ -1,0 +1,42 @@
+package graft.batch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the transitive
+  * closure a dedup pass needs when near-dup clusters chain through shared
+  * LSH buckets (A~B, B~C, but A and C never share a bucket). One round of
+  * bucket-min labeling (x27) under-merges chains; this iterates to fixpoint.
+  *
+  * Scale posture: the standard large-graph CC loop — each iteration is one
+  * edge⋈label join plus one min-aggregation (both hash-partitioned,
+  * map-side combining), state is one (node, label) row per node, and
+  * convergence needs at most graph-diameter rounds (LSH bucket graphs are
+  * star-shaped, so diameter stays small). The driver only orchestrates
+  * plans and reads the converged count — no row data ever leaves executors.
+  * Each round materializes via localCheckpoint so the lineage (and thus
+  * task size) stays constant instead of growing per iteration.
+  */
+object Components {
+
+  /** `nodes`: one column `id`. `edges`: columns `src`, `dst` (directed; pass
+    * both directions for undirected closure). Returns `(id, rep)` where
+    * `rep` is the minimum node id reachable through the closure. */
+  def minLabelFixpoint(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // each node also keeps its own label: union the self-message
+      val msgs = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("rep"))
+        .unionByName(labels)
+      val next = msgs.groupBy("id").agg(min("rep").as("rep")).localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") < col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

@@ -627,6 +627,41 @@ object TextOps {
         .orderBy("lang", "rk")
   }
 
+  /** x37: transitive-closure dedup clustering — x27's one-round bucket-min
+    * labeling under-merges chains (A~B and B~C in different buckets leaves
+    * A and C apart); this runs [[graft.batch.Components.minLabelFixpoint]]
+    * over the symmetric star edges (doc ↔ bucket-min per LSH bucket) until
+    * no label changes, yielding the true connected-component representative
+    * per doc. The oracle computes the same closure declaratively with a
+    * recursive CTE; Spark iterates (diameter-bounded rounds of one join +
+    * one min-agg — the standard large-graph CC loop). */
+  val x37 = DQ("x37_dedup_components", Some(
+    s"""WITH RECURSIVE $lshBandsCte,
+       |bmin AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) AS bm
+       |  FROM bands),
+       |star AS (SELECT DISTINCT doc_id AS src, bm AS dst FROM bmin WHERE doc_id <> bm),
+       |edges AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+       |reach(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
+       |SELECT doc_id, min(lab) AS rep FROM reach
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val bands = lshBands(spark, dir)
+      val w = Window.partitionBy("band", "sig")
+      val star = bands.withColumn("bm", min("doc_id").over(w))
+        .filter(col("doc_id") =!= col("bm"))
+        .select(col("doc_id").as("src"), col("bm").as("dst")).distinct()
+      val edges = star.unionByName(
+        star.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = table(spark, dir, "documents").select(col("doc_id").as("id"))
+      graft.batch.Components.minLabelFixpoint(nodes, edges)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
-    x23, x26, x27, x28, x30, x31, x32, x36)
+    x23, x26, x27, x28, x30, x31, x32, x36, x37)
 }
