@@ -23,13 +23,16 @@ object Components {
     * both directions for undirected closure). Returns `(id, rep)` where
     * `rep` is the minimum node id reachable through the closure. */
   def minLabelFixpoint(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — its lineage (e.g. a full LSH
+    // signature pipeline) must not be recomputed every round
+    val e = edges.localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // each node also keeps its own label: union the self-message
-      val msgs = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("rep"))
+      val msgs = e.join(labels, e("dst") === labels("id"))
+        .select(e("src").as("id"), col("rep"))
         .unionByName(labels)
       val next = msgs.groupBy("id").agg(min("rep").as("rep")).localCheckpoint()
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
