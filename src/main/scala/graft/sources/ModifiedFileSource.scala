@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DataSource V2 streaming source that re-emits MODIFIED files — the
+  * semantic Spark's built-in file source lacks (it keys its seen-log by
+  * path, so an overwritten file is never re-read), and the reason the
+  * reference runs a watchdog with "kick back when busy" re-emission
+  * (openmsistream data_file_io/actor/data_file_upload_directory.py:29-208,
+  * entity/upload_directory_event_handler.py:22-183).
+  *
+  * Offsets carry the directory fingerprint (path → (mtime, size)); a
+  * microbatch emits every file whose fingerprint changed since the previous
+  * offset — new OR modified — after a debounce (`lagMs`: a file whose mtime
+  * is within the lag of "now" is withheld until it has been static, the
+  * reference's `watchdog_lag_time`). Deletions just drop out of the state.
+  *
+  * Scale posture: listing is driver-side (one stat pass per microbatch —
+  * same as Spark's own file source); payload READS are executor-side, one
+  * partition per changed file. The offset grows with the live file count;
+  * for a directory beyond offset-log comfort the same diff-state moves to
+  * the state store keyed by path prefix. Usage:
+  * `spark.readStream.format(classOf[ModifiedFileProvider].getName)
+  *   .option("path", dir).option("lagMs", "3000").load()`.
+  */
+class ModifiedFileProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ModifiedFileTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("option 'path' is required"))
+    val lagMs = Option(properties.get("lagms")).orElse(
+      Option(properties.get("lagMs"))).map(_.toLong).getOrElse(0L)
+    new ModifiedFileTable(path, lagMs)
+  }
+}
+
+object ModifiedFileTable {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("mtime_ms", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+}
+
+class ModifiedFileTable(path: String, lagMs: Long) extends Table with SupportsRead {
+  override def name(): String = s"modified_files($path)"
+  override def schema(): StructType = ModifiedFileTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ModifiedFileTable.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ModifiedFileStream(path, lagMs)
+      }
+    }
+}
+
+/** Offset = the directory fingerprint at a point in time. JSON shape:
+  * {"files":{"<path>":[mtime_ms,size],...}} — stable, order-independent. */
+case class DirStateOffset(files: Map[String, (Long, Long)]) extends Offset {
+  override def json(): String = {
+    val m = new util.TreeMap[String, Array[Long]]() // sorted → stable json
+    files.foreach { case (p, (mt, sz)) => m.put(p, Array(mt, sz)) }
+    val root = new util.HashMap[String, Object]()
+    root.put("files", m)
+    DirStateOffset.mapper.writeValueAsString(root)
+  }
+}
+object DirStateOffset {
+  private[sources] val mapper = new ObjectMapper()
+  def fromJson(json: String): DirStateOffset = {
+    val node = mapper.readTree(json).get("files")
+    val b = Map.newBuilder[String, (Long, Long)]
+    val names = node.fieldNames()
+    while (names.hasNext) {
+      val k = names.next()
+      val v = node.get(k)
+      b += k -> (v.get(0).asLong(), v.get(1).asLong())
+    }
+    DirStateOffset(b.result())
+  }
+}
+
+class ModifiedFileStream(root: String, lagMs: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private var availableNowPin: Option[DirStateOffset] = None
+
+  private def scanDir(): DirStateOffset = {
+    val cutoff = System.currentTimeMillis() - lagMs
+    val b = Map.newBuilder[String, (Long, Long)]
+    def walk(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+      else if (f.isFile && f.lastModified() <= cutoff) // debounce: static only
+        b += f.getAbsolutePath -> (f.lastModified(), f.length())
+    }
+    walk(new File(root))
+    DirStateOffset(b.result())
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowPin = Some(scanDir())
+
+  override def initialOffset(): Offset = DirStateOffset(Map.empty)
+  override def latestOffset(): Offset = availableNowPin.getOrElse(scanDir())
+  // SupportsAdmissionControl variant (SupportsTriggerAvailableNow extends
+  // it); this source does not rate-limit, so the limit is ignored.
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): Offset = DirStateOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val before = start.asInstanceOf[DirStateOffset].files
+    val after = end.asInstanceOf[DirStateOffset].files
+    // new OR modified: fingerprint differs from the previous offset
+    after.collect {
+      case (p, fp @ (mt, _)) if !before.get(p).contains(fp) =>
+        ModifiedFilePartition(p, mt): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val part = partition.asInstanceOf[ModifiedFilePartition]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = {
+            val bytes = java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(part.path))
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(part.path), part.mtimeMs, bytes))
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class ModifiedFilePartition(path: String, mtimeMs: Long) extends InputPartition

@@ -50,6 +50,40 @@ object Pipelines {
     ChunkPipeline.encode(chunks.toDF().as[ChunkRow])
   }
 
+  /** S1 with MODIFIED-file re-emission (the reference watchdog's semantic
+    * that Spark's binaryFile source lacks): the custom
+    * [[graft.sources.ModifiedFileProvider]] re-emits a file whenever its
+    * (mtime, size) fingerprint changes, after a `lagMs` static debounce
+    * (`watchdog_lag_time`). Re-chunking a modified file carries the newer
+    * mtime, so downstream the generation policy ([[graft.core.Assembly]])
+    * supersedes the stale partial exactly as the reference does. */
+  def uploadDirectoryStreamModified(
+      spark: SparkSession,
+      dir: String,
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      lagMs: Long = 3000L): DataFrame = {
+    import spark.implicits._
+    val files = spark.readStream
+      .format(classOf[graft.sources.ModifiedFileProvider].getName)
+      .option("path", dir)
+      .option("lagMs", lagMs.toString)
+      .load()
+    val root = new java.io.File(
+      dir.stripPrefix("file://").stripPrefix("file:")).getAbsolutePath.stripSuffix("/")
+    val chunks = files
+      .as[(String, Long, Array[Byte])]
+      .flatMap { case (path, mtimeMs, content) =>
+        val rel = path.stripPrefix(root).stripPrefix("/")
+        val (subdir, name) = rel.lastIndexOf('/') match {
+          case -1 => ("", rel)
+          case i => (rel.substring(0, i), rel.substring(i + 1))
+        }
+        Chunker.chunk(name, subdir, content, chunkSize, Nil,
+          Some(mtimeMs / 1000.0)).map(ChunkRow(_))
+      }
+    ChunkPipeline.encode(chunks.toDF().as[ChunkRow])
+  }
+
   /** K1: wire rows → Kafka topic (at-least-once; reassembly dedups). */
   def toKafka(wire: DataFrame, servers: String, topic: String,
       checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

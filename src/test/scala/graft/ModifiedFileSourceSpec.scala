@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DirStateOffset, ModifiedFileProvider}
+
+/** The modified-file re-emitting source: new files emit once, an overwrite
+  * re-emits (the semantic Spark's built-in file source lacks), unchanged
+  * files never repeat, and offsets round-trip through their JSON form. */
+class ModifiedFileSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def write(p: Path, s: String, mtimeMs: Long): Unit = {
+    Files.write(p, s.getBytes)
+    Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+  }
+
+  test("new files emit once; an overwrite re-emits; unchanged files don't repeat") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_modsrc")
+    Files.createDirectories(dir.resolve("sub"))
+    val t0 = System.currentTimeMillis() - 60000
+    write(dir.resolve("a.txt"), "a-v1", t0)
+    write(dir.resolve("sub/b.txt"), "b-v1", t0)
+
+    val q = spark.readStream
+      .format(classOf[ModifiedFileProvider].getName)
+      .option("path", dir.toString)
+      .load()
+      .writeStream.format("memory").queryName("modsrc").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("modsrc")
+        .selectExpr("path", "cast(content as string) AS c")
+        .as[(String, String)].collect().toSeq.sorted
+      val r1 = rows()
+      assert(r1.map(_._2) == Seq("a-v1", "b-v1"))
+
+      // overwrite a.txt with a newer mtime → exactly one re-emission
+      write(dir.resolve("a.txt"), "a-v2!", t0 + 5000)
+      q.processAllAvailable()
+      val r2 = rows()
+      assert(r2.map(_._2) == Seq("a-v1", "a-v2!", "b-v1")) // b not repeated
+      // steady state: nothing changed → no new rows
+      q.processAllAvailable()
+      assert(rows() == r2)
+    } finally q.stop()
+  }
+
+  test("debounce withholds files still inside the lag window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_modsrc_lag")
+    write(dir.resolve("old.txt"), "old", System.currentTimeMillis() - 60000)
+    write(dir.resolve("hot.txt"), "hot", System.currentTimeMillis() + 60000)
+    val q = spark.readStream
+      .format(classOf[ModifiedFileProvider].getName)
+      .option("path", dir.toString)
+      .option("lagMs", "30000")
+      .load()
+      .writeStream.format("memory").queryName("modsrc_lag").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("modsrc_lag")
+        .selectExpr("cast(content as string)").as[String].collect().toSeq
+      assert(got == Seq("old")) // hot.txt is not static yet
+    } finally q.stop()
+  }
+
+  test("modified file re-chunks as a newer generation that supersedes on disk") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_modsrc_e2e")
+    val outDir = Files.createTempDirectory("graft_modsrc_out")
+    val rnd = new scala.util.Random(13)
+    val v1 = new Array[Byte](1500); rnd.nextBytes(v1)
+    val v2 = new Array[Byte](2100); rnd.nextBytes(v2)
+    val t0 = System.currentTimeMillis() - 60000
+    Files.write(srcDir.resolve("f.dat"), v1)
+    Files.setLastModifiedTime(srcDir.resolve("f.dat"),
+      java.nio.file.attribute.FileTime.fromMillis(t0))
+
+    val wire = graft.streaming.Pipelines
+      .uploadDirectoryStreamModified(spark, srcDir.toString, chunkSize = 512, lagMs = 0)
+    val chunks = wire.select("value").as[Array[Byte]]
+      .map(b => graft.batch.ChunkRow(graft.core.ChunkCodec.unpack(b)))
+    val q = graft.streaming.AssemblyStream.assemble(chunks, timeoutMs = 0)
+      .writeStream
+      .foreach(new graft.streaming.CompletedFileWriter(outDir.toString))
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_modsrc_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(Files.readAllBytes(outDir.resolve("f.dat")).toSeq == v1.toSeq)
+      // overwrite with different size and newer mtime: re-emitted, re-chunked
+      // with the newer file_mtime, and the assembler's generation policy
+      // adopts it — the written file flips to v2
+      Files.write(srcDir.resolve("f.dat"), v2)
+      Files.setLastModifiedTime(srcDir.resolve("f.dat"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 5000))
+      q.processAllAvailable()
+      assert(Files.readAllBytes(outDir.resolve("f.dat")).toSeq == v2.toSeq)
+    } finally q.stop()
+  }
+
+  test("offsets round-trip through JSON") {
+    val off = DirStateOffset(Map("/x/a" -> (12L, 34L), "/x/b" -> (56L, 78L)))
+    assert(DirStateOffset.fromJson(off.json()) == off)
+    assert(DirStateOffset.fromJson(DirStateOffset(Map.empty).json()).files.isEmpty)
+  }
+}
