@@ -43,16 +43,25 @@ object AppSession {
   }
 }
 
-/** `UploadDirectoryApp <srcDir> <topicDir> [chunkSize]` — S1/S2+T1+C1+K1:
-  * watch/scan a directory, chunk, wire-encode, produce to the topic. Runs
-  * one availableNow pass (the standing-watch mode just drops the trigger). */
+/** `UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified]` —
+  * S1/S2+T1+C1+K1: watch/scan a directory, chunk, wire-encode, produce to
+  * the topic. Runs one availableNow pass (the standing-watch mode just
+  * drops the trigger). `--watch-modified` swaps in the custom DSv2 source
+  * that RE-EMITS modified files (the reference watchdog's semantic) —
+  * incremental re-runs then re-upload overwritten files as newer
+  * generations instead of ignoring them. */
 object UploadDirectoryApp {
   def main(args: Array[String]): Unit = {
-    AppSession.require(args.length >= 2, "UploadDirectoryApp <srcDir> <topicDir> [chunkSize]")
-    val Array(srcDir, topicDir, rest @ _*) = args: @unchecked
+    val watchModified = args.contains("--watch-modified")
+    val positional = args.filterNot(_.startsWith("--"))
+    AppSession.require(positional.length >= 2,
+      "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified]")
+    val Array(srcDir, topicDir, rest @ _*) = positional: @unchecked
     val chunkSize = rest.headOption.map(_.toInt).getOrElse(graft.core.Chunker.DefaultChunkSize)
     val spark = AppSession.make("graft-upload")
-    val wire = Pipelines.uploadDirectoryStream(spark, srcDir, chunkSize)
+    val wire =
+      if (watchModified) Pipelines.uploadDirectoryStreamModified(spark, srcDir, chunkSize)
+      else Pipelines.uploadDirectoryStream(spark, srcDir, chunkSize)
     val q = wire.writeStream
       .format("parquet")
       .option("path", topicDir)
