@@ -36,7 +36,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.readStream.format(classOf[ModifiedFileProvider].getName)
   *   .option("path", dir).option("lagMs", "3000").load()`.
   */
-class ModifiedFileProvider extends TableProvider {
+class ModifiedFileProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "modified-files"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ModifiedFileTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -33,7 +33,7 @@ class ModifiedFileSourceSpec extends AnyFunSuite {
     write(dir.resolve("sub/b.txt"), "b-v1", t0)
 
     val q = spark.readStream
-      .format(classOf[ModifiedFileProvider].getName)
+      .format("modified-files") // DataSourceRegister short name
       .option("path", dir.toString)
       .load()
       .writeStream.format("memory").queryName("modsrc").outputMode("append")

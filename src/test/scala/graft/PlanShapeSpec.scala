@@ -27,7 +27,8 @@ class PlanShapeSpec extends AnyFunSuite {
     dq.run(spark, sf).queryExecution.executedPlan.toString
 
   test("argmax queries plan as partial-merging aggregates, not window sorts") {
-    for (dq <- Seq(Documents.q06, Documents.q07, Relational.q15a, TextOps.x23)) {
+    for (dq <- Seq(Documents.q06, Documents.q07, Relational.q15a, Relational.x34,
+        TextOps.x23)) {
       val p = plan(dq)
       assert(!p.contains("Window"), s"${dq.name} re-introduced a window:\n$p")
       // HashAggregate where the buffer is fixed-width; struct-keyed max_by
