@@ -662,6 +662,69 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x38: the composed quality-filter pipeline — the verdict pass an actual
+    * corpus build runs, fusing the per-doc gates into ONE scan: length
+    * (too_short), repetition (x30's duplicate-2-gram fraction), and
+    * LM-fit stand-in (x32's top-K vocab coverage, the only part needing a
+    * second tiny pass — the broadcast vocab). First failing gate (fixed
+    * precedence) becomes the reason; thresholds sit at the corpus's
+    * p05–p25 so every reason actually fires. All comparisons are on
+    * identically-derived IEEE doubles, so the keep/drop verdicts are
+    * engine-exact. */
+  val x38 = DQ("x38_quality_filter", Some(
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, l,
+      |         list_transform(generate_series(1, greatest(len(l)-1, 0)),
+      |                        i -> array_to_string(l[i:i+1], ' ')) AS g2
+      |  FROM t),
+      |toks AS (SELECT doc_id, unnest(l) AS tok FROM t),
+      |cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+      |v AS (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 10),
+      |cov AS (SELECT t2.doc_id, CAST(count(v.tok) AS DOUBLE) / count(*) AS coverage
+      |        FROM toks t2 LEFT JOIN v ON t2.tok = v.tok GROUP BY t2.doc_id),
+      |m AS (
+      |  SELECT g.doc_id, CAST(len(l) AS BIGINT) AS n_toks,
+      |         1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1) AS dup2,
+      |         cov.coverage
+      |  FROM g JOIN cov ON g.doc_id = cov.doc_id)
+      |SELECT doc_id, n_toks,
+      |  CASE WHEN n_toks < 30 THEN 'too_short'
+      |       WHEN dup2 > 0.06 THEN 'repetitive'
+      |       WHEN coverage < 0.25 THEN 'low_coverage'
+      |       ELSE 'ok' END AS reason,
+      |  CAST(CASE WHEN n_toks >= 30 AND dup2 <= 0.06 AND coverage >= 0.25
+      |       THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+      val toks = spread(t).select(col("doc_id"), explode(col("l")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(10)
+        .select(col("tok"), lit(1).as("hit"))
+      val cov = toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg((count(col("hit")).cast("double") / count(lit(1))).as("coverage"))
+      val m = t
+        .withColumn("g2", ngramsAll(col("l"), 2))
+        .select(col("doc_id"), size(col("l")).cast("bigint").as("n_toks"),
+          (lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / greatest(size(col("g2")), lit(1))).as("dup2"))
+        .join(cov, "doc_id")
+      m.select(col("doc_id"), col("n_toks"),
+          when(col("n_toks") < 30, "too_short")
+            .when(col("dup2") > 0.06, "repetitive")
+            .when(col("coverage") < 0.25, "low_coverage")
+            .otherwise("ok").as("reason"),
+          when(col("n_toks") >= 30 && col("dup2") <= 0.06 && col("coverage") >= 0.25, 1)
+            .otherwise(0).cast("int").as("keep"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
-    x23, x26, x27, x28, x30, x31, x32, x36, x37)
+    x23, x26, x27, x28, x30, x31, x32, x36, x37, x38)
 }
