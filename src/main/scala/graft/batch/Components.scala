@@ -29,6 +29,7 @@ object Components {
     var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint()
     var changed = 1L
     var iter = 0
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     while (changed > 0 && iter < maxIter) {
       // each node also keeps its own label: union the self-message
       val msgs = e.join(labels, e("dst") === labels("id"))
@@ -40,6 +41,11 @@ object Components {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      // Surface non-convergence instead of letting it appear downstream as
+      // a silent result divergence (graph diameter > maxIter).
+      log.warn(s"minLabelFixpoint did NOT converge after $maxIter iterations " +
+        s"($changed labels still changing); results are partial — raise maxIter")
     labels
   }
 }

@@ -49,10 +49,19 @@ object SafePaths {
     target
   }
 
-  /** resolveUnder + mkdir -p of the parent — the common sink preamble. */
+  /** resolveUnder + mkdir -p of the parent — the common sink preamble.
+    *
+    * [[resolveUnder]] alone is lexical (normalize + startsWith), so a
+    * pre-existing symlink under the root could still redirect the write
+    * outside it. Defense in depth: after creating the parent, resolve it to
+    * its real path (links followed) and re-check containment against the
+    * root's real path. */
   def resolveUnderMkdirs(rootDir: String, rel: String): Path = {
     val p = resolveUnder(rootDir, rel)
     Files.createDirectories(p.getParent)
+    val realRoot = Paths.get(rootDir).toRealPath()
+    val realParent = p.getParent.toRealPath()
+    if (!realParent.startsWith(realRoot)) throw new UnsafeRelPath(rel)
     p
   }
 }

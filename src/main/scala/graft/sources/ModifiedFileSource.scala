@@ -43,8 +43,13 @@ class ModifiedFileProvider extends TableProvider
     ModifiedFileTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
+    val raw = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("option 'path' is required"))
+    // Accept file: URIs like the built-in file sources do (a bare
+    // `new File("file:///x")` would silently match nothing).
+    val path =
+      if (raw.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(raw)).toString
+      else raw
     val lagMs = Option(properties.get("lagms")).orElse(
       Option(properties.get("lagMs"))).map(_.toLong).getOrElse(0L)
     new ModifiedFileTable(path, lagMs)
@@ -145,14 +150,30 @@ class ModifiedFileStream(root: String, lagMs: Long)
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val part = partition.asInstanceOf[ModifiedFilePartition]
         new PartitionReader[InternalRow] {
-          private var emitted = false
-          override def next(): Boolean = if (emitted) false else { emitted = true; true }
-          override def get(): InternalRow = {
-            val bytes = java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(part.path))
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString(part.path), part.mtimeMs, bytes))
+          // The read happens in next() so a file deleted between the
+          // latestOffset() scan and batch execution yields zero rows
+          // instead of poisoning the batch forever (the end offset is
+          // already in the offset log, so a throwing reader would be
+          // replayed against the missing file on every restart). If the
+          // file reappears, the next microbatch's fingerprint diff
+          // re-emits it — at-least-once, same as the reference watchdog.
+          private var row: InternalRow = _
+          private var done = false
+          override def next(): Boolean = {
+            if (done) return false
+            done = true
+            try {
+              val bytes = java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(part.path))
+              row = new GenericInternalRow(Array[Any](
+                UTF8String.fromString(part.path), part.mtimeMs, bytes))
+              true
+            } catch {
+              case _: java.nio.file.NoSuchFileException |
+                   _: java.io.FileNotFoundException => false
+            }
           }
+          override def get(): InternalRow = row
           override def close(): Unit = ()
         }
       }

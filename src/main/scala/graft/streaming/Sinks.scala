@@ -5,6 +5,7 @@ import java.nio.channels.FileChannel
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.ForeachWriter
+import org.apache.spark.util.LongAccumulator
 
 import graft.batch.{AssembledFile, ChunkRow}
 
@@ -18,8 +19,14 @@ import graft.batch.{AssembledFile, ChunkRow}
   * (download_data_file.py:355-372): seek to `chunk_offset_write`, write,
   * flush — per-partition channels, one file per `rel_filepath`; partitioning
   * by file path upstream gives single-writer-per-file without locks.
+  *
+  * Both writers take an optional `rejected` [[LongAccumulator]] (register one
+  * via `spark.sparkContext.longAccumulator("unsafe_paths")`) so path-rejected
+  * rows are a queryable driver-side signal, matching the manifest row the
+  * DiskModeAssembly path emits — not just a stderr line lost in executor logs.
   */
-final class CompletedFileWriter(rootDir: String) extends ForeachWriter[AssembledFile] {
+final class CompletedFileWriter(rootDir: String,
+    rejected: Option[LongAccumulator] = None) extends ForeachWriter[AssembledFile] {
   override def open(partitionId: Long, epochId: Long): Boolean = true
   override def process(f: AssembledFile): Unit = {
     if (f.code == graft.core.Assembly.Code.Complete && f.data != null) {
@@ -28,14 +35,18 @@ final class CompletedFileWriter(rootDir: String) extends ForeachWriter[Assembled
       if (graft.core.SafePaths.isSafe(f.rel_filepath)) {
         val target = graft.core.SafePaths.resolveUnderMkdirs(rootDir, f.rel_filepath)
         Files.write(target, f.data)
-      } else System.err.println(
-        s"[CompletedFileWriter] unsafe rel_filepath skipped: '${f.rel_filepath}'")
+      } else {
+        rejected.foreach(_.add(1L))
+        System.err.println(
+          s"[CompletedFileWriter] unsafe rel_filepath skipped: '${f.rel_filepath}'")
+      }
     }
   }
   override def close(errorOrNull: Throwable): Unit = ()
 }
 
-final class PositionedChunkWriter(rootDir: String) extends ForeachWriter[ChunkRow] {
+final class PositionedChunkWriter(rootDir: String,
+    rejected: Option[LongAccumulator] = None) extends ForeachWriter[ChunkRow] {
   @transient private var channels: scala.collection.mutable.Map[String, FileChannel] = _
   override def open(partitionId: Long, epochId: Long): Boolean = {
     channels = scala.collection.mutable.Map.empty
@@ -51,8 +62,11 @@ final class PositionedChunkWriter(rootDir: String) extends ForeachWriter[ChunkRo
       else s"${c.subdir_str}/${c.filename}"
     if (graft.core.SafePaths.isSafe(rel))
       channel(rel).write(ByteBuffer.wrap(c.data), c.chunk_offset_write)
-    else System.err.println(
-      s"[PositionedChunkWriter] unsafe rel_filepath skipped: '$rel'")
+    else {
+      rejected.foreach(_.add(1L))
+      System.err.println(
+        s"[PositionedChunkWriter] unsafe rel_filepath skipped: '$rel'")
+    }
   }
   override def close(errorOrNull: Throwable): Unit = {
     if (channels != null) channels.valuesIterator.foreach { ch =>

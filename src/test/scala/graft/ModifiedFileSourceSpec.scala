@@ -118,4 +118,36 @@ class ModifiedFileSourceSpec extends AnyFunSuite {
     assert(DirStateOffset.fromJson(off.json()) == off)
     assert(DirStateOffset.fromJson(DirStateOffset(Map.empty).json()).files.isEmpty)
   }
+
+  test("a file deleted between scan and read yields zero rows, not a poisoned batch") {
+    // ADVICE r2 (medium): the end offset lands in the offset log before the
+    // batch executes; a reader that throws on the vanished file would be
+    // replayed against it forever. The reader must tolerate the miss.
+    val stream = new graft.sources.ModifiedFileStream("/nonexistent_root", 0L)
+    val start = DirStateOffset(Map.empty)
+    val end = DirStateOffset(Map("/nonexistent_root/gone.bin" -> (1000L, 4L)))
+    val parts = stream.planInputPartitions(start, end)
+    assert(parts.length == 1)
+    val reader = stream.createReaderFactory().createReader(parts(0))
+    assert(!reader.next(), "vanished file must emit zero rows")
+    reader.close()
+  }
+
+  test("a file: URI in the path option is accepted like the built-in sources") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_modsrc_uri")
+    write(dir.resolve("u.txt"), "via-uri", System.currentTimeMillis() - 60000)
+    val q = spark.readStream
+      .format("modified-files")
+      .option("path", dir.toUri.toString) // file:///...
+      .load()
+      .writeStream.format("memory").queryName("modsrc_uri").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("modsrc_uri")
+        .selectExpr("cast(content as string)").as[String].collect().toSeq
+      assert(got == Seq("via-uri"))
+    } finally q.stop()
+  }
 }

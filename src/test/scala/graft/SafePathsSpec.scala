@@ -47,6 +47,41 @@ class SafePathsSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(root, "ok/f.bin")))
   }
 
+  test("resolveUnderMkdirs rejects a symlink escape under the root") {
+    val root = Files.createTempDirectory("safepaths_sym")
+    val outside = Files.createTempDirectory("safepaths_out")
+    // lexically fine ("link/f.bin"), but `link` redirects outside the root
+    Files.createSymbolicLink(root.resolve("link"), outside)
+    assertThrows[SafePaths.UnsafeRelPath](
+      SafePaths.resolveUnderMkdirs(root.toString, "link/f.bin"))
+    // a legitimate nested path is unaffected
+    val ok = SafePaths.resolveUnderMkdirs(root.toString, "sub/f.bin")
+    assert(ok.startsWith(root))
+  }
+
+  test("rejected-path accumulator counts dead-lettered rows") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val acc = spark.sparkContext.longAccumulator("unsafe_paths")
+    val root = Files.createTempDirectory("cfw_acc").toString
+    val w = new CompletedFileWriter(root, Some(acc))
+    w.open(0L, 0L)
+    val payload = "x".getBytes
+    def af(rel: String, name: String) = graft.batch.AssembledFile(
+      rel, name, graft.core.Assembly.Code.Complete, 1, payload.length.toLong,
+      graft.core.ChunkCodec.sha512(payload), Some(1.0), payload)
+    w.process(af("../esc.bin", "esc.bin"))
+    w.process(af("ok.bin", "ok.bin"))
+    w.close(null)
+    assert(acc.value == 1L)
+    val pw = new PositionedChunkWriter(root, Some(acc))
+    pw.open(0L, 0L)
+    pw.process(graft.batch.ChunkRow("evil.bin", Array[Byte](1), Array[Byte](1),
+      0L, 1, 1, "..", "", payload, Some(1.0)))
+    pw.close(null)
+    assert(acc.value == 2L)
+  }
+
   test("RestSink.bodyHasSha matches the sha256 field value, not substrings") {
     val sha = "ab12" * 16
     assert(RestSink.bodyHasSha(s"""{"sha256":"$sha","size":3}""", sha))
