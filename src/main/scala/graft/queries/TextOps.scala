@@ -725,6 +725,117 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x39: Bloom-prefiltered decontamination — the 100 TB shape of x14's
+    * problem when even the broadcast hash set is too big for every task:
+    * the benchmark 3-gram set is sketched into a Bloom filter (a few MB for
+    * millions of shingles at 1% fpp), the corpus shingle stream is
+    * prefiltered by a driver-built, task-broadcast `mightContain` (pure
+    * map, no join, no shuffle — ~99% of shingles drop here), and ONLY the
+    * survivors take the exact semi-join that kills false positives. The
+    * result is exact regardless of fpp, so the DuckDB oracle is the plain
+    * exact join. */
+  val x39 = DQ("x39_bloom_contamination", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |               unnest(generate_series(1, greatest(len(l)-2, 0))) AS i
+      |        FROM t0) t1),
+      |test AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+      |SELECT s.doc_id, CAST(count(DISTINCT s.g) AS BIGINT) AS n_shared
+      |FROM sh s JOIN test t ON s.g = t.g
+      |WHERE s.doc_id % 97 <> 0
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val sh = wordShingles(spark, dir, 3)
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      val bloom = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), 0.01)
+      val mightContain = udf((g: String) => g != null && bloom.mightContain(g))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .filter(mightContain(col("g"))) // bloom prefilter: map-only, ~99% drop
+        .join(broadcast(bench), "g")    // exact verify on survivors only
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+  }
+
+  /** x40: deterministic stratified train/val/test split — membership from a
+    * 2-hex-char md5 prefix of the stable doc key (~80/10/10), so the split
+    * is identical across engines, runs, retries, and re-partitions: no RNG,
+    * no seed plumbing, no global sort. Pure per-row map + one aggregation;
+    * at 100 TB the assignment never shuffles the corpus. */
+  val x40 = DQ("x40_split_assign", Some(
+    """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)) {
+    (spark, dir) =>
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      table(spark, dir, "documents")
+        .withColumn("split",
+          when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("split", "lang")
+  }
+
+  /** x41: curriculum bins — per-language difficulty deciles (n_chars as the
+    * difficulty proxy) via ntile, with per-bin counts and ranges. One
+    * window sort per lang partition; at 100 TB ntile's global-per-partition
+    * rank would come from a distributed sort — or be replaced by
+    * approx-quantile cut points broadcast as bin edges (the x17 path). */
+  val x41 = DQ("x41_curriculum_bins", Some(
+    """WITH b AS (
+      |  SELECT lang, n_chars,
+      |         CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT) AS bin
+      |  FROM documents)
+      |SELECT lang, bin, count(*) AS n,
+      |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      table(spark, dir, "documents")
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang", "bin")
+  }
+
+  /** x42: per-document token diversity — Simpson index 1 − Σ(cᵢ/N)², an
+    * entropy-style repetition signal chosen over Shannon entropy because it
+    * needs NO transcendental functions: integer counts, integer squares,
+    * one final IEEE division — bit-identical across engines. Two
+    * map-side-combining hash aggregations, no window, no join. */
+  val x42 = DQ("x42_token_diversity", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+      |       CAST(sum(c) AS BIGINT) AS n_toks,
+      |       CAST(sum(c)*sum(c) - sum(c*c) AS DOUBLE) / (sum(c)*sum(c)) AS diversity
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"), sum("c").as("n_toks"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("doc_id"), col("n_distinct"), col("n_toks"),
+          ((col("n_toks") * col("n_toks") - col("s2")).cast("double")
+            / (col("n_toks") * col("n_toks"))).as("diversity"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
-    x23, x26, x27, x28, x30, x31, x32, x36, x37, x38)
+    x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42)
 }

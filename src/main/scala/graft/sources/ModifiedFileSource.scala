@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,7 +52,9 @@ class ModifiedFileProvider extends TableProvider
       else raw
     val lagMs = Option(properties.get("lagms")).orElse(
       Option(properties.get("lagMs"))).map(_.toLong).getOrElse(0L)
-    new ModifiedFileTable(path, lagMs)
+    val maxFiles = Option(properties.get("maxfilespertrigger")).orElse(
+      Option(properties.get("maxFilesPerTrigger"))).map(_.toInt).getOrElse(0)
+    new ModifiedFileTable(path, lagMs, maxFiles)
   }
 }
 
@@ -63,7 +65,8 @@ object ModifiedFileTable {
     StructField("content", BinaryType, nullable = false)))
 }
 
-class ModifiedFileTable(path: String, lagMs: Long) extends Table with SupportsRead {
+class ModifiedFileTable(path: String, lagMs: Long, maxFilesPerTrigger: Int = 0)
+    extends Table with SupportsRead {
   override def name(): String = s"modified_files($path)"
   override def schema(): StructType = ModifiedFileTable.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -73,7 +76,7 @@ class ModifiedFileTable(path: String, lagMs: Long) extends Table with SupportsRe
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ModifiedFileTable.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ModifiedFileStream(path, lagMs)
+          new ModifiedFileStream(path, lagMs, maxFilesPerTrigger)
       }
     }
 }
@@ -104,7 +107,7 @@ object DirStateOffset {
   }
 }
 
-class ModifiedFileStream(root: String, lagMs: Long)
+class ModifiedFileStream(root: String, lagMs: Long, maxFilesPerBatch: Int = 0)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private var availableNowPin: Option[DirStateOffset] = None
@@ -126,11 +129,44 @@ class ModifiedFileStream(root: String, lagMs: Long)
 
   override def initialOffset(): Offset = DirStateOffset(Map.empty)
   override def latestOffset(): Offset = availableNowPin.getOrElse(scanDir())
-  // SupportsAdmissionControl variant (SupportsTriggerAvailableNow extends
-  // it); this source does not rate-limit, so the limit is ignored.
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+
+  /** Admission control (the reference's bounded upload queue,
+    * data_file_upload_directory.py:182-183): with `maxFilesPerTrigger` set,
+    * each microbatch admits at most that many changed files, in
+    * deterministic path order. Deletions always apply immediately (they
+    * emit no rows); a modified-but-deferred file keeps its OLD fingerprint
+    * in the end offset and a new-but-deferred file stays absent, so both
+    * remain pending and are picked up by later batches until the target
+    * state is drained. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerBatch > 0) ReadLimit.maxFiles(maxFilesPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _ => Int.MaxValue
+    }
+    admit(start.asInstanceOf[DirStateOffset],
+      latestOffset().asInstanceOf[DirStateOffset], cap)
+  }
+
+  /** Pure admission step — exposed for tests. */
+  def admit(start: DirStateOffset, target: DirStateOffset,
+      cap: Int): DirStateOffset = {
+    if (cap == Int.MaxValue) return target
+    val before = start.files
+    val admitted = target.files.toSeq
+      .filter { case (p, fp) => !before.get(p).contains(fp) }
+      .sortBy(_._1).take(cap).toMap
+    DirStateOffset(target.files.flatMap { case (p, fp) =>
+      if (admitted.contains(p)) Some(p -> fp)
+      else before.get(p) match {
+        case Some(old) => Some(p -> old) // unchanged, or modified-but-deferred
+        case None => None                // new-but-deferred
+      }
+    })
+  }
   override def deserializeOffset(json: String): Offset = DirStateOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -119,6 +119,46 @@ class ModifiedFileSourceSpec extends AnyFunSuite {
     assert(DirStateOffset.fromJson(DirStateOffset(Map.empty).json()).files.isEmpty)
   }
 
+  test("maxFilesPerTrigger caps each microbatch; all files still drain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_modsrc_cap")
+    val t0 = System.currentTimeMillis() - 60000
+    (1 to 5).foreach(i => write(dir.resolve(s"f$i.txt"), s"v$i", t0))
+    val q = spark.readStream
+      .format("modified-files")
+      .option("path", dir.toString)
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("modsrc_cap").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("modsrc_cap")
+        .selectExpr("cast(content as string)").as[String].collect().toSeq.sorted
+      assert(got == (1 to 5).map(i => s"v$i"))
+      // admission control: no batch admitted more than 2 files
+      val batchSizes = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.nonEmpty && batchSizes.forall(_ <= 2),
+        s"batch sizes not capped: $batchSizes")
+      assert(batchSizes.sum == 5)
+    } finally q.stop()
+  }
+
+  test("admission cap defers modified files without losing their old state") {
+    // direct offset-level check: 3 changed files, cap 2 → the deferred one
+    // keeps its previous fingerprint (still pending), deletions apply now
+    val stream = new graft.sources.ModifiedFileStream("/unused", 0L, 2)
+    val before = DirStateOffset(Map(
+      "/d/a" -> (1L, 1L), "/d/b" -> (1L, 1L), "/d/gone" -> (1L, 1L)))
+    val target = DirStateOffset(Map(
+      "/d/a" -> (2L, 2L), "/d/b" -> (2L, 2L), "/d/new" -> (1L, 1L)))
+    val end = stream.admit(before, target, 2)
+    // path order: /d/a, /d/b admitted; /d/new deferred (absent); gone deleted
+    assert(end.files == Map("/d/a" -> (2L, 2L), "/d/b" -> (2L, 2L)))
+    val end2 = stream.admit(end, target, 2)
+    assert(end2.files == target.files) // second batch drains the deferred file
+  }
+
   test("a file deleted between scan and read yields zero rows, not a poisoned batch") {
     // ADVICE r2 (medium): the end offset lands in the offset log before the
     // batch executes; a reader that throws on the vanished file would be
