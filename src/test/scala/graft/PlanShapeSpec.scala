@@ -67,4 +67,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [") && p.contains("l_discount"),
       s"q13 lost predicate pushdown:\n$p")
   }
+
+  test("bloom decontamination: prefilter sits before the broadcast verify join") {
+    val p = plan(TextOps.x39)
+    assert(p.contains("BroadcastHashJoin"),
+      s"x39 exact-verify join must broadcast the benchmark set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x39 must not shuffle the corpus for the verify join:\n$p")
+  }
+
+  test("split/diversity aggregations keep map-side partials, no windows") {
+    for (dq <- Seq(TextOps.x40, TextOps.x42)) {
+      val p = plan(dq)
+      assert(!p.contains("Window"), s"${dq.name} planned a window:\n$p")
+      assert(p.contains("partial_"),
+        s"${dq.name} lost its map-side partial aggregate:\n$p")
+    }
+  }
 }
