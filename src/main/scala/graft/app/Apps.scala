@@ -19,6 +19,11 @@ object AppSession {
   def require(ok: Boolean, usage: String): Unit =
     if (!ok) { System.err.println(s"usage: $usage"); sys.exit(1) }
 
+  /** `--name=value` flag extraction (UTF-8 bytes for AES keys: 16/24/32). */
+  def flagValue(args: Array[String], name: String): Option[String] =
+    args.collectFirst { case a if a.startsWith(s"--$name=") =>
+      a.substring(name.length + 3) }
+
   def make(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
@@ -53,15 +58,19 @@ object AppSession {
 object UploadDirectoryApp {
   def main(args: Array[String]): Unit = {
     val watchModified = args.contains("--watch-modified")
+    val encryptKey = AppSession.flagValue(args, "encrypt-key")
     val positional = args.filterNot(_.startsWith("--"))
     AppSession.require(positional.length >= 2,
-      "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified]")
+      "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified] [--encrypt-key=K]")
     val Array(srcDir, topicDir, rest @ _*) = positional: @unchecked
     val chunkSize = rest.headOption.map(_.toInt).getOrElse(graft.core.Chunker.DefaultChunkSize)
     val spark = AppSession.make("graft-upload")
-    val wire =
+    val plainWire =
       if (watchModified) Pipelines.uploadDirectoryStreamModified(spark, srcDir, chunkSize)
       else Pipelines.uploadDirectoryStream(spark, srcDir, chunkSize)
+    // C4 chained serde: pack → encrypt (reference CompoundSerDes shape)
+    val wire = encryptKey.fold(plainWire)(k =>
+      graft.streaming.WireCrypto.encryptValues(plainWire, k.getBytes("UTF-8")))
     val q = wire.writeStream
       .format("parquet")
       .option("path", topicDir)
@@ -84,15 +93,32 @@ object UploadDirectoryApp {
 object DownloadDirectoryApp {
   def main(args: Array[String]): Unit = {
     val diskMode = args.contains("--disk-mode")
+    val decryptKey = AppSession.flagValue(args, "decrypt-key")
     val positional = args.filterNot(_.startsWith("--"))
     AppSession.require(positional.length == 2,
-      "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode]")
+      "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode] [--decrypt-key=K]")
     val Array(topicDir, outDir) = positional: @unchecked
     val spark = AppSession.make("graft-download")
     import spark.implicits._
-    val wire = spark.readStream
+    val rawWire = spark.readStream
       .schema("key STRING, value BINARY")
       .parquet(topicDir)
+    // C4: decrypt ahead of unpack; undecryptable messages dump as key/value
+    // .bin pairs (the reference's ENCRYPTED_MESSAGES/ dir) for later
+    // recovery via ReproduceUndecryptableApp — they never fail the run.
+    var qEncrypted: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    val wire = decryptKey.fold(rawWire) { k =>
+      val (ok, dead) = graft.streaming.WireCrypto.splitDecrypted(
+        rawWire, k.getBytes("UTF-8"))
+      qEncrypted = Some(dead.writeStream
+        .foreach(new graft.streaming.WireCrypto.UndecryptableDumpWriter(
+          s"$outDir/_encrypted_messages"))
+        .outputMode("append")
+        .option("checkpointLocation", s"$outDir/_checkpoint_encrypted")
+        .trigger(Trigger.AvailableNow())
+        .start())
+      ok
+    }
     val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
     val good = decoded.filter(_.error == null).map(_.chunk.get)
     val bad = decoded.filter(_.error != null)
@@ -125,6 +151,7 @@ object DownloadDirectoryApp {
           .start()
     q.awaitTermination()
     qBad.awaitTermination()
+    qEncrypted.foreach(_.awaitTermination())
     spark.stop()
   }
 }
@@ -169,6 +196,25 @@ object StreamProcessorApp {
       .start()
     q.awaitTermination()
     qBad.awaitTermination()
+    spark.stop()
+  }
+}
+
+/** `ReproduceUndecryptableApp <dumpDir> <topicDir>` — S6 recovery tool
+  * (reference tools/undecryptable_messages/reproduce_undecryptable_messages
+  * .py:15-82): read the key/value `.bin` pairs a prior `--decrypt-key` run
+  * dumped under `<outDir>/_encrypted_messages`, and re-produce them to the
+  * topic in mtime order — run once the right key is finally available so a
+  * later `DownloadDirectoryApp --decrypt-key=K` pass can consume them. */
+object ReproduceUndecryptableApp {
+  def main(args: Array[String]): Unit = {
+    AppSession.require(args.length == 2,
+      "ReproduceUndecryptableApp <dumpDir> <topicDir>")
+    val Array(dumpDir, topicDir) = args: @unchecked
+    val spark = AppSession.make("graft-reproduce-undecryptable")
+    graft.streaming.WireCrypto.reproduceUndecryptable(spark, dumpDir)
+      .select("key", "value")
+      .write.mode("append").parquet(topicDir)
     spark.stop()
   }
 }

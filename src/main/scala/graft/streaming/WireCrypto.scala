@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C4 encryption serde layer — the reference's KafkaCrypto chained serde
+  * (openmsistream kafka_wrapper/serialization.py:16-160 `CompoundSerDes`
+  * stacks encryption around msgpack; config_file_parser.py:30-42 names the
+  * chain). Spark-first: the wire `value` column routes through the built-in
+  * `aes_encrypt` / `try_aes_decrypt` expressions (codegen'd; AES-GCM with a
+  * random IV per message), so encrypt-after-pack chains compose as plain
+  * column functions — `encryptValues(ChunkPipeline.encode(chunks), key)`.
+  *
+  * Undecryptable messages (wrong key, corrupt ciphertext) must NOT fail
+  * tasks: `try_aes_decrypt` yields null and [[splitDecrypted]] routes those
+  * rows to a dead-letter frame — the reference's `ENCRYPTED_MESSAGES/` dump
+  * of key/value `.bin` pairs (data_file_download_directory.py:108-136) —
+  * while good rows flow on. At 100 TB both paths are narrow per-row maps:
+  * no shuffle, no driver involvement, poison messages never stall a
+  * partition.
+  */
+object WireCrypto {
+
+  /** Encrypt the `value` column in place (AES-GCM, random IV — ciphertext
+    * is non-deterministic, roundtrip is exact). Key must be 16/24/32
+    * bytes. */
+  def encryptValues(wire: DataFrame, key: Array[Byte]): DataFrame =
+    wire.withColumn("value", aes_encrypt(col("value"), lit(key)))
+
+  /** Attempt decryption: adds a `plain` column, null where the message does
+    * not decrypt under `key`. */
+  def tryDecryptValues(wire: DataFrame, key: Array[Byte]): DataFrame =
+    wire.withColumn("plain", try_aes_decrypt(col("value"), lit(key)))
+
+  /** (decrypted, deadLetters): decrypted has `value` replaced by the
+    * plaintext; deadLetters keeps the original ciphertext rows. */
+  def splitDecrypted(wire: DataFrame, key: Array[Byte]): (DataFrame, DataFrame) = {
+    val tried = tryDecryptValues(wire, key)
+    (tried.filter(col("plain").isNotNull)
+       .withColumn("value", col("plain")).drop("plain"),
+     tried.filter(col("plain").isNull).drop("plain"))
+  }
+
+  /** Dead-letter sink matching the reference's on-disk shape: each
+    * undecryptable message becomes a `<base>.key.bin` / `<base>.value.bin`
+    * pair under `dir`, where `base` is the sha256 of the ciphertext (stable
+    * under at-least-once replay — a duplicate delivery rewrites the same
+    * pair). Expects rows with string `key` and binary `value` columns. */
+  final class UndecryptableDumpWriter(dir: String) extends ForeachWriter[Row] {
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      Files.createDirectories(Paths.get(dir)); true
+    }
+    override def process(r: Row): Unit = {
+      val key = Option(r.getAs[String]("key")).getOrElse("")
+      val value = r.getAs[Array[Byte]]("value")
+      val base = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(value).map("%02x".format(_)).mkString
+      Files.write(Paths.get(dir, s"$base.key.bin"), key.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.write(Paths.get(dir, s"$base.value.bin"), value,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** S6 recovery tool (reference
+    * tools/undecryptable_messages/reproduce_undecryptable_messages.py:15-82):
+    * read saved key/value `.bin` pairs and re-emit `(key, value)` rows in
+    * mtime order, ready for the Kafka sink — run after the decryption key
+    * finally arrives. Batch `binaryFile` scan; the pair pivot is one tiny
+    * aggregation over the dump (dead letters are rare by construction). */
+  def reproduceUndecryptable(spark: SparkSession, dir: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(s"$dir/*.bin")
+      .select(col("path"), col("modificationTime"), col("content"))
+      .withColumn("base", regexp_extract(col("path"), "([^/]+)\\.(key|value)\\.bin$", 1))
+      .withColumn("kind", regexp_extract(col("path"), "\\.(key|value)\\.bin$", 1))
+      .filter(col("base") =!= "")
+    files.groupBy("base").agg(
+        max(when(col("kind") === "key", col("content"))).as("key_bytes"),
+        max(when(col("kind") === "value", col("content"))).as("value"),
+        max(col("modificationTime")).as("mtime"))
+      .filter(col("key_bytes").isNotNull && col("value").isNotNull)
+      .select(col("key_bytes").cast("string").as("key"), col("value"), col("mtime"))
+      .orderBy("mtime", "key")
+  }
+}
