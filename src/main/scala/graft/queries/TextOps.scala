@@ -751,8 +751,12 @@ object TextOps {
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
     (spark, dir) =>
       val sh = wordShingles(spark, dir, 3)
-      val bench = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
-      val bloom = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), 0.01)
+      // benchmark side is ~1% of the corpus and feeds two actions (bloom
+      // build + verify join): persist it once. Bloom capacity is a fixed
+      // overestimate, NOT a count() action — undersizing only raises fpp,
+      // and the exact verify join makes fpp a latency knob, not correctness.
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("g").distinct().persist()
+      val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
       val mightContain = udf((g: String) => g != null && bloom.mightContain(g))
       sh.filter(col("doc_id") % 97 =!= 0)
         .filter(mightContain(col("g"))) // bloom prefilter: map-only, ~99% drop
