@@ -208,15 +208,36 @@ object Similarity {
         .orderBy("label", "i")
   }
 
-  /** x29: LSH-bucketed ANN — the sign-LSH counterpart of x04's IVF: search
-    * only the query's signature bucket, rank candidates by exact cosine.
-    * At 100 TB the signature table is the index: bucket membership is a
-    * broadcast semi-join on an 8-bit key, and the exact re-rank touches
-    * ~n/2^8 of the vectors instead of all of them. */
+  /** x29: LSH-bucketed ANN — the sign-LSH counterpart of x04's IVF, with
+    * MULTI-PROBE: search the query's signature bucket plus every bucket
+    * within Hamming distance 2 (1+8+28 = 37 probes over an 8-bit
+    * signature), rank candidates by exact cosine. Single-probe recall
+    * collapses whenever a true neighbor straddles a couple of hyperplanes —
+    * near-certain for moderately-close vectors (P[bit differs] = θ/π per
+    * hyperplane, so E[Hamming] ≈ 2–3 here) — and multi-probe is the
+    * standard fix (Lv et al., VLDB'07) that keeps the candidate set
+    * sub-linear: 37/256 of the key space. With longer signatures at scale
+    * the probed fraction shrinks (16 bits, radius 2 → 137/65536 ≈ 0.2%).
+    * The probe list broadcasts; the signature table is the index. */
   val x29 = DQ("x29_ann_lsh", Some(
     s"""WITH $signLshSigsCte,
        |qs AS (SELECT sig FROM sigs WHERE vec_id = 1),
-       |cand AS (SELECT s.vec_id FROM sigs s JOIN qs ON s.sig = qs.sig),
+       |t AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 8)),
+       |p1 AS (
+       |  SELECT t.i, substring(qs.sig, 1, t.i-1) ||
+       |         CASE WHEN substring(qs.sig, t.i, 1) = '1' THEN '0' ELSE '1' END ||
+       |         substring(qs.sig, t.i+1, 8) AS f1
+       |  FROM qs CROSS JOIN t),
+       |probes AS (
+       |  SELECT sig AS psig FROM qs
+       |  UNION ALL
+       |  SELECT f1 AS psig FROM p1
+       |  UNION ALL
+       |  SELECT substring(p1.f1, 1, j.i-1) ||
+       |         CASE WHEN substring(p1.f1, j.i, 1) = '1' THEN '0' ELSE '1' END ||
+       |         substring(p1.f1, j.i+1, 8) AS psig
+       |  FROM p1 CROSS JOIN t j WHERE j.i > p1.i),
+       |cand AS (SELECT s.vec_id FROM sigs s JOIN probes p ON s.sig = p.psig),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
        |ex AS (
        |  SELECT e.vec_id,
@@ -231,9 +252,20 @@ object Similarity {
       val emb = table(spark, dir, "embeddings")
       val sigs = signLshSigs(spark, dir)
       val qsig = sigs.filter(col("vec_id") === 1).select(col("sig").as("qsig"))
+      // probe set (in-row): the signature itself, every 1-bit flip, and
+      // every 2-bit flip — Hamming radius 2
+      val flip = (s: Column, i: Column) => concat(
+        s.substr(lit(1), i - 1),
+        when(s.substr(i, lit(1)) === "1", "0").otherwise("1"),
+        s.substr(i + 1, lit(8)))
+      val p1 = transform(sequence(lit(1), lit(8)), i => flip(col("qsig"), i))
+      val p2 = flatten(transform(sequence(lit(1), lit(7)), i =>
+        transform(sequence(i + 1, lit(8)), j => flip(flip(col("qsig"), i), j))))
+      val probes = qsig.select(explode(
+        concat(array(col("qsig")), p1, p2)).as("psig"))
       val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
       emb.join(sigs, "vec_id")
-        .join(broadcast(qsig), col("sig") === col("qsig")) // bucket semi-join
+        .join(broadcast(probes), col("sig") === col("psig")) // multi-probe semi-join
         .crossJoin(broadcast(q))
         .withColumn("sim", round(
           dot(col("embedding"), col("qv")) / (norm(col("embedding")) * norm(col("qv"))), 6))
