@@ -218,3 +218,42 @@ object ReproduceUndecryptableApp {
     spark.stop()
   }
 }
+
+/** `MetadataReproducerApp <topicDir> <outTopicDir>` — G4/G5: consume the
+  * chunk topic, reassemble, compute a metadata-JSON result message per
+  * completed file, and produce it to a DIFFERENT topic (the reference's
+  * `DataFileStreamReproducer` + `MetadataJSONReproducer` pair). Corrupt
+  * messages quarantine like the download app. */
+object MetadataReproducerApp {
+  def main(args: Array[String]): Unit = {
+    AppSession.require(args.length == 2,
+      "MetadataReproducerApp <topicDir> <outTopicDir>")
+    val Array(topicDir, outTopicDir) = args: @unchecked
+    val spark = AppSession.make("graft-metadata-reproducer")
+    import spark.implicits._
+    val wire = spark.readStream
+      .schema("key STRING, value BINARY")
+      .parquet(topicDir)
+    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
+    val good = decoded.filter(_.error == null).map(_.chunk.get)
+    val qBad = decoded.filter(_.error != null)
+      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outTopicDir/_quarantine")
+      .option("checkpointLocation", s"$outTopicDir/_checkpoint_quarantine")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val results = graft.streaming.Reproducer.resultMessages(
+      AssemblyStream.assemble(good, timeoutMs = 0))
+    val q = results.writeStream
+      .format("parquet")
+      .option("path", outTopicDir)
+      .option("checkpointLocation", s"$outTopicDir/_checkpoint_reproducer")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    qBad.awaitTermination()
+    spark.stop()
+  }
+}
