@@ -840,6 +840,76 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x43: sketch accuracy audit — for every LSH candidate pair (x02's
+    * bucket join), the MinHash-ESTIMATED Jaccard (fraction of the 8
+    * signature slots that agree — the only similarity a 100 TB pipeline
+    * can afford for all pairs) against the EXACT shingle Jaccard computed
+    * on the candidates only. The production pattern: estimate everywhere,
+    * exact-verify the small candidate set, and this query IS the
+    * calibration table that tells you what estimate threshold to trust.
+    * Estimates are exact multiples of 1/8 and the exact side rounds at
+    * 6 dp — both engine-portable. */
+  val x43 = DQ("x43_minhash_accuracy", Some(
+    s"""WITH $lshBandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT p.id1, p.id2,
+       |         CAST(sum(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_j
+       |  FROM pairs p
+       |  JOIN mh m1 ON m1.doc_id = p.id1
+       |  JOIN mh m2 ON m2.doc_id = p.id2 AND m2.s = m1.s
+       |  GROUP BY p.id1, p.id2),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.id1, p.id2, count(*) AS ninter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.id1
+       |  JOIN sh b ON b.doc_id = p.id2 AND b.g = a.g
+       |  GROUP BY p.id1, p.id2)
+       |SELECT e.id1, e.id2, e.est_j,
+       |       round(CAST(i.ninter AS DOUBLE) / (c1.n + c2.n - i.ninter), 6) AS exact_j
+       |FROM est e
+       |JOIN inter i ON i.id1 = e.id1 AND i.id2 = e.id2
+       |JOIN cnt c1 ON c1.doc_id = e.id1
+       |JOIN cnt c2 ON c2.doc_id = e.id2
+       |ORDER BY e.id1, e.id2""".stripMargin)) {
+    (spark, dir) =>
+      val sh = wordShingles(spark, dir)
+      val mhCols = (0 until 8).map(s =>
+        min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
+      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).persist()
+      val bands = mh.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          concat(col(s"mh$b"), col(s"mh${b + 4}")).as("sig"))): _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val pairs = bands.select(col("doc_id").as("id1"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("id2"), col("band").as("b2"), col("sig").as("s2")),
+          col("band") === col("b2") && col("sig") === col("s2") && col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      // estimate: row-wise slot agreement between the two signature vectors
+      val m1 = mh.toDF((Seq("id1") ++ (0 until 8).map(s => s"a$s")): _*)
+      val m2 = mh.toDF((Seq("id2") ++ (0 until 8).map(s => s"b$s")): _*)
+      val agree = (0 until 8).map(s =>
+        (col(s"a$s") === col(s"b$s")).cast("int")).reduce(_ + _)
+      val est = pairs.join(m1, "id1").join(m2, "id2")
+        .select(col("id1"), col("id2"), (agree.cast("double") / 8).as("est_j"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("id1"), col("g")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("ninter"))
+      est.join(inter, Seq("id1", "id2"))
+        .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+        .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+        .select(col("id1"), col("id2"), col("est_j"),
+          round(col("ninter").cast("double") / (col("n1") + col("n2") - col("ninter")), 6)
+            .as("exact_j"))
+        .orderBy("id1", "id2")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
-    x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42)
+    x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43)
 }
