@@ -877,6 +877,9 @@ object TextOps {
        |JOIN cnt c2 ON c2.doc_id = e.id2
        |ORDER BY e.id1, e.id2""".stripMargin)) {
     (spark, dir) =>
+      // the corpus shingle stream is deliberately NOT cached (at 100 TB it
+      // never would be); only the per-doc signature table — tiny — persists
+      // for its two consumers (bands, pairwise agreement)
       val sh = wordShingles(spark, dir)
       val mhCols = (0 until 8).map(s =>
         min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
