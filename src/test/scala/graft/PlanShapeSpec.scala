@@ -40,7 +40,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("banded similarity joins never plan a nested loop or cartesian product") {
-    for (dq <- Seq(TextOps.x02, TextOps.x31)) {
+    for (dq <- Seq(TextOps.x02, TextOps.x31, TextOps.x43)) {
       val p = plan(dq)
       assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
         s"${dq.name} degenerated to an all-pairs plan:\n$p")
