@@ -538,7 +538,10 @@ object TextOps {
        |              <> substring(b.simhash, CAST(p AS INT), 1))) <= 2
        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)) {
     (spark, dir) =>
-      val sig = simhashSigs(spark, dir)
+      // sig is one 16-char row per doc and feeds two consumers (histogram
+      // derivation, final map-back join): persist it so the expensive
+      // shingle→md5→bit-sum pass over the corpus runs once, not twice
+      val sig = simhashSigs(spark, dir).persist()
       val hist = sig.groupBy("simhash").agg(count(lit(1)).as("cnt"))
         .withColumn("iv", conv(col("simhash"), 2, 10).cast("long"))
       def banded(df: DataFrame): DataFrame = df.select(
