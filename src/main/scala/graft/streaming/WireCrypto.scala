@@ -23,16 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object WireCrypto {
 
+  /** Fail fast on a malformed key — otherwise the length check surfaces as
+    * per-row task failures deep in a streaming job. */
+  private def checkKey(key: Array[Byte]): Unit =
+    require(key != null && (key.length == 16 || key.length == 24 || key.length == 32),
+      s"AES key must be 16/24/32 bytes, got ${if (key == null) "null" else key.length}")
+
   /** Encrypt the `value` column in place (AES-GCM, random IV — ciphertext
     * is non-deterministic, roundtrip is exact). Key must be 16/24/32
     * bytes. */
-  def encryptValues(wire: DataFrame, key: Array[Byte]): DataFrame =
+  def encryptValues(wire: DataFrame, key: Array[Byte]): DataFrame = {
+    checkKey(key)
     wire.withColumn("value", aes_encrypt(col("value"), lit(key)))
+  }
 
   /** Attempt decryption: adds a `plain` column, null where the message does
     * not decrypt under `key`. */
-  def tryDecryptValues(wire: DataFrame, key: Array[Byte]): DataFrame =
+  def tryDecryptValues(wire: DataFrame, key: Array[Byte]): DataFrame = {
+    checkKey(key)
     wire.withColumn("plain", try_aes_decrypt(col("value"), lit(key)))
+  }
 
   /** (decrypted, deadLetters): decrypted has `value` replaced by the
     * plaintext; deadLetters keeps the original ciphertext rows. */
@@ -72,6 +82,15 @@ object WireCrypto {
     * finally arrives. Batch `binaryFile` scan; the pair pivot is one tiny
     * aggregation over the dump (dead letters are rare by construction). */
   def reproduceUndecryptable(spark: SparkSession, dir: String): DataFrame = {
+    // an empty/missing dump dir is a normal state (nothing ever failed to
+    // decrypt) — return an empty frame instead of a Path-does-not-exist
+    // error from the glob
+    val d = new java.io.File(dir)
+    if (!d.isDirectory || !d.listFiles().exists(_.getName.endsWith(".bin")))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, value BINARY, mtime TIMESTAMP"))
     val files = spark.read.format("binaryFile").load(s"$dir/*.bin")
       .select(col("path"), col("modificationTime"), col("content"))
       .withColumn("base", regexp_extract(col("path"), "([^/]+)\\.(key|value)\\.bin$", 1))

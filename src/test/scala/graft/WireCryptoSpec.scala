@@ -57,6 +57,16 @@ class WireCryptoSpec extends AnyFunSuite {
     assert(dead.count() == wireOf("b", 3).count())
   }
 
+  test("malformed keys fail fast; an empty dump dir reproduces zero rows") {
+    assertThrows[IllegalArgumentException](
+      WireCrypto.encryptValues(wireOf("a", 1), "short".getBytes))
+    assertThrows[IllegalArgumentException](
+      WireCrypto.tryDecryptValues(wireOf("a", 1), null))
+    val empty = Files.createTempDirectory("graft_empty_dump").toString
+    assert(WireCrypto.reproduceUndecryptable(spark, empty).count() == 0)
+    assert(WireCrypto.reproduceUndecryptable(spark, empty + "/missing").count() == 0)
+  }
+
   test("dump + reproduce: dead letters roundtrip through .bin pairs in mtime order") {
     import spark.implicits._
     val dump = Files.createTempDirectory("graft_undecryptable").toString
