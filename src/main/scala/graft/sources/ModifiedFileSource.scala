@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,7 +54,9 @@ class ModifiedFileProvider extends TableProvider
       Option(properties.get("lagMs"))).map(_.toLong).getOrElse(0L)
     val maxFiles = Option(properties.get("maxfilespertrigger")).orElse(
       Option(properties.get("maxFilesPerTrigger"))).map(_.toInt).getOrElse(0)
-    new ModifiedFileTable(path, lagMs, maxFiles)
+    val maxBytes = Option(properties.get("maxbytespertrigger")).orElse(
+      Option(properties.get("maxBytesPerTrigger"))).map(_.toLong).getOrElse(0L)
+    new ModifiedFileTable(path, lagMs, maxFiles, maxBytes)
   }
 }
 
@@ -65,8 +67,8 @@ object ModifiedFileTable {
     StructField("content", BinaryType, nullable = false)))
 }
 
-class ModifiedFileTable(path: String, lagMs: Long, maxFilesPerTrigger: Int = 0)
-    extends Table with SupportsRead {
+class ModifiedFileTable(path: String, lagMs: Long, maxFilesPerTrigger: Int = 0,
+    maxBytesPerTrigger: Long = 0L) extends Table with SupportsRead {
   override def name(): String = s"modified_files($path)"
   override def schema(): StructType = ModifiedFileTable.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -76,7 +78,7 @@ class ModifiedFileTable(path: String, lagMs: Long, maxFilesPerTrigger: Int = 0)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ModifiedFileTable.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ModifiedFileStream(path, lagMs, maxFilesPerTrigger)
+          new ModifiedFileStream(path, lagMs, maxFilesPerTrigger, maxBytesPerTrigger)
       }
     }
 }
@@ -107,7 +109,8 @@ object DirStateOffset {
   }
 }
 
-class ModifiedFileStream(root: String, lagMs: Long, maxFilesPerBatch: Int = 0)
+class ModifiedFileStream(root: String, lagMs: Long, maxFilesPerBatch: Int = 0,
+    maxBytesPerBatch: Long = 0L)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private var availableNowPin: Option[DirStateOffset] = None
@@ -130,35 +133,57 @@ class ModifiedFileStream(root: String, lagMs: Long, maxFilesPerBatch: Int = 0)
   override def initialOffset(): Offset = DirStateOffset(Map.empty)
   override def latestOffset(): Offset = availableNowPin.getOrElse(scanDir())
 
-  /** Admission control (the reference's bounded upload queue,
-    * data_file_upload_directory.py:182-183): with `maxFilesPerTrigger` set,
-    * each microbatch admits at most that many changed files, in
-    * deterministic path order. Deletions always apply immediately (they
-    * emit no rows); a modified-but-deferred file keeps its OLD fingerprint
-    * in the end offset and a new-but-deferred file stays absent, so both
-    * remain pending and are picked up by later batches until the target
-    * state is drained. */
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxFilesPerBatch > 0) ReadLimit.maxFiles(maxFilesPerBatch)
-    else ReadLimit.allAvailable()
+  /** Admission control (the reference's bounded upload queue — file count
+    * via the producer queue depth, bytes via
+    * DEFAULT_MAX_UPLOAD_QUEUE_MEGABYTES=500, utilities/config.py:35,
+    * data_file_upload_directory.py:182-183): with `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` set, each microbatch admits changed files in
+    * deterministic path order until either cap trips (always at least one
+    * file, so an oversized file still makes progress). Deletions always
+    * apply immediately (they emit no rows); a modified-but-deferred file
+    * keeps its OLD fingerprint in the end offset and a new-but-deferred
+    * file stays absent, so both remain pending and are picked up by later
+    * batches until the target state is drained. */
+  override def getDefaultReadLimit: ReadLimit = (maxFilesPerBatch, maxBytesPerBatch) match {
+    case (f, b) if f > 0 && b > 0 =>
+      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    case (f, _) if f > 0 => ReadLimit.maxFiles(f)
+    case (_, b) if b > 0 => ReadLimit.maxBytes(b)
+    case _ => ReadLimit.allAvailable()
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cap = limit match {
-      case mf: ReadMaxFiles => mf.maxFiles()
-      case _ => Int.MaxValue
+    def caps(l: ReadLimit): (Int, Long) = l match {
+      case mf: ReadMaxFiles => (mf.maxFiles(), Long.MaxValue)
+      case mb: ReadMaxBytes => (Int.MaxValue, mb.maxBytes())
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.map(caps).foldLeft((Int.MaxValue, Long.MaxValue)) {
+          case ((f1, b1), (f2, b2)) => (math.min(f1, f2), math.min(b1, b2))
+        }
+      case _ => (Int.MaxValue, Long.MaxValue)
     }
+    val (maxFiles, maxBytes) = caps(limit)
     admit(start.asInstanceOf[DirStateOffset],
-      latestOffset().asInstanceOf[DirStateOffset], cap)
+      latestOffset().asInstanceOf[DirStateOffset], maxFiles, maxBytes)
   }
 
   /** Pure admission step — exposed for tests. */
   def admit(start: DirStateOffset, target: DirStateOffset,
-      cap: Int): DirStateOffset = {
-    if (cap == Int.MaxValue) return target
+      maxFiles: Int, maxBytes: Long = Long.MaxValue): DirStateOffset = {
+    if (maxFiles == Int.MaxValue && maxBytes == Long.MaxValue) return target
     val before = start.files
-    val admitted = target.files.toSeq
+    val changed = target.files.toSeq
       .filter { case (p, fp) => !before.get(p).contains(fp) }
-      .sortBy(_._1).take(cap).toMap
+      .sortBy(_._1)
+    val admitted = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var bytes = 0L
+    var stop = false
+    for ((p, fp @ (_, sz)) <- changed if !stop) {
+      // ≥1 file always admits so an oversized file still makes progress
+      if (admitted.size < maxFiles && (admitted.isEmpty || bytes + sz <= maxBytes)) {
+        admitted(p) = fp; bytes += sz
+      } else stop = true
+    }
     DirStateOffset(target.files.flatMap { case (p, fp) =>
       if (admitted.contains(p)) Some(p -> fp)
       else before.get(p) match {

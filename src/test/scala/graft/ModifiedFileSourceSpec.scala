@@ -144,6 +144,39 @@ class ModifiedFileSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("byte-cap admission: cumulative size bounds the batch, oversized file still advances") {
+    val stream = new graft.sources.ModifiedFileStream("/unused", 0L, 0, 100L)
+    val start = DirStateOffset(Map.empty)
+    val target = DirStateOffset(Map(
+      "/d/a" -> (1L, 60L), "/d/b" -> (1L, 60L), "/d/c" -> (1L, 60L)))
+    // 60+60 > 100 → only /d/a admits in batch 1
+    val end1 = stream.admit(start, target, Int.MaxValue, 100L)
+    assert(end1.files.keySet == Set("/d/a"))
+    val end2 = stream.admit(end1, target, Int.MaxValue, 100L)
+    assert(end2.files.keySet == Set("/d/a", "/d/b"))
+    // an oversized single file must still be admitted (progress guarantee)
+    val big = DirStateOffset(Map("/d/huge" -> (1L, 10_000L)))
+    assert(stream.admit(start, big, Int.MaxValue, 100L).files.keySet == Set("/d/huge"))
+    // maxBytesPerTrigger end-to-end: the stream drains in byte-capped batches
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_modsrc_bytes")
+    val t0 = System.currentTimeMillis() - 60000
+    (1 to 4).foreach(i => write(dir.resolve(s"f$i.txt"), "x" * 40, t0))
+    val q = spark.readStream
+      .format("modified-files")
+      .option("path", dir.toString)
+      .option("maxBytesPerTrigger", "50")
+      .load()
+      .writeStream.format("memory").queryName("modsrc_bytes").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("modsrc_bytes").count() == 4)
+      val batchSizes = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.forall(_ == 1), s"each 40-byte file should batch alone: $batchSizes")
+    } finally q.stop()
+  }
+
   test("admission cap defers modified files without losing their old state") {
     // direct offset-level check: 3 changed files, cap 2 → the deferred one
     // keeps its previous fingerprint (still pending), deletions apply now
