@@ -273,5 +273,46 @@ object Similarity {
         .orderBy(col("sim").desc, col("vec_id")).limit(5)
   }
 
-  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29)
+  /** x44: corpus-wide KNN self-join — top-3 cosine neighbors for EVERY
+    * vector, candidates restricted to its sign-LSH bucket (x29 is the
+    * single-query form; this is the similarity JOIN an embedding-dedup
+    * or clustering pass runs over the whole corpus). The bucket equi-join
+    * bounds the pair space to Σ bucket² instead of n² — the 100 TB shape —
+    * and the pair stream ranks per-source with one shuffle. Cosine rounds
+    * to 6 dp BEFORE ranking (identical order in both engines); ties break
+    * on neighbor id. */
+  val x44 = DQ("x44_knn_join", Some(
+    s"""WITH $signLshSigsCte,
+       |e AS (SELECT s.vec_id, emb.embedding, s.sig
+       |      FROM sigs s JOIN embeddings emb ON emb.vec_id = s.vec_id),
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |             a.embedding AS va, b.embedding AS vb
+       |      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |ex AS (SELECT id1, id2, CAST(va[u.i] AS DOUBLE) AS x, CAST(vb[u.i] AS DOUBLE) AS y
+       |       FROM p CROSS JOIN
+       |            (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)) u),
+       |s AS (SELECT id1, id2, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+       |      FROM ex GROUP BY id1, id2),
+       |r AS (SELECT id1, id2, round(dp / (na * nb), 6) AS sim,
+       |             row_number() OVER (PARTITION BY id1
+       |                                ORDER BY round(dp / (na * nb), 6) DESC, id2) AS rn
+       |      FROM s)
+       |SELECT id1, id2, sim, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
+       |ORDER BY id1, rn""".stripMargin)) {
+    (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = table(spark, dir, "embeddings")
+        .join(signLshSigs(spark, dir), "vec_id")
+      val a = e.select(col("vec_id").as("id1"), col("sig"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id2"), col("sig").as("sig2"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("sig") === col("sig2") && col("id1") =!= col("id2"))
+        .withColumn("sim", round(
+          dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 6))
+      val w = Window.partitionBy("id1").orderBy(col("sim").desc, col("id2"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("id1"), col("id2"), col("sim"), col("rn").cast("int").as("rn"))
+        .orderBy("id1", "rn")
+  }
+
+  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44)
 }
