@@ -538,10 +538,11 @@ object TextOps {
        |              <> substring(b.simhash, CAST(p AS INT), 1))) <= 2
        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)) {
     (spark, dir) =>
-      // sig is one 16-char row per doc and feeds two consumers (histogram
-      // derivation, final map-back join): persist it so the expensive
-      // shingle→md5→bit-sum pass over the corpus runs once, not twice
-      val sig = simhashSigs(spark, dir).persist()
+      // sig feeds two consumers, but both reference the IDENTICAL aggregate
+      // subtree — Catalyst's ReuseExchange computes it once; an explicit
+      // persist() measured SLOWER (it cuts the codegen pipeline and routes
+      // the rows through the block manager for no saved work)
+      val sig = simhashSigs(spark, dir)
       val hist = sig.groupBy("simhash").agg(count(lit(1)).as("cnt"))
         .withColumn("iv", conv(col("simhash"), 2, 10).cast("long"))
       def banded(df: DataFrame): DataFrame = df.select(
@@ -880,13 +881,16 @@ object TextOps {
        |JOIN cnt c2 ON c2.doc_id = e.id2
        |ORDER BY e.id1, e.id2""".stripMargin)) {
     (spark, dir) =>
-      // the corpus shingle stream is deliberately NOT cached (at 100 TB it
-      // never would be); only the per-doc signature table — tiny — persists
-      // for its two consumers (bands, pairwise agreement)
+      // nothing is cached: the whole query is ONE action, so Catalyst's
+      // ReuseExchange computes each repeated subtree (the signature agg
+      // feeding bands/m1/m2, the shingle scan) once per shuffle boundary;
+      // an explicit persist() only cuts the codegen pipeline (x31 measured
+      // slower with one). Contrast x39, where the Bloom build is a separate
+      // ACTION and its input legitimately persists.
       val sh = wordShingles(spark, dir)
       val mhCols = (0 until 8).map(s =>
         min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
-      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).persist()
+      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
           concat(col(s"mh$b"), col(s"mh${b + 4}")).as("sig"))): _*)).as("bs"))
