@@ -257,3 +257,39 @@ object MetadataReproducerApp {
     spark.stop()
   }
 }
+
+/** `ObjectStoreTransferApp <topicDir> <baseUri> <topic> <registryDir>` —
+  * the S3-transfer processor (reference `S3TransferStreamProcessor`,
+  * s3_buckets/s3_transfer_stream_processor.py:12-106): consume the chunk
+  * topic, reassemble, put each verified file to the object store at
+  * `{baseUri}/{topic}/{rel_filepath}` with read-back digest verification,
+  * and append one registry row per object (ok/failed) to a parquet table.
+  * `baseUri` is any Hadoop FS URI — file:// here, s3a://bucket in prod. */
+object ObjectStoreTransferApp {
+  def main(args: Array[String]): Unit = {
+    AppSession.require(args.length == 4,
+      "ObjectStoreTransferApp <topicDir> <baseUri> <topic> <registryDir>")
+    val Array(topicDir, baseUri, topic, registryDir) = args: @unchecked
+    val spark = AppSession.make("graft-objectstore-transfer")
+    import spark.implicits._
+    val wire = spark.readStream
+      .schema("key STRING, value BINARY")
+      .parquet(topicDir)
+    val good = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
+      .filter(_.error == null).map(_.chunk.get)
+    val q = AssemblyStream.assemble(good, timeoutMs = 0)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.batch.AssembledFile],
+          batchId: Long) =>
+        graft.streaming.ObjectStoreSink.putVerified(batch, baseUri, topic)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(registryDir)
+      }
+      .outputMode("append")
+      .option("checkpointLocation", s"$registryDir/_checkpoint_transfer")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}
