@@ -24,6 +24,24 @@ object AppSession {
     args.collectFirst { case a if a.startsWith(s"--$name=") =>
       a.substring(name.length + 3) }
 
+  /** Reject any `--` argument that is not a recognized flag — a misspelled
+    * `--encrypt_key=K` silently uploading PLAINTEXT is the failure mode
+    * this guards against. `allowed` entries are bare names ("disk-mode")
+    * or value-flag names ("decrypt-key", matched as `--decrypt-key=...`). */
+  def rejectUnknownFlags(args: Array[String], usage: String,
+      boolFlags: Set[String] = Set.empty,
+      valueFlags: Set[String] = Set.empty): Unit =
+    args.filter(_.startsWith("--")).foreach { a =>
+      val name = a.stripPrefix("--").takeWhile(_ != '=')
+      val ok =
+        (boolFlags.contains(name) && a == s"--$name") ||
+        (valueFlags.contains(name) && a.startsWith(s"--$name="))
+      if (!ok) {
+        System.err.println(s"unknown or malformed flag: '$a'\nusage: $usage")
+        sys.exit(1)
+      }
+    }
+
   def make(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
@@ -57,11 +75,14 @@ object AppSession {
   * generations instead of ignoring them. */
 object UploadDirectoryApp {
   def main(args: Array[String]): Unit = {
+    val usage =
+      "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified] [--encrypt-key=K]"
+    AppSession.rejectUnknownFlags(args, usage,
+      boolFlags = Set("watch-modified"), valueFlags = Set("encrypt-key"))
     val watchModified = args.contains("--watch-modified")
     val encryptKey = AppSession.flagValue(args, "encrypt-key")
     val positional = args.filterNot(_.startsWith("--"))
-    AppSession.require(positional.length >= 2,
-      "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified] [--encrypt-key=K]")
+    AppSession.require(positional.length >= 2, usage)
     val Array(srcDir, topicDir, rest @ _*) = positional: @unchecked
     val chunkSize = rest.headOption.map(_.toInt).getOrElse(graft.core.Chunker.DefaultChunkSize)
     val spark = AppSession.make("graft-upload")
@@ -92,11 +113,13 @@ object UploadDirectoryApp {
   * verified manifests land in `<outDir>/_manifests`. */
 object DownloadDirectoryApp {
   def main(args: Array[String]): Unit = {
+    val usage = "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode] [--decrypt-key=K]"
+    AppSession.rejectUnknownFlags(args, usage,
+      boolFlags = Set("disk-mode"), valueFlags = Set("decrypt-key"))
     val diskMode = args.contains("--disk-mode")
     val decryptKey = AppSession.flagValue(args, "decrypt-key")
     val positional = args.filterNot(_.startsWith("--"))
-    AppSession.require(positional.length == 2,
-      "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode] [--decrypt-key=K]")
+    AppSession.require(positional.length == 2, usage)
     val Array(topicDir, outDir) = positional: @unchecked
     val spark = AppSession.make("graft-download")
     import spark.implicits._
@@ -203,14 +226,28 @@ object StreamProcessorApp {
 /** `ReproduceUndecryptableApp <dumpDir> <topicDir>` — S6 recovery tool
   * (reference tools/undecryptable_messages/reproduce_undecryptable_messages
   * .py:15-82): read the key/value `.bin` pairs a prior `--decrypt-key` run
-  * dumped under `<outDir>/_encrypted_messages`, and re-produce them to the
-  * topic in mtime order — run once the right key is finally available so a
-  * later `DownloadDirectoryApp --decrypt-key=K` pass can consume them. */
+  * dumped under `<outDir>/_encrypted_messages`, and re-produce them to a
+  * FRESH topic in mtime order — run once the right key is finally available
+  * so a later `DownloadDirectoryApp --decrypt-key=K` pass can consume them.
+  *
+  * The output topic must NOT be one written by a streaming query: a
+  * FileStreamSink topic carries a `_spark_metadata` commit log, and every
+  * streaming consumer of such a directory reads ONLY log-committed files —
+  * a plain batch append there would be silently invisible, turning the
+  * whole recovery into a no-op. The app refuses that footgun. */
 object ReproduceUndecryptableApp {
   def main(args: Array[String]): Unit = {
     AppSession.require(args.length == 2,
-      "ReproduceUndecryptableApp <dumpDir> <topicDir>")
+      "ReproduceUndecryptableApp <dumpDir> <freshTopicDir>")
     val Array(dumpDir, topicDir) = args: @unchecked
+    if (new java.io.File(topicDir, "_spark_metadata").exists()) {
+      System.err.println(
+        s"refusing to append to '$topicDir': it has a _spark_metadata " +
+        "FileStreamSink log, so streaming consumers would never see batch-" +
+        "appended files. Re-produce into a fresh topic dir and point the " +
+        "downstream consumer at it.")
+      sys.exit(1)
+    }
     val spark = AppSession.make("graft-reproduce-undecryptable")
     graft.streaming.WireCrypto.reproduceUndecryptable(spark, dumpDir)
       .select("key", "value")
@@ -275,8 +312,18 @@ object ObjectStoreTransferApp {
     val wire = spark.readStream
       .schema("key STRING, value BINARY")
       .parquet(topicDir)
-    val good = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
-      .filter(_.error == null).map(_.chunk.get)
+    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
+    val good = decoded.filter(_.error == null).map(_.chunk.get)
+    // same quarantine contract as the sibling apps: corrupt messages leave
+    // a queryable trail instead of silently shrinking the registry
+    val qBad = decoded.filter(_.error != null)
+      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$registryDir/_quarantine")
+      .option("checkpointLocation", s"$registryDir/_checkpoint_quarantine")
+      .trigger(Trigger.AvailableNow())
+      .start()
     val q = AssemblyStream.assemble(good, timeoutMs = 0)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.batch.AssembledFile],
@@ -290,6 +337,7 @@ object ObjectStoreTransferApp {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    qBad.awaitTermination()
     spark.stop()
   }
 }

@@ -53,15 +53,32 @@ object SafePaths {
     *
     * [[resolveUnder]] alone is lexical (normalize + startsWith), so a
     * pre-existing symlink under the root could still redirect the write
-    * outside it. Defense in depth: after creating the parent, resolve it to
-    * its real path (links followed) and re-check containment against the
-    * root's real path. */
+    * outside it. Defense in depth, BEFORE any directory is created:
+    * every already-existing component on the path — including the LEAF,
+    * which a later `Files.write` would happily follow — must not be a
+    * symlink whose real path escapes the root. Checking before mkdirs also
+    * stops `createDirectories` itself from materializing directories on the
+    * far side of a symlinked ancestor. */
   def resolveUnderMkdirs(rootDir: String, rel: String): Path = {
     val p = resolveUnder(rootDir, rel)
+    val root = Paths.get(rootDir).toAbsolutePath.normalize
+    if (Files.exists(root)) {
+      val realRoot = root.toRealPath()
+      var cur = root
+      val it = root.relativize(p).iterator()
+      while (it.hasNext) {
+        cur = cur.resolve(it.next())
+        if (Files.isSymbolicLink(cur)) {
+          // a dangling link (toRealPath throws) is just as unsafe — the
+          // attacker controls where it will point; fail closed either way
+          val real = try cur.toRealPath()
+            catch { case _: java.io.IOException => null }
+          if (real == null || !real.startsWith(realRoot))
+            throw new UnsafeRelPath(rel)
+        }
+      }
+    }
     Files.createDirectories(p.getParent)
-    val realRoot = Paths.get(rootDir).toRealPath()
-    val realParent = p.getParent.toRealPath()
-    if (!realParent.startsWith(realRoot)) throw new UnsafeRelPath(rel)
     p
   }
 }

@@ -50,11 +50,19 @@ object TextOps {
   /** LSH bands per doc: 8 minhashes in ONE aggregation pass (no seed cross
     * join — an 8x input blowup and an extra shuffle at 100 TB), 4 bands of
     * 2 rows exploding from the single row per doc. Shared by x02 / x27. */
-  private def lshBands(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 8-slot MinHash signature vector `(doc_id, mh0..mh7)` — the ONE
+    * definition of the minhash scheme (seed format, hash), shared by the
+    * band derivation (x02/x27) and the accuracy audit (x43) so the scheme
+    * can never silently diverge between them. */
+  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
     val sh = wordShingles(spark, dir)
     val mhCols = (0 until 8).map(s =>
       min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
-    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  private def lshBands(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashes(spark, dir)
     mh.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         concat(col(s"mh$b"), col(s"mh${b + 4}")).as("sig"))): _*)).as("bs"))
@@ -755,11 +763,14 @@ object TextOps {
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
     (spark, dir) =>
       val sh = wordShingles(spark, dir, 3)
-      // benchmark side is ~1% of the corpus and feeds two actions (bloom
-      // build + verify join): persist it once. Bloom capacity is a fixed
-      // overestimate, NOT a count() action — undersizing only raises fpp,
-      // and the exact verify join makes fpp a latency knob, not correctness.
-      val bench = sh.filter(col("doc_id") % 97 === 0).select("g").distinct().persist()
+      // benchmark side is ~1% of the corpus (filter pushes to the scan) and
+      // feeds two actions (bloom build + verify join); recomputing the tiny
+      // slice beats leaking an unevictable cached frame per invocation —
+      // a lazily-returned DataFrame has no safe unpersist point. Bloom
+      // capacity is a fixed overestimate, NOT a count() action: undersizing
+      // only raises fpp, and the exact verify join makes fpp a latency
+      // knob, not a correctness one.
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
       val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
       val mightContain = udf((g: String) => g != null && bloom.mightContain(g))
       sh.filter(col("doc_id") % 97 =!= 0)
@@ -885,12 +896,9 @@ object TextOps {
       // ReuseExchange computes each repeated subtree (the signature agg
       // feeding bands/m1/m2, the shingle scan) once per shuffle boundary;
       // an explicit persist() only cuts the codegen pipeline (x31 measured
-      // slower with one). Contrast x39, where the Bloom build is a separate
-      // ACTION and its input legitimately persists.
+      // slower with one)
       val sh = wordShingles(spark, dir)
-      val mhCols = (0 until 8).map(s =>
-        min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
-      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val mh = minhashes(spark, dir)
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
           concat(col(s"mh$b"), col(s"mh${b + 4}")).as("sig"))): _*)).as("bs"))

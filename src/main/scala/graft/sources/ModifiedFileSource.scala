@@ -172,9 +172,13 @@ class ModifiedFileStream(root: String, lagMs: Long, maxFilesPerBatch: Int = 0,
       maxFiles: Int, maxBytes: Long = Long.MaxValue): DirStateOffset = {
     if (maxFiles == Int.MaxValue && maxBytes == Long.MaxValue) return target
     val before = start.files
+    // oldest modification first (path as tiebreak) — the reference queue's
+    // FIFO-by-arrival: a file churning every few seconds keeps getting a
+    // NEWER mtime, so it can never indefinitely starve a once-modified
+    // file behind it (pure path order could)
     val changed = target.files.toSeq
       .filter { case (p, fp) => !before.get(p).contains(fp) }
-      .sortBy(_._1)
+      .sortBy { case (p, (mt, _)) => (mt, p) }
     val admitted = scala.collection.mutable.Map.empty[String, (Long, Long)]
     var bytes = 0L
     var stop = false

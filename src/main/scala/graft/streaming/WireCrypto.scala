@@ -65,6 +65,12 @@ object WireCrypto {
     override def process(r: Row): Unit = {
       val key = Option(r.getAs[String]("key")).getOrElse("")
       val value = r.getAs[Array[Byte]]("value")
+      if (value == null) {
+        // a null-valued row carries nothing to recover; skipping it beats
+        // an NPE that would poison the dead-letter query on every restart
+        System.err.println(s"[UndecryptableDumpWriter] null value skipped (key='$key')")
+        return
+      }
       val base = java.security.MessageDigest.getInstance("SHA-256")
         .digest(value).map("%02x".format(_)).mkString
       Files.write(Paths.get(dir, s"$base.key.bin"), key.getBytes("UTF-8"),

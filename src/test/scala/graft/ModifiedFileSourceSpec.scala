@@ -179,17 +179,28 @@ class ModifiedFileSourceSpec extends AnyFunSuite {
 
   test("admission cap defers modified files without losing their old state") {
     // direct offset-level check: 3 changed files, cap 2 → the deferred one
-    // keeps its previous fingerprint (still pending), deletions apply now
+    // keeps its previous fingerprint (still pending), deletions apply now.
+    // Order is OLDEST MTIME first (anti-starvation FIFO), path as tiebreak.
     val stream = new graft.sources.ModifiedFileStream("/unused", 0L, 2)
     val before = DirStateOffset(Map(
       "/d/a" -> (1L, 1L), "/d/b" -> (1L, 1L), "/d/gone" -> (1L, 1L)))
     val target = DirStateOffset(Map(
       "/d/a" -> (2L, 2L), "/d/b" -> (2L, 2L), "/d/new" -> (1L, 1L)))
     val end = stream.admit(before, target, 2)
-    // path order: /d/a, /d/b admitted; /d/new deferred (absent); gone deleted
-    assert(end.files == Map("/d/a" -> (2L, 2L), "/d/b" -> (2L, 2L)))
+    // mtime order: /d/new (mt 1) then /d/a (mt 2, path tiebreak) admitted;
+    // /d/b deferred with its OLD fingerprint; gone deleted
+    assert(end.files == Map(
+      "/d/new" -> (1L, 1L), "/d/a" -> (2L, 2L), "/d/b" -> (1L, 1L)))
     val end2 = stream.admit(end, target, 2)
     assert(end2.files == target.files) // second batch drains the deferred file
+    // anti-starvation: a file churning to ever-newer mtimes cannot push an
+    // older one-shot change out of the batch
+    val churnTarget = DirStateOffset(Map(
+      "/d/a" -> (100L, 3L), "/d/z" -> (5L, 1L)))
+    val churnEnd = stream.admit(DirStateOffset(Map("/d/a" -> (1L, 1L))),
+      churnTarget, 1)
+    assert(churnEnd.files.get("/d/z").contains((5L, 1L)),
+      "oldest modification must admit first")
   }
 
   test("a file deleted between scan and read yields zero rows, not a poisoned batch") {
