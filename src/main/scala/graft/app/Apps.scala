@@ -76,18 +76,23 @@ object AppSession {
 object UploadDirectoryApp {
   def main(args: Array[String]): Unit = {
     val usage =
-      "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified] [--encrypt-key=K]"
+      "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified] " +
+      "[--encrypt-key=K] [--max-files-per-trigger=N] [--max-bytes-per-trigger=B]"
     AppSession.rejectUnknownFlags(args, usage,
-      boolFlags = Set("watch-modified"), valueFlags = Set("encrypt-key"))
+      boolFlags = Set("watch-modified"),
+      valueFlags = Set("encrypt-key", "max-files-per-trigger", "max-bytes-per-trigger"))
     val watchModified = args.contains("--watch-modified")
     val encryptKey = AppSession.flagValue(args, "encrypt-key")
+    val maxFiles = AppSession.flagValue(args, "max-files-per-trigger").map(_.toInt).getOrElse(0)
+    val maxBytes = AppSession.flagValue(args, "max-bytes-per-trigger").map(_.toLong).getOrElse(0L)
     val positional = args.filterNot(_.startsWith("--"))
     AppSession.require(positional.length >= 2, usage)
     val Array(srcDir, topicDir, rest @ _*) = positional: @unchecked
     val chunkSize = rest.headOption.map(_.toInt).getOrElse(graft.core.Chunker.DefaultChunkSize)
     val spark = AppSession.make("graft-upload")
     val plainWire =
-      if (watchModified) Pipelines.uploadDirectoryStreamModified(spark, srcDir, chunkSize)
+      if (watchModified) Pipelines.uploadDirectoryStreamModified(spark, srcDir, chunkSize,
+        maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
       else Pipelines.uploadDirectoryStream(spark, srcDir, chunkSize)
     // C4 chained serde: pack → encrypt (reference CompoundSerDes shape)
     val wire = encryptKey.fold(plainWire)(k =>

@@ -61,13 +61,21 @@ object Pipelines {
       spark: SparkSession,
       dir: String,
       chunkSize: Int = Chunker.DefaultChunkSize,
-      lagMs: Long = 3000L): DataFrame = {
+      lagMs: Long = 3000L,
+      maxFilesPerTrigger: Int = 0,
+      maxBytesPerTrigger: Long = 0L): DataFrame = {
     import spark.implicits._
-    val files = spark.readStream
+    // admission caps = the reference's bounded upload queue (depth in
+    // files, DEFAULT_MAX_UPLOAD_QUEUE_MEGABYTES=500 in bytes); 0 = uncapped
+    val reader = spark.readStream
       .format(classOf[graft.sources.ModifiedFileProvider].getName)
       .option("path", dir)
       .option("lagMs", lagMs.toString)
-      .load()
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    if (maxBytesPerTrigger > 0)
+      reader.option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
+    val files = reader.load()
     val root = new java.io.File(
       dir.stripPrefix("file://").stripPrefix("file:")).getAbsolutePath.stripSuffix("/")
     val chunks = files
