@@ -42,6 +42,43 @@ object AppSession {
       }
     }
 
+  /** Shared consume preamble: read the file-backed topic, decode with
+    * dead-letter routing, and start the `_quarantine` sink under `baseDir`
+    * — one corrupt message must never poison a checkpointed query, and
+    * every app leaves the same queryable trail. Returns the good chunks
+    * and the quarantine query to await. */
+  def consumeWithQuarantine(spark: SparkSession, topicDir: String, baseDir: String):
+      (org.apache.spark.sql.Dataset[ChunkRow],
+       org.apache.spark.sql.streaming.StreamingQuery) = {
+    import spark.implicits._
+    val wire = spark.readStream
+      .schema("key STRING, value BINARY")
+      .parquet(topicDir)
+    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
+    decodedWithQuarantine(decoded, baseDir)
+  }
+
+  /** Same quarantine contract for callers that pre-process the wire (e.g.
+    * decrypt) before decoding. */
+  def decodedWithQuarantine(
+      decoded: org.apache.spark.sql.Dataset[graft.batch.ChunkPipeline.DecodeResult],
+      baseDir: String):
+      (org.apache.spark.sql.Dataset[ChunkRow],
+       org.apache.spark.sql.streaming.StreamingQuery) = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val good = decoded.filter(_.error == null).map(_.chunk.get)
+    val qBad = decoded.filter(_.error != null)
+      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$baseDir/_quarantine")
+      .option("checkpointLocation", s"$baseDir/_checkpoint_quarantine")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    (good, qBad)
+  }
+
   def make(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
@@ -147,16 +184,8 @@ object DownloadDirectoryApp {
         .start())
       ok
     }
-    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
-    val good = decoded.filter(_.error == null).map(_.chunk.get)
-    val bad = decoded.filter(_.error != null)
-      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
-    val qBad = bad.writeStream
-      .format("parquet")
-      .option("path", s"$outDir/_quarantine")
-      .option("checkpointLocation", s"$outDir/_checkpoint_quarantine")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val (good, qBad) = AppSession.decodedWithQuarantine(
+      graft.batch.ChunkPipeline.decodeOrDeadLetter(wire), outDir)
     // per-mode checkpoints: buffered (AsmBuf state, foreach sink) and disk
     // mode (DiskState, parquet sink) are schema-incompatible — resuming one
     // mode's checkpoint with the other fails confusingly
@@ -194,21 +223,7 @@ object StreamProcessorApp {
     val Array(topicDir, registryDir) = args: @unchecked
     val spark = AppSession.make("graft-processor")
     import spark.implicits._
-    val wire = spark.readStream
-      .schema("key STRING, value BINARY")
-      .parquet(topicDir)
-    // dead-letter like the download app: a single corrupt message must not
-    // become a poison pill that refails the checkpointed query forever
-    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
-    val chunks = decoded.filter(_.error == null).map(_.chunk.get)
-    val qBad = decoded.filter(_.error != null)
-      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
-      .writeStream
-      .format("parquet")
-      .option("path", s"$registryDir/_quarantine")
-      .option("checkpointLocation", s"$registryDir/_checkpoint_quarantine")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val (chunks, qBad) = AppSession.consumeWithQuarantine(spark, topicDir, registryDir)
     val processed = AssemblyStream.assemble(chunks, timeoutMs = 0)
       .map { f =>
         val sha = if (f.data == null) null
@@ -272,20 +287,7 @@ object MetadataReproducerApp {
       "MetadataReproducerApp <topicDir> <outTopicDir>")
     val Array(topicDir, outTopicDir) = args: @unchecked
     val spark = AppSession.make("graft-metadata-reproducer")
-    import spark.implicits._
-    val wire = spark.readStream
-      .schema("key STRING, value BINARY")
-      .parquet(topicDir)
-    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
-    val good = decoded.filter(_.error == null).map(_.chunk.get)
-    val qBad = decoded.filter(_.error != null)
-      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
-      .writeStream
-      .format("parquet")
-      .option("path", s"$outTopicDir/_quarantine")
-      .option("checkpointLocation", s"$outTopicDir/_checkpoint_quarantine")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val (good, qBad) = AppSession.consumeWithQuarantine(spark, topicDir, outTopicDir)
     val results = graft.streaming.Reproducer.resultMessages(
       AssemblyStream.assemble(good, timeoutMs = 0))
     val q = results.writeStream
@@ -313,22 +315,7 @@ object ObjectStoreTransferApp {
       "ObjectStoreTransferApp <topicDir> <baseUri> <topic> <registryDir>")
     val Array(topicDir, baseUri, topic, registryDir) = args: @unchecked
     val spark = AppSession.make("graft-objectstore-transfer")
-    import spark.implicits._
-    val wire = spark.readStream
-      .schema("key STRING, value BINARY")
-      .parquet(topicDir)
-    val decoded = graft.batch.ChunkPipeline.decodeOrDeadLetter(wire)
-    val good = decoded.filter(_.error == null).map(_.chunk.get)
-    // same quarantine contract as the sibling apps: corrupt messages leave
-    // a queryable trail instead of silently shrinking the registry
-    val qBad = decoded.filter(_.error != null)
-      .map(d => (d.key, d.value, d.error)).toDF("key", "value", "error")
-      .writeStream
-      .format("parquet")
-      .option("path", s"$registryDir/_quarantine")
-      .option("checkpointLocation", s"$registryDir/_checkpoint_quarantine")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val (good, qBad) = AppSession.consumeWithQuarantine(spark, topicDir, registryDir)
     val q = AssemblyStream.assemble(good, timeoutMs = 0)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.batch.AssembledFile],
