@@ -928,6 +928,46 @@ object TextOps {
         .orderBy("id1", "id2")
   }
 
+  /** x45: dedup report — the cluster-size histogram a dedup pass publishes
+    * (how many singletons, pairs, larger families, plus the row-reduction
+    * it implies). Reuses x37's transitive closure; the histogram is two
+    * tiny map-side-combining aggregations over one row per doc, so the
+    * report costs nothing beyond the closure itself at any scale. */
+  val x45 = DQ("x45_dedup_summary", Some(
+    s"""WITH RECURSIVE $lshBandsCte,
+       |bmin AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) AS bm
+       |  FROM bands),
+       |star AS (SELECT DISTINCT doc_id AS src, bm AS dst FROM bmin WHERE doc_id <> bm),
+       |edges AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+       |reach(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+       |labels AS (SELECT doc_id, min(lab) AS rep FROM reach GROUP BY doc_id),
+       |clusters AS (SELECT rep, count(*) AS sz FROM labels GROUP BY rep)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |       count(*) AS n_clusters,
+       |       CAST(sz * count(*) AS BIGINT) AS n_docs
+       |FROM clusters GROUP BY sz ORDER BY cluster_size""".stripMargin)) {
+    (spark, dir) =>
+      val bands = lshBands(spark, dir)
+      val w = Window.partitionBy("band", "sig")
+      val star = bands.withColumn("bm", min("doc_id").over(w))
+        .filter(col("doc_id") =!= col("bm"))
+        .select(col("doc_id").as("src"), col("bm").as("dst")).distinct()
+      val edges = star.unionByName(
+        star.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = table(spark, dir, "documents").select(col("doc_id").as("id"))
+      graft.batch.Components.minLabelFixpoint(nodes, edges)
+        .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
-    x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43)
+    x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
+    x45)
 }
