@@ -57,6 +57,26 @@ class WireCryptoSpec extends AnyFunSuite {
     assert(dead.count() == wireOf("b", 3).count())
   }
 
+  test("zero-byte and tiny payloads through the encrypted pipeline") {
+    import spark.implicits._
+    // reference semantics: an empty file yields ZERO chunks (n_chunks =
+    // ceil(0/size) = 0, upload_data_file.py:230-304) so it never appears
+    // downstream; a 1-byte file is one chunk and must survive
+    // encrypt → decrypt → unpack → assemble byte-identically
+    val files = spark.createDataset(Seq(
+      ("empty.bin", "", Array.empty[Byte], Option(1.0)),
+      ("one.bin", "", Array[Byte](42), Option(1.0))))
+    val wire = ChunkPipeline.encode(ChunkPipeline.chunkFiles(files, 64))
+    val (ok, dead) = WireCrypto.splitDecrypted(
+      WireCrypto.encryptValues(wire, keyA), keyA)
+    assert(dead.count() == 0)
+    val assembled = ChunkPipeline.assemble(ChunkPipeline.decode(ok))
+      .collect().map(f => f.filename -> f).toMap
+    assert(!assembled.contains("empty.bin"), "empty file must emit no chunks")
+    assert(assembled("one.bin").code == graft.core.Assembly.Code.Complete)
+    assert(assembled("one.bin").data.toSeq == Seq(42.toByte))
+  }
+
   test("malformed keys fail fast; an empty dump dir reproduces zero rows") {
     assertThrows[IllegalArgumentException](
       WireCrypto.encryptValues(wireOf("a", 1), "short".getBytes))
