@@ -41,14 +41,22 @@ object Bench {
     }
     // A broken query must not masquerade as a fast one: failures are null in
     // the per-query map, listed in "failed", and flip the exit code.
+    // The line is kept deliberately compact (adaptive decimals, sf basename,
+    // failed list only when non-empty): the harness snapshots only the last
+    // ~2000 chars of output, and the JSON plus sbt's "[success]" trailer must
+    // fit inside that window to be parseable.
+    def fmt(v: Double): String =
+      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
     val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
+      "\"" + k + "\":" + (if (ok) fmt(v) else "null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = f"${results.collect { case (_, v, true) => v }.sum}%.3f"
+    val failedNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed =
+      if (failedNames.isEmpty) "" else failedNames.mkString(""""failed":[""", ",", "],")
+    val total = fmt(results.collect { case (_, v, true) => v }.sum)
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$failed"sf":"$sfName"}"""
     println(json)
     // stdout passes through sbt's logger with an [info] prefix, which breaks
     // naive line parsers — also drop the bare JSON at a well-known path.

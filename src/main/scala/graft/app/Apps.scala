@@ -122,6 +122,12 @@ object UploadDirectoryApp {
     val encryptKey = AppSession.flagValue(args, "encrypt-key")
     val maxFiles = AppSession.flagValue(args, "max-files-per-trigger").map(_.toInt).getOrElse(0)
     val maxBytes = AppSession.flagValue(args, "max-bytes-per-trigger").map(_.toLong).getOrElse(0L)
+    // Admission caps are a property of the modified-files source; the plain
+    // availableNow batch path has no trigger loop to cap. Accepting them
+    // there would silently upload everything — exactly the ignored-flag
+    // failure mode rejectUnknownFlags exists to prevent, so fail fast.
+    AppSession.require(watchModified || (maxFiles == 0 && maxBytes == 0),
+      "--max-files-per-trigger/--max-bytes-per-trigger require --watch-modified\n" + usage)
     val positional = args.filterNot(_.startsWith("--"))
     AppSession.require(positional.length >= 2, usage)
     val Array(srcDir, topicDir, rest @ _*) = positional: @unchecked
@@ -269,8 +275,13 @@ object ReproduceUndecryptableApp {
       sys.exit(1)
     }
     val spark = AppSession.make("graft-reproduce-undecryptable")
+    // coalesce(1): downstream consumers list topic files in no particular
+    // order, so the documented mtime-order replay only survives the write if
+    // it lands as ONE sorted file. Dead letters are rare by construction —
+    // a single-task write here is the point, not a bottleneck.
     graft.streaming.WireCrypto.reproduceUndecryptable(spark, dumpDir)
       .select("key", "value")
+      .coalesce(1)
       .write.mode("append").parquet(topicDir)
     spark.stop()
   }

@@ -13,8 +13,10 @@ import graft.batch.AssembledFile
   * reference's per-message broker-ACK registry and recompute-on-failure
   * loop collapse into the sink's checkpointed microbatch commit.
   *
-  * Result key mirrors `entity/reproducer_message.py:16-25`:
-  * `{rel_filepath with /→_}_processing_result`; value is the metadata JSON
+  * Result key mirrors `entity/reproducer_message.py:16-25`, which builds
+  * `get_message_prepend(subdir, filename) + "_processing_result"`; the
+  * prepend (utilities.py:59-64) itself ends in `_chunk`, so the wire key is
+  * `{rel_filepath with /→_}_chunk_processing_result`; value is the metadata JSON
   * (metadata_json_message.py:8-24): file identity, size, chunk count,
   * sha512, mtime, plus `k: v` header lines parsed from the payload head
   * when it is text (the XRD-CSV example's header-block shape,
@@ -43,7 +45,7 @@ object Reproducer {
     completed
       .filter(_.code == graft.core.Assembly.Code.Complete)
       .map { f =>
-        val key = f.rel_filepath.replace("/", "_") + "_processing_result"
+        val key = f.rel_filepath.replace("/", "_") + "_chunk_processing_result"
         val headers = headerMeta(f.data)
         val sha = if (f.file_hash == null) ""
           else f.file_hash.map("%02x".format(_)).mkString

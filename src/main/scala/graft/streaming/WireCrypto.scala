@@ -55,9 +55,11 @@ object WireCrypto {
 
   /** Dead-letter sink matching the reference's on-disk shape: each
     * undecryptable message becomes a `<base>.key.bin` / `<base>.value.bin`
-    * pair under `dir`, where `base` is the sha256 of the ciphertext (stable
-    * under at-least-once replay — a duplicate delivery rewrites the same
-    * pair). Expects rows with string `key` and binary `value` columns. */
+    * pair under `dir`, where `base` is the sha256 of key-bytes‖ciphertext
+    * (stable under at-least-once replay — a duplicate delivery rewrites the
+    * same pair — while two records that share a ciphertext but differ in
+    * Kafka key keep distinct pairs). Expects rows with string `key` and
+    * binary `value` columns. */
   final class UndecryptableDumpWriter(dir: String) extends ForeachWriter[Row] {
     override def open(partitionId: Long, epochId: Long): Boolean = {
       Files.createDirectories(Paths.get(dir)); true
@@ -71,8 +73,10 @@ object WireCrypto {
         System.err.println(s"[UndecryptableDumpWriter] null value skipped (key='$key')")
         return
       }
-      val base = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(value).map("%02x".format(_)).mkString
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(key.getBytes("UTF-8"))
+      md.update(value)
+      val base = md.digest().map("%02x".format(_)).mkString
       Files.write(Paths.get(dir, s"$base.key.bin"), key.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       Files.write(Paths.get(dir, s"$base.value.bin"), value,

@@ -7,7 +7,8 @@ import graft.batch.ChunkPipeline
 import graft.streaming.Reproducer
 
 /** G4/G5 reproducer: completed files map to result messages keyed
-  * `{rel_filepath /→_}_processing_result` with a metadata-JSON value —
+  * `{rel_filepath /→_}_chunk_processing_result` (the reference's
+  * get_message_prepend ends in `_chunk`) with a metadata-JSON value —
   * size, chunk count, sha512, mtime, and `k: v` header lines parsed from
   * text payloads (reference data_file_stream_reproducer.py:65-297,
   * metadata_json_reproducer.py:12-98). */
@@ -38,7 +39,7 @@ class ReproducerSpec extends AnyFunSuite {
       .selectExpr("key", "CAST(value AS STRING) AS json").as[(String, String)].collect()
     assert(msgs.length == 1)
     val (key, json) = msgs.head
-    assert(key == "lab/a/report.csv".replace("/", "_") + "_processing_result")
+    assert(key == "lab/a/report.csv".replace("/", "_") + "_chunk_processing_result")
     assert(json.contains("\"rel_filepath\":\"lab/a/report.csv\""))
     assert(json.contains(s""""size":${payload.length}"""))
     assert(json.contains("\"Mode\":\"fast\"") && json.contains("\"Cells\":\"9\""))

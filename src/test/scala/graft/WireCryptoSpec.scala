@@ -109,4 +109,20 @@ class WireCryptoSpec extends AnyFunSuite {
       replayed.select("key", "value"), keyB)
     assert(ok2.count() == rows.length && dead2.count() == 0)
   }
+
+  test("dump naming folds the key in: same ciphertext, different keys, two pairs") {
+    val dump = Files.createTempDirectory("graft_dump_keys").toString
+    val value = Array[Byte](9, 9, 9)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("key STRING, value BINARY")
+    val w = new WireCrypto.UndecryptableDumpWriter(dump)
+    w.open(0L, 0L)
+    Seq("ka", "kb").foreach { k =>
+      w.process(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](k, value), schema))
+    }
+    w.close(null)
+    val names = new java.io.File(dump).list().toSeq
+    assert(names.count(_.endsWith(".key.bin")) == 2,
+      s"distinct keys with identical ciphertext must keep distinct pairs: $names")
+  }
 }
