@@ -314,5 +314,55 @@ object Similarity {
         .orderBy("id1", "rn")
   }
 
-  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44)
+  /** x48: int8 symmetric quantization audit — the compression step an
+    * embedding store runs before ANN serving (4× smaller vectors, SIMD int8
+    * dot products): per vector, scale = max|x|/127, qᵢ = clamp(round(xᵢ/
+    * scale)), plus the reconstruction-error mass Σ|xᵢ − qᵢ·scale|. Fully
+    * in-row (transform/aggregate HOFs — no explode, no shuffle, the scan
+    * streams through whole-stage codegen); rounding is pinned to
+    * floor(x+0.5) in BOTH engines (round() half-away vs half-even differs
+    * between them), and the error fold runs left-to-right in array order so
+    * the double sum is bit-identical before the 6 dp round. */
+  val x48 = DQ("x48_embed_quantize", Some(
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+      |           AS scale
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(embedding,
+      |           x -> greatest(-127, least(127,
+      |                  CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)))) AS qv,
+      |         list_transform(embedding,
+      |           x -> abs(CAST(x AS DOUBLE)
+      |                    - greatest(-127, least(127,
+      |                        CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)))
+      |                      * scale)) AS ev
+      |  FROM q)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |       CAST(list_min(qv) AS INT) AS qmin,
+      |       CAST(list_max(qv) AS INT) AS qmax,
+      |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+      |       round(list_aggregate(ev, 'sum'), 6) AS err
+      |FROM qq ORDER BY vec_id""".stripMargin)) {
+    (spark, dir) =>
+      def quant(x: Column, scale: Column): Column =
+        greatest(lit(-127), least(lit(127),
+          floor(x.cast("double") / scale + 0.5).cast("int")))
+      val q = table(spark, dir, "embeddings")
+        .withColumn("scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127)
+        .withColumn("qv", transform(col("embedding"), x => quant(x, col("scale"))))
+        .withColumn("ev", transform(col("embedding"),
+          x => abs(x.cast("double") - quant(x, col("scale")) * col("scale"))))
+      q.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          array_min(col("qv")).cast("int").as("qmin"),
+          array_max(col("qv")).cast("int").as("qmax"),
+          aggregate(col("qv"), lit(0L), (acc, v) => acc + v).as("qsum"),
+          round(aggregate(col("ev"), lit(0.0), (acc, v) => acc + v), 6).as("err"))
+        .orderBy("vec_id")
+  }
+
+  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48)
 }

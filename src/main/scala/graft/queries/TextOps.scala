@@ -967,7 +967,93 @@ object TextOps {
         .orderBy("cluster_size")
   }
 
+  /** x46: corpus-duplicated n-gram fraction — for each document, the share
+    * of its distinct word-8-grams that appear in at least one OTHER document
+    * (the RefinedWeb/Gopher "fraction of duplicated n-grams" boilerplate
+    * signal at corpus granularity; x30 measures repetition WITHIN a doc,
+    * this measures repetition ACROSS docs). Grams dedup inside the row
+    * ([[Core.wordNgrams]]), so the document-frequency aggregation
+    * map-side-combines; the gram→df join is co-partitioned with the groupBy
+    * that produced df, so only the final per-doc rollup adds an exchange.
+    * At 100 TB the gram column would be a 64-bit hash instead of the string
+    * (identical plan, 10× narrower shuffle). */
+  val x46 = DQ("x46_dup_ngram_frac", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |               unnest(generate_series(1, greatest(len(l)-7, 0))) AS i
+      |        FROM t0) t1),
+      |df AS (SELECT g, count(*) AS d FROM sh GROUP BY g)
+      |SELECT s.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS dup_frac
+      |FROM sh s JOIN df ON s.g = df.g
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val sh = wordShingles(spark, dir, 8)
+      val df = sh.groupBy("g").agg(count(lit(1)).as("d"))
+      val dup = sum(when(col("d") >= 2, 1).otherwise(0))
+      sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), dup.as("n_dup"),
+          round(dup.cast("double") / count(lit(1)), 6).as("dup_frac"))
+        .orderBy("doc_id")
+  }
+
+  /** x47: temperature-weighted language mixing — the multilingual
+    * corpus-balancing step: per-language sampling quotas ∝ count^0.5
+    * (alpha = 0.5 flattens the head so low-resource languages keep
+    * representation), then a deterministic md5-rank sample up to each
+    * quota (x36's mechanism with a DATA-DRIVEN cap). Everything numeric
+    * stays engine-exact: sqrt is IEEE-correctly-rounded, weights quantize
+    * to integer micro-units before the (order-sensitive) sum, and the
+    * quota rounds via floor(x+0.5). The count pass and the rank pass are
+    * the only shuffles; the quota table broadcasts. */
+  val x47 = DQ("x47_temperature_mix", Some(
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n,
+      |             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+      |      FROM c),
+      |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w),
+      |q AS (SELECT lang, n, CAST(floor(200.0 * wq / tw + 0.5) AS INT) AS quota
+      |      FROM w CROSS JOIN tot),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents),
+      |s AS (SELECT r.lang, count(*) AS n_sampled
+      |      FROM ranked r JOIN q ON r.lang = q.lang
+      |      WHERE r.rk <= q.quota GROUP BY r.lang)
+      |SELECT q.lang, CAST(q.n AS BIGINT) AS n_docs, q.quota,
+      |       CAST(s.n_sampled AS BIGINT) AS n_sampled
+      |FROM q JOIN s ON q.lang = s.lang ORDER BY q.lang""".stripMargin)) {
+    (spark, dir) =>
+      val docs = table(spark, dir, "documents")
+      val w = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("wq", floor(sqrt(col("n").cast("double")) * 1000000).cast("bigint"))
+      val tot = w.agg(sum("wq").as("tw"))
+      val q = w.crossJoin(broadcast(tot))
+        .withColumn("quota", floor(lit(200.0) * col("wq") / col("tw") + 0.5).cast("int"))
+      val rk = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val sampled = docs.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(rk))
+        .join(broadcast(q.select(col("lang"), col("quota"))), "lang")
+        .filter(col("rk") <= col("quota"))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      q.join(sampled, "lang")
+        .select(col("lang"), col("n").as("n_docs"), col("quota"), col("n_sampled"))
+        .orderBy("lang")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45)
+    x45, x46, x47)
 }
