@@ -1053,7 +1053,50 @@ object TextOps {
         .orderBy("lang")
   }
 
+  /** x49: broadcast-bin-edge curriculum assignment — the 100 TB path x41's
+    * Scaladoc promises, made concrete: instead of ntile's global
+    * per-stratum sort over the corpus, compute per-language quartile edges
+    * (three numbers per language — exact `percentile` here; at petabyte
+    * scale `approx_percentile`, same plan), BROADCAST them, and assign bins
+    * with a per-row comparison. The corpus is never sorted and never
+    * shuffled for the assignment — only the final per-(lang,bin) rollup
+    * aggregates. Quartile positions interpolate at exact quarter fractions
+    * of integers, so the edges — and every > comparison — are bit-identical
+    * across engines. */
+  val x49 = DQ("x49_quantile_bins", Some(
+    """WITH e AS (
+      |  SELECT lang,
+      |         quantile_cont(n_chars, 0.25) AS q1,
+      |         quantile_cont(n_chars, 0.50) AS q2,
+      |         quantile_cont(n_chars, 0.75) AS q3
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang,
+      |  CAST(1 + CASE WHEN d.n_chars > e.q1 THEN 1 ELSE 0 END
+      |         + CASE WHEN d.n_chars > e.q2 THEN 1 ELSE 0 END
+      |         + CASE WHEN d.n_chars > e.q3 THEN 1 ELSE 0 END AS INT) AS bin,
+      |  count(*) AS n,
+      |  CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(d.n_chars) AS BIGINT) AS max_chars
+      |FROM documents d JOIN e ON d.lang = e.lang
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) {
+    (spark, dir) =>
+      val docs = table(spark, dir, "documents")
+      val edges = docs.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.25)").as("q1"),
+        expr("percentile(n_chars, 0.50)").as("q2"),
+        expr("percentile(n_chars, 0.75)").as("q3"))
+      docs.join(broadcast(edges), "lang")
+        .withColumn("bin", (lit(1)
+          + when(col("n_chars") > col("q1"), 1).otherwise(0)
+          + when(col("n_chars") > col("q2"), 1).otherwise(0)
+          + when(col("n_chars") > col("q3"), 1).otherwise(0)).cast("int"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang", "bin")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47)
+    x45, x46, x47, x49)
 }

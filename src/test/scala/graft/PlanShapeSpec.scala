@@ -84,4 +84,22 @@ class PlanShapeSpec extends AnyFunSuite {
         s"${dq.name} lost its map-side partial aggregate:\n$p")
     }
   }
+
+  test("x48 int8 quantization is shuffle-free up to the output sort") {
+    val p = plan(graft.queries.Similarity.x48)
+    assert(!p.contains("hashpartitioning"),
+      s"x48 should compute fully in-row (only the final range sort):\n$p")
+  }
+
+  test("x47/x49 broadcast their tiny quota/edge tables, never sort the corpus") {
+    for (dq <- Seq(TextOps.x47, TextOps.x49)) {
+      val p = plan(dq)
+      assert(p.contains("BroadcastHashJoin"),
+        s"${dq.name} lost its broadcast join:\n$p")
+    }
+    // x49 is the no-global-sort replacement for x41's ntile: the only Window
+    // allowed anywhere is... none.
+    assert(!plan(TextOps.x49).contains("Window"),
+      "x49 must assign bins by broadcast edges, not a window rank")
+  }
 }
