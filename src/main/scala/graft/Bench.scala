@@ -46,8 +46,7 @@ object Bench {
     // ~2000 chars of output, and the JSON plus sbt's "[success]" trailer must
     // fit inside that window to be parseable.
     def fmt(v: Double): String =
-      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f"
-      else if (v >= 1) f"$v%.2f" else f"$v%.1f"
+      if (v >= 100) f"$v%.0f" else f"$v%.1f"
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) fmt(v) else "null")
     }.mkString("{", ",", "}")

@@ -973,10 +973,12 @@ object TextOps {
     * signal at corpus granularity; x30 measures repetition WITHIN a doc,
     * this measures repetition ACROSS docs). Grams dedup inside the row
     * ([[Core.wordNgrams]]), so the document-frequency aggregation
-    * map-side-combines; the gram→df join is co-partitioned with the groupBy
-    * that produced df, so only the final per-doc rollup adds an exchange.
-    * At 100 TB the gram column would be a 64-bit hash instead of the string
-    * (identical plan, 10× narrower shuffle). */
+    * map-side-combines. The corpus is shingled ONCE: the gram aggregation
+    * keeps an inverted list of the doc_ids alongside the count (documents
+    * per gram are few — the list is as narrow as the join it replaces),
+    * and exploding it back hands every doc its grams' df without a second
+    * shingle pass or a join. At 100 TB the gram column would be a 64-bit
+    * hash instead of the string (identical plan, 10× narrower shuffle). */
   val x46 = DQ("x46_dup_ngram_frac", Some(
     """WITH t0 AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -997,9 +999,10 @@ object TextOps {
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
     (spark, dir) =>
       val sh = wordShingles(spark, dir, 8)
-      val df = sh.groupBy("g").agg(count(lit(1)).as("d"))
+      val inv = sh.groupBy("g")
+        .agg(count(lit(1)).as("d"), collect_list(col("doc_id")).as("ids"))
       val dup = sum(when(col("d") >= 2, 1).otherwise(0))
-      sh.join(df, "g")
+      inv.select(col("d"), explode(col("ids")).as("doc_id"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), dup.as("n_dup"),
           round(dup.cast("double") / count(lit(1)), 6).as("dup_frac"))
@@ -1096,7 +1099,35 @@ object TextOps {
         .orderBy("lang", "bin")
   }
 
+  /** x50: per-source survivorship — the URL/source-canonicalization dedup
+    * step: one canonical document per source, chosen by QUALITY (longest
+    * doc, ties to the smaller doc_id) rather than x27's min-id. Spark-first
+    * argmax: `max_by` over a combined integer key (n_chars·10⁷ − doc_id —
+    * unique per doc, so the argmax is total and both engines agree without
+    * struct-ordering support), partial-merging hash aggregate, no window,
+    * no self-join. The per-source report carries the row/char reduction the
+    * dedup implies. */
+  val x50 = DQ("x50_source_survivor", Some(
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  arg_max(doc_id, n_chars * 10000000 - doc_id) AS survivor_id,
+      |  CAST(sum(n_chars) - max(n_chars) AS BIGINT) AS chars_dropped
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          max("n_chars").as("max_chars"),
+          max_by(col("doc_id"), col("n_chars") * 10000000L - col("doc_id"))
+            .as("survivor_id"),
+          (sum("n_chars") - max("n_chars")).as("chars_dropped"))
+        .orderBy("source")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49)
+    x45, x46, x47, x49, x50)
 }
