@@ -34,6 +34,60 @@ object AssemblyStream {
   private def tombstone(rel: String, name: String, s: Assembly.State): AsmBuf =
     AsmBuf(rel, name, s.fileHash, s.nTotal, s.mtime, Map.empty, completed = true)
 
+  /** Quarantine row for a timed-out partial buffer; tombstone expiry is
+    * silent (None). Shared by both stateful operators' eviction paths. */
+  def quarantineRow(b: AsmBuf): Option[AssembledFile] =
+    if (b.completed) None
+    else Some(AssembledFile(b.relFilepath, b.filename, Assembly.Code.InProgress,
+      b.buffered.size, b.buffered.valuesIterator.map(_.length.toLong).sum,
+      b.fileHash, b.mtime, null))
+
+  /** Pure fold of one microbatch's rows for a key: prior buffer → (emitted
+    * files, next buffer). ONE policy loop shared by the
+    * `flatMapGroupsWithState` operator ([[update]]) and the
+    * `transformWithState` port ([[AssemblyProcessor]]) — the two can never
+    * drift semantically because neither owns any assembly logic. */
+  def foldRows(key: String, prior: Option[AsmBuf], rows: Iterator[ChunkRow])
+      : (Seq[AssembledFile], Option[AsmBuf]) = {
+    var tomb: Option[AsmBuf] = prior.filter(_.completed)
+    var current: Option[Assembly.State] = prior.filterNot(_.completed).map(buf2state)
+    var filename: String = prior.map(_.filename).orNull
+    val emitted = Seq.newBuilder[AssembledFile]
+    rows.foreach { r =>
+      val c = r.toChunk
+      filename = c.filename
+      val dropAsCompletedDup = tomb.exists { t =>
+        Assembly.decide(t.fileHash, t.nTotal, t.mtime, c) != Assembly.AdoptNew
+      }
+      if (!dropAsCompletedDup) {
+        if (tomb.isDefined) tomb = None // newer generation supersedes tombstone
+        val (next, _) = Assembly.step(current, c)
+        current = Some(next)
+        if (next.complete) {
+          val (code, fileOpt) = Assembly.finish(key, c.filename, next)
+          fileOpt match {
+            case Some(f) =>
+              emitted += AssembledFile(f.relFilepath, f.filename, code, f.nChunks,
+                f.size, f.fileHash, f.fileMtime, f.data)
+              tomb = Some(tombstone(key, c.filename, next))
+            case None =>
+              // complete but hash-mismatched: surface and drop (reference
+              // registers mismatched_hash and relies on replay)
+              emitted += AssembledFile(key, c.filename, code, next.buffered.size,
+                next.buffered.valuesIterator.map(_.length.toLong).sum,
+                next.fileHash, next.mtime, null)
+          }
+          current = None
+        }
+      }
+    }
+    val nextBuf = (current, tomb) match {
+      case (Some(s), _) => Some(state2buf(key, filename, s))
+      case (None, t) => t
+    }
+    (emitted.result(), nextBuf)
+  }
+
   /** The per-group update function (pure policy + state-store plumbing). */
   def update(timeoutMs: Long)(
       key: String,
@@ -42,54 +96,16 @@ object AssemblyStream {
     if (state.hasTimedOut) {
       val b = state.get
       state.remove()
-      if (b.completed) Iterator.empty // tombstone expiry, nothing to report
-      else Iterator.single(AssembledFile(b.relFilepath, b.filename,
-        Assembly.Code.InProgress, b.buffered.size,
-        b.buffered.valuesIterator.map(_.length.toLong).sum, b.fileHash, b.mtime, null))
+      quarantineRow(b).iterator
     } else {
-      var tomb: Option[AsmBuf] = state.getOption.filter(_.completed)
-      var current: Option[Assembly.State] =
-        state.getOption.filterNot(_.completed).map(buf2state)
-      var filename: String = state.getOption.map(_.filename).orNull
-      val emitted = Seq.newBuilder[AssembledFile]
-      rows.foreach { r =>
-        val c = r.toChunk
-        filename = c.filename
-        val dropAsCompletedDup = tomb.exists { t =>
-          Assembly.decide(t.fileHash, t.nTotal, t.mtime, c) != Assembly.AdoptNew
-        }
-        if (!dropAsCompletedDup) {
-          if (tomb.isDefined) tomb = None // newer generation supersedes tombstone
-          val (next, _) = Assembly.step(current, c)
-          current = Some(next)
-          if (next.complete) {
-            val (code, fileOpt) = Assembly.finish(key, c.filename, next)
-            fileOpt match {
-              case Some(f) =>
-                emitted += AssembledFile(f.relFilepath, f.filename, code, f.nChunks,
-                  f.size, f.fileHash, f.fileMtime, f.data)
-                tomb = Some(tombstone(key, c.filename, next))
-              case None =>
-                // complete but hash-mismatched: surface and drop (reference
-                // registers mismatched_hash and relies on replay)
-                emitted += AssembledFile(key, c.filename, code, next.buffered.size,
-                  next.buffered.valuesIterator.map(_.length.toLong).sum,
-                  next.fileHash, next.mtime, null)
-            }
-            current = None
-          }
-        }
-      }
-      (current, tomb) match {
-        case (Some(s), _) =>
-          state.update(state2buf(key, filename, s))
+      val (emitted, nextBuf) = foldRows(key, state.getOption, rows)
+      nextBuf match {
+        case Some(b) =>
+          state.update(b)
           if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
-        case (None, Some(t)) =>
-          state.update(t)
-          if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
-        case (None, None) => if (state.exists) state.remove()
+        case None => if (state.exists) state.remove()
       }
-      emitted.result().iterator
+      emitted.iterator
     }
   }
 
