@@ -158,18 +158,28 @@ object UploadDirectoryApp {
   * ENCRYPTED_MESSAGES/ shape, data_file_download_directory.py:108-136).
   * `--disk-mode` selects the large-file path (reference `mode="disk"`):
   * payloads write straight to positioned offsets, state stays tiny, and
-  * verified manifests land in `<outDir>/_manifests`. */
+  * verified manifests land in `<outDir>/_manifests`. `--tws` runs the
+  * buffered reassembly on the `transformWithState` operator (RocksDB state
+  * store switched on automatically; own checkpoint dir). */
 object DownloadDirectoryApp {
   def main(args: Array[String]): Unit = {
-    val usage = "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode] [--decrypt-key=K]"
+    val usage =
+      "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode] [--tws] [--decrypt-key=K]"
     AppSession.rejectUnknownFlags(args, usage,
-      boolFlags = Set("disk-mode"), valueFlags = Set("decrypt-key"))
+      boolFlags = Set("disk-mode", "tws"), valueFlags = Set("decrypt-key"))
     val diskMode = args.contains("--disk-mode")
+    // --tws: run reassembly on the transformWithState operator instead of
+    // flatMapGroupsWithState (same shared policy fold). Requires the RocksDB
+    // state store, which we switch on here rather than fail confusingly.
+    val useTws = args.contains("--tws")
+    AppSession.require(!(diskMode && useTws), "--tws applies to buffered mode only\n" + usage)
     val decryptKey = AppSession.flagValue(args, "decrypt-key")
     val positional = args.filterNot(_.startsWith("--"))
     AppSession.require(positional.length == 2, usage)
     val Array(topicDir, outDir) = positional: @unchecked
     val spark = AppSession.make("graft-download")
+    if (useTws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
     val rawWire = spark.readStream
       .schema("key STRING, value BINARY")
@@ -204,14 +214,22 @@ object DownloadDirectoryApp {
           .option("checkpointLocation", s"$outDir/_checkpoint_download_disk")
           .trigger(Trigger.AvailableNow())
           .start()
-      else
-        AssemblyStream.assemble(good, timeoutMs = 0)
-          .writeStream
+      else {
+        val assembled =
+          if (useTws) graft.streaming.AssemblyStreamTws.assemble(good, timeoutMs = 0)
+          else AssemblyStream.assemble(good, timeoutMs = 0)
+        assembled.writeStream
           .foreach(new CompletedFileWriter(outDir))
           .outputMode("append")
-          .option("checkpointLocation", s"$outDir/_checkpoint_download")
+          // separate checkpoint per operator: their state schemas differ
+          // (AsmBuf map vs flattened arrays), so resuming one operator's
+          // checkpoint with the other must be impossible by construction
+          .option("checkpointLocation",
+            if (useTws) s"$outDir/_checkpoint_download_tws"
+            else s"$outDir/_checkpoint_download")
           .trigger(Trigger.AvailableNow())
           .start()
+      }
     q.awaitTermination()
     qBad.awaitTermination()
     qEncrypted.foreach(_.awaitTermination())
