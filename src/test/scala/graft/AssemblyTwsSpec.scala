@@ -112,4 +112,47 @@ class AssemblyTwsSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("partial state survives a restart from checkpoint (AsmBufTws roundtrip)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.batch.ChunkPipeline
+    import graft.streaming.CompletedFileWriter
+    import spark.implicits._
+    withRocksDb {
+      val rnd = new scala.util.Random(11)
+      val content = new Array[Byte](1100); rnd.nextBytes(content)
+      val chunks = Chunker.chunk("r.bin", "d", content, 256, Nil, Some(9.0)).map(ChunkRow(_))
+      val topic = Files.createTempDirectory("graft_tws_topic")
+      val out = Files.createTempDirectory("graft_tws_out")
+      val ckpt = Files.createTempDirectory("graft_tws_ckpt")
+
+      def runOnce(): Unit = {
+        val wire = spark.readStream.schema("key STRING, value BINARY")
+          .parquet(topic.toString)
+        val decoded = wire.select("value").as[Array[Byte]]
+          .map(b => ChunkRow(graft.core.ChunkCodec.unpack(b)))
+        val q = AssemblyStreamTws.assemble(decoded, timeoutMs = 0)
+          .writeStream
+          .foreach(new CompletedFileWriter(out.toString))
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+
+      // run 1: only the first chunks arrive — buffered state checkpoints
+      ChunkPipeline.encode(spark.createDataset(chunks.take(2)))
+        .write.mode("append").parquet(topic.toString)
+      runOnce()
+      assert(!Files.exists(out.resolve("d").resolve("r.bin")), "completed too early")
+      // run 2: the rest arrive — the restored AsmBufTws state must finish it
+      ChunkPipeline.encode(spark.createDataset(chunks.drop(2)))
+        .write.mode("append").parquet(topic.toString)
+      runOnce()
+      val written = Files.readAllBytes(out.resolve("d").resolve("r.bin"))
+      assert(written.toSeq == content.toSeq, "bytes differ after resume")
+    }
+  }
 }
