@@ -1127,7 +1127,59 @@ object TextOps {
         .orderBy("source")
   }
 
+  /** x51: content-defined chunking — the dedup-friendly chunker (FastCDC/
+    * rsync family): a chunk boundary falls wherever the hash of the 8-char
+    * window starting at that position has a `00` hex prefix (P=1/256 per
+    * position), so boundaries move WITH content and an insertion only
+    * reshapes nearby chunks instead of shifting every fixed-size chunk
+    * after it (T1 is the fixed-size reference chunker; this is its
+    * content-addressed sibling). Hash = md5 window prefix — the engine-
+    * portable stand-in for a rolling Rabin hash; everything computes
+    * in-row (no explode, no shuffle, scan → project → final sort). Guard:
+    * Spark's `sequence(1, n)` DESCENDS for n < 1, so short docs pin to an
+    * empty boundary list explicitly. */
+  val x51 = DQ("x51_cdc_chunks", Some(
+    """WITH p AS (
+      |  SELECT doc_id, length(text) AS n,
+      |         list_filter(generate_series(1, greatest(length(text)-7, 0)),
+      |                     i -> substring(md5(substring(text, i, 8)), 1, 2) = '00') AS pos
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n,
+      |         list_concat(list_concat([0], pos), [n]) AS bounds
+      |  FROM p),
+      |l AS (
+      |  SELECT doc_id, n,
+      |         list_transform(generate_series(1, len(bounds)-1),
+      |                        j -> bounds[j+1] - bounds[j]) AS lens
+      |  FROM b)
+      |SELECT doc_id,
+      |  CAST(len(lens) AS BIGINT) AS n_chunks,
+      |  CAST(list_min(lens) AS BIGINT) AS min_len,
+      |  CAST(list_max(lens) AS BIGINT) AS max_len,
+      |  round(CAST(n AS DOUBLE) / len(lens), 6) AS avg_len
+      |FROM l ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val t = col("text")
+      val pos = when(length(t) >= 8,
+        filter(sequence(lit(1), length(t) - 7),
+          i => substring(md5(t.substr(i, lit(8))), 1, 2) === "00"))
+        .otherwise(array().cast("array<int>"))
+      table(spark, dir, "documents")
+        .withColumn("n", length(t))
+        .withColumn("bounds",
+          concat(array(lit(0)), pos, array(col("n"))))
+        .withColumn("lens", transform(sequence(lit(1), size(col("bounds")) - 1),
+          j => element_at(col("bounds"), j + 1) - element_at(col("bounds"), j)))
+        .select(col("doc_id"),
+          size(col("lens")).cast("bigint").as("n_chunks"),
+          array_min(col("lens")).cast("bigint").as("min_len"),
+          array_max(col("lens")).cast("bigint").as("max_len"),
+          round(col("n").cast("double") / size(col("lens")), 6).as("avg_len"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50)
+    x45, x46, x47, x49, x50, x51)
 }
