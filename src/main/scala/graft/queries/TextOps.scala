@@ -1165,7 +1165,10 @@ object TextOps {
         filter(sequence(lit(1), length(t) - 7),
           i => substring(md5(t.substr(i, lit(8))), 1, 2) === "00"))
         .otherwise(array().cast("array<int>"))
-      table(spark, dir, "documents")
+      // one md5 per character position is the CPU-heavy per-row stage the
+      // spread helper exists for: the compact scan alone would pin it to
+      // 1-2 cores (x51 measured 4.1 s unspread vs sub-second spread)
+      spread(table(spark, dir, "documents"))
         .withColumn("n", length(t))
         .withColumn("bounds",
           concat(array(lit(0)), pos, array(col("n"))))
