@@ -20,8 +20,10 @@ object Dataflow {
     """SELECT doc_id, CAST(1 AS INT) AS ok FROM documents ORDER BY doc_id""")) {
     (spark, dir) =>
       import spark.implicits._
-      val files = table(spark, dir, "documents")
-        .select("doc_id", "text").as[(Long, String)]
+      // spread: the chunk+sha512+msgpack stage before the key repartition
+      // otherwise runs on the compact scan's 1-2 partitions
+      val files = spread(table(spark, dir, "documents").select("doc_id", "text"))
+        .as[(Long, String)]
         .map { case (id, text) =>
           (id.toString, "docs", text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             Some(1.0e9): Option[Double])
