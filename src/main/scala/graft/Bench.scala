@@ -47,8 +47,18 @@ object Bench {
     // fit inside that window to be parseable.
     def fmt(v: Double): String =
       if (v >= 100) f"$v%.0f" else f"$v%.1f"
+    // Per-query keys on stdout are the query-id prefix ("q01", "x51"); ids
+    // shared by two queries get the first letter of the next token appended
+    // ("q15a"/"q15r"). Full names stay in Verify/CORRECTNESS; the prefix is
+    // what keeps 80+ entries inside the 2000-char stdout window.
+    val ids = results.map(_._1.split('_')(0))
+    val dup = ids.groupBy(identity).collect { case (id, g) if g.length > 1 => id }.toSet
+    def shortKey(name: String): String = {
+      val parts = name.split('_')
+      if (dup(parts(0)) && parts.length > 1) parts(0) + parts(1).head else parts(0)
+    }
     val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) fmt(v) else "null")
+      "\"" + shortKey(k) + "\":" + (if (ok) fmt(v) else "null")
     }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val failed =

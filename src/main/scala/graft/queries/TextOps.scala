@@ -1182,7 +1182,117 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x52: cross-document chunk-level dedup over the x51 CDC boundaries — the
+    * storage dedup the content-defined chunker exists FOR (reference chunks
+    * files precisely so repeated content ships/stores once; cf. chunk hash
+    * use in `data_file_io/entity/data_file_chunk.py`). Every chunk hashes,
+    * the corpus groups by hash, and the result is the multiplicity histogram
+    * plus the bytes a dedup store would save at each multiplicity. Plan: one
+    * scan → in-row boundary/chunk derivation → explode → two hash
+    * aggregations (the second over ≤ a handful of multiplicity rows). At
+    * 100 TB this is THE chunk-store sizing query: the explode shuffles only
+    * (hash, len) pairs — 40 bytes/chunk, not the chunk bytes — and the
+    * md5 would swap for xxhash64 (same plan, engine-local hash). */
+  val x52 = DQ("x52_chunk_dedup", Some(
+    """WITH p AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |         list_filter(generate_series(1, greatest(length(text)-7, 0)),
+      |                     i -> substring(md5(substring(text, i, 8)), 1, 2) = '00') AS pos
+      |  FROM documents),
+      |b AS (SELECT text, list_concat(list_concat([0], pos), [n]) AS bounds FROM p),
+      |c AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(bounds)-1),
+      |                j -> substring(text, bounds[j]+1, bounds[j+1]-bounds[j]))) AS chunk
+      |  FROM b),
+      |h AS (SELECT md5(chunk) AS h, length(chunk) AS len, count(*) AS copies
+      |      FROM c GROUP BY 1, 2)
+      |SELECT CAST(copies AS BIGINT) AS copies,
+      |  CAST(count(*) AS BIGINT) AS n_hashes,
+      |  CAST(sum(len * (copies - 1)) AS BIGINT) AS bytes_saved
+      |FROM h GROUP BY copies ORDER BY copies""".stripMargin)) {
+    (spark, dir) =>
+      val t = col("text")
+      val pos = when(length(t) >= 8,
+        filter(sequence(lit(1), length(t) - 7),
+          i => substring(md5(t.substr(i, lit(8))), 1, 2) === "00"))
+        .otherwise(array().cast("array<int>"))
+      spread(table(spark, dir, "documents"))
+        .withColumn("bounds", concat(array(lit(0)), pos, array(length(t))))
+        .select(explode(transform(sequence(lit(1), size(col("bounds")) - 1),
+          j => t.substr(element_at(col("bounds"), j) + 1,
+            element_at(col("bounds"), j + 1) - element_at(col("bounds"), j))))
+          .as("chunk"))
+        .select(md5(col("chunk")).as("h"), length(col("chunk")).as("len"))
+        .groupBy("h", "len").agg(count(lit(1)).as("copies"))
+        .groupBy("copies")
+        .agg(count(lit(1)).as("n_hashes"),
+          sum(col("len").cast("bigint") * (col("copies") - 1)).as("bytes_saved"))
+        .orderBy("copies")
+  }
+
+  /** x53: n-gram document-frequency spectrum — how many word-8-grams occur
+    * in exactly d documents, with the incidence mass d·n_grams each level
+    * carries (the corpus-duplication fingerprint: a long d=1 tail is clean
+    * data, weight at d≥2 is boilerplate; the spectrum is what picks the df
+    * cutoffs x46's per-doc fraction then applies). Same single shingle pass
+    * as x46; the spectrum aggregation collapses the gram table to ≤ a few
+    * hundred rows before the final (trivial) sort. 100 TB: gram → 64-bit
+    * hash, and the df aggregation is the only full-width shuffle. */
+  val x53 = DQ("x53_gram_spectrum", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, l,
+      |               unnest(generate_series(1, greatest(len(l)-7, 0))) AS i
+      |        FROM t0) t1),
+      |df AS (SELECT g, count(*) AS d FROM sh GROUP BY g)
+      |SELECT CAST(d AS BIGINT) AS df,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(d * count(*) AS BIGINT) AS mass
+      |FROM df GROUP BY d ORDER BY df""".stripMargin)) {
+    (spark, dir) =>
+      wordShingles(spark, dir, 8)
+        .groupBy("g").agg(count(lit(1)).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_grams"))
+        .select(col("d").as("df"), col("n_grams"),
+          (col("d") * col("n_grams")).as("mass"))
+        .orderBy("df")
+  }
+
+  /** x54: unpivot/melt — the wide→long reshape (Spark `Dataset.unpivot`,
+    * the inverse of x20's pivot): per-language metric columns become
+    * (lang, metric, value) rows, the shape metric stores and plotting
+    * layers ingest. Oracle = portable UNION ALL (one branch per metric).
+    * All metrics cast to DOUBLE before melting — unpivot requires a common
+    * value type, and the sums here are small enough to be IEEE-exact.
+    * Scale: the aggregation is the only shuffle; the melt itself is a
+    * per-row expand of an already-tiny grouped result. */
+  val x54 = DQ("x54_unpivot_metrics", Some(
+    """WITH w AS (
+      |  SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs,
+      |         round(avg(n_chars), 6) AS avg_chars,
+      |         CAST(max(n_chars) AS DOUBLE) AS max_chars
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+      |UNION ALL SELECT lang, 'avg_chars' AS metric, avg_chars AS value FROM w
+      |UNION ALL SELECT lang, 'max_chars' AS metric, max_chars AS value FROM w
+      |ORDER BY lang, metric""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          max("n_chars").cast("double").as("max_chars"))
+        .unpivot(Array(col("lang")),
+          Array(col("n_docs"), col("avg_chars"), col("max_chars")),
+          "metric", "value")
+        .orderBy("lang", "metric")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50, x51)
+    x45, x46, x47, x49, x50, x51, x52, x53, x54)
 }

@@ -90,6 +90,57 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x52: chunk multiplicity histogram conserves chunks and prices the dedup") {
+    import spark.implicits._
+    val rows = TextOps.x52.run(spark, sf)
+      .select("copies", "n_hashes", "bytes_saved")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (copies, nHashes, saved) =>
+      assert(copies >= 1 && nHashes >= 1)
+      if (copies == 1) assert(saved == 0, "singleton chunks save nothing")
+      else assert(saved > 0, s"copies=$copies saved nothing")
+    }
+    // conservation: Σ copies·n_hashes == total chunks emitted by the chunker
+    val totalChunks = rows.map { case (c, n, _) => c * n }.sum
+    val fromX51 = TextOps.x51.run(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_chunks")).as[Long].head()
+    assert(totalChunks == fromX51, s"histogram $totalChunks != chunker $fromX51")
+  }
+
+  test("x53: df spectrum mass equals total (doc, gram) incidences") {
+    import spark.implicits._
+    val rows = TextOps.x53.run(spark, sf)
+      .select("df", "n_grams", "mass").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (df, n, mass) => assert(mass == df * n) }
+    // cross-check against x46's per-doc gram counts: Σ mass == Σ n_grams
+    val incidences = TextOps.x46.run(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_grams")).as[Long].head()
+    assert(rows.map(_._3).sum == incidences)
+    // and the duplicated share agrees with x46's corpus-wide n_dup
+    val dupFromSpectrum = rows.filter(_._1 >= 2).map(_._3).sum
+    val dupFromX46 = TextOps.x46.run(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_dup")).as[Long].head()
+    assert(dupFromSpectrum == dupFromX46)
+  }
+
+  test("x54: melt emits one row per (lang, metric) and values round-trip") {
+    import spark.implicits._
+    val rows = TextOps.x54.run(spark, sf)
+      .select("lang", "metric", "value").as[(String, String, Double)].collect()
+    val langs = graft.queries.Core.table(spark, sf, "documents")
+      .select("lang").distinct().as[String].collect().toSet
+    assert(rows.length == langs.size * 3)
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet == langs)
+    byLang.foreach { case (lang, ms) =>
+      val m = ms.map(r => r._2 -> r._3).toMap
+      assert(m.keySet == Set("n_docs", "avg_chars", "max_chars"), s"$lang metrics")
+      assert(m("n_docs") > 0 && m("max_chars") >= m("avg_chars"), s"$lang values")
+    }
+  }
+
   test("x50: the survivor really is the longest (ties to smaller id) per source") {
     import spark.implicits._
     val docs = graft.queries.Core.table(spark, sf, "documents")
