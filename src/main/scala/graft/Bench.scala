@@ -28,7 +28,11 @@ object Bench {
       SparkEntry.queries.get(name)
         .foreach(fn => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = subset of query names to time (profiling aid); the
+    // driver invokes with no args and times everything.
+    val wanted = if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+                 else SparkEntry.queries
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
