@@ -98,7 +98,11 @@ object Relational {
       |WHERE l_discount > 0.02
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)) {
     (spark, dir) =>
-      table(spark, dir, "lineitem").filter(col("l_discount") > 0.02)
+      // spread: the driver fixtures are single-row-group parquet, so the
+      // scan is one task and the whole broadcast-join+partial-agg pipeline
+      // above the first exchange would run on one core (13.4 s -> ~1.5 s).
+      spread(table(spark, dir, "lineitem").filter(col("l_discount") > 0.02)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
         .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -172,7 +176,9 @@ object Relational {
       // row_number — map-side combine collapses each event's candidates
       // before the shuffle. Tie-break (o_orderdate, o_orderkey) struct
       // ordering == the oracle's ORDER BY ... DESC, ... DESC rn=1.
-      table(spark, dir, "events")
+      // spread: single-row-group scan; the join probe + candidate fan-out
+      // (≈10 orders/event) must not run on one core.
+      spread(table(spark, dir, "events").select("event_id", "user_id", "ts"))
         .join(table(spark, dir, "orders"),
           col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
         .groupBy("event_id")
@@ -243,7 +249,12 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)) {
     (spark, dir) =>
-      table(spark, dir, "lineitem")
+      // spread before the partial aggregation: single-row-group input would
+      // otherwise run the whole 600k-row partial agg (incl. the distinct
+      // expand) on one core.
+      spread(table(spark, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_orderkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n"),
@@ -436,7 +447,9 @@ object Relational {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) {
     (spark, dir) =>
-      table(spark, dir, "orders")
+      // spread: the sort-based percentile partial agg is the CPU; one
+      // single-row-group scan task would run it alone.
+      spread(table(spark, dir, "orders").select("o_orderpriority", "o_totalprice"))
         .groupBy("o_orderpriority")
         .agg(
           round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
@@ -636,7 +649,8 @@ object Relational {
       |       CAST(staleness_days AS BIGINT) AS staleness_days
       |FROM pairs WHERE rn = 1 ORDER BY event_id""".stripMargin)) {
     (spark, dir) =>
-      table(spark, dir, "events")
+      // spread: same single-row-group rationale as q15_asof_join.
+      spread(table(spark, dir, "events").select("event_id", "user_id", "ts"))
         .join(table(spark, dir, "orders"),
           col("o_custkey") === col("user_id")
             && col("o_orderdate") <= col("ts")
@@ -652,7 +666,87 @@ object Relational {
         .orderBy("event_id")
   }
 
+  /** x56: bivariate aggregates — corr / covar / least-squares fit of price
+    * on quantity (the feature-correlation audit a curation pass runs before
+    * trusting a quality signal). Computed over the l_orderkey % 100 slice
+    * (bounded accumulation keeps the 4-dp rounding engine-stable; both
+    * engines use numerically-stable single-pass merges). Partial-merging
+    * hash agg — the same fixed-size-state shape as sum/avg, so it scales
+    * like q18, not like a sort. */
+  val x56 = DQ("x56_regr_corr", Some(
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS r,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem WHERE l_orderkey % 100 = 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+  }
+
+  /** x57: navigation window functions (q20's deferred leg): first/last/nth
+    * value over the per-customer full frame, plus percent_rank/cume_dist
+    * (frame-less rank functions). The (o_orderdate, o_orderkey) ordering is
+    * a total order per partition, so every value is deterministic; explicit
+    * UNBOUNDED..UNBOUNDED frames make first/last/nth engine-identical. */
+  val x57 = DQ("x57_window_nav", Some(
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER wf AS first_key,
+      |  last_value(o_orderkey) OVER wf AS last_key,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+      |  round(percent_rank() OVER wo, 6) AS prk,
+      |  round(cume_dist() OVER wo, 6) AS cd
+      |FROM orders
+      |WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)) {
+    (spark, dir) =>
+      val wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_orderkey").over(wf).as("first_key"),
+          last("o_orderkey").over(wf).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_key"),
+          round(percent_rank().over(wo), 6).as("prk"),
+          round(cume_dist().over(wo), 6).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** x58: JSON field extraction — `events.props` is a JSON string (the
+    * reference's metadata-JSON messages, metadata_json_reproducer.py shape);
+    * parse out `k` and aggregate. Per-row `get_json_object` inside the scan
+    * stage (codegen'd path extraction, no UDF), integer sums → engine-exact.
+    * At 100 TB the parse cost is the scan stage's CPU and nothing else
+    * changes: the exchange still carries only (event_type, partial sums). */
+  val x58 = DQ("x58_json_props", Some(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) {
+    (spark, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      table(spark, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21, x24, x25, x33, x34)
+    x21, x24, x25, x33, x34, x56, x57, x58)
 }

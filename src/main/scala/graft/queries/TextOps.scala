@@ -1292,7 +1292,36 @@ object TextOps {
         .orderBy("lang", "metric")
   }
 
+  /** x55: normalization-collapsed exact dedup — the C4/Gopher step between
+    * raw exact dedup (q25: byte-identical only) and MinHash near-dup (x02):
+    * casefold, collapse every non-alphanumeric run to one space, trim, then
+    * hash. Catches the "same text, different whitespace/punctuation/case"
+    * duplicates that dominate scraped corpora. One window over the 16-byte
+    * digest (count + min per sig — a single hash exchange, no self-join);
+    * at 100 TB the digest shuffle carries 16 bytes + doc_id per row and the
+    * normalized text itself never leaves the scan stage. */
+  val x55 = DQ("x55_norm_dedup", Some(
+    """WITH n AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS sig
+      |  FROM documents)
+      |SELECT doc_id, sig,
+      |  CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS cluster_size,
+      |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY sig)
+      |       THEN 1 ELSE 0 END AS INT) AS is_canonical
+      |FROM n ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("sig")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("sig"))
+        .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
+        .withColumn("is_canonical",
+          when(col("doc_id") === min("doc_id").over(w), 1).otherwise(0).cast("int"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50, x51, x52, x53, x54)
+    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55)
 }
