@@ -102,4 +102,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan(TextOps.x49).contains("Window"),
       "x49 must assign bins by broadcast edges, not a window rank")
   }
+
+  test("x55 norm-dedup: one digest window, no self-join") {
+    val p = plan(TextOps.x55)
+    assert(!p.contains("Join"), s"x55 must not join the corpus to itself:\n$p")
+    assert(p.contains("Window"), s"x55 lost its per-sig window:\n$p")
+    // exactly one hash exchange (the sig partition); the rest is the
+    // round-robin spread + final range sort
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"x55 expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("x56/x58 aggregate with map-side partials, no windows") {
+    for (dq <- Seq(Relational.x56, Relational.x58)) {
+      val p = plan(dq)
+      assert(!p.contains("Window"), s"${dq.name} planned a window:\n$p")
+      assert(p.contains("partial_"),
+        s"${dq.name} lost its map-side partial aggregate:\n$p")
+    }
+  }
+
+  test("x57 navigation windows share one exchange and one in-partition sort") {
+    val p = plan(Relational.x57)
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"x57's two window specs must share the custkey exchange, got $hashEx:\n$p")
+    // both specs order by (o_orderdate, o_orderkey): the planner must not
+    // stack a second sort between the Window operators
+    val sorts = "\\bSort \\[".r.findAllIn(p).length
+    assert(sorts <= 2, s"x57 expected at most window sort + output sort:\n$p")
+  }
 }
