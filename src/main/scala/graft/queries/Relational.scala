@@ -153,8 +153,10 @@ object Relational {
       val events = table(spark, dir, "events")
       val buckets = events.select(date_trunc("hour", col("ts")).as("bucket_start")).distinct()
         .withColumn("bucket_end", col("bucket_start") + expr("INTERVAL 1 HOUR"))
+      // spread the probe: single-row-group scan would bin+join on one core
       graft.batch.Joins.rangeJoinBinned(
-          events, "ts", buckets, "bucket_start", "bucket_end", binSeconds = 3600L)
+          spread(events.select("ts")), "ts", buckets, "bucket_start", "bucket_end",
+          binSeconds = 3600L)
         .groupBy(date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
@@ -537,7 +539,8 @@ object Relational {
           (col("ts") + make_dt_interval(
             lit(0), lit(0), col("event_id") % 7 + 1, lit(0))).as("aend"))
       graft.batch.Joins.rangeJoinBinned(
-          events.select(col("ts")), "ts", anchors, "astart", "aend", binSeconds = 120L)
+          spread(events.select(col("ts"))), "ts", anchors, "astart", "aend",
+          binSeconds = 120L)
         .groupBy("anchor_id").agg(count(lit(1)).as("n"))
         .orderBy("anchor_id")
   }
@@ -551,7 +554,10 @@ object Relational {
     * check, and the spec bounds the estimates against exact answers. */
   val x24 = DQ("x24_approx_stats", None) {
     (spark, dir) =>
-      table(spark, dir, "lineitem")
+      // spread: the HLL++/GK partial aggregation is the CPU; a
+      // single-row-group scan would build every sketch on one core.
+      spread(table(spark, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("nd_orders"),
