@@ -127,6 +127,33 @@ object Pipelines {
     df.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream correlation of file completions with processing acks
+    * (the G3/G4 handshake as a watermarked interval join): a completion
+    * matches an ack for the same `rel_filepath` arriving within
+    * `maxAckDelay` of `done_ts`. Both sides carry watermarks, so join state
+    * is bounded by watermark horizon + delay bound — never by stream
+    * length; at 100 TB the join shuffles both streams by path once and each
+    * side's state store holds only the open correlation window. With
+    * `joinType = "left_outer"` the unmatched completions emit null-padded
+    * once their watermark closes — the unacknowledged-file monitor (the
+    * reference has no analog; its registry just holds 'in_progress'
+    * forever, stream_handler_registries.py:19-51). */
+  def ackJoinStream(
+      completions: DataFrame, // rel_filepath STRING, done_ts TIMESTAMP, ...
+      acks: DataFrame, // ack_filepath STRING, ack_ts TIMESTAMP, ...
+      completionWatermark: String = "10 minutes",
+      ackWatermark: String = "10 minutes",
+      maxAckDelay: String = "15 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val c = completions.withWatermark("done_ts", completionWatermark)
+    val a = acks.withWatermark("ack_ts", ackWatermark)
+    c.join(a,
+      expr(s"""ack_filepath = rel_filepath
+              |AND ack_ts >= done_ts
+              |AND ack_ts <= done_ts + INTERVAL $maxAckDelay""".stripMargin),
+      joinType)
+  }
+
   /** T4/T5 consumer-side filters: message-key regex and filepath regex
     * (openmsistream_consumer.py:351-449). */
   def filterChunks(chunks: Dataset[ChunkRow],
