@@ -1321,7 +1321,49 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x59: exact edit-distance verification of the LSH candidate pairs —
+    * the estimate-everywhere / verify-candidates step a fuzzy-dedup pass
+    * ends with (x43 calibrates the MinHash estimate the same way; this is
+    * the character-level ground truth). The candidate list is tiny after
+    * banding, so it BROADCASTS — twice — and the corpus is never shuffled:
+    * two broadcast joins fetch both texts, then `levenshtein` (identical
+    * classic-DP definition in both engines) runs per pair. At 100 TB, if
+    * the candidate set outgrows broadcast, both fetches degrade to shuffle
+    * hash joins keyed by doc_id with the same semantics. */
+  val x59 = DQ("x59_editdist_verify", Some(
+    s"""WITH $lshBandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT p.id1, p.id2,
+       |  CAST(levenshtein(d1.text, d2.text) AS INT) AS dist,
+       |  CAST(CASE WHEN levenshtein(d1.text, d2.text) <= 25
+       |       THEN 1 ELSE 0 END AS INT) AS is_dup
+       |FROM pairs p
+       |JOIN documents d1 ON d1.doc_id = p.id1
+       |JOIN documents d2 ON d2.doc_id = p.id2
+       |ORDER BY id1, id2""".stripMargin)) {
+    (spark, dir) =>
+      val bands = lshBands(spark, dir)
+      val a = bands.select(col("doc_id").as("id1"), col("band"), col("sig"))
+      val b = bands.select(col("doc_id").as("id2"), col("band").as("band2"),
+        col("sig").as("sig2"))
+      val pairs = a.join(b, col("band") === col("band2") && col("sig") === col("sig2")
+          && col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val docs = table(spark, dir, "documents").select("doc_id", "text")
+      val withT1 = docs.join(broadcast(pairs), col("doc_id") === col("id1"))
+        .select(col("id1"), col("id2"), col("text").as("t1"))
+      docs.join(broadcast(withT1), col("doc_id") === col("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("text")).cast("int").as("dist"),
+          when(levenshtein(col("t1"), col("text")) <= 25, 1).otherwise(0)
+            .cast("int").as("is_dup"))
+        .orderBy("id1", "id2")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55)
+    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59)
 }
