@@ -89,6 +89,8 @@ object ChunkFunctions {
       es => FloatVecDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       es => FloatVecNorm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("gear_boundaries",
+      es => GearBoundaries(es.head, es(1)), "built-in")
   }
 }
 
@@ -114,5 +116,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVecNorm].getName, "vec_norm"),
       es => FloatVecNorm(es.head)))
+    e.injectFunction((FunctionIdentifier("gear_boundaries"),
+      new ExpressionInfo(classOf[GearBoundaries].getName, "gear_boundaries"),
+      es => GearBoundaries(es.head, es(1))))
   }
 }

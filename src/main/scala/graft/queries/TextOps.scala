@@ -1363,7 +1363,47 @@ object TextOps {
         .orderBy("id1", "id2")
   }
 
+  /** x60: gear rolling-hash CDC boundaries via the native
+    * [[graft.functions.GearBoundaries]] expression — the O(1)-per-byte
+    * upgrade of x51's md5-per-position rule (one 64-bit shift+add per
+    * character instead of an md5 over an 8-char window). Mask = 6 bits →
+    * expected chunk 64 chars, matching the fixed chunker's granularity.
+    * The oracle reproduces the masked hash as a 6-term window sum mod 64
+    * (equal to the full 64-bit rolling value mod 64: mod distributes over
+    * the sum and older shifted terms vanish mod 2^6), with GEAR[c] parsed
+    * from md5's first 12 hex digits. In-row, shuffle-free up to the output
+    * sort; the spec pins expression-vs-brute-force equality and the
+    * whole-stage-codegen span. */
+  val x60 = DQ("x60_gear_cdc", Some(
+    """WITH chars AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i, substring(text, CAST(i AS INT), 1) AS ch
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+      |        FROM documents) t),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    CAST(list_sum(list_transform(generate_series(1, 12),
+      |      k -> (strpos('0123456789abcdef', substring(md5(ch), CAST(k AS INT), 1)) - 1)
+      |           * (CAST(1 AS BIGINT) << CAST(4*(12-k) AS INT)))) AS BIGINT) AS gear
+      |  FROM chars),
+      |b AS (
+      |  SELECT a.doc_id, a.i
+      |  FROM g a JOIN g w ON w.doc_id = a.doc_id AND w.i BETWEEN a.i - 5 AND a.i
+      |  GROUP BY a.doc_id, a.i
+      |  HAVING sum(w.gear * (CAST(1 AS BIGINT) << CAST(a.i - w.i AS INT))) % 64 = 0)
+      |SELECT d.doc_id, CAST(count(b.i) AS INT) AS n_cuts,
+      |  CAST(min(b.i) AS INT) AS first_cut, CAST(max(b.i) AS INT) AS last_cut
+      |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.GearFunctions.gearBoundaries(col("text"), 6).as("b"))
+        .select(col("doc_id"), size(col("b")).as("n_cuts"),
+          array_min(col("b")).as("first_cut"), array_max(col("b")).as("last_cut"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59)
+    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60)
 }
