@@ -31,6 +31,39 @@ object Heartbeats {
           col("program_id"), col("n_messages"), col("n_bytes"))).as("value"))
   }
 
+  /** Name under which [[observed]] publishes its per-batch metrics. */
+  val ObserveName = "graft_progress"
+
+  /** Zero-cost progress counters piggybacked on the MAIN dataflow
+    * (`Dataset.observe`): the accumulator-backed metrics ride the query
+    * that is running anyway — no second aggregation, no second
+    * subscription over the stream (what [[heartbeatStream]] costs when the
+    * beats must be exact event-time windows; these are per-micro-batch
+    * processing-time counters, which is precisely the reference's mutable
+    * produce-counter semantics, heartbeat_producibles.py:9-108). Expects a
+    * wire frame with a binary/string `value` column. */
+  def observed(wire: DataFrame): DataFrame =
+    wire.observe(ObserveName,
+      count(lit(1)).as("n_messages"),
+      coalesce(sum(length(col("value"))), lit(0L)).as("n_bytes"))
+
+  /** Listener turning each micro-batch's observed metrics into a reference-
+    * shaped heartbeat `(key, value)` pair handed to `onBeat` — the
+    * heartbeat-topic producer hook (register on `spark.streams`). */
+  final class ProgressBeats(programId: String, onBeat: (String, String) => Unit)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val m = e.progress.observedMetrics.get(ObserveName)
+      if (m != null)
+        onBeat(s"${programId}_heartbeat",
+          s"""{"batch":${e.progress.batchId},"program_id":"$programId",""" +
+            s""""n_messages":${m.getLong(0)},"n_bytes":${m.getLong(1)}}""")
+    }
+  }
+
   /** Log forwarding (G7): drain log records into one JSON message per
     * (window, program), capped at `maxLogsPerMessage` (default 65536,
     * controlled_processes_heartbeats_logs.py:266-269). */

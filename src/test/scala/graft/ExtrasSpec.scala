@@ -108,6 +108,41 @@ class ExtrasSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observe() progress beats ride the main query, one beat per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val beats = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new Heartbeats.ProgressBeats("prog_x", (k, v) => beats.add((k, v)))
+    spark.streams.addListener(listener)
+    val input = MemoryStream[(String, String)]
+    val wire = input.toDF().toDF("key", "value")
+    val q = Heartbeats.observed(wire)
+      .writeStream.format("memory").queryName("observed_wire")
+      .outputMode("append").start()
+    try {
+      input.addData(("k1", "abc"), ("k2", "defgh"))
+      q.processAllAvailable()
+      input.addData(("k3", "xy"))
+      q.processAllAvailable()
+      // listener delivery is async; wait for both data batches to surface
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def counted: Seq[(String, String)] =
+        beats.toArray(Array.empty[(String, String)]).toSeq
+          .filter(!_._2.contains("\"n_messages\":0"))
+      while (counted.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      val got = counted
+      assert(got.size == 2, s"expected 2 non-empty beats, got $got")
+      assert(got.forall(_._1 == "prog_x_heartbeat"))
+      assert(got.exists(b => b._2.contains("\"n_messages\":2") &&
+        b._2.contains("\"n_bytes\":8")))
+      assert(got.exists(b => b._2.contains("\"n_messages\":1") &&
+        b._2.contains("\"n_bytes\":2")))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("chunk_binary generator chunks via SQL and reassembles to the original") {
     import spark.implicits._
     ChunkFunctions.register(spark)
