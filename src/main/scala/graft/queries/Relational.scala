@@ -752,7 +752,31 @@ object Relational {
         .orderBy("event_type")
   }
 
+  /** x62: bitwise-operator sweep (the §2.7 leg behind every hash/partition/
+    * signature trick in the engine: band masks, bucket ids, SimHash
+    * distances). Integer-only → engine-exact; in-row, no shuffle. */
+  val x62 = DQ("x62_bitwise", Some(
+    """SELECT event_id,
+      |  CAST(event_id & 255 AS BIGINT) AS b_and,
+      |  CAST(event_id | 4096 AS BIGINT) AS b_or,
+      |  CAST(xor(event_id, 1365) AS BIGINT) AS b_xor,
+      |  CAST(event_id << 3 AS BIGINT) AS shl,
+      |  CAST(event_id >> 2 AS BIGINT) AS shr,
+      |  CAST(bit_count(event_id) AS INT) AS pc
+      |FROM events WHERE event_id % 37 = 0 ORDER BY event_id""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "events").filter(col("event_id") % 37 === 0)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(255).as("b_and"),
+          col("event_id").bitwiseOR(4096).as("b_or"),
+          col("event_id").bitwiseXOR(1365).as("b_xor"),
+          shiftleft(col("event_id"), 3).as("shl"),
+          shiftright(col("event_id"), 2).as("shr"),
+          bit_count(col("event_id")).cast("int").as("pc"))
+        .orderBy("event_id")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21, x24, x25, x33, x34, x56, x57, x58)
+    x21, x24, x25, x33, x34, x56, x57, x58, x62)
 }

@@ -1403,7 +1403,39 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x61: string-function sweep II (q23's deferred string leg — the §2.7
+    * surface the reference's path/key manipulation leans on): split_part /
+    * translate / lpad / rpad / left / right / repeat / reverse / position.
+    * Pure per-row projection inside the scan stage; `instr` (Spark) and
+    * `strpos` (DuckDB) share 1-based/0-absent semantics. */
+  val x61 = DQ("x61_string_sweep", Some(
+    """SELECT doc_id,
+      |  split_part(source, 'c', 2) AS sp,
+      |  translate(lang, 'aeiou', 'AEIOU') AS tr,
+      |  lpad(CAST(doc_id % 1000 AS VARCHAR), 6, '0') AS lp,
+      |  rpad(lang, 5, '.') AS rp,
+      |  left(text, 10) AS l10,
+      |  right(text, 10) AS r10,
+      |  repeat(lang, 3) AS rep,
+      |  reverse(lang) AS rev,
+      |  CAST(strpos(text, 'data') AS INT) AS pos_data
+      |FROM documents ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("split_part(source, 'c', 2)").as("sp"),
+          translate(col("lang"), "aeiou", "AEIOU").as("tr"),
+          lpad((col("doc_id") % 1000).cast("string"), 6, "0").as("lp"),
+          rpad(col("lang"), 5, ".").as("rp"),
+          expr("left(text, 10)").as("l10"),
+          expr("right(text, 10)").as("r10"),
+          repeat(col("lang"), 3).as("rep"),
+          reverse(col("lang")).as("rev"),
+          instr(col("text"), "data").cast("int").as("pos_data"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60)
+    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61)
 }
