@@ -364,5 +364,64 @@ object Similarity {
         .orderBy("vec_id")
   }
 
-  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48)
+  /** x63: one full Lloyd's k-means iteration — assignment (argmin of
+    * squared L2 over k=8 broadcast centroids, seeded from vec_id 0..7) plus
+    * the update step (per-cluster mean + mean distortion): the IVF
+    * coarse-quantizer training round (x04 searches the lists this builds;
+    * x15 is the update step alone). All distance arithmetic runs on
+    * floor-quantized integer vectors (floor(x*1000)) — integer sums are
+    * order-free, so assignment and sums are bit-identical across engines
+    * with no float-summation-order hazard; the emitted centroid dims /
+    * distortion divide exactly-summed integers once at the end. Scale
+    * shape: centroids broadcast (k rows), distance computed IN-ROW
+    * (aggregate over zip_with — no dim explode, no shuffle), argmin as a
+    * map-side-combining min_by carrying the vector as payload, then ONE
+    * hash exchange by cluster for the update. Iterating = re-running with
+    * the emitted centroids; each round costs one broadcast + one shuffle
+    * of k×dims sums. */
+  val x63 = DQ("x63_kmeans_step", Some(
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, eq AS cq FROM q WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT q.vec_id, c.cid, q.eq,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |              i -> (q.eq[i] - c.cq[i]) * (q.eq[i] - c.cq[i]))) AS BIGINT) AS d
+      |  FROM q CROSS JOIN cent c),
+      |a AS (SELECT vec_id, cid, d, eq,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |      FROM dist)
+      |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(eq[1]) AS DOUBLE) / count(*) / 1000, 6) AS c1,
+      |  round(CAST(sum(eq[2]) AS DOUBLE) / count(*) / 1000, 6) AS c2,
+      |  round(CAST(sum(d) AS DOUBLE) / count(*), 2) AS mean_dist
+      |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin)) {
+    (spark, dir) =>
+      val q = spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("eq"))
+      val cent = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("eq").as("cq"))
+      q.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), col("eq"),
+          expr("aggregate(zip_with(eq, cq, (a, b) -> (a - b) * (a - b)), 0L," +
+            " (acc, v) -> acc + v)").as("d"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("d"), col("eq")),
+          struct(col("d"), col("cid"))).as("m"))
+        .groupBy(col("m.cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(element_at(col("m.eq"), 1)).cast("double") / count(lit(1)) / 1000, 6)
+            .as("c1"),
+          round(sum(element_at(col("m.eq"), 2)).cast("double") / count(lit(1)) / 1000, 6)
+            .as("c2"),
+          round(sum(col("m.d")).cast("double") / count(lit(1)), 2).as("mean_dist"))
+        .orderBy("cluster_id")
+  }
+
+  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63)
 }
