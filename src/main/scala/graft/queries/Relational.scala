@@ -776,7 +776,78 @@ object Relational {
         .orderBy("event_id")
   }
 
+  /** x64: explicit GROUPING SETS (the general form behind Q19's rollup and
+    * x18's cube — here a set NEITHER can express: both one-dimension
+    * margins, no grand total, no detail-free pair). Single expand +
+    * hash agg, same scale shape as rollup. */
+  val x64 = DQ("x64_grouping_sets", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g1,
+      |  CAST(grouping(l_linestatus) AS INT) AS g2,
+      |  count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"),
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 6).as("sum_qty"))
+        .orderBy(col("g1"), col("g2"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** x65: calendar gap-fill + forward fill — the time-series densification
+    * every monitoring/heartbeat rollup needs (G6's windows skip empty
+    * intervals; this materializes them): a generated hourly calendar
+    * (global bounds — two-row agg, broadcast) crossed with the observed
+    * event types, left-joined to the hourly aggregates; missing hours take
+    * n=0 and carry the last observed sum forward via `last(..., ignore
+    * nulls)` over a rows frame. One window per type partition; the
+    * calendar join is broadcast, so the fact side never reshuffles for
+    * densification. */
+  val x65 = DQ("x65_gap_fill", Some(
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+      |         sum(CAST(value AS DECIMAL(12,2))) AS s
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      |      FROM events),
+      |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+      |grid AS (SELECT t.event_type, c.h
+      |         FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN cal c)
+      |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  CAST(coalesce(hy.n, 0) AS BIGINT) AS n,
+      |  round(CAST(last_value(hy.s IGNORE NULLS)
+      |        OVER (PARTITION BY g.event_type ORDER BY g.h
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+      |    AS ffill_sum
+      |FROM grid g LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.h
+      |ORDER BY 1, 2""".stripMargin)) {
+    (spark, dir) =>
+      val e = table(spark, dir, "events")
+      val hourly = e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("s"))
+      val cal = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val grid = e.select("event_type").distinct().crossJoin(broadcast(cal))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          round(last(col("s"), ignoreNulls = true).over(w).cast("double"), 6)
+            .as("ffill_sum"))
+        .orderBy("event_type", "hour")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21, x24, x25, x33, x34, x56, x57, x58, x62)
+    x21, x24, x25, x33, x34, x56, x57, x58, x62, x64, x65)
 }
