@@ -122,6 +122,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x63 k-means step: centroids broadcast, no dim explode, two hash aggs") {
+    val p = plan(graft.queries.Similarity.x63)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"x63 must broadcast the centroid table:\n$p")
+    assert(!p.contains("Generate"),
+      s"x63 must compute distances in-row, not via posexplode:\n$p")
+  }
+
+  test("x65 gap fill: calendar broadcast, facts aggregated before the grid join") {
+    val p = plan(Relational.x65)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"x65 must broadcast the calendar/grid side:\n$p")
+    assert(p.contains("Window"), s"x65 lost its forward-fill window:\n$p")
+  }
+
   test("x57 navigation windows share one exchange and one in-partition sort") {
     val p = plan(Relational.x57)
     val hashEx = "hashpartitioning".r.findAllIn(p).length
