@@ -847,7 +847,39 @@ object Relational {
         .orderBy("event_type", "hour")
   }
 
+  /** x66: date-function sweep (q23/x61's calendar leg — the §2.7 surface
+    * behind retention windows, partition keys, and freshness checks).
+    * Engine deltas handled explicitly: Spark `dayofweek` is 1-based
+    * (Sunday=1), DuckDB's is 0-based — aligned by `-1`; everything else
+    * (ISO weekofyear, clamped add_months, Monday-start week trunc) agrees.
+    * Pure per-row projection. */
+  val x66 = DQ("x66_date_sweep", Some(
+    """SELECT o_orderkey,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+      |  last_day(o_orderdate) AS eom,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT) AS days_to_end,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk
+      |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "orders").filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          dayofyear(col("o_orderdate")).cast("int").as("doy"),
+          (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow"),
+          weekofyear(col("o_orderdate")).cast("int").as("woy"),
+          last_day(col("o_orderdate")).as("eom"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate"))
+            .cast("int").as("days_to_end"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("wk"))
+        .orderBy("o_orderkey")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21, x24, x25, x33, x34, x56, x57, x58, x62, x64, x65)
+    x21, x24, x25, x33, x34, x56, x57, x58, x62, x64, x65, x66)
 }

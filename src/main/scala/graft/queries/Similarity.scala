@@ -143,7 +143,10 @@ object Similarity {
     val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val ks = spark.range(1, 9).select(col("id").cast("int").as("k"))
     val is = spark.range(1, 65).select(col("id").cast("int").as("i"))
-    val hyper = ks.crossJoin(is).select(col("k"), col("i"),
+    // broadcast: 8x64 constant ranges — as a bare cross join the planner
+    // emits CartesianProduct (flagged by PlanAuditSpec); hinted it stays a
+    // broadcast nested loop over constant-size sides
+    val hyper = ks.crossJoin(broadcast(is)).select(col("k"), col("i"),
       when(substring(md5(concat(col("k").cast("string"), lit(":"), col("i").cast("string"))),
         1, 1).isin(topBit: _*), 1.0).otherwise(-1.0).as("s"))
     val exploded = table(spark, dir, "embeddings")

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Blanket physical-plan audit over EVERY declared query: no query may
+  * plan a CartesianProduct, and BroadcastNestedLoopJoin (the all-pairs
+  * fallback) is allowed only where the design calls for a broadcast cross
+  * join against a provably tiny side (single query vector, k centroids,
+  * generated calendar, probe list). A new query that accidentally joins
+  * without keys fails here instead of melting at scale.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // BNLJ-by-design: tiny broadcast side crossed against the corpus
+  private val bnljAllowed = Set(
+    "q26_cosine_topk", // 1-row query vector
+    "x04_ann_ivf", // 8 centroids + 1-row query vector
+    "x12_embedding_neardup", // label-blocked pair join (non-equi residual)
+    "x13_embedding_lsh_sig", // 8x64 hyperplane table
+    "x29_ann_lsh", // probe list + query vector
+    "x44_knn_join", // hyperplane table inside signLshSigs
+    "x63_kmeans_step", // 8 centroids
+    "x65_gap_fill", // generated hourly calendar
+    "x15_vec_centroids", // 64-row dim table
+    "x14_contamination", // broadcast shingle set semi-join
+    "x39_bloom_contamination", // broadcast verify set
+    "x47_temperature_mix", // broadcast quota table
+    "x49_quantile_bins", // broadcast bin edges
+    "x34_asof_tolerance", // equi+range join: range residual on custkey equi key
+    "q15_asof_join")
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("no declared query plans a CartesianProduct; BNLJ only where designed") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for (dq <- SparkEntry.registry) {
+      val p = dq.run(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct"))
+        offenders += s"${dq.name}: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(dq.name))
+        offenders += s"${dq.name}: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
