@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -879,7 +879,177 @@ object Relational {
         .orderBy("o_orderkey")
   }
 
+  /** x67: FULL OUTER join — the two-registry reconciliation the reference
+    * never does but operators always need: the producer-side completed set
+    * vs the consumer-side succeeded set (producer_file_registry.py vs
+    * stream_handler_registries.py keep these in separate CSVs with no
+    * cross-check). Each key lands in exactly one of both/producer_only/
+    * consumer_only. Shuffled sort-merge full-outer on the key — at 100 TB
+    * both registries hash-partition on the same key, one exchange each,
+    * no broadcast needed and none possible (both sides large). */
+  val x67 = DQ("x67_full_outer", Some(
+    """WITH prod AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      |     cons AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT CASE WHEN p.k IS NOT NULL AND c.k IS NOT NULL THEN 'both'
+      |            WHEN p.k IS NOT NULL THEN 'producer_only'
+      |            ELSE 'consumer_only' END AS side,
+      |       count(*) AS n, CAST(min(coalesce(p.k, c.k)) AS BIGINT) AS min_key,
+      |       CAST(max(coalesce(p.k, c.k)) AS BIGINT) AS max_key
+      |FROM prod p FULL OUTER JOIN cons c ON p.k = c.k
+      |GROUP BY side ORDER BY side""".stripMargin)) {
+    (spark, dir) =>
+      val orders = table(spark, dir, "orders")
+      val prod = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("pk"))
+      val cons = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("ck"))
+      prod.join(cons, col("pk") === col("ck"), "full_outer")
+        .select(
+          when(col("pk").isNotNull && col("ck").isNotNull, "both")
+            .when(col("pk").isNotNull, "producer_only")
+            .otherwise("consumer_only").as("side"),
+          coalesce(col("pk"), col("ck")).as("k"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"),
+          min("k").cast("bigint").as("min_key"),
+          max("k").cast("bigint").as("max_key"))
+        .orderBy("side")
+  }
+
+  /** x68: fixed-width histogram via `width_bucket` — the size/price
+    * distribution profile a curation pass reads before picking filter
+    * thresholds (the continuous sibling of x41's ntile deciles). Spark's
+    * native width_bucket; the oracle mirrors the same IEEE arithmetic
+    * explicitly (floor((v-lo)/step)+1, clamped) — bounds 0..600000 over 12
+    * buckets give an exactly-representable 50000 step, so the division is
+    * bit-identical in both engines. Map-side-combining hash agg on a
+    * 14-value key: the scale shape of a histogram is a broadcast-sized
+    * result off one scan. */
+  val x68 = DQ("x68_histogram", Some(
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+      |            WHEN o_totalprice >= 600000 THEN 13
+      |            ELSE CAST(floor(o_totalprice / 50000.0) AS INT) + 1 END AS INT) AS bucket,
+      |       count(*) AS n,
+      |       round(min(o_totalprice), 2) AS lo,
+      |       round(max(o_totalprice), 2) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "orders")
+        .select(width_bucket(col("o_totalprice"), lit(0d), lit(600000d), lit(12L))
+          .cast("int").as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bucket")
+  }
+
+  /** x69: correlated scalar subquery — customers above their nation's mean
+    * balance (the per-stratum outlier gate, phrased the way an analyst
+    * writes it). Run through `spark.sql` so Catalyst's subquery
+    * decorrelation actually executes: both correlated scalars rewrite to
+    * ONE per-nation aggregate joined back (25 rows, broadcast) — the same
+    * physical plan the hand-decorrelated DataFrame version would build,
+    * which is why the shape survives 100 TB. Exact math: the comparison is
+    * `balance * n > sum` in DECIMAL, so no float mean crosses an
+    * inequality boundary differently per engine. */
+  val x69 = DQ("x69_correlated_sub", Some(
+    """SELECT c.c_nationkey, count(*) AS n_above
+      |FROM customer c
+      |WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) *
+      |      (SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |      > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+      |         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "customer").createOrReplaceTempView("customer")
+      spark.sql(
+        """SELECT c.c_nationkey, count(*) AS n_above
+          |FROM customer c
+          |WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) *
+          |      (SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |      > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+          |         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+  }
+
+  /** x70: error-tolerant casts (`try_cast` / null-safe divide) — the
+    * dirty-data salvage pass every ingest runs: parse what parses, null the
+    * rest, never fail the task (the engine-level form of the reference's
+    * route-bad-rows-to-dead-letter posture, serialization.py:244-253).
+    * Min/max of the salvaged doubles (order-independent) instead of a float
+    * sum keeps the comparison engine-exact. Pure per-row projection +
+    * 3-key hash agg. */
+  val x70 = DQ("x70_try_cast", Some(
+    """SELECT lang, count(*) AS n,
+      |  CAST(count(try_cast(substring(source, 4) AS INT)) AS BIGINT) AS n_id_ok,
+      |  CAST(count(try_cast(substring(text, 1, 2) AS INT)) AS BIGINT) AS n_tok_num,
+      |  round(min(CAST(n_chars AS DOUBLE) /
+      |            nullif(try_cast(substring(source, 4) AS INT) % 10, 0)), 6) AS min_ratio,
+      |  round(max(CAST(n_chars AS DOUBLE) /
+      |            nullif(try_cast(substring(source, 4) AS INT) % 10, 0)), 6) AS max_ratio
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      val idNum = expr("try_cast(substring(source, 4) AS INT)")
+      val ratio = col("n_chars").cast("double") /
+        nullif(idNum % 10, lit(0))
+      table(spark, dir, "documents")
+        .select(col("lang"),
+          idNum.as("id_num"),
+          expr("try_cast(substring(text, 1, 2) AS INT)").as("tok_num"),
+          ratio.as("ratio"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(col("id_num")).as("n_id_ok"),
+          count(col("tok_num")).as("n_tok_num"),
+          round(min("ratio"), 6).as("min_ratio"),
+          round(max("ratio"), 6).as("max_ratio"))
+        .orderBy("lang")
+  }
+
+  /** x71: Z-order (Morton) interleave as a layout key — the
+    * multi-dimensional clustering trick behind Delta/Iceberg OPTIMIZE
+    * ZORDER: interleave the bits of two dimensions so one range partition
+    * of the key is a locality square in (a, b) space, and min/max column
+    * stats prune BOTH dimensions at scan time. Classic
+    * shift-or-mask bit spreading (exactly the public parallel-bits trick),
+    * integer-only → engine-exact; at 100 TB the key feeds
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` before the
+    * parquet write. Bucketed counts verify the interleave. */
+  val x71 = DQ("x71_zorder", {
+    def spreadSql(v: String): String = {
+      val s1 = s"(($v | ($v << 4)) & 3855)" // 0x0F0F
+      val s2 = s"(($s1 | ($s1 << 2)) & 13107)" // 0x3333
+      s"(($s2 | ($s2 << 1)) & 21845)" // 0x5555
+    }
+    val za = spreadSql("(event_id & 255)")
+    val zb = spreadSql("(user_id & 255)")
+    Some(
+      s"""WITH z AS (
+         |  SELECT ($za | ($zb << 1)) AS zkey FROM events)
+         |SELECT CAST(zkey >> 10 AS BIGINT) AS zbucket, count(*) AS n,
+         |  CAST(min(zkey) AS BIGINT) AS zmin, CAST(max(zkey) AS BIGINT) AS zmax
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin)
+  }) {
+    (spark, dir) =>
+      def spreadBits(c: Column): Column = {
+        val s1 = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0F))
+        val s2 = (s1.bitwiseOR(shiftleft(s1, 2))).bitwiseAND(lit(0x3333))
+        (s2.bitwiseOR(shiftleft(s2, 1))).bitwiseAND(lit(0x5555))
+      }
+      val zkey = spreadBits(col("event_id").bitwiseAND(lit(255)))
+        .bitwiseOR(shiftleft(spreadBits(col("user_id").bitwiseAND(lit(255))), 1))
+      table(spark, dir, "events")
+        .select(zkey.as("zkey"))
+        .groupBy(shiftright(col("zkey"), 10).cast("bigint").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("zkey").cast("bigint").as("zmin"),
+          max("zkey").cast("bigint").as("zmax"))
+        .orderBy("zbucket")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
-    x21, x24, x25, x33, x34, x56, x57, x58, x62, x64, x65, x66)
+    x21, x24, x25, x33, x34, x56, x57, x58, x62, x64, x65, x66, x67, x68, x69,
+    x70, x71)
 }
