@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Full registry of declared queries. */
   val registry: Seq[DQ] =
-    Relational.all ++ Documents.all ++ Similarity.all ++ Dataflow.all ++ TextOps.all
+    Relational.all ++ Documents.all ++ Similarity.all ++ Dataflow.all ++
+      TextOps.all ++ Breadth.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -88,4 +88,37 @@ object Joins {
         col(probeTs) >= col(start) && col(probeTs) < col(end))
       .drop("_bin_p", "_bin_i")
   }
+
+  /** Exact global rank (1-based, dense in input order of `keys`) with NO
+    * single-partition stage — the scalable replacement for
+    * `row_number() OVER (ORDER BY ...)`, whose empty PARTITION BY pulls the
+    * whole table through one task. Classic two-pass shape, declaratively:
+    *
+    *   1. range-partition by the sort keys (sampled boundaries; ordering
+    *      holds BETWEEN partitions),
+    *   2. rank within each range partition (window keyed by partition id —
+    *      every partition ranks in parallel),
+    *   3. add per-partition row-count offsets, computed as a cumulative sum
+    *      over the ≤`partitions` counts (a window over 32 rows, not 32M)
+    *      and broadcast back.
+    *
+    * Cost: the range exchange, a hash exchange on the partition id, plus a
+    * cheap re-aggregation for the counts branch — each a full-data shuffle
+    * at worst, none a single-task bottleneck. Ties rank arbitrarily within
+    * key-equal rows (make `keys` a total order for determinism).
+    */
+  def globalRank(df: DataFrame, partitions: Int, keys: String*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(partitions, keys.map(col): _*)
+      .withColumn("_gr_pid", spark_partition_id())
+    val within = row_number().over(
+      Window.partitionBy("_gr_pid").orderBy(keys.map(col): _*))
+    val offsets = ranged.groupBy("_gr_pid").agg(count(lit(1)).as("_gr_cnt"))
+      .withColumn("_gr_off",
+        sum("_gr_cnt").over(Window.orderBy("_gr_pid")) - col("_gr_cnt"))
+      .select("_gr_pid", "_gr_off")
+    ranged.join(broadcast(offsets), "_gr_pid")
+      .withColumn("global_rank", within + col("_gr_off"))
+      .drop("_gr_pid")
+  }
 }

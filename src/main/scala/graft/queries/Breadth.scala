@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Core._
+
+/** Round-4 breadth batch: ordered list aggregation, mode/median, LATERAL
+  * top-k, character-class entropy, scalable exact global rank, and robust
+  * (median/MAD) outlier detection. Each is a DQ gated on the DuckDB oracle
+  * like every other declared query.
+  */
+object Breadth {
+
+  /** x72: ordered, de-duplicated list aggregation — the reference's
+    * registry "which sources produced this run" rollup generalized
+    * (producer_file_registry.py keeps per-file provenance rows; the ops
+    * question is the per-group distinct list). Determinism is the point:
+    * collect_set carries no order, so the engine-portable form is
+    * sort-then-join (`array_join(array_sort(collect_set))`), matching
+    * DuckDB's `string_agg(DISTINCT ... ORDER BY ...)`. One map-side
+    * combining hash agg; the set, not the rows, crosses the wire. */
+  val x72 = DQ("x72_string_agg", Some(
+    """SELECT lang,
+      |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+  }
+
+  /** x73: mode + median aggregates — the order-statistics pair every
+    * data-profiling pass computes. mode() on a binned column whose max
+    * frequency is unique per group at every fixture SF (ties are
+    * engine-arbitrary, so the query keeps them out of the data, not out of
+    * luck — verified in the oracle); median() interpolates on even counts
+    * in both engines. Single hash agg; median is the only non-mergeable
+    * term (exact sort per group) — the 100 TB path swaps it for
+    * approx_percentile (x24's sketch posture). */
+  val x73 = DQ("x73_mode_median", Some(
+    """SELECT lang,
+      |  CAST(mode(n_chars // 200) AS BIGINT) AS mode_bin,
+      |  round(median(n_chars), 6) AS med_chars,
+      |  round(median(CAST(n_chars AS DOUBLE) / (doc_id % 7 + 1)), 6) AS med_ratio
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          expr("mode(n_chars div 200)").cast("bigint").as("mode_bin"),
+          round(median(col("n_chars")), 6).as("med_chars"),
+          round(median(col("n_chars").cast("double") / (col("doc_id") % 7 + 1)), 6)
+            .as("med_ratio"))
+        .orderBy("lang")
+  }
+
+  /** x74: LATERAL correlated subquery with ORDER BY + LIMIT — top-2
+    * customers per nation, written as the SQL-standard lateral join rather
+    * than the window-function form (q21_group_topk covers that shape).
+    * Exercises Catalyst's lateral-join decorrelation: the correlated
+    * limit-sort rewrites to a partitioned window internally, so the plan
+    * stays one shuffle per side — no per-nation re-scan of customer. */
+  val x74 = DQ("x74_lateral_topk", Some(
+    """SELECT n.n_name, t.c_name, t.bal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY bal DESC, c_name LIMIT 2) t
+      |ORDER BY n.n_name, t.bal DESC, t.c_name""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "nation").createOrReplaceTempView("nation")
+      table(spark, dir, "customer").createOrReplaceTempView("customer")
+      spark.sql(
+        """SELECT n.n_name, t.c_name, t.bal
+          |FROM nation n, LATERAL (
+          |  SELECT c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+          |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY bal DESC, c_name LIMIT 2) t
+          |ORDER BY n.n_name, t.bal DESC, t.c_name""".stripMargin)
+  }
+
+  /** x75: per-language character-class entropy — a corpus-mix diagnostic
+    * (a lang slice whose class distribution collapses is boilerplate or
+    * mislabeled). Counts are exact BIGINTs accumulated in ONE scan via
+    * length-difference counting (regexp_replace with empty replacement);
+    * the 5-term -Σ p·ln p runs on the handful of group rows in a fixed
+    * class order, so the float work is O(groups), bit-stable, and the
+    * whole query is a single map-side-combining hash agg. */
+  val x75 = DQ("x75_char_entropy", {
+    // class counts: alpha (a-z after lower()), vowels, digits, spaces;
+    // consonants = alpha - vowels, other = total - alpha - digits - spaces.
+    val classes = Seq("n_vowel", "n_cons", "n_digit", "n_space", "n_other")
+    val terms = classes.map(c =>
+      s"CASE WHEN $c > 0 THEN (CAST($c AS DOUBLE)/total)*ln(CAST($c AS DOUBLE)/total) ELSE 0 END")
+    Some(
+      s"""WITH cnt AS (
+         |  SELECT lang,
+         |    CAST(sum(length(text)) AS BIGINT) AS total,
+         |    CAST(sum(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g'))) AS BIGINT) AS n_alpha,
+         |    CAST(sum(length(text) - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))) AS BIGINT) AS n_vowel,
+         |    CAST(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS n_digit,
+         |    CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_space
+         |  FROM documents GROUP BY lang),
+         |cls AS (
+         |  SELECT lang, total, n_vowel, n_alpha - n_vowel AS n_cons, n_digit, n_space,
+         |         total - n_alpha - n_digit - n_space AS n_other
+         |  FROM cnt)
+         |SELECT lang, total, n_vowel, n_cons, n_digit, n_space, n_other,
+         |  round(-(${terms.mkString(" + ")}), 6) AS entropy
+         |FROM cls ORDER BY lang""".stripMargin)
+  }) {
+    (spark, dir) =>
+      def removed(t: Column, re: String): Column =
+        length(t) - length(regexp_replace(t, re, ""))
+      val t = col("text")
+      val cnt = table(spark, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          sum(length(t)).cast("bigint").as("total"),
+          sum(removed(lower(t), "[a-z]")).cast("bigint").as("n_alpha"),
+          sum(removed(lower(t), "[aeiou]")).cast("bigint").as("n_vowel"),
+          sum(removed(t, "[0-9]")).cast("bigint").as("n_digit"),
+          sum(length(t) - length(regexp_replace(t, " ", ""))).cast("bigint").as("n_space"))
+        .select(col("lang"), col("total"), col("n_vowel"),
+          (col("n_alpha") - col("n_vowel")).as("n_cons"), col("n_digit"), col("n_space"),
+          (col("total") - col("n_alpha") - col("n_digit") - col("n_space")).as("n_other"))
+      val term: String => Column = c => {
+        val p = col(c).cast("double") / col("total")
+        when(col(c) > 0, p * log(p)).otherwise(lit(0.0))
+      }
+      cnt.withColumn("entropy",
+          round(-(term("n_vowel") + term("n_cons") + term("n_digit") +
+            term("n_space") + term("n_other")), 6))
+        .orderBy("lang")
+  }
+
+  /** x76: deterministic corpus shuffle into fixed-size shards — the
+    * training-data "global shuffle" step (shuffle once by hash, pack into
+    * contiguous shards, stream shards in order). The rank comes from
+    * [[graft.batch.Joins.globalRank]]: range-partition by the hash, rank
+    * within partitions in parallel, add cumulative per-partition offsets —
+    * the scalable replacement for the empty-PARTITION-BY window the oracle
+    * uses (fine for DuckDB single-node, a one-task bottleneck on a
+    * cluster). Shard stats (count + rank contiguity + hash range) verify
+    * the two-pass rank is exactly the sequential one. */
+  val x76 = DQ("x76_global_shuffle", Some(
+    """WITH r AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT CAST((rn - 1) // 64 AS BIGINT) AS shard, count(*) AS n,
+      |  CAST(min(rn) AS BIGINT) AS min_rank, CAST(max(rn) AS BIGINT) AS max_rank,
+      |  min(h) AS h_lo, max(h) AS h_hi
+      |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)) {
+    (spark, dir) =>
+      val hashed = table(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      graft.batch.Joins.globalRank(hashed, 32, "h", "doc_id")
+        .groupBy(((col("global_rank") - 1) / 64).cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n"),
+          min("global_rank").cast("bigint").as("min_rank"),
+          max("global_rank").cast("bigint").as("max_rank"),
+          min("h").as("h_lo"), max("h").as("h_hi"))
+        .orderBy("shard")
+  }
+
+  /** x77: robust outlier detection via median/MAD — the heavy-tail-safe
+    * z-score every metrics-quality monitor runs (mean/stddev break under
+    * the very outliers being hunted). Two aggregate passes (median, then
+    * median of absolute deviations) with broadcast joins back to the fact
+    * rows — group stats are tiny, so the events scan is the only big
+    * input, read twice, shuffled never (beyond the 5-group aggs). */
+  val x77 = DQ("x77_mad_outlier", Some(
+    """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev
+      |      FROM events e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n,
+      |  CAST(count(*) FILTER (WHERE dev > 3 * mad) AS BIGINT) AS n_outlier,
+      |  round(min(mad), 6) AS mad
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)) {
+    (spark, dir) =>
+      val events = table(spark, dir, "events")
+      val m = events.groupBy("event_type").agg(median(col("value")).as("med"))
+      val d = events.join(broadcast(m), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
+      val md = d.groupBy("event_type").agg(median(col("dev")).as("mad"))
+      d.join(broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outlier"),
+          round(min("mad"), 6).as("mad"))
+        .orderBy("event_type")
+  }
+
+  /** x78: regex-match generator — `regexp_extract_all` + explode as a
+    * constrained tokenizer (q27/x07 tokenize by splitting; this one
+    * *generates* rows from pattern matches — the shape of URL/citation/
+    * code-span extraction over a crawl). Histogram of matches with a
+    * deterministic global top-30 cutoff via orderBy+limit, which plans as
+    * TakeOrderedAndProject — per-partition top-30 then a 30-row merge on
+    * the driver, never a single-partition sort. */
+  val x78 = DQ("x78_regex_extract", Some(
+    """SELECT w, count(*) AS n
+      |FROM (SELECT unnest(regexp_extract_all(text, '\bs[a-z]{4,}\b')) AS w
+      |      FROM documents) t
+      |GROUP BY w ORDER BY n DESC, w LIMIT 30""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents")
+        .select(explode(expr("regexp_extract_all(text, '\\\\bs[a-z]{4,}\\\\b', 0)")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(30)
+  }
+
+  /** x79: weighted sampling without replacement (A-RES, Efraimidis–
+    * Spirakis): rank by ln(u)/w where u is a deterministic md5-derived
+    * uniform and w = n_chars — longer documents proportionally likelier,
+    * yet the draw is reproducible across engines, runs, and retries (the
+    * importance-sampling step of corpus mixing, RNG-free like x22/x40).
+    * The 13-hex-digit prefix is 52 bits, exact in a double; +1 dodges
+    * ln(0). Per-lang top-20 via one window per stratum. */
+  val x79 = DQ("x79_weighted_sample", Some(
+    """WITH keyed AS (
+      |  SELECT lang, doc_id,
+      |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
+      |       / 4503599627370496.0) / n_chars AS k
+      |  FROM documents)
+      |SELECT lang, doc_id, round(k * 1000000, 6) AS key_ppm
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+      |      FROM keyed) t
+      |WHERE rn <= 20 ORDER BY lang, key_ppm DESC, doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val u = (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)") + 1)
+        .cast("double") / lit(4503599627370496.0) // 2^52
+      val k = log(u) / col("n_chars")
+      val w = Window.partitionBy("lang").orderBy(col("k").desc, col("doc_id"))
+      table(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"), k.as("k"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("doc_id"), round(col("k") * 1000000, 6).as("key_ppm"))
+        .orderBy(col("lang"), col("key_ppm").desc, col("doc_id"))
+  }
+
+  /** x80: discrete percentiles — `percentile_disc` (SQL-standard WITHIN
+    * GROUP) returns actual data elements, not interpolations, so the gate
+    * is exact value equality with zero float arithmetic (vs x17's
+    * interpolated `percentile`/`quantile_cont` under round-6). */
+  val x80 = DQ("x80_percentile_disc", Some(
+    """SELECT event_type,
+      |  quantile_disc(value, 0.25) AS p25,
+      |  quantile_disc(value, 0.5) AS p50,
+      |  quantile_disc(value, 0.95) AS p95,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "events").createOrReplaceTempView("events_x80")
+      spark.sql(
+        """SELECT event_type,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+          |  percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+          |  count(*) AS n
+          |FROM events_x80 GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** x81: bag-semantics set operations — `exceptAll`/`intersectAll`
+    * (multiset difference/intersection, per-element min/max-0 counts) vs
+    * q17's distinct EXCEPT/INTERSECT. Spark plans these as a count-
+    * bookkeeping aggregate + generator replication, not a distinct —
+    * duplicates survive exactly as SQL's ALL variants demand. */
+  val x81 = DQ("x81_bag_setops", Some(
+    """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0),
+      |     b AS (SELECT l_suppkey FROM lineitem WHERE l_partkey % 3 = 0)
+      |SELECT 'except_all' AS op, count(*) AS n
+      |  FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b) t
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, count(*) AS n
+      |  FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b) t
+      |ORDER BY op""".stripMargin)) {
+    (spark, dir) =>
+      val li = table(spark, dir, "lineitem")
+      val a = li.filter(col("l_orderkey") % 2 === 0).select("l_suppkey")
+      val b = li.filter(col("l_partkey") % 3 === 0).select("l_suppkey")
+      val ex = a.exceptAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select("op", "n").orderBy("op")
+  }
+
+  val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81)
+}

@@ -98,4 +98,40 @@ class JoinsSpec extends AnyFunSuite {
       assert(binned.toSeq == naive.toSeq, s"mismatch at binSeconds=$binSeconds")
     }
   }
+
+  test("globalRank == single-partition row_number, with duplicates and skew") {
+    import org.apache.spark.sql.expressions.Window
+    // Keys deliberately non-uniform (quadratic clumping) plus a tiebreak
+    // column making the order total, so ranks are well-defined.
+    val df = spark.range(20000)
+      .select(((col("id") * col("id")) % 997).as("k"), col("id").as("tb"))
+    val expected = df
+      .withColumn("global_rank", row_number().over(Window.orderBy("k", "tb")))
+      .select("tb", "global_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).sorted
+    val got = Joins.globalRank(df, 7, "k", "tb")
+      .select("tb", "global_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("globalRank plan reuses the range exchange and has no 1-partition sort") {
+    // Correctness of the two-pass rank rests on both branches (data + counts)
+    // seeing the SAME sampled range boundaries: that is guaranteed exactly
+    // when the range-exchange stage is computed once and reused. AQE does
+    // this at runtime (stage cache keyed on canonical subtree), so execute
+    // first and pin the marker in the final adaptive plan.
+    val df = spark.range(5000).select((col("id") % 37).as("k"), col("id").as("tb"))
+    val ranked = Joins.globalRank(df, 7, "k", "tb")
+    ranked.collect()
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("ReusedExchange"),
+      s"counts branch must reuse the data branch's range exchange:\n$plan")
+    // The offsets window is the only single-partition stage, and it sorts
+    // ≤`partitions` count rows — the full data never serializes to one task.
+    val single = plan.linesIterator.filter(_.contains("Exchange SinglePartition"))
+    assert(single.forall(_ => plan.contains("sum(_gr_cnt")),
+      s"unexpected single-partition exchange outside the offsets branch:\n$plan")
+  }
 }
