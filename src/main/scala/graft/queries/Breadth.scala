@@ -295,5 +295,66 @@ object Breadth {
       ex.unionByName(in).select("op", "n").orderBy("op")
   }
 
-  val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81)
+  /** x82: recursive CTE (WITH RECURSIVE, Spark 4.x) — the declarative
+    * fixpoint: all +3/+7-step paths over an acyclic node graph derived
+    * from `nation`, with per-node path counts and depth range. x37
+    * computes a connected-components fixpoint with an explicit
+    * driver-controlled loop (diameter-bounded, localCheckpoint lineage
+    * control — the posture for BIG iterative joins); this is the
+    * engine-managed recursion for SMALL closure tables (lineage walks,
+    * dependency cascades), where each recursion step is one join the
+    * engine replans. Same SQL text runs on both engines. */
+  val x82 = DQ("x82_recursive_cte", {
+    val sql =
+      """WITH RECURSIVE e AS (
+        |  SELECT n_nationkey AS u, n_nationkey + 3 AS v FROM nation WHERE n_nationkey + 3 <= 24
+        |  UNION ALL
+        |  SELECT n_nationkey, n_nationkey + 7 FROM nation WHERE n_nationkey + 7 <= 24),
+        |walk(node, depth) AS (
+        |  SELECT 0, 0
+        |  UNION ALL
+        |  SELECT e.v, w.depth + 1 FROM walk w JOIN e ON e.u = w.node)
+        |SELECT node, count(*) AS n_paths, CAST(min(depth) AS BIGINT) AS min_depth,
+        |       CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin
+    Some(sql)
+  }) {
+    (spark, dir) =>
+      table(spark, dir, "nation").createOrReplaceTempView("nation")
+      spark.sql(
+        """WITH RECURSIVE e AS (
+          |  SELECT n_nationkey AS u, n_nationkey + 3 AS v FROM nation WHERE n_nationkey + 3 <= 24
+          |  UNION ALL
+          |  SELECT n_nationkey, n_nationkey + 7 FROM nation WHERE n_nationkey + 7 <= 24),
+          |walk(node, depth) AS (
+          |  SELECT 0, 0
+          |  UNION ALL
+          |  SELECT e.v, w.depth + 1 FROM walk w JOIN e ON e.u = w.node)
+          |SELECT node, count(*) AS n_paths, CAST(min(depth) AS BIGINT) AS min_depth,
+          |       CAST(max(depth) AS BIGINT) AS max_depth
+          |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  /** x83: SQL-standard `listagg(...) WITHIN GROUP (ORDER BY ...)` — the
+    * non-distinct ordered concatenation (x72 covers the distinct-set
+    * form). Order is made total by (source, doc_id) so the concatenation
+    * is engine-exact. */
+  val x83 = DQ("x83_listagg", Some(
+    """SELECT lang,
+      |  string_agg(substr(source, 4), ',' ORDER BY substr(source, 4), doc_id) AS ids,
+      |  count(*) AS n
+      |FROM documents WHERE doc_id % 37 = 0
+      |GROUP BY lang ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "documents").createOrReplaceTempView("documents_x83")
+      spark.sql(
+        """SELECT lang,
+          |  listagg(substr(source, 4), ',') WITHIN GROUP (ORDER BY substr(source, 4), doc_id) AS ids,
+          |  count(*) AS n
+          |FROM documents_x83 WHERE doc_id % 37 = 0
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
+    x82, x83)
 }
