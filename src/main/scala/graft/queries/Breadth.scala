@@ -355,6 +355,28 @@ object Breadth {
           |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** x84: heavy-hitter terms via the mergeable Misra–Gries sketch
+    * ([[graft.batch.Sketches.MisraGries]], a typed Aggregator UDAF) — the
+    * fixed-memory top-terms pass that replaces an exact full token
+    * groupBy at 100 TB (x24's posture, frequencies instead of distincts/
+    * percentiles). Each partition sketches independently (O(k) state),
+    * partials merge associatively; only counters cross the wire. Sketch
+    * estimates are merge-order-dependent, so like x24 this is rows-only:
+    * the spec bounds the estimates against exact counts. */
+  val x84 = DQ("x84_heavy_hitters", None) {
+    (spark, dir) =>
+      import spark.implicits._
+      val toks = spread(table(spark, dir, "documents"))
+        .select(explode(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))
+          .as("tok"))
+        .as[String]
+      val sketch = new graft.batch.Sketches.MisraGries(256).toColumn
+      toks.select(sketch.name("sketch"))
+        .select(explode(col("sketch")).as(Seq("token", "est")))
+        .orderBy(col("est").desc, col("token"))
+        .limit(10)
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83)
+    x82, x83, x84)
 }
