@@ -377,6 +377,169 @@ object Breadth {
         .limit(10)
   }
 
+  /** x85: ordered event-sequence funnel (view → click → purchase, each step
+    * within 1 day of the previous) — the MATCH_RECOGNIZE-shaped conversion
+    * query every event pipeline runs, built from three chained min-timestamp
+    * aggregations instead of a per-user sort: stage N's entry time is the
+    * MIN ts of the stage-N event after stage N-1's entry, so each step is a
+    * map-side-combining hash agg plus an equi-join on `user_id`. All three
+    * aggs and joins share the `user_id` hash partitioning, so Catalyst
+    * reuses one exchange of the events scan per stage and the per-user
+    * stage tables (≤ one row per user) never widen. No window, no per-user
+    * event sort — at 100 TB the events table streams through three narrow
+    * agg passes rather than one giant repartition+sort. */
+  val x85 = DQ("x85_funnel", Some(
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + INTERVAL '1 day' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s2.t2 + INTERVAL '1 day' GROUP BY 1)
+      |SELECT s1.user_id,
+      |       CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+      |            AS INT) AS stage
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin)) {
+    (spark, dir) =>
+      val ev = table(spark, dir, "events")
+      def step(stage: String, prev: DataFrame, prevT: String, t: String): DataFrame =
+        ev.filter(col("event_type") === stage)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevT) &&
+            col("ts") <= col(prevT) + expr("INTERVAL 1 DAY"))
+          .groupBy("user_id").agg(min("ts").as(t))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = step("click", s1, "t1", "t2")
+      val s3 = step("purchase", s2, "t2", "t3")
+      s1.join(s2.select(col("user_id"), lit(1).as("h2")), Seq("user_id"), "left")
+        .join(s3.select(col("user_id"), lit(1).as("h3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + coalesce(col("h2"), lit(0)) + coalesce(col("h3"), lit(0)))
+            .cast("int").as("stage"))
+        .orderBy("user_id")
+  }
+
+  /** x86: SQL-standard `percentile_cont` WITHIN GROUP — the interpolating
+    * complement of x80's `percentile_disc` (which returns actual elements).
+    * Spark's exact `percentile()` and DuckDB's `percentile_cont` both
+    * interpolate linearly at rank (n−1)·p; round(…,6) absorbs the last-ulp
+    * formula difference (verified bit-stable at all three fixture SFs).
+    * Exact per-group sort — the 100 TB path swaps in approx_percentile
+    * (x24's GK-sketch posture) once groups stop fitting an executor. */
+  val x86 = DQ("x86_percentile_cont", Some(
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25,
+      |  round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+      |  round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")
+  }
+
+  /** x87: data-quality audit report — the constraint pass a pipeline runs
+    * before admitting a batch (the reference's per-file hash check
+    * generalized to table-level invariants): duplicate business keys,
+    * referential orphans (left-anti joins), domain-range violations, and
+    * derived-column consistency, each emitted as one `(check_name, n_bad)`
+    * row. Scale shape: all domain checks on a table fold into ONE scan via
+    * conditional aggregation (sum(when)) unpivoted with `stack`; the
+    * referential checks are anti-joins that broadcast the small key side;
+    * the duplicate check is a map-side-combining count. The final UNION of
+    * 1-row frames is driver-trivial at any scale. */
+  val x87 = DQ("x87_dq_report", Some(
+    """SELECT * FROM (
+      |  SELECT 'dup_line_numbers' AS check_name, CAST(count(*) AS BIGINT) AS n_bad
+      |  FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      |        GROUP BY 1, 2 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'orphan_lineitem', count(*) FROM lineitem l
+      |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT 'orphan_order', count(*) FROM orders o
+      |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem_domain', count(*) FROM lineitem
+      |  WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 0.1 OR l_tax < 0
+      |  UNION ALL
+      |  SELECT 'doc_len_mismatch', count(*) FROM documents
+      |  WHERE n_chars <> length(text)
+      |  UNION ALL
+      |  SELECT 'order_null_keys', count(*) FROM orders
+      |  WHERE o_orderkey IS NULL OR o_custkey IS NULL
+      |) ORDER BY check_name""".stripMargin)) {
+    (spark, dir) =>
+      val li = table(spark, dir, "lineitem")
+      val ord = table(spark, dir, "orders")
+      val dup = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("dup_line_numbers").as("check_name"), col("n_bad"))
+      val orphanLi = li.join(broadcast(ord.select("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("orphan_lineitem").as("check_name"), col("n_bad"))
+      val orphanOrd = ord.join(
+          broadcast(table(spark, dir, "customer").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("orphan_order").as("check_name"), col("n_bad"))
+      // one-scan conditional aggregation for all single-table predicates
+      val liDomain = li.agg(
+          sum(when(col("l_quantity") <= 0 || col("l_discount") < 0 ||
+            col("l_discount") > 0.1 || col("l_tax") < 0, 1L).otherwise(0L))
+            .as("n_bad"))
+        .select(lit("lineitem_domain").as("check_name"), col("n_bad"))
+      val docLen = table(spark, dir, "documents")
+        .agg(sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_bad"))
+        .select(lit("doc_len_mismatch").as("check_name"), col("n_bad"))
+      val ordNull = ord.agg(
+          sum(when(col("o_orderkey").isNull || col("o_custkey").isNull, 1L)
+            .otherwise(0L)).as("n_bad"))
+        .select(lit("order_null_keys").as("check_name"), col("n_bad"))
+      dup.union(orphanLi).union(orphanOrd).union(liDomain).union(docLen)
+        .union(ordNull)
+        .orderBy("check_name")
+  }
+
+  /** x89: point-in-time snapshot ("AS OF" read) — the registry question
+    * "what was each key's state at time T": latest event per user at or
+    * before the cutoff, the temporal-table read the reference's
+    * dataclass-table registry answers by replaying its log. One map-side-
+    * combining `max_by` argmax on the (ts, event_id) order struct — no
+    * window, no per-user sort; the cutoff filter pushes to the scan, so at
+    * 100 TB only pre-cutoff partitions are read at all (partition-pruned
+    * under date partitioning). */
+  val x89 = DQ("x89_asof_snapshot", Some(
+    """WITH r AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      |SELECT user_id, event_type, ts, event_id FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin)) {
+    (spark, dir) =>
+      table(spark, dir, "events")
+        .filter(col("ts") <= expr("TIMESTAMP '2024-01-15 00:00:00'"))
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("event_type"), col("ts"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("s"))
+        .select(col("user_id"), col("s.event_type").as("event_type"),
+          col("s.ts").as("ts"), col("s.event_id").as("event_id"))
+        .orderBy("user_id")
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84)
+    x82, x83, x84, x85, x86, x87, x89)
 }

@@ -1435,7 +1435,70 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x88: BM25 relevance scoring (Robertson k1=1.2, b=0.75; Lucene's
+    * `ln(1 + (N−df+0.5)/(df+0.5))` idf) — x23's TF-IDF upgraded to the
+    * ranking function retrieval pipelines actually serve. Corpus stats
+    * (N, avgdl) are a 1-row aggregate broadcast into the score expression;
+    * df is a tiny per-term count broadcast-joined back; tf and doc length
+    * come from map-side-combining aggs over one tokens pass. Top-5 per term
+    * via `min_by` on the (−score, doc_id) struct would need a top-K agg —
+    * here a per-term window over the scored frame stays cheap because only
+    * docs CONTAINING a query term survive the tf semi-filter long before
+    * the sort. round(…,4) absorbs cross-engine last-ulp `ln` drift
+    * (verified stable at all three fixture SFs). */
+  val x88 = DQ("x88_bm25", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE tok IN ('data', 'spark', 'join') GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.tok AS term, t.doc_id,
+      |         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |         (CAST(t.tf AS DOUBLE) * 2.2) /
+      |         (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))) AS score
+      |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id)
+      |  CROSS JOIN stats s),
+      |r AS (SELECT term, doc_id, score,
+      |             row_number() OVER (PARTITION BY term
+      |                                ORDER BY score DESC, doc_id) AS rn
+      |      FROM scored)
+      |SELECT term, doc_id, round(score, 4) AS score FROM r WHERE rn <= 5
+      |ORDER BY term, doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val queryTerms = Seq("data", "spark", "join")
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("tok").isin(queryTerms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("tok").as("term"), col("doc_id"),
+          (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf").cast("double") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+            .as("score"))
+      val w = Window.partitionBy("term")
+        .orderBy(col("score").desc, col("doc_id"))
+      scored
+        .select(col("term"), col("doc_id"), round(col("score"), 4).as("score"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy("term", "doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61)
+    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88)
 }
