@@ -154,6 +154,27 @@ object Pipelines {
       joinType)
   }
 
+  /** Stream-static enrichment join — the consumer-side dimension lookup
+    * (the reference resolves per-message context from its in-memory
+    * registries, e.g. stream_handler_registries.py:19-51; here the registry
+    * is a batch table joined into the stream). The `broadcast` hint keeps
+    * every micro-batch shuffle-free: the dim ships to the stream's tasks,
+    * the stream never repartitions — at 100 TB the stream side's
+    * partitioning is untouched and only the (small) dim crosses the wire,
+    * once per executor per batch. Default `left_outer` keeps unmatched
+    * stream rows null-padded instead of silently dropping data.
+    *
+    * Snapshot semantics: a file-based dim's file listing is captured when
+    * the DataFrame is DEFINED, not per trigger — to pick up dim updates,
+    * rebuild the frame (e.g. inside `foreachBatch`) or restart the query.
+    * Set `broadcastDim = false` for dims too big to broadcast; the join
+    * then shuffles both sides on `keys` like any equi-join. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left_outer", broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, keys, joinType)
+  }
+
   /** T4/T5 consumer-side filters: message-key regex and filepath regex
     * (openmsistream_consumer.py:351-449). */
   def filterChunks(chunks: Dataset[ChunkRow],

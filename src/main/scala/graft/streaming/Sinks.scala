@@ -74,3 +74,34 @@ final class PositionedChunkWriter(rootDir: String,
     }
   }
 }
+
+/** Exactly-once-over-at-least-once parquet sink for `foreachBatch`.
+  *
+  * Structured Streaming's contract is at-least-once on the sink side: a
+  * failure between the sink write and the checkpoint commit replays the
+  * whole micro-batch with the SAME `batchId`. Plain `append` would
+  * duplicate every replayed row; this sink makes the write idempotent by
+  * keying the output on the batch: each micro-batch lands in its own
+  * `batch_id=N` partition with DYNAMIC partition overwrite, so a replay
+  * rewrites exactly its own partition and nothing else. Readers see
+  * `dir` as ordinary partitioned parquet (the `batch_id` column prunes).
+  *
+  * This is the standard Spark recipe for transactional file sinks without
+  * a table format — at 100 TB each batch's write is a normal distributed
+  * parquet job (no coalesce, no driver data), and the overwrite unit is
+  * one partition directory, never the table.
+  * (Reference analog: at-least-once consumer + duplicate-tolerant
+  * reassembly, controlled_message_processor.py:89-161 — here the
+  * duplicate tolerance moves into the sink itself.)
+  */
+object IdempotentParquetSink {
+  /** Use as `.writeStream.foreachBatch(IdempotentParquetSink.writeBatch(dir) _)`. */
+  def writeBatch(dir: String)(batch: org.apache.spark.sql.DataFrame,
+      batchId: Long): Unit =
+    batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+}
