@@ -540,6 +540,110 @@ object Breadth {
         .orderBy("user_id")
   }
 
+  /** x90: rolling distinct count over a time-RANGE frame — "how many
+    * distinct event types did this user produce in the trailing hour",
+    * the per-entity diversity signal rate-limiters and anomaly monitors
+    * read. Spark window frames can't take COUNT(DISTINCT), so the
+    * engine-portable form is `size(collect_set())` over a RANGE frame on
+    * the microsecond epoch (exactly DuckDB's `RANGE INTERVAL '1 hour'
+    * PRECEDING`). One shuffle by user, one sort per partition; frame state
+    * is the hour's distinct set, bounded by the type alphabet, not the
+    * rate. */
+  val x90 = DQ("x90_rolling_distinct", Some(
+    """SELECT user_id, event_id,
+      |       CAST(count(DISTINCT event_type) OVER
+      |         (PARTITION BY user_id ORDER BY ts
+      |          RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+      |         AS INT) AS d
+      |FROM events ORDER BY user_id, event_id""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      table(spark, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).as("d"))
+        .orderBy("user_id", "event_id")
+  }
+
+  /** x91: share-of-total (ratio_to_report) — each nation's revenue as a
+    * fraction of its region and of the world. The two window sums run over
+    * the ALREADY-AGGREGATED 25-row frame, so they cost nothing at any
+    * scale; the only real work is the base aggregation, which shuffles
+    * once. Revenue stays DECIMAL through both the group-by and the window
+    * sums (order-independent, bit-identical across engines); the share is
+    * one exact IEEE division of the two decimal-exact values at the end. */
+  val x91 = DQ("x91_share_of_total", Some(
+    """WITH rev AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_d
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT region, nation, round(CAST(rev_d AS DOUBLE), 2) AS rev,
+      |  round(CAST(rev_d AS DOUBLE) /
+      |        CAST(sum(rev_d) OVER (PARTITION BY region) AS DOUBLE), 6) AS share_region,
+      |  round(CAST(rev_d AS DOUBLE) /
+      |        CAST(sum(rev_d) OVER () AS DOUBLE), 6) AS share_total
+      |FROM rev ORDER BY region, nation""".stripMargin)) {
+    (spark, dir) =>
+      val rev = table(spark, dir, "orders")
+        .join(table(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(spark, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(money(col("o_totalprice"))).as("rev_d"))
+      val wr = Window.partitionBy("region")
+      val wt = Window.partitionBy()
+      rev.select(col("region"), col("nation"),
+          round(col("rev_d").cast("double"), 2).as("rev"),
+          round(col("rev_d").cast("double") /
+            sum(col("rev_d")).over(wr).cast("double"), 6).as("share_region"),
+          round(col("rev_d").cast("double") /
+            sum(col("rev_d")).over(wt).cast("double"), 6).as("share_total"))
+        .orderBy("region", "nation")
+  }
+
+  /** x92: missing-chunk gap detection — the reference's incomplete-file
+    * diagnosis (its registry rows stuck 'in_progress',
+    * producer_file_registry.py:54-88) as a set query: given the received
+    * chunk stream (a deterministic ~3% md5-keyed drop), report each file's
+    * missing indices. Spark side needs NO join: the expected 1..n_total
+    * grid is generated in-row next to the received flags, so one map-side-
+    * combining agg per doc collects the gap list (`collect_list` of
+    * dropped indices) — at 100 TB the chunk stream never meets a second
+    * table, while the oracle's LEFT JOIN form re-derives the same answer
+    * relationally. */
+  val x92 = DQ("x92_missing_chunks", Some(
+    s"""WITH $chunksCte,
+       |recv AS (SELECT doc_id, chunk_i FROM chunks
+       |         WHERE substr(md5(doc_id::VARCHAR || '_' || chunk_i::VARCHAR), 1, 2) >= '08'),
+       |miss AS (SELECT c.doc_id, c.chunk_i FROM chunks c LEFT JOIN recv r
+       |         ON c.doc_id = r.doc_id AND c.chunk_i = r.chunk_i
+       |         WHERE r.doc_id IS NULL)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_missing,
+       |       string_agg(chunk_i, ',' ORDER BY chunk_i) AS missing
+       |FROM miss GROUP BY 1 ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      chunks(spark, dir)
+        .withColumn("received",
+          substring(md5(concat(col("doc_id").cast("string"), lit("_"),
+            col("chunk_i").cast("string"))), 1, 2) >= "08")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(when(!col("received"), col("chunk_i"))))
+          .as("miss"))
+        .filter(size(col("miss")) > 0)
+        .select(col("doc_id"),
+          size(col("miss")).cast("bigint").as("n_missing"),
+          array_join(col("miss"), ",").as("missing"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x89)
+    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92)
 }
