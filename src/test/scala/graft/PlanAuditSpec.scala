@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x47_temperature_mix", // broadcast quota table
     "x49_quantile_bins", // broadcast bin edges
     "x34_asof_tolerance", // equi+range join: range residual on custkey equi key
-    "q15_asof_join")
+    "q15_asof_join",
+    "x88_bm25") // 1-row corpus stats (N, avgdl) broadcast cross join
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
