@@ -436,13 +436,18 @@ object Breadth {
       |  round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)) {
     (spark, dir) =>
+      // one percentile buffer per group (array form), not three — the
+      // value-count map is the expensive part, so ask it all three
+      // questions in a single pass
       table(spark, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))").as("ps"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("ps").getItem(0), 6).as("p25"),
+          round(col("ps").getItem(1), 6).as("p50"),
+          round(col("ps").getItem(2), 6).as("p90"))
         .orderBy("l_returnflag")
   }
 
