@@ -1498,7 +1498,47 @@ object TextOps {
         .orderBy("term", "doc_id")
   }
 
+  /** x93: adjacent-pair (bigram) frequency — the counting step of one BPE
+    * merge round (the tokenizer-training inner loop): per language, the 5
+    * most frequent adjacent token pairs. Pairs are built IN-ROW by zipping
+    * the token array against its own tail (`zip_with(slice, slice)`), so
+    * nothing widens before the map-side-combining count — the shuffle
+    * carries (lang, pair) partial counts, never positions. A full BPE
+    * trainer is this query in x37's driver-controlled fixpoint loop: count
+    * → merge the argmax pair → re-tokenize → repeat. */
+  val x93 = DQ("x93_bigram_pairs", Some(
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                     x -> x <> '') AS l
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT lang, l[i] || ' ' || l[i+1] AS pair
+      |  FROM t, unnest(generate_series(1, len(l)-1)) AS u(i) WHERE len(l) > 1),
+      |counted AS (
+      |  SELECT lang, pair, CAST(count(*) AS BIGINT) AS n,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY count(*) DESC, pair) AS rn
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT lang, pair, n FROM counted WHERE rn <= 5
+      |ORDER BY lang, pair""".stripMargin)) {
+    (spark, dir) =>
+      val t = spread(table(spark, dir, "documents"))
+        .select(col("lang"), tokens(col("text")).as("l"))
+        .filter(size(col("l")) > 1)
+      val pairs = t.select(col("lang"), explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        expr("slice(l, 2, size(l) - 1)"),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("pair"))
+      pairs.groupBy("lang", "pair").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy("lang", "pair")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88)
+    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93)
 }
