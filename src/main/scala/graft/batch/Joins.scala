@@ -50,6 +50,18 @@ object Joins {
       .format("parquet").saveAsTable(name)
   }
 
+  /** Persist a table partitioned by the DATE of `tsCol` (Hive-style
+    * `p_date=…` directories) — the canonical 100 TB event-log layout: any
+    * read filtering on `p_date` prunes to the matching directories before
+    * a single file opens (`PartitionFilters` in the scan, pinned in the
+    * spec), so a one-day query over a decade of data scans one day. Pair
+    * with `spark.sql.files.maxPartitionBytes` sizing; within each date,
+    * files stay splittable parquet. The temporal queries (x89's as-of
+    * cutoff, x21/x25's windows) are exactly the reads this layout serves. */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+
   /** Range (interval) join via bin-bucketing — the scale rewrite of the
     * naive nested-loop interval join. Each interval row is exploded into
     * the fixed-width time bins it overlaps; the probe side computes its

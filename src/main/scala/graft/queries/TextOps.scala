@@ -1538,7 +1538,38 @@ object TextOps {
         .orderBy("lang", "pair")
   }
 
+  /** x94: incremental (new-batch-vs-corpus) near-dup detection — the daily
+    * ingest question "which of today's documents already exist in the
+    * corpus", as distinct from x02's corpus-internal pairing. The corpus
+    * side is a band-signature STORE (here derived from the `doc_id%10<8`
+    * slice; in production persisted and bucketed by `(band, sig)` so the
+    * daily join co-locates with zero corpus re-scan — only the new batch
+    * computes signatures each day, the 100 TB property that makes
+    * incremental dedup cheaper than re-running x02 over corpus+batch).
+    * Same MinHash/LSH scheme as x02/x27/NearDupStream, so batch, stream,
+    * and incremental paths can never disagree on candidacy. */
+  val x94 = DQ("x94_incremental_dedup", Some(
+    s"""WITH $lshBandsCte,
+       |hits AS (
+       |  SELECT a.doc_id, b.doc_id AS corpus_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8)
+       |SELECT doc_id, CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_matches
+       |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val bands = lshBands(spark, dir)
+      val newB = bands.filter(col("doc_id") % 10 >= 8)
+      val oldB = bands.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id").as("corpus_id"), col("band").as("band2"),
+          col("sig").as("sig2"))
+      newB.join(oldB, col("band") === col("band2") && col("sig") === col("sig2"))
+        .groupBy("doc_id")
+        .agg(countDistinct("corpus_id").as("n_matches"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
-    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93)
+    x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
+    x94)
 }

