@@ -175,6 +175,23 @@ object Pipelines {
     stream.join(d, keys, joinType)
   }
 
+  /** The refresh-per-batch variant of [[enrichStream]] for dims that
+    * CHANGE while the query runs (the reference's registries mutate
+    * continuously): a `foreachBatch` wrapper that re-reads the dim table
+    * from `dimPath` at every micro-batch — a fresh file listing each
+    * trigger, so upserts land without restarting the query — joins it
+    * broadcast, and hands the enriched frame to `out`. Compose with
+    * [[IdempotentParquetSink.writeBatch]] as `out` for a replay-safe
+    * enriched pipeline end-to-end. Dim re-list cost is per-batch driver
+    * metadata work — fine for registry-sized dims; for huge slowly-changing
+    * dims prefer [[enrichStream]] + planned restarts. */
+  def enrichPerBatch(dimPath: String, keys: Seq[String],
+      joinType: String = "left_outer")(out: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val dim = batch.sparkSession.read.parquet(dimPath)
+    out(batch.join(broadcast(dim), keys, joinType), batchId)
+  }
+
   /** T4/T5 consumer-side filters: message-key regex and filepath regex
     * (openmsistream_consumer.py:351-449). */
   def filterChunks(chunks: Dataset[ChunkRow],

@@ -79,6 +79,36 @@ class EnrichIdempotentSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)))
   }
 
+  test("enrichPerBatch re-reads the dim every micro-batch (upserts visible)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = Files.createTempDirectory("dim_refresh").toString
+    val outDir = Files.createTempDirectory("dim_out").toString
+    val ckpt = Files.createTempDirectory("dim_ckpt").toString
+    Seq(("en", "English")).toDF("lang", "lang_name")
+      .write.mode("overwrite").parquet(dimDir)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "lang").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Pipelines.enrichPerBatch(dimDir, Seq("lang"))(
+        graft.streaming.IdempotentParquetSink.writeBatch(outDir)))
+      .start()
+    try {
+      in.addData(Seq((1L, "en"), (2L, "de")))
+      q.processAllAvailable()
+      // dim upsert between batches: 'de' becomes resolvable
+      Seq(("en", "English"), ("de", "German")).toDF("lang", "lang_name")
+        .write.mode("overwrite").parquet(dimDir)
+      in.addData(Seq((3L, "de")))
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "lang_name").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+      assert(got.toSeq === Seq(
+        (1L, Some("English")), (2L, None), (3L, Some("German"))))
+    } finally q.stop()
+  }
+
   test("IdempotentParquetSink end-to-end under foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
