@@ -60,4 +60,59 @@ object Sketches {
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
+
+  /** KMV (k-minimum-values) distinct sketch — the theta-sketch family's
+    * simplest member (Bar-Yossef et al. 2002; Beyer et al. 2007 for the
+    * unbiased estimator), and the structure behind Druid/Trino's
+    * `approx_set` union/intersection algebra. State = the k smallest
+    * 64-bit hashes seen; merge = union-then-trim (associative, so
+    * partitions sketch independently — O(k) per partition crosses the
+    * wire). Distinct estimate = (k−1)/R where R is the k-th smallest hash
+    * normalized to (0,1]; with fewer than k values the count is exact.
+    * Two sketches also answer SET questions: Jaccard ≈ overlap fraction in
+    * the k smallest of the union ([[Kmv.jaccard]]), which HLL cannot do. */
+  final case class KmvState(values: Vector[Long])
+
+  final class Kmv(k: Int) extends Aggregator[String, KmvState, Double] {
+    require(k > 1, "k must be > 1")
+
+    // hashes are masked non-negative (63 bits), so ascending signed sort IS
+    // ascending uniform order and norm maps to (0, 1]
+    private def norm(h: Long): Double = (h.toDouble + 1.0) / Long.MaxValue.toDouble
+
+    private def trim(sorted: Vector[Long]): Vector[Long] =
+      if (sorted.length <= k) sorted else sorted.take(k)
+
+    override def zero: KmvState = KmvState(Vector.empty)
+
+    override def reduce(s: KmvState, item: String): KmvState = {
+      val h = (scala.util.hashing.MurmurHash3.stringHash(item).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(item.reverse).toLong & 0xffffffffL)) &
+        Long.MaxValue
+      if (s.values.contains(h)) s
+      else KmvState(trim((s.values :+ h).sorted))
+    }
+
+    override def merge(a: KmvState, b: KmvState): KmvState =
+      KmvState(trim((a.values ++ b.values).distinct.sorted))
+
+    override def finish(s: KmvState): Double =
+      if (s.values.length < k) s.values.length.toDouble // exact below k
+      else (k - 1).toDouble / norm(s.values.last)
+
+    override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  object Kmv {
+    /** Jaccard similarity estimate from two same-k KMV states: the overlap
+      * fraction within the k smallest hashes of the union (the classic
+      * KMV set-operation trick). */
+    def jaccard(a: KmvState, b: KmvState, k: Int): Double = {
+      val union = (a.values ++ b.values).distinct.sorted.take(k)
+      if (union.isEmpty) return 0.0
+      val inBoth = union.count(h => a.values.contains(h) && b.values.contains(h))
+      inBoth.toDouble / union.length
+    }
+  }
 }

@@ -649,6 +649,37 @@ object Breadth {
         .orderBy("doc_id")
   }
 
+  /** x95: per-language distinct-token estimates via the mergeable KMV
+    * sketch ([[graft.batch.Sketches.Kmv]]) — x24's HLL++ posture with a
+    * sketch that ALSO supports set algebra (union/Jaccard across groups,
+    * which HLL cannot answer; spec exercises the Jaccard path). O(k) state
+    * per group per partition; merge is a deterministic set union, so the
+    * estimate is identical at any parallelism (unlike merge-order-dependent
+    * sketches). Rows-only like x24/x84: the estimator is engine-specific;
+    * the spec bounds it against exact counts. */
+  val x95 = DQ("x95_kmv_distinct", None) {
+    (spark, dir) =>
+      import spark.implicits._
+      // distinct BIGRAMS per language (the fixture vocabulary is ~31 words
+      // per lang — unigrams sit below k and come back exact; bigrams cross
+      // into the estimator regime at the larger SFs)
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("lang"),
+          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("l"))
+        .filter(size(col("l")) > 1)
+        .select(col("lang"), explode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          expr("slice(l, 2, size(l) - 1)"),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+        .as[(String, String)]
+      toks.groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.batch.Sketches.Kmv(256).toColumn.name("est_distinct"))
+        .toDF("lang", "est_distinct")
+        .select(col("lang"), round(col("est_distinct"), 2).as("est_distinct"))
+        .orderBy("lang")
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92)
+    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95)
 }

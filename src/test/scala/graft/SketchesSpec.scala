@@ -43,6 +43,42 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV: exact below k, ~1/sqrt(k) error above, partition-invariant") {
+    import spark.implicits._
+    val k = 256
+    // exact regime: fewer distincts than k
+    val small = spark.createDataset((0 until 100).map(i => s"v$i") ++ Seq("v0", "v1"))
+    val gotSmall = small.select(new Sketches.Kmv(k).toColumn.name("d")).head()
+    assert(gotSmall === 100.0)
+    // estimate regime: 5000 distincts, duplicated unevenly
+    val items = (0 until 5000).flatMap(i => Seq.fill(i % 3 + 1)(s"t$i"))
+    val estimates = for (parts <- Seq(1, 2, 8)) yield {
+      val ds = spark.createDataset(items).repartition(parts)
+      ds.select(new Sketches.Kmv(k).toColumn.name("d")).head()
+    }
+    // merge is a deterministic set union → the estimate cannot depend on
+    // partitioning at all
+    assert(estimates.distinct.size === 1, s"partition-dependent: $estimates")
+    val err = math.abs(estimates.head - 5000.0) / 5000.0
+    assert(err < 0.15, s"estimate ${estimates.head} off by ${err * 100}%")
+  }
+
+  test("KMV jaccard estimates set overlap") {
+    val k = 256
+    val kmv = new Sketches.Kmv(k)
+    def sketch(xs: Seq[String]): Sketches.KmvState =
+      xs.foldLeft(kmv.zero)((s, x) => kmv.reduce(s, x))
+    // |A|=2000, |B|=2000, |A∩B|=1000 → J = 1000/3000 ≈ 0.333
+    val a = sketch((0 until 2000).map(i => s"x$i"))
+    val b = sketch((1000 until 3000).map(i => s"x$i"))
+    val j = Sketches.Kmv.jaccard(a, b, k)
+    assert(math.abs(j - 1.0 / 3.0) < 0.1, s"jaccard $j")
+    // disjoint sets → ~0; identical sets → 1
+    val c = sketch((9000 until 11000).map(i => s"x$i"))
+    assert(Sketches.Kmv.jaccard(a, c, k) < 0.05)
+    assert(Sketches.Kmv.jaccard(a, a, k) === 1.0)
+  }
+
   test("MG merge is order-insensitive on disjoint halves' guarantees") {
     // Two adversarial halves: half A is all one token, half B spreads k+5
     // distinct tokens. The merged sketch must still surface the global
