@@ -1,0 +1,56 @@
+package graft.batch
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-files compaction — the operational pass every streaming parquet
+  * sink eventually needs: micro-batches (and the reference's per-file
+  * registry shards, dataclass_table.py:64-66 / producer_file_registry
+  * .py:54,71) leave directories of tiny files whose per-file open/footer
+  * cost dominates scans long before data volume does. Compaction rewrites
+  * a directory into ~`targetBytes`-sized files: read, repartition to
+  * ceil(total/target), write beside the original, then swap.
+  *
+  * The swap is delete-then-rename on the directory — NOT atomic (readers
+  * racing the swap can see a missing dir; table formats exist to fix
+  * exactly this). Safe for the pipeline pattern it serves: compaction runs
+  * between streaming jobs, or on topic dirs whose readers tolerate restart.
+  * Refuses FileStreamSink dirs (`_spark_metadata`): their committed-file
+  * log would still reference the deleted originals and every streaming
+  * consumer would silently read nothing.
+  *
+  * Scale posture: one distributed read + one round-robin repartition
+  * exchange + one distributed write — no driver data; file count drops
+  * from O(batches) to O(bytes/target), which is what restores scan-side
+  * split planning at 100 TB.
+  */
+object Compaction {
+
+  /** Returns (filesBefore, filesAfter). */
+  def compactDir(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(path, "_spark_metadata")),
+      s"refusing to compact '$dir': FileStreamSink metadata log would still " +
+        "reference the replaced files; compact a copy or a non-sink dir")
+    val parquetFiles = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles.length
+    if (before == 0) return (0, 0)
+    val totalBytes = parquetFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(path.getParent, path.getName + "._compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(dir)
+      .repartition(nOut)
+      .write.parquet(tmp.toString)
+    // swap: the non-atomic window documented above
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    val after = fs.listStatus(path)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (before, after)
+  }
+}
