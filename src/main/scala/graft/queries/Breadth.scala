@@ -551,9 +551,12 @@ object Breadth {
     * read. Spark window frames can't take COUNT(DISTINCT), so the
     * engine-portable form is `size(collect_set())` over a RANGE frame on
     * the microsecond epoch (exactly DuckDB's `RANGE INTERVAL '1 hour'
-    * PRECEDING`). One shuffle by user, one sort per partition; frame state
-    * is the hour's distinct set, bounded by the type alphabet, not the
-    * rate. */
+    * PRECEDING`). One shuffle by user, one sort per partition; the frame's
+    * distinct set is bounded by the type alphabet. collect_set is not
+    * invertible, so Spark re-folds the frame per row — O(events-in-hour)
+    * per row, fine at any uniform rate but quadratic for one user with a
+    * pathological single-hour burst; the skew escape is the hour-binned
+    * self-join (rangeJoinBinned posture), same answer, shuffle-bounded. */
   val x90 = DQ("x90_rolling_distinct", Some(
     """SELECT user_id, event_id,
       |       CAST(count(DISTINCT event_type) OVER
