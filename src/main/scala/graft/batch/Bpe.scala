@@ -29,7 +29,7 @@ object Bpe {
 
   /** Fuse non-overlapping occurrences of (a, b) left-to-right: the merge
     * step of one BPE round. Pure — usable in tests and in the distributed
-    * map. `sep` joins the fused pair's symbols (""); e.g. ("l","o") over
+    * map. The fused symbol is the concatenation a+b; e.g. ("l","o") over
     * ["l","o","w"] → ["lo","w"]. */
   def mergePair(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
     val out = IndexedSeq.newBuilder[String]
@@ -66,7 +66,12 @@ object Bpe {
       top.headOption.filter(_._3 > 1) match {
         case Some((a, b, _)) =>
           merges += ((a, b))
+          val prev = corpus
+          // localCheckpoint is eager: the new generation materializes here,
+          // so the previous round's cached blocks can be released — without
+          // this, executors pin O(rounds × corpus) dead generations
           corpus = corpus.map(s => mergePair(s, a, b)).localCheckpoint()
+          prev.unpersist()
           round += 1
         case None => done = true
       }

@@ -26,7 +26,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Returns (filesBefore, filesAfter). */
+  /** Returns (filesBefore, filesAfter). Refuses directories it cannot
+    * compact FAITHFULLY: FileStreamSink dirs (commit log would orphan),
+    * partitioned layouts (subdirectories — rewriting would flatten the
+    * partition columns into data files), and dirs holding non-parquet
+    * sidecar files (a manifest the swap would silently destroy). */
   def compactDir(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -35,7 +39,17 @@ object Compaction {
     require(!fs.exists(new Path(path, "_spark_metadata")),
       s"refusing to compact '$dir': FileStreamSink metadata log would still " +
         "reference the replaced files; compact a copy or a non-sink dir")
-    val parquetFiles = fs.listStatus(path)
+    val entries = fs.listStatus(path)
+    require(!entries.exists(_.isDirectory),
+      s"refusing to compact '$dir': partitioned layout (subdirectories) — " +
+        "compact each partition dir, or rewrite via writeDatePartitioned")
+    val sidecars = entries.filter(f => f.isFile &&
+      !f.getPath.getName.endsWith(".parquet") &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    require(sidecars.isEmpty,
+      s"refusing to compact '$dir': non-parquet sidecar files would be " +
+        s"destroyed by the swap: ${sidecars.map(_.getPath.getName).mkString(", ")}")
+    val parquetFiles = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles.length
     if (before == 0) return (0, 0)
@@ -46,9 +60,16 @@ object Compaction {
     spark.read.parquet(dir)
       .repartition(nOut)
       .write.parquet(tmp.toString)
-    // swap: the non-atomic window documented above
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    // swap: the non-atomic window documented above. Every FS call is
+    // checked — on a rename failure the data still exists under `tmp`,
+    // and the error says so instead of leaving a silent empty table.
+    if (!fs.delete(path, true))
+      throw new java.io.IOException(
+        s"compactDir: failed to delete '$dir'; compacted copy left at '$tmp'")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(
+        s"compactDir: rename '$tmp' -> '$dir' failed; ORIGINAL WAS DELETED — " +
+          s"the data survives at '$tmp', restore it manually")
     val after = fs.listStatus(path)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (before, after)

@@ -89,7 +89,10 @@ object Sketches {
       val h = (scala.util.hashing.MurmurHash3.stringHash(item).toLong << 32 |
         (scala.util.hashing.MurmurHash3.stringHash(item.reverse).toLong & 0xffffffffL)) &
         Long.MaxValue
-      if (s.values.contains(h)) s
+      // hot-path: a full sketch rejects anything ≥ its k-th value in O(1) —
+      // once warm, almost every row takes this branch
+      if (s.values.length == k && h >= s.values.last) s
+      else if (s.values.contains(h)) s
       else KmvState(trim((s.values :+ h).sorted))
     }
 

@@ -367,8 +367,7 @@ object Breadth {
     (spark, dir) =>
       import spark.implicits._
       val toks = spread(table(spark, dir, "documents"))
-        .select(explode(filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))
-          .as("tok"))
+        .select(explode(Core.tokens(col("text"))).as("tok"))
         .as[String]
       val sketch = new graft.batch.Sketches.MisraGries(256).toColumn
       toks.select(sketch.name("sketch"))
@@ -668,7 +667,7 @@ object Breadth {
       // into the estimator regime at the larger SFs)
       val toks = spread(table(spark, dir, "documents"))
         .select(col("lang"),
-          filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("l"))
+          Core.tokens(col("text")).as("l"))
         .filter(size(col("l")) > 1)
         .select(col("lang"), explode(zip_with(
           slice(col("l"), lit(1), size(col("l")) - 1),

@@ -81,6 +81,15 @@ object Core {
   def rate(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(4,2)")
 
+  /** Cleaned lowercase word tokens — THE tokenization every text operator
+    * shares (queries, sketches, and the streaming near-dup path all route
+    * here so a tokenizer tweak can never silently diverge them). */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.filter(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lower(c), "[^a-z]+"),
+      x => x =!= "")
+
   /** Spread a compact input across all cores before a CPU-heavy per-row
     * stage (shingling, per-position hashing). A narrow parquet scan can
     * come up in 1–2 partitions (one ~40 MB file ≪ maxPartitionBytes) and a

@@ -19,9 +19,8 @@ import Core._
   */
 object TextOps {
 
-  /** Cleaned lowercase word tokens. */
-  private def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z]+"), x => x =!= "")
+  /** Cleaned lowercase word tokens (shared definition: [[Core.tokens]]). */
+  private def tokens(c: Column): Column = Core.tokens(c)
 
   /** Word n-gram shingle set (distinct) per doc — Spark side. Dedup happens
     * inside the row ([[Core.wordNgrams]]), so no shuffle precedes the

@@ -43,7 +43,7 @@ object NearDupStream {
     * batch. Documents with fewer than 3 lowercase-word tokens have no
     * shingles and produce no bands (they cannot near-dup by this measure). */
   def bands(docs: DataFrame): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    val toks = graft.queries.Core.tokens(col("text"))
     val grams = graft.queries.Core.wordNgrams(toks, 3)
     val mh = (0 until 8).map(s =>
       array_min(transform(col("g"), g => md5(concat(g, lit(s":$s"))))).as(s"mh$s"))
