@@ -229,8 +229,8 @@ class ExtrasSpec extends AnyFunSuite {
     for ((k, (nd, p50, p90, n)) <- approx) {
       val (end, ep50, ep90) = exact(k)
       assert(math.abs(nd - end).toDouble / end < 0.05, s"$k HLL drifted: $nd vs $end")
-      // GK with accuracy 2000 (matching Relational.x24): rank error
-      // <= n/2000 = 0.05%; translate to a loose value-bound via the
+      // GK with accuracy 500 (matching Relational.x24): rank error
+      // <= n/500 = 0.2%; translate to a loose value-bound via the
       // observed spread instead of hardcoding values.
       assert(math.abs(p50 - ep50) / math.max(ep50, 1.0) < 0.05, s"$k p50: $p50 vs $ep50")
       assert(math.abs(p90 - ep90) / math.max(ep90, 1.0) < 0.05, s"$k p90: $p90 vs $ep90")
