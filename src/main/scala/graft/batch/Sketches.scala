@@ -118,4 +118,109 @@ object Sketches {
       inBoth.toDouble / union.length
     }
   }
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005): a depth×width
+    * grid of counters; each item increments one counter per row (row-seeded
+    * hash), a point query reads the MINIMUM across rows. Estimates only ever
+    * OVERcount (collisions add, never subtract), and exceed the true count by
+    * more than e·n/width with probability ≤ e^-depth. Unlike Misra–Gries the
+    * merge is an element-wise SUM — exact and commutative — so the sketch is
+    * bit-identical at any parallelism, and unlike MG it answers point queries
+    * for ANY item, not just the survivors. MG finds the candidates (x84);
+    * CM audits any candidate's frequency without a second corpus pass. */
+  final case class CmState(counts: Array[Long], n: Long)
+
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, CmState, CmState] {
+    require(depth > 0 && width > 1, "depth must be > 0, width > 1")
+
+    // fresh array per group: reduce/merge mutate in place (the typed
+    // Aggregator keeps partition-local buffers as live objects; only
+    // partition boundaries serialize), so zero must never share state
+    override def zero: CmState = CmState(new Array[Long](depth * width), 0L)
+
+    override def reduce(s: CmState, item: String): CmState = {
+      var r = 0
+      while (r < depth) {
+        s.counts(r * width + CountMin.cell(item, r, width)) += 1L
+        r += 1
+      }
+      CmState(s.counts, s.n + 1L)
+    }
+
+    override def merge(a: CmState, b: CmState): CmState = {
+      var i = 0
+      while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+      CmState(a.counts, a.n + b.n)
+    }
+
+    override def finish(s: CmState): CmState = s
+
+    override def bufferEncoder: Encoder[CmState] = Encoders.product[CmState]
+    override def outputEncoder: Encoder[CmState] = Encoders.product[CmState]
+  }
+
+  object CountMin {
+    /** Row-r cell index for an item: murmur3 with the row number as seed. */
+    def cell(item: String, r: Int, width: Int): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(item, r)
+      math.floorMod(h, width)
+    }
+
+    /** Point-frequency estimate: min across the depth rows. */
+    def estimate(counts: Seq[Long], depth: Int, width: Int, item: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = counts(r * width + cell(item, r, width))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
+
+  /** Deterministic bottom-k sample: keep the k items with the smallest
+    * md5(item) — the sketch form of a uniform k-sample without replacement
+    * (md5 is the reproducible stand-in for a random priority, the same
+    * convention as the hash-sampling queries x22/x36/x40). The window-sort
+    * quota sampler (x36) computes the identical selection by SORTING each
+    * stratum; this Aggregator carries only O(k) state per partition and
+    * merges by union-then-trim, so nothing is ever sorted beyond k rows —
+    * the selection is a pure function of the item set, hence identical at
+    * any parallelism, across retries, and to a DuckDB md5-rank oracle.
+    * Duplicate items hash identically and dedup: the sample is over the
+    * DISTINCT item set. */
+  final case class BkEntry(prio: String, value: String)
+  final case class BkState(entries: Vector[BkEntry])
+
+  final class BottomK(k: Int) extends Aggregator[String, BkState, Seq[String]] {
+    require(k > 0, "k must be positive")
+
+    private def prio(item: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(item.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
+    override def zero: BkState = BkState(Vector.empty)
+
+    override def reduce(s: BkState, item: String): BkState = {
+      val p = prio(item)
+      // warm-sketch fast path, mirroring Kmv: a full sample rejects any
+      // priority ≥ its k-th in O(1)
+      if (s.entries.length == k && p >= s.entries.last.prio) s
+      else if (s.entries.exists(_.prio == p)) s
+      else BkState((s.entries :+ BkEntry(p, item)).sortBy(_.prio).take(k))
+    }
+
+    override def merge(a: BkState, b: BkState): BkState =
+      BkState((a.entries ++ b.entries).distinctBy(_.prio).sortBy(_.prio).take(k))
+
+    /** Sampled items in priority (md5-rank) order. */
+    override def finish(s: BkState): Seq[String] = s.entries.map(_.value)
+
+    override def bufferEncoder: Encoder[BkState] = Encoders.product[BkState]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
 }

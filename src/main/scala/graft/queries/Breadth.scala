@@ -682,6 +682,72 @@ object Breadth {
         .orderBy("lang")
   }
 
+  /** x96: Count-Min frequency audit — build one mergeable CM sketch over
+    * every token ([[graft.batch.Sketches.CountMin]]), then read point
+    * estimates for the corpus's exact top-20 tokens next to their true
+    * counts. The division of labor with x84: Misra–Gries surfaces the
+    * CANDIDATES in one pass; Count-Min answers a frequency question about
+    * ANY token after the fact (MG only knows its survivors). The probe set
+    * here comes from an exact groupBy (the fixture vocabulary is ~31
+    * tokens); at 100 TB the probe set is x84's MG output and the exact
+    * branch disappears — only the O(depth·width) grid and 20 probe rows
+    * move. Rows-only like x24/x84/x95 (counter layouts are engine-specific);
+    * the spec pins the overestimate-only and e·n/width guarantees at 1/2/8
+    * partitions. */
+  val x96 = DQ("x96_countmin_freqs", None) {
+    (spark, dir) =>
+      import spark.implicits._
+      val toks = spread(table(spark, dir, "documents"))
+        .select(explode(Core.tokens(col("text"))).as("tok"))
+      val depth = 4; val width = 1024
+      // the typed Aggregator's product output lands as flattened top-level
+      // columns (counts, n) — one row holding the whole grid
+      val cmDs = toks.as[String]
+        .select(new graft.batch.Sketches.CountMin(depth, width)
+          .toColumn.name("cm"))
+        .toDF("counts", "n")
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(20)
+      val est = udf((counts: Seq[Long], tok: String) =>
+        graft.batch.Sketches.CountMin.estimate(counts, depth, width, tok))
+      probes.crossJoin(broadcast(cmDs))
+        .select(col("tok"), col("n_exact"),
+          est(col("counts"), col("tok")).as("n_est"))
+        .orderBy(col("n_exact").desc, col("tok"))
+  }
+
+  /** x97: per-language 10-document sample via the mergeable bottom-k sketch
+    * ([[graft.batch.Sketches.BottomK]]) — the SAME deterministic md5-rank
+    * selection as x36's window quota sampler, computed with O(k) state per
+    * partition and a union-then-trim merge instead of sorting each stratum.
+    * Because the selection is a pure function of the item set, the DuckDB
+    * row_number-over-md5 oracle reproduces it EXACTLY — a full hash-match
+    * gate on a sketch, not a rows-only check: the sketch and the sort
+    * provably agree, so swapping one for the other at scale changes
+    * nothing but the shuffle. */
+  val x97 = DQ("x97_bottomk_sample", Some(
+    """WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(rk AS INT) AS rk
+      |FROM ranked WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      table(spark, dir, "documents")
+        .select(col("lang"), col("doc_id").cast("string").as("d"))
+        .as[(String, String)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.batch.Sketches.BottomK(10).toColumn.name("sample"))
+        .toDF("lang", "sample")
+        .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "d")))
+        .select(col("lang"), col("d").cast("bigint").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rk"))
+        .orderBy("lang", "rk")
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95)
+    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95, x96, x97)
 }

@@ -79,6 +79,49 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.Kmv.jaccard(a, a, k) === 1.0)
   }
 
+  test("CountMin: overestimate-only, e*n/width bound, bit-identical at any parallelism") {
+    import spark.implicits._
+    // Zipfish stream: token t_i appears (200-i) times, i in 0..199.
+    val items = (0 until 200).flatMap(i => Seq.fill(200 - i)(s"t$i"))
+    val n = items.size.toLong
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val depth = 4; val width = 256
+    val grids = for (parts <- Seq(1, 2, 8)) yield {
+      val ds = spark.createDataset(items).repartition(parts)
+      val st = ds.select(new Sketches.CountMin(depth, width).toColumn.name("cm")).head()
+      assert(st.n === n)
+      st.counts.toSeq
+    }
+    // merge is an element-wise sum → the grid cannot depend on partitioning
+    assert(grids.distinct.size === 1, "partition-dependent CM grid")
+    val bound = math.ceil(math.E * n / width).toLong
+    for ((tok, t) <- exact) {
+      val est = Sketches.CountMin.estimate(grids.head, depth, width, tok)
+      assert(est >= t, s"$tok UNDERestimated: $est < $t — CM can only overcount")
+      assert(est - t <= bound, s"$tok error ${est - t} > $bound")
+    }
+    // absent items: estimate is pure collision mass, same bound applies
+    val phantom = Sketches.CountMin.estimate(grids.head, depth, width, "never-seen")
+    assert(phantom <= bound, s"phantom estimate $phantom > $bound")
+  }
+
+  test("BottomK: equals the sort-everything selection, partition-invariant, dedups") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val items = (0 until 1000).map(i => s"doc$i") ++ (0 until 50).map(i => s"doc$i")
+    val k = 25
+    // ground truth: sort the full distinct set by md5 priority, take k
+    val expected = items.distinct.sortBy(md5hex).take(k)
+    val samples = for (parts <- Seq(1, 2, 8)) yield {
+      val ds = spark.createDataset(items).repartition(parts)
+      ds.select(new Sketches.BottomK(k).toColumn.name("s")).head()
+    }
+    assert(samples.distinct.size === 1, "partition-dependent sample")
+    assert(samples.head === expected)
+  }
+
   test("MG merge is order-insensitive on disjoint halves' guarantees") {
     // Two adversarial halves: half A is all one token, half B spreads k+5
     // distinct tokens. The merged sketch must still surface the global
