@@ -748,6 +748,62 @@ object Breadth {
         .orderBy("lang", "rk")
   }
 
+  /** x98: type-2 slowly-changing-dimension history (SCD2) — run-length
+    * encode each user's event_type transitions into versioned validity
+    * intervals `[valid_from, valid_to)` with an open current row: the
+    * registry-history build (the reference's file registry is exactly this
+    * per-file state machine — upload → in_progress → completed; dataclass
+    * _table rewrites current state, this derives the full history a
+    * temporal query like x89 reads). Gaps-and-islands over ONE user_id
+    * exchange: change flags (lag), run ids (running sum), interval bounds
+    * (groupBy), next-start (lead) all share the same partitioning, so the
+    * three windows + aggregation plan a single shuffle; at 100 TB users
+    * sort independently inside their partitions and nothing global ever
+    * orders. */
+  val x98 = DQ("x98_scd2_history", Some(
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |              THEN 1 ELSE 0 END AS is_chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, us,
+      |         sum(is_chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS ver
+      |  FROM chg),
+      |hist AS (
+      |  SELECT user_id, CAST(ver AS INT) AS ver, max(event_type) AS event_type,
+      |         min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM runs GROUP BY user_id, ver)
+      |SELECT user_id, ver, event_type, valid_from_us,
+      |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to_us,
+      |       n_events,
+      |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) IS NULL AS is_current
+      |FROM hist ORDER BY user_id, ver""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wVer = Window.partitionBy("user_id").orderBy("ver")
+      val prev = lag(col("event_type"), 1).over(w)
+      table(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("is_chg",
+          when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+        .withColumn("ver", sum("is_chg").over(wRun).cast("int"))
+        .groupBy("user_id", "ver")
+        .agg(max("event_type").as("event_type"),
+          min("us").as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("ver"), col("event_type"),
+          col("valid_from_us"),
+          lead(col("valid_from_us"), 1).over(wVer).as("valid_to_us"),
+          col("n_events"),
+          lead(col("valid_from_us"), 1).over(wVer).isNull.as("is_current"))
+        .orderBy("user_id", "ver")
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95, x96, x97)
+    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95, x96, x97, x98)
 }
