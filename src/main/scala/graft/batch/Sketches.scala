@@ -194,6 +194,54 @@ object Sketches {
   final case class BkEntry(prio: String, value: String)
   final case class BkState(entries: Vector[BkEntry])
 
+  /** Weighted-sample sketch (A-RES, Efraimidis–Spirakis 2006): keep the k
+    * items with the LARGEST priority ln(u)/w, where u is the same
+    * deterministic md5-derived 52-bit uniform as the window-sort sampler
+    * x79 — so this is x79's selection computed as a mergeable sketch
+    * (O(k) state per partition, union-then-trim merge, no stratum sort),
+    * exactly [[BottomK]]'s relationship to x36 but weight-aware: an item
+    * with weight w wins a slot with probability proportional to w. The
+    * priority is a pure function of (item, weight), so the sample is
+    * identical at any parallelism and reproducible by a SQL oracle. */
+  final case class WEntry(k: Double, value: String)
+  final case class WState(entries: Vector[WEntry])
+
+  final class ARes(slots: Int)
+      extends Aggregator[(String, Long), WState, Seq[WEntry]] {
+    require(slots > 0, "slots must be positive")
+
+    /** ln(u)/w with u = (52-bit md5 prefix + 1) / 2^52 — byte-for-byte the
+      * x79 key, so sketch and window sampler can never disagree. */
+    private def prio(item: String, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(item.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+      math.log(u) / w
+    }
+
+    override def zero: WState = WState(Vector.empty)
+
+    override def reduce(s: WState, item: (String, Long)): WState = {
+      val k = prio(item._1, item._2)
+      // warm-sketch fast path: a full sample rejects any priority ≤ its
+      // worst kept one in O(1)
+      if (s.entries.length == slots && k <= s.entries.last.k) s
+      else if (s.entries.exists(_.value == item._1)) s
+      else WState((s.entries :+ WEntry(k, item._1)).sortBy(-_.k).take(slots))
+    }
+
+    override def merge(a: WState, b: WState): WState =
+      WState((a.entries ++ b.entries).distinctBy(_.value).sortBy(-_.k).take(slots))
+
+    /** Kept entries in priority (descending-key) order. */
+    override def finish(s: WState): Seq[WEntry] = s.entries
+
+    override def bufferEncoder: Encoder[WState] = Encoders.product[WState]
+    override def outputEncoder: Encoder[Seq[WEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[WEntry]]()
+  }
+
   final class BottomK(k: Int) extends Aggregator[String, BkState, Seq[String]] {
     require(k > 0, "k must be positive")
 

@@ -804,6 +804,39 @@ object Breadth {
         .orderBy("user_id", "ver")
   }
 
+  /** x99: x79's weighted sample computed by the mergeable A-RES sketch
+    * ([[graft.batch.Sketches.ARes]]) instead of a per-stratum window sort —
+    * the ORACLE IS X79'S, verbatim: both engines rank by ln(u)/w with the
+    * same md5-derived 52-bit uniform, so the sketch, the window sampler,
+    * and DuckDB all select the identical 20 documents per language. O(k)
+    * state per partition and a union-then-trim merge replace the stratum
+    * sort (x97's trick, weight-aware); at 100 TB only 20 entries per
+    * (lang, partition) ever cross the wire. */
+  val x99 = DQ("x99_weighted_sample_sketch", Some(
+    """WITH keyed AS (
+      |  SELECT lang, doc_id,
+      |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
+      |       / 4503599627370496.0) / n_chars AS k
+      |  FROM documents)
+      |SELECT lang, doc_id, round(k * 1000000, 6) AS key_ppm
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+      |      FROM keyed) t
+      |WHERE rn <= 20 ORDER BY lang, key_ppm DESC, doc_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      table(spark, dir, "documents")
+        .select(col("lang"), col("doc_id").cast("string").as("d"), col("n_chars"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(new graft.batch.Sketches.ARes(20).toColumn.name("sample"))
+        .toDF("lang", "sample")
+        .select(col("lang"), explode(col("sample")).as("e"))
+        .select(col("lang"), col("e.value").cast("bigint").as("doc_id"),
+          round(col("e.k") * 1000000, 6).as("key_ppm"))
+        .orderBy(col("lang"), col("key_ppm").desc, col("doc_id"))
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95, x96, x97, x98)
+    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95, x96, x97, x98, x99)
 }

@@ -122,6 +122,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(samples.head === expected)
   }
 
+  test("ARes: equals the sort-everything weighted selection, partition-invariant, weight-sensitive") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def prio(s: String, w: Long): Double = {
+      val u = (java.lang.Long.parseLong(md5hex(s).substring(0, 13), 16) + 1).toDouble /
+        4503599627370496.0
+      math.log(u) / w
+    }
+    // weights 1..1000: heavier items should dominate the kept set
+    val items = (1 to 1000).map(i => (s"doc$i", i.toLong))
+    val k = 30
+    val expected = items.map { case (d, w) => Sketches.WEntry(prio(d, w), d) }
+      .sortBy(-_.k).take(k)
+    val samples = for (parts <- Seq(1, 2, 8)) yield {
+      val ds = spark.createDataset(items).repartition(parts)
+      ds.select(new Sketches.ARes(k).toColumn.name("s")).head()
+    }
+    assert(samples.distinct.size === 1, "partition-dependent sample")
+    assert(samples.head === expected)
+    // weight sensitivity: the kept set skews heavy — its mean weight sits
+    // clearly above the population mean (500.5; this md5 realization: 580.7)
+    val meanW = samples.head.map(_.value.stripPrefix("doc").toLong).sum.toDouble / k
+    assert(meanW > 550, s"kept-set mean weight $meanW not skewed heavy")
+  }
+
   test("MG merge is order-insensitive on disjoint halves' guarantees") {
     // Two adversarial halves: half A is all one token, half B spreads k+5
     // distinct tokens. The merged sketch must still surface the global
