@@ -12,6 +12,23 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Sketches {
 
+  /** Register the sketches as SQL aggregate functions (the UDAF face of
+    * SURVEY §2.9, next to pack_chunk/vec_dot's Expression face): `mg_topk`
+    * (string → map of heavy hitters), `kmv_distinct` (string → distinct
+    * estimate), `bottomk_sample` (string → k-sample array), `ares_sample`
+    * (string, weight → weighted sample). Sketch sizes are fixed at
+    * registration — SQL functions cannot thread constructor parameters —
+    * with the same defaults the x84/x95/x97/x99 queries use. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession,
+      mgK: Int = 256, kmvK: Int = 256, bottomK: Int = 20, aresK: Int = 20): Unit = {
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("mg_topk", udaf(new MisraGries(mgK), Encoders.STRING))
+    spark.udf.register("kmv_distinct", udaf(new Kmv(kmvK), Encoders.STRING))
+    spark.udf.register("bottomk_sample", udaf(new BottomK(bottomK), Encoders.STRING))
+    spark.udf.register("ares_sample", udaf(new ARes(aresK),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)))
+  }
+
   /** Misra–Gries heavy-hitters summary: at most `k` counters. For a stream
     * of n items, every item with true frequency > n/(k+1) is guaranteed
     * present, and each reported count underestimates the true count by at

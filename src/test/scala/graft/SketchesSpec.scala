@@ -149,6 +149,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(meanW > 550, s"kept-set mean weight $meanW not skewed heavy")
   }
 
+  test("sketches register as SQL aggregates and agree with their typed forms") {
+    import spark.implicits._
+    Sketches.registerSql(spark)
+    spark.createDataset((0 until 500).map(i => (s"g${i % 7}", s"item$i", (i % 9 + 1).toLong)))
+      .toDF("grp", "item", "w").createOrReplaceTempView("sk_items")
+    val sqlRows = spark.sql(
+      """SELECT grp, kmv_distinct(item) AS nd, bottomk_sample(item) AS bk,
+        |       ares_sample(item, w) AS ws
+        |FROM sk_items GROUP BY grp""".stripMargin).collect()
+    assert(sqlRows.length === 7)
+    for (r <- sqlRows) {
+      val grp = r.getString(0)
+      val members = (0 until 500).filter(i => s"g${i % 7}" == grp).map(i => s"item$i")
+      // below-k regime → KMV is exact; samples obey their typed ground truth
+      assert(r.getDouble(1) === members.size.toDouble)
+      val kmvAgg = new Sketches.Kmv(256)
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getSeq[String](2) === members.sortBy(md5hex).take(20))
+      assert(r.getSeq[org.apache.spark.sql.Row](3).length === 20)
+    }
+    // mg_topk over a skewed stream surfaces the majority token in SQL
+    spark.createDataset(Seq.fill(300)("big") ++ (0 until 60).map(i => s"small$i"))
+      .toDF("tok").createOrReplaceTempView("sk_toks")
+    val mg = spark.sql("SELECT mg_topk(tok) AS m FROM sk_toks")
+      .head().getMap[String, Long](0)
+    assert(mg.contains("big") && mg("big") >= 300L - 360L / 257)
+  }
+
   test("MG merge is order-insensitive on disjoint halves' guarantees") {
     // Two adversarial halves: half A is all one token, half B spreads k+5
     // distinct tokens. The merged sketch must still surface the global
