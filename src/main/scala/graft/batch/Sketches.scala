@@ -259,6 +259,46 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[WEntry]]()
   }
 
+  /** Bounded top-k aggregator — the heap form of "top N per group": keep
+    * the k best `(key DESC, a ASC, b ASC)` entries seen. The window form
+    * (q21g/x74) SORTS every group to rank it; this carries O(k) state per
+    * group per partition and map-side combines, so a group's rows never
+    * gather anywhere — the right shape when groups are huge (a hot
+    * supplier at 100 TB) or skewed. Multiset semantics: genuinely duplicate
+    * rows each keep their slot (matching what a window rank over the same
+    * data emits). Selection is a pure function of the row set → identical
+    * at any parallelism, provable by a row_number oracle. */
+  final case class TEntry(key: Long, a: Long, b: Long)
+  final case class TState(entries: Vector[TEntry])
+
+  final class TopKBy(slots: Int)
+      extends Aggregator[(Long, Long, Long), TState, Seq[TEntry]] {
+    require(slots > 0, "slots must be positive")
+
+    private val ord: Ordering[TEntry] =
+      Ordering.by((e: TEntry) => (-e.key, e.a, e.b))
+
+    override def zero: TState = TState(Vector.empty)
+
+    override def reduce(s: TState, item: (Long, Long, Long)): TState = {
+      val e = TEntry(item._1, item._2, item._3)
+      // warm fast path: a full state rejects anything ordered at-or-after
+      // its worst entry in O(1)
+      if (s.entries.length == slots && ord.gteq(e, s.entries.last)) s
+      else TState((s.entries :+ e).sorted(ord).take(slots))
+    }
+
+    override def merge(a: TState, b: TState): TState =
+      TState((a.entries ++ b.entries).sorted(ord).take(slots))
+
+    /** Kept entries best-first. */
+    override def finish(s: TState): Seq[TEntry] = s.entries
+
+    override def bufferEncoder: Encoder[TState] = Encoders.product[TState]
+    override def outputEncoder: Encoder[Seq[TEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TEntry]]()
+  }
+
   final class BottomK(k: Int) extends Aggregator[String, BkState, Seq[String]] {
     require(k > 0, "k must be positive")
 

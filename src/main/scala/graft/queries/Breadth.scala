@@ -837,6 +837,44 @@ object Breadth {
         .orderBy(col("lang"), col("key_ppm").desc, col("doc_id"))
   }
 
+  /** x101: per-group top-k via the bounded heap aggregator
+    * ([[graft.batch.Sketches.TopKBy]]) — q21g/x74's "top 3 per supplier"
+    * WITHOUT sorting any group: O(k) state per (group, partition),
+    * map-side combining, so a hot supplier's million rows reduce to 3
+    * entries before the exchange (the window form must gather and sort
+    * every group's rows; this is the skew-proof shape at 100 TB). The
+    * row_number oracle proves the heap selects exactly the window's rows —
+    * x97/x99's sketch-equals-sort contract, applied to ranking. */
+  val x101 = DQ("x101_group_topk_sketch", Some(
+    """SELECT l_suppkey, rk, price_cents, l_orderkey, l_linenumber FROM (
+      |  SELECT l_suppkey,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+      |         l_orderkey, l_linenumber,
+      |         row_number() OVER (PARTITION BY l_suppkey
+      |                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem) t
+      |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      table(spark, dir, "lineitem")
+        .select(col("l_suppkey"),
+          (money(col("l_extendedprice")) * 100).cast("bigint"),
+          col("l_orderkey"), col("l_linenumber").cast("long"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3, t._4))
+        .agg(new graft.batch.Sketches.TopKBy(3).toColumn.name("top"))
+        .toDF("l_suppkey", "top")
+        .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("l_suppkey"),
+          (col("pos") + 1).cast("int").as("rk"),
+          col("e.key").as("price_cents"),
+          col("e.a").as("l_orderkey"),
+          col("e.b").cast("int").as("l_linenumber"))
+        .orderBy("l_suppkey", "rk")
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
-    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95, x96, x97, x98, x99)
+    x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95, x96, x97, x98, x99,
+    x101)
 }

@@ -851,6 +851,82 @@ object Relational {
         .orderBy("event_type", "hour")
   }
 
+  /** x100: linear-interpolation gap fill — x65's densified hourly grid with
+    * gaps INTERPOLATED between the surrounding observations instead of
+    * carried forward (the time-series resample a sensor/metrics consumer
+    * runs; x65's ffill is the step-function variant). Two frames over the
+    * same event_type exchange find the bracketing observations (last
+    * non-null behind, first ahead — each carrying its hour), then the
+    * interpolation is pure row math: pv + (nv−pv)·(h−ph)/(nh−ph), edges
+    * clamp to the nearest observation. All arithmetic is pinned to DOUBLE
+    * on both engines (the hourly means are rounded DECIMAL first, so the
+    * doubles start identical and the expression trees match op-for-op).
+    * One exchange, two sorts sharing it; the grid is x65's broadcast
+    * calendar — the fact table never reshuffles to densify. */
+  val x100 = DQ("x100_interp_fill", Some(
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |         CAST(round(avg(CAST(value AS DECIMAL(12,2))), 6) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      |      FROM events),
+      |cal AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+      |grid AS (SELECT t.event_type, c.h
+      |         FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN cal c),
+      |j AS (SELECT g.event_type, CAST(epoch(g.h) AS BIGINT) AS hs, hy.v
+      |      FROM grid g LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.h),
+      |ctx AS (
+      |  SELECT event_type, hs, v,
+      |    last_value(v IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wb AS ph,
+      |    first_value(v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS) OVER wf AS nh
+      |  FROM j
+      |  WINDOW wb AS (PARTITION BY event_type ORDER BY hs
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY event_type ORDER BY hs
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, hs,
+      |  round(CASE
+      |    WHEN v IS NOT NULL THEN v
+      |    WHEN pv IS NULL THEN nv
+      |    WHEN nv IS NULL THEN pv
+      |    ELSE pv + (nv - pv) * (hs - ph) / (nh - ph)
+      |  END, 6) AS v_interp,
+      |  (v IS NULL) AS was_gap
+      |FROM ctx ORDER BY event_type, hs""".stripMargin)) {
+    (spark, dir) =>
+      val e = table(spark, dir, "events")
+      val hourly = e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avg(money(col("value"))), 6).cast("double").as("v"))
+      val cal = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val grid = e.select("event_type").distinct().crossJoin(broadcast(cal))
+      val j = grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), unix_timestamp(col("h")).as("hs"), col("v"))
+      val wb = Window.partitionBy("event_type").orderBy("hs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("event_type").orderBy("hs")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val hsWhenV = when(col("v").isNotNull, col("hs"))
+      val pv = last(col("v"), ignoreNulls = true).over(wb)
+      val ph = last(hsWhenV, ignoreNulls = true).over(wb)
+      val nv = first(col("v"), ignoreNulls = true).over(wf)
+      val nh = first(hsWhenV, ignoreNulls = true).over(wf)
+      j.select(col("event_type"), col("hs"), col("v"),
+          pv.as("pv"), ph.as("ph"), nv.as("nv"), nh.as("nh"))
+        .select(col("event_type"), col("hs"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("hs") - col("ph")) / (col("nh") - col("ph"))), 6)
+            .as("v_interp"),
+          col("v").isNull.as("was_gap"))
+        .orderBy("event_type", "hs")
+  }
+
   /** x66: date-function sweep (q23/x61's calendar leg — the §2.7 surface
     * behind retention windows, partition keys, and freshness checks).
     * Engine deltas handled explicitly: Spark `dayofweek` is 1-based
@@ -1055,5 +1131,5 @@ object Relational {
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
     x21, x24, x25, x33, x34, x56, x57, x58, x62, x64, x65, x66, x67, x68, x69,
-    x70, x71)
+    x70, x71, x100)
 }

@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x34_asof_tolerance", // equi+range join: range residual on custkey equi key
     "q15_asof_join",
     "x88_bm25", // 1-row corpus stats (N, avgdl) broadcast cross join
-    "x96_countmin_freqs") // 1-row CM grid broadcast against 20 probe rows
+    "x96_countmin_freqs", // 1-row CM grid broadcast against 20 probe rows
+    "x100_interp_fill") // x65's generated hourly calendar, broadcast
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

@@ -149,6 +149,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(meanW > 550, s"kept-set mean weight $meanW not skewed heavy")
   }
 
+  test("TopKBy: equals sort-take-k with multiset duplicates, partition-invariant") {
+    import spark.implicits._
+    // duplicate best rows + a tie on key broken by (a, b)
+    val rows = Seq((9L, 1L, 1L), (9L, 1L, 1L), (9L, 0L, 5L), (7L, 2L, 2L),
+      (5L, 3L, 3L)) ++ (0 until 500).map(i => ((i % 5).toLong, i.toLong, 0L))
+    val expected = rows.map { case (k, a, b) => Sketches.TEntry(k, a, b) }
+      .sortBy(e => (-e.key, e.a, e.b)).take(4)
+    val got = for (parts <- Seq(1, 2, 8)) yield {
+      val ds = spark.createDataset(rows).repartition(parts)
+      ds.select(new Sketches.TopKBy(4).toColumn.name("t")).head()
+    }
+    assert(got.distinct.size === 1, "partition-dependent top-k")
+    assert(got.head === expected)
+    // both copies of the duplicated best row must hold slots 2 and 3
+    assert(got.head.take(3) === Seq(Sketches.TEntry(9L, 0L, 5L),
+      Sketches.TEntry(9L, 1L, 1L), Sketches.TEntry(9L, 1L, 1L)))
+  }
+
   test("sketches register as SQL aggregates and agree with their typed forms") {
     import spark.implicits._
     Sketches.registerSql(spark)
