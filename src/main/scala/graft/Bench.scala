@@ -74,10 +74,17 @@ object Bench {
     println(json)
     // stdout passes through sbt's logger with an [info] prefix, which breaks
     // naive line parsers — also drop the bare JSON at a well-known path.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    // A subset run (non-empty args) must never clobber the canonical
+    // full-suite BENCH_LATEST.json: it only writes when explicitly routed
+    // via SPARK_GRAFT_BENCH_OUT.
+    val outEnv = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val out = outEnv.getOrElse("BENCH_LATEST.json")
+    if (args.isEmpty || outEnv.isDefined)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    else System.err.println(
+      s"[bench] subset run (${args.length} queries): not writing $out; set SPARK_GRAFT_BENCH_OUT to persist")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

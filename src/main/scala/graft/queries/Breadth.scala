@@ -67,17 +67,20 @@ object Breadth {
     * limit-sort rewrites to a partitioned window internally, so the plan
     * stays one shuffle per side — no per-nation re-scan of customer. */
   val x74 = DQ("x74_lateral_topk", Some(
-    """SELECT n.n_name, t.c_name, t.bal
+    """SELECT n.n_name, t.c_name, round(CAST(t.bal AS DOUBLE), 6) AS bal
       |FROM nation n, LATERAL (
       |  SELECT c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
       |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
       |  ORDER BY bal DESC, c_name LIMIT 2) t
       |ORDER BY n.n_name, t.bal DESC, t.c_name""".stripMargin)) {
     (spark, dir) =>
+      // Ranking stays on the exact DECIMAL; only the surfaced column is the
+      // repo-convention rounded DOUBLE (cf. money() queries) — a raw decimal
+      // output column is hashed differently by the two engines' drivers.
       table(spark, dir, "nation").createOrReplaceTempView("nation")
       table(spark, dir, "customer").createOrReplaceTempView("customer")
       spark.sql(
-        """SELECT n.n_name, t.c_name, t.bal
+        """SELECT n.n_name, t.c_name, round(CAST(t.bal AS DOUBLE), 6) AS bal
           |FROM nation n, LATERAL (
           |  SELECT c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
           |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
@@ -837,14 +840,20 @@ object Breadth {
         .orderBy(col("lang"), col("key_ppm").desc, col("doc_id"))
   }
 
-  /** x101: per-group top-k via the bounded heap aggregator
-    * ([[graft.batch.Sketches.TopKBy]]) — q21g/x74's "top 3 per supplier"
-    * WITHOUT sorting any group: O(k) state per (group, partition),
-    * map-side combining, so a hot supplier's million rows reduce to 3
-    * entries before the exchange (the window form must gather and sort
-    * every group's rows; this is the skew-proof shape at 100 TB). The
-    * row_number oracle proves the heap selects exactly the window's rows —
-    * x97/x99's sketch-equals-sort contract, applied to ranking. */
+  /** x101: per-group top-k via the native bounded-state aggregate
+    * ([[graft.functions.TopKRows]], a TypedImperativeAggregate over
+    * InternalRow) — q21g/x74's "top 3 per supplier" WITHOUT sorting any
+    * group: O(k) state per (group, partition), map-side combining, so a
+    * hot supplier's million rows reduce to 3 entries before the exchange
+    * (the window form must gather and sort every group's rows; this is
+    * the skew-proof shape at 100 TB). Earlier rounds ran this through a
+    * typed Dataset Aggregator, whose per-row tuple Encoder round trip made
+    * it ~4.5× slower than the window form; the ObjectHashAggregate path
+    * consumes rows directly. The row_number oracle proves the bounded
+    * buffer selects exactly the window's rows — x97/x99's
+    * sketch-equals-sort contract, applied to ranking.
+    * [[graft.batch.Sketches.TopKBy]] remains the typed-API face for
+    * streaming/sketch composition. */
   val x101 = DQ("x101_group_topk_sketch", Some(
     """SELECT l_suppkey, rk, price_cents, l_orderkey, l_linenumber FROM (
       |  SELECT l_suppkey,
@@ -855,16 +864,11 @@ object Breadth {
       |  FROM lineitem) t
       |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin)) {
     (spark, dir) =>
-      import spark.implicits._
       table(spark, dir, "lineitem")
-        .select(col("l_suppkey"),
+        .groupBy(col("l_suppkey"))
+        .agg(graft.functions.TopKRows.topkRows(
           (money(col("l_extendedprice")) * 100).cast("bigint"),
-          col("l_orderkey"), col("l_linenumber").cast("long"))
-        .as[(Long, Long, Long, Long)]
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3, t._4))
-        .agg(new graft.batch.Sketches.TopKBy(3).toColumn.name("top"))
-        .toDF("l_suppkey", "top")
+          col("l_orderkey"), col("l_linenumber").cast("long"), 3).as("top"))
         .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "e")))
         .select(col("l_suppkey"),
           (col("pos") + 1).cast("int").as("rk"),

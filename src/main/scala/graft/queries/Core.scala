@@ -18,13 +18,34 @@ object Core {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver writes events.ts as parquet INT64 TIMESTAMP(NANOS), which
-      // Spark's vectorized reader rejects; read nanos as long and surface a
-      // microsecond TIMESTAMP (integral division — double math would lose
-      // precision above 2^53 ns).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // The driver has shipped events.ts as parquet INT64 TIMESTAMP(NANOS)
+      // (which Spark's vectorized reader rejects outright) and, after a
+      // regeneration, as TIMESTAMP(MICROS) without UTC adjustment (which
+      // Spark surfaces as TIMESTAMP_NTZ). Dispatch on the read schema so
+      // either vintage yields the same session-TZ-UTC TIMESTAMP column.
+      val path = s"$dir/$name.parquet"
+      val raw =
+        try spark.read.parquet(path)
+        catch {
+          case e: Exception
+              if e.getMessage != null && e.getMessage.contains("NANOS") =>
+            // Only the nanos vintage needs the legacy conf (reads as LONG).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(path)
+        }
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // Nanos as long → microsecond TIMESTAMP (integral division —
+          // double math would lose precision above 2^53 ns).
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Interpret the NTZ wall clock as UTC via pure wall-clock
+          // arithmetic — unlike cast("timestamp") this is session-TZ
+          // invariant, so a suite that forgot to pin UTC can't shift events.
+          raw.withColumn("ts", expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
+        case _ => raw // already TIMESTAMP
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `chunks` derived view (FIXTURES.md §3): deterministic 64-char chunking of
