@@ -363,10 +363,18 @@ object Breadth {
     * fixed-memory top-terms pass that replaces an exact full token
     * groupBy at 100 TB (x24's posture, frequencies instead of distincts/
     * percentiles). Each partition sketches independently (O(k) state),
-    * partials merge associatively; only counters cross the wire. Sketch
-    * estimates are merge-order-dependent, so like x24 this is rows-only:
-    * the spec bounds the estimates against exact counts. */
-  val x84 = DQ("x84_heavy_hitters", None) {
+    * partials merge associatively; only counters cross the wire.
+    * ORACLE-EXACT: when the distinct-item count stays ≤ k, MG never
+    * decrements and merge never trims, so every counter equals the true
+    * frequency at ANY partitioning — the driver corpus has 31 distinct
+    * tokens vs k=256, so the exact-groupBy oracle is a hash-match gate,
+    * not a bound (the spec separately pins the n/(k+1) error regime on
+    * adversarial streams). */
+  val x84 = DQ("x84_heavy_hitters", Some(
+    """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok FROM documents),
+      |counts AS (SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY tok)
+      |SELECT tok AS token, CAST(n AS BIGINT) AS est
+      |FROM counts ORDER BY est DESC, token LIMIT 10""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
       val toks = spread(table(spark, dir, "documents"))
@@ -654,20 +662,32 @@ object Breadth {
         .orderBy("doc_id")
   }
 
-  /** x95: per-language distinct-token estimates via the mergeable KMV
+  /** x95: per-language distinct-bigram estimates via the mergeable KMV
     * sketch ([[graft.batch.Sketches.Kmv]]) — x24's HLL++ posture with a
     * sketch that ALSO supports set algebra (union/Jaccard across groups,
     * which HLL cannot answer; spec exercises the Jaccard path). O(k) state
     * per group per partition; merge is a deterministic set union, so the
     * estimate is identical at any parallelism (unlike merge-order-dependent
-    * sketches). Rows-only like x24/x84: the estimator is engine-specific;
-    * the spec bounds it against exact counts. */
-  val x95 = DQ("x95_kmv_distinct", None) {
+    * sketches). The raw estimate is engine-specific (Scala MurmurHash3),
+    * so the DECLARED query is the accuracy audit (x43/x24 pattern): the
+    * fixture's ~900 distinct bigrams per lang sit well above k=256, so the
+    * estimator regime is genuinely exercised, and `kmv_ok` asserts the
+    * estimate lands within 20% of the exact distinct count (k=256 → ~6.3%
+    * typical relative error; the spec pins the tighter bound). The oracle
+    * recomputes the exact counts and all-TRUE verdicts in SQL. */
+  val x95 = DQ("x95_kmv_distinct", Some(
+    """WITH t AS (SELECT lang,
+      |             list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+      |           FROM documents),
+      |g AS (SELECT lang, l[i] || ' ' || l[i+1] AS g
+      |      FROM t, unnest(range(1, len(l))) AS u(i) WHERE len(l) > 1)
+      |SELECT lang, CAST(count(DISTINCT g) AS BIGINT) AS n_exact, TRUE AS kmv_ok
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
       // distinct BIGRAMS per language (the fixture vocabulary is ~31 words
       // per lang — unigrams sit below k and come back exact; bigrams cross
-      // into the estimator regime at the larger SFs)
+      // into the estimator regime at every SF)
       val toks = spread(table(spark, dir, "documents"))
         .select(col("lang"),
           Core.tokens(col("text")).as("l"))
@@ -677,11 +697,15 @@ object Breadth {
           expr("slice(l, 2, size(l) - 1)"),
           (a, b) => concat(a, lit(" "), b))).as("g"))
         .as[(String, String)]
-      toks.groupByKey(_._1)
+      val est = toks.groupByKey(_._1)
         .mapValues(_._2)
         .agg(new graft.batch.Sketches.Kmv(256).toColumn.name("est_distinct"))
         .toDF("lang", "est_distinct")
-        .select(col("lang"), round(col("est_distinct"), 2).as("est_distinct"))
+      val exact = toks.toDF("lang", "g")
+        .groupBy("lang").agg(countDistinct(col("g")).as("n_exact"))
+      est.join(broadcast(exact), Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("est_distinct") / col("n_exact") - 1.0) <= 0.20).as("kmv_ok"))
         .orderBy("lang")
   }
 
@@ -694,10 +718,18 @@ object Breadth {
     * here comes from an exact groupBy (the fixture vocabulary is ~31
     * tokens); at 100 TB the probe set is x84's MG output and the exact
     * branch disappears — only the O(depth·width) grid and 20 probe rows
-    * move. Rows-only like x24/x84/x95 (counter layouts are engine-specific);
-    * the spec pins the overestimate-only and e·n/width guarantees at 1/2/8
-    * partitions. */
-  val x96 = DQ("x96_countmin_freqs", None) {
+    * move. Counter layouts are engine-specific, so the DECLARED query is
+    * the guarantee audit (x43/x24/x95 pattern): `ok_over` pins
+    * overestimate-only (est ≥ true, unconditional for CM) and `ok_bound`
+    * pins est ≤ true + ⌈e·n/width⌉ (the 1−δ bound, deterministic for a
+    * fixed corpus and hash family); the oracle recomputes the exact top-20
+    * counts and all-TRUE verdicts in SQL. The spec additionally pins both
+    * at 1/2/8 partitions. */
+  val x96 = DQ("x96_countmin_freqs", Some(
+    """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok FROM documents),
+      |counts AS (SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY tok)
+      |SELECT tok, CAST(n AS BIGINT) AS n_exact, TRUE AS ok_over, TRUE AS ok_bound
+      |FROM counts ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
       val toks = spread(table(spark, dir, "documents"))
@@ -715,7 +747,11 @@ object Breadth {
         graft.batch.Sketches.CountMin.estimate(counts, depth, width, tok))
       probes.crossJoin(broadcast(cmDs))
         .select(col("tok"), col("n_exact"),
-          est(col("counts"), col("tok")).as("n_est"))
+          est(col("counts"), col("tok")).as("n_est"), col("n"))
+        .select(col("tok"), col("n_exact"),
+          (col("n_est") >= col("n_exact")).as("ok_over"),
+          (col("n_est") <= col("n_exact") +
+            ceil(col("n") * 2.718281828 / width).cast("bigint")).as("ok_bound"))
         .orderBy(col("n_exact").desc, col("tok"))
   }
 

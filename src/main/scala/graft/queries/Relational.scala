@@ -549,10 +549,20 @@ object Relational {
     * their exact counterparts at 100 TB: HyperLogLog++ distinct counts
     * (fixed-size sketch, map-side mergeable — vs q18's exact countDistinct
     * expand) and Greenwald-Khanna approximate percentiles (bounded state —
-    * vs x17's exact sort-based percentiles). Sketch values are
-    * engine-specific, so no DuckDB oracle: the driver records a rows-only
-    * check, and the spec bounds the estimates against exact answers. */
-  val x24 = DQ("x24_approx_stats", None) {
+    * vs x17's exact sort-based percentiles). Raw sketch values are
+    * engine-specific (no DuckDB equivalent), so the DECLARED query is the
+    * accuracy AUDIT (x43's pattern for MinHash): each estimate is checked
+    * in-engine against its exact counterpart — HLL++ within 5% relative
+    * error (rsd 0.02 → 2^12 registers, measured 0.8 s vs 2.1 s at rsd
+    * 0.01), GK value inside the exact [q−0.01, q+0.01] percentile bracket
+    * (accuracy 500 → rank error ≤ 0.2%) — and the oracle pins the exact
+    * group counts plus all-TRUE verdicts. The production path at 100 TB is
+    * the sketch columns alone; the exact branches exist to make the gate a
+    * hash-match instead of `no_oracle`. */
+  val x24 = DQ("x24_approx_stats", Some(
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       TRUE AS nd_ok, TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
     (spark, dir) =>
       // spread: the HLL++/GK partial aggregation is the CPU; a
       // single-row-group scan would build every sketch on one core.
@@ -560,16 +570,17 @@ object Relational {
           .select("l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(
-          // rsd 0.02 (2^12 registers): measured 0.8 s vs 2.1 s at rsd 0.01
-          // (2^14 registers — per-row update cost tracks register-array
-          // width through the agg buffer), and 2% rsd is well inside the
-          // spec's 5% bound on this fixture's ~5k-distinct groups.
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("nd_orders"),
-          // accuracy 500 → rank error ≤ 0.2%, far inside the spec's 5% value
-          // bound; smaller GK buffers compress less often and merge cheaper.
-          percentile_approx(col("l_quantity"), lit(0.5), lit(500)).as("p50_qty"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(500)).as("p90_price"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("nd_est"),
+          countDistinct(col("l_orderkey")).as("nd_exact"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(500)).as("p50_est"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(500)).as("p90_est"),
+          expr("percentile(l_quantity, array(0.49, 0.51))").as("p50_br"),
+          expr("percentile(l_extendedprice, array(0.89, 0.91))").as("p90_br"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("nd_est").cast("double") / col("nd_exact") - 1.0) <= 0.05).as("nd_ok"),
+          col("p50_est").between(col("p50_br")(0), col("p50_br")(1)).as("p50_ok"),
+          col("p90_est").between(col("p90_br")(0), col("p90_br")(1)).as("p90_ok"))
         .orderBy("l_returnflag")
   }
 
