@@ -91,6 +91,8 @@ object ChunkFunctions {
       es => FloatVecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("gear_boundaries",
       es => GearBoundaries(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("image_header",
+      es => ImageHeader(es.head), "built-in")
   }
 }
 
@@ -119,5 +121,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("gear_boundaries"),
       new ExpressionInfo(classOf[GearBoundaries].getName, "gear_boundaries"),
       es => GearBoundaries(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("image_header"),
+      new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
+      es => ImageHeader(es.head)))
   }
 }

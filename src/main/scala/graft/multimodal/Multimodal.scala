@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support: image/audio/video travel as opaque `binary`
   * columns with typed metadata. The Spark-side plumbing — schema, hash
   * partitioning, batched per-partition decode loop (the Scala analog of a
-  * batched Pandas-UDF `mapInPandas` stage) — is real and tested; the codec
-  * itself is STUBBED with a deterministic fake because no image/audio
-  * libraries exist in this container (see [[StubCodec.decode]]).
+  * batched Pandas-UDF `mapInPandas` stage) — is real and tested, and since
+  * round 5 so is CONTAINER parsing: format identification and pixel
+  * dimensions come from [[graft.functions.ImageHeaders]] (PNG IHDR / JPEG
+  * SOF scan / GIF screen descriptor / BMP DIB — no library needed). Only
+  * pixel/sample decode remains STUBBED with a deterministic fake, because
+  * no image/audio libraries exist in this container (see
+  * [[StubCodec.decode]]).
   *
   * Scale posture: decode runs inside `mapPartitions` so a real codec
   * amortizes model/library init once per partition-batch, payloads never
@@ -16,24 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed metadata extracted from a media payload. */
+  /** Typed metadata extracted from a media payload. `format`/`width`/
+    * `height` are real header-parse results (None when the payload is not
+    * a recognized image container); the remaining fields are the
+    * deterministic stub. */
   final case class MediaMeta(
       media_id: Long,
       kind: String,
       n_bytes: Long,
       first_cp: Int,
-      sig: String)
+      sig: String,
+      format: Option[String],
+      width: Option[Int],
+      height: Option[Int])
 
   object StubCodec {
-    /** STUB: a real implementation would decode image/audio bytes
-      * (e.g. JPEG dims, PCM duration). Deterministic fake: byte length,
-      * first code point, md5 head — enough to pin the plumbing end-to-end. */
+    /** Container header parse is REAL ([[graft.functions.ImageHeaders]]);
+      * pixel decode is the STUB: a real implementation would decode the
+      * image/audio body (pixels, PCM duration). Deterministic fake for the
+      * body-derived fields: byte length, first code point, md5 head —
+      * enough to pin the plumbing end-to-end. */
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
+      val hdr = Option(graft.functions.ImageHeaders.parse(payload))
       MediaMeta(id, kind, payload.length.toLong,
         if (payload.isEmpty) -1
         else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
           .codePointAt(0),
-        graft.core.ChunkCodec.digestHex("MD5", payload).take(8))
+        graft.core.ChunkCodec.digestHex("MD5", payload).take(8),
+        hdr.map(_._1), hdr.map(_._2), hdr.map(_._3))
     }
   }
 

@@ -40,8 +40,11 @@ object Dataflow {
 
   /** x11: multimodal decode plumbing — documents' UTF-8 bytes stand in for
     * media payloads (binary column + kind tag), run through the batched
-    * per-partition decode stage ([[graft.multimodal.Multimodal]], stub
-    * codec); the oracle recomputes the deterministic metadata in SQL. */
+    * per-partition decode stage ([[graft.multimodal.Multimodal]]); the
+    * oracle recomputes the deterministic metadata in SQL. The header-parse
+    * fields come back NULL here by design — text payloads are NOT image
+    * containers, and the parser correctly says so (x102 feeds it real
+    * containers). */
   val x11 = DQ("x11_multimodal_meta", Some(
     """SELECT doc_id AS media_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
@@ -49,7 +52,10 @@ object Dataflow {
       |                               ELSE 'video' END AS kind,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  CAST(ascii(text) AS INT) AS first_cp,
-      |  substring(md5(text), 1, 8) AS sig
+      |  substring(md5(text), 1, 8) AS sig,
+      |  CAST(NULL AS VARCHAR) AS format,
+      |  CAST(NULL AS INT) AS width,
+      |  CAST(NULL AS INT) AS height
       |FROM documents ORDER BY media_id""".stripMargin)) {
     (spark, dir) =>
       val media = table(spark, dir, "documents")
@@ -62,5 +68,46 @@ object Dataflow {
         .toDF().orderBy("media_id")
   }
 
-  val all: Seq[DQ] = Seq(x01, x11)
+  /** x102: REAL image-header decode — each document's bytes are wrapped in
+    * a syntactically valid container (PNG/GIF/BMP/JPEG round-robin by
+    * doc_id, dims derived from the row), then the native `image_header`
+    * expression ([[graft.functions.ImageHeader]], whole-stage codegen)
+    * reads format and pixel dimensions back out of the raw bytes — the
+    * part of the multimodal pillar that needs no codec library and so is
+    * NOT stubbed. The oracle recomputes the dims arithmetically: parse
+    * must invert build exactly, for every row, in SQL. At 100 TB this is
+    * the media-triage scan: schema/dims/format classification straight off
+    * binary columns, no decode, no UDF boxing. */
+  val x102 = DQ("x102_image_dims", Some(
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |                               WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+      |  CAST(n_chars % 640 + 1 AS INT) AS width,
+      |  CAST(doc_id % 480 + 1 AS INT) AS height
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{ImageHeader, ImageHeaders}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars")))
+        .as[(Long, String, Long)]
+        .map { case (id, text, n) =>
+          val w = (n % 640 + 1).toInt
+          val h = (id % 480 + 1).toInt
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val payload = (id % 4) match {
+            case 0 => ImageHeaders.buildPng(w, h, body)
+            case 1 => ImageHeaders.buildGif(w, h, body)
+            case 2 => ImageHeaders.buildBmp(w, h, body)
+            case _ => ImageHeaders.buildJpeg(w, h, body)
+          }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), ImageHeader.imageHeader(col("media")).as("ih"))
+        .select(col("media_id"), col("ih.format").as("format"),
+          col("ih.width").as("width"), col("ih.height").as("height"))
+        .orderBy("media_id")
+  }
+
+  val all: Seq[DQ] = Seq(x01, x11, x102)
 }

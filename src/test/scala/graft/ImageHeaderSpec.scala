@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ImageHeaders
+
+/** Library-free image container parsing: parse must invert the builders for
+  * every format, agree with independently hand-laid-out header bytes (so
+  * builder and parser can't share a wrong offset), reject non-images, and
+  * run as a native expression with codegen fallback disabled.
+  */
+class ImageHeaderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("parse inverts build for all four formats") {
+    val body = "pixels-go-here".getBytes
+    for ((fmt, bytes) <- Seq(
+        "png" -> ImageHeaders.buildPng(640, 480, body),
+        "gif" -> ImageHeaders.buildGif(320, 200, body),
+        "bmp" -> ImageHeaders.buildBmp(1024, 768, body),
+        "jpeg" -> ImageHeaders.buildJpeg(4096, 2160, body))) {
+      val parsed = ImageHeaders.parse(bytes)
+      assert(parsed != null, s"$fmt did not parse")
+      assert(parsed._1 == fmt)
+      fmt match {
+        case "png"  => assert((parsed._2, parsed._3) == (640, 480))
+        case "gif"  => assert((parsed._2, parsed._3) == (320, 200))
+        case "bmp"  => assert((parsed._2, parsed._3) == (1024, 768))
+        case "jpeg" => assert((parsed._2, parsed._3) == (4096, 2160))
+      }
+    }
+  }
+
+  test("parse agrees with hand-laid-out header bytes (spec offsets, not builder offsets)") {
+    // PNG: 8-byte signature, IHDR length+type at 8..15, width BE32 at 16,
+    // height BE32 at 20 (PNG spec §11.2.2). 2x3 image:
+    val png = Array[Int](
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 2, 0, 0, 0, 3,
+      8, 2, 0, 0, 0).map(_.toByte)
+    assert(ImageHeaders.parse(png) == ("png", 2, 3))
+    // GIF89a: width LE16 at 6, height LE16 at 8. 300x7 = 0x012C x 0x0007:
+    val gif = "GIF89a".getBytes ++ Array[Int](0x2c, 0x01, 0x07, 0x00, 0, 0, 0).map(_.toByte)
+    assert(ImageHeaders.parse(gif) == ("gif", 300, 7))
+    // JPEG: SOI, APP0 segment (skipped via its length), then SOF0 with
+    // height BE16 at +5 and width BE16 at +7. 17x9 after a 4-byte APP0:
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, length 4 (2 payload bytes)
+      0xff, 0xc0, 0x00, 0x0b, 8, 0x00, 0x09, 0x00, 0x11, 1, 0x11, 0).map(_.toByte)
+    assert(ImageHeaders.parse(jpeg) == ("jpeg", 17, 9))
+  }
+
+  test("non-image payloads return null") {
+    assert(ImageHeaders.parse("plain text document".getBytes) == null)
+    assert(ImageHeaders.parse(Array.emptyByteArray) == null)
+    assert(ImageHeaders.parse("BM".getBytes) == null) // too short for a DIB
+    // JPEG SOI followed by a desynced (non-marker) byte stream
+    assert(ImageHeaders.parse(Array[Int](0xff, 0xd8, 0x00, 0x01).map(_.toByte)) == null)
+  }
+
+  test("image_header runs as a native expression with codegen fallback off") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val strict = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.codegen.fallback", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      import strict.implicits._
+      val rows = Seq(
+        (1L, ImageHeaders.buildPng(12, 34, "a".getBytes)),
+        (2L, "not an image".getBytes))
+      val out = strict.createDataset(rows).toDF("id", "media")
+        .selectExpr("id", "image_header(media) AS ih")
+        .selectExpr("id", "ih.format", "ih.width", "ih.height")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(out(1L) == "png")
+      assert(out(2L) == null)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
