@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Library-free WAV (RIFF) header parsing — the audio face of the
+  * multimodal pillar's honest in-container capability (cf.
+  * [[ImageHeaders]] for images). The RIFF chunk walk, PCM `fmt ` fields,
+  * and `data` size are read straight off the public container layout;
+  * only sample decode stays behind the multimodal stub.
+  */
+object AudioHeaders {
+  /** (codec, channels, sample_rate, bits, duration_us), or null when the
+    * payload is not a RIFF/WAVE container with a PCM fmt chunk. Duration
+    * is exact integer micros: dataBytes * 8e6 / (rate * channels * bits).
+    */
+  def parseWav(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b == null || b.length < 44) return null
+    if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")) return null
+    var channels = -1; var rate = -1; var bits = -1; var fmtCode = -1
+    var dataSize = -1L
+    var i = 12
+    // RIFF chunk walk; chunks are word-aligned (odd sizes carry a pad byte)
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val id = tag(b, i)
+      val len = le32(b, i + 4)
+      if (len < 0) return null
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        fmtCode = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        // size field is authoritative even if the body is truncated/absent
+        dataSize = len.toLong
+      }
+      i += 8 + len + (len & 1)
+    }
+    if (fmtCode != 1 || channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) null
+    else ("pcm", channels, rate, bits,
+      dataSize * 8000000L / (rate.toLong * channels * bits))
+  }
+
+  private def u(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) "" else new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  private def le16(b: Array[Byte], i: Int): Int = u(b, i) | (u(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u(b, i) | (u(b, i + 1) << 8) | (u(b, i + 2) << 16) | (u(b, i + 3) << 24)
+
+  private def le16b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** A valid PCM WAV container around `body` (the deterministic inverse of
+    * [[parseWav]] for the header part). */
+  def buildWav(channels: Int, rate: Int, bits: Int, body: Array[Byte]): Array[Byte] = {
+    val byteRate = rate * channels * bits / 8
+    val blockAlign = channels * bits / 8
+    "RIFF".getBytes ++ le32b(36 + body.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(channels) ++
+      le32b(rate) ++ le32b(byteRate) ++ le16b(blockAlign) ++ le16b(bits) ++
+      "data".getBytes ++ le32b(body.length) ++ body
+  }
+}
+
+/** `audio_header(binary)` → `struct<codec string, channels int,
+  * sample_rate int, bits int, duration_us long>`, null for non-WAV
+  * payloads. Codegen'd Catalyst expression — audio triage of a binary
+  * column stays inside whole-stage codegen, same posture as
+  * `image_header`. */
+case class AudioHeader(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AudioHeader.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"audio_header expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val parsed = AudioHeaders.parseWav(payload.asInstanceOf[Array[Byte]])
+    if (parsed == null) null
+    else InternalRow(UTF8String.fromString(parsed._1), parsed._2, parsed._3,
+      parsed._4, parsed._5)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("audioHeader", this, classOf[AudioHeader].getName)
+    val r = ctx.freshName("audHdr")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHeader =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_header"
+}
+
+object AudioHeader {
+  val resultType: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("duration_us", LongType)))
+
+  def audioHeader(media: Column): Column =
+    GraftColumnShim.column(AudioHeader(GraftColumnShim.expression(media)))
+}

@@ -93,6 +93,8 @@ object ChunkFunctions {
       es => GearBoundaries(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("image_header",
       es => ImageHeader(es.head), "built-in")
+    reg.createOrReplaceTempFunction("audio_header",
+      es => AudioHeader(es.head), "built-in")
   }
 }
 
@@ -124,5 +126,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("image_header"),
       new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
       es => ImageHeader(es.head)))
+    e.injectFunction((FunctionIdentifier("audio_header"),
+      new ExpressionInfo(classOf[AudioHeader].getName, "audio_header"),
+      es => AudioHeader(es.head)))
   }
 }

@@ -109,5 +109,47 @@ object Dataflow {
         .orderBy("media_id")
   }
 
-  val all: Seq[DQ] = Seq(x01, x11, x102)
+  /** x103: REAL audio-header decode, x102's contract for WAV — each
+    * document's bytes become the PCM body of a valid RIFF/WAVE container
+    * (channels/rate/bits derived from the row), and the native
+    * `audio_header` expression ([[graft.functions.AudioHeader]]) walks the
+    * chunk chain to read codec, layout, and EXACT integer-micros duration
+    * back out. The oracle recomputes everything arithmetically — including
+    * duration_us = bytes·8e6 div (rate·channels·bits) — so the parse must
+    * invert the build bit-for-bit in SQL. */
+  val x103 = DQ("x103_audio_meta", Some(
+    """SELECT doc_id AS media_id, 'pcm' AS codec,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |                               WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+      |  CAST(octet_length(encode(text)) * 8000000
+      |       // (CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |                 WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+      |          * (1 + doc_id % 2) * (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END))
+      |       AS BIGINT) AS duration_us
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeader, AudioHeaders}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val channels = (1 + id % 2).toInt
+          val rate = (id % 4) match {
+            case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+          }
+          val bits = if (id % 3 == 0) 8 else 16
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, AudioHeaders.buildWav(channels, rate, bits, body))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), AudioHeader.audioHeader(col("media")).as("ah"))
+        .select(col("media_id"), col("ah.codec").as("codec"),
+          col("ah.channels").as("channels"), col("ah.sample_rate").as("sample_rate"),
+          col("ah.bits").as("bits"), col("ah.duration_us").as("duration_us"))
+        .orderBy("media_id")
+  }
+
+  val all: Seq[DQ] = Seq(x01, x11, x102, x103)
 }

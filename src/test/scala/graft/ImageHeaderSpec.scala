@@ -66,6 +66,30 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(ImageHeaders.parse(Array[Int](0xff, 0xd8, 0x00, 0x01).map(_.toByte)) == null)
   }
 
+  test("WAV parse inverts build and computes exact integer duration") {
+    import graft.functions.AudioHeaders
+    val body = new Array[Byte](32000) // 1 s of 16 kHz mono 16-bit PCM
+    val wav = AudioHeaders.buildWav(1, 16000, 16, body)
+    assert(AudioHeaders.parseWav(wav) == ("pcm", 1, 16000, 16, 1000000L))
+    // stereo 8-bit at 8 kHz: 4000 bytes -> 250 ms
+    val w2 = AudioHeaders.buildWav(2, 8000, 8, new Array[Byte](4000))
+    assert(AudioHeaders.parseWav(w2) == ("pcm", 2, 8000, 8, 250000L))
+    // chunk walk: an odd-sized LIST chunk (with pad byte) before fmt/data
+    val le32 = (v: Int) => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val tail = AudioHeaders.buildWav(1, 8000, 8, new Array[Byte](100)).drop(12)
+    val padded = "RIFF".getBytes ++ le32(4 + 8 + 3 + 1 + tail.length) ++
+      "WAVE".getBytes ++ "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++ tail
+    assert(AudioHeaders.parseWav(padded) == ("pcm", 1, 8000, 8, 12500L))
+    // rejections: not RIFF, RIFF but not WAVE, non-PCM fmt code
+    assert(AudioHeaders.parseWav("plain text that is long enough to pass the length gate".getBytes) == null)
+    val notWave = "RIFF".getBytes ++ le32(36) ++ "AVI ".getBytes ++ new Array[Byte](32)
+    assert(AudioHeaders.parseWav(notWave) == null)
+    val nonPcm = AudioHeaders.buildWav(1, 8000, 8, new Array[Byte](10))
+    nonPcm(20) = 3 // fmt code IEEE float
+    assert(AudioHeaders.parseWav(nonPcm) == null)
+  }
+
   test("image_header runs as a native expression with codegen fallback off") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
