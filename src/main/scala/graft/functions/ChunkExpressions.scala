@@ -95,6 +95,8 @@ object ChunkFunctions {
       es => ImageHeader(es.head), "built-in")
     reg.createOrReplaceTempFunction("audio_header",
       es => AudioHeader(es.head), "built-in")
+    reg.createOrReplaceTempFunction("video_header",
+      es => VideoHeader(es.head), "built-in")
   }
 }
 
@@ -129,5 +131,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("audio_header"),
       new ExpressionInfo(classOf[AudioHeader].getName, "audio_header"),
       es => AudioHeader(es.head)))
+    e.injectFunction((FunctionIdentifier("video_header"),
+      new ExpressionInfo(classOf[VideoHeader].getName, "video_header"),
+      es => VideoHeader(es.head)))
   }
 }

@@ -151,5 +151,40 @@ object Dataflow {
         .orderBy("media_id")
   }
 
-  val all: Seq[DQ] = Seq(x01, x11, x102, x103)
+  /** x104: REAL video-header decode, completing the container trio — each
+    * document's bytes become the `mdat` payload of a valid ISO-BMFF (MP4)
+    * file with row-derived movie timescale/duration, and the native
+    * `video_header` expression ([[graft.functions.VideoHeader]]) walks the
+    * box chain (ftyp brand, moov→mvhd) to read them back as exact integer
+    * micros. Oracle recomputes arithmetically: parse inverts build in SQL. */
+  val x104 = DQ("x104_video_meta", Some(
+    """SELECT doc_id AS media_id, 'isom' AS brand,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |                               ELSE 90000 END AS timescale,
+      |  CAST(CAST(n_chars * 37 AS BIGINT) * 1000000
+      |       // CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |               ELSE 90000 END AS BIGINT) AS BIGINT) AS duration_us
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{VideoHeader, VideoHeaders}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars")))
+        .as[(Long, String, Long)]
+        .map { case (id, text, n) =>
+          val timescale = (id % 3) match {
+            case 0 => 600; case 1 => 1000; case _ => 90000
+          }
+          val durTicks = (n * 37).toInt
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, VideoHeaders.buildMp4("isom", timescale, durTicks, body))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), VideoHeader.videoHeader(col("media")).as("vh"))
+        .select(col("media_id"), col("vh.brand").as("brand"),
+          col("vh.timescale").as("timescale"),
+          col("vh.duration_us").as("duration_us"))
+        .orderBy("media_id")
+  }
+
+  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104)
 }

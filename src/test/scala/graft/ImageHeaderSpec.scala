@@ -90,6 +90,32 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(AudioHeaders.parseWav(nonPcm) == null)
   }
 
+  test("MP4 parse inverts build; box walk handles largesize and rejects non-BMFF") {
+    import graft.functions.VideoHeaders
+    val body = "frames".getBytes
+    // 90 kHz timescale, 90000 ticks -> exactly 1 s
+    assert(VideoHeaders.parseMp4(VideoHeaders.buildMp4("isom", 90000, 90000, body)) ==
+      ("isom", 90000, 1000000L))
+    // 600 ticks/s, 90 ticks -> 150 ms; brand preserved
+    assert(VideoHeaders.parseMp4(VideoHeaders.buildMp4("mp42", 600, 90, body)) ==
+      ("mp42", 600, 150000L))
+    // 64-bit largesize on the mdat box (size==1 + 8-byte size) still parses
+    val base = VideoHeaders.buildMp4("isom", 1000, 500, Array.emptyByteArray)
+    val be32 = (v: Int) => Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val largeMdat = be32(1) ++ "mdat".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++ be32(16 + body.length) ++ body
+    assert(VideoHeaders.parseMp4(base.dropRight(8) ++ largeMdat) ==
+      ("isom", 1000, 500000L))
+    // rejections: not leading with ftyp; plain text; truncated box size
+    assert(VideoHeaders.parseMp4("plain text long enough to walk".getBytes) == null)
+    val noFtyp = VideoHeaders.buildMp4("isom", 1000, 500, body).drop(16)
+    assert(VideoHeaders.parseMp4(noFtyp) == null)
+    val lying = VideoHeaders.buildMp4("isom", 1000, 500, body)
+    val overrun = be32(9999) ++ "mdat".getBytes
+    assert(VideoHeaders.parseMp4(lying.take(16) ++ overrun) == null)
+  }
+
   test("image_header runs as a native expression with codegen fallback off") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
