@@ -147,4 +147,37 @@ class PlanShapeSpec extends AnyFunSuite {
     val sorts = "\\bSort \\[".r.findAllIn(p).length
     assert(sorts <= 2, s"x57 expected at most window sort + output sort:\n$p")
   }
+
+  test("x24 audit: estimates broadcast back, no distinct-expand, no SMJ") {
+    val p = plan(Relational.x24)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"x24 must broadcast both the 3-row estimate and exact-distinct tables:\n$p")
+    assert(!p.contains("Expand"),
+      s"x24's exact distinct must be the two-level agg, not distinct-expand:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x24 must never shuffle lineitem for its tiny joins:\n$p")
+  }
+
+  test("x101 top-k runs as ObjectHashAggregate with a partial before the exchange") {
+    val p = plan(graft.queries.Breadth.x101)
+    assert(p.contains("ObjectHashAggregate"),
+      s"x101 must use the TypedImperativeAggregate path:\n$p")
+    assert(p.contains("partial_topk_rows"),
+      s"x101 lost its map-side partial (hot groups must reduce to k before the wire):\n$p")
+    assert(!p.contains("Window"), s"x101 must not fall back to a window sort:\n$p")
+  }
+
+  test("media header decode queries stay shuffle-free up to the output sort") {
+    for (dq <- Seq(graft.queries.Dataflow.x102, graft.queries.Dataflow.x103,
+        graft.queries.Dataflow.x104)) {
+      val p = plan(dq)
+      assert(!p.contains("hashpartitioning"),
+        s"${dq.name} should be spread + in-row parse + range sort only:\n$p")
+      assert(!p.contains("Join"), s"${dq.name} must not join:\n$p")
+    }
+    // and the parse itself is the native expression, not a UDF
+    assert(plan(graft.queries.Dataflow.x102).contains("image_header"))
+    assert(plan(graft.queries.Dataflow.x103).contains("audio_header"))
+    assert(plan(graft.queries.Dataflow.x104).contains("video_header"))
+  }
 }
