@@ -192,6 +192,38 @@ object Pipelines {
     out(batch.join(broadcast(dim), keys, joinType), batchId)
   }
 
+  /** Ingest-time media triage: a watched directory of opaque binary files
+    * classified by the native container-header expressions
+    * ([[graft.functions.ImageHeader]]/[[graft.functions.AudioHeader]]/
+    * [[graft.functions.VideoHeader]]) — kind, format, and the typed
+    * metadata read straight off the leading bytes, inside whole-stage
+    * codegen, per micro-batch. Unrecognized payloads surface as
+    * kind='unknown' rather than being dropped (the dead-letter posture:
+    * route, don't lose). At 100 TB this is the admission step that
+    * partitions a mixed media crawl by modality before any codec runs. */
+  def mediaTriageStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{AudioHeader, ImageHeader, VideoHeader}
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    files
+      .withColumn("ih", ImageHeader.imageHeader(col("content")))
+      .withColumn("ah", AudioHeader.audioHeader(col("content")))
+      .withColumn("vh", VideoHeader.videoHeader(col("content")))
+      .select(col("path"), col("length"),
+        when(col("ih").isNotNull, "image")
+          .when(col("ah").isNotNull, "audio")
+          .when(col("vh").isNotNull, "video")
+          .otherwise("unknown").as("kind"),
+        coalesce(col("ih.format"), when(col("ah").isNotNull, "wav"),
+          col("vh.brand")).as("format"),
+        col("ih.width").as("width"), col("ih.height").as("height"),
+        col("ah.sample_rate").as("sample_rate"),
+        coalesce(col("ah.duration_us"), col("vh.duration_us")).as("duration_us"))
+  }
+
   /** T4/T5 consumer-side filters: message-key regex and filepath regex
     * (openmsistream_consumer.py:351-449). */
   def filterChunks(chunks: Dataset[ChunkRow],
