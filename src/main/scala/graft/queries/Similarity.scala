@@ -426,5 +426,89 @@ object Similarity {
         .orderBy("cluster_id")
   }
 
-  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63)
+  /** x105: product quantization + ADC (asymmetric distance computation) —
+    * the canonical billion-scale ANN compression (Jégou et al., IVF-PQ):
+    * 64 dims → 4 subspace codes of 3 bits each (here K=8 codewords per
+    * subspace, seeded deterministically from the md5-rank sample — the
+    * k-means-init step; x63 is the Lloyd round that would refine them).
+    * Encode is IN-ROW per (vector, codeword): subspace distances via
+    * `slice`+`zip_with` on floor-quantized INTEGER vectors (x63's
+    * engine-exact trick — no float-order hazard), argmin as a map-side
+    * `min_by`. Search is the real ADC shape: the query's 4×8 distance
+    * table (32 rows) broadcasts, each vector's distance is a 4-term table
+    * lookup sum — the corpus never touches the full query vector again.
+    * At 100 TB: codes are 3 bits/subspace vs 64 floats (683× smaller),
+    * the codebook+dtab broadcast is O(K·dims), and the scan is
+    * codes-only. Oracle reproduces encode and ADC exactly in SQL. */
+  val x105 = DQ("x105_pq_adc", Some(
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, eq,
+      |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j
+      |      FROM q),
+      |seeds AS (SELECT j, eq AS sq FROM s WHERE j <= 8),
+      |subd AS (
+      |  SELECT q.vec_id, m.m, sd.j,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |         i -> (q.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i])
+      |            * (q.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i]))) AS BIGINT) AS d
+      |  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS m) m
+      |         CROSS JOIN seeds sd),
+      |enc AS (SELECT vec_id, m, j AS code, d,
+      |               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      |        FROM subd),
+      |codes AS (SELECT vec_id,
+      |            string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS codes
+      |          FROM enc WHERE rn = 1 GROUP BY vec_id),
+      |dtab AS (SELECT m, j, d FROM subd WHERE vec_id = 42),
+      |adc AS (SELECT en.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_d
+      |        FROM (SELECT vec_id, m, code FROM enc WHERE rn = 1) en
+      |        JOIN dtab dt ON dt.m = en.m AND dt.j = en.code
+      |        GROUP BY en.vec_id)
+      |SELECT a.vec_id, c.codes, a.adc_d
+      |FROM adc a JOIN codes c USING (vec_id)
+      |ORDER BY a.adc_d, a.vec_id LIMIT 10""".stripMargin)) {
+    (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val SUB = 4; val SD = 16; val K = 8
+      val q = spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("eq"))
+      val seeds = q
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .withColumn("j", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+        .filter(col("j") <= K)
+        .select(col("j"), col("eq").as("sq"))
+      // per (vector, codeword): the 4 subspace distances, computed in-row
+      val subd = q.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("j"),
+          explode(expr(
+            s"""transform(sequence(1, $SUB), m -> named_struct(
+               |  'm', m,
+               |  'd', aggregate(zip_with(slice(eq, (m - 1) * $SD + 1, $SD),
+               |                          slice(sq, (m - 1) * $SD + 1, $SD),
+               |                          (a, b) -> (a - b) * (a - b)),
+               |                 0L, (acc, v) -> acc + v)))""".stripMargin)).as("sd"))
+        .select(col("vec_id"), col("sd.m").as("m"), col("j"), col("sd.d").as("d"))
+      // encode: argmin codeword per (vector, subspace) — map-side min_by
+      val enc = subd.groupBy("vec_id", "m")
+        .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
+      val codes = enc.groupBy("vec_id")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(m, code)))," +
+          " s -> CAST(s.code AS STRING)), ',')").as("codes"))
+      // ADC: the query vector's (m, j) distance table broadcasts; corpus
+      // distance = sum of 4 table lookups
+      val dtab = subd.filter(col("vec_id") === 42)
+        .select(col("m").as("dm"), col("j").as("dj"), col("d").as("dd"))
+      val adc = enc.join(broadcast(dtab),
+          enc("m") === col("dm") && enc("code") === col("dj"))
+        .groupBy("vec_id").agg(sum(col("dd")).as("adc_d"))
+      adc.join(codes, Seq("vec_id"))
+        .select(col("vec_id"), col("codes"), col("adc_d"))
+        .orderBy(col("adc_d"), col("vec_id")).limit(10)
+  }
+
+  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105)
 }
