@@ -167,6 +167,22 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.TEntry(9L, 1L, 1L), Sketches.TEntry(9L, 1L, 1L)))
   }
 
+  test("TopKRows native aggregate equals TopKBy's multiset sort-take, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((9L, 1L, 1L), (9L, 1L, 1L), (9L, 0L, 5L), (7L, 2L, 2L),
+      (5L, 3L, 3L)) ++ (0 until 500).map(i => ((i % 5).toLong, i.toLong, 0L))
+    val expected = rows.sortBy { case (k, a, b) => (-k, a, b) }.take(4)
+    for (parts <- Seq(1, 2, 8)) {
+      val df = spark.createDataset(rows).toDF("k", "a", "b").repartition(parts)
+      val got = df
+        .agg(graft.functions.TopKRows.topkRows(col("k"), col("a"), col("b"), 4).as("t"))
+        .selectExpr("explode(t) AS e").select("e.key", "e.a", "e.b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("sketches register as SQL aggregates and agree with their typed forms") {
     import spark.implicits._
     Sketches.registerSql(spark)
