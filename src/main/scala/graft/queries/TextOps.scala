@@ -1567,8 +1567,88 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x106: duplicated-span SCRUB — the transform x46 only diagnoses: every
+    * token covered by a word-8-gram that also occurs in another document is
+    * REMOVED, and the cleaned text re-emitted (the token-level form of
+    * exact substring deduplication, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" — their suffix-array
+    * spans become positional n-gram windows here). Pipeline: positional
+    * grams generated IN-ROW (one shingle pass, x46's posture), the
+    * cross-doc duplicate gram set via a two-level distinct-free agg, a
+    * semi-join hands each doc its duplicated window starts, windows expand
+    * to covered positions in-row, and the cleaned text is one ordered
+    * string_agg over the surviving positions. At 100 TB the gram key
+    * becomes a 64-bit hash (identical plan, 10× narrower exchange) and the
+    * semi-join stays the only corpus-width shuffle. Oracle reproduces the
+    * whole transform — including the re-assembled text — in SQL. */
+  val x106 = DQ("x106_dup_span_scrub", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, u.i AS j, l[u.i] AS tok
+      |  FROM t0, unnest(generate_series(1, len(l))) AS u(i)),
+      |gpos AS (
+      |  SELECT doc_id, u.i AS i, array_to_string(l[u.i:u.i+7], ' ') AS g
+      |  FROM t0, unnest(generate_series(1, greatest(len(l) - 7, 0))) AS u(i)),
+      |df AS (
+      |  SELECT g, count(*) AS d
+      |  FROM (SELECT DISTINCT doc_id, g FROM gpos) GROUP BY g),
+      |starts AS (
+      |  SELECT gp.doc_id, gp.i FROM gpos gp JOIN df ON gp.g = df.g
+      |  WHERE df.d >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, i + o.o AS j
+      |  FROM starts, unnest(generate_series(0, 7)) AS o(o)),
+      |kept AS (
+      |  SELECT t.doc_id, t.j, t.tok FROM toks t
+      |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(tok, ' ' ORDER BY j) AS cleaned
+      |  FROM kept GROUP BY doc_id),
+      |n AS (SELECT doc_id, len(l) AS n_tokens FROM t0)
+      |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(n.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |       coalesce(a.cleaned, '') AS cleaned
+      |FROM n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val t0 = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), Core.tokens(col("text")).as("l"))
+      // positional 8-grams, generated inside the row
+      val gpos = t0.select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(1, greatest(size(l) - 7, 0)),
+              |  i -> struct(i AS i, array_join(slice(l, i, 8), ' ') AS g))"""
+              .stripMargin)).as("s"))
+        .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+      // cross-doc duplicate grams: distinct (doc, g) pairs collapse map-side,
+      // then a plain count — no distinct-aggregate machinery
+      val dupG = gpos.select("g", "doc_id").distinct()
+        .groupBy("g").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2).select("g")
+      val cov = gpos.join(dupG, Seq("g"), "left_semi")
+        .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("j"))
+        .distinct()
+      val toks = t0.select(col("doc_id"),
+          posexplode(col("l")).as(Seq("p", "tok")))
+        .select(col("doc_id"), (col("p") + 1).as("j"), col("tok"))
+      val agg = toks.join(cov, Seq("doc_id", "j"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(j, tok)))," +
+            " s -> s.tok), ' ')").as("cleaned"))
+      t0.select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
-    x94)
+    x94, x106)
 }
