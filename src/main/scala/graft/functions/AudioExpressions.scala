@@ -40,7 +40,11 @@ object AudioHeaders {
         // size field is authoritative even if the body is truncated/absent
         dataSize = len.toLong
       }
-      i += 8 + len + (len & 1)
+      // cursor arithmetic in Long: a crafted chunk declaring len near 2^31
+      // must not wrap i negative (index crash) — a declared size past the
+      // buffer end means this is the last walkable chunk
+      val next = i.toLong + 8L + len.toLong + (len & 1).toLong
+      i = if (next > b.length.toLong) b.length else next.toInt
     }
     if (fmtCode != 1 || channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) null
     else ("pcm", channels, rate, bits,

@@ -23,7 +23,9 @@ object ImageHeaders {
     if (b == null) null
     else if (isPng(b)) ("png", be32(b, 16), be32(b, 20))
     else if (isGif(b)) ("gif", le16(b, 6), le16(b, 8))
-    else if (isBmp(b)) ("bmp", le32(b, 18), le32(b, 22))
+    // biHeight < 0 means a top-down DIB (row order flipped, same pixel
+    // count) — surface the magnitude, matching the png/jpeg convention
+    else if (isBmp(b)) ("bmp", le32(b, 18), math.abs(le32(b, 22)))
     else if (isJpeg(b)) parseJpeg(b)
     else null
   }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnShim}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.TernaryLike
@@ -62,6 +63,17 @@ case class TopKRows(
   override def first: Expression = keyExpr
   override def second: Expression = aExpr
   override def third: Expression = bExpr
+
+  // The eval path casts straight to Long — reject non-bigint children at
+  // analysis time rather than ClassCastException at execution time.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq("key" -> keyExpr, "a" -> aExpr, "b" -> bExpr)
+      .filter(_._2.dataType != LongType)
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_rows expects bigint children, got " +
+        bad.map { case (n, e) => s"$n: ${e.dataType.simpleString}" }.mkString(", "))
+  }
 
   override def createAggregationBuffer(): TopKRowsBuffer = new TopKRowsBuffer(k)
 
@@ -133,10 +145,13 @@ object TopKRows {
     StructField("a", LongType, nullable = false),
     StructField("b", LongType, nullable = false))), containsNull = false)
 
-  /** Top-k rows per group by (key DESC, a ASC, b ASC), as a Column. */
+  /** Top-k rows per group by (key DESC, a ASC, b ASC), as a Column.
+    * Children are cast to bigint here so int/short columns work at the
+    * call site; a non-castable type still fails cleanly at analysis via
+    * [[TopKRows.checkInputDataTypes]]. */
   def topkRows(key: Column, a: Column, b: Column, k: Int): Column =
     GraftColumnShim.column(TopKRows(
-      GraftColumnShim.expression(key),
-      GraftColumnShim.expression(a),
-      GraftColumnShim.expression(b), k).toAggregateExpression())
+      GraftColumnShim.expression(key.cast("bigint")),
+      GraftColumnShim.expression(a.cast("bigint")),
+      GraftColumnShim.expression(b.cast("bigint")), k).toAggregateExpression())
 }

@@ -47,7 +47,9 @@ object VideoHeaders {
               if (v == 0 && csize >= chdr + 20) {
                 timescale = be32(b, j + chdr + 12)
                 durTicks = be32(b, j + chdr + 16).toLong & 0xffffffffL
-              } else if (v == 1 && csize >= chdr + 28) {
+              } else if (v == 1 && csize >= chdr + 32) {
+                // v1 layout: 8+8 create/modify, 4 timescale at +20, then an
+                // 8-byte duration at +24 — the box must hold all 32 bytes
                 timescale = be32(b, j + chdr + 20)
                 durTicks = be64(b, j + chdr + 24)
               } else return null

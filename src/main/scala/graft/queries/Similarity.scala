@@ -470,17 +470,25 @@ object Similarity {
       |FROM adc a JOIN codes c USING (vec_id)
       |ORDER BY a.adc_d, a.vec_id LIMIT 10""".stripMargin)) {
     (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val SUB = 4; val SD = 16; val K = 8
       val q = spread(table(spark, dir, "embeddings"))
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
             .as("eq"))
-      val seeds = q
+      // Seed selection as a parallel partial top-k (TakeOrderedAndProject):
+      // every partition keeps its best K rows, the driver merges K·P rows —
+      // no single-partition pass over the full embeddings table. Ranks are
+      // then assigned window-free: the K survivors collapse into one sorted
+      // array (an aggregate over K rows) and posexplode yields j = position.
+      val seedPool = q
         .withColumn("h", md5(col("vec_id").cast("string")))
-        .withColumn("j", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
-        .filter(col("j") <= K)
-        .select(col("j"), col("eq").as("sq"))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(K)
+      val seeds = seedPool
+        .agg(sort_array(collect_list(struct(col("h"), col("vec_id"), col("eq"))))
+          .as("ss"))
+        .select(posexplode(col("ss")).as(Seq("p", "s")))
+        .select((col("p") + 1).as("j"), col("s.eq").as("sq"))
       // per (vector, codeword): the 4 subspace distances, computed in-row
       val subd = q.crossJoin(broadcast(seeds))
         .select(col("vec_id"), col("j"),

@@ -1617,10 +1617,15 @@ object TextOps {
       val t0 = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), Core.tokens(col("text")).as("l"))
       // positional 8-grams, generated inside the row
+      // Guarded like Core.wordNgrams: for docs with < 8 tokens the naive
+      // sequence(1, size-7) would DESCEND (sequence(1,0) = [1,0]) and
+      // slice(l, 0, 8) throws — emit an empty gram array instead.
       val gpos = t0.select(col("doc_id"),
           explode(expr(
-            """transform(sequence(1, greatest(size(l) - 7, 0)),
-              |  i -> struct(i AS i, array_join(slice(l, i, 8), ' ') AS g))"""
+            """CASE WHEN size(l) >= 8 THEN
+              |  transform(sequence(1, size(l) - 7),
+              |    i -> struct(i AS i, array_join(slice(l, i, 8), ' ') AS g))
+              |ELSE CAST(array() AS array<struct<i: int, g: string>>) END"""
               .stripMargin)).as("s"))
         .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
       // cross-doc duplicate grams: distinct (doc, g) pairs collapse map-side,

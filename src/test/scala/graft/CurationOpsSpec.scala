@@ -159,4 +159,25 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(maxChars == best._3 && dropped == group.map(_._3).sum - maxChars)
     }
   }
+
+  test("x106: docs shorter than the 8-gram window pass through unscathed") {
+    // regression: the naive sequence(1, size-7) DESCENDS for <8-token docs
+    // ([1,0]) and slice(l, 0, 8) throws — the guard must emit no grams and
+    // keep the short doc intact instead of crashing the query
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("x106short").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta trailing"
+    Seq(
+      (1L, "tiny doc here", "en", "s", 13L),             // 3 tokens < 8
+      (2L, dup + " one", "en", "s", (dup.length + 4).toLong),
+      (3L, dup + " two", "en", "s", (dup.length + 4).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.x106.run(spark, tmp)
+      .select("doc_id", "n_tokens", "n_removed", "cleaned")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 3L, 0L, "tiny doc here")), "short doc must survive intact")
+    // the two long docs share an 8-gram run, so both lose tokens
+    assert(rows(1)._3 > 0 && rows(2)._3 > 0, "shared 8-grams must be scrubbed")
+  }
 }

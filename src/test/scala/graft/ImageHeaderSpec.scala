@@ -116,6 +116,41 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(VideoHeaders.parseMp4(lying.take(16) ++ overrun) == null)
   }
 
+  test("top-down BMP (negative biHeight) surfaces positive height") {
+    val le32 = (v: Int) => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // 14-byte file header + BITMAPINFOHEADER with biHeight = -768 (top-down)
+    val bmp = "BM".getBytes ++ le32(26 + 8) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1024) ++ le32(-768) ++ new Array[Byte](8)
+    assert(ImageHeaders.parse(bmp) == ("bmp", 1024, 768))
+  }
+
+  test("malformed containers degrade to null/skip, never crash") {
+    import graft.functions.{AudioHeaders, VideoHeaders}
+    val le32 = (v: Int) => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val be32 = (v: Int) => Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // RIFF chunk declaring a length near 2^31: the cursor walk must not
+    // wrap Int-negative and index-crash — malformed media in a watched
+    // dir must route to dead-letter, not kill the stream
+    val huge = "RIFF".getBytes ++ le32(0x7ffffff0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0x7ffffff0) ++ new Array[Byte](64)
+    assert(AudioHeaders.parseWav(huge) == null)
+    // declared data size survives even when a later chunk overruns
+    val tail = AudioHeaders.buildWav(1, 8000, 8, new Array[Byte](100)).drop(12)
+    val overrunAfter = "RIFF".getBytes ++ le32(1000) ++ "WAVE".getBytes ++
+      tail ++ "LIST".getBytes ++ le32(0x7fffff00)
+    assert(AudioHeaders.parseWav(overrunAfter) == ("pcm", 1, 8000, 8, 12500L))
+    // v1 mvhd truncated right before its 64-bit duration (csize = chdr+28
+    // < chdr+32): must return null, not ArrayIndexOutOfBounds
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val mvhdV1Short = be32(8 + 28) ++ "mvhd".getBytes ++
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](24)
+    val moov = be32(8 + mvhdV1Short.length) ++ "moov".getBytes ++ mvhdV1Short
+    assert(VideoHeaders.parseMp4(ftyp ++ moov) == null)
+  }
+
   test("image_header runs as a native expression with codegen fallback off") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

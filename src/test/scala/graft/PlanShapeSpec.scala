@@ -180,4 +180,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan(graft.queries.Dataflow.x103).contains("audio_header"))
     assert(plan(graft.queries.Dataflow.x104).contains("video_header"))
   }
+
+  test("x105 seed selection is a parallel top-k, not a global window") {
+    // regression for the last single-partition stage any declared query
+    // had: seeds must come from orderBy+limit (TakeOrderedAndProject —
+    // every partition keeps K rows, driver merges K·P) so the full
+    // embeddings table never funnels through one task
+    val p = plan(graft.queries.Similarity.x105)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"x105 seeds must plan as a parallel partial top-k:\n$p")
+    // any window left in the plan may only run AFTER the limit(8): its
+    // input must be the 8-row seed pool, never a full-table scan feeding
+    // a single partition
+    val windowIdx = p.indexOf("Window")
+    if (windowIdx >= 0) {
+      assert(p.indexOf("TakeOrderedAndProject") >= 0 &&
+        p.substring(windowIdx).contains("TakeOrderedAndProject"),
+        s"a Window in x105 must sit above the 8-row limit, not the corpus:\n$p")
+    }
+  }
 }

@@ -183,6 +183,31 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKRows: int children cast cleanly, a string child fails at analysis") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the Column helper casts — int columns must work, not ClassCastException
+    val ints = spark.createDataset(Seq((3, 1, 1), (9, 2, 2), (7, 3, 3)))
+      .toDF("k", "a", "b")
+      .agg(graft.functions.TopKRows.topkRows(col("k"), col("a"), col("b"), 2).as("t"))
+      .selectExpr("explode(t) AS e").select("e.key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ints === Seq(9L, 7L))
+    // a raw non-castable child is an ANALYSIS error (checkInputDataTypes),
+    // not a runtime ClassCastException deep in an executor
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.createDataset(Seq(("x", 1L, 1L))).toDF("k", "a", "b")
+        .agg(org.apache.spark.sql.GraftColumnShim.column(
+          graft.functions.TopKRows(
+            org.apache.spark.sql.GraftColumnShim.expression(col("k")),
+            org.apache.spark.sql.GraftColumnShim.expression(col("a")),
+            org.apache.spark.sql.GraftColumnShim.expression(col("b")),
+            2).toAggregateExpression()).as("t"))
+        .collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("sketches register as SQL aggregates and agree with their typed forms") {
     import spark.implicits._
     Sketches.registerSql(spark)
