@@ -64,6 +64,62 @@ object AudioHeaders {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  /** REAL sample decode for RIFF/WAVE PCM payloads:
+    * (n_samples, peak, sum_sq, n_clip), or null when the container is not
+    * PCM with 8- or 16-bit samples. 8-bit WAV samples are unsigned with
+    * amplitude v − 128; 16-bit are signed little-endian. `peak` is the max
+    * absolute amplitude, `sum_sq` the exact integer energy Σa², `n_clip`
+    * the count of full-scale samples (0/255 resp. ±32768/32767) — every
+    * field integer-exact so an oracle reproduces them arithmetically. A
+    * data chunk declaring more bytes than the buffer holds is decoded up
+    * to the buffer end (truncated uploads degrade, not crash). */
+  def parsePcmStats(b: Array[Byte]): (Long, Int, Long, Long) = {
+    if (b == null || b.length < 44) return null
+    if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")) return null
+    var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1
+    var i = 12
+    while (i + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+      val id = tag(b, i)
+      val len = le32(b, i + 4)
+      if (len < 0) return null
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        fmtCode = le16(b, i + 8)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(len.toLong, (b.length - dataOff).toLong).toInt
+      }
+      val next = i.toLong + 8L + len.toLong + (len & 1).toLong
+      i = if (next > b.length.toLong) b.length else next.toInt
+    }
+    if (fmtCode != 1 || dataOff < 0 || (bits != 8 && bits != 16)) return null
+    var n = 0L; var peak = 0; var sumSq = 0L; var clip = 0L
+    if (bits == 8) {
+      var j = dataOff; val end = dataOff + dataLen
+      while (j < end) {
+        val v = u(b, j)
+        val a = v - 128
+        val abs = if (a < 0) -a else a
+        if (abs > peak) peak = abs
+        sumSq += a.toLong * a
+        if (v == 0 || v == 255) clip += 1
+        n += 1; j += 1
+      }
+    } else {
+      var j = dataOff; val end = dataOff + dataLen - 1
+      while (j < end) {
+        val s = (le16(b, j) << 16) >> 16 // sign-extend
+        val abs = if (s < 0) -s else s
+        if (abs > peak) peak = abs
+        sumSq += s.toLong * s
+        if (s == 32767 || s == -32768) clip += 1
+        n += 1; j += 2
+      }
+    }
+    (n, peak, sumSq, clip)
+  }
+
   /** A valid PCM WAV container around `body` (the deterministic inverse of
     * [[parseWav]] for the header part). */
   def buildWav(channels: Int, rate: Int, bits: Int, body: Array[Byte]): Array[Byte] = {
@@ -126,4 +182,55 @@ object AudioHeader {
 
   def audioHeader(media: Column): Column =
     GraftColumnShim.column(AudioHeader(GraftColumnShim.expression(media)))
+}
+
+/** `pcm_stats(binary)` → `struct<n_samples long, peak int, sum_sq long,
+  * n_clip long>`, null unless the payload is a RIFF/WAVE PCM container
+  * with 8- or 16-bit samples. REAL sample decode (PCM needs no codec
+  * library) running inside whole-stage codegen — with [[BmpPixels]] this
+  * shrinks the multimodal stub to formats whose bodies genuinely need a
+  * codec. */
+case class PcmStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PcmStats.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pcm_stats expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val p = AudioHeaders.parsePcmStats(payload.asInstanceOf[Array[Byte]])
+    if (p == null) null
+    else InternalRow(p._1, p._2, p._3, p._4)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pcmStats", this, classOf[PcmStats].getName)
+    val r = ctx.freshName("pcmSt")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcmStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "pcm_stats"
+}
+
+object PcmStats {
+  val resultType: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("peak", IntegerType),
+    StructField("sum_sq", LongType),
+    StructField("n_clip", LongType)))
+
+  def pcmStats(media: Column): Column =
+    GraftColumnShim.column(PcmStats(GraftColumnShim.expression(media)))
 }

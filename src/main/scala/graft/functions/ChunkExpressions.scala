@@ -97,6 +97,10 @@ object ChunkFunctions {
       es => AudioHeader(es.head), "built-in")
     reg.createOrReplaceTempFunction("video_header",
       es => VideoHeader(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bmp_pixels",
+      es => BmpPixels(es.head), "built-in")
+    reg.createOrReplaceTempFunction("pcm_stats",
+      es => PcmStats(es.head), "built-in")
   }
 }
 
@@ -134,5 +138,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("video_header"),
       new ExpressionInfo(classOf[VideoHeader].getName, "video_header"),
       es => VideoHeader(es.head)))
+    e.injectFunction((FunctionIdentifier("bmp_pixels"),
+      new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
+      es => BmpPixels(es.head)))
+    e.injectFunction((FunctionIdentifier("pcm_stats"),
+      new ExpressionInfo(classOf[PcmStats].getName, "pcm_stats"),
+      es => PcmStats(es.head)))
   }
 }

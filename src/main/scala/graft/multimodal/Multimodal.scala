@@ -22,7 +22,9 @@ object Multimodal {
 
   /** Typed metadata extracted from a media payload. `format`/`width`/
     * `height` are real header-parse results (None when the payload is not
-    * a recognized image container); the remaining fields are the
+    * a recognized image container); `luma_sum`/`pcm_sum_sq` are REAL body
+    * decodes for the two formats that need no codec library (uncompressed
+    * 24-bit BMP pixels, WAV PCM samples); the remaining fields are the
     * deterministic stub. */
   final case class MediaMeta(
       media_id: Long,
@@ -32,22 +34,31 @@ object Multimodal {
       sig: String,
       format: Option[String],
       width: Option[Int],
-      height: Option[Int])
+      height: Option[Int],
+      luma_sum: Option[Long],
+      pcm_sum_sq: Option[Long])
 
   object StubCodec {
-    /** Container header parse is REAL ([[graft.functions.ImageHeaders]]);
-      * pixel decode is the STUB: a real implementation would decode the
-      * image/audio body (pixels, PCM duration). Deterministic fake for the
-      * body-derived fields: byte length, first code point, md5 head —
-      * enough to pin the plumbing end-to-end. */
+    /** Container header parse is REAL ([[graft.functions.ImageHeaders]]),
+      * and so is body decode where the format allows it without a codec
+      * library: uncompressed 24-bit BMP pixels reduce to an exact luma sum
+      * ([[graft.functions.ImageHeaders.parseBmpPixels]]) and WAV PCM
+      * samples to an exact energy Σa²
+      * ([[graft.functions.AudioHeaders.parsePcmStats]]). The STUB now
+      * covers only bodies that genuinely need a codec (JPEG/PNG/GIF
+      * entropy-coded pixels, MP4 tracks) — for those, deterministic fakes
+      * pin the plumbing: byte length, first code point, md5 head. */
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
       val hdr = Option(graft.functions.ImageHeaders.parse(payload))
+      val bmp = Option(graft.functions.ImageHeaders.parseBmpPixels(payload))
+      val pcm = Option(graft.functions.AudioHeaders.parsePcmStats(payload))
       MediaMeta(id, kind, payload.length.toLong,
         if (payload.isEmpty) -1
         else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
           .codePointAt(0),
         graft.core.ChunkCodec.digestHex("MD5", payload).take(8),
-        hdr.map(_._1), hdr.map(_._2), hdr.map(_._3))
+        hdr.map(_._1), hdr.map(_._2), hdr.map(_._3),
+        bmp.map(_._7), pcm.map(_._3))
     }
   }
 

@@ -55,7 +55,9 @@ object Dataflow {
       |  substring(md5(text), 1, 8) AS sig,
       |  CAST(NULL AS VARCHAR) AS format,
       |  CAST(NULL AS INT) AS width,
-      |  CAST(NULL AS INT) AS height
+      |  CAST(NULL AS INT) AS height,
+      |  CAST(NULL AS BIGINT) AS luma_sum,
+      |  CAST(NULL AS BIGINT) AS pcm_sum_sq
       |FROM documents ORDER BY media_id""".stripMargin)) {
     (spark, dir) =>
       val media = table(spark, dir, "documents")
@@ -186,5 +188,113 @@ object Dataflow {
         .orderBy("media_id")
   }
 
-  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104)
+  /** x107: REAL pixel decode — the step past x102's header parse for the
+    * one image format that needs no codec library. Each row becomes a
+    * complete uncompressed 24-bit BI_RGB BMP with row-derived dimensions
+    * and a deterministic per-pixel color ramp, alternating bottom-up and
+    * top-down storage by doc_id; the native `bmp_pixels` expression
+    * ([[graft.functions.BmpPixels]], whole-stage codegen) walks the padded
+    * pixel rows and reduces them to exact integer channel sums, a luma
+    * energy, and the TOP-LEFT pixel's luma (orientation-sensitive: a
+    * parser that ignores biHeight's sign gets first_luma wrong on half the
+    * rows). The oracle recomputes every field arithmetically from the
+    * build inputs — decode must invert build per pixel, in SQL. */
+  val x107 = DQ("x107_bmp_pixel_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS w,
+      |                  CAST(doc_id % 5 + 1 AS INT) AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+      |    (doc_id * 3 + ux.x + 2 * uy.y) % 256 AS r,
+      |    (doc_id * 2 + ux.x + uy.y) % 256 AS g,
+      |    (doc_id + 2 * ux.x + 3 * uy.y) % 256 AS b
+      |  FROM d, unnest(generate_series(0, w - 1)) AS ux(x),
+      |       unnest(generate_series(0, h - 1)) AS uy(y))
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum((77 * r + 150 * g + 29 * b) // 256) AS BIGINT) AS luma_sum,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0
+      |           THEN (77 * r + 150 * g + 29 * b) // 256 END) AS BIGINT) AS first_luma
+      |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{BmpPixels, ImageHeaders}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val w = (id % 7 + 1).toInt
+          val h = (id % 5 + 1).toInt
+          val payload = ImageHeaders.buildBmp24(w, h, topDown = id % 2 == 1) {
+            (x, y) =>
+              (((id * 3 + x + 2 * y) % 256).toInt,
+               ((id * 2 + x + y) % 256).toInt,
+               ((id + 2 * x + 3 * y) % 256).toInt)
+          }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), BmpPixels.bmpPixels(col("media")).as("p"))
+        .select(col("media_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_px").as("n_px"), col("p.sum_r").as("sum_r"),
+          col("p.sum_g").as("sum_g"), col("p.sum_b").as("sum_b"),
+          col("p.luma_sum").as("luma_sum"), col("p.first_luma").as("first_luma"))
+        .orderBy("media_id")
+  }
+
+  /** x108: REAL sample decode — x107's contract for audio. Each row
+    * becomes a PCM WAV whose body is a deterministic sample ramp (8-bit
+    * unsigned or 16-bit signed LE by doc_id), and the native `pcm_stats`
+    * expression ([[graft.functions.PcmStats]]) decodes the samples back
+    * into exact integer statistics: count, peak amplitude, energy Σa²,
+    * and full-scale clip count. Oracle recomputes all four from the
+    * generator formula — decode must invert build per sample, in SQL. */
+  val x108 = DQ("x108_pcm_sample_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 50 + 10 AS INT) AS n,
+      |                  (doc_id % 3 = 0) AS is8 FROM documents),
+      |s AS (
+      |  SELECT doc_id, is8,
+      |    CASE WHEN is8 THEN (doc_id * 13 + u.i * 101) % 256 - 128
+      |         ELSE ((doc_id * 31 + u.i * 7919) % 65536 + 32768) % 65536 - 32768
+      |    END AS a
+      |  FROM d, unnest(generate_series(0, n - 1)) AS u(i))
+      |SELECT doc_id AS media_id,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(a)) AS INT) AS peak,
+      |  CAST(sum(a * a) AS BIGINT) AS sum_sq,
+      |  CAST(sum(CASE WHEN (is8 AND a IN (-128, 127))
+      |                  OR (NOT is8 AND a IN (-32768, 32767))
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
+      |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeaders, PcmStats}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val n = (id % 50 + 10).toInt
+          val bits8 = id % 3 == 0
+          val body = new Array[Byte](if (bits8) n else 2 * n)
+          var i = 0
+          while (i < n) {
+            if (bits8) body(i) = ((id * 13 + i * 101) % 256).toByte
+            else {
+              val m = ((id * 31 + i * 7919L) % 65536L).toInt
+              body(2 * i) = (m & 0xff).toByte
+              body(2 * i + 1) = ((m >> 8) & 0xff).toByte
+            }
+            i += 1
+          }
+          (id, AudioHeaders.buildWav((1 + id % 2).toInt, 8000,
+            if (bits8) 8 else 16, body))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), PcmStats.pcmStats(col("media")).as("p"))
+        .select(col("media_id"),
+          col("p.n_samples").as("n_samples"), col("p.peak").as("peak"),
+          col("p.sum_sq").as("sum_sq"), col("p.n_clip").as("n_clip"))
+        .orderBy("media_id")
+  }
+
+  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108)
 }

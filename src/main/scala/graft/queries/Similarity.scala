@@ -105,8 +105,12 @@ object Similarity {
   }
 
   /** x12: embedding-cosine near-duplicate pairs (north star dedup): all
-    * same-label pairs scored exactly, threshold on the 6-dp-rounded cosine
-    * (label blocking bounds the pair space; x13 is the unblocked LSH path). */
+    * same-label pairs scored exactly, threshold on the 6-dp-rounded cosine.
+    * Label blocking bounds the pair space ON THE DECLARED FIXTURE
+    * (AnnQualitySpec pins every block under the router budget); production
+    * routing at corpus scale is [[nearDupPairsRouted]], which sends
+    * oversized label blocks through x13's sign-LSH buckets with x59-style
+    * exact verification of candidates only. */
   val x12 = DQ("x12_embedding_neardup", Some(
     """WITH ser AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)),
       |ex AS (
@@ -135,11 +139,69 @@ object Similarity {
         .select("v1", "v2", "sim").orderBy("v1", "v2")
   }
 
+  /** PRODUCTION routing for embedding near-dup at corpus scale — the guard
+    * x12's declared form needs before anyone points it at 100 TB. x12 is
+    * the EXACT within-label all-pairs computation: correct, and quadratic
+    * in the largest label block — fine on the declared fixture (the spec
+    * pins every block under the budget), a scale-killer when labels are
+    * coarse. This router keeps the exact path for labels whose pair count
+    * `n·(n−1)/2` fits `pairBudget` and sends oversized blocks through
+    * BANDED x13 sign-LSH bucketing (4 bands × 2 bits, candidate iff ANY
+    * band agrees — the OR-construction; an exact-signature bucket would
+    * have ~2% recall at cosine 0.3) with x59-style EXACT cosine
+    * verification of candidates only. Precision stays 1.0 — every emitted
+    * pair is exactly scored and thresholded; recall on oversized blocks is
+    * the banded-LSH recall (AnnQualitySpec pins the fixture floor). Pair
+    * space: Σ_small n_b² + 4·Σ_big Σ_bucket m² — bounded by the budget
+    * and the band granularity, never the raw block square. */
+  def nearDupPairsRouted(emb: DataFrame, simThreshold: Double = 0.3,
+      pairBudget: Long = 1L << 22): DataFrame = {
+    val spark = emb.sparkSession
+    val base = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    // per-label block sizes: ≤ #labels rows — broadcast back as the tag
+    val sizes = base.groupBy("label").agg(count(lit(1)).as("n"))
+      .select(col("label"),
+        (col("n") * (col("n") - 1) / 2 <= pairBudget).as("exact"))
+    val tagged = base.join(broadcast(sizes), "label")
+    def pairsWithin(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val carry = keys.map(col)
+      val a = df.select(col("vec_id").as("v1") +: col("embedding").as("e1")
+        +: col("nrm").as("n1") +: carry: _*)
+      val b = df.select(col("vec_id").as("v2") +: col("embedding").as("e2")
+        +: col("nrm").as("n2") +: carry: _*)
+      a.join(b, keys).filter(col("v1") < col("v2"))
+        .withColumn("sim",
+          round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+        .filter(col("sim") >= simThreshold)
+        .select("v1", "v2", "sim")
+    }
+    val exactPairs = pairsWithin(tagged.filter(col("exact")), Seq("label"))
+    val big = tagged.filter(!col("exact"))
+    val withSig = big.join(signLshSigsOf(spark, big), "vec_id")
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        explode(expr(
+          "transform(sequence(0, 3), t -> struct(t AS band, substring(sig, t * 2 + 1, 2) AS bk))"
+        )).as("b"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("b.band").as("band"), col("b.bk").as("bk"))
+    // a pair found by several bands verifies to the same (v1, v2, sim)
+    // row in each — distinct collapses the multi-band duplicates
+    val lshPairs = pairsWithin(withSig, Seq("label", "band", "bk")).distinct()
+    exactPairs.unionByName(lshPairs)
+  }
+
   /** Sign-LSH signatures for embeddings — 8 deterministic hyperplanes whose
     * ±1 components come from md5 parity of `k:i` (engine-neutral);
     * bit k = sign(Σ v[i]·h(k,i)). Shared by x13 (signature dump) and x29
     * (bucketed ANN search). */
-  private def signLshSigs(spark: SparkSession, dir: String): DataFrame = {
+  private def signLshSigs(spark: SparkSession, dir: String): DataFrame =
+    signLshSigsOf(spark, table(spark, dir, "embeddings"))
+
+  /** [[signLshSigs]] over an arbitrary `(vec_id, embedding, …)` frame —
+    * shared by the declared queries and the scale router
+    * [[nearDupPairsRouted]]. */
+  def signLshSigsOf(spark: SparkSession, emb: DataFrame): DataFrame = {
     val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val ks = spark.range(1, 9).select(col("id").cast("int").as("k"))
     val is = spark.range(1, 65).select(col("id").cast("int").as("i"))
@@ -149,7 +211,7 @@ object Similarity {
     val hyper = ks.crossJoin(broadcast(is)).select(col("k"), col("i"),
       when(substring(md5(concat(col("k").cast("string"), lit(":"), col("i").cast("string"))),
         1, 1).isin(topBit: _*), 1.0).otherwise(-1.0).as("s"))
-    val exploded = table(spark, dir, "embeddings")
+    val exploded = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).as("i"), col("x").cast("double").as("x"))
     exploded.join(broadcast(hyper), "i")

@@ -31,6 +31,25 @@ object TextOps {
       .select(col("doc_id"), explode(wordNgrams(col("l"), n)).as("g"))
   }
 
+  /** 60-bit md5-prefix integer of a gram string — the one hash Spark and
+    * DuckDB compute identically (`conv(substr(md5(g),1,15),16,10)` ↔
+    * `CAST('0x' || substr(md5(g),1,15) AS BIGINT)`), so gram exchanges can
+    * carry an 8-byte key instead of the ~50-byte 8-gram string and the
+    * oracle still mirrors every intermediate exactly. */
+  private def gramKey(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** [[wordShingles]] with the gram hashed IN-ROW: grams → 60-bit keys →
+    * array_distinct BEFORE the explode, so the per-doc key set matches the
+    * oracle's `SELECT DISTINCT doc_id, gk` even under hash collision, and
+    * the corpus-width exchange downstream carries 8-byte keys. */
+  private def wordShinglesHashed(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val d = spread(table(spark, dir, "documents"))
+    d.select(col("doc_id"), tokens(col("text")).as("l"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(wordNgrams(col("l"), n), gramKey(_)))).as("gk"))
+  }
+
   /** Word 3-gram shingle CTE — DuckDB side (aligned with [[wordShingles]]). */
   private val wordShinglesCte: String =
     """sh AS (
@@ -976,29 +995,35 @@ object TextOps {
     * keeps an inverted list of the doc_ids alongside the count (documents
     * per gram are few — the list is as narrow as the join it replaces),
     * and exploding it back hands every doc its grams' df without a second
-    * shingle pass or a join. At 100 TB the gram column would be a 64-bit
-    * hash instead of the string (identical plan, 10× narrower shuffle). */
+    * shingle pass or a join. The exchanged key is NOT the gram string but
+    * its 60-bit md5-prefix integer (`conv(substr(md5(g),1,15),16,10)` —
+    * the one hash both engines compute identically, so the oracle mirrors
+    * it): at 100 TB an avg word-8-gram is ~50 bytes and the hash is 8, a
+    * ~6× narrower gram exchange; any collision collapses the same pair of
+    * grams in both engines, so the gate stays exact. */
   val x46 = DQ("x46_dup_ngram_frac", Some(
     """WITH t0 AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
       |                             x -> x <> '') AS l
       |  FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS g
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(array_to_string(l[i:i+7], ' ')), 1, 15)
+      |         AS BIGINT) AS gk
       |  FROM (SELECT doc_id, l,
       |               unnest(generate_series(1, greatest(len(l)-7, 0))) AS i
       |        FROM t0) t1),
-      |df AS (SELECT g, count(*) AS d FROM sh GROUP BY g)
+      |df AS (SELECT gk, count(*) AS d FROM sh GROUP BY gk)
       |SELECT s.doc_id,
       |  CAST(count(*) AS BIGINT) AS n_grams,
       |  CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
       |  round(CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
       |        / count(*), 6) AS dup_frac
-      |FROM sh s JOIN df ON s.g = df.g
+      |FROM sh s JOIN df ON s.gk = df.gk
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)) {
     (spark, dir) =>
-      val sh = wordShingles(spark, dir, 8)
-      val inv = sh.groupBy("g")
+      val sh = wordShinglesHashed(spark, dir, 8)
+      val inv = sh.groupBy("gk")
         .agg(count(lit(1)).as("d"), collect_list(col("doc_id")).as("ids"))
       val dup = sum(when(col("d") >= 2, 1).otherwise(0))
       inv.select(col("d"), explode(col("ids")).as("doc_id"))
@@ -1243,18 +1268,20 @@ object TextOps {
       |                             x -> x <> '') AS l
       |  FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS g
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(array_to_string(l[i:i+7], ' ')), 1, 15)
+      |         AS BIGINT) AS gk
       |  FROM (SELECT doc_id, l,
       |               unnest(generate_series(1, greatest(len(l)-7, 0))) AS i
       |        FROM t0) t1),
-      |df AS (SELECT g, count(*) AS d FROM sh GROUP BY g)
+      |df AS (SELECT gk, count(*) AS d FROM sh GROUP BY gk)
       |SELECT CAST(d AS BIGINT) AS df,
       |  CAST(count(*) AS BIGINT) AS n_grams,
       |  CAST(d * count(*) AS BIGINT) AS mass
       |FROM df GROUP BY d ORDER BY df""".stripMargin)) {
     (spark, dir) =>
-      wordShingles(spark, dir, 8)
-        .groupBy("g").agg(count(lit(1)).as("d"))
+      wordShinglesHashed(spark, dir, 8)
+        .groupBy("gk").agg(count(lit(1)).as("d"))
         .groupBy("d").agg(count(lit(1)).as("n_grams"))
         .select(col("d").as("df"), col("n_grams"),
           (col("d") * col("n_grams")).as("mass"))
@@ -1590,13 +1617,15 @@ object TextOps {
       |  SELECT doc_id, u.i AS j, l[u.i] AS tok
       |  FROM t0, unnest(generate_series(1, len(l))) AS u(i)),
       |gpos AS (
-      |  SELECT doc_id, u.i AS i, array_to_string(l[u.i:u.i+7], ' ') AS g
+      |  SELECT doc_id, u.i AS i,
+      |    CAST('0x' || substr(md5(array_to_string(l[u.i:u.i+7], ' ')), 1, 15)
+      |         AS BIGINT) AS gk
       |  FROM t0, unnest(generate_series(1, greatest(len(l) - 7, 0))) AS u(i)),
       |df AS (
-      |  SELECT g, count(*) AS d
-      |  FROM (SELECT DISTINCT doc_id, g FROM gpos) GROUP BY g),
+      |  SELECT gk, count(*) AS d
+      |  FROM (SELECT DISTINCT doc_id, gk FROM gpos) GROUP BY gk),
       |starts AS (
-      |  SELECT gp.doc_id, gp.i FROM gpos gp JOIN df ON gp.g = df.g
+      |  SELECT gp.doc_id, gp.i FROM gpos gp JOIN df ON gp.gk = df.gk
       |  WHERE df.d >= 2),
       |cov AS (
       |  SELECT DISTINCT doc_id, i + o.o AS j
@@ -1616,7 +1645,9 @@ object TextOps {
     (spark, dir) =>
       val t0 = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), Core.tokens(col("text")).as("l"))
-      // positional 8-grams, generated inside the row
+      // positional 8-grams hashed IN-ROW to 60-bit md5-prefix keys (the
+      // oracle mirrors the hash, so the corpus-width exchanges — distinct,
+      // df count, semi-join — carry 8-byte keys, not ~50-byte grams).
       // Guarded like Core.wordNgrams: for docs with < 8 tokens the naive
       // sequence(1, size-7) would DESCEND (sequence(1,0) = [1,0]) and
       // slice(l, 0, 8) throws — emit an empty gram array instead.
@@ -1624,16 +1655,18 @@ object TextOps {
           explode(expr(
             """CASE WHEN size(l) >= 8 THEN
               |  transform(sequence(1, size(l) - 7),
-              |    i -> struct(i AS i, array_join(slice(l, i, 8), ' ') AS g))
-              |ELSE CAST(array() AS array<struct<i: int, g: string>>) END"""
+              |    i -> struct(i AS i,
+              |      cast(conv(substr(md5(array_join(slice(l, i, 8), ' ')), 1, 15),
+              |                16, 10) as bigint) AS gk))
+              |ELSE CAST(array() AS array<struct<i: int, gk: bigint>>) END"""
               .stripMargin)).as("s"))
-        .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
-      // cross-doc duplicate grams: distinct (doc, g) pairs collapse map-side,
-      // then a plain count — no distinct-aggregate machinery
-      val dupG = gpos.select("g", "doc_id").distinct()
-        .groupBy("g").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= 2).select("g")
-      val cov = gpos.join(dupG, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("s.i").as("i"), col("s.gk").as("gk"))
+      // cross-doc duplicate grams: distinct (doc, gk) pairs collapse
+      // map-side, then a plain count — no distinct-aggregate machinery
+      val dupG = gpos.select("gk", "doc_id").distinct()
+        .groupBy("gk").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2).select("gk")
+      val cov = gpos.join(dupG, Seq("gk"), "left_semi")
         .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("j"))
         .distinct()
       val toks = t0.select(col("doc_id"),

@@ -111,4 +111,93 @@ object AssemblyStreamTws {
       .transformWithState(
         new AssemblyProcessor(timeoutMs), timeMode, OutputMode.Append())
   }
+
+  /** [[AsmBufTws]] EVOLVED: adds `firstSeenMs` (when the key's first chunk
+    * arrived — the partial-age diagnostic an operator wants when deciding
+    * whether a stuck upload is worth waiting for; readable offline via the
+    * `statestore` data source). `Option` so the Avro state encoder treats
+    * it as nullable-with-default: a V1 checkpoint's rows decode with None.
+    * This is the state-schema-evolution path transformWithState exists to
+    * support (SPARK-46815); AssemblyTwsSpec proves a checkpoint written by
+    * [[AssemblyProcessor]] resumes under [[AssemblyProcessorV2]] with
+    * `spark.sql.streaming.stateStore.encodingFormat=avro`. */
+  final case class AsmBufTwsV2(
+      relFilepath: String,
+      filename: String,
+      fileHash: Array[Byte],
+      nTotal: Int,
+      mtime: Option[Double],
+      offsets: Array[Long],
+      payloads: Array[Array[Byte]],
+      completed: Boolean,
+      firstSeenMs: Option[Long])
+
+  /** [[AssemblyProcessor]] on the evolved state schema — same fold, same
+    * timers; only the buffer representation gains the first-seen stamp. */
+  final class AssemblyProcessorV2(timeoutMs: Long)
+      extends StatefulProcessor[String, ChunkRow, AssembledFile] {
+
+    @transient private var buf: ValueState[AsmBufTwsV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[AsmBufTwsV2](
+        "buf", Encoders.product[AsmBufTwsV2], TTLConfig.NONE)
+
+    private def clearTimers(): Unit =
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+
+    private def fromV2(t: AsmBufTwsV2): AsmBuf =
+      AsmBuf(t.relFilepath, t.filename, t.fileHash, t.nTotal, t.mtime,
+        t.offsets.zip(t.payloads).toMap, t.completed)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[ChunkRow],
+        timerValues: TimerValues): Iterator[AssembledFile] = {
+      val priorV2 = if (buf.exists()) Option(buf.get()) else None
+      val (emitted, nextBuf) =
+        AssemblyStream.foldRows(key, priorV2.map(fromV2), rows)
+      nextBuf match {
+        case Some(b) =>
+          val entries = b.buffered.toArray
+          val firstSeen = priorV2.flatMap(_.firstSeenMs)
+            .orElse(Some(timerValues.getCurrentProcessingTimeInMs()))
+          buf.update(AsmBufTwsV2(b.relFilepath, b.filename, b.fileHash,
+            b.nTotal, b.mtime, entries.map(_._1), entries.map(_._2),
+            b.completed, firstSeen))
+          if (timeoutMs > 0) {
+            clearTimers()
+            getHandle.registerTimer(
+              timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+          }
+        case None =>
+          if (buf.exists()) buf.clear()
+          if (timeoutMs > 0) clearTimers()
+      }
+      emitted.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AssembledFile] = {
+      val out =
+        if (buf.exists()) AssemblyStream.quarantineRow(fromV2(buf.get())) else None
+      if (buf.exists()) buf.clear()
+      out.iterator
+    }
+  }
+
+  /** [[assemble]] on the evolved state schema. */
+  def assembleV2(
+      chunks: Dataset[ChunkRow],
+      timeoutMs: Long = AssemblyStream.DefaultTimeoutMs): Dataset[AssembledFile] = {
+    import chunks.sparkSession.implicits._
+    val timeMode =
+      if (timeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    chunks
+      .groupByKey(_.toChunk.relFilepath)
+      .transformWithState(
+        new AssemblyProcessorV2(timeoutMs), timeMode, OutputMode.Append())
+  }
 }

@@ -202,7 +202,7 @@ object Pipelines {
     * route, don't lose). At 100 TB this is the admission step that
     * partitions a mixed media crawl by modality before any codec runs. */
   def mediaTriageStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{AudioHeader, ImageHeader, VideoHeader}
+    import graft.functions.{AudioHeader, BmpPixels, ImageHeader, PcmStats, VideoHeader}
     val files = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -212,6 +212,10 @@ object Pipelines {
       .withColumn("ih", ImageHeader.imageHeader(col("content")))
       .withColumn("ah", AudioHeader.audioHeader(col("content")))
       .withColumn("vh", VideoHeader.videoHeader(col("content")))
+      // body decode where the format permits it without a codec: BMP pixel
+      // luma, PCM sample energy/clipping — null for every other payload
+      .withColumn("bp", BmpPixels.bmpPixels(col("content")))
+      .withColumn("ps", PcmStats.pcmStats(col("content")))
       .select(col("path"), col("length"),
         when(col("ih").isNotNull, "image")
           .when(col("ah").isNotNull, "audio")
@@ -221,7 +225,9 @@ object Pipelines {
           col("vh.brand")).as("format"),
         col("ih.width").as("width"), col("ih.height").as("height"),
         col("ah.sample_rate").as("sample_rate"),
-        coalesce(col("ah.duration_us"), col("vh.duration_us")).as("duration_us"))
+        coalesce(col("ah.duration_us"), col("vh.duration_us")).as("duration_us"),
+        col("bp.luma_sum").as("luma_sum"),
+        col("ps.peak").as("pcm_peak"), col("ps.n_clip").as("pcm_n_clip"))
   }
 
   /** T4/T5 consumer-side filters: message-key regex and filepath regex

@@ -48,4 +48,40 @@ class AnnQualitySpec extends AnyFunSuite {
     // on this fixture sits at Hamming 4 of the 8-bit signature
     assert(recall >= 0.6, s"LSH recall@3 regressed: $recall")
   }
+
+  test("x12 fixture blocks fit the router's default pair budget") {
+    // x12's declared form is within-label all-pairs — quadratic in the
+    // largest block. This pins the precondition that makes the declared
+    // form safe on the driver tables: every label block's n·(n−1)/2 sits
+    // far below nearDupPairsRouted's default budget, so nothing here
+    // silently depends on an unbounded join
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = graft.queries.Core.table(spark, sf, "embeddings")
+    val maxPairs = emb.groupBy("label").count()
+      .select((col("count") * (col("count") - 1) / 2).cast("long").as("p"))
+      .agg(org.apache.spark.sql.functions.max("p")).as[Long].head()
+    info(s"largest label block pair count = $maxPairs")
+    assert(maxPairs > 0 && maxPairs <= (1L << 22),
+      s"fixture block exceeds the documented pair budget: $maxPairs")
+  }
+
+  test("near-dup router: exact parity under budget, precision-1 subset over") {
+    import spark.implicits._
+    val emb = graft.queries.Core.table(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("v1", "v2", "sim").as[(Long, Long, Double)].collect().toSet
+    val exact = pairs(Similarity.x12.run(spark, sf))
+    // budget large enough for every block -> byte-identical to x12
+    val routedAll = pairs(Similarity.nearDupPairsRouted(emb))
+    assert(routedAll == exact, "under-budget routing must equal the exact path")
+    // budget 0 forces EVERY label through LSH-bucket + exact verify:
+    // every surviving pair is exactly scored (subset = precision 1.0)
+    val routedLsh = pairs(Similarity.nearDupPairsRouted(emb, pairBudget = 0L))
+    assert(routedLsh.subsetOf(exact),
+      s"LSH-routed pairs must be a subset of exact: ${routedLsh -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else routedLsh.size.toDouble / exact.size
+    info(s"forced-LSH recall = $recall (${routedLsh.size}/${exact.size})")
+    assert(recall >= 0.3, s"bucket recall collapsed: $recall")
+  }
 }

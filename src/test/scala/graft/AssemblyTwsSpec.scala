@@ -155,4 +155,63 @@ class AssemblyTwsSpec extends AnyFunSuite {
       assert(written.toSeq == content.toSeq, "bytes differ after resume")
     }
   }
+
+  test("state SCHEMA EVOLUTION: a V1 checkpoint resumes under the V2 processor") {
+    // the transformWithState selling point (SPARK-46815): restart an
+    // assembly stream from a prior checkpoint after ADDING a state field
+    // (AsmBufTws -> AsmBufTwsV2 + firstSeenMs). Requires the Avro state
+    // encoding — the default unsaferow encoding pins the byte layout and
+    // rejects any schema change.
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.batch.ChunkPipeline
+    import graft.streaming.CompletedFileWriter
+    import spark.implicits._
+    withRocksDb {
+      val k = "spark.sql.streaming.stateStore.encodingFormat"
+      val prior = spark.conf.getOption(k)
+      spark.conf.set(k, "avro")
+      try {
+        val rnd = new scala.util.Random(13)
+        val content = new Array[Byte](1100); rnd.nextBytes(content)
+        val chunks = Chunker.chunk("e.bin", "d", content, 256, Nil, Some(9.0)).map(ChunkRow(_))
+        val topic = Files.createTempDirectory("graft_evo_topic")
+        val out = Files.createTempDirectory("graft_evo_out")
+        val ckpt = Files.createTempDirectory("graft_evo_ckpt")
+
+        def runOnce(v2: Boolean): Unit = {
+          val wire = spark.readStream.schema("key STRING, value BINARY")
+            .parquet(topic.toString)
+          val decoded = wire.select("value").as[Array[Byte]]
+            .map(b => ChunkRow(graft.core.ChunkCodec.unpack(b)))
+          val assembled =
+            if (v2) AssemblyStreamTws.assembleV2(decoded, timeoutMs = 0)
+            else AssemblyStreamTws.assemble(decoded, timeoutMs = 0)
+          val q = assembled.writeStream
+            .foreach(new CompletedFileWriter(out.toString))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+
+        // run 1 (V1 schema): partial file buffers into the checkpoint
+        ChunkPipeline.encode(spark.createDataset(chunks.take(2)))
+          .write.mode("append").parquet(topic.toString)
+        runOnce(v2 = false)
+        assert(!Files.exists(out.resolve("d").resolve("e.bin")), "completed too early")
+        // run 2 (V2 schema, + firstSeenMs): the V1 state rows must decode
+        // with the new field defaulted and the restored buffer finish the file
+        ChunkPipeline.encode(spark.createDataset(chunks.drop(2)))
+          .write.mode("append").parquet(topic.toString)
+        runOnce(v2 = true)
+        val written = Files.readAllBytes(out.resolve("d").resolve("e.bin"))
+        assert(written.toSeq == content.toSeq, "bytes differ after schema evolution")
+      } finally prior match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
 }

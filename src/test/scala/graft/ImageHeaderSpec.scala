@@ -151,6 +151,69 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(VideoHeaders.parseMp4(ftyp ++ moov) == null)
   }
 
+  test("BMP pixel decode inverts build across padding and both row orders") {
+    // w=3 forces row padding (9 bytes -> stride 12); the gradient is
+    // asymmetric in y so a parser that ignores storage order gets
+    // first_luma (top-left pixel) wrong on the bottom-up build
+    def px(x: Int, y: Int): (Int, Int, Int) = (10 * y + x, 100 + x, 20 * y)
+    for (topDown <- Seq(false, true)) {
+      val bytes = ImageHeaders.buildBmp24(3, 2, topDown)(px)
+      val p = ImageHeaders.parseBmpPixels(bytes)
+      assert(p != null, s"topDown=$topDown did not parse")
+      val (w, h, nPx, sumR, sumG, sumB, lumaSum, firstLuma) = p
+      assert((w, h, nPx) == ((3, 2, 6L)))
+      val all = for (y <- 0 until 2; x <- 0 until 3) yield px(x, y)
+      assert(sumR == all.map(_._1.toLong).sum)
+      assert(sumG == all.map(_._2.toLong).sum)
+      assert(sumB == all.map(_._3.toLong).sum)
+      def luma(t: (Int, Int, Int)) = ((77 * t._1 + 150 * t._2 + 29 * t._3) >> 8).toLong
+      assert(lumaSum == all.map(luma).sum)
+      assert(firstLuma == luma(px(0, 0)),
+        s"topDown=$topDown must locate the TOP-LEFT pixel")
+      // and the header parse agrees on dims either way
+      assert(ImageHeaders.parse(bytes) == ("bmp", 3, 2))
+    }
+    // non-decodable BMPs (wrong depth / compressed) parse headers but
+    // return null pixels: they stay behind the multimodal stub
+    val b16 = ImageHeaders.buildBmp24(2, 2, topDown = false)((_, _) => (0, 0, 0))
+    b16(28) = 16 // bpp
+    assert(ImageHeaders.parseBmpPixels(b16) == null)
+    val rle = ImageHeaders.buildBmp24(2, 2, topDown = false)((_, _) => (0, 0, 0))
+    rle(30) = 1 // BI_RLE8
+    assert(ImageHeaders.parseBmpPixels(rle) == null)
+    // truncated pixel array (declared dims exceed the buffer)
+    val short = ImageHeaders.buildBmp24(4, 4, topDown = false)((_, _) => (1, 2, 3))
+    assert(ImageHeaders.parseBmpPixels(short.take(short.length - 8)) == null)
+  }
+
+  test("PCM sample decode: 16-bit sign, 8-bit bias, clipping, truncation") {
+    import graft.functions.AudioHeaders
+    // 16-bit: values crossing zero and both full-scale rails
+    val samples = Seq[Int](0, 1, -1, 1000, -1000, 32767, -32768, 12345)
+    val body = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      body(2 * i) = (s & 0xff).toByte; body(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val wav16 = AudioHeaders.buildWav(1, 16000, 16, body)
+    val p16 = AudioHeaders.parsePcmStats(wav16)
+    assert(p16 == ((samples.length.toLong, 32768,
+      samples.map(s => s.toLong * s).sum, 2L)))
+    // 8-bit: unsigned with bias 128; 0 and 255 are the rails
+    val wav8 = AudioHeaders.buildWav(1, 8000, 8, Array[Byte](0, -1, 127, -128))
+    // values 0,255,127,128 -> amplitudes -128,127,-1,0
+    assert(AudioHeaders.parsePcmStats(wav8) ==
+      ((4L, 128, 128L * 128 + 127L * 127 + 1, 2L)))
+    // a data chunk declaring more than the buffer holds decodes what's there
+    val cut = wav16.take(wav16.length - 4)
+    val pCut = AudioHeaders.parsePcmStats(cut)
+    assert(pCut._1 == samples.length - 2L)
+    // 24-bit PCM needs real codec plumbing -> null, not garbage stats
+    val wav24 = AudioHeaders.buildWav(1, 8000, 24, new Array[Byte](12))
+    assert(AudioHeaders.parsePcmStats(wav24) == null)
+    // header parse still reports the container even when stats decline
+    assert(AudioHeaders.parseWav(wav24) == ("pcm", 1, 8000, 24, 500L))
+  }
+
   test("image_header runs as a native expression with codegen fallback off") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

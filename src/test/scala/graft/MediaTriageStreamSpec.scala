@@ -34,6 +34,12 @@ class MediaTriageStreamSpec extends AnyFunSuite {
       VideoHeaders.buildMp4("isom", 1000, 2500, body)) // 2.5 s
     Files.write(new java.io.File(dir, "e.txt").toPath,
       "just some text that is no container".getBytes)
+    // decodable bodies: a 2x2 white 24-bit BMP and a tiny square-wave PCM
+    Files.write(new java.io.File(dir, "f.bmp").toPath,
+      ImageHeaders.buildBmp24(2, 2, topDown = false)((_, _) => (255, 255, 255)))
+    val square = Array.tabulate[Byte](100)(i => if (i % 2 == 0) 0 else -1) // 0x00/0xff
+    Files.write(new java.io.File(dir, "g.wav").toPath,
+      AudioHeaders.buildWav(1, 8000, 8, square))
 
     val q = Pipelines.mediaTriageStream(spark, dir.getAbsolutePath)
       .writeStream.format("memory").queryName("triage")
@@ -47,11 +53,25 @@ class MediaTriageStreamSpec extends AnyFunSuite {
         if (r.isNullAt(4)) null else r.getInt(4),
         if (r.isNullAt(7)) -1L else r.getLong(7))
     }.toMap
-    assert(rows.keySet == Set("a.png", "b.jpg", "c.wav", "d.mp4", "e.txt"))
+    assert(rows.keySet == Set("a.png", "b.jpg", "c.wav", "d.mp4", "e.txt",
+      "f.bmp", "g.wav"))
     assert(rows("a.png") == (("image", "png", 640, -1L)))
     assert(rows("b.jpg") == (("image", "jpeg", 1920, -1L)))
     assert(rows("c.wav") == (("audio", "wav", null, 1000000L)))
     assert(rows("d.mp4") == (("video", "isom", null, 2500000L)))
     assert(rows("e.txt") == (("unknown", null, null, -1L)))
+
+    // real body decodes surface alongside the headers: all-white 2x2 BMP
+    // lumas sum to 4*255; the 8-bit square wave is 100% full-scale
+    val decoded = spark.table("triage").collect().map { r =>
+      val name = r.getString(0).split('/').last
+      name -> (if (r.isNullAt(8)) -1L else r.getLong(8),
+        if (r.isNullAt(9)) -1 else r.getInt(9),
+        if (r.isNullAt(10)) -1L else r.getLong(10))
+    }.toMap
+    assert(decoded("f.bmp") == ((4L * 255, -1, -1L)))
+    assert(decoded("g.wav") == ((-1L, 128, 100L)))
+    assert(decoded("c.wav") == ((-1L, 0, 0L))) // all-zero PCM: silent, no clip
+    assert(decoded("e.txt") == ((-1L, -1, -1L)))
   }
 }

@@ -179,6 +179,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan(graft.queries.Dataflow.x102).contains("image_header"))
     assert(plan(graft.queries.Dataflow.x103).contains("audio_header"))
     assert(plan(graft.queries.Dataflow.x104).contains("video_header"))
+    // body decode queries hold the same shape: spread + native expression
+    for (dq <- Seq(graft.queries.Dataflow.x107, graft.queries.Dataflow.x108)) {
+      val p = plan(dq)
+      assert(!p.contains("hashpartitioning"),
+        s"${dq.name} should be spread + in-row decode + range sort only:\n$p")
+      assert(!p.contains("Join"), s"${dq.name} must not join:\n$p")
+    }
+    assert(plan(graft.queries.Dataflow.x107).contains("bmp_pixels"))
+    assert(plan(graft.queries.Dataflow.x108).contains("pcm_stats"))
   }
 
   test("x105 seed selection is a parallel top-k, not a global window") {
