@@ -237,15 +237,25 @@ object DownloadDirectoryApp {
   }
 }
 
-/** `StreamProcessorApp <topicDir> <registryDir>` — G3/G5+K5: consume,
-  * reassemble, extract metadata per completed file (size, sha256, mtime),
-  * append to a parquet registry table (the reference's CSV registry as a
-  * queryable table, SURVEY.md §1.4). */
+/** `StreamProcessorApp <topicDir> <registryDir> [--compact[=targetBytes]]` —
+  * G3/G5+K5: consume, reassemble, extract metadata per completed file
+  * (size, sha256, mtime), append to a parquet registry table (the
+  * reference's CSV registry as a queryable table, SURVEY.md §1.4).
+  *
+  * The registry lands via [[graft.streaming.IdempotentParquetSink]] (one
+  * `batch_id=N` partition per micro-batch, dynamic overwrite) rather than a
+  * FileStreamSink: same exactly-once guarantee, but the table stays plain
+  * partitioned parquet — no `_spark_metadata` commit log pinning file
+  * names — so the shutdown consolidation pass the reference runs
+  * (producer_file_registry.py:80-138) is expressible: `--compact` folds
+  * the accumulated micro-batch shards into ~targetBytes files after the
+  * run, and a later resume appends fresh `batch_id` partitions beside the
+  * compacted one. */
 object StreamProcessorApp {
-  def main(args: Array[String]): Unit = {
-    AppSession.require(args.length == 2, "StreamProcessorApp <topicDir> <registryDir>")
-    val Array(topicDir, registryDir) = args: @unchecked
-    val spark = AppSession.make("graft-processor")
+  /** The app body, factored for tests: returns after all queries and the
+    * optional compaction finish. Does not stop `spark`. */
+  def run(spark: SparkSession, topicDir: String, registryDir: String,
+      compactTarget: Option[Long] = None): Unit = {
     import spark.implicits._
     val (chunks, qBad) = AppSession.consumeWithQuarantine(spark, topicDir, registryDir)
     val processed = AssemblyStream.assemble(chunks, timeoutMs = 0)
@@ -256,13 +266,34 @@ object StreamProcessorApp {
       }
       .toDF("rel_filepath", "status_code", "n_chunks", "size", "sha256", "mtime")
     val q = processed.writeStream
-      .format("parquet")
-      .option("path", registryDir)
+      .foreachBatch(graft.streaming.IdempotentParquetSink.writeBatch(registryDir) _)
+      .outputMode("append")
       .option("checkpointLocation", s"$registryDir/_checkpoint_processor")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     qBad.awaitTermination()
+    compactTarget.foreach { t =>
+      val (b, a) = graft.batch.Compaction.compactBatchPartitioned(spark, registryDir, t)
+      System.err.println(s"[StreamProcessorApp] registry compacted: $b -> $a files")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val usage = "StreamProcessorApp <topicDir> <registryDir> [--compact[=targetBytes]]"
+    // --compact doubles as a bool flag (default 128 MiB target) and a
+    // value flag; rejectUnknownFlags can't express that union, so check here
+    args.filter(_.startsWith("--")).foreach { a =>
+      AppSession.require(a == "--compact" || a.startsWith("--compact="), usage)
+    }
+    val compactTarget: Option[Long] =
+      if (args.contains("--compact")) Some(128L * 1024 * 1024)
+      else AppSession.flagValue(args, "compact").map(_.toLong)
+    val positional = args.filterNot(_.startsWith("--"))
+    AppSession.require(positional.length == 2, usage)
+    val Array(topicDir, registryDir) = positional: @unchecked
+    val spark = AppSession.make("graft-processor")
+    run(spark, topicDir, registryDir, compactTarget)
     spark.stop()
   }
 }

@@ -74,4 +74,59 @@ object Compaction {
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (before, after)
   }
+
+  /** Compaction for [[graft.streaming.IdempotentParquetSink]] layouts
+    * (`batch_id=N` partition directory per micro-batch): folds every
+    * committed batch partition into ONE `batch_id=-1` compacted partition
+    * of ~`targetBytes` files. This is the registry-consolidation pass the
+    * reference runs on shutdown (producer_file_registry.py:80-138 rewrites
+    * its per-file CSV shards) re-expressed for the partitioned-parquet
+    * registry.
+    *
+    * Safe ONLY between runs of the owning streaming query: the engine
+    * never emits batchId -1, and a resumed query continues at fresh,
+    * strictly-increasing ids, so later dynamic-partition overwrites can
+    * never touch the compacted partition. Underscore dirs (`_quarantine`,
+    * checkpoints) are untouched; readers keep using
+    * `spark.read.parquet(dir)` unchanged. Returns (filesBefore,
+    * filesAfter) over data files. */
+  def compactBatchPartitioned(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(path, "_spark_metadata")),
+      s"refusing to compact '$dir': FileStreamSink dir, not an " +
+        "IdempotentParquetSink layout — its commit log would orphan")
+    val parts = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    def dataFiles(p: Path) = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parts.map(p => dataFiles(p.getPath).length).sum
+    if (before == 0) return (0, 0)
+    val totalBytes = parts.flatMap(p => dataFiles(p.getPath)).map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // underscore prefix: invisible to readers racing the rewrite
+    val tmp = new Path(path, "_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(dir)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+      .repartition(nOut)
+      .write.partitionBy("batch_id").parquet(tmp.toString)
+    // swap: same non-atomic window as compactDir, same recovery story —
+    // every FS call checked, data always survives somewhere nameable
+    parts.foreach { p =>
+      if (!fs.delete(p.getPath, true))
+        throw new java.io.IOException(
+          s"compactBatchPartitioned: failed to delete '${p.getPath}'; " +
+            s"compacted copy intact at '$tmp'")
+    }
+    val dest = new Path(path, "batch_id=-1")
+    if (!fs.rename(new Path(tmp, "batch_id=-1"), dest))
+      throw new java.io.IOException(
+        s"compactBatchPartitioned: rename into '$dest' failed; ORIGINALS " +
+          s"WERE DELETED — the data survives under '$tmp', restore manually")
+    fs.delete(tmp, true)
+    (before, dataFiles(dest).length)
+  }
 }
