@@ -586,12 +586,14 @@ object Breadth {
   }
 
   /** x91: share-of-total (ratio_to_report) — each nation's revenue as a
-    * fraction of its region and of the world. The two window sums run over
-    * the ALREADY-AGGREGATED 25-row frame, so they cost nothing at any
-    * scale; the only real work is the base aggregation, which shuffles
-    * once. Revenue stays DECIMAL through both the group-by and the window
-    * sums (order-independent, bit-identical across engines); the share is
-    * one exact IEEE division of the two decimal-exact values at the end. */
+    * fraction of its region and of the world. Both denominators run over
+    * the ALREADY-AGGREGATED 25-row frame: the per-region sum is a
+    * partitioned window, and the grand total is a 1-row broadcast joined
+    * back in — no global window anywhere, so nothing ever funnels through
+    * a single partition (and no WindowExec single-partition warning even
+    * at this size). Revenue stays DECIMAL through the group-by and both
+    * denominators (order-independent, bit-identical across engines); the
+    * share is one exact IEEE division of decimal-exact values at the end. */
   val x91 = DQ("x91_share_of_total", Some(
     """WITH rev AS (
       |  SELECT r.r_name AS region, n.n_name AS nation,
@@ -617,13 +619,14 @@ object Breadth {
         .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
         .agg(sum(money(col("o_totalprice"))).as("rev_d"))
       val wr = Window.partitionBy("region")
-      val wt = Window.partitionBy()
-      rev.select(col("region"), col("nation"),
+      val total = rev.agg(sum(col("rev_d")).as("rev_total"))
+      rev.crossJoin(broadcast(total))
+        .select(col("region"), col("nation"),
           round(col("rev_d").cast("double"), 2).as("rev"),
           round(col("rev_d").cast("double") /
             sum(col("rev_d")).over(wr).cast("double"), 6).as("share_region"),
           round(col("rev_d").cast("double") /
-            sum(col("rev_d")).over(wt).cast("double"), 6).as("share_total"))
+            col("rev_total").cast("double"), 6).as("share_total"))
         .orderBy("region", "nation")
   }
 

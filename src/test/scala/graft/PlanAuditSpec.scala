@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x88_bm25", // 1-row corpus stats (N, avgdl) broadcast cross join
     "x96_countmin_freqs", // 1-row CM grid broadcast against 20 probe rows
     "x100_interp_fill", // x65's generated hourly calendar, broadcast
-    "x105_pq_adc") // 8-codeword codebook broadcast cross join (PQ encode)
+    "x105_pq_adc", // 8-codeword codebook broadcast cross join (PQ encode)
+    "x91_share_of_total") // 1-row grand-total broadcast (replaces global window)
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
