@@ -580,5 +580,78 @@ object Similarity {
         .orderBy(col("adc_d"), col("vec_id")).limit(10)
   }
 
-  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105)
+  /** x110: SemDeDup — semantic deduplication by clustering then
+    * within-cluster cosine (Abbas et al. 2023, arXiv:2303.09540: k-means
+    * the embeddings, then inside each cluster mark all but one of every
+    * ε-similar group as duplicates; the pair space collapses from O(n²) to
+    * Σ cluster² because cross-cluster pairs are never scored). Centroids
+    * are the deterministic vec_id<8 seeds (x04's convention; x63 is the
+    * Lloyd round that would refine them). The assignment here improves on
+    * x04's window form: the 8 centroids collapse to ONE broadcast row and
+    * the argmin runs IN-ROW as an `aggregate` fold with an explicit
+    * (dist2, cid) tie-break — order-independent, zero shuffle, no 8×
+    * pre-aggregation exchange; at 100 TB assignment is pure map work.
+    * Survivor policy: keep-min-vec_id within each ε-group (x27's
+    * convention), i.e. a vector is a duplicate iff some smaller-id vector
+    * in its cluster has cosine ≥ 0.3 with it. */
+  val x110 = DQ("x110_semdedup", Some(
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |ser AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |         sum((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+      |             (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))) AS dist2
+      |  FROM embeddings e CROSS JOIN c CROSS JOIN ser GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+      |    FROM d2) t WHERE rn = 1),
+      |pairs AS (
+      |  SELECT aa.vec_id AS v1, bb.vec_id AS v2,
+      |         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+      |         sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS na,
+      |         sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS nb
+      |  FROM assign aa JOIN assign bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+      |  JOIN embeddings a ON a.vec_id = aa.vec_id
+      |  JOIN embeddings b ON b.vec_id = bb.vec_id
+      |  CROSS JOIN ser GROUP BY 1, 2),
+      |dups AS (SELECT DISTINCT v2 FROM pairs WHERE round(dp / (na * nb), 6) >= 0.3)
+      |SELECT a.vec_id, a.cid, (d.v2 IS NOT NULL) AS is_dup
+      |FROM assign a LEFT JOIN dups d ON a.vec_id = d.v2
+      |ORDER BY a.vec_id""".stripMargin)) {
+    (spark, dir) =>
+      val emb = table(spark, dir, "embeddings")
+      // one broadcast row holding all centroids; argmin folds in-row
+      val carr = emb.filter(col("vec_id") < 8)
+        .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"))).as("cl"))
+      val assigned = emb.crossJoin(broadcast(carr))
+        .withColumn("best", aggregate(
+          col("cl"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d2 = aggregate(
+              zip_with(col("embedding"), c.getField("cv"),
+                (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+              lit(0.0), (s, x) => s + x)
+            when(d2 < acc.getField("d2") ||
+                (d2 === acc.getField("d2") && c.getField("cid") < acc.getField("cid")),
+              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+          }))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val a = assigned.select(col("vec_id").as("v1"), col("cid"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = assigned.select(col("vec_id").as("v2"), col("cid").as("cid2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      val dups = a.join(b, col("cid") === col("cid2") && col("v1") < col("v2"))
+        .filter(round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6) >= 0.3)
+        .select(col("v2")).distinct()
+      assigned.select(col("vec_id"), col("cid"))
+        .join(dups.withColumn("isd", lit(true)), col("vec_id") === col("v2"), "left")
+        .select(col("vec_id"), col("cid"), coalesce(col("isd"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
+  }
+
+  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105, x110)
 }

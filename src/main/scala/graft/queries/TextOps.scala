@@ -1685,8 +1685,50 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x109: unigram language-model negative log-likelihood per document —
+    * the CCNet-style model-based quality filter (Wenzek et al. 2020 score
+    * documents with a KenLM perplexity; the unigram LM is the same shape
+    * with an order-1 model, trained here on the corpus itself). Two passes:
+    * pass 1 aggregates the corpus LM (token → count; map-side combining
+    * collapses each partition to its vocabulary, so the exchange carries
+    * O(vocab) rows, not O(tokens)); pass 2 re-scans with the LM BROADCAST —
+    * at 100 TB the token stream never shuffles, each doc's score reduces
+    * map-side from its own `(tok, tf)` rows. The per-token nll is weighted
+    * by tf before one bounded per-doc sum (≤ vocab terms), and the 6-dp
+    * round absorbs summation-order ulps exactly as the other double scores
+    * in this registry do. */
+  val x109 = DQ("x109_unigram_nll", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+      |scored AS (
+      |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_toks,
+      |         sum(t.tf * ln(CAST(total AS DOUBLE) / l.cnt)) / sum(t.tf) AS nll
+      |  FROM tf t JOIN lm l USING (tok) CROSS JOIN tot GROUP BY 1)
+      |SELECT doc_id, n_toks, round(nll, 6) AS nll
+      |FROM scored ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = lm.agg(sum("cnt").as("total"))
+      tf.join(broadcast(lm), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_toks"),
+          (sum(col("tf") * log(col("total").cast("double") / col("cnt"))) /
+            sum("tf")).as("nll"))
+        .select(col("doc_id"), col("n_toks"), round(col("nll"), 6).as("nll"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
-    x94, x106)
+    x94, x106, x109)
 }

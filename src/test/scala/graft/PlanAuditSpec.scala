@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x96_countmin_freqs", // 1-row CM grid broadcast against 20 probe rows
     "x100_interp_fill", // x65's generated hourly calendar, broadcast
     "x105_pq_adc", // 8-codeword codebook broadcast cross join (PQ encode)
-    "x91_share_of_total") // 1-row grand-total broadcast (replaces global window)
+    "x91_share_of_total", // 1-row grand-total broadcast (replaces global window)
+    "x109_unigram_nll", // 1-row LM-total broadcast cross join
+    "x110_semdedup") // 1-row centroid-array broadcast (in-row argmin assignment)
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
