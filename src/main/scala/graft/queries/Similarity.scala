@@ -580,6 +580,34 @@ object Similarity {
         .orderBy(col("adc_d"), col("vec_id")).limit(10)
   }
 
+  /** Nearest-centroid assignment with ZERO shuffle: the centroid table
+    * (`cid`, `cv array<float>`) collapses to one broadcast row and the
+    * squared-L2 argmin folds IN-ROW over it with an explicit (dist2, cid)
+    * tie-break — so `collect_list`'s nondeterministic order can never leak
+    * into results, and the vector table keeps its partitioning untouched
+    * (pure map work at any corpus size). Adds a `cid` column to `emb`.
+    * The fold scales to thousands of centroids per row before a two-level
+    * IVF argmin is worth the extra exchange. */
+  def assignNearestCentroid(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val carr = cents
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cl"))
+    emb.crossJoin(broadcast(carr))
+      .withColumn("best", aggregate(
+        col("cl"),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val d2 = aggregate(
+            zip_with(col("embedding"), c.getField("cv"),
+              (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            lit(0.0), (s, x) => s + x)
+          when(d2 < acc.getField("d2") ||
+              (d2 === acc.getField("d2") && c.getField("cid") < acc.getField("cid")),
+            struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .withColumn("cid", col("best.cid"))
+      .drop("cl", "best")
+  }
+
   /** x110: SemDeDup — semantic deduplication by clustering then
     * within-cluster cosine (Abbas et al. 2023, arXiv:2303.09540: k-means
     * the embeddings, then inside each cluster mark all but one of every
@@ -622,23 +650,10 @@ object Similarity {
       |ORDER BY a.vec_id""".stripMargin)) {
     (spark, dir) =>
       val emb = table(spark, dir, "embeddings")
-      // one broadcast row holding all centroids; argmin folds in-row
-      val carr = emb.filter(col("vec_id") < 8)
-        .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"))).as("cl"))
-      val assigned = emb.crossJoin(broadcast(carr))
-        .withColumn("best", aggregate(
-          col("cl"),
-          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
-          (acc, c) => {
-            val d2 = aggregate(
-              zip_with(col("embedding"), c.getField("cv"),
-                (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-              lit(0.0), (s, x) => s + x)
-            when(d2 < acc.getField("d2") ||
-                (d2 === acc.getField("d2") && c.getField("cid") < acc.getField("cid")),
-              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
-          }))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("embedding"),
+      val assigned = assignNearestCentroid(emb,
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+        .select(col("vec_id"), col("cid"), col("embedding"),
           norm(col("embedding")).as("nrm"))
       val a = assigned.select(col("vec_id").as("v1"), col("cid"),
         col("embedding").as("e1"), col("nrm").as("n1"))

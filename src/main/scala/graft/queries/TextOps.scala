@@ -1727,8 +1727,93 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x111: DSIR-style data-selection importance score (Xie et al. 2023,
+    * arXiv:2302.03169 — importance resampling by the ratio of a TARGET
+    * domain's n-gram LM to the RAW corpus LM; here the target is the
+    * English slice, the features are the shared unigram tokenization, and
+    * both LMs are add-1 smoothed over the shared vocabulary). One token
+    * pass builds BOTH models as conditional aggregates of the same
+    * `(tok, lang)` stream (count + count-if-target), so the raw/target
+    * split costs no second scan; the per-doc length-normalized log-ratio
+    * then reduces map-side against the broadcast LM exactly as x109. The
+    * score feeds the existing deterministic samplers (x36 quota / x79
+    * A-RES) as the selection weight — scoring and sampling stay separate
+    * operators so each keeps its own oracle. */
+  val x111 = DQ("x111_dsir_importance", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                          x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr,
+      |              CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS ct
+      |       FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt,
+      |               CAST(count(*) AS BIGINT) AS v FROM lm),
+      |scored AS (
+      |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_toks,
+      |         sum(t.tf * (ln((l.ct + 1.0) / (tt + v)) - ln((l.cr + 1.0) / (tr + v))))
+      |           / sum(t.tf) AS dsir
+      |  FROM tf t JOIN lm l USING (tok) CROSS JOIN tot GROUP BY 1)
+      |SELECT doc_id, n_toks, round(dsir, 6) AS dsir
+      |FROM scored ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val lm = toks.groupBy("tok").agg(
+        count(lit(1)).as("cr"),
+        count_if(col("lang") === "en").as("ct"))
+      val tot = lm.agg(sum("cr").as("tr"), sum("ct").as("tt"), count(lit(1)).as("v"))
+      tf.join(broadcast(lm), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_toks"),
+          (sum(col("tf") *
+            (log((col("ct") + 1.0) / (col("tt") + col("v"))) -
+             log((col("cr") + 1.0) / (col("tr") + col("v"))))) /
+            sum("tf")).as("dsir"))
+        .select(col("doc_id"), col("n_toks"), round(col("dsir"), 6).as("dsir"))
+        .orderBy("doc_id")
+  }
+
+  /** x112: inverted-index construction — the posting-list build behind
+    * BM25/keyword retrieval serving (x88 scores ad hoc; this MATERIALIZES
+    * the index): per term, document frequency, total term frequency, and
+    * the doc_id-ordered posting list (canonical `doc:tf` string — the
+    * gate-stable serialization; the array<struct> form is one cast away).
+    * One explode + two hash aggregations: `(doc, tok) → tf` collapses
+    * map-side before anything wide, so the term exchange carries one row
+    * per posting (the information-theoretic minimum for a term-partitioned
+    * index — this IS the classic MapReduce index build, term-sharded and
+    * skew-tolerant because a hot term's postings still build inside one
+    * ObjectHashAgg group). `sort_array` orders each posting list in-row;
+    * at serving time the table is written bucketed by term so lookups
+    * prune to one file group. */
+  val x112 = DQ("x112_inverted_index", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+      |       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+      |FROM tf GROUP BY tok ORDER BY tok""".stripMargin)) {
+    (spark, dir) =>
+      val tf = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      tf.groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            p => concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ",").as("postings"))
+        .orderBy("tok")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
-    x94, x106, x109)
+    x94, x106, x109, x111, x112)
 }

@@ -84,4 +84,30 @@ class AnnQualitySpec extends AnyFunSuite {
     info(s"forced-LSH recall = $recall (${routedLsh.size}/${exact.size})")
     assert(recall >= 0.3, s"bucket recall collapsed: $recall")
   }
+
+  test("in-row nearest-centroid assignment (x110) matches brute force at any centroid order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val vecs = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val cents = (0L until 7L).map(c => (c, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    // two centroid orders (sorted and reversed) must assign identically:
+    // the fold's (dist2, cid) tie-break makes collect_list order irrelevant
+    val assignedA = Similarity.assignNearestCentroid(emb,
+        cents.toDF("cid", "cv"))
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assignedB = Similarity.assignNearestCentroid(emb,
+        cents.reverse.toDF("cid", "cv").repartition(3))
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = vecs.map { case (i, v) =>
+      i -> cents.map { case (c, cv) =>
+        val d2 = v.zip(cv).map { case (x, y) =>
+          (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+        (d2, c)
+      }.min._2
+    }.toMap
+    assert(assignedA === brute)
+    assert(assignedB === brute)
+  }
 }

@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x105_pq_adc", // 8-codeword codebook broadcast cross join (PQ encode)
     "x91_share_of_total", // 1-row grand-total broadcast (replaces global window)
     "x109_unigram_nll", // 1-row LM-total broadcast cross join
-    "x110_semdedup") // 1-row centroid-array broadcast (in-row argmin assignment)
+    "x110_semdedup", // 1-row centroid-array broadcast (in-row argmin assignment)
+    "x111_dsir_importance") // 1-row LM-totals broadcast cross join
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
