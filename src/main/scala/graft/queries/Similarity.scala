@@ -668,5 +668,98 @@ object Similarity {
         .orderBy("vec_id")
   }
 
-  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105, x110)
+  /** x118: one power-iteration step toward the corpus's top principal
+    * component — v₁ = Aᵀ(A·v₀) with v₀ = 1 (the classic distributed PCA
+    * bootstrap: iterate matrix-vector products, never materialize the
+    * 64×64 Gram matrix per-executor state beyond 64 partial sums). All
+    * arithmetic runs on x63's floor-quantized INTEGER vectors so the two
+    * engines agree bit-for-bit: dᵢ = Σⱼ eqᵢⱼ folds IN-ROW (zero shuffle),
+    * sⱼ = Σᵢ dᵢ·eqᵢⱼ explodes to (dim, term) pairs but hash-aggregates
+    * over 64 groups — map-side combining collapses every partition to ≤64
+    * rows before the only exchange, so the shuffle carries
+    * O(64 × partitions) regardless of corpus size. The surfaced direction
+    * divides by max|sⱼ| (exact-integer max, broadcast 1-row) — iterating
+    * = feeding `v` back as the next v₀. */
+  val x118 = DQ("x118_power_iteration", Some(
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+      |  FROM embeddings),
+      |d AS (SELECT vec_id, eq, CAST(list_sum(eq) AS BIGINT) AS dv FROM q),
+      |s AS (SELECT u.i AS dim, CAST(sum(dv * eq[u.i]) AS BIGINT) AS sj
+      |      FROM d, unnest(generate_series(1, 64)) AS u(i) GROUP BY 1),
+      |m AS (SELECT max(abs(sj)) AS ma FROM s)
+      |SELECT CAST(dim AS INT) AS dim, sj,
+      |       round(CAST(sj AS DOUBLE) / ma, 6) AS v
+      |FROM s CROSS JOIN m ORDER BY dim""".stripMargin)) {
+    (spark, dir) =>
+      val d = spread(table(spark, dir, "embeddings"))
+        .select(
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("eq"))
+        .withColumn("dv", expr("aggregate(eq, 0L, (acc, v) -> acc + v)"))
+      val s = d.select(posexplode(col("eq")).as(Seq("p", "ev")), col("dv"))
+        .groupBy((col("p") + 1).cast("int").as("dim"))
+        .agg(sum(col("dv") * col("ev")).as("sj"))
+      val m = s.agg(max(abs(col("sj"))).as("ma"))
+      s.crossJoin(broadcast(m))
+        .select(col("dim"), col("sj"),
+          round(col("sj").cast("double") / col("ma"), 6).as("v"))
+        .orderBy("dim")
+  }
+
+  /** x119: Johnson–Lindenstrauss random projection 64→16 dims with an
+    * Achlioptas ±1 sign matrix (Achlioptas 2003: database-friendly random
+    * projections — ±1 entries preserve pairwise distances in expectation
+    * exactly like Gaussian ones). The sign matrix derives deterministically
+    * from md5(i_j) parity, is built ONCE driver-side (64×16 literals — at
+    * any corpus size the matrix is schema, not data), and the projection
+    * folds IN-ROW over the quantized integer vectors: zero shuffle, zero
+    * exchange, pure map work — the ideal 100 TB shape (contrast: a
+    * matrix-as-table formulation would explode 64 rows per vector through
+    * a join). `norm_ratio` = (‖y‖²/16)/‖x‖² audits the JL distance
+    * preservation per vector (expectation 1), integer sums divided once. */
+  val x119 = DQ("x119_jl_projection", Some(
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+      |  FROM embeddings),
+      |y AS (SELECT vec_id, eq,
+      |        list_transform(generate_series(1, 16), j ->
+      |          CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      |            eq[i] * (CASE WHEN CAST('0x' || substr(md5(i || '_' || j), 1, 1) AS INT) % 2 = 0
+      |                          THEN 1 ELSE -1 END))) AS BIGINT)) AS yv
+      |      FROM q)
+      |SELECT vec_id, array_to_string(yv, ',') AS proj,
+      |       round((CAST(list_sum(list_transform(yv, v -> v * v)) AS DOUBLE) / 16) /
+      |             CAST(list_sum(list_transform(eq, v -> v * v)) AS DOUBLE), 6) AS norm_ratio
+      |FROM y ORDER BY vec_id""".stripMargin)) {
+    (spark, dir) =>
+      // 64×16 ±1 matrix, row j = output dim: sign(i,j) = parity of the
+      // first hex nibble of md5("i_j") — the same bytes DuckDB hashes.
+      val signs: Seq[Seq[Long]] = (1 to 16).map { j =>
+        (1 to 64).map { i =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${i}_$j".getBytes("UTF-8"))
+          if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+        }
+      }
+      spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("eq"))
+        .withColumn("S", typedLit(signs))
+        .withColumn("yv", expr(
+          """transform(sequence(1, 16), j ->
+            |  aggregate(zip_with(eq, element_at(S, j), (a, b) -> a * b),
+            |            0L, (acc, v) -> acc + v))""".stripMargin))
+        .select(col("vec_id"),
+          array_join(transform(col("yv"), _.cast("string")), ",").as("proj"),
+          round((expr("aggregate(transform(yv, v -> v * v), 0L, (acc, v) -> acc + v)")
+              .cast("double") / 16) /
+            expr("aggregate(transform(eq, v -> v * v), 0L, (acc, v) -> acc + v)")
+              .cast("double"), 6).as("norm_ratio"))
+        .orderBy("vec_id")
+  }
+
+  val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105,
+    x110, x118, x119)
 }

@@ -1812,8 +1812,210 @@ object TextOps {
         .orderBy("tok")
   }
 
+  /** x113: vocabulary-indexed encoding — the tokenize→id step every
+    * training pipeline runs before packing examples (the WordPiece/BPE
+    * *apply* stage with a frequency-built vocabulary; x93 trains the BPE
+    * merges, this materializes id sequences). Vocabulary = tokens with
+    * corpus count ≥ 5, id = frequency rank (count desc, tok — stable);
+    * everything else encodes as OOV id 0. Scale shape: the vocab is
+    * O(distinct tokens) — built with one map-side-combining agg, ranked by
+    * [[graft.batch.Joins.globalRank]] (range-partitioned two-pass; NO
+    * single-partition window even at billion-token vocabularies), then
+    * BROADCAST back so the corpus token stream is encoded map-side and the
+    * only corpus-width exchange is the per-doc gather on doc_id. */
+  val x113 = DQ("x113_vocab_encode", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, u.i AS pos, l[u.i] AS tok
+      |  FROM t0, unnest(generate_series(1, len(l))) AS u(i)),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+      |vocab AS (
+      |  SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS id
+      |  FROM lm WHERE cnt >= 5),
+      |enc AS (
+      |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+      |  FROM toks t LEFT JOIN vocab v USING (tok))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |       CAST(count(*) FILTER (id = 0) AS BIGINT) AS n_oov,
+      |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+        .select(col("doc_id"), (col("p") + 1).as("pos"), col("tok"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val vocab = graft.batch.Joins.globalRank(
+          lm.filter(col("cnt") >= 5).withColumn("negc", -col("cnt")),
+          32, "negc", "tok")
+        .select(col("tok"), col("global_rank").cast("long").as("id"))
+      toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .withColumn("id", coalesce(col("id"), lit(0L)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          count_if(col("id") === 0L).as("n_oov"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("id")))),
+            s => s.getField("id").cast("string")), ",").as("ids"))
+        .orderBy("doc_id")
+  }
+
+  /** x114: perplexity-bucket assignment — CCNet's head/middle/tail split
+    * (Wenzek et al. 2020 bucket documents into thirds by LM perplexity and
+    * keep/weight them differently downstream). The score is x109's unigram
+    * NLL (rounded 6 dp BEFORE ranking, so both engines rank identical
+    * doubles); the global tertile rank routes through
+    * [[graft.batch.Joins.globalRank]] — range-partition on (nll, doc_id),
+    * rank in parallel, broadcast per-partition offsets — because a
+    * row_number() over the whole corpus is exactly the single-partition
+    * funnel this registry bans. Tertile edges are integer arithmetic
+    * (rank*3 vs n), no percentile-interpolation drift. */
+  val x114 = DQ("x114_nll_tertiles", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |         round(sum(t.tf * ln(CAST(total AS DOUBLE) / l.cnt)) / sum(t.tf), 6) AS nll
+      |  FROM tf t JOIN lm l USING (tok) CROSS JOIN tot GROUP BY 1),
+      |r AS (SELECT doc_id, nll,
+      |             CAST(row_number() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rk,
+      |             CAST(count(*) OVER () AS BIGINT) AS n
+      |      FROM scored)
+      |SELECT doc_id, nll,
+      |       CASE WHEN rk * 3 <= n THEN 'head'
+      |            WHEN rk * 3 <= 2 * n THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM r ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = lm.agg(sum("cnt").as("total"))
+      val scored = tf.join(broadcast(lm), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(
+          sum(col("tf") * log(col("total").cast("double") / col("cnt"))) /
+            sum("tf"), 6).as("nll"))
+      val ranked = graft.batch.Joins.globalRank(scored, 32, "nll", "doc_id")
+      val n = scored.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("nll"),
+          when(col("global_rank") * 3 <= col("n"), "head")
+            .when(col("global_rank") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+  }
+
+  /** x115: PII redaction — the regex scrub every public training-data
+    * pipeline runs before release (emails, IPv4s, phone numbers →
+    * typed placeholders, with per-doc match counts for the removal
+    * report). The fixture corpus is synthetic word-salad with no organic
+    * PII, so the query first DERIVES a deterministic PII-bearing suffix
+    * from each row (doc_id-keyed email/IP/phone) and then proves the
+    * scrub removes exactly what was planted — the redact step itself is
+    * three chained `regexp_replace` columns (codegen'd, zero shuffle,
+    * order: email → IP → phone so no pattern eats another's match).
+    * Patterns stay inside the Java∩RE2 common subset so Spark and DuckDB
+    * agree byte-for-byte. */
+  val x115 = DQ("x115_pii_redact", Some(
+    """WITH ann AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id || '@mail.example.com from 10.'
+      |              || (doc_id % 200) || '.0.' || (1 + doc_id % 250)
+      |              || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |           AS t
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |    CAST(len(regexp_extract_all(t, '\+1-555-\d{4}')) AS BIGINT) AS n_phone,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+1-555-\d{4}', '<PHONE>', 'g') AS redacted
+      |  FROM ann)
+      |SELECT doc_id, n_email, n_ip, n_phone, redacted
+      |FROM red ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\+1-555-\\d{4}"
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10."),
+            (col("doc_id") % 200).cast("string"), lit(".0."),
+            (col("doc_id") % 250 + 1).cast("string"),
+            lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ip"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phone"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), lit(emailRe), lit("<EMAIL>")),
+              lit(ipRe), lit("<IP>")),
+            lit(phoneRe), lit("<PHONE>")).as("redacted"))
+        .orderBy("doc_id")
+  }
+
+  /** x117: Zipf-slope corpus diagnostic — fit `ln(freq) ~ a + b·ln(rank)`
+    * over each language's top-100 tokens with the closed-form OLS slope
+    * (natural text sits near b ≈ −1; synthetic/templated corpora drift
+    * toward 0, making the slope a cheap generation-artifact detector —
+    * Zipf 1949, the standard corpus-statistics sanity check). The rank
+    * window partitions BY LANGUAGE (parallel across groups — never the
+    * global funnel), the top-100 filter bounds the regression input to
+    * 100 rows per group, and the OLS sums reduce map-side; everything
+    * after the token count is O(languages × 100). */
+  val x117 = DQ("x117_zipf_slope", Some(
+    """WITH toks AS (
+      |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                  x -> x <> '')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+      |rk AS (SELECT lang, tok, c,
+      |              row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+      |       FROM cnt),
+      |xy AS (SELECT lang, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      |       FROM rk WHERE r <= 100)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+      |       round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+      |             (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope
+      |FROM xy GROUP BY lang ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      val cnt = spread(table(spark, dir, "documents"))
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
+      val xy = cnt.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 100)
+        .select(col("lang"),
+          log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      xy.groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"),
+          round((count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /
+            (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")), 6)
+            .as("zipf_slope"))
+        .orderBy("lang")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
-    x94, x106, x109, x111, x112)
+    x94, x106, x109, x111, x112, x113, x114, x115, x117)
 }

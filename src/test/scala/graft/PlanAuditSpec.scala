@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x91_share_of_total", // 1-row grand-total broadcast (replaces global window)
     "x109_unigram_nll", // 1-row LM-total broadcast cross join
     "x110_semdedup", // 1-row centroid-array broadcast (in-row argmin assignment)
-    "x111_dsir_importance") // 1-row LM-totals broadcast cross join
+    "x111_dsir_importance", // 1-row LM-totals broadcast cross join
+    "x114_nll_tertiles", // 1-row doc-count broadcast (tertile edges)
+    "x118_power_iteration") // 1-row max|s_j| broadcast (direction normalize)
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
