@@ -133,4 +133,42 @@ object Joins {
       .withColumn("global_rank", within + col("_gr_off"))
       .drop("_gr_pid")
   }
+
+  /** Exact EXCLUSIVE prefix sum of `valueCol` in `keys` order with NO
+    * single-partition stage — the distributed scan primitive behind
+    * stream-position assignment (sequence packing, byte-offset layout,
+    * global histogram CDFs). Same two-pass shape as [[globalRank]]:
+    *
+    *   1. range-partition by the sort keys,
+    *   2. within-partition running sum (window keyed by partition id —
+    *      parallel across partitions),
+    *   3. per-partition totals → cumulative offsets over ≤`partitions`
+    *      rows, broadcast back.
+    *
+    * Adds `cum_before` (sum of all values strictly before the row in key
+    * order). Make `keys` a total order or equal-key rows get an arbitrary
+    * but consistent relative order within one run. `valueCol` must be
+    * integral (exact long arithmetic end to end).
+    */
+  def globalCumSum(df: DataFrame, partitions: Int, valueCol: String,
+      keys: String*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(partitions, keys.map(col): _*)
+      .withColumn("_cs_pid", spark_partition_id())
+    val within = Window.partitionBy("_cs_pid").orderBy(keys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranged.groupBy("_cs_pid")
+      .agg(sum(valueCol).cast("long").as("_cs_tot"))
+      .withColumn("_cs_off",
+        coalesce(sum("_cs_tot").over(
+          Window.orderBy("_cs_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_cs_pid", "_cs_off")
+    ranged
+      .withColumn("_cs_incl", sum(valueCol).over(within).cast("long"))
+      .join(broadcast(offsets), "_cs_pid")
+      .withColumn("cum_before",
+        col("_cs_off") + col("_cs_incl") - col(valueCol).cast("long"))
+      .drop("_cs_pid", "_cs_incl", "_cs_off")
+  }
 }

@@ -1972,6 +1972,45 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x116: sequence packing layout — assign every document its [start, end)
+    * token interval in the concatenated corpus stream and the 512-token
+    * training examples it lands in (the packing step that turns a curated
+    * corpus into fixed-length LM batches; spanning documents are the ones a
+    * packer must split or pad around). The global token offset is an exact
+    * distributed prefix sum via [[graft.batch.Joins.globalCumSum]] —
+    * range-partition by doc_id, scan within partitions in parallel,
+    * broadcast the ≤32 per-partition totals — so the layout never funnels
+    * the corpus through one task the way `sum() OVER (ORDER BY …)` would.
+    * Everything else is per-row integer arithmetic. */
+  val x116 = DQ("x116_sequence_packing", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                              x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_toks,
+      |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |              AS BIGINT) AS start_tok
+      |  FROM t0 WHERE n_toks > 0)
+      |SELECT doc_id, n_toks, start_tok,
+      |       start_tok // 512 AS first_example,
+      |       (start_tok + n_toks - 1) // 512 - start_tok // 512 + 1 AS n_examples
+      |FROM c ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val t0 = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+        .filter(col("n_toks") > 0)
+      graft.batch.Joins.globalCumSum(t0, 32, "n_toks", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("cum_before").as("start_tok"))
+        .select(col("doc_id"), col("n_toks"), col("start_tok"),
+          expr("start_tok div 512").as("first_example"),
+          expr("(start_tok + n_toks - 1) div 512 - start_tok div 512 + 1")
+            .as("n_examples"))
+        .orderBy("doc_id")
+  }
+
   /** x117: Zipf-slope corpus diagnostic — fit `ln(freq) ~ a + b·ln(rank)`
     * over each language's top-100 tokens with the closed-form OLS slope
     * (natural text sits near b ≈ −1; synthetic/templated corpora drift
@@ -2017,5 +2056,5 @@ object TextOps {
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
-    x94, x106, x109, x111, x112, x113, x114, x115, x117)
+    x94, x106, x109, x111, x112, x113, x114, x115, x116, x117)
 }

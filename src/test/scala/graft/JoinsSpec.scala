@@ -135,6 +135,25 @@ class JoinsSpec extends AnyFunSuite {
       s"unexpected single-partition exchange outside the offsets branch:\n$plan")
   }
 
+  test("globalCumSum == single-partition running sum, with zeros and skew") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(20000)
+      .select(((col("id") * col("id")) % 997).as("k"), col("id").as("tb"),
+        (col("id") % 7).as("v")) // includes zero values
+    val expected = df
+      .withColumn("cum_before",
+        coalesce(sum("v").over(Window.orderBy("k", "tb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("tb", "cum_before")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val got = Joins.globalCumSum(df, 7, "v", "k", "tb")
+      .select("tb", "cum_before")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == expected.toSeq)
+    // first row in key order starts at zero; total is conserved
+    assert(got.map(_._2).min == 0L)
+  }
+
   test("writeDatePartitioned: date filters prune partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("date_part").toString
