@@ -2053,8 +2053,147 @@ object TextOps {
         .orderBy("lang")
   }
 
+  /** x120: BPE merge APPLICATION — the encode step paired with x93's
+    * distributed merge training (Sennrich et al. 2016; `batch/Bpe.scala`
+    * trains with full recounting between merges, this query applies a
+    * RANKED ONE-SHOT merge list — the top-8 corpus character bigrams in one
+    * count, applied in rank order without recounting — so the whole
+    * operator, training included, stays oracle-expressible). Tokens render
+    * as delimiter-framed symbol strings (`low` → `|l|o|w|`) and each merge
+    * is one plain leftmost-nonoverlapping `replace` of `|a|b|` → `|ab|` —
+    * exactly BPE's greedy left-to-right pass, and symbol boundaries make
+    * false matches inside already-merged symbols impossible. Scale shape:
+    * the pair count collapses map-side to ≤26² rows, the 8-merge table
+    * broadcasts as ONE array row, and the encode folds IN-ROW over it —
+    * per-doc map work, no shuffle after the count. */
+  val x120 = DQ("x120_bpe_apply", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (SELECT unnest(l) AS tok FROM t0),
+      |pc AS (
+      |  SELECT substr(tok, u.i, 1) AS a, substr(tok, u.i + 1, 1) AS b,
+      |         count(*) AS c
+      |  FROM toks, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+      |  GROUP BY 1, 2),
+      |mr AS (SELECT a, b, row_number() OVER (ORDER BY c DESC, a, b) AS r FROM pc),
+      |mw AS (SELECT
+      |  max(CASE WHEN r = 1 THEN '|'||a||'|'||b||'|' END) AS p1, max(CASE WHEN r = 1 THEN '|'||a||b||'|' END) AS q1,
+      |  max(CASE WHEN r = 2 THEN '|'||a||'|'||b||'|' END) AS p2, max(CASE WHEN r = 2 THEN '|'||a||b||'|' END) AS q2,
+      |  max(CASE WHEN r = 3 THEN '|'||a||'|'||b||'|' END) AS p3, max(CASE WHEN r = 3 THEN '|'||a||b||'|' END) AS q3,
+      |  max(CASE WHEN r = 4 THEN '|'||a||'|'||b||'|' END) AS p4, max(CASE WHEN r = 4 THEN '|'||a||b||'|' END) AS q4,
+      |  max(CASE WHEN r = 5 THEN '|'||a||'|'||b||'|' END) AS p5, max(CASE WHEN r = 5 THEN '|'||a||b||'|' END) AS q5,
+      |  max(CASE WHEN r = 6 THEN '|'||a||'|'||b||'|' END) AS p6, max(CASE WHEN r = 6 THEN '|'||a||b||'|' END) AS q6,
+      |  max(CASE WHEN r = 7 THEN '|'||a||'|'||b||'|' END) AS p7, max(CASE WHEN r = 7 THEN '|'||a||b||'|' END) AS q7,
+      |  max(CASE WHEN r = 8 THEN '|'||a||'|'||b||'|' END) AS p8, max(CASE WHEN r = 8 THEN '|'||a||b||'|' END) AS q8
+      |  FROM mr WHERE r <= 8),
+      |e AS (
+      |  SELECT doc_id, l,
+      |    list_transform(l, tok ->
+      |      replace(replace(replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(tok, '(.)', '|\1', 'g') || '|',
+      |        p1, q1), p2, q2), p3, q3), p4, q4),
+      |        p5, q5), p6, q6), p7, q7), p8, q8)) AS enc
+      |  FROM t0 CROSS JOIN mw)
+      |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_toks,
+      |       CAST(coalesce(list_sum(list_transform(l, t -> len(t))), 0) AS BIGINT) AS n_chars,
+      |       CAST(coalesce(list_sum(list_transform(enc,
+      |              s -> len(s) - len(replace(s, '|', '')) - 1)), 0) AS BIGINT) AS n_syms
+      |FROM e ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val t0 = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+      val pairs = t0.select(explode(col("l")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> " +
+            "struct(substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("c"))
+      // top-8 via TakeOrderedAndProject (parallel partial top-k), then the
+      // rank order is frozen by an in-row sort of the 8 survivors — the
+      // x105 seed pattern, no global window
+      val merges = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(8)
+        .agg(sort_array(collect_list(struct((-col("c")).as("nc"),
+          col("a"), col("b")))).as("ms"))
+        .select(expr("transform(ms, m -> struct(" +
+          "concat('|', m.a, '|', m.b, '|') AS pat," +
+          " concat('|', m.a, m.b, '|') AS rep))").as("M"))
+      t0.crossJoin(broadcast(merges))
+        .withColumn("enc", expr(
+          """transform(l, tok ->
+            |  aggregate(M, concat(regexp_replace(tok, '(.)', '|$1'), '|'),
+            |            (acc, m) -> replace(acc, m.pat, m.rep)))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("n_toks"),
+          expr("aggregate(l, 0L, (acc, t) -> acc + length(t))").as("n_chars"),
+          expr("aggregate(enc, 0L, (acc, s) -> " +
+            "acc + length(s) - length(replace(s, '|', '')) - 1)").as("n_syms"))
+        .orderBy("doc_id")
+  }
+
+  /** x121: within-document repetition scrub — remove every token covered
+    * by a word bigram that already occurred EARLIER in the same document
+    * (the transform behind Gopher's repetition diagnostics, x30: Rae et
+    * al. 2022 gate on repeated n-gram fractions; this removes them). The
+    * within-doc variant of x106's corpus-wide span scrub with the opposite
+    * — and better — scale shape: duplicate detection, coverage expansion,
+    * and re-assembly all run IN-ROW (higher-order functions over the token
+    * array), so the operator is pure map work — zero shuffle at ANY corpus
+    * size, embarrassingly parallel where x106 must exchange gram keys.
+    * Window n=2 keeps the demo observable on the synthetic fixture's ~40
+    * word vocabulary; production n is a constant swap. */
+  val x121 = DQ("x121_selfrep_scrub", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.i AS i, l[u.i] || ' ' || l[u.i + 1] AS gk
+      |  FROM t0, unnest(generate_series(1, len(l) - 1)) AS u(i)),
+      |fst AS (SELECT doc_id, gk, min(i) AS mi FROM g GROUP BY 1, 2),
+      |dup AS (SELECT g.doc_id, g.i FROM g JOIN fst USING (doc_id, gk)
+      |        WHERE g.i > fst.mi),
+      |cov AS (SELECT DISTINCT doc_id, i + o.o AS j
+      |        FROM dup, unnest(generate_series(0, 1)) AS o(o)),
+      |toks AS (SELECT doc_id, u.i AS j, l[u.i] AS tok
+      |         FROM t0, unnest(generate_series(1, len(l))) AS u(i)),
+      |kept AS (SELECT t.doc_id, t.j, t.tok FROM toks t
+      |         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |               string_agg(tok, ' ' ORDER BY j) AS cleaned
+      |        FROM kept GROUP BY doc_id)
+      |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(n.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |       coalesce(a.cleaned, '') AS cleaned
+      |FROM (SELECT doc_id, len(l) AS n_tokens FROM t0) n
+      |LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .withColumn("g", expr(
+          """CASE WHEN size(l) >= 2 THEN
+            |  transform(sequence(1, size(l) - 1),
+            |    i -> struct(i AS i, concat(element_at(l, i), ' ',
+            |                               element_at(l, i + 1)) AS gk))
+            |ELSE CAST(array() AS array<struct<i: int, gk: string>>) END"""
+            .stripMargin))
+        .withColumn("cov", expr(
+          """array_distinct(flatten(transform(
+            |  filter(g, s -> exists(g, s2 -> s2.gk = s.gk AND s2.i < s.i)),
+            |  s -> sequence(s.i, s.i + 1))))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("n_tokens"),
+          size(col("cov")).cast("long").as("n_removed"),
+          expr("""array_join(transform(
+            |  filter(transform(l, (x, i) -> struct(i + 1 AS j, x AS tok)),
+            |         p -> NOT array_contains(cov, p.j)),
+            |  p -> p.tok), ' ')""".stripMargin).as("cleaned"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
-    x94, x106, x109, x111, x112, x113, x114, x115, x116, x117)
+    x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121)
 }

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x110_semdedup", // 1-row centroid-array broadcast (in-row argmin assignment)
     "x111_dsir_importance", // 1-row LM-totals broadcast cross join
     "x114_nll_tertiles", // 1-row doc-count broadcast (tertile edges)
-    "x118_power_iteration") // 1-row max|s_j| broadcast (direction normalize)
+    "x118_power_iteration", // 1-row max|s_j| broadcast (direction normalize)
+    "x120_bpe_apply") // 1-row 8-merge array broadcast (in-row encode fold)
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
