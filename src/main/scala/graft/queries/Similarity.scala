@@ -760,6 +760,137 @@ object Similarity {
         .orderBy("vec_id")
   }
 
+  /** x122: IVF-PQ search — the canonical billion-scale ANN composition
+    * (Jégou et al.: an IVF coarse quantizer prunes the scan to `nprobe`
+    * inverted lists, PQ codes make the scanned entries bytes instead of
+    * vectors; x04 is the IVF half, x105 the PQ half, this is the serving
+    * shape that uses both). All arithmetic on x63's floor-quantized INTEGER
+    * vectors — engine-exact. Pipeline: (1) coarse assignment IN-ROW — the 8
+    * centroids collapse to ONE broadcast row, argmin is an `array_min` over
+    * a per-row (dist, cid) transform with explicit tie-break, zero shuffle;
+    * (2) the query's nprobe=2 list ids resolve in-row the same way and
+    * broadcast as one array; (3) only vectors whose list is probed are PQ-
+    * encoded and ADC-scored (per x105: codes via map-side `min_by` argmin,
+    * the query's 4×8 distance table broadcast, distance = 4 table lookups).
+    * At 100 TB the scan prunes to nprobe/nlists of the corpus and touches
+    * codes only; the encode step models the search-path cost — the full
+    * index build is x105 run once offline. PQ here codes RAW vectors, not
+    * residuals (the IVFADC-without-residual simplification, stated). */
+  val x122 = DQ("x122_ivfpq_search", Some(
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, eq AS cq FROM q WHERE vec_id < 8),
+      |ad AS (
+      |  SELECT q.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |         i -> (q.eq[i] - c.cq[i]) * (q.eq[i] - c.cq[i]))) AS BIGINT) AS d
+      |  FROM q CROSS JOIN cent c),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM ad) t WHERE rn = 1),
+      |probe AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
+      |    FROM ad WHERE vec_id = 42) t WHERE rn <= 2),
+      |pruned AS (
+      |  SELECT q.vec_id, q.eq, a.cid FROM q JOIN assign a USING (vec_id)
+      |  WHERE a.cid IN (SELECT cid FROM probe)),
+      |s AS (SELECT vec_id, eq,
+      |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j
+      |      FROM q),
+      |seeds AS (SELECT j, eq AS sq FROM s WHERE j <= 8),
+      |subd AS (
+      |  SELECT p.vec_id, m.m, sd.j,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |         i -> (p.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i])
+      |            * (p.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i]))) AS BIGINT) AS d
+      |  FROM pruned p CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS m) m
+      |         CROSS JOIN seeds sd),
+      |enc AS (SELECT vec_id, m, j AS code, d,
+      |               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      |        FROM subd),
+      |codes AS (SELECT vec_id,
+      |            string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS codes
+      |          FROM enc WHERE rn = 1 GROUP BY vec_id),
+      |dtab AS (
+      |  SELECT m.m, sd.j,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |         i -> (q42.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i])
+      |            * (q42.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i]))) AS BIGINT) AS d
+      |  FROM (SELECT eq FROM q WHERE vec_id = 42) q42
+      |       CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS m) m
+      |       CROSS JOIN seeds sd),
+      |adc AS (SELECT en.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_d
+      |        FROM (SELECT vec_id, m, code FROM enc WHERE rn = 1) en
+      |        JOIN dtab dt ON dt.m = en.m AND dt.j = en.code
+      |        GROUP BY en.vec_id)
+      |SELECT a.vec_id, p.cid, c.codes, a.adc_d
+      |FROM adc a JOIN codes c USING (vec_id)
+      |JOIN (SELECT DISTINCT vec_id, cid FROM pruned) p USING (vec_id)
+      |ORDER BY a.adc_d, a.vec_id LIMIT 10""".stripMargin)) {
+    (spark, dir) =>
+      val SUB = 4; val SD = 16; val K = 8
+      val q = spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("eq"))
+      val centArr = q.filter(col("vec_id") < 8)
+        .agg(collect_list(struct(col("vec_id").as("cid"), col("eq").as("cq"))).as("C"))
+      val distCid =
+        """transform(C, c -> struct(
+          |  aggregate(zip_with(eq, c.cq, (a, b) -> (a - b) * (a - b)),
+          |            0L, (acc, v) -> acc + v) AS d,
+          |  c.cid AS cid))""".stripMargin
+      // (1) coarse assignment: in-row argmin with (d, cid) tie-break
+      val assigned = q.crossJoin(broadcast(centArr))
+        .withColumn("cid", expr(s"array_min($distCid).cid"))
+        .drop("C")
+      // (2) the query's nprobe=2 probe list, resolved in-row, 1-row broadcast
+      val probe = q.filter(col("vec_id") === 42)
+        .crossJoin(broadcast(centArr))
+        .select(expr(s"transform(slice(array_sort($distCid), 1, 2), p -> p.cid)")
+          .as("probe"))
+      val pruned = assigned.crossJoin(broadcast(probe))
+        .filter(array_contains(col("probe"), col("cid")))
+        .drop("probe")
+      // (3) PQ encode + ADC over the probed lists only (x105's machinery)
+      val seeds = q
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(K)
+        .agg(sort_array(collect_list(struct(col("h"), col("vec_id"), col("eq"))))
+          .as("ss"))
+        .select(posexplode(col("ss")).as(Seq("p", "s")))
+        .select((col("p") + 1).as("j"), col("s.eq").as("sq"))
+      def subdOf(df: DataFrame): DataFrame = df.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cid"), col("j"),
+          explode(expr(
+            s"""transform(sequence(1, $SUB), m -> named_struct(
+               |  'm', m,
+               |  'd', aggregate(zip_with(slice(eq, (m - 1) * $SD + 1, $SD),
+               |                          slice(sq, (m - 1) * $SD + 1, $SD),
+               |                          (a, b) -> (a - b) * (a - b)),
+               |                 0L, (acc, v) -> acc + v)))""".stripMargin)).as("sd"))
+        .select(col("vec_id"), col("cid"), col("sd.m").as("m"), col("j"),
+          col("sd.d").as("d"))
+      val subd = subdOf(pruned)
+      val enc = subd.groupBy("vec_id", "cid", "m")
+        .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
+      val codes = enc.groupBy("vec_id", "cid")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(m, code)))," +
+          " s -> CAST(s.code AS STRING)), ',')").as("codes"))
+      val dtab = subdOf(assigned.filter(col("vec_id") === 42))
+        .select(col("m").as("dm"), col("j").as("dj"), col("d").as("dd"))
+      val adc = enc.join(broadcast(dtab),
+          enc("m") === col("dm") && enc("code") === col("dj"))
+        .groupBy("vec_id").agg(sum(col("dd")).as("adc_d"))
+      adc.join(codes, Seq("vec_id"))
+        .select(col("vec_id"), col("cid"), col("codes"), col("adc_d"))
+        .orderBy(col("adc_d"), col("vec_id")).limit(10)
+  }
+
   val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105,
-    x110, x118, x119)
+    x110, x118, x119, x122)
 }
