@@ -114,12 +114,20 @@ object UploadDirectoryApp {
   def main(args: Array[String]): Unit = {
     val usage =
       "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified] " +
-      "[--encrypt-key=K] [--max-files-per-trigger=N] [--max-bytes-per-trigger=B]"
+      "[--encrypt-key=K | --key-exchange] [--max-files-per-trigger=N] [--max-bytes-per-trigger=B]"
     AppSession.rejectUnknownFlags(args, usage,
-      boolFlags = Set("watch-modified"),
+      boolFlags = Set("watch-modified", "key-exchange"),
       valueFlags = Set("encrypt-key", "max-files-per-trigger", "max-bytes-per-trigger"))
     val watchModified = args.contains("--watch-modified")
-    val encryptKey = AppSession.flagValue(args, "encrypt-key")
+    // --key-exchange: C4bis managed keys — mint a fresh per-topic data key,
+    // publish it on <topicDir>.keys wrapped for every consumer announced on
+    // <topicDir>.reqs (AnnounceKeyApp), and encrypt the wire with it. The
+    // rotation generation is one past the highest already published.
+    val keyExchange = args.contains("--key-exchange")
+    val explicitKey = AppSession.flagValue(args, "encrypt-key")
+    AppSession.require(!(keyExchange && explicitKey.isDefined),
+      "--encrypt-key and --key-exchange are mutually exclusive\n" + usage)
+    val encryptKey: Option[Array[Byte]] = explicitKey.map(_.getBytes("UTF-8"))
     val maxFiles = AppSession.flagValue(args, "max-files-per-trigger").map(_.toInt).getOrElse(0)
     val maxBytes = AppSession.flagValue(args, "max-bytes-per-trigger").map(_.toLong).getOrElse(0L)
     // Admission caps are a property of the modified-files source; the plain
@@ -137,9 +145,22 @@ object UploadDirectoryApp {
       if (watchModified) Pipelines.uploadDirectoryStreamModified(spark, srcDir, chunkSize,
         maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
       else Pipelines.uploadDirectoryStream(spark, srcDir, chunkSize)
-    // C4 chained serde: pack → encrypt (reference CompoundSerDes shape)
-    val wire = encryptKey.fold(plainWire)(k =>
-      graft.streaming.WireCrypto.encryptValues(plainWire, k.getBytes("UTF-8")))
+    // C4 chained serde: pack → encrypt (reference CompoundSerDes shape).
+    // Key-exchange mode resolves the key through the side-topic protocol
+    // BEFORE the stream starts: announced consumers get the wrapped data
+    // key; a topic with no announcements fails fast instead of producing
+    // ciphertext nobody will ever decrypt.
+    val kxKey: Option[Array[Byte]] = if (keyExchange) {
+      import graft.streaming.KeyExchange
+      AppSession.require(KeyExchange.announcements(topicDir).nonEmpty,
+        s"--key-exchange: no consumers announced on $topicDir.reqs — run " +
+          "AnnounceKeyApp <topicDir> <identityDir> first")
+      val topic = new java.io.File(topicDir).getName
+      Some(KeyExchange.publishDataKey(topicDir, topic, "producer",
+        KeyExchange.generateKeyPair(), KeyExchange.nextGeneration(topicDir)))
+    } else None
+    val wire = kxKey.orElse(encryptKey).fold(plainWire)(k =>
+      graft.streaming.WireCrypto.encryptValues(plainWire, k))
     val q = wire.writeStream
       .format("parquet")
       .option("path", topicDir)
@@ -164,19 +185,46 @@ object UploadDirectoryApp {
 object DownloadDirectoryApp {
   def main(args: Array[String]): Unit = {
     val usage =
-      "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode] [--tws] [--decrypt-key=K]"
+      "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode] [--tws] " +
+      "[--decrypt-key=K | --key-exchange=<identityDir>]"
     AppSession.rejectUnknownFlags(args, usage,
-      boolFlags = Set("disk-mode", "tws"), valueFlags = Set("decrypt-key"))
+      boolFlags = Set("disk-mode", "tws"),
+      valueFlags = Set("decrypt-key", "key-exchange"))
     val diskMode = args.contains("--disk-mode")
     // --tws: run reassembly on the transformWithState operator instead of
     // flatMapGroupsWithState (same shared policy fold). Requires the RocksDB
     // state store, which we switch on here rather than fail confusingly.
     val useTws = args.contains("--tws")
     AppSession.require(!(diskMode && useTws), "--tws applies to buffered mode only\n" + usage)
-    val decryptKey = AppSession.flagValue(args, "decrypt-key")
+    val explicitKey = AppSession.flagValue(args, "decrypt-key")
+    // --key-exchange=<identityDir>: recover the wire key through the C4bis
+    // side-topic protocol — the identity dir holds this consumer's durable
+    // X25519 keypair (created by AnnounceKeyApp; party name = dir basename),
+    // and the newest unwrappable generation on <topicDir>.keys wins.
+    val kxIdentity = AppSession.flagValue(args, "key-exchange")
+    AppSession.require(!(explicitKey.isDefined && kxIdentity.isDefined),
+      "--decrypt-key and --key-exchange are mutually exclusive\n" + usage)
     val positional = args.filterNot(_.startsWith("--"))
     AppSession.require(positional.length == 2, usage)
     val Array(topicDir, outDir) = positional: @unchecked
+    val decryptKey: Option[Array[Byte]] = explicitKey.map(_.getBytes("UTF-8"))
+      .orElse(kxIdentity.map { idDir =>
+        import graft.streaming.KeyExchange
+        val party = new java.io.File(idDir).getName
+        val topic = new java.io.File(topicDir).getName
+        KeyExchange.fetchDataKey(topicDir, topic, party,
+            KeyExchange.loadOrCreateIdentity(idDir)) match {
+          case Some((gen, k)) =>
+            System.err.println(s"[key-exchange] using data key generation $gen")
+            k
+          case None =>
+            System.err.println(
+              s"[key-exchange] no data key for party '$party' on $topicDir.keys — " +
+              "announce first (AnnounceKeyApp) and re-run the producer with " +
+              "--key-exchange; consuming as ciphertext would dead-letter everything")
+            sys.exit(1)
+        }
+      })
     val spark = AppSession.make("graft-download")
     if (useTws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -189,8 +237,7 @@ object DownloadDirectoryApp {
     // recovery via ReproduceUndecryptableApp — they never fail the run.
     var qEncrypted: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     val wire = decryptKey.fold(rawWire) { k =>
-      val (ok, dead) = graft.streaming.WireCrypto.splitDecrypted(
-        rawWire, k.getBytes("UTF-8"))
+      val (ok, dead) = graft.streaming.WireCrypto.splitDecrypted(rawWire, k)
       qEncrypted = Some(dead.writeStream
         .foreach(new graft.streaming.WireCrypto.UndecryptableDumpWriter(
           s"$outDir/_encrypted_messages"))
@@ -295,6 +342,24 @@ object StreamProcessorApp {
     val spark = AppSession.make("graft-processor")
     run(spark, topicDir, registryDir, compactTarget)
     spark.stop()
+  }
+}
+
+/** `AnnounceKeyApp <topicDir> <identityDir>` — C4bis consumer bootstrap:
+  * load (or create) the durable X25519 identity under `identityDir` and
+  * announce its public key on the `<topicDir>.reqs` side topic, so the next
+  * `UploadDirectoryApp --key-exchange` run wraps the topic data key for this
+  * consumer (party name = identity dir basename; kafkacrypto's
+  * subscribe-then-receive-keys bootstrap re-expressed over the offline
+  * side-topic stand-in). Pure control plane — no SparkSession. */
+object AnnounceKeyApp {
+  def main(args: Array[String]): Unit = {
+    AppSession.require(args.length == 2, "AnnounceKeyApp <topicDir> <identityDir>")
+    val Array(topicDir, identityDir) = args: @unchecked
+    val party = new java.io.File(identityDir).getName
+    val pair = graft.streaming.KeyExchange.loadOrCreateIdentity(identityDir)
+    graft.streaming.KeyExchange.announce(topicDir, party, pair)
+    System.err.println(s"[announce] party '$party' announced on $topicDir.reqs")
   }
 }
 

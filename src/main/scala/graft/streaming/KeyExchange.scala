@@ -138,6 +138,50 @@ object KeyExchange {
 
   private val rng = new SecureRandom()
 
+  /** Durable consumer identity: load the X25519 keypair stored under `dir`,
+    * or create and persist one (private key PKCS#8, public key X.509 — both
+    * plain JDK encodings). A consumer must present the SAME private key at
+    * announce time and at fetch time, possibly across process restarts;
+    * this is the kafkacrypto config-file identity re-expressed as two flat
+    * files. */
+  def loadOrCreateIdentity(dir: String): KeyPair = {
+    val d = Paths.get(dir)
+    val priv = d.resolve("x25519.pkcs8")
+    val pub = d.resolve("x25519.pub")
+    if (Files.exists(priv) && Files.exists(pub)) {
+      val kf = KeyFactory.getInstance("X25519")
+      new KeyPair(
+        kf.generatePublic(new X509EncodedKeySpec(Files.readAllBytes(pub))),
+        kf.generatePrivate(new PKCS8EncodedKeySpec(Files.readAllBytes(priv))))
+    } else {
+      val pair = generateKeyPair()
+      Files.createDirectories(d)
+      Files.write(priv, pair.getPrivate.getEncoded,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.write(pub, pair.getPublic.getEncoded,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      pair
+    }
+  }
+
+  /** Next data-key generation for `<topic>.keys`: one past the highest
+    * generation already published (1 on a fresh topic) — so a re-run of the
+    * producer ROTATES rather than overwrites, and consumers converge on the
+    * newest key. */
+  def nextGeneration(topicDir: String): Long = {
+    val d = keysDir(topicDir)
+    if (!Files.isDirectory(d)) return 1L
+    val s = Files.list(d)
+    try {
+      val gens = s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala()
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".key"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".key").takeRight(19).toLong).toOption)
+        .toSeq
+      if (gens.isEmpty) 1L else gens.max + 1L
+    } finally s.close()
+  }
+
   /** Mint a fresh random AES data key for `topic` and publish it to
     * `<topic>.keys`, wrapped (AES-GCM, random IV) under the pairwise key of
     * every party currently announced on `<topic>.reqs`. `generation`

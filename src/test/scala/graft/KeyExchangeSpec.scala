@@ -86,6 +86,26 @@ class KeyExchangeSpec extends AnyFunSuite {
     assert(okBad.count() == 0 && deadBad.count() == encrypted.count())
   }
 
+  test("durable identity survives restart; nextGeneration rotates") {
+    val idDir = Files.createTempDirectory("kx-id").toString
+    val topicDir = Files.createTempDirectory("kx-gen").toString
+    val p1 = KeyExchange.loadOrCreateIdentity(idDir)
+    val p2 = KeyExchange.loadOrCreateIdentity(idDir) // "after restart"
+    assert(p1.getPublic.getEncoded.sameElements(p2.getPublic.getEncoded))
+    // the reloaded private key agrees with the original: both derive the
+    // same pairwise key against a fresh peer
+    val peer = KeyExchange.generateKeyPair()
+    assert(KeyExchange.pairwiseKey(p1, peer.getPublic.getEncoded, "t")
+      .sameElements(KeyExchange.pairwiseKey(p2, peer.getPublic.getEncoded, "t")))
+    // generation counter: fresh topic → 1; after publishes → max + 1
+    assert(KeyExchange.nextGeneration(topicDir) == 1L)
+    KeyExchange.announce(topicDir, "c", peer)
+    val producer = KeyExchange.generateKeyPair()
+    KeyExchange.publishDataKey(topicDir, "t", "p", producer, 1L)
+    KeyExchange.publishDataKey(topicDir, "t", "p", producer, 5L)
+    assert(KeyExchange.nextGeneration(topicDir) == 6L)
+  }
+
   test("rotation: highest generation wins; tampered key message is skipped " +
       "not fatal") {
     val topicDir = Files.createTempDirectory("kx-rot").toString
