@@ -99,6 +99,8 @@ object ChunkFunctions {
       es => VideoHeader(es.head), "built-in")
     reg.createOrReplaceTempFunction("bmp_pixels",
       es => BmpPixels(es.head), "built-in")
+    reg.createOrReplaceTempFunction("png_pixels",
+      es => PngPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_stats",
       es => PcmStats(es.head), "built-in")
   }
@@ -141,6 +143,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("bmp_pixels"),
       new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
       es => BmpPixels(es.head)))
+    e.injectFunction((FunctionIdentifier("png_pixels"),
+      new ExpressionInfo(classOf[PngPixels].getName, "png_pixels"),
+      es => PngPixels(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_stats"),
       new ExpressionInfo(classOf[PcmStats].getName, "pcm_stats"),
       es => PcmStats(es.head)))

@@ -91,6 +91,70 @@ object ImageHeaders {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  /** A COMPLETE, spec-conformant 8-bit RGB PNG: real zlib-compressed IDAT
+    * (java.util.zip.Deflater), real CRC32s, and a caller-chosen scanline
+    * filter per row (`filterFor(y)` ∈ 0..4 — exercise none/sub/up/average/
+    * paeth; the encoder applies the FORWARD filter so the decoder must
+    * invert it). Any stock viewer opens the result; [[parsePngPixels]]
+    * must round-trip it exactly. */
+  def buildPngRgb(w: Int, h: Int, filterFor: Int => Int)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = w * 3
+    // unfiltered pixel rows
+    val img = Array.tabulate(h, stride) { (y, i) =>
+      val (r, g, bl) = px(i / 3, y)
+      (i % 3 match { case 0 => r; case 1 => g; case _ => bl }) & 0xff
+    }
+    // forward-filtered scanline stream
+    val rawLen = h * (stride + 1)
+    val raw = new Array[Byte](rawLen)
+    var y = 0
+    while (y < h) {
+      val ft = filterFor(y) match { case f if f >= 0 && f <= 4 => f; case _ => 0 }
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val v = img(y)(x)
+        val a = if (x >= 3) img(y)(x - 3) else 0
+        val up = if (y > 0) img(y - 1)(x) else 0
+        val c = if (x >= 3 && y > 0) img(y - 1)(x - 3) else 0
+        val enc = ft match {
+          case 0 => v
+          case 1 => (v - a) & 0xff
+          case 2 => (v - up) & 0xff
+          case 3 => (v - ((a + up) >> 1)) & 0xff
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            (v - pred) & 0xff
+        }
+        raw(y * (stride + 1) + 1 + x) = enc.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // zlib-compress
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    // assemble chunks with real CRCs
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      crc.update(tb); crc.update(data)
+      be32b(data.length) ++ tb ++ data ++ be32b(crc.getValue.toInt)
+    }
+    val ihdr = be32b(w) ++ be32b(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** A syntactically valid PNG signature + IHDR carrying (w, h), followed by
     * `body` as opaque trailing bytes (no CRC check is performed by header
     * parsers, ours included — pixel data is irrelevant to the header path). */
@@ -181,6 +245,111 @@ object ImageHeaders {
         if (x == 0 && y == 0) firstLuma = luma
         x += 1
       }
+      y += 1
+    }
+    (w, h, w.toLong * h, sumR, sumG, sumB, lumaSum, firstLuma)
+  }
+
+  /** REAL pixel decode for 8-bit non-interlaced PNGs (gray / RGB /
+    * gray+alpha / RGBA): same stats contract as [[parseBmpPixels]] —
+    * (width, height, n_px, sum_r, sum_g, sum_b, luma_sum, first_luma) —
+    * null for anything else (palette, 16-bit, interlaced, malformed zlib,
+    * truncated). PNG needs NO codec library: IDAT is zlib
+    * (`java.util.zip.Inflater`, in the JDK) and the five scanline filters
+    * (none/sub/up/average/paeth) are pure integer arithmetic — so this is
+    * genuine full-body decode, not a stub. Alpha is ignored for the sums
+    * (stats are over the color channels); gray replicates into r=g=b.
+    * Defensive by design (a malformed payload in a watched directory must
+    * route, not crash): dimensions and the decompressed size are bounded
+    * (≤256 MB) BEFORE allocation, every chunk length is checked against
+    * the buffer, and inflate errors return null. */
+  def parsePngPixels(b: Array[Byte]): (Int, Int, Long, Long, Long, Long, Long, Long) = {
+    if (b == null || !isPng(b) || b.length < 33) return null
+    if (be32(b, 8) != 13) return null // IHDR data length
+    val w = be32(b, 16); val h = be32(b, 20)
+    val depth = u(b, 24); val ctype = u(b, 25)
+    val comp = u(b, 26); val fm = u(b, 27); val interlace = u(b, 28)
+    if (w <= 0 || h <= 0 || depth != 8 || comp != 0 || fm != 0 || interlace != 0)
+      return null
+    val channels = ctype match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return null
+    }
+    val rowBytes = w.toLong * channels
+    val expected = (rowBytes + 1) * h
+    if (expected > (1L << 28)) return null // bound allocation on hostile dims
+    // concatenate IDAT chunk payloads (chunk walk in Long — a crafted
+    // length can't wrap the cursor)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 33L
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val len = be32(b, i.toInt)
+      if (len < 0 || i + 8 + len.toLong + 4 > b.length) return null
+      val t = new String(b, i.toInt + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (t == "IDAT") idat.write(b, i.toInt + 8, len)
+      if (t == "IEND") sawEnd = true
+      i += 8L + len + 4L
+    }
+    if (idat.size == 0) return null
+    val raw = new Array[Byte](expected.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+        off += n
+      }
+      if (off != raw.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // unfilter + reduce, one scanline at a time (O(stride) state, not O(image))
+    val stride = rowBytes.toInt
+    val bpp = channels
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var lumaSum = 0L
+    var firstLuma = 0L
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return null
+      var x = 0
+      while (x < stride) {
+        val rv = raw(base + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val up = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        cur(x) = ft match {
+          case 0 => rv
+          case 1 => (rv + a) & 0xff
+          case 2 => (rv + up) & 0xff
+          case 3 => (rv + ((a + up) >> 1)) & 0xff
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            (rv + pred) & 0xff
+        }
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val o = px * channels
+        val r = cur(o)
+        val g = if (channels >= 3) cur(o + 1) else cur(o)
+        val bl = if (channels >= 3) cur(o + 2) else cur(o)
+        sumR += r; sumG += g; sumB += bl
+        val luma = (77 * r + 150 * g + 29 * bl) >> 8
+        lumaSum += luma
+        if (px == 0 && y == 0) firstLuma = luma
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
     (w, h, w.toLong * h, sumR, sumG, sumB, lumaSum, firstLuma)
@@ -297,4 +466,50 @@ object BmpPixels {
 
   def bmpPixels(media: Column): Column =
     GraftColumnShim.column(BmpPixels(GraftColumnShim.expression(media)))
+}
+
+/** `png_pixels(binary)` → the same stats struct as `bmp_pixels`, for 8-bit
+  * non-interlaced gray/RGB/gray-alpha/RGBA PNGs — REAL full-body decode
+  * (zlib inflate via the JDK + the five scanline filters inverted in pure
+  * integer arithmetic), inside whole-stage codegen. Null for palette/
+  * 16-bit/interlaced/malformed payloads — route, don't crash. With
+  * [[BmpPixels]] and [[PcmStats]] this retires the pixel-decode stub for
+  * every format whose body doesn't need an entropy codec beyond DEFLATE. */
+case class PngPixels(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BmpPixels.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_pixels expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val p = ImageHeaders.parsePngPixels(payload.asInstanceOf[Array[Byte]])
+    if (p == null) null
+    else InternalRow(p._1, p._2, p._3, p._4, p._5, p._6, p._7, p._8)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pngPixels", this, classOf[PngPixels].getName)
+    val r = ctx.freshName("pngPx")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PngPixels =
+    copy(child = newChild)
+
+  override def prettyName: String = "png_pixels"
+}
+
+object PngPixels {
+  def pngPixels(media: Column): Column =
+    GraftColumnShim.column(PngPixels(GraftColumnShim.expression(media)))
 }

@@ -42,15 +42,18 @@ object Multimodal {
     /** Container header parse is REAL ([[graft.functions.ImageHeaders]]),
       * and so is body decode where the format allows it without a codec
       * library: uncompressed 24-bit BMP pixels reduce to an exact luma sum
-      * ([[graft.functions.ImageHeaders.parseBmpPixels]]) and WAV PCM
-      * samples to an exact energy Σa²
+      * ([[graft.functions.ImageHeaders.parseBmpPixels]]), 8-bit
+      * non-interlaced PNGs fully decode (JDK Inflater + the five scanline
+      * filters inverted, [[graft.functions.ImageHeaders.parsePngPixels]]),
+      * and WAV PCM samples reduce to an exact energy Σa²
       * ([[graft.functions.AudioHeaders.parsePcmStats]]). The STUB now
-      * covers only bodies that genuinely need a codec (JPEG/PNG/GIF
-      * entropy-coded pixels, MP4 tracks) — for those, deterministic fakes
+      * covers only bodies that need an entropy codec beyond DEFLATE
+      * (JPEG/GIF pixels, MP4 tracks) — for those, deterministic fakes
       * pin the plumbing: byte length, first code point, md5 head. */
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
       val hdr = Option(graft.functions.ImageHeaders.parse(payload))
       val bmp = Option(graft.functions.ImageHeaders.parseBmpPixels(payload))
+        .orElse(Option(graft.functions.ImageHeaders.parsePngPixels(payload)))
       val pcm = Option(graft.functions.AudioHeaders.parsePcmStats(payload))
       MediaMeta(id, kind, payload.length.toLong,
         if (payload.isEmpty) -1

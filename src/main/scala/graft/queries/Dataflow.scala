@@ -296,5 +296,60 @@ object Dataflow {
         .orderBy("media_id")
   }
 
-  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108)
+  /** x123: REAL compressed-image decode — x107's contract pushed through an
+    * actual entropy-coded container. Each row becomes a spec-conformant
+    * 8-bit RGB PNG (zlib-DEFLATE IDAT, real CRCs, scanline filter rotating
+    * through none/sub/up/average/paeth by row), and the native `png_pixels`
+    * expression ([[graft.functions.PngPixels]], whole-stage codegen, JDK
+    * Inflater — no codec library) must invert compression AND filtering to
+    * recover exact integer channel sums. The oracle recomputes every field
+    * arithmetically from the ramp — it never sees the PNG, so a decoder
+    * that mis-unfilters any row fails the hash. */
+  val x123 = DQ("x123_png_pixel_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS w,
+      |                  CAST(doc_id % 4 + 2 AS INT) AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+      |    (doc_id * 5 + 7 * ux.x + 13 * uy.y) % 256 AS r,
+      |    (doc_id * 3 + 11 * ux.x + 3 * uy.y) % 256 AS g,
+      |    (doc_id * 7 + 2 * ux.x * uy.y + 5) % 256 AS b
+      |  FROM d, unnest(generate_series(0, w - 1)) AS ux(x),
+      |       unnest(generate_series(0, h - 1)) AS uy(y))
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum((77 * r + 150 * g + 29 * b) // 256) AS BIGINT) AS luma_sum,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0
+      |           THEN (77 * r + 150 * g + 29 * b) // 256 END) AS BIGINT) AS first_luma
+      |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{ImageHeaders, PngPixels}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val w = (id % 6 + 2).toInt
+          val h = (id % 4 + 2).toInt
+          // filter varies by (id + row): every filter type appears across
+          // the corpus, most images mix several
+          val payload = ImageHeaders.buildPngRgb(w, h, y => ((id + y) % 5).toInt) {
+            (x, y) =>
+              (((id * 5 + 7 * x + 13 * y) % 256).toInt,
+               ((id * 3 + 11 * x + 3 * y) % 256).toInt,
+               ((id * 7 + 2 * x * y + 5) % 256).toInt)
+          }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), PngPixels.pngPixels(col("media")).as("p"))
+        .select(col("media_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_px").as("n_px"), col("p.sum_r").as("sum_r"),
+          col("p.sum_g").as("sum_g"), col("p.sum_b").as("sum_b"),
+          col("p.luma_sum").as("luma_sum"), col("p.first_luma").as("first_luma"))
+        .orderBy("media_id")
+  }
+
+  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123)
 }

@@ -186,6 +186,66 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(ImageHeaders.parseBmpPixels(short.take(short.length - 8)) == null)
   }
 
+  test("PNG pixel decode inverts zlib+filter build across all five filters") {
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((7 * x + 13 * y) % 256, (255 - 11 * x + 3 * y) % 256, (29 * x * y + 5) % 256)
+    def luma(t: (Int, Int, Int)) = ((77 * t._1 + 150 * t._2 + 29 * t._3) >> 8).toLong
+    // one image per filter, plus a mixed-filter image (row y uses filter y%5)
+    val filterChoices: Seq[Int => Int] =
+      (0 to 4).map(f => (_: Int) => f) :+ ((y: Int) => y % 5)
+    for ((ff, idx) <- filterChoices.zipWithIndex) {
+      val bytes = ImageHeaders.buildPngRgb(5, 7, ff)(px)
+      val p = ImageHeaders.parsePngPixels(bytes)
+      assert(p != null, s"filter case $idx did not decode")
+      val (w, h, nPx, sumR, sumG, sumB, lumaSum, firstLuma) = p
+      assert((w, h, nPx) == ((5, 7, 35L)))
+      val all = for (y <- 0 until 7; x <- 0 until 5) yield px(x, y)
+      assert(sumR == all.map(_._1.toLong).sum, s"sum_r filter case $idx")
+      assert(sumG == all.map(_._2.toLong).sum, s"sum_g filter case $idx")
+      assert(sumB == all.map(_._3.toLong).sum, s"sum_b filter case $idx")
+      assert(lumaSum == all.map(luma).sum, s"luma filter case $idx")
+      assert(firstLuma == luma(px(0, 0)))
+      // header parse agrees with the pixel parse
+      assert(ImageHeaders.parse(bytes) == ("png", 5, 7))
+    }
+    // PNG and BMP built from the SAME pixel matrix reduce to the SAME stats
+    val fromPng = ImageHeaders.parsePngPixels(
+      ImageHeaders.buildPngRgb(3, 2, _ % 5)(px))
+    val fromBmp = ImageHeaders.parseBmpPixels(
+      ImageHeaders.buildBmp24(3, 2, topDown = false)(px))
+    assert(fromPng == fromBmp)
+  }
+
+  test("PNG pixel decode degrades to null on unsupported/malformed, never crashes") {
+    val good = ImageHeaders.buildPngRgb(4, 4, _ => 2)((x, y) => (x, y, x + y))
+    assert(ImageHeaders.parsePngPixels(good) != null)
+    // truncated IDAT → null (inflate starves)
+    assert(ImageHeaders.parsePngPixels(good.take(good.length - 20)) == null)
+    // corrupt zlib stream → null, not DataFormatException
+    val corrupt = good.clone()
+    corrupt(45) = (corrupt(45) ^ 0x5a).toByte
+    assert(ImageHeaders.parsePngPixels(corrupt) == null) // may also still parse; must not throw
+    // interlaced flag → null (unsupported, not wrong answer)
+    val interlaced = good.clone(); interlaced(28) = 1
+    assert(ImageHeaders.parsePngPixels(interlaced) == null)
+    // 16-bit depth and palette color types stay unsupported
+    val deep = good.clone(); deep(24) = 16
+    assert(ImageHeaders.parsePngPixels(deep) == null)
+    val pal = good.clone(); pal(25) = 3
+    assert(ImageHeaders.parsePngPixels(pal) == null)
+    // hostile dims: declared 2^15 × 2^15 RGB would be 3 GiB — bounded reject
+    val huge = good.clone()
+    def putBe32(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = (v >> 24).toByte; b(at + 1) = (v >> 16).toByte
+      b(at + 2) = (v >> 8).toByte; b(at + 3) = v.toByte
+    }
+    putBe32(huge, 16, 1 << 15); putBe32(huge, 20, 1 << 15)
+    assert(ImageHeaders.parsePngPixels(huge) == null)
+    // header-only PNG (x102's builder: IHDR + opaque body, no IDAT) → null
+    assert(ImageHeaders.parsePngPixels(
+      ImageHeaders.buildPng(8, 8, "junk".getBytes)) == null)
+  }
+
   test("PCM sample decode: 16-bit sign, 8-bit bias, clipping, truncation") {
     import graft.functions.AudioHeaders
     // 16-bit: values crossing zero and both full-scale rails
