@@ -891,6 +891,122 @@ object Similarity {
         .orderBy(col("adc_d"), col("vec_id")).limit(10)
   }
 
+  /** x124: IVF-PQ recall audit — the x24/x95 estimate-plus-in-query-audit
+    * pattern applied to the ANN stack, with LOSS ATTRIBUTION: three arms
+    * share one query — exact integer-L2 top-10 (ground truth), x105's
+    * full-corpus PQ/ADC top-10 (isolates compression loss), and x122's
+    * IVF-pruned PQ top-10 (adds the nprobe=2-of-8 pruning loss) — and the
+    * row reports each approximate arm's overlap with truth. All three are
+    * deterministic (integer arithmetic, total tie-break orders), so the
+    * oracle recomputes the whole audit and the recall figures themselves
+    * are hash-gated — the quality claim lives in the data, not in a test
+    * comment. The fixture's embeddings are uniform random — the known
+    * WORST case for IVF (no cluster structure to prune by), which is
+    * exactly what the pruning arm's low recall quantifies. At 100 TB the
+    * exact arm is the one you could not run corpus-wide; this audit shape
+    * is meant for a sampled query set. */
+  val x124 = DQ("x124_ivfpq_recall", Some(
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS eq
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, eq AS cq FROM q WHERE vec_id < 8),
+      |ad AS (
+      |  SELECT q.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |         i -> (q.eq[i] - c.cq[i]) * (q.eq[i] - c.cq[i]))) AS BIGINT) AS d
+      |  FROM q CROSS JOIN cent c),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM ad) t WHERE rn = 1),
+      |probe AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn
+      |    FROM ad WHERE vec_id = 42) t WHERE rn <= 2),
+      |pruned AS (
+      |  SELECT q.vec_id, q.eq FROM q JOIN assign a USING (vec_id)
+      |  WHERE a.cid IN (SELECT cid FROM probe)),
+      |s AS (SELECT vec_id, eq,
+      |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j
+      |      FROM q),
+      |seeds AS (SELECT j, eq AS sq FROM s WHERE j <= 8),
+      |subd AS (
+      |  SELECT p.vec_id, m.m, sd.j,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |         i -> (p.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i])
+      |            * (p.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i]))) AS BIGINT) AS d
+      |  FROM pruned p CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS m) m
+      |         CROSS JOIN seeds sd),
+      |enc AS (SELECT vec_id, m, j AS code,
+      |               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      |        FROM subd),
+      |dtab AS (
+      |  SELECT m.m, sd.j,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |         i -> (q42.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i])
+      |            * (q42.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i]))) AS BIGINT) AS d
+      |  FROM (SELECT eq FROM q WHERE vec_id = 42) q42
+      |       CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS m) m
+      |       CROSS JOIN seeds sd),
+      |ivfpq AS (
+      |  SELECT vec_id FROM (
+      |    SELECT en.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_d
+      |    FROM (SELECT vec_id, m, code FROM enc WHERE rn = 1) en
+      |    JOIN dtab dt ON dt.m = en.m AND dt.j = en.code
+      |    GROUP BY en.vec_id) t
+      |  ORDER BY adc_d, vec_id LIMIT 10),
+      |subd_all AS (
+      |  SELECT p.vec_id, m.m, sd.j,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |         i -> (p.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i])
+      |            * (p.eq[(m.m - 1) * 16 + i] - sd.sq[(m.m - 1) * 16 + i]))) AS BIGINT) AS d
+      |  FROM q p CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS m) m
+      |         CROSS JOIN seeds sd),
+      |enc_all AS (SELECT vec_id, m, j AS code,
+      |                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      |            FROM subd_all),
+      |pq AS (
+      |  SELECT vec_id FROM (
+      |    SELECT en.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_d
+      |    FROM (SELECT vec_id, m, code FROM enc_all WHERE rn = 1) en
+      |    JOIN dtab dt ON dt.m = en.m AND dt.j = en.code
+      |    GROUP BY en.vec_id) t
+      |  ORDER BY adc_d, vec_id LIMIT 10),
+      |exact AS (
+      |  SELECT vec_id FROM (
+      |    SELECT q.vec_id,
+      |      CAST(list_sum(list_transform(generate_series(1, 64),
+      |           i -> (q.eq[i] - q42.eq[i]) * (q.eq[i] - q42.eq[i]))) AS BIGINT) AS d
+      |    FROM q CROSS JOIN (SELECT eq FROM q WHERE vec_id = 42) q42) t
+      |  ORDER BY d, vec_id LIMIT 10)
+      |SELECT CAST(10 AS BIGINT) AS k,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pq JOIN exact USING (vec_id)) AS n_pq,
+      |  (SELECT round(count(*) / 10.0, 6) FROM pq JOIN exact USING (vec_id)) AS recall_pq,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ivfpq JOIN exact USING (vec_id)) AS n_ivfpq,
+      |  (SELECT round(count(*) / 10.0, 6) FROM ivfpq JOIN exact USING (vec_id)) AS recall_ivfpq""".stripMargin)) {
+    (spark, dir) =>
+      val ivfpq = x122.run(spark, dir).select("vec_id")
+      val pq = x105.run(spark, dir).select("vec_id")
+      val q = spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("eq"))
+      val q42 = q.filter(col("vec_id") === 42).select(col("eq").as("qe"))
+      val exact = q.crossJoin(broadcast(q42))
+        .select(col("vec_id"),
+          expr("aggregate(zip_with(eq, qe, (a, b) -> (a - b) * (a - b)), 0L," +
+            " (acc, v) -> acc + v)").as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id")
+      val nPq = pq.join(exact, Seq("vec_id")).agg(count(lit(1)).as("n_pq"))
+      val nIvfpq = ivfpq.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_ivfpq"))
+      nPq.crossJoin(broadcast(nIvfpq))
+        .select(lit(10L).as("k"),
+          col("n_pq"), round(col("n_pq") / 10.0, 6).as("recall_pq"),
+          col("n_ivfpq"), round(col("n_ivfpq") / 10.0, 6).as("recall_ivfpq"))
+  }
+
   val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105,
-    x110, x118, x119, x122)
+    x110, x118, x119, x122, x124)
 }
