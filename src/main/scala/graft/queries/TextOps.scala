@@ -2178,10 +2178,20 @@ object TextOps {
             |                               element_at(l, i + 1)) AS gk))
             |ELSE CAST(array() AS array<struct<i: int, gk: string>>) END"""
             .stripMargin))
+        // duplicate detection stays in-row but O(G log G), not O(G²): sort
+        // the (gk, i) grams — each gram group lands contiguous, first (=
+        // earliest) occurrence first — and a window start is a duplicate
+        // iff its sorted predecessor carries the same gram
+        .withColumn("sg", expr("array_sort(transform(g, s -> struct(s.gk AS gk, s.i AS i)))"))
         .withColumn("cov", expr(
-          """array_distinct(flatten(transform(
-            |  filter(g, s -> exists(g, s2 -> s2.gk = s.gk AND s2.i < s.i)),
-            |  s -> sequence(s.i, s.i + 1))))""".stripMargin))
+          """CASE WHEN size(sg) >= 1 THEN
+            |  array_distinct(flatten(transform(
+            |    filter(transform(sequence(1, size(sg)), k -> struct(
+            |             element_at(sg, k).i AS i,
+            |             k > 1 AND element_at(sg, k).gk = element_at(sg, k - 1).gk AS isdup)),
+            |           p -> p.isdup),
+            |    p -> sequence(p.i, p.i + 1))))
+            |ELSE CAST(array() AS array<int>) END""".stripMargin))
         .select(col("doc_id"),
           size(col("l")).cast("long").as("n_tokens"),
           size(col("cov")).cast("long").as("n_removed"),
