@@ -101,6 +101,8 @@ object ChunkFunctions {
       es => BmpPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("png_pixels",
       es => PngPixels(es.head), "built-in")
+    reg.createOrReplaceTempFunction("gif_pixels",
+      es => GifPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_stats",
       es => PcmStats(es.head), "built-in")
   }
@@ -146,6 +148,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("png_pixels"),
       new ExpressionInfo(classOf[PngPixels].getName, "png_pixels"),
       es => PngPixels(es.head)))
+    e.injectFunction((FunctionIdentifier("gif_pixels"),
+      new ExpressionInfo(classOf[GifPixels].getName, "gif_pixels"),
+      es => GifPixels(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_stats"),
       new ExpressionInfo(classOf[PcmStats].getName, "pcm_stats"),
       es => PcmStats(es.head)))

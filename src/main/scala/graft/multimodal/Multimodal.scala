@@ -45,15 +45,18 @@ object Multimodal {
       * ([[graft.functions.ImageHeaders.parseBmpPixels]]), 8-bit
       * non-interlaced PNGs fully decode (JDK Inflater + the five scanline
       * filters inverted, [[graft.functions.ImageHeaders.parsePngPixels]]),
-      * and WAV PCM samples reduce to an exact energy Σa²
+      * non-interlaced GIFs decode through our own LZW implementation
+      * ([[graft.functions.GifCodec.parseGifPixels]] — Welch 1984, no
+      * library), and WAV PCM samples reduce to an exact energy Σa²
       * ([[graft.functions.AudioHeaders.parsePcmStats]]). The STUB now
-      * covers only bodies that need an entropy codec beyond DEFLATE
-      * (JPEG/GIF pixels, MP4 tracks) — for those, deterministic fakes
-      * pin the plumbing: byte length, first code point, md5 head. */
+      * covers only bodies that need a DCT/Huffman codec (JPEG pixels,
+      * MP4 tracks) — for those, deterministic fakes pin the plumbing:
+      * byte length, first code point, md5 head. */
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
       val hdr = Option(graft.functions.ImageHeaders.parse(payload))
       val bmp = Option(graft.functions.ImageHeaders.parseBmpPixels(payload))
         .orElse(Option(graft.functions.ImageHeaders.parsePngPixels(payload)))
+        .orElse(Option(graft.functions.GifCodec.parseGifPixels(payload)))
       val pcm = Option(graft.functions.AudioHeaders.parsePcmStats(payload))
       MediaMeta(id, kind, payload.length.toLong,
         if (payload.isEmpty) -1

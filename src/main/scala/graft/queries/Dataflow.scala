@@ -351,5 +351,64 @@ object Dataflow {
         .orderBy("media_id")
   }
 
-  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123)
+  /** x125: REAL entropy-coded decode #2 — the GIF/LZW pass of x123's
+    * contract. Each row becomes a complete GIF89a (4-color global palette
+    * derived from the row, full-frame image, REAL greedy-LZW-compressed
+    * data — `functions/GifCodec.lzwCompress`, variable code width with
+    * growth aligned to the decoder, CLEAR resets) and the native
+    * `gif_pixels` expression must run the actual LZW decoder (Welch 1984,
+    * no library) to recover exact channel sums through the palette. The
+    * oracle recomputes all fields from the palette/index formulas — it
+    * never sees the GIF bytes. */
+  val x125 = DQ("x125_gif_pixel_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 9 + 2 AS INT) AS w,
+      |                  CAST(doc_id % 6 + 2 AS INT) AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+      |         (doc_id + 3 * ux.x + 5 * uy.y) % 4 AS k
+      |  FROM d, unnest(generate_series(0, w - 1)) AS ux(x),
+      |       unnest(generate_series(0, h - 1)) AS uy(y)),
+      |rgb AS (
+      |  SELECT doc_id, w, h, x, y,
+      |         (doc_id * 11 + 37 * k) % 256 AS r,
+      |         (doc_id * 7 + 59 * k) % 256 AS g,
+      |         (doc_id * 13 + 83 * k) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum((77 * r + 150 * g + 29 * b) // 256) AS BIGINT) AS luma_sum,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0
+      |           THEN (77 * r + 150 * g + 29 * b) // 256 END) AS BIGINT) AS first_luma
+      |FROM rgb GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{GifCodec, GifPixels}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val w = (id % 9 + 2).toInt
+          val h = (id % 6 + 2).toInt
+          val palette = Array.tabulate(4)(k =>
+            (((id * 11 + 37 * k) % 256).toInt,
+             ((id * 7 + 59 * k) % 256).toInt,
+             ((id * 13 + 83 * k) % 256).toInt))
+          val idx = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((id + 3 * x + 5 * y) % 4).toInt
+          }
+          (id, GifCodec.buildGif(w, h, palette, idx))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), GifPixels.gifPixels(col("media")).as("p"))
+        .select(col("media_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_px").as("n_px"), col("p.sum_r").as("sum_r"),
+          col("p.sum_g").as("sum_g"), col("p.sum_b").as("sum_b"),
+          col("p.luma_sum").as("luma_sum"), col("p.first_luma").as("first_luma"))
+        .orderBy("media_id")
+  }
+
+  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125)
 }

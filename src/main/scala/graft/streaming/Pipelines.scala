@@ -202,7 +202,7 @@ object Pipelines {
     * route, don't lose). At 100 TB this is the admission step that
     * partitions a mixed media crawl by modality before any codec runs. */
   def mediaTriageStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{AudioHeader, BmpPixels, ImageHeader, PcmStats, PngPixels, VideoHeader}
+    import graft.functions.{AudioHeader, BmpPixels, GifPixels, ImageHeader, PcmStats, PngPixels, VideoHeader}
     val files = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -213,11 +213,12 @@ object Pipelines {
       .withColumn("ah", AudioHeader.audioHeader(col("content")))
       .withColumn("vh", VideoHeader.videoHeader(col("content")))
       // body decode where the format permits it without a codec library:
-      // BMP and PNG pixel luma (PNG via JDK Inflater + filter inversion),
-      // PCM sample energy/clipping — null for every other payload
+      // BMP, PNG (JDK Inflater + filter inversion), and GIF (own LZW
+      // decoder) pixel luma, PCM sample energy/clipping — null otherwise
       .withColumn("bp", coalesce(
         BmpPixels.bmpPixels(col("content")),
-        PngPixels.pngPixels(col("content"))))
+        PngPixels.pngPixels(col("content")),
+        GifPixels.gifPixels(col("content"))))
       .withColumn("ps", PcmStats.pcmStats(col("content")))
       .select(col("path"), col("length"),
         when(col("ih").isNotNull, "image")
