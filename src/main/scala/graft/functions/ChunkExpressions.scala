@@ -103,6 +103,8 @@ object ChunkFunctions {
       es => PngPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("gif_pixels",
       es => GifPixels(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jpeg_pixels",
+      es => JpegPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_stats",
       es => PcmStats(es.head), "built-in")
   }
@@ -151,6 +153,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("gif_pixels"),
       new ExpressionInfo(classOf[GifPixels].getName, "gif_pixels"),
       es => GifPixels(es.head)))
+    e.injectFunction((FunctionIdentifier("jpeg_pixels"),
+      new ExpressionInfo(classOf[JpegPixels].getName, "jpeg_pixels"),
+      es => JpegPixels(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_stats"),
       new ExpressionInfo(classOf[PcmStats].getName, "pcm_stats"),
       es => PcmStats(es.head)))

@@ -1,0 +1,575 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** REAL JPEG body decode — baseline sequential (ITU-T T.81, public since
+  * 1992) implemented directly: marker walk, DQT/DHT/SOF0/SOS parse,
+  * canonical Huffman entropy decode with byte stuffing and restart
+  * markers, dequantize, zigzag, 2-D IDCT, level shift, YCbCr→RGB. Scope:
+  * 8-bit baseline (SOF0), grayscale or 3-component 4:4:4 (no chroma
+  * subsampling); progressive/arithmetic/12-bit/subsampled payloads
+  * degrade to null — route, don't crash. With BMP, PNG and GIF this moves
+  * the LAST image format off the multimodal stub.
+  *
+  * The paired encoder emits spec-conformant files any stock viewer opens
+  * (its DHT segments carry our own fixed-length canonical Huffman tables —
+  * valid JPEG; compression ratio is not the point). DC quant step 8 makes
+  * block-constant images round-trip EXACTLY (a constant block is DC-only;
+  * DC = 8·(c−128) and 8/8 divide evenly), which is what lets an oracle
+  * hash-gate decode through real entropy-coded bytes.
+  */
+object JpegCodec {
+
+  private def u(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u(b, i) << 8) | u(b, i + 1)
+
+  /** Zigzag order: zigzag(k) = natural (row-major) index of the k-th
+    * coefficient in zigzag scan order. */
+  val Zigzag: Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    for (s <- 0 until 15) { // anti-diagonals
+      val range = if (s % 2 == 0) (math.min(s, 7) to math.max(0, s - 7)) by -1
+                  else math.max(0, s - 7) to math.min(s, 7)
+      for (y <- range) { val x = s - y; out(k) = y * 8 + x; k += 1 }
+    }
+    out
+  }
+
+  private val CosT: Array[Double] = {
+    val t = new Array[Double](8 * 8) // t(x*8+u) = cos((2x+1)uπ/16)
+    for (x <- 0 until 8; uu <- 0 until 8)
+      t(x * 8 + uu) = math.cos((2 * x + 1) * uu * math.Pi / 16)
+    t
+  }
+  private def c0(i: Int): Double = if (i == 0) 1.0 / math.sqrt(2) else 1.0
+
+  // ------------------------------------------------------------- decoder
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    var acc = 0
+    var nAcc = 0
+    var hitMarker = false // stopped at a non-RST marker (e.g. EOI)
+    /** next bit, or -1 on marker/end */
+    def bit(): Int = {
+      if (nAcc == 0) {
+        if (pos >= b.length) return -1
+        var v = u(b, pos)
+        if (v == 0xff) {
+          if (pos + 1 >= b.length) return -1
+          val m = u(b, pos + 1)
+          if (m == 0x00) { pos += 2; v = 0xff } // stuffed
+          else if (m >= 0xd0 && m <= 0xd7) { // restart marker: caller resyncs
+            hitMarker = true; return -1
+          } else { hitMarker = true; return -1 }
+        } else pos += 1
+        acc = v; nAcc = 8
+      }
+      nAcc -= 1
+      (acc >> nAcc) & 1
+    }
+    /** consume an expected RSTn marker and realign */
+    def restart(): Boolean = {
+      nAcc = 0; hitMarker = false
+      if (pos + 1 >= b.length || u(b, pos) != 0xff) return false
+      val m = u(b, pos + 1)
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
+  }
+
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    // canonical code per T.81 F.2.2.3 decode: mincode/maxcode/valptr by length
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) == 0) -1 else code - 1
+        code <<= 1
+      }
+    }
+    def decode(r: BitReader): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        val b = r.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+          return vals(valPtr(l) + (code - minCode(l)))
+      }
+      -1
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def receive(r: BitReader, s: Int): Int = {
+    var v = 0; var i = 0
+    while (i < s) {
+      val b = r.bit()
+      if (b < 0) return Int.MinValue
+      v = (v << 1) | b; i += 1
+    }
+    v
+  }
+
+  /** Full decode to interleaved RGB (or replicated gray): returns
+    * (w, h, channels, pixels row-major channel-interleaved), null on any
+    * unsupported/ malformed input. */
+  def decodeJpeg(b: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    if (b == null || b.length < 4 || u(b, 0) != 0xff || u(b, 1) != 0xd8) return null
+    val qt = Array.ofDim[Int](4, 64) // natural order
+    val dcT = new Array[Huff](4); val acT = new Array[Huff](4)
+    var w = 0; var h = 0; var nComp = 0
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    var restartInterval = 0
+    var i = 2
+    var sos = -1
+    while (sos < 0) {
+      if (i + 4 > b.length) return null
+      if (u(b, i) != 0xff) return null
+      val m = u(b, i + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else if (m == 0xd9) return null // EOI before scan
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return null
+        val seg = i + 4
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var j = seg
+            while (j < i + 2 + len) {
+              val pq = u(b, j) >> 4; val tq = u(b, j) & 15
+              if (pq != 0 || tq > 3 || j + 65 > i + 2 + len) return null
+              var k = 0
+              while (k < 64) { qt(tq)(Zigzag(k)) = u(b, j + 1 + k); k += 1 }
+              j += 65
+            }
+          case 0xc4 => // DHT
+            var j = seg
+            while (j < i + 2 + len) {
+              val tc = u(b, j) >> 4; val th = u(b, j) & 15
+              if (tc > 1 || th > 3 || j + 17 > i + 2 + len) return null
+              val bits = Array.tabulate(16)(k => u(b, j + 1 + k))
+              val n = bits.sum
+              if (j + 17 + n > i + 2 + len || n > 256) return null
+              val vals = Array.tabulate(n)(k => u(b, j + 17 + k))
+              if (tc == 0) dcT(th) = new Huff(bits, vals)
+              else acT(th) = new Huff(bits, vals)
+              j += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if (u(b, seg) != 8) return null // 8-bit only
+            h = be16(b, seg + 1); w = be16(b, seg + 3)
+            nComp = u(b, seg + 5)
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return null
+            if (nComp != 1 && nComp != 3) return null
+            var c = 0
+            while (c < nComp) {
+              val o = seg + 6 + 3 * c
+              if (u(b, o + 1) != 0x11) return null // 4:4:4 / no subsampling
+              compQ(c) = u(b, o + 2)
+              c += 1
+            }
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return null // non-baseline frame types unsupported
+          case 0xdd => // DRI
+            restartInterval = be16(b, seg)
+          case 0xda => // SOS
+            val ns = u(b, seg)
+            if (ns != nComp || nComp == 0) return null
+            var c = 0
+            while (c < ns) {
+              val o = seg + 1 + 2 * c
+              compDc(c) = u(b, o + 1) >> 4
+              compAc(c) = u(b, o + 1) & 15
+              c += 1
+            }
+            sos = i + 2 + len
+          case _ => () // APPn/COM/etc: skip
+        }
+        i += 2 + len
+      }
+    }
+    // validate referenced tables exist
+    var c = 0
+    while (c < nComp) {
+      if (dcT(compDc(c)) == null || acT(compAc(c)) == null) return null
+      c += 1
+    }
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new Array[Int](w * h * (if (nComp == 3) 3 else 1))
+    val comps = Array.ofDim[Int](nComp, w * h) // component planes, clamped later
+    val r = new BitReader(b, sos)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    var mcu = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!r.restart()) return null
+          java.util.Arrays.fill(pred, 0)
+        }
+        var ci = 0
+        while (ci < nComp) {
+          java.util.Arrays.fill(coef, 0)
+          val t = dcT(compDc(ci)).decode(r)
+          if (t < 0 || t > 11) return null
+          val diffBits = receive(r, t)
+          if (diffBits == Int.MinValue) return null
+          pred(ci) += extend(diffBits, t)
+          coef(0) = pred(ci) * qt(compQ(ci))(0)
+          var k = 1
+          var eob = false
+          while (!eob && k < 64) {
+            val rs = acT(compAc(ci)).decode(r)
+            if (rs < 0) return null
+            val rr = rs >> 4; val s = rs & 15
+            if (s == 0) {
+              if (rr == 15) k += 16 else eob = true
+            } else {
+              k += rr
+              if (k > 63) return null
+              val vBits = receive(r, s)
+              if (vBits == Int.MinValue) return null
+              coef(Zigzag(k)) = extend(vBits, s) * qt(compQ(ci))(Zigzag(k))
+              k += 1
+            }
+          }
+          // IDCT
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var uu = 0
+                while (uu < 8) {
+                  val f = coef(v * 8 + uu)
+                  if (f != 0)
+                    sum += c0(uu) * c0(v) * f * CosT(x * 8 + uu) * CosT(y * 8 + v)
+                  uu += 1
+                }
+                v += 1
+              }
+              val px = math.round(sum / 4 + 128).toInt
+              block(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+              x += 1
+            }
+            y += 1
+          }
+          // place block (clip at image edge)
+          var yy = 0
+          while (yy < 8) {
+            val py = by * 8 + yy
+            if (py < h) {
+              var xx = 0
+              while (xx < 8) {
+                val px = bx * 8 + xx
+                if (px < w) comps(ci)(py * w + px) = block(yy * 8 + xx)
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    // color convert / copy out
+    if (nComp == 1) {
+      System.arraycopy(comps(0), 0, out, 0, w * h)
+      (w, h, 1, out)
+    } else {
+      var p = 0
+      while (p < w * h) {
+        val yv = comps(0)(p); val cb = comps(1)(p) - 128; val cr = comps(2)(p) - 128
+        def cl(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+        // fixed-point BT.601, the common libjpeg constants
+        out(3 * p) = cl(yv + ((91881L * cr + 32768) >> 16))
+        out(3 * p + 1) = cl(yv - ((22554L * cb + 46802L * cr + 32768) >> 16))
+        out(3 * p + 2) = cl(yv + ((116130L * cb + 32768) >> 16))
+        p += 1
+      }
+      (w, h, 3, out)
+    }
+  }
+
+  /** The shared pixel-stats contract over [[decodeJpeg]]. */
+  def parseJpegPixels(b: Array[Byte]): (Int, Int, Long, Long, Long, Long, Long, Long) = {
+    val d = decodeJpeg(b)
+    if (d == null) return null
+    val (w, h, ch, px) = d
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var lumaSum = 0L
+    var firstLuma = 0L
+    var p = 0
+    while (p < w * h) {
+      val r = if (ch == 1) px(p) else px(3 * p)
+      val g = if (ch == 1) px(p) else px(3 * p + 1)
+      val bl = if (ch == 1) px(p) else px(3 * p + 2)
+      sumR += r; sumG += g; sumB += bl
+      val luma = (77 * r + 150 * g + 29 * bl) >> 8
+      lumaSum += luma
+      if (p == 0) firstLuma = luma
+      p += 1
+    }
+    (w, h, w.toLong * h, sumR, sumG, sumB, lumaSum, firstLuma)
+  }
+
+  // ------------------------------------------------------------- encoder
+
+  /** Our DHT contents: fixed-length canonical Huffman — 12 DC categories at
+    * 5 bits, all 162 AC run/size symbols at 8 bits. Valid canonical tables
+    * (no code is all-ones), written into the file so decoder and encoder
+    * can never disagree. */
+  private val DcBits = Array(0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.tabulate(12)(identity)
+  private val AcVals: Array[Int] = {
+    val l = scala.collection.mutable.ArrayBuffer(0x00, 0xf0) // EOB, ZRL
+    for (rr <- 0 to 15; s <- 1 to 10) l += ((rr << 4) | s)
+    l.toArray // 162 symbols
+  }
+  private val AcBits = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  private final class HuffEnc(bits: Array[Int], vals: Array[Int]) {
+    val codeOf = new Array[Int](256)
+    val lenOf = new Array[Int](256)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        var n = 0
+        while (n < bits(l - 1)) {
+          codeOf(vals(k)) = code; lenOf(vals(k)) = l
+          code += 1; k += 1; n += 1
+        }
+        code <<= 1
+      }
+    }
+  }
+  private val DcEnc = new HuffEnc(DcBits, DcVals)
+  private val AcEnc = new HuffEnc(AcBits, AcVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        val b = ((acc >> (n - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // stuffing
+        n -= 8
+      }
+    }
+    def flush(): Unit = if (n > 0) { put(0x7f, 8 - n) } // pad with 1s
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Quant table: DC step 8 (block-constant exactness), AC step `acQ`. */
+  private def quantTable(acQ: Int): Array[Int] =
+    Array.tabulate(64)(i => if (i == 0) 8 else acQ)
+
+  /** Encode planes (each w*h, values 0..255) as baseline 4:4:4 (3 planes:
+    * Y,Cb,Cr pre-converted) or grayscale (1 plane). */
+  private def encodePlanes(w: Int, h: Int, planes: Array[Array[Int]],
+      acQ: Int): Array[Byte] = {
+    // baseline AC size categories stop at 10 bits; acQ >= 4 caps |F|/acQ
+    // at 512 so no coefficient can need category 11+
+    require(acQ >= 4 && acQ <= 255, s"acQ must be in [4, 255], got $acQ")
+    val nComp = planes.length
+    val q = quantTable(acQ)
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      wr(0xff, marker)
+      wr((body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    wr(0xff, 0xd8) // SOI
+    seg(0xdb, 0 +: Array.tabulate(64)(k => q(Zigzag(k)))) // DQT id 0
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nComp) ++
+      (0 until nComp).flatMap(c => Seq(c + 1, 0x11, 0))) // SOF0
+    seg(0xc4, Array(0x00) ++ DcBits ++ DcVals) // DHT DC 0
+    seg(0xc4, Array(0x10) ++ AcBits ++ AcVals) // DHT AC 0
+    seg(0xda, Array(nComp) ++ (0 until nComp).flatMap(c => Seq(c + 1, 0x00)) ++
+      Array(0, 63, 0)) // SOS
+    val bwteur = new BitWriter(out)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val pred = new Array[Int](nComp)
+    val blk = new Array[Double](64)
+    val coefQ = new Array[Int](64)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var ci = 0
+        while (ci < nComp) {
+          // gather (edge-replicated) block, level shift
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val py = math.min(by * 8 + y, h - 1)
+              val px = math.min(bx * 8 + x, w - 1)
+              blk(y * 8 + x) = planes(ci)(py * w + px) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          // FDCT + quantize
+          var v = 0
+          while (v < 8) {
+            var uu = 0
+            while (uu < 8) {
+              var sum = 0.0
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  sum += blk(yy * 8 + xx) * CosT(xx * 8 + uu) * CosT(yy * 8 + v)
+                  xx += 1
+                }
+                yy += 1
+              }
+              val f = 0.25 * c0(uu) * c0(v) * sum
+              coefQ(v * 8 + uu) = math.round(f / q(v * 8 + uu)).toInt
+              uu += 1
+            }
+            v += 1
+          }
+          // entropy encode: DC
+          val diff = coefQ(0) - pred(ci)
+          pred(ci) = coefQ(0)
+          val s = category(diff)
+          bwteur.put(DcEnc.codeOf(s), DcEnc.lenOf(s))
+          if (s > 0) {
+            val bitsV = if (diff >= 0) diff else diff + (1 << s) - 1
+            bwteur.put(bitsV, s)
+          }
+          // AC in zigzag
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val a = coefQ(Zigzag(k))
+            if (a == 0) run += 1
+            else {
+              while (run > 15) { bwteur.put(AcEnc.codeOf(0xf0), AcEnc.lenOf(0xf0)); run -= 16 }
+              val sz = category(a)
+              val sym = (run << 4) | sz
+              bwteur.put(AcEnc.codeOf(sym), AcEnc.lenOf(sym))
+              val bitsV = if (a >= 0) a else a + (1 << sz) - 1
+              bwteur.put(bitsV, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) bwteur.put(AcEnc.codeOf(0x00), AcEnc.lenOf(0x00)) // EOB
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bwteur.flush()
+    wr(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Grayscale baseline JPEG from a (x, y) → 0..255 generator. */
+  def buildJpegGray(w: Int, h: Int, acQ: Int = 16)(
+      px: (Int, Int) => Int): Array[Byte] = {
+    val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xff)
+    encodePlanes(w, h, Array(plane), acQ)
+  }
+
+  /** 4:4:4 color baseline JPEG from an RGB generator (BT.601 forward
+    * conversion with rounding). */
+  def buildJpegRgb(w: Int, h: Int, acQ: Int = 16)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val yP = new Array[Int](w * h); val cbP = new Array[Int](w * h)
+    val crP = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val (r, g, b) = px(i % w, i / w)
+      val y = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt
+      val cb = math.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128).toInt
+      val cr = math.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128).toInt
+      yP(i) = math.max(0, math.min(255, y))
+      cbP(i) = math.max(0, math.min(255, cb))
+      crP(i) = math.max(0, math.min(255, cr))
+      i += 1
+    }
+    encodePlanes(w, h, Array(yP, cbP, crP), acQ)
+  }
+}
+
+/** `jpeg_pixels(binary)` → the shared pixel-stats struct for baseline
+  * sequential JPEGs (8-bit, grayscale or 4:4:4) — REAL entropy decode:
+  * canonical Huffman, dequantize, IDCT, color convert, in pure JVM code
+  * inside whole-stage codegen. Null for progressive/subsampled/malformed
+  * payloads. */
+case class JpegPixels(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BmpPixels.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jpeg_pixels expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val p = JpegCodec.parseJpegPixels(payload.asInstanceOf[Array[Byte]])
+    if (p == null) null
+    else InternalRow(p._1, p._2, p._3, p._4, p._5, p._6, p._7, p._8)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jpegPixels", this, classOf[JpegPixels].getName)
+    val r = ctx.freshName("jpegPx")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JpegPixels =
+    copy(child = newChild)
+
+  override def prettyName: String = "jpeg_pixels"
+}
+
+object JpegPixels {
+  def jpegPixels(media: Column): Column =
+    GraftColumnShim.column(JpegPixels(GraftColumnShim.expression(media)))
+}

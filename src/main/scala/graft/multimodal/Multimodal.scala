@@ -47,16 +47,20 @@ object Multimodal {
       * filters inverted, [[graft.functions.ImageHeaders.parsePngPixels]]),
       * non-interlaced GIFs decode through our own LZW implementation
       * ([[graft.functions.GifCodec.parseGifPixels]] — Welch 1984, no
-      * library), and WAV PCM samples reduce to an exact energy Σa²
-      * ([[graft.functions.AudioHeaders.parsePcmStats]]). The STUB now
-      * covers only bodies that need a DCT/Huffman codec (JPEG pixels,
-      * MP4 tracks) — for those, deterministic fakes pin the plumbing:
-      * byte length, first code point, md5 head. */
+      * library), baseline JPEGs through our own Huffman+IDCT decoder
+      * ([[graft.functions.JpegCodec.decodeJpeg]] — ITU-T T.81), and WAV
+      * PCM samples reduce to an exact energy Σa²
+      * ([[graft.functions.AudioHeaders.parsePcmStats]]). EVERY image
+      * format now decodes for real; the STUB covers only video track
+      * payloads (H.264/H.265 — a genuine codec dependency), for which
+      * deterministic fakes pin the plumbing: byte length, first code
+      * point, md5 head. */
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
       val hdr = Option(graft.functions.ImageHeaders.parse(payload))
       val bmp = Option(graft.functions.ImageHeaders.parseBmpPixels(payload))
         .orElse(Option(graft.functions.ImageHeaders.parsePngPixels(payload)))
         .orElse(Option(graft.functions.GifCodec.parseGifPixels(payload)))
+        .orElse(Option(graft.functions.JpegCodec.parseJpegPixels(payload)))
       val pcm = Option(graft.functions.AudioHeaders.parsePcmStats(payload))
       MediaMeta(id, kind, payload.length.toLong,
         if (payload.isEmpty) -1

@@ -410,5 +410,56 @@ object Dataflow {
         .orderBy("media_id")
   }
 
-  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125)
+  /** x126: REAL entropy-coded decode #3 — baseline JPEG (ITU-T T.81).
+    * Each row becomes a spec-conformant grayscale baseline JPEG whose 8×8
+    * blocks are CONSTANT — a constant block is DC-only, and with DC quant
+    * step 8 the DCT→quantize→Huffman→decode path is EXACTLY invertible
+    * (DC = 8·(c−128), 8/8 divides evenly; AC coefficients are analytic
+    * zeros) — so the native `jpeg_pixels` expression must run real
+    * canonical-Huffman entropy decode + dequantize + IDCT and still land
+    * integer-exact. The oracle recomputes stats from the per-block gray
+    * formula; it never sees the JPEG bytes. Non-flat content is covered
+    * by JpegCodecSpec's bounded-error gates (lossy ⇒ not oracle-exact,
+    * by design). */
+  val x126 = DQ("x126_jpeg_pixel_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+      |                  CAST(8 * (doc_id % 2 + 1) AS INT) AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+      |         (doc_id * 17 + 41 * (ux.x // 8) + 97 * (uy.y // 8)) % 256 AS g
+      |  FROM d, unnest(generate_series(0, w - 1)) AS ux(x),
+      |       unnest(generate_series(0, h - 1)) AS uy(y))
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(g) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(g) AS BIGINT) AS sum_b,
+      |  CAST(sum((77 * g + 150 * g + 29 * g) // 256) AS BIGINT) AS luma_sum,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0
+      |           THEN (77 * g + 150 * g + 29 * g) // 256 END) AS BIGINT) AS first_luma
+      |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{JpegCodec, JpegPixels}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val w = (8 * (id % 3 + 1)).toInt
+          val h = (8 * (id % 2 + 1)).toInt
+          val payload = JpegCodec.buildJpegGray(w, h) { (x, y) =>
+            ((id * 17 + 41 * (x / 8) + 97 * (y / 8)) % 256).toInt
+          }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), JpegPixels.jpegPixels(col("media")).as("p"))
+        .select(col("media_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_px").as("n_px"), col("p.sum_r").as("sum_r"),
+          col("p.sum_g").as("sum_g"), col("p.sum_b").as("sum_b"),
+          col("p.luma_sum").as("luma_sum"), col("p.first_luma").as("first_luma"))
+        .orderBy("media_id")
+  }
+
+  val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
+    x126)
 }

@@ -202,7 +202,7 @@ object Pipelines {
     * route, don't lose). At 100 TB this is the admission step that
     * partitions a mixed media crawl by modality before any codec runs. */
   def mediaTriageStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{AudioHeader, BmpPixels, GifPixels, ImageHeader, PcmStats, PngPixels, VideoHeader}
+    import graft.functions.{AudioHeader, BmpPixels, GifPixels, ImageHeader, JpegPixels, PcmStats, PngPixels, VideoHeader}
     val files = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -212,13 +212,15 @@ object Pipelines {
       .withColumn("ih", ImageHeader.imageHeader(col("content")))
       .withColumn("ah", AudioHeader.audioHeader(col("content")))
       .withColumn("vh", VideoHeader.videoHeader(col("content")))
-      // body decode where the format permits it without a codec library:
-      // BMP, PNG (JDK Inflater + filter inversion), and GIF (own LZW
-      // decoder) pixel luma, PCM sample energy/clipping — null otherwise
+      // body decode — every image format decodes for real (BMP raw, PNG
+      // via JDK Inflater + filter inversion, GIF via our LZW, baseline
+      // JPEG via our Huffman+IDCT), PCM sample energy/clipping — null
+      // only for genuinely unsupported payloads
       .withColumn("bp", coalesce(
         BmpPixels.bmpPixels(col("content")),
         PngPixels.pngPixels(col("content")),
-        GifPixels.gifPixels(col("content"))))
+        GifPixels.gifPixels(col("content")),
+        JpegPixels.jpegPixels(col("content"))))
       .withColumn("ps", PcmStats.pcmStats(col("content")))
       .select(col("path"), col("length"),
         when(col("ih").isNotNull, "image")

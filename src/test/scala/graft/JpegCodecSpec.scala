@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JpegCodec
+
+/** Baseline JPEG codec: exact round-trip for block-constant images (the
+  * hash-gate contract), bounded error for arbitrary content, grayscale and
+  * 4:4:4 color, malformed degradation. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  test("zigzag table is the T.81 scan order (spot anchors + permutation)") {
+    val z = JpegCodec.Zigzag
+    assert(z.toSeq.sorted == (0 until 64))
+    assert(z(0) == 0 && z(1) == 1 && z(2) == 8 && z(3) == 16 && z(4) == 9)
+    assert(z(5) == 2 && z(63) == 63 && z(62) == 62)
+    // T.81 figure A.6 mid-table anchors
+    assert(z(35) == 56 && z(39) == 36 && z(20) == 40 && z(10) == 32)
+  }
+
+  test("block-constant grayscale round-trips EXACTLY at any block grid") {
+    for ((w, h) <- Seq((8, 8), (16, 8), (24, 16), (32, 32))) {
+      def gray(x: Int, y: Int): Int = (37 + 41 * (x / 8) + 97 * (y / 8)) % 256
+      val jpeg = JpegCodec.buildJpegGray(w, h)(gray)
+      val d = JpegCodec.decodeJpeg(jpeg)
+      assert(d != null, s"decode failed at ${w}x$h")
+      val (dw, dh, ch, px) = d
+      assert((dw, dh, ch) == ((w, h, 1)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == gray(x, y), s"pixel ($x,$y) at ${w}x$h")
+    }
+  }
+
+  test("arbitrary grayscale decodes within quantization error bounds") {
+    val w = 24; val h = 16
+    def gray(x: Int, y: Int): Int = (x * 11 + y * 7 + (x * y) % 31) % 256
+    // acQ=4: per-coefficient error <= 2; worst-case block error stays small
+    val jpeg = JpegCodec.buildJpegGray(w, h, acQ = 4)(gray)
+    val d = JpegCodec.decodeJpeg(jpeg)
+    assert(d != null)
+    val (_, _, _, px) = d
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxErr = math.max(maxErr, math.abs(px(y * w + x) - gray(x, y)))
+    assert(maxErr <= 16, s"max error $maxErr too large for acQ=4")
+  }
+
+  test("4:4:4 color: flat color blocks decode within YCbCr rounding error") {
+    val w = 16; val h = 16
+    def rgb(x: Int, y: Int): (Int, Int, Int) = {
+      val bx = x / 8; val by = y / 8
+      ((50 + 90 * bx + 30 * by) % 256, (200 - 60 * bx + 10 * by + 256) % 256,
+        (120 + 40 * bx + 70 * by) % 256)
+    }
+    val jpeg = JpegCodec.buildJpegRgb(w, h)(rgb)
+    val d = JpegCodec.decodeJpeg(jpeg)
+    assert(d != null)
+    val (dw, dh, ch, px) = d
+    assert((dw, dh, ch) == ((w, h, 3)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      val p = y * w + x
+      assert(math.abs(px(3 * p) - r) <= 2, s"R at ($x,$y)")
+      assert(math.abs(px(3 * p + 1) - g) <= 2, s"G at ($x,$y)")
+      assert(math.abs(px(3 * p + 2) - b) <= 2, s"B at ($x,$y)")
+    }
+  }
+
+  test("non-multiple-of-8 dims decode (edge-replicated padding clipped)") {
+    val w = 13; val h = 10
+    def gray(x: Int, y: Int): Int = (30 + 5 * (x / 8) + 11 * (y / 8)) % 256
+    val d = JpegCodec.decodeJpeg(JpegCodec.buildJpegGray(w, h)(gray))
+    assert(d != null)
+    val (dw, dh, _, px) = d
+    assert((dw, dh) == ((w, h)))
+    // block-constant content still exact: padding replicates the same value
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == gray(x, y))
+  }
+
+  test("malformed/unsupported payloads return null, never throw") {
+    val good = JpegCodec.buildJpegGray(16, 16)((x, y) => (x * y) % 256)
+    assert(JpegCodec.decodeJpeg(good) != null)
+    // truncated mid-entropy-data
+    assert(JpegCodec.decodeJpeg(good.take(good.length - 10)) == null)
+    // progressive frame marker (SOF2) instead of SOF0
+    val prog = good.clone()
+    val sof = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        if ((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0) at = i
+        else i += 1
+      }
+      at
+    }
+    prog(sof + 1) = 0xc2.toByte
+    assert(JpegCodec.decodeJpeg(prog) == null)
+    // not a JPEG at all
+    assert(JpegCodec.decodeJpeg("definitely not a jpeg".getBytes) == null)
+    assert(JpegCodec.decodeJpeg(Array[Byte]()) == null)
+    // corrupt entropy bytes: null or a decoded result, but never an exception
+    val corrupt = good.clone()
+    corrupt(good.length - 12) = (corrupt(good.length - 12) ^ 0x55).toByte
+    JpegCodec.decodeJpeg(corrupt)
+  }
+
+  test("stats contract agrees with BMP on the same block-constant pixels") {
+    import graft.functions.ImageHeaders
+    val w = 16; val h = 8
+    def gray(x: Int, y: Int): Int = (64 + 100 * (x / 8)) % 256
+    val fromJpeg = JpegCodec.parseJpegPixels(JpegCodec.buildJpegGray(w, h)(gray))
+    val fromBmp = ImageHeaders.parseBmpPixels(
+      ImageHeaders.buildBmp24(w, h, topDown = false)((x, y) =>
+        (gray(x, y), gray(x, y), gray(x, y))))
+    assert(fromJpeg == fromBmp)
+  }
+}
