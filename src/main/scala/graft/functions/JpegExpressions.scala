@@ -179,11 +179,13 @@ object JpegCodec {
             nComp = u(b, seg + 5)
             if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return null
             if (nComp != 1 && nComp != 3) return null
+            if (seg + 6 + 3 * nComp > i + 2 + len) return null
             var c = 0
             while (c < nComp) {
               val o = seg + 6 + 3 * c
               if (u(b, o + 1) != 0x11) return null // 4:4:4 / no subsampling
               compQ(c) = u(b, o + 2)
+              if (compQ(c) > 3) return null // quant table selector range
               c += 1
             }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
@@ -194,11 +196,13 @@ object JpegCodec {
           case 0xda => // SOS
             val ns = u(b, seg)
             if (ns != nComp || nComp == 0) return null
+            if (seg + 1 + 2 * ns > i + 2 + len) return null
             var c = 0
             while (c < ns) {
               val o = seg + 1 + 2 * c
               compDc(c) = u(b, o + 1) >> 4
               compAc(c) = u(b, o + 1) & 15
+              if (compDc(c) > 3 || compAc(c) > 3) return null // table selectors
               c += 1
             }
             sos = i + 2 + len

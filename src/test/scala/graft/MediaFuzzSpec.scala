@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{AudioHeaders, GifCodec, ImageHeaders, JpegCodec, VideoHeaders}
+
+/** Systematic crash-resistance fuzz over every media parser: random bytes,
+  * truncations of valid payloads at every prefix length, and byte-flip
+  * mutations of valid payloads. The contract under test is the dead-letter
+  * posture — ANY input must parse or return null; an exception in a watched
+  * directory would poison the triage stream (this is the failure class the
+  * round-5 review items were made of). */
+class MediaFuzzSpec extends AnyFunSuite {
+
+  private def parsers: Seq[(String, Array[Byte] => Any)] = Seq(
+    ("image_header", b => ImageHeaders.parse(b)),
+    ("bmp_pixels", b => ImageHeaders.parseBmpPixels(b)),
+    ("png_pixels", b => ImageHeaders.parsePngPixels(b)),
+    ("gif_pixels", b => GifCodec.parseGifPixels(b)),
+    ("jpeg_pixels", b => JpegCodec.parseJpegPixels(b)),
+    ("wav_header", b => AudioHeaders.parseWav(b)),
+    ("pcm_stats", b => AudioHeaders.parsePcmStats(b)),
+    ("video_header", b => VideoHeaders.parseMp4(b)))
+
+  private def validPayloads: Seq[Array[Byte]] = Seq(
+    ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
+    ImageHeaders.buildPngRgb(5, 4, _ % 5)((x, y) => (x * 9, y * 7, 3)),
+    GifCodec.buildGif(5, 4, Array((1, 2, 3), (4, 5, 6)),
+      Array.tabulate(20)(_ % 2)),
+    JpegCodec.buildJpegGray(16, 8)((x, y) => (x * y) % 256),
+    AudioHeaders.buildWav(1, 8000, 16, Array.tabulate(64)(_.toByte)),
+    VideoHeaders.buildMp4("isom", 1000, 5000, Array[Byte](1, 2, 3)),
+    AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)))
+
+  test("every parser survives pure random bytes") {
+    val rnd = new scala.util.Random(0xFADEDBEEFL)
+    for (_ <- 1 to 500; (name, p) <- parsers) {
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      try p(b)
+      catch { case e: Throwable => fail(s"$name threw on random bytes: $e") }
+    }
+  }
+
+  test("every parser survives every truncation of every valid payload") {
+    for (payload <- validPayloads; n <- 0 to payload.length;
+         (name, p) <- parsers) {
+      try p(payload.take(n))
+      catch { case e: Throwable =>
+        fail(s"$name threw on ${payload.length}-byte payload truncated to $n: $e")
+      }
+    }
+  }
+
+  test("every parser survives single-byte mutations of valid payloads") {
+    val rnd = new scala.util.Random(0x5EEDL)
+    for (payload <- validPayloads; _ <- 1 to 200; (name, p) <- parsers) {
+      val b = payload.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 + rnd.nextInt(255))).toByte
+      try p(b)
+      catch { case e: Throwable =>
+        fail(s"$name threw on mutation at byte $at of ${b.length}: $e")
+      }
+    }
+  }
+}
