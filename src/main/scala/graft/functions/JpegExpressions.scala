@@ -137,6 +137,7 @@ object JpegCodec {
     var w = 0; var h = 0; var nComp = 0
     val compQ = new Array[Int](3)
     val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
     var restartInterval = 0
     var i = 2
     var sos = -1
@@ -177,17 +178,22 @@ object JpegCodec {
             if (u(b, seg) != 8) return null // 8-bit only
             h = be16(b, seg + 1); w = be16(b, seg + 3)
             nComp = u(b, seg + 5)
-            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return null
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
             if (nComp != 1 && nComp != 3) return null
             if (seg + 6 + 3 * nComp > i + 2 + len) return null
             var c = 0
             while (c < nComp) {
               val o = seg + 6 + 3 * c
-              if (u(b, o + 1) != 0x11) return null // 4:4:4 / no subsampling
+              compH(c) = u(b, o + 1) >> 4
+              compV(c) = u(b, o + 1) & 15
+              // common baseline layouts: 4:4:4, 4:2:0, 4:2:2 (factors 1/2)
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                return null
               compQ(c) = u(b, o + 2)
               if (compQ(c) > 3) return null // quant table selector range
               c += 1
             }
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 } // sampling moot
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
             return null // non-baseline frame types unsupported
@@ -217,100 +223,128 @@ object JpegCodec {
       if (dcT(compDc(c)) == null || acT(compAc(c)) == null) return null
       c += 1
     }
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    // MCU geometry: interleaved scan covers 8·Hmax × 8·Vmax pixels per MCU,
+    // hi·vi blocks per component; planes are MCU-padded so block placement
+    // never bounds-checks, and chroma upsamples by index mapping at output.
+    var hMax = 1; var vMax = 1
+    var c2 = 0
+    while (c2 < nComp) {
+      hMax = math.max(hMax, compH(c2)); vMax = math.max(vMax, compV(c2))
+      c2 += 1
+    }
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeW = new Array[Int](nComp); val planeH = new Array[Int](nComp)
+    val comps = new Array[Array[Int]](nComp)
+    var c3 = 0
+    while (c3 < nComp) {
+      planeW(c3) = mcusX * 8 * compH(c3)
+      planeH(c3) = mcusY * 8 * compV(c3)
+      comps(c3) = new Array[Int](planeW(c3) * planeH(c3))
+      c3 += 1
+    }
     val out = new Array[Int](w * h * (if (nComp == 3) 3 else 1))
-    val comps = Array.ofDim[Int](nComp, w * h) // component planes, clamped later
     val r = new BitReader(b, sos)
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
     var mcu = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           if (!r.restart()) return null
           java.util.Arrays.fill(pred, 0)
         }
         var ci = 0
         while (ci < nComp) {
-          java.util.Arrays.fill(coef, 0)
-          val t = dcT(compDc(ci)).decode(r)
-          if (t < 0 || t > 11) return null
-          val diffBits = receive(r, t)
-          if (diffBits == Int.MinValue) return null
-          pred(ci) += extend(diffBits, t)
-          coef(0) = pred(ci) * qt(compQ(ci))(0)
-          var k = 1
-          var eob = false
-          while (!eob && k < 64) {
-            val rs = acT(compAc(ci)).decode(r)
-            if (rs < 0) return null
-            val rr = rs >> 4; val s = rs & 15
-            if (s == 0) {
-              if (rr == 15) k += 16 else eob = true
-            } else {
-              k += rr
-              if (k > 63) return null
-              val vBits = receive(r, s)
-              if (vBits == Int.MinValue) return null
-              coef(Zigzag(k)) = extend(vBits, s) * qt(compQ(ci))(Zigzag(k))
-              k += 1
-            }
-          }
-          // IDCT
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var sum = 0.0
-              var v = 0
-              while (v < 8) {
-                var uu = 0
-                while (uu < 8) {
-                  val f = coef(v * 8 + uu)
-                  if (f != 0)
-                    sum += c0(uu) * c0(v) * f * CosT(x * 8 + uu) * CosT(y * 8 + v)
-                  uu += 1
-                }
-                v += 1
+          var sb = 0
+          val nb = compH(ci) * compV(ci)
+          while (sb < nb) {
+            val bx2 = sb % compH(ci); val by2 = sb / compH(ci)
+            java.util.Arrays.fill(coef, 0)
+            val t = dcT(compDc(ci)).decode(r)
+            if (t < 0 || t > 11) return null
+            val diffBits = receive(r, t)
+            if (diffBits == Int.MinValue) return null
+            pred(ci) += extend(diffBits, t)
+            coef(0) = pred(ci) * qt(compQ(ci))(0)
+            var k = 1
+            var eob = false
+            while (!eob && k < 64) {
+              val rs = acT(compAc(ci)).decode(r)
+              if (rs < 0) return null
+              val rr = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (rr == 15) k += 16 else eob = true
+              } else {
+                k += rr
+                if (k > 63) return null
+                val vBits = receive(r, s)
+                if (vBits == Int.MinValue) return null
+                coef(Zigzag(k)) = extend(vBits, s) * qt(compQ(ci))(Zigzag(k))
+                k += 1
               }
-              val px = math.round(sum / 4 + 128).toInt
-              block(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
-              x += 1
             }
-            y += 1
-          }
-          // place block (clip at image edge)
-          var yy = 0
-          while (yy < 8) {
-            val py = by * 8 + yy
-            if (py < h) {
+            // IDCT
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var sum = 0.0
+                var v = 0
+                while (v < 8) {
+                  var uu = 0
+                  while (uu < 8) {
+                    val f = coef(v * 8 + uu)
+                    if (f != 0)
+                      sum += c0(uu) * c0(v) * f * CosT(x * 8 + uu) * CosT(y * 8 + v)
+                    uu += 1
+                  }
+                  v += 1
+                }
+                val px = math.round(sum / 4 + 128).toInt
+                block(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+                x += 1
+              }
+              y += 1
+            }
+            // place block into the MCU-padded plane (always in bounds)
+            val px0 = (mx * compH(ci) + bx2) * 8
+            val py0 = (my * compV(ci) + by2) * 8
+            var yy = 0
+            while (yy < 8) {
               var xx = 0
               while (xx < 8) {
-                val px = bx * 8 + xx
-                if (px < w) comps(ci)(py * w + px) = block(yy * 8 + xx)
+                comps(ci)((py0 + yy) * planeW(ci) + px0 + xx) = block(yy * 8 + xx)
                 xx += 1
               }
+              yy += 1
             }
-            yy += 1
+            sb += 1
           }
           ci += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    // color convert / copy out
+    // sample a component plane at full-res pixel (x, y): subsampled planes
+    // upsample by nearest-neighbor index mapping
+    @inline def samp(ci: Int, x: Int, y: Int): Int =
+      comps(ci)((y * compV(ci) / vMax) * planeW(ci) + (x * compH(ci) / hMax))
     if (nComp == 1) {
-      System.arraycopy(comps(0), 0, out, 0, w * h)
+      var p = 0
+      while (p < w * h) { out(p) = samp(0, p % w, p / w); p += 1 }
       (w, h, 1, out)
     } else {
       var p = 0
       while (p < w * h) {
-        val yv = comps(0)(p); val cb = comps(1)(p) - 128; val cr = comps(2)(p) - 128
+        val x = p % w; val y = p / w
+        val yv = samp(0, x, y)
+        val cb = samp(1, x, y) - 128; val cr = samp(2, x, y) - 128
         def cl(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
         // fixed-point BT.601, the common libjpeg constants
         out(3 * p) = cl(yv + ((91881L * cr + 32768) >> 16))
@@ -400,14 +434,20 @@ object JpegCodec {
   private def quantTable(acQ: Int): Array[Int] =
     Array.tabulate(64)(i => if (i == 0) 8 else acQ)
 
-  /** Encode planes (each w*h, values 0..255) as baseline 4:4:4 (3 planes:
-    * Y,Cb,Cr pre-converted) or grayscale (1 plane). */
+  /** Encode planes as baseline JPEG — grayscale (1 plane), 4:4:4 (3
+    * full-res planes), or subsampled (per-component sampling factors;
+    * plane c has dims ceil(w·hᵢ/Hmax) × ceil(h·vᵢ/Vmax)). Interleaved MCU
+    * scan mirroring the decoder. */
   private def encodePlanes(w: Int, h: Int, planes: Array[Array[Int]],
-      acQ: Int): Array[Byte] = {
+      acQ: Int, sampling: Array[(Int, Int)] = null): Array[Byte] = {
     // baseline AC size categories stop at 10 bits; acQ >= 4 caps |F|/acQ
     // at 512 so no coefficient can need category 11+
     require(acQ >= 4 && acQ <= 255, s"acQ must be in [4, 255], got $acQ")
     val nComp = planes.length
+    val samp = if (sampling == null) Array.fill(nComp)((1, 1)) else sampling
+    val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+    val pW = Array.tabulate(nComp)(c => (w * samp(c)._1 + hMax - 1) / hMax)
+    val pH = Array.tabulate(nComp)(c => (h * samp(c)._2 + vMax - 1) / vMax)
     val q = quantTable(acQ)
     val out = new java.io.ByteArrayOutputStream()
     def wr(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
@@ -419,30 +459,36 @@ object JpegCodec {
     wr(0xff, 0xd8) // SOI
     seg(0xdb, 0 +: Array.tabulate(64)(k => q(Zigzag(k)))) // DQT id 0
     seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nComp) ++
-      (0 until nComp).flatMap(c => Seq(c + 1, 0x11, 0))) // SOF0
+      (0 until nComp).flatMap(c =>
+        Seq(c + 1, (samp(c)._1 << 4) | samp(c)._2, 0))) // SOF0
     seg(0xc4, Array(0x00) ++ DcBits ++ DcVals) // DHT DC 0
     seg(0xc4, Array(0x10) ++ AcBits ++ AcVals) // DHT AC 0
     seg(0xda, Array(nComp) ++ (0 until nComp).flatMap(c => Seq(c + 1, 0x00)) ++
       Array(0, 63, 0)) // SOS
     val bwteur = new BitWriter(out)
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     val pred = new Array[Int](nComp)
     val blk = new Array[Double](64)
     val coefQ = new Array[Int](64)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         var ci = 0
         while (ci < nComp) {
-          // gather (edge-replicated) block, level shift
+          var sb = 0
+          val nb = samp(ci)._1 * samp(ci)._2
+          while (sb < nb) {
+          val bx2 = sb % samp(ci)._1; val by2 = sb / samp(ci)._1
+          // gather (edge-replicated) block from this component's plane
           var y = 0
           while (y < 8) {
             var x = 0
             while (x < 8) {
-              val py = math.min(by * 8 + y, h - 1)
-              val px = math.min(bx * 8 + x, w - 1)
-              blk(y * 8 + x) = planes(ci)(py * w + px) - 128.0
+              val py = math.min((my * samp(ci)._2 + by2) * 8 + y, pH(ci) - 1)
+              val px = math.min((mx * samp(ci)._1 + bx2) * 8 + x, pW(ci) - 1)
+              blk(y * 8 + x) = planes(ci)(py * pW(ci) + px) - 128.0
               x += 1
             }
             y += 1
@@ -495,11 +541,13 @@ object JpegCodec {
             k += 1
           }
           if (run > 0) bwteur.put(AcEnc.codeOf(0x00), AcEnc.lenOf(0x00)) // EOB
+          sb += 1
+          }
           ci += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     bwteur.flush()
     wr(0xff, 0xd9) // EOI
@@ -513,10 +561,8 @@ object JpegCodec {
     encodePlanes(w, h, Array(plane), acQ)
   }
 
-  /** 4:4:4 color baseline JPEG from an RGB generator (BT.601 forward
-    * conversion with rounding). */
-  def buildJpegRgb(w: Int, h: Int, acQ: Int = 16)(
-      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+  private def toYCbCr(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): (Array[Int], Array[Int], Array[Int]) = {
     val yP = new Array[Int](w * h); val cbP = new Array[Int](w * h)
     val crP = new Array[Int](w * h)
     var i = 0
@@ -530,7 +576,41 @@ object JpegCodec {
       crP(i) = math.max(0, math.min(255, cr))
       i += 1
     }
+    (yP, cbP, crP)
+  }
+
+  /** 4:4:4 color baseline JPEG from an RGB generator (BT.601 forward
+    * conversion with rounding). */
+  def buildJpegRgb(w: Int, h: Int, acQ: Int = 16)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val (yP, cbP, crP) = toYCbCr(w, h, px)
     encodePlanes(w, h, Array(yP, cbP, crP), acQ)
+  }
+
+  /** 4:2:0 color baseline JPEG (the dominant real-world layout): luma
+    * full-res at 2×2 sampling, chroma averaged over 2×2 neighborhoods
+    * (edge-clamped) at 1×1. */
+  def buildJpegRgb420(w: Int, h: Int, acQ: Int = 16)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val (yP, cbP, crP) = toYCbCr(w, h, px)
+    val cw = (w + 1) / 2; val chh = (h + 1) / 2
+    def sub(full: Array[Int]): Array[Int] = Array.tabulate(cw * chh) { i =>
+      val cx = i % cw; val cy = i / cw
+      var sum = 0; var n = 0
+      var dy = 0
+      while (dy < 2) {
+        var dx = 0
+        while (dx < 2) {
+          val x = 2 * cx + dx; val y = 2 * cy + dy
+          if (x < w && y < h) { sum += full(y * w + x); n += 1 }
+          dx += 1
+        }
+        dy += 1
+      }
+      (sum + n / 2) / n
+    }
+    encodePlanes(w, h, Array(yP, sub(cbP), sub(crP)), acQ,
+      Array((2, 2), (1, 1), (1, 1)))
   }
 }
 

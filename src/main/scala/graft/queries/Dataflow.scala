@@ -460,6 +460,56 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x127: the 4:2:0 SUBSAMPLED JPEG path — the dominant real-world JPEG
+    * layout (luma 2×2, chroma 1×1; interleaved MCUs of four Y blocks plus
+    * one Cb and one Cr). Rows become color 4:2:0 JPEGs whose 16×16
+    * macroblocks are constant with r=g=b: Y is exactly the gray value,
+    * Cb=Cr are exactly 128 (BT.601 coefficients sum to 0), chroma
+    * averaging over a constant macroblock is the identity — so the FULL
+    * color pipeline (subsampled MCU interleave, nearest-neighbor chroma
+    * upsample, fixed-point YCbCr→RGB) must land integer-exact for
+    * `jpeg_pixels` to hash-match the oracle's per-macroblock formula.
+    * Lossy non-flat content is JpegCodecSpec territory, by design. */
+  val x127 = DQ("x127_jpeg420_pixel_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(16 * (doc_id % 2 + 1) AS INT) AS w,
+      |                  CAST(16 * (doc_id % 3 + 1) AS INT) AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+      |         (doc_id * 23 + 53 * (ux.x // 16) + 71 * (uy.y // 16)) % 256 AS g
+      |  FROM d, unnest(generate_series(0, w - 1)) AS ux(x),
+      |       unnest(generate_series(0, h - 1)) AS uy(y))
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(g) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(g) AS BIGINT) AS sum_b,
+      |  CAST(sum((77 * g + 150 * g + 29 * g) // 256) AS BIGINT) AS luma_sum,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0
+      |           THEN (77 * g + 150 * g + 29 * g) // 256 END) AS BIGINT) AS first_luma
+      |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{JpegCodec, JpegPixels}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val w = (16 * (id % 2 + 1)).toInt
+          val h = (16 * (id % 3 + 1)).toInt
+          val payload = JpegCodec.buildJpegRgb420(w, h) { (x, y) =>
+            val v = ((id * 23 + 53 * (x / 16) + 71 * (y / 16)) % 256).toInt
+            (v, v, v)
+          }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), JpegPixels.jpegPixels(col("media")).as("p"))
+        .select(col("media_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_px").as("n_px"), col("p.sum_r").as("sum_r"),
+          col("p.sum_g").as("sum_g"), col("p.sum_b").as("sum_b"),
+          col("p.luma_sum").as("luma_sum"), col("p.first_luma").as("first_luma"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126)
+    x126, x127)
 }

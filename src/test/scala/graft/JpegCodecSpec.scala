@@ -78,6 +78,45 @@ class JpegCodecSpec extends AnyFunSuite {
       assert(px(y * w + x) == gray(x, y))
   }
 
+  test("4:2:0: MCU-constant gray-valued RGB round-trips EXACTLY") {
+    // per-16x16-macroblock constant v with r=g=b=v: Y=v exactly, Cb=Cr=128
+    // exactly (coefficients sum to 0/1), chroma averaging over a constant
+    // macroblock is the identity — so the whole subsampled path is DC-only
+    // and integer-exact end to end
+    val w = 32; val h = 16
+    def v(x: Int, y: Int): Int = (25 + 70 * (x / 16) + 110 * (y / 16)) % 256
+    val jpeg = JpegCodec.buildJpegRgb420(w, h)((x, y) => (v(x, y), v(x, y), v(x, y)))
+    val d = JpegCodec.decodeJpeg(jpeg)
+    assert(d != null)
+    val (dw, dh, ch, px) = d
+    assert((dw, dh, ch) == ((w, h, 3)))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(px(3 * (y * w + x) + c) == v(x, y), s"($x,$y) ch$c")
+  }
+
+  test("4:2:0: arbitrary color decodes within subsampling+quantization bounds") {
+    val w = 24; val h = 24
+    // clamped (not wrapping) gradients: a % 256 wrap is a 256-step cliff
+    // that chroma averaging legitimately smears
+    def rgb(x: Int, y: Int): (Int, Int, Int) =
+      (math.min(255, x * 10 + 40), math.min(255, y * 9 + 80),
+        math.min(255, (x + y) * 5 + 120))
+    val d = JpegCodec.decodeJpeg(JpegCodec.buildJpegRgb420(w, h, acQ = 4)(rgb))
+    assert(d != null)
+    val (_, _, _, px) = d
+    // smooth gradients: chroma subsampling error is bounded by the local
+    // chroma slope (~±10 per channel here), luma by quantization (~±4)
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      val p = y * w + x
+      worst = math.max(worst, math.abs(px(3 * p) - r))
+      worst = math.max(worst, math.abs(px(3 * p + 1) - g))
+      worst = math.max(worst, math.abs(px(3 * p + 2) - b))
+    }
+    assert(worst <= 24, s"worst channel error $worst")
+  }
+
   test("malformed/unsupported payloads return null, never throw") {
     val good = JpegCodec.buildJpegGray(16, 16)((x, y) => (x * y) % 256)
     assert(JpegCodec.decodeJpeg(good) != null)
