@@ -2202,8 +2202,52 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x128: language↔token mutual information — the corpus-composition
+    * diagnostic behind mixture rebalancing (high MI = languages have
+    * disjoint vocabularies; MI near 0 = the lang labels explain nothing
+    * about token choice — a label-quality smell). Surfaced per language as
+    * I(L;T) partial sums: mi_lang = Σ_t p(l,t)·ln(p(l,t)/(p(l)p(t))),
+    * which sums across rows to the corpus MI. One token pass builds the
+    * joint (lang, tok) counts (map-side combining → the exchange carries
+    * O(langs × vocab), never the corpus); the two marginals re-aggregate
+    * from the JOINT frame (O(langs×vocab) rows, not a second scan), and
+    * the tiny marginal frames broadcast back. The 6-dp round absorbs the
+    * per-lang float-sum ulps as in x109/x117. */
+  val x128 = DQ("x128_lang_token_mi", Some(
+    """WITH toks AS (
+      |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                  x -> x <> '')) AS tok
+      |  FROM documents),
+      |lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+      |ml AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
+      |mt AS (SELECT tok, CAST(sum(n) AS BIGINT) AS nt FROM lt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM lt)
+      |SELECT lt.lang, CAST(ml.nl AS BIGINT) AS n_toks,
+      |       round(sum((CAST(lt.n AS DOUBLE) / total) *
+      |                 ln(CAST(lt.n AS DOUBLE) * total /
+      |                    (CAST(ml.nl AS DOUBLE) * mt.nt))), 6) AS mi_part
+      |FROM lt JOIN ml USING (lang) JOIN mt USING (tok) CROSS JOIN tot
+      |GROUP BY lt.lang, ml.nl ORDER BY lt.lang""".stripMargin)) {
+    (spark, dir) =>
+      val lt = spread(table(spark, dir, "documents"))
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val ml = lt.groupBy("lang").agg(sum("n").as("nl"))
+      val mt = lt.groupBy("tok").agg(sum("n").as("nt"))
+      val tot = lt.agg(sum("n").as("total"))
+      lt.join(broadcast(ml), "lang")
+        .join(broadcast(mt), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("lang"), col("nl").as("n_toks"))
+        .agg(round(sum((col("n").cast("double") / col("total")) *
+          log(col("n").cast("double") * col("total") /
+            (col("nl").cast("double") * col("nt")))), 6).as("mi_part"))
+        .orderBy("lang")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
-    x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121)
+    x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
+    x128)
 }
