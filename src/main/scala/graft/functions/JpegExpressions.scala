@@ -612,6 +612,21 @@ object JpegCodec {
     encodePlanes(w, h, Array(yP, sub(cbP), sub(crP)), acQ,
       Array((2, 2), (1, 1), (1, 1)))
   }
+
+  /** 4:2:2: chroma halved horizontally only (the broadcast/video-frame
+    * layout; MCU = two Y blocks + Cb + Cr side by side). */
+  def buildJpegRgb422(w: Int, h: Int, acQ: Int = 16)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val (yP, cbP, crP) = toYCbCr(w, h, px)
+    val cw = (w + 1) / 2
+    def sub(full: Array[Int]): Array[Int] = Array.tabulate(cw * h) { i =>
+      val cx = i % cw; val y = i / cw
+      val x0 = 2 * cx; val x1 = math.min(2 * cx + 1, w - 1)
+      (full(y * w + x0) + full(y * w + x1) + 1) / 2
+    }
+    encodePlanes(w, h, Array(yP, sub(cbP), sub(crP)), acQ,
+      Array((2, 1), (1, 1), (1, 1)))
+  }
 }
 
 /** `jpeg_pixels(binary)` → the shared pixel-stats struct for baseline

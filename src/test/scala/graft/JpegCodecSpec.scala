@@ -117,6 +117,19 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 24, s"worst channel error $worst")
   }
 
+  test("4:2:2: MCU-constant gray-valued RGB round-trips EXACTLY") {
+    // 4:2:2 MCU covers 16x8; constant 16x8 tiles keep every plane DC-only
+    val w = 32; val h = 24
+    def v(x: Int, y: Int): Int = (40 + 55 * (x / 16) + 85 * (y / 8)) % 256
+    val d = JpegCodec.decodeJpeg(
+      JpegCodec.buildJpegRgb422(w, h)((x, y) => (v(x, y), v(x, y), v(x, y))))
+    assert(d != null)
+    val (dw, dh, ch, px) = d
+    assert((dw, dh, ch) == ((w, h, 3)))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(px(3 * (y * w + x) + c) == v(x, y), s"($x,$y) ch$c")
+  }
+
   test("malformed/unsupported payloads return null, never throw") {
     val good = JpegCodec.buildJpegGray(16, 16)((x, y) => (x * y) % 256)
     assert(JpegCodec.decodeJpeg(good) != null)

@@ -40,6 +40,16 @@ class MediaTriageStreamSpec extends AnyFunSuite {
     val square = Array.tabulate[Byte](100)(i => if (i % 2 == 0) 0 else -1) // 0x00/0xff
     Files.write(new java.io.File(dir, "g.wav").toPath,
       AudioHeaders.buildWav(1, 8000, 8, square))
+    // entropy-coded bodies that decode for REAL: an all-gray-100 4x4 PNG
+    // (luma (77+150+29)*100>>8 = 100 per px), a 2-px 2-color GIF, and an
+    // 8x8 constant-64 grayscale JPEG
+    Files.write(new java.io.File(dir, "h.png").toPath,
+      ImageHeaders.buildPngRgb(4, 4, _ % 5)((_, _) => (100, 100, 100)))
+    Files.write(new java.io.File(dir, "i.gif").toPath,
+      graft.functions.GifCodec.buildGif(2, 1,
+        Array((255, 255, 255), (0, 0, 0)), Array(0, 1)))
+    Files.write(new java.io.File(dir, "j.jpg").toPath,
+      graft.functions.JpegCodec.buildJpegGray(8, 8)((_, _) => 64))
 
     val q = Pipelines.mediaTriageStream(spark, dir.getAbsolutePath)
       .writeStream.format("memory").queryName("triage")
@@ -54,7 +64,10 @@ class MediaTriageStreamSpec extends AnyFunSuite {
         if (r.isNullAt(7)) -1L else r.getLong(7))
     }.toMap
     assert(rows.keySet == Set("a.png", "b.jpg", "c.wav", "d.mp4", "e.txt",
-      "f.bmp", "g.wav"))
+      "f.bmp", "g.wav", "h.png", "i.gif", "j.jpg"))
+    assert(rows("h.png") == (("image", "png", 4, -1L)))
+    assert(rows("i.gif") == (("image", "gif", 2, -1L)))
+    assert(rows("j.jpg") == (("image", "jpeg", 8, -1L)))
     assert(rows("a.png") == (("image", "png", 640, -1L)))
     assert(rows("b.jpg") == (("image", "jpeg", 1920, -1L)))
     assert(rows("c.wav") == (("audio", "wav", null, 1000000L)))
@@ -71,6 +84,10 @@ class MediaTriageStreamSpec extends AnyFunSuite {
     }.toMap
     assert(decoded("f.bmp") == ((4L * 255, -1, -1L)))
     assert(decoded("g.wav") == ((-1L, 128, 100L)))
+    // entropy-coded images decode through the real inflate/LZW/Huffman paths
+    assert(decoded("h.png") == ((16L * 100, -1, -1L)))
+    assert(decoded("i.gif") == ((255L, -1, -1L))) // white px luma 255, black 0
+    assert(decoded("j.jpg") == ((64L * 64, -1, -1L)))
     assert(decoded("c.wav") == ((-1L, 0, 0L))) // all-zero PCM: silent, no clip
     assert(decoded("e.txt") == ((-1L, -1, -1L)))
   }

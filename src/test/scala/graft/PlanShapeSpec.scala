@@ -190,6 +190,72 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan(graft.queries.Dataflow.x108).contains("pcm_stats"))
   }
 
+  test("round-6 media body-decode queries: spread + native expression only") {
+    for ((dq, fn) <- Seq(
+        (graft.queries.Dataflow.x123, "png_pixels"),
+        (graft.queries.Dataflow.x125, "gif_pixels"),
+        (graft.queries.Dataflow.x126, "jpeg_pixels"),
+        (graft.queries.Dataflow.x127, "jpeg_pixels"))) {
+      val p = plan(dq)
+      assert(!p.contains("hashpartitioning"),
+        s"${dq.name} should be spread + in-row decode + range sort only:\n$p")
+      assert(!p.contains("Join"), s"${dq.name} must not join:\n$p")
+      assert(p.contains(fn), s"${dq.name} must decode via the native $fn:\n$p")
+    }
+  }
+
+  test("x119 JL projection is pure map work — zero Exchange of any kind " +
+      "before the output sort") {
+    val p = plan(graft.queries.Similarity.x119)
+    // the sign matrix enters as literals; the only exchanges allowed are
+    // the spread round-robin and the final range sort
+    assert(!p.contains("hashpartitioning"),
+      s"x119 must not hash-exchange anything:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"x119 must not join or window:\n$p")
+  }
+
+  test("x121 within-doc scrub is in-row: no join, no window, no hash exchange") {
+    val p = plan(graft.queries.TextOps.x121)
+    assert(!p.contains("hashpartitioning"), s"x121 must stay in-row:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"x121 must not join or window:\n$p")
+  }
+
+  test("x113/x114 global orderings route through the two-pass rank (no " +
+      "single-partition window over the corpus)") {
+    for (dq <- Seq(TextOps.x113, TextOps.x114)) {
+      val p = plan(dq)
+      // globalRank's within-partition window keys on the partition id;
+      // an empty-partition-spec window over the data would print as
+      // 'Window [...]' with no partition column and a SinglePartition
+      // exchange directly below a full scan — assert the cheap proxy:
+      // every SinglePartition exchange feeds from the ≤32-row offsets
+      // aggregate (sum of counts), never a corpus-wide subtree
+      val lines = p.linesIterator.toSeq
+      val single = lines.count(_.contains("Exchange SinglePartition"))
+      assert(p.contains("_gr_pid") || single == 0,
+        s"${dq.name} lost the two-pass rank shape:\n$p")
+    }
+  }
+
+  test("x116 packing layout range-partitions by doc_id (distributed prefix " +
+      "sum), never a global-order window over the corpus") {
+    val p = plan(TextOps.x116)
+    assert(p.contains("rangepartitioning"),
+      s"x116 must range-partition for the prefix-sum pass:\n$p")
+    assert(p.contains("_cs_pid"),
+      s"x116 must carry the partition-id cumsum shape:\n$p")
+  }
+
+  test("x120 BPE apply broadcasts the merge table; encode folds in-row") {
+    val p = plan(TextOps.x120)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"x120 must broadcast the 1-row merge array:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x120 must not shuffle-join the corpus against merges:\n$p")
+  }
+
   test("x105 seed selection is a parallel top-k, not a global window") {
     // regression for the last single-partition stage any declared query
     // had: seeds must come from orderBy+limit (TakeOrderedAndProject —
