@@ -136,6 +136,23 @@ object Sketches {
     }
   }
 
+  /** [[Kmv]] variant surfacing the raw sketch STATE (the k minimum hashes)
+    * instead of the collapsed estimate — the form set algebra needs: states
+    * combine across groups (union = merged minima, intersection share =
+    * overlap within the union's k smallest), where finished numbers cannot.
+    * Same reduce/merge, so every partition-invariance property carries. */
+  final class KmvValues(k: Int)
+      extends Aggregator[String, KmvState, Seq[Long]] {
+    private val inner = new Kmv(k)
+    override def zero: KmvState = inner.zero
+    override def reduce(s: KmvState, item: String): KmvState = inner.reduce(s, item)
+    override def merge(a: KmvState, b: KmvState): KmvState = inner.merge(a, b)
+    override def finish(s: KmvState): Seq[Long] = s.values
+    override def bufferEncoder: Encoder[KmvState] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005): a depth×width
     * grid of counters; each item increments one counter per row (row-seeded
     * hash), a point query reads the MINIMUM across rows. Estimates only ever

@@ -917,7 +917,93 @@ object Breadth {
         .orderBy("l_suppkey", "rk")
   }
 
+  /** x129: KMV set ALGEBRA — the capability that picked KMV over HLL in
+    * x95, exercised for real: per-language bigram sketches
+    * ([[graft.batch.Sketches.KmvValues]] surfaces the raw k-minima states)
+    * combine pairwise into union-distinct and Jaccard ESTIMATES — the
+    * "how much does corpus A overlap corpus B" question answered from
+    * O(k) state per side, no co-shuffle of the corpora (at 100 TB the two
+    * sides can live in different lakes; only 2·k hashes meet). Sketch
+    * internals are engine-specific (MurmurHash3), so the DECLARED query is
+    * the accuracy audit (x95/x24 pattern): exact per-pair union/Jaccard
+    * recomputed corpus-side, `ok_union` pins the union estimate within
+    * 20%, `ok_jaccard` the Jaccard within 0.15 absolute (k=256 → ~6%
+    * typical), and the oracle reproduces the exact values + all-TRUE
+    * verdicts. Pair metrics evaluate as array expressions over the 10
+    * combined rows — no UDF, no driver math. */
+  val x129 = DQ("x129_kmv_setops", Some(
+    """WITH t AS (SELECT lang,
+      |             list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+      |           FROM documents),
+      |g AS (SELECT DISTINCT lang, l[i] || ' ' || l[i+1] AS g
+      |      FROM t, unnest(range(1, len(l))) AS u(i) WHERE len(l) > 1),
+      |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY 1),
+      |inter AS (
+      |  SELECT x.lang AS l1, y.lang AS l2, CAST(count(*) AS BIGINT) AS ni
+      |  FROM g x JOIN g y ON x.g = y.g AND x.lang < y.lang GROUP BY 1, 2),
+      |p AS (SELECT a.lang AS l1, b.lang AS l2, a.nd AS nd1, b.nd AS nd2
+      |      FROM nl a JOIN nl b ON a.lang < b.lang)
+      |SELECT p.l1, p.l2,
+      |       CAST(p.nd1 + p.nd2 - coalesce(i.ni, 0) AS BIGINT) AS n_union,
+      |       round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+      |             (p.nd1 + p.nd2 - coalesce(i.ni, 0)), 6) AS jaccard,
+      |       TRUE AS ok_union, TRUE AS ok_jaccard
+      |FROM p LEFT JOIN inter i ON p.l1 = i.l1 AND p.l2 = i.l2
+      |ORDER BY p.l1, p.l2""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      val K = 256
+      val toks = spread(table(spark, dir, "documents"))
+        .select(col("lang"), Core.tokens(col("text")).as("l"))
+        .filter(size(col("l")) > 1)
+        .select(col("lang"), explode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          expr("slice(l, 2, size(l) - 1)"),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+      val sk = toks.as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.batch.Sketches.KmvValues(K).toColumn.name("sk"))
+        .toDF("lang", "sk")
+      // 5 sketch rows self-pair (l1 < l2): 10 rows, broadcast by design
+      val pairs = sk.select(col("lang").as("l1"), col("sk").as("sa"))
+        .join(broadcast(sk.select(col("lang").as("l2"), col("sk").as("sb"))),
+          col("l1") < col("l2"))
+        .withColumn("u", expr(s"slice(array_sort(array_distinct(concat(sa, sb))), 1, $K)"))
+        .withColumn("est_union",
+          when(size(col("u")) < K, size(col("u")).cast("double"))
+            .otherwise(lit((K - 1).toDouble) /
+              ((element_at(col("u"), K).cast("double") + 1.0) /
+                Long.MaxValue.toDouble)))
+        .withColumn("est_j",
+          when(size(col("u")) === 0, lit(0.0))
+            .otherwise(size(expr(
+              "filter(u, h -> array_contains(sa, h) AND array_contains(sb, h))"))
+              .cast("double") / size(col("u"))))
+        .select("l1", "l2", "est_union", "est_j")
+      // exact side: distinct (lang, bigram) sets, pair intersections
+      val sets = toks.distinct()
+      val nl = sets.groupBy("lang").agg(count(lit(1)).as("nd"))
+      val inter = sets.select(col("lang").as("l1"), col("g"))
+        .join(sets.select(col("lang").as("l2"), col("g")), Seq("g"))
+        .filter(col("l1") < col("l2"))
+        .groupBy("l1", "l2").agg(count(lit(1)).as("ni"))
+      val exact = nl.select(col("lang").as("l1"), col("nd").as("nd1"))
+        .join(broadcast(nl.select(col("lang").as("l2"), col("nd").as("nd2"))),
+          col("l1") < col("l2"))
+        .join(broadcast(inter), Seq("l1", "l2"), "left_outer")
+        .withColumn("ni", coalesce(col("ni"), lit(0L)))
+        .withColumn("n_union", col("nd1") + col("nd2") - col("ni"))
+        .withColumn("jaccard",
+          round(col("ni").cast("double") / col("n_union"), 6))
+      exact.join(broadcast(pairs), Seq("l1", "l2"))
+        .select(col("l1"), col("l2"), col("n_union"), col("jaccard"),
+          (abs(col("est_union") / col("n_union") - 1.0) <= 0.20).as("ok_union"),
+          (abs(col("est_j") - col("ni").cast("double") / col("n_union")) <= 0.15)
+            .as("ok_jaccard"))
+        .orderBy("l1", "l2")
+  }
+
   val all: Seq[DQ] = Seq(x72, x73, x74, x75, x76, x77, x78, x79, x80, x81,
     x82, x83, x84, x85, x86, x87, x89, x90, x91, x92, x95, x96, x97, x98, x99,
-    x101)
+    x101, x129)
 }

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x120_bpe_apply", // 1-row 8-merge array broadcast (in-row encode fold)
     "x122_ivfpq_search", // 1-row centroid/probe arrays + 8-seed codebook broadcast
     "x124_ivfpq_recall", // x122's broadcasts + 1-row query-vector broadcast (exact arm)
-    "x128_lang_token_mi") // 1-row corpus-total broadcast cross join
+    "x128_lang_token_mi", // 1-row corpus-total broadcast cross join
+    "x129_kmv_setops") // 5-row sketch/marginal self-pairing (non-equi l1<l2)
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
