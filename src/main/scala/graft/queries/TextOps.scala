@@ -2245,9 +2245,107 @@ object TextOps {
         .orderBy("lang")
   }
 
+  /** x130: the END-TO-END curation pipeline as ONE declarative plan — the
+    * showcase that the operator library composes: (1) quality gate (token
+    * count ≥ 20, mean token length in [2, 12] — x06's shape), (2) exact
+    * dedup keeping the min doc_id per content digest (x55's survivor
+    * rule), (3) unigram-LM NLL scored over the SURVIVOR corpus (x109
+    * retrained post-dedup — scoring before dedup would let duplicate
+    * clusters vote on their own language model), (4) CCNet-style keep of
+    * the head+middle NLL tertiles (x114), (5) sequence-packing layout over
+    * the kept set (x116). Every global ordering routes through the
+    * two-pass `globalRank`/`globalCumSum` primitives, the LM broadcasts,
+    * and nothing in the composed plan funnels the corpus — one query a
+    * user points at a lake to go from raw crawl to packed-example layout.
+    * The oracle reproduces ALL five stages in SQL. */
+  val x130 = DQ("x130_curation_pipeline", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                     x -> x <> '') AS l
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, text, l, CAST(len(l) AS BIGINT) AS n_toks
+      |  FROM t0
+      |  WHERE len(l) >= 20
+      |    AND CAST(list_sum(list_transform(l, t -> len(t))) AS DOUBLE) / len(l)
+      |        BETWEEN 2 AND 12),
+      |dd AS (
+      |  SELECT doc_id, l, n_toks FROM (
+      |    SELECT doc_id, l, n_toks,
+      |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM q) t WHERE rn = 1),
+      |toks AS (SELECT doc_id, unnest(l) AS tok FROM dd),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |         round(sum(t.tf * ln(CAST(total AS DOUBLE) / l.cnt)) / sum(t.tf), 6) AS nll
+      |  FROM tf t JOIN lm l USING (tok) CROSS JOIN tot GROUP BY 1),
+      |r AS (SELECT doc_id, nll,
+      |             CAST(row_number() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rk,
+      |             CAST(count(*) OVER () AS BIGINT) AS n
+      |      FROM scored),
+      |kept AS (
+      |  SELECT d.doc_id, d.n_toks, r.nll FROM dd d JOIN r USING (doc_id)
+      |  WHERE r.rk * 3 <= 2 * r.n),
+      |packed AS (
+      |  SELECT doc_id, n_toks, nll,
+      |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |              AS BIGINT) AS start_tok
+      |  FROM kept)
+      |SELECT doc_id, n_toks, nll, start_tok,
+      |       start_tok // 512 AS first_example,
+      |       (start_tok + n_toks - 1) // 512 - start_tok // 512 + 1 AS n_examples
+      |FROM packed ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      // stage 1: quality gate
+      val q = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("l"))
+        .withColumn("n_toks", size(col("l")).cast("long"))
+        .filter(col("n_toks") >= 20 &&
+          (expr("aggregate(l, 0L, (acc, t) -> acc + length(t))").cast("double") /
+            col("n_toks")).between(2, 12))
+      // stage 2: exact dedup — min doc_id survives per content digest
+      // (min_by aggregation: map-side combining, no digest window)
+      val dd = q.groupBy(md5(col("text")).as("dg"))
+        .agg(min_by(struct(col("doc_id"), col("l"), col("n_toks")),
+          col("doc_id")).as("s"))
+        .select(col("s.doc_id"), col("s.l"), col("s.n_toks"))
+      // stage 3: NLL over the survivor corpus (LM broadcast, x109 shape)
+      val toks = dd.select(col("doc_id"), explode(col("l")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = lm.agg(sum("cnt").as("total"))
+      val scored = tf.join(broadcast(lm), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(
+          sum(col("tf") * log(col("total").cast("double") / col("cnt"))) /
+            sum("tf"), 6).as("nll"))
+      // stage 4: keep head+middle tertiles via the two-pass global rank
+      val ranked = graft.batch.Joins.globalRank(scored, 32, "nll", "doc_id")
+      val n = scored.agg(count(lit(1)).as("n"))
+      val kept = ranked.crossJoin(broadcast(n))
+        .filter(col("global_rank") * 3 <= col("n") * 2)
+        .select(col("doc_id"), col("nll"))
+        .join(dd.select("doc_id", "n_toks"), "doc_id")
+      // stage 5: packing layout via the distributed prefix sum
+      graft.batch.Joins.globalCumSum(kept, 32, "n_toks", "doc_id")
+        .select(col("doc_id"), col("n_toks"), col("nll"),
+          col("cum_before").as("start_tok"))
+        .select(col("doc_id"), col("n_toks"), col("nll"), col("start_tok"),
+          expr("start_tok div 512").as("first_example"),
+          expr("(start_tok + n_toks - 1) div 512 - start_tok div 512 + 1")
+            .as("n_examples"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128)
+    x128, x130)
 }
