@@ -106,6 +106,25 @@ class KeyExchangeSpec extends AnyFunSuite {
     assert(KeyExchange.nextGeneration(topicDir) == 6L)
   }
 
+  test("AnnounceKeyApp CLI: creates the identity and announces it; a later " +
+      "publish wraps for that party") {
+    val topicDir = Files.createTempDirectory("kx-cli").toString + "/topic"
+    val idDir = Files.createTempDirectory("kx-cli-id").toString + "/consumer-7"
+    graft.app.AnnounceKeyApp.main(Array(topicDir, idDir))
+    assert(Files.exists(Paths.get(idDir, "x25519.pkcs8")))
+    assert(Files.exists(Paths.get(s"$topicDir.reqs", "consumer-7.pub")))
+    // re-announcing reuses the same durable identity (same public key)
+    val pub1 = Files.readAllBytes(Paths.get(idDir, "x25519.pub"))
+    graft.app.AnnounceKeyApp.main(Array(topicDir, idDir))
+    assert(Files.readAllBytes(Paths.get(idDir, "x25519.pub")).sameElements(pub1))
+    // producer wraps for the announced party; the identity recovers the key
+    val dataKey = KeyExchange.publishDataKey(topicDir, "topic", "p",
+      KeyExchange.generateKeyPair(), KeyExchange.nextGeneration(topicDir))
+    val got = KeyExchange.fetchDataKey(topicDir, "topic", "consumer-7",
+      KeyExchange.loadOrCreateIdentity(idDir))
+    assert(got.exists(_._2.sameElements(dataKey)))
+  }
+
   test("rotation: highest generation wins; tampered key message is skipped " +
       "not fatal") {
     val topicDir = Files.createTempDirectory("kx-rot").toString
