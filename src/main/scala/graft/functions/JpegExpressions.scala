@@ -149,7 +149,8 @@ object JpegCodec {
       else if (m == 0xd9) return null // EOI before scan
       else {
         val len = be16(b, i + 2)
-        if (len < 2 || i + 2 + len > b.length) return null
+        // Long compare: near-2GB payloads must not wrap the cursor check
+        if (len < 2 || i.toLong + 2 + len > b.length) return null
         val seg = i + 4
         m match {
           case 0xdb => // DQT: one or more tables
