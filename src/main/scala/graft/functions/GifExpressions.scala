@@ -217,9 +217,31 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** A variant of [[buildGif]] with the INTERLACE flag set and rows
+    * emitted in GIF's 4-pass order (8-strided from 0, then 4, then
+    * 2-strided from 2, then odd rows) — what an interlaced encoder
+    * writes. */
+  def buildGifInterlaced(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+      indices: Array[Int]): Array[Byte] = {
+    require(indices.length == w * h)
+    val passRows =
+      (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)
+    val reordered = passRows.toArray.flatMap(y =>
+      indices.slice(y * w, y * w + w))
+    val plain = buildGif(w, h, palette, reordered)
+    // set the interlace bit on the image descriptor (offset: screen 13 +
+    // GCT + 9 bytes into the descriptor)
+    var bitsPerPx = 1
+    while ((1 << bitsPerPx) < palette.length) bitsPerPx += 1
+    val at = 13 + 3 * (1 << bitsPerPx) + 9
+    plain(at) = (plain(at) | 0x40).toByte
+    plain
+  }
+
   /** Decode the FIRST image of a GIF to the shared pixel-stats contract:
     * (width, height, n_px, sum_r, sum_g, sum_b, luma_sum, first_luma) —
-    * width/height are the frame's. Null for interlaced frames, missing
+    * width/height are the frame's (interlaced or not — the stats are
+    * row-order independent and pass 1 starts at row 0). Null for missing
     * color tables, corrupt LZW, truncated blocks, hostile dims. */
   def parseGifPixels(b: Array[Byte]): (Int, Int, Long, Long, Long, Long, Long, Long) = {
     if (!isGif(b)) return null
@@ -237,7 +259,10 @@ object GifCodec {
           if (i + 10 > b.length) return null
           val w = le16(b, i + 5); val h = le16(b, i + 7)
           val iflags = u(b, i + 9)
-          if ((iflags & 0x40) != 0) return null // interlaced unsupported
+          // interlaced frames (iflags bit 6) need no special handling HERE:
+          // the stats contract is row-order independent, and GIF's 4-pass
+          // interlace starts with image row 0 — so the stream's first pixel
+          // is (0,0) either way and first_luma stays correct
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return null
           val lctSize = if ((iflags & 0x80) != 0) 1 << ((iflags & 7) + 1) else 0
           var j = i + 10 + 3 * lctSize

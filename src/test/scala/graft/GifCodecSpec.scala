@@ -77,17 +77,31 @@ class GifCodecSpec extends AnyFunSuite {
     assert(ImageHeaders.parse(gif) == ("gif", w, h))
   }
 
+  test("interlaced GIF reduces to the same stats as the plain build") {
+    val palette = Array((5, 250, 90), (200, 20, 140), (60, 60, 60), (255, 0, 255))
+    for ((w, h) <- Seq((3, 1), (4, 9), (7, 16))) {
+      val idx = Array.tabulate(w * h)(i => (i * 7 + 2) % palette.length)
+      val plain = GifCodec.parseGifPixels(GifCodec.buildGif(w, h, palette, idx))
+      val inter = GifCodec.parseGifPixels(
+        GifCodec.buildGifInterlaced(w, h, palette, idx))
+      assert(inter != null, s"interlaced ${w}x$h did not decode")
+      assert(inter == plain, s"interlaced ${w}x$h stats diverge")
+    }
+  }
+
   test("GIF parse degrades to null on malformed/unsupported, never crashes") {
     val palette = Array((1, 2, 3), (4, 5, 6))
     val good = GifCodec.buildGif(4, 4, palette, Array.tabulate(16)(_ % 2))
     assert(GifCodec.parseGifPixels(good) != null)
     // truncated mid-LZW
     assert(GifCodec.parseGifPixels(good.take(good.length - 5)) == null)
-    // interlace flag on the image descriptor
+    // interlace flag flipped on a non-reordered stream still decodes — the
+    // stats contract is row-order independent, so the flag is benign
     val inter = good.clone()
     val descFlags = 13 + 3 * 2 + 9 // screen(13) + GCT(2 entries) + descriptor+9
     inter(descFlags) = (inter(descFlags) | 0x40).toByte
-    assert(GifCodec.parseGifPixels(inter) == null)
+    assert(GifCodec.parseGifPixels(inter) ==
+      GifCodec.parseGifPixels(good))
     // corrupt LZW bits: must return null, not throw (flip a data byte)
     val corrupt = good.clone()
     corrupt(good.length - 4) = (corrupt(good.length - 4) ^ 0x7f).toByte
