@@ -145,7 +145,8 @@ object JpegCodec {
       if (i + 4 > b.length) return null
       if (u(b, i) != 0xff) return null
       val m = u(b, i + 1)
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      if (m == 0xff) { i += 1 } // fill byte before a marker
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
       else if (m == 0xd9) return null // EOI before scan
       else {
         val len = be16(b, i + 2)

@@ -195,19 +195,30 @@ object KeyExchange {
     val d = keysDir(topicDir)
     Files.createDirectories(d)
     announcements(topicDir).foreach { case (party, peerPub) =>
-      val wrapKey = pairwiseKey(producerPair, peerPub, topic)
-      val iv = new Array[Byte](12)
-      rng.nextBytes(iv)
-      val c = Cipher.getInstance("AES/GCM/NoPadding")
-      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(wrapKey, "AES"),
-        new GCMParameterSpec(128, iv))
-      // bind generation into the GCM additional data so a replayed old
-      // wrap can't be renamed to a newer generation
-      c.updateAAD(s"$topic:$generation".getBytes(UTF_8))
-      val wrapped = iv ++ c.doFinal(dataKey)
-      Files.write(d.resolve(f"$party%s.$generation%019d.key"),
-        producerPair.getPublic.getEncoded ++ wrapped,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      // a corrupt announcement must not fail the publish for every OTHER
+      // party — skip it loudly (the dead-letter posture)
+      val wrapKey =
+        try Some(pairwiseKey(producerPair, peerPub, topic))
+        catch {
+          case e: Exception =>
+            System.err.println(
+              s"[key-exchange] skipping malformed announcement '$party': $e")
+            None
+        }
+      wrapKey.foreach { wk =>
+        val iv = new Array[Byte](12)
+        rng.nextBytes(iv)
+        val c = Cipher.getInstance("AES/GCM/NoPadding")
+        c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(wk, "AES"),
+          new GCMParameterSpec(128, iv))
+        // bind generation into the GCM additional data so a replayed old
+        // wrap can't be renamed to a newer generation
+        c.updateAAD(s"$topic:$generation".getBytes(UTF_8))
+        val wrapped = iv ++ c.doFinal(dataKey)
+        Files.write(d.resolve(f"$party%s.$generation%019d.key"),
+          producerPair.getPublic.getEncoded ++ wrapped,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
     }
     dataKey
   }
@@ -226,7 +237,9 @@ object KeyExchange {
           java.util.regex.Pattern.quote(party) + "\\.\\d{19}\\.key"))
         .toSeq
       finally s.close()
-    val pubLen = generateKeyPair().getPublic.getEncoded.length // fixed for X25519
+    // X.509-encoded X25519 public keys have a fixed length; derive it once
+    // from OUR key instead of minting a throwaway pair per fetch
+    val pubLen = pair.getPublic.getEncoded.length
     mine.sortBy(_.getFileName.toString).reverseIterator.flatMap { p =>
       // parse the zero-padded generation from the tail so dotted party
       // names can't shift the field index

@@ -125,6 +125,22 @@ class KeyExchangeSpec extends AnyFunSuite {
     assert(got.exists(_._2.sameElements(dataKey)))
   }
 
+  test("a malformed announcement is skipped loudly; valid parties still " +
+      "get their wrapped key") {
+    val topicDir = Files.createTempDirectory("kx-badann").toString
+    val good = KeyExchange.generateKeyPair()
+    KeyExchange.announce(topicDir, "good", good)
+    // garbage public key for a second party
+    Files.write(Paths.get(topicDir + ".reqs", "evil.pub"),
+      "not an x509 key".getBytes)
+    val producer = KeyExchange.generateKeyPair()
+    val dataKey = KeyExchange.publishDataKey(topicDir, "t", "p", producer, 1L)
+    // the good consumer still recovers the key; evil got nothing
+    val got = KeyExchange.fetchDataKey(topicDir, "t", "good", good)
+    assert(got.exists(_._2.sameElements(dataKey)))
+    assert(KeyExchange.fetchDataKey(topicDir, "t", "evil", good).isEmpty)
+  }
+
   test("rotation: highest generation wins; tampered key message is skipped " +
       "not fatal") {
     val topicDir = Files.createTempDirectory("kx-rot").toString
