@@ -207,23 +207,27 @@ object DownloadDirectoryApp {
     val positional = args.filterNot(_.startsWith("--"))
     AppSession.require(positional.length == 2, usage)
     val Array(topicDir, outDir) = positional: @unchecked
-    val decryptKey: Option[Array[Byte]] = explicitKey.map(_.getBytes("UTF-8"))
+    // Key RING, newest first: --decrypt-key is a 1-key ring; --key-exchange
+    // loads every generation that unwraps, so in-flight messages under a
+    // superseded generation keep decrypting through the rotation window.
+    val decryptKeys: Option[Seq[Array[Byte]]] =
+      explicitKey.map(k => Seq(k.getBytes("UTF-8")))
       .orElse(kxIdentity.map { idDir =>
         import graft.streaming.KeyExchange
         val party = new java.io.File(idDir).getName
         val topic = new java.io.File(topicDir).getName
-        KeyExchange.fetchDataKey(topicDir, topic, party,
-            KeyExchange.loadOrCreateIdentity(idDir)) match {
-          case Some((gen, k)) =>
-            System.err.println(s"[key-exchange] using data key generation $gen")
-            k
-          case None =>
-            System.err.println(
-              s"[key-exchange] no data key for party '$party' on $topicDir.keys — " +
-              "announce first (AnnounceKeyApp) and re-run the producer with " +
-              "--key-exchange; consuming as ciphertext would dead-letter everything")
-            sys.exit(1)
+        val ring = KeyExchange.fetchAllDataKeys(topicDir, topic, party,
+          KeyExchange.loadOrCreateIdentity(idDir))
+        if (ring.isEmpty) {
+          System.err.println(
+            s"[key-exchange] no data key for party '$party' on $topicDir.keys — " +
+            "announce first (AnnounceKeyApp) and re-run the producer with " +
+            "--key-exchange; consuming as ciphertext would dead-letter everything")
+          sys.exit(1)
         }
+        System.err.println(
+          s"[key-exchange] key ring: generations ${ring.map(_._1).mkString(", ")}")
+        ring.map(_._2)
       })
     val spark = AppSession.make("graft-download")
     if (useTws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -236,8 +240,8 @@ object DownloadDirectoryApp {
     // .bin pairs (the reference's ENCRYPTED_MESSAGES/ dir) for later
     // recovery via ReproduceUndecryptableApp — they never fail the run.
     var qEncrypted: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
-    val wire = decryptKey.fold(rawWire) { k =>
-      val (ok, dead) = graft.streaming.WireCrypto.splitDecrypted(rawWire, k)
+    val wire = decryptKeys.fold(rawWire) { ks =>
+      val (ok, dead) = graft.streaming.WireCrypto.splitDecryptedAny(rawWire, ks)
       qEncrypted = Some(dead.writeStream
         .foreach(new graft.streaming.WireCrypto.UndecryptableDumpWriter(
           s"$outDir/_encrypted_messages"))

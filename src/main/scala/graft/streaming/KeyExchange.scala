@@ -227,9 +227,17 @@ object KeyExchange {
     * `party` on `<topic>.keys`, or None when no key message has arrived
     * (or none unwraps — wrong producer key, tampered message). */
   def fetchDataKey(topicDir: String, topic: String, party: String,
-      pair: KeyPair): Option[(Long, Array[Byte])] = {
+      pair: KeyPair): Option[(Long, Array[Byte])] =
+    fetchAllDataKeys(topicDir, topic, party, pair).headOption
+
+  /** The full KEY RING for `party`: every generation that unwraps, newest
+    * first — what a rotation-tolerant consumer feeds
+    * [[WireCrypto.splitDecryptedAny]] so in-flight messages under the
+    * previous generation keep decrypting through the overlap window. */
+  def fetchAllDataKeys(topicDir: String, topic: String, party: String,
+      pair: KeyPair): Seq[(Long, Array[Byte])] = {
     val d = keysDir(topicDir)
-    if (!Files.isDirectory(d)) return None
+    if (!Files.isDirectory(d)) return Nil
     val s = Files.list(d)
     val mine =
       try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala()
@@ -259,6 +267,6 @@ object KeyExchange {
           Some(gen -> c.doFinal(ct))
         } catch { case _: Exception => None } // tampered/foreign → skip
       }
-    }.nextOption()
+    }.toSeq
   }
 }

@@ -53,6 +53,25 @@ object WireCrypto {
      tried.filter(col("plain").isNull).drop("plain"))
   }
 
+  /** ROTATION-aware decryption: a topic whose data key rotates
+    * (KeyExchange generations) carries messages under SEVERAL keys during
+    * the overlap window — a consumer holding the known generations tries
+    * each (`coalesce` over `try_aes_decrypt` columns, newest first: the
+    * common case short-circuits) and only messages under an UNKNOWN
+    * generation dead-letter. Still one codegen'd projection per row — the
+    * key ring is plan literals, no per-row branching beyond the coalesce.
+    * Keys ordered newest-first. */
+  def splitDecryptedAny(wire: DataFrame,
+      keys: Seq[Array[Byte]]): (DataFrame, DataFrame) = {
+    require(keys.nonEmpty, "at least one key required")
+    keys.foreach(checkKey)
+    val tried = wire.withColumn("plain",
+      coalesce(keys.map(k => try_aes_decrypt(col("value"), lit(k))): _*))
+    (tried.filter(col("plain").isNotNull)
+       .withColumn("value", col("plain")).drop("plain"),
+     tried.filter(col("plain").isNull).drop("plain"))
+  }
+
   /** Dead-letter sink matching the reference's on-disk shape: each
     * undecryptable message becomes a `<base>.key.bin` / `<base>.value.bin`
     * pair under `dir`, where `base` is the sha256 of key-bytes‖ciphertext

@@ -125,6 +125,33 @@ class KeyExchangeSpec extends AnyFunSuite {
     assert(got.exists(_._2.sameElements(dataKey)))
   }
 
+  test("rotation window: a key RING decrypts messages under every known " +
+      "generation; unknown generations dead-letter") {
+    import spark.implicits._
+    val topicDir = Files.createTempDirectory("kx-ring").toString
+    val consumer = KeyExchange.generateKeyPair()
+    KeyExchange.announce(topicDir, "c", consumer)
+    val producer = KeyExchange.generateKeyPair()
+    val k1 = KeyExchange.publishDataKey(topicDir, "t", "p", producer, 1L)
+    val k2 = KeyExchange.publishDataKey(topicDir, "t", "p", producer, 2L)
+    val k3unknown = Array.fill[Byte](16)(42) // never published
+    def wireOf(tag: String) = {
+      val files = spark.createDataset(Seq(
+        (s"$tag.bin", "sub", Array.fill[Byte](150)(tag.head.toByte), Option(1.5))))
+      ChunkPipeline.encode(ChunkPipeline.chunkFiles(files, 64))
+    }
+    val mixed = WireCrypto.encryptValues(wireOf("a"), k1)
+      .unionByName(WireCrypto.encryptValues(wireOf("b"), k2))
+      .unionByName(WireCrypto.encryptValues(wireOf("c"), k3unknown))
+    val ring = KeyExchange.fetchAllDataKeys(topicDir, "t", "c", consumer)
+    assert(ring.map(_._1) == Seq(2L, 1L)) // newest first
+    val (ok, dead) = WireCrypto.splitDecryptedAny(mixed, ring.map(_._2))
+    // gen-1 and gen-2 messages decrypt; the unknown-key third dead-letters
+    val okKeys = ChunkPipeline.decode(ok).collect().map(_.filename).toSet
+    assert(okKeys == Set("a.bin", "b.bin"))
+    assert(dead.count() == mixed.count() / 3)
+  }
+
   test("a malformed announcement is skipped loudly; valid parties still " +
       "get their wrapped key") {
     val topicDir = Files.createTempDirectory("kx-badann").toString
