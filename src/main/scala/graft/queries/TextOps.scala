@@ -2343,9 +2343,44 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x131: epoch-deterministic corpus shuffle — the data-loader
+    * permutation every training run needs: each epoch e assigns every doc
+    * a position by ranking md5(e:doc_id), so (a) the permutation is
+    * reproducible across runs, engines, and retries (RNG-free — the x22
+    * determinism contract), (b) different epochs get INDEPENDENT
+    * permutations (the hash reseeds), and (c) nothing global-sorts in one
+    * task: both epochs rank in a single [[graft.batch.Joins.globalRank]]
+    * pass keyed (epoch, hash) — range partitions cover the epoch×hash
+    * space in parallel — and the per-epoch position is the global rank
+    * minus the (epoch−1)·N offset, exact integer arithmetic off a 1-row
+    * broadcast count. A `row_number() OVER (PARTITION BY epoch ...)` would
+    * funnel each epoch through ONE task; this never does. */
+  val x131 = DQ("x131_epoch_shuffle", Some(
+    """WITH d AS (SELECT doc_id FROM documents),
+      |e AS (SELECT doc_id, u.e AS epoch
+      |      FROM d, unnest(generate_series(1, 2)) AS u(e))
+      |SELECT CAST(epoch AS INT) AS epoch, doc_id,
+      |       CAST(row_number() OVER (PARTITION BY epoch
+      |             ORDER BY md5(epoch || ':' || doc_id), doc_id) AS BIGINT) AS pos
+      |FROM e ORDER BY epoch, pos""".stripMargin)) {
+    (spark, dir) =>
+      val docs = spread(table(spark, dir, "documents")).select("doc_id")
+      val e = docs
+        .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("epoch"))
+        .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      val n = docs.agg(count(lit(1)).as("n"))
+      graft.batch.Joins.globalRank(e, 32, "epoch", "h", "doc_id")
+        .crossJoin(broadcast(n))
+        .select(col("epoch").cast("int").as("epoch"), col("doc_id"),
+          (col("global_rank") - (col("epoch").cast("long") - 1L) * col("n"))
+            .as("pos"))
+        .orderBy("epoch", "pos")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130)
+    x128, x130, x131)
 }

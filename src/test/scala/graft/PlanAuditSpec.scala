@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x124_ivfpq_recall", // x122's broadcasts + 1-row query-vector broadcast (exact arm)
     "x128_lang_token_mi", // 1-row corpus-total broadcast cross join
     "x129_kmv_setops", // 5-row sketch/marginal self-pairing (non-equi l1<l2)
-    "x130_curation_pipeline") // 1-row LM-total + doc-count broadcasts (x109/x114 shapes)
+    "x130_curation_pipeline", // 1-row LM-total + doc-count broadcasts (x109/x114 shapes)
+    "x131_epoch_shuffle") // 1-row corpus-count broadcast (per-epoch offset)
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
