@@ -217,6 +217,46 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** A variant of [[buildGif]] carrying the palette as a LOCAL color table
+    * on the image descriptor (no global table) — the per-frame-palette
+    * layout of multi-frame GIFs. */
+  def buildGifLocalPalette(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+      indices: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && indices.length == w * h)
+    require(palette.length >= 1 && palette.length <= 256)
+    var bitsPerPx = 1
+    while ((1 << bitsPerPx) < palette.length) bitsPerPx += 1
+    val minCode = math.max(2, bitsPerPx)
+    val lctSize = 1 << bitsPerPx
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes, 0, 6)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0); out.write(0); out.write(0) // no GCT, bg, aspect
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | (bitsPerPx - 1)) // LCT present, not interlaced
+    var i = 0
+    while (i < lctSize) {
+      val (r, g, b) = if (i < palette.length) palette(i) else (0, 0, 0)
+      out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+      i += 1
+    }
+    out.write(minCode)
+    val lzw = lzwCompress(indices, minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** A variant of [[buildGif]] with the INTERLACE flag set and rows
     * emitted in GIF's 4-pass order (8-strided from 0, then 4, then
     * 2-strided from 2, then odd rows) — what an interlaced encoder

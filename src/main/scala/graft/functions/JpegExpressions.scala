@@ -441,7 +441,8 @@ object JpegCodec {
     * plane c has dims ceil(w·hᵢ/Hmax) × ceil(h·vᵢ/Vmax)). Interleaved MCU
     * scan mirroring the decoder. */
   private def encodePlanes(w: Int, h: Int, planes: Array[Array[Int]],
-      acQ: Int, sampling: Array[(Int, Int)] = null): Array[Byte] = {
+      acQ: Int, sampling: Array[(Int, Int)] = null,
+      restartInterval: Int = 0): Array[Byte] = {
     // baseline AC size categories stop at 10 bits; acQ >= 4 caps |F|/acQ
     // at 512 so no coefficient can need category 11+
     require(acQ >= 4 && acQ <= 255, s"acQ must be in [4, 255], got $acQ")
@@ -465,6 +466,8 @@ object JpegCodec {
         Seq(c + 1, (samp(c)._1 << 4) | samp(c)._2, 0))) // SOF0
     seg(0xc4, Array(0x00) ++ DcBits ++ DcVals) // DHT DC 0
     seg(0xc4, Array(0x10) ++ AcBits ++ AcVals) // DHT AC 0
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
     seg(0xda, Array(nComp) ++ (0 until nComp).flatMap(c => Seq(c + 1, 0x00)) ++
       Array(0, 63, 0)) // SOS
     val bwteur = new BitWriter(out)
@@ -473,10 +476,18 @@ object JpegCodec {
     val pred = new Array[Int](nComp)
     val blk = new Array[Double](64)
     val coefQ = new Array[Int](64)
+    var mcuIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          // pad to a byte boundary, emit RSTn RAW (markers are never
+          // byte-stuffed), reset the DC predictors — mirrors the decoder
+          bwteur.flush()
+          wr(0xff, 0xd0 + ((mcuIdx / restartInterval - 1) % 8))
+          java.util.Arrays.fill(pred, 0)
+        }
         var ci = 0
         while (ci < nComp) {
           var sb = 0
@@ -547,6 +558,7 @@ object JpegCodec {
           }
           ci += 1
         }
+        mcuIdx += 1
         mx += 1
       }
       my += 1
@@ -556,11 +568,13 @@ object JpegCodec {
     out.toByteArray
   }
 
-  /** Grayscale baseline JPEG from a (x, y) → 0..255 generator. */
-  def buildJpegGray(w: Int, h: Int, acQ: Int = 16)(
+  /** Grayscale baseline JPEG from a (x, y) → 0..255 generator.
+    * `restartInterval` > 0 emits DRI + RSTn markers every N MCUs (the
+    * error-resilience layout hardware encoders default to). */
+  def buildJpegGray(w: Int, h: Int, acQ: Int = 16, restartInterval: Int = 0)(
       px: (Int, Int) => Int): Array[Byte] = {
     val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xff)
-    encodePlanes(w, h, Array(plane), acQ)
+    encodePlanes(w, h, Array(plane), acQ, null, restartInterval)
   }
 
   private def toYCbCr(w: Int, h: Int,

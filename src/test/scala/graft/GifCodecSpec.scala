@@ -89,6 +89,15 @@ class GifCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("local color table (no global) decodes identically") {
+    val palette = Array((12, 34, 56), (78, 90, 123), (200, 100, 50))
+    val idx = Array.tabulate(5 * 4)(i => (i * 2 + 1) % palette.length)
+    val viaGct = GifCodec.parseGifPixels(GifCodec.buildGif(5, 4, palette, idx))
+    val viaLct = GifCodec.parseGifPixels(
+      GifCodec.buildGifLocalPalette(5, 4, palette, idx))
+    assert(viaLct != null && viaLct == viaGct)
+  }
+
   test("GIF parse degrades to null on malformed/unsupported, never crashes") {
     val palette = Array((1, 2, 3), (4, 5, 6))
     val good = GifCodec.buildGif(4, 4, palette, Array.tabulate(16)(_ % 2))

@@ -130,6 +130,24 @@ class JpegCodecSpec extends AnyFunSuite {
       assert(px(3 * (y * w + x) + c) == v(x, y), s"($x,$y) ch$c")
   }
 
+  test("restart markers (DRI + RSTn): decode resyncs and resets DC " +
+      "predictors, block-constant stays exact") {
+    val w = 40; val h = 24 // 15 MCUs → several RST markers at interval 2
+    def gray(x: Int, y: Int): Int = (90 + 31 * (x / 8) + 17 * (y / 8)) % 256
+    for (ri <- Seq(1, 2, 7)) {
+      val jpeg = JpegCodec.buildJpegGray(w, h, restartInterval = ri)(gray)
+      val d = JpegCodec.decodeJpeg(jpeg)
+      assert(d != null, s"restartInterval=$ri did not decode")
+      val (_, _, _, px) = d
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == gray(x, y), s"($x,$y) at interval $ri")
+      // the stream genuinely contains restart markers
+      assert((0 until jpeg.length - 1).exists(i =>
+        (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) >= 0xd0 &&
+          (jpeg(i + 1) & 0xff) <= 0xd7))
+    }
+  }
+
   test("malformed/unsupported payloads return null, never throw") {
     val good = JpegCodec.buildJpegGray(16, 16)((x, y) => (x * y) % 256)
     assert(JpegCodec.decodeJpeg(good) != null)
