@@ -46,8 +46,14 @@ object AudioHeaders {
       val next = i.toLong + 8L + len.toLong + (len & 1).toLong
       i = if (next > b.length.toLong) b.length else next.toInt
     }
-    if (fmtCode != 1 || channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) null
-    else ("pcm", channels, rate, bits,
+    val codec = fmtCode match {
+      case 1 => "pcm"
+      case 6 if bits == 8 => "alaw" // G.711 A-law
+      case 7 if bits == 8 => "ulaw" // G.711 mu-law
+      case _ => null
+    }
+    if (codec == null || channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) null
+    else (codec, channels, rate, bits,
       dataSize * 8000000L / (rate.toLong * channels * bits))
   }
 
@@ -73,6 +79,29 @@ object AudioHeaders {
     * field integer-exact so an oracle reproduces them arithmetically. A
     * data chunk declaring more bytes than the buffer holds is decoded up
     * to the buffer end (truncated uploads degrade, not crash). */
+  /** G.711 mu-law expansion (ITU-T G.711 / the classic Sun ulaw2linear
+    * table formula): code → 14-bit linear, |sample| ≤ 32124. Exact
+    * integer arithmetic, so an oracle reproduces it in SQL. */
+  def ulawToLinear(code: Int): Int = {
+    val u = (~code) & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0xf
+    val mag = (132 << exp) - 132 + (mant << (exp + 3))
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law expansion (alaw2linear): code → 13-bit linear,
+    * |sample| ≤ 32256. Sign bit SET means positive in A-law. */
+  def alawToLinear(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 7
+    val mant = a & 0xf
+    val t =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   def parsePcmStats(b: Array[Byte]): (Long, Int, Long, Long) = {
     if (b == null || b.length < 44) return null
     if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")) return null
@@ -93,9 +122,24 @@ object AudioHeaders {
       val next = i.toLong + 8L + len.toLong + (len & 1).toLong
       i = if (next > b.length.toLong) b.length else next.toInt
     }
-    if (fmtCode != 1 || dataOff < 0 || (bits != 8 && bits != 16)) return null
+    val g711 = fmtCode == 6 || fmtCode == 7
+    if (dataOff < 0) return null
+    if (!g711 && (fmtCode != 1 || (bits != 8 && bits != 16))) return null
+    if (g711 && bits != 8) return null
     var n = 0L; var peak = 0; var sumSq = 0L; var clip = 0L
-    if (bits == 8) {
+    if (g711) {
+      // G.711 bytes expand to 13/14-bit linear; clip = full-scale codes
+      val fullScale = if (fmtCode == 7) 32124 else 32256
+      var j = dataOff; val end = dataOff + dataLen
+      while (j < end) {
+        val a = if (fmtCode == 7) ulawToLinear(u(b, j)) else alawToLinear(u(b, j))
+        val abs = if (a < 0) -a else a
+        if (abs > peak) peak = abs
+        sumSq += a.toLong * a
+        if (abs == fullScale) clip += 1
+        n += 1; j += 1
+      }
+    } else if (bits == 8) {
       var j = dataOff; val end = dataOff + dataLen
       while (j < end) {
         val v = u(b, j)
@@ -122,11 +166,12 @@ object AudioHeaders {
 
   /** A valid PCM WAV container around `body` (the deterministic inverse of
     * [[parseWav]] for the header part). */
-  def buildWav(channels: Int, rate: Int, bits: Int, body: Array[Byte]): Array[Byte] = {
+  def buildWav(channels: Int, rate: Int, bits: Int, body: Array[Byte],
+      fmtCode: Int = 1): Array[Byte] = {
     val byteRate = rate * channels * bits / 8
     val blockAlign = channels * bits / 8
     "RIFF".getBytes ++ le32b(36 + body.length) ++ "WAVE".getBytes ++
-      "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(channels) ++
+      "fmt ".getBytes ++ le32b(16) ++ le16b(fmtCode) ++ le16b(channels) ++
       le32b(rate) ++ le32b(byteRate) ++ le16b(blockAlign) ++ le16b(bits) ++
       "data".getBytes ++ le32b(body.length) ++ body
   }

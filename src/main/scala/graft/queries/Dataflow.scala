@@ -510,6 +510,65 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x132: REAL telephony-codec decode — G.711 µ-law/A-law (ITU-T G.711,
+    * the 8 kHz voice standard; WAV format codes 7 and 6). Each row becomes
+    * a G.711 WAV whose body is a deterministic code-byte ramp (µ-law for
+    * even doc_ids, A-law for odd), and the native `pcm_stats` expression
+    * must run the actual logarithmic expansion (segment + mantissa →
+    * 13/14-bit linear) to land the exact integer energy. The oracle
+    * re-derives the expansion FORMULA in SQL (shifts/xor — the x62
+    * bit-op parity surface) and aggregates the same stats; `audio_header`
+    * surfaces the codec name. */
+  val x132 = DQ("x132_g711_sample_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 40 + 20 AS INT) AS n,
+      |                  (doc_id % 2 = 0) AS isu FROM documents),
+      |c AS (
+      |  SELECT doc_id, isu, CAST((doc_id * 13 + u.i * 41) % 256 AS INT) AS code
+      |  FROM d, unnest(generate_series(0, n - 1)) AS u(i)),
+      |lin AS (
+      |  SELECT doc_id, isu,
+      |    CASE WHEN isu THEN
+      |      -- mu-law: invert, split sign/exponent/mantissa, expand
+      |      (CASE WHEN (255 - code) >= 128 THEN -1 ELSE 1 END) *
+      |      ((132 << (((255 - code) // 16) % 8)) - 132 +
+      |       ((255 - code) % 16) * (1 << ((((255 - code) // 16) % 8) + 3)))
+      |    ELSE
+      |      -- A-law: xor 0x55; sign bit SET means positive
+      |      (CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END) *
+      |      (CASE WHEN (xor(code, 85) // 16) % 8 = 0
+      |            THEN (xor(code, 85) % 16) * 16 + 8
+      |            ELSE ((xor(code, 85) % 16) * 16 + 264)
+      |                 << ((xor(code, 85) // 16) % 8 - 1) END)
+      |    END AS a
+      |  FROM c)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN isu THEN 'ulaw' ELSE 'alaw' END AS codec,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(a)) AS INT) AS peak,
+      |  CAST(sum(a * a) AS BIGINT) AS sum_sq,
+      |  CAST(count(*) FILTER (abs(a) = CASE WHEN isu THEN 32124 ELSE 32256 END)
+      |       AS BIGINT) AS n_clip
+      |FROM lin GROUP BY doc_id, isu ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeader, AudioHeaders, PcmStats}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val n = (id % 40 + 20).toInt
+          val body = Array.tabulate(n)(i => ((id * 13 + i * 41) % 256).toByte)
+          val fmt = if (id % 2 == 0) 7 else 6
+          (id, AudioHeaders.buildWav(1, 8000, 8, body, fmt))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"),
+          AudioHeader.audioHeader(col("media")).as("h"),
+          PcmStats.pcmStats(col("media")).as("p"))
+        .select(col("media_id"), col("h.codec").as("codec"),
+          col("p.n_samples").as("n_samples"), col("p.peak").as("peak"),
+          col("p.sum_sq").as("sum_sq"), col("p.n_clip").as("n_clip"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127)
+    x126, x127, x132)
 }

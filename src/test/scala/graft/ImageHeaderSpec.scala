@@ -289,6 +289,41 @@ class ImageHeaderSpec extends AnyFunSuite {
       ImageHeaders.buildPng(8, 8, "junk".getBytes)) == null)
   }
 
+  test("G.711 mu-law/A-law decode: spec anchor codes, symmetry, WAV stats") {
+    import graft.functions.AudioHeaders
+    // mu-law anchors: 0x00 = most negative (-32124), 0x80 = most positive
+    // (+32124), 0xFF = zero (the inverted-all-ones silence code)
+    assert(AudioHeaders.ulawToLinear(0x00) == -32124)
+    assert(AudioHeaders.ulawToLinear(0x80) == 32124)
+    assert(AudioHeaders.ulawToLinear(0xff) == 0)
+    // code and code^0x80 are exact negations across the whole table
+    for (c <- 0 until 128)
+      assert(AudioHeaders.ulawToLinear(c) == -AudioHeaders.ulawToLinear(c | 0x80))
+    // A-law anchors: 0x55 = -8 (smallest negative), 0xD5 = +8, extremes ±32256
+    assert(AudioHeaders.alawToLinear(0x55) == -8)
+    assert(AudioHeaders.alawToLinear(0xd5) == 8)
+    assert(AudioHeaders.alawToLinear(0x2a) == -32256)
+    assert(AudioHeaders.alawToLinear(0xaa) == 32256)
+    for (c <- 0 until 128)
+      assert(AudioHeaders.alawToLinear(c) == -AudioHeaders.alawToLinear(c | 0x80))
+    // end-to-end through the WAV container: stats equal the direct
+    // expansion of the code stream, and the header reports the codec
+    val codes = Array.tabulate(300)(i => (i * 37 + 11) % 256)
+    for ((fmt, name, dec) <- Seq(
+        (7, "ulaw", (c: Int) => AudioHeaders.ulawToLinear(c)),
+        (6, "alaw", (c: Int) => AudioHeaders.alawToLinear(c)))) {
+      val wav = AudioHeaders.buildWav(1, 8000, 8, codes.map(_.toByte), fmt)
+      val hdr = AudioHeaders.parseWav(wav)
+      assert(hdr != null && hdr._1 == name)
+      val st = AudioHeaders.parsePcmStats(wav)
+      assert(st != null)
+      val lin = codes.map(dec)
+      assert(st._1 == 300L)
+      assert(st._2 == lin.map(math.abs).max)
+      assert(st._3 == lin.map(a => a.toLong * a).sum)
+    }
+  }
+
   test("PCM sample decode: 16-bit sign, 8-bit bias, clipping, truncation") {
     import graft.functions.AudioHeaders
     // 16-bit: values crossing zero and both full-scale rails
