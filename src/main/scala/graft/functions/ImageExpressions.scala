@@ -614,11 +614,13 @@ object BmpPixels {
     GraftColumnShim.column(BmpPixels(GraftColumnShim.expression(media)))
 }
 
-/** `png_pixels(binary)` → the same stats struct as `bmp_pixels`, for 8-bit
-  * non-interlaced gray/RGB/gray-alpha/RGBA PNGs — REAL full-body decode
-  * (zlib inflate via the JDK + the five scanline filters inverted in pure
-  * integer arithmetic), inside whole-stage codegen. Null for palette/
-  * 16-bit/interlaced/malformed payloads — route, don't crash. With
+/** `png_pixels(binary)` → the same stats struct as `bmp_pixels`, for
+  * gray/RGB/gray-alpha/RGBA PNGs at 8- or 16-bit depth plus 8-bit
+  * palette, both sequential and Adam7-interlaced — REAL full-body decode
+  * (zlib inflate
+  * via the JDK + the five scanline filters inverted in pure integer
+  * arithmetic), inside whole-stage codegen. Null for sub-8-bit depths and
+  * malformed payloads — route, don't crash. With
   * [[BmpPixels]] and [[PcmStats]] this retires the pixel-decode stub for
   * every format whose body doesn't need an entropy codec beyond DEFLATE. */
 case class PngPixels(child: Expression) extends UnaryExpression {

@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
   * 1992) implemented directly: marker walk, DQT/DHT/SOF0/SOS parse,
   * canonical Huffman entropy decode with byte stuffing and restart
   * markers, dequantize, zigzag, 2-D IDCT, level shift, YCbCr→RGB. Scope:
-  * 8-bit baseline (SOF0), grayscale or 3-component 4:4:4 (no chroma
-  * subsampling); progressive/arithmetic/12-bit/subsampled payloads
-  * degrade to null — route, don't crash. With BMP, PNG and GIF this moves
-  * the LAST image format off the multimodal stub.
+  * 8-bit baseline (SOF0), grayscale or 3-component with 4:4:4, 4:2:0 or
+  * 4:2:2 chroma subsampling (factors 1/2), restart markers included;
+  * progressive (SOF2)/arithmetic/12-bit payloads degrade to null —
+  * route, don't crash. With BMP, PNG and GIF this moves the LAST image
+  * format off the multimodal stub.
   *
   * The paired encoder emits spec-conformant files any stock viewer opens
   * (its DHT segments carry our own fixed-length canonical Huffman tables —
@@ -129,8 +130,14 @@ object JpegCodec {
 
   /** Full decode to interleaved RGB (or replicated gray): returns
     * (w, h, channels, pixels row-major channel-interleaved), null on any
-    * unsupported/ malformed input. */
-  def decodeJpeg(b: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    * unsupported/ malformed input. Never throws — the route-don't-crash
+    * dead-letter contract (this runs inside streaming triage, where one
+    * malformed file must not fail the query). */
+  def decodeJpeg(b: Array[Byte]): (Int, Int, Int, Array[Int]) =
+    try decodeJpeg0(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def decodeJpeg0(b: Array[Byte]): (Int, Int, Int, Array[Int]) = {
     if (b == null || b.length < 4 || u(b, 0) != 0xff || u(b, 1) != 0xd8) return null
     val qt = Array.ofDim[Int](4, 64) // natural order
     val dcT = new Array[Huff](4); val acT = new Array[Huff](4)
@@ -177,6 +184,9 @@ object JpegCodec {
               j += 17 + n
             }
           case 0xc0 => // SOF0 baseline
+            // fixed header is 6 bytes (precision, h, w, nComp) → len >= 8;
+            // a shorter declared len would read past the segment/buffer
+            if (len < 8) return null
             if (u(b, seg) != 8) return null // 8-bit only
             h = be16(b, seg + 1); w = be16(b, seg + 3)
             nComp = u(b, seg + 5)
@@ -200,8 +210,10 @@ object JpegCodec {
                0xcd | 0xce | 0xcf =>
             return null // non-baseline frame types unsupported
           case 0xdd => // DRI
+            if (len < 4) return null // 2-byte interval after the length
             restartInterval = be16(b, seg)
           case 0xda => // SOS
+            if (len < 3) return null // at least the component count byte
             val ns = u(b, seg)
             if (ns != nComp || nComp == 0) return null
             if (seg + 1 + 2 * ns > i + 2 + len) return null
@@ -646,10 +658,10 @@ object JpegCodec {
 }
 
 /** `jpeg_pixels(binary)` → the shared pixel-stats struct for baseline
-  * sequential JPEGs (8-bit, grayscale or 4:4:4) — REAL entropy decode:
-  * canonical Huffman, dequantize, IDCT, color convert, in pure JVM code
-  * inside whole-stage codegen. Null for progressive/subsampled/malformed
-  * payloads. */
+  * sequential JPEGs (8-bit, grayscale or color at 4:4:4/4:2:0/4:2:2,
+  * restart markers supported) — REAL entropy decode: canonical Huffman,
+  * dequantize, IDCT, color convert, in pure JVM code inside whole-stage
+  * codegen. Null for progressive/arithmetic/12-bit/malformed payloads. */
 case class JpegPixels(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BmpPixels.resultType
   override def nullable: Boolean = true

@@ -248,13 +248,16 @@ class ImageHeaderSpec extends AnyFunSuite {
     val fromBmp = ImageHeaders.parseBmpPixels(
       ImageHeaders.buildBmp24(4, 3, topDown = false)((x, y) => pal(idx(y * 4 + x))))
     assert(fromPal == fromBmp)
-    // palette index outside PLTE → null, not a crash
-    val overIdx = ImageHeaders.buildPngPalette(2, 1, pal.take(2), Array(0, 1))
-    // patch the index byte stream? simpler: palette of 2 with index 1 is fine;
-    // build with full palette but declare a SHORT PLTE by truncating idx range
-    val bad = ImageHeaders.buildPngPalette(2, 1, pal.take(1), Array(0, 0))
-    assert(ImageHeaders.parsePngPixels(bad) != null) // sanity: in-range decodes
-    assert(ImageHeaders.parsePngPixels(overIdx) != null)
+    // palette index outside PLTE → null, not a crash: the builder does not
+    // range-check indices, so a 2-entry palette with index byte 3 in the
+    // stream exercises the decoder's idx >= plteN guard directly
+    val inRange = ImageHeaders.buildPngPalette(2, 1, pal.take(2), Array(0, 1))
+    assert(ImageHeaders.parsePngPixels(inRange) != null) // sanity: in-range decodes
+    val overIdx = ImageHeaders.buildPngPalette(2, 1, pal.take(2), Array(0, 3))
+    assert(ImageHeaders.parsePngPixels(overIdx) == null)
+    // and the max byte value (255) against a tiny palette — still null
+    val maxIdx = ImageHeaders.buildPngPalette(2, 1, pal.take(2), Array(255, 0))
+    assert(ImageHeaders.parsePngPixels(maxIdx) == null)
   }
 
   test("PNG pixel decode degrades to null on unsupported/malformed, never crashes") {

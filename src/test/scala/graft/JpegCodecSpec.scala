@@ -175,6 +175,27 @@ class JpegCodecSpec extends AnyFunSuite {
     JpegCodec.decodeJpeg(corrupt)
   }
 
+  test("truncated segment declared lengths return null, never index past the tail") {
+    // regression: a segment whose declared length passes the buffer-bounds
+    // check but is shorter than the marker's fixed fields must not read
+    // past the array when the segment ends at the buffer tail
+    def bytes(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
+    // SOF0 with len=2 (no payload at all), buffer ends right after
+    assert(JpegCodec.decodeJpeg(bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02)) == null)
+    // SOF0 with len=7 — one byte short of the 6 fixed header bytes
+    assert(JpegCodec.decodeJpeg(
+      bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x07, 8, 0, 1, 0, 1)) == null)
+    // SOS with len=2 (missing the component-count byte)
+    assert(JpegCodec.decodeJpeg(bytes(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)) == null)
+    // DRI with len=2 and len=3 (interval needs 2 bytes)
+    assert(JpegCodec.decodeJpeg(bytes(0xff, 0xd8, 0xff, 0xdd, 0x00, 0x02)) == null)
+    assert(JpegCodec.decodeJpeg(bytes(0xff, 0xd8, 0xff, 0xdd, 0x00, 0x03, 0x00)) == null)
+    // DQT/DHT with len=2: empty table lists are structurally fine but the
+    // stream then ends with no SOS — null either way, never a throw
+    assert(JpegCodec.decodeJpeg(bytes(0xff, 0xd8, 0xff, 0xdb, 0x00, 0x02)) == null)
+    assert(JpegCodec.decodeJpeg(bytes(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x02)) == null)
+  }
+
   test("stats contract agrees with BMP on the same block-constant pixels") {
     import graft.functions.ImageHeaders
     val w = 16; val h = 8

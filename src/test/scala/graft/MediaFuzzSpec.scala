@@ -52,6 +52,26 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("tiny declared-segment-length payloads never throw in any parser") {
+    // the class of bug fuzz missed in r6: a declared segment length that
+    // passes the buffer-bounds check but undershoots the marker's fixed
+    // fields, with the buffer ending exactly at the segment tail
+    def bytes(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
+    val crafted = Seq(
+      bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02), // SOF0 len=2 at tail
+      bytes(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02), // SOS len=2
+      bytes(0xff, 0xd8, 0xff, 0xdd, 0x00, 0x02), // DRI len=2
+      bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x07, 8, 0, 1, 0, 1), // SOF0 short by 1
+      bytes(0xff, 0xd8, 0xff, 0xdb, 0x00, 0x02), // DQT empty
+      bytes(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x02)) // DHT empty
+    for (b <- crafted; (name, p) <- parsers) {
+      try p(b)
+      catch { case e: Throwable =>
+        fail(s"$name threw on crafted ${b.length}-byte segment payload: $e")
+      }
+    }
+  }
+
   test("every parser survives single-byte mutations of valid payloads") {
     val rnd = new scala.util.Random(0x5EEDL)
     for (payload <- validPayloads; _ <- 1 to 200; (name, p) <- parsers) {
