@@ -114,10 +114,12 @@ object UploadDirectoryApp {
   def main(args: Array[String]): Unit = {
     val usage =
       "UploadDirectoryApp <srcDir> <topicDir> [chunkSize] [--watch-modified] " +
-      "[--encrypt-key=K | --key-exchange] [--max-files-per-trigger=N] [--max-bytes-per-trigger=B]"
+      "[--encrypt-key=K | --key-exchange] [--producer-identity=<dir>] " +
+      "[--allow=<fp1,fp2,...>] [--max-files-per-trigger=N] [--max-bytes-per-trigger=B]"
     AppSession.rejectUnknownFlags(args, usage,
       boolFlags = Set("watch-modified", "key-exchange"),
-      valueFlags = Set("encrypt-key", "max-files-per-trigger", "max-bytes-per-trigger"))
+      valueFlags = Set("encrypt-key", "producer-identity", "allow",
+        "max-files-per-trigger", "max-bytes-per-trigger"))
     val watchModified = args.contains("--watch-modified")
     // --key-exchange: C4bis managed keys — mint a fresh per-topic data key,
     // publish it on <topicDir>.keys wrapped for every consumer announced on
@@ -150,14 +152,25 @@ object UploadDirectoryApp {
     // BEFORE the stream starts: announced consumers get the wrapped data
     // key; a topic with no announcements fails fast instead of producing
     // ciphertext nobody will ever decrypt.
+    // --producer-identity gives the producer a DURABLE signing identity so
+    // consumers can pin its fingerprint (--trust-producers on download);
+    // without it each run signs under a fresh ephemeral identity (valid,
+    // but unpinnable). --allow restricts wrapping to the listed consumer
+    // Ed25519 fingerprints (printed by AnnounceKeyApp).
     val kxKey: Option[Array[Byte]] = if (keyExchange) {
       import graft.streaming.KeyExchange
       AppSession.require(KeyExchange.announcements(topicDir).nonEmpty,
         s"--key-exchange: no consumers announced on $topicDir.reqs — run " +
           "AnnounceKeyApp <topicDir> <identityDir> first")
       val topic = new java.io.File(topicDir).getName
+      val producerId = AppSession.flagValue(args, "producer-identity")
+        .map(KeyExchange.loadOrCreateIdentity)
+        .getOrElse(KeyExchange.newIdentity())
+      System.err.println(s"[key-exchange] producer fingerprint: ${producerId.fingerprint}")
+      val allow = AppSession.flagValue(args, "allow")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       Some(KeyExchange.publishDataKey(topicDir, topic, "producer",
-        KeyExchange.generateKeyPair(), KeyExchange.nextGeneration(topicDir)))
+        producerId, KeyExchange.nextGeneration(topicDir), allow))
     } else None
     val wire = kxKey.orElse(encryptKey).fold(plainWire)(k =>
       graft.streaming.WireCrypto.encryptValues(plainWire, k))
@@ -186,10 +199,10 @@ object DownloadDirectoryApp {
   def main(args: Array[String]): Unit = {
     val usage =
       "DownloadDirectoryApp <topicDir> <outDir> [--disk-mode] [--tws] " +
-      "[--decrypt-key=K | --key-exchange=<identityDir>]"
+      "[--decrypt-key=K | --key-exchange=<identityDir>] [--trust-producers=<fp1,fp2,...>]"
     AppSession.rejectUnknownFlags(args, usage,
       boolFlags = Set("disk-mode", "tws"),
-      valueFlags = Set("decrypt-key", "key-exchange"))
+      valueFlags = Set("decrypt-key", "key-exchange", "trust-producers"))
     val diskMode = args.contains("--disk-mode")
     // --tws: run reassembly on the transformWithState operator instead of
     // flatMapGroupsWithState (same shared policy fold). Requires the RocksDB
@@ -216,8 +229,12 @@ object DownloadDirectoryApp {
         import graft.streaming.KeyExchange
         val party = new java.io.File(idDir).getName
         val topic = new java.io.File(topicDir).getName
+        // --trust-producers pins the producer Ed25519 fingerprints whose
+        // (signed) key messages we accept; unset = any valid signature
+        val trusted = AppSession.flagValue(args, "trust-producers")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
         val ring = KeyExchange.fetchAllDataKeys(topicDir, topic, party,
-          KeyExchange.loadOrCreateIdentity(idDir))
+          KeyExchange.loadOrCreateIdentity(idDir), trusted)
         if (ring.isEmpty) {
           System.err.println(
             s"[key-exchange] no data key for party '$party' on $topicDir.keys — " +
@@ -350,20 +367,23 @@ object StreamProcessorApp {
 }
 
 /** `AnnounceKeyApp <topicDir> <identityDir>` — C4bis consumer bootstrap:
-  * load (or create) the durable X25519 identity under `identityDir` and
-  * announce its public key on the `<topicDir>.reqs` side topic, so the next
-  * `UploadDirectoryApp --key-exchange` run wraps the topic data key for this
-  * consumer (party name = identity dir basename; kafkacrypto's
+  * load (or create) the durable X25519+Ed25519 identity under `identityDir`
+  * and publish a SIGNED announcement on the `<topicDir>.reqs` side topic,
+  * so the next `UploadDirectoryApp --key-exchange` run wraps the topic data
+  * key for this consumer (party name = identity dir basename; kafkacrypto's
   * subscribe-then-receive-keys bootstrap re-expressed over the offline
-  * side-topic stand-in). Pure control plane — no SparkSession. */
+  * side-topic stand-in). Prints the identity's Ed25519 fingerprint — the
+  * value an operator hands the producer for its `--allow` list. Pure
+  * control plane — no SparkSession. */
 object AnnounceKeyApp {
   def main(args: Array[String]): Unit = {
     AppSession.require(args.length == 2, "AnnounceKeyApp <topicDir> <identityDir>")
     val Array(topicDir, identityDir) = args: @unchecked
     val party = new java.io.File(identityDir).getName
-    val pair = graft.streaming.KeyExchange.loadOrCreateIdentity(identityDir)
-    graft.streaming.KeyExchange.announce(topicDir, party, pair)
+    val id = graft.streaming.KeyExchange.loadOrCreateIdentity(identityDir)
+    graft.streaming.KeyExchange.announce(topicDir, party, id)
     System.err.println(s"[announce] party '$party' announced on $topicDir.reqs")
+    System.err.println(s"[announce] fingerprint: ${id.fingerprint}")
   }
 }
 

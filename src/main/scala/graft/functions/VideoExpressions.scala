@@ -13,8 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * multimodal container trio ([[ImageHeaders]], [[AudioHeaders]]). Walks
   * the top-level box chain to `ftyp` (major brand) and into `moov` to
   * `mvhd` (movie timescale + duration), per the public ISO 14496-12
-  * layout; duration surfaces as exact integer micros. Only sample/frame
-  * decode stays behind the multimodal stub.
+  * layout; duration surfaces as exact integer micros. [[parseTracks]] goes
+  * further: per-track sample tables (stsd/stts/stsz/stsc/stco) give real
+  * sample counts, byte totals, and duration-weighted bitrates with no
+  * codec library at all. Only sample PAYLOAD decode (H.264/H.265 bits)
+  * stays behind the multimodal stub.
   */
 object VideoHeaders {
   /** (brand, timescale, duration_us), or null when the payload is not an
@@ -85,6 +88,180 @@ object VideoHeaders {
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
+  // ----------------------------------------------------- track-level parse
+
+  /** One media track's sample-table facts (all from moov, no codec needed):
+    * tkhd identity + presentation dims, mdhd clock, hdlr role, stsd codec
+    * fourcc, stts/stsz/stco totals. `durationUs` is exact integer micros on
+    * the TRACK timescale; `totalBytes` is the stsz sum, so
+    * totalBytes·8e6/durationUs is the duration-weighted media bitrate. */
+  final case class TrackInfo(trackId: Int, handler: String, codec: String,
+      width: Int, height: Int, timescale: Int, sampleCount: Long,
+      durationUs: Long, totalBytes: Long, chunkCount: Int)
+
+  private val MaxTracks = 64
+
+  /** offset of the first `typ` child box inside [start, end), or -1; walks
+    * siblings only (no recursion). */
+  private def findBox(b: Array[Byte], start: Long, end: Long, typ: String): Long = {
+    var i = start
+    while (i + 8 <= end) {
+      val (size, hdr) = boxSize(b, i.toInt)
+      if (size < hdr || i + size > end) return -1L
+      if (tag(b, (i + 4).toInt) == typ) return i
+      i += size
+    }
+    -1L
+  }
+
+  /** Parse every trak in moov to [[TrackInfo]]; null when the payload is
+    * not ISO-BMFF or any sample table is structurally broken — route,
+    * don't crash (triage posture). */
+  def parseTracks(b: Array[Byte]): Seq[TrackInfo] =
+    try parseTracks0(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def parseTracks0(b: Array[Byte]): Seq[TrackInfo] = {
+    if (b == null || b.length < 16) return null
+    // locate moov among the top-level boxes; ftyp must lead (ISO BMFF)
+    if (tag(b, 4) != "ftyp") return null
+    val moov = findBox(b, 0L, b.length.toLong, "moov")
+    if (moov < 0) return null
+    val (moovSize, moovHdr) = boxSize(b, moov.toInt)
+    val moovEnd = moov + moovSize
+    val out = Seq.newBuilder[TrackInfo]
+    var n = 0
+    var t = moov + moovHdr
+    while (n < MaxTracks) {
+      t = findBox(b, t, moovEnd, "trak")
+      if (t < 0) return out.result()
+      val (tSize, tHdr) = boxSize(b, t.toInt)
+      val ti = parseTrak(b, t + tHdr, t + tSize)
+      if (ti == null) return null // malformed track table → whole parse null
+      out += ti
+      t += tSize
+      n += 1
+    }
+    out.result()
+  }
+
+  private def parseTrak(b: Array[Byte], start: Long, end: Long): TrackInfo = {
+    // tkhd: track id + presentation width/height (16.16 fixed point)
+    val tkhd = findBox(b, start, end, "tkhd")
+    if (tkhd < 0) return null
+    val (_, thdr) = boxSize(b, tkhd.toInt)
+    val tb = (tkhd + thdr).toInt
+    val tver = u(b, tb)
+    // v0 body: ver+flags 4, create 4, modify 4, id 4, res 4, dur 4,
+    //   res 8, layer/alt/vol/res 8, matrix 36, w 4, h 4  (84 bytes)
+    // v1 widens create/modify/duration to 8 (96 bytes)
+    val (idOff, whOff, tkhdBody) =
+      if (tver == 0) (tb + 12, tb + 76, 84) else (tb + 20, tb + 88, 96)
+    if (tkhd + thdr + tkhdBody > end) return null
+    val trackId = be32(b, idOff)
+    val width = be32(b, whOff) >>> 16 // integer part of 16.16
+    val height = be32(b, whOff + 4) >>> 16
+    // mdia → mdhd (track clock) + hdlr (role) + minf → stbl (tables)
+    val mdia = findBox(b, start, end, "mdia")
+    if (mdia < 0) return null
+    val (mSize, mHdr) = boxSize(b, mdia.toInt)
+    val mEnd = mdia + mSize
+    val mdhd = findBox(b, mdia + mHdr, mEnd, "mdhd")
+    if (mdhd < 0) return null
+    val (_, mhHdr) = boxSize(b, mdhd.toInt)
+    val mb = (mdhd + mhHdr).toInt
+    val mver = u(b, mb)
+    val (timescale, durTicks) =
+      if (mver == 0) {
+        if (mdhd + mhHdr + 24 > mEnd) return null
+        (be32(b, mb + 12), be32(b, mb + 16).toLong & 0xffffffffL)
+      } else {
+        if (mdhd + mhHdr + 36 > mEnd) return null
+        (be32(b, mb + 20), be64(b, mb + 24))
+      }
+    if (timescale <= 0 || durTicks < 0) return null
+    val hdlr = findBox(b, mdia + mHdr, mEnd, "hdlr")
+    if (hdlr < 0) return null
+    val (_, hHdr) = boxSize(b, hdlr.toInt)
+    if (hdlr + hHdr + 12 > mEnd) return null
+    val handler = tag(b, (hdlr + hHdr + 8).toInt)
+    val minf = findBox(b, mdia + mHdr, mEnd, "minf")
+    if (minf < 0) return null
+    val (nSize, nHdr) = boxSize(b, minf.toInt)
+    val stbl = findBox(b, minf + nHdr, minf + nSize, "stbl")
+    if (stbl < 0) return null
+    val (sSize, sHdr) = boxSize(b, stbl.toInt)
+    val sEnd = stbl + sSize
+    // stsd: first sample entry's format fourcc is the codec id
+    val stsd = findBox(b, stbl + sHdr, sEnd, "stsd")
+    if (stsd < 0) return null
+    val (_, sdHdr) = boxSize(b, stsd.toInt)
+    val sdb = (stsd + sdHdr).toInt
+    if (stsd + sdHdr + 16 > sEnd || be32(b, sdb + 4) < 1) return null
+    val codec = tag(b, sdb + 12)
+    // stsz: fixed sample size or per-sample table → count + byte total
+    val stsz = findBox(b, stbl + sHdr, sEnd, "stsz")
+    if (stsz < 0) return null
+    val (szSize, szHdr) = boxSize(b, stsz.toInt)
+    val zb = (stsz + szHdr).toInt
+    if (stsz + szHdr + 12 > sEnd) return null
+    val fixedSize = be32(b, zb + 4).toLong & 0xffffffffL
+    val sampleCount = be32(b, zb + 8).toLong & 0xffffffffL
+    val totalBytes =
+      if (fixedSize > 0) fixedSize * sampleCount
+      else {
+        // per-sample u32 table must fit inside the declared box
+        if (szHdr + 12 + 4 * sampleCount > szSize) return null
+        var sum = 0L
+        var k = 0
+        while (k < sampleCount) {
+          sum += be32(b, zb + 12 + 4 * k).toLong & 0xffffffffL
+          k += 1
+        }
+        sum
+      }
+    // stco (u32 offsets) or co64 (u64): chunk count
+    val stco = findBox(b, stbl + sHdr, sEnd, "stco")
+    val co64 = if (stco < 0) findBox(b, stbl + sHdr, sEnd, "co64") else -1L
+    val chunkCount =
+      if (stco >= 0) {
+        val (cSize, cHdr) = boxSize(b, stco.toInt)
+        val cb = (stco + cHdr).toInt
+        if (stco + cHdr + 8 > sEnd) return null
+        val nc = be32(b, cb + 4)
+        if (nc < 0 || cHdr + 8 + 4L * nc > cSize) return null
+        nc
+      } else if (co64 >= 0) {
+        val (cSize, cHdr) = boxSize(b, co64.toInt)
+        val cb = (co64 + cHdr).toInt
+        if (co64 + cHdr + 8 > sEnd) return null
+        val nc = be32(b, cb + 4)
+        if (nc < 0 || cHdr + 8 + 8L * nc > cSize) return null
+        nc
+      } else return null
+    // stts sanity: when present, its (count × delta) totals must not
+    // contradict stsz's sample count
+    val stts = findBox(b, stbl + sHdr, sEnd, "stts")
+    if (stts >= 0) {
+      val (ttSize, ttHdr) = boxSize(b, stts.toInt)
+      val yb = (stts + ttHdr).toInt
+      if (stts + ttHdr + 8 > sEnd) return null
+      val ne = be32(b, yb + 4)
+      if (ne < 0 || ttHdr + 8 + 8L * ne > ttSize) return null
+      var cnt = 0L
+      var k = 0
+      while (k < ne) {
+        cnt += be32(b, yb + 8 + 8 * k).toLong & 0xffffffffL
+        k += 1
+      }
+      if (cnt != sampleCount) return null
+    }
+    TrackInfo(trackId, handler, codec, width, height, timescale, sampleCount,
+      durTicks * 1000000L / timescale, totalBytes, chunkCount)
+  }
+
+  // --------------------------------------------------------------- builders
+
   /** A valid ftyp + moov(mvhd v0) + mdat(body) container — the
     * deterministic inverse of [[parseMp4]] for the header part. */
   def buildMp4(brand: String, timescale: Int, durTicks: Int, body: Array[Byte]): Array[Byte] = {
@@ -97,6 +274,78 @@ object VideoHeaders {
       be32b(2) /* next track id */
     val moov = be32b(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
     val mdat = be32b(8 + body.length) ++ "mdat".getBytes ++ body
+    ftyp ++ moov ++ mdat
+  }
+
+  /** What [[buildMp4Tracks]] needs per track; `sampleSizes` drives stsz
+    * (per-sample table) and stts carries one run of `sampleDelta` ticks per
+    * sample, so mdhd duration = sampleSizes.length · sampleDelta. */
+  final case class TrackSpec(trackId: Int, handler: String, codec: String,
+      width: Int, height: Int, timescale: Int, sampleSizes: Array[Int],
+      sampleDelta: Int, chunkCount: Int)
+
+  /** Full ISO-BMFF container with real per-track sample tables — the
+    * deterministic inverse of [[parseTracks]] (ISO 14496-12 §8: tkhd, mdhd
+    * v0, hdlr, stbl with stsd/stts/stsz/stsc/stco). The mdat body is
+    * opaque; chunk offsets point into it at arbitrary (but in-file)
+    * positions. */
+  def buildMp4Tracks(brand: String, movieTimescale: Int,
+      tracks: Seq[TrackSpec], body: Array[Byte]): Array[Byte] = {
+    require(brand.length == 4, "brand must be a 4cc")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      require(typ.length == 4)
+      be32b(8 + payload.length) ++ typ.getBytes ++ payload
+    }
+    def full(typ: String, ver: Int, payload: Array[Byte]): Array[Byte] =
+      box(typ, be32b(ver << 24) ++ payload)
+    def be16b(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val traks = tracks.map { t =>
+      require(t.handler.length == 4 && t.codec.length == 4)
+      val durTicks = t.sampleSizes.length * t.sampleDelta
+      val tkhd = full("tkhd", 0,
+        be32b(0) ++ be32b(0) ++ be32b(t.trackId) ++ be32b(0) ++ be32b(durTicks) ++
+          new Array[Byte](8) /* reserved */ ++
+          be16b(0) ++ be16b(0) ++ be16b(0) ++ be16b(0) /* layer/alt/vol/res */ ++
+          (be32b(0x00010000) ++ be32b(0) ++ be32b(0) ++ be32b(0) ++
+            be32b(0x00010000) ++ be32b(0) ++ be32b(0) ++ be32b(0) ++
+            be32b(0x40000000)) /* identity matrix */ ++
+          be32b(t.width << 16) ++ be32b(t.height << 16))
+      val mdhd = full("mdhd", 0,
+        be32b(0) ++ be32b(0) ++ be32b(t.timescale) ++ be32b(durTicks) ++
+          be16b(0x55c4) /* und */ ++ be16b(0))
+      val hdlr = full("hdlr", 0,
+        be32b(0) ++ t.handler.getBytes ++ new Array[Byte](12) ++ Array(0.toByte))
+      // one sample entry: the fixed SampleEntry prefix (6 reserved + 2
+      // data-reference-index) under the codec fourcc — enough structure for
+      // any fourcc without codec-specific extension boxes
+      val stsd = full("stsd", 0, be32b(1) ++
+        box(t.codec, new Array[Byte](6) ++ be16b(1)))
+      val stts = full("stts", 0, be32b(1) ++
+        be32b(t.sampleSizes.length) ++ be32b(t.sampleDelta))
+      val stsz = full("stsz", 0, be32b(0) /* per-sample */ ++
+        be32b(t.sampleSizes.length) ++ t.sampleSizes.flatMap(be32b))
+      val perChunk = math.max(1,
+        (t.sampleSizes.length + math.max(1, t.chunkCount) - 1) / math.max(1, t.chunkCount))
+      val stsc = full("stsc", 0, be32b(1) ++ be32b(1) ++ be32b(perChunk) ++ be32b(1))
+      val stco = full("stco", 0, be32b(t.chunkCount) ++
+        Array.tabulate(t.chunkCount)(k => be32b(16 + 8 * k)).flatten)
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val movieDur = tracks.map { t =>
+      // movie duration = longest track, re-expressed on the movie timescale
+      val us = t.sampleSizes.length.toLong * t.sampleDelta * 1000000L / t.timescale
+      us * movieTimescale / 1000000L
+    }.foldLeft(0L)(math.max)
+    val mvhd = full("mvhd", 0,
+      be32b(0) ++ be32b(0) ++ be32b(movieTimescale) ++ be32b(movieDur.toInt) ++
+        be32b(0x00010000) ++ new Array[Byte](2 + 10 + 36 + 24) ++
+        be32b(tracks.map(_.trackId).foldLeft(0)(math.max) + 1))
+    val ftyp = be32b(16) ++ "ftyp".getBytes ++ brand.getBytes ++ be32b(0)
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    val mdat = box("mdat", body)
     ftyp ++ moov ++ mdat
   }
 }

@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-import java.security.{KeyFactory, KeyPair, KeyPairGenerator, MessageDigest, SecureRandom}
+import java.nio.file.attribute.PosixFilePermissions
+import java.security.{KeyFactory, KeyPair, KeyPairGenerator, MessageDigest, SecureRandom, Signature}
 import java.security.spec.{PKCS8EncodedKeySpec, X509EncodedKeySpec}
 
 import javax.crypto.{Cipher, KeyAgreement, Mac}
@@ -14,7 +15,7 @@ import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
   * library's protocol, per its public README/design, bootstraps pairwise
   * trust from Curve25519 keys and then distributes per-topic symmetric
   * *data keys* over `<topic>.keys` / `<topic>.reqs` side topics, with
-  * generation-numbered rotation).
+  * generation-numbered rotation and signed chains of trust).
   *
   * Re-expressed for Spark's execution model, the protocol splits cleanly:
   *
@@ -31,6 +32,31 @@ import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
   *     `try_aes_decrypt` columns; undecryptable rows keep flowing to the
   *     dead-letter dump and replay exactly as before (S6).
   *
+  * == Trust model (read this before deploying) ==
+  *
+  * Every party owns a durable [[Identity]]: an X25519 key-agreement pair
+  * plus an Ed25519 signing pair (both JDK-native, RFC 7748/8032; private
+  * halves stored 0600). Announcements and key messages are SIGNED:
+  *
+  *   - an announcement binds (party, X25519 public key) under the
+  *     announcer's Ed25519 key — a message whose signature does not verify
+  *     is dropped on read, so nobody can bind a party NAME to a key they
+  *     do not control without also controlling the signing key;
+  *   - a key message binds (topic, generation, party, wrapped key) under
+  *     the PRODUCER's Ed25519 key, so consumers can pin the producer and
+  *     reject forged key material wholesale.
+  *
+  * Signatures alone do not decide WHO is authorized — that is the
+  * fingerprint allow-lists (`allowedConsumers` on [[publishDataKey]],
+  * `trustedProducers` on [[fetchAllDataKeys]]), the re-expression of
+  * kafkacrypto's provisioned trust chain: operators exchange SHA-256
+  * fingerprints of Ed25519 public keys out of band (printed by
+  * `AnnounceKeyApp`) exactly as kafkacrypto provisions signed certs.
+  * With `None` the plane runs OPEN: any announcer on `<topic>.reqs` is
+  * wrapped for, any signature-valid key message is accepted, and the side-
+  * topic directory/topic ACL is the ONLY boundary — acceptable on a
+  * trusted cluster, stated here so nobody mistakes it for more.
+  *
   * The side topics use the same directory stand-in as the rest of the
   * offline Kafka wiring (one file per message; filename = message key), so
   * the whole handshake is exercised end-to-end in tests without a broker.
@@ -43,6 +69,10 @@ object KeyExchange {
 
   private val KeyLen = 16 // AES-128, matches WireCrypto's accepted sizes
   private val Info = "graft-key-exchange-v1".getBytes(UTF_8)
+  private val AnnounceMagic = "GKA1".getBytes(UTF_8)
+  private val KeyMsgMagic = "GKM1".getBytes(UTF_8)
+  private val AnnounceCtx = "graft-kx-announce-v1".getBytes(UTF_8)
+  private val KeyMsgCtx = "graft-kx-key-v1".getBytes(UTF_8)
 
   // ---------------------------------------------------------------- X25519
 
@@ -98,23 +128,107 @@ object KeyExchange {
       MessageDigest.getInstance("SHA-256").digest(topic.getBytes(UTF_8)),
       Info, KeyLen)
 
+  // -------------------------------------------------------------- Ed25519
+
+  private def sha256Hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
+
+  private def sign(pair: KeyPair, data: Array[Byte]*): Array[Byte] = {
+    val s = Signature.getInstance("Ed25519")
+    s.initSign(pair.getPrivate)
+    data.foreach(s.update)
+    s.sign()
+  }
+
+  private def verify(pubEncoded: Array[Byte], sig: Array[Byte],
+      data: Array[Byte]*): Boolean =
+    try {
+      val kf = KeyFactory.getInstance("Ed25519")
+      val pub = kf.generatePublic(new X509EncodedKeySpec(pubEncoded))
+      val s = Signature.getInstance("Ed25519")
+      s.initVerify(pub)
+      data.foreach(s.update)
+      s.verify(sig)
+    } catch { case _: Exception => false }
+
+  /** A party's durable identity: X25519 for key agreement + Ed25519 for
+    * signatures. `fingerprint` (SHA-256 of the encoded Ed25519 public key,
+    * hex) is what operators exchange out of band for the allow-lists. */
+  final case class Identity(kem: KeyPair, sig: KeyPair) {
+    def fingerprint: String = sha256Hex(sig.getPublic.getEncoded)
+  }
+
+  /** Fingerprint of a peer's encoded Ed25519 public key — same formula as
+    * [[Identity.fingerprint]], for building allow-lists from announcements. */
+  def fingerprintOf(sigPubEncoded: Array[Byte]): String = sha256Hex(sigPubEncoded)
+
+  /** Fresh (ephemeral) identity. */
+  def newIdentity(): Identity = {
+    val sg = KeyPairGenerator.getInstance("Ed25519")
+    Identity(generateKeyPair(), sg.generateKeyPair())
+  }
+
   // --------------------------------------------- side-topic message format
 
   private def keysDir(topicDir: String): Path = Paths.get(topicDir + ".keys")
 
-  /** Publish our public key to the `<topic>.reqs` stand-in (consumer side
-    * of the kafkacrypto bootstrap: announce identity, wait for wrapped
-    * keys). Filename is the party name — last write wins, like a compacted
-    * Kafka topic keyed by party. */
-  def announce(topicDir: String, party: String, pair: KeyPair): Unit = {
+  // length-prefixed (u16 BE) record framing for the signed blobs
+  private def lp(b: Array[Byte]): Array[Byte] = {
+    require(b.length <= 0xffff)
+    Array(((b.length >> 8) & 0xff).toByte, (b.length & 0xff).toByte) ++ b
+  }
+  private def be64(v: Long): Array[Byte] =
+    (7 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+
+  /** Parse consecutive u16-length-prefixed fields after `magic`; None on any
+    * framing violation (short field, trailing bytes, wrong magic). */
+  private def unframe(b: Array[Byte], magic: Array[Byte],
+      nFields: Int): Option[Seq[Array[Byte]]] = {
+    if (b == null || b.length < magic.length ||
+        !b.take(magic.length).sameElements(magic)) return None
+    var i = magic.length
+    val out = Seq.newBuilder[Array[Byte]]
+    var k = 0
+    while (k < nFields) {
+      if (i + 2 > b.length) return None
+      val len = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      if (i + 2 + len > b.length) return None
+      out += b.slice(i + 2, i + 2 + len)
+      i += 2 + len
+      k += 1
+    }
+    if (i != b.length) return None
+    Some(out.result())
+  }
+
+  /** A verified announcement: the announcer's X25519 public key plus the
+    * Ed25519 key that vouched for it. */
+  final case class Announcement(kemPub: Array[Byte], sigPub: Array[Byte]) {
+    def fingerprint: String = sha256Hex(sigPub)
+  }
+
+  /** Publish our identity to the `<topic>.reqs` stand-in (consumer side of
+    * the kafkacrypto bootstrap: announce identity, wait for wrapped keys).
+    * The message is SIGNED — Ed25519 over (context, party, X25519 pub) —
+    * so a reader can prove the KEM key belongs to whoever holds the
+    * signing key. Filename is the party name — last write wins, like a
+    * compacted Kafka topic keyed by party. */
+  def announce(topicDir: String, party: String, id: Identity): Unit = {
     val d = Paths.get(topicDir + ".reqs")
     Files.createDirectories(d)
-    Files.write(d.resolve(s"$party.pub"), pair.getPublic.getEncoded,
+    val kemPub = id.kem.getPublic.getEncoded
+    val sigPub = id.sig.getPublic.getEncoded
+    val signature = sign(id.sig, AnnounceCtx, lp(party.getBytes(UTF_8)), lp(kemPub))
+    Files.write(d.resolve(s"$party.pub"),
+      AnnounceMagic ++ lp(kemPub) ++ lp(sigPub) ++ lp(signature),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  /** All announced (party → encoded public key) on `<topic>.reqs`. */
-  def announcements(topicDir: String): Map[String, Array[Byte]] = {
+  /** All SIGNATURE-VALID announcements (party → [[Announcement]]) on
+    * `<topic>.reqs`. Malformed or signature-invalid messages are dropped
+    * loudly — the forged-binding defense; whether a valid announcer is
+    * AUTHORIZED is the caller's allow-list. */
+  def announcements(topicDir: String): Map[String, Announcement] = {
     val d = Paths.get(topicDir + ".reqs")
     if (!Files.isDirectory(d)) Map.empty
     else {
@@ -122,7 +236,20 @@ object KeyExchange {
       try s.iterator().asInstanceOf[java.util.Iterator[Path]]
         .asScala()
         .filter(_.getFileName.toString.endsWith(".pub"))
-        .map(p => p.getFileName.toString.stripSuffix(".pub") -> Files.readAllBytes(p))
+        .flatMap { p =>
+          val party = p.getFileName.toString.stripSuffix(".pub")
+          val b = Files.readAllBytes(p)
+          unframe(b, AnnounceMagic, 3) match {
+            case Some(Seq(kemPub, sigPub, signature))
+                if verify(sigPub, signature, AnnounceCtx,
+                  lp(party.getBytes(UTF_8)), lp(kemPub)) =>
+              Some(party -> Announcement(kemPub, sigPub))
+            case _ =>
+              System.err.println(
+                s"[key-exchange] dropping unsigned/invalid announcement '$party'")
+              None
+          }
+        }
         .toMap
       finally s.close()
     }
@@ -138,30 +265,55 @@ object KeyExchange {
 
   private val rng = new SecureRandom()
 
-  /** Durable consumer identity: load the X25519 keypair stored under `dir`,
-    * or create and persist one (private key PKCS#8, public key X.509 — both
-    * plain JDK encodings). A consumer must present the SAME private key at
-    * announce time and at fetch time, possibly across process restarts;
-    * this is the kafkacrypto config-file identity re-expressed as two flat
-    * files. */
-  def loadOrCreateIdentity(dir: String): KeyPair = {
+  /** Write `bytes` then restrict to owner read/write (0600). Private key
+    * material must not be group/world readable; non-POSIX filesystems fall
+    * back to the JVM's owner-only API. */
+  private def writePrivate(p: Path, bytes: Array[Byte]): Unit = {
+    Files.write(p, bytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try Files.setPosixFilePermissions(p, PosixFilePermissions.fromString("rw-------"))
+    catch {
+      case _: UnsupportedOperationException =>
+        val f = p.toFile
+        f.setReadable(false, false); f.setReadable(true, true)
+        f.setWritable(false, false); f.setWritable(true, true)
+    }
+  }
+
+  /** Durable identity: load the X25519 + Ed25519 pairs stored under `dir`,
+    * or create and persist them (private keys PKCS#8 at mode 0600, public
+    * keys X.509 — all plain JDK encodings). A consumer must present the
+    * SAME identity at announce time and at fetch time, possibly across
+    * process restarts; this is the kafkacrypto config-file identity
+    * re-expressed as flat files. Pre-signature identity dirs (X25519 only)
+    * are upgraded in place: the missing Ed25519 pair is minted on load. */
+  def loadOrCreateIdentity(dir: String): Identity = {
     val d = Paths.get(dir)
-    val priv = d.resolve("x25519.pkcs8")
-    val pub = d.resolve("x25519.pub")
-    if (Files.exists(priv) && Files.exists(pub)) {
-      val kf = KeyFactory.getInstance("X25519")
+    Files.createDirectories(d)
+    val kemPriv = d.resolve("x25519.pkcs8"); val kemPub = d.resolve("x25519.pub")
+    val sigPriv = d.resolve("ed25519.pkcs8"); val sigPub = d.resolve("ed25519.pub")
+    def load(alg: String, priv: Path, pub: Path): KeyPair = {
+      val kf = KeyFactory.getInstance(alg)
       new KeyPair(
         kf.generatePublic(new X509EncodedKeySpec(Files.readAllBytes(pub))),
         kf.generatePrivate(new PKCS8EncodedKeySpec(Files.readAllBytes(priv))))
-    } else {
-      val pair = generateKeyPair()
-      Files.createDirectories(d)
-      Files.write(priv, pair.getPrivate.getEncoded,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    def create(alg: String, priv: Path, pub: Path): KeyPair = {
+      val pair = KeyPairGenerator.getInstance(alg).generateKeyPair()
+      writePrivate(priv, pair.getPrivate.getEncoded)
       Files.write(pub, pair.getPublic.getEncoded,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       pair
     }
+    val kem =
+      if (Files.exists(kemPriv) && Files.exists(kemPub))
+        load("X25519", kemPriv, kemPub)
+      else create("X25519", kemPriv, kemPub)
+    val sig =
+      if (Files.exists(sigPriv) && Files.exists(sigPub))
+        load("Ed25519", sigPriv, sigPub)
+      else create("Ed25519", sigPriv, sigPub)
+    Identity(kem, sig)
   }
 
   /** Next data-key generation for `<topic>.keys`: one past the highest
@@ -184,40 +336,56 @@ object KeyExchange {
 
   /** Mint a fresh random AES data key for `topic` and publish it to
     * `<topic>.keys`, wrapped (AES-GCM, random IV) under the pairwise key of
-    * every party currently announced on `<topic>.reqs`. `generation`
-    * implements rotation: consumers take the highest generation available.
-    * Returns the plaintext data key (the producer immediately encrypts
-    * with it). */
+    * every signature-valid party announced on `<topic>.reqs` — restricted
+    * to `allowedConsumers` (Ed25519 fingerprints) when given; `None` wraps
+    * for every valid announcer (open mode — see the trust-model scaladoc).
+    * Each key message is signed by the producer so consumers can pin us.
+    * `generation` implements rotation: consumers take the highest
+    * generation available. Returns the plaintext data key (the producer
+    * immediately encrypts with it). */
   def publishDataKey(topicDir: String, topic: String, producer: String,
-      producerPair: KeyPair, generation: Long): Array[Byte] = {
+      producerId: Identity, generation: Long,
+      allowedConsumers: Option[Set[String]] = None): Array[Byte] = {
     val dataKey = new Array[Byte](KeyLen)
     rng.nextBytes(dataKey)
     val d = keysDir(topicDir)
     Files.createDirectories(d)
-    announcements(topicDir).foreach { case (party, peerPub) =>
-      // a corrupt announcement must not fail the publish for every OTHER
-      // party — skip it loudly (the dead-letter posture)
-      val wrapKey =
-        try Some(pairwiseKey(producerPair, peerPub, topic))
-        catch {
-          case e: Exception =>
-            System.err.println(
-              s"[key-exchange] skipping malformed announcement '$party': $e")
-            None
+    val prodKemPub = producerId.kem.getPublic.getEncoded
+    val prodSigPub = producerId.sig.getPublic.getEncoded
+    announcements(topicDir).foreach { case (party, ann) =>
+      if (allowedConsumers.exists(allow => !allow.contains(ann.fingerprint))) {
+        System.err.println(
+          s"[key-exchange] '$party' (${ann.fingerprint.take(12)}…) not in the " +
+            "consumer allow-list — no key wrapped")
+      } else {
+        // a corrupt KEM key must not fail the publish for every OTHER
+        // party — skip it loudly (the dead-letter posture)
+        val wrapKey =
+          try Some(pairwiseKey(producerId.kem, ann.kemPub, topic))
+          catch {
+            case e: Exception =>
+              System.err.println(
+                s"[key-exchange] skipping malformed announcement '$party': $e")
+              None
+          }
+        wrapKey.foreach { wk =>
+          val iv = new Array[Byte](12)
+          rng.nextBytes(iv)
+          val c = Cipher.getInstance("AES/GCM/NoPadding")
+          c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(wk, "AES"),
+            new GCMParameterSpec(128, iv))
+          // bind generation into the GCM additional data so a replayed old
+          // wrap can't be renamed to a newer generation
+          c.updateAAD(s"$topic:$generation".getBytes(UTF_8))
+          val wrapped = iv ++ c.doFinal(dataKey)
+          val signature = sign(producerId.sig, KeyMsgCtx,
+            lp(topic.getBytes(UTF_8)), be64(generation),
+            lp(party.getBytes(UTF_8)), lp(prodKemPub), lp(wrapped))
+          Files.write(d.resolve(f"$party%s.$generation%019d.key"),
+            KeyMsgMagic ++ lp(prodKemPub) ++ lp(prodSigPub) ++ lp(wrapped) ++
+              lp(signature),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
         }
-      wrapKey.foreach { wk =>
-        val iv = new Array[Byte](12)
-        rng.nextBytes(iv)
-        val c = Cipher.getInstance("AES/GCM/NoPadding")
-        c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(wk, "AES"),
-          new GCMParameterSpec(128, iv))
-        // bind generation into the GCM additional data so a replayed old
-        // wrap can't be renamed to a newer generation
-        c.updateAAD(s"$topic:$generation".getBytes(UTF_8))
-        val wrapped = iv ++ c.doFinal(dataKey)
-        Files.write(d.resolve(f"$party%s.$generation%019d.key"),
-          producerPair.getPublic.getEncoded ++ wrapped,
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       }
     }
     dataKey
@@ -225,17 +393,24 @@ object KeyExchange {
 
   /** Consumer side: recover the newest-generation data key addressed to
     * `party` on `<topic>.keys`, or None when no key message has arrived
-    * (or none unwraps — wrong producer key, tampered message). */
+    * (or none passes — bad producer signature, untrusted producer, wrong
+    * key, tampered message). */
   def fetchDataKey(topicDir: String, topic: String, party: String,
-      pair: KeyPair): Option[(Long, Array[Byte])] =
-    fetchAllDataKeys(topicDir, topic, party, pair).headOption
+      id: Identity, trustedProducers: Option[Set[String]] = None)
+      : Option[(Long, Array[Byte])] =
+    fetchAllDataKeys(topicDir, topic, party, id, trustedProducers).headOption
 
-  /** The full KEY RING for `party`: every generation that unwraps, newest
-    * first — what a rotation-tolerant consumer feeds
+  /** The full KEY RING for `party`: every generation that verifies AND
+    * unwraps, newest first — what a rotation-tolerant consumer feeds
     * [[WireCrypto.splitDecryptedAny]] so in-flight messages under the
-    * previous generation keep decrypting through the overlap window. */
+    * previous generation keep decrypting through the overlap window.
+    * A key message is accepted only if its Ed25519 producer signature
+    * verifies over (topic, generation, party, producer KEM key, wrapped
+    * bytes) — and, when `trustedProducers` fingerprints are given, only
+    * from a pinned producer. */
   def fetchAllDataKeys(topicDir: String, topic: String, party: String,
-      pair: KeyPair): Seq[(Long, Array[Byte])] = {
+      id: Identity, trustedProducers: Option[Set[String]] = None)
+      : Seq[(Long, Array[Byte])] = {
     val d = keysDir(topicDir)
     if (!Files.isDirectory(d)) return Nil
     val s = Files.list(d)
@@ -245,27 +420,29 @@ object KeyExchange {
           java.util.regex.Pattern.quote(party) + "\\.\\d{19}\\.key"))
         .toSeq
       finally s.close()
-    // X.509-encoded X25519 public keys have a fixed length; derive it once
-    // from OUR key instead of minting a throwaway pair per fetch
-    val pubLen = pair.getPublic.getEncoded.length
     mine.sortBy(_.getFileName.toString).reverseIterator.flatMap { p =>
       // parse the zero-padded generation from the tail so dotted party
       // names can't shift the field index
       val gen = p.getFileName.toString.stripSuffix(".key").takeRight(19).toLong
       val bytes = Files.readAllBytes(p)
-      if (bytes.length < pubLen + 12 + 16) None
-      else {
-        val producerPub = bytes.take(pubLen)
-        val iv = bytes.slice(pubLen, pubLen + 12)
-        val ct = bytes.drop(pubLen + 12)
-        try {
-          val wrapKey = pairwiseKey(pair, producerPub, topic)
-          val c = Cipher.getInstance("AES/GCM/NoPadding")
-          c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(wrapKey, "AES"),
-            new GCMParameterSpec(128, iv))
-          c.updateAAD(s"$topic:$gen".getBytes(UTF_8))
-          Some(gen -> c.doFinal(ct))
-        } catch { case _: Exception => None } // tampered/foreign → skip
+      unframe(bytes, KeyMsgMagic, 4) match {
+        case Some(Seq(prodKemPub, prodSigPub, wrapped, signature))
+            if wrapped.length >= 12 + 16 &&
+              verify(prodSigPub, signature, KeyMsgCtx,
+                lp(topic.getBytes(UTF_8)), be64(gen),
+                lp(party.getBytes(UTF_8)), lp(prodKemPub), lp(wrapped)) &&
+              trustedProducers.forall(_.contains(sha256Hex(prodSigPub))) =>
+          val iv = wrapped.take(12)
+          val ct = wrapped.drop(12)
+          try {
+            val wrapKey = pairwiseKey(id.kem, prodKemPub, topic)
+            val c = Cipher.getInstance("AES/GCM/NoPadding")
+            c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(wrapKey, "AES"),
+              new GCMParameterSpec(128, iv))
+            c.updateAAD(s"$topic:$gen".getBytes(UTF_8))
+            Some(gen -> c.doFinal(ct))
+          } catch { case _: Exception => None } // tampered/foreign → skip
+        case _ => None // wrong framing, bad signature, or untrusted producer
       }
     }.toSeq
   }
