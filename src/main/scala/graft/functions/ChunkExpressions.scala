@@ -97,6 +97,8 @@ object ChunkFunctions {
       es => AudioHeader(es.head), "built-in")
     reg.createOrReplaceTempFunction("video_header",
       es => VideoHeader(es.head), "built-in")
+    reg.createOrReplaceTempFunction("video_tracks",
+      es => VideoTracks(es.head), "built-in")
     reg.createOrReplaceTempFunction("bmp_pixels",
       es => BmpPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("png_pixels",
@@ -144,6 +146,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("video_header"),
       new ExpressionInfo(classOf[VideoHeader].getName, "video_header"),
       es => VideoHeader(es.head)))
+    e.injectFunction((FunctionIdentifier("video_tracks"),
+      new ExpressionInfo(classOf[VideoTracks].getName, "video_tracks"),
+      es => VideoTracks(es.head)))
     e.injectFunction((FunctionIdentifier("bmp_pixels"),
       new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
       es => BmpPixels(es.head)))

@@ -396,3 +396,66 @@ object VideoHeader {
   def videoHeader(media: Column): Column =
     GraftColumnShim.column(VideoHeader(GraftColumnShim.expression(media)))
 }
+
+/** `video_tracks(binary)` → `array<struct<...>>` of per-track sample-table
+  * facts (ISO 14496-12 moov→trak→mdia→minf→stbl walk: tkhd, mdhd, hdlr,
+  * stsd, stts, stsz, stco/co64) — sample counts, byte totals, exact
+  * integer-micros durations, presentation dims, and the codec fourcc, all
+  * with zero codec libraries. Null for non-BMFF or structurally broken
+  * tables. Codegen'd; at 100 TB this is the per-file video triage scan
+  * (bitrate/fps/codec classification) with no frame decode. */
+case class VideoTracks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = VideoTracks.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"video_tracks expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val tracks = VideoHeaders.parseTracks(payload.asInstanceOf[Array[Byte]])
+    if (tracks == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tracks.map(t => InternalRow(t.trackId,
+        UTF8String.fromString(t.handler), UTF8String.fromString(t.codec),
+        t.width, t.height, t.timescale, t.sampleCount, t.durationUs,
+        t.totalBytes, t.chunkCount)).toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("videoTracks", this, classOf[VideoTracks].getName)
+    val r = ctx.freshName("vidTrk")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoTracks =
+    copy(child = newChild)
+
+  override def prettyName: String = "video_tracks"
+}
+
+object VideoTracks {
+  val trackType: StructType = StructType(Seq(
+    StructField("track_id", IntegerType),
+    StructField("handler", StringType),
+    StructField("codec", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("timescale", IntegerType),
+    StructField("sample_count", LongType),
+    StructField("duration_us", LongType),
+    StructField("total_bytes", LongType),
+    StructField("chunk_count", IntegerType)))
+  val resultType: DataType = ArrayType(trackType, containsNull = false)
+
+  def videoTracks(media: Column): Column =
+    GraftColumnShim.column(VideoTracks(GraftColumnShim.expression(media)))
+}

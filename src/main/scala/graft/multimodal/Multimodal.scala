@@ -51,10 +51,13 @@ object Multimodal {
       * ([[graft.functions.JpegCodec.decodeJpeg]] — ITU-T T.81), and WAV
       * PCM samples reduce to an exact energy Σa²
       * ([[graft.functions.AudioHeaders.parsePcmStats]]). EVERY image
-      * format now decodes for real; the STUB covers only video track
-      * payloads (H.264/H.265 — a genuine codec dependency), for which
-      * deterministic fakes pin the plumbing: byte length, first code
-      * point, md5 head. */
+      * format now decodes for real, and ISO-BMFF SAMPLE TABLES parse for
+      * real too ([[graft.functions.VideoHeaders.parseTracks]] —
+      * stsd/stts/stsz/stco give per-track sample counts, byte totals and
+      * duration-weighted bitrates with no codec); the STUB covers only the
+      * video sample PAYLOAD bits (H.264/H.265 entropy decode — a genuine
+      * codec dependency), for which deterministic fakes pin the plumbing:
+      * byte length, first code point, md5 head. */
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
       val hdr = Option(graft.functions.ImageHeaders.parse(payload))
       val bmp = Option(graft.functions.ImageHeaders.parseBmpPixels(payload))

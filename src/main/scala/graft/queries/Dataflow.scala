@@ -569,6 +569,98 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x133: ISO-BMFF SAMPLE TABLES — the step past x104's mvhd header. Each
+    * document becomes a full MP4 with two tracks (avc1 video + mp4a audio)
+    * whose stsd/stts/stsz/stsc/stco tables are row-derived, including a
+    * PER-SAMPLE stsz size table; the native `video_tracks` expression
+    * ([[graft.functions.VideoTracks]]) walks
+    * moov→trak→{tkhd,mdia→{mdhd,hdlr,minf→stbl}} and surfaces per-track
+    * sample counts, exact byte totals, integer-micros durations and the
+    * duration-weighted bitrate — everything a triage pipeline needs from
+    * video at 100 TB with no codec library (only the H.264/H.265 sample
+    * PAYLOAD needs one, and that stays stubbed). The oracle recomputes
+    * every field — including the Σ-over-samples byte total via
+    * generate_series — so the parse must invert the build per track, per
+    * sample, in SQL. */
+  val x133 = DQ("x133_video_tracks", Some(
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |                                 ELSE 90000 END AS vts,
+      |    CAST(doc_id % 50 + 1 AS INT) AS nv,
+      |    CAST(100 + doc_id % 40 AS INT) AS dv,
+      |    CAST(n_chars % 80 + 1 AS INT) AS na
+      |  FROM documents),
+      |vsz AS (
+      |  SELECT doc_id, (doc_id * 31 + k.k * 7) % 2000 + 100 AS sz
+      |  FROM d, unnest(generate_series(0, nv - 1)) AS k(k)),
+      |vtot AS (SELECT doc_id, CAST(sum(sz) AS BIGINT) AS total_bytes
+      |         FROM vsz GROUP BY doc_id),
+      |asz AS (
+      |  SELECT doc_id, (doc_id + k.k * 13) % 500 + 50 AS sz
+      |  FROM d, unnest(generate_series(0, na - 1)) AS k(k)),
+      |atot AS (SELECT doc_id, CAST(sum(sz) AS BIGINT) AS total_bytes
+      |         FROM asz GROUP BY doc_id),
+      |u AS (
+      |  SELECT d.doc_id AS media_id, CAST(1 AS INT) AS track_id,
+      |    'vide' AS handler, 'avc1' AS codec,
+      |    CAST(d.n_chars % 640 + 16 AS INT) AS width,
+      |    CAST(d.doc_id % 480 + 16 AS INT) AS height,
+      |    CAST(d.vts AS INT) AS timescale,
+      |    CAST(d.nv AS BIGINT) AS sample_count,
+      |    CAST(CAST(d.nv AS BIGINT) * d.dv * 1000000 // d.vts AS BIGINT) AS duration_us,
+      |    vtot.total_bytes,
+      |    CAST(d.doc_id % 7 + 1 AS INT) AS chunk_count
+      |  FROM d JOIN vtot ON d.doc_id = vtot.doc_id
+      |  UNION ALL
+      |  SELECT d.doc_id, CAST(2 AS INT), 'soun', 'mp4a',
+      |    CAST(0 AS INT), CAST(0 AS INT), CAST(44100 AS INT),
+      |    CAST(d.na AS BIGINT),
+      |    CAST(CAST(d.na AS BIGINT) * 1024 * 1000000 // 44100 AS BIGINT),
+      |    atot.total_bytes,
+      |    CAST(d.doc_id % 5 + 1 AS INT)
+      |  FROM d JOIN atot ON d.doc_id = atot.doc_id)
+      |SELECT media_id, track_id, handler, codec, width, height, timescale,
+      |  sample_count, duration_us, total_bytes,
+      |  CAST(total_bytes * 8 * 1000000 // duration_us AS BIGINT) AS bitrate_bps,
+      |  chunk_count
+      |FROM u ORDER BY media_id, track_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{VideoHeaders, VideoTracks}
+      import graft.functions.VideoHeaders.TrackSpec
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")))
+        .as[(Long, Long)]
+        .map { case (id, n) =>
+          val vts = (id % 3) match { case 0 => 600; case 1 => 1000; case _ => 90000 }
+          val nv = (id % 50 + 1).toInt
+          val dv = (100 + id % 40).toInt
+          val na = (n % 80 + 1).toInt
+          val vid = TrackSpec(1, "vide", "avc1",
+            (n % 640 + 16).toInt, (id % 480 + 16).toInt, vts,
+            Array.tabulate(nv)(k => ((id * 31 + k * 7) % 2000 + 100).toInt),
+            dv, (id % 7 + 1).toInt)
+          val aud = TrackSpec(2, "soun", "mp4a", 0, 0, 44100,
+            Array.tabulate(na)(k => ((id + k * 13) % 500 + 50).toInt),
+            1024, (id % 5 + 1).toInt)
+          (id, VideoHeaders.buildMp4Tracks("isom", 1000, Seq(vid, aud),
+            Array.fill[Byte](64)(id.toByte)))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"),
+          explode(VideoTracks.videoTracks(col("media"))).as("t"))
+        .select(col("media_id"), col("t.track_id").as("track_id"),
+          col("t.handler").as("handler"), col("t.codec").as("codec"),
+          col("t.width").as("width"), col("t.height").as("height"),
+          col("t.timescale").as("timescale"),
+          col("t.sample_count").as("sample_count"),
+          col("t.duration_us").as("duration_us"),
+          col("t.total_bytes").as("total_bytes"),
+          expr("CAST(t.total_bytes * 8 * 1000000 DIV t.duration_us AS BIGINT)")
+            .as("bitrate_bps"),
+          col("t.chunk_count").as("chunk_count"))
+        .orderBy("media_id", "track_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132)
+    x126, x127, x132, x133)
 }

@@ -20,7 +20,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("jpeg_pixels", b => JpegCodec.parseJpegPixels(b)),
     ("wav_header", b => AudioHeaders.parseWav(b)),
     ("pcm_stats", b => AudioHeaders.parsePcmStats(b)),
-    ("video_header", b => VideoHeaders.parseMp4(b)))
+    ("video_header", b => VideoHeaders.parseMp4(b)),
+    ("video_tracks", b => VideoHeaders.parseTracks(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -30,6 +31,12 @@ class MediaFuzzSpec extends AnyFunSuite {
     JpegCodec.buildJpegGray(16, 8)((x, y) => (x * y) % 256),
     AudioHeaders.buildWav(1, 8000, 16, Array.tabulate(64)(_.toByte)),
     VideoHeaders.buildMp4("isom", 1000, 5000, Array[Byte](1, 2, 3)),
+    VideoHeaders.buildMp4Tracks("isom", 1000, Seq(
+      VideoHeaders.TrackSpec(1, "vide", "avc1", 320, 240, 90000,
+        Array.tabulate(7)(k => 500 + k), 3000, 2),
+      VideoHeaders.TrackSpec(2, "soun", "mp4a", 0, 0, 48000,
+        Array.tabulate(11)(k => 100 + k), 1024, 3)),
+      Array[Byte](9, 8, 7)),
     AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)))
 
   test("every parser survives pure random bytes") {
