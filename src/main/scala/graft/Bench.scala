@@ -32,14 +32,16 @@ object Bench {
     // driver invokes with no args and times everything.
     val wanted = if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
                  else SparkEntry.queries
-    // SPARK_GRAFT_BENCH_N=k (default 1): run each query k times and report
+    // SPARK_GRAFT_BENCH_N=k (default 3): run each query k times and report
     // the per-query MEDIAN — the defense against a contended host, where a
     // single run can absorb another process's CPU burst and read 10-30×
-    // slow (SCALE.md documents two such driver-box snapshots). The JSON
+    // slow (SCALE.md documents two such driver-box snapshots). Median-of-3
+    // is the DEFAULT so every committed snapshot carries "runs":3; set
+    // SPARK_GRAFT_BENCH_N=1 for a quick single-pass profile. The JSON
     // contract is unchanged: one line, same keys; "runs" is added so a
     // median snapshot is distinguishable from a single-run one.
     val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_N")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(1)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(3)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
