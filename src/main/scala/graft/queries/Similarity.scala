@@ -104,13 +104,16 @@ object Similarity {
         .orderBy(col("sim").desc, col("vec_id")).limit(5)
   }
 
-  /** x12: embedding-cosine near-duplicate pairs (north star dedup): all
-    * same-label pairs scored exactly, threshold on the 6-dp-rounded cosine.
-    * Label blocking bounds the pair space ON THE DECLARED FIXTURE
-    * (AnnQualitySpec pins every block under the router budget); production
-    * routing at corpus scale is [[nearDupPairsRouted]], which sends
-    * oversized label blocks through x13's sign-LSH buckets with x59-style
-    * exact verification of candidates only. */
+  /** x12: embedding-cosine near-duplicate pairs (north star dedup). The
+    * DECLARED plan IS the production router ([[nearDupPairsRouted]]):
+    * labels whose pair count fits the budget take the exact within-label
+    * all-pairs path; oversized labels go through banded sign-LSH buckets
+    * with exact cosine verification of candidates only. On the driver
+    * fixture every label block is under budget (AnnQualitySpec pins this),
+    * so the LSH arm is EMPTY and the result equals the exact all-pairs
+    * oracle — while the plan that ships is the one that survives coarse
+    * labels at 100 TB (PlanShapeSpec pins the under-budget filter on the
+    * exact arm). */
   val x12 = DQ("x12_embedding_neardup", Some(
     """WITH ser AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)),
       |ex AS (
@@ -124,19 +127,8 @@ object Similarity {
       |SELECT v1, v2, round(dp / (na * nb), 6) AS sim FROM ex
       |WHERE round(dp / (na * nb), 6) >= 0.3 ORDER BY v1, v2""".stripMargin)) {
     (spark, dir) =>
-      // Norms precomputed once per vector (identical double values to the
-      // per-pair form — same inputs, same op) so each of the O(n²/labels)
-      // pairs does one dot product, not one dot plus two norms.
-      val emb = table(spark, dir, "embeddings")
-        .withColumn("nrm", norm(col("embedding")))
-      val a = emb.select(col("vec_id").as("v1"), col("label"),
-        col("embedding").as("e1"), col("nrm").as("n1"))
-      val b = emb.select(col("vec_id").as("v2"), col("label").as("label2"),
-        col("embedding").as("e2"), col("nrm").as("n2"))
-      a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
-        .withColumn("sim", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
-        .filter(col("sim") >= 0.3)
-        .select("v1", "v2", "sim").orderBy("v1", "v2")
+      nearDupPairsRouted(table(spark, dir, "embeddings"))
+        .orderBy("v1", "v2")
   }
 
   /** PRODUCTION routing for embedding near-dup at corpus scale — the guard

@@ -256,6 +256,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"x120 must not shuffle-join the corpus against merges:\n$p")
   }
 
+  test("x12 ships the near-dup ROUTER: exact arm budget-gated, LSH arm in-plan") {
+    // the declared x12 must be the scale-safe plan, not the bare all-pairs
+    // join: a Union of (a) the exact within-label arm filtered to
+    // under-budget blocks and (b) the banded sign-LSH arm for oversized
+    // blocks. On the fixture arm (b) is empty at runtime, but it must be IN
+    // the plan — that is what makes the declared surface safe to point at a
+    // coarse-labeled 100 TB corpus.
+    val p = plan(graft.queries.Similarity.x12)
+    assert(p.contains("Union"), s"x12 must union the exact and LSH arms:\n$p")
+    // Catalyst inlines the router's boolean flag into per-label count
+    // filters against the default budget (1<<22): `<= budget` gates the
+    // exact arm's label set, `> budget` the LSH arm's
+    assert(p.contains("<= 4194304.0"),
+      s"x12's exact arm must see only under-budget label blocks:\n$p")
+    assert(p.contains("> 4194304.0"),
+      s"x12's LSH arm must see only over-budget label blocks:\n$p")
+    // the LSH arm bands via explode (Generate) and dedups multi-band hits
+    assert(p.contains("Generate"),
+      s"x12's LSH arm must band-explode signatures:\n$p")
+  }
+
   test("x105 seed selection is a parallel top-k, not a global window") {
     // regression for the last single-partition stage any declared query
     // had: seeds must come from orderBy+limit (TakeOrderedAndProject —
