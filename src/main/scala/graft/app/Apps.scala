@@ -325,22 +325,31 @@ object StreamProcessorApp {
   def run(spark: SparkSession, topicDir: String, registryDir: String,
       compactTarget: Option[Long] = None): Unit = {
     import spark.implicits._
-    val (chunks, qBad) = AppSession.consumeWithQuarantine(spark, topicDir, registryDir)
-    val processed = AssemblyStream.assemble(chunks, timeoutMs = 0)
-      .map { f =>
-        val sha = if (f.data == null) null
-          else graft.core.ChunkCodec.digestHex("SHA-256", f.data)
-        (f.rel_filepath, f.code, f.n_chunks, f.size, sha, f.file_mtime)
-      }
-      .toDF("rel_filepath", "status_code", "n_chunks", "size", "sha256", "mtime")
-    val q = processed.writeStream
-      .foreachBatch(graft.streaming.IdempotentParquetSink.writeBatch(registryDir) _)
-      .outputMode("append")
-      .option("checkpointLocation", s"$registryDir/_checkpoint_processor")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    qBad.awaitTermination()
+    // assembly-state observability rides along: per-micro-batch
+    // numRowsTotal / updated / removed / bytes land as parquet next to the
+    // processing registry, so state growth (the reference's unbounded
+    // files_in_progress_by_path) is queryable with the same SQL
+    val stateBeats = new graft.streaming.Heartbeats.StateRegistry(
+      spark, "stream-processor", s"$registryDir/_state_metrics")
+    spark.streams.addListener(stateBeats)
+    try {
+      val (chunks, qBad) = AppSession.consumeWithQuarantine(spark, topicDir, registryDir)
+      val processed = AssemblyStream.assemble(chunks, timeoutMs = 0)
+        .map { f =>
+          val sha = if (f.data == null) null
+            else graft.core.ChunkCodec.digestHex("SHA-256", f.data)
+          (f.rel_filepath, f.code, f.n_chunks, f.size, sha, f.file_mtime)
+        }
+        .toDF("rel_filepath", "status_code", "n_chunks", "size", "sha256", "mtime")
+      val q = processed.writeStream
+        .foreachBatch(graft.streaming.IdempotentParquetSink.writeBatch(registryDir) _)
+        .outputMode("append")
+        .option("checkpointLocation", s"$registryDir/_checkpoint_processor")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      qBad.awaitTermination()
+    } finally spark.streams.removeListener(stateBeats)
     compactTarget.foreach { t =>
       val (b, a) = graft.batch.Compaction.compactBatchPartitioned(spark, registryDir, t)
       System.err.println(s"[StreamProcessorApp] registry compacted: $b -> $a files")

@@ -64,6 +64,46 @@ object Heartbeats {
     }
   }
 
+  /** State-store observability → parquet registry: one row per
+    * (micro-batch, stateful operator) with `num_rows_total`,
+    * rows updated/removed this batch, and the store's memory footprint —
+    * the metrics that make assembly-state growth (the reference's known
+    * failure mode: `files_in_progress_by_path` grows forever,
+    * stream_handler_registries.py:19-51) a QUERYABLE table instead of a
+    * log line. Register on `spark.streams`; rows append to `registryDir`
+    * as ordinary parquet next to the K5 processing registry, so the same
+    * SQL that audits completions can audit state: eviction working ⇒
+    * `num_rows_total` shrinks after timeouts fire ([[graft.streaming
+    * .AssemblyStream]] quarantine path), and a monotone series is the
+    * alert. Writes are driver-side, O(#operators) rows per batch; a write
+    * failure logs and drops the beat rather than failing the listener. */
+  final class StateRegistry(spark: org.apache.spark.sql.SparkSession,
+      programId: String, registryDir: String)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val ops = e.progress.stateOperators
+      if (ops != null && ops.nonEmpty) {
+        try {
+          import spark.implicits._
+          ops.zipWithIndex.toSeq.map { case (op, i) =>
+            (programId, e.progress.id.toString, e.progress.batchId, i,
+              op.operatorName, op.numRowsTotal, op.numRowsUpdated,
+              op.numRowsRemoved, op.memoryUsedBytes, e.progress.timestamp)
+          }.toDF("program_id", "query_id", "batch_id", "op_idx", "operator",
+              "num_rows_total", "num_rows_updated", "num_rows_removed",
+              "state_bytes", "ts")
+            .write.mode("append").parquet(registryDir)
+        } catch {
+          case ex: Exception =>
+            System.err.println(s"[state-registry] append failed: ${ex.getMessage}")
+        }
+      }
+    }
+  }
+
   /** Log forwarding (G7): drain log records into one JSON message per
     * (window, program), capped at `maxLogsPerMessage` (default 65536,
     * controlled_processes_heartbeats_logs.py:266-269). */
