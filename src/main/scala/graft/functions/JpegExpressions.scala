@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * 1992) implemented directly: marker walk, DQT/DHT/SOF0/SOS parse,
   * canonical Huffman entropy decode with byte stuffing and restart
   * markers, dequantize, zigzag, 2-D IDCT, level shift, YCbCr→RGB. Scope:
-  * 8-bit baseline (SOF0), grayscale or 3-component with 4:4:4, 4:2:0 or
-  * 4:2:2 chroma subsampling (factors 1/2), restart markers included;
-  * progressive (SOF2)/arithmetic/12-bit payloads degrade to null —
-  * route, don't crash. With BMP, PNG and GIF this moves the LAST image
-  * format off the multimodal stub.
+  * 8-bit baseline (SOF0) AND progressive (SOF2 — spectral-selection bands
+  * with EOB runs plus §G.2.2.3 successive-approximation refinement),
+  * grayscale or 3-component with 4:4:4, 4:2:0 or 4:2:2 chroma subsampling
+  * (factors 1/2), restart markers included; arithmetic/lossless/12-bit
+  * payloads degrade to null — route, don't crash. With BMP, PNG and GIF
+  * this moves the LAST image format off the multimodal stub.
   *
   * The paired encoder emits spec-conformant files any stock viewer opens
   * (its DHT segments carry our own fixed-length canonical Huffman tables —
@@ -206,9 +207,11 @@ object JpegCodec {
               c += 1
             }
             if (nComp == 1) { compH(0) = 1; compV(0) = 1 } // sampling moot
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc2 => // progressive DCT: its own multi-scan walk
+            return decodeProgressive0(b)
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return null // non-baseline frame types unsupported
+            return null // extended/lossless/arithmetic frame types unsupported
           case 0xdd => // DRI
             if (len < 4) return null // 2-byte interval after the length
             restartInterval = be16(b, seg)
@@ -301,29 +304,7 @@ object JpegCodec {
                 k += 1
               }
             }
-            // IDCT
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var sum = 0.0
-                var v = 0
-                while (v < 8) {
-                  var uu = 0
-                  while (uu < 8) {
-                    val f = coef(v * 8 + uu)
-                    if (f != 0)
-                      sum += c0(uu) * c0(v) * f * CosT(x * 8 + uu) * CosT(y * 8 + v)
-                    uu += 1
-                  }
-                  v += 1
-                }
-                val px = math.round(sum / 4 + 128).toInt
-                block(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
-                x += 1
-              }
-              y += 1
-            }
+            idctBlock(coef, block)
             // place block into the MCU-padded plane (always in bounds)
             val px0 = (mx * compH(ci) + bx2) * 8
             val py0 = (my * compV(ci) + by2) * 8
@@ -345,6 +326,41 @@ object JpegCodec {
       }
       my += 1
     }
+    planesToRgb(w, h, nComp, compH, compV, hMax, vMax, planeW, comps, out)
+  }
+
+  /** 2-D inverse DCT of one dequantized 8×8 block (natural order) into
+    * clamped 0..255 samples — shared by the baseline and progressive paths. */
+  private def idctBlock(coef: Array[Int], block: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var uu = 0
+          while (uu < 8) {
+            val f = coef(v * 8 + uu)
+            if (f != 0)
+              sum += c0(uu) * c0(v) * f * CosT(x * 8 + uu) * CosT(y * 8 + v)
+            uu += 1
+          }
+          v += 1
+        }
+        val px = math.round(sum / 4 + 128).toInt
+        block(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Upsample the MCU-padded component planes to full resolution and emit
+    * gray or BT.601 RGB — the shared decode tail. */
+  private def planesToRgb(w: Int, h: Int, nComp: Int, compH: Array[Int],
+      compV: Array[Int], hMax: Int, vMax: Int, planeW: Array[Int],
+      comps: Array[Array[Int]], out: Array[Int]): (Int, Int, Int, Array[Int]) = {
     // sample a component plane at full-res pixel (x, y): subsampled planes
     // upsample by nearest-neighbor index mapping
     @inline def samp(ci: Int, x: Int, y: Int): Int =
@@ -368,6 +384,383 @@ object JpegCodec {
       }
       (w, h, 3, out)
     }
+  }
+
+  // -------------------------------------------------- progressive (SOF2)
+
+  /** Progressive DCT decode (ITU-T T.81 §G, public spec): multiple scans
+    * refine per-component coefficient images — DC first/refinement scans
+    * (successive approximation on coefficient 0, interleaved or single-
+    * component) and single-component AC scans (spectral-selection bands
+    * with EOB runs, plus the §G.2.2.3 correction-bit refinement). Tables
+    * may be redefined between scans; restart markers resync inside a scan.
+    * Coefficients stay RAW until EOI, then one dequantize + IDCT +
+    * upsample + color pass — the same tail as baseline. */
+  private def decodeProgressive0(b: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    val qt = Array.ofDim[Int](4, 64)
+    val dcT = new Array[Huff](4); val acT = new Array[Huff](4)
+    var w = 0; var h = 0; var nComp = 0
+    val compId = new Array[Int](4)
+    val compQ = new Array[Int](4)
+    val compH = new Array[Int](4); val compV = new Array[Int](4)
+    var restartInterval = 0
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+    var coefs: Array[Array[Int]] = null
+    val bw = new Array[Int](4); val bh = new Array[Int](4) // MCU-padded blocks
+    val bwn = new Array[Int](4); val bhn = new Array[Int](4) // actual blocks
+
+    /** Decode one scan's entropy data from `start`; returns the position of
+      * the next marker, or -1 on any structural violation. */
+    def runScan(start: Int, scanComp: Array[Int], scanDc: Array[Int],
+        scanAc: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val r = new BitReader(b, start)
+      val ns = scanComp.length
+      val pred = new Array[Int](ns)
+      var eobrun = 0
+      var units = 0
+      def maybeRestart(): Boolean = {
+        if (restartInterval > 0 && units > 0 && units % restartInterval == 0) {
+          if (!r.restart()) return false
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        true
+      }
+      def dcFirst(ci: Int, off: Int): Boolean = {
+        val t = dcT(scanDc(ci)).decode(r)
+        if (t < 0 || t > 11) return false
+        val bits = receive(r, t)
+        if (bits == Int.MinValue) return false
+        pred(ci) += extend(bits, t)
+        coefs(scanComp(ci))(off) = pred(ci) << al
+        true
+      }
+      def dcRefine(ci: Int, off: Int): Boolean = {
+        val bit = r.bit()
+        if (bit < 0) return false
+        if (bit == 1) coefs(scanComp(ci))(off) |= (1 << al)
+        true
+      }
+      def acFirst(coef: Array[Int], off: Int): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        var done = false
+        while (!done && k <= se) {
+          val rs = acT(scanAc(0)).decode(r)
+          if (rs < 0) return false
+          val rr = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (rr == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << rr) - 1
+              if (rr > 0) {
+                val v = receive(r, rr)
+                if (v == Int.MinValue) return false
+                eobrun += v
+              }
+              done = true
+            }
+          } else {
+            k += rr
+            if (k > se) return false
+            val v = receive(r, s)
+            if (v == Int.MinValue) return false
+            coef(off + Zigzag(k)) = extend(v, s) << al
+            k += 1
+          }
+        }
+        true
+      }
+      // §G.2.2.3 correction-bit refinement
+      val p1 = 1 << al
+      def corrBit(coef: Array[Int], idx: Int): Boolean = {
+        val bit = r.bit()
+        if (bit < 0) return false
+        val cur = coef(idx)
+        if (bit == 1 && (cur & p1) == 0)
+          coef(idx) = if (cur >= 0) cur + p1 else cur - p1
+        true
+      }
+      def acRefine(coef: Array[Int], off: Int): Boolean = {
+        var k = ss
+        if (eobrun > 0) {
+          // block inside an EOB run: correction bits only
+          while (k <= se) {
+            if (coef(off + Zigzag(k)) != 0 && !corrBit(coef, off + Zigzag(k)))
+              return false
+            k += 1
+          }
+          eobrun -= 1
+          return true
+        }
+        var pendingEob = false
+        while (!pendingEob && k <= se) {
+          val rs = acT(scanAc(0)).decode(r)
+          if (rs < 0) return false
+          var rr = rs >> 4; val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (rr < 15) {
+              eobrun = (1 << rr) - 1
+              if (rr > 0) {
+                val v = receive(r, rr)
+                if (v == Int.MinValue) return false
+                eobrun += v
+              }
+              pendingEob = true
+            }
+            // rr == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            if (s != 1) return false // refinement creates only ±1 at this bit
+            val sign = r.bit()
+            if (sign < 0) return false
+            newVal = if (sign == 1) p1 else -p1
+          }
+          if (!pendingEob) {
+            var placed = false
+            while (!placed && k <= se) {
+              val idx = off + Zigzag(k)
+              if (coef(idx) != 0) {
+                if (!corrBit(coef, idx)) return false
+              } else {
+                if (rr == 0) {
+                  if (newVal != 0) coef(idx) = newVal
+                  placed = true
+                } else rr -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // value ran off the band
+          }
+        }
+        if (pendingEob) {
+          while (k <= se) {
+            if (coef(off + Zigzag(k)) != 0 && !corrBit(coef, off + Zigzag(k)))
+              return false
+            k += 1
+          }
+        }
+        true
+      }
+
+      if (ss == 0 && ns > 1) {
+        // interleaved DC scan: frame MCU grid, Hc×Vc blocks per component
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (!maybeRestart()) return -1
+            var ci = 0
+            while (ci < ns) {
+              val c = scanComp(ci)
+              var sb = 0
+              val nb = compH(c) * compV(c)
+              while (sb < nb) {
+                val bx = mx * compH(c) + sb % compH(c)
+                val by = my * compV(c) + sb / compH(c)
+                val off = (by * bw(c) + bx) * 64
+                val ok = if (ah == 0) dcFirst(ci, off) else dcRefine(ci, off)
+                if (!ok) return -1
+                sb += 1
+              }
+              ci += 1
+            }
+            units += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved: raster over the single component's actual blocks
+        val c = scanComp(0)
+        val coef = coefs(c)
+        var by = 0
+        while (by < bhn(c)) {
+          var bx = 0
+          while (bx < bwn(c)) {
+            if (!maybeRestart()) return -1
+            val off = (by * bw(c) + bx) * 64
+            val ok =
+              if (ss == 0) { if (ah == 0) dcFirst(0, off) else dcRefine(0, off) }
+              else { if (ah == 0) acFirst(coef, off) else acRefine(coef, off) }
+            if (!ok) return -1
+            units += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      r.pos
+    }
+
+    var i = 2
+    var sawEoi = false
+    while (!sawEoi) {
+      if (i + 2 > b.length) return null
+      if (u(b, i) != 0xff) return null
+      val m = u(b, i + 1)
+      if (m == 0xff) { i += 1 }
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else if (m == 0xd9) { sawEoi = true }
+      else {
+        if (i + 4 > b.length) return null
+        val len = be16(b, i + 2)
+        if (len < 2 || i.toLong + 2 + len > b.length) return null
+        val seg = i + 4
+        m match {
+          case 0xdb =>
+            var j = seg
+            while (j < i + 2 + len) {
+              val pq = u(b, j) >> 4; val tq = u(b, j) & 15
+              if (pq != 0 || tq > 3 || j + 65 > i + 2 + len) return null
+              var k = 0
+              while (k < 64) { qt(tq)(Zigzag(k)) = u(b, j + 1 + k); k += 1 }
+              j += 65
+            }
+          case 0xc4 =>
+            var j = seg
+            while (j < i + 2 + len) {
+              val tc = u(b, j) >> 4; val th = u(b, j) & 15
+              if (tc > 1 || th > 3 || j + 17 > i + 2 + len) return null
+              val bits = Array.tabulate(16)(k => u(b, j + 1 + k))
+              val n = bits.sum
+              if (j + 17 + n > i + 2 + len || n > 256) return null
+              val vals = Array.tabulate(n)(k => u(b, j + 17 + k))
+              if (tc == 0) dcT(th) = new Huff(bits, vals)
+              else acT(th) = new Huff(bits, vals)
+              j += 17 + n
+            }
+          case 0xdd =>
+            if (len < 4) return null
+            restartInterval = be16(b, seg)
+          case 0xc2 =>
+            if (coefs != null) return null // one frame header only
+            if (len < 8) return null
+            if (u(b, seg) != 8) return null
+            h = be16(b, seg + 1); w = be16(b, seg + 3)
+            nComp = u(b, seg + 5)
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+            if (nComp != 1 && nComp != 3) return null
+            if (seg + 6 + 3 * nComp > i + 2 + len) return null
+            var c = 0
+            while (c < nComp) {
+              val o = seg + 6 + 3 * c
+              compId(c) = u(b, o)
+              compH(c) = u(b, o + 1) >> 4
+              compV(c) = u(b, o + 1) & 15
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                return null
+              compQ(c) = u(b, o + 2)
+              if (compQ(c) > 3) return null
+              c += 1
+            }
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+            hMax = 1; vMax = 1
+            c = 0
+            while (c < nComp) {
+              hMax = math.max(hMax, compH(c)); vMax = math.max(vMax, compV(c))
+              c += 1
+            }
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            coefs = new Array[Array[Int]](nComp)
+            c = 0
+            while (c < nComp) {
+              bw(c) = mcusX * compH(c); bh(c) = mcusY * compV(c)
+              val cw = (w * compH(c) + hMax - 1) / hMax
+              val chh = (h * compV(c) + vMax - 1) / vMax
+              bwn(c) = (cw + 7) / 8; bhn(c) = (chh + 7) / 8
+              coefs(c) = new Array[Int](bw(c) * bh(c) * 64)
+              c += 1
+            }
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return null // a second frame type inside a progressive stream
+          case 0xda =>
+            if (coefs == null) return null
+            if (len < 3) return null
+            val ns = u(b, seg)
+            if (ns < 1 || ns > nComp) return null
+            if (seg + 1 + 2 * ns + 3 > i + 2 + len) return null
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val o = seg + 1 + 2 * c
+              val id = u(b, o)
+              var idx = -1
+              var k = 0
+              while (k < nComp) { if (compId(k) == id) idx = k; k += 1 }
+              if (idx < 0) return null
+              scanComp(c) = idx
+              scanDc(c) = u(b, o + 1) >> 4
+              scanAc(c) = u(b, o + 1) & 15
+              if (scanDc(c) > 3 || scanAc(c) > 3) return null
+              c += 1
+            }
+            val so = seg + 1 + 2 * ns
+            val ss = u(b, so); val se = u(b, so + 1)
+            val ah = u(b, so + 2) >> 4; val al = u(b, so + 2) & 15
+            // §G scan-header constraints
+            if (se > 63 || (ss == 0 && se != 0) || (ss > 0 && se < ss)) return null
+            if (ss > 0 && ns != 1) return null
+            if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return null
+            c = 0
+            while (c < ns) {
+              if (ss == 0 && ah == 0 && dcT(scanDc(c)) == null) return null
+              if (ss > 0 && acT(scanAc(c)) == null) return null
+              c += 1
+            }
+            val end = runScan(i + 2 + len, scanComp, scanDc, scanAc, ss, se, ah, al)
+            if (end < 0) return null
+            i = end
+          case _ => () // APPn/COM
+        }
+        if (m != 0xda) i += 2 + len
+      }
+    }
+    if (coefs == null) return null
+    // finish: dequantize + IDCT + place + upsample/color (baseline tail)
+    val planeW = new Array[Int](nComp); val planeH = new Array[Int](nComp)
+    val comps = new Array[Array[Int]](nComp)
+    var c = 0
+    while (c < nComp) {
+      planeW(c) = bw(c) * 8; planeH(c) = bh(c) * 8
+      comps(c) = new Array[Int](planeW(c) * planeH(c))
+      c += 1
+    }
+    val tmp = new Array[Int](64)
+    val block = new Array[Int](64)
+    c = 0
+    while (c < nComp) {
+      val q = qt(compQ(c))
+      var by = 0
+      while (by < bh(c)) {
+        var bx = 0
+        while (bx < bw(c)) {
+          val off = (by * bw(c) + bx) * 64
+          var j = 0
+          while (j < 64) { tmp(j) = coefs(c)(off + j) * q(j); j += 1 }
+          idctBlock(tmp, block)
+          val px0 = bx * 8; val py0 = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              comps(c)((py0 + yy) * planeW(c) + px0 + xx) = block(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    val out = new Array[Int](w * h * (if (nComp == 3) 3 else 1))
+    planesToRgb(w, h, nComp, compH, compV, hMax, vMax, planeW, comps, out)
   }
 
   /** The shared pixel-stats contract over [[decodeJpeg]]. */
@@ -655,13 +1048,257 @@ object JpegCodec {
     encodePlanes(w, h, Array(yP, sub(cbP), sub(crP)), acQ,
       Array((2, 1), (1, 1), (1, 1)))
   }
+
+  // --------------------------------------------------- progressive encoder
+
+  /** FDCT + quantize every (edge-clamped) 8×8 block of one full-res plane;
+    * natural-order coefficients, blocks in raster order. */
+  private def fdctQuantBlocks(w: Int, h: Int, plane: Array[Int],
+      q: Array[Int]): Array[Int] = {
+    val bwn = (w + 7) / 8; val bhn = (h + 7) / 8
+    val out = new Array[Int](bwn * bhn * 64)
+    val blk = new Array[Double](64)
+    var by = 0
+    while (by < bhn) {
+      var bx = 0
+      while (bx < bwn) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val py = math.min(by * 8 + y, h - 1)
+            val px = math.min(bx * 8 + x, w - 1)
+            blk(y * 8 + x) = plane(py * w + px) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val off = (by * bwn + bx) * 64
+        var v = 0
+        while (v < 8) {
+          var uu = 0
+          while (uu < 8) {
+            var sum = 0.0
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                sum += blk(yy * 8 + xx) * CosT(xx * 8 + uu) * CosT(yy * 8 + v)
+                xx += 1
+              }
+              yy += 1
+            }
+            out(off + v * 8 + uu) =
+              math.round(0.25 * c0(uu) * c0(v) * sum / q(v * 8 + uu)).toInt
+            uu += 1
+          }
+          v += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** Progressive (SOF2) encoder — spectral selection AND successive
+    * approximation, mirroring [[decodeProgressive0]] bit for bit so
+    * decode-exact oracles can gate it (T.81 §G; all sampling 1×1, so the
+    * interleaved DC scan's MCU = one block per component). Scan script:
+    * DC first (Al=1, interleaved) → AC bands (1..5)(6..63) per component
+    * at Al=1 → DC refinement (Ah=1) → AC refinements (Ah=1, §G.2.2.3
+    * correction bits) per band per component. `withSA = false` drops to
+    * spectral selection only (single full-precision pass per band). */
+  private def encodeProgressivePlanes(w: Int, h: Int, planes: Array[Array[Int]],
+      acQ: Int): Array[Byte] = {
+    require(acQ >= 4 && acQ <= 255, s"acQ must be in [4, 255], got $acQ")
+    val nComp = planes.length
+    val bwn = (w + 7) / 8; val bhn = (h + 7) / 8
+    val q = quantTable(acQ)
+    val coefs = planes.map(p => fdctQuantBlocks(w, h, p, q))
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      wr(0xff, marker)
+      wr((body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    wr(0xff, 0xd8)
+    seg(0xdb, 0 +: Array.tabulate(64)(k => q(Zigzag(k))))
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nComp) ++
+      (0 until nComp).flatMap(c => Seq(c + 1, 0x11, 0)))
+    seg(0xc4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xc4, Array(0x10) ++ AcBits ++ AcVals)
+
+    def sosHeader(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(0xda, Array(comps.length) ++
+        comps.flatMap(c => Seq(c + 1, 0x00)) ++ Array(ss, se, (ah << 4) | al))
+
+    // DC first pass, interleaved, point transform = arithmetic shift
+    def dcFirstScan(al: Int): Unit = {
+      sosHeader(0 until nComp, 0, 0, 0, al)
+      val bwr = new BitWriter(out)
+      val pred = new Array[Int](nComp)
+      var bi = 0
+      while (bi < bwn * bhn) {
+        var c = 0
+        while (c < nComp) {
+          val dc = coefs(c)(bi * 64) >> al
+          val diff = dc - pred(c)
+          pred(c) = dc
+          val s = category(diff)
+          bwr.put(DcEnc.codeOf(s), DcEnc.lenOf(s))
+          if (s > 0)
+            bwr.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          c += 1
+        }
+        bi += 1
+      }
+      bwr.flush()
+    }
+    // DC refinement: one raw bit (two's-complement parity) per block
+    def dcRefineScan(al: Int): Unit = {
+      sosHeader(0 until nComp, 0, 0, al + 1, al)
+      val bwr = new BitWriter(out)
+      var bi = 0
+      while (bi < bwn * bhn) {
+        var c = 0
+        while (c < nComp) {
+          bwr.put((coefs(c)(bi * 64) >> al) & 1, 1)
+          c += 1
+        }
+        bi += 1
+      }
+      bwr.flush()
+    }
+    // truncation toward zero — the AC point transform (T.81 §G.1.2.2)
+    @inline def trunc(a: Int, al: Int): Int =
+      if (a >= 0) a >> al else -((-a) >> al)
+    // AC first pass over one band of one component
+    def acFirstScan(c: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(c), ss, se, 0, al)
+      val bwr = new BitWriter(out)
+      val coef = coefs(c)
+      var bi = 0
+      while (bi < bwn * bhn) {
+        val off = bi * 64
+        var run = 0
+        var k = ss
+        while (k <= se) {
+          val a = trunc(coef(off + Zigzag(k)), al)
+          if (a == 0) run += 1
+          else {
+            while (run > 15) {
+              bwr.put(AcEnc.codeOf(0xf0), AcEnc.lenOf(0xf0)); run -= 16
+            }
+            val s = category(a)
+            bwr.put(AcEnc.codeOf((run << 4) | s), AcEnc.lenOf((run << 4) | s))
+            bwr.put(if (a >= 0) a else a + (1 << s) - 1, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bwr.put(AcEnc.codeOf(0x00), AcEnc.lenOf(0x00)) // EOB
+        bi += 1
+      }
+      bwr.flush()
+    }
+    // AC refinement over one band of one component — the exact mirror of
+    // the decoder's §G.2.2.3 walk: a walk pointer advances emitting
+    // correction bits for already-significant coefficients as they are
+    // crossed, zero-history runs gate the (run, 1) symbols, EOB flushes
+    // the band tail's correction bits
+    def acRefineScan(c: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(c), ss, se, al + 1, al)
+      val bwr = new BitWriter(out)
+      val coef = coefs(c)
+      var bi = 0
+      while (bi < bwn * bhn) {
+        val off = bi * 64
+        @inline def prevSig(k: Int): Boolean = trunc(coef(off + Zigzag(k)), al + 1) != 0
+        @inline def corr(k: Int): Int = (math.abs(coef(off + Zigzag(k))) >> al) & 1
+        var wp = ss
+        // consume `zeros` zero-history positions, emitting correction bits
+        // for significant positions crossed — mirrors the decoder loop
+        def advance(zeros: Int): Unit = {
+          var z = zeros
+          while (z > 0) {
+            if (prevSig(wp)) bwr.put(corr(wp), 1) else z -= 1
+            wp += 1
+          }
+        }
+        var k = ss
+        while (k <= se) {
+          val a = coef(off + Zigzag(k))
+          if (!prevSig(k) && trunc(a, al) != 0) { // newly significant: ±1·2^al
+            // zero-history run length from the walk pointer to k
+            var run = 0
+            var p = wp
+            while (p < k) { if (!prevSig(p)) run += 1; p += 1 }
+            while (run > 15) {
+              bwr.put(AcEnc.codeOf(0xf0), AcEnc.lenOf(0xf0))
+              advance(16)
+              run -= 16
+            }
+            bwr.put(AcEnc.codeOf((run << 4) | 1), AcEnc.lenOf((run << 4) | 1))
+            bwr.put(if (a > 0) 1 else 0, 1)
+            // the decoder walks to the placement slot emitting correction
+            // bits for significant positions (including any between the
+            // last zero-history slot and k)
+            advance(run)
+            while (wp < k) { bwr.put(corr(wp), 1); wp += 1 } // trailing sig run
+            wp = k + 1
+          }
+          k += 1
+        }
+        if (wp <= se) { // band tail uncovered: EOB + its correction bits
+          bwr.put(AcEnc.codeOf(0x00), AcEnc.lenOf(0x00))
+          while (wp <= se) {
+            if (prevSig(wp)) bwr.put(corr(wp), 1)
+            wp += 1
+          }
+        }
+        bi += 1
+      }
+      bwr.flush()
+    }
+
+    // scan script: SA over two spectral bands
+    dcFirstScan(1)
+    for (c <- 0 until nComp; (ss, se) <- Seq((1, 5), (6, 63)))
+      acFirstScan(c, ss, se, 1)
+    dcRefineScan(0)
+    for (c <- 0 until nComp; (ss, se) <- Seq((1, 5), (6, 63)))
+      acRefineScan(c, ss, se, 0)
+    wr(0xff, 0xd9)
+    out.toByteArray
+  }
+
+  /** Grayscale progressive JPEG (SOF2): spectral selection + successive
+    * approximation, DC-quant-8 so block-constant images round-trip
+    * exactly — the same oracle trick as [[buildJpegGray]]. */
+  def buildJpegProgressiveGray(w: Int, h: Int, acQ: Int = 16)(
+      px: (Int, Int) => Int): Array[Byte] = {
+    val plane = Array.tabulate(w * h)(i => px(i % w, i / w) & 0xff)
+    encodeProgressivePlanes(w, h, Array(plane), acQ)
+  }
+
+  /** 4:4:4 color progressive JPEG (interleaved DC scan over three
+    * components, per-component AC band scans). */
+  def buildJpegProgressiveRgb(w: Int, h: Int, acQ: Int = 16)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val (yP, cbP, crP) = toYCbCr(w, h, px)
+    encodeProgressivePlanes(w, h, Array(yP, cbP, crP), acQ)
+  }
 }
 
 /** `jpeg_pixels(binary)` → the shared pixel-stats struct for baseline
-  * sequential JPEGs (8-bit, grayscale or color at 4:4:4/4:2:0/4:2:2,
-  * restart markers supported) — REAL entropy decode: canonical Huffman,
-  * dequantize, IDCT, color convert, in pure JVM code inside whole-stage
-  * codegen. Null for progressive/arithmetic/12-bit/malformed payloads. */
+  * (SOF0) AND progressive (SOF2) JPEGs — 8-bit, grayscale or color at
+  * 4:4:4/4:2:0/4:2:2, restart markers supported — REAL entropy decode:
+  * canonical Huffman, multi-scan coefficient reconstruction for
+  * progressive, dequantize, IDCT, color convert, in pure JVM code inside
+  * whole-stage codegen. Null for arithmetic/lossless/12-bit/malformed
+  * payloads. */
 case class JpegPixels(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BmpPixels.resultType
   override def nullable: Boolean = true

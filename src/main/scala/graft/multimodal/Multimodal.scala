@@ -47,8 +47,10 @@ object Multimodal {
       * filters inverted, [[graft.functions.ImageHeaders.parsePngPixels]]),
       * non-interlaced GIFs decode through our own LZW implementation
       * ([[graft.functions.GifCodec.parseGifPixels]] — Welch 1984, no
-      * library), baseline JPEGs through our own Huffman+IDCT decoder
-      * ([[graft.functions.JpegCodec.decodeJpeg]] — ITU-T T.81), and WAV
+      * library), baseline AND progressive JPEGs through our own
+      * Huffman+IDCT decoder with multi-scan coefficient reconstruction
+      * ([[graft.functions.JpegCodec.decodeJpeg]] — ITU-T T.81 incl. §G
+      * successive approximation), and WAV
       * PCM samples reduce to an exact energy Σa²
       * ([[graft.functions.AudioHeaders.parsePcmStats]]). EVERY image
       * format now decodes for real, and ISO-BMFF SAMPLE TABLES parse for

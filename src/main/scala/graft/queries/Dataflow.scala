@@ -661,6 +661,56 @@ object Dataflow {
         .orderBy("media_id", "track_id")
   }
 
+  /** x134: PROGRESSIVE JPEG (SOF2) decode — x126's gate for the variant
+    * that dominates real crawl corpora. Each row becomes a progressive
+    * stream whose coefficients arrive across SEVEN scans (interleaved DC
+    * first pass at Al=1, per-band AC passes at Al=1, then DC and AC
+    * successive-approximation refinements with §G.2.2.3 correction bits);
+    * block-constant pixels make the image DC-only, so the multi-scan
+    * reconstruction must be BIT-exact for the oracle to hash-match — any
+    * error in EOB-run handling, refinement sign logic, or the
+    * point-transform arithmetic shifts the sums. Same formula family as
+    * x126 with different constants, so the two gates cannot share a
+    * cached answer. */
+  val x134 = DQ("x134_progressive_jpeg_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(8 * (doc_id % 4 + 1) AS INT) AS w,
+      |                  CAST(8 * (doc_id % 3 + 1) AS INT) AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+      |         (doc_id * 23 + 59 * (ux.x // 8) + 101 * (uy.y // 8)) % 256 AS g
+      |  FROM d, unnest(generate_series(0, w - 1)) AS ux(x),
+      |       unnest(generate_series(0, h - 1)) AS uy(y))
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(g) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(g) AS BIGINT) AS sum_b,
+      |  CAST(sum((77 * g + 150 * g + 29 * g) // 256) AS BIGINT) AS luma_sum,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0
+      |           THEN (77 * g + 150 * g + 29 * g) // 256 END) AS BIGINT) AS first_luma
+      |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{JpegCodec, JpegPixels}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val w = (8 * (id % 4 + 1)).toInt
+          val h = (8 * (id % 3 + 1)).toInt
+          val payload = JpegCodec.buildJpegProgressiveGray(w, h) { (x, y) =>
+            ((id * 23 + 59 * (x / 8) + 101 * (y / 8)) % 256).toInt
+          }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), JpegPixels.jpegPixels(col("media")).as("p"))
+        .select(col("media_id"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_px").as("n_px"), col("p.sum_r").as("sum_r"),
+          col("p.sum_g").as("sum_g"), col("p.sum_b").as("sum_b"),
+          col("p.luma_sum").as("luma_sum"), col("p.first_luma").as("first_luma"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133)
+    x126, x127, x132, x133, x134)
 }

@@ -196,6 +196,64 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decodeJpeg(bytes(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x02)) == null)
   }
 
+  test("progressive gray: block-constant images round-trip EXACTLY " +
+      "(DC-only, successive approximation split across scans)") {
+    for ((w, h) <- Seq((8, 8), (16, 8), (24, 16), (17, 9))) {
+      def gray(x: Int, y: Int): Int = (37 + 83 * (x / 8) + 129 * (y / 8)) % 256
+      val d = JpegCodec.decodeJpeg(JpegCodec.buildJpegProgressiveGray(w, h)(gray))
+      assert(d != null, s"progressive ${w}x$h did not decode")
+      val (dw, dh, ch, px) = d
+      assert((dw, dh, ch) == (w, h, 1))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == gray(x, y), s"($x,$y) in ${w}x$h")
+    }
+  }
+
+  test("progressive decode equals baseline decode on arbitrary images: " +
+      "the scan pipeline reconstructs the same coefficients exactly") {
+    val rnd = new scala.util.Random(41)
+    for ((w, h) <- Seq((16, 16), (23, 11), (40, 32))) {
+      val img = Array.fill(h, w)(rnd.nextInt(256))
+      def gray(x: Int, y: Int): Int = img(y)(x)
+      val base = JpegCodec.decodeJpeg(JpegCodec.buildJpegGray(w, h)(gray))
+      val prog = JpegCodec.decodeJpeg(JpegCodec.buildJpegProgressiveGray(w, h)(gray))
+      assert(base != null && prog != null)
+      assert(prog._1 == base._1 && prog._2 == base._2 && prog._3 == base._3)
+      assert(prog._4.sameElements(base._4),
+        s"progressive ${w}x$h diverges from baseline")
+    }
+    // color: interleaved DC scan + per-component AC bands vs baseline 4:4:4
+    def rgb(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 13 + y * 7) % 256, (x * 5 + y * 29 + 60) % 256, (x * 31 + y * 3 + 200) % 256)
+    val baseC = JpegCodec.decodeJpeg(JpegCodec.buildJpegRgb(17, 14)(rgb))
+    val progC = JpegCodec.decodeJpeg(JpegCodec.buildJpegProgressiveRgb(17, 14)(rgb))
+    assert(baseC != null && progC != null)
+    assert(progC._4.sameElements(baseC._4), "progressive color diverges")
+    // and the stats contract agrees end to end
+    assert(JpegCodec.parseJpegPixels(JpegCodec.buildJpegProgressiveRgb(17, 14)(rgb)) ==
+      JpegCodec.parseJpegPixels(JpegCodec.buildJpegRgb(17, 14)(rgb)))
+  }
+
+  test("progressive malformed payloads return null, never throw") {
+    val good = JpegCodec.buildJpegProgressiveGray(16, 16)((x, y) => (x * y) % 256)
+    assert(JpegCodec.decodeJpeg(good) != null)
+    // every truncation decodes or nulls, never throws (no EOI → null)
+    for (n <- 0 to good.length - 1)
+      JpegCodec.decodeJpeg(good.take(n))
+    assert(JpegCodec.decodeJpeg(good.take(good.length - 1)) == null)
+    // arithmetic/lossless frame types still reject
+    val sof = {
+      var i = 2; var at = -1
+      while (at < 0) {
+        if ((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc2) at = i
+        else i += 1
+      }
+      at
+    }
+    val arith = good.clone(); arith(sof + 1) = 0xc9.toByte
+    assert(JpegCodec.decodeJpeg(arith) == null)
+  }
+
   test("stats contract agrees with BMP on the same block-constant pixels") {
     import graft.functions.ImageHeaders
     val w = 16; val h = 8

@@ -29,6 +29,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     GifCodec.buildGif(5, 4, Array((1, 2, 3), (4, 5, 6)),
       Array.tabulate(20)(_ % 2)),
     JpegCodec.buildJpegGray(16, 8)((x, y) => (x * y) % 256),
+    JpegCodec.buildJpegProgressiveGray(16, 8)((x, y) => (x * 7 + y * 3) % 256),
     AudioHeaders.buildWav(1, 8000, 16, Array.tabulate(64)(_.toByte)),
     VideoHeaders.buildMp4("isom", 1000, 5000, Array[Byte](1, 2, 3)),
     VideoHeaders.buildMp4Tracks("isom", 1000, Seq(
