@@ -99,6 +99,8 @@ object ChunkFunctions {
       es => VideoHeader(es.head), "built-in")
     reg.createOrReplaceTempFunction("video_tracks",
       es => VideoTracks(es.head), "built-in")
+    reg.createOrReplaceTempFunction("video_samples",
+      es => VideoSamples(es.head), "built-in")
     reg.createOrReplaceTempFunction("bmp_pixels",
       es => BmpPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("png_pixels",
@@ -149,6 +151,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("video_tracks"),
       new ExpressionInfo(classOf[VideoTracks].getName, "video_tracks"),
       es => VideoTracks(es.head)))
+    e.injectFunction((FunctionIdentifier("video_samples"),
+      new ExpressionInfo(classOf[VideoSamples].getName, "video_samples"),
+      es => VideoSamples(es.head)))
     e.injectFunction((FunctionIdentifier("bmp_pixels"),
       new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
       es => BmpPixels(es.head)))

@@ -260,6 +260,120 @@ object VideoHeaders {
       durTicks * 1000000L / timescale, totalBytes, chunkCount)
   }
 
+  /** One addressable media sample: where its bytes live in the file. */
+  final case class SampleRef(trackId: Int, sampleIdx: Int, offset: Long, size: Int)
+
+  private val MaxSamplesPerFile = 65536
+
+  /** Resolve every track's stsc/stco/stsz tables into absolute per-sample
+    * (offset, size) references — ISO 14496-12 §8.7's chunk walk: stsc maps
+    * sample runs to chunks (each entry applies from its first_chunk until
+    * the next entry's), stco/co64 gives chunk starts, samples pack
+    * contiguously inside a chunk. Null for non-BMFF, broken tables, or
+    * absurd sample counts (triage posture — at scale, per-sample EXPLODE
+    * belongs on bounded batches; cap [[MaxSamplesPerFile]]). This is frame
+    * extraction WITHOUT a codec: the returned ranges slice real sample
+    * payloads straight out of the binary column. */
+  def parseSamples(b: Array[Byte]): Seq[SampleRef] =
+    try parseSamples0(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def parseSamples0(b: Array[Byte]): Seq[SampleRef] = {
+    if (b == null || b.length < 16 || tag(b, 4) != "ftyp") return null
+    val moov = findBox(b, 0L, b.length.toLong, "moov")
+    if (moov < 0) return null
+    val (moovSize, moovHdr) = boxSize(b, moov.toInt)
+    val moovEnd = moov + moovSize
+    val out = Seq.newBuilder[SampleRef]
+    var total = 0
+    var t = moov + moovHdr
+    var n = 0
+    while (n < MaxTracks) {
+      t = findBox(b, t, moovEnd, "trak")
+      if (t < 0) return out.result()
+      val (tSize, tHdr) = boxSize(b, t.toInt)
+      val tEnd = t + tSize
+      // track id from tkhd
+      val tkhd = findBox(b, t + tHdr, tEnd, "tkhd")
+      if (tkhd < 0) return null
+      val (_, thdr) = boxSize(b, tkhd.toInt)
+      val tb = (tkhd + thdr).toInt
+      val trackId =
+        if (u(b, tb) == 0) be32(b, tb + 12) else be32(b, tb + 20)
+      val mdia = findBox(b, t + tHdr, tEnd, "mdia")
+      if (mdia < 0) return null
+      val (mSize, mHdr) = boxSize(b, mdia.toInt)
+      val minf = findBox(b, mdia + mHdr, mdia + mSize, "minf")
+      if (minf < 0) return null
+      val (nSize, nHdr) = boxSize(b, minf.toInt)
+      val stbl = findBox(b, minf + nHdr, minf + nSize, "stbl")
+      if (stbl < 0) return null
+      val (sSize, sHdr) = boxSize(b, stbl.toInt)
+      val sEnd = stbl + sSize
+      // stsz → per-sample sizes
+      val stsz = findBox(b, stbl + sHdr, sEnd, "stsz")
+      if (stsz < 0) return null
+      val (szSize, szHdr) = boxSize(b, stsz.toInt)
+      val zb = (stsz + szHdr).toInt
+      if (stsz + szHdr + 12 > sEnd) return null
+      val fixedSize = be32(b, zb + 4)
+      val sampleCount = be32(b, zb + 8)
+      if (sampleCount < 0 || total + sampleCount > MaxSamplesPerFile) return null
+      if (fixedSize == 0 && szHdr + 12 + 4L * sampleCount > szSize) return null
+      @inline def sizeOf(s: Int): Int =
+        if (fixedSize > 0) fixedSize else be32(b, zb + 12 + 4 * s)
+      // stsc entries: (first_chunk, samples_per_chunk) — ignore the
+      // sample-description index; entries apply until the next first_chunk
+      val stsc = findBox(b, stbl + sHdr, sEnd, "stsc")
+      if (stsc < 0) return null
+      val (scSize, scHdr) = boxSize(b, stsc.toInt)
+      val cb0 = (stsc + scHdr).toInt
+      if (stsc + scHdr + 8 > sEnd) return null
+      val nsc = be32(b, cb0 + 4)
+      if (nsc <= 0 || scHdr + 8 + 12L * nsc > scSize) return null
+      val scFirst = Array.tabulate(nsc)(e => be32(b, cb0 + 8 + 12 * e))
+      val scPer = Array.tabulate(nsc)(e => be32(b, cb0 + 8 + 12 * e + 4))
+      if (scFirst(0) != 1 || scPer.exists(_ <= 0)) return null
+      // stco / co64 → chunk offsets
+      val stco = findBox(b, stbl + sHdr, sEnd, "stco")
+      val co64 = if (stco < 0) findBox(b, stbl + sHdr, sEnd, "co64") else -1L
+      if (stco < 0 && co64 < 0) return null
+      val (cBox, wide) = if (stco >= 0) (stco, false) else (co64, true)
+      val (cSize, cHdr) = boxSize(b, cBox.toInt)
+      val ob = (cBox + cHdr).toInt
+      if (cBox + cHdr + 8 > sEnd) return null
+      val nChunks = be32(b, ob + 4)
+      if (nChunks <= 0 ||
+          cHdr + 8 + (if (wide) 8L else 4L) * nChunks > cSize) return null
+      @inline def chunkOff(c: Int): Long =
+        if (wide) be64(b, ob + 8 + 8 * c)
+        else be32(b, ob + 8 + 4 * c).toLong & 0xffffffffL
+      // walk chunks, assigning samples
+      var s = 0
+      var chunk = 0
+      var sce = 0
+      while (s < sampleCount && chunk < nChunks) {
+        if (sce + 1 < nsc && chunk + 1 >= scFirst(sce + 1)) sce += 1
+        var off = chunkOff(chunk)
+        var inChunk = 0
+        while (inChunk < scPer(sce) && s < sampleCount) {
+          val sz = sizeOf(s)
+          if (sz < 0 || off < 0 || off + sz > b.length) return null
+          out += SampleRef(trackId, s, off, sz)
+          off += sz
+          s += 1
+          inChunk += 1
+        }
+        chunk += 1
+      }
+      if (s != sampleCount) return null // chunks ran out before samples
+      total += sampleCount
+      t += tSize
+      n += 1
+    }
+    out.result()
+  }
+
   // --------------------------------------------------------------- builders
 
   /** A valid ftyp + moov(mvhd v0) + mdat(body) container — the
@@ -284,13 +398,62 @@ object VideoHeaders {
       width: Int, height: Int, timescale: Int, sampleSizes: Array[Int],
       sampleDelta: Int, chunkCount: Int)
 
+  /** [[buildMp4Tracks]] with REAL sample data: each track's samples are
+    * packed contiguously into mdat in chunk order and stco carries their
+    * true absolute offsets, so [[parseSamples]] round-trips exact byte
+    * ranges. `sampleData(t)(s)` must have the lengths the spec's
+    * `sampleSizes` declare. */
+  def buildMp4TracksWithData(brand: String, movieTimescale: Int,
+      tracks: Seq[TrackSpec], sampleData: Seq[Array[Array[Byte]]]): Array[Byte] = {
+    require(tracks.length == sampleData.length)
+    tracks.zip(sampleData).foreach { case (t, d) =>
+      require(d.length == t.sampleSizes.length &&
+        d.zip(t.sampleSizes).forall { case (bs, n) => bs.length == n })
+    }
+    // two passes: moov's byte size is independent of the offset VALUES
+    // (stco entries are fixed-width), so lay out with zeros, then rebuild
+    // with offsets into the real mdat position
+    val zeroOffsets = tracks.map(t => new Array[Long](math.max(1, t.chunkCount)))
+    val probe = assembleMp4(brand, movieTimescale, tracks, zeroOffsets,
+      Array.emptyByteArray)
+    val mdatBody = sampleData.flatMap(_.iterator.flatMap(_.iterator)).toArray
+    // probe = ftyp + moov + empty mdat header; real payload starts right
+    // after the same-sized prefix
+    var cursor = probe.length.toLong
+    val offsets = tracks.zip(sampleData).map { case (t, d) =>
+      val nCh = math.max(1, t.chunkCount)
+      val perChunk = math.max(1, (d.length + nCh - 1) / nCh)
+      val offs = new Array[Long](nCh)
+      var s = 0
+      var c = 0
+      while (c < nCh) {
+        offs(c) = cursor
+        var k = 0
+        while (k < perChunk && s < d.length) {
+          cursor += d(s).length; s += 1; k += 1
+        }
+        c += 1
+      }
+      offs
+    }
+    assembleMp4(brand, movieTimescale, tracks, offsets, mdatBody)
+  }
+
   /** Full ISO-BMFF container with real per-track sample tables — the
     * deterministic inverse of [[parseTracks]] (ISO 14496-12 §8: tkhd, mdhd
     * v0, hdlr, stbl with stsd/stts/stsz/stsc/stco). The mdat body is
     * opaque; chunk offsets point into it at arbitrary (but in-file)
-    * positions. */
+    * positions — use [[buildMp4TracksWithData]] when [[parseSamples]] must
+    * resolve real byte ranges. */
   def buildMp4Tracks(brand: String, movieTimescale: Int,
-      tracks: Seq[TrackSpec], body: Array[Byte]): Array[Byte] = {
+      tracks: Seq[TrackSpec], body: Array[Byte]): Array[Byte] =
+    assembleMp4(brand, movieTimescale, tracks,
+      tracks.map(t => Array.tabulate(math.max(1, t.chunkCount))(k => 16L + 8 * k)),
+      body)
+
+  private def assembleMp4(brand: String, movieTimescale: Int,
+      tracks: Seq[TrackSpec], chunkOffsets: Seq[Array[Long]],
+      body: Array[Byte]): Array[Byte] = {
     require(brand.length == 4, "brand must be a 4cc")
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       require(typ.length == 4)
@@ -299,7 +462,7 @@ object VideoHeaders {
     def full(typ: String, ver: Int, payload: Array[Byte]): Array[Byte] =
       box(typ, be32b(ver << 24) ++ payload)
     def be16b(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    val traks = tracks.map { t =>
+    val traks = tracks.zipWithIndex.map { case (t, ti) =>
       require(t.handler.length == 4 && t.codec.length == 4)
       val durTicks = t.sampleSizes.length * t.sampleDelta
       val tkhd = full("tkhd", 0,
@@ -328,7 +491,7 @@ object VideoHeaders {
         (t.sampleSizes.length + math.max(1, t.chunkCount) - 1) / math.max(1, t.chunkCount))
       val stsc = full("stsc", 0, be32b(1) ++ be32b(1) ++ be32b(perChunk) ++ be32b(1))
       val stco = full("stco", 0, be32b(t.chunkCount) ++
-        Array.tabulate(t.chunkCount)(k => be32b(16 + 8 * k)).flatten)
+        Array.tabulate(t.chunkCount)(k => be32b(chunkOffsets(ti)(k).toInt)).flatten)
       val stbl = box("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco)
       val minf = box("minf", stbl)
       val mdia = box("mdia", mdhd ++ hdlr ++ minf)
@@ -440,6 +603,63 @@ case class VideoTracks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "video_tracks"
+}
+
+/** `video_samples(binary)` → `array<struct<track_id, sample_idx, offset,
+  * size>>`: every media sample's absolute byte range, resolved from the
+  * stsc/stco/stsz chunk walk — frame extraction WITHOUT a codec. Compose
+  * with `substring(media, offset + 1, size)` to slice real sample payloads
+  * out of the binary column (the multimodal "frame-sample" op: at 100 TB
+  * this explodes a video corpus into per-sample rows for downstream
+  * decode/dedup/hashing with plain column pruning — the container is read
+  * once, no temp files, no external tools). Null for non-BMFF, broken
+  * tables, or > 65536 samples (use manifest-level processing there). */
+case class VideoSamples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = VideoSamples.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"video_samples expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val refs = VideoHeaders.parseSamples(payload.asInstanceOf[Array[Byte]])
+    if (refs == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      refs.map(r => InternalRow(r.trackId, r.sampleIdx, r.offset, r.size))
+        .toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("videoSamples", this, classOf[VideoSamples].getName)
+    val r = ctx.freshName("vidSmp")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoSamples =
+    copy(child = newChild)
+
+  override def prettyName: String = "video_samples"
+}
+
+object VideoSamples {
+  val sampleType: StructType = StructType(Seq(
+    StructField("track_id", IntegerType),
+    StructField("sample_idx", IntegerType),
+    StructField("offset", LongType),
+    StructField("size", IntegerType)))
+  val resultType: DataType = ArrayType(sampleType, containsNull = false)
+
+  def videoSamples(media: Column): Column =
+    GraftColumnShim.column(VideoSamples(GraftColumnShim.expression(media)))
 }
 
 object VideoTracks {

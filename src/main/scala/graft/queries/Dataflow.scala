@@ -711,6 +711,59 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x135: SAMPLE EXTRACTION — the step past x133's sample-table stats:
+    * `video_samples` resolves the stsc/stco/stsz chunk walk into absolute
+    * per-sample byte ranges and the query SLICES the actual payload bytes
+    * out of the binary column (`substring(media, offset+1, size)`), no
+    * codec, no temp files — the multimodal "frame-sample" op as one
+    * declarative plan. The fixture packs deterministic ASCII sample bytes
+    * into a real mdat layout (true stco offsets); the oracle regenerates
+    * every sample's bytes character by character in SQL and md5s them, so
+    * ONE byte mis-sliced anywhere (offset arithmetic, chunk boundaries,
+    * tail chunks with fewer samples) flips a digest and fails the hash
+    * gate. */
+  val x135 = DQ("x135_video_sample_slices", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 12 + 2 AS INT) AS nv FROM documents),
+      |s AS (
+      |  SELECT doc_id, u.s AS s,
+      |         CAST((doc_id + u.s * 11) % 40 + 10 AS INT) AS size
+      |  FROM d, unnest(generate_series(0, nv - 1)) AS u(s)),
+      |bytes AS (
+      |  SELECT doc_id, s, size, i.i AS i,
+      |         chr(CAST(32 + (doc_id * 7 + s * 3 + i.i) % 64 AS INT)) AS ch
+      |  FROM s, unnest(generate_series(0, size - 1)) AS i(i)),
+      |agg AS (
+      |  SELECT doc_id, s, size,
+      |         md5(string_agg(ch, '' ORDER BY i)) AS digest
+      |  FROM bytes GROUP BY doc_id, s, size)
+      |SELECT doc_id AS media_id, CAST(1 AS INT) AS track_id,
+      |  CAST(s AS INT) AS sample_idx, size, digest
+      |FROM agg ORDER BY media_id, sample_idx""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{VideoHeaders, VideoSamples}
+      import graft.functions.VideoHeaders.TrackSpec
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nv = (id % 12 + 2).toInt
+          val sizes = Array.tabulate(nv)(s => ((id + s * 11) % 40 + 10).toInt)
+          val data = Array.tabulate(nv)(s =>
+            Array.tabulate(sizes(s))(i => (32 + (id * 7 + s * 3 + i) % 64).toByte))
+          val spec = TrackSpec(1, "vide", "avc1", 64, 48, 90000, sizes, 100,
+            (id % 3 + 1).toInt)
+          (id, VideoHeaders.buildMp4TracksWithData("isom", 1000, Seq(spec), Seq(data)))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"), col("media"),
+          explode(VideoSamples.videoSamples(col("media"))).as("s"))
+        .select(col("media_id"), col("s.track_id").as("track_id"),
+          col("s.sample_idx").as("sample_idx"), col("s.size").as("size"),
+          md5(expr("substring(media, CAST(s.offset AS INT) + 1, s.size)"))
+            .as("digest"))
+        .orderBy("media_id", "sample_idx")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133, x134)
+    x126, x127, x132, x133, x134, x135)
 }

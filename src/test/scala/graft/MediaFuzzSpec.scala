@@ -21,7 +21,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("wav_header", b => AudioHeaders.parseWav(b)),
     ("pcm_stats", b => AudioHeaders.parsePcmStats(b)),
     ("video_header", b => VideoHeaders.parseMp4(b)),
-    ("video_tracks", b => VideoHeaders.parseTracks(b)))
+    ("video_tracks", b => VideoHeaders.parseTracks(b)),
+    ("video_samples", b => VideoHeaders.parseSamples(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -38,6 +39,10 @@ class MediaFuzzSpec extends AnyFunSuite {
       VideoHeaders.TrackSpec(2, "soun", "mp4a", 0, 0, 48000,
         Array.tabulate(11)(k => 100 + k), 1024, 3)),
       Array[Byte](9, 8, 7)),
+    VideoHeaders.buildMp4TracksWithData("isom", 1000, Seq(
+      VideoHeaders.TrackSpec(1, "vide", "avc1", 64, 48, 90000,
+        Array(10, 20, 15), 100, 2)),
+      Seq(Array.tabulate(3)(s => Array.fill(Seq(10, 20, 15)(s))(s.toByte)))),
     AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)))
 
   test("every parser survives pure random bytes") {
