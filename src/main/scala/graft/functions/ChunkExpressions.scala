@@ -101,6 +101,8 @@ object ChunkFunctions {
       es => VideoTracks(es.head), "built-in")
     reg.createOrReplaceTempFunction("video_samples",
       es => VideoSamples(es.head), "built-in")
+    reg.createOrReplaceTempFunction("h264_meta",
+      es => H264Meta(es.head), "built-in")
     reg.createOrReplaceTempFunction("bmp_pixels",
       es => BmpPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("png_pixels",
@@ -154,6 +156,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("video_samples"),
       new ExpressionInfo(classOf[VideoSamples].getName, "video_samples"),
       es => VideoSamples(es.head)))
+    e.injectFunction((FunctionIdentifier("h264_meta"),
+      new ExpressionInfo(classOf[H264Meta].getName, "h264_meta"),
+      es => H264Meta(es.head)))
     e.injectFunction((FunctionIdentifier("bmp_pixels"),
       new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
       es => BmpPixels(es.head)))

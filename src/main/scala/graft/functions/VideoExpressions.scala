@@ -393,10 +393,13 @@ object VideoHeaders {
 
   /** What [[buildMp4Tracks]] needs per track; `sampleSizes` drives stsz
     * (per-sample table) and stts carries one run of `sampleDelta` ticks per
-    * sample, so mdhd duration = sampleSizes.length · sampleDelta. */
+    * sample, so mdhd duration = sampleSizes.length · sampleDelta. A
+    * non-empty `codecConfig` on a video track emits a full 78-byte visual
+    * sample entry carrying it as an `avcC` child (ISO 14496-15). */
   final case class TrackSpec(trackId: Int, handler: String, codec: String,
       width: Int, height: Int, timescale: Int, sampleSizes: Array[Int],
-      sampleDelta: Int, chunkCount: Int)
+      sampleDelta: Int, chunkCount: Int,
+      codecConfig: Array[Byte] = Array.emptyByteArray)
 
   /** [[buildMp4Tracks]] with REAL sample data: each track's samples are
     * packed contiguously into mdat in chunk order and stco carries their
@@ -478,11 +481,21 @@ object VideoHeaders {
           be16b(0x55c4) /* und */ ++ be16b(0))
       val hdlr = full("hdlr", 0,
         be32b(0) ++ t.handler.getBytes ++ new Array[Byte](12) ++ Array(0.toByte))
-      // one sample entry: the fixed SampleEntry prefix (6 reserved + 2
-      // data-reference-index) under the codec fourcc — enough structure for
-      // any fourcc without codec-specific extension boxes
-      val stsd = full("stsd", 0, be32b(1) ++
-        box(t.codec, new Array[Byte](6) ++ be16b(1)))
+      // sample entry: minimal (6 reserved + 2 data-reference-index) unless
+      // a codec config rides along, in which case the full 78-byte visual
+      // entry (ISO 14496-12 §12.1.3) carries it as an avcC child
+      val stsd = full("stsd", 0, be32b(1) ++ {
+        if (t.codecConfig.nonEmpty && t.handler == "vide") {
+          val fixed = new Array[Byte](6) ++ be16b(1) /* data-ref index */ ++
+            be16b(0) ++ be16b(0) ++ new Array[Byte](12) /* pre_def/reserved */ ++
+            be16b(t.width) ++ be16b(t.height) ++
+            be32b(0x00480000) ++ be32b(0x00480000) /* 72 dpi */ ++
+            be32b(0) ++ be16b(1) /* reserved + frame_count */ ++
+            new Array[Byte](32) /* compressorname */ ++
+            be16b(24) ++ be16b(0xffff) /* depth + pre_defined(-1) */
+          box(t.codec, fixed ++ box("avcC", t.codecConfig))
+        } else box(t.codec, new Array[Byte](6) ++ be16b(1))
+      })
       val stts = full("stts", 0, be32b(1) ++
         be32b(t.sampleSizes.length) ++ be32b(t.sampleDelta))
       val stsz = full("stsz", 0, be32b(0) /* per-sample */ ++

@@ -764,6 +764,54 @@ object Dataflow {
         .orderBy("media_id", "sample_idx")
   }
 
+  /** x136: H.264 CODEC CONFIG — real coded dimensions out of the SPS's
+    * Exp-Golomb bit syntax (ITU-T H.264 §7.3.2.1.1) via the avcC record in
+    * a full visual sample entry (ISO 14496-15). Each row's SPS encodes a
+    * row-derived macroblock grid and crop window; `h264_meta` must replay
+    * the bit-level parse — ue/se codes, crop-unit arithmetic, emulation
+    * prevention — to recover profile/level/width/height the oracle
+    * computes arithmetically. The container's tkhd says nothing here: the
+    * dimensions only exist inside the codec config, which is exactly why
+    * a triage pipeline needs this parse (presentation size lies; the SPS
+    * doesn't). */
+  val x136 = DQ("x136_h264_sps_meta", Some(
+    """SELECT doc_id AS media_id,
+      |  CAST(66 AS INT) AS profile,
+      |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 30
+      |                                    WHEN 2 THEN 31 ELSE 51 END AS INT) AS level,
+      |  CAST(16 * (doc_id % 20 + 1) - 2 * (doc_id % 4) AS INT) AS width,
+      |  CAST(16 * (doc_id % 12 + 1) - 2 * (doc_id % 3) AS INT) AS height,
+      |  CAST(4 AS INT) AS length_size,
+      |  CAST(1 AS INT) AS n_sps, CAST(1 AS INT) AS n_pps
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{H264, H264Meta, VideoHeaders}
+      import graft.functions.VideoHeaders.TrackSpec
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val wMbs = (id % 20 + 1).toInt
+          val hMap = (id % 12 + 1).toInt
+          val cr = (id % 4).toInt
+          val cb = (id % 3).toInt
+          val level = (id % 4) match {
+            case 0 => 10; case 1 => 30; case 2 => 31; case _ => 51
+          }
+          val sps = H264.buildSps(level, wMbs, hMap, cr, cb)
+          val spec = TrackSpec(1, "vide", "avc1",
+            16 * wMbs - 2 * cr, 16 * hMap - 2 * cb, 90000,
+            Array(64, 64), 3000, 1, H264.buildAvcC(sps))
+          (id, VideoHeaders.buildMp4Tracks("isom", 1000, Seq(spec), Array[Byte](7)))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), H264Meta.h264Meta(col("media")).as("m"))
+        .select(col("media_id"), col("m.profile").as("profile"),
+          col("m.level").as("level"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.length_size").as("length_size"),
+          col("m.n_sps").as("n_sps"), col("m.n_pps").as("n_pps"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133, x134, x135)
+    x126, x127, x132, x133, x134, x135, x136)
 }

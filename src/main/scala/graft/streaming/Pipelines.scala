@@ -202,7 +202,7 @@ object Pipelines {
     * route, don't lose). At 100 TB this is the admission step that
     * partitions a mixed media crawl by modality before any codec runs. */
   def mediaTriageStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{AudioHeader, BmpPixels, GifPixels, ImageHeader, JpegPixels, PcmStats, PngPixels, VideoHeader}
+    import graft.functions.{AudioHeader, BmpPixels, GifPixels, H264Meta, ImageHeader, JpegPixels, PcmStats, PngPixels, VideoHeader}
     val files = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -222,6 +222,9 @@ object Pipelines {
         GifPixels.gifPixels(col("content")),
         JpegPixels.jpegPixels(col("content"))))
       .withColumn("ps", PcmStats.pcmStats(col("content")))
+      // codec-config parse: for video the CODED dimensions live in the
+      // H.264 SPS, not the container header
+      .withColumn("hm", H264Meta.h264Meta(col("content")))
       .select(col("path"), col("length"),
         when(col("ih").isNotNull, "image")
           .when(col("ah").isNotNull, "audio")
@@ -229,7 +232,8 @@ object Pipelines {
           .otherwise("unknown").as("kind"),
         coalesce(col("ih.format"), when(col("ah").isNotNull, "wav"),
           col("vh.brand")).as("format"),
-        col("ih.width").as("width"), col("ih.height").as("height"),
+        coalesce(col("ih.width"), col("hm.width")).as("width"),
+        coalesce(col("ih.height"), col("hm.height")).as("height"),
         col("ah.sample_rate").as("sample_rate"),
         coalesce(col("ah.duration_us"), col("vh.duration_us")).as("duration_us"),
         col("bp.luma_sum").as("luma_sum"),

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{H264, VideoHeaders}
+import graft.functions.VideoHeaders.TrackSpec
+
+/** H.264 codec-config parsing (ITU-T H.264 §7.3.2.1.1 Exp-Golomb syntax +
+  * ISO 14496-15 avcC): parseSps must invert buildSps exactly, including
+  * the cropping arithmetic and emulation-prevention bytes, and the MP4
+  * walk must find the avcC inside a full visual sample entry. */
+class H264SpsSpec extends AnyFunSuite {
+
+  test("SPS round-trips profile/level and coded dimensions incl. cropping") {
+    for ((mbs, mapU, cr, cb, level) <- Seq(
+        (8, 6, 0, 0, 30), (8, 6, 3, 2, 31), (1, 1, 0, 0, 10),
+        (120, 68, 0, 4, 51), (45, 30, 1, 1, 40))) {
+      val sps = H264.buildSps(level, mbs, mapU, cr, cb)
+      val p = H264.parseSps(sps)
+      assert(p != null, s"mbs=$mbs mapU=$mapU cr=$cr cb=$cb did not parse")
+      assert(p == (66, level, 16 * mbs - 2 * cr, 16 * mapU - 2 * cb),
+        s"mbs=$mbs mapU=$mapU cr=$cr cb=$cb → $p")
+    }
+  }
+
+  test("emulation-prevention bytes strip and insert as exact inverses; a " +
+      "grid value that genuinely produces 00 00 03 still round-trips") {
+    assert(H264.stripEmulation(Array[Byte](0, 0, 3, 1)).toSeq == Seq[Byte](0, 0, 1))
+    assert(H264.stripEmulation(Array[Byte](0, 0, 3, 0, 0, 3, 2)).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 2))
+    assert(H264.insertEmulation(Array[Byte](0, 0, 1)).toSeq == Seq[Byte](0, 0, 3, 1))
+    assert(H264.insertEmulation(Array[Byte](0, 0, 3)).toSeq == Seq[Byte](0, 0, 3, 3))
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 500) {
+      val raw = Array.fill[Byte](rnd.nextInt(40))((rnd.nextInt(4) * rnd.nextInt(2)).toByte)
+      assert(H264.stripEmulation(H264.insertEmulation(raw)).sameElements(raw))
+    }
+    // hunt a VALID stream that contains a real emulation byte — a large
+    // poc-type-1 offset's Exp-Golomb zero run manufactures 00 00 0x —
+    // then prove the full parse still inverts it
+    val found = (1 << 23 to (1 << 23) + 3000).find { o =>
+      val s = H264.buildSps(0, 7, 5, 0, 0, pocOffset = o)
+      s.sliding(3).exists(w => w(0) == 0 && w(1) == 0 && w(2) == 3)
+    }
+    assert(found.isDefined, "no poc offset produced an emulation byte")
+    assert(H264.parseSps(H264.buildSps(0, 7, 5, 0, 0, pocOffset = found.get)) ==
+      (66, 0, 112, 80))
+  }
+
+  test("avcC extraction from a full visual sample entry; malformed → null") {
+    val sps = H264.buildSps(31, 20, 15, 2, 1)
+    val spec = TrackSpec(1, "vide", "avc1", 316, 238, 90000,
+      Array(100, 200), 3000, 1, H264.buildAvcC(sps))
+    val b = VideoHeaders.buildMp4Tracks("isom", 1000, Seq(spec), Array[Byte](1, 2))
+    val m = H264.parseMp4Sps(b)
+    assert(m != null)
+    assert(m.profile == 66 && m.level == 31)
+    assert(m.width == 16 * 20 - 4 && m.height == 16 * 15 - 2)
+    assert(m.lengthSize == 4 && m.nSps == 1 && m.nPps == 1)
+    // the track-stats parse is undisturbed by the fat sample entry
+    val tr = VideoHeaders.parseTracks(b)
+    assert(tr != null && tr.head.codec == "avc1" && tr.head.sampleCount == 2)
+    // no avcC (minimal entry) → null, not a crash
+    val plain = VideoHeaders.buildMp4Tracks("isom", 1000,
+      Seq(spec.copy(codecConfig = Array.emptyByteArray)), Array[Byte](1))
+    assert(H264.parseMp4Sps(plain) == null)
+    // truncations never throw
+    for (n <- 0 to b.length) H264.parseMp4Sps(b.take(n))
+    // corrupt the avcC version byte → null
+    val idx = b.sliding(4).indexWhere(_.sameElements("avcC".getBytes))
+    assert(idx > 0)
+    val bad = b.clone(); bad(idx + 4) = 9
+    assert(H264.parseMp4Sps(bad) == null)
+  }
+}

@@ -22,7 +22,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("pcm_stats", b => AudioHeaders.parsePcmStats(b)),
     ("video_header", b => VideoHeaders.parseMp4(b)),
     ("video_tracks", b => VideoHeaders.parseTracks(b)),
-    ("video_samples", b => VideoHeaders.parseSamples(b)))
+    ("video_samples", b => VideoHeaders.parseSamples(b)),
+    ("h264_meta", b => graft.functions.H264.parseMp4Sps(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -43,6 +44,12 @@ class MediaFuzzSpec extends AnyFunSuite {
       VideoHeaders.TrackSpec(1, "vide", "avc1", 64, 48, 90000,
         Array(10, 20, 15), 100, 2)),
       Seq(Array.tabulate(3)(s => Array.fill(Seq(10, 20, 15)(s))(s.toByte)))),
+    VideoHeaders.buildMp4Tracks("isom", 1000, Seq(
+      VideoHeaders.TrackSpec(1, "vide", "avc1", 156, 78, 90000,
+        Array(40, 50), 3000, 1,
+        graft.functions.H264.buildAvcC(
+          graft.functions.H264.buildSps(31, 10, 5, 2, 1)))),
+      Array[Byte](4, 5, 6)),
     AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)))
 
   test("every parser survives pure random bytes") {
