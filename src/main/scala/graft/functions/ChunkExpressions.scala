@@ -103,6 +103,8 @@ object ChunkFunctions {
       es => VideoSamples(es.head), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
       es => H264Meta(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hevc_meta",
+      es => HevcMeta(es.head), "built-in")
     reg.createOrReplaceTempFunction("bmp_pixels",
       es => BmpPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("png_pixels",
@@ -159,6 +161,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("h264_meta"),
       new ExpressionInfo(classOf[H264Meta].getName, "h264_meta"),
       es => H264Meta(es.head)))
+    e.injectFunction((FunctionIdentifier("hevc_meta"),
+      new ExpressionInfo(classOf[HevcMeta].getName, "hevc_meta"),
+      es => HevcMeta(es.head)))
     e.injectFunction((FunctionIdentifier("bmp_pixels"),
       new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
       es => BmpPixels(es.head)))

@@ -197,7 +197,12 @@ object H264 {
   /** Walk stsd's first avc1/avc3 entry for its avcC child (the entry's
     * fixed visual fields are 78 bytes after the 8-byte entry header). A
     * fallback linear scan tolerates nonstandard prefixes. */
-  private[functions] def extractAvcC(b: Array[Byte]): Array[Byte] = {
+  private[functions] def extractAvcC(b: Array[Byte]): Array[Byte] =
+    extractCodecConfig(b, Set("avc1", "avc3"), "avcC")
+
+  /** The general sample-entry codec-config walk shared with [[H265]]. */
+  private[functions] def extractCodecConfig(b: Array[Byte],
+      entryFourccs: Set[String], childTag: String): Array[Byte] = {
     if (b == null || b.length < 16) return null
     def tag(i: Int): String =
       if (i + 4 > b.length) ""
@@ -238,13 +243,13 @@ object H264 {
               val entrySize = be32(entry.toInt)
               val entryEnd = entry + entrySize
               val fourcc = tag((entry + 4).toInt)
-              if ((fourcc == "avc1" || fourcc == "avc3") && entryEnd <= b.length) {
+              if (entryFourccs.contains(fourcc) && entryEnd <= b.length) {
                 // canonical child position, then a tolerant scan
-                var c = find(entry + 8 + 78, entryEnd, "avcC")
+                var c = find(entry + 8 + 78, entryEnd, childTag)
                 if (c < 0) {
                   var probe = entry + 16
                   while (c < 0 && probe + 8 <= entryEnd) {
-                    if (tag((probe + 4).toInt) == "avcC" &&
+                    if (tag((probe + 4).toInt) == childTag &&
                         be32(probe.toInt) >= 8 &&
                         probe + be32(probe.toInt) <= entryEnd) c = probe
                     probe += 1

@@ -493,7 +493,9 @@ object VideoHeaders {
             be32b(0) ++ be16b(1) /* reserved + frame_count */ ++
             new Array[Byte](32) /* compressorname */ ++
             be16b(24) ++ be16b(0xffff) /* depth + pre_defined(-1) */
-          box(t.codec, fixed ++ box("avcC", t.codecConfig))
+          val cfgTag =
+            if (t.codec == "hvc1" || t.codec == "hev1") "hvcC" else "avcC"
+          box(t.codec, fixed ++ box(cfgTag, t.codecConfig))
         } else box(t.codec, new Array[Byte](6) ++ be16b(1))
       })
       val stts = full("stts", 0, be32b(1) ++

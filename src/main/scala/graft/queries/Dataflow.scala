@@ -812,6 +812,53 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x137: H.265/HEVC codec config — x136's contract for the other codec
+    * that matters in a crawl corpus: hvcC record walk (ISO 14496-15
+    * §8.3.3.1 parameter-set arrays) + H.265 SPS parse (ITU-T H.265
+    * §7.3.2.2: profile_tier_level, conformance-window crop in chroma
+    * units). Dimensions here are LUMA samples directly (not macroblocks),
+    * so the arithmetic differs from H.264 — a copy-paste parser fails this
+    * gate. */
+  val x137 = DQ("x137_hevc_sps_meta", Some(
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS profile,
+      |  CAST(doc_id % 2 AS INT) AS tier,
+      |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 93 WHEN 1 THEN 120
+      |                                    ELSE 153 END AS INT) AS level,
+      |  CAST(64 * (doc_id % 30 + 2) - 2 * (doc_id % 5) AS INT) AS width,
+      |  CAST(64 * (doc_id % 17 + 1) - 2 * (doc_id % 4) AS INT) AS height,
+      |  CAST(1 AS INT) AS chroma_format,
+      |  CAST(4 AS INT) AS length_size, CAST(1 AS INT) AS n_arrays
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{H265, HevcMeta, VideoHeaders}
+      import graft.functions.VideoHeaders.TrackSpec
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val pw = (64 * (id % 30 + 2)).toInt
+          val ph = (64 * (id % 17 + 1)).toInt
+          val cr = (id % 5).toInt
+          val cb = (id % 4).toInt
+          val prof = if (id % 2 == 0) 1 else 2
+          val tier = (id % 2).toInt
+          val lvl = (id % 3) match { case 0 => 93; case 1 => 120; case _ => 153 }
+          val sps = H265.buildSps(prof, tier, lvl, pw, ph, cr, cb)
+          val spec = TrackSpec(1, "vide", "hvc1", pw - 2 * cr, ph - 2 * cb,
+            90000, Array(64, 64), 3000, 1, H265.buildHvcC(sps))
+          (id, VideoHeaders.buildMp4Tracks("isom", 1000, Seq(spec), Array[Byte](3)))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), HevcMeta.hevcMeta(col("media")).as("m"))
+        .select(col("media_id"), col("m.profile").as("profile"),
+          col("m.tier").as("tier"), col("m.level").as("level"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.chroma_format").as("chroma_format"),
+          col("m.length_size").as("length_size"),
+          col("m.n_arrays").as("n_arrays"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133, x134, x135, x136)
+    x126, x127, x132, x133, x134, x135, x136, x137)
 }

@@ -72,4 +72,30 @@ class H264SpsSpec extends AnyFunSuite {
     val bad = b.clone(); bad(idx + 4) = 9
     assert(H264.parseMp4Sps(bad) == null)
   }
+
+  test("H.265 SPS round-trips profile/tier/level and conformance-window " +
+      "dimensions; hvcC walk finds it in hvc1 entries") {
+    import graft.functions.H265
+    for ((pw, ph, cr, cb, prof, tier, lvl) <- Seq(
+        (1920, 1080, 0, 4, 1, 0, 153), (3840, 2160, 0, 0, 2, 1, 183),
+        (640, 360, 2, 1, 1, 0, 93), (128, 96, 0, 0, 1, 0, 30))) {
+      val sps = H265.buildSps(prof, tier, lvl, pw, ph, cr, cb)
+      val p = H265.parseSps(sps)
+      assert(p != null, s"$pw x $ph did not parse")
+      assert(p == (prof, tier, lvl, pw - 2 * cr, ph - 2 * cb, 1),
+        s"$pw x $ph cr=$cr cb=$cb → $p")
+    }
+    val sps = H265.buildSps(1, 0, 120, 1280, 720, 3, 2)
+    val spec = TrackSpec(1, "vide", "hvc1", 1274, 716, 90000,
+      Array(80, 90), 3000, 1, H265.buildHvcC(sps))
+    val b = VideoHeaders.buildMp4Tracks("isom", 1000, Seq(spec), Array[Byte](2))
+    val m = H265.parseMp4Sps(b)
+    assert(m != null)
+    assert(m.profileIdc == 1 && m.tier == 0 && m.level == 120)
+    assert(m.width == 1280 - 6 && m.height == 720 - 4)
+    assert(m.chromaFormat == 1 && m.lengthSize == 4 && m.nArrays == 1)
+    // an avc1 payload is NOT an hvc1 payload and vice versa
+    assert(H264.parseMp4Sps(b) == null)
+    for (n <- 0 to b.length) H265.parseMp4Sps(b.take(n))
+  }
 }

@@ -23,7 +23,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("video_header", b => VideoHeaders.parseMp4(b)),
     ("video_tracks", b => VideoHeaders.parseTracks(b)),
     ("video_samples", b => VideoHeaders.parseSamples(b)),
-    ("h264_meta", b => graft.functions.H264.parseMp4Sps(b)))
+    ("h264_meta", b => graft.functions.H264.parseMp4Sps(b)),
+    ("hevc_meta", b => graft.functions.H265.parseMp4Sps(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -50,6 +51,12 @@ class MediaFuzzSpec extends AnyFunSuite {
         graft.functions.H264.buildAvcC(
           graft.functions.H264.buildSps(31, 10, 5, 2, 1)))),
       Array[Byte](4, 5, 6)),
+    VideoHeaders.buildMp4Tracks("isom", 1000, Seq(
+      VideoHeaders.TrackSpec(1, "vide", "hvc1", 636, 356, 90000,
+        Array(30, 40), 3000, 1,
+        graft.functions.H265.buildHvcC(
+          graft.functions.H265.buildSps(1, 0, 120, 640, 360, 2, 2)))),
+      Array[Byte](8, 9)),
     AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)))
 
   test("every parser survives pure random bytes") {
