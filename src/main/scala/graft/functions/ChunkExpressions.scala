@@ -105,6 +105,8 @@ object ChunkFunctions {
       es => H264Meta(es.head), "built-in")
     reg.createOrReplaceTempFunction("hevc_meta",
       es => HevcMeta(es.head), "built-in")
+    reg.createOrReplaceTempFunction("av1_meta",
+      es => Av1Meta(es.head), "built-in")
     reg.createOrReplaceTempFunction("bmp_pixels",
       es => BmpPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("png_pixels",
@@ -164,6 +166,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("hevc_meta"),
       new ExpressionInfo(classOf[HevcMeta].getName, "hevc_meta"),
       es => HevcMeta(es.head)))
+    e.injectFunction((FunctionIdentifier("av1_meta"),
+      new ExpressionInfo(classOf[Av1Meta].getName, "av1_meta"),
+      es => Av1Meta(es.head)))
     e.injectFunction((FunctionIdentifier("bmp_pixels"),
       new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
       es => BmpPixels(es.head)))

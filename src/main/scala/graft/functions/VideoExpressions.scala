@@ -493,8 +493,11 @@ object VideoHeaders {
             be32b(0) ++ be16b(1) /* reserved + frame_count */ ++
             new Array[Byte](32) /* compressorname */ ++
             be16b(24) ++ be16b(0xffff) /* depth + pre_defined(-1) */
-          val cfgTag =
-            if (t.codec == "hvc1" || t.codec == "hev1") "hvcC" else "avcC"
+          val cfgTag = t.codec match {
+            case "hvc1" | "hev1" => "hvcC"
+            case "av01" => "av1C"
+            case _ => "avcC"
+          }
           box(t.codec, fixed ++ box(cfgTag, t.codecConfig))
         } else box(t.codec, new Array[Byte](6) ++ be16b(1))
       })

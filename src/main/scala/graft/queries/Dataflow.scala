@@ -859,6 +859,49 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x138: AV1 codec config — the third codec family of a modern crawl
+    * corpus (after x136 H.264, x137 H.265): av1C record (AOM ISO-BMFF
+    * binding §2.3) + sequence-header OBU bit syntax (AV1 spec §5.5 —
+    * explicit frame-dimension bit WIDTHS precede the dimensions, so the
+    * parse must read a variable-width field whose width was itself just
+    * parsed; per-operating-point level/tier with tier coded only above
+    * level 7). Oracle recomputes arithmetically. */
+  val x138 = DQ("x138_av1_seq_meta", Some(
+    """SELECT doc_id AS media_id,
+      |  CAST(doc_id % 3 AS INT) AS profile,
+      |  CAST(8 + doc_id % 16 AS INT) AS level,
+      |  CAST(doc_id % 2 AS INT) AS tier,
+      |  CAST(16 * (doc_id % 240 + 1) AS INT) AS width,
+      |  CAST(16 * (doc_id % 135 + 1) AS INT) AS height,
+      |  CAST(0 AS INT) AS monochrome,
+      |  CAST(1 AS INT) AS sub_x, CAST(1 AS INT) AS sub_y
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Av1, Av1Meta, VideoHeaders}
+      import graft.functions.VideoHeaders.TrackSpec
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val pf = (id % 3).toInt
+          val lv = (8 + id % 16).toInt // > 7 so tier is coded
+          val tr = (id % 2).toInt
+          val w = (16 * (id % 240 + 1)).toInt
+          val h = (16 * (id % 135 + 1)).toInt
+          val obu = Av1.buildSeqHeaderObu(pf, lv, tr, w, h)
+          val spec = TrackSpec(1, "vide", "av01", w, h, 90000,
+            Array(48, 48), 3000, 1, Av1.buildAv1C(obu))
+          (id, VideoHeaders.buildMp4Tracks("isom", 1000, Seq(spec), Array[Byte](6)))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), Av1Meta.av1Meta(col("media")).as("m"))
+        .select(col("media_id"), col("m.profile").as("profile"),
+          col("m.level").as("level"), col("m.tier").as("tier"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.monochrome").as("monochrome"),
+          col("m.sub_x").as("sub_x"), col("m.sub_y").as("sub_y"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133, x134, x135, x136, x137)
+    x126, x127, x132, x133, x134, x135, x136, x137, x138)
 }

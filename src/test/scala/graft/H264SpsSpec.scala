@@ -98,4 +98,36 @@ class H264SpsSpec extends AnyFunSuite {
     assert(H264.parseMp4Sps(b) == null)
     for (n <- 0 to b.length) H265.parseMp4Sps(b.take(n))
   }
+
+  test("AV1 sequence-header OBU round-trips profile/level/tier/dims; av1C " +
+      "walk finds it in av01 entries") {
+    import graft.functions.Av1
+    for ((pf, lv, tr, w, h) <- Seq(
+        (0, 8, 0, 1920, 1080), (0, 12, 1, 3840, 2160), (1, 5, 0, 640, 360),
+        (2, 19, 1, 7680, 4320), (0, 0, 0, 1, 1))) {
+      val obu = Av1.buildSeqHeaderObu(pf, lv, tr, w, h)
+      val p = Av1.parseSeqHeader(obu)
+      assert(p != null, s"$w x $h did not parse")
+      assert((p.profile, p.level, p.width, p.height) == (pf, lv, w, h))
+      if (lv > 7) assert(p.tier == tr) // tier only coded above level 7
+    }
+    val obu = Av1.buildSeqHeaderObu(0, 12, 1, 1280, 720)
+    val spec = TrackSpec(1, "vide", "av01", 1280, 720, 90000,
+      Array(70, 80), 3000, 1, Av1.buildAv1C(obu))
+    val b = VideoHeaders.buildMp4Tracks("isom", 1000, Seq(spec), Array[Byte](5))
+    val m = Av1.parseMp4(b)
+    assert(m != null)
+    assert(m.profile == 0 && m.level == 12 && m.tier == 1)
+    assert(m.width == 1280 && m.height == 720)
+    assert(m.monochrome == 0 && m.subX == 1 && m.subY == 1)
+    // wrong codec families reject; truncations never throw
+    assert(H264.parseMp4Sps(b) == null)
+    assert(graft.functions.H265.parseMp4Sps(b) == null)
+    for (n <- 0 to b.length) Av1.parseMp4(b.take(n))
+    // corrupt the av1C marker/version byte → null
+    val idx = b.sliding(4).indexWhere(_.sameElements("av1C".getBytes))
+    assert(idx > 0)
+    val bad = b.clone(); bad(idx + 4) = 0x01
+    assert(Av1.parseMp4(bad) == null)
+  }
 }

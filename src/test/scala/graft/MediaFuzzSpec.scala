@@ -24,7 +24,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("video_tracks", b => VideoHeaders.parseTracks(b)),
     ("video_samples", b => VideoHeaders.parseSamples(b)),
     ("h264_meta", b => graft.functions.H264.parseMp4Sps(b)),
-    ("hevc_meta", b => graft.functions.H265.parseMp4Sps(b)))
+    ("hevc_meta", b => graft.functions.H265.parseMp4Sps(b)),
+    ("av1_meta", b => graft.functions.Av1.parseMp4(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -57,6 +58,12 @@ class MediaFuzzSpec extends AnyFunSuite {
         graft.functions.H265.buildHvcC(
           graft.functions.H265.buildSps(1, 0, 120, 640, 360, 2, 2)))),
       Array[Byte](8, 9)),
+    VideoHeaders.buildMp4Tracks("isom", 1000, Seq(
+      VideoHeaders.TrackSpec(1, "vide", "av01", 640, 360, 90000,
+        Array(25, 35), 3000, 1,
+        graft.functions.Av1.buildAv1C(
+          graft.functions.Av1.buildSeqHeaderObu(0, 8, 0, 640, 360)))),
+      Array[Byte](1)),
     AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)))
 
   test("every parser survives pure random bytes") {
