@@ -205,10 +205,10 @@ object DownloadDirectoryApp {
       valueFlags = Set("decrypt-key", "key-exchange", "trust-producers"))
     val diskMode = args.contains("--disk-mode")
     // --tws: run reassembly on the transformWithState operator instead of
-    // flatMapGroupsWithState (same shared policy fold). Requires the RocksDB
-    // state store, which we switch on here rather than fail confusingly.
+    // flatMapGroupsWithState (same shared policy fold, buffered OR disk
+    // mode). Requires the RocksDB state store, which we switch on here
+    // rather than fail confusingly.
     val useTws = args.contains("--tws")
-    AppSession.require(!(diskMode && useTws), "--tws applies to buffered mode only\n" + usage)
     val explicitKey = AppSession.flagValue(args, "decrypt-key")
     // --key-exchange=<identityDir>: recover the wire key through the C4bis
     // side-topic protocol — the identity dir holds this consumer's durable
@@ -275,11 +275,16 @@ object DownloadDirectoryApp {
     // mode's checkpoint with the other fails confusingly
     val q =
       if (diskMode)
-        graft.streaming.DiskModeAssembly.assemble(good, outDir, timeoutMs = 0)
+        (if (useTws)
+           graft.streaming.DiskModeAssemblyTws.assemble(good, outDir, timeoutMs = 0)
+         else
+           graft.streaming.DiskModeAssembly.assemble(good, outDir, timeoutMs = 0))
           .writeStream
           .format("parquet")
           .option("path", s"$outDir/_manifests")
-          .option("checkpointLocation", s"$outDir/_checkpoint_download_disk")
+          .option("checkpointLocation",
+            if (useTws) s"$outDir/_checkpoint_download_disk_tws"
+            else s"$outDir/_checkpoint_download_disk")
           .trigger(Trigger.AvailableNow())
           .start()
       else {

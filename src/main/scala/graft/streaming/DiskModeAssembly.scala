@@ -70,28 +70,55 @@ object DiskModeAssembly {
     md.digest()
   }
 
+  /** Expiry handling shared by both state APIs: a verified tombstone
+    * expires silently; an unfinished partial quarantines its bytes and
+    * surfaces an InProgress manifest. */
+  private[streaming] def expire(rootDir: String, key: String,
+      s: DiskState): Option[FileManifest] =
+    if (s.completed) None // tombstone expiry; the file is verified
+    else {
+      val p = target(rootDir, key)
+      quarantine(rootDir, key, p)
+      Some(FileManifest(key, p.toString,
+        Assembly.Code.InProgress, s.offsets.size, -1L, hash_ok = false))
+    }
+
   def update(rootDir: String, timeoutMs: Long)(
       key: String,
       rows: Iterator[ChunkRow],
       state: GroupState[DiskState]): Iterator[FileManifest] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      expire(rootDir, key, s).iterator
+    } else {
+      val (out, next) = foldDisk(rootDir, key, state.getOption, rows)
+      next match {
+        case Some(s) =>
+          state.update(s)
+          if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+        case None => if (state.exists) state.remove()
+      }
+      out.iterator
+    }
+  }
+
+  /** The state-API-agnostic disk fold: positioned writes, generation
+    * policy, completion verification — shared by the `GroupState` operator
+    * above and [[DiskModeAssemblyTws]], so the classic and
+    * transformWithState paths cannot drift (the same contract
+    * [[AssemblyStream.foldRows]] gives the buffered pair). */
+  private[streaming] def foldDisk(rootDir: String, key: String,
+      prior: Option[DiskState], rows: Iterator[ChunkRow])
+      : (Seq[FileManifest], Option[DiskState]) = {
     if (!graft.core.SafePaths.isSafe(key)) {
       // dead-letter row, no filesystem touch; throwing here would make the
       // malicious message a poison pill on every checkpoint restart
-      if (state.exists) state.remove()
-      Iterator.single(FileManifest(key, "", Assembly.Code.UnsafePath,
-        0, -1L, hash_ok = false))
-    } else if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      if (s.completed) Iterator.empty // tombstone expiry; the file is verified
-      else {
-        val p = target(rootDir, key)
-        quarantine(rootDir, key, p)
-        Iterator.single(FileManifest(key, p.toString,
-          Assembly.Code.InProgress, s.offsets.size, -1L, hash_ok = false))
-      }
-    } else {
-      var cur: Option[DiskState] = state.getOption
+      return (Seq(FileManifest(key, "", Assembly.Code.UnsafePath,
+        0, -1L, hash_ok = false)), None)
+    }
+    {
+      var cur: Option[DiskState] = prior
       val out = Seq.newBuilder[FileManifest]
       val path = target(rootDir, key)
       // One channel per group invocation, not per chunk — a 300 MB file is
@@ -144,13 +171,7 @@ object DiskModeAssembly {
           } else Some(s)
         }
       } finally closeCh()
-      cur match {
-        case Some(s) =>
-          state.update(s)
-          if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
-        case None => if (state.exists) state.remove()
-      }
-      out.result().iterator
+      (out.result(), cur)
     }
   }
 
