@@ -190,12 +190,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan(graft.queries.Dataflow.x108).contains("pcm_stats"))
   }
 
-  test("round-6 media body-decode queries: spread + native expression only") {
+  test("media body-decode and codec-config queries: spread + native " +
+      "expression only") {
     for ((dq, fn) <- Seq(
         (graft.queries.Dataflow.x123, "png_pixels"),
         (graft.queries.Dataflow.x125, "gif_pixels"),
         (graft.queries.Dataflow.x126, "jpeg_pixels"),
-        (graft.queries.Dataflow.x127, "jpeg_pixels"))) {
+        (graft.queries.Dataflow.x127, "jpeg_pixels"),
+        (graft.queries.Dataflow.x133, "video_tracks"),
+        (graft.queries.Dataflow.x134, "jpeg_pixels"),
+        (graft.queries.Dataflow.x135, "video_samples"),
+        (graft.queries.Dataflow.x136, "h264_meta"),
+        (graft.queries.Dataflow.x137, "hevc_meta"),
+        (graft.queries.Dataflow.x138, "av1_meta"))) {
       val p = plan(dq)
       assert(!p.contains("hashpartitioning"),
         s"${dq.name} should be spread + in-row decode + range sort only:\n$p")
