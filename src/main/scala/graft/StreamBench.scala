@@ -94,7 +94,7 @@ object StreamBench {
       }
       val chunkRows = spark.read.parquet(topicDir).count()
 
-      def consume(outDir: String, disk: Boolean): Double = {
+      def consume(outDir: String, disk: Boolean, tws: Boolean = false): Double = {
         val (_, t) = timed {
           val wire = spark.readStream
             .schema("key STRING, value BINARY")
@@ -102,14 +102,20 @@ object StreamBench {
           val chunks = graft.batch.ChunkPipeline.decode(wire)
           val q =
             if (disk)
-              graft.streaming.DiskModeAssembly.assemble(chunks, outDir, timeoutMs = 0)
+              (if (tws)
+                 graft.streaming.DiskModeAssemblyTws.assemble(chunks, outDir, timeoutMs = 0)
+               else
+                 graft.streaming.DiskModeAssembly.assemble(chunks, outDir, timeoutMs = 0))
                 .writeStream.format("parquet")
                 .option("path", s"$outDir/_manifests")
                 .option("checkpointLocation", s"$outDir/_checkpoint")
                 .trigger(Trigger.AvailableNow())
                 .start()
             else
-              graft.streaming.AssemblyStream.assemble(chunks, timeoutMs = 0)
+              (if (tws)
+                 graft.streaming.AssemblyStreamTws.assemble(chunks, timeoutMs = 0)
+               else
+                 graft.streaming.AssemblyStream.assemble(chunks, timeoutMs = 0))
                 .writeStream
                 .foreach(new graft.streaming.CompletedFileWriter(outDir))
                 .outputMode("append")
@@ -135,6 +141,12 @@ object StreamBench {
 
       val tBuf = consume(outBuf, disk = false)
       val tDisk = consume(outDisk, disk = true)
+      // the transformWithState twins of both consumers — same shared folds,
+      // modern state API (RocksDB already the session's provider)
+      val outBufTws = base.resolve("out_buffered_tws").toString
+      val outDiskTws = base.resolve("out_disk_tws").toString
+      val tBufTws = consume(outBufTws, disk = false, tws = true)
+      val tDiskTws = consume(outDiskTws, disk = true, tws = true)
 
       // best-effort cleanup so three shapes don't stack tmp usage
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
@@ -143,18 +155,19 @@ object StreamBench {
       }
       rm(base)
 
-      (label, totalMb, chunkRows, tProduce, tBuf, tDisk)
+      (label, totalMb, chunkRows, tProduce, tBuf, tDisk, tBufTws, tDiskTws)
     }
 
     def f1(v: Double): String = f"$v%.1f"
-    val js = results.map { case (label, mb, rows, tp, tb, td) =>
+    val js = results.map { case (label, mb, rows, tp, tb, td, tbt, tdt) =>
       s""""$label":{"mb":${f1(mb)},"chunks":$rows,""" +
         s""""produce_s":${f1(tp)},"produce_mb_s":${f1(mb / tp)},""" +
         s""""buffered_s":${f1(tb)},"buffered_mb_s":${f1(mb / tb)},"buffered_rows_s":${f1(rows / tb)},""" +
         s""""disk_s":${f1(td)},"disk_mb_s":${f1(mb / td)},"disk_rows_s":${f1(rows / td)},""" +
+        s""""buffered_tws_mb_s":${f1(mb / tbt)},"disk_tws_mb_s":${f1(mb / tdt)},""" +
         s""""verified":true}"""
     }.mkString("{", ",", "}")
-    val total = results.map(r => r._4 + r._5 + r._6).sum
+    val total = results.map(r => r._4 + r._5 + r._6 + r._7 + r._8).sum
     val json =
       s"""{"metric":"stream_total","value":${f1(total)},"unit":"sec","chunk_kb":${chunkSize / 1024},"scale":$scale,"scenarios":$js}"""
     println(json)
