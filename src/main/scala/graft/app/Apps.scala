@@ -169,8 +169,14 @@ object UploadDirectoryApp {
       System.err.println(s"[key-exchange] producer fingerprint: ${producerId.fingerprint}")
       val allow = AppSession.flagValue(args, "allow")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-      Some(KeyExchange.publishDataKey(topicDir, topic, "producer",
-        producerId, KeyExchange.nextGeneration(topicDir), allow))
+      val (dataKey, nWrapped) = KeyExchange.publishDataKeyCounted(topicDir,
+        topic, "producer", producerId, KeyExchange.nextGeneration(topicDir), allow)
+      // an over-tight allow-list must fail HERE, not produce a topic of
+      // ciphertext no consumer can ever decrypt
+      AppSession.require(nWrapped >= 1,
+        s"--key-exchange: no announced consumer passed the allow-list on " +
+          s"$topicDir.reqs — check the fingerprints (AnnounceKeyApp prints them)")
+      Some(dataKey)
     } else None
     val wire = kxKey.orElse(encryptKey).fold(plainWire)(k =>
       graft.streaming.WireCrypto.encryptValues(plainWire, k))

@@ -19,17 +19,6 @@ object Av1 {
   final case class Av1Info(profile: Int, level: Int, tier: Int,
       width: Int, height: Int, monochrome: Int, subX: Int, subY: Int)
 
-  private final class BitReader(b: Array[Byte], startByte: Int) {
-    var pos = startByte * 8
-    def u1(): Int = {
-      if (pos >= b.length * 8) throw new IllegalStateException("obu underrun")
-      val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
-      pos += 1
-      v
-    }
-    def u(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
-  }
-
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
 
   /** LEB128 (§4.10.5): returns (value, bytesConsumed) or null. */
@@ -66,7 +55,7 @@ object Av1 {
       if (l == null) return null
       at += l._2
     }
-    val r = new BitReader(obu, at)
+    val r = new MsbBitReader(obu, at)
     val profile = r.u(3)
     r.u1() // still_picture
     val reduced = r.u1()
@@ -123,23 +112,12 @@ object Av1 {
 
   // ---------------------------------------------------------------- builders
 
-  private final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
-    private var acc = 0; private var n = 0
-    def u1(v: Int): Unit = {
-      acc = (acc << 1) | (v & 1); n += 1
-      if (n == 8) { out.write(acc); acc = 0; n = 0 }
-    }
-    def u(v: Int, bits: Int): Unit = { var i = bits - 1; while (i >= 0) { u1((v >> i) & 1); i -= 1 } }
-    def finishZeroPad(): Array[Byte] = { while (n != 0) u1(0); out.toByteArray }
-  }
-
   /** Minimal full (non-reduced) sequence header OBU: one operating point,
     * explicit frame-dimension bit widths, has_size_field set. */
   def buildSeqHeaderObu(profile: Int, level: Int, tier: Int,
       width: Int, height: Int): Array[Byte] = {
     require(width >= 1 && height >= 1)
-    val w = new BitWriter
+    val w = new MsbBitWriter
     w.u(profile, 3)
     w.u1(0) // still_picture
     w.u1(0) // reduced_still_picture_header

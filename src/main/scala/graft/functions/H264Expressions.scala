@@ -56,28 +56,6 @@ object H264 {
     out.toByteArray
   }
 
-  private final class BitReader(b: Array[Byte]) {
-    private var pos = 0
-    def u1(): Int = {
-      if (pos >= b.length * 8) throw new IllegalStateException("sps underrun")
-      val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
-      pos += 1
-      v
-    }
-    def u(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
-    /** Exp-Golomb unsigned (§9.1). */
-    def ue(): Int = {
-      var zeros = 0
-      while (u1() == 0) { zeros += 1; if (zeros > 31) throw new IllegalStateException("ue overrun") }
-      (1 << zeros) - 1 + u(zeros)
-    }
-    /** Exp-Golomb signed (§9.1.1). */
-    def se(): Int = {
-      val k = ue()
-      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
-    }
-  }
-
   private val HighProfiles =
     Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
 
@@ -90,7 +68,7 @@ object H264 {
   private def parseSps0(nal: Array[Byte]): (Int, Int, Int, Int) = {
     if (nal == null || nal.length < 4) return null
     if ((nal(0) & 0x1f) != 7) return null // nal_unit_type must be SPS
-    val r = new BitReader(stripEmulation(nal.drop(1)))
+    val r = new MsbBitReader(stripEmulation(nal.drop(1)))
     val profile = r.u(8)
     r.u(8) // constraint flags + reserved
     val level = r.u(8)
@@ -189,9 +167,12 @@ object H264 {
     val nPps = u8(avcc, off)
     val parsed = parseSps(sps)
     if (parsed == null) return null
-    // the avcC header mirrors the SPS's own profile/level bytes
-    if (parsed._1 != profile || parsed._2 != level) return null
-    SpsInfo(profile, level, parsed._3, parsed._4, lengthSize, nSps, nPps)
+    // the avcC profile mirrors the SPS; the record LEVEL may lawfully be
+    // ≥ the SPS level (ISO 14496-15: "equal to or greater than the highest
+    // level indicated") — report the SPS's own values, reject only a
+    // record that UNDERSTATES them
+    if (parsed._1 != profile || level < parsed._2) return null
+    SpsInfo(parsed._1, parsed._2, parsed._3, parsed._4, lengthSize, nSps, nPps)
   }
 
   /** Walk stsd's first avc1/avc3 entry for its avcC child (the entry's
@@ -270,27 +251,6 @@ object H264 {
 
   // ---------------------------------------------------------------- builders
 
-  private final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
-    private var acc = 0; private var n = 0
-    def u1(v: Int): Unit = {
-      acc = (acc << 1) | (v & 1); n += 1
-      if (n == 8) { out.write(acc); acc = 0; n = 0 }
-    }
-    def u(v: Int, bits: Int): Unit = { var i = bits - 1; while (i >= 0) { u1((v >> i) & 1); i -= 1 } }
-    def ue(v: Int): Unit = {
-      val k = v + 1
-      val bits = 32 - Integer.numberOfLeadingZeros(k)
-      u(0, bits - 1); u(k, bits)
-    }
-    /** rbsp_trailing_bits: stop bit + zero-pad to a byte boundary. */
-    def finish(): Array[Byte] = {
-      u1(1)
-      while (n != 0) u1(0)
-      out.toByteArray
-    }
-  }
-
   /** Baseline-profile SPS with explicit macroblock grid and crop window —
     * the deterministic inverse of [[parseSps]] (frame_mbs_only, 4:2:0 crop
     * units of 2 px). `pocOffset != 0` switches to pic_order_cnt_type 1
@@ -300,7 +260,7 @@ object H264 {
   def buildSps(level: Int, widthMbs: Int, heightMapUnits: Int,
       cropRight: Int, cropBottom: Int, pocOffset: Int = 0): Array[Byte] = {
     require(widthMbs >= 1 && heightMapUnits >= 1)
-    val w = new BitWriter
+    val w = new MsbBitWriter
     w.u(66, 8) // profile_idc: baseline
     w.u(0, 8) // constraint flags
     w.u(level, 8)
@@ -325,7 +285,7 @@ object H264 {
       w.u1(1)
       w.ue(0); w.ue(cropRight); w.ue(0); w.ue(cropBottom)
     } else w.u1(0)
-    val rbsp = insertEmulation(w.finish())
+    val rbsp = insertEmulation(w.finishStopBit())
     Array(0x67.toByte) ++ rbsp // nal_ref_idc=3, type=7
   }
 

@@ -18,22 +18,6 @@ object H265 {
   final case class HevcInfo(profileIdc: Int, tier: Int, level: Int,
       width: Int, height: Int, chromaFormat: Int, lengthSize: Int, nArrays: Int)
 
-  private final class BitReader(b: Array[Byte]) {
-    private var pos = 0
-    def u1(): Int = {
-      if (pos >= b.length * 8) throw new IllegalStateException("sps underrun")
-      val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
-      pos += 1
-      v
-    }
-    def u(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
-    def ue(): Int = {
-      var zeros = 0
-      while (u1() == 0) { zeros += 1; if (zeros > 31) throw new IllegalStateException("ue overrun") }
-      (1 << zeros) - 1 + u(zeros)
-    }
-  }
-
   /** Parse one H.265 SPS NAL (2-byte NAL header, type 33) far enough for
     * (profile_idc, tier, level, width, height, chroma_format); null on any
     * structural violation. The conformance window subtracts in chroma
@@ -45,7 +29,7 @@ object H265 {
   private def parseSps0(nal: Array[Byte]): (Int, Int, Int, Int, Int, Int) = {
     if (nal == null || nal.length < 6) return null
     if (((nal(0) & 0x7e) >> 1) != 33) return null // nal_unit_type SPS_NUT
-    val r = new BitReader(H264.stripEmulation(nal.drop(2)))
+    val r = new MsbBitReader(H264.stripEmulation(nal.drop(2)))
     r.u(4) // sps_video_parameter_set_id
     val maxSubLayers = r.u(3)
     r.u1() // temporal_id_nesting
@@ -121,12 +105,15 @@ object H265 {
         if (nalType == 33) {
           val parsed = parseSps(rec.slice(off + 2, off + 2 + len))
           if (parsed == null) return null
-          // record header mirrors the SPS ptl
+          // record profile mirrors the SPS ptl; record LEVEL/TIER may
+          // lawfully be ≥ the SPS's (ISO 14496-15 §8.3.3: capability
+          // "equal to or greater") — report the SPS's own values, reject
+          // only a record that UNDERSTATES them
           val recProfile = u8(rec, 1) & 0x1f
           val recTier = (u8(rec, 1) >> 5) & 1
           val recLevel = u8(rec, 12)
-          if (recProfile != parsed._1 || recTier != parsed._2 ||
-              recLevel != parsed._3) return null
+          if (recProfile != parsed._1 || recTier < parsed._2 ||
+              recLevel < parsed._3) return null
           return HevcInfo(parsed._1, parsed._2, parsed._3, parsed._4,
             parsed._5, parsed._6, lengthSize, nArrays)
         }
@@ -140,29 +127,13 @@ object H265 {
 
   // ---------------------------------------------------------------- builders
 
-  private final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
-    private var acc = 0; private var n = 0
-    def u1(v: Int): Unit = {
-      acc = (acc << 1) | (v & 1); n += 1
-      if (n == 8) { out.write(acc); acc = 0; n = 0 }
-    }
-    def u(v: Int, bits: Int): Unit = { var i = bits - 1; while (i >= 0) { u1((v >> i) & 1); i -= 1 } }
-    def ue(v: Int): Unit = {
-      val k = v + 1
-      val bits = 32 - Integer.numberOfLeadingZeros(k)
-      u(0, bits - 1); u(k, bits)
-    }
-    def finish(): Array[Byte] = { u1(1); while (n != 0) u1(0); out.toByteArray }
-  }
-
   /** Minimal-but-complete H.265 SPS (Main profile shape, 4:2:0, no
     * sub-layers): every mandatory field through the VUI flag is written,
     * so the bitstream is spec-complete, with the conformance window
     * carrying the crop. */
   def buildSps(profileIdc: Int, tier: Int, level: Int, picW: Int, picH: Int,
       cropRight: Int, cropBottom: Int): Array[Byte] = {
-    val w = new BitWriter
+    val w = new MsbBitWriter
     w.u(0, 4) // vps id
     w.u(0, 3) // max_sub_layers_minus1
     w.u1(1) // temporal_id_nesting
@@ -195,14 +166,14 @@ object H265 {
     w.u1(0) // strong_intra_smoothing
     w.u1(0) // vui_parameters_present
     w.u1(0) // sps_extension_present
-    val rbsp = H264.insertEmulation(w.finish())
+    val rbsp = H264.insertEmulation(w.finishStopBit())
     // NAL header: forbidden 0, type 33, layer 0, tid+1 = 1
     Array(0x42.toByte, 0x01.toByte) ++ rbsp
   }
 
   /** HEVCDecoderConfigurationRecord wrapping one SPS array. */
   def buildHvcC(sps: Array[Byte]): Array[Byte] = {
-    val r = new BitReader(H264.stripEmulation(sps.drop(2)))
+    val r = new MsbBitReader(H264.stripEmulation(sps.drop(2)))
     r.u(4); r.u(3); r.u1()
     r.u(2)
     val tier = r.u1()

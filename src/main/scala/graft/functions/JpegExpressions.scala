@@ -129,6 +129,40 @@ object JpegCodec {
     v
   }
 
+  /** Parse every DQT table in [seg, end) into `qt` (natural order);
+    * false on violation. Shared by the baseline and progressive walks. */
+  private def parseDqt(b: Array[Byte], seg: Int, end: Int,
+      qt: Array[Array[Int]]): Boolean = {
+    var j = seg
+    while (j < end) {
+      val pq = u(b, j) >> 4; val tq = u(b, j) & 15
+      if (pq != 0 || tq > 3 || j + 65 > end) return false
+      var k = 0
+      while (k < 64) { qt(tq)(Zigzag(k)) = u(b, j + 1 + k); k += 1 }
+      j += 65
+    }
+    true
+  }
+
+  /** Parse every DHT table in [seg, end) into `dcT`/`acT`; false on
+    * violation. Shared by the baseline and progressive walks. */
+  private def parseDht(b: Array[Byte], seg: Int, end: Int,
+      dcT: Array[Huff], acT: Array[Huff]): Boolean = {
+    var j = seg
+    while (j < end) {
+      val tc = u(b, j) >> 4; val th = u(b, j) & 15
+      if (tc > 1 || th > 3 || j + 17 > end) return false
+      val bits = Array.tabulate(16)(k => u(b, j + 1 + k))
+      val n = bits.sum
+      if (j + 17 + n > end || n > 256) return false
+      val vals = Array.tabulate(n)(k => u(b, j + 17 + k))
+      if (tc == 0) dcT(th) = new Huff(bits, vals)
+      else acT(th) = new Huff(bits, vals)
+      j += 17 + n
+    }
+    true
+  }
+
   /** Full decode to interleaved RGB (or replicated gray): returns
     * (w, h, channels, pixels row-major channel-interleaved), null on any
     * unsupported/ malformed input. Never throws — the route-don't-crash
@@ -163,27 +197,9 @@ object JpegCodec {
         val seg = i + 4
         m match {
           case 0xdb => // DQT: one or more tables
-            var j = seg
-            while (j < i + 2 + len) {
-              val pq = u(b, j) >> 4; val tq = u(b, j) & 15
-              if (pq != 0 || tq > 3 || j + 65 > i + 2 + len) return null
-              var k = 0
-              while (k < 64) { qt(tq)(Zigzag(k)) = u(b, j + 1 + k); k += 1 }
-              j += 65
-            }
+            if (!parseDqt(b, seg, i + 2 + len, qt)) return null
           case 0xc4 => // DHT
-            var j = seg
-            while (j < i + 2 + len) {
-              val tc = u(b, j) >> 4; val th = u(b, j) & 15
-              if (tc > 1 || th > 3 || j + 17 > i + 2 + len) return null
-              val bits = Array.tabulate(16)(k => u(b, j + 1 + k))
-              val n = bits.sum
-              if (j + 17 + n > i + 2 + len || n > 256) return null
-              val vals = Array.tabulate(n)(k => u(b, j + 17 + k))
-              if (tc == 0) dcT(th) = new Huff(bits, vals)
-              else acT(th) = new Huff(bits, vals)
-              j += 17 + n
-            }
+            if (!parseDht(b, seg, i + 2 + len, dcT, acT)) return null
           case 0xc0 => // SOF0 baseline
             // fixed header is 6 bytes (precision, h, w, nComp) → len >= 8;
             // a shorter declared len would read past the segment/buffer
@@ -610,27 +626,9 @@ object JpegCodec {
         val seg = i + 4
         m match {
           case 0xdb =>
-            var j = seg
-            while (j < i + 2 + len) {
-              val pq = u(b, j) >> 4; val tq = u(b, j) & 15
-              if (pq != 0 || tq > 3 || j + 65 > i + 2 + len) return null
-              var k = 0
-              while (k < 64) { qt(tq)(Zigzag(k)) = u(b, j + 1 + k); k += 1 }
-              j += 65
-            }
+            if (!parseDqt(b, seg, i + 2 + len, qt)) return null
           case 0xc4 =>
-            var j = seg
-            while (j < i + 2 + len) {
-              val tc = u(b, j) >> 4; val th = u(b, j) & 15
-              if (tc > 1 || th > 3 || j + 17 > i + 2 + len) return null
-              val bits = Array.tabulate(16)(k => u(b, j + 1 + k))
-              val n = bits.sum
-              if (j + 17 + n > i + 2 + len || n > 256) return null
-              val vals = Array.tabulate(n)(k => u(b, j + 17 + k))
-              if (tc == 0) dcT(th) = new Huff(bits, vals)
-              else acT(th) = new Huff(bits, vals)
-              j += 17 + n
-            }
+            if (!parseDht(b, seg, i + 2 + len, dcT, acT)) return null
           case 0xdd =>
             if (len < 4) return null
             restartInterval = be16(b, seg)

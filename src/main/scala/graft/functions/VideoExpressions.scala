@@ -142,7 +142,10 @@ object VideoHeaders {
       t += tSize
       n += 1
     }
-    out.result()
+    // a 65th trak means the answer would be TRUNCATED — that is abnormal
+    // shape, and the contract for abnormal shape is null, never a
+    // plausible-looking partial result
+    if (findBox(b, t, moovEnd, "trak") >= 0) null else out.result()
   }
 
   private def parseTrak(b: Array[Byte], start: Long, end: Long): TrackInfo = {
@@ -371,7 +374,8 @@ object VideoHeaders {
       t += tSize
       n += 1
     }
-    out.result()
+    // same truncation rule as parseTracks0: a 65th trak → null, not partial
+    if (findBox(b, t, moovEnd, "trak") >= 0) null else out.result()
   }
 
   // --------------------------------------------------------------- builders

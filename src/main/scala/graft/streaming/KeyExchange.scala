@@ -265,19 +265,22 @@ object KeyExchange {
 
   private val rng = new SecureRandom()
 
-  /** Write `bytes` then restrict to owner read/write (0600). Private key
-    * material must not be group/world readable; non-POSIX filesystems fall
-    * back to the JVM's owner-only API. */
+  /** Write private-key bytes into a file CREATED 0600 — the permissions
+    * exist before any byte does, so there is no umask-default window (nor a
+    * crash-persistent world-readable file) between write and chmod.
+    * Non-POSIX filesystems fall back to the JVM's owner-only API. */
   private def writePrivate(p: Path, bytes: Array[Byte]): Unit = {
-    Files.write(p, bytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    try Files.setPosixFilePermissions(p, PosixFilePermissions.fromString("rw-------"))
+    Files.deleteIfExists(p)
+    try Files.createFile(p, PosixFilePermissions.asFileAttribute(
+      PosixFilePermissions.fromString("rw-------")))
     catch {
       case _: UnsupportedOperationException =>
+        Files.createFile(p)
         val f = p.toFile
         f.setReadable(false, false); f.setReadable(true, true)
         f.setWritable(false, false); f.setWritable(true, true)
     }
+    Files.write(p, bytes, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
   /** Durable identity: load the X25519 + Ed25519 pairs stored under `dir`,
@@ -345,13 +348,24 @@ object KeyExchange {
     * immediately encrypts with it). */
   def publishDataKey(topicDir: String, topic: String, producer: String,
       producerId: Identity, generation: Long,
-      allowedConsumers: Option[Set[String]] = None): Array[Byte] = {
+      allowedConsumers: Option[Set[String]] = None): Array[Byte] =
+    publishDataKeyCounted(topicDir, topic, producer, producerId, generation,
+      allowedConsumers)._1
+
+  /** [[publishDataKey]] that also returns HOW MANY consumers were wrapped
+    * for — callers that go on to encrypt must check it is nonzero, or an
+    * over-tight allow-list silently produces ciphertext nobody can ever
+    * decrypt. */
+  def publishDataKeyCounted(topicDir: String, topic: String, producer: String,
+      producerId: Identity, generation: Long,
+      allowedConsumers: Option[Set[String]] = None): (Array[Byte], Int) = {
     val dataKey = new Array[Byte](KeyLen)
     rng.nextBytes(dataKey)
     val d = keysDir(topicDir)
     Files.createDirectories(d)
     val prodKemPub = producerId.kem.getPublic.getEncoded
     val prodSigPub = producerId.sig.getPublic.getEncoded
+    var wrapped = 0
     announcements(topicDir).foreach { case (party, ann) =>
       if (allowedConsumers.exists(allow => !allow.contains(ann.fingerprint))) {
         System.err.println(
@@ -377,18 +391,19 @@ object KeyExchange {
           // bind generation into the GCM additional data so a replayed old
           // wrap can't be renamed to a newer generation
           c.updateAAD(s"$topic:$generation".getBytes(UTF_8))
-          val wrapped = iv ++ c.doFinal(dataKey)
+          val wrap = iv ++ c.doFinal(dataKey)
           val signature = sign(producerId.sig, KeyMsgCtx,
             lp(topic.getBytes(UTF_8)), be64(generation),
-            lp(party.getBytes(UTF_8)), lp(prodKemPub), lp(wrapped))
+            lp(party.getBytes(UTF_8)), lp(prodKemPub), lp(wrap))
           Files.write(d.resolve(f"$party%s.$generation%019d.key"),
-            KeyMsgMagic ++ lp(prodKemPub) ++ lp(prodSigPub) ++ lp(wrapped) ++
+            KeyMsgMagic ++ lp(prodKemPub) ++ lp(prodSigPub) ++ lp(wrap) ++
               lp(signature),
             StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          wrapped += 1
         }
       }
     }
-    dataKey
+    (dataKey, wrapped)
   }
 
   /** Consumer side: recover the newest-generation data key addressed to
@@ -422,8 +437,12 @@ object KeyExchange {
       finally s.close()
     mine.sortBy(_.getFileName.toString).reverseIterator.flatMap { p =>
       // parse the zero-padded generation from the tail so dotted party
-      // names can't shift the field index
-      val gen = p.getFileName.toString.stripSuffix(".key").takeRight(19).toLong
+      // names can't shift the field index; a 19-digit value past
+      // Long.MaxValue is a malformed message to SKIP, not a poison pill
+      // (open mode allows untrusted writers on the side topic)
+      val genOpt = scala.util.Try(
+        p.getFileName.toString.stripSuffix(".key").takeRight(19).toLong).toOption
+      genOpt.iterator.flatMap { gen =>
       val bytes = Files.readAllBytes(p)
       unframe(bytes, KeyMsgMagic, 4) match {
         case Some(Seq(prodKemPub, prodSigPub, wrapped, signature))
@@ -443,6 +462,7 @@ object KeyExchange {
             Some(gen -> c.doFinal(ct))
           } catch { case _: Exception => None } // tampered/foreign → skip
         case _ => None // wrong framing, bad signature, or untrusted producer
+      }
       }
     }.toSeq
   }

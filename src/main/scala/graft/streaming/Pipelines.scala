@@ -202,7 +202,7 @@ object Pipelines {
     * route, don't lose). At 100 TB this is the admission step that
     * partitions a mixed media crawl by modality before any codec runs. */
   def mediaTriageStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{AudioHeader, BmpPixels, GifPixels, H264Meta, ImageHeader, JpegPixels, PcmStats, PngPixels, VideoHeader}
+    import graft.functions.{AudioHeader, Av1Meta, BmpPixels, GifPixels, H264Meta, HevcMeta, ImageHeader, JpegPixels, PcmStats, PngPixels, VideoHeader}
     val files = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -223,8 +223,11 @@ object Pipelines {
         JpegPixels.jpegPixels(col("content"))))
       .withColumn("ps", PcmStats.pcmStats(col("content")))
       // codec-config parse: for video the CODED dimensions live in the
-      // H.264 SPS, not the container header
+      // codec's own parameter sets (H.264/H.265 SPS, AV1 sequence header),
+      // not the container header
       .withColumn("hm", H264Meta.h264Meta(col("content")))
+      .withColumn("hv", HevcMeta.hevcMeta(col("content")))
+      .withColumn("a1", Av1Meta.av1Meta(col("content")))
       .select(col("path"), col("length"),
         when(col("ih").isNotNull, "image")
           .when(col("ah").isNotNull, "audio")
@@ -232,8 +235,10 @@ object Pipelines {
           .otherwise("unknown").as("kind"),
         coalesce(col("ih.format"), when(col("ah").isNotNull, "wav"),
           col("vh.brand")).as("format"),
-        coalesce(col("ih.width"), col("hm.width")).as("width"),
-        coalesce(col("ih.height"), col("hm.height")).as("height"),
+        coalesce(col("ih.width"), col("hm.width"), col("hv.width"),
+          col("a1.width")).as("width"),
+        coalesce(col("ih.height"), col("hm.height"), col("hv.height"),
+          col("a1.height")).as("height"),
         col("ah.sample_rate").as("sample_rate"),
         coalesce(col("ah.duration_us"), col("vh.duration_us")).as("duration_us"),
         col("bp.luma_sum").as("luma_sum"),

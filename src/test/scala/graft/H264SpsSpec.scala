@@ -71,6 +71,14 @@ class H264SpsSpec extends AnyFunSuite {
     assert(idx > 0)
     val bad = b.clone(); bad(idx + 4) = 9
     assert(H264.parseMp4Sps(bad) == null)
+    // a record LEVEL above the SPS level is spec-legal ("equal to or
+    // greater"): still parses, reporting the SPS's own level
+    val over = b.clone(); over(idx + 4 + 3) = 52 // AVCLevelIndication byte
+    val om = H264.parseMp4Sps(over)
+    assert(om != null && om.level == 31 && om.profile == 66)
+    // but a record UNDERSTATING the SPS level is rejected
+    val under = b.clone(); under(idx + 4 + 3) = 10
+    assert(H264.parseMp4Sps(under) == null)
   }
 
   test("H.265 SPS round-trips profile/tier/level and conformance-window " +

@@ -217,18 +217,41 @@ class KeyExchangeSpec extends AnyFunSuite {
     assert(!KeyExchange.announcements(topicDir).contains("bob"))
   }
 
-  test("consumer allow-list: only fingerprinted identities get a wrapped key") {
+  test("consumer allow-list: only fingerprinted identities get a wrapped key; " +
+      "the wrapped COUNT surfaces an over-tight list") {
     val topicDir = Files.createTempDirectory("kx-allow").toString
     val c1 = KeyExchange.newIdentity()
     val c2 = KeyExchange.newIdentity()
     KeyExchange.announce(topicDir, "c1", c1)
     KeyExchange.announce(topicDir, "c2", c2)
     val producer = KeyExchange.newIdentity()
-    val dataKey = KeyExchange.publishDataKey(topicDir, "t", "p", producer, 1L,
-      allowedConsumers = Some(Set(c1.fingerprint)))
+    val (dataKey, n) = KeyExchange.publishDataKeyCounted(topicDir, "t", "p",
+      producer, 1L, allowedConsumers = Some(Set(c1.fingerprint)))
+    assert(n == 1)
     assert(KeyExchange.fetchDataKey(topicDir, "t", "c1", c1)
       .exists(_._2.sameElements(dataKey)))
     assert(KeyExchange.fetchDataKey(topicDir, "t", "c2", c2).isEmpty)
+    // a list matching NOBODY reports zero wraps — the caller's cue to stop
+    // before encrypting a topic nobody can read
+    val (_, zero) = KeyExchange.publishDataKeyCounted(topicDir, "t", "p",
+      producer, 2L, allowedConsumers = Some(Set("deadbeef")))
+    assert(zero == 0)
+  }
+
+  test("a key-message filename whose 19-digit generation overflows Long is " +
+      "skipped, not a poison pill") {
+    val topicDir = Files.createTempDirectory("kx-poison").toString
+    val consumer = KeyExchange.newIdentity()
+    KeyExchange.announce(topicDir, "c", consumer)
+    val producer = KeyExchange.newIdentity()
+    val k1 = KeyExchange.publishDataKey(topicDir, "t", "p", producer, 1L)
+    // plant a filename that matches the \\d{19} shape but overflows Long —
+    // open mode allows untrusted writers on the side topic
+    Files.write(Paths.get(topicDir + ".keys", "c.9999999999999999999.key"),
+      "garbage".getBytes)
+    val ring = KeyExchange.fetchAllDataKeys(topicDir, "t", "c", consumer)
+    assert(ring.map(_._1) == Seq(1L))
+    assert(ring.head._2.sameElements(k1))
   }
 
   test("producer pinning: key messages from an unpinned or forged producer " +
