@@ -175,11 +175,168 @@ object AudioHeaders {
       le32b(rate) ++ le32b(byteRate) ++ le16b(blockAlign) ++ le16b(bits) ++
       "data".getBytes ++ le32b(body.length) ++ body
   }
+
+  // ---------------------------------------------------------------- FLAC
+
+  private def be24(b: Array[Byte], i: Int): Int =
+    (u(b, i) << 16) | (u(b, i + 1) << 8) | u(b, i + 2)
+
+  /** FLAC STREAMINFO parse (the public xiph format spec): `fLaC` magic,
+    * metadata-block walk to block type 0, then the packed 64-bit field
+    * carrying sample rate (20 bits), channels−1 (3), bits−1 (5), total
+    * samples (36) — EXACT duration with no frame decode. Same tuple shape
+    * as [[parseWav]]; null for non-FLAC/malformed. */
+  def parseFlac(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b == null || b.length < 4 + 4 + 34) return null
+    if (tag(b, 0) != "fLaC") return null
+    var i = 4
+    var guard = 0
+    while (i + 4 <= b.length && guard < 128) {
+      val hdr = u(b, i)
+      val last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = be24(b, i + 1)
+      if (i.toLong + 4 + len > b.length) return null
+      if (typ == 0) { // STREAMINFO
+        if (len < 34) return null
+        val o = i + 4
+        // packed fields start 10 bytes in (after block/frame size ranges)
+        val rate = (u(b, o + 10) << 12) | (u(b, o + 11) << 4) | (u(b, o + 12) >> 4)
+        val channels = ((u(b, o + 12) >> 1) & 7) + 1
+        val bits = (((u(b, o + 12) & 1) << 4) | (u(b, o + 13) >> 4)) + 1
+        val total = ((u(b, o + 13) & 0xf).toLong << 32) |
+          ((u(b, o + 14).toLong << 24) | (u(b, o + 15) << 16) |
+            (u(b, o + 16) << 8) | u(b, o + 17)) & 0xffffffffL
+        if (rate <= 0) return null
+        return ("flac", channels, rate, bits, total * 1000000L / rate)
+      }
+      if (last) return null // STREAMINFO must exist (and come first per spec)
+      i += 4 + len
+      guard += 1
+    }
+    null
+  }
+
+  /** Minimal valid FLAC: magic + last-flagged STREAMINFO + opaque body. */
+  def buildFlac(channels: Int, rate: Int, bits: Int, totalSamples: Long,
+      body: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8 && bits >= 4 && bits <= 32)
+    require(rate > 0 && rate < (1 << 20) && totalSamples >= 0 && totalSamples < (1L << 36))
+    val info = new Array[Byte](34)
+    // min/max blocksize 4096, frame sizes 0 (unknown)
+    info(0) = 0x10; info(1) = 0x00; info(2) = 0x10; info(3) = 0x00
+    info(10) = ((rate >> 12) & 0xff).toByte
+    info(11) = ((rate >> 4) & 0xff).toByte
+    info(12) = (((rate & 0xf) << 4) | ((channels - 1) << 1) |
+      (((bits - 1) >> 4) & 1)).toByte
+    info(13) = ((((bits - 1) & 0xf) << 4) | ((totalSamples >> 32) & 0xf).toInt).toByte
+    info(14) = ((totalSamples >> 24) & 0xff).toByte
+    info(15) = ((totalSamples >> 16) & 0xff).toByte
+    info(16) = ((totalSamples >> 8) & 0xff).toByte
+    info(17) = (totalSamples & 0xff).toByte
+    // bytes 18..33: MD5 of unencoded audio — zeros (unknown) is legal
+    "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ info ++ body
+  }
+
+  // ----------------------------------------------------------------- MP3
+
+  // MPEG-1 Layer III bitrates (kbps) by header index (ISO 11172-3 table)
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** MPEG-1 Layer III parse by FRAME WALK (public ISO 11172-3 header
+    * layout): skip an ID3v2 tag (syncsafe size), then count frames —
+    * frameLen = 144·bitrate/rate + padding, 1152 samples per frame — so
+    * duration is exact for CBR and VBR alike, no decode. Channels from the
+    * mode field; `bits` reported 0 (not a PCM notion). Null unless at
+    * least one valid frame leads the (post-tag) stream. */
+  def parseMp3(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b == null || b.length < 4) return null
+    var i = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe size(4)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u(b, 6) & 0x7f) << 21) | ((u(b, 7) & 0x7f) << 14) |
+        ((u(b, 8) & 0x7f) << 7) | (u(b, 9) & 0x7f)
+      i = 10 + size
+      if (i >= b.length) return null
+    }
+    var frames = 0L
+    var rate = -1
+    var channels = -1
+    while (i + 4 <= b.length) {
+      if (u(b, i) != 0xff || (u(b, i + 1) & 0xe0) != 0xe0) {
+        // resync only before the FIRST frame; after that, junk ends the walk
+        if (frames > 0) return done(frames, rate, channels)
+        return null
+      }
+      val version = (u(b, i + 1) >> 3) & 3
+      val layer = (u(b, i + 1) >> 1) & 3
+      if (version != 3 || layer != 1) return null // MPEG-1 Layer III only
+      val brIdx = (u(b, i + 2) >> 4) & 0xf
+      val srIdx = (u(b, i + 2) >> 2) & 3
+      val padding = (u(b, i + 2) >> 1) & 1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+      val r = Mp3Rates(srIdx)
+      if (rate < 0) rate = r else if (rate != r) return null
+      val mode = (u(b, i + 3) >> 6) & 3
+      val ch = if (mode == 3) 1 else 2
+      if (channels < 0) channels = ch
+      val frameLen = 144 * (Mp3Bitrates(brIdx) * 1000) / r + padding
+      if (frameLen <= 4) return null
+      frames += 1
+      i += frameLen
+    }
+    if (frames == 0) null else done(frames, rate, channels)
+  }
+
+  private def done(frames: Long, rate: Int, channels: Int)
+      : (String, Int, Int, Int, Long) =
+    ("mp3", channels, rate, 0, frames * 1152L * 1000000L / rate)
+
+  /** Deterministic CBR MPEG-1 Layer III stream: `nFrames` frames at the
+    * given bitrate/rate indices (padding 0, body bytes formulaic), with an
+    * optional leading ID3v2 tag. */
+  def buildMp3(brIdx: Int, srIdx: Int, nFrames: Int, mono: Boolean = false,
+      id3Bytes: Int = 0): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2 && nFrames >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      require(id3Bytes < (1 << 21))
+      out.write("ID3".getBytes)
+      out.write(4); out.write(0); out.write(0) // version + flags
+      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      var k = 0
+      while (k < id3Bytes) { out.write(k % 251); k += 1 }
+    }
+    val frameLen = 144 * (Mp3Bitrates(brIdx) * 1000) / Mp3Rates(srIdx)
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xff); out.write(0xfb) // sync + MPEG1 + Layer III + no CRC
+      out.write((brIdx << 4) | (srIdx << 2)) // padding 0, private 0
+      out.write(if (mono) 0xc0 else 0x00) // mode
+      var k = 4
+      while (k < frameLen) { out.write((f * 31 + k) % 251); k += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** The audio-triage dispatch: WAV → FLAC → MP3, one struct shape. */
+  def parse(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    val wav = parseWav(b)
+    if (wav != null) return wav
+    val flac = parseFlac(b)
+    if (flac != null) return flac
+    parseMp3(b)
+  }
 }
 
 /** `audio_header(binary)` → `struct<codec string, channels int,
-  * sample_rate int, bits int, duration_us long>`, null for non-WAV
-  * payloads. Codegen'd Catalyst expression — audio triage of a binary
+  * sample_rate int, bits int, duration_us long>` for WAV (PCM/G.711),
+  * FLAC (STREAMINFO) and MPEG-1 Layer III (frame walk) payloads; null
+  * otherwise. Codegen'd Catalyst expression — audio triage of a binary
   * column stays inside whole-stage codegen, same posture as
   * `image_header`. */
 case class AudioHeader(child: Expression) extends UnaryExpression {
@@ -193,7 +350,7 @@ case class AudioHeader(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(payload: Any): Any = {
-    val parsed = AudioHeaders.parseWav(payload.asInstanceOf[Array[Byte]])
+    val parsed = AudioHeaders.parse(payload.asInstanceOf[Array[Byte]])
     if (parsed == null) null
     else InternalRow(UTF8String.fromString(parsed._1), parsed._2, parsed._3,
       parsed._4, parsed._5)

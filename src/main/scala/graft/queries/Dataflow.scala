@@ -902,6 +902,67 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x139: FLAC + MP3 audio triage — x103's contract for the two formats
+    * that dominate a real audio crawl: FLAC's packed 20/3/5/36-bit
+    * STREAMINFO fields (exact duration from total samples, no frame
+    * decode) and MPEG-1 Layer III by FRAME WALK (ID3v2 syncsafe skip, per-
+    * frame length arithmetic 144·bitrate/rate, 1152 samples/frame — exact
+    * for CBR and VBR alike). One `audio_header` dispatch covers all three
+    * audio containers; the oracle recomputes both arithmetics. */
+  val x139 = DQ("x139_flac_mp3_meta", Some(
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS codec,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 + 1
+      |            WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+      |         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 32000 WHEN 1 THEN 44100
+      |              WHEN 2 THEN 48000 WHEN 3 THEN 88200 ELSE 96000 END
+      |       ELSE CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+      |                 WHEN 1 THEN 48000 ELSE 32000 END END AS INT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 24 END
+      |       ELSE 0 END AS INT) AS bits,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+      |         (n_chars * 441 + doc_id) * 1000000 //
+      |           CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 32000 WHEN 1 THEN 44100
+      |                WHEN 2 THEN 48000 WHEN 3 THEN 88200 ELSE 96000 END
+      |       ELSE (n_chars % 50 + 1) * 1152 * 1000000 //
+      |           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+      |                WHEN 1 THEN 48000 ELSE 32000 END END AS BIGINT) AS duration_us
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeader, AudioHeaders}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")))
+        .as[(Long, Long)]
+        .map { case (id, n) =>
+          val payload =
+            if (id % 2 == 0) {
+              val ch = (id % 7 + 1).toInt
+              val rate = (id % 5) match {
+                case 0 => 32000; case 1 => 44100; case 2 => 48000
+                case 3 => 88200; case _ => 96000
+              }
+              val bits = (id % 3) match { case 0 => 16; case 1 => 20; case _ => 24 }
+              AudioHeaders.buildFlac(ch, rate, bits, n * 441 + id,
+                Array.fill[Byte](32)(id.toByte))
+            } else {
+              val brIdx = (id % 14 + 1).toInt
+              val srIdx = (id % 3).toInt
+              AudioHeaders.buildMp3(brIdx, srIdx, (n % 50 + 1).toInt,
+                mono = id % 4 == 1, id3Bytes = (id % 100).toInt)
+            }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), AudioHeader.audioHeader(col("media")).as("a"))
+        .select(col("media_id"), col("a.codec").as("codec"),
+          col("a.channels").as("channels"),
+          col("a.sample_rate").as("sample_rate"), col("a.bits").as("bits"),
+          col("a.duration_us").as("duration_us"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133, x134, x135, x136, x137, x138)
+    x126, x127, x132, x133, x134, x135, x136, x137, x138, x139)
 }

@@ -233,7 +233,11 @@ object Pipelines {
           .when(col("ah").isNotNull, "audio")
           .when(col("vh").isNotNull, "video")
           .otherwise("unknown").as("kind"),
-        coalesce(col("ih.format"), when(col("ah").isNotNull, "wav"),
+        coalesce(col("ih.format"),
+          // audio containers: PCM/G.711 codecs mean a RIFF/WAVE wrapper;
+          // flac/mp3 name their own container
+          when(col("ah.codec").isin("pcm", "alaw", "ulaw"), "wav")
+            .otherwise(col("ah.codec")),
           col("vh.brand")).as("format"),
         coalesce(col("ih.width"), col("hm.width"), col("hv.width"),
           col("a1.width")).as("width"),

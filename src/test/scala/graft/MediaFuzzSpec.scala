@@ -19,6 +19,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("gif_pixels", b => GifCodec.parseGifPixels(b)),
     ("jpeg_pixels", b => JpegCodec.parseJpegPixels(b)),
     ("wav_header", b => AudioHeaders.parseWav(b)),
+    ("flac_header", b => AudioHeaders.parseFlac(b)),
+    ("mp3_header", b => AudioHeaders.parseMp3(b)),
+    ("audio_dispatch", b => AudioHeaders.parse(b)),
     ("pcm_stats", b => AudioHeaders.parsePcmStats(b)),
     ("video_header", b => VideoHeaders.parseMp4(b)),
     ("video_tracks", b => VideoHeaders.parseTracks(b)),
@@ -64,7 +67,9 @@ class MediaFuzzSpec extends AnyFunSuite {
         graft.functions.Av1.buildAv1C(
           graft.functions.Av1.buildSeqHeaderObu(0, 8, 0, 640, 360)))),
       Array[Byte](1)),
-    AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)))
+    AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)),
+    AudioHeaders.buildFlac(2, 44100, 16, 44100L, Array.tabulate(40)(_.toByte)),
+    AudioHeaders.buildMp3(9, 0, 4, mono = false, id3Bytes = 48))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)
