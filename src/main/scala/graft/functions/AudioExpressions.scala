@@ -323,12 +323,102 @@ object AudioHeaders {
     out.toByteArray
   }
 
-  /** The audio-triage dispatch: WAV → FLAC → MP3, one struct shape. */
+  // ------------------------------------------------------------- Ogg/Opus
+
+  /** Ogg page CRC-32 (RFC 3533 appendix A: poly 0x04C11DB7, init 0, no
+    * reflection, no final xor), computed with the CRC field zeroed. */
+  private val OggCrcTable: Array[Int] = Array.tabulate(256) { n =>
+    var r = n << 24
+    var i = 0
+    while (i < 8) {
+      r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+      i += 1
+    }
+    r
+  }
+  private def oggCrc(b: Array[Byte], from: Int, len: Int, crcAt: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < from + len) {
+      val v = if (i >= crcAt && i < crcAt + 4) 0 else u(b, i)
+      crc = (crc << 8) ^ OggCrcTable(((crc >>> 24) ^ v) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i).toLong & 0xffffffffL) | (le32(b, i + 4).toLong << 32)
+
+  /** Ogg/Opus parse (RFC 3533 page layout + RFC 7845 OpusHead): the FIRST
+    * page's first packet carries channels/pre-skip/input rate; the LAST
+    * page's granule position (48 kHz samples) minus pre-skip is the exact
+    * duration — found by a bounded backward scan for the final `OggS`.
+    * `sample_rate` reports the informational input rate (Opus always
+    * decodes at 48 kHz); `bits` is 0 (not a PCM notion). */
+  def parseOpus(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b == null || b.length < 28 + 1 + 19) return null
+    if (tag(b, 0) != "OggS" || u(b, 4) != 0) return null
+    val nsegs = u(b, 26)
+    val payloadAt = 27 + nsegs
+    if (payloadAt + 8 > b.length) return null
+    if (new String(b, payloadAt, 8, java.nio.charset.StandardCharsets.US_ASCII)
+        != "OpusHead") return null
+    if (payloadAt + 19 > b.length) return null
+    if (u(b, payloadAt + 8) != 1) return null // OpusHead version
+    val channels = u(b, payloadAt + 9)
+    val preSkip = le16(b, payloadAt + 10)
+    val inputRate = le32(b, payloadAt + 12)
+    if (channels < 1) return null
+    // last page: backward scan for the final OggS capture (bounded)
+    var at = -1
+    var i = b.length - 27
+    var scanned = 0
+    while (at < 0 && i >= 0 && scanned < (1 << 20)) {
+      if (b(i) == 'O' && tag(b, i) == "OggS" && u(b, i + 4) == 0) at = i
+      i -= 1
+      scanned += 1
+    }
+    if (at < 0) return null
+    val granule = le64(b, at + 6)
+    if (granule < preSkip) return null
+    val samples = granule - preSkip // 48 kHz sample count by definition
+    val rate = if (inputRate > 0) inputRate else 48000
+    ("opus", channels, rate, 0, samples * 1000000L / 48000L)
+  }
+
+  /** A valid two-page Ogg/Opus stream (BOS page carrying OpusHead, EOS
+    * page carrying `granule = preSkip + nSamples` over an opaque packet),
+    * with REAL page CRCs. */
+  def buildOpus(channels: Int, preSkip: Int, inputRate: Int,
+      nSamples: Long, body: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8 && preSkip >= 0 && preSkip < 65536)
+    require(body.nonEmpty && body.length < 255)
+    def page(headerType: Int, granule: Long, seq: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      val out = "OggS".getBytes ++ Array[Byte](0, headerType.toByte) ++
+        Array.tabulate(8)(k => ((granule >> (8 * k)) & 0xff).toByte) ++
+        le32b(0x6772616f) /* serial */ ++ le32b(seq) ++ le32b(0) /* crc */ ++
+        Array(1.toByte, payload.length.toByte) ++ payload
+      val crc = oggCrc(out, 0, out.length, 22)
+      System.arraycopy(le32b(crc), 0, out, 22, 4)
+      out
+    }
+    val head = "OpusHead".getBytes ++ Array[Byte](1, channels.toByte) ++
+      le16b(preSkip) ++ le32b(inputRate) ++ le16b(0) ++ Array[Byte](0)
+    page(0x02, 0L, 0, head) ++
+      page(0x04, preSkip.toLong + nSamples, 1, body)
+  }
+
+  /** The audio-triage dispatch: WAV → FLAC → Ogg/Opus → MP3 (MP3 last —
+    * its frame sync is the loosest magic), one struct shape. */
   def parse(b: Array[Byte]): (String, Int, Int, Int, Long) = {
     val wav = parseWav(b)
     if (wav != null) return wav
     val flac = parseFlac(b)
     if (flac != null) return flac
+    val opus = parseOpus(b)
+    if (opus != null) return opus
     parseMp3(b)
   }
 }

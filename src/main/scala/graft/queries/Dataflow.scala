@@ -963,6 +963,41 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x140: Ogg/Opus triage — the fourth audio container (RFC 3533 page
+    * layout + RFC 7845 OpusHead): channels/pre-skip/input-rate from the
+    * BOS page's first packet, exact duration from the LAST page's 48 kHz
+    * granule position minus pre-skip (found by backward OggS scan). The
+    * fixture pages carry real RFC 3533 CRCs. */
+  val x140 = DQ("x140_opus_meta", Some(
+    """SELECT doc_id AS media_id, 'opus' AS codec,
+      |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 48000 WHEN 1 THEN 16000
+      |            ELSE 44100 END AS INT) AS sample_rate,
+      |  CAST(0 AS INT) AS bits,
+      |  CAST((n_chars * 48 + doc_id % 1000) * 1000000 // 48000 AS BIGINT)
+      |    AS duration_us
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeader, AudioHeaders}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")))
+        .as[(Long, Long)]
+        .map { case (id, n) =>
+          val rate = (id % 3) match {
+            case 0 => 48000; case 1 => 16000; case _ => 44100
+          }
+          (id, AudioHeaders.buildOpus((id % 2 + 1).toInt, (312 + id % 100).toInt,
+            rate, n * 48 + id % 1000, Array.fill[Byte](40)(id.toByte)))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), AudioHeader.audioHeader(col("media")).as("a"))
+        .select(col("media_id"), col("a.codec").as("codec"),
+          col("a.channels").as("channels"),
+          col("a.sample_rate").as("sample_rate"), col("a.bits").as("bits"),
+          col("a.duration_us").as("duration_us"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133, x134, x135, x136, x137, x138, x139)
+    x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140)
 }

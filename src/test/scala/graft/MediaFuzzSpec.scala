@@ -21,6 +21,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("wav_header", b => AudioHeaders.parseWav(b)),
     ("flac_header", b => AudioHeaders.parseFlac(b)),
     ("mp3_header", b => AudioHeaders.parseMp3(b)),
+    ("opus_header", b => AudioHeaders.parseOpus(b)),
     ("audio_dispatch", b => AudioHeaders.parse(b)),
     ("pcm_stats", b => AudioHeaders.parsePcmStats(b)),
     ("video_header", b => VideoHeaders.parseMp4(b)),
@@ -69,7 +70,8 @@ class MediaFuzzSpec extends AnyFunSuite {
       Array[Byte](1)),
     AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)),
     AudioHeaders.buildFlac(2, 44100, 16, 44100L, Array.tabulate(40)(_.toByte)),
-    AudioHeaders.buildMp3(9, 0, 4, mono = false, id3Bytes = 48))
+    AudioHeaders.buildMp3(9, 0, 4, mono = false, id3Bytes = 48),
+    AudioHeaders.buildOpus(2, 312, 48000, 96000L, Array[Byte](5, 6, 7)))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)
