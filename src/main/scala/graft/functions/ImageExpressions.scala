@@ -27,6 +27,8 @@ object ImageHeaders {
     // count) — surface the magnitude, matching the png/jpeg convention
     else if (isBmp(b)) ("bmp", le32(b, 18), math.abs(le32(b, 22)))
     else if (isJpeg(b)) parseJpeg(b)
+    else if (isWebp(b)) parseWebp(b)
+    else if (isTiff(b)) parseTiff(b)
     else null
   }
 
@@ -55,6 +57,120 @@ object ImageHeaders {
 
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 4 && u(b, 0) == 0xff && u(b, 1) == 0xd8
+
+  private def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 25 && u(b, 0) == 'R' && u(b, 1) == 'I' && u(b, 2) == 'F' &&
+      u(b, 3) == 'F' && u(b, 8) == 'W' && u(b, 9) == 'E' && u(b, 10) == 'B' &&
+      u(b, 11) == 'P'
+
+  private def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 8 &&
+      ((u(b, 0) == 'I' && u(b, 1) == 'I' && u(b, 2) == 42 && u(b, 3) == 0) ||
+       (u(b, 0) == 'M' && u(b, 1) == 'M' && u(b, 2) == 0 && u(b, 3) == 42))
+
+  private def le24(b: Array[Byte], i: Int): Int =
+    u(b, i) | (u(b, i + 1) << 8) | (u(b, i + 2) << 16)
+
+  /** WebP dims from the first chunk (the public container spec): VP8X's
+    * 24-bit canvas fields, lossy VP8's frame header (sync 9D 01 2A, 14-bit
+    * dims), or VP8L's packed 14-bit fields after the 0x2F signature. */
+  private def parseWebp(b: Array[Byte]): (String, Int, Int) = {
+    val cc = tag(b, 12)
+    cc match {
+      case "VP8X" if b.length >= 30 =>
+        ("webp", le24(b, 24) + 1, le24(b, 27) + 1)
+      case "VP8 " if b.length >= 30 &&
+          u(b, 23) == 0x9d && u(b, 24) == 0x01 && u(b, 25) == 0x2a =>
+        ("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+      case "VP8L" if b.length >= 25 && u(b, 20) == 0x2f =>
+        val b1 = u(b, 21); val b2 = u(b, 22); val b3 = u(b, 23); val b4 = u(b, 24)
+        val w = 1 + (((b2 & 0x3f) << 8) | b1)
+        val h = 1 + (((b4 & 0xf) << 10) | (b3 << 2) | (b2 >> 6))
+        ("webp", w, h)
+      case _ => null
+    }
+  }
+
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) ""
+    else new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** TIFF dims from the first IFD (TIFF 6.0, public): endianness from the
+    * II/MM magic, walk the 12-byte entries for ImageWidth(256)/
+    * ImageLength(257), SHORT or LONG values left-justified inline. */
+  private def parseTiff(b: Array[Byte]): (String, Int, Int) = {
+    val le = u(b, 0) == 'I'
+    @inline def r16(i: Int): Int = if (le) le16(b, i) else (u(b, i) << 8) | u(b, i + 1)
+    @inline def r32(i: Int): Long =
+      (if (le) le32(b, i) else be32(b, i)).toLong & 0xffffffffL
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = r16(ifd.toInt)
+    if (n <= 0 || n > 4096 || ifd + 2 + 12L * n > b.length) return null
+    var w = -1L; var h = -1L
+    var e = 0
+    while (e < n) {
+      val o = (ifd + 2 + 12 * e).toInt
+      val tagId = r16(o)
+      val typ = r16(o + 2)
+      // SHORT(3)/LONG(4) values are left-justified in the 4-byte field
+      val v: Long =
+        if (typ == 3) r16(o + 8).toLong
+        else if (typ == 4) r32(o + 8)
+        else -1L
+      if (tagId == 256) w = v
+      if (tagId == 257) h = v
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) null
+    else ("tiff", w.toInt, h.toInt)
+  }
+
+  /** Minimal WebP containers for each coding variant — deterministic
+    * inverses of [[parseWebp]] (dims only; bodies opaque). */
+  def buildWebpVp8x(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= (1 << 24) && h <= (1 << 24))
+    def le24b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    "RIFF".getBytes ++ le32b(22) ++ "WEBP".getBytes ++
+      "VP8X".getBytes ++ le32b(10) ++ Array[Byte](0, 0, 0, 0) ++
+      le24b(w - 1) ++ le24b(h - 1)
+  }
+  def buildWebpVp8(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w < (1 << 14) && h < (1 << 14))
+    "RIFF".getBytes ++ le32b(22) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ le32b(10) ++ Array[Byte](0, 0, 0) /* frame tag */ ++
+      Array(0x9d.toByte, 0x01.toByte, 0x2a.toByte) ++
+      le16b(w) ++ le16b(h)
+  }
+  def buildWebpVp8l(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= (1 << 14) && h <= (1 << 14))
+    val p = w - 1; val q = h - 1
+    val b1 = p & 0xff
+    val b2 = ((p >> 8) & 0x3f) | ((q & 3) << 6)
+    val b3 = (q >> 2) & 0xff
+    val b4 = (q >> 10) & 0xf
+    "RIFF".getBytes ++ le32b(17) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ le32b(5) ++
+      Array(0x2f.toByte, b1.toByte, b2.toByte, b3.toByte, b4.toByte)
+  }
+  /** Minimal single-IFD TIFF (both endiannesses, SHORT or LONG dims). */
+  def buildTiff(w: Int, h: Int, bigEndian: Boolean = false,
+      longValues: Boolean = false): Array[Byte] = {
+    def w16(v: Int) = if (bigEndian) Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      else Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def w32(v: Int) = if (bigEndian) Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      else Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val typ = if (longValues) 4 else 3
+    def entry(tagId: Int, v: Int) = w16(tagId) ++ w16(typ) ++ w32(1) ++
+      (if (longValues) w32(v) else w16(v) ++ Array[Byte](0, 0))
+    val magic = if (bigEndian) Array[Byte]('M', 'M', 0, 42)
+      else Array[Byte]('I', 'I', 42, 0)
+    magic ++ w32(8) /* IFD at 8 */ ++ w16(2) ++
+      entry(256, w) ++ entry(257, h) ++ w32(0) /* next IFD */
+  }
 
   /** Walk the JPEG marker chain to the first SOF segment (C0–CF minus the
     * non-frame C4/C8/CC); height is BE16 at +5, width at +7 within it. */

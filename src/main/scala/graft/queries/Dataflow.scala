@@ -998,6 +998,46 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x141: WebP + TIFF header triage — x102's contract for the two image
+    * containers a crawl actually serves most after JPEG/PNG: WebP's three
+    * coding variants (VP8X 24-bit canvas, lossy VP8 frame header with its
+    * 9D 01 2A sync, VP8L's packed 14-bit fields) and TIFF's endianness-
+    * dispatched IFD walk (II and MM, SHORT and LONG dim values). Five
+    * layouts round-robin by row; the oracle recomputes dims
+    * arithmetically, so each variant's bit/byte layout must parse
+    * exactly. */
+  val x141 = DQ("x141_webp_tiff_dims", Some(
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 5 <= 2 THEN 'webp' ELSE 'tiff' END AS format,
+      |  CAST(n_chars % 9000 + 1 AS INT) AS width,
+      |  CAST(doc_id % 9000 + 1 AS INT) AS height
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{ImageHeader, ImageHeaders}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")))
+        .as[(Long, Long)]
+        .map { case (id, n) =>
+          val w = (n % 9000 + 1).toInt
+          val h = (id % 9000 + 1).toInt
+          val payload = (id % 5) match {
+            case 0 => ImageHeaders.buildWebpVp8x(w, h)
+            case 1 => ImageHeaders.buildWebpVp8(w, h)
+            case 2 => ImageHeaders.buildWebpVp8l(w, h)
+            case 3 => ImageHeaders.buildTiff(w, h, bigEndian = false,
+              longValues = id % 2 == 1)
+            case _ => ImageHeaders.buildTiff(w, h, bigEndian = true,
+              longValues = id % 2 == 0)
+          }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), ImageHeader.imageHeader(col("media")).as("ih"))
+        .select(col("media_id"), col("ih.format").as("format"),
+          col("ih.width").as("width"), col("ih.height").as("height"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140)
+    x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141)
 }

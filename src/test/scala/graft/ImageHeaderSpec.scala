@@ -58,6 +58,31 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(ImageHeaders.parse(jpeg) == ("jpeg", 17, 9))
   }
 
+  test("WebP (VP8X/VP8/VP8L) and TIFF (II/MM, SHORT/LONG) dims round-trip") {
+    for ((w, h) <- Seq((1, 1), (640, 360), (16383, 16383), (1920, 1080))) {
+      assert(ImageHeaders.parse(ImageHeaders.buildWebpVp8x(w, h)) == ("webp", w, h))
+      assert(ImageHeaders.parse(ImageHeaders.buildWebpVp8(w, h)) == ("webp", w, h))
+      assert(ImageHeaders.parse(ImageHeaders.buildWebpVp8l(w, h)) == ("webp", w, h))
+      for (be <- Seq(false, true); lv <- Seq(false, true))
+        assert(ImageHeaders.parse(ImageHeaders.buildTiff(w, h, be, lv)) ==
+          ("tiff", w, h), s"tiff be=$be long=$lv $w x $h")
+    }
+    // VP8X canvas can exceed 14 bits
+    assert(ImageHeaders.parse(ImageHeaders.buildWebpVp8x(100000, 70000)) ==
+      ("webp", 100000, 70000))
+    // a RIFF/WAVE file is NOT a webp; a lying VP8 sync code rejects
+    assert(ImageHeaders.parse(
+      ImageHeaders.buildBmp24(2, 2, topDown = false)((_, _) => (1, 2, 3)))._1 == "bmp")
+    val badSync = ImageHeaders.buildWebpVp8(10, 10)
+    badSync(23) = 0x00
+    assert(ImageHeaders.parse(badSync) == null)
+    // TIFF with hostile declared dims rejects; truncations never throw
+    val huge = ImageHeaders.buildTiff(1 << 21, 4)
+    assert(ImageHeaders.parse(huge) == null)
+    val good = ImageHeaders.buildTiff(33, 44, bigEndian = true)
+    for (n <- 0 to good.length) ImageHeaders.parse(good.take(n))
+  }
+
   test("non-image payloads return null") {
     assert(ImageHeaders.parse("plain text document".getBytes) == null)
     assert(ImageHeaders.parse(Array.emptyByteArray) == null)

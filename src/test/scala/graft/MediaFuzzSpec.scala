@@ -34,6 +34,10 @@ class MediaFuzzSpec extends AnyFunSuite {
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
     ImageHeaders.buildPngRgb(5, 4, _ % 5)((x, y) => (x * 9, y * 7, 3)),
+    ImageHeaders.buildWebpVp8x(320, 200),
+    ImageHeaders.buildWebpVp8(320, 200),
+    ImageHeaders.buildWebpVp8l(320, 200),
+    ImageHeaders.buildTiff(320, 200, bigEndian = true),
     GifCodec.buildGif(5, 4, Array((1, 2, 3), (4, 5, 6)),
       Array.tabulate(20)(_ % 2)),
     JpegCodec.buildJpegGray(16, 8)((x, y) => (x * y) % 256),
