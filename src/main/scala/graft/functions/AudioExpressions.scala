@@ -249,8 +249,11 @@ object AudioHeaders {
     * layout): skip an ID3v2 tag (syncsafe size), then count frames —
     * frameLen = 144·bitrate/rate + padding, 1152 samples per frame — so
     * duration is exact for CBR and VBR alike, no decode. Channels from the
-    * mode field; `bits` reported 0 (not a PCM notion). Null unless at
-    * least one valid frame leads the (post-tag) stream. */
+    * mode field; `bits` reported 0 (not a PCM notion). Up to 64 KiB of
+    * leading junk after the (optional) tag is skipped by a bounded forward
+    * resync to the first frame sync; after the first frame, junk (e.g. an
+    * ID3v1 `TAG` trailer) ends the walk. Null unless at least one valid
+    * frame is found. */
   def parseMp3(b: Array[Byte]): (String, Int, Int, Int, Long) = {
     if (b == null || b.length < 4) return null
     var i = 0
@@ -261,14 +264,26 @@ object AudioHeaders {
       i = 10 + size
       if (i >= b.length) return null
     }
+    // bounded forward resync: streams clipped mid-frame or prefixed with
+    // junk start at the first real sync word, not necessarily byte 0. A
+    // resync'd stream must then walk ≥2 valid frames — one sync word found
+    // mid-junk is too weak a magic to classify arbitrary bytes as MP3.
+    val afterTag = i
+    val resyncEnd = math.min(b.length - 4, i + 65536)
+    while (i <= resyncEnd &&
+        !(u(b, i) == 0xff && (u(b, i + 1) & 0xe0) == 0xe0)) i += 1
+    val skipped = i != afterTag
+    def finish(frames: Long, rate: Int, channels: Int)
+        : (String, Int, Int, Int, Long) =
+      if (frames == 0 || (skipped && frames < 2)) null
+      else done(frames, rate, channels)
     var frames = 0L
     var rate = -1
     var channels = -1
     while (i + 4 <= b.length) {
       if (u(b, i) != 0xff || (u(b, i + 1) & 0xe0) != 0xe0) {
-        // resync only before the FIRST frame; after that, junk ends the walk
-        if (frames > 0) return done(frames, rate, channels)
-        return null
+        // junk after the first frame ends the walk (ID3v1 trailer, padding)
+        return finish(frames, rate, channels)
       }
       val version = (u(b, i + 1) >> 3) & 3
       val layer = (u(b, i + 1) >> 1) & 3
@@ -287,7 +302,7 @@ object AudioHeaders {
       frames += 1
       i += frameLen
     }
-    if (frames == 0) null else done(frames, rate, channels)
+    finish(frames, rate, channels)
   }
 
   private def done(frames: Long, rate: Int, channels: Int)
@@ -319,6 +334,103 @@ object AudioHeaders {
       var k = 4
       while (k < frameLen) { out.write((f * 31 + k) % 251); k += 1 }
       f += 1
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ ADTS/AAC
+
+  // ISO 14496-3 §1.6.3.4 sampling_frequency_index table
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** AAC-in-ADTS parse by FRAME WALK (public ISO 14496-3 §1.A.2 header
+    * layout): skip an ID3v2 tag, then walk 7-byte headers — syncword
+    * 0xFFF + layer 00, `frame_length` covers header+payload, each frame
+    * carries `number_of_raw_data_blocks + 1` blocks of 1024 samples — so
+    * duration is exact with no decode, CBR and VBR alike. Channels from
+    * `channel_configuration` (0 = PCE-defined → rejected); `bits` is 0
+    * (not a PCM notion). Junk after the first frame (ID3v1 `TAG` trailer,
+    * padding) ends the walk; null unless ≥1 valid frame leads the
+    * post-tag stream. */
+  def parseAdts(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (b == null || b.length < 7) return null
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u(b, 6) & 0x7f) << 21) | ((u(b, 7) & 0x7f) << 14) |
+        ((u(b, 8) & 0x7f) << 7) | (u(b, 9) & 0x7f)
+      i = 10 + size
+      if (i >= b.length) return null
+    }
+    var frames = 0L
+    var blocks = 0L
+    var rate = -1
+    var channels = -1
+    while (i + 7 <= b.length) {
+      // sync 0xFFF + layer 00 (the layer bits are what separate ADTS from
+      // an MPEG audio frame header, whose layer is nonzero)
+      if (u(b, i) != 0xff || (u(b, i + 1) & 0xf6) != 0xf0) {
+        if (frames > 0) return doneAdts(blocks, rate, channels)
+        return null
+      }
+      val srIdx = (u(b, i + 2) >> 2) & 0xf
+      if (srIdx >= AdtsRates.length) return null
+      val r = AdtsRates(srIdx)
+      if (rate < 0) rate = r else if (rate != r) return null
+      val cfg = ((u(b, i + 2) & 1) << 2) | (u(b, i + 3) >> 6)
+      if (cfg == 0) return null // channel config 0 = in-payload PCE
+      val ch = if (cfg == 7) 8 else cfg // config 7 = 7.1 → eight channels
+      if (channels < 0) channels = ch else if (channels != ch) return null
+      val frameLen = ((u(b, i + 3) & 3) << 11) | (u(b, i + 4) << 3) |
+        (u(b, i + 5) >> 5)
+      if (frameLen < 7) return null
+      blocks += (u(b, i + 6) & 3) + 1
+      frames += 1
+      i += frameLen
+    }
+    if (frames == 0) null else doneAdts(blocks, rate, channels)
+  }
+
+  private def doneAdts(blocks: Long, rate: Int, channels: Int)
+      : (String, Int, Int, Int, Long) =
+    ("aac", channels, rate, 0, blocks * 1024L * 1000000L / rate)
+
+  /** Deterministic ADTS stream: `nFrames` frames (protection absent,
+    * `blocksPerFrame` raw-data blocks each, formulaic body bytes), with an
+    * optional leading ID3v2 tag and optional trailing ID3v1 `TAG` block. */
+  def buildAdts(srIdx: Int, channels: Int, nFrames: Int, bodyBytes: Int = 64,
+      blocksPerFrame: Int = 1, id3Bytes: Int = 0,
+      id3v1: Boolean = false): Array[Byte] = {
+    require(srIdx >= 0 && srIdx < AdtsRates.length)
+    require(channels >= 1 && channels <= 7 && nFrames >= 1)
+    require(blocksPerFrame >= 1 && blocksPerFrame <= 4)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      require(id3Bytes < (1 << 21))
+      out.write("ID3".getBytes)
+      out.write(4); out.write(0); out.write(0)
+      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      var k = 0
+      while (k < id3Bytes) { out.write(k % 251); k += 1 }
+    }
+    val frameLen = 7 + bodyBytes
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xff); out.write(0xf1) // sync + MPEG-4 + layer 00 + no CRC
+      out.write((1 << 6) | (srIdx << 2) | (channels >> 2)) // AAC-LC profile
+      out.write(((channels & 3) << 6) | ((frameLen >> 11) & 3))
+      out.write((frameLen >> 3) & 0xff)
+      out.write(((frameLen & 7) << 5) | 0x1f) // buffer fullness 0x7FF (VBR)
+      out.write((0x3f << 2) | (blocksPerFrame - 1))
+      var k = 7
+      while (k < frameLen) { out.write((f * 37 + k) % 251); k += 1 }
+      f += 1
+    }
+    if (id3v1) {
+      out.write("TAG".getBytes)
+      var k = 3
+      while (k < 128) { out.write((k * 5) % 127); k += 1 }
     }
     out.toByteArray
   }
@@ -370,12 +482,25 @@ object AudioHeaders {
     val preSkip = le16(b, payloadAt + 10)
     val inputRate = le32(b, payloadAt + 12)
     if (channels < 1) return null
-    // last page: backward scan for the final OggS capture (bounded)
+    // last page: backward scan for the final OggS capture (bounded). A
+    // candidate only counts once its RFC 3533 CRC verifies over the full
+    // page (header + lacing + payload) — payload bytes that happen to spell
+    // "OggS" must not false-sync into a wrong granule; on mismatch the scan
+    // falls back to the next earlier match.
     var at = -1
     var i = b.length - 27
     var scanned = 0
     while (at < 0 && i >= 0 && scanned < (1 << 20)) {
-      if (b(i) == 'O' && tag(b, i) == "OggS" && u(b, i + 4) == 0) at = i
+      if (b(i) == 'O' && tag(b, i) == "OggS" && u(b, i + 4) == 0) {
+        val ns = u(b, i + 26)
+        if (i + 27 + ns <= b.length) {
+          var pageLen = 27 + ns
+          var s = 0
+          while (s < ns) { pageLen += u(b, i + 27 + s); s += 1 }
+          if (i + pageLen <= b.length &&
+              oggCrc(b, i, pageLen, i + 22) == le32(b, i + 22)) at = i
+        }
+      }
       i -= 1
       scanned += 1
     }
@@ -410,8 +535,10 @@ object AudioHeaders {
       page(0x04, preSkip.toLong + nSamples, 1, body)
   }
 
-  /** The audio-triage dispatch: WAV → FLAC → Ogg/Opus → MP3 (MP3 last —
-    * its frame sync is the loosest magic), one struct shape. */
+  /** The audio-triage dispatch: WAV → FLAC → Ogg/Opus → ADTS/AAC → MP3
+    * (the frame-sync formats last — their magics are the loosest; ADTS and
+    * MP3 are mutually exclusive on the header's layer bits), one struct
+    * shape. */
   def parse(b: Array[Byte]): (String, Int, Int, Int, Long) = {
     val wav = parseWav(b)
     if (wav != null) return wav
@@ -419,16 +546,19 @@ object AudioHeaders {
     if (flac != null) return flac
     val opus = parseOpus(b)
     if (opus != null) return opus
+    val aac = parseAdts(b)
+    if (aac != null) return aac
     parseMp3(b)
   }
 }
 
 /** `audio_header(binary)` → `struct<codec string, channels int,
   * sample_rate int, bits int, duration_us long>` for WAV (PCM/G.711),
-  * FLAC (STREAMINFO) and MPEG-1 Layer III (frame walk) payloads; null
-  * otherwise. Codegen'd Catalyst expression — audio triage of a binary
-  * column stays inside whole-stage codegen, same posture as
-  * `image_header`. */
+  * FLAC (STREAMINFO), Ogg/Opus (RFC 3533 page walk + RFC 7845 OpusHead,
+  * CRC-verified), AAC-in-ADTS (frame walk) and MPEG-1 Layer III (frame
+  * walk) payloads; null otherwise. Codegen'd Catalyst expression — audio
+  * triage of a binary column stays inside whole-stage codegen, same
+  * posture as `image_header`. */
 case class AudioHeader(child: Expression) extends UnaryExpression {
   override def dataType: DataType = AudioHeader.resultType
   override def nullable: Boolean = true

@@ -16,12 +16,16 @@ private[functions] final class MsbBitReader(b: Array[Byte], startByte: Int = 0) 
     while (i < n) { v = (v << 1) | u1(); i += 1 }
     v
   }
-  /** Exp-Golomb unsigned (H.264/H.265 §9.1 — same code in both specs). */
+  /** Exp-Golomb unsigned (H.264/H.265 §9.1 — same code in both specs).
+    * The zero run is capped at 24: no field the parsers read legitimately
+    * approaches 2^24, and runs beyond that would overflow `(1 << zeros) - 1
+    * + u(zeros)` into a plausible-looking garbage Int instead of failing —
+    * malformed SPS/OBU input must surface as null, not wrong metadata. */
   def ue(): Int = {
     var zeros = 0
     while (u1() == 0) {
       zeros += 1
-      if (zeros > 31) throw new IllegalStateException("ue overrun")
+      if (zeros > 24) throw new IllegalStateException("ue overrun")
     }
     (1 << zeros) - 1 + u(zeros)
   }

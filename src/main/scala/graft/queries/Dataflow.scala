@@ -1038,6 +1038,58 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x143: AAC-in-ADTS triage — the fifth audio container (ISO 14496-3
+    * §1.A.2): 7-byte header frame walk (syncword 0xFFF + layer 00 — the
+    * bits that keep ADTS and MP3 sync mutually exclusive), duration exact
+    * from `raw_data_blocks·1024` samples per frame with no decode. Half
+    * the fixtures carry an ID3v2 prefix (syncsafe skip) and half an ID3v1
+    * `TAG` trailer (the walk must end cleanly at it, not reject the
+    * stream). Oracle recomputes the 13-entry sampling-frequency table
+    * arithmetic. */
+  val x143 = DQ("x143_aac_adts_meta", Some(
+    """SELECT doc_id AS media_id, 'aac' AS codec,
+      |  CAST(CASE WHEN doc_id % 7 + 1 = 7 THEN 8
+      |       ELSE doc_id % 7 + 1 END AS INT) AS channels,
+      |  CAST(CASE CAST(doc_id % 13 AS INT)
+      |       WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+      |       WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+      |       WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+      |       WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+      |       ELSE 7350 END AS INT) AS sample_rate,
+      |  CAST(0 AS INT) AS bits,
+      |  CAST((n_chars % 40 + 1) * (doc_id % 4 + 1) * 1024 * 1000000 //
+      |       CASE CAST(doc_id % 13 AS INT)
+      |       WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+      |       WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+      |       WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+      |       WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+      |       ELSE 7350 END AS BIGINT) AS duration_us
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeader, AudioHeaders}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")))
+        .as[(Long, Long)]
+        .map { case (id, n) =>
+          (id, AudioHeaders.buildAdts(
+            srIdx = (id % 13).toInt,
+            channels = (id % 7 + 1).toInt,
+            nFrames = (n % 40 + 1).toInt,
+            bodyBytes = (id % 200 + 16).toInt,
+            blocksPerFrame = (id % 4 + 1).toInt,
+            id3Bytes = if (id % 2 == 1) (id % 80).toInt else 0,
+            id3v1 = id % 2 == 0))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), AudioHeader.audioHeader(col("media")).as("a"))
+        .select(col("media_id"), col("a.codec").as("codec"),
+          col("a.channels").as("channels"),
+          col("a.sample_rate").as("sample_rate"), col("a.bits").as("bits"),
+          col("a.duration_us").as("duration_us"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
-    x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141)
+    x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
+    x143)
 }

@@ -75,33 +75,51 @@ object Heartbeats {
     * SQL that audits completions can audit state: eviction working ⇒
     * `num_rows_total` shrinks after timeouts fire ([[graft.streaming
     * .AssemblyStream]] quarantine path), and a monotone series is the
-    * alert. Writes are driver-side, O(#operators) rows per batch; a write
-    * failure logs and drops the beat rather than failing the listener. */
+    * alert. Rows are captured on the listener-bus thread (cheap) but the
+    * parquet append — a full Spark job — runs on a dedicated daemon
+    * thread, so a slow filesystem never delays delivery to other
+    * listeners; the queue is bounded (beats drop with a log line past 64
+    * in flight) and a write failure logs and drops the beat rather than
+    * failing the listener. */
   final class StateRegistry(spark: org.apache.spark.sql.SparkSession,
       programId: String, registryDir: String)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val pending = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-state-registry"); t.setDaemon(true); t
+      })
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val ops = e.progress.stateOperators
-      if (ops != null && ops.nonEmpty) {
-        try {
-          import spark.implicits._
-          ops.zipWithIndex.toSeq.map { case (op, i) =>
-            (programId, e.progress.id.toString, e.progress.batchId, i,
-              op.operatorName, op.numRowsTotal, op.numRowsUpdated,
-              op.numRowsRemoved, op.memoryUsedBytes, e.progress.timestamp)
-          }.toDF("program_id", "query_id", "batch_id", "op_idx", "operator",
-              "num_rows_total", "num_rows_updated", "num_rows_removed",
-              "state_bytes", "ts")
-            .write.mode("append").parquet(registryDir)
-        } catch {
-          case ex: Exception =>
-            System.err.println(s"[state-registry] append failed: ${ex.getMessage}")
-        }
+      if (ops == null || ops.isEmpty) return
+      val rows = ops.zipWithIndex.toSeq.map { case (op, i) =>
+        (programId, e.progress.id.toString, e.progress.batchId, i,
+          op.operatorName, op.numRowsTotal, op.numRowsUpdated,
+          op.numRowsRemoved, op.memoryUsedBytes, e.progress.timestamp)
       }
+      if (pending.incrementAndGet() > 64) {
+        pending.decrementAndGet()
+        System.err.println("[state-registry] backlog > 64 appends; dropping beat")
+      } else exec.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            import spark.implicits._
+            rows.toDF("program_id", "query_id", "batch_id", "op_idx", "operator",
+                "num_rows_total", "num_rows_updated", "num_rows_removed",
+                "state_bytes", "ts")
+              .write.mode("append").parquet(registryDir)
+          } catch {
+            case ex: Exception =>
+              System.err.println(s"[state-registry] append failed: ${ex.getMessage}")
+          } finally pending.decrementAndGet()
+      })
     }
+    /** Block until every queued append has landed (shutdown/test hook). */
+    def drain(): Unit =
+      exec.submit(new Runnable { override def run(): Unit = () }).get()
   }
 
   /** Log forwarding (G7): drain log records into one JSON message per

@@ -79,6 +79,66 @@ class FlacMp3Spec extends AnyFunSuite {
     assert(AudioHeaders.parseOpus(bad) != null) // zero samples is legal
   }
 
+  test("MP3 bounded forward resync: leading junk is skipped, but a lone " +
+      "false sync in junk is not enough to claim the stream") {
+    val clean = AudioHeaders.buildMp3(9, 0, 10)
+    val junk = "this prefix has no sync word in it".getBytes
+    val p = AudioHeaders.parseMp3(junk ++ clean)
+    assert(p != null, "resync did not find the first frame past leading junk")
+    assert(p == AudioHeaders.parseMp3(clean))
+    // a resync'd stream must walk >= 2 frames: one sync mid-junk is too
+    // weak a magic to classify arbitrary bytes as MP3
+    assert(AudioHeaders.parseMp3(junk ++ AudioHeaders.buildMp3(9, 0, 1)) == null)
+    assert(AudioHeaders.parseMp3(AudioHeaders.buildMp3(9, 0, 1)) != null)
+    // junk beyond the 64 KiB resync bound → null
+    assert(AudioHeaders.parseMp3(new Array[Byte](70000) ++ clean) == null)
+  }
+
+  test("Opus backward scan verifies page CRC: a fake OggS after the real " +
+      "EOS page cannot hijack the granule position") {
+    val real = AudioHeaders.buildOpus(2, 312, 48000, 48000L, Array[Byte](7, 8, 9))
+    val want = AudioHeaders.parseOpus(real)
+    // trailing junk shaped like a page header (sync + version 0, nsegs 0)
+    // but with a garbage granule and a CRC that cannot verify
+    val fake = "OggS".getBytes ++ new Array[Byte](30)
+    fake(6) = 0x77 // absurd granule low byte
+    val p = AudioHeaders.parseOpus(real ++ fake)
+    assert(p == want, s"fake trailing page hijacked the granule: $p vs $want")
+    // same fake embedded inside the EOS payload body
+    val body = "xx".getBytes ++ "OggS".getBytes ++ new Array[Byte](40)
+    val embedded = AudioHeaders.buildOpus(2, 0, 48000, 960L, body)
+    assert(AudioHeaders.parseOpus(embedded) == ("opus", 2, 48000, 0,
+      960L * 1000000L / 48000L))
+  }
+
+  test("ADTS/AAC frame walk: exact block-count duration, ID3v2 skip, " +
+      "ID3v1 trailer ends the walk cleanly") {
+    val rates = Seq(96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+      16000, 12000, 11025, 8000, 7350)
+    for ((srIdx, ch, n, blocks, id3, v1) <- Seq(
+        (4, 2, 12, 1, 0, false), (3, 6, 5, 4, 0, true),
+        (0, 1, 100, 2, 77, false), (12, 7, 1, 1, 33, true))) {
+      val b = AudioHeaders.buildAdts(srIdx, ch, n, bodyBytes = 50,
+        blocksPerFrame = blocks, id3Bytes = id3, id3v1 = v1)
+      val p = AudioHeaders.parseAdts(b)
+      assert(p != null, s"sr=$srIdx ch=$ch n=$n did not parse")
+      val chOut = if (ch == 7) 8 else ch
+      assert(p == ("aac", chOut, rates(srIdx), 0,
+        n.toLong * blocks * 1024L * 1000000L / rates(srIdx)))
+      assert(AudioHeaders.parse(b) == p)
+    }
+    val clean = AudioHeaders.buildAdts(4, 2, 8)
+    for (n <- 0 to clean.length) AudioHeaders.parseAdts(clean.take(n))
+    // ADTS and MP3 are mutually exclusive on the layer bits
+    assert(AudioHeaders.parseMp3(clean) == null)
+    assert(AudioHeaders.parseAdts(AudioHeaders.buildMp3(9, 0, 3)) == null)
+    // channel config 0 (in-payload PCE) is rejected, not misread
+    val pce = clean.clone()
+    pce(2) = (pce(2) & 0xfe).toByte; pce(3) = (pce(3) & 0x3f).toByte
+    assert(AudioHeaders.parseAdts(pce) == null)
+    assert(AudioHeaders.parseAdts("not audio at all".getBytes) == null)
+  }
+
   test("dispatch precedence: WAV stays WAV; each format only claims its own") {
     val wav = AudioHeaders.buildWav(2, 22050, 16, Array.fill[Byte](200)(3))
     assert(AudioHeaders.parse(wav)._1 == "pcm")

@@ -21,6 +21,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("wav_header", b => AudioHeaders.parseWav(b)),
     ("flac_header", b => AudioHeaders.parseFlac(b)),
     ("mp3_header", b => AudioHeaders.parseMp3(b)),
+    ("adts_header", b => AudioHeaders.parseAdts(b)),
     ("opus_header", b => AudioHeaders.parseOpus(b)),
     ("audio_dispatch", b => AudioHeaders.parse(b)),
     ("pcm_stats", b => AudioHeaders.parsePcmStats(b)),
@@ -75,6 +76,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     AudioHeaders.buildWav(2, 44100, 8, Array.tabulate(33)(i => (i * 3).toByte)),
     AudioHeaders.buildFlac(2, 44100, 16, 44100L, Array.tabulate(40)(_.toByte)),
     AudioHeaders.buildMp3(9, 0, 4, mono = false, id3Bytes = 48),
+    AudioHeaders.buildAdts(4, 2, 3, bodyBytes = 40, blocksPerFrame = 2,
+      id3Bytes = 24, id3v1 = true),
     AudioHeaders.buildOpus(2, 312, 48000, 96000L, Array[Byte](5, 6, 7)))
 
   test("every parser survives pure random bytes") {
