@@ -101,6 +101,8 @@ object ChunkFunctions {
       es => VideoTracks(es.head), "built-in")
     reg.createOrReplaceTempFunction("video_samples",
       es => VideoSamples(es.head), "built-in")
+    reg.createOrReplaceTempFunction("mkv_tracks",
+      es => MkvTracks(es.head), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
       es => H264Meta(es.head), "built-in")
     reg.createOrReplaceTempFunction("hevc_meta",
@@ -160,6 +162,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("video_samples"),
       new ExpressionInfo(classOf[VideoSamples].getName, "video_samples"),
       es => VideoSamples(es.head)))
+    e.injectFunction((FunctionIdentifier("mkv_tracks"),
+      new ExpressionInfo(classOf[MkvTracks].getName, "mkv_tracks"),
+      es => MkvTracks(es.head)))
     e.injectFunction((FunctionIdentifier("h264_meta"),
       new ExpressionInfo(classOf[H264Meta].getName, "h264_meta"),
       es => H264Meta(es.head)))

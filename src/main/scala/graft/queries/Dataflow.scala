@@ -1089,7 +1089,78 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x144: Matroska/WebM container walk — x133's contract for the OTHER
+    * big crawl container (RFC 8794 EBML varints + public Matroska element
+    * IDs, no codec): each document becomes a two-track WebM skeleton
+    * (VP8/VP9/AV1 video + Opus/Vorbis audio) and the native `mkv_tracks`
+    * expression ([[graft.functions.MkvTracks]]) walks EBML-header →
+    * Segment → {Info, Tracks} and surfaces per-track type/codec/dims/
+    * audio params plus the segment's exact integer-micros duration
+    * (Duration float ticks × TimestampScale ns / 1000 — the fixture
+    * varies the scale so the arithmetic is load-bearing). The oracle
+    * recomputes every field. */
+  val x144 = DQ("x144_mkv_tracks", Some(
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    CAST((n_chars % 90000 + 10) *
+      |         (CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 2000 END)
+      |      AS BIGINT) AS dur_us
+      |  FROM documents)
+      |SELECT doc_id AS media_id, CAST(1 AS INT) AS track_id,
+      |  'video' AS kind,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'V_VP8'
+      |       WHEN 1 THEN 'V_VP9' ELSE 'V_AV1' END AS codec,
+      |  CAST(n_chars % 4000 + 16 AS INT) AS width,
+      |  CAST(doc_id % 2000 + 16 AS INT) AS height,
+      |  CAST(0 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+      |  dur_us AS duration_us
+      |FROM d
+      |UNION ALL
+      |SELECT doc_id, CAST(2 AS INT), 'audio',
+      |  CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END,
+      |  CAST(0 AS INT), CAST(0 AS INT),
+      |  CAST(doc_id % 8 + 1 AS INT),
+      |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 48000
+      |       WHEN 1 THEN 44100 ELSE 24000 END AS INT),
+      |  dur_us
+      |FROM d
+      |ORDER BY media_id, track_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Mkv, MkvTracks}
+      import graft.functions.Mkv.MkvTrackSpec
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")))
+        .as[(Long, Long)]
+        .map { case (id, n) =>
+          val scale = if (id % 2 == 0) 1000000L else 2000000L
+          val ticks = n % 90000 + 10
+          val vCodec = (id % 3) match {
+            case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
+          }
+          val aCodec = if (id % 2 == 0) "A_OPUS" else "A_VORBIS"
+          val rate = (id % 3) match {
+            case 0 => 48000; case 1 => 44100; case _ => 24000
+          }
+          val docType = if (id % 3 == 2) "matroska" else "webm"
+          (id, Mkv.buildMkv(docType, scale, ticks, Seq(
+            MkvTrackSpec(1, "video", vCodec,
+              width = (n % 4000 + 16).toInt, height = (id % 2000 + 16).toInt),
+            MkvTrackSpec(2, "audio", aCodec,
+              channels = (id % 8 + 1).toInt, rate = rate)),
+            voidBytes = (id % 100 + 8).toInt))
+        }.toDF("media_id", "media")
+      media.select(col("media_id"),
+          explode(MkvTracks.mkvTracks(col("media"))).as("t"))
+        .select(col("media_id"), col("t.track_id").as("track_id"),
+          col("t.kind").as("kind"), col("t.codec").as("codec"),
+          col("t.width").as("width"), col("t.height").as("height"),
+          col("t.channels").as("channels"),
+          col("t.sample_rate").as("sample_rate"),
+          col("t.duration_us").as("duration_us"))
+        .orderBy("media_id", "track_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x143)
+    x143, x144)
 }

@@ -30,7 +30,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("video_samples", b => VideoHeaders.parseSamples(b)),
     ("h264_meta", b => graft.functions.H264.parseMp4Sps(b)),
     ("hevc_meta", b => graft.functions.H265.parseMp4Sps(b)),
-    ("av1_meta", b => graft.functions.Av1.parseMp4(b)))
+    ("av1_meta", b => graft.functions.Av1.parseMp4(b)),
+    ("mkv_tracks", b => graft.functions.Mkv.parseTracks(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -78,7 +79,12 @@ class MediaFuzzSpec extends AnyFunSuite {
     AudioHeaders.buildMp3(9, 0, 4, mono = false, id3Bytes = 48),
     AudioHeaders.buildAdts(4, 2, 3, bodyBytes = 40, blocksPerFrame = 2,
       id3Bytes = 24, id3v1 = true),
-    AudioHeaders.buildOpus(2, 312, 48000, 96000L, Array[Byte](5, 6, 7)))
+    AudioHeaders.buildOpus(2, 312, 48000, 96000L, Array[Byte](5, 6, 7)),
+    graft.functions.Mkv.buildMkv("webm", 1000000L, 4242L, Seq(
+      graft.functions.Mkv.MkvTrackSpec(1, "video", "V_VP9",
+        width = 640, height = 360),
+      graft.functions.Mkv.MkvTrackSpec(2, "audio", "A_OPUS",
+        channels = 2, rate = 48000))))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)
