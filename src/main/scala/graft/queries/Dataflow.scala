@@ -1160,7 +1160,71 @@ object Dataflow {
         .orderBy("media_id", "track_id")
   }
 
+  /** x142: REAL VIDEO FRAME DECODE — x135's sample slicing composed with
+    * x126's baseline-JPEG entropy decode, zero new codec code. Each
+    * document becomes an MJPEG-shaped MP4 (every track sample IS a
+    * spec-conformant grayscale baseline JPEG; `jpeg` sample-entry fourcc),
+    * and the plan `video_samples → substring → jpeg_pixels` surfaces
+    * per-FRAME pixel statistics straight off the container — the
+    * multimodal "frame-sample" op made real end to end (container walk,
+    * byte slice, canonical-Huffman decode + IDCT, all inside one
+    * declarative plan; reference anchor: the datafile_type processing
+    * hook, data_file_stream_processor.py:207-224). Block-constant frames
+    * keep the DC-only decode integer-exact, so the oracle recomputes every
+    * frame's sums from the generator formula — one mis-sliced byte or one
+    * wrong coefficient anywhere flips a sum and fails the gate. */
+  val x142 = DQ("x142_mjpeg_frame_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS nv,
+      |                CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+      |                CAST(8 * (doc_id % 2 + 1) AS INT) AS h FROM documents),
+      |s AS (SELECT doc_id, w, h, u.s AS s
+      |      FROM d, unnest(generate_series(0, nv - 1)) AS u(s)),
+      |px AS (
+      |  SELECT doc_id, s, w, h, ux.x AS x, uy.y AS y,
+      |         (doc_id * 23 + s * 17 + 41 * (ux.x // 8) + 97 * (uy.y // 8))
+      |           % 256 AS g
+      |  FROM s, unnest(generate_series(0, w - 1)) AS ux(x),
+      |       unnest(generate_series(0, h - 1)) AS uy(y))
+      |SELECT doc_id AS media_id, CAST(s AS INT) AS sample_idx,
+      |  w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(g) AS BIGINT) AS gray_sum,
+      |  CAST(sum((77 * g + 150 * g + 29 * g) // 256) AS BIGINT) AS luma_sum
+      |FROM px GROUP BY doc_id, s, w, h
+      |ORDER BY media_id, sample_idx""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{JpegCodec, JpegPixels, VideoHeaders, VideoSamples}
+      import graft.functions.VideoHeaders.TrackSpec
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nv = (id % 6 + 2).toInt
+          val w = (8 * (id % 3 + 1)).toInt
+          val h = (8 * (id % 2 + 1)).toInt
+          val frames = Array.tabulate(nv)(s =>
+            JpegCodec.buildJpegGray(w, h) { (x, y) =>
+              ((id * 23 + s * 17 + 41 * (x / 8) + 97 * (y / 8)) % 256).toInt
+            })
+          val spec = TrackSpec(1, "vide", "jpeg", w, h, 90000,
+            frames.map(_.length), 3000, (id % 3 + 1).toInt)
+          (id, VideoHeaders.buildMp4TracksWithData("isom", 1000,
+            Seq(spec), Seq(frames)))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"), col("media"),
+          explode(VideoSamples.videoSamples(col("media"))).as("s"))
+        .select(col("media_id"), col("s.sample_idx").as("sample_idx"),
+          JpegPixels.jpegPixels(
+            expr("substring(media, CAST(s.offset AS INT) + 1, s.size)")).as("p"))
+        .select(col("media_id"), col("sample_idx"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_px").as("n_px"), col("p.sum_g").as("gray_sum"),
+          col("p.luma_sum").as("luma_sum"))
+        .orderBy("media_id", "sample_idx")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x143, x144)
+    x142, x143, x144)
 }

@@ -202,7 +202,7 @@ object Pipelines {
     * route, don't lose). At 100 TB this is the admission step that
     * partitions a mixed media crawl by modality before any codec runs. */
   def mediaTriageStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{AudioHeader, Av1Meta, BmpPixels, GifPixels, H264Meta, HevcMeta, ImageHeader, JpegPixels, PcmStats, PngPixels, VideoHeader}
+    import graft.functions.{AudioHeader, Av1Meta, BmpPixels, GifPixels, H264Meta, HevcMeta, ImageHeader, JpegPixels, MkvTracks, PcmStats, PngPixels, VideoHeader}
     val files = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -212,6 +212,10 @@ object Pipelines {
       .withColumn("ih", ImageHeader.imageHeader(col("content")))
       .withColumn("ah", AudioHeader.audioHeader(col("content")))
       .withColumn("vh", VideoHeader.videoHeader(col("content")))
+      // Matroska/WebM: the EBML walk surfaces per-track facts; a video
+      // track anywhere makes the file video, else audio
+      .withColumn("mt", MkvTracks.mkvTracks(col("content")))
+      .withColumn("mtv", expr("filter(mt, t -> t.kind = 'video')"))
       // body decode — every image format decodes for real (BMP raw, PNG
       // via JDK Inflater + filter inversion, GIF via our LZW, baseline
       // JPEG via our Huffman+IDCT), PCM sample energy/clipping — null
@@ -232,21 +236,59 @@ object Pipelines {
         when(col("ih").isNotNull, "image")
           .when(col("ah").isNotNull, "audio")
           .when(col("vh").isNotNull, "video")
+          .when(col("mt").isNotNull,
+            when(size(col("mtv")) > 0, "video").otherwise("audio"))
           .otherwise("unknown").as("kind"),
         coalesce(col("ih.format"),
           // audio containers: PCM/G.711 codecs mean a RIFF/WAVE wrapper;
           // flac/mp3 name their own container
           when(col("ah.codec").isin("pcm", "alaw", "ulaw"), "wav")
             .otherwise(col("ah.codec")),
-          col("vh.brand")).as("format"),
+          col("vh.brand"),
+          when(col("mt").isNotNull, "mkv")).as("format"),
         coalesce(col("ih.width"), col("hm.width"), col("hv.width"),
-          col("a1.width")).as("width"),
+          col("a1.width"),
+          expr("CASE WHEN size(mtv) > 0 THEN mtv[0].width END")).as("width"),
         coalesce(col("ih.height"), col("hm.height"), col("hv.height"),
-          col("a1.height")).as("height"),
+          col("a1.height"),
+          expr("CASE WHEN size(mtv) > 0 THEN mtv[0].height END")).as("height"),
         col("ah.sample_rate").as("sample_rate"),
-        coalesce(col("ah.duration_us"), col("vh.duration_us")).as("duration_us"),
+        coalesce(col("ah.duration_us"), col("vh.duration_us"),
+          expr("CASE WHEN mt IS NOT NULL AND size(mt) > 0 " +
+            "THEN mt[0].duration_us END")).as("duration_us"),
         col("bp.luma_sum").as("luma_sum"),
         col("ps.peak").as("pcm_peak"), col("ps.n_clip").as("pcm_n_clip"))
+  }
+
+  /** The FRAME-level arm of [[mediaTriageStream]] for MJPEG-shaped video:
+    * each watched MP4's sample table explodes to per-frame rows and every
+    * frame's bytes run the REAL baseline-JPEG entropy decode — per-frame
+    * pixel statistics from a video stream with zero codec libraries (the
+    * batch gate is x142; this is the same `video_samples → substring →
+    * jpeg_pixels` composition as a streaming plan). Files that are not
+    * ISO-BMFF drop out at the explode; frames that are not baseline JPEG
+    * surface with null stats (route, don't lose). Per-file work is
+    * embarrassingly parallel — at 100 TB the stream partitions by file
+    * and no shuffle ever touches the frame bytes. */
+  def mjpegFrameStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{JpegPixels, VideoSamples}
+    spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select(col("path"), col("content"),
+        explode(VideoSamples.videoSamples(col("content"))).as("s"))
+      .select(col("path"),
+        col("s.track_id").as("track_id"),
+        col("s.sample_idx").as("sample_idx"),
+        col("s.size").as("frame_bytes"),
+        JpegPixels.jpegPixels(
+          expr("substring(content, CAST(s.offset AS INT) + 1, s.size)")).as("p"))
+      .select(col("path"), col("track_id"), col("sample_idx"),
+        col("frame_bytes"),
+        col("p.width").as("width"), col("p.height").as("height"),
+        col("p.n_px").as("n_px"), col("p.luma_sum").as("luma_sum"))
   }
 
   /** T4/T5 consumer-side filters: message-key regex and filepath regex

@@ -50,6 +50,13 @@ class MediaTriageStreamSpec extends AnyFunSuite {
         Array((255, 255, 255), (0, 0, 0)), Array(0, 1)))
     Files.write(new java.io.File(dir, "j.jpg").toPath,
       graft.functions.JpegCodec.buildJpegGray(8, 8)((_, _) => 64))
+    // a WebM skeleton: EBML walk must classify it video with dims+duration
+    Files.write(new java.io.File(dir, "k.webm").toPath,
+      graft.functions.Mkv.buildMkv("webm", 1000000L, 1500L, Seq(
+        graft.functions.Mkv.MkvTrackSpec(1, "video", "V_VP9",
+          width = 640, height = 360),
+        graft.functions.Mkv.MkvTrackSpec(2, "audio", "A_OPUS",
+          channels = 2, rate = 48000))))
 
     val q = Pipelines.mediaTriageStream(spark, dir.getAbsolutePath)
       .writeStream.format("memory").queryName("triage")
@@ -64,7 +71,8 @@ class MediaTriageStreamSpec extends AnyFunSuite {
         if (r.isNullAt(7)) -1L else r.getLong(7))
     }.toMap
     assert(rows.keySet == Set("a.png", "b.jpg", "c.wav", "d.mp4", "e.txt",
-      "f.bmp", "g.wav", "h.png", "i.gif", "j.jpg"))
+      "f.bmp", "g.wav", "h.png", "i.gif", "j.jpg", "k.webm"))
+    assert(rows("k.webm") == (("video", "mkv", 640, 1500000L)))
     assert(rows("h.png") == (("image", "png", 4, -1L)))
     assert(rows("i.gif") == (("image", "gif", 2, -1L)))
     assert(rows("j.jpg") == (("image", "jpeg", 8, -1L)))
@@ -90,5 +98,49 @@ class MediaTriageStreamSpec extends AnyFunSuite {
     assert(decoded("j.jpg") == ((64L * 64, -1, -1L)))
     assert(decoded("c.wav") == ((-1L, 0, 0L))) // all-zero PCM: silent, no clip
     assert(decoded("e.txt") == ((-1L, -1, -1L)))
+  }
+
+  test("mjpegFrameStream decodes every MJPEG track sample to exact pixel " +
+      "stats; non-BMFF files drop out at the explode") {
+    import graft.functions.{JpegCodec, VideoHeaders}
+    import graft.functions.VideoHeaders.TrackSpec
+    val dir = Files.createTempDirectory("mjpeg_stream").toFile
+    // two MJPEG MP4s with known block-constant frames + one junk file
+    def mjpeg(id: Long, nv: Int, w: Int, h: Int): Array[Byte] = {
+      val frames = Array.tabulate(nv)(s =>
+        JpegCodec.buildJpegGray(w, h)((x, y) =>
+          ((id * 23 + s * 17 + 41 * (x / 8) + 97 * (y / 8)) % 256).toInt))
+      VideoHeaders.buildMp4TracksWithData("isom", 1000,
+        Seq(TrackSpec(1, "vide", "jpeg", w, h, 90000,
+          frames.map(_.length), 3000, 2)), Seq(frames))
+    }
+    Files.write(new java.io.File(dir, "v1.mp4").toPath, mjpeg(7L, 3, 16, 8))
+    Files.write(new java.io.File(dir, "v2.mp4").toPath, mjpeg(11L, 2, 8, 16))
+    Files.write(new java.io.File(dir, "junk.bin").toPath,
+      "no container here".getBytes)
+
+    val q = Pipelines.mjpegFrameStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("mjpeg_frames")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("mjpeg_frames").collect().map { r =>
+      (r.getString(0).split('/').last, r.getInt(2)) ->
+        (r.getInt(4), r.getInt(5), r.getLong(7))
+    }.toMap
+    // per-frame luma (gray): sum over pixels of (77g+150g+29g)/256 with
+    // g block-constant = the generator formula — recompute exactly
+    def lumaSum(id: Long, s: Int, w: Int, h: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h) yield {
+        val g = (id * 23 + s * 17 + 41 * (x / 8) + 97 * (y / 8)) % 256
+        (77 * g + 150 * g + 29 * g) / 256
+      }).sum
+    assert(rows.keySet == Set(("v1.mp4", 0), ("v1.mp4", 1), ("v1.mp4", 2),
+      ("v2.mp4", 0), ("v2.mp4", 1)))
+    for (s <- 0 until 3)
+      assert(rows(("v1.mp4", s)) == ((16, 8, lumaSum(7L, s, 16, 8))))
+    for (s <- 0 until 2)
+      assert(rows(("v2.mp4", s)) == ((8, 16, lumaSum(11L, s, 8, 16))))
   }
 }
