@@ -94,7 +94,16 @@ object StreamBench {
       }
       val chunkRows = spark.read.parquet(topicDir).count()
 
-      def consume(outDir: String, disk: Boolean, tws: Boolean = false): Double = {
+      def consume(outDir: String, disk: Boolean, tws: Boolean = false,
+          provider: String = "rocksdb"): Double = {
+        // like-for-like backend comparison: the provider is a per-query
+        // SQLConf, so each consume arm pins it explicitly (TWS supports
+        // RocksDB only; the fMGWS arms run under both)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          if (provider == "hdfs")
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+          else
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val (_, t) = timed {
           val wire = spark.readStream
             .schema("key STRING, value BINARY")
@@ -141,8 +150,14 @@ object StreamBench {
 
       val tBuf = consume(outBuf, disk = false)
       val tDisk = consume(outDisk, disk = true)
+      // the fMGWS arms again on the HDFS-backed provider — the two
+      // backends compared like-for-like on identical input
+      val outBufH = base.resolve("out_buffered_hdfs").toString
+      val outDiskH = base.resolve("out_disk_hdfs").toString
+      val tBufH = consume(outBufH, disk = false, provider = "hdfs")
+      val tDiskH = consume(outDiskH, disk = true, provider = "hdfs")
       // the transformWithState twins of both consumers — same shared folds,
-      // modern state API (RocksDB already the session's provider)
+      // modern state API (TWS is RocksDB-only)
       val outBufTws = base.resolve("out_buffered_tws").toString
       val outDiskTws = base.resolve("out_disk_tws").toString
       val tBufTws = consume(outBufTws, disk = false, tws = true)
@@ -155,19 +170,21 @@ object StreamBench {
       }
       rm(base)
 
-      (label, totalMb, chunkRows, tProduce, tBuf, tDisk, tBufTws, tDiskTws)
+      (label, totalMb, chunkRows, tProduce, tBuf, tDisk, tBufTws, tDiskTws,
+        tBufH, tDiskH)
     }
 
     def f1(v: Double): String = f"$v%.1f"
-    val js = results.map { case (label, mb, rows, tp, tb, td, tbt, tdt) =>
+    val js = results.map { case (label, mb, rows, tp, tb, td, tbt, tdt, tbh, tdh) =>
       s""""$label":{"mb":${f1(mb)},"chunks":$rows,""" +
         s""""produce_s":${f1(tp)},"produce_mb_s":${f1(mb / tp)},""" +
         s""""buffered_s":${f1(tb)},"buffered_mb_s":${f1(mb / tb)},"buffered_rows_s":${f1(rows / tb)},""" +
         s""""disk_s":${f1(td)},"disk_mb_s":${f1(mb / td)},"disk_rows_s":${f1(rows / td)},""" +
+        s""""buffered_hdfs_mb_s":${f1(mb / tbh)},"disk_hdfs_mb_s":${f1(mb / tdh)},""" +
         s""""buffered_tws_mb_s":${f1(mb / tbt)},"disk_tws_mb_s":${f1(mb / tdt)},""" +
         s""""verified":true}"""
     }.mkString("{", ",", "}")
-    val total = results.map(r => r._4 + r._5 + r._6 + r._7 + r._8).sum
+    val total = results.map(r => r._4 + r._5 + r._6 + r._7 + r._8 + r._9 + r._10).sum
     val json =
       s"""{"metric":"stream_total","value":${f1(total)},"unit":"sec","chunk_kb":${chunkSize / 1024},"scale":$scale,"scenarios":$js}"""
     println(json)

@@ -93,6 +93,61 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** argmin‖v − cᵢ‖² over a DRIVER-COLLECTED centroid model (k·dim floats —
+  * kilobytes for any sane codebook), returning the winning centroid id
+  * with the (dist², cid) tie-break. The higher-order-function fold this
+  * replaces (`aggregate` over a broadcast centroid array of
+  * `aggregate(zip_with(...))`) allocates an intermediate array per
+  * (row, centroid); at k=782 centroids × 200k vectors the SCALE.md study
+  * measured that allocation wall at ~9 minutes, where this tight
+  * primitive loop is pure FMA work. Distances accumulate left-to-right in
+  * double, dimension order — bit-identical to the fold, so swapping the
+  * implementation cannot move a hash gate. Ships to executors as a
+  * reference object inside whole-stage codegen (the same "small model as
+  * expression state" pattern as the media parsers). */
+case class NearestCentroid(child: Expression,
+    cids: Array[Long], cvs: Array[Array[Float]]) extends UnaryExpression {
+  require(cids.length == cvs.length && cids.nonEmpty, "empty centroid model")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<float>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var best = Double.MaxValue
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cvs.length) {
+      val cv = cvs(c)
+      val m = math.min(n, cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        val d = a.getFloat(i).toDouble - cv(i).toDouble
+        s += d * d
+        i += 1
+      }
+      if (s < best || (s == best && cids(c) < bestCid)) {
+        best = s; bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (Long) $self.nullSafeEval($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
+
 object VectorFunctions {
   /** DataFrame-side constructors. */
   def vecDot(a: Column, b: Column): Column =
@@ -100,4 +155,8 @@ object VectorFunctions {
       GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
   def vecNorm(a: Column): Column =
     GraftColumnShim.column(FloatVecNorm(GraftColumnShim.expression(a)))
+  def nearestCentroid(v: Column, cids: Array[Long],
+      cvs: Array[Array[Float]]): Column =
+    GraftColumnShim.column(NearestCentroid(
+      GraftColumnShim.expression(v), cids, cvs))
 }

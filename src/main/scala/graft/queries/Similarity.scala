@@ -581,23 +581,18 @@ object Similarity {
     * The fold scales to thousands of centroids per row before a two-level
     * IVF argmin is worth the extra exchange. */
   def assignNearestCentroid(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val carr = cents
-      .agg(collect_list(struct(col("cid"), col("cv"))).as("cl"))
-    emb.crossJoin(broadcast(carr))
-      .withColumn("best", aggregate(
-        col("cl"),
-        struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
-        (acc, c) => {
-          val d2 = aggregate(
-            zip_with(col("embedding"), c.getField("cv"),
-              (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-            lit(0.0), (s, x) => s + x)
-          when(d2 < acc.getField("d2") ||
-              (d2 === acc.getField("d2") && c.getField("cid") < acc.getField("cid")),
-            struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
-        }))
-      .withColumn("cid", col("best.cid"))
-      .drop("cl", "best")
+    // the centroid model is k·dim floats — kilobytes — so it collects to
+    // the driver once and ships inside the expression (vs the previous
+    // in-row `aggregate(zip_with(...))` fold over a broadcast array, which
+    // allocated an intermediate array per (row, centroid): fine at k=8,
+    // a measured ~9-minute allocation wall at k=782 × 200k rows in the
+    // SCALE.md study). Distance accumulation order is unchanged, so every
+    // hash gate over this assignment is bit-identical.
+    val model = cents.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    emb.withColumn("cid", graft.functions.VectorFunctions.nearestCentroid(
+      col("embedding"), model.map(_._1), model.map(_._2)))
   }
 
   /** x110: SemDeDup — semantic deduplication by clustering then
@@ -645,6 +640,70 @@ object Similarity {
       val assigned = assignNearestCentroid(emb,
           emb.filter(col("vec_id") < 8)
             .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val a = assigned.select(col("vec_id").as("v1"), col("cid"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = assigned.select(col("vec_id").as("v2"), col("cid").as("cid2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      val dups = a.join(b, col("cid") === col("cid2") && col("v1") < col("v2"))
+        .filter(round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6) >= 0.3)
+        .select(col("v2")).distinct()
+      assigned.select(col("vec_id"), col("cid"))
+        .join(dups.withColumn("isd", lit(true)), col("vec_id") === col("v2"), "left")
+        .select(col("vec_id"), col("cid"), coalesce(col("isd"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
+  }
+
+  /** x110s: SemDeDup at SCALE — x110 with the centroid count tied to the
+    * corpus (k = max(8, ⌈n/256⌉), centroids = the k smallest vec_ids) so
+    * mean cluster size stays ~256 as the corpus grows and the
+    * within-cluster pair space stays LINEAR in n (Σ cluster² ≈ n·256),
+    * where x110's fixed 8 centroids make it quadratic by construction —
+    * the production shape of Abbas et al. 2023 (k scales with n; §3:
+    * 11k clusters for 1.3B embeddings ≈ fixed cluster size). At the
+    * oracle's gate scales n ≤ 2000 ⇒ k = 8, so this gate hash-matches
+    * x110's semantics exactly while the SCALE.md study runs the same code
+    * at 10×/100× with k = 79/782. The count() pass that sizes k is one
+    * cheap aggregate over ids (a real deployment would sample or take the
+    * catalog row count). */
+  val x110s = DQ("x110s_semdedup_scaled", Some(
+    """WITH n AS (SELECT greatest(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS cv
+      |      FROM (SELECT vec_id, embedding,
+      |              row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+      |      WHERE rn <= (SELECT k FROM n)),
+      |ser AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |         sum((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+      |             (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))) AS dist2
+      |  FROM embeddings e CROSS JOIN c CROSS JOIN ser GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+      |    FROM d2) t WHERE rn = 1),
+      |pairs AS (
+      |  SELECT aa.vec_id AS v1, bb.vec_id AS v2,
+      |         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dp,
+      |         sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS na,
+      |         sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS nb
+      |  FROM assign aa JOIN assign bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+      |  JOIN embeddings a ON a.vec_id = aa.vec_id
+      |  JOIN embeddings b ON b.vec_id = bb.vec_id
+      |  CROSS JOIN ser GROUP BY 1, 2),
+      |dups AS (SELECT DISTINCT v2 FROM pairs WHERE round(dp / (na * nb), 6) >= 0.3)
+      |SELECT a.vec_id, a.cid, (d.v2 IS NOT NULL) AS is_dup
+      |FROM assign a LEFT JOIN dups d ON a.vec_id = d.v2
+      |ORDER BY a.vec_id""".stripMargin)) {
+    (spark, dir) =>
+      val emb = table(spark, dir, "embeddings")
+      val k = math.max(8L, (emb.count() + 255) / 256).toInt
+      val cents = emb.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = assignNearestCentroid(emb, cents)
         .select(col("vec_id"), col("cid"), col("embedding"),
           norm(col("embedding")).as("nrm"))
       val a = assigned.select(col("vec_id").as("v1"), col("cid"),
@@ -1000,5 +1059,5 @@ object Similarity {
   }
 
   val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105,
-    x110, x118, x119, x122, x124)
+    x110, x110s, x118, x119, x122, x124)
 }

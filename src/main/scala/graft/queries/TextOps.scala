@@ -1379,6 +1379,14 @@ object TextOps {
           && col("id1") < col("id2"))
         .select("id1", "id2").distinct()
       val docs = table(spark, dir, "documents").select("doc_id", "text")
+      // the broadcast plan keeps the corpus UNSHUFFLED through both joins
+      // (candidates ∝ near-dup density, tiny next to the corpus). The
+      // SCALE.md study measured the alternative: un-hinted AQE flips both
+      // joins to shuffle at 10×+ and costs 5× there (15.3 s vs 2.9 s),
+      // winning only 1.4× at 100× (35.8 s vs 49.2 s) where the candidate
+      // texts' broadcast nears its limit — so broadcast stays the declared
+      // plan, and a corpus whose candidate set outgrows broadcast should
+      // drop the hints and take the shuffle-join shape
       val withT1 = docs.join(broadcast(pairs), col("doc_id") === col("id1"))
         .select(col("id1"), col("id2"), col("text").as("t1"))
       docs.join(broadcast(withT1), col("doc_id") === col("id2"))
