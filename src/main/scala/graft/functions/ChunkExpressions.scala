@@ -103,6 +103,8 @@ object ChunkFunctions {
       es => VideoSamples(es.head), "built-in")
     reg.createOrReplaceTempFunction("mkv_tracks",
       es => MkvTracks(es.head), "built-in")
+    reg.createOrReplaceTempFunction("mkv_blocks",
+      es => MkvBlocks(es.head), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
       es => H264Meta(es.head), "built-in")
     reg.createOrReplaceTempFunction("hevc_meta",
@@ -165,6 +167,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("mkv_tracks"),
       new ExpressionInfo(classOf[MkvTracks].getName, "mkv_tracks"),
       es => MkvTracks(es.head)))
+    e.injectFunction((FunctionIdentifier("mkv_blocks"),
+      new ExpressionInfo(classOf[MkvBlocks].getName, "mkv_blocks"),
+      es => MkvBlocks(es.head)))
     e.injectFunction((FunctionIdentifier("h264_meta"),
       new ExpressionInfo(classOf[H264Meta].getName, "h264_meta"),
       es => H264Meta(es.head)))

@@ -225,6 +225,79 @@ object Mkv {
     }
   }
 
+  // ------------------------------------------------------ Cluster blocks
+
+  private val IdCluster = 0x1F43B675L
+  private val IdClusterTimestamp = 0xE7L
+  private val IdSimpleBlock = 0xA3L
+
+  private val MaxBlocks = 65536
+
+  /** One SimpleBlock's frame payload: absolute byte range + the block's
+    * absolute timestamp in TimestampScale ticks (cluster timestamp + the
+    * block's signed 16-bit relative offset). */
+  final case class MkvBlock(trackId: Int, tsTicks: Long, offset: Long,
+      size: Int)
+
+  /** Resolve every Cluster → SimpleBlock frame to its absolute byte range
+    * — the EBML twin of [[VideoHeaders.parseSamples]]: compose with
+    * `substring(media, offset + 1, size)` to slice real frame payloads
+    * out of the binary column with no codec and no temp files. Null for
+    * non-Matroska payloads, structural breaks, LACED blocks (lacing bits
+    * ≠ 0 — multi-frame packing would need per-lace size decode; the
+    * triage contract is route-to-null, never a partial answer), or more
+    * than 65536 blocks. */
+  def parseBlocks(b: Array[Byte]): Seq[MkvBlock] =
+    try parseBlocks0(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def parseBlocks0(b: Array[Byte]): Seq[MkvBlock] = {
+    if (b == null || b.length < 8) return null
+    if (parseDocType0(b) == null) return null
+    val hdr = vint(b, 0, b.length, keepMarker = true)
+    val hsz = vint(b, hdr._2, b.length, keepMarker = false)
+    val i = hdr._2 + hsz._2 + hsz._1.toInt
+    val segId = vint(b, i, b.length, keepMarker = true)
+    if (segId == null || segId._1 != IdSegment) return null
+    val segSz = vint(b, i + segId._2, b.length, keepMarker = false)
+    if (segSz == null) return null
+    val segOff = i + segId._2 + segSz._2
+    val segEnd =
+      if (isUnknownSize(segSz._1, segSz._2)) b.length
+      else {
+        if (segSz._1 > (b.length - segOff).toLong) return null
+        segOff + segSz._1.toInt
+      }
+    val out = Seq.newBuilder[MkvBlock]
+    var n = 0
+    walk(b, segOff, segEnd) { (id, off, len) =>
+      if (id == IdCluster) {
+        var clusterTs = 0L
+        walk(b, off, off + len) { (cid, coff, clen) =>
+          if (cid == IdClusterTimestamp) clusterTs = uintBody(b, coff, clen)
+          else if (cid == IdSimpleBlock) {
+            n += 1
+            if (n > MaxBlocks)
+              throw new IllegalStateException("block count over cap")
+            // SimpleBlock: track (EBML vint, marker stripped), s16 BE
+            // relative timestamp, flags, then the frame bytes
+            val tr = vint(b, coff, coff + clen, keepMarker = false)
+            if (tr == null) throw new IllegalStateException("bad block track")
+            val hdrLen = tr._2 + 3
+            if (clen < hdrLen) throw new IllegalStateException("short block")
+            val rel = ((u(b, coff + tr._2) << 8) | u(b, coff + tr._2 + 1)).toShort
+            val flags = u(b, coff + tr._2 + 2)
+            if ((flags & 0x06) != 0)
+              throw new IllegalStateException("laced block unsupported")
+            out += MkvBlock(tr._1.toInt, clusterTs + rel,
+              (coff + hdrLen).toLong, clen - hdrLen)
+          }
+        }
+      }
+    }
+    if (n == 0) null else out.result()
+  }
+
   // ------------------------------------------------------------- builder
 
   private def encId(id: Long): Array[Byte] = {
@@ -293,6 +366,42 @@ object Mkv {
     val void = elem(IdVoid, Array.tabulate(voidBytes)(k => ((k * 11) % 251).toByte))
     header ++ elem(IdSegment, info ++ elem(IdTracks, trackEntries) ++ void)
   }
+
+  /** One cluster's build input: its Timestamp plus no-lacing SimpleBlocks
+    * as (trackNum, relativeTs, frameBytes). */
+  final case class MkvClusterSpec(ts: Long, blocks: Seq[(Int, Int, Array[Byte])])
+
+  /** [[buildMkv]] plus real Cluster/SimpleBlock media data — the
+    * deterministic inverse of [[parseBlocks]]. */
+  def buildMkvBlocks(docType: String, scaleNs: Long, durTicks: Long,
+      tracks: Seq[MkvTrackSpec],
+      clusters: Seq[MkvClusterSpec]): Array[Byte] = {
+    require(clusters.nonEmpty)
+    val skeleton = buildMkv(docType, scaleNs, durTicks, tracks, voidBytes = 8)
+    // splice the clusters inside the Segment: rebuild with the segment
+    // payload extended (the skeleton's segment is the last top-level
+    // element, so re-wrap its body plus the clusters)
+    val hdr = vint(skeleton, 0, skeleton.length, keepMarker = true)
+    val hsz = vint(skeleton, hdr._2, skeleton.length, keepMarker = false)
+    val headerBytes = skeleton.take(hdr._2 + hsz._2 + hsz._1.toInt)
+    val segAt = headerBytes.length
+    val segId = vint(skeleton, segAt, skeleton.length, keepMarker = true)
+    val segSz = vint(skeleton, segAt + segId._2, skeleton.length, keepMarker = false)
+    val segBody = skeleton.drop(segAt + segId._2 + segSz._2)
+    val clusterBytes = clusters.map { c =>
+      require(c.blocks.nonEmpty)
+      val blocks = c.blocks.map { case (trackNum, relTs, frame) =>
+        require(relTs >= Short.MinValue && relTs <= Short.MaxValue)
+        elem(IdSimpleBlock,
+          encSize(trackNum.toLong) ++
+            Array(((relTs >> 8) & 0xff).toByte, (relTs & 0xff).toByte,
+              0x80.toByte) ++ // keyframe, no lacing
+            frame)
+      }.reduce(_ ++ _)
+      elem(IdCluster, elem(IdClusterTimestamp, uintB(c.ts)) ++ blocks)
+    }.reduce(_ ++ _)
+    headerBytes ++ elem(IdSegment, segBody ++ clusterBytes)
+  }
 }
 
 /** `mkv_tracks(binary)` → `array<struct<track_id int, kind string,
@@ -350,4 +459,57 @@ object MkvTracks {
 
   def mkvTracks(media: Column): Column =
     GraftColumnShim.column(MkvTracks(GraftColumnShim.expression(media)))
+}
+
+/** `mkv_blocks(binary)` → `array<struct<track_id int, ts_ticks long,
+  * offset long, size int>>`: every Cluster/SimpleBlock frame's absolute
+  * byte range and timestamp — the EBML twin of `video_samples`. Compose
+  * with `substring(media, offset + 1, size)` to slice real frame payloads
+  * out of a WebM binary column (MJPEG-shaped tracks then decode with
+  * `jpeg_pixels`, zero codec libraries — x145's gate). */
+case class MkvBlocks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MkvBlocks.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mkv_blocks expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val blocks = Mkv.parseBlocks(payload.asInstanceOf[Array[Byte]])
+    if (blocks == null) null
+    else new GenericArrayData(blocks.map(x =>
+      InternalRow(x.trackId, x.tsTicks, x.offset, x.size)).toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mkvBlocks", this, classOf[MkvBlocks].getName)
+    val r = ctx.freshName("mkvBlk")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MkvBlocks =
+    copy(child = newChild)
+
+  override def prettyName: String = "mkv_blocks"
+}
+
+object MkvBlocks {
+  val blockType: StructType = StructType(Seq(
+    StructField("track_id", IntegerType),
+    StructField("ts_ticks", LongType),
+    StructField("offset", LongType),
+    StructField("size", IntegerType)))
+  val resultType: DataType = ArrayType(blockType, containsNull = false)
+
+  def mkvBlocks(media: Column): Column =
+    GraftColumnShim.column(MkvBlocks(GraftColumnShim.expression(media)))
 }

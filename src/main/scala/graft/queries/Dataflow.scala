@@ -1224,7 +1224,70 @@ object Dataflow {
         .orderBy("media_id", "sample_idx")
   }
 
+  /** x145: WebM FRAME DECODE — x144's container walk carried to the media
+    * data itself, mirroring what x142 does for ISO-BMFF: each document
+    * becomes a WebM whose Cluster/SimpleBlock frames ARE baseline JPEGs
+    * (MJPEG-in-Matroska, `V_MJPEG`), and the plan `mkv_blocks → substring
+    * → jpeg_pixels` surfaces per-frame pixel statistics plus each block's
+    * absolute timestamp (cluster timestamp + the signed 16-bit relative
+    * offset — the oracle recomputes the 2-frames-per-cluster arithmetic,
+    * so the SimpleBlock header walk must be byte-exact). Zero new codec
+    * code; block-constant frames keep the decode integer-exact. */
+  val x145 = DQ("x145_webm_frame_stats", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS nv,
+      |                CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+      |                CAST(8 * (doc_id % 2 + 1) AS INT) AS h FROM documents),
+      |s AS (SELECT doc_id, w, h, u.s AS s
+      |      FROM d, unnest(generate_series(0, nv - 1)) AS u(s)),
+      |px AS (
+      |  SELECT doc_id, s, w, h, ux.x AS x, uy.y AS y,
+      |         (doc_id * 29 + s * 13 + 41 * (ux.x // 8) + 97 * (uy.y // 8))
+      |           % 256 AS g
+      |  FROM s, unnest(generate_series(0, w - 1)) AS ux(x),
+      |       unnest(generate_series(0, h - 1)) AS uy(y))
+      |SELECT doc_id AS media_id,
+      |  CAST((s // 2) * 1000 + (s % 2) * 40 AS BIGINT) AS ts_ticks,
+      |  w AS width, h AS height,
+      |  CAST(sum(g) AS BIGINT) AS gray_sum,
+      |  CAST(sum((77 * g + 150 * g + 29 * g) // 256) AS BIGINT) AS luma_sum
+      |FROM px GROUP BY doc_id, s, w, h
+      |ORDER BY media_id, ts_ticks""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{JpegCodec, JpegPixels, Mkv, MkvBlocks}
+      import graft.functions.Mkv.{MkvClusterSpec, MkvTrackSpec}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nv = (id % 5 + 2).toInt
+          val w = (8 * (id % 3 + 1)).toInt
+          val h = (8 * (id % 2 + 1)).toInt
+          val frames = Array.tabulate(nv)(s =>
+            JpegCodec.buildJpegGray(w, h) { (x, y) =>
+              ((id * 29 + s * 13 + 41 * (x / 8) + 97 * (y / 8)) % 256).toInt
+            })
+          val clusters = (0 until (nv + 1) / 2).map { c =>
+            MkvClusterSpec(c.toLong * 1000,
+              (0 until 2).filter(j => c * 2 + j < nv)
+                .map(j => (1, j * 40, frames(c * 2 + j))))
+          }
+          (id, Mkv.buildMkvBlocks("matroska", 1000000L, nv.toLong * 40,
+            Seq(MkvTrackSpec(1, "video", "V_MJPEG", width = w, height = h)),
+            clusters))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"), col("media"),
+          explode(MkvBlocks.mkvBlocks(col("media"))).as("b"))
+        .select(col("media_id"), col("b.ts_ticks").as("ts_ticks"),
+          JpegPixels.jpegPixels(
+            expr("substring(media, CAST(b.offset AS INT) + 1, b.size)")).as("p"))
+        .select(col("media_id"), col("ts_ticks"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.sum_g").as("gray_sum"), col("p.luma_sum").as("luma_sum"))
+        .orderBy("media_id", "ts_ticks")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144)
+    x142, x143, x144, x145)
 }

@@ -31,7 +31,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("h264_meta", b => graft.functions.H264.parseMp4Sps(b)),
     ("hevc_meta", b => graft.functions.H265.parseMp4Sps(b)),
     ("av1_meta", b => graft.functions.Av1.parseMp4(b)),
-    ("mkv_tracks", b => graft.functions.Mkv.parseTracks(b)))
+    ("mkv_tracks", b => graft.functions.Mkv.parseTracks(b)),
+    ("mkv_blocks", b => graft.functions.Mkv.parseBlocks(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -84,7 +85,13 @@ class MediaFuzzSpec extends AnyFunSuite {
       graft.functions.Mkv.MkvTrackSpec(1, "video", "V_VP9",
         width = 640, height = 360),
       graft.functions.Mkv.MkvTrackSpec(2, "audio", "A_OPUS",
-        channels = 2, rate = 48000))))
+        channels = 2, rate = 48000))),
+    graft.functions.Mkv.buildMkvBlocks("matroska", 1000000L, 80L, Seq(
+      graft.functions.Mkv.MkvTrackSpec(1, "video", "V_MJPEG",
+        width = 16, height = 8)),
+      Seq(graft.functions.Mkv.MkvClusterSpec(0L, Seq(
+        (1, 0, Array.tabulate[Byte](24)(_.toByte)),
+        (1, 40, "second-frame".getBytes))))))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)

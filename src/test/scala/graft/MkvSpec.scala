@@ -59,6 +59,38 @@ class MkvSpec extends AnyFunSuite {
       "unknown-size Segment did not parse to the same tracks")
   }
 
+  test("Cluster/SimpleBlock walk: absolute timestamps and byte-exact " +
+      "frame ranges; laced blocks and junk route to null") {
+    import graft.functions.Mkv.MkvClusterSpec
+    val f0 = "frame-zero-bytes".getBytes
+    val f1 = Array.tabulate[Byte](40)(_.toByte)
+    val f2 = "third".getBytes
+    val b = Mkv.buildMkvBlocks("matroska", 1000000L, 120L,
+      Seq(MkvTrackSpec(1, "video", "V_MJPEG", width = 64, height = 48)),
+      Seq(MkvClusterSpec(0L, Seq((1, 0, f0), (1, 40, f1))),
+        MkvClusterSpec(1000L, Seq((1, -25, f2)))))
+    val blocks = Mkv.parseBlocks(b)
+    assert(blocks != null && blocks.length == 3)
+    assert(blocks.map(_.tsTicks) == Seq(0L, 40L, 975L)) // 1000 + (-25)
+    assert(blocks.map(_.trackId) == Seq(1, 1, 1))
+    // byte-exact slices
+    for ((blk, want) <- blocks.zip(Seq(f0, f1, f2)))
+      assert(b.slice(blk.offset.toInt, blk.offset.toInt + blk.size)
+        .sameElements(want), s"slice mismatch at ts=${blk.tsTicks}")
+    // the track walk still works on the same payload
+    assert(Mkv.parseTracks(b).head.codec == "V_MJPEG")
+    // a laced block (lacing bits set) nulls the whole parse
+    val laced = b.clone()
+    val at = laced.indexOfSlice(f0) - 1 // flags byte precedes the frame
+    laced(at) = (laced(at) | 0x02).toByte
+    assert(Mkv.parseBlocks(laced) == null)
+    // no clusters -> null; junk -> null; truncations never throw
+    assert(Mkv.parseBlocks(Mkv.buildMkv("webm", 1000000L, 5L,
+      Seq(MkvTrackSpec(1, "audio", "A_OPUS", channels = 1, rate = 48000)))) == null)
+    assert(Mkv.parseBlocks("not ebml".getBytes) == null)
+    for (n <- 0 to b.length) Mkv.parseBlocks(b.take(n))
+  }
+
   test("junk, truncations and mutations: null or parse, never a crash") {
     assert(Mkv.parseTracks(null) == null)
     assert(Mkv.parseTracks("not matroska at all".getBytes) == null)
