@@ -105,6 +105,8 @@ object ChunkFunctions {
       es => MkvTracks(es.head), "built-in")
     reg.createOrReplaceTempFunction("mkv_blocks",
       es => MkvBlocks(es.head), "built-in")
+    reg.createOrReplaceTempFunction("id3_tags",
+      es => Id3Tags(es.head), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
       es => H264Meta(es.head), "built-in")
     reg.createOrReplaceTempFunction("hevc_meta",
@@ -170,6 +172,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("mkv_blocks"),
       new ExpressionInfo(classOf[MkvBlocks].getName, "mkv_blocks"),
       es => MkvBlocks(es.head)))
+    e.injectFunction((FunctionIdentifier("id3_tags"),
+      new ExpressionInfo(classOf[Id3Tags].getName, "id3_tags"),
+      es => Id3Tags(es.head)))
     e.injectFunction((FunctionIdentifier("h264_meta"),
       new ExpressionInfo(classOf[H264Meta].getName, "h264_meta"),
       es => H264Meta(es.head)))

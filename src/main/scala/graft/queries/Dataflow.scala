@@ -1287,7 +1287,61 @@ object Dataflow {
         .orderBy("media_id", "ts_ticks")
   }
 
+  /** x146: ID3 tag provenance + codec facts from ONE binary column — the
+    * text-metadata face of audio triage: half the fixtures lead with a
+    * full ID3v2 tag (v2.3/v2.4 round-robin, frame text in Latin-1,
+    * UTF-16-with-BOM and UTF-8 — `id3_tags` must dispatch the per-frame
+    * encoding byte and the version-dependent size field/year frame), half
+    * trail with an ID3v1 `TAG` block; `audio_header` reads the SAME bytes
+    * for the frame-walk duration (skipping the v2 tag / stopping at the
+    * v1 trailer). The oracle recomputes every field, so the syncsafe vs
+    * big-endian frame-size split and the three text encodings are all
+    * load-bearing. */
+  val x146 = DQ("x146_id3_provenance", Some(
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+      |         CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 4 END
+      |       ELSE 1 END AS INT) AS tag_version,
+      |  't' || CAST(doc_id AS VARCHAR) AS title,
+      |  'artist' || CAST(doc_id % 50 AS VARCHAR) AS artist,
+      |  'al' || CAST(doc_id % 20 AS VARCHAR) AS album,
+      |  CAST(1970 + doc_id % 55 AS VARCHAR) AS year,
+      |  'mp3' AS codec,
+      |  CAST((n_chars % 30 + 1) * 1152 * 1000000 //
+      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+      |            WHEN 1 THEN 48000 ELSE 32000 END AS BIGINT) AS duration_us
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeader, AudioHeaders, Id3, Id3Tags}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")))
+        .as[(Long, Long)]
+        .map { case (id, n) =>
+          val music = AudioHeaders.buildMp3((id % 14 + 1).toInt, (id % 3).toInt,
+            (n % 30 + 1).toInt, mono = id % 4 == 1)
+          val title = s"t$id"; val artist = s"artist${id % 50}"
+          val album = s"al${id % 20}"; val year = (1970 + id % 55).toString
+          val payload =
+            if (id % 2 == 0)
+              Id3.buildV2(major = if (id % 4 == 0) 3 else 4,
+                enc = (id % 3) match { case 0 => 0; case 1 => 1; case _ => 3 },
+                title, artist, album, year, pad = (id % 40).toInt) ++ music
+            else music ++ Id3.buildV1(title, artist, album, year)
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"),
+          Id3Tags.id3Tags(col("media")).as("t"),
+          AudioHeader.audioHeader(col("media")).as("a"))
+        .select(col("media_id"),
+          col("t.tag_version").as("tag_version"), col("t.title").as("title"),
+          col("t.artist").as("artist"), col("t.album").as("album"),
+          col("t.year").as("year"),
+          col("a.codec").as("codec"), col("a.duration_us").as("duration_us"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145)
+    x142, x143, x144, x145, x146)
 }

@@ -32,7 +32,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("hevc_meta", b => graft.functions.H265.parseMp4Sps(b)),
     ("av1_meta", b => graft.functions.Av1.parseMp4(b)),
     ("mkv_tracks", b => graft.functions.Mkv.parseTracks(b)),
-    ("mkv_blocks", b => graft.functions.Mkv.parseBlocks(b)))
+    ("mkv_blocks", b => graft.functions.Mkv.parseBlocks(b)),
+    ("id3_tags", b => graft.functions.Id3.parse(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
