@@ -357,6 +357,7 @@ object Mkv {
         case "audio" => elem(IdTrackType, uintB(2)) ++
           elem(IdAudio, elem(IdSamplingFrequency, f64(t.rate.toDouble)) ++
             elem(IdChannels, uintB(t.channels)))
+        case "subtitle" => elem(IdTrackType, uintB(17)) // no typed child
         case other => throw new IllegalArgumentException(s"kind $other")
       }
       elem(IdTrackEntry,

@@ -1341,7 +1341,61 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x147: SUBTITLE TEXT out of the container — a WebM with a video track
+    * plus an `S_TEXT/UTF8` subtitle track whose SimpleBlocks carry real
+    * UTF-8 cue text (multibyte characters included, so the byte-range
+    * slice → string decode must be exact, not just ASCII-lucky). The plan
+    * `mkv_blocks → filter(track 2) → substring → cast(string)` hands the
+    * extracted cues straight to the TEXT pipeline (here: exact char
+    * counts; in production: language-ID, quality scoring, dedup — the
+    * same operators the documents table gets). Container walk and text
+    * analytics in ONE declarative plan, zero temp files. */
+  val x147 = DQ("x147_webm_subtitles", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nc
+      |           FROM documents),
+      |s AS (SELECT doc_id, u.s AS s
+      |      FROM d, unnest(generate_series(0, nc - 1)) AS u(s))
+      |SELECT doc_id AS media_id,
+      |  CAST(s * 2000 AS BIGINT) AS ts_ticks,
+      |  'café ' || CAST(doc_id AS VARCHAR) || ' — cue ' || CAST(s AS VARCHAR)
+      |    AS cue,
+      |  CAST(length('café ' || CAST(doc_id AS VARCHAR) || ' — cue '
+      |    || CAST(s AS VARCHAR)) AS INT) AS n_cue_chars
+      |FROM s ORDER BY media_id, ts_ticks""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Mkv, MkvBlocks}
+      import graft.functions.Mkv.{MkvClusterSpec, MkvTrackSpec}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nc = (id % 4 + 1).toInt
+          val cues = (0 until nc).map(s =>
+            s"café $id — cue $s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // one cluster per cue at 2-second spacing; a tiny opaque video
+          // block rides along in track 1 (subtitles never travel alone)
+          val clusters = (0 until nc).map(s =>
+            MkvClusterSpec(s.toLong * 2000, Seq(
+              (1, 0, Array[Byte](9, 9, 9)),
+              (2, 0, cues(s)))))
+          (id, Mkv.buildMkvBlocks("webm", 1000000L, nc.toLong * 2000, Seq(
+            MkvTrackSpec(1, "video", "V_VP9", width = 320, height = 180),
+            MkvTrackSpec(2, "subtitle", "S_TEXT/UTF8")),
+            clusters))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"), col("media"),
+          explode(MkvBlocks.mkvBlocks(col("media"))).as("b"))
+        .filter(col("b.track_id") === 2)
+        .select(col("media_id"), col("b.ts_ticks").as("ts_ticks"),
+          expr("CAST(substring(media, CAST(b.offset AS INT) + 1, b.size) AS STRING)")
+            .as("cue"))
+        .select(col("media_id"), col("ts_ticks"), col("cue"),
+          length(col("cue")).cast("int").as("n_cue_chars"))
+        .orderBy("media_id", "ts_ticks")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145, x146)
+    x142, x143, x144, x145, x146, x147)
 }

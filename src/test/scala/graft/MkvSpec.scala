@@ -79,6 +79,17 @@ class MkvSpec extends AnyFunSuite {
         .sameElements(want), s"slice mismatch at ts=${blk.tsTicks}")
     // the track walk still works on the same payload
     assert(Mkv.parseTracks(b).head.codec == "V_MJPEG")
+    // subtitle tracks (type 17, no typed child) round-trip too
+    val sub = Mkv.buildMkvBlocks("webm", 1000000L, 10L, Seq(
+      MkvTrackSpec(1, "video", "V_VP9", width = 64, height = 48),
+      MkvTrackSpec(2, "subtitle", "S_TEXT/UTF8")),
+      Seq(MkvClusterSpec(0L, Seq((2, 0, "héllo".getBytes("UTF-8"))))))
+    val st = Mkv.parseTracks(sub)
+    assert(st.map(t => (t.trackId, t.kind, t.codec)) ==
+      Seq((1, "video", "V_VP9"), (2, "subtitle", "S_TEXT/UTF8")))
+    val cueBlk = Mkv.parseBlocks(sub).head
+    assert(new String(sub.slice(cueBlk.offset.toInt,
+      cueBlk.offset.toInt + cueBlk.size), "UTF-8") == "héllo")
     // a laced block (lacing bits set) nulls the whole parse
     val laced = b.clone()
     val at = laced.indexOfSlice(f0) - 1 // flags byte precedes the frame
