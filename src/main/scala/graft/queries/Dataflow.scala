@@ -1395,7 +1395,72 @@ object Dataflow {
         .orderBy("media_id", "ts_ticks")
   }
 
+  /** x148: the ADMISSION STEP as a batch gate — the exact
+    * [[graft.streaming.Pipelines.mediaTriage]] projection the streaming
+    * ingest uses (one shared function, so the logic cannot drift between
+    * modes), hash-gated over a mixed-container column: MP4 / WebM / JPEG /
+    * WAV / tagged MP3 / plain text round-robin by row, classified to
+    * kind/format/dims/duration/provenance in one codegen'd pass. At
+    * 100 TB this is the first thing that touches a mixed media crawl —
+    * partitioning it by modality before any codec runs — and here every
+    * routing decision is oracle-recomputed, not just spec-asserted. */
+  val x148 = DQ("x148_media_admission", Some(
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 'video' WHEN 1 THEN 'video' WHEN 2 THEN 'image'
+      |    WHEN 3 THEN 'audio' WHEN 4 THEN 'audio' ELSE 'unknown' END AS kind,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 'isom' WHEN 1 THEN 'mkv' WHEN 2 THEN 'jpeg'
+      |    WHEN 3 THEN 'wav' WHEN 4 THEN 'mp3' ELSE NULL END AS format,
+      |  CAST(CASE WHEN doc_id % 6 = 2 THEN doc_id % 3000 + 1
+      |       WHEN doc_id % 6 = 1 THEN doc_id % 640 + 16 END AS INT)
+      |    AS width,
+      |  CAST(CASE WHEN doc_id % 6 = 2 THEN doc_id % 2000 + 1
+      |       WHEN doc_id % 6 = 1 THEN doc_id % 360 + 16 END AS INT)
+      |    AS height,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN (doc_id % 5000 + 1) * 1000
+      |    WHEN 1 THEN (doc_id % 5000 + 1) * 1000
+      |    WHEN 3 THEN ((doc_id % 1000 + 1) * 4 * 8000000) // 256000
+      |    WHEN 4 THEN (doc_id % 40 + 1) * 1152 * 1000000 //
+      |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+      |           WHEN 1 THEN 48000 ELSE 32000 END
+      |    END AS BIGINT) AS duration_us,
+      |  CASE WHEN doc_id % 6 = 4 THEN 'song' || CAST(doc_id AS VARCHAR) END
+      |    AS title
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeaders, Id3, ImageHeaders, Mkv, VideoHeaders}
+      import graft.functions.Mkv.MkvTrackSpec
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val payload = (id % 6) match {
+            case 0 => VideoHeaders.buildMp4("isom", 1000, (id % 5000 + 1).toInt,
+              Array.fill[Byte](32)(id.toByte))
+            case 1 => Mkv.buildMkv("webm", 1000000L, id % 5000 + 1, Seq(
+              MkvTrackSpec(1, "video", "V_VP9",
+                width = (id % 640 + 16).toInt, height = (id % 360 + 16).toInt)))
+            case 2 => ImageHeaders.buildJpeg((id % 3000 + 1).toInt,
+              (id % 2000 + 1).toInt, Array.fill[Byte](24)(3))
+            case 3 => AudioHeaders.buildWav(2, 8000, 16,
+              Array.tabulate(((id % 1000 + 1) * 4).toInt)(k => (k * 7).toByte))
+            case 4 => Id3.buildV2(4, 3, s"song$id", s"who$id", "lp", "2010") ++
+              AudioHeaders.buildMp3(9, (id % 3).toInt, (id % 40 + 1).toInt)
+            case _ => s"just text, not a container $id".getBytes
+          }
+          (s"mem://$id", payload.length.toLong, payload)
+        }.toDF("path", "length", "content")
+      graft.streaming.Pipelines.mediaTriage(media)
+        .withColumn("media_id",
+          split(col("path"), "//").getItem(1).cast("long"))
+        .select(col("media_id"), col("kind"), col("format"),
+          col("width"), col("height"), col("duration_us"), col("title"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145, x146, x147)
+    x142, x143, x144, x145, x146, x147, x148)
 }

@@ -201,13 +201,19 @@ object Pipelines {
     * kind='unknown' rather than being dropped (the dead-letter posture:
     * route, don't lose). At 100 TB this is the admission step that
     * partitions a mixed media crawl by modality before any codec runs. */
-  def mediaTriageStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{AudioHeader, Av1Meta, BmpPixels, GifPixels, H264Meta, HevcMeta, ImageHeader, JpegPixels, MkvTracks, PcmStats, PngPixels, VideoHeader}
-    val files = spark.readStream
+  def mediaTriageStream(spark: SparkSession, dir: String): DataFrame =
+    mediaTriage(spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-      .load(dir)
+      .load(dir))
+
+  /** The triage projection itself, over any frame with (`path`, `length`,
+    * `content binary`) — shared verbatim by the streaming source above and
+    * the batch gate (x148), so the admission logic cannot drift between
+    * the two execution modes. */
+  def mediaTriage(files: DataFrame): DataFrame = {
+    import graft.functions.{AudioHeader, Av1Meta, BmpPixels, GifPixels, H264Meta, HevcMeta, Id3Tags, ImageHeader, JpegPixels, MkvTracks, PcmStats, PngPixels, VideoHeader}
     files
       .withColumn("ih", ImageHeader.imageHeader(col("content")))
       .withColumn("ah", AudioHeader.audioHeader(col("content")))
@@ -257,7 +263,9 @@ object Pipelines {
           expr("CASE WHEN mt IS NOT NULL AND size(mt) > 0 " +
             "THEN mt[0].duration_us END")).as("duration_us"),
         col("bp.luma_sum").as("luma_sum"),
-        col("ps.peak").as("pcm_peak"), col("ps.n_clip").as("pcm_n_clip"))
+        col("ps.peak").as("pcm_peak"), col("ps.n_clip").as("pcm_n_clip"),
+        // provenance: ID3 title when an MP3/AAC payload carries a tag
+        Id3Tags.id3Tags(col("content")).getField("title").as("title"))
   }
 
   /** The FRAME-level arm of [[mediaTriageStream]] for MJPEG-shaped video:

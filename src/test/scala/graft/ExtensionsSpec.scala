@@ -47,6 +47,38 @@ class ExtensionsSpec extends AnyFunSuite {
           |""".stripMargin).as[(Double, Double, Double)].head()
       assert(d == hofD && d == 1.5 * 4.0 + -2.0 * 0.5 + 0.25 * 8.0)
       assert(nrm == math.sqrt(1.5 * 1.5 + 2.0 * 2.0 + 0.25 * 0.25))
+      // round-8 surface, same no-fallback session: EBML walk, block slice
+      // and ID3 tags resolve in SQL and their doGenCode compiles
+      val webm = graft.functions.Mkv.buildMkvBlocks("webm", 1000000L, 80L,
+        Seq(graft.functions.Mkv.MkvTrackSpec(1, "video", "V_VP9",
+          width = 640, height = 360)),
+        Seq(graft.functions.Mkv.MkvClusterSpec(0L,
+          Seq((1, 40, "frame!".getBytes)))))
+      val tagged = graft.functions.Id3.buildV2(4, 3, "T", "A", "B", "2001") ++
+        graft.functions.AudioHeaders.buildMp3(9, 0, 2)
+      spark.createDataset(Seq((webm, tagged))).toDF("w", "m")
+        .createOrReplaceTempView("ext_media")
+      val (codec, w, ts, frame, title) = spark.sql(
+        """SELECT mkv_tracks(w)[0].codec, mkv_tracks(w)[0].width,
+          |       mkv_blocks(w)[0].ts_ticks,
+          |       CAST(substring(w, CAST(mkv_blocks(w)[0].offset AS INT) + 1,
+          |                      mkv_blocks(w)[0].size) AS STRING),
+          |       id3_tags(m).title
+          |FROM ext_media""".stripMargin)
+        .as[(String, Int, Long, String, String)].head()
+      assert(codec == "V_VP9" && w == 640 && ts == 40L &&
+        frame == "frame!" && title == "T")
+      // NearestCentroid (DataFrame-side; ships a collected model object)
+      // under the same fallback=false session
+      import org.apache.spark.sql.functions.col
+      val cids = spark.createDataset(Seq(
+          (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 10.0f))))
+        .toDF("vec_id", "embedding")
+        .withColumn("cid", graft.functions.VectorFunctions.nearestCentroid(
+          col("embedding"), Array(7L, 8L),
+          Array(Array(0.0f, 1.0f), Array(9.0f, 9.0f))))
+        .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+      assert(cids == Map(1L -> 7L, 2L -> 8L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
