@@ -164,6 +164,65 @@ object AudioHeaders {
     (n, peak, sumSq, clip)
   }
 
+  /** Windowed PCM frame features — the segmentation/VAD primitive: the
+    * `data` chunk split into frames of `frameSamples` samples, each
+    * reduced to integer-exact (n, peak, Σa²) like [[parsePcmStats]] does
+    * for the whole payload. Returns (frame_idx, n, peak, sum_sq) per
+    * frame (the tail frame may be short); null unless the payload is a
+    * PCM/G.711 RIFF container the stats parser accepts. */
+  def parsePcmFrames(b: Array[Byte], frameSamples: Int)
+      : Seq[(Int, Long, Int, Long)] = {
+    if (frameSamples <= 0) return null
+    if (b == null || b.length < 44) return null
+    if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")) return null
+    var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1
+    var i = 12
+    while (i + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+      val id = tag(b, i)
+      val len = le32(b, i + 4)
+      if (len < 0) return null
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        fmtCode = le16(b, i + 8)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(len.toLong, (b.length - dataOff).toLong).toInt
+      }
+      val next = i.toLong + 8L + len.toLong + (len & 1).toLong
+      i = if (next > b.length.toLong) b.length else next.toInt
+    }
+    val g711 = fmtCode == 6 || fmtCode == 7
+    if (dataOff < 0) return null
+    if (!g711 && (fmtCode != 1 || (bits != 8 && bits != 16))) return null
+    if (g711 && bits != 8) return null
+    val bytesPer = if (!g711 && bits == 16) 2 else 1
+    val nSamples = dataLen / bytesPer
+    val out = Seq.newBuilder[(Int, Long, Int, Long)]
+    var s = 0
+    var f = 0
+    while (s < nSamples) {
+      val end = math.min(s + frameSamples, nSamples)
+      var peak = 0; var sumSq = 0L
+      var j = s
+      while (j < end) {
+        val a =
+          if (g711 && fmtCode == 7) ulawToLinear(u(b, dataOff + j))
+          else if (g711) alawToLinear(u(b, dataOff + j))
+          else if (bits == 8) u(b, dataOff + j) - 128
+          else (le16(b, dataOff + 2 * j) << 16) >> 16
+        val abs = if (a < 0) -a else a
+        if (abs > peak) peak = abs
+        sumSq += a.toLong * a
+        j += 1
+      }
+      out += ((f, (end - s).toLong, peak, sumSq))
+      f += 1
+      s = end
+    }
+    out.result()
+  }
+
   /** A valid PCM WAV container around `body` (the deterministic inverse of
     * [[parseWav]] for the header part). */
   def buildWav(channels: Int, rate: Int, bits: Int, body: Array[Byte],
@@ -655,4 +714,63 @@ object PcmStats {
 
   def pcmStats(media: Column): Column =
     GraftColumnShim.column(PcmStats(GraftColumnShim.expression(media)))
+}
+
+/** `pcm_frames(binary, frame_samples)` → `array<struct<frame_idx int,
+  * n long, peak int, sum_sq long>>`: the payload's PCM/G.711 samples cut
+  * into fixed windows with integer-exact per-window energy/peak — the
+  * segmentation/VAD primitive (explode → per-frame rows → threshold,
+  * boundary detection, silence trimming, all as ordinary SQL over exact
+  * integers). Null for non-PCM payloads or a non-positive frame size. */
+case class PcmFrames(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = PcmFrames.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pcm_frames expects (binary, int), got $other")
+    }
+
+  override def nullSafeEval(payload: Any, frame: Any): Any = {
+    val frames = AudioHeaders.parsePcmFrames(
+      payload.asInstanceOf[Array[Byte]], frame.asInstanceOf[Int])
+    if (frames == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      frames.map(f => InternalRow(f._1, f._2, f._3, f._4)).toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pcmFrames", this, classOf[PcmFrames].getName)
+    val r = ctx.freshName("pcmFr")
+    nullSafeCodeGen(ctx, ev, (b, f) => {
+      s"""
+         |Object $r = $self.nullSafeEval($b, $f);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PcmFrames =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pcm_frames"
+}
+
+object PcmFrames {
+  val frameType: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("n", LongType),
+    StructField("peak", IntegerType),
+    StructField("sum_sq", LongType)))
+  val resultType: DataType = ArrayType(frameType, containsNull = false)
+
+  def pcmFrames(media: Column, frameSamples: Column): Column =
+    GraftColumnShim.column(PcmFrames(
+      GraftColumnShim.expression(media),
+      GraftColumnShim.expression(frameSamples)))
 }

@@ -107,6 +107,8 @@ object ChunkFunctions {
       es => MkvBlocks(es.head), "built-in")
     reg.createOrReplaceTempFunction("id3_tags",
       es => Id3Tags(es.head), "built-in")
+    reg.createOrReplaceTempFunction("pcm_frames",
+      es => PcmFrames(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
       es => H264Meta(es.head), "built-in")
     reg.createOrReplaceTempFunction("hevc_meta",
@@ -175,6 +177,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("id3_tags"),
       new ExpressionInfo(classOf[Id3Tags].getName, "id3_tags"),
       es => Id3Tags(es.head)))
+    e.injectFunction((FunctionIdentifier("pcm_frames"),
+      new ExpressionInfo(classOf[PcmFrames].getName, "pcm_frames"),
+      es => PcmFrames(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("h264_meta"),
       new ExpressionInfo(classOf[H264Meta].getName, "h264_meta"),
       es => H264Meta(es.head)))

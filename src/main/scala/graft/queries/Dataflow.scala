@@ -1460,7 +1460,49 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x149: AUDIO SEGMENTATION — `pcm_frames` cuts each WAV's sample
+    * stream into fixed 160-sample (20 ms @ 8 kHz) windows with
+    * integer-exact per-window peak/energy, and a plain SQL threshold over
+    * the exploded rows yields the VAD-style activity mask — silence
+    * trimming / speech segmentation as a declarative plan over exact
+    * integers (the oracle recomputes every window from the sample
+    * formula, tail windows included, so the window arithmetic and the
+    * 8-bit amplitude decode are both load-bearing). */
+  val x149 = DQ("x149_pcm_segmentation", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 900 + 100 AS INT) AS nb
+      |           FROM documents),
+      |s AS (SELECT doc_id, u.j AS j,
+      |        ((doc_id * 13 + u.j * 7) % 256) - 128 AS a
+      |      FROM d, unnest(generate_series(0, nb - 1)) AS u(j)),
+      |f AS (SELECT doc_id, CAST(j // 160 AS INT) AS frame_idx,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(max(abs(a)) AS INT) AS peak,
+      |        CAST(sum(a * a) AS BIGINT) AS sum_sq
+      |      FROM s GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, frame_idx, n, peak, sum_sq,
+      |  (sum_sq >= n * 2000) AS active
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeaders, PcmFrames}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nb = (id % 900 + 100).toInt
+          (id, AudioHeaders.buildWav(1, 8000, 8,
+            Array.tabulate(nb)(j => ((id * 13 + j * 7) % 256).toByte)))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          explode(PcmFrames.pcmFrames(col("media"), lit(160))).as("f"))
+        .select(col("media_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.n").as("n"), col("f.peak").as("peak"),
+          col("f.sum_sq").as("sum_sq"),
+          (col("f.sum_sq") >= col("f.n") * 2000).as("active"))
+        .orderBy("media_id", "frame_idx")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145, x146, x147, x148)
+    x142, x143, x144, x145, x146, x147, x148, x149)
 }

@@ -139,6 +139,30 @@ class FlacMp3Spec extends AnyFunSuite {
     assert(AudioHeaders.parseAdts("not audio at all".getBytes) == null)
   }
 
+  test("pcm_frames windows agree with whole-payload pcm_stats across " +
+      "8/16-bit PCM and G.711, tail frames included") {
+    for ((ch, rate, bits, fmt, n) <- Seq(
+        (1, 8000, 8, 1, 850), (2, 16000, 16, 1, 1024),
+        (1, 8000, 8, 7, 333), (1, 8000, 8, 6, 160))) {
+      val body = Array.tabulate(n)(k => (k * 31 + 5).toByte)
+      val b = AudioHeaders.buildWav(ch, rate, bits, body, fmtCode = fmt)
+      val frames = AudioHeaders.parsePcmFrames(b, 160)
+      val whole = AudioHeaders.parsePcmStats(b)
+      assert(frames != null && whole != null, s"fmt=$fmt bits=$bits")
+      // frame decomposition must tile the payload exactly
+      assert(frames.map(_._2).sum == whole._1, "sample counts disagree")
+      assert(frames.map(_._4).sum == whole._3, "energies disagree")
+      assert(frames.map(_._3).max == whole._2, "peaks disagree")
+      assert(frames.map(_._1) == frames.indices, "frame indices not dense")
+      val full = whole._1 / 160
+      assert(frames.take(full.toInt).forall(_._2 == 160L))
+      if (whole._1 % 160 != 0) assert(frames.last._2 == whole._1 % 160)
+    }
+    assert(AudioHeaders.parsePcmFrames("not a wav".getBytes, 160) == null)
+    assert(AudioHeaders.parsePcmFrames(
+      AudioHeaders.buildWav(1, 8000, 8, Array[Byte](1, 2)), 0) == null)
+  }
+
   test("dispatch precedence: WAV stays WAV; each format only claims its own") {
     val wav = AudioHeaders.buildWav(2, 22050, 16, Array.fill[Byte](200)(3))
     assert(AudioHeaders.parse(wav)._1 == "pcm")

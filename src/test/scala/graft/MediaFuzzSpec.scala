@@ -25,6 +25,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("opus_header", b => AudioHeaders.parseOpus(b)),
     ("audio_dispatch", b => AudioHeaders.parse(b)),
     ("pcm_stats", b => AudioHeaders.parsePcmStats(b)),
+    ("pcm_frames", b => AudioHeaders.parsePcmFrames(b, 160)),
     ("video_header", b => VideoHeaders.parseMp4(b)),
     ("video_tracks", b => VideoHeaders.parseTracks(b)),
     ("video_samples", b => VideoHeaders.parseSamples(b)),
