@@ -2386,9 +2386,92 @@ object TextOps {
         .orderBy("epoch", "pos")
   }
 
+  /** x150: CROSS-MODAL PROVENANCE — the multimodal and text pillars in ONE
+    * plan: each document becomes a WebM whose S_TEXT/UTF8 subtitle cues
+    * are 6-token windows of its own text; the query then extracts the
+    * cues back OUT of the containers (`mkv_blocks` → byte slice → UTF-8),
+    * shingles them with the SAME 3-gram/60-bit-key scheme the corpus
+    * dedup family uses, and gram-joins against the documents table to
+    * rank each video's best-matching source document — subtitle-level
+    * dedup of video against a text corpus, the real cross-modal curation
+    * op (find videos whose transcripts duplicate crawl documents). The
+    * pair space is the gram equi-join (Σ df per key), never all-pairs;
+    * the oracle replays the container construction arithmetically and
+    * recomputes the join, so the cue slicing, tokenizer parity and key
+    * hashing must all agree bit-for-bit. */
+  val x150 = DQ("x150_subtitle_provenance", Some(
+    """WITH t0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |vids AS (SELECT doc_id AS video_id, l,
+      |           CAST(least(3, len(l) // 6) AS INT) AS nc
+      |         FROM t0 WHERE len(l) >= 6),
+      |cues AS (SELECT video_id, l[6 * u.c + 1 : 6 * u.c + 6] AS cl
+      |         FROM vids, unnest(generate_series(0, nc - 1)) AS u(c)),
+      |vg AS (SELECT DISTINCT video_id,
+      |         CAST('0x' || substr(md5(array_to_string(cl[s.i : s.i + 2], ' ')),
+      |              1, 15) AS BIGINT) AS gk
+      |       FROM cues, unnest(generate_series(1, 4)) AS s(i)),
+      |dg AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(array_to_string(l[s.i : s.i + 2], ' ')),
+      |              1, 15) AS BIGINT) AS gk
+      |       FROM t0, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS s(i)),
+      |m AS (SELECT vg.video_id, dg.doc_id, count(*) AS n_shared
+      |      FROM vg JOIN dg USING (gk) GROUP BY 1, 2),
+      |best AS (SELECT video_id, doc_id AS best_doc,
+      |           CAST(n_shared AS BIGINT) AS n_shared,
+      |           row_number() OVER (PARTITION BY video_id
+      |                              ORDER BY n_shared DESC, doc_id) AS rn
+      |         FROM m)
+      |SELECT video_id, best_doc, n_shared
+      |FROM best WHERE rn = 1 ORDER BY video_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.{Mkv, MkvBlocks}
+      import graft.functions.Mkv.{MkvClusterSpec, MkvTrackSpec}
+      val docsT = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+      val videos = docsT.filter(size(col("l")) >= 6)
+        .as[(Long, Seq[String])]
+        .map { case (id, l) =>
+          val nc = math.min(3, l.length / 6)
+          val clusters = (0 until nc).map { c =>
+            MkvClusterSpec(c.toLong * 2000, Seq(
+              (2, 0, l.slice(6 * c, 6 * c + 6).mkString(" ")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+          }
+          (id, Mkv.buildMkvBlocks("webm", 1000000L, nc.toLong * 2000, Seq(
+            MkvTrackSpec(1, "video", "V_VP9", width = 320, height = 180),
+            MkvTrackSpec(2, "subtitle", "S_TEXT/UTF8")), clusters))
+        }.toDF("video_id", "media")
+      val vg = videos
+        .select(col("video_id"), col("media"),
+          explode(MkvBlocks.mkvBlocks(col("media"))).as("b"))
+        .filter(col("b.track_id") === 2)
+        .select(col("video_id"),
+          expr("CAST(substring(media, CAST(b.offset AS INT) + 1, b.size) AS STRING)")
+            .as("cue"))
+        .select(col("video_id"),
+          explode(transform(Core.wordNgrams(tokens(col("cue")), 3),
+            g => gramKey(g))).as("gk"))
+        .distinct()
+      val dg = wordShinglesHashed(spark, dir, 3)
+      val m = vg.join(dg, "gk")
+        .groupBy(col("video_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val w = Window.partitionBy("video_id")
+        .orderBy(col("n_shared").desc, col("doc_id"))
+      m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("video_id"), col("doc_id").as("best_doc"),
+          col("n_shared").cast("long").as("n_shared"))
+        .orderBy("video_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130, x131)
+    x128, x130, x131, x150)
 }
