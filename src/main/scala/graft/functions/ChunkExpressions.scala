@@ -107,6 +107,10 @@ object ChunkFunctions {
       es => MkvBlocks(es.head), "built-in")
     reg.createOrReplaceTempFunction("id3_tags",
       es => Id3Tags(es.head), "built-in")
+    reg.createOrReplaceTempFunction("exif_tags",
+      es => ExifTags(es.head), "built-in")
+    reg.createOrReplaceTempFunction("exif_scrub_gps",
+      es => ExifScrubGps(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_frames",
       es => PcmFrames(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
@@ -177,6 +181,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("id3_tags"),
       new ExpressionInfo(classOf[Id3Tags].getName, "id3_tags"),
       es => Id3Tags(es.head)))
+    e.injectFunction((FunctionIdentifier("exif_tags"),
+      new ExpressionInfo(classOf[ExifTags].getName, "exif_tags"),
+      es => ExifTags(es.head)))
+    e.injectFunction((FunctionIdentifier("exif_scrub_gps"),
+      new ExpressionInfo(classOf[ExifScrubGps].getName, "exif_scrub_gps"),
+      es => ExifScrubGps(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_frames"),
       new ExpressionInfo(classOf[PcmFrames].getName, "pcm_frames"),
       es => PcmFrames(es.head, es(1))))

@@ -1502,7 +1502,158 @@ object Dataflow {
         .orderBy("media_id", "frame_idx")
   }
 
+  /** x151: EXIF provenance extraction — the image-side twin of x146's ID3
+    * provenance. Each document becomes a real baseline JPEG (x126's
+    * invertible flat-gray construction) with an APP1 EXIF block built to
+    * the TIFF 6.0 / EXIF 2.3 layouts: camera make/model, orientation,
+    * capture timestamp, ISO in the Exif sub-IFD, and (for most rows) a
+    * GPS IFD with degree/minute/second RATIONAL coordinates. Byte order
+    * alternates II/MM by parity so both endiannesses stay exercised;
+    * every 17th row has no EXIF at all (null struct) and every 13th has
+    * EXIF but no GPS. The oracle recomputes every field from the
+    * generator formulas — `exif_tags` must walk JPEG markers → APP1 →
+    * IFD chain and land string/integer-exact (GPS as signed
+    * centi-arcseconds, 1° = 360 000). Reference anchor: metadata
+    * extraction hook, metadata_json_reproducer.py:74-93. */
+  val x151 = DQ("x151_exif_provenance", Some(
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE 'maker_' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE 'model_' || CAST(doc_id % 11 AS VARCHAR) END AS model,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE printf('2024:%02d:%02d 08:30:%02d',
+      |                   doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 60)
+      |  END AS datetime,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE CAST(100 * (doc_id % 7 + 1) AS INT) END AS iso,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE doc_id % 13 <> 0 END AS has_gps,
+      |  CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN NULL
+      |       ELSE (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE -1 END) *
+      |            ((doc_id % 90) * 360000 + (doc_id % 60) * 6000
+      |             + (doc_id * 37) % 6000) END AS lat_csec,
+      |  CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN NULL
+      |       ELSE (CASE WHEN doc_id % 6 < 3 THEN 1 ELSE -1 END) *
+      |            ((doc_id % 180) * 360000 + ((doc_id * 7) % 60) * 6000
+      |             + (doc_id * 53) % 6000) END AS lon_csec
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Exif, ExifTags, JpegCodec}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val jpeg = JpegCodec.buildJpegGray(8, 8) { (_, _) =>
+            ((id * 29 + 13) % 256).toInt
+          }
+          val payload =
+            if (id % 17 == 0) jpeg // no EXIF at all
+            else {
+              val lat =
+                if (id % 13 == 0) null
+                else Exif.Dms(id % 4 < 2, (id % 90).toInt, (id % 60).toInt,
+                  ((id * 37) % 6000).toInt, 100)
+              val lon =
+                if (id % 13 == 0) null
+                else Exif.Dms(id % 6 < 3, (id % 180).toInt, ((id * 7) % 60).toInt,
+                  ((id * 53) % 6000).toInt, 100)
+              val tiff = Exif.buildTiff(littleEndian = id % 2 == 0,
+                orientation = (id % 8 + 1).toInt,
+                make = s"maker_${id % 5}", model = s"model_${id % 11}",
+                datetime = f"2024:${id % 12 + 1}%02d:${id % 28 + 1}%02d 08:30:${id % 60}%02d",
+                iso = (100 * (id % 7 + 1)).toInt, lat = lat, lon = lon)
+              Exif.spliceApp1(jpeg, Exif.app1(tiff))
+            }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media.select(col("media_id"), ExifTags.exifTags(col("media")).as("e"))
+        .select(col("media_id"),
+          col("e.byte_order").as("byte_order"),
+          col("e.orientation").as("orientation"),
+          col("e.make").as("make"), col("e.model").as("model"),
+          col("e.datetime").as("datetime"), col("e.iso").as("iso"),
+          col("e.has_gps").as("has_gps"),
+          col("e.lat_csec").as("lat_csec"), col("e.lon_csec").as("lon_csec"))
+        .orderBy("media_id")
+  }
+
+  /** x152: GPS REDACTION — image-side PII scrub, the multimodal twin of
+    * x115's text PII pass. The x151 fixtures are scrubbed with
+    * `exif_scrub_gps` (GPS-bearing JPEGs get their APP1 rebuilt as a
+    * canonical allow-list TIFF: provenance tags kept, GPS and unknown
+    * tags dropped, entropy-coded image data untouched), then AUDITED by
+    * re-parsing the scrubbed bytes and re-decoding the pixels:
+    * `gps_after` must be gone, orientation/make/ISO must survive
+    * verbatim, the payload must shrink exactly when GPS was present, and
+    * `jpeg_pixels` on the scrubbed image must still land the exact
+    * flat-block luma sum (proof the redaction never touched image data).
+    * Every routing decision is recomputed by the oracle from the
+    * generator formulas. */
+  val x152 = DQ("x152_exif_gps_scrub", Some(
+    """SELECT doc_id AS media_id,
+      |  (doc_id % 17 <> 0 AND doc_id % 13 <> 0) AS had_gps,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE FALSE END AS gps_after,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation_after,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE 'maker_' || CAST(doc_id % 5 AS VARCHAR) END AS make_after,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE CAST(100 * (doc_id % 7 + 1) AS INT) END AS iso_after,
+      |  (doc_id % 17 <> 0 AND doc_id % 13 <> 0) AS shrunk,
+      |  64 * ((doc_id * 29 + 13) % 256) AS luma_sum
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Exif, ExifScrubGps, ExifTags, JpegCodec, JpegPixels}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val jpeg = JpegCodec.buildJpegGray(8, 8) { (_, _) =>
+            ((id * 29 + 13) % 256).toInt
+          }
+          val payload =
+            if (id % 17 == 0) jpeg
+            else {
+              val lat =
+                if (id % 13 == 0) null
+                else Exif.Dms(id % 4 < 2, (id % 90).toInt, (id % 60).toInt,
+                  ((id * 37) % 6000).toInt, 100)
+              val lon =
+                if (id % 13 == 0) null
+                else Exif.Dms(id % 6 < 3, (id % 180).toInt, ((id * 7) % 60).toInt,
+                  ((id * 53) % 6000).toInt, 100)
+              val tiff = Exif.buildTiff(littleEndian = id % 2 == 0,
+                orientation = (id % 8 + 1).toInt,
+                make = s"maker_${id % 5}", model = s"model_${id % 11}",
+                datetime = f"2024:${id % 12 + 1}%02d:${id % 28 + 1}%02d 08:30:${id % 60}%02d",
+                iso = (100 * (id % 7 + 1)).toInt, lat = lat, lon = lon)
+              Exif.spliceApp1(jpeg, Exif.app1(tiff))
+            }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"), col("media"),
+          ExifScrubGps.exifScrubGps(col("media")).as("clean"))
+        .select(col("media_id"),
+          coalesce(ExifTags.exifTags(col("media")).getField("has_gps"),
+            lit(false)).as("had_gps"),
+          ExifTags.exifTags(col("clean")).getField("has_gps").as("gps_after"),
+          ExifTags.exifTags(col("clean")).getField("orientation")
+            .as("orientation_after"),
+          ExifTags.exifTags(col("clean")).getField("make").as("make_after"),
+          ExifTags.exifTags(col("clean")).getField("iso").as("iso_after"),
+          (length(col("media")) > length(col("clean"))).as("shrunk"),
+          JpegPixels.jpegPixels(col("clean")).getField("luma_sum")
+            .as("luma_sum"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145, x146, x147, x148, x149)
+    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152)
 }
