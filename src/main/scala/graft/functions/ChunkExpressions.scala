@@ -111,6 +111,8 @@ object ChunkFunctions {
       es => ExifTags(es.head), "built-in")
     reg.createOrReplaceTempFunction("exif_scrub_gps",
       es => ExifScrubGps(es.head), "built-in")
+    reg.createOrReplaceTempFunction("image_ahash",
+      es => ImageAHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_frames",
       es => PcmFrames(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
@@ -187,6 +189,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("exif_scrub_gps"),
       new ExpressionInfo(classOf[ExifScrubGps].getName, "exif_scrub_gps"),
       es => ExifScrubGps(es.head)))
+    e.injectFunction((FunctionIdentifier("image_ahash"),
+      new ExpressionInfo(classOf[ImageAHash].getName, "image_ahash"),
+      es => ImageAHash(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_frames"),
       new ExpressionInfo(classOf[PcmFrames].getName, "pcm_frames"),
       es => PcmFrames(es.head, es(1))))

@@ -1653,7 +1653,76 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x153: IMAGE NEAR-DUP — perceptual aHash + banded Hamming join, the
+    * picture-side twin of the text MinHash/SimHash family (x02/x03).
+    * Documents become 64×64 images whose 8×8 grid cells follow a
+    * per-group bit pattern (group = doc_id % 97) with 0–2 per-doc cell
+    * flips — and every 5th document is a BMP rather than a JPEG of the
+    * same picture, so the hash must be container-independent (defined on
+    * decoded luma, not bytes). `image_ahash` → four 16-bit bands →
+    * equi-join on (band, key) → Hamming ≤ 6 via bit_count(xor). The pair
+    * space is Σbucket² over band buckets — the same no-all-pairs scaling
+    * argument as the text near-dup family; the oracle replays the cell
+    * formula bit-by-bit and applies the identical shared-band +
+    * Hamming-threshold rule. */
+  val x153 = DQ("x153_image_neardup", Some(
+    """WITH bits AS (
+      |  SELECT doc_id, u.k AS k,
+      |    CASE WHEN ((((doc_id % 97) * 131 + u.k * 31) % 101) < 43)
+      |              <> (u.k < doc_id % 3) THEN 1 ELSE 0 END AS bit
+      |  FROM documents, unnest(generate_series(0, 63)) AS u(k)),
+      |agg AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.k // 16 AS band,
+      |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS d
+      |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT a_id, b_id, CAST(sum(d) AS INT) AS hamming,
+      |         max(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS shared
+      |  FROM agg GROUP BY 1, 2)
+      |SELECT a_id, b_id, hamming FROM p WHERE shared = 1 AND hamming <= 6
+      |ORDER BY a_id, b_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{ImageAHash, ImageHeaders, JpegCodec}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val gid = id % 97
+          def on(k: Int): Boolean =
+            (((gid * 131 + k * 31) % 101) < 43) ^ (k < id % 3)
+          def gray(x: Int, y: Int): Int = {
+            val k = (y / 8) * 8 + (x / 8)
+            if (on(k)) 200 else 60
+          }
+          val payload =
+            if (id % 5 == 0)
+              ImageHeaders.buildBmp24(64, 64, topDown = id % 10 == 0) {
+                (x, y) => val g = gray(x, y); (g, g, g)
+              }
+            else JpegCodec.buildJpegGray(64, 64)(gray)
+          (id, payload)
+        }.toDF("doc_id", "media")
+      val hashes = media.select(col("doc_id"),
+        ImageAHash.imageAhash(col("media")).as("h"))
+      val bands = hashes.select(col("doc_id"), col("h"),
+        explode(array((0 until 4).map(bd => struct(lit(bd).as("band"),
+          shiftrightunsigned(col("h"), 16 * bd).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("h"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+      bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+          bit_count(col("l.h").bitwiseXOR(col("r.h"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152)
+    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153)
 }
