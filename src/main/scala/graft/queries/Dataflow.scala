@@ -1722,7 +1722,73 @@ object Dataflow {
         .orderBy("a_id", "b_id")
   }
 
+  /** x154: AUDIO FINGERPRINT DEDUP — the sound-side member of the
+    * near-dup family (x02 text, x153 image), composed ENTIRELY from
+    * x149's `pcm_frames` expression plus higher-order array functions:
+    * zero new codec code. The fingerprint is the classic
+    * energy-difference sign vector (the robust-hash shape used by
+    * audio-matching systems): 33 windows of 160 samples → bit w set iff
+    * energy(w) > energy(w+1), packed to a 32-bit key IN-ROW
+    * (`aggregate(transform(...))` — no explode, no shuffle until the
+    * cluster groupBy). Fixtures share a per-group base signal scaled by
+    * a per-doc amplitude 1–4: energies scale by amp² so the sign vector
+    * is VOLUME-INVARIANT and group members collide exactly — the audio
+    * analog of x153's brightness invariance. Clustering is one groupBy
+    * on the key (map-side combinable, no pair space at all); the oracle
+    * replays windows, energies, sign bits and cluster stats from the
+    * generator formulas. */
+  val x154 = DQ("x154_audio_fingerprint", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 61 AS gid, doc_id % 4 + 1 AS amp
+      |           FROM documents),
+      |s AS (SELECT doc_id, amp, u.j // 160 AS w,
+      |        ((gid * 17 + (u.j // 160) * 29 + u.j * 13) % 21) - 10 AS base
+      |      FROM d, unnest(generate_series(0, 5279)) AS u(j)),
+      |e AS (SELECT doc_id, w, sum((amp * base) * (amp * base)) AS energy
+      |      FROM s GROUP BY 1, 2),
+      |b AS (SELECT a.doc_id, a.w,
+      |        CASE WHEN a.energy > n.energy THEN 1 ELSE 0 END AS bit
+      |      FROM e a JOIN e n ON a.doc_id = n.doc_id AND n.w = a.w + 1
+      |      WHERE a.w < 32),
+      |f AS (SELECT doc_id,
+      |        CAST(sum(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS fp
+      |      FROM b GROUP BY 1),
+      |c AS (SELECT fp AS fpv, count(*) AS n, min(doc_id) AS canon
+      |      FROM f GROUP BY 1)
+      |SELECT f.doc_id, f.fp, CAST(c.n AS BIGINT) AS cluster_size,
+      |       (f.doc_id = c.canon) AS is_canonical
+      |FROM f JOIN c ON f.fp = c.fpv ORDER BY f.doc_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AudioHeaders, PcmFrames}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val gid = id % 61
+          val amp = (id % 4 + 1).toInt
+          val body = Array.tabulate(33 * 160) { j =>
+            val base = ((gid * 17 + (j / 160) * 29 + j.toLong * 13) % 21 - 10).toInt
+            (128 + amp * base).toByte
+          }
+          (id, AudioHeaders.buildWav(1, 8000, 8, body))
+        }.toDF("doc_id", "media")
+      val fps = media
+        .select(col("doc_id"),
+          PcmFrames.pcmFrames(col("media"), lit(160)).as("f"))
+        .select(col("doc_id"), expr(
+          """aggregate(
+            |  transform(sequence(0, 31),
+            |    w -> IF(f[w].sum_sq > f[w + 1].sum_sq,
+            |            shiftleft(CAST(1 AS BIGINT), w), CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("fp"))
+      val clusters = fps.groupBy("fp")
+        .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("canon"))
+      fps.join(clusters, "fp")
+        .select(col("doc_id"), col("fp"), col("cluster_size"),
+          (col("doc_id") === col("canon")).as("is_canonical"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153)
+    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x154)
 }
