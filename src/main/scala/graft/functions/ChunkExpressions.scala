@@ -113,6 +113,8 @@ object ChunkFunctions {
       es => ExifScrubGps(es.head), "built-in")
     reg.createOrReplaceTempFunction("image_ahash",
       es => ImageAHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ts_packets",
+      es => TsPackets(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_frames",
       es => PcmFrames(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
@@ -192,6 +194,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("image_ahash"),
       new ExpressionInfo(classOf[ImageAHash].getName, "image_ahash"),
       es => ImageAHash(es.head)))
+    e.injectFunction((FunctionIdentifier("ts_packets"),
+      new ExpressionInfo(classOf[TsPackets].getName, "ts_packets"),
+      es => TsPackets(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_frames"),
       new ExpressionInfo(classOf[PcmFrames].getName, "pcm_frames"),
       es => PcmFrames(es.head, es(1))))

@@ -1788,7 +1788,85 @@ object Dataflow {
         .orderBy("doc_id")
   }
 
+  /** x155: MPEG-TS CONTAINER WALK — the broadcast/HLS container joins
+    * the triage family (ISO-BMFF x133, Matroska x144). Documents become
+    * genuine 188-byte-packet transport streams: a CRC_32/MPEG-protected
+    * PAT (PID 0) pointing at a PMT (PID 32) that maps an H.264 PID
+    * (0x100, type 0x1B) and an AAC PID (0x101, type 0x0F); per-doc
+    * packet counts, PUSI cadence (every 4th packet), an injected
+    * continuity-counter gap on every 9th doc, and every 11th doc is
+    * non-TS junk that must route to zero rows. `ts_packets` must verify
+    * the PSI CRCs, resolve PAT→PMT→stream types, and account per-PID
+    * packets / payload starts / CC errors exactly as the oracle
+    * recomputes them from the generator formulas. */
+  val x155 = DQ("x155_mpegts_walk", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS nv,
+      |                  CAST(doc_id % 5 + 2 AS BIGINT) AS na
+      |           FROM documents WHERE doc_id % 11 <> 0),
+      |r AS (
+      |  SELECT doc_id, 0 AS pid, NULL AS stream_type, CAST(1 AS BIGINT) AS packets,
+      |         CAST(1 AS BIGINT) AS payload_starts, CAST(0 AS BIGINT) AS cc_errors
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 32, NULL, 1, 1, 0 FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 256, 27, nv, (nv - 1) // 4 + 1,
+      |         CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 257, 15, na, (na - 1) // 4 + 1, 0 FROM d)
+      |SELECT doc_id AS media_id, CAST(pid AS INT) AS pid,
+      |  CAST(stream_type AS INT) AS stream_type,
+      |  CAST(packets AS BIGINT) AS packets,
+      |  CAST(payload_starts AS BIGINT) AS payload_starts,
+      |  CAST(cc_errors AS BIGINT) AS cc_errors
+      |FROM r ORDER BY media_id, pid""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{MpegTs, TsPackets}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val payload: Array[Byte] =
+            if (id % 11 == 0) s"not a transport stream $id".getBytes
+            else {
+              val nv = (id % 7 + 3).toInt
+              val na = (id % 5 + 2).toInt
+              val out = new java.io.ByteArrayOutputStream()
+              out.write(MpegTs.patPacket(progNum = 1, pmtPid = 32))
+              out.write(MpegTs.pmtPacket(pmtPid = 32, progNum = 1,
+                streams = Seq((0x1b, 0x100), (0x0f, 0x101))))
+              var j = 0
+              while (j < nv) {
+                // every 9th doc skips one continuity step at packet 2
+                val cc = (if (id % 9 == 0 && j >= 2) j + 1 else j) & 0x0f
+                out.write(MpegTs.packet(0x100, pusi = j % 4 == 0, cc,
+                  Array.tabulate(32)(k => ((id + j + k) % 256).toByte)))
+                j += 1
+              }
+              j = 0
+              while (j < na) {
+                out.write(MpegTs.packet(0x101, pusi = j % 4 == 0, j,
+                  Array.tabulate(16)(k => ((id * 3 + j + k) % 256).toByte)))
+                j += 1
+              }
+              out.toByteArray
+            }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          explode(TsPackets.tsPackets(col("media"))).as("p"))
+        .select(col("media_id"), col("p.pid").as("pid"),
+          col("p.stream_type").as("stream_type"),
+          col("p.packets").as("packets"),
+          col("p.payload_starts").as("payload_starts"),
+          col("p.cc_errors").as("cc_errors"))
+        .orderBy("media_id", "pid")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x154)
+    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x154,
+    x155)
 }
