@@ -115,6 +115,8 @@ object ChunkFunctions {
       es => ImageAHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("ts_packets",
       es => TsPackets(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ts_pes",
+      es => TsPes(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_frames",
       es => PcmFrames(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
@@ -197,6 +199,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("ts_packets"),
       new ExpressionInfo(classOf[TsPackets].getName, "ts_packets"),
       es => TsPackets(es.head)))
+    e.injectFunction((FunctionIdentifier("ts_pes"),
+      new ExpressionInfo(classOf[TsPes].getName, "ts_pes"),
+      es => TsPes(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_frames"),
       new ExpressionInfo(classOf[PcmFrames].getName, "pcm_frames"),
       es => PcmFrames(es.head, es(1))))

@@ -169,6 +169,87 @@ object MpegTs {
     out
   }
 
+  /** PES demux: per-PID elementary-stream reassembly. A unit starts at a
+    * payload_unit_start packet whose payload leads with the PES start
+    * code 00 00 01; continuation packets of an activated PID append
+    * their whole payload. PSI payloads can never false-activate (their
+    * pointer_field + table_id bytes are not a start code). Returns
+    * (pid, n_units, first_pts | null, last_pts | null, es bytes)
+    * ascending by PID, only for PIDs that carried at least one unit;
+    * null for non-TS payloads (same envelope as [[parse]]). PTS is the
+    * 33-bit 90 kHz clock from the optional PES header, decoded only
+    * when PTS_DTS_flags advertise it. */
+  def parsePes(b: Array[Byte]): Array[(Int, Int, java.lang.Long, java.lang.Long, Array[Byte])] = {
+    if (b == null || b.length < PacketSize || b.length % PacketSize != 0)
+      return null
+    val n = b.length / PacketSize
+    var i = 0
+    while (i < n) {
+      if (u(b, i * PacketSize) != 0x47) return null
+      i += 1
+    }
+    final class Acc {
+      var units = 0
+      var firstPts: java.lang.Long = null
+      var lastPts: java.lang.Long = null
+      val es = new java.io.ByteArrayOutputStream()
+      var active = false
+    }
+    val accs = new java.util.TreeMap[Integer, Acc]()
+    def payloadStart(off: Int): Int = {
+      val afc = (u(b, off + 3) >> 4) & 3
+      if ((afc & 1) == 0) return -1
+      if ((afc & 2) != 0) {
+        val al = u(b, off + 4)
+        if (5 + al >= PacketSize) return -1
+        off + 5 + al
+      } else off + 4
+    }
+    i = 0
+    while (i < n) {
+      val off = i * PacketSize
+      val h1 = u(b, off + 1)
+      val pid = ((h1 & 0x1f) << 8) | u(b, off + 2)
+      val pusi = (h1 & 0x40) != 0
+      val p = payloadStart(off)
+      if (p >= 0) {
+        val end = off + PacketSize
+        if (pusi && p + 9 <= end && u(b, p) == 0 && u(b, p + 1) == 0 &&
+            u(b, p + 2) == 1) {
+          val acc = accs.computeIfAbsent(pid, _ => new Acc)
+          acc.active = true
+          acc.units += 1
+          val flags = u(b, p + 7)
+          val hdl = u(b, p + 8)
+          var esAt = p + 9 + hdl
+          if ((flags >> 6) >= 2 && p + 14 <= end && hdl >= 5) {
+            val pts = ((u(b, p + 9) >> 1) & 7).toLong << 30 |
+              u(b, p + 10).toLong << 22 |
+              ((u(b, p + 11) >> 1) & 0x7f).toLong << 15 |
+              u(b, p + 12).toLong << 7 |
+              ((u(b, p + 13) >> 1) & 0x7f).toLong
+            if (acc.firstPts == null) acc.firstPts = pts
+            acc.lastPts = pts
+          }
+          if (esAt < end) acc.es.write(b, esAt, end - esAt)
+        } else if (!pusi) {
+          val acc = accs.get(pid)
+          if (acc != null && acc.active) acc.es.write(b, p, end - p)
+        }
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, java.lang.Long, java.lang.Long, Array[Byte])]()
+    val it = accs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.units > 0)
+        out += ((e.getKey.intValue(), e.getValue.units, e.getValue.firstPts,
+          e.getValue.lastPts, e.getValue.es.toByteArray))
+    }
+    out.toArray
+  }
+
   // ------------------------------------------------------------- builders
 
   /** One 188-byte packet; payload is truncated/stuffed (0xff) to fit. */
@@ -203,6 +284,59 @@ object MpegTs {
     val full = noCrc ++ Array((crc >> 24).toByte, (crc >> 16).toByte,
       (crc >> 8).toByte, crc.toByte)
     packet(pid, pusi = true, cc, 0.toByte +: full) // leading pointer_field
+  }
+
+  /** One PES packet (start code, stream id, 33-bit PTS header) ready for
+    * [[pesPackets]]. */
+  def pesBytes(streamId: Int, pts: Long, payload: Array[Byte]): Array[Byte] = {
+    require(pts >= 0 && pts < (1L << 33))
+    val pesLen = 3 + 5 + payload.length
+    require(pesLen <= 0xffff, "bounded PES only in the builder")
+    Array[Byte](0, 0, 1, streamId.toByte,
+      (pesLen >> 8).toByte, (pesLen & 0xff).toByte,
+      0x80.toByte, 0x80.toByte, 5, // '10' flags, PTS only, header length 5
+      (0x20 | (((pts >> 30) & 7) << 1) | 1).toByte,
+      ((pts >> 22) & 0xff).toByte,
+      ((((pts >> 15) & 0x7f) << 1) | 1).toByte,
+      ((pts >> 7) & 0xff).toByte,
+      (((pts & 0x7f) << 1) | 1).toByte) ++ payload
+  }
+
+  /** Packetize one PES unit: PUSI on the first packet, continuation
+    * packets after, the final short packet padded with ADAPTATION-FIELD
+    * stuffing (never payload fill — every payload byte must be real ES,
+    * exactly what the demuxer relies on). Returns the packets and the
+    * next continuity counter for the PID. */
+  def pesPackets(pid: Int, ccStart: Int, pes: Array[Byte]): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var at = 0
+    var cc = ccStart
+    var first = true
+    while (at < pes.length) {
+      val take = math.min(PacketSize - 4, pes.length - at)
+      val pkt = new Array[Byte](PacketSize)
+      pkt(0) = 0x47
+      pkt(1) = (((if (first) 0x40 else 0)) | (pid >> 8)).toByte
+      pkt(2) = (pid & 0xff).toByte
+      if (take == PacketSize - 4) {
+        pkt(3) = (0x10 | (cc & 15)).toByte // payload only
+        System.arraycopy(pes, at, pkt, 4, take)
+      } else {
+        pkt(3) = (0x30 | (cc & 15)).toByte // adaptation + payload
+        val afLen = PacketSize - 4 - take - 1 // stuffing fills the gap
+        pkt(4) = afLen.toByte
+        if (afLen > 0) {
+          pkt(5) = 0 // no AF flags
+          java.util.Arrays.fill(pkt, 6, 6 + (afLen - 1), 0xff.toByte)
+        }
+        System.arraycopy(pes, at, pkt, PacketSize - take, take)
+      }
+      out.write(pkt)
+      at += take
+      cc = (cc + 1) & 15
+      first = false
+    }
+    (out.toByteArray, cc)
   }
 
   /** PAT mapping one program to `pmtPid`. */
@@ -273,4 +407,56 @@ object TsPackets {
 
   def tsPackets(media: Column): Column =
     GraftColumnShim.column(TsPackets(GraftColumnShim.expression(media)))
+}
+
+/** `ts_pes(binary)` → `array<struct<pid int, n_units int,
+  * first_pts bigint, last_pts bigint, es binary>>` — per-PID PES demux
+  * ([[MpegTs.parsePes]]): reassembled elementary-stream bytes plus the
+  * 90 kHz PTS envelope; null for non-TS payloads. The TS twin of
+  * `video_samples`' ISO-BMFF payload slicing (x135). */
+case class TsPes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TsPes.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ts_pes expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val rows = MpegTs.parsePes(payload.asInstanceOf[Array[Byte]])
+    if (rows == null) null
+    else new GenericArrayData(rows.map(r =>
+      InternalRow(r._1, r._2, r._3, r._4, r._5): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tsPes", this, classOf[TsPes].getName)
+    val r = ctx.freshName("pes")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TsPes =
+    copy(child = newChild)
+
+  override def prettyName: String = "ts_pes"
+}
+
+object TsPes {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("pid", IntegerType),
+    StructField("n_units", IntegerType),
+    StructField("first_pts", LongType),
+    StructField("last_pts", LongType),
+    StructField("es", BinaryType))), containsNull = false)
+
+  def tsPes(media: Column): Column =
+    GraftColumnShim.column(TsPes(GraftColumnShim.expression(media)))
 }

@@ -1865,8 +1865,98 @@ object Dataflow {
         .orderBy("media_id", "pid")
   }
 
+  /** x156: TS PES DEMUX — x155's packet walk carried to the media data,
+    * the transport-stream twin of x135's ISO-BMFF sample slicing. Each
+    * stream's PES units (start-code detection on payload-unit-start
+    * packets, 33-bit 90 kHz PTS headers, adaptation-field stuffing on
+    * the final short packet) are reassembled per PID into the
+    * elementary-stream bytes; md5 over the reassembled ES proves the
+    * demux byte-exact, and the PTS envelope (first/last across units,
+    * video on a 3003-tick cadence ≈ 29.97 fps, audio on 1920) proves
+    * the header parse. Video unit 0 deliberately spans two packets so
+    * continuation reassembly is on the hook; every 11th doc is non-TS
+    * junk routing to zero rows. Oracle recomputes unit payloads, PTS
+    * endpoints, byte counts and md5 from the generator formulas. */
+  val x156 = DQ("x156_ts_pes_demux", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nuv,
+      |                  CAST(doc_id % 3 + 1 AS INT) AS nua
+      |           FROM documents WHERE doc_id % 11 <> 0),
+      |vu AS (SELECT doc_id, u.u AS u,
+      |         CASE WHEN u.u = 0 THEN repeat('v', CAST(200 + doc_id % 50 AS INT))
+      |              ELSE 'v' || CAST(doc_id AS VARCHAR) || ':' ||
+      |                   CAST(u.u AS VARCHAR) ||
+      |                   repeat('y', CAST(u.u + doc_id % 7 AS INT)) END AS pl
+      |       FROM d, unnest(generate_series(0, nuv - 1)) AS u(u)),
+      |au AS (SELECT doc_id, u.u AS u,
+      |         'a' || CAST(doc_id AS VARCHAR) || ':' || CAST(u.u AS VARCHAR) AS pl
+      |       FROM d, unnest(generate_series(0, nua - 1)) AS u(u)),
+      |r AS (
+      |  SELECT d.doc_id, 256 AS pid, nuv AS n_units,
+      |         (d.doc_id % 1000) * 90 AS first_pts,
+      |         (d.doc_id % 1000) * 90 + (nuv - 1) * 3003 AS last_pts,
+      |         s.bytes AS es_bytes, s.m AS es_md5
+      |  FROM d JOIN (SELECT doc_id, CAST(sum(length(pl)) AS BIGINT) AS bytes,
+      |                      md5(string_agg(pl, '' ORDER BY u)) AS m
+      |               FROM vu GROUP BY doc_id) s USING (doc_id)
+      |  UNION ALL
+      |  SELECT d.doc_id, 257, nua,
+      |         (d.doc_id % 800) * 90,
+      |         (d.doc_id % 800) * 90 + (nua - 1) * 1920,
+      |         s.bytes, s.m
+      |  FROM d JOIN (SELECT doc_id, CAST(sum(length(pl)) AS BIGINT) AS bytes,
+      |                      md5(string_agg(pl, '' ORDER BY u)) AS m
+      |               FROM au GROUP BY doc_id) s USING (doc_id))
+      |SELECT doc_id AS media_id, CAST(pid AS INT) AS pid,
+      |  CAST(n_units AS INT) AS n_units, CAST(first_pts AS BIGINT) AS first_pts,
+      |  CAST(last_pts AS BIGINT) AS last_pts, es_bytes, es_md5
+      |FROM r ORDER BY media_id, pid""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{MpegTs, TsPes}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val payload: Array[Byte] =
+            if (id % 11 == 0) s"still not a transport stream $id".getBytes
+            else {
+              val nuV = (id % 4 + 2).toInt
+              val nuA = (id % 3 + 1).toInt
+              val out = new java.io.ByteArrayOutputStream()
+              out.write(MpegTs.patPacket(progNum = 1, pmtPid = 32))
+              out.write(MpegTs.pmtPacket(pmtPid = 32, progNum = 1,
+                streams = Seq((0x1b, 0x100), (0x0f, 0x101))))
+              var cc = 0
+              for (u <- 0 until nuV) {
+                val pl: Array[Byte] =
+                  if (u == 0) Array.fill((200 + id % 50).toInt)('v'.toByte)
+                  else (s"v$id:$u" + "y" * (u + id % 7).toInt).getBytes
+                val (pk, cc2) = MpegTs.pesPackets(0x100, cc,
+                  MpegTs.pesBytes(0xe0, (id % 1000) * 90 + u * 3003L, pl))
+                out.write(pk); cc = cc2
+              }
+              cc = 0
+              for (u <- 0 until nuA) {
+                val (pk, cc2) = MpegTs.pesPackets(0x101, cc,
+                  MpegTs.pesBytes(0xc0, (id % 800) * 90 + u * 1920L,
+                    s"a$id:$u".getBytes))
+                out.write(pk); cc = cc2
+              }
+              out.toByteArray
+            }
+          (id, payload)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"), explode(TsPes.tsPes(col("media"))).as("p"))
+        .select(col("media_id"), col("p.pid").as("pid"),
+          col("p.n_units").as("n_units"),
+          col("p.first_pts").as("first_pts"), col("p.last_pts").as("last_pts"),
+          length(col("p.es")).cast("long").as("es_bytes"),
+          md5(col("p.es")).as("es_md5"))
+        .orderBy("media_id", "pid")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x154,
-    x155)
+    x155, x156)
 }

@@ -66,6 +66,36 @@ class MpegTsSpec extends AnyFunSuite {
     assert(MpegTs.parse(null) == null)
   }
 
+  test("PES demux reassembles multi-packet units byte-exactly with PTS") {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(MpegTs.patPacket(progNum = 1, pmtPid = 32))
+    out.write(MpegTs.pmtPacket(pmtPid = 32, progNum = 1,
+      streams = Seq((0x1b, 0x100))))
+    val unit0 = Array.tabulate(400)(k => (k % 251).toByte) // spans 3 packets
+    val unit1 = "short unit".getBytes
+    var cc = 0
+    for ((pl, pts) <- Seq((unit0, 90000L), (unit1, 93003L))) {
+      val (pk, cc2) = MpegTs.pesPackets(0x100, cc, MpegTs.pesBytes(0xe0, pts, pl))
+      out.write(pk); cc = cc2
+    }
+    val rows = MpegTs.parsePes(out.toByteArray)
+    assert(rows != null && rows.length == 1) // PSI PIDs never activate
+    val (pid, units, first, last, es) = rows(0)
+    assert(pid == 0x100 && units == 2 && first == 90000L && last == 93003L)
+    assert(java.util.Arrays.equals(es, unit0 ++ unit1)) // no stuffing leaked
+    // the raw train parses cleanly too (CC continuity across units holds)
+    val stats = MpegTs.parse(out.toByteArray)
+    assert(stats.find(_._1 == 0x100).get._5 == 0)
+  }
+
+  test("PTS encode/decode round-trips across the 33-bit range") {
+    for (pts <- Seq(0L, 1L, 90000L, (1L << 32) + 12345L, (1L << 33) - 1)) {
+      val (pk, _) = MpegTs.pesPackets(0x40, 0, MpegTs.pesBytes(0xe0, pts, "x".getBytes))
+      val rows = MpegTs.parsePes(pk)
+      assert(rows(0)._3 == pts, s"pts=$pts")
+    }
+  }
+
   test("mutation fuzz never throws") {
     val ts = sampleTs()
     val rnd = new scala.util.Random(0x7511L)
@@ -74,6 +104,7 @@ class MpegTsSpec extends AnyFunSuite {
       val at = rnd.nextInt(b.length)
       b(at) = (b(at) ^ (1 + rnd.nextInt(255))).toByte
       MpegTs.parse(b)
+      MpegTs.parsePes(b)
     }
   }
 }
