@@ -117,6 +117,10 @@ object ChunkFunctions {
       es => TsPackets(es.head), "built-in")
     reg.createOrReplaceTempFunction("ts_pes",
       es => TsPes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("annexb_nals",
+      es => AnnexbNals(es.head), "built-in")
+    reg.createOrReplaceTempFunction("h264_sps_meta",
+      es => H264SpsMeta(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_frames",
       es => PcmFrames(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
@@ -202,6 +206,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("ts_pes"),
       new ExpressionInfo(classOf[TsPes].getName, "ts_pes"),
       es => TsPes(es.head)))
+    e.injectFunction((FunctionIdentifier("annexb_nals"),
+      new ExpressionInfo(classOf[AnnexbNals].getName, "annexb_nals"),
+      es => AnnexbNals(es.head)))
+    e.injectFunction((FunctionIdentifier("h264_sps_meta"),
+      new ExpressionInfo(classOf[H264SpsMeta].getName, "h264_sps_meta"),
+      es => H264SpsMeta(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_frames"),
       new ExpressionInfo(classOf[PcmFrames].getName, "pcm_frames"),
       es => PcmFrames(es.head, es(1))))

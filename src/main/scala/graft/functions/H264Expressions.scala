@@ -298,6 +298,47 @@ object H264 {
       Array(1.toByte) ++
       Array(((pps.length >> 8) & 0xff).toByte, (pps.length & 0xff).toByte) ++ pps
   }
+
+  /** Annex-B byte-stream walk (H.264 Annex B, the framing TS and raw .264
+    * files use — vs the length-prefixed MP4 layout): NAL units are
+    * delimited by 00 00 01 start codes (optionally with extra leading
+    * zeros); trailing zeros before the next start code belong to the
+    * framing, not the NAL. Returns (nal_type, size, payload) per unit in
+    * stream order, or null when the stream does not begin with a start
+    * code or any unit sets the forbidden_zero_bit (a desynced stream
+    * cannot be attributed — route, don't guess). Emulation-prevention
+    * inside a NAL guarantees no false start codes, so the split is exact
+    * on spec-conformant streams. */
+  def annexbNals(b: Array[Byte]): Array[(Int, Long, Array[Byte])] = {
+    if (b == null || b.length < 4) return null
+    var i = 0
+    while (i < b.length && b(i) == 0) i += 1
+    if (i < 2 || i >= b.length || b(i) != 1) return null // must open 00 00 01
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    starts += i + 1
+    var zeros = 0
+    var j = i + 1
+    while (j < b.length) {
+      val v = b(j) & 0xff
+      if (v == 1 && zeros >= 2) { starts += j + 1; zeros = 0 }
+      else zeros = if (v == 0) zeros + 1 else 0
+      j += 1
+    }
+    val out = new Array[(Int, Long, Array[Byte])](starts.length)
+    var k = 0
+    while (k < starts.length) {
+      val from = starts(k)
+      var to = if (k + 1 < starts.length) starts(k + 1) - 3 else b.length
+      while (to > from && b(to - 1) == 0) to -= 1 // framing zeros
+      if (to <= from) return null // empty NAL: malformed framing
+      val hdr = b(from) & 0xff
+      if ((hdr & 0x80) != 0) return null // forbidden_zero_bit
+      out(k) = (hdr & 0x1f, (to - from).toLong,
+        java.util.Arrays.copyOfRange(b, from, to))
+      k += 1
+    }
+    out
+  }
 }
 
 /** `h264_meta(binary)` → `struct<profile, level, width, height,
@@ -352,4 +393,103 @@ object H264Meta {
 
   def h264Meta(media: Column): Column =
     GraftColumnShim.column(H264Meta(GraftColumnShim.expression(media)))
+}
+
+/** `annexb_nals(binary)` → `array<struct<nal_type int, size bigint,
+  * payload binary>>` — the H.264 Annex-B framing walk ([[H264.annexbNals]]):
+  * start-code split with framing-zero trim, null for streams that do not
+  * open with a start code or violate forbidden_zero_bit. Composes with
+  * `ts_pes` (TS elementary streams are Annex-B) and `h264_sps_meta`. */
+case class AnnexbNals(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AnnexbNals.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"annexb_nals expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val nals = H264.annexbNals(payload.asInstanceOf[Array[Byte]])
+    if (nals == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      nals.map(n => InternalRow(n._1, n._2, n._3): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("annexbNals", this, classOf[AnnexbNals].getName)
+    val r = ctx.freshName("nals")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnnexbNals =
+    copy(child = newChild)
+
+  override def prettyName: String = "annexb_nals"
+}
+
+object AnnexbNals {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("nal_type", IntegerType),
+    StructField("size", LongType),
+    StructField("payload", BinaryType))), containsNull = false)
+
+  def annexbNals(es: Column): Column =
+    GraftColumnShim.column(AnnexbNals(GraftColumnShim.expression(es)))
+}
+
+/** `h264_sps_meta(binary)` → `struct<profile int, level int, width int,
+  * height int>` from ONE bare SPS NAL (header byte included) — the
+  * Exp-Golomb parse of [[H264.parseSps]] exposed directly so demuxed
+  * Annex-B streams can be interrogated without an avcC wrapper. */
+case class H264SpsMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = H264SpsMeta.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"h264_sps_meta expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val m = H264.parseSps(payload.asInstanceOf[Array[Byte]])
+    if (m == null) null
+    else InternalRow(m._1, m._2, m._3, m._4)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("spsMeta", this, classOf[H264SpsMeta].getName)
+    val r = ctx.freshName("sps")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): H264SpsMeta =
+    copy(child = newChild)
+
+  override def prettyName: String = "h264_sps_meta"
+}
+
+object H264SpsMeta {
+  val resultType: StructType = StructType(Seq(
+    StructField("profile", IntegerType),
+    StructField("level", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  def h264SpsMeta(nal: Column): Column =
+    GraftColumnShim.column(H264SpsMeta(GraftColumnShim.expression(nal)))
 }

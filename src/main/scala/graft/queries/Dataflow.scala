@@ -1955,8 +1955,86 @@ object Dataflow {
         .orderBy("media_id", "pid")
   }
 
+  /** x157: TS → ANNEX-B → SPS, the full broadcast-video interrogation
+    * chain composed from three expressions with no new codec code:
+    * `ts_pes` demuxes the elementary stream, `annexb_nals` splits the
+    * H.264 Annex-B framing (start codes, framing-zero trim — the layout
+    * TS carries, vs MP4's length prefixes), and `h264_sps_meta` runs the
+    * Exp-Golomb SPS parse (x136's machinery) on the bare SPS NAL. The
+    * SPS uses the same level/crop formulas as x136 so the coded-dims
+    * arithmetic is cross-checked between the avcC and Annex-B paths;
+    * every 13th doc carries a non-Annex-B elementary stream that must
+    * route every derived column to null. */
+  val x157 = DQ("x157_ts_h264_chain", Some(
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(doc_id % 6 + 3 AS INT) END AS n_nals,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(doc_id % 6 + 1 AS INT) END AS n_slices,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(66 AS INT) END AS profile,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 30
+      |                 WHEN 2 THEN 31 ELSE 51 END AS INT) END AS level,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(16 * (doc_id % 20 + 1) - 2 * (doc_id % 4) AS INT)
+      |  END AS width,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(16 * (doc_id % 12 + 1) - 2 * (doc_id % 3) AS INT)
+      |  END AS height
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{AnnexbNals, H264, H264SpsMeta, MpegTs, TsPes}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val sc3 = Array[Byte](0, 0, 1)
+          val sc4 = Array[Byte](0, 0, 0, 1)
+          val es: Array[Byte] =
+            if (id % 13 == 0) s"rawvideo$id with no start codes".getBytes
+            else {
+              val level = (id % 4) match {
+                case 0 => 10; case 1 => 30; case 2 => 31; case _ => 51
+              }
+              val sps = H264.buildSps(level, (id % 20 + 1).toInt,
+                (id % 12 + 1).toInt, (id % 4).toInt, (id % 3).toInt)
+              val pps = 0x68.toByte +: Array.tabulate((id % 5 + 1).toInt)(
+                k => ((id + k) % 200 + 30).toByte)
+              val slices = (0 until (id % 6 + 1).toInt).map { s =>
+                0x21.toByte +: Array.tabulate((id % 9 + 4).toInt)(
+                  k => ((id * 3 + s + k) % 200 + 30).toByte)
+              }
+              (sc4 ++ sps ++ sc3 ++ pps ++
+                slices.flatMap(s => sc3 ++ s)).toArray
+            }
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(MpegTs.patPacket(progNum = 1, pmtPid = 32))
+          out.write(MpegTs.pmtPacket(pmtPid = 32, progNum = 1,
+            streams = Seq((0x1b, 0x100))))
+          val (pk, _) = MpegTs.pesPackets(0x100, 0,
+            MpegTs.pesBytes(0xe0, (id % 1000) * 90, es))
+          out.write(pk)
+          (id, out.toByteArray)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"), TsPes.tsPes(col("media")).as("pes"))
+        .select(col("media_id"),
+          AnnexbNals.annexbNals(expr("filter(pes, p -> p.pid = 256)[0].es"))
+            .as("nals"))
+        .select(col("media_id"),
+          when(col("nals").isNotNull, size(col("nals"))).as("n_nals"),
+          when(col("nals").isNotNull,
+            size(expr("filter(nals, n -> n.nal_type = 1)"))).as("n_slices"),
+          H264SpsMeta.h264SpsMeta(
+            expr("filter(nals, n -> n.nal_type = 7)[0].payload")).as("m"))
+        .select(col("media_id"), col("n_nals"), col("n_slices"),
+          col("m.profile").as("profile"), col("m.level").as("level"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x154,
-    x155, x156)
+    x155, x156, x157)
 }

@@ -138,4 +138,29 @@ class H264SpsSpec extends AnyFunSuite {
     val bad = b.clone(); bad(idx + 4) = 0x01
     assert(Av1.parseMp4(bad) == null)
   }
+
+  test("Annex-B walk: start-code split, framing-zero trim, null routing") {
+    val sps = H264.buildSps(31, 8, 5, 2, 1)
+    val pps = Array[Byte](0x68, 0x42, 0x37)
+    val slice = Array[Byte](0x21, 77, 88, 99)
+    val sc3 = Array[Byte](0, 0, 1); val sc4 = Array[Byte](0, 0, 0, 1)
+    // 4-byte code before SPS (the next NAL's leading zero belongs to
+    // framing), 3-byte codes after, trailing zeros after the last NAL
+    val es = sc4 ++ sps ++ sc3 ++ pps ++ sc4 ++ slice ++ Array[Byte](0, 0)
+    val nals = H264.annexbNals(es)
+    assert(nals != null && nals.length == 3)
+    assert(nals.map(_._1).toSeq == Seq(7, 8, 1))
+    assert(java.util.Arrays.equals(nals(0)._3, sps))
+    assert(java.util.Arrays.equals(nals(1)._3, pps))
+    assert(java.util.Arrays.equals(nals(2)._3, slice))
+    assert(nals.map(_._2).toSeq == Seq(sps.length.toLong, 3L, 4L))
+    // the SPS payload round-trips through the bare-NAL parse
+    assert(H264.parseSps(nals(0)._3) == ((66, 31, 16 * 8 - 2 * 2, 16 * 5 - 2 * 1)))
+    // null routing: no opening start code / forbidden bit / empty NAL
+    assert(H264.annexbNals("no start code here".getBytes) == null)
+    assert(H264.annexbNals(sc3 ++ Array[Byte](0x80.toByte, 1)) == null)
+    assert(H264.annexbNals((sc3 ++ sc3 :+ 0x21.toByte).toArray) == null)
+    assert(H264.annexbNals(null) == null)
+    for (n <- 0 to es.length) H264.annexbNals(es.take(n))
+  }
 }
