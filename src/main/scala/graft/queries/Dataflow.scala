@@ -2033,8 +2033,65 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x158: PRIVACY GATE AS A SHARED PROJECTION — x152's scrub logic
+    * promoted to ingest: the SAME `Pipelines.privacyScrub` function runs
+    * under `readStream` (PrivacyScrubStreamSpec) and here as the batch
+    * gate, so the two modes cannot drift (the x148 pattern applied to
+    * PII). The fixture matrix adds the quarantine path: every 23rd doc
+    * is a GPS-bearing bare TIFF the scrubber cannot rewrite safely —
+    * content must come back null with the flag set (absence, never
+    * silently retained coordinates); JPEGs with GPS shrink, without GPS
+    * pass through, and `gps_after` re-parses the emitted bytes in-plan.
+    * Oracle recomputes every routing decision from the fixture
+    * formulas. */
+  val x158 = DQ("x158_privacy_gate", Some(
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 23 = 0 THEN TRUE
+      |       WHEN doc_id % 17 = 0 THEN FALSE
+      |       WHEN doc_id % 13 = 0 THEN FALSE ELSE TRUE END AS had_gps,
+      |  (doc_id % 23 = 0) AS quarantined,
+      |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE FALSE END AS gps_after,
+      |  CASE WHEN doc_id % 23 = 0 THEN NULL
+      |       WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN FALSE
+      |       ELSE TRUE END AS shrunk
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Exif, JpegCodec}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          def lat = Exif.Dms(id % 4 < 2, (id % 90).toInt, (id % 60).toInt,
+            ((id * 37) % 6000).toInt, 100)
+          def lon = Exif.Dms(id % 6 < 3, (id % 180).toInt, ((id * 7) % 60).toInt,
+            ((id * 53) % 6000).toInt, 100)
+          def tiff(withGps: Boolean) = Exif.buildTiff(
+            littleEndian = id % 2 == 0, orientation = (id % 8 + 1).toInt,
+            make = s"maker_${id % 5}", model = s"model_${id % 11}",
+            datetime = f"2024:${id % 12 + 1}%02d:${id % 28 + 1}%02d 08:30:${id % 60}%02d",
+            iso = (100 * (id % 7 + 1)).toInt,
+            lat = if (withGps) lat else null, lon = if (withGps) lon else null)
+          val jpeg = JpegCodec.buildJpegGray(8, 8) { (_, _) =>
+            ((id * 29 + 13) % 256).toInt
+          }
+          val payload: Array[Byte] =
+            if (id % 23 == 0) tiff(withGps = true) // quarantine path
+            else if (id % 17 == 0) jpeg // no EXIF
+            else if (id % 13 == 0) Exif.spliceApp1(jpeg, Exif.app1(tiff(withGps = false)))
+            else Exif.spliceApp1(jpeg, Exif.app1(tiff(withGps = true)))
+          (s"mem://$id", payload.length.toLong, payload)
+        }.toDF("path", "length", "content")
+      graft.streaming.Pipelines.privacyScrub(media)
+        .withColumn("media_id",
+          split(col("path"), "//").getItem(1).cast("long"))
+        .select(col("media_id"), col("had_gps"), col("quarantined"),
+          col("gps_after"),
+          (col("length") > length(col("content"))).as("shrunk"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x154,
-    x155, x156, x157)
+    x155, x156, x157, x158)
 }

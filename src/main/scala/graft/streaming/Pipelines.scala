@@ -268,6 +268,39 @@ object Pipelines {
         Id3Tags.id3Tags(col("content")).getField("title").as("title"))
   }
 
+  /** Image-PII privacy gate over a directory watch: every payload runs
+    * through [[privacyScrub]] before anything downstream may see it. */
+  def privacyScrubStream(spark: SparkSession, dir: String): DataFrame =
+    privacyScrub(spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
+  /** The privacy projection itself, over any frame with (`path`, `length`,
+    * `content binary`) — shared verbatim by the streaming watch above and
+    * the batch gate (x158) so ingest modes cannot drift. GPS-bearing
+    * JPEGs come back with the APP1 rebuilt as an allow-list TIFF
+    * (pixels untouched), GPS-free payloads pass through, and payloads
+    * the scrubber cannot rewrite safely (GPS-bearing bare TIFF) are
+    * QUARANTINED: content null, flag set — absence, never silently
+    * retained coordinates. `gps_after` re-parses the emitted bytes as
+    * the in-plan audit. */
+  def privacyScrub(files: DataFrame): DataFrame = {
+    import graft.functions.{ExifScrubGps, ExifTags}
+    files
+      .withColumn("had_gps", coalesce(
+        ExifTags.exifTags(col("content")).getField("has_gps"), lit(false)))
+      .withColumn("content", ExifScrubGps.exifScrubGps(col("content")))
+      .withColumn("quarantined", col("content").isNull)
+      .withColumn("gps_after",
+        when(col("quarantined"), lit(null).cast("boolean"))
+          .otherwise(coalesce(
+            ExifTags.exifTags(col("content")).getField("has_gps"), lit(false))))
+      .select(col("path"), col("length"), col("had_gps"), col("quarantined"),
+        col("gps_after"), col("content"))
+  }
+
   /** The FRAME-level arm of [[mediaTriageStream]] for MJPEG-shaped video:
     * each watched MP4's sample table explodes to per-frame rows and every
     * frame's bytes run the REAL baseline-JPEG entropy decode — per-frame
