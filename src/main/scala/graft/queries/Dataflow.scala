@@ -1665,6 +1665,41 @@ object Dataflow {
     * argument as the text near-dup family; the oracle replays the cell
     * formula bit-by-bit and applies the identical shared-band +
     * Hamming-threshold rule. */
+  /** Shared x153/x153s fixture + signature stage: per-group cell
+    * patterns rendered as JPEG (or BMP on every 5th doc), hashed with
+    * `image_ahash`, exploded into four 16-bit bands. */
+  private def ahashBands(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ImageAHash, ImageHeaders, JpegCodec}
+    val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .map { id =>
+        val gid = id % 97
+        def on(k: Int): Boolean =
+          (((gid * 131 + k * 31) % 101) < 43) ^ (k < id % 3)
+        def gray(x: Int, y: Int): Int = {
+          val k = (y / 8) * 8 + (x / 8)
+          if (on(k)) 200 else 60
+        }
+        val payload =
+          if (id % 5 == 0)
+            ImageHeaders.buildBmp24(64, 64, topDown = id % 10 == 0) {
+              (x, y) => val g = gray(x, y); (g, g, g)
+            }
+          else JpegCodec.buildJpegGray(64, 64)(gray)
+        (id, payload)
+      }.toDF("doc_id", "media")
+    media
+      .select(col("doc_id"), ImageAHash.imageAhash(col("media")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(array((0 until 4).map(bd => struct(lit(bd).as("band"),
+          shiftrightunsigned(col("h"), 16 * bd).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
   val x153 = DQ("x153_image_neardup", Some(
     """WITH bits AS (
       |  SELECT doc_id, u.k AS k,
@@ -1683,34 +1718,7 @@ object Dataflow {
       |SELECT a_id, b_id, hamming FROM p WHERE shared = 1 AND hamming <= 6
       |ORDER BY a_id, b_id""".stripMargin)) {
     (spark, dir) =>
-      import spark.implicits._
-      import graft.functions.{ImageAHash, ImageHeaders, JpegCodec}
-      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
-        .as[Long]
-        .map { id =>
-          val gid = id % 97
-          def on(k: Int): Boolean =
-            (((gid * 131 + k * 31) % 101) < 43) ^ (k < id % 3)
-          def gray(x: Int, y: Int): Int = {
-            val k = (y / 8) * 8 + (x / 8)
-            if (on(k)) 200 else 60
-          }
-          val payload =
-            if (id % 5 == 0)
-              ImageHeaders.buildBmp24(64, 64, topDown = id % 10 == 0) {
-                (x, y) => val g = gray(x, y); (g, g, g)
-              }
-            else JpegCodec.buildJpegGray(64, 64)(gray)
-          (id, payload)
-        }.toDF("doc_id", "media")
-      val hashes = media.select(col("doc_id"),
-        ImageAHash.imageAhash(col("media")).as("h"))
-      val bands = hashes.select(col("doc_id"), col("h"),
-        explode(array((0 until 4).map(bd => struct(lit(bd).as("band"),
-          shiftrightunsigned(col("h"), 16 * bd).bitwiseAND(lit(0xffffL))
-            .as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("h"), col("bk.band").as("band"),
-          col("bk.key").as("key"))
+      val bands = ahashBands(spark, dir)
       bands.as("l")
         .join(bands.as("r"),
           col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -2090,8 +2098,71 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x153s: IMAGE DEDUP, THE SCALE PATH — x153 emits every near-dup
+    * PAIR, which is inherently quadratic in duplicate-cluster size (a
+    * corpus whose clusters grow with corpus size makes any pair list
+    * superlinear, regardless of algorithm). The survivors form replaces
+    * pairs with STAR EDGES: each LSH bucket contributes one edge per
+    * member to the bucket minimum (≤ 4 edges/doc — linear), and
+    * `Components.minLabelFixpoint` (x37's machinery) closes the bucket
+    * graph so chained duplicates (A~B, B~C, A∦C) land one canonical.
+    * Bucket collisions define candidate clusters (recall side); x153's
+    * Hamming residual remains the precision check. The oracle replays
+    * the same star edges and closes them with a recursive CTE. Same
+    * x110 → x110s precedent: the measured-scale variant of the operator
+    * family. */
+  val x153s = DQ("x153s_image_dedup_scale", Some(
+    """WITH RECURSIVE
+      |bits AS (
+      |  SELECT doc_id, u.k AS k,
+      |    CASE WHEN ((((doc_id % 97) * 131 + u.k * 31) % 101) < 43)
+      |              <> (u.k < doc_id % 3) THEN 1 ELSE 0 END AS bit
+      |  FROM documents, unnest(generate_series(0, 63)) AS u(k)),
+      |bands AS (
+      |  SELECT doc_id, k // 16 AS band,
+      |         CAST(sum(bit * (1 << (k % 16))) AS BIGINT) AS bkey
+      |  FROM bits GROUP BY 1, 2),
+      |bmin AS (SELECT band, bkey, min(doc_id) AS root
+      |         FROM bands GROUP BY 1, 2),
+      |e0 AS (SELECT DISTINCT b.doc_id AS src, m.root AS dst
+      |       FROM bands b JOIN bmin m USING (band, bkey)
+      |       WHERE b.doc_id <> m.root),
+      |edges AS (SELECT src, dst FROM e0
+      |          UNION SELECT dst AS src, src AS dst FROM e0),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.id, e.dst AS r FROM reach, edges e WHERE e.src = reach.r),
+      |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+      |cs AS (SELECT rep, count(*) AS n FROM lab GROUP BY rep)
+      |SELECT lab.id AS doc_id, lab.rep AS canon,
+      |       CAST(cs.n AS BIGINT) AS cluster_size,
+      |       (lab.id = lab.rep) AS is_canonical
+      |FROM lab JOIN cs USING (rep) ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val bands = ahashBands(spark, dir)
+      val bucketMin = bands.groupBy("band", "key")
+        .agg(min("doc_id").as("root"))
+      val e0 = bands.join(bucketMin, Seq("band", "key"))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("doc_id").as("src"), col("root").as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = bands.select(col("doc_id").as("id")).distinct()
+      // cross-group band aliasing chains buckets into long paths, so the
+      // bucket graph's diameter can exceed the default 20 rounds
+      val labels = graft.batch.Components.minLabelFixpoint(nodes, edges,
+        maxIter = 100)
+      val clusters = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+      labels.join(clusters, "rep")
+        .select(col("id").as("doc_id"), col("rep").as("canon"),
+          col("cluster_size"), (col("id") === col("rep")).as("is_canonical"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
-    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x154,
-    x155, x156, x157, x158)
+    x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
+    x154, x155, x156, x157, x158)
 }
