@@ -121,6 +121,8 @@ object ChunkFunctions {
       es => AnnexbNals(es.head), "built-in")
     reg.createOrReplaceTempFunction("h264_sps_meta",
       es => H264SpsMeta(es.head), "built-in")
+    reg.createOrReplaceTempFunction("warc_records",
+      es => WarcRecords(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_frames",
       es => PcmFrames(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
@@ -212,6 +214,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("h264_sps_meta"),
       new ExpressionInfo(classOf[H264SpsMeta].getName, "h264_sps_meta"),
       es => H264SpsMeta(es.head)))
+    e.injectFunction((FunctionIdentifier("warc_records"),
+      new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
+      es => WarcRecords(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_frames"),
       new ExpressionInfo(classOf[PcmFrames].getName, "pcm_frames"),
       es => PcmFrames(es.head, es(1))))

@@ -2161,8 +2161,75 @@ object Dataflow {
         .orderBy("doc_id")
   }
 
+  /** x159: WARC INGEST — the actual container a crawl corpus arrives in
+    * (ISO 28500): version line, CRLF headers, Content-Length-framed
+    * payload, CRLF CRLF trailer; `.warc.gz` ships one gzip member per
+    * record and the JDK's GZIPInputStream consumes the concatenation
+    * natively, so every third doc's archive is member-gzipped and must
+    * parse identically to its plain twin. Each doc becomes a warcinfo +
+    * request/response conversation; `warc_records` must recover type,
+    * target URI, date and the EXACT payload bytes (md5-proven) from the
+    * declared-length framing. One corrupt length poisons everything
+    * after it, so malformed streams route to null whole. */
+  val x159 = DQ("x159_warc_ingest", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nr,
+      |                  printf('2024-%02d-01T00:00:00Z', doc_id % 12 + 1) AS dt
+      |           FROM documents),
+      |recs AS (
+      |  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+      |         CAST(NULL AS VARCHAR) AS uri, dt,
+      |         'software: graft ' || CAST(doc_id AS VARCHAR) AS pl
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 2 * u.r + 1, 'request',
+      |         'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+      |           || CAST(u.r AS VARCHAR),
+      |         dt, 'GET /p' || CAST(u.r AS VARCHAR) || ' HTTP/1.1'
+      |  FROM d, unnest(generate_series(0, nr - 1)) AS u(r)
+      |  UNION ALL
+      |  SELECT doc_id, 2 * u.r + 2, 'response',
+      |         'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+      |           || CAST(u.r AS VARCHAR),
+      |         dt, '<html><body>doc ' || CAST(doc_id AS VARCHAR) || ' page '
+      |           || CAST(u.r AS VARCHAR) || '</body></html>'
+      |  FROM d, unnest(generate_series(0, nr - 1)) AS u(r))
+      |SELECT doc_id AS media_id, CAST(rec_idx AS INT) AS rec_idx, rec_type,
+      |  uri, dt AS date, CAST(length(pl) AS BIGINT) AS content_length,
+      |  md5(pl) AS payload_md5
+      |FROM recs ORDER BY media_id, rec_idx""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Warc, WarcRecords}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val dt = f"2024-${id % 12 + 1}%02d-01T00:00:00Z"
+          val recs = Seq(("warcinfo", null: String, dt,
+            s"software: graft $id".getBytes)) ++
+            (0 until (id % 4 + 1).toInt).flatMap { r =>
+              val uri = s"http://site${id % 50}.example/p$r"
+              Seq(
+                ("request", uri, dt, s"GET /p$r HTTP/1.1".getBytes),
+                ("response", uri, dt,
+                  s"<html><body>doc $id page $r</body></html>".getBytes))
+            }
+          val payload =
+            if (id % 3 == 0) Warc.buildGz(recs) else Warc.build(recs)
+          (id, payload)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          posexplode(WarcRecords.warcRecords(col("media"))).as(Seq("rec_idx", "p")))
+        .select(col("media_id"), col("rec_idx").cast("int").as("rec_idx"),
+          col("p.rec_type").as("rec_type"), col("p.uri").as("uri"),
+          col("p.date").as("date"),
+          col("p.content_length").as("content_length"),
+          md5(col("p.payload")).as("payload_md5"))
+        .orderBy("media_id", "rec_idx")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
-    x154, x155, x156, x157, x158)
+    x154, x155, x156, x157, x158, x159)
 }
