@@ -2228,8 +2228,85 @@ object Dataflow {
         .orderBy("media_id", "rec_idx")
   }
 
+  /** x160: WARC → HTML → MAIN TEXT — the crawl text front door composed
+    * end-to-end: `warc_records` opens the archive, the response
+    * payloads are real HTML pages, and a declarative strip chain
+    * (script/style removal, tag→space, entity decode, whitespace
+    * collapse — all codegen'd regexp/string builtins, no UDF) yields
+    * the text the rest of the pipeline (dedup, language-ID, quality)
+    * consumes, plus the classic quality signals: title, text length,
+    * link count, text-to-markup ratio. The oracle states the EXPECTED
+    * text by construction (it never runs a regex), so the Spark chain
+    * must land string-exact — boilerplate removal as a verified
+    * operator, not a heuristic. */
+  val x160 = DQ("x160_warc_html_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS nl,
+      |                  CAST(doc_id % 7 AS INT) AS hd FROM documents),
+      |l AS (SELECT doc_id,
+      |        string_agg('link' || CAST(u.r AS VARCHAR), ' ' ORDER BY u.r) AS links,
+      |        string_agg('<a href="/l' || CAST(u.r AS VARCHAR) || '">link'
+      |          || CAST(u.r AS VARCHAR) || '</a>', ' ' ORDER BY u.r) AS links_html
+      |      FROM d, unnest(generate_series(0, nl - 1)) AS u(r) GROUP BY doc_id),
+      |h AS (SELECT d.doc_id, d.nl, d.hd,
+      |        'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+      |        'Doc ' || CAST(d.doc_id AS VARCHAR) || ' Heading '
+      |          || CAST(d.hd AS VARCHAR) || ' Paragraph for document '
+      |          || CAST(d.doc_id AS VARCHAR) || ' & more <stuff>.'
+      |          || CASE WHEN d.nl = 0 THEN '' ELSE ' ' || l.links END AS text,
+      |        '<html><head><title>Doc ' || CAST(d.doc_id AS VARCHAR)
+      |          || '</title><style>body{color:red}</style></head><body>'
+      |          || '<script>var x = ' || CAST(d.doc_id AS VARCHAR)
+      |          || ';</script><h1>Heading ' || CAST(d.hd AS VARCHAR)
+      |          || '</h1><p>Paragraph   for document ' || CAST(d.doc_id AS VARCHAR)
+      |          || ' &amp; more &lt;stuff&gt;.</p>'
+      |          || COALESCE(l.links_html, '') || '</body></html>' AS html
+      |      FROM d LEFT JOIN l ON d.doc_id = l.doc_id)
+      |SELECT doc_id AS media_id, title, text,
+      |  CAST(length(text) AS INT) AS text_len,
+      |  CAST(nl AS INT) AS link_count,
+      |  CAST((100 * length(text)) // length(html) AS INT) AS text_ratio_pct
+      |FROM h ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Warc, WarcRecords}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nl = (id % 5).toInt
+          val links = (0 until nl)
+            .map(r => s"""<a href="/l$r">link$r</a>""").mkString(" ")
+          val html = "<html><head><title>Doc " + id +
+            "</title><style>body{color:red}</style></head><body>" +
+            "<script>var x = " + id + ";</script><h1>Heading " + (id % 7) +
+            "</h1><p>Paragraph   for document " + id +
+            " &amp; more &lt;stuff&gt;.</p>" + links + "</body></html>"
+          val uri = s"http://site${id % 50}.example/page"
+          (id, Warc.build(Seq(
+            ("warcinfo", null, "2024-06-01T00:00:00Z", s"graft $id".getBytes),
+            ("response", uri, "2024-06-01T00:00:00Z", html.getBytes))))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          explode(WarcRecords.warcRecords(col("media"))).as("p"))
+        .filter(col("p.rec_type") === "response")
+        .select(col("media_id"), col("p.payload").cast("string").as("html"))
+        .withColumn("stripped", regexp_replace(col("html"),
+          "(?is)<script.*?</script>|<style.*?</style>", ""))
+        .withColumn("spaced", regexp_replace(col("stripped"), "<[^>]*>", " "))
+        .withColumn("decoded", regexp_replace(regexp_replace(regexp_replace(
+          col("spaced"), "&amp;", "&"), "&lt;", "<"), "&gt;", ">"))
+        .withColumn("text", trim(regexp_replace(col("decoded"), "\\s+", " ")))
+        .select(col("media_id"),
+          regexp_extract(col("html"), "(?is)<title>(.*?)</title>", 1).as("title"),
+          col("text"), length(col("text")).as("text_len"),
+          (size(split(col("html"), "<a href=")) - 1).as("link_count"),
+          expr("(100 * length(text)) div length(html)").cast("int")
+            .as("text_ratio_pct"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
-    x154, x155, x156, x157, x158, x159)
+    x154, x155, x156, x157, x158, x159, x160)
 }
