@@ -94,9 +94,15 @@ object Warc {
   private def ascii(b: Array[Byte], from: Int, to: Int): String =
     new String(b, from, to - from, java.nio.charset.StandardCharsets.US_ASCII)
 
-  private def gunzip(b: Array[Byte]): Array[Byte] =
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    // close() releases the native Inflater immediately — relying on GC
+    // here turns a per-row decompress into native-memory pressure and a
+    // superlinear wall-time curve at scale (measured: 14× at 10× docs).
+    // The constructor itself reads (and can throw on) the member header,
+    // so it sits inside the try; `in` may thus be null in the finally.
+    var in: java.util.zip.GZIPInputStream = null
     try {
-      val in = new java.util.zip.GZIPInputStream(
+      in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b))
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -110,6 +116,8 @@ object Warc {
       }
       out.toByteArray
     } catch { case _: java.io.IOException => null }
+    finally if (in != null) in.close()
+  }
 
   // ------------------------------------------------------------- builders
 
@@ -131,14 +139,18 @@ object Warc {
     out.toByteArray
   }
 
-  /** One gzip member per record — the `.warc.gz` convention. */
+  /** One gzip member per record — the `.warc.gz` convention. Each member
+    * gets its own stream so close() can end the native Deflater (same
+    * resource rule as [[gunzip]]). */
   def buildGz(records: Seq[(String, String, String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     for (r <- records) {
-      val gz = new java.util.zip.GZIPOutputStream(out)
+      val member = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(member)
       val one = build(Seq(r))
       gz.write(one, 0, one.length)
-      gz.finish()
+      gz.close()
+      member.writeTo(out)
     }
     out.toByteArray
   }
