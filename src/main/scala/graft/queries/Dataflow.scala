@@ -2171,6 +2171,33 @@ object Dataflow {
     * target URI, date and the EXACT payload bytes (md5-proven) from the
     * declared-length framing. One corrupt length poisons everything
     * after it, so malformed streams route to null whole. */
+  /** Shared x159/x161 fixture: each doc becomes a WARC archive whose
+    * target URIs are `site{doc_id%50}.example/p{r}` — deliberately
+    * SHARED across docs in the same site group, so URL-level dedup has
+    * real duplicates to find. Every third doc is member-gzipped. */
+  private def warcFixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.functions.Warc
+    spread(table(spark, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .map { id =>
+        val dt = f"2024-${id % 12 + 1}%02d-01T00:00:00Z"
+        val recs = Seq(("warcinfo", null: String, dt,
+          s"software: graft $id".getBytes)) ++
+          (0 until (id % 4 + 1).toInt).flatMap { r =>
+            val uri = s"http://site${id % 50}.example/p$r"
+            Seq(
+              ("request", uri, dt, s"GET /p$r HTTP/1.1".getBytes),
+              ("response", uri, dt,
+                s"<html><body>doc $id page $r</body></html>".getBytes))
+          }
+        val payload =
+          if (id % 3 == 0) Warc.buildGz(recs) else Warc.build(recs)
+        (id, payload)
+      }.toDF("media_id", "media")
+  }
+
   val x159 = DQ("x159_warc_ingest", Some(
     """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nr,
       |                  printf('2024-%02d-01T00:00:00Z', doc_id % 12 + 1) AS dt
@@ -2198,26 +2225,8 @@ object Dataflow {
       |  md5(pl) AS payload_md5
       |FROM recs ORDER BY media_id, rec_idx""".stripMargin)) {
     (spark, dir) =>
-      import spark.implicits._
-      import graft.functions.{Warc, WarcRecords}
-      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
-        .as[Long]
-        .map { id =>
-          val dt = f"2024-${id % 12 + 1}%02d-01T00:00:00Z"
-          val recs = Seq(("warcinfo", null: String, dt,
-            s"software: graft $id".getBytes)) ++
-            (0 until (id % 4 + 1).toInt).flatMap { r =>
-              val uri = s"http://site${id % 50}.example/p$r"
-              Seq(
-                ("request", uri, dt, s"GET /p$r HTTP/1.1".getBytes),
-                ("response", uri, dt,
-                  s"<html><body>doc $id page $r</body></html>".getBytes))
-            }
-          val payload =
-            if (id % 3 == 0) Warc.buildGz(recs) else Warc.build(recs)
-          (id, payload)
-        }.toDF("media_id", "media")
-      media
+      import graft.functions.WarcRecords
+      warcFixture(spark, dir)
         .select(col("media_id"),
           posexplode(WarcRecords.warcRecords(col("media"))).as(Seq("rec_idx", "p")))
         .select(col("media_id"), col("rec_idx").cast("int").as("rec_idx"),
@@ -2305,8 +2314,43 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x161: URL-LEVEL DEDUP — the curation step that runs BEFORE content
+    * dedup in every crawl pipeline: many docs re-crawl the same target
+    * URI (the fixture shares `site{gid}/p{r}` across the docs of a
+    * site group), so the first exact-key pass groups by URI and keeps
+    * the earliest capture as canonical. Composed from `warc_records` +
+    * Spark's built-in `parse_url` (HOST extraction, codegen'd — no
+    * UDF); one map-side-combinable groupBy, no pair space. The oracle
+    * recomputes copies/canonical per (site, page) from the fixture
+    * formulas. */
+  val x161 = DQ("x161_url_dedup", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 50 AS gid,
+      |                  CAST(doc_id % 4 + 1 AS INT) AS nr FROM documents),
+      |p AS (SELECT doc_id, gid, u.r AS r
+      |      FROM d, unnest(generate_series(0, nr - 1)) AS u(r)),
+      |a AS (SELECT gid, r, count(*) AS n, min(doc_id) AS canonical
+      |      FROM p GROUP BY 1, 2)
+      |SELECT 'http://site' || CAST(gid AS VARCHAR) || '.example/p'
+      |         || CAST(r AS VARCHAR) AS uri,
+      |       'site' || CAST(gid AS VARCHAR) || '.example' AS domain,
+      |       CAST(n AS BIGINT) AS n_copies, canonical
+      |FROM a ORDER BY uri""".stripMargin)) {
+    (spark, dir) =>
+      import graft.functions.WarcRecords
+      warcFixture(spark, dir)
+        .select(col("media_id"),
+          explode(WarcRecords.warcRecords(col("media"))).as("p"))
+        .filter(col("p.rec_type") === "response")
+        .select(col("media_id"), col("p.uri").as("uri"))
+        .groupBy("uri")
+        .agg(count(lit(1)).as("n_copies"), min("media_id").as("canonical"))
+        .select(col("uri"), expr("parse_url(uri, 'HOST')").as("domain"),
+          col("n_copies"), col("canonical"))
+        .orderBy("uri")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
-    x154, x155, x156, x157, x158, x159, x160)
+    x154, x155, x156, x157, x158, x159, x160, x161)
 }
