@@ -1,0 +1,365 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Library-free archive walks for the two bundle formats a crawl corpus
+  * actually ships in besides WARC: ZIP (APPNOTE.TXT, the public PKWARE
+  * spec) and POSIX ustar TAR. Both are pure container syntax plus, for
+  * deflated ZIP entries, the JDK's raw `Inflater` — no codec library.
+  *
+  * ZIP truth lives in the CENTRAL directory (found via the
+  * end-of-central-directory record scanned from the tail), never by
+  * scanning for local headers — self-extracting archives and embedded
+  * zips make local-header scans false-sync. Every entry's payload is
+  * decompressed and checked against the recorded CRC-32 and size;
+  * mismatches surface as `crc_ok = false` with a null payload (route,
+  * don't hand wrong bytes downstream). TAR headers carry their own
+  * checksum (byte sum with the checksum field blanked); a failed
+  * header checksum ends the walk, and the canonical two zero blocks
+  * terminate it. */
+object Archives {
+
+  private def u(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u(b, i) | (u(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u(b, i) | (u(b, i + 1) << 8) | (u(b, i + 2) << 16) |
+      (u(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  /** ZIP entries via EOCD → central directory:
+    * (name, method, usize, crc_ok, payload | null). Null for payloads
+    * with no parseable EOCD/central directory. */
+  def zipEntries(b: Array[Byte]): Array[(String, Int, Long, Boolean, Array[Byte])] = {
+    if (b == null || b.length < 22) return null
+    // EOCD: last 64 KB + 22, scanned backward
+    var eocd = -1
+    var i = b.length - 22
+    val floor = math.max(0, b.length - 22 - 0xffff)
+    while (eocd < 0 && i >= floor) {
+      if (u(b, i) == 0x50 && u(b, i + 1) == 0x4b && u(b, i + 2) == 0x05 &&
+        u(b, i + 3) == 0x06) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return null
+    val n = le16(b, eocd + 10)
+    val cdOff = le32(b, eocd + 16)
+    if (cdOff + 4 > b.length) return null
+    val out = new Array[(String, Int, Long, Boolean, Array[Byte])](n)
+    var at = cdOff.toInt
+    var e = 0
+    while (e < n) {
+      if (at + 46 > b.length || le32(b, at) != 0x02014b50L) return null
+      val method = le16(b, at + 10)
+      val crc = le32(b, at + 16)
+      val csize = le32(b, at + 20)
+      val usize = le32(b, at + 24)
+      val nameLen = le16(b, at + 28)
+      val extraLen = le16(b, at + 30)
+      val commentLen = le16(b, at + 32)
+      val localOff = le32(b, at + 42)
+      if (at + 46 + nameLen > b.length) return null
+      val name = new String(b, at + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      // local header re-read: ITS name/extra lengths govern the data start
+      var payload: Array[Byte] = null
+      var ok = false
+      val lo = localOff.toInt
+      if (localOff + 30 <= b.length && le32(b, lo) == 0x04034b50L) {
+        val lNameLen = le16(b, lo + 26)
+        val lExtraLen = le16(b, lo + 28)
+        val dataAt = lo + 30 + lNameLen + lExtraLen
+        if (dataAt + csize <= b.length && usize <= (1L << 28)) {
+          val comp = java.util.Arrays.copyOfRange(b, dataAt, (dataAt + csize).toInt)
+          val raw = method match {
+            case 0 => comp
+            case 8 => inflateRaw(comp, usize.toInt)
+            case _ => null // unsupported method: not ok, no payload
+          }
+          if (raw != null && raw.length.toLong == usize) {
+            val c = new java.util.zip.CRC32()
+            c.update(raw, 0, raw.length)
+            if (c.getValue == crc) { ok = true; payload = raw }
+          }
+        }
+      }
+      out(e) = (name, method, usize, ok, payload)
+      at += 46 + nameLen + extraLen + commentLen
+      e += 1
+    }
+    out
+  }
+
+  private def inflateRaw(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true) // raw deflate, no zlib wrap
+    try {
+      inf.setInput(comp)
+      val out = new Array[Byte](expected)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(out, got, expected - got)
+        if (n == 0 && inf.needsInput()) return null // truncated
+        got += n
+      }
+      if (got == expected) out else null
+    } catch { case _: java.util.zip.DataFormatException => null }
+    finally inf.end() // release the native buffer NOW (the WARC lesson)
+  }
+
+  /** TAR (ustar) entries: (name, typeflag, size, payload). Walk ends at
+    * the two-zero-block terminator or buffer end; a bad header checksum
+    * routes the whole parse to null. */
+  def tarEntries(b: Array[Byte]): Array[(String, String, Long, Array[Byte])] = {
+    if (b == null || b.length < 512) return null
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long, Array[Byte])]()
+    var at = 0
+    var sawAny = false
+    while (at + 512 <= b.length) {
+      var allZero = true
+      var j = 0
+      while (allZero && j < 512) { if (b(at + j) != 0) allZero = false; j += 1 }
+      if (allZero) return if (sawAny) out.toArray else null
+      // header checksum: byte sum with the checksum field as spaces
+      var sum = 0L
+      j = 0
+      while (j < 512) {
+        sum += (if (j >= 148 && j < 156) 0x20 else u(b, at + j))
+        j += 1
+      }
+      val stored = octal(b, at + 148, 8)
+      if (stored < 0 || stored != sum) return null
+      val name = cstr(b, at, 100)
+      val size = octal(b, at + 124, 12)
+      if (size < 0 || size > (1L << 28)) return null
+      val typeflag = {
+        val t = u(b, at + 156)
+        if (t == 0) "0" else String.valueOf(t.toChar)
+      }
+      val dataAt = at + 512
+      if (dataAt + size > b.length) return null
+      val payload = java.util.Arrays.copyOfRange(b, dataAt, (dataAt + size).toInt)
+      out += ((name, typeflag, size, payload))
+      sawAny = true
+      at = dataAt + (((size + 511) / 512) * 512).toInt
+    }
+    if (sawAny) out.toArray else null
+  }
+
+  private def cstr(b: Array[Byte], at: Int, max: Int): String = {
+    var end = at
+    while (end < at + max && b(end) != 0) end += 1
+    new String(b, at, end - at, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def octal(b: Array[Byte], at: Int, len: Int): Long = {
+    var v = 0L
+    var i = at
+    var seen = false
+    val end = at + len
+    while (i < end) {
+      val c = u(b, i)
+      if (c >= '0' && c <= '7') { v = v * 8 + (c - '0'); seen = true }
+      else if (c == 0 || c == ' ') { if (seen) i = end - 1 } // terminator
+      else return -1
+      i += 1
+    }
+    if (seen) v else -1
+  }
+
+  // ------------------------------------------------------------- builders
+
+  /** Store (method 0) or deflate (method 8) each (name, payload, deflate?)
+    * into a spec-conformant ZIP. */
+  def buildZip(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    final case class Meta(name: Array[Byte], method: Int, crc: Long,
+      csize: Int, usize: Int, off: Int)
+    val metas = entries.map { case (name, payload, deflate) =>
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val c = new java.util.zip.CRC32(); c.update(payload, 0, payload.length)
+      val comp =
+        if (!deflate) payload
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            d.setInput(payload); d.finish()
+            val buf = new Array[Byte](payload.length + 64)
+            var n = 0
+            while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+            java.util.Arrays.copyOf(buf, n)
+          } finally d.end()
+        }
+      val off = out.size()
+      w32(0x04034b50L); w16(20); w16(0); w16(if (deflate) 8 else 0)
+      w16(0); w16(0) // time, date
+      w32(c.getValue); w32(comp.length.toLong); w32(payload.length.toLong)
+      w16(nb.length); w16(0)
+      out.write(nb, 0, nb.length)
+      out.write(comp, 0, comp.length)
+      Meta(nb, if (deflate) 8 else 0, c.getValue, comp.length, payload.length, off)
+    }
+    val cdOff = out.size()
+    for (m <- metas) {
+      w32(0x02014b50L); w16(20); w16(20); w16(0); w16(m.method)
+      w16(0); w16(0) // time, date
+      w32(m.crc); w32(m.csize.toLong); w32(m.usize.toLong)
+      w16(m.name.length); w16(0); w16(0); w16(0); w16(0); w32(0L)
+      w32(m.off.toLong)
+      out.write(m.name, 0, m.name.length)
+    }
+    val cdSize = out.size() - cdOff
+    w32(0x06054b50L); w16(0); w16(0); w16(metas.length); w16(metas.length)
+    w32(cdSize.toLong); w32(cdOff.toLong); w16(0)
+    out.toByteArray
+  }
+
+  /** ustar TAR with correct header checksums and the 2-block trailer. */
+  def buildTar(entries: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((name, typeflag, payload) <- entries) {
+      val h = new Array[Byte](512)
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(nb.length <= 100, "name fits the ustar field")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def oct(at: Int, len: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val pad = "0" * (len - 1 - s.length) + s
+        System.arraycopy(pad.getBytes, 0, h, at, len - 1)
+        h(at + len - 1) = 0
+      }
+      oct(100, 8, 420) // mode 0644
+      oct(108, 8, 0); oct(116, 8, 0) // uid, gid
+      oct(124, 12, payload.length.toLong)
+      oct(136, 12, 0) // mtime
+      h(156) = typeflag.charAt(0).toByte
+      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0'
+      java.util.Arrays.fill(h, 148, 156, 0x20.toByte) // blank checksum
+      var sum = 0L
+      for (j <- 0 until 512) sum += h(j) & 0xff
+      val cs = java.lang.Long.toOctalString(sum)
+      val pad = "0" * (6 - cs.length) + cs
+      System.arraycopy(pad.getBytes, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(payload, 0, payload.length)
+      val rem = ((payload.length + 511) / 512) * 512 - payload.length
+      out.write(new Array[Byte](rem), 0, rem)
+    }
+    out.write(new Array[Byte](1024), 0, 1024)
+    out.toByteArray
+  }
+}
+
+/** `zip_entries(binary)` → `array<struct<name string, method int,
+  * usize bigint, crc_ok boolean, payload binary>>` via the central
+  * directory, payloads decompressed and CRC-verified; null when no
+  * EOCD/central directory parses. */
+case class ZipEntries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ZipEntries.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zip_entries expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val es = Archives.zipEntries(payload.asInstanceOf[Array[Byte]])
+    if (es == null) null
+    else new GenericArrayData(es.map(e => InternalRow(
+      UTF8String.fromString(e._1), e._2, e._3, e._4, e._5): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("zipEntries", this, classOf[ZipEntries].getName)
+    val r = ctx.freshName("zip")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZipEntries =
+    copy(child = newChild)
+
+  override def prettyName: String = "zip_entries"
+}
+
+object ZipEntries {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType),
+    StructField("method", IntegerType),
+    StructField("usize", LongType),
+    StructField("crc_ok", BooleanType),
+    StructField("payload", BinaryType))), containsNull = false)
+
+  def zipEntries(media: Column): Column =
+    GraftColumnShim.column(ZipEntries(GraftColumnShim.expression(media)))
+}
+
+/** `tar_entries(binary)` → `array<struct<name string, typeflag string,
+  * size bigint, payload binary>>` for checksum-verified ustar archives;
+  * null when the first header fails its checksum. */
+case class TarEntries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TarEntries.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tar_entries expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val es = Archives.tarEntries(payload.asInstanceOf[Array[Byte]])
+    if (es == null) null
+    else new GenericArrayData(es.map(e => InternalRow(
+      UTF8String.fromString(e._1), UTF8String.fromString(e._2),
+      e._3, e._4): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tarEntries", this, classOf[TarEntries].getName)
+    val r = ctx.freshName("tar")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TarEntries =
+    copy(child = newChild)
+
+  override def prettyName: String = "tar_entries"
+}
+
+object TarEntries {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType),
+    StructField("typeflag", StringType),
+    StructField("size", LongType),
+    StructField("payload", BinaryType))), containsNull = false)
+
+  def tarEntries(media: Column): Column =
+    GraftColumnShim.column(TarEntries(GraftColumnShim.expression(media)))
+}

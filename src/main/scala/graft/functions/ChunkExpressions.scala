@@ -123,6 +123,10 @@ object ChunkFunctions {
       es => H264SpsMeta(es.head), "built-in")
     reg.createOrReplaceTempFunction("warc_records",
       es => WarcRecords(es.head), "built-in")
+    reg.createOrReplaceTempFunction("zip_entries",
+      es => ZipEntries(es.head), "built-in")
+    reg.createOrReplaceTempFunction("tar_entries",
+      es => TarEntries(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_frames",
       es => PcmFrames(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("h264_meta",
@@ -217,6 +221,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("warc_records"),
       new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
       es => WarcRecords(es.head)))
+    e.injectFunction((FunctionIdentifier("zip_entries"),
+      new ExpressionInfo(classOf[ZipEntries].getName, "zip_entries"),
+      es => ZipEntries(es.head)))
+    e.injectFunction((FunctionIdentifier("tar_entries"),
+      new ExpressionInfo(classOf[TarEntries].getName, "tar_entries"),
+      es => TarEntries(es.head)))
     e.injectFunction((FunctionIdentifier("pcm_frames"),
       new ExpressionInfo(classOf[PcmFrames].getName, "pcm_frames"),
       es => PcmFrames(es.head, es(1))))

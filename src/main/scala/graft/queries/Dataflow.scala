@@ -2349,8 +2349,112 @@ object Dataflow {
         .orderBy("uri")
   }
 
+  /** x162: ZIP ARCHIVE TRIAGE — central-directory-driven walk
+    * (EOCD-first, the APPNOTE discipline; local-header scans false-sync
+    * on self-extracting/embedded zips), each entry decompressed (raw
+    * Inflate for method 8, store for 0) and verified against the
+    * recorded CRC-32 and size. Every 19th doc has its first entry's
+    * data corrupted post-build: accounting survives, `crc_ok` drops to
+    * false, and the payload is withheld (null md5) — never wrong bytes
+    * downstream. The oracle recomputes names, methods, sizes, routing
+    * and payload md5s from the generator formulas. */
+  val x162 = DQ("x162_zip_triage", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nz
+      |           FROM documents),
+      |e AS (SELECT doc_id, u.e AS e,
+      |        'payload ' || CAST(doc_id AS VARCHAR) || ':' || CAST(u.e AS VARCHAR)
+      |          || ':' || repeat('z', CAST(doc_id % 40 + u.e AS INT)) AS pl,
+      |        (doc_id % 19 = 0 AND u.e = 0) AS corrupt
+      |      FROM d, unnest(generate_series(0, nz - 1)) AS u(e))
+      |SELECT doc_id AS media_id, CAST(e AS INT) AS idx,
+      |  'f' || CAST(e AS VARCHAR) || '.txt' AS name,
+      |  CAST(CASE WHEN (doc_id + e) % 2 = 0 THEN 8 ELSE 0 END AS INT) AS method,
+      |  CAST(length(pl) AS BIGINT) AS usize,
+      |  NOT corrupt AS crc_ok,
+      |  CASE WHEN corrupt THEN NULL ELSE md5(pl) END AS payload_md5
+      |FROM e ORDER BY media_id, idx""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, ZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nz = (id % 4 + 1).toInt
+          val entries = (0 until nz).map { e =>
+            (s"f$e.txt",
+              (s"payload $id:$e:" + "z" * ((id % 40).toInt + e)).getBytes,
+              (id + e) % 2 == 0)
+          }
+          val zip = Archives.buildZip(entries)
+          if (id % 19 == 0) {
+            // entry 0's local header sits at offset 0; name "f0.txt" is 6
+            // bytes, so its data starts at 30 + 6 = 36. XOR the BTYPE
+            // bits (0x06), not BFINAL (0x01): flipping BFINAL on a
+            // single-block deflate stream decodes to identical bytes, so
+            // the CRC would still verify
+            zip(36) = (zip(36) ^ 0x06).toByte
+          }
+          (id, zip)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          posexplode(ZipEntries.zipEntries(col("media"))).as(Seq("idx", "p")))
+        .select(col("media_id"), col("idx").cast("int").as("idx"),
+          col("p.name").as("name"), col("p.method").as("method"),
+          col("p.usize").as("usize"), col("p.crc_ok").as("crc_ok"),
+          md5(col("p.payload")).as("payload_md5"))
+        .orderBy("media_id", "idx")
+  }
+
+  /** x163: TAR (ustar) TRIAGE — 512-byte headers with their own
+    * checksums (byte sum, checksum field blanked), octal sizes, 512
+    * rounding, directory typeflags, two-zero-block terminator. Each
+    * archive carries a directory entry plus its files; payload md5s
+    * prove byte-exact slicing (a directory's empty payload hashes to
+    * the canonical empty-string md5 on both sides). */
+  val x163 = DQ("x163_tar_triage", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS nf
+      |           FROM documents),
+      |r AS (
+      |  SELECT doc_id, 0 AS idx, 'docs/' AS name, '5' AS typeflag,
+      |         CAST(0 AS BIGINT) AS sz, md5('') AS payload_md5
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id, u.e + 1, 'docs/d' || CAST(u.e AS VARCHAR) || '.txt', '0',
+      |         CAST(length('tar ' || CAST(doc_id AS VARCHAR) || ' file '
+      |           || CAST(u.e AS VARCHAR)
+      |           || repeat('t', CAST(doc_id % 25 AS INT))) AS BIGINT),
+      |         md5('tar ' || CAST(doc_id AS VARCHAR) || ' file '
+      |           || CAST(u.e AS VARCHAR) || repeat('t', CAST(doc_id % 25 AS INT)))
+      |  FROM d, unnest(generate_series(0, nf - 1)) AS u(e))
+      |SELECT doc_id AS media_id, CAST(idx AS INT) AS idx, name, typeflag,
+      |  sz AS size, payload_md5
+      |FROM r ORDER BY media_id, idx""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, TarEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nf = (id % 3 + 1).toInt
+          val entries = Seq(("docs/", "5", Array.emptyByteArray)) ++
+            (0 until nf).map { e =>
+              (s"docs/d$e.txt", "0",
+                (s"tar $id file $e" + "t" * (id % 25).toInt).getBytes)
+            }
+          (id, Archives.buildTar(entries))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          posexplode(TarEntries.tarEntries(col("media"))).as(Seq("idx", "p")))
+        .select(col("media_id"), col("idx").cast("int").as("idx"),
+          col("p.name").as("name"), col("p.typeflag").as("typeflag"),
+          col("p.size").as("size"), md5(col("p.payload")).as("payload_md5"))
+        .orderBy("media_id", "idx")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
-    x154, x155, x156, x157, x158, x159, x160, x161)
+    x154, x155, x156, x157, x158, x159, x160, x161, x162, x163)
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Archives
+
+/** ZIP/TAR archive walks: central-directory-driven ZIP parse with CRC
+  * verification and payload withholding on mismatch; checksum-verified
+  * ustar walk with directory entries and 512-block rounding; fuzz never
+  * throws. */
+class ArchiveSpec extends AnyFunSuite {
+
+  private val zipEntries = Seq(
+    ("a.txt", "stored payload".getBytes, false),
+    ("dir/b.bin", Array.tabulate[Byte](5000)(i => (i % 251).toByte), true),
+    ("empty", Array.emptyByteArray, false))
+
+  test("ZIP build → parse round-trips store and deflate entries") {
+    val es = Archives.zipEntries(Archives.buildZip(zipEntries))
+    assert(es != null && es.length == 3)
+    assert(es.map(_._1).toSeq == Seq("a.txt", "dir/b.bin", "empty"))
+    assert(es.map(_._2).toSeq == Seq(0, 8, 0))
+    assert(es.forall(_._4), "all CRCs verify")
+    for ((e, src) <- es.zip(zipEntries))
+      assert(java.util.Arrays.equals(e._5, src._2))
+    assert(es(1)._3 == 5000L)
+  }
+
+  test("corrupted ZIP data keeps accounting, withholds the payload") {
+    val zip = Archives.buildZip(zipEntries)
+    // a.txt's data starts at 30 + len("a.txt") = 35
+    val bad = zip.clone(); bad(35) = (bad(35) ^ 1).toByte
+    val es = Archives.zipEntries(bad)
+    assert(es != null && es.length == 3)
+    assert(!es(0)._4 && es(0)._5 == null) // never wrong bytes downstream
+    assert(es(1)._4 && es(2)._4) // other entries unaffected
+    // no EOCD at all -> null
+    assert(Archives.zipEntries("PK but not really a zip".getBytes) == null)
+    assert(Archives.zipEntries(null) == null)
+  }
+
+  test("TAR build → parse round-trips files, dirs, and block rounding") {
+    val tar = Archives.buildTar(Seq(
+      ("d/", "5", Array.emptyByteArray),
+      ("d/one.txt", "0", "exactly512".getBytes ++ new Array[Byte](502)),
+      ("d/two.txt", "0", "x".getBytes)))
+    val es = Archives.tarEntries(tar)
+    assert(es != null && es.length == 3)
+    assert(es.map(_._1).toSeq == Seq("d/", "d/one.txt", "d/two.txt"))
+    assert(es.map(_._2).toSeq == Seq("5", "0", "0"))
+    assert(es.map(_._3).toSeq == Seq(0L, 512L, 1L))
+    assert(new String(es(2)._4) == "x")
+  }
+
+  test("a bad TAR header checksum routes the whole parse to null") {
+    val tar = Archives.buildTar(Seq(("f", "0", "hello".getBytes)))
+    val bad = tar.clone(); bad(0) = 'g' // name change breaks the checksum
+    assert(Archives.tarEntries(bad) == null)
+    assert(Archives.tarEntries(new Array[Byte](1024)) == null) // only zeros
+    assert(Archives.tarEntries(null) == null)
+  }
+
+  test("truncation and mutation fuzz never throw") {
+    val zip = Archives.buildZip(zipEntries)
+    val tar = Archives.buildTar(Seq(("a", "0", "abc".getBytes),
+      ("b", "0", new Array[Byte](700))))
+    for (n <- 0 to zip.length) Archives.zipEntries(zip.take(n))
+    for (n <- 0 to tar.length) Archives.tarEntries(tar.take(n))
+    val rnd = new scala.util.Random(0xA2C11L)
+    for (_ <- 1 to 300) {
+      val z = zip.clone()
+      z(rnd.nextInt(z.length)) = rnd.nextInt(256).toByte
+      Archives.zipEntries(z)
+      val t = tar.clone()
+      t(rnd.nextInt(t.length)) = rnd.nextInt(256).toByte
+      Archives.tarEntries(t)
+    }
+  }
+}
