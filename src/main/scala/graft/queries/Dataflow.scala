@@ -1399,26 +1399,33 @@ object Dataflow {
     * [[graft.streaming.Pipelines.mediaTriage]] projection the streaming
     * ingest uses (one shared function, so the logic cannot drift between
     * modes), hash-gated over a mixed-container column: MP4 / WebM / JPEG /
-    * WAV / tagged MP3 / plain text round-robin by row, classified to
-    * kind/format/dims/duration/provenance in one codegen'd pass. At
+    * WAV / tagged MP3 / plain text / ZIP / WARC (plain and member-gz)
+    * round-robin by row, classified to kind/format/dims/duration/
+    * provenance in one codegen'd pass — archives route by cheap magic
+    * (`kind = 'archive'`) without paying for a full walk. At
     * 100 TB this is the first thing that touches a mixed media crawl —
     * partitioning it by modality before any codec runs — and here every
     * routing decision is oracle-recomputed, not just spec-asserted. */
   val x148 = DQ("x148_media_admission", Some(
     """SELECT doc_id AS media_id,
-      |  CASE CAST(doc_id % 6 AS INT)
+      |  CASE CAST(doc_id % 8 AS INT)
       |    WHEN 0 THEN 'video' WHEN 1 THEN 'video' WHEN 2 THEN 'image'
-      |    WHEN 3 THEN 'audio' WHEN 4 THEN 'audio' ELSE 'unknown' END AS kind,
-      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 3 THEN 'audio' WHEN 4 THEN 'audio'
+      |    WHEN 6 THEN 'archive' WHEN 7 THEN 'archive'
+      |    ELSE 'unknown' END AS kind,
+      |  CASE CAST(doc_id % 8 AS INT)
       |    WHEN 0 THEN 'isom' WHEN 1 THEN 'mkv' WHEN 2 THEN 'jpeg'
-      |    WHEN 3 THEN 'wav' WHEN 4 THEN 'mp3' ELSE NULL END AS format,
-      |  CAST(CASE WHEN doc_id % 6 = 2 THEN doc_id % 3000 + 1
-      |       WHEN doc_id % 6 = 1 THEN doc_id % 640 + 16 END AS INT)
+      |    WHEN 3 THEN 'wav' WHEN 4 THEN 'mp3'
+      |    WHEN 6 THEN 'zip'
+      |    WHEN 7 THEN CASE WHEN doc_id % 16 = 7 THEN 'warc' ELSE 'gz' END
+      |    ELSE NULL END AS format,
+      |  CAST(CASE WHEN doc_id % 8 = 2 THEN doc_id % 3000 + 1
+      |       WHEN doc_id % 8 = 1 THEN doc_id % 640 + 16 END AS INT)
       |    AS width,
-      |  CAST(CASE WHEN doc_id % 6 = 2 THEN doc_id % 2000 + 1
-      |       WHEN doc_id % 6 = 1 THEN doc_id % 360 + 16 END AS INT)
+      |  CAST(CASE WHEN doc_id % 8 = 2 THEN doc_id % 2000 + 1
+      |       WHEN doc_id % 8 = 1 THEN doc_id % 360 + 16 END AS INT)
       |    AS height,
-      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |  CAST(CASE CAST(doc_id % 8 AS INT)
       |    WHEN 0 THEN (doc_id % 5000 + 1) * 1000
       |    WHEN 1 THEN (doc_id % 5000 + 1) * 1000
       |    WHEN 3 THEN ((doc_id % 1000 + 1) * 4 * 8000000) // 256000
@@ -1426,17 +1433,17 @@ object Dataflow {
       |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
       |           WHEN 1 THEN 48000 ELSE 32000 END
       |    END AS BIGINT) AS duration_us,
-      |  CASE WHEN doc_id % 6 = 4 THEN 'song' || CAST(doc_id AS VARCHAR) END
+      |  CASE WHEN doc_id % 8 = 4 THEN 'song' || CAST(doc_id AS VARCHAR) END
       |    AS title
       |FROM documents ORDER BY media_id""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
-      import graft.functions.{AudioHeaders, Id3, ImageHeaders, Mkv, VideoHeaders}
+      import graft.functions.{Archives, AudioHeaders, Id3, ImageHeaders, Mkv, VideoHeaders, Warc}
       import graft.functions.Mkv.MkvTrackSpec
       val media = spread(table(spark, dir, "documents").select(col("doc_id")))
         .as[Long]
         .map { id =>
-          val payload = (id % 6) match {
+          val payload = (id % 8) match {
             case 0 => VideoHeaders.buildMp4("isom", 1000, (id % 5000 + 1).toInt,
               Array.fill[Byte](32)(id.toByte))
             case 1 => Mkv.buildMkv("webm", 1000000L, id % 5000 + 1, Seq(
@@ -1448,6 +1455,12 @@ object Dataflow {
               Array.tabulate(((id % 1000 + 1) * 4).toInt)(k => (k * 7).toByte))
             case 4 => Id3.buildV2(4, 3, s"song$id", s"who$id", "lp", "2010") ++
               AudioHeaders.buildMp3(9, (id % 3).toInt, (id % 40 + 1).toInt)
+            case 6 => Archives.buildZip(Seq(
+              ("a.txt", s"zip member $id".getBytes, id % 2 == 1)))
+            case 7 =>
+              val recs = Seq(("response", s"http://s$id.example/", null: String,
+                s"warc body $id".getBytes))
+              if (id % 16 == 7) Warc.build(recs) else Warc.buildGz(recs)
             case _ => s"just text, not a container $id".getBytes
           }
           (s"mem://$id", payload.length.toLong, payload)

@@ -238,12 +238,26 @@ object Pipelines {
       .withColumn("hm", H264Meta.h264Meta(col("content")))
       .withColumn("hv", HevcMeta.hevcMeta(col("content")))
       .withColumn("a1", Av1Meta.av1Meta(col("content")))
+      // archive/bundle containers by magic (cheap — admission must not
+      // pay for a full walk; the dedicated expressions do that later):
+      // ZIP local header, WARC version line, gzip member (covers
+      // .warc.gz), ustar magic at offset 257, and the 188-byte TS train
+      .withColumn("arc", expr(
+        """CASE
+          |  WHEN substring(content, 1, 4) = X'504B0304' THEN 'zip'
+          |  WHEN substring(content, 1, 5) = CAST('WARC/' AS BINARY) THEN 'warc'
+          |  WHEN substring(content, 1, 2) = X'1F8B' THEN 'gz'
+          |  WHEN substring(content, 258, 5) = CAST('ustar' AS BINARY) THEN 'tar'
+          |  WHEN length(content) >= 188 AND length(content) % 188 = 0
+          |       AND substring(content, 1, 1) = X'47' THEN 'mpegts'
+          |END""".stripMargin))
       .select(col("path"), col("length"),
         when(col("ih").isNotNull, "image")
           .when(col("ah").isNotNull, "audio")
           .when(col("vh").isNotNull, "video")
           .when(col("mt").isNotNull,
             when(size(col("mtv")) > 0, "video").otherwise("audio"))
+          .when(col("arc").isNotNull, "archive")
           .otherwise("unknown").as("kind"),
         coalesce(col("ih.format"),
           // audio containers: PCM/G.711 codecs mean a RIFF/WAVE wrapper;
@@ -251,7 +265,8 @@ object Pipelines {
           when(col("ah.codec").isin("pcm", "alaw", "ulaw"), "wav")
             .otherwise(col("ah.codec")),
           col("vh.brand"),
-          when(col("mt").isNotNull, "mkv")).as("format"),
+          when(col("mt").isNotNull, "mkv"),
+          col("arc")).as("format"),
         coalesce(col("ih.width"), col("hm.width"), col("hv.width"),
           col("a1.width"),
           expr("CASE WHEN size(mtv) > 0 THEN mtv[0].width END")).as("width"),

@@ -57,6 +57,17 @@ class MediaTriageStreamSpec extends AnyFunSuite {
           width = 640, height = 360),
         graft.functions.Mkv.MkvTrackSpec(2, "audio", "A_OPUS",
           channels = 2, rate = 48000))))
+    // archive containers classify by magic, without a full walk
+    Files.write(new java.io.File(dir, "l.zip").toPath,
+      graft.functions.Archives.buildZip(Seq(("x", "y".getBytes, false))))
+    Files.write(new java.io.File(dir, "m.tar").toPath,
+      graft.functions.Archives.buildTar(Seq(("x", "0", "y".getBytes))))
+    Files.write(new java.io.File(dir, "n.warc").toPath,
+      graft.functions.Warc.build(Seq(("warcinfo", null, null, "z".getBytes))))
+    Files.write(new java.io.File(dir, "o.warc.gz").toPath,
+      graft.functions.Warc.buildGz(Seq(("warcinfo", null, null, "z".getBytes))))
+    Files.write(new java.io.File(dir, "p.ts").toPath,
+      graft.functions.MpegTs.patPacket(1, 32))
 
     val q = Pipelines.mediaTriageStream(spark, dir.getAbsolutePath)
       .writeStream.format("memory").queryName("triage")
@@ -71,7 +82,13 @@ class MediaTriageStreamSpec extends AnyFunSuite {
         if (r.isNullAt(7)) -1L else r.getLong(7))
     }.toMap
     assert(rows.keySet == Set("a.png", "b.jpg", "c.wav", "d.mp4", "e.txt",
-      "f.bmp", "g.wav", "h.png", "i.gif", "j.jpg", "k.webm"))
+      "f.bmp", "g.wav", "h.png", "i.gif", "j.jpg", "k.webm",
+      "l.zip", "m.tar", "n.warc", "o.warc.gz", "p.ts"))
+    assert(rows("l.zip") == (("archive", "zip", null, -1L)))
+    assert(rows("m.tar") == (("archive", "tar", null, -1L)))
+    assert(rows("n.warc") == (("archive", "warc", null, -1L)))
+    assert(rows("o.warc.gz") == (("archive", "gz", null, -1L)))
+    assert(rows("p.ts") == (("archive", "mpegts", null, -1L)))
     assert(rows("k.webm") == (("video", "mkv", 640, 1500000L)))
     assert(rows("h.png") == (("image", "png", 4, -1L)))
     assert(rows("i.gif") == (("image", "gif", 2, -1L)))
