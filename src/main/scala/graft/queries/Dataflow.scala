@@ -2254,7 +2254,9 @@ object Dataflow {
     * end-to-end: `warc_records` opens the archive, the response
     * payloads are real HTML pages, and a declarative strip chain
     * (script/style removal, tag→space, entity decode, whitespace
-    * collapse — all codegen'd regexp/string builtins, no UDF) yields
+    * collapse — all codegen'd regexp/string builtins, no UDF; the
+    * `Pipelines.htmlMainText` projection, shared verbatim with the
+    * streaming `warcTextStream` ingest) yields
     * the text the rest of the pipeline (dedup, language-ID, quality)
     * consumes, plus the classic quality signals: title, text length,
     * link count, text-to-markup ratio. The oracle states the EXPECTED
@@ -2307,21 +2309,13 @@ object Dataflow {
             ("warcinfo", null, "2024-06-01T00:00:00Z", s"graft $id".getBytes),
             ("response", uri, "2024-06-01T00:00:00Z", html.getBytes))))
         }.toDF("media_id", "media")
-      media
-        .select(col("media_id"),
-          explode(WarcRecords.warcRecords(col("media"))).as("p"))
-        .filter(col("p.rec_type") === "response")
-        .select(col("media_id"), col("p.payload").cast("string").as("html"))
-        .withColumn("stripped", regexp_replace(col("html"),
-          "(?is)<script.*?</script>|<style.*?</style>", ""))
-        .withColumn("spaced", regexp_replace(col("stripped"), "<[^>]*>", " "))
-        .withColumn("decoded", regexp_replace(regexp_replace(regexp_replace(
-          col("spaced"), "&amp;", "&"), "&lt;", "<"), "&gt;", ">"))
-        .withColumn("text", trim(regexp_replace(col("decoded"), "\\s+", " ")))
-        .select(col("media_id"),
-          regexp_extract(col("html"), "(?is)<title>(.*?)</title>", 1).as("title"),
-          col("text"), length(col("text")).as("text_len"),
-          (size(split(col("html"), "<a href=")) - 1).as("link_count"),
+      graft.streaming.Pipelines.htmlMainText(media
+          .select(col("media_id"),
+            explode(WarcRecords.warcRecords(col("media"))).as("p"))
+          .filter(col("p.rec_type") === "response")
+          .select(col("media_id"), col("p.payload").cast("string").as("html")))
+        .select(col("media_id"), col("title"), col("text"), col("text_len"),
+          col("link_count"),
           expr("(100 * length(text)) div length(html)").cast("int")
             .as("text_ratio_pct"))
         .orderBy("media_id")
@@ -2466,8 +2460,72 @@ object Dataflow {
         .orderBy("media_id", "idx")
   }
 
+  /** x164: CRAWL → TRAINING CORPUS, end to end — the x130 composition
+    * idea applied to the real front door: WARC archives → response
+    * payloads → `Pipelines.htmlMainText` (the shared strip chain) →
+    * quality gate (minimum text length) → URL-level dedup (earliest
+    * capture per URI) → CONTENT-level exact dedup (fixture pages
+    * deliberately collide across site groups, so the two dedup stages
+    * do different work) → corpus summary. Two map-side-combinable
+    * groupBys, zero joins, zero pair space; the oracle replays text
+    * construction, the quality threshold and both dedup stages from
+    * the generator formulas. */
+  val x164 = DQ("x164_crawl_corpus", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 50 AS gid,
+      |                  CAST(doc_id % 4 + 1 AS INT) AS nr FROM documents),
+      |p AS (SELECT doc_id, gid, gid % 25 AS c, u.r AS r
+      |      FROM d, unnest(generate_series(0, nr - 1)) AS u(r)),
+      |t AS (SELECT *,
+      |        'p' || CAST(r AS VARCHAR) || ' content ' || CAST(c AS VARCHAR)
+      |          || ':' || CAST(r AS VARCHAR)
+      |          || CASE WHEN (c * 7 + r * 13) % 60 = 0 THEN ''
+      |             ELSE ' ' || repeat('w', CAST((c * 7 + r * 13) % 60 AS INT))
+      |             END AS text
+      |      FROM p),
+      |q AS (SELECT * FROM t WHERE length(text) >= 25),
+      |urls AS (SELECT c, r, gid, min(doc_id) AS url_canon, min(text) AS text
+      |         FROM q GROUP BY 1, 2, 3),
+      |content AS (SELECT c, r, count(*) AS n_urls, min(url_canon) AS canonical,
+      |                   min(text) AS text
+      |            FROM urls GROUP BY 1, 2)
+      |SELECT md5(text) AS text_md5, CAST(length(text) AS INT) AS text_len,
+      |       CAST(n_urls AS BIGINT) AS n_urls, canonical
+      |FROM content ORDER BY text_md5""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Warc, WarcRecords}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val gid = (id % 50).toInt
+          val c = gid % 25
+          val recs = (0 until (id % 4 + 1).toInt).map { r =>
+            val k = (c * 7 + r * 13) % 60
+            val html = s"<html><head><title>p$r</title></head><body>" +
+              s"<p>content $c:$r " + "w" * k + "</p></body></html>"
+            ("response", s"http://site$gid.example/p$r",
+              "2024-07-01T00:00:00Z", html.getBytes)
+          }
+          (id, Warc.build(recs))
+        }.toDF("media_id", "media")
+      val responses = media
+        .select(col("media_id"),
+          explode(WarcRecords.warcRecords(col("media"))).as("p"))
+        .select(col("media_id"), col("p.uri").as("uri"),
+          col("p.payload").cast("string").as("html"))
+      graft.streaming.Pipelines.htmlMainText(responses)
+        .filter(col("text_len") >= 25)
+        .groupBy("uri")
+        .agg(min("media_id").as("url_canon"), min("text").as("text"))
+        .groupBy("text")
+        .agg(count(lit(1)).as("n_urls"), min("url_canon").as("canonical"))
+        .select(md5(col("text")).as("text_md5"),
+          length(col("text")).as("text_len"), col("n_urls"), col("canonical"))
+        .orderBy("text_md5")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
-    x154, x155, x156, x157, x158, x159, x160, x161, x162, x163)
+    x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164)
 }

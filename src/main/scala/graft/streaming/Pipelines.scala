@@ -316,6 +316,46 @@ object Pipelines {
         col("gps_after"), col("content"))
   }
 
+  /** Crawl-archive text ingest over a directory watch: every `.warc` /
+    * `.warc.gz` payload is opened by `warc_records`, response payloads
+    * are stripped to main text by [[htmlMainText]] — the same chain the
+    * batch gates (x160/x164) run, shared verbatim. One row per response:
+    * (path, uri, title, text, text_len, link_count). */
+  def warcTextStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WarcRecords
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    htmlMainText(
+      files
+        .select(col("path"),
+          explode(WarcRecords.warcRecords(col("content"))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(col("path"), col("r.uri").as("uri"),
+          col("r.payload").cast("string").as("html")))
+  }
+
+  /** The HTML→main-text projection (script/style removal, tag→space,
+    * entity decode, whitespace collapse — codegen'd regexp/string
+    * builtins, no UDF), shared verbatim by [[warcTextStream]] and the
+    * batch gates so ingest modes cannot drift. Input needs an `html`
+    * column; adds title/text/text_len/link_count. */
+  def htmlMainText(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("stripped", regexp_replace(col("html"),
+        "(?is)<script.*?</script>|<style.*?</style>", ""))
+      .withColumn("spaced", regexp_replace(col("stripped"), "<[^>]*>", " "))
+      .withColumn("decoded", regexp_replace(regexp_replace(regexp_replace(
+        col("spaced"), "&amp;", "&"), "&lt;", "<"), "&gt;", ">"))
+      .withColumn("text", trim(regexp_replace(col("decoded"), "\\s+", " ")))
+      .withColumn("title",
+        regexp_extract(col("html"), "(?is)<title>(.*?)</title>", 1))
+      .withColumn("text_len", length(col("text")))
+      .withColumn("link_count", size(split(col("html"), "<a href=")) - 1)
+      .drop("stripped", "spaced", "decoded")
+
   /** The FRAME-level arm of [[mediaTriageStream]] for MJPEG-shaped video:
     * each watched MP4's sample table explodes to per-frame rows and every
     * frame's bytes run the REAL baseline-JPEG entropy decode — per-frame
