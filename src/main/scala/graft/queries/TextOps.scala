@@ -2469,9 +2469,167 @@ object TextOps {
         .orderBy("video_id")
   }
 
+  /** x165: cross-document LINE-level boilerplate scrub — the CCNet
+    * paragraph-dedup stage (Wenzek et al. 2020 drop any paragraph whose
+    * normalized hash repeats across the crawl; the nav-bar / cookie-notice
+    * killer that document-level dedup cannot touch). The corpus's
+    * single-paragraph docs are re-lined by a SQL-replayable construction —
+    * content lines are consecutive 8-token windows of the REAL text, and
+    * boilerplate lines from a 4-string pool are interleaved by a doc⊕line
+    * formula (≈⅓ density) — then Spark must do the actual scrub: hash
+    * every line to a 60-bit key, count DISTINCT docs per key (two-level
+    * agg, no distinct machinery), drop lines reaching 3 docs, and rebuild
+    * each doc's residual text in line order. One in-row lining pass; the
+    * only corpus-width exchanges (distinct, count, mark-join) carry 8-byte
+    * keys; the rebuild is a per-doc sort of its own lines — the same
+    * 100 TB posture as x106, one granularity up. */
+  val x165 = DQ("x165_line_dedup_scrub", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |n AS (SELECT doc_id, l, greatest(len(l) // 8, 1) AS nl FROM t0),
+      |lines AS (
+      |  SELECT doc_id, 2 * u.r AS ord,
+      |         array_to_string(l[u.r * 8 + 1 : u.r * 8 + 8], ' ') AS line
+      |  FROM n, unnest(generate_series(0, nl - 1)) AS u(r)
+      |  UNION ALL
+      |  SELECT doc_id, 2 * u.r + 1 AS ord,
+      |         'boilerplate notice ' || CAST(u.r % 4 AS VARCHAR) AS line
+      |  FROM n, unnest(generate_series(0, nl - 1)) AS u(r)
+      |  WHERE (doc_id + u.r) % 3 = 0),
+      |keyd AS (SELECT doc_id, ord, line,
+      |                CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS lk
+      |         FROM lines),
+      |freq AS (SELECT lk FROM (SELECT DISTINCT doc_id, lk FROM keyd)
+      |         GROUP BY lk HAVING count(*) >= 3),
+      |mark AS (SELECT k.doc_id, k.ord, k.line, (f.lk IS NOT NULL) AS dropd
+      |         FROM keyd k LEFT JOIN freq f ON k.lk = f.lk)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |       coalesce(string_agg(CASE WHEN NOT dropd THEN line END,
+      |                           chr(10) ORDER BY ord), '') AS cleaned
+      |FROM mark GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val t0 = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .withColumn("nl", greatest(floor(size(col("l")) / 8).cast("int"), lit(1)))
+      // line construction IN-ROW (content windows + formula boilerplate),
+      // one explode — mirrors the oracle's UNION ALL exactly
+      val lines = t0.select(col("doc_id"), explode(expr(
+        """flatten(transform(sequence(0, nl - 1), r ->
+          |  CASE WHEN (doc_id + r) % 3 = 0 THEN
+          |    array(struct(2 * r AS ord,
+          |                 array_join(slice(l, r * 8 + 1, 8), ' ') AS line),
+          |          struct(2 * r + 1 AS ord,
+          |                 concat('boilerplate notice ',
+          |                        cast(r % 4 as string)) AS line))
+          |  ELSE array(struct(2 * r AS ord,
+          |                    array_join(slice(l, r * 8 + 1, 8), ' ') AS line))
+          |  END))""".stripMargin)).as("s"))
+        .select(col("doc_id"), col("s.ord").as("ord"), col("s.line").as("line"))
+      val keyd = lines.withColumn("lk", gramKey(col("line")))
+      // cross-doc line frequency on 8-byte keys; (doc, lk) pairs collapse
+      // map-side before the count — no distinct-aggregate machinery
+      val freq = keyd.select("doc_id", "lk").distinct()
+        .groupBy("lk").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select(col("lk"), lit(true).as("dropd"))
+      keyd.join(freq, Seq("lk"), "left_outer")
+        .withColumn("dropd", coalesce(col("dropd"), lit(false)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("dropd"), 1L).otherwise(0L)).as("n_dropped"),
+          array_join(transform(
+            filter(array_sort(collect_list(struct(col("ord"), col("line"),
+              col("dropd")))), s => !s.getField("dropd")),
+            s => s.getField("line")), "\n").as("cleaned"))
+        .orderBy("doc_id")
+  }
+
+  /** x166: incremental dedup against a PRIOR corpus through a real
+    * distributed Bloom filter — the "have we already trained on this"
+    * gate. The prior partition (even docs) aggregates its distinct
+    * 8-gram set into one m = 2^20-bit [[graft.functions.BloomBits]]
+    * bitset (constant 128 KiB per partition on the wire, a word-wise OR
+    * to merge); the new batch (odd docs) then tests membership against
+    * the BROADCAST bitset with pure builtins — at 100 TB the new data
+    * never joins the prior corpus at all, which is the entire point of
+    * the sketch. An exact md5 semi-arm computes ground truth beside it,
+    * so the result quantifies the filter's false positives (zero false
+    * negatives by construction — every verdict column is audited). The
+    * oracle replays the bloom verdict EXACTLY via the bucket-set
+    * equivalence "bit h set ⟺ some prior gram hashed to h UNDER ANY of
+    * the k hash functions" — the bucket sets must be UNIONED because the
+    * filter shares one bit array across hash functions (a per-function
+    * oracle undercounts once the array gets dense: measured 317 vs 461
+    * flagged in one md5 bucket at sf0.1). */
+  val x166 = DQ("x166_bloom_dedup_gate", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id % 2 AS par,
+      |        array_to_string(l[u.i : u.i + 7], ' ') AS g
+      |      FROM t0, unnest(generate_series(1, greatest(len(l) - 7, 0))) AS u(i)),
+      |pg AS (SELECT DISTINCT g FROM g WHERE par = 0),
+      |pb AS (SELECT DISTINCT
+      |         CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || g), 1, 15)
+      |              AS BIGINT) % 1048576 AS b
+      |       FROM pg, unnest(generate_series(0, 2)) AS j(j)),
+      |pm AS (SELECT DISTINCT md5(g) AS gm FROM pg),
+      |v AS (SELECT md5(g) AS gm,
+      |        (CAST('0x' || substr(md5('0' || g), 1, 15) AS BIGINT) % 1048576
+      |           IN (SELECT b FROM pb)
+      |         AND CAST('0x' || substr(md5('1' || g), 1, 15) AS BIGINT) % 1048576
+      |           IN (SELECT b FROM pb)
+      |         AND CAST('0x' || substr(md5('2' || g), 1, 15) AS BIGINT) % 1048576
+      |           IN (SELECT b FROM pb)) AS flagged,
+      |        md5(g) IN (SELECT gm FROM pm) AS is_dup
+      |      FROM g WHERE par = 1)
+      |SELECT substr(gm, 1, 1) AS bucket, CAST(count(*) AS BIGINT) AS n_new,
+      |       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       CAST(sum(CASE WHEN flagged AND NOT is_dup THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_fp
+      |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin)) {
+    (spark, dir) =>
+      import graft.functions.BloomBits
+      val M = 1 << 20
+      def buckets(g: Column): Column = array((0 to 2).map { j =>
+        pmod(conv(substring(md5(concat(lit(j.toString), g)), 1, 15), 16, 10)
+          .cast("long"), lit(M.toLong))
+      }: _*)
+      val t0 = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+      val grams = t0
+        .select((col("doc_id") % 2).as("par"),
+          explode(wordNgrams(col("l"), 8)).as("g"))
+        .distinct()
+      val prior = grams.filter(col("par") === 0).select(col("g"))
+      val bits = prior.select(buckets(col("g")).as("hs"))
+        .agg(BloomBits.bloomBits(col("hs"), M).as("bits"))
+      val priorM = prior.select(md5(col("g")).as("gm")).distinct()
+        .withColumn("is_dup", lit(true))
+      grams.filter(col("par") === 1)
+        .select(md5(col("g")).as("gm"), buckets(col("g")).as("hs"))
+        .crossJoin(broadcast(bits))
+        .withColumn("flagged", expr(
+          "forall(hs, h -> (element_at(bits, cast(h div 64 as int) + 1) & " +
+            "shiftleft(cast(1 as bigint), cast(h % 64 as int))) != 0)"))
+        .join(priorM, Seq("gm"), "left_outer")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+        .withColumn("bucket", substring(col("gm"), 1, 1))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("flagged") && !col("is_dup"), 1L).otherwise(0L)).as("n_fp"))
+        .orderBy("bucket")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130, x131, x150)
+    x128, x130, x131, x150, x165, x166)
 }
