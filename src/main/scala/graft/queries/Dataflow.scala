@@ -2524,8 +2524,200 @@ object Dataflow {
         .orderBy("text_md5")
   }
 
+  /** x167: URL CANONICALIZATION — the normalization pass that makes
+    * URL-level dedup (x161) actually collapse re-crawls: mixed-case
+    * scheme/host lowered, default :80 stripped (a non-default port would
+    * survive), trailing slash trimmed off non-root paths, tracking
+    * params (`utm_*`, `fbclid`) dropped, the surviving query params
+    * SORTED, and the fragment discarded (RFC 3986 §6 syntax-based
+    * normalization plus the tracking-param scrub every crawl pipeline
+    * adds). The messy input URLs are built by formula; Spark must then
+    * genuinely PARSE them — `parse_url` (codegen'd) for
+    * scheme/host/path/query, regexp for the port, higher-order
+    * filter/sort for the params — while the oracle states the expected
+    * canonical form straight from the generator formulas. Pure per-row
+    * map: zero shuffles before the presentation sort; at 100 TB this is
+    * the cheapest stage of the pipeline and the one that decides how
+    * well the groupBy(uri) behind it dedups. */
+  val x167 = DQ("x167_url_canonicalize", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 50 AS gid, doc_id % 4 AS r
+      |           FROM documents),
+      |u AS (SELECT doc_id, gid, r,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+      |  (CASE WHEN doc_id % 2 = 0
+      |        THEN 'Site' || CAST(gid AS VARCHAR) || '.Example'
+      |        ELSE 'site' || CAST(gid AS VARCHAR) || '.example' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+      |  '/p' || CAST(r AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+      |  '?' ||
+      |  concat_ws('&',
+      |    CASE WHEN doc_id % 4 = 0 THEN 'b=2' END,
+      |    'id=' || CAST(r AS VARCHAR),
+      |    CASE WHEN doc_id % 3 = 0 THEN 'utm_source=feed' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'a=1' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      |FROM d)
+      |SELECT doc_id, url,
+      |  'http://site' || CAST(gid AS VARCHAR) || '.example/p'
+      |    || CAST(r AS VARCHAR) || '?' ||
+      |  concat_ws('&',
+      |    CASE WHEN doc_id % 5 = 0 THEN 'a=1' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'b=2' END,
+      |    'id=' || CAST(r AS VARCHAR)) AS canon,
+      |  (doc_id % 3 = 0 OR doc_id % 2 = 0 OR doc_id % 5 = 0
+      |   OR doc_id % 7 = 0 OR doc_id % 6 = 0 OR doc_id % 4 = 0) AS changed
+      |FROM u ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val urls = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"),
+          (col("doc_id") % 50).cast("string").as("gid"),
+          (col("doc_id") % 4).cast("string").as("r"))
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 3 === 0, "HTTP").otherwise("http"),
+          lit("://"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("Site"), col("gid"), lit(".Example")))
+            .otherwise(concat(lit("site"), col("gid"), lit(".example"))),
+          when(col("doc_id") % 5 === 0, ":80").otherwise(""),
+          lit("/p"), col("r"),
+          when(col("doc_id") % 7 === 0, "/").otherwise(""),
+          lit("?"),
+          concat_ws("&",
+            when(col("doc_id") % 4 === 0, "b=2"),
+            concat(lit("id="), col("r")),
+            when(col("doc_id") % 3 === 0, "utm_source=feed"),
+            when(col("doc_id") % 5 === 0, "a=1")),
+          when(col("doc_id") % 6 === 0, "#frag").otherwise("")).as("url"))
+      // the operator proper: canonical form derived from the URL STRING
+      // alone (no reach-back into the generator columns)
+      urls
+        .withColumn("scheme", lower(expr("parse_url(url, 'PROTOCOL')")))
+        .withColumn("host", lower(expr("parse_url(url, 'HOST')")))
+        .withColumn("port",
+          regexp_extract(col("url"), "^[^/]+://[^/:?#]+:([0-9]+)", 1))
+        .withColumn("path0", expr("parse_url(url, 'PATH')"))
+        .withColumn("path",
+          when(col("path0") =!= "/", regexp_replace(col("path0"), "/+$", ""))
+            .otherwise(col("path0")))
+        .withColumn("q", array_join(array_sort(filter(
+          split(expr("parse_url(url, 'QUERY')"), "&"),
+          p => !p.startsWith("utm_") && !p.startsWith("fbclid="))), "&"))
+        .select(col("doc_id"), col("url"),
+          concat(col("scheme"), lit("://"), col("host"),
+            when(col("port") =!= "" && col("port") =!= "80",
+              concat(lit(":"), col("port"))).otherwise(""),
+            col("path"),
+            when(col("q") =!= "", concat(lit("?"), col("q"))).otherwise(""))
+            .as("canon"))
+        .withColumn("changed", col("url") =!= col("canon"))
+        .orderBy("doc_id")
+  }
+
+  /** x168: ROBOTS.TXT POLITENESS GATE — which of a site's pages a
+    * compliant crawler may fetch (RFC 9309): per-site `robots.txt` text
+    * built by formula, then genuinely PARSED by Spark — lines split and
+    * classified by codegen'd regexps, each rule bound to its governing
+    * `User-agent` group via a last-non-null window WITHIN the site (a
+    * robots file is a few rows, so the window partition is tiny by
+    * construction), the most specific matching group selected
+    * (product-token group beats `*` when present), and every page
+    * evaluated by the longest-prefix-match rule with allow winning
+    * length ties — the argmax is a map-side-combinable
+    * `max(struct(len, allow, rule))`, no window over the page×rule
+    * space. The oracle restates the rule table from the generator
+    * formulas and replays the same group-selection + longest-match
+    * evaluation relationally. At 100 TB pages join rules ON SITE — the
+    * per-site rule set is tiny, so this is an ordinary equi-join with a
+    * prefix residual, skew-safe because robots files are bounded. */
+  val x168 = DQ("x168_robots_gate", Some(
+    """WITH sites AS (SELECT DISTINCT doc_id % 50 AS gid FROM documents),
+      |rules AS (
+      |  SELECT gid, '*' AS ua, FALSE AS al, '/private' AS rp FROM sites
+      |  UNION ALL SELECT gid, '*', FALSE, '/p1' FROM sites WHERE gid % 2 = 0
+      |  UNION ALL SELECT gid, '*', FALSE, '/p' FROM sites WHERE gid % 5 = 0
+      |  UNION ALL SELECT gid, '*', TRUE, '/p3' FROM sites WHERE gid % 5 = 0
+      |  UNION ALL SELECT gid, 'graftbot', FALSE, '/p2' FROM sites
+      |    WHERE gid % 3 = 0
+      |  UNION ALL SELECT gid, 'graftbot', TRUE, '/p2' FROM sites
+      |    WHERE gid % 6 = 0),
+      |sel AS (SELECT r.gid, r.al, r.rp FROM rules r JOIN
+      |  (SELECT gid, CASE WHEN bool_or(ua = 'graftbot') THEN 'graftbot'
+      |               ELSE '*' END AS ua
+      |   FROM rules GROUP BY gid) s ON r.gid = s.gid AND r.ua = s.ua),
+      |pages AS (SELECT gid, '/p' || CAST(u.r AS VARCHAR) AS path
+      |          FROM sites, unnest(generate_series(0, 3)) AS u(r)),
+      |cand AS (SELECT p.gid, p.path, s.al, s.rp FROM pages p
+      |         JOIN sel s ON p.gid = s.gid AND starts_with(p.path, s.rp)),
+      |win AS (SELECT gid, path, al, rp FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY gid, path
+      |    ORDER BY length(rp) DESC, al DESC, rp DESC) AS rn FROM cand)
+      |  WHERE rn = 1)
+      |SELECT p.gid, p.path, coalesce(w.al, TRUE) AS allowed,
+      |  CASE WHEN w.rp IS NULL THEN NULL
+      |       ELSE (CASE WHEN w.al THEN 'allow ' ELSE 'disallow ' END) || w.rp
+      |  END AS rule
+      |FROM pages p LEFT JOIN win w ON p.gid = w.gid AND p.path = w.path
+      |ORDER BY p.gid, p.path""".stripMargin)) {
+    (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sites = table(spark, dir, "documents")
+        .select((col("doc_id") % 50).as("gid")).distinct()
+      val robots = sites.select(col("gid"), concat_ws("\n",
+        concat(lit("# robots for site"), col("gid").cast("string")),
+        lit("User-agent: *"),
+        lit("Disallow: /private"),
+        when(col("gid") % 2 === 0, "Disallow: /p1"),
+        when(col("gid") % 5 === 0, "Disallow: /p"),
+        when(col("gid") % 5 === 0, "Allow: /p3"),
+        when(col("gid") % 3 === 0, "User-agent: graftbot"),
+        when(col("gid") % 3 === 0, "Disallow: /p2"),
+        when(col("gid") % 6 === 0, "Allow: /p2")).as("robots"))
+      // the operator proper: parse the TEXT (group binding via a
+      // last-non-null window inside each tiny per-site file)
+      val lines = robots
+        .select(col("gid"), posexplode(split(col("robots"), "\n"))
+          .as(Seq("pos", "line")))
+        .withColumn("ua", regexp_extract(col("line"),
+          "(?i)^user-agent:\\s*(\\S+)", 1))
+        .withColumn("dis", regexp_extract(col("line"),
+          "(?i)^disallow:\\s*(\\S+)", 1))
+        .withColumn("alw", regexp_extract(col("line"),
+          "(?i)^allow:\\s*(\\S+)", 1))
+        .withColumn("grp", last(when(col("ua") =!= "", col("ua")), true)
+          .over(Window.partitionBy("gid").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val rules = lines
+        .filter(col("dis") =!= "" || col("alw") =!= "")
+        .select(col("gid"), col("grp"),
+          (col("alw") =!= "").as("al"),
+          when(col("alw") =!= "", col("alw")).otherwise(col("dis")).as("rp"))
+      val sel = rules.join(
+        rules.groupBy("gid").agg(
+          when(max(when(col("grp") === "graftbot", 1).otherwise(0)) === 1,
+            "graftbot").otherwise("*").as("want")), "gid")
+        .filter(col("grp") === col("want"))
+        .select("gid", "al", "rp")
+      val pages = sites.select(col("gid"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("gid"), concat(lit("/p"), col("r").cast("string")).as("path"))
+      val win = pages.join(sel, Seq("gid"))
+        .filter(col("path").startsWith(col("rp")))
+        .groupBy("gid", "path")
+        .agg(max(struct(length(col("rp")).as("len"), col("al").as("al"),
+          col("rp").as("rp"))).as("w"))
+      pages.join(win, Seq("gid", "path"), "left_outer")
+        .select(col("gid"), col("path"),
+          coalesce(col("w.al"), lit(true)).as("allowed"),
+          when(col("w.rp").isNull, lit(null).cast("string"))
+            .otherwise(concat(when(col("w.al"), "allow ").otherwise("disallow "),
+              col("w.rp"))).as("rule"))
+        .orderBy("gid", "path")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
-    x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164)
+    x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
+    x168)
 }
