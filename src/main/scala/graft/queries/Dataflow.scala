@@ -2715,9 +2715,64 @@ object Dataflow {
         .orderBy("gid", "path")
   }
 
+  /** x169: CDX-STYLE CAPTURE INDEX over WARC archives — the random-access
+    * layer every 100 TB crawl store needs: `warc_index` emits one
+    * (uri, date, offset, length, payload digest) per record, where the
+    * extent is sliceable FROM THE STORED BYTES (compressed gzip-member
+    * extents for `.warc.gz`, version-line-to-next-record extents for
+    * plain `.warc`), so later access is a range request, never a
+    * re-scan. The query then PROVES random access in-row: every indexed
+    * extent is sliced back out of the archive with `substring`,
+    * re-parsed by `warc_records` as a standalone stream, and its payload
+    * md5 checked against the index entry — `verified` is computed, not
+    * asserted, and the oracle (which cannot know compressed offsets)
+    * pins it TRUE alongside the by-construction record inventory. Zero
+    * shuffles before the presentation sort. */
+  val x169 = DQ("x169_warc_cdx_index", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nr,
+      |                  printf('2024-%02d-01T00:00:00Z', doc_id % 12 + 1) AS dt
+      |           FROM documents),
+      |recs AS (
+      |  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+      |         CAST(NULL AS VARCHAR) AS uri,
+      |         'software: graft ' || CAST(doc_id AS VARCHAR) AS pl
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 2 * u.r + 1, 'request',
+      |         'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+      |           || CAST(u.r AS VARCHAR),
+      |         'GET /p' || CAST(u.r AS VARCHAR) || ' HTTP/1.1'
+      |  FROM d, unnest(generate_series(0, nr - 1)) AS u(r)
+      |  UNION ALL
+      |  SELECT doc_id, 2 * u.r + 2, 'response',
+      |         'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+      |           || CAST(u.r AS VARCHAR),
+      |         '<html><body>doc ' || CAST(doc_id AS VARCHAR) || ' page '
+      |           || CAST(u.r AS VARCHAR) || '</body></html>'
+      |  FROM d, unnest(generate_series(0, nr - 1)) AS u(r))
+      |SELECT doc_id AS media_id, CAST(rec_idx AS INT) AS rec_idx, rec_type,
+      |  uri, md5(pl) AS payload_md5, TRUE AS verified
+      |FROM recs ORDER BY media_id, rec_idx""".stripMargin)) {
+    (spark, dir) =>
+      import graft.functions.{WarcIndex, WarcRecords}
+      warcFixture(spark, dir)
+        .select(col("media_id"), col("media"),
+          posexplode(WarcIndex.warcIndex(col("media"))).as(Seq("rec_idx", "p")))
+        .withColumn("slice", expr(
+          "substring(media, cast(p.offset as int) + 1, cast(p.length as int))"))
+        .withColumn("reparsed", WarcRecords.warcRecords(col("slice")))
+        .select(col("media_id"), col("rec_idx").cast("int").as("rec_idx"),
+          col("p.rec_type").as("rec_type"), col("p.uri").as("uri"),
+          col("p.payload_md5").as("payload_md5"),
+          (size(col("reparsed")) === 1 &&
+            md5(element_at(col("reparsed"), 1).getField("payload"))
+              === col("p.payload_md5")).as("verified"))
+        .orderBy("media_id", "rec_idx")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
-    x168)
+    x168, x169)
 }

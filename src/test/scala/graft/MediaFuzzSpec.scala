@@ -34,7 +34,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("av1_meta", b => graft.functions.Av1.parseMp4(b)),
     ("mkv_tracks", b => graft.functions.Mkv.parseTracks(b)),
     ("mkv_blocks", b => graft.functions.Mkv.parseBlocks(b)),
-    ("id3_tags", b => graft.functions.Id3.parse(b)))
+    ("id3_tags", b => graft.functions.Id3.parse(b)),
+    ("warc_records", b => graft.functions.Warc.parse(b)),
+    ("warc_index", b => graft.functions.Warc.index(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -93,7 +95,16 @@ class MediaFuzzSpec extends AnyFunSuite {
         width = 16, height = 8)),
       Seq(graft.functions.Mkv.MkvClusterSpec(0L, Seq(
         (1, 0, Array.tabulate[Byte](24)(_.toByte)),
-        (1, 40, "second-frame".getBytes))))))
+        (1, 40, "second-frame".getBytes))))),
+    graft.functions.Warc.build(Seq(
+      ("warcinfo", null, "2024-05-01T00:00:00Z", "software: fuzz".getBytes),
+      ("response", "http://f.example/a", "2024-05-01T00:00:01Z",
+        "<html>fuzz body</html>".getBytes))),
+    graft.functions.Warc.buildGz(Seq(
+      ("response", "http://f.example/b", "2024-05-01T00:00:02Z",
+        "gz fuzz body".getBytes),
+      ("request", "http://f.example/b", "2024-05-01T00:00:02Z",
+        "GET /b".getBytes))))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)

@@ -44,6 +44,42 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(badLen.getBytes) == null) // overruns the buffer
   }
 
+  test("CDX index: every extent slices back out and re-parses alone") {
+    def md5(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"$x%02x").mkString
+    for (archive <- Seq(Warc.build(recs), Warc.buildGz(recs))) {
+      val idx = Warc.index(archive)
+      assert(idx != null && idx.length == 3)
+      assert(idx.map(_._1).toSeq == Seq("warcinfo", "request", "response"))
+      // extents tile the archive: start at 0, end at the last byte
+      assert(idx.head._4 == 0L)
+      assert(idx.sliding(2).forall { case Array(a, b) => a._4 + a._5 == b._4 })
+      assert(idx.last._4 + idx.last._5 == archive.length.toLong)
+      for (((_, _, _, off, len, dig), k) <- idx.zipWithIndex) {
+        val slice = java.util.Arrays.copyOfRange(
+          archive, off.toInt, (off + len).toInt)
+        val re = Warc.parse(slice)
+        assert(re != null && re.length == 1, s"record $k")
+        assert(md5(re(0)._5) == dig, s"record $k digest")
+        assert(java.util.Arrays.equals(re(0)._5, recs(k)._4))
+      }
+    }
+  }
+
+  test("CDX index honesty: truncated members and junk route to null") {
+    val gz = Warc.buildGz(recs)
+    assert(Warc.index(gz.dropRight(1)) == null) // trailer cut
+    assert(Warc.index(gz.take(12)) == null)     // mid-header
+    val junkTail = gz ++ Array[Byte](0x1f, 0x00) // second "member" junk
+    assert(Warc.index(junkTail) == null)
+    assert(Warc.index(null) == null)
+    assert(Warc.index("WARC/1.0\nnope".getBytes) == null)
+    val plain = Warc.build(recs)
+    for (n <- 0 to plain.length) Warc.index(plain.take(n))
+    for (n <- 0 to gz.length) Warc.index(gz.take(n))
+  }
+
   test("malformed input routes to null, never throws") {
     assert(Warc.parse(null) == null)
     assert(Warc.parse(Array.emptyByteArray) == null)
