@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x128_lang_token_mi", // 1-row corpus-total broadcast cross join
     "x129_kmv_setops", // 5-row sketch/marginal self-pairing (non-equi l1<l2)
     "x130_curation_pipeline", // 1-row LM-total + doc-count broadcasts (x109/x114 shapes)
-    "x131_epoch_shuffle") // 1-row corpus-count broadcast (per-epoch offset)
+    "x131_epoch_shuffle", // 1-row corpus-count broadcast (per-epoch offset)
+    "x166_bloom_dedup_gate") // 1-row 128 KiB bloom-bitset broadcast
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
