@@ -337,6 +337,36 @@ object Pipelines {
           col("r.payload").cast("string").as("html")))
   }
 
+  /** Continuous CDX-index build over a directory watch: every archive
+    * dropped into `dir` emits its `warc_index` rows (path, uri, date,
+    * offset, length, payload_md5) — the streaming twin of the x169
+    * batch gate, so a crawl store's capture index stays current as
+    * archives land instead of being rebuilt by scans. Unparseable
+    * archives surface as a single quarantine row (null uri, offset -1)
+    * rather than vanishing — the dead-letter posture of every other
+    * ingest arm. */
+  def cdxIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WarcIndex
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    files
+      .select(col("path"), WarcIndex.warcIndex(col("content")).as("idx"))
+      .select(col("path"), explode(when(col("idx").isNotNull, col("idx"))
+        .otherwise(array(struct(
+          lit(null).cast("string").as("rec_type"),
+          lit(null).cast("string").as("uri"),
+          lit(null).cast("string").as("date"),
+          lit(-1L).as("offset"), lit(-1L).as("length"),
+          lit(null).cast("string").as("payload_md5"))))).as("r"))
+      .select(col("path"), col("r.rec_type").as("rec_type"),
+        col("r.uri").as("uri"), col("r.date").as("date"),
+        col("r.offset").as("offset"), col("r.length").as("length"),
+        col("r.payload_md5").as("payload_md5"))
+  }
+
   /** The HTML→main-text projection (script/style removal, tag→space,
     * entity decode, whitespace collapse — codegen'd regexp/string
     * builtins, no UDF), shared verbatim by [[warcTextStream]] and the
