@@ -2770,9 +2770,145 @@ object Dataflow {
         .orderBy("media_id", "rec_idx")
   }
 
+  /** x170: JSONL CORPUS INGEST — the other front door (most published
+    * LLM corpora ship as JSON-lines, not WARC): each blob splits to
+    * lines and every line runs Spark's codegen-adjacent `from_json`
+    * with an EXPLICIT corrupt-record column (PERMISSIVE mode), so a
+    * malformed line routes to a dead-letter count instead of poisoning
+    * the batch — the same quarantine posture as every binary codec
+    * here. Schema drift is exercised too: `score` is absent from ¾ of
+    * the lines and must surface as null, not an error. The oracle
+    * replays fields and the corrupt/missing formulas by construction;
+    * Spark must genuinely parse the JSON text. Pure per-row map +
+    * one map-side-combinable groupBy. */
+  val x170 = DQ("x170_jsonl_ingest", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS nl
+      |           FROM documents),
+      |l AS (SELECT doc_id, u.k AS k,
+      |             (doc_id + u.k) % 17 = 0 AS corrupt,
+      |             (doc_id + u.k) % 4 = 0 AS has_score
+      |      FROM d, unnest(generate_series(0, nl - 1)) AS u(k))
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(sum(CASE WHEN NOT corrupt AND has_score THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_scored,
+      |  CAST(coalesce(sum(CASE WHEN NOT corrupt THEN doc_id * 10 + k END), 0)
+      |       AS BIGINT) AS id_sum,
+      |  round(CAST(coalesce(sum(CASE WHEN NOT corrupt AND has_score
+      |                     THEN 0.25 * k END), 0) AS DOUBLE), 2) AS score_sum
+      |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val langs = Seq("en", "de", "fr")
+      val blobs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), (col("doc_id") % 3 + 1).cast("int").as("nl"))
+        .select(col("doc_id"), expr(
+          s"""array_join(transform(sequence(0, nl - 1), k ->
+             |  CASE WHEN (doc_id + k) % 17 = 0 THEN
+             |    concat('{"id": ', cast(doc_id * 10 + k as string), ', "lang"')
+             |  WHEN (doc_id + k) % 4 = 0 THEN
+             |    concat('{"id": ', cast(doc_id * 10 + k as string),
+             |           ', "lang": "', element_at(array('en','de','fr'),
+             |                                     cast(k % 3 as int) + 1),
+             |           '", "score": ', cast(0.25 * k as string), '}')
+             |  ELSE
+             |    concat('{"id": ', cast(doc_id * 10 + k as string),
+             |           ', "lang": "', element_at(array('en','de','fr'),
+             |                                     cast(k % 3 as int) + 1),
+             |           '"}')
+             |  END), '\\n')""".stripMargin).as("jsonl"))
+      // the operator proper: split + from_json with corrupt routing
+      val parsed = blobs
+        .select(col("doc_id"), explode(split(col("jsonl"), "\n")).as("line"))
+        .withColumn("j", from_json(col("line"),
+          "id BIGINT, lang STRING, score DOUBLE, _bad STRING",
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_bad")))
+      parsed.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("j._bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("j._bad").isNull && col("j.score").isNotNull, 1L)
+            .otherwise(0L)).as("n_scored"),
+          coalesce(sum(when(col("j._bad").isNull, col("j.id"))), lit(0L))
+            .as("id_sum"),
+          round(coalesce(sum(when(col("j._bad").isNull, col("j.score"))),
+            lit(0.0)), 2).as("score_sum"))
+        .orderBy("doc_id")
+  }
+
+  /** x171: HTTP RESPONSE PARSE — the layer a real crawl archive puts
+    * between the WARC framing and the HTML: response payloads are full
+    * HTTP messages (status line, header block, CRLF CRLF, body). Spark
+    * splits them with codegen'd builtins — status via an anchored
+    * regexp, headers via multiline case-insensitive regexps, the body
+    * by the FIRST blank line (`instr`, which is correct because header
+    * blocks cannot contain CRLF CRLF — a body legitimately can, and a
+    * split-on-last would corrupt it). Non-200 responses and non-HTML
+    * content types are classified, not dropped — the downstream text
+    * chain filters on the surfaced columns. The oracle replays status,
+    * content type and body digest from the generator formulas. */
+  val x171 = DQ("x171_http_response", Some(
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS status,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'application/json'
+      |         ELSE 'text/html' END AS ctype
+      |  FROM documents),
+      |b AS (SELECT doc_id, status, ctype,
+      |    CASE WHEN ctype = 'text/html' THEN
+      |      '<html><head><title>t' || CAST(doc_id % 7 AS VARCHAR)
+      |        || '</title></head><body>page ' || CAST(doc_id AS VARCHAR)
+      |        || chr(13) || chr(10) || chr(13) || chr(10)
+      |        || 'after blank line</body></html>'
+      |    ELSE '{"doc": ' || CAST(doc_id AS VARCHAR) || '}'
+      |    END AS body
+      |  FROM d)
+      |SELECT doc_id, CAST(status AS INT) AS status, ctype,
+      |  CAST(length(body) AS INT) AS body_len, md5(body) AS body_md5,
+      |  CASE WHEN ctype = 'text/html'
+      |       THEN 't' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS title
+      |FROM b ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val msgs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, 404).otherwise(200).as("st"),
+          when(col("doc_id") % 5 === 0, "application/json")
+            .otherwise("text/html").as("ct"))
+        .withColumn("body",
+          when(col("ct") === "text/html",
+            concat(lit("<html><head><title>t"),
+              (col("doc_id") % 7).cast("string"),
+              lit("</title></head><body>page "),
+              col("doc_id").cast("string"),
+              // CRLF CRLF INSIDE the body: the header/body split must
+              // take the FIRST blank line, or this corrupts
+              lit("\r\n\r\nafter blank line</body></html>")))
+            .otherwise(concat(lit("{\"doc\": "),
+              col("doc_id").cast("string"), lit("}"))))
+        .select(col("doc_id"), concat(
+          lit("HTTP/1.1 "), col("st").cast("string"),
+          when(col("st") === 200, " OK").otherwise(" Not Found"),
+          lit("\r\nServer: graft\r\nContent-Type: "), col("ct"),
+          lit("; charset=utf-8\r\nContent-Length: "),
+          length(col("body")).cast("string"),
+          lit("\r\n\r\n"), col("body")).as("msg"))
+      // the operator proper: parse the MESSAGE string alone
+      msgs
+        .withColumn("status", regexp_extract(col("msg"),
+          "^HTTP/1\\.[01] (\\d{3}) ", 1).cast("int"))
+        .withColumn("ctype", lower(regexp_extract(col("msg"),
+          "(?mi)^content-type:\\s*([^\\r\\n;]+)", 1)))
+        .withColumn("body", col("msg")
+          .substr(instr(col("msg"), "\r\n\r\n") + 4, lit(1 << 24)))
+        .select(col("doc_id"), col("status"), col("ctype"),
+          length(col("body")).as("body_len"), md5(col("body")).as("body_md5"),
+          when(col("ctype") === "text/html", regexp_extract(col("body"),
+            "(?is)<title>(.*?)</title>", 1)).otherwise("").as("title"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
-    x168, x169)
+    x168, x169, x170, x171)
 }

@@ -367,6 +367,46 @@ object Pipelines {
         col("r.payload_md5").as("payload_md5"))
   }
 
+  /** Streaming incremental-dedup gate against a PRIOR corpus's Bloom
+    * filter (the x166 batch gate's streaming twin): text files dropped
+    * into a watched directory are tokenized and 8-gram-shingled IN-ROW,
+    * each gram tested against the filter `bits` (built once batch-side
+    * by [[graft.functions.BloomBits]] and embedded as a plan literal —
+    * ~m/8 bytes shipped once per executor, the stream never joins the
+    * prior corpus), and each file admitted iff its share of UNSEEN
+    * grams reaches `minNovelty`. Same md5-prefix bucket formulas as the
+    * batch gate, so batch and stream verdicts cannot drift; no false
+    * negatives — a gram the filter rejects is genuinely novel. */
+  def bloomGateStream(spark: SparkSession, dir: String, bits: Array[Long],
+      mBits: Int, minNovelty: Double = 0.5): DataFrame = {
+    require(bits.length == mBits / 64, "bits length must match mBits")
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    def seen(j: Int): String =
+      s"""(element_at(bits, cast(cast(conv(substr(md5(concat('$j', g)), 1, 15),
+         |16, 10) as bigint) % $mBits div 64 as int) + 1)
+         | & shiftleft(cast(1 as bigint),
+         |cast(cast(conv(substr(md5(concat('$j', g)), 1, 15), 16, 10) as bigint)
+         | % $mBits % 64 as int))) != 0""".stripMargin.replace("\n", "")
+    files
+      .select(col("path"), col("content").cast("string").as("text"))
+      .withColumn("grams", graft.queries.Core.wordNgrams(
+        graft.queries.Core.tokens(col("text")), 8))
+      .withColumn("bits", typedlit(bits.toSeq))
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("n_seen", size(expr(
+        s"filter(grams, g -> ${seen(0)} AND ${seen(1)} AND ${seen(2)})")))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, 0.0)
+          .otherwise((col("n_grams") - col("n_seen"))
+            .cast("double") / col("n_grams")))
+      .select(col("path"), col("n_grams"), col("n_seen"), col("novelty"),
+        (col("novelty") >= minNovelty).as("admit"))
+  }
+
   /** The HTML→main-text projection (script/style removal, tag→space,
     * entity decode, whitespace collapse — codegen'd regexp/string
     * builtins, no UDF), shared verbatim by [[warcTextStream]] and the
