@@ -2627,9 +2627,55 @@ object TextOps {
         .orderBy("bucket")
   }
 
+  /** x172: TOKEN-WINDOW CHUNKING — context-window preparation (the
+    * token-level sibling of the reference's byte chunker T1 and the
+    * retrieval-style counterpart of x116's sequence packing): each doc
+    * splits into windows of W = 64 tokens at stride S = 48 (16-token
+    * overlap, the standard long-document training/RAG recipe), the last
+    * window keeping its natural short length rather than padding.
+    * Window generation is IN-ROW (`sequence` + `transform` + `slice`,
+    * one explode) — zero shuffles before the per-doc presentation sort;
+    * the only subtlety is the window-count formula, which the oracle
+    * replays with the same integer arithmetic. */
+  val x172 = DQ("x172_token_windows", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |n AS (SELECT doc_id, l, len(l) AS n,
+      |             CASE WHEN len(l) <= 64 THEN CAST(0 AS BIGINT)
+      |                  ELSE (len(l) - 64 + 47) // 48 END AS kmax
+      |      FROM t0 WHERE len(l) > 0),
+      |w AS (SELECT doc_id, u.k AS chunk_idx,
+      |             l[u.k * 48 + 1 : least(u.k * 48 + 64, n)] AS toks
+      |      FROM n, unnest(generate_series(0, kmax)) AS u(k))
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(len(toks) AS INT) AS n_tokens,
+      |  toks[1] AS first_tok,
+      |  md5(array_to_string(toks, ' ')) AS chunk_md5
+      |FROM w ORDER BY doc_id, chunk_idx""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .withColumn("n", size(col("l")))
+        .filter(col("n") > 0)
+        .withColumn("kmax", when(col("n") <= 64, 0)
+          .otherwise(floor((col("n") - 64 + 47) / 48).cast("int")))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, kmax), k -> struct(
+            |  k AS chunk_idx,
+            |  slice(l, k * 48 + 1, least(64, n - k * 48)) AS toks))"""
+            .stripMargin)).as("s"))
+        .select(col("doc_id"), col("s.chunk_idx").cast("int").as("chunk_idx"),
+          size(col("s.toks")).as("n_tokens"),
+          element_at(col("s.toks"), 1).as("first_tok"),
+          md5(array_join(col("s.toks"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130, x131, x150, x165, x166)
+    x128, x130, x131, x150, x165, x166, x172)
 }
