@@ -2673,9 +2673,68 @@ object TextOps {
         .orderBy("doc_id", "chunk_idx")
   }
 
+  /** x173: CORPUS SNAPSHOT DIFF — dataset versioning's core operation
+    * (what Delta/iceberg-style table diffs do for a training corpus):
+    * snapshot A = the corpus as-is; snapshot B = A with formula-driven
+    * edits (every 11th doc dropped, every 7th surviving doc's text
+    * revised, every doc_id≡5 (mod 10) gaining a NEW doc id+100000).
+    * One FULL OUTER join on the doc key classifies every row into
+    * added / removed / changed / unchanged by presence and content
+    * digest — the audit that tells a retraining run exactly what moved
+    * between corpus versions. Content compare is digest-to-digest
+    * (md5), so at 100 TB the join carries two 32-byte hashes per doc,
+    * never the text; the output is the per-class tally plus a changed
+    * sample digest so the gate pins actual classifications, not just
+    * counts. */
+  val x173 = DQ("x173_corpus_diff", Some(
+    """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN md5('rev2 ' || text)
+      |              ELSE md5(text) END AS h
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, md5('new ' || text)
+      |  FROM documents WHERE doc_id % 10 = 5),
+      |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |             CASE WHEN a.doc_id IS NULL THEN 'added'
+      |                  WHEN b.doc_id IS NULL THEN 'removed'
+      |                  WHEN a.h <> b.h THEN 'changed'
+      |                  ELSE 'unchanged' END AS class,
+      |             coalesce(b.h, a.h) AS h
+      |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT class, CAST(count(*) AS BIGINT) AS n,
+      |       min(doc_id) AS first_doc, min(h) AS min_h
+      |FROM j GROUP BY class ORDER BY class""".stripMargin)) {
+    (spark, dir) =>
+      val a = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val base = spread(table(spark, dir, "documents"))
+      val b = base.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, md5(concat(lit("rev2 "), col("text"))))
+            .otherwise(md5(col("text"))).as("h"))
+        .unionAll(base.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            md5(concat(lit("new "), col("text"))).as("h")))
+      a.withColumnRenamed("doc_id", "a_id").withColumnRenamed("h", "a_h")
+        .join(b.withColumnRenamed("doc_id", "b_id").withColumnRenamed("h", "b_h"),
+          col("a_id") === col("b_id"), "full_outer")
+        .select(coalesce(col("a_id"), col("b_id")).as("doc_id"),
+          when(col("a_id").isNull, "added")
+            .when(col("b_id").isNull, "removed")
+            .when(col("a_h") =!= col("b_h"), "changed")
+            .otherwise("unchanged").as("class"),
+          coalesce(col("b_h"), col("a_h")).as("h"))
+        .groupBy("class")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"),
+          min("h").as("min_h"))
+        .orderBy("class")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130, x131, x150, x165, x166, x172)
+    x128, x130, x131, x150, x165, x166, x172, x173)
 }
