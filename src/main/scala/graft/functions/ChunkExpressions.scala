@@ -254,5 +254,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("pcm_stats"),
       new ExpressionInfo(classOf[PcmStats].getName, "pcm_stats"),
       es => PcmStats(es.head)))
+    e.injectFunction((FunctionIdentifier("warc_index"),
+      new ExpressionInfo(classOf[WarcIndex].getName, "warc_index"),
+      es => WarcIndex(es.head)))
+    // bloom_bits(hs, m): aggregate the array<bigint> bucket positions of
+    // each row into an m-bit Bloom set (m from a foldable int literal)
+    e.injectFunction((FunctionIdentifier("bloom_bits"),
+      new ExpressionInfo(classOf[BloomBits].getName, "bloom_bits"),
+      es => BloomBits(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
   }
 }

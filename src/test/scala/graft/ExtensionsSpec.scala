@@ -68,6 +68,30 @@ class ExtensionsSpec extends AnyFunSuite {
         .as[(String, Int, Long, String, String)].head()
       assert(codec == "V_VP9" && w == 640 && ts == 40L &&
         frame == "frame!" && title == "T")
+      // round-8 session-3 surface: CDX index + bloom aggregate in SQL,
+      // same no-fallback session — the index extent slices and re-parses,
+      // and the bloom bitset answers membership with pure builtins
+      val warc = graft.functions.Warc.buildGz(Seq(
+        ("response", "http://e.example/1", "2024-01-01T00:00:00Z",
+          "sql body".getBytes)))
+      spark.createDataset(Seq(Tuple1(warc))).toDF("a")
+        .createOrReplaceTempView("ext_warc")
+      val (uri, one, dig) = spark.sql(
+        """SELECT warc_index(a)[0].uri,
+          |       size(warc_records(substring(a,
+          |         CAST(warc_index(a)[0].offset AS INT) + 1,
+          |         CAST(warc_index(a)[0].length AS INT)))),
+          |       warc_index(a)[0].payload_md5 = md5(warc_records(a)[0].payload)
+          |FROM ext_warc""".stripMargin)
+        .as[(String, Int, Boolean)].head()
+      assert(uri == "http://e.example/1" && one == 1 && dig)
+      val (w0, w1) = spark.sql(
+        """SELECT bits[0], bits[1] FROM (
+          |  SELECT bloom_bits(hs, 128) AS bits
+          |  FROM VALUES (array(CAST(0 AS BIGINT), CAST(65 AS BIGINT))),
+          |              (array(CAST(63 AS BIGINT))) t(hs))""".stripMargin)
+        .as[(Long, Long)].head()
+      assert(w0 == ((1L << 0) | (1L << 63)) && w1 == 2L)
       // NearestCentroid (DataFrame-side; ships a collected model object)
       // under the same fallback=false session
       import org.apache.spark.sql.functions.col
