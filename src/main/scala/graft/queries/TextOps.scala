@@ -2732,9 +2732,95 @@ object TextOps {
         .orderBy("class")
   }
 
+  /** x174: WORD↔WORD PMI NEIGHBORS — the distributional-similarity
+    * primitive (collocation mining / embedding-free nearest words):
+    * cooccurrence pairs inside a ±2 token window are generated IN-ROW
+    * (alphabetically ordered so (a,b) and (b,a) collapse map-side),
+    * counted corpus-wide, joined to the unigram marginals (vocabulary —
+    * the provably bounded side — broadcasts; the PAIR table, which is
+    * the big one, never re-shuffles), and each word's top-3 neighbors
+    * ranked by PMI. The ranking key is an INTEGER-EXACT PMI proxy,
+    * `(c_ab·T·10^5) div (c_a·c_b)` — monotone in PMI at fixed scale and
+    * free of libm: a `ln` ranking could flip equal-ulp neighbors
+    * between engines, an integer division cannot. (Headroom: the
+    * product is < T²·10^5, safe in int64 up to T ≈ 10^6.5 tokens; a
+    * 100 TB run would rank by the double PMI and tolerate ulp ties.)
+    * The only window is per-WORD over ≤vocab-size neighbor lists. */
+  val x174 = DQ("x174_word_pmi", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (SELECT doc_id, u.i AS i, l[u.i] AS tok
+      |         FROM t0, unnest(generate_series(1, len(l))) AS u(i)),
+      |pp AS (
+      |  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  UNION ALL
+      |  SELECT least(a.tok, b.tok), greatest(a.tok, b.tok)
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 2),
+      |pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pp
+      |          WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 3),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+      |sc AS (SELECT p.w1, p.w2, p.c,
+      |              (p.c * t * 100000) // (u1.c * u2.c) AS ppm
+      |       FROM pairs p JOIN uni u1 ON u1.tok = p.w1
+      |                    JOIN uni u2 ON u2.tok = p.w2 CROSS JOIN tot),
+      |dir AS (SELECT w1 AS word, w2 AS nb, c, ppm FROM sc
+      |        UNION ALL SELECT w2, w1, c, ppm FROM sc),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY word
+      |        ORDER BY ppm DESC, nb) AS rn FROM dir)
+      |SELECT word, nb AS neighbor, CAST(rn AS INT) AS rank,
+      |       c AS n_pair, CAST(ppm AS BIGINT) AS pmi_p100k
+      |FROM r WHERE rn <= 3 ORDER BY word, rank""".stripMargin)) {
+    (spark, dir) =>
+      val t0 = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+      // ±2-window pairs generated in-row, alphabetically ordered
+      val pp = t0.select(explode(expr(
+        """CASE WHEN size(l) >= 2 THEN
+          |  flatten(transform(sequence(1, size(l) - 1), i ->
+          |    CASE WHEN i + 2 <= size(l) THEN array(
+          |      struct(least(element_at(l, i), element_at(l, i + 1)) AS w1,
+          |             greatest(element_at(l, i), element_at(l, i + 1)) AS w2),
+          |      struct(least(element_at(l, i), element_at(l, i + 2)) AS w1,
+          |             greatest(element_at(l, i), element_at(l, i + 2)) AS w2))
+          |    ELSE array(
+          |      struct(least(element_at(l, i), element_at(l, i + 1)) AS w1,
+          |             greatest(element_at(l, i), element_at(l, i + 1)) AS w2))
+          |    END))
+          |ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"""
+          .stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pairs = pp.filter(col("w1") =!= col("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+      val toks = t0.select(explode(col("l")).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      val sc = pairs
+        .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("c1"))), "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("c2"))), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c"),
+          expr("(c * t * 100000) div (c1 * c2)").as("ppm"))
+      val dir2 = sc.select(col("w1").as("word"), col("w2").as("nb"),
+          col("c"), col("ppm"))
+        .unionAll(sc.select(col("w2").as("word"), col("w1").as("nb"),
+          col("c"), col("ppm")))
+      val w = Window.partitionBy("word")
+        .orderBy(col("ppm").desc, col("nb"))
+      dir2.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("word"), col("nb").as("neighbor"),
+          col("rn").cast("int").as("rank"), col("c").as("n_pair"),
+          col("ppm").cast("long").as("pmi_p100k"))
+        .orderBy("word", "rank")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130, x131, x150, x165, x166, x172, x173)
+    x128, x130, x131, x150, x165, x166, x172, x173, x174)
 }

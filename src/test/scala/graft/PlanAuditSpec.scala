@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x129_kmv_setops", // 5-row sketch/marginal self-pairing (non-equi l1<l2)
     "x130_curation_pipeline", // 1-row LM-total + doc-count broadcasts (x109/x114 shapes)
     "x131_epoch_shuffle", // 1-row corpus-count broadcast (per-epoch offset)
-    "x166_bloom_dedup_gate") // 1-row 128 KiB bloom-bitset broadcast
+    "x166_bloom_dedup_gate", // 1-row 128 KiB bloom-bitset broadcast
+    "x174_word_pmi") // 1-row token-total broadcast cross join
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
