@@ -2906,9 +2906,92 @@ object Dataflow {
         .orderBy("doc_id")
   }
 
+  /** x176: LINK GRAPH + PAGERANK — the web-graph operator family
+    * (crawl prioritization, domain authority for quality weighting):
+    * anchor targets are EXTRACTED from the page HTML with
+    * `regexp_extract_all` (codegen'd — the parse is the operator; the
+    * oracle restates the edge list from the generator formulas),
+    * deduplicated to site-level edges, and ranked by two PageRank
+    * iterations (d = 0.85) in FIXED-POINT integer arithmetic: scores
+    * scale by 10^12 and every contribution is `(pr·85) div (100·deg)`
+    * — bit-exact in both engines and ORDER-INDEPENDENT under Spark's
+    * nondeterministic partition-sum order, where a floating PageRank
+    * could drift in the last ulp. Each iteration is one equi-join of
+    * edges to scores plus a groupBy(dst) — the classic Pregel step as
+    * two exchanges, linear in edges at 100 TB. */
+  val x176 = DQ("x176_link_pagerank", Some(
+    """WITH sites AS (SELECT DISTINCT doc_id % 50 AS g FROM documents),
+      |e0 AS (SELECT g AS src, (g + 1) % 50 AS dst FROM sites
+      |       UNION SELECT g, (g * 2 + 1) % 50 FROM sites
+      |       UNION SELECT g, (g + 7) % 50 FROM sites WHERE g % 5 = 0),
+      |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sites),
+      |pr0 AS (SELECT g, 1000000000000 // n AS pr FROM sites CROSS JOIN nn),
+      |c1 AS (SELECT e.dst, sum((p.pr * 85) // (100 * d.d)) AS s
+      |       FROM edges e JOIN pr0 p ON p.g = e.src JOIN deg d ON d.src = e.src
+      |       GROUP BY 1),
+      |pr1 AS (SELECT s.g,
+      |          (1000000000000 * 15 // 100) // n + coalesce(c1.s, 0) AS pr
+      |        FROM sites s CROSS JOIN nn LEFT JOIN c1 ON c1.dst = s.g),
+      |c2 AS (SELECT e.dst, sum((p.pr * 85) // (100 * d.d)) AS s
+      |       FROM edges e JOIN pr1 p ON p.g = e.src JOIN deg d ON d.src = e.src
+      |       GROUP BY 1),
+      |pr2 AS (SELECT s.g,
+      |          (1000000000000 * 15 // 100) // n + coalesce(c2.s, 0) AS pr
+      |        FROM sites s CROSS JOIN nn LEFT JOIN c2 ON c2.dst = s.g)
+      |SELECT pr2.g AS site, CAST(coalesce(deg.d, 0) AS BIGINT) AS out_deg,
+      |       CAST(pr2.pr AS BIGINT) AS pr_e12
+      |FROM pr2 LEFT JOIN deg ON deg.src = pr2.g ORDER BY site""".stripMargin)) {
+    (spark, dir) =>
+      val S = 1000000000000L
+      val pages = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), (col("doc_id") % 50).as("g"))
+        .withColumn("html", concat(
+          lit("<html><body>site "), col("g").cast("string"),
+          lit(" <a href=\"http://site"),
+          ((col("g") + 1) % 50).cast("string"), lit(".example/\">n1</a>"),
+          lit(" <a href=\"http://site"),
+          ((col("g") * 2 + 1) % 50).cast("string"), lit(".example/\">n2</a>"),
+          when(col("g") % 5 === 0, concat(lit(" <a href=\"http://site"),
+            ((col("g") + 7) % 50).cast("string"), lit(".example/\">n3</a>")))
+            .otherwise(""),
+          lit("</body></html>")))
+      // the operator proper: link extraction from the HTML string
+      val edges = pages
+        .select(col("g").as("src"), explode(expr(
+          """regexp_extract_all(html,
+            |  '<a href="http://site([0-9]+)\\.example/"', 1)""".stripMargin))
+          .as("ds"))
+        .select(col("src"), col("ds").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val sites = pages.select(col("g")).distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val nn = sites.agg(count(lit(1)).as("n"))
+      def step(pr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val c = edges
+          .join(pr.withColumnRenamed("g", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst"), expr("(pr * 85) div (100 * d)").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("s"))
+        sites.crossJoin(broadcast(nn))
+          .join(c.withColumnRenamed("dst", "g"), Seq("g"), "left_outer")
+          .select(col("g"), (expr(s"($S * 15 div 100) div n")
+            + coalesce(col("s"), lit(0L))).as("pr"))
+      }
+      val pr0 = sites.crossJoin(broadcast(nn))
+        .select(col("g"), expr(s"$S div n").as("pr"))
+      val pr2 = step(step(pr0))
+      pr2.join(deg.withColumnRenamed("src", "g"), Seq("g"), "left_outer")
+        .select(col("g").as("site"),
+          coalesce(col("d"), lit(0L)).as("out_deg"), col("pr").as("pr_e12"))
+        .orderBy("site")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
-    x168, x169, x170, x171)
+    x168, x169, x170, x171, x176)
 }

@@ -2818,9 +2818,76 @@ object TextOps {
         .orderBy("word", "rank")
   }
 
+  /** x175: BIGRAM-LM DOCUMENT SCORING — x109's model-based quality
+    * filter at order 2 (the shape of CCNet's KenLM pass, Wenzek et al.
+    * 2020): the corpus trains an interpolated bigram model
+    * `p(b|a) = 0.7·c₂(a,b)/c₁(a) + 0.3·c₁(b)/T` on itself, then every
+    * document is scored by its per-pair mean negative log-likelihood.
+    * Two passes: pass 1 aggregates the bigram and unigram tables
+    * (map-side combining does the heavy lifting); pass 2 explodes each
+    * doc's consecutive pairs ONCE and joins the model on a 60-bit
+    * hashed bigram key (8-byte exchange, same discipline as x106) plus
+    * broadcast unigram marginals. At 100 TB the bigram table is the
+    * one big exchange and it is counted once, never per-doc. Doubles
+    * enter only inside the final `ln`, rounded to 6 — the x109/x128
+    * precedent that holds across engines. */
+  val x175 = DQ("x175_bigram_nll", Some(
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                             x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (SELECT doc_id, u.i AS i, l[u.i] AS tok
+      |         FROM t0, unnest(generate_series(1, len(l))) AS u(i)),
+      |bp AS (SELECT a.doc_id, a.i, a.tok AS w1, b.tok AS w2
+      |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |big AS (SELECT CAST('0x' || substr(md5(w1 || ' ' || w2), 1, 15) AS BIGINT)
+      |               AS bk, CAST(count(*) AS BIGINT) AS c2
+      |        FROM bp GROUP BY 1),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |         -ln(0.7 * CAST(big.c2 AS DOUBLE) / u1.c1
+      |             + 0.3 * CAST(u2.c1 AS DOUBLE) / tot.t) AS nll
+      |  FROM bp p
+      |  JOIN big ON big.bk = CAST('0x' || substr(md5(p.w1 || ' ' || p.w2), 1, 15)
+      |                       AS BIGINT)
+      |  JOIN uni u1 ON u1.tok = p.w1
+      |  JOIN uni u2 ON u2.tok = p.w2
+      |  CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       round(avg(nll), 6) AS mean_nll
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val t0 = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+      // consecutive pairs, generated in-row once per doc
+      val bp = t0.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(l) >= 2 THEN
+          |  transform(sequence(1, size(l) - 1), i ->
+          |    struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))
+          |ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"""
+          .stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .withColumn("bk", gramKey(concat_ws(" ", col("w1"), col("w2"))))
+      val big = bp.groupBy("bk").agg(count(lit(1)).as("c2"))
+      val toks = t0.select(explode(col("l")).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      bp.join(big, "bk")
+        .join(broadcast(uni.select(col("tok").as("w1"), col("c1").as("ca"))), "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("cb"))), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", -log(lit(0.7) * col("c2") / col("ca")
+          + lit(0.3) * col("cb") / col("t")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"), round(avg(col("nll")), 6).as("mean_nll"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130, x131, x150, x165, x166, x172, x173, x174)
+    x128, x130, x131, x150, x165, x166, x172, x173, x174, x175)
 }
