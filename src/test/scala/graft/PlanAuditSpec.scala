@@ -50,6 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x131_epoch_shuffle", // 1-row corpus-count broadcast (per-epoch offset)
     "x166_bloom_dedup_gate", // 1-row 128 KiB bloom-bitset broadcast
     "x174_word_pmi", // 1-row token-total broadcast cross join
+    "x175_bigram_nll", // 1-row token-total broadcast cross join
     "x176_link_pagerank") // 1-row node-count broadcast (teleport base)
 
   lazy val spark: SparkSession = SparkSession.builder()
