@@ -2897,8 +2897,12 @@ object Dataflow {
           "^HTTP/1\\.[01] (\\d{3}) ", 1).cast("int"))
         .withColumn("ctype", lower(regexp_extract(col("msg"),
           "(?mi)^content-type:\\s*([^\\r\\n;]+)", 1)))
-        .withColumn("body", col("msg")
-          .substr(instr(col("msg"), "\r\n\r\n") + 4, lit(1 << 24)))
+        // instr = 0 ⇒ no header/body boundary at all: surface an empty
+        // body rather than a garbage slice (dead-letter posture; the
+        // fixture always has the boundary, the guard is for real crawls)
+        .withColumn("body", when(instr(col("msg"), "\r\n\r\n") === 0, "")
+          .otherwise(col("msg")
+            .substr(instr(col("msg"), "\r\n\r\n") + 4, lit(1 << 24))))
         .select(col("doc_id"), col("status"), col("ctype"),
           length(col("body")).as("body_len"), md5(col("body")).as("body_md5"),
           when(col("ctype") === "text/html", regexp_extract(col("body"),

@@ -376,7 +376,10 @@ object Pipelines {
     * prior corpus), and each file admitted iff its share of UNSEEN
     * grams reaches `minNovelty`. Same md5-prefix bucket formulas as the
     * batch gate, so batch and stream verdicts cannot drift; no false
-    * negatives — a gram the filter rejects is genuinely novel. */
+    * negatives — a gram the filter rejects is genuinely novel. A file
+    * too short to produce any 8-gram has novelty 0 and is NOT admitted
+    * (deliberate: sub-shingle fragments carry no dedup evidence, so the
+    * conservative gate holds them back rather than waving them in). */
   def bloomGateStream(spark: SparkSession, dir: String, bits: Array[Long],
       mBits: Int, minNovelty: Double = 0.5): DataFrame = {
     require(bits.length == mBits / 64, "bits length must match mBits")
