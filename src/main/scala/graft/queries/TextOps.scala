@@ -2885,9 +2885,81 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x177: LEAK-PROOF TRAIN/VAL/TEST SPLITTING — the evaluation-
+    * integrity op: duplicated content must land in ONE split, or the
+    * held-out sets are contaminated by construction. The fixture makes
+    * the hazard real (every `doc_id % 39` shares a content string — 39
+    * coprime to the naive modulus, so duplicates straddle doc buckets), then both split policies run side
+    * by side: the NAIVE doc-id split (`doc_id % 10` → 80/10/10) and the
+    * CONTENT-HASH split (first md5 hex digit → 12/2/2 sixteenths).
+    * The audit counts contents spanning >1 split under each policy —
+    * nonzero for the naive split, ZERO for the hash split, and both
+    * numbers are computed, not asserted. Everything is two-level
+    * aggregation on 8-byte/16-byte keys; at 100 TB the hash split is
+    * also the only one that needs no coordination — any worker can
+    * route any row. */
+  val x177 = DQ("x177_leakproof_split", Some(
+    """WITH d AS (
+      |  SELECT doc_id, 'shared content ' || CAST(doc_id % 39 AS VARCHAR)
+      |           || ' corpus' AS text
+      |  FROM documents),
+      |s AS (SELECT doc_id, md5(text) AS h,
+      |        CASE WHEN doc_id % 10 <= 7 THEN 'train'
+      |             WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS by_doc,
+      |        CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b'
+      |               THEN 'train'
+      |             WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+      |             ELSE 'test' END AS by_hash
+      |      FROM d),
+      |leak AS (
+      |  SELECT
+      |    (SELECT count(*) FROM (SELECT h FROM s GROUP BY h
+      |       HAVING count(DISTINCT by_doc) > 1)) AS leak_doc,
+      |    (SELECT count(*) FROM (SELECT h FROM s GROUP BY h
+      |       HAVING count(DISTINCT by_hash) > 1)) AS leak_hash),
+      |rows_ AS (
+      |  SELECT 'by_doc' AS scheme, by_doc AS split,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT h) AS BIGINT) AS n_contents
+      |  FROM s GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'by_hash', by_hash, CAST(count(*) AS BIGINT),
+      |         CAST(count(DISTINCT h) AS BIGINT)
+      |  FROM s GROUP BY 2)
+      |SELECT r.scheme, r.split, r.n_docs, r.n_contents,
+      |  CAST(CASE WHEN r.scheme = 'by_doc' THEN l.leak_doc
+      |       ELSE l.leak_hash END AS BIGINT) AS leaked_contents
+      |FROM rows_ r CROSS JOIN leak l ORDER BY scheme, split""".stripMargin)) {
+    (spark, dir) =>
+      val s = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), concat(lit("shared content "),
+          (col("doc_id") % 39).cast("string"), lit(" corpus")).as("text"))
+        .withColumn("h", md5(col("text")))
+        .withColumn("by_doc", when(col("doc_id") % 10 <= 7, "train")
+          .when(col("doc_id") % 10 === 8, "val").otherwise("test"))
+        .withColumn("by_hash",
+          when(substring(col("h"), 1, 1).between("0", "b"), "train")
+            .when(substring(col("h"), 1, 1).isin("c", "d"), "val")
+            .otherwise("test"))
+      def leaks(c: String): DataFrame = s.select(col("h"), col(c)).distinct()
+        .groupBy("h").agg(count(lit(1)).as("k")).filter(col("k") > 1)
+        .agg(count(lit(1)).as(s"leak_$c"))
+      val leak = leaks("by_doc").crossJoin(leaks("by_hash"))
+      def side(scheme: String): DataFrame = s.groupBy(col(scheme).as("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_contents"))
+        .select(lit(scheme).as("scheme"), col("split"), col("n_docs"),
+          col("n_contents"))
+      side("by_doc").unionAll(side("by_hash"))
+        .crossJoin(broadcast(leak))
+        .select(col("scheme"), col("split"), col("n_docs"), col("n_contents"),
+          when(col("scheme") === "by_doc", col("leak_by_doc"))
+            .otherwise(col("leak_by_hash")).cast("long").as("leaked_contents"))
+        .orderBy("scheme", "split")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130, x131, x150, x165, x166, x172, x173, x174, x175)
+    x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177)
 }

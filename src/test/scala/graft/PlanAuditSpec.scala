@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x166_bloom_dedup_gate", // 1-row 128 KiB bloom-bitset broadcast
     "x174_word_pmi", // 1-row token-total broadcast cross join
     "x175_bigram_nll", // 1-row token-total broadcast cross join
-    "x176_link_pagerank") // 1-row node-count broadcast (teleport base)
+    "x176_link_pagerank", // 1-row node-count broadcast (teleport base)
+    "x177_leakproof_split") // 1-row leak-count broadcast cross join
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
