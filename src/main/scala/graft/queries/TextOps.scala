@@ -2944,7 +2944,7 @@ object TextOps {
       def leaks(c: String): DataFrame = s.select(col("h"), col(c)).distinct()
         .groupBy("h").agg(count(lit(1)).as("k")).filter(col("k") > 1)
         .agg(count(lit(1)).as(s"leak_$c"))
-      val leak = leaks("by_doc").crossJoin(leaks("by_hash"))
+      val leak = leaks("by_doc").crossJoin(broadcast(leaks("by_hash")))
       def side(scheme: String): DataFrame = s.groupBy(col(scheme).as("split"))
         .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_contents"))
         .select(lit(scheme).as("scheme"), col("split"), col("n_docs"),
