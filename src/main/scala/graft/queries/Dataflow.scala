@@ -2817,13 +2817,13 @@ object Dataflow {
              |                                     cast(k % 3 as int) + 1),
              |           '"}')
              |  END), '\\n')""".stripMargin).as("jsonl"))
-      // the operator proper: split + from_json with corrupt routing
-      val parsed = blobs
-        .select(col("doc_id"), explode(split(col("jsonl"), "\n")).as("line"))
-        .withColumn("j", from_json(col("line"),
-          "id BIGINT, lang STRING, score DOUBLE, _bad STRING",
-          Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_bad")))
+      // the operator proper: split + from_json with corrupt routing —
+      // the `Pipelines.jsonlParse` projection, shared verbatim with the
+      // streaming `jsonlTextStream` ingest
+      val parsed = graft.streaming.Pipelines.jsonlParse(
+        blobs.select(col("doc_id"),
+          explode(split(col("jsonl"), "\n")).as("line")),
+        "id BIGINT, lang STRING, score DOUBLE")
       parsed.groupBy("doc_id")
         .agg(count(lit(1)).as("n_lines"),
           sum(when(col("j._bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),

@@ -410,6 +410,39 @@ object Pipelines {
         (col("novelty") >= minNovelty).as("admit"))
   }
 
+  /** The JSONL line-parse projection shared by the x170 batch gate and
+    * [[jsonlTextStream]] so the two ingest modes cannot drift: input
+    * needs a `line` string column; adds `j`, the parsed struct under
+    * `schema` with an explicit `_bad` corrupt-record column (PERMISSIVE
+    * mode) — a malformed line surfaces as `j._bad != null`, it never
+    * throws. */
+  def jsonlParse(lines: DataFrame, schema: String): DataFrame =
+    lines.withColumn("j", from_json(col("line"), schema + ", _bad STRING",
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+
+  /** Streaming JSONL corpus ingest over a directory watch: `.jsonl`
+    * files dropped into `dir` split to lines and parse through the SAME
+    * [[jsonlParse]] projection as the batch gate. One row per line:
+    * (path, line_no, ok, j struct) — corrupt lines arrive flagged, not
+    * dropped and not fatal (dead-letter posture). */
+  def jsonlTextStream(spark: SparkSession, dir: String,
+      schema: String): DataFrame = {
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    jsonlParse(
+      files
+        .select(col("path"),
+          posexplode(split(col("content").cast("string"), "\n"))
+            .as(Seq("line_no", "line")))
+        .filter(col("line") =!= ""),
+      schema)
+      .select(col("path"), col("line_no"), col("j._bad").isNull.as("ok"),
+        col("j"))
+  }
+
   /** The HTML→main-text projection (script/style removal, tag→space,
     * entity decode, whitespace collapse — codegen'd regexp/string
     * builtins, no UDF), shared verbatim by [[warcTextStream]] and the
