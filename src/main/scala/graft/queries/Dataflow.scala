@@ -2993,9 +2993,427 @@ object Dataflow {
         .orderBy("site")
   }
 
+  /** x178: WET INGEST — Common-Crawl's extracted-text distribution (the
+    * `.wet` sibling of the raw `.warc`: same ISO 28500 framing, but the
+    * page records are `conversion` type with PLAIN-TEXT payloads). Most
+    * LLM corpora built on Common Crawl start here, not at the raw HTML.
+    * The archive bytes are genuinely parsed (`warc_records`, gzip-member
+    * form for every third doc), conversion records filtered from the
+    * warcinfo preamble, payloads UTF-8-decoded, and each text language-
+    * identified by the same stopword-argmax heuristic as x05 — all with
+    * codegen'd builtins (`filter(split(...))` marker hits, no shuffle
+    * before the presentation sort). The oracle replays text and language
+    * from the generator formulas; Spark must recover them from the
+    * framed bytes. */
+  val x178 = DQ("x178_wet_ingest", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS nr
+      |           FROM documents),
+      |recs AS (
+      |  SELECT doc_id, u.r AS rec_idx,
+      |         'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+      |           || CAST(u.r AS VARCHAR) AS uri,
+      |         CASE (doc_id + u.r) % 3
+      |           WHEN 0 THEN 'the quick brown fox jumps over the lazy dog and runs home'
+      |           WHEN 1 THEN 'der schnelle braune fuchs und der faule hund laufen zu der scheune'
+      |           ELSE 'le renard brun rapide et le chien paresseux vont a la grange'
+      |         END || ' doc ' || CAST(doc_id AS VARCHAR) || ' page '
+      |           || CAST(u.r AS VARCHAR) AS text,
+      |         CASE (doc_id + u.r) % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+      |           ELSE 'fr' END AS lang
+      |  FROM d, unnest(generate_series(0, nr - 1)) AS u(r))
+      |SELECT doc_id AS media_id, CAST(rec_idx AS INT) AS rec_idx, uri,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(16 AS BIGINT) AS n_words, lang, md5(text) AS text_md5
+      |FROM recs ORDER BY media_id, rec_idx""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Warc, WarcRecords}
+      val bases = Array(
+        "the quick brown fox jumps over the lazy dog and runs home",
+        "der schnelle braune fuchs und der faule hund laufen zu der scheune",
+        "le renard brun rapide et le chien paresseux vont a la grange")
+      val wet = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val dt = f"2024-${id % 12 + 1}%02d-01T00:00:00Z"
+          val recs = Seq(("warcinfo", null: String, dt,
+            s"software: graft-wet $id".getBytes)) ++
+            (0 until (id % 3 + 1).toInt).map { r =>
+              val text = s"${bases(((id + r) % 3).toInt)} doc $id page $r"
+              ("conversion", s"http://site${id % 50}.example/p$r", dt,
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          (id, if (id % 3 == 0) Warc.buildGz(recs) else Warc.build(recs))
+        }.toDF("media_id", "media")
+      // the operator proper: parse the archive bytes alone
+      def hits(ws: String): org.apache.spark.sql.Column =
+        size(expr(s"filter(split(text, ' '), w -> w IN ($ws))"))
+      wet
+        .select(col("media_id"),
+          posexplode(WarcRecords.warcRecords(col("media"))).as(Seq("i", "p")))
+        .filter(col("p.rec_type") === "conversion")
+        // records are positional in the archive: conversion record r sits
+        // at array index r+1 (behind the warcinfo preamble) — no
+        // re-grouping needed, the parse stays shuffle-free
+        .withColumn("rec_idx", (col("i") - 1).cast("int"))
+        .withColumn("text", col("p.payload").cast("string"))
+        .withColumn("en", hits("'the','and'"))
+        .withColumn("de", hits("'der','und','zu'"))
+        .withColumn("fr", hits("'le','et','la'"))
+        .select(col("media_id"), col("rec_idx"), col("p.uri").as("uri"),
+          length(col("text")).cast("long").as("n_bytes"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          when(col("en") >= col("de") && col("en") >= col("fr"), "en")
+            .when(col("de") >= col("fr"), "de").otherwise("fr").as("lang"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("media_id", "rec_idx")
+  }
+
+  /** x179: WAT LINK METADATA — Common Crawl's third distribution: per-page
+    * metadata records whose payload is NESTED JSON carrying the page's
+    * outlink list (`Envelope → Payload-Metadata → HTTP-Response-Metadata →
+    * HTML-Metadata → Links[{path, url}]`). The WARC framing opens with
+    * `warc_records`, the JSON with one codegen-adjacent `from_json` against
+    * a programmatic nested StructType (hyphenated field names and all),
+    * links explode in-row, and anchors/images/relative links are
+    * classified before a per-site rollup — the exact shape a link-graph
+    * builder consumes at 100 TB, where WAT is ~1/5 the bytes of the raw
+    * crawl. Per-site aggregation is one map-side-combinable groupBy;
+    * the distinct outlink count collapses map-side on (site, dst). */
+  val x179 = DQ("x179_wat_links", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nr,
+      |                  doc_id % 50 AS g
+      |           FROM documents),
+      |pages AS (SELECT doc_id, g, u.r AS r FROM d,
+      |          unnest(generate_series(0, nr - 1)) AS u(r)),
+      |links AS (
+      |  SELECT g, 'anchor' AS kind, (g + 1) % 50 AS dst FROM pages
+      |  UNION ALL
+      |  SELECT g, 'image', g FROM pages
+      |  UNION ALL
+      |  SELECT g, 'relative', CAST(NULL AS BIGINT) FROM pages
+      |  UNION ALL
+      |  SELECT g, 'anchor', (g * 2 + 1) % 50 FROM pages WHERE r % 2 = 1)
+      |SELECT g AS site,
+      |  CAST(sum(CASE WHEN kind = 'relative' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pages,
+      |  CAST(sum(CASE WHEN kind = 'anchor' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anchor,
+      |  CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_img,
+      |  CAST(sum(CASE WHEN kind = 'relative' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rel,
+      |  CAST(count(DISTINCT CASE WHEN kind = 'anchor' AND dst <> g
+      |                           THEN dst END) AS BIGINT) AS out_deg
+      |FROM links l GROUP BY g ORDER BY site""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Warc, WarcRecords}
+      import org.apache.spark.sql.types._
+      val wat = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val g = id % 50
+          val dt = f"2024-${id % 12 + 1}%02d-01T00:00:00Z"
+          val recs = Seq(("warcinfo", null: String, dt,
+            s"software: graft-wat $id".getBytes)) ++
+            (0 until (id % 4 + 1).toInt).map { r =>
+              val uri = s"http://site$g.example/p$r"
+              val extra =
+                if (r % 2 == 1)
+                  s""",{"path":"A@/href","url":"http://site${(g * 2 + 1) % 50}.example/"}"""
+                else ""
+              val json =
+                s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"$uri","WARC-Type":"response"},""" +
+                  s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":[""" +
+                  s"""{"path":"A@/href","url":"http://site${(g + 1) % 50}.example/"},""" +
+                  s"""{"path":"IMG@/src","url":"http://site$g.example/img.png"},""" +
+                  s"""{"path":"A@/href","url":"/local/p0"}$extra]}}}}}"""
+              ("metadata", uri, dt, json.getBytes)
+            }
+          (id, if (id % 3 == 0) Warc.buildGz(recs) else Warc.build(recs))
+        }.toDF("media_id", "media")
+      val linkT = new StructType()
+        .add("path", StringType).add("url", StringType)
+      val watSchema = new StructType()
+        .add("Envelope", new StructType()
+          .add("WARC-Header-Metadata", new StructType()
+            .add("WARC-Target-URI", StringType)
+            .add("WARC-Type", StringType))
+          .add("Payload-Metadata", new StructType()
+            .add("HTTP-Response-Metadata", new StructType()
+              .add("HTML-Metadata", new StructType()
+                .add("Links", ArrayType(linkT))))))
+      // the operator proper: framing + nested JSON + link classification
+      val links = wat
+        .select(col("media_id"),
+          explode(WarcRecords.warcRecords(col("media"))).as("p"))
+        .filter(col("p.rec_type") === "metadata")
+        .select(col("media_id"),
+          from_json(col("p.payload").cast("string"), watSchema).as("j"))
+        .select(
+          regexp_extract(
+            col("j.Envelope.WARC-Header-Metadata.WARC-Target-URI"),
+            "http://site([0-9]+)\\.example", 1).cast("long").as("site"),
+          explode(col(
+            "j.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links"))
+            .as("l"))
+        .select(col("site"),
+          when(!col("l.url").startsWith("http://"), "relative")
+            .when(col("l.path") === "A@/href", "anchor")
+            .otherwise("image").as("kind"),
+          when(col("l.url").startsWith("http://"),
+            regexp_extract(col("l.url"), "http://site([0-9]+)\\.example", 1)
+              .cast("long")).as("dst"))
+      links.groupBy("site")
+        .agg(
+          sum(when(col("kind") === "anchor", 1L).otherwise(0L)).as("n_anchor"),
+          sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_img"),
+          sum(when(col("kind") === "relative", 1L).otherwise(0L)).as("n_rel"),
+          // distinct collapses map-side on (site, dst) — tiny domain
+          size(array_distinct(collect_list(
+            when(col("kind") === "anchor" && col("dst") =!= col("site"),
+              col("dst"))))).cast("long").as("out_deg"))
+        // exactly one relative link is emitted per page, so n_rel IS the
+        // page count — surfaced under both names the consumer wants
+        .select(col("site"), col("n_rel").as("n_pages"), col("n_anchor"),
+          col("n_img"), col("n_rel"), col("out_deg"))
+        .orderBy("site")
+  }
+
+  /** x180: SITEMAP PARSE + CRAWL COVERAGE — the crawl-frontier side of the
+    * politeness stack (x167 canonicalizes, x168 gates, this DISCOVERS):
+    * per-site `sitemap.xml` text is classified (`urlset` page list vs
+    * `sitemapindex` shard list, both per sitemaps.org), `<loc>`/`<lastmod>`
+    * entries extracted positionally with two `regexp_extract_all` passes
+    * zipped back together (codegen'd — Spark regex groups extract one at a
+    * time, `arrays_zip` restores the pairing), and the listed URLs joined
+    * against the ACTUALLY-CRAWLED url set (x161's page formulas) to
+    * measure coverage — the audit every recrawl scheduler runs. The only
+    * shuffles are the per-site rollup and the coverage semi-join, both on
+    * the site/url key. */
+  val x180 = DQ("x180_sitemap_urls", Some(
+    """WITH sites AS (SELECT DISTINCT doc_id % 50 AS g FROM documents),
+      |crawl AS (SELECT DISTINCT doc_id % 50 AS g, u.r AS r
+      |          FROM documents, unnest(generate_series(0, doc_id % 4)) AS u(r)),
+      |listed AS (
+      |  SELECT g, u.r AS r,
+      |         'http://site' || CAST(g AS VARCHAR) || '.example/p'
+      |           || CAST(u.r AS VARCHAR) AS url,
+      |         printf('2024-%02d-01', (g + u.r) % 12 + 1) AS lastmod
+      |  FROM sites, unnest(generate_series(0, g % 4 + 1)) AS u(r)
+      |  WHERE g % 7 <> 0),
+      |pageagg AS (
+      |  SELECT l.g, CAST(count(*) AS BIGINT) AS n_listed,
+      |         CAST(sum(CASE WHEN c.r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_crawled,
+      |         min(l.lastmod) AS min_lastmod, max(l.lastmod) AS max_lastmod
+      |  FROM listed l LEFT JOIN crawl c ON c.g = l.g AND c.r = l.r
+      |  GROUP BY l.g)
+      |SELECT s.g AS site,
+      |  CASE WHEN s.g % 7 = 0 THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+      |  CASE WHEN s.g % 7 = 0 THEN CAST(2 AS BIGINT) ELSE p.n_listed END
+      |    AS n_listed,
+      |  CASE WHEN s.g % 7 = 0 THEN CAST(0 AS BIGINT) ELSE p.n_crawled END
+      |    AS n_crawled,
+      |  p.min_lastmod, p.max_lastmod
+      |FROM sites s LEFT JOIN pageagg p ON p.g = s.g
+      |ORDER BY site""".stripMargin)) {
+    (spark, dir) =>
+      val sites = spread(table(spark, dir, "documents"))
+        .select((col("doc_id") % 50).as("g")).distinct()
+      val xml = sites.select(col("g"),
+        when(col("g") % 7 === 0, concat(
+          lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>http://site"),
+          col("g").cast("string"),
+          lit(".example/sitemap1.xml</loc></sitemap><sitemap><loc>http://site"),
+          col("g").cast("string"),
+          lit(".example/sitemap2.xml</loc></sitemap></sitemapindex>")))
+          .otherwise(concat(
+            lit("<?xml version=\"1.0\"?><urlset>"),
+            expr("""array_join(transform(sequence(0, cast(g % 4 + 1 as int)), r ->
+                   |  concat('<url><loc>http://site', cast(g as string),
+                   |    '.example/p', cast(r as string), '</loc><lastmod>2024-',
+                   |    lpad(cast((g + r) % 12 + 1 as string), 2, '0'),
+                   |    '-01</lastmod></url>')), '')""".stripMargin),
+            lit("</urlset>"))).as("xml"))
+      // the operator proper: classify + extract from the XML text alone
+      val parsed = xml
+        .withColumn("kind", when(col("xml").contains("<sitemapindex>"),
+          "sitemapindex").otherwise("urlset"))
+        .withColumn("locs", expr(
+          "regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)"))
+        .withColumn("mods", expr(
+          "regexp_extract_all(xml, '<lastmod>([^<]+)</lastmod>', 1)"))
+      val crawl = spread(table(spark, dir, "documents"))
+        .select((col("doc_id") % 50).as("g"),
+          explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("r"))
+        .select(col("g"), concat(lit("http://site"), col("g").cast("string"),
+          lit(".example/p"), col("r").cast("string")).as("url"))
+        .distinct()
+      val urls = parsed.filter(col("kind") === "urlset")
+        .select(col("g"), explode(expr(
+          "arrays_zip(locs, mods)")).as("e"))
+        .select(col("g"), col("e.locs").as("url"), col("e.mods").as("lastmod"))
+      val cov = urls.join(crawl, Seq("g", "url"), "left_outer")
+        .groupBy("g").agg(count(lit(1)).as("n_listed"),
+          sum(when(crawl("url").isNotNull, 1L).otherwise(0L)).as("n_crawled"),
+          min(col("lastmod")).as("min_lastmod"),
+          max(col("lastmod")).as("max_lastmod"))
+      parsed.select(col("g"), col("kind"), size(col("locs")).as("n_locs"))
+        .join(cov, Seq("g"), "left_outer")
+        .select(col("g").as("site"), col("kind"),
+          when(col("kind") === "sitemapindex", col("n_locs").cast("long"))
+            .otherwise(col("n_listed")).as("n_listed"),
+          when(col("kind") === "sitemapindex", 0L)
+            .otherwise(col("n_crawled")).as("n_crawled"),
+          col("min_lastmod"), col("max_lastmod"))
+        .orderBy("site")
+  }
+
+  /** x181: ANCHOR-TEXT AGGREGATION — the inlink-description operator
+    * (search and quality pipelines describe a page by what OTHER pages'
+    * anchors say about it): `<a href>…</a>` pairs are extracted with two
+    * positional `regexp_extract_all` passes re-zipped in-row, grouped to
+    * (target, anchor) counts (map-side combinable — the anchor vocabulary
+    * per target is tiny even when inlinks are millions), and each target
+    * keeps its top-2 anchors by (count DESC, text ASC) via an in-row
+    * struct sort — the classic two-level rollup that never materializes
+    * a per-inlink exchange at 100 TB. */
+  val x181 = DQ("x181_anchor_text", Some(
+    """WITH pages AS (SELECT doc_id, doc_id % 50 AS g FROM documents),
+      |an AS (
+      |  SELECT (g + 1) % 50 AS dst,
+      |         CASE WHEN doc_id % 2 = 0
+      |           THEN 'visit site ' || CAST((g + 1) % 50 AS VARCHAR)
+      |           ELSE 'click here' END AS anchor
+      |  FROM pages
+      |  UNION ALL
+      |  SELECT (g * 2 + 1) % 50,
+      |         'best ' || CAST((g * 2 + 1) % 50 AS VARCHAR) || ' content'
+      |  FROM pages),
+      |cnt AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+      |        FROM an GROUP BY 1, 2),
+      |top AS (SELECT dst, anchor, n, row_number() OVER (
+      |          PARTITION BY dst ORDER BY n DESC, anchor) AS rk
+      |        FROM cnt)
+      |SELECT c.dst AS site, CAST(sum(c.n) AS BIGINT) AS n_inlinks,
+      |  CAST(count(*) AS BIGINT) AS n_anchors,
+      |  (SELECT string_agg(anchor || '(' || CAST(n AS VARCHAR) || ')', '|'
+      |            ORDER BY rk)
+      |   FROM top t WHERE t.dst = c.dst AND t.rk <= 2) AS top_anchors
+      |FROM cnt c GROUP BY c.dst ORDER BY site""".stripMargin)) {
+    (spark, dir) =>
+      val pages = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), (col("doc_id") % 50).as("g"))
+        .withColumn("html", concat(
+          lit("<html><body><a href=\"http://site"),
+          ((col("g") + 1) % 50).cast("string"), lit(".example/\">"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("visit site "), ((col("g") + 1) % 50).cast("string")))
+            .otherwise("click here"),
+          lit("</a> filler <a href=\"http://site"),
+          ((col("g") * 2 + 1) % 50).cast("string"), lit(".example/\">best "),
+          ((col("g") * 2 + 1) % 50).cast("string"),
+          lit(" content</a></body></html>")))
+      // the operator proper: extract (href, anchor-text) from the HTML
+      val pairs = pages
+        .withColumn("hrefs", expr(
+          """regexp_extract_all(html,
+            |  '<a href="http://site([0-9]+)\\.example/">', 1)""".stripMargin))
+        .withColumn("texts", expr(
+          """regexp_extract_all(html,
+            |  '<a href="http://site[0-9]+\\.example/">([^<]+)</a>', 1)""".stripMargin))
+        .select(explode(expr("arrays_zip(hrefs, texts)")).as("e"))
+        .select(col("e.hrefs").cast("long").as("dst"),
+          col("e.texts").as("anchor"))
+      pairs.groupBy("dst", "anchor").agg(count(lit(1)).as("n"))
+        .groupBy("dst")
+        .agg(sum("n").as("n_inlinks"), count(lit(1)).as("n_anchors"),
+          array_join(slice(transform(
+            sort_array(collect_list(struct((-col("n")).as("neg"),
+              col("anchor").as("anchor"), col("n").as("n")))),
+            e => concat(e.getField("anchor"), lit("("),
+              e.getField("n").cast("string"), lit(")"))), 1, 2), "|")
+            .as("top_anchors"))
+        .select(col("dst").as("site"), col("n_inlinks"), col("n_anchors"),
+          col("top_anchors"))
+        .orderBy("site")
+  }
+
+  /** x182: HITS HUBS/AUTHORITIES — the second classic link-analysis
+    * operator beside x176's PageRank (Kleinberg 1999; crawl pipelines use
+    * authority scores to weight quality and hub scores to seed frontier
+    * expansion). Same generator edge list as x176; two full
+    * hub↔authority rounds run in FIXED-POINT integer arithmetic with
+    * max-normalization after each half-step — `x·10^6 div max(x)` is
+    * bit-exact in both engines and order-independent under Spark's
+    * nondeterministic partition-sum order, where the float L2 normalize
+    * of textbook HITS would drift. Each half-step is one equi-join of
+    * edges to scores plus a groupBy — linear in edges; the normalizer is
+    * a 1-row broadcast. */
+  val x182 = DQ("x182_hits", Some(
+    """WITH sites AS (SELECT DISTINCT doc_id % 50 AS g FROM documents),
+      |e0 AS (SELECT g AS src, (g + 1) % 50 AS dst FROM sites
+      |       UNION SELECT g, (g * 2 + 1) % 50 FROM sites
+      |       UNION SELECT g, (g + 7) % 50 FROM sites WHERE g % 5 = 0),
+      |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |a1 AS (SELECT e.dst AS g, sum(1000000) AS s FROM edges e GROUP BY 1),
+      |a1n AS (SELECT s.g, coalesce(a1.s, 0) * 1000000
+      |                // (SELECT max(s) FROM a1) AS a
+      |        FROM sites s LEFT JOIN a1 ON a1.g = s.g),
+      |h1 AS (SELECT e.src AS g, sum(a.a) AS s
+      |       FROM edges e JOIN a1n a ON a.g = e.dst GROUP BY 1),
+      |h1n AS (SELECT s.g, coalesce(h1.s, 0) * 1000000
+      |                // (SELECT max(s) FROM h1) AS h
+      |        FROM sites s LEFT JOIN h1 ON h1.g = s.g),
+      |a2 AS (SELECT e.dst AS g, sum(h.h) AS s
+      |       FROM edges e JOIN h1n h ON h.g = e.src GROUP BY 1),
+      |a2n AS (SELECT s.g, coalesce(a2.s, 0) * 1000000
+      |                // (SELECT max(s) FROM a2) AS a
+      |        FROM sites s LEFT JOIN a2 ON a2.g = s.g),
+      |h2 AS (SELECT e.src AS g, sum(a.a) AS s
+      |       FROM edges e JOIN a2n a ON a.g = e.dst GROUP BY 1),
+      |h2n AS (SELECT s.g, coalesce(h2.s, 0) * 1000000
+      |                // (SELECT max(s) FROM h2) AS h
+      |        FROM sites s LEFT JOIN h2 ON h2.g = s.g)
+      |SELECT a2n.g AS site, CAST(a2n.a AS BIGINT) AS auth_e6,
+      |  CAST(h2n.h AS BIGINT) AS hub_e6
+      |FROM a2n JOIN h2n ON h2n.g = a2n.g ORDER BY site""".stripMargin)) {
+    (spark, dir) =>
+      val sites = spread(table(spark, dir, "documents"))
+        .select((col("doc_id") % 50).as("g")).distinct()
+      val edges = sites.select(col("g").as("src"), ((col("g") + 1) % 50).as("dst"))
+        .unionAll(sites.select(col("g"), (col("g") * 2 + 1) % 50))
+        .unionAll(sites.filter(col("g") % 5 === 0)
+          .select(col("g"), (col("g") + 7) % 50))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // one half-step: propagate along (or against) the edges, then
+      // max-normalize to 10^6 via a 1-row broadcast
+      def half(scores: org.apache.spark.sql.DataFrame, in: String,
+          out: String): org.apache.spark.sql.DataFrame = {
+        val prop = edges.join(scores.withColumnRenamed("g", in), in)
+          .groupBy(col(out).as("g")).agg(sum("v").as("s"))
+        val mx = broadcast(prop.agg(max("s").as("mx")))
+        sites.join(prop, Seq("g"), "left_outer").crossJoin(mx)
+          .select(col("g"),
+            expr("(coalesce(s, 0L) * 1000000L) div mx").as("v"))
+      }
+      val h0 = sites.select(col("g"), lit(1000000L).as("v"))
+      val a1 = half(h0, "src", "dst")
+      val h1 = half(a1, "dst", "src")
+      val a2 = half(h1, "src", "dst")
+      val h2 = half(a2, "dst", "src")
+      a2.withColumnRenamed("v", "auth_e6")
+        .join(h2.withColumnRenamed("v", "hub_e6"), "g")
+        .select(col("g").as("site"), col("auth_e6"), col("hub_e6"))
+        .orderBy("site")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
-    x168, x169, x170, x171, x176)
+    x168, x169, x170, x171, x176, x178, x179, x180, x181, x182)
 }
