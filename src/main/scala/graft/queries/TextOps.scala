@@ -2957,9 +2957,231 @@ object TextOps {
         .orderBy("scheme", "split")
   }
 
+  /** x183: GOPHER RULE BATTERY — the full document-level quality gate of
+    * Rae et al. 2021 (the reference filter set most LLM curation stacks
+    * start from), each rule surfaced as its own boolean so downstream
+    * ablations can re-weight without re-scanning: word-count floor,
+    * mean-word-length band, max-single-token-frequency cap (in-doc
+    * repetition), and stopword-presence floor. Every feature is INTEGER
+    * arithmetic (`100·Σlen div n`, ppm fractions) so Spark and the oracle
+    * agree bit-for-bit — the float ratios of the paper drift in the last
+    * ulp across engines. One in-row token pass, one map-side-combinable
+    * per-doc aggregation, zero joins: the shape that scans 100 TB at
+    * line rate. */
+  val x183 = DQ("x183_gopher_rules", Some(
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |f AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_words,
+      |    CAST((SELECT 100 * sum(length(x.tok)) // len(l)
+      |          FROM unnest(l) AS x(tok)) AS BIGINT) AS mean_len_x100,
+      |    CAST((SELECT max(c) * 1000000 // len(l) FROM (
+      |            SELECT count(*) AS c FROM unnest(l) AS x(tok)
+      |            GROUP BY x.tok)) AS BIGINT) AS top_frac_ppm,
+      |    CAST((SELECT count(*) FROM unnest(l) AS x(tok)
+      |          WHERE x.tok IN ('the','a','is','of','and','to','that','with'))
+      |         AS BIGINT) AS n_stop
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_len_x100, top_frac_ppm, n_stop,
+      |  n_words >= 30 AS r_words,
+      |  mean_len_x100 BETWEEN 400 AND 520 AS r_len,
+      |  top_frac_ppm <= 150000 AS r_rep,
+      |  n_stop >= 2 AS r_stop,
+      |  (n_words >= 30 AND mean_len_x100 BETWEEN 400 AND 520
+      |   AND top_frac_ppm <= 150000 AND n_stop >= 2) AS admit
+      |FROM f ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val stops = "'the','a','is','of','and','to','that','with'"
+      val f = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("n_words"),
+          expr("100 * aggregate(l, 0L, (a, x) -> a + length(x)) div size(l)")
+            .as("mean_len_x100"),
+          // max single-token count without exploding: fold over the
+          // DISTINCT tokens, counting each inside the row
+          expr("""aggregate(array_distinct(l), 0L, (m, t) ->
+                 |  greatest(m, size(filter(l, x -> x = t)))) * 1000000
+                 |  div size(l)""".stripMargin).as("top_frac_ppm"),
+          expr(s"cast(size(filter(l, x -> x IN ($stops))) as bigint)")
+            .as("n_stop"))
+      f.select(col("doc_id"), col("n_words"), col("mean_len_x100"),
+          col("top_frac_ppm"), col("n_stop"),
+          (col("n_words") >= 30).as("r_words"),
+          col("mean_len_x100").between(400, 520).as("r_len"),
+          (col("top_frac_ppm") <= 150000).as("r_rep"),
+          (col("n_stop") >= 2).as("r_stop"),
+          ((col("n_words") >= 30) && col("mean_len_x100").between(400, 520)
+            && (col("top_frac_ppm") <= 150000) && (col("n_stop") >= 2))
+            .as("admit"))
+        .orderBy("doc_id")
+  }
+
+  /** x184: LENGTH-BUCKETED BATCH PACKING AUDIT — the serving-side twin of
+    * x116's sequence packing: training loaders bucket documents by
+    * power-of-two token length and pad each batch to the bucket width, and
+    * this measures exactly what that costs (padded tokens, waste ppm) per
+    * bucket. The bucket ladder is a literal CASE (no float log2), batch
+    * count is `⌈n/8⌉` in integer arithmetic, and the whole audit is one
+    * in-row token count plus one map-side-combinable groupBy — the
+    * dataloader-planning query a 100 TB corpus runs before every training
+    * launch. */
+  val x184 = DQ("x184_batch_padding", Some(
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (SELECT doc_id, n,
+      |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+      |         WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+      |         WHEN n <= 256 THEN 256 ELSE 512 END AS bucket
+      |  FROM t),
+      |a AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |    CAST((count(*) + 7) // 8 AS BIGINT) AS n_batches
+      |  FROM b GROUP BY bucket)
+      |SELECT bucket, n_docs, sum_tokens, n_batches,
+      |  CAST(n_batches * 8 * bucket AS BIGINT) AS padded,
+      |  CAST((n_batches * 8 * bucket - sum_tokens) * 1000000
+      |       // (n_batches * 8 * bucket) AS BIGINT) AS waste_ppm
+      |FROM a ORDER BY bucket""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+        .withColumn("bucket",
+          when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+            .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+            .when(col("n") <= 256, 256L).otherwise(512L))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+          expr("(count(1) + 7) div 8").as("n_batches"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          col("n_batches"),
+          (col("n_batches") * 8 * col("bucket")).as("padded"),
+          expr("""(n_batches * 8 * bucket - sum_tokens) * 1000000
+                 |  div (n_batches * 8 * bucket)""".stripMargin)
+            .as("waste_ppm"))
+        .orderBy("bucket")
+  }
+
+  /** x185: CORPUS DRIFT AUDIT — dataset monitoring's core question
+    * ("did the new extraction change the data?") answered PSI-style over
+    * token-length buckets: snapshot A is the corpus as-is, snapshot B the
+    * same documents through a changed extractor (truncation at 200 chars
+    * — the classic silent-regression shape), and each bucket surfaces
+    * both densities plus an INTEGER divergence contribution
+    * `(pa−pb)² div (pa+pb+1)` in ppm — order-independent and bit-exact
+    * where the textbook `(pa−pb)·ln(pa/pb)` drifts between engines'
+    * libm. Totals ride a 1-row broadcast; everything else is one in-row
+    * map + one tiny groupBy per snapshot. */
+  val x185 = DQ("x185_drift_audit", Some(
+    """WITH a AS (SELECT least(len(list_filter(string_split_regex(lower(text),
+      |             '[^a-z]+'), x -> x <> '')) // 10, 9) AS bucket
+      |           FROM documents),
+      |b AS (SELECT least(len(list_filter(string_split_regex(lower(
+      |             substr(text, 1, 200)), '[^a-z]+'), x -> x <> '')) // 10, 9)
+      |             AS bucket
+      |      FROM documents),
+      |ac AS (SELECT bucket, CAST(count(*) AS BIGINT) AS a_cnt FROM a GROUP BY 1),
+      |bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS b_cnt FROM b GROUP BY 1),
+      |tots AS (SELECT (SELECT sum(a_cnt) FROM ac) AS ta,
+      |                (SELECT sum(b_cnt) FROM bc) AS tb),
+      |m AS (SELECT coalesce(ac.bucket, bc.bucket) AS bucket,
+      |             coalesce(a_cnt, 0) AS a_cnt, coalesce(b_cnt, 0) AS b_cnt
+      |      FROM ac FULL OUTER JOIN bc ON ac.bucket = bc.bucket),
+      |p AS (SELECT bucket, a_cnt, b_cnt,
+      |             CAST(a_cnt * 1000000 // ta AS BIGINT) AS pa_ppm,
+      |             CAST(b_cnt * 1000000 // tb AS BIGINT) AS pb_ppm
+      |      FROM m CROSS JOIN tots)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, a_cnt, b_cnt, pa_ppm, pb_ppm,
+      |  CAST((pa_ppm - pb_ppm) * (pa_ppm - pb_ppm)
+      |       // (pa_ppm + pb_ppm + 1) AS BIGINT) AS drift_ppm,
+      |  (pa_ppm - pb_ppm) * (pa_ppm - pb_ppm)
+      |    // (pa_ppm + pb_ppm + 1) > 10000 AS flagged
+      |FROM p ORDER BY bucket""".stripMargin)) {
+    (spark, dir) =>
+      val d = spread(table(spark, dir, "documents"))
+      def hist2(c: Column): DataFrame = d
+        .select(c.as("t"))
+        .select(expr(
+          "least(size(filter(split(lower(t), '[^a-z]+'), x -> x != '')) div 10, 9)")
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      val ac = hist2(col("text")).withColumnRenamed("cnt", "a_cnt")
+      val bc = hist2(substring(col("text"), 1, 200))
+        .withColumnRenamed("cnt", "b_cnt")
+      val tots = broadcast(ac.agg(sum("a_cnt").as("ta"))
+        .crossJoin(bc.agg(sum("b_cnt").as("tb"))))
+      ac.join(bc, Seq("bucket"), "full_outer")
+        .na.fill(0L, Seq("a_cnt", "b_cnt"))
+        .crossJoin(tots)
+        .select(col("bucket"), col("a_cnt"), col("b_cnt"),
+          expr("a_cnt * 1000000 div ta").as("pa_ppm"),
+          expr("b_cnt * 1000000 div tb").as("pb_ppm"))
+        .select(col("bucket"), col("a_cnt"), col("b_cnt"), col("pa_ppm"),
+          col("pb_ppm"),
+          expr("(pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) div (pa_ppm + pb_ppm + 1)")
+            .as("drift_ppm"),
+          (expr("(pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) div (pa_ppm + pb_ppm + 1)")
+            > 10000).as("flagged"))
+        .orderBy("bucket")
+  }
+
+  /** x186: LINEAR QUALITY CLASSIFIER — the fastText-shaped scorer most
+    * curation stacks run after the rule battery (x183 gates, this RANKS):
+    * a fixed-weight logistic regression over integer document features
+    * (word count, mean word length, stopword hits, distinct-token ratio),
+    * evaluated entirely in FIXED-POINT so the logit is bit-exact across
+    * engines (no exp/sigmoid — thresholds compare the logit directly,
+    * which is monotone-equivalent). Weights are literals here; in
+    * production they arrive as a 1-row broadcast from the training job.
+    * One in-row pass, no shuffle before the presentation sort. */
+  val x186 = DQ("x186_quality_lr", Some(
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |f AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS f_words,
+      |    CAST((SELECT 100 * sum(length(x.tok)) // len(l)
+      |          FROM unnest(l) AS x(tok)) AS BIGINT) AS f_mlen,
+      |    CAST((SELECT count(*) FROM unnest(l) AS x(tok)
+      |          WHERE x.tok IN ('the','a','is','of','and','to','that','with'))
+      |         AS BIGINT) AS f_stop,
+      |    CAST(len(list_distinct(l)) * 1000000 // len(l) AS BIGINT) AS f_dist
+      |  FROM t),
+      |s AS (SELECT doc_id, f_words, f_mlen, f_stop, f_dist,
+      |    CAST(25 * f_words + 8 * f_mlen + 500 * f_stop + f_dist // 500
+      |         - 9000 AS BIGINT) AS logit_e3
+      |  FROM f)
+      |SELECT doc_id, f_words, f_mlen, f_stop, f_dist, logit_e3,
+      |  CASE WHEN logit_e3 >= 500 THEN 'keep'
+      |       WHEN logit_e3 >= -1500 THEN 'review' ELSE 'drop' END AS decision
+      |FROM s ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val stops = "'the','a','is','of','and','to','that','with'"
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("f_words"),
+          expr("100 * aggregate(l, 0L, (a, x) -> a + length(x)) div size(l)")
+            .as("f_mlen"),
+          expr(s"cast(size(filter(l, x -> x IN ($stops))) as bigint)")
+            .as("f_stop"),
+          expr("size(array_distinct(l)) * 1000000L div size(l)").as("f_dist"))
+        .withColumn("logit_e3", expr(
+          "25 * f_words + 8 * f_mlen + 500 * f_stop + f_dist div 500 - 9000"))
+        .withColumn("decision",
+          when(col("logit_e3") >= 500, "keep")
+            .when(col("logit_e3") >= -1500, "review").otherwise("drop"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
-    x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177)
+    x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
+    x183, x184, x185, x186)
 }

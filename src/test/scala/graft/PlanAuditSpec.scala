@@ -53,7 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x175_bigram_nll", // 1-row token-total broadcast cross join
     "x176_link_pagerank", // 1-row node-count broadcast (teleport base)
     "x177_leakproof_split", // 1-row leak-count broadcast cross join
-    "x182_hits") // 1-row max-score broadcast (fixed-point normalize)
+    "x182_hits", // 1-row max-score broadcast (fixed-point normalize)
+    "x185_drift_audit") // 1-row snapshot-totals broadcast cross join
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
