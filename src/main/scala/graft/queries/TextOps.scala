@@ -2992,29 +2992,12 @@ object TextOps {
       |   AND top_frac_ppm <= 150000 AND n_stop >= 2) AS admit
       |FROM f ORDER BY doc_id""".stripMargin)) {
     (spark, dir) =>
-      val stops = "'the','a','is','of','and','to','that','with'"
-      val f = spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), tokens(col("text")).as("l"))
-        .select(col("doc_id"),
-          size(col("l")).cast("long").as("n_words"),
-          expr("100 * aggregate(l, 0L, (a, x) -> a + length(x)) div size(l)")
-            .as("mean_len_x100"),
-          // max single-token count without exploding: fold over the
-          // DISTINCT tokens, counting each inside the row
-          expr("""aggregate(array_distinct(l), 0L, (m, t) ->
-                 |  greatest(m, size(filter(l, x -> x = t)))) * 1000000
-                 |  div size(l)""".stripMargin).as("top_frac_ppm"),
-          expr(s"cast(size(filter(l, x -> x IN ($stops))) as bigint)")
-            .as("n_stop"))
-      f.select(col("doc_id"), col("n_words"), col("mean_len_x100"),
-          col("top_frac_ppm"), col("n_stop"),
-          (col("n_words") >= 30).as("r_words"),
-          col("mean_len_x100").between(400, 520).as("r_len"),
-          (col("top_frac_ppm") <= 150000).as("r_rep"),
-          (col("n_stop") >= 2).as("r_stop"),
-          ((col("n_words") >= 30) && col("mean_len_x100").between(400, 520)
-            && (col("top_frac_ppm") <= 150000) && (col("n_stop") >= 2))
-            .as("admit"))
+      // the SAME projection the streaming ingest gate runs
+      // (Pipelines.qualityGateStream) — batch and stream cannot drift
+      graft.streaming.Pipelines.gopherAdmit(
+        spread(table(spark, dir, "documents")).select("doc_id", "text"))
+        .select("doc_id", "n_words", "mean_len_x100", "top_frac_ppm",
+          "n_stop", "r_words", "r_len", "r_rep", "r_stop", "admit")
         .orderBy("doc_id")
   }
 

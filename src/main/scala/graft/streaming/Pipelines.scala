@@ -443,6 +443,50 @@ object Pipelines {
         col("j"))
   }
 
+  /** The Gopher-rule admission projection (x183's batch gate), shared
+    * with [[qualityGateStream]] so batch curation and streaming ingest
+    * cannot drift: integer-exact features (word count, `100·Σlen div n`
+    * mean word length, top-token frequency ppm, stopword hits) plus
+    * per-rule booleans and the final `admit`. Input needs a `text`
+    * column; everything is an in-row codegen'd expression. */
+  def gopherAdmit(docs: DataFrame): DataFrame = {
+    val stops = "'the','a','is','of','and','to','that','with'"
+    docs
+      .withColumn("l", graft.queries.Core.tokens(col("text")))
+      .withColumn("n_words", size(col("l")).cast("long"))
+      // greatest(n,1): an empty/corrupt doc yields 0-features under ANSI
+      // mode instead of DIVIDE_BY_ZERO — the gate must never kill a stream
+      .withColumn("mean_len_x100",
+        expr("100 * aggregate(l, 0L, (a, x) -> a + length(x)) div greatest(size(l), 1)"))
+      .withColumn("top_frac_ppm",
+        expr("""aggregate(array_distinct(l), 0L, (m, t) ->
+               |  greatest(m, size(filter(l, x -> x = t)))) * 1000000
+               |  div greatest(size(l), 1)""".stripMargin))
+      .withColumn("n_stop",
+        expr(s"cast(size(filter(l, x -> x IN ($stops))) as bigint)"))
+      .withColumn("r_words", col("n_words") >= 30)
+      .withColumn("r_len", col("mean_len_x100").between(400, 520))
+      .withColumn("r_rep", col("top_frac_ppm") <= 150000)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("admit",
+        col("r_words") && col("r_len") && col("r_rep") && col("r_stop"))
+      .drop("l")
+  }
+
+  /** Streaming quality gate: `.jsonl` documents dropped into `dir` parse
+    * through [[jsonlTextStream]] and every well-formed line's `text` runs
+    * the SAME [[gopherAdmit]] battery as the x183 batch gate — admitted
+    * docs flow on with their features, rejected and corrupt lines stay
+    * visible (`admit` false / `ok` false) for dead-letter accounting.
+    * Per-row map only: the stream shuffles nothing. */
+  def qualityGateStream(spark: SparkSession, dir: String): DataFrame =
+    gopherAdmit(
+      jsonlTextStream(spark, dir, "id BIGINT, text STRING")
+        .withColumn("text", coalesce(col("j.text"), lit(""))))
+      .select(col("path"), col("line_no"), col("ok"), col("j.id").as("id"),
+        col("n_words"), col("mean_len_x100"), col("top_frac_ppm"),
+        col("n_stop"), col("admit"))
+
   /** The HTML→main-text projection (script/style removal, tag→space,
     * entity decode, whitespace collapse — codegen'd regexp/string
     * builtins, no UDF), shared verbatim by [[warcTextStream]] and the
