@@ -3411,9 +3411,56 @@ object Dataflow {
         .orderBy("site")
   }
 
+  /** x189: CRAWL-BUDGET SCHEDULER — the politeness-constrained planning
+    * query that closes the x167/x168/x180 crawl loop: each site's pending
+    * page count (from the sitemap/crawl formulas) meets its
+    * `Crawl-delay`-derived fetch budget over a one-hour window, and the
+    * scheduler surfaces feasibility, the deficit that must spill to the
+    * next window, and a deterministic priority rank (deficit first, then
+    * site) — all integer arithmetic (`3600000 div delay_ms`), one
+    * groupBy + one tiny window over 50 sites. At real scale the rank
+    * window partitions by crawl shard; the per-site math is unchanged. */
+  val x189 = DQ("x189_crawl_budget", Some(
+    """WITH pages AS (SELECT DISTINCT doc_id % 50 AS g, u.r AS r
+      |  FROM documents, unnest(generate_series(0, doc_id % 4)) AS u(r)),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pages,
+      |        CAST((g % 4 + 1) * 500 AS BIGINT) AS delay_ms
+      |      FROM pages GROUP BY g),
+      |b AS (SELECT g, n_pages, delay_ms,
+      |        CAST(3600000 // delay_ms AS BIGINT) AS max_fetch
+      |      FROM s),
+      |f AS (SELECT g, n_pages, delay_ms, max_fetch,
+      |        n_pages <= max_fetch AS feasible,
+      |        CAST(greatest(n_pages - max_fetch, 0) AS BIGINT) AS deficit
+      |      FROM b)
+      |SELECT g AS site, n_pages, delay_ms, max_fetch, feasible, deficit,
+      |  CAST(row_number() OVER (ORDER BY deficit DESC, g) AS BIGINT)
+      |    AS priority
+      |FROM f ORDER BY site""".stripMargin)) {
+    (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s = spread(table(spark, dir, "documents"))
+        .select((col("doc_id") % 50).as("g"),
+          explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("r"))
+        .distinct()
+        .groupBy("g").agg(count(lit(1)).as("n_pages"))
+        .withColumn("delay_ms", ((col("g") % 4 + 1) * 500).cast("long"))
+        .withColumn("max_fetch", expr("3600000L div delay_ms"))
+        .withColumn("feasible", col("n_pages") <= col("max_fetch"))
+        .withColumn("deficit",
+          greatest(col("n_pages") - col("max_fetch"), lit(0L)))
+      // 50 rows reach the rank window — at corpus scale this partitions
+      // by crawl shard; here one partition of 50 rows is the right plan
+      s.withColumn("priority", row_number().over(
+          Window.orderBy(col("deficit").desc, col("g"))).cast("long"))
+        .select(col("g").as("site"), col("n_pages"), col("delay_ms"),
+          col("max_fetch"), col("feasible"), col("deficit"), col("priority"))
+        .orderBy("site")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
-    x168, x169, x170, x171, x176, x178, x179, x180, x181, x182)
+    x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189)
 }

@@ -3161,10 +3161,103 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x187: POSTING-LIST COMPRESSION AUDIT — the storage-engineering layer
+    * under x112's inverted index: every term's sorted doc-id postings are
+    * delta-encoded and the exact VByte cost accounted per term (first id
+    * raw, gaps after — the standard Lucene/search layout), all in integer
+    * arithmetic: `vb(v)` is a literal magnitude ladder, deltas come from
+    * one `lag` window inside the term partition (the same exchange the
+    * index build already pays — no extra shuffle), and the ratio is ppm
+    * fixed-point. At 100 TB this is the query that decides whether an
+    * index shard fits its serving budget. */
+  val x187 = DQ("x187_posting_vbyte", Some(
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                       x -> x <> '')) AS tok
+      |  FROM documents),
+      |d AS (SELECT tok, doc_id,
+      |        coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok
+      |                   ORDER BY doc_id), doc_id) AS v
+      |      FROM toks),
+      |vb AS (SELECT tok,
+      |        CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2
+      |             WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4
+      |             ELSE 5 END AS nb
+      |      FROM d)
+      |SELECT tok AS term, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+      |  CAST(sum(nb) AS BIGINT) AS vbyte_bytes,
+      |  CAST(sum(nb) * 1000000 // (8 * count(*)) AS BIGINT) AS ratio_ppm
+      |FROM vb GROUP BY tok ORDER BY term""".stripMargin)) {
+    (spark, dir) =>
+      val w = Window.partitionBy("tok").orderBy("doc_id")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+        .withColumn("v", coalesce(col("doc_id") - lag("doc_id", 1).over(w),
+          col("doc_id")))
+        .withColumn("nb",
+          when(col("v") < 128, 1L).when(col("v") < 16384, 2L)
+            .when(col("v") < 2097152, 3L).when(col("v") < 268435456, 4L)
+            .otherwise(5L))
+        .groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("df"), (count(lit(1)) * 8).as("raw_bytes"),
+          sum("nb").as("vbyte_bytes"))
+        .select(col("term"), col("df"), col("raw_bytes"), col("vbyte_bytes"),
+          expr("vbyte_bytes * 1000000 div raw_bytes").as("ratio_ppm"))
+        .orderBy("term")
+  }
+
+  /** x188: CORPUS BALANCE REPORT — the mixture audit run before every
+    * pretraining launch: token mass per (lang, source) cell, each cell's
+    * corpus share, each language's share, and the fixed-point rebalance
+    * factor that would equalize languages (`(T div n_langs)·10^6 div
+    * lang_tokens` — the multiplier a sampler applies to that language's
+    * documents). Uses the REAL `lang`/`source` columns of the corpus.
+    * Two map-side-combinable rollups; corpus totals ride a 1-row
+    * broadcast. */
+  val x188 = DQ("x188_corpus_balance", Some(
+    """WITH t AS (SELECT lang, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n) AS BIGINT) AS tokens
+      |  FROM t GROUP BY 1, 2),
+      |lt AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS lang_tokens
+      |       FROM cell GROUP BY 1)
+      |SELECT c.lang, c.source, c.n_docs, c.tokens,
+      |  CAST(c.tokens * 1000000 // (SELECT sum(lang_tokens) FROM lt)
+      |       AS BIGINT) AS share_ppm,
+      |  CAST(lang_tokens * 1000000 // (SELECT sum(lang_tokens) FROM lt)
+      |       AS BIGINT) AS lang_share_ppm,
+      |  CAST(((SELECT sum(lang_tokens) FROM lt)
+      |          // (SELECT count(*) FROM lt)) * 1000000 // lang_tokens
+      |       AS BIGINT) AS rebal_ppm
+      |FROM cell c JOIN lt ON lt.lang = c.lang
+      |ORDER BY c.lang, c.source""".stripMargin)) {
+    (spark, dir) =>
+      val cell = spread(table(spark, dir, "documents"))
+        .select(col("lang"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+      val lt = cell.groupBy("lang").agg(sum("tokens").as("lang_tokens"))
+      val tot = broadcast(lt.agg(sum("lang_tokens").as("total"),
+        count(lit(1)).as("n_langs")))
+      cell.join(lt, "lang").crossJoin(tot)
+        .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+          expr("tokens * 1000000 div total").as("share_ppm"),
+          expr("lang_tokens * 1000000 div total").as("lang_share_ppm"),
+          expr("(total div n_langs) * 1000000 div lang_tokens").as("rebal_ppm"))
+        .orderBy("lang", "source")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
-    x183, x184, x185, x186)
+    x183, x184, x185, x186, x187, x188)
 }
