@@ -3095,8 +3095,11 @@ object TextOps {
       val ac = hist2(col("text")).withColumnRenamed("cnt", "a_cnt")
       val bc = hist2(substring(col("text"), 1, 200))
         .withColumnRenamed("cnt", "b_cnt")
+      // the INNER 1-row pairing needs its own hint too: with
+      // auto-broadcast disabled (conf can leak from a sibling suite via
+      // getOrCreate) an unhinted 1x1 crossJoin plans CartesianProduct
       val tots = broadcast(ac.agg(sum("a_cnt").as("ta"))
-        .crossJoin(bc.agg(sum("b_cnt").as("tb"))))
+        .crossJoin(broadcast(bc.agg(sum("b_cnt").as("tb")))))
       ac.join(bc, Seq("bucket"), "full_outer")
         .na.fill(0L, Seq("a_cnt", "b_cnt"))
         .crossJoin(tots)
@@ -3143,22 +3146,80 @@ object TextOps {
       |       WHEN logit_e3 >= -1500 THEN 'review' ELSE 'drop' END AS decision
       |FROM s ORDER BY doc_id""".stripMargin)) {
     (spark, dir) =>
-      val stops = "'the','a','is','of','and','to','that','with'"
-      spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), tokens(col("text")).as("l"))
-        .select(col("doc_id"),
-          size(col("l")).cast("long").as("f_words"),
-          expr("100 * aggregate(l, 0L, (a, x) -> a + length(x)) div size(l)")
-            .as("f_mlen"),
-          expr(s"cast(size(filter(l, x -> x IN ($stops))) as bigint)")
-            .as("f_stop"),
-          expr("size(array_distinct(l)) * 1000000L div size(l)").as("f_dist"))
-        .withColumn("logit_e3", expr(
-          "25 * f_words + 8 * f_mlen + 500 * f_stop + f_dist div 500 - 9000"))
+      qualityLogit(spark, dir)
         .withColumn("decision",
           when(col("logit_e3") >= 500, "keep")
             .when(col("logit_e3") >= -1500, "review").otherwise("drop"))
+        .drop("lang")
         .orderBy("doc_id")
+  }
+
+  /** x186's fixed-weight logit, shared with x190's per-language
+    * calibration: (doc_id, lang, integer features, logit_e3). */
+  private def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val stops = "'the','a','is','of','and','to','that','with'"
+    spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("l"))
+      .select(col("doc_id"), col("lang"),
+        size(col("l")).cast("long").as("f_words"),
+        expr("100 * aggregate(l, 0L, (a, x) -> a + length(x)) div size(l)")
+          .as("f_mlen"),
+        expr(s"cast(size(filter(l, x -> x IN ($stops))) as bigint)")
+          .as("f_stop"),
+        expr("size(array_distinct(l)) * 1000000L div size(l)").as("f_dist"))
+      .withColumn("logit_e3", expr(
+        "25 * f_words + 8 * f_mlen + 500 * f_stop + f_dist div 500 - 9000"))
+  }
+
+  /** x190: PER-LANGUAGE QUALITY CALIBRATION — one global threshold
+    * misgrades whole languages (their feature distributions differ), so
+    * production filters calibrate cutoffs per language: every document's
+    * x186 logit is ranked WITHIN its language by the scale-safe two-pass
+    * `globalRank` over the composite (lang, logit, doc_id) key — each
+    * language spans many range partitions; no single-language funnel —
+    * and the per-language rank is the global rank minus the language's
+    * broadcast base offset. Tertiles assign by x114's integer formula
+    * `least(3r div n, 2)` and the output is the calibration table itself:
+    * per (lang, tertile) counts and logit boundaries. */
+  val x190 = DQ("x190_lang_calibration", Some(
+    """WITH t AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |f AS (SELECT doc_id, lang,
+      |    CAST(25 * len(l)
+      |       + 8 * ((SELECT 100 * sum(length(x.tok)) // len(l)
+      |               FROM unnest(l) AS x(tok)))
+      |       + 500 * ((SELECT count(*) FROM unnest(l) AS x(tok)
+      |                 WHERE x.tok IN ('the','a','is','of','and','to',
+      |                                 'that','with')))
+      |       + (len(list_distinct(l)) * 1000000 // len(l)) // 500
+      |       - 9000 AS BIGINT) AS logit_e3
+      |  FROM t),
+      |r AS (SELECT lang, logit_e3,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY logit_e3, doc_id) - 1 AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM f)
+      |SELECT lang, CAST(least(3 * rk // n, 2) AS BIGINT) AS tertile,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(logit_e3) AS BIGINT) AS lo_logit,
+      |  CAST(max(logit_e3) AS BIGINT) AS hi_logit
+      |FROM r GROUP BY lang, least(3 * rk // n, 2)
+      |ORDER BY lang, tertile""".stripMargin)) {
+    (spark, dir) =>
+      val f = qualityLogit(spark, dir)
+      val ranked = graft.batch.Joins.globalRank(
+        f, 32, "lang", "logit_e3", "doc_id")
+      val base = ranked.groupBy("lang")
+        .agg(min("global_rank").as("base"), count(lit(1)).as("n"))
+      ranked.join(broadcast(base), "lang")
+        .withColumn("rk", col("global_rank") - col("base"))
+        .withColumn("tertile", expr("least(3 * rk div n, 2)").cast("long"))
+        .groupBy("lang", "tertile")
+        .agg(count(lit(1)).as("n_docs"), min("logit_e3").as("lo_logit"),
+          max("logit_e3").as("hi_logit"))
+        .orderBy("lang", "tertile")
   }
 
   /** x187: POSTING-LIST COMPRESSION AUDIT — the storage-engineering layer
@@ -3259,5 +3320,5 @@ object TextOps {
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
-    x183, x184, x185, x186, x187, x188)
+    x183, x184, x185, x186, x187, x188, x190)
 }

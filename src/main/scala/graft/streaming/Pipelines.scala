@@ -321,6 +321,38 @@ object Pipelines {
     * are stripped to main text by [[htmlMainText]] — the same chain the
     * batch gates (x160/x164) run, shared verbatim. One row per response:
     * (path, uri, title, text, text_len, link_count). */
+  /** Streaming WET ingest — the extracted-text twin of
+    * [[warcTextStream]] (x178's batch gate): `conversion` records from
+    * watched `.wet`/`.warc` archives surface as already-extracted text,
+    * language-identified by the same stopword-argmax markers as the
+    * batch query. Non-conversion records (warcinfo preambles) drop at
+    * the filter; unparseable archives explode to zero records, not an
+    * error. Per-row map only — nothing shuffles. */
+  def wetTextStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WarcRecords
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    def hits(ws: String) =
+      size(expr(s"filter(split(text, ' '), w -> w IN ($ws))"))
+    files
+      .select(col("path"),
+        explode(WarcRecords.warcRecords(col("content"))).as("r"))
+      .filter(col("r.rec_type") === "conversion")
+      .select(col("path"), col("r.uri").as("uri"),
+        col("r.payload").cast("string").as("text"))
+      .withColumn("en", hits("'the','and'"))
+      .withColumn("de", hits("'der','und','zu'"))
+      .withColumn("fr", hits("'le','et','la'"))
+      .select(col("path"), col("uri"), col("text"),
+        length(col("text")).cast("long").as("n_bytes"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        when(col("en") >= col("de") && col("en") >= col("fr"), "en")
+          .when(col("de") >= col("fr"), "de").otherwise("fr").as("lang"))
+  }
+
   def warcTextStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WarcRecords
     val files = spark.readStream

@@ -51,4 +51,32 @@ class WarcTextStreamSpec extends AnyFunSuite {
     assert(rows("http://a.example/1") == (("One", "One first body go", 1)))
     assert(rows("http://b.example/2") == (("Two", "Two second & body go", 1)))
   }
+
+  test("watched WET archives yield language-identified extracted text") {
+    val dir = Files.createTempDirectory("wet_text").toFile
+    Files.write(new java.io.File(dir, "a.wet").toPath, Warc.build(Seq(
+      ("warcinfo", null, "2024-01-01T00:00:00Z", "soft".getBytes),
+      ("conversion", "http://a.example/en", "2024-01-01T00:00:00Z",
+        "the quick fox and the dog run".getBytes),
+      ("conversion", "http://a.example/de", "2024-01-01T00:00:00Z",
+        "der fuchs und der hund laufen zu hause".getBytes))))
+    Files.write(new java.io.File(dir, "b.wet.gz").toPath, Warc.buildGz(Seq(
+      ("conversion", "http://b.example/fr", "2024-01-02T00:00:00Z",
+        "le renard et le chien vont a la maison".getBytes))))
+
+    val q = Pipelines.wetTextStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("wet_text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("wet_text")
+      .select("uri", "lang", "n_words").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // warcinfo filtered; languages identified by the shared markers
+    assert(rows == Map(
+      "http://a.example/en" -> (("en", 7L)),
+      "http://a.example/de" -> (("de", 8L)),
+      "http://b.example/fr" -> (("fr", 9L))))
+  }
 }
