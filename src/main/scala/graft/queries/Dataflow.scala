@@ -3458,9 +3458,73 @@ object Dataflow {
         .orderBy("site")
   }
 
+  /** x191: URL-LEVEL DECONTAMINATION — the complement of x14/x39's n-gram
+    * contamination gates: benchmark suites publish the URLs their eval
+    * sets were scraped from, and a clean corpus excludes those pages BY
+    * ADDRESS before any text-level check runs (cheaper by orders of
+    * magnitude at 100 TB — an equi-join on canonical URL vs a shingle
+    * pass). The crawl side carries tracking query strings the manifest
+    * never has, so the gate canonicalizes (x167's strip) before matching
+    * — an exact-join miss would silently leak eval pages. The manifest is
+    * tiny and BROADCAST; the corpus-side join is the only exchange. */
+  val x191 = DQ("x191_url_decontamination", Some(
+    """WITH pages AS (
+      |  SELECT DISTINCT doc_id % 50 AS g, u.r AS r,
+      |    'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+      |      || CAST(u.r AS VARCHAR)
+      |      || CASE WHEN u.r % 2 = 1 THEN '?utm_source=feed' ELSE '' END
+      |      AS url
+      |  FROM documents, unnest(generate_series(0, doc_id % 4)) AS u(r)),
+      |canon AS (SELECT g, r,
+      |    CASE WHEN strpos(url, '?') > 0
+      |         THEN substr(url, 1, strpos(url, '?') - 1) ELSE url END AS cu
+      |  FROM pages),
+      |manifest AS (
+      |  SELECT 'http://site' || CAST(g AS VARCHAR) || '.example/p0' AS mu
+      |  FROM (SELECT DISTINCT doc_id % 50 AS g FROM documents)
+      |  WHERE g % 10 = 3
+      |  UNION ALL
+      |  SELECT 'http://site' || CAST(g AS VARCHAR) || '.example/p1'
+      |  FROM (SELECT DISTINCT doc_id % 50 AS g FROM documents)
+      |  WHERE g % 7 = 2)
+      |SELECT g AS site, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(sum(CASE WHEN mu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_blocked,
+      |  CAST(sum(CASE WHEN mu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clean
+      |FROM canon LEFT JOIN manifest ON cu = mu
+      |GROUP BY g ORDER BY site""".stripMargin)) {
+    (spark, dir) =>
+      val pages = spread(table(spark, dir, "documents"))
+        .select((col("doc_id") % 50).as("g"),
+          explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("r"))
+        .distinct()
+        .withColumn("url", concat(lit("http://site"), col("g").cast("string"),
+          lit(".example/p"), col("r").cast("string"),
+          when(col("r") % 2 === 1, "?utm_source=feed").otherwise("")))
+      val sites = pages.select("g").distinct()
+      val manifest = sites.filter(col("g") % 10 === 3)
+        .select(concat(lit("http://site"), col("g").cast("string"),
+          lit(".example/p0")).as("mu"))
+        .unionAll(sites.filter(col("g") % 7 === 2)
+          .select(concat(lit("http://site"), col("g").cast("string"),
+            lit(".example/p1"))))
+      // the gate proper: canonicalize, then one broadcast equi-join
+      pages
+        .withColumn("cu", when(instr(col("url"), "?") > 0,
+          col("url").substr(lit(1), instr(col("url"), "?") - 1))
+          .otherwise(col("url")))
+        .join(broadcast(manifest), col("cu") === col("mu"), "left_outer")
+        .groupBy(col("g").as("site"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("mu").isNotNull, 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(col("mu").isNull, 1L).otherwise(0L)).as("n_clean"))
+        .orderBy("site")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
-    x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189)
+    x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191)
 }

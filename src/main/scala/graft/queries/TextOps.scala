@@ -3315,10 +3315,50 @@ object TextOps {
         .orderBy("lang", "source")
   }
 
+  /** x192: TOKEN-BUDGET RECIPE PLANNER — the "data recipe" computation a
+    * training launch runs after x188's balance audit: a token budget
+    * (2× the corpus here) is split uniformly across sources, each
+    * source's epoch multiplier comes out in fixed-point
+    * (`alloc·1000 div tokens`), and sources whose multiplier exceeds the
+    * 4-epoch repetition cap are flagged clipped (repetition beyond ~4
+    * epochs measurably hurts — the planner surfaces it, policy decides).
+    * All integer arithmetic off one map-side-combinable rollup; corpus
+    * totals ride a 1-row broadcast. */
+  val x192 = DQ("x192_token_recipe", Some(
+    """WITH t AS (SELECT source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n) AS BIGINT) AS tokens
+      |  FROM t GROUP BY 1),
+      |p AS (SELECT source, n_docs, tokens,
+      |    CAST((2 * (SELECT sum(tokens) FROM s))
+      |         // (SELECT count(*) FROM s) AS BIGINT) AS alloc
+      |  FROM s)
+      |SELECT source, n_docs, tokens, alloc,
+      |  CAST(least(alloc * 1000 // tokens, 4000) AS BIGINT) AS epochs_e3,
+      |  alloc * 1000 // tokens > 4000 AS clipped
+      |FROM p ORDER BY source""".stripMargin)) {
+    (spark, dir) =>
+      val s = spread(table(spark, dir, "documents"))
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+      val tot = broadcast(s.agg(sum("tokens").as("total"),
+        count(lit(1)).as("n_sources")))
+      s.crossJoin(tot)
+        .withColumn("alloc", expr("(2 * total) div n_sources"))
+        .select(col("source"), col("n_docs"), col("tokens"), col("alloc"),
+          expr("least(alloc * 1000 div tokens, 4000L)").as("epochs_e3"),
+          expr("alloc * 1000 div tokens > 4000").as("clipped"))
+        .orderBy("source")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
-    x183, x184, x185, x186, x187, x188, x190)
+    x183, x184, x185, x186, x187, x188, x190, x192)
 }

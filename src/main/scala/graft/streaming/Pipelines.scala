@@ -519,6 +519,33 @@ object Pipelines {
         col("n_words"), col("mean_len_x100"), col("top_frac_ppm"),
         col("n_stop"), col("admit"))
 
+  /** Streaming corpus-drift monitor — x185's audit as a standing query:
+    * watched `.jsonl` documents bucket by token length and the running
+    * per-bucket counts compare against a BASELINE histogram embedded as
+    * a plan literal (the x166 bloom posture: the reference corpus never
+    * joins the stream — ~10 map entries per executor). Each micro-batch
+    * updates the per-bucket volume ratio vs baseline in ppm and flags
+    * buckets outside [0.5×, 2×] — the alarm that catches an extractor
+    * regression while the corpus is still being written. One streaming
+    * aggregation on a 10-key space; nothing else shuffles. */
+  def driftMonitorStream(spark: SparkSession, dir: String,
+      baseline: Map[Long, Long]): DataFrame = {
+    val bl = typedlit(baseline)
+    jsonlTextStream(spark, dir, "id BIGINT, text STRING")
+      .filter(col("ok"))
+      .select(expr(
+        "least(size(filter(split(lower(j.text), '[^a-z]+'), x -> x != '')) div 10, 9)")
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("base_cnt", coalesce(element_at(bl, col("bucket")), lit(0L)))
+      .withColumn("ratio_ppm",
+        expr("cnt * 1000000 div greatest(base_cnt, 1)"))
+      // a bucket the baseline never saw is drift by definition — the
+      // ratio against greatest(0,1) can land inside the band and hide it
+      .withColumn("flagged", col("base_cnt") === 0 ||
+        col("ratio_ppm") < 500000 || col("ratio_ppm") > 2000000)
+  }
+
   /** The HTML→main-text projection (script/style removal, tag→space,
     * entity decode, whitespace collapse — codegen'd regexp/string
     * builtins, no UDF), shared verbatim by [[warcTextStream]] and the
