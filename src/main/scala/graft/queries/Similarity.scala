@@ -1058,6 +1058,73 @@ object Similarity {
           col("n_ivfpq"), round(col("n_ivfpq") / 10.0, 6).as("recall_ivfpq"))
   }
 
+  /** x196: EMBEDDING CENTROID DRIFT — the snapshot-over-snapshot monitor a
+    * corpus refresh runs on its embedding space: per cluster (label), the
+    * element-wise centroid of the OLD half (even vec_id, standing in for
+    * the prior snapshot) vs the NEW half, and the cosine between the two —
+    * a cluster whose centroid rotates is a topic whose content changed
+    * (extractor regression, crawl-mix shift) even when volumes hold, the
+    * failure x185's count-based audit cannot see. Centroids are exact
+    * fixed-point micro-units (values shifted +2 so the sum stays
+    * non-negative and Spark `div` ≡ DuckDB `//`; floor before CAST because
+    * the engines round double→int differently), so the per-(label, half,
+    * pos) aggregation is order-independent — a float avg would drift with
+    * partition order. Keyspace after the map phase is |label|·64·2 rows;
+    * everything before it combines map-side. At 100 TB the scan dominates
+    * and the centroid table stays KB-sized. */
+  val x196 = DQ("x196_centroid_drift", Some(
+    """WITH ex AS (
+      |  SELECT e.label, e.vec_id % 2 AS half, u.i AS pos,
+      |    CAST(floor((CAST(e.embedding[u.i] AS DOUBLE) + 2) * 1000000)
+      |      AS BIGINT) AS v
+      |  FROM embeddings e CROSS JOIN
+      |    (SELECT CAST(generate_series AS INT) AS i
+      |     FROM generate_series(1, 64)) u),
+      |c AS (SELECT label, half, pos,
+      |    CAST(sum(v) // count(*) AS BIGINT) - 2000000 AS cv
+      |  FROM ex GROUP BY 1, 2, 3),
+      |j AS (SELECT a.label, a.cv AS av, b.cv AS bv
+      |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+      |  WHERE a.half = 0 AND b.half = 1),
+      |d AS (SELECT label, sum(av * bv) AS dp, sum(av * av) AS na,
+      |    sum(bv * bv) AS nb
+      |  FROM j GROUP BY 1),
+      |n AS (SELECT label,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_old,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new
+      |  FROM embeddings GROUP BY 1)
+      |SELECT d.label, n.n_old, n.n_new,
+      |  round(dp / (sqrt(na) * sqrt(nb)), 6) AS drift_cos
+      |FROM d JOIN n ON d.label = n.label ORDER BY d.label""".stripMargin)) {
+    (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val ex = e
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("half"), col("pos"),
+          floor((col("x").cast("double") + 2) * 1000000).cast("long").as("v"))
+      val c = ex.groupBy("label", "half", "pos")
+        .agg((expr("sum(v) div count(1)") - 2000000L).as("cv"))
+      val d = c.filter(col("half") === 0).select(col("label"), col("pos"),
+          col("cv").as("av"))
+        .join(c.filter(col("half") === 1).select(col("label"), col("pos"),
+          col("cv").as("bv")), Seq("label", "pos"))
+        .groupBy("label")
+        .agg(sum(col("av") * col("bv")).as("dp"),
+          sum(col("av") * col("av")).as("na"),
+          sum(col("bv") * col("bv")).as("nb"))
+      val n = e.groupBy("label")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+      d.join(broadcast(n), "label")
+        .select(col("label"), col("n_old"), col("n_new"),
+          round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+            .as("drift_cos"))
+        .orderBy("label")
+  }
+
   val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105,
-    x110, x110s, x118, x119, x122, x124)
+    x110, x110s, x118, x119, x122, x124, x196)
 }

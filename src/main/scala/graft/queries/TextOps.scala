@@ -3355,10 +3355,177 @@ object TextOps {
         .orderBy("source")
   }
 
+  /** x193: RECIPE-DRIVEN EPOCH SAMPLING — materializes x192's plan: each
+    * source's fixed-point epoch multiplier e3 becomes `e3 div 1000` full
+    * copies of every document plus one more iff the doc's md5-uniform
+    * per-mille draw lands under `e3 mod 1000` — the standard fractional-
+    * epoch trick, DETERMINISTIC (re-runs reproduce the same corpus, and
+    * Spark/DuckDB agree because both draw from the same md5 hex). The
+    * audit reports achieved tokens vs allocation in ppm per source — the
+    * number a launch review actually checks. Recipe rows ride a broadcast;
+    * the corpus-side pass is one map + one map-side-combinable rollup
+    * (copies are COUNTED via reps·ntok, never exploded — at 100 TB the
+    * materialization is a writer-side repeat, not a 4× shuffle). */
+  val x193 = DQ("x193_recipe_sampling", Some(
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(ntok) AS BIGINT) AS tokens
+      |  FROM t GROUP BY 1),
+      |r AS (SELECT source, n_docs,
+      |    CAST((2 * (SELECT sum(tokens) FROM s))
+      |         // (SELECT count(*) FROM s) AS BIGINT) AS alloc,
+      |    CAST(least((2 * (SELECT sum(tokens) FROM s))
+      |               // (SELECT count(*) FROM s) * 1000 // tokens, 4000)
+      |      AS BIGINT) AS e3
+      |  FROM s),
+      |d AS (SELECT t.source, t.ntok, r.alloc, r.e3, r.n_docs,
+      |    e3 // 1000 + CASE WHEN
+      |      CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6)
+      |        AS BIGINT) % 1000 < e3 % 1000 THEN 1 ELSE 0 END AS reps
+      |  FROM t JOIN r USING (source))
+      |SELECT source, max(e3) AS epochs_e3, max(n_docs) AS n_docs,
+      |  CAST(sum(reps) AS BIGINT) AS n_copies,
+      |  CAST(sum(reps * ntok) AS BIGINT) AS toks_out,
+      |  CAST(sum(reps * ntok) * 1000000 // max(alloc) AS BIGINT) AS fill_ppm
+      |FROM d GROUP BY source ORDER BY source""".stripMargin)) {
+    (spark, dir) =>
+      val t = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("ntok"))
+      val s = t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+      val tot = broadcast(s.agg(sum("tokens").as("total"),
+        count(lit(1)).as("n_sources")))
+      val r = s.crossJoin(tot)
+        .withColumn("alloc", expr("(2 * total) div n_sources"))
+        .withColumn("e3", expr("least(alloc * 1000 div tokens, 4000L)"))
+        .select("source", "n_docs", "alloc", "e3")
+      t.join(broadcast(r), "source")
+        .withColumn("reps", expr("e3 div 1000") +
+          when(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 1000 < col("e3") % 1000, 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(max("e3").as("epochs_e3"), max("n_docs").as("n_docs"),
+          sum("reps").as("n_copies"),
+          sum(col("reps") * col("ntok")).as("toks_out"),
+          expr("sum(reps * ntok) * 1000000 div max(alloc)").as("fill_ppm"))
+        .orderBy("source")
+  }
+
+  /** x194: TOKENIZER FERTILITY AUDIT — the pre-training diligence pass that
+    * catches a tokenizer/corpus mismatch: per (lang, source), words-per-doc,
+    * subword fertility (subtokens per word ×1000) and letters per subtoken
+    * (×1000), with the subword count proxied as ceil(len/4) per word — the
+    * industry rule-of-thumb unit that needs no vocab file and keeps the
+    * audit a pure in-row fold (the real-BPE x120 path exists for when a
+    * trained merges table is in hand). High fertility per language =
+    * under-trained vocab for that script; the audit makes it a number.
+    * One map-side-combinable rollup on a ≤|lang|·|source| keyspace. */
+  val x194 = DQ("x194_fertility_audit", Some(
+    """WITH t AS (SELECT lang, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |f AS (SELECT lang, source, CAST(len(l) AS BIGINT) AS w,
+      |    CAST((SELECT sum((length(x.tok) + 3) // 4)
+      |          FROM unnest(l) AS x(tok)) AS BIGINT) AS st,
+      |    CAST((SELECT sum(length(x.tok)) FROM unnest(l) AS x(tok))
+      |      AS BIGINT) AS ch
+      |  FROM t)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS words,
+      |  CAST(sum(st) AS BIGINT) AS subtoks,
+      |  CAST(sum(st) * 1000 // sum(w) AS BIGINT) AS fertility_e3,
+      |  CAST(sum(ch) * 1000 // sum(st) AS BIGINT) AS chars_per_tok_e3
+      |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents"))
+        .select(col("lang"), col("source"), tokens(col("text")).as("l"))
+        .select(col("lang"), col("source"),
+          size(col("l")).cast("long").as("w"),
+          expr("aggregate(l, 0L, (a, x) -> a + (length(x) + 3) div 4)").as("st"),
+          expr("aggregate(l, 0L, (a, x) -> a + length(x))").as("ch"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+          sum("st").as("subtoks"),
+          expr("sum(st) * 1000 div sum(w)").as("fertility_e3"),
+          expr("sum(ch) * 1000 div sum(st)").as("chars_per_tok_e3"))
+        .orderBy("lang", "source")
+  }
+
+  /** x195: UNICODE NORMALIZATION SCRUB — the punctuation-folding pass every
+    * web corpus runs before tokenization (curly quotes → straight, em-dash
+    * → hyphen, NBSP → space, zero-width chars dropped). The fixture
+    * INJECTS the unicode deterministically from doc_id (web text arrives
+    * already mutated; parquet fixtures are ASCII), the scrub is one fixed
+    * codegen'd replace chain — NO UDF, NO regex backtracking — and the
+    * audit proves per-class fold counts plus exact round-trip equality
+    * against the expected ASCII form. Pure per-row map + one rollup on
+    * |source| keys; at 100 TB this is scan-bound, as a scrub should be. */
+  val x195 = DQ("x195_unicode_scrub", Some(
+    """WITH m AS (SELECT doc_id, source, text,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN replace(text, ' ', ' ')
+      |      WHEN 1 THEN '“' || text || '”—'
+      |      ELSE replace(text, 'e', 'e​') END AS mut
+      |  FROM documents),
+      |s AS (SELECT doc_id, source, text, mut,
+      |    replace(replace(replace(replace(replace(mut, ' ', ' '),
+      |      '“', '"'), '”', '"'), '—', '-'), '​', '')
+      |      AS scrubbed
+      |  FROM m)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(mut) - length(replace(mut, ' ', '')))
+      |    AS BIGINT) AS n_nbsp,
+      |  CAST(sum(2 * length(mut) - length(replace(mut, '“', ''))
+      |           - length(replace(mut, '”', ''))) AS BIGINT) AS n_quotes,
+      |  CAST(sum(length(mut) - length(replace(mut, '—', '')))
+      |    AS BIGINT) AS n_dashes,
+      |  CAST(sum(length(mut) - length(replace(mut, '​', '')))
+      |    AS BIGINT) AS n_zw,
+      |  CAST(sum(CASE WHEN scrubbed = CASE doc_id % 3 WHEN 0 THEN text
+      |    WHEN 1 THEN '"' || text || '"-' ELSE text END
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+      |FROM s GROUP BY source ORDER BY source""".stripMargin)) {
+    (spark, dir) =>
+      val nbsp = " "; val lq = "“"; val rq = "”"
+      val em = "—"; val zw = "​"
+      def scrub(c: Column): Column =
+        regexp_replace(
+          translate(c, nbsp + lq + rq + em, " \"\"-"), zw, "")
+      spread(table(spark, dir, "documents"))
+        .withColumn("mut", when(col("doc_id") % 3 === 0,
+            regexp_replace(col("text"), " ", nbsp))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(lq), col("text"), lit(rq + em)))
+          .otherwise(regexp_replace(col("text"), "e", "e" + zw)))
+        .withColumn("scrubbed", scrub(col("mut")))
+        .withColumn("expected", when(col("doc_id") % 3 === 1,
+            concat(lit("\""), col("text"), lit("\"-")))
+          .otherwise(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("mut")) - length(regexp_replace(col("mut"), nbsp, "")))
+            .as("n_nbsp"),
+          sum(length(col("mut")) * 2
+            - length(regexp_replace(col("mut"), lq, ""))
+            - length(regexp_replace(col("mut"), rq, ""))).as("n_quotes"),
+          sum(length(col("mut")) - length(regexp_replace(col("mut"), em, "")))
+            .as("n_dashes"),
+          sum(length(col("mut")) - length(regexp_replace(col("mut"), zw, "")))
+            .as("n_zw"),
+          sum(when(col("scrubbed") === col("expected"), 1L).otherwise(0L))
+            .as("n_ok"))
+        .orderBy("source")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
-    x183, x184, x185, x186, x187, x188, x190, x192)
+    x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195)
 }

@@ -56,7 +56,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x182_hits", // 1-row max-score broadcast (fixed-point normalize)
     "x185_drift_audit", // 1-row snapshot-totals broadcast cross join
     "x188_corpus_balance", // 1-row corpus-totals broadcast cross join
-    "x192_token_recipe") // 1-row budget-totals broadcast cross join
+    "x192_token_recipe", // 1-row budget-totals broadcast cross join
+    "x193_recipe_sampling") // 1-row corpus-totals broadcast cross join
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
