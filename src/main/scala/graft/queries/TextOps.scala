@@ -3522,10 +3522,108 @@ object TextOps {
         .orderBy("source")
   }
 
+  /** x197: TF-IDF TOP TERMS PER SOURCE — the corpus-characterization query
+    * behind every "what is this source actually about" review: term
+    * frequency per source × inverse document frequency across the corpus,
+    * top-5 terms each. The idf is INTEGER-EXACT — floor(log2(N·2²⁰/df)) via
+    * `length(bin(x)) - 1`, identical in Spark and DuckDB — because a libm
+    * `ln` disagrees across engines in the last ulp and flips rank ties
+    * (the x174 lesson). df computes from IN-ROW distinct terms (no
+    * pre-aggregation shuffle of raw token rows); the corpus doc count is a
+    * 1-row broadcast; the only wide exchanges hash on term — at 100 TB both
+    * aggregations combine map-side and the final per-source top-5 window
+    * sees one row per (source, term), not per occurrence. */
+  val x197 = DQ("x197_tfidf_terms", Some(
+    """WITH t AS (SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |tf AS (SELECT source, x.tok AS term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t, unnest(l) AS x(tok) GROUP BY 1, 2),
+      |df AS (SELECT x.tok AS term, CAST(count(*) AS BIGINT) AS df
+      |  FROM t, unnest(list_distinct(l)) AS x(tok) GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |s AS (SELECT tf.source, tf.term, tf.tf, df.df,
+      |    tf.tf * (length(bin(n.n_docs * 1048576 // df.df)) - 1) AS score
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |r AS (SELECT source, term, tf, df, CAST(score AS BIGINT) AS score,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY score DESC, term) AS rk
+      |  FROM s)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+      |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)) {
+    (spark, dir) =>
+      val t = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("l"))
+      val tf = t.select(col("source"), explode(col("l")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = t.select(explode(array_distinct(col("l"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = broadcast(table(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_docs")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(n)
+        .withColumn("score",
+          col("tf") * (length(bin(expr("n_docs * 1048576 div df"))) - 1))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "term", "tf", "df", "score")
+        .orderBy("source", "rk")
+  }
+
+  /** x198: CURRICULUM SHARD MANIFEST — the writer-side plan for quality-
+    * ordered training: every document ranks globally by its x186 quality
+    * logit (two-pass [[graft.batch.Joins.globalRank]] — range-partitioned,
+    * no single-task sort) and CONTIGUOUS rank blocks become shards, so
+    * shard 0 is the lowest-quality opening phase and shard 7 the close —
+    * the manifest a curriculum loader consumes in order. Per-shard logit
+    * boundaries come out monotone by construction (the audit one can eyeball)
+    * and token sums price each phase. Corpus count rides a 1-row
+    * broadcast; nothing but globalRank's two passes shuffles. */
+  val x198 = DQ("x198_curriculum_shards", Some(
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |f AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS f_words,
+      |    CAST(25 * len(l)
+      |       + 8 * ((SELECT 100 * sum(length(x.tok)) // len(l)
+      |               FROM unnest(l) AS x(tok)))
+      |       + 500 * ((SELECT count(*) FROM unnest(l) AS x(tok)
+      |                 WHERE x.tok IN ('the','a','is','of','and','to',
+      |                                 'that','with')))
+      |       + (len(list_distinct(l)) * 1000000 // len(l)) // 500
+      |       - 9000 AS BIGINT) AS logit_e3
+      |  FROM t),
+      |r AS (SELECT doc_id, f_words, logit_e3,
+      |    row_number() OVER (ORDER BY logit_e3, doc_id) - 1 AS rk,
+      |    count(*) OVER () AS n
+      |  FROM f)
+      |SELECT CAST(least(rk * 8 // n, 7) AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(logit_e3) AS BIGINT) AS lo_logit,
+      |  CAST(max(logit_e3) AS BIGINT) AS hi_logit,
+      |  CAST(sum(f_words) AS BIGINT) AS tokens
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin)) {
+    (spark, dir) =>
+      val f = qualityLogit(spark, dir)
+      val ranked = graft.batch.Joins.globalRank(f, 32, "logit_e3", "doc_id")
+      val n = broadcast(f.agg(count(lit(1)).as("n")))
+      ranked.crossJoin(n)
+        .withColumn("rk", col("global_rank") - 1)
+        .withColumn("shard", expr("least(rk * 8 div n, 7)").cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), min("logit_e3").as("lo_logit"),
+          max("logit_e3").as("hi_logit"), sum("f_words").as("tokens"))
+        .orderBy("shard")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
-    x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195)
+    x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
+    x197, x198)
 }
