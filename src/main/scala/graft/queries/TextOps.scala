@@ -3619,11 +3619,133 @@ object TextOps {
         .orderBy("shard")
   }
 
+  /** x199: FILTER-AGREEMENT KAPPA — when two quality filters vote on the
+    * same corpus (here the x186 linear logit vs a stopword-density rule),
+    * raw percent-agreement flatters them (both mostly admit), so the
+    * ensemble diligence number is Cohen's κ: agreement ABOVE CHANCE, per
+    * language. All fixed-point: marginals in ppm (so pe never multiplies
+    * two corpus-sized counts — na1·nb1 overflows BIGINT at ~5M docs; ppm
+    * marginals never do), and the final κ division is sign-split because
+    * Spark `div` truncates where DuckDB `//` floors — a negative κ would
+    * silently disagree by 1 ulp otherwise. One in-row feature pass + one
+    * rollup on |lang| keys. */
+  val x199 = DQ("x199_filter_kappa", Some(
+    """WITH t AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |f AS (SELECT doc_id, lang, len(l) AS w,
+      |    (SELECT count(*) FROM unnest(l) AS x(tok)
+      |     WHERE x.tok IN ('the','a','is','of','and','to','that','with'))
+      |      AS stops,
+      |    25 * len(l)
+      |      + 8 * ((SELECT 100 * sum(length(x.tok)) // len(l)
+      |              FROM unnest(l) AS x(tok)))
+      |      + 500 * ((SELECT count(*) FROM unnest(l) AS x(tok)
+      |                WHERE x.tok IN ('the','a','is','of','and','to',
+      |                                'that','with')))
+      |      + (len(list_distinct(l)) * 1000000 // len(l)) // 500
+      |      - 9000 AS logit_e3
+      |  FROM t),
+      |v AS (SELECT lang,
+      |    CASE WHEN logit_e3 >= 0 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN stops * 20 >= w THEN 1 ELSE 0 END AS b
+      |  FROM f),
+      |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(a) AS BIGINT) AS na1, CAST(sum(b) AS BIGINT) AS nb1,
+      |    CAST(sum(a * b) AS BIGINT) AS n11,
+      |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM v GROUP BY 1),
+      |k AS (SELECT lang, n, na1, nb1, n11, n00,
+      |    (n11 + n00) * 1000000 // n AS po_ppm,
+      |    ((na1 * 1000000 // n) * (nb1 * 1000000 // n)
+      |     + (1000000 - na1 * 1000000 // n)
+      |       * (1000000 - nb1 * 1000000 // n)) // 1000000 AS pe_ppm
+      |  FROM g)
+      |SELECT lang, n, na1, nb1, n11, n00,
+      |  CAST(po_ppm AS BIGINT) AS po_ppm, CAST(pe_ppm AS BIGINT) AS pe_ppm,
+      |  CAST(CASE WHEN pe_ppm = 1000000 THEN NULL
+      |    WHEN po_ppm >= pe_ppm
+      |      THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+      |    ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm)) END
+      |    AS BIGINT) AS kappa_ppm
+      |FROM k ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      val f = qualityLogit(spark, dir)
+      val v = f.select(col("lang"),
+        when(col("logit_e3") >= 0, 1L).otherwise(0L).as("a"),
+        when(col("f_stop") * 20 >= col("f_words"), 1L).otherwise(0L).as("b"))
+      v.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("a").as("na1"), sum("b").as("nb1"),
+          sum(col("a") * col("b")).as("n11"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+        .withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n"))
+        .withColumn("pe_ppm", expr(
+          """((na1 * 1000000 div n) * (nb1 * 1000000 div n)
+            | + (1000000 - na1 * 1000000 div n)
+            |   * (1000000 - nb1 * 1000000 div n)) div 1000000""".stripMargin))
+        .withColumn("kappa_ppm", expr(
+          """CASE WHEN pe_ppm = 1000000 THEN NULL
+            |  WHEN po_ppm >= pe_ppm
+            |    THEN (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)
+            |  ELSE -((pe_ppm - po_ppm) * 1000000 div (1000000 - pe_ppm))
+            |END""".stripMargin))
+        .orderBy("lang")
+  }
+
+  /** x200: EXACT LENGTH PERCENTILES PER SOURCE — the distribution table a
+    * data card publishes (p25/p50/p75/p90 token counts): engine-approx
+    * percentile functions disagree across implementations, so the rank is
+    * selected EXPLICITLY — sorted index `(n−1)·q/100` under lower-floor
+    * semantics, via the two-pass [[graft.batch.Joins.globalRank]] over the
+    * composite (source, ntok, doc_id) key (range-partitioned: no
+    * per-source funnel, no approx sketch). Per-source bases ride a
+    * broadcast; the pivot to columns is a conditional rollup on |source|
+    * keys. */
+  val x200 = DQ("x200_length_percentiles", Some(
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |r AS (SELECT source, ntok,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY ntok, doc_id) - 1 AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM t)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |  CAST(max(CASE WHEN rk = (n - 1) * 25 // 100 THEN ntok END)
+      |    AS BIGINT) AS p25,
+      |  CAST(max(CASE WHEN rk = (n - 1) * 50 // 100 THEN ntok END)
+      |    AS BIGINT) AS p50,
+      |  CAST(max(CASE WHEN rk = (n - 1) * 75 // 100 THEN ntok END)
+      |    AS BIGINT) AS p75,
+      |  CAST(max(CASE WHEN rk = (n - 1) * 90 // 100 THEN ntok END)
+      |    AS BIGINT) AS p90
+      |FROM r GROUP BY source ORDER BY source""".stripMargin)) {
+    (spark, dir) =>
+      val t = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("ntok"))
+      val ranked = graft.batch.Joins.globalRank(
+        t, 32, "source", "ntok", "doc_id")
+      val base = ranked.groupBy("source")
+        .agg(min("global_rank").as("base"), count(lit(1)).as("n"))
+      ranked.join(broadcast(base), "source")
+        .withColumn("rk", col("global_rank") - col("base"))
+        .groupBy("source")
+        .agg(max("n").as("n_docs"),
+          max(when(expr("rk = (n - 1) * 25 div 100"), col("ntok"))).as("p25"),
+          max(when(expr("rk = (n - 1) * 50 div 100"), col("ntok"))).as("p50"),
+          max(when(expr("rk = (n - 1) * 75 div 100"), col("ntok"))).as("p75"),
+          max(when(expr("rk = (n - 1) * 90 div 100"), col("ntok"))).as("p90"))
+        .orderBy("source")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
-    x197, x198)
+    x197, x198, x199, x200)
 }

@@ -519,6 +519,27 @@ object Pipelines {
         col("n_words"), col("mean_len_x100"), col("top_frac_ppm"),
         col("n_stop"), col("admit"))
 
+  /** Streaming URL decontamination — x191's gate at ingest time, where it
+    * belongs (a page excluded before it is ever written costs nothing
+    * downstream): watched `.jsonl` crawl records carry (id, url); the url
+    * canonicalizes (tracking query string stripped — the crawl side has
+    * `?utm_…`, the published eval manifest never does) and checks
+    * membership against the manifest embedded as a PLAN LITERAL (the x166
+    * bloom posture: an eval-URL manifest is a few thousand entries — it
+    * rides the plan to every executor and the stream never joins).
+    * Stateless per-row filter; nothing shuffles. */
+  def decontamStream(spark: SparkSession, dir: String,
+      manifest: Seq[String]): DataFrame =
+    jsonlTextStream(spark, dir, "id BIGINT, url STRING")
+      .filter(col("ok"))
+      .select(col("path"), col("line_no"), col("j.id").as("id"),
+        col("j.url").as("url"))
+      .withColumn("cu", when(instr(col("url"), "?") > 0,
+        col("url").substr(lit(1), instr(col("url"), "?") - 1))
+        .otherwise(col("url")))
+      .withColumn("blocked",
+        array_contains(typedlit(manifest), col("cu")))
+
   /** Streaming corpus-drift monitor — x185's audit as a standing query:
     * watched `.jsonl` documents bucket by token length and the running
     * per-bucket counts compare against a BASELINE histogram embedded as
