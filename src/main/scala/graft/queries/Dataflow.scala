@@ -3522,9 +3522,113 @@ object Dataflow {
         .orderBy("site")
   }
 
+  /** x203: PDF STRUCTURE TRIAGE — the crawl's dominant document format,
+    * walked by the spec's own discovery chain (header → startxref → xref
+    * → trailer → Catalog → Pages/Count) in the new `pdf_meta` expression
+    * ([[graft.functions.Pdfs]]); fixtures are REAL single-xref PDFs built
+    * per row with varying page counts and per-page padding, and every
+    * 23rd doc loses its tail (no startxref ⇒ the file is unopenable by
+    * the spec's algorithm) and must surface null, not garbage. Oracle
+    * recomputes the generator arithmetic; the gate proves offsets, xref
+    * entry parsing, and the object-follow chain byte-exact. */
+  val x203 = DQ("x203_pdf_meta", Some(
+    """SELECT doc_id AS media_id, doc_id % 23 <> 0 AS ok,
+      |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE '1.7' END AS version,
+      |  CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+      |       ELSE doc_id % 7 + 4 END AS INT) AS n_objects,
+      |  CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+      |       ELSE doc_id % 7 + 1 END AS INT) AS n_pages
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Pdfs, PdfMeta}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val pdf = Pdfs.buildPdf((id % 7 + 1).toInt, (id % 50).toInt)
+          (id, if (id % 23 == 0) pdf.dropRight(30) else pdf)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("m", PdfMeta.pdfMeta(col("media")))
+        .select(col("media_id"), col("m").isNotNull.as("ok"),
+          col("m.version").as("version"), col("m.n_objects").as("n_objects"),
+          col("m.n_pages").as("n_pages"))
+        .orderBy("media_id")
+  }
+
+  /** x204: DOCX TEXT EXTRACTION — office documents are the second-biggest
+    * text carrier in a web crawl after HTML/PDF, and OOXML is just a ZIP
+    * with a declared content-types part (ECMA-376, public): the x162
+    * `zip_entries` expression opens it, `word/document.xml` inflates to
+    * XML, and the `<w:t>` runs concatenate into the training text — no new
+    * codec, pure composition. The fixture builds REAL deflated OOXML
+    * containers per row (distributed map, never a driver loop); every 17th
+    * doc ships without its main part and must quarantine rather than
+    * crash. The oracle recomputes the generator text, so the md5 gate
+    * proves the full unzip→inflate→XML-run extraction byte-exact. */
+  val x204 = DQ("x204_docx_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS np,
+      |           doc_id % 17 = 0 AS q FROM documents),
+      |t AS (SELECT doc_id, np, q,
+      |  CASE WHEN q THEN NULL ELSE
+      |    (SELECT string_agg('para ' || CAST(u.j AS VARCHAR) || ' of doc '
+      |       || CAST(doc_id AS VARCHAR) || ' tail' || CAST(u.j AS VARCHAR),
+      |       ' ' ORDER BY u.j)
+      |     FROM unnest(generate_series(0, np - 1)) AS u(j)) END AS text
+      |  FROM d)
+      |SELECT doc_id AS media_id, TRUE AS is_ooxml, q AS quarantined,
+      |  CAST(CASE WHEN q THEN NULL ELSE 2 * np END AS BIGINT) AS n_runs,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM t ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, ZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nPar = (id % 3 + 1).toInt
+          val paras = (0 until nPar).map { j =>
+            s"<w:p><w:r><w:t>para $j of doc $id</w:t></w:r>" +
+              s"<w:r><w:t>tail$j</w:t></w:r></w:p>"
+          }.mkString
+          val docXml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+            s"wordprocessingml/2006/main\"><w:body>$paras</w:body></w:document>"
+          val ct = "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas." +
+            "openxmlformats.org/package/2006/content-types\"><Default " +
+            "Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+          val main = if (id % 17 == 0) "word/other.xml" else "word/document.xml"
+          (id, Archives.buildZip(Seq(
+            ("[Content_Types].xml", ct.getBytes, true),
+            (main, docXml.getBytes, true))))
+        }.toDF("media_id", "media")
+      media
+        .withColumn("es", ZipEntries.zipEntries(col("media")))
+        .withColumn("is_ooxml",
+          expr("exists(es, e -> e.name = '[Content_Types].xml')"))
+        .withColumn("docpart",
+          expr("filter(es, e -> e.name = 'word/document.xml')"))
+        .withColumn("xml", expr(
+          "CASE WHEN size(docpart) = 1 THEN cast(docpart[0].payload AS STRING) END"))
+        .withColumn("runs",
+          expr("regexp_extract_all(xml, '<w:t[^>]*>([^<]*)</w:t>', 1)"))
+        .withColumn("text", array_join(col("runs"), " "))
+        .select(col("media_id"), col("is_ooxml"),
+          col("xml").isNull.as("quarantined"),
+          when(col("xml").isNotNull, size(col("runs")).cast("long"))
+            .as("n_runs"),
+          when(col("xml").isNotNull, md5(col("text"))).as("text_md5"),
+          when(col("xml").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
-    x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191)
+    x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
+    x203, x204)
 }

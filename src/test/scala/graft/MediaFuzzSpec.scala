@@ -36,7 +36,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("mkv_blocks", b => graft.functions.Mkv.parseBlocks(b)),
     ("id3_tags", b => graft.functions.Id3.parse(b)),
     ("warc_records", b => graft.functions.Warc.parse(b)),
-    ("warc_index", b => graft.functions.Warc.index(b)))
+    ("warc_index", b => graft.functions.Warc.index(b)),
+    ("pdf_meta", b => graft.functions.Pdfs.pdfMeta(b)),
+    ("zip_entries", b => graft.functions.Archives.zipEntries(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -104,7 +106,13 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("response", "http://f.example/b", "2024-05-01T00:00:02Z",
         "gz fuzz body".getBytes),
       ("request", "http://f.example/b", "2024-05-01T00:00:02Z",
-        "GET /b".getBytes))))
+        "GET /b".getBytes))),
+    graft.functions.Pdfs.buildPdf(3, 17),
+    graft.functions.Archives.buildZip(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes, true),
+      ("word/document.xml",
+        "<w:document><w:body><w:p><w:r><w:t>fuzz</w:t></w:r></w:p></w:body></w:document>".getBytes,
+        true))))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)
