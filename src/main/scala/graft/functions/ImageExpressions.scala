@@ -29,7 +29,65 @@ object ImageHeaders {
     else if (isJpeg(b)) parseJpeg(b)
     else if (isWebp(b)) parseWebp(b)
     else if (isTiff(b)) parseTiff(b)
+    else if (isAvif(b)) parseAvif(b)
     else null
+  }
+
+  private def isAvif(b: Array[Byte]): Boolean =
+    b.length >= 16 && tag(b, 4) == "ftyp" &&
+      (tag(b, 8) == "avif" || tag(b, 8) == "avis")
+
+  /** AVIF dimensions (ISO 23008-12 HEIF layout over ISO-BMFF): the `meta`
+    * FULL box's iprp → ipco → ispe property carries the spatial extents —
+    * no OBU decode needed; `av1C` sits beside ispe and stays opaque here
+    * ([[Av1]] owns the config syntax). Null when any box on the chain is
+    * missing or truncated. */
+  private def parseAvif(b: Array[Byte]): (String, Int, Int) = {
+    // find a child box by type within [from, to); returns payload start
+    // (after size+type) and end, or null
+    def child(from: Int, to: Int, typ: String): (Int, Int) = {
+      var i = from
+      var guard = 0
+      while (i + 8 <= to && guard < 64) {
+        val size = be32(b, i)
+        if (size < 8 || i.toLong + size > to) return null
+        if (tag(b, i + 4) == typ) return (i + 8, i + size)
+        i += size
+        guard += 1
+      }
+      null
+    }
+    if (b.length < 16) return null
+    val meta = child(0, b.length, "meta")
+    if (meta == null || meta._1 + 4 > meta._2) return null
+    val iprp = child(meta._1 + 4, meta._2, "iprp") // +4: FullBox ver/flags
+    if (iprp == null) return null
+    val ipco = child(iprp._1, iprp._2, "ipco")
+    if (ipco == null) return null
+    val ispe = child(ipco._1, ipco._2, "ispe")
+    if (ispe == null || ispe._1 + 12 > ispe._2) return null
+    val w = be32(b, ispe._1 + 4) // after FullBox version/flags
+    val h = be32(b, ispe._1 + 8)
+    if (w <= 0 || h <= 0) return null
+    ("avif", w, h)
+  }
+
+  /** Minimal AVIF: ftyp(avif) + meta{hdlr(pict), iprp{ipco{ispe, av1C}}}
+    * + mdat(body). The av1C record comes from [[Av1.buildAv1C]] so the
+    * config chain is spec-true even though [[parseAvif]] only reads ispe. */
+  def buildAvif(w: Int, h: Int, av1c: Array[Byte],
+      body: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32b(payload.length + 8) ++ typ.getBytes ++ payload
+    val ftyp = box("ftyp", "avif".getBytes ++ be32b(0) ++ "mif1".getBytes)
+    val hdlr = box("hdlr", be32b(0) ++ be32b(0) ++ "pict".getBytes ++
+      new Array[Byte](12 + 1))
+    val ispe = box("ispe", be32b(0) ++ be32b(w) ++ be32b(h))
+    val av1cBox = box("av1C", av1c)
+    val ipco = box("ipco", ispe ++ av1cBox)
+    val iprp = box("iprp", ipco)
+    val meta = box("meta", be32b(0) ++ hdlr ++ iprp)
+    ftyp ++ meta ++ box("mdat", body)
   }
 
   private def u(b: Array[Byte], i: Int): Int = b(i) & 0xff

@@ -3522,6 +3522,57 @@ object Dataflow {
         .orderBy("site")
   }
 
+  /** x201: AVIF IMAGE TRIAGE — the newest mainstream crawl image format is
+    * HEIF-packaged AV1 (ISO 23008-12 over ISO-BMFF): dimensions live in
+    * the meta→iprp→ipco→ispe property chain, NOT in any codec payload, so
+    * the existing `image_header` expression now walks it (7th container in
+    * the dispatch). Fixtures are spec-true — the av1C config record beside
+    * ispe is built by the real [[graft.functions.Av1]] sequence-header
+    * encoder — and every 29th doc's ispe box type is vandalized, which
+    * must surface as an unrecognized image (null), not a crash or a stale
+    * read of the mangled box. */
+  val x201 = DQ("x201_avif_meta", Some(
+    """SELECT doc_id AS media_id, doc_id % 29 <> 0 AS ok,
+      |  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 'avif' END AS format,
+      |  CAST(CASE WHEN doc_id % 29 = 0 THEN NULL
+      |       ELSE doc_id % 640 + 16 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 29 = 0 THEN NULL
+      |       ELSE doc_id % 360 + 16 END AS INT) AS height
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Av1, ImageHeader, ImageHeaders}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val w = (id % 640 + 16).toInt
+          val h = (id % 360 + 16).toInt
+          val av1c = Av1.buildAv1C(Av1.buildSeqHeaderObu(0, 8, 0, w, h))
+          val avif = ImageHeaders.buildAvif(w, h, av1c,
+            Array.tabulate(((id % 64) + 1).toInt)(k => (id + k).toByte))
+          if (id % 29 == 0) {
+            // vandalize the ispe box TYPE (its 4cc sits right after the
+            // meta→iprp→ipco chain); a byte scan is fine in a fixture
+            var i = 0
+            var done = false
+            while (!done && i + 4 <= avif.length) {
+              if (avif(i) == 'i' && avif(i + 1) == 's' &&
+                avif(i + 2) == 'p' && avif(i + 3) == 'e') {
+                avif(i) = 'x'.toByte; done = true
+              }
+              i += 1
+            }
+          }
+          (id, avif)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("m", ImageHeader.imageHeader(col("media")))
+        .select(col("media_id"), col("m").isNotNull.as("ok"),
+          col("m.format").as("format"), col("m.width").as("width"),
+          col("m.height").as("height"))
+        .orderBy("media_id")
+  }
+
   /** x203: PDF STRUCTURE TRIAGE — the crawl's dominant document format,
     * walked by the spec's own discovery chain (header → startxref → xref
     * → trailer → Catalog → Pages/Count) in the new `pdf_meta` expression
@@ -3630,5 +3681,5 @@ object Dataflow {
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x203, x204)
+    x201, x203, x204)
 }

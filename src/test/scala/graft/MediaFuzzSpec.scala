@@ -108,6 +108,10 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("request", "http://f.example/b", "2024-05-01T00:00:02Z",
         "GET /b".getBytes))),
     graft.functions.Pdfs.buildPdf(3, 17),
+    ImageHeaders.buildAvif(320, 180,
+      graft.functions.Av1.buildAv1C(
+        graft.functions.Av1.buildSeqHeaderObu(0, 8, 0, 320, 180)),
+      Array.tabulate(9)(_.toByte)),
     graft.functions.Archives.buildZip(Seq(
       ("[Content_Types].xml", "<Types/>".getBytes, true),
       ("word/document.xml",
