@@ -3573,6 +3573,60 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x202: SVG DIMENSION SNIFF — the one mainstream image format that is
+    * TEXT: dimensions come from the root element's width/height attributes
+    * with a fall-back to the viewBox extents (the SVG 1.1/2 sizing rules a
+    * browser applies), attributes winning when both are present and px
+    * units stripping. All codegen'd `regexp_extract`/string builtins on a
+    * string column — no XML library, no UDF. Fixture rotates the three
+    * real-world attribute shapes (attrs only, viewBox only, px'd attrs
+    * plus a decoy viewBox that must LOSE) and every 31st doc is HTML that
+    * must sniff out as not-SVG with null dims. */
+  val x202 = DQ("x202_svg_dims", Some(
+    """SELECT doc_id AS media_id, doc_id % 31 <> 0 AS is_svg,
+      |  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+      |       ELSE doc_id % 800 + 1 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+      |       ELSE doc_id % 450 + 1 END AS INT) AS height,
+      |  doc_id % 31 <> 0 AND doc_id % 3 = 1 AS from_viewbox
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      val w = (col("doc_id") % 800 + 1).cast("string")
+      val h = (col("doc_id") % 450 + 1).cast("string")
+      spread(table(spark, dir, "documents").select(col("doc_id")))
+        .withColumn("doc",
+          when(col("doc_id") % 31 === 0,
+            lit("<html><body>not svg</body></html>"))
+          .when(col("doc_id") % 3 === 0, concat(
+            lit("<svg xmlns=\"http://www.w3.org/2000/svg\" width=\""), w,
+            lit("\" height=\""), h, lit("\"><rect/></svg>")))
+          .when(col("doc_id") % 3 === 1, concat(
+            lit("<svg viewBox=\"0 0 "), w, lit(" "), h,
+            lit("\"><circle/></svg>")))
+          .otherwise(concat(
+            lit("<svg width=\""), w, lit("px\" height=\""), h,
+            lit("px\" viewBox=\"0 0 9 9\"><path/></svg>"))))
+        .withColumn("is_svg", col("doc").startsWith("<svg"))
+        .withColumn("wa",
+          regexp_extract(col("doc"), "width=\"([0-9]+)(px)?\"", 1))
+        .withColumn("ha",
+          regexp_extract(col("doc"), "height=\"([0-9]+)(px)?\"", 1))
+        .withColumn("vw", regexp_extract(col("doc"),
+          "viewBox=\"0 0 ([0-9]+) ([0-9]+)\"", 1))
+        .withColumn("vh", regexp_extract(col("doc"),
+          "viewBox=\"0 0 ([0-9]+) ([0-9]+)\"", 2))
+        .select(col("doc_id").as("media_id"), col("is_svg"),
+          when(col("is_svg"),
+            coalesce(nullif(col("wa"), lit("")), nullif(col("vw"), lit(""))))
+            .cast("int").as("width"),
+          when(col("is_svg"),
+            coalesce(nullif(col("ha"), lit("")), nullif(col("vh"), lit(""))))
+            .cast("int").as("height"),
+          (col("is_svg") && col("wa") === "" && col("vw") =!= "")
+            .as("from_viewbox"))
+        .orderBy("media_id")
+  }
+
   /** x203: PDF STRUCTURE TRIAGE — the crawl's dominant document format,
     * walked by the spec's own discovery chain (header → startxref → xref
     * → trailer → Catalog → Pages/Count) in the new `pdf_meta` expression
@@ -3681,5 +3735,5 @@ object Dataflow {
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x203, x204)
+    x201, x202, x203, x204)
 }
