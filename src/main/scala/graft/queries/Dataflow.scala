@@ -3661,6 +3661,63 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x205: CSV INGEST WITH CORRUPT-ROW ROUTING — the x170 JSONL posture
+    * for the other sidecar format every pipeline ingests: `from_csv` in
+    * PERMISSIVE mode with a corrupt-record column, so a malformed row
+    * routes to dead-letter accounting instead of failing the batch, and
+    * RFC-4180 quoted fields (embedded commas) must parse as ONE value —
+    * the bug class a naive `split(',')` ships. Fixture lines rotate clean
+    * / quoted / type-corrupt (non-numeric id) shapes; aggregates count
+    * each route and checksum the surviving ids. Per-row parse + one
+    * map-side-combinable rollup. */
+  val x205 = DQ("x205_csv_ingest", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nl
+      |           FROM documents),
+      |l AS (SELECT doc_id, u.k AS k,
+      |             (doc_id + u.k) % 13 = 0 AS corrupt,
+      |             (doc_id + u.k) % 13 <> 0 AND u.k % 3 = 1 AS quoted
+      |      FROM d, unnest(generate_series(0, nl - 1)) AS u(k))
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(sum(CASE WHEN quoted THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted,
+      |  CAST(coalesce(sum(CASE WHEN NOT corrupt THEN doc_id * 10 + k END), 0)
+      |    AS BIGINT) AS id_sum,
+      |  round(CAST(coalesce(sum(CASE WHEN NOT corrupt THEN 0.25 * k END), 0)
+      |    AS DOUBLE), 2) AS score_sum
+      |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      val lines = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), (col("doc_id") % 4 + 1).cast("int").as("nl"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, nl - 1), k ->
+            |  CASE WHEN (doc_id + k) % 13 = 0 THEN
+            |    concat('x', cast(doc_id * 10 + k as string), ',en,0.5')
+            |  WHEN k % 3 = 1 THEN
+            |    concat(cast(doc_id * 10 + k as string), ',"fr,ca",',
+            |           cast(0.25 * k as string))
+            |  ELSE
+            |    concat(cast(doc_id * 10 + k as string), ',de,',
+            |           cast(0.25 * k as string))
+            |  END)""".stripMargin)).as("line"))
+      val parsed = lines.withColumn("c", from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, lang STRING, score DOUBLE, _bad STRING"),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+      parsed.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("c._bad").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("c._bad").isNull && col("c.lang").contains(","), 1L)
+            .otherwise(0L)).as("n_quoted"),
+          coalesce(sum(when(col("c._bad").isNull, col("c.id"))), lit(0L))
+            .as("id_sum"),
+          round(coalesce(sum(when(col("c._bad").isNull, col("c.score"))),
+            lit(0.0)), 2).as("score_sum"))
+        .orderBy("doc_id")
+  }
+
   /** x204: DOCX TEXT EXTRACTION — office documents are the second-biggest
     * text carrier in a web crawl after HTML/PDF, and OOXML is just a ZIP
     * with a declared content-types part (ECMA-376, public): the x162
@@ -3735,5 +3792,5 @@ object Dataflow {
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x202, x203, x204)
+    x201, x202, x203, x204, x205)
 }

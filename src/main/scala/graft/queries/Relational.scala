@@ -1156,8 +1156,56 @@ object Relational {
         .orderBy("zbucket")
   }
 
+  /** x206: HOURLY BURST DETECTION — the traffic-anomaly flag an ingest
+    * pipeline runs per tenant: a user's hour is a burst when its event
+    * count sits more than 3 population-σ above that user's own hourly
+    * mean. The test is computed WITHOUT sqrt or division —
+    * (x·n − s)² > 9·(n·ss − s²) is the z² > 9 inequality scaled by n², all
+    * BIGINT, so Spark and DuckDB agree bit-for-bit where a float z-score
+    * would drift. Two aggregations (hour rollup, then per-user moments)
+    * and one equi-join back on user_id; everything combines map-side. */
+  val x206 = DQ("x206_burst_hours", Some(
+    """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      |  FROM h GROUP BY 1),
+      |f AS (SELECT h.user_id, h.hr, h.cnt, s.n,
+      |    (h.cnt * s.n - s.s) > 0 AND
+      |    (h.cnt * s.n - s.s) * (h.cnt * s.n - s.s)
+      |      > 9 * (s.n * s.ss - s.s * s.s) AS burst
+      |  FROM h JOIN s ON h.user_id = s.user_id)
+      |SELECT user_id, CAST(max(n) AS BIGINT) AS n_hours,
+      |  CAST(sum(cnt) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN burst THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+      |  CAST(min(CASE WHEN burst THEN hr END) AS BIGINT) AS first_burst_hr
+      |FROM f GROUP BY user_id
+      |HAVING sum(CASE WHEN burst THEN 1 ELSE 0 END) > 0
+      |ORDER BY user_id""".stripMargin)) {
+    (spark, dir) =>
+      val h = table(spark, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), expr("us div 3600000000").as("hr"))
+        .groupBy("user_id", "hr").agg(count(lit(1)).as("cnt"))
+      val s = h.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+      h.join(s, "user_id")
+        .withColumn("dev", col("cnt") * col("n") - col("s"))
+        .withColumn("burst", col("dev") > 0 &&
+          col("dev") * col("dev") >
+            lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+        .groupBy("user_id")
+        .agg(max("n").as("n_hours"), sum("cnt").as("n_events"),
+          sum(when(col("burst"), 1L).otherwise(0L)).as("n_bursts"),
+          min(when(col("burst"), col("hr"))).as("first_burst_hr"))
+        .filter(col("n_bursts") > 0)
+        .orderBy("user_id")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
     x21, x24, x25, x33, x34, x56, x57, x58, x62, x64, x65, x66, x67, x68, x69,
-    x70, x71, x100)
+    x70, x71, x100, x206)
 }
