@@ -3619,6 +3619,108 @@ object TextOps {
         .orderBy("shard")
   }
 
+  /** x207: LSH PARAMETER SWEEP — the tuning table behind every MinHash
+    * deployment: the same 8 signature slots arranged as (b=8,r=1),
+    * (b=4,r=2), (b=2,r=4) band schemes, each scheme's candidate volume,
+    * and its precision/recall against exact Jaccard ≥ ½ ground truth —
+    * computed once over the UNION of all schemes' candidates (never
+    * all-pairs; at 100 TB a sweep runs on a sample, and the pair space is
+    * still Σbucket² per scheme). The threshold test is the INTEGER
+    * inequality 3·|∩| ≥ n₁+n₂ (⇔ J ≥ ½) — no float ratio to drift. More
+    * bands × shorter signatures = more candidates, higher recall, lower
+    * precision; the sweep makes the tradeoff a table instead of folklore. */
+  val x207 = DQ("x207_lsh_sweep", Some(
+    s"""WITH $wordShinglesCte,
+       |seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(s)),
+       |mh AS (
+       |  SELECT doc_id, s, min(md5(g || ':' || CAST(s AS VARCHAR))) AS mh
+       |  FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+       |bands AS (
+       |  SELECT doc_id, 8 AS cfg_b, s AS band, mh AS sig FROM mh
+       |  UNION ALL
+       |  SELECT doc_id, 4, s % 4, string_agg(mh, '' ORDER BY s)
+       |  FROM mh GROUP BY doc_id, s % 4
+       |  UNION ALL
+       |  SELECT doc_id, 2, s % 2, string_agg(mh, '' ORDER BY s)
+       |  FROM mh GROUP BY doc_id, s % 2),
+       |cand AS (
+       |  SELECT DISTINCT a.cfg_b, a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b ON a.cfg_b = b.cfg_b AND a.band = b.band
+       |    AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |ap AS (SELECT DISTINCT id1, id2 FROM cand),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.id1, p.id2, count(*) AS ninter
+       |  FROM ap p JOIN sh a ON a.doc_id = p.id1
+       |  JOIN sh b ON b.doc_id = p.id2 AND b.g = a.g
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i.id1, i.id2 FROM inter i
+       |  JOIN cnt c1 ON c1.doc_id = i.id1
+       |  JOIN cnt c2 ON c2.doc_id = i.id2
+       |  WHERE 3 * i.ninter >= c1.n + c2.n),
+       |tn AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT CAST(cfg_b AS BIGINT) AS bands,
+       |  CAST(8 // cfg_b AS BIGINT) AS rows_per_band,
+       |  CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_true,
+       |  CAST(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS precision_ppm,
+       |  CAST(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // greatest(max(tn.n_truth), 1) AS BIGINT) AS recall_ppm
+       |FROM cand c LEFT JOIN truth t ON c.id1 = t.id1 AND c.id2 = t.id2
+       |CROSS JOIN tn GROUP BY cfg_b ORDER BY bands DESC""".stripMargin)) {
+    (spark, dir) =>
+      val sh = wordShingles(spark, dir)
+      val mh = minhashes(spark, dir)
+      def bandsFor(bCount: Int): DataFrame = {
+        val r = 8 / bCount
+        mh.select(col("doc_id"), explode(array(
+          (0 until bCount).map { band =>
+            struct(lit(bCount.toLong).as("cfg_b"), lit(band).as("band"),
+              concat((0 until r).map(j => col(s"mh${band + j * bCount}")): _*)
+                .as("sig"))
+          }: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.cfg_b").as("cfg_b"),
+            col("bs.band").as("band"), col("bs.sig").as("sig"))
+      }
+      val bands = bandsFor(8).unionAll(bandsFor(4)).unionAll(bandsFor(2))
+      val cand = bands.select(col("cfg_b"), col("doc_id").as("id1"),
+          col("band"), col("sig"))
+        .join(bands.select(col("cfg_b").as("cb2"), col("doc_id").as("id2"),
+          col("band").as("b2"), col("sig").as("s2")),
+          col("cfg_b") === col("cb2") && col("band") === col("b2") &&
+            col("sig") === col("s2") && col("id1") < col("id2"))
+        .select("cfg_b", "id1", "id2").distinct()
+      val ap = cand.select("id1", "id2").distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = ap
+        .join(sh.select(col("doc_id").as("id1"), col("g")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("g")), Seq("id2", "g"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("ninter"))
+      val truth = inter
+        .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+        .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+        .filter(lit(3L) * col("ninter") >= col("n1") + col("n2"))
+        .select(col("id1"), col("id2"), lit(true).as("is_true"))
+      val tn = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+      cand.join(truth, Seq("id1", "id2"), "left_outer")
+        .crossJoin(tn)
+        .groupBy("cfg_b")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+          expr("sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1000000" +
+            " div count(1)").as("precision_ppm"),
+          expr("sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1000000" +
+            " div greatest(max(n_truth), 1L)").as("recall_ppm"))
+        .select(col("cfg_b").as("bands"),
+          expr("8 div cfg_b").cast("long").as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("precision_ppm"),
+          col("recall_ppm"))
+        .orderBy(col("bands").desc)
+  }
+
   /** x199: FILTER-AGREEMENT KAPPA — when two quality filters vote on the
     * same corpus (here the x186 linear logit vs a stopword-density rule),
     * raw percent-agreement flatters them (both mostly admit), so the
@@ -3747,5 +3849,5 @@ object TextOps {
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
-    x197, x198, x199, x200)
+    x197, x198, x199, x200, x207)
 }
