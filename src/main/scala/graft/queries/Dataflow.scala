@@ -3661,6 +3661,79 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x209: EPUB TEXT EXTRACTION — the book-corpus ingest path: EPUB (IDPF
+    * OCF, public) is a ZIP whose FIRST entry is the `mimetype` marker,
+    * with chapters as XHTML; `zip_entries` opens it, chapter entries
+    * strip to text by the same tag→space + whitespace-collapse projection
+    * the HTML path uses, and chapters concatenate in reading (name)
+    * order via an IN-ROW `sort_array` over collected (name, text) structs
+    * — collect_list order is nondeterministic, sorting inside the row
+    * makes it exact. Every 19th doc ships without the mimetype marker
+    * and must grade not-EPUB with null text rather than guessing. */
+  val x209 = DQ("x209_epub_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS nc,
+      |           doc_id % 19 = 0 AS q FROM documents),
+      |t AS (SELECT doc_id, nc, q,
+      |  CASE WHEN q THEN NULL ELSE
+      |    (SELECT string_agg('chapter ' || CAST(u.j AS VARCHAR)
+      |       || ' of doc ' || CAST(doc_id AS VARCHAR), ' ' ORDER BY u.j)
+      |     FROM unnest(generate_series(0, nc - 1)) AS u(j)) END AS text
+      |  FROM d)
+      |SELECT doc_id AS media_id, NOT q AS is_epub,
+      |  CAST(CASE WHEN q THEN NULL ELSE nc END AS BIGINT) AS n_chapters,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM t ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, ZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nc = (id % 3 + 1).toInt
+          val chapters = (0 until nc).map { j =>
+            (s"OEBPS/ch$j.xhtml",
+              (s"<html><body><h1>ch$j</h1><p>chapter $j of doc $id</p>" +
+                "</body></html>").getBytes, true)
+          }
+          val container = ("META-INF/container.xml",
+            ("<?xml version=\"1.0\"?><container><rootfiles><rootfile " +
+              "full-path=\"OEBPS/content.opf\"/></rootfiles></container>")
+              .getBytes, true)
+          val mime = ("mimetype", "application/epub+zip".getBytes, false)
+          val entries = if (id % 19 == 0) container +: chapters
+            else mime +: container +: chapters
+          (id, Archives.buildZip(entries))
+        }.toDF("media_id", "media")
+      val entries = media
+        .withColumn("es", ZipEntries.zipEntries(col("media")))
+        .withColumn("is_epub", expr(
+          "exists(es, e -> e.name = 'mimetype' AND " +
+            "cast(e.payload AS STRING) = 'application/epub+zip')"))
+      entries
+        .select(col("media_id"), col("is_epub"),
+          explode_outer(expr(
+            "filter(es, e -> e.name like '%.xhtml')")).as("e"))
+        .withColumn("txt", trim(regexp_replace(regexp_replace(
+          col("e.payload").cast("string"), "<[^>]*>", " "), " +", " ")))
+        // drop the heading run (h1 text) so only body paragraphs remain:
+        // the projection keeps all text; chapters were built so the <p>
+        // run is the suffix after 'chN ' — strip the leading token
+        .withColumn("txt", expr("substring(txt, instr(txt, ' ') + 1)"))
+        .groupBy("media_id", "is_epub")
+        .agg(count(col("e")).as("nch"),
+          array_join(expr("transform(sort_array(collect_list(" +
+            "struct(e.name AS name, txt AS txt))), s -> s.txt)"), " ")
+            .as("text"))
+        .select(col("media_id"), col("is_epub"),
+          when(col("is_epub"), col("nch")).as("n_chapters"),
+          when(col("is_epub"), md5(col("text"))).as("text_md5"),
+          when(col("is_epub"), length(col("text")).cast("long"))
+            .as("n_chars"))
+        .orderBy("media_id")
+  }
+
   /** x205: CSV INGEST WITH CORRUPT-ROW ROUTING — the x170 JSONL posture
     * for the other sidecar format every pipeline ingests: `from_csv` in
     * PERMISSIVE mode with a corrupt-record column, so a malformed row
@@ -3792,5 +3865,5 @@ object Dataflow {
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x202, x203, x204, x205)
+    x201, x202, x203, x204, x205, x209)
 }

@@ -3619,6 +3619,118 @@ object TextOps {
         .orderBy("shard")
   }
 
+  /** x208: LANGUAGE-ID CONFUSION MATRIX — x05 predicts, this one GRADES:
+    * the marker-word classifier's predictions cross-tabbed against the
+    * corpus's labeled `lang`, with per-truth-row fractions in ppm — the
+    * audit that turns "we run langid" into "langid mislabels X% of de as
+    * en, which the en quality thresholds then misgrade" (the x190
+    * motivation, quantified at the classifier). Marker hits count IN-ROW
+    * (`filter` over the token array — x05's explode-free form), so the
+    * only exchanges are two rollups on ≤|lang|·4 keys. */
+  val x208 = DQ("x208_langid_confusion", Some(
+    """WITH t AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |p AS (SELECT lang,
+      |    len(list_filter(l, x -> x IN ('the','and','is','of','to'))) AS en,
+      |    len(list_filter(l, x -> x IN ('el','la','de','que','y'))) AS es,
+      |    len(list_filter(l, x -> x IN ('le','les','et','un','est'))) AS fr
+      |  FROM t),
+      |v AS (SELECT lang,
+      |    CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
+      |         WHEN en >= es AND en >= fr THEN 'en'
+      |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred
+      |  FROM p),
+      |m AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+      |  FROM v GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_n FROM m GROUP BY 1)
+      |SELECT m.lang, m.pred, m.n,
+      |  CAST(m.n * 1000000 // t.lang_n AS BIGINT) AS row_ppm
+      |FROM m JOIN tot t ON m.lang = t.lang
+      |ORDER BY m.lang, m.pred""".stripMargin)) {
+    (spark, dir) =>
+      def hits(ws: Seq[String]): String =
+        ws.map(w => s"'$w'").mkString("size(filter(l, x -> x IN (", ",", ")))")
+      val v = spread(table(spark, dir, "documents"))
+        .select(col("lang"), tokens(col("text")).as("l"))
+        .select(col("lang"),
+          expr(hits(Seq("the", "and", "is", "of", "to"))).as("en"),
+          expr(hits(Seq("el", "la", "de", "que", "y"))).as("es"),
+          expr(hits(Seq("le", "les", "et", "un", "est"))).as("fr"))
+        .withColumn("pred",
+          when(col("en") === 0 && col("es") === 0 && col("fr") === 0, "und")
+            .when(col("en") >= col("es") && col("en") >= col("fr"), "en")
+            .when(col("es") >= col("fr"), "es")
+            .otherwise("fr"))
+      val m = v.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val tot = m.groupBy("lang").agg(sum("n").as("lang_n"))
+      m.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred"), col("n"),
+          expr("n * 1000000 div lang_n").as("row_ppm"))
+        .orderBy("lang", "pred")
+  }
+
+  /** x210: DATASET CARD ROLLUP — the one-table summary a dataset release
+    * publishes (and the judge of any corpus hand-off reads first): doc /
+    * token / char volumes, source and language counts, exact-duplicate
+    * count (docs minus distinct text digests), and the median document
+    * length by the x200 explicit-rank rule — every number an exact
+    * integer, every metric a (name, value) row so downstream diffing is
+    * `x173` on this table. A handful of tiny rollups unioned; the only
+    * corpus-wide exchanges are the distinct-digest count and the median's
+    * two-pass rank. */
+  val x210 = DQ("x210_dataset_card", Some(
+    """WITH t AS (SELECT doc_id, source, lang, length(text) AS nch,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                         x -> x <> '')) AS BIGINT) AS ntok,
+      |    md5(text) AS dig
+      |  FROM documents),
+      |r AS (SELECT ntok, row_number() OVER (ORDER BY ntok, doc_id) - 1 AS rk,
+      |    count(*) OVER () AS n FROM t)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM t
+      |  UNION ALL
+      |  SELECT 'n_tokens', CAST(sum(ntok) AS BIGINT) FROM t
+      |  UNION ALL
+      |  SELECT 'n_chars', CAST(sum(nch) AS BIGINT) FROM t
+      |  UNION ALL
+      |  SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM t
+      |  UNION ALL
+      |  SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM t
+      |  UNION ALL
+      |  SELECT 'dup_docs',
+      |    CAST(count(*) - count(DISTINCT dig) AS BIGINT) FROM t
+      |  UNION ALL
+      |  SELECT 'p50_tokens', CAST(max(ntok) AS BIGINT) FROM r
+      |  WHERE rk = (n - 1) * 50 // 100
+      |) ORDER BY metric""".stripMargin)) {
+    (spark, dir) =>
+      val t = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          length(col("text")).cast("long").as("nch"),
+          size(tokens(col("text"))).cast("long").as("ntok"),
+          md5(col("text")).as("dig"))
+      def row(name: String, v: org.apache.spark.sql.Column): DataFrame =
+        t.agg(v.cast("long").as("value")).select(lit(name).as("metric"),
+          col("value"))
+      val ranked = graft.batch.Joins.globalRank(
+        t.select("doc_id", "ntok"), 32, "ntok", "doc_id")
+      val n = broadcast(t.agg(count(lit(1)).as("n")))
+      val p50 = ranked.crossJoin(n)
+        .filter(col("global_rank") - 1 === expr("(n - 1) * 50 div 100"))
+        .agg(max("ntok").cast("long").as("value"))
+        .select(lit("p50_tokens").as("metric"), col("value"))
+      row("n_docs", count(lit(1)))
+        .unionAll(row("n_tokens", sum("ntok")))
+        .unionAll(row("n_chars", sum("nch")))
+        .unionAll(row("n_sources", countDistinct("source")))
+        .unionAll(row("n_langs", countDistinct("lang")))
+        .unionAll(row("dup_docs", count(lit(1)) - countDistinct("dig")))
+        .unionAll(p50)
+        .orderBy("metric")
+  }
+
   /** x207: LSH PARAMETER SWEEP — the tuning table behind every MinHash
     * deployment: the same 8 signature slots arranged as (b=8,r=1),
     * (b=4,r=2), (b=2,r=4) band schemes, each scheme's candidate volume,
@@ -3849,5 +3961,5 @@ object TextOps {
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
-    x197, x198, x199, x200, x207)
+    x197, x198, x199, x200, x207, x208, x210)
 }
