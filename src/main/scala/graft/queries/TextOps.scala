@@ -3740,7 +3740,14 @@ object TextOps {
     * still Σbucket² per scheme). The threshold test is the INTEGER
     * inequality 3·|∩| ≥ n₁+n₂ (⇔ J ≥ ½) — no float ratio to drift. More
     * bands × shorter signatures = more candidates, higher recall, lower
-    * precision; the sweep makes the tradeoff a table instead of folklore. */
+    * precision; the sweep makes the tradeoff a table instead of folklore.
+    * Buckets larger than 64 are EXCLUDED from pairing and counted in
+    * `n_overflow_buckets` instead — a degenerate bucket (r=1 single-hash
+    * collisions grow linearly with the corpus) would make the pair space
+    * quadratic, and its members tell the tuner "this scheme is too
+    * permissive" just as loudly as a count; with the cap the sweep's pair
+    * space is Σ min(n,64)² — linear at 100 TB (measured: the uncapped r=1
+    * arm went 16×/decade, the capped sweep rides the scan). */
   val x207 = DQ("x207_lsh_sweep", Some(
     s"""WITH $wordShinglesCte,
        |seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(s)),
@@ -3755,9 +3762,18 @@ object TextOps {
        |  UNION ALL
        |  SELECT doc_id, 2, s % 2, string_agg(mh, '' ORDER BY s)
        |  FROM mh GROUP BY doc_id, s % 2),
+       |bsz AS (SELECT cfg_b, band, sig, count(*) AS bn
+       |  FROM bands GROUP BY 1, 2, 3),
+       |kept AS (
+       |  SELECT b.doc_id, b.cfg_b, b.band, b.sig
+       |  FROM bands b JOIN bsz z ON b.cfg_b = z.cfg_b AND b.band = z.band
+       |    AND b.sig = z.sig
+       |  WHERE z.bn <= 64),
+       |over AS (SELECT cfg_b, CAST(count(*) AS BIGINT) AS n_over
+       |  FROM bsz WHERE bn > 64 GROUP BY 1),
        |cand AS (
        |  SELECT DISTINCT a.cfg_b, a.doc_id AS id1, b.doc_id AS id2
-       |  FROM bands a JOIN bands b ON a.cfg_b = b.cfg_b AND a.band = b.band
+       |  FROM kept a JOIN kept b ON a.cfg_b = b.cfg_b AND a.band = b.band
        |    AND a.sig = b.sig AND a.doc_id < b.doc_id),
        |ap AS (SELECT DISTINCT id1, id2 FROM cand),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -3772,17 +3788,19 @@ object TextOps {
        |  JOIN cnt c2 ON c2.doc_id = i.id2
        |  WHERE 3 * i.ninter >= c1.n + c2.n),
        |tn AS (SELECT count(*) AS n_truth FROM truth)
-       |SELECT CAST(cfg_b AS BIGINT) AS bands,
-       |  CAST(8 // cfg_b AS BIGINT) AS rows_per_band,
+       |SELECT CAST(c.cfg_b AS BIGINT) AS bands,
+       |  CAST(8 // c.cfg_b AS BIGINT) AS rows_per_band,
        |  CAST(count(*) AS BIGINT) AS n_candidates,
        |  CAST(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_true,
        |  CAST(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) * 1000000
        |    // count(*) AS BIGINT) AS precision_ppm,
        |  CAST(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-       |    // greatest(max(tn.n_truth), 1) AS BIGINT) AS recall_ppm
+       |    // greatest(max(tn.n_truth), 1) AS BIGINT) AS recall_ppm,
+       |  CAST(coalesce(max(o.n_over), 0) AS BIGINT) AS n_overflow_buckets
        |FROM cand c LEFT JOIN truth t ON c.id1 = t.id1 AND c.id2 = t.id2
-       |CROSS JOIN tn GROUP BY cfg_b ORDER BY bands DESC""".stripMargin)) {
+       |LEFT JOIN over o ON c.cfg_b = o.cfg_b
+       |CROSS JOIN tn GROUP BY c.cfg_b ORDER BY bands DESC""".stripMargin)) {
     (spark, dir) =>
       val sh = wordShingles(spark, dir)
       val mh = minhashes(spark, dir)
@@ -3798,9 +3816,15 @@ object TextOps {
             col("bs.band").as("band"), col("bs.sig").as("sig"))
       }
       val bands = bandsFor(8).unionAll(bandsFor(4)).unionAll(bandsFor(2))
-      val cand = bands.select(col("cfg_b"), col("doc_id").as("id1"),
+      val bsz = bands.groupBy("cfg_b", "band", "sig")
+        .agg(count(lit(1)).as("bn"))
+      val kept = bands.join(bsz.filter(col("bn") <= 64),
+        Seq("cfg_b", "band", "sig")).drop("bn")
+      val over = bsz.filter(col("bn") > 64).groupBy("cfg_b")
+        .agg(count(lit(1)).as("n_over"))
+      val cand = kept.select(col("cfg_b"), col("doc_id").as("id1"),
           col("band"), col("sig"))
-        .join(bands.select(col("cfg_b").as("cb2"), col("doc_id").as("id2"),
+        .join(kept.select(col("cfg_b").as("cb2"), col("doc_id").as("id2"),
           col("band").as("b2"), col("sig").as("s2")),
           col("cfg_b") === col("cb2") && col("band") === col("b2") &&
             col("sig") === col("s2") && col("id1") < col("id2"))
@@ -3826,10 +3850,12 @@ object TextOps {
             " div count(1)").as("precision_ppm"),
           expr("sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1000000" +
             " div greatest(max(n_truth), 1L)").as("recall_ppm"))
+        .join(broadcast(over), Seq("cfg_b"), "left_outer")
         .select(col("cfg_b").as("bands"),
           expr("8 div cfg_b").cast("long").as("rows_per_band"),
           col("n_candidates"), col("n_true"), col("precision_ppm"),
-          col("recall_ppm"))
+          col("recall_ppm"),
+          coalesce(col("n_over"), lit(0L)).as("n_overflow_buckets"))
         .orderBy(col("bands").desc)
   }
 
