@@ -92,6 +92,18 @@ class ExtensionsSpec extends AnyFunSuite {
           |              (array(CAST(63 AS BIGINT))) t(hs))""".stripMargin)
         .as[(Long, Long)].head()
       assert(w0 == ((1L << 0) | (1L << 63)) && w1 == 2L)
+      // round-8 session-6 surface: PDF structure walk in SQL, same
+      // no-fallback session — version, xref /Size, and Pages /Count, plus
+      // the null route for a tail-truncated (unopenable) file
+      val pdf = graft.functions.Pdfs.buildPdf(4, 8)
+      spark.createDataset(Seq((pdf, pdf.dropRight(30)))).toDF("p", "cut")
+        .createOrReplaceTempView("ext_pdf")
+      val (pv, pn, pp, cutNull) = spark.sql(
+        """SELECT pdf_meta(p).version, pdf_meta(p).n_objects,
+          |       pdf_meta(p).n_pages, pdf_meta(cut) IS NULL
+          |FROM ext_pdf""".stripMargin)
+        .as[(String, Int, Int, Boolean)].head()
+      assert(pv == "1.7" && pn == 7 && pp == 4 && cutNull)
       // NearestCentroid (DataFrame-side; ships a collected model object)
       // under the same fallback=false session
       import org.apache.spark.sql.functions.col
