@@ -3627,6 +3627,74 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x211: RSS/ATOM FEED PARSE — crawl DISCOVERY runs on feeds: they
+    * announce new URLs before any link graph sees them, so the frontier
+    * (x189's budget scheduler) wants item links and counts out of both
+    * wire formats. Same posture as the SVG sniff: dispatch on the root
+    * element, then codegen'd `regexp_extract_all`/`split` builtins — RSS
+    * `<link>text</link>` vs Atom `<link href="..."/>` is exactly the kind
+    * of format split a naive one-regex reader gets wrong. Every 27th doc
+    * is HTML and must grade `none` with zero items. */
+  val x211 = DQ("x211_feed_parse", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS ni,
+      |    CASE WHEN doc_id % 27 = 0 THEN 'none'
+      |         WHEN doc_id % 3 = 0 THEN 'atom' ELSE 'rss' END AS fmt
+      |  FROM documents),
+      |l AS (SELECT doc_id, fmt, ni,
+      |  CASE WHEN fmt = 'none' THEN NULL ELSE
+      |    (SELECT string_agg('http://s' || CAST(doc_id % 40 AS VARCHAR)
+      |       || '.example/i' || CAST(u.j AS VARCHAR), ' ' ORDER BY u.j)
+      |     FROM unnest(generate_series(0, ni - 1)) AS u(j)) END AS links
+      |  FROM d)
+      |SELECT doc_id AS media_id, fmt AS format,
+      |  CAST(CASE WHEN fmt = 'none' THEN 0 ELSE ni END AS BIGINT) AS n_items,
+      |  CASE WHEN fmt = 'none' THEN NULL
+      |       ELSE 'feed ' || CAST(doc_id AS VARCHAR) END AS feed_title,
+      |  CASE WHEN fmt = 'none' THEN NULL ELSE md5(links) END AS links_md5
+      |FROM l ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      val host = concat(lit("http://s"), (col("doc_id") % 40).cast("string"),
+        lit(".example/i"))
+      spread(table(spark, dir, "documents").select(col("doc_id")))
+        .withColumn("ni", (col("doc_id") % 4 + 1).cast("int"))
+        .withColumn("doc",
+          when(col("doc_id") % 27 === 0,
+            lit("<html><head><title>page</title></head></html>"))
+          .when(col("doc_id") % 3 === 0, concat(
+            lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>feed "),
+            col("doc_id").cast("string"), lit("</title>"),
+            expr("array_join(transform(sequence(0, ni - 1), j -> concat(" +
+              "'<entry><title>item ', cast(j as string), '</title>" +
+              "<link href=\"http://s', cast(doc_id % 40 as string)," +
+              "'.example/i', cast(j as string), '\"/></entry>')), '')"),
+            lit("</feed>")))
+          .otherwise(concat(
+            lit("<rss version=\"2.0\"><channel><title>feed "),
+            col("doc_id").cast("string"), lit("</title>"),
+            expr("array_join(transform(sequence(0, ni - 1), j -> concat(" +
+              "'<item><title>item ', cast(j as string), '</title>" +
+              "<link>http://s', cast(doc_id % 40 as string)," +
+              "'.example/i', cast(j as string), '</link></item>')), '')"),
+            lit("</channel></rss>"))))
+        .withColumn("format",
+          when(col("doc").startsWith("<rss"), "rss")
+            .when(col("doc").startsWith("<feed"), "atom")
+            .otherwise("none"))
+        .withColumn("links",
+          when(col("format") === "rss", expr(
+            "regexp_extract_all(doc, '<link>([^<]*)</link>', 1)"))
+          .when(col("format") === "atom", expr(
+            "regexp_extract_all(doc, '<link href=\"([^\"]*)\"/>', 1)")))
+        .select(col("doc_id").as("media_id"), col("format"),
+          when(col("format") === "none", 0L)
+            .otherwise(size(col("links")).cast("long")).as("n_items"),
+          when(col("format") =!= "none", regexp_extract(col("doc"),
+            "<title>([^<]*)</title>", 1)).as("feed_title"),
+          when(col("format") =!= "none",
+            md5(array_join(col("links"), " "))).as("links_md5"))
+        .orderBy("media_id")
+  }
+
   /** x203: PDF STRUCTURE TRIAGE — the crawl's dominant document format,
     * walked by the spec's own discovery chain (header → startxref → xref
     * → trailer → Catalog → Pages/Count) in the new `pdf_meta` expression
@@ -3865,5 +3933,5 @@ object Dataflow {
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x202, x203, x204, x205, x209)
+    x201, x202, x203, x204, x205, x209, x211)
 }
