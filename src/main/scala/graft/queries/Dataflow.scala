@@ -3695,6 +3695,145 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x212: MARKDOWN → TEXT — README/docs corpora arrive as Markdown, and
+    * the training text wants prose with code fences DROPPED (they poison
+    * language stats and duplicate the code corpus), inline code dropped,
+    * link labels KEPT (the label is prose; the URL is not), and emphasis/
+    * heading markers stripped. Four codegen'd `regexp_replace` passes —
+    * the fence pass is `(?s)` non-greedy so fences never swallow prose
+    * between them — then whitespace collapse. The oracle rebuilds the
+    * expected prose from the generator, so the md5 gate proves every
+    * stripping rule, not just row counts. */
+  val x212 = DQ("x212_markdown_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS ni
+      |           FROM documents),
+      |t AS (SELECT doc_id, ni,
+      |  'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+      |  (SELECT string_agg('see item ' || CAST(u.j AS VARCHAR), ' '
+      |     ORDER BY u.j)
+      |   FROM unnest(generate_series(0, ni - 1)) AS u(j))
+      |  || ' bold tail' AS expected
+      |  FROM d)
+      |SELECT doc_id AS media_id,
+      |  CAST(ni AS BIGINT) AS n_links, CAST(1 AS BIGINT) AS n_fences,
+      |  md5(expected) AS text_md5,
+      |  CAST(length(expected) AS BIGINT) AS n_chars
+      |FROM t ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents").select(col("doc_id")))
+        .withColumn("ni", (col("doc_id") % 3 + 1).cast("int"))
+        .withColumn("md", concat(
+          lit("# doc "), col("doc_id").cast("string"), lit("\n\n"),
+          expr("array_join(transform(sequence(0, ni - 1), j -> " +
+            "concat('see [item ', cast(j as string), '](http://s'," +
+            " cast(doc_id % 40 as string), '.example/i'," +
+            " cast(j as string), ')')), ' ')"),
+          lit(" `x = 1` **bold**\n```\ncode "),
+          col("doc_id").cast("string"), lit("\n```\ntail\n")))
+        .withColumn("clean", trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("md"), "(?s)```.*?```", " "),
+                "`[^`]*`", " "),
+              "\\[([^\\]]*)\\]\\([^)]*\\)", "$1"),
+            "[#*]", " "),
+          "\\s+", " ")))
+        .select(col("doc_id").as("media_id"),
+          (size(expr("regexp_extract_all(md, '\\\\[([^\\\\]]*)\\\\]', 1)")))
+            .cast("long").as("n_links"),
+          (size(expr("regexp_extract_all(md, '(?s)```.*?```', 0)")))
+            .cast("long").as("n_fences"),
+          md5(col("clean")).as("text_md5"),
+          length(col("clean")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
+  /** x213: CODE-CORPUS TRIAGE — the code side of a training mix (The-Stack
+    * shape) needs different diligence than prose: language from the path
+    * extension, comment density (a quality signal — near-0 and near-1 are
+    * both suspect), and LICENSE GATING, the one filter that is a legal
+    * requirement rather than a heuristic (permissive in, copyleft out).
+    * Everything is per-row string ops + one rollup on |lang| keys; the
+    * fixture synthesizes real-shaped source files with per-language
+    * comment syntax and rotating SPDX-recognizable headers. */
+  val x213 = DQ("x213_code_triage", Some(
+    """WITH f AS (SELECT doc_id,
+      |    CASE doc_id % 4 WHEN 0 THEN 'py' WHEN 1 THEN 'scala'
+      |         WHEN 2 THEN 'c' ELSE 'sh' END AS lang,
+      |    CAST(doc_id % 3 AS BIGINT) AS n_comment,
+      |    CAST(doc_id % 5 + 1 AS BIGINT) AS n_code,
+      |    CASE WHEN doc_id % 7 <= 1 THEN 'mit'
+      |         WHEN doc_id % 7 <= 3 THEN 'apache'
+      |         WHEN doc_id % 7 <= 5 THEN 'gpl' ELSE 'none' END AS lic
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(n_comment + n_code) AS BIGINT) AS lines,
+      |  CAST(sum(n_comment) * 1000000 // sum(n_comment + n_code) AS BIGINT)
+      |    AS comment_ppm,
+      |  CAST(sum(CASE WHEN lic IN ('mit', 'apache') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_permissive,
+      |  CAST(sum(CASE WHEN lic = 'gpl' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_copyleft,
+      |  CAST(sum(CASE WHEN lic = 'none' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unlicensed
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      // fixture: build the source file, then triage it back from the text
+      val built = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .withColumn("ext", expr("element_at(array('py','scala','c','sh'), " +
+          "cast(doc_id % 4 as int) + 1)"))
+        .withColumn("path", concat(lit("src/f"), col("doc_id").cast("string"),
+          lit("."), col("ext")))
+        .withColumn("cmark", when(col("ext").isin("py", "sh"), "#")
+          .otherwise("//"))
+        .withColumn("header", expr(
+          "CASE WHEN doc_id % 7 <= 1 THEN concat(cmark, ' SPDX: MIT License')" +
+            " WHEN doc_id % 7 <= 3 THEN" +
+            " concat(cmark, ' SPDX: Apache License, Version 2.0')" +
+            " WHEN doc_id % 7 <= 5 THEN" +
+            " concat(cmark, ' SPDX: GNU General Public License v3')" +
+            " ELSE '' END"))
+        // sequence(1, 0) descends in Spark — guard the empty-comment case
+        .withColumn("body", expr(
+          "concat(CASE WHEN doc_id % 3 = 0 THEN '' ELSE " +
+          "array_join(transform(sequence(1, cast(doc_id % 3 as int))," +
+          " i -> concat(cmark, ' note ', cast(i as string))), '\\n') END," +
+          " '\\n'," +
+          " array_join(transform(sequence(1, cast(doc_id % 5 as int) + 1)," +
+          " i -> concat('val v', cast(i as string), ' = ', " +
+          "cast(doc_id as string))), '\\n'))"))
+        .withColumn("src", when(col("header") === "", col("body"))
+          .otherwise(concat(col("header"), lit("\n"), col("body"))))
+      // the triage proper: everything derives from (path, src) only
+      built
+        .withColumn("lang", regexp_extract(col("path"), "\\.([a-z]+)$", 1))
+        .withColumn("ls", expr("filter(split(src, '\\n'), x -> x != '')"))
+        .withColumn("mark", when(col("lang").isin("py", "sh"), "#")
+          .otherwise("//"))
+        .withColumn("n_comment", expr(
+          "size(filter(ls, x -> startswith(x, concat(mark, ' note'))))"))
+        .withColumn("hdr", expr(
+          "CASE WHEN exists(ls, x -> startswith(x, concat(mark, ' SPDX')))" +
+            " THEN 1 ELSE 0 END"))
+        .withColumn("n_all", size(col("ls")) - col("hdr"))
+        .withColumn("lic",
+          when(col("src").contains("MIT License"), "mit")
+            .when(col("src").contains("Apache License"), "apache")
+            .when(col("src").contains("General Public License"), "gpl")
+            .otherwise("none"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_all")).cast("long").as("lines"),
+          expr("sum(n_comment) * 1000000 div sum(n_all)").as("comment_ppm"),
+          sum(when(col("lic").isin("mit", "apache"), 1L).otherwise(0L))
+            .as("n_permissive"),
+          sum(when(col("lic") === "gpl", 1L).otherwise(0L)).as("n_copyleft"),
+          sum(when(col("lic") === "none", 1L).otherwise(0L))
+            .as("n_unlicensed"))
+        .orderBy("lang")
+  }
+
   /** x203: PDF STRUCTURE TRIAGE — the crawl's dominant document format,
     * walked by the spec's own discovery chain (header → startxref → xref
     * → trailer → Catalog → Pages/Count) in the new `pdf_meta` expression
@@ -3933,5 +4072,5 @@ object Dataflow {
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x202, x203, x204, x205, x209, x211)
+    x201, x202, x203, x204, x205, x209, x211, x212, x213)
 }
