@@ -3834,6 +3834,68 @@ object Dataflow {
         .orderBy("lang")
   }
 
+  /** x214: HTML TABLE EXTRACTION — structured data mining from pages
+    * (the TabLib/web-table corpus shape): rows out of `<tr>`, cells out of
+    * `<td>`/`<th>`, with the RAGGED-ROW reality (colspan'd junk, broken
+    * markup) surfaced as a rectangularity check instead of crashing or
+    * silently padding. Two nested `regexp_extract_all` passes inside the
+    * row (table → rows → cells), integer audits out: row/cell counts,
+    * header width vs body width agreement, and an md5 over the cell
+    * stream so extraction order is pinned. */
+  val x214 = DQ("x214_html_tables", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS nr,
+      |    CAST(doc_id % 2 + 2 AS INT) AS ncol, doc_id % 21 = 0 AS ragged
+      |  FROM documents),
+      |cells AS (SELECT doc_id, nr, ncol, ragged,
+      |  (SELECT string_agg(CASE WHEN x.r = 0 THEN 'h' ELSE 'c' END
+      |     || CAST(x.r AS VARCHAR) || '_' || CAST(y.c AS VARCHAR)
+      |     || '_' || CAST(doc_id AS VARCHAR), ' ' ORDER BY x.r, y.c)
+      |   FROM unnest(generate_series(0, nr)) AS x(r),
+      |        unnest(generate_series(0, ncol - 1)) AS y(c)
+      |   WHERE NOT (ragged AND x.r = nr AND y.c = ncol - 1)) AS stream
+      |  FROM d)
+      |SELECT doc_id AS media_id,
+      |  CAST(nr + 1 AS BIGINT) AS n_rows,
+      |  CAST(ncol AS BIGINT) AS header_cols,
+      |  NOT ragged AS rectangular,
+      |  md5(stream) AS cells_md5
+      |FROM cells ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents").select(col("doc_id")))
+        .withColumn("nr", (col("doc_id") % 3 + 1).cast("int"))
+        .withColumn("ncol", (col("doc_id") % 2 + 2).cast("int"))
+        .withColumn("ragged", col("doc_id") % 21 === 0)
+        // build: header row of <th>, nr body rows of <td>; the ragged arm
+        // drops the LAST cell of the LAST row (colspan'd markup in the wild)
+        .withColumn("html", expr(
+          "concat('<table><tr>'," +
+          " array_join(transform(sequence(0, ncol - 1), c ->" +
+          "  concat('<th>h0_', cast(c as string), '_'," +
+          "   cast(doc_id as string), '</th>')), '')," +
+          " '</tr>'," +
+          " array_join(transform(sequence(1, nr), r -> concat('<tr>'," +
+          "  array_join(transform(sequence(0, ncol - 1), c ->" +
+          "   CASE WHEN ragged AND r = nr AND c = ncol - 1 THEN ''" +
+          "   ELSE concat('<td>c', cast(r as string), '_'," +
+          "    cast(c as string), '_', cast(doc_id as string), '</td>')" +
+          "   END), '')," +
+          "  '</tr>')), '')," +
+          " '</table>')"))
+        // the extraction proper: rows, then cells per row, all in-row
+        .withColumn("rows", expr(
+          "regexp_extract_all(html, '<tr>(.*?)</tr>', 1)"))
+        .withColumn("cellrows", expr(
+          "transform(rows, r -> regexp_extract_all(r," +
+            " '<t[hd]>([^<]*)</t[hd]>', 1))"))
+        .select(col("doc_id").as("media_id"),
+          size(col("rows")).cast("long").as("n_rows"),
+          expr("size(cellrows[0])").cast("long").as("header_cols"),
+          expr("forall(cellrows, r -> size(r) = size(cellrows[0]))")
+            .as("rectangular"),
+          md5(expr("array_join(flatten(cellrows), ' ')")).as("cells_md5"))
+        .orderBy("media_id")
+  }
+
   /** x203: PDF STRUCTURE TRIAGE — the crawl's dominant document format,
     * walked by the spec's own discovery chain (header → startxref → xref
     * → trailer → Catalog → Pages/Count) in the new `pdf_meta` expression
@@ -4072,5 +4134,5 @@ object Dataflow {
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x202, x203, x204, x205, x209, x211, x212, x213)
+    x201, x202, x203, x204, x205, x209, x211, x212, x213, x214)
 }

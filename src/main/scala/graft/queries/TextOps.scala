@@ -3671,6 +3671,60 @@ object TextOps {
         .orderBy("lang", "pred")
   }
 
+  /** x215: CHAT-TEMPLATE LOSS ACCOUNTING — the SFT data-prep step nothing
+    * upstream covers: conversations render into a chat template
+    * (`<|role|>` markers + content), and the trainer needs to know, per
+    * example, how many tokens are TRAINABLE (assistant content) vs MASKED
+    * (user turns + role markers) — a corpus whose trainable ratio
+    * collapses is paying for tokens it never learns from. The audit
+    * renders the template and then PARSES IT BACK (split on the marker,
+    * role vs content per segment, in-row fold) so the gate proves the
+    * template round-trips — the bug class where render and mask logic
+    * disagree off-by-one is exactly what silently corrupts SFT runs. */
+  val x215 = DQ("x215_chat_masking", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nt
+      |           FROM documents),
+      |t AS (SELECT d.doc_id, d.nt, u.j AS j,
+      |    CAST((d.doc_id + u.j) % 6 + 1 AS BIGINT) AS ct,
+      |    u.j % 2 = 1 AS is_assistant
+      |  FROM d, unnest(generate_series(0, nt - 1)) AS u(j))
+      |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_turns,
+      |  CAST(sum(1 + ct) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN is_assistant THEN ct ELSE 0 END) AS BIGINT)
+      |    AS trainable_tokens,
+      |  CAST(sum(1 + ct) - sum(CASE WHEN is_assistant THEN ct ELSE 0 END)
+      |    AS BIGINT) AS masked_tokens,
+      |  CAST(sum(CASE WHEN is_assistant THEN ct ELSE 0 END) * 1000000
+      |    // sum(1 + ct) AS BIGINT) AS trainable_ppm
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+    (spark, dir) =>
+      spread(table(spark, dir, "documents").select(col("doc_id")))
+        .withColumn("nt", (col("doc_id") % 4 + 2).cast("int"))
+        // render: <|user|>w w ...<|assistant|>w w ... alternating
+        .withColumn("rendered", expr(
+          "array_join(transform(sequence(0, nt - 1), j -> concat(" +
+            "'<|', CASE WHEN j % 2 = 1 THEN 'assistant' ELSE 'user' END," +
+            " '|>', array_join(transform(sequence(1," +
+            " cast((doc_id + j) % 6 as int) + 1)," +
+            " k -> concat('w', cast(k as string))), ' '))), '')"))
+        // parse back: segments between markers, role vs content per segment
+        .withColumn("segs", expr(
+          "filter(split(rendered, '<\\\\|'), x -> x != '')"))
+        .withColumn("total_tokens", expr(
+          "aggregate(segs, 0L, (a, s) -> a + 1 +" +
+            " size(split(substring_index(s, '|>', -1), ' ')))"))
+        .withColumn("trainable_tokens", expr(
+          "aggregate(segs, 0L, (a, s) -> a + CASE WHEN" +
+            " substring_index(s, '|>', 1) = 'assistant' THEN" +
+            " size(split(substring_index(s, '|>', -1), ' ')) ELSE 0L END)"))
+        .select(col("doc_id"), col("nt").cast("long").as("n_turns"),
+          col("total_tokens"), col("trainable_tokens"),
+          (col("total_tokens") - col("trainable_tokens")).as("masked_tokens"),
+          expr("trainable_tokens * 1000000 div total_tokens")
+            .as("trainable_ppm"))
+        .orderBy("doc_id")
+  }
+
   /** x210: DATASET CARD ROLLUP — the one-table summary a dataset release
     * publishes (and the judge of any corpus hand-off reads first): doc /
     * token / char volumes, source and language counts, exact-duplicate
@@ -3987,5 +4041,5 @@ object TextOps {
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
-    x197, x198, x199, x200, x207, x208, x210)
+    x197, x198, x199, x200, x207, x208, x210, x215)
 }
