@@ -3725,6 +3725,58 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  /** x216: TEMPERATURE-SAMPLED LANGUAGE MIX — the multilingual rebalance
+    * every pretraining mix applies: raw token shares p_l get exponent
+    * α < 1 so head languages shrink and tail languages grow (α = 1/2
+    * here, the common choice's shape). The α-power is an INTEGER SQUARE
+    * ROOT — floor(sqrt) with the ±1-ulp correction (`s·s > x ⇒ s−1`,
+    * `(s+1)² ≤ x ⇒ s+1`) so Spark and DuckDB agree even when libm
+    * rounds a near-square differently — and shares/allocations come out
+    * in exact ppm against the summed weights. One rollup on |lang| keys
+    * plus a 1-row totals broadcast. */
+  val x216 = DQ("x216_lang_temperature", Some(
+    """WITH s AS (SELECT lang,
+      |    CAST(sum(len(list_filter(string_split_regex(lower(text),
+      |      '[^a-z]+'), x -> x <> ''))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT lang, tokens,
+      |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM s),
+      |w2 AS (SELECT lang, tokens,
+      |    CASE WHEN s0 * s0 > tokens THEN s0 - 1
+      |         WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1
+      |         ELSE s0 END AS wgt
+      |  FROM w)
+      |SELECT lang, tokens,
+      |  CAST(tokens * 1000000 // (SELECT sum(tokens) FROM w2) AS BIGINT)
+      |    AS raw_ppm,
+      |  CAST(wgt AS BIGINT) AS weight,
+      |  CAST(wgt * 1000000 // (SELECT sum(wgt) FROM w2) AS BIGINT)
+      |    AS temp_ppm,
+      |  wgt * 1000000 // (SELECT sum(wgt) FROM w2)
+      |    > tokens * 1000000 // (SELECT sum(tokens) FROM w2) AS upsampled
+      |FROM w2 ORDER BY lang""".stripMargin)) {
+    (spark, dir) =>
+      val s = spread(table(spark, dir, "documents"))
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy("lang").agg(sum("n").as("tokens"))
+      val w = s
+        .withColumn("s0", floor(sqrt(col("tokens").cast("double")))
+          .cast("long"))
+        .withColumn("wgt", expr(
+          "CASE WHEN s0 * s0 > tokens THEN s0 - 1" +
+            " WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1 ELSE s0 END"))
+      val tot = broadcast(w.agg(sum("tokens").as("tt"), sum("wgt").as("tw")))
+      w.crossJoin(tot)
+        .select(col("lang"), col("tokens"),
+          expr("tokens * 1000000 div tt").as("raw_ppm"),
+          col("wgt").as("weight"),
+          expr("wgt * 1000000 div tw").as("temp_ppm"),
+          expr("wgt * 1000000 div tw > tokens * 1000000 div tt")
+            .as("upsampled"))
+        .orderBy("lang")
+  }
+
   /** x210: DATASET CARD ROLLUP — the one-table summary a dataset release
     * publishes (and the judge of any corpus hand-off reads first): doc /
     * token / char volumes, source and language counts, exact-duplicate
@@ -4041,5 +4093,5 @@ object TextOps {
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
-    x197, x198, x199, x200, x207, x208, x210, x215)
+    x197, x198, x199, x200, x207, x208, x210, x215, x216)
 }

@@ -61,7 +61,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x197_tfidf_terms", // 1-row doc-count broadcast cross join
     "x198_curriculum_shards", // 1-row corpus-count broadcast cross join
     "x207_lsh_sweep", // 1-row truth-count broadcast cross join
-    "x210_dataset_card") // 1-row corpus-count broadcast cross join (median)
+    "x210_dataset_card", // 1-row corpus-count broadcast cross join (median)
+    "x216_lang_temperature") // 1-row weight-totals broadcast cross join
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
