@@ -3777,6 +3777,112 @@ object TextOps {
         .orderBy("lang")
   }
 
+  /** x217: QUALITY-SCORE DRIFT (χ²-style) — x185 watches VOLUME drift;
+    * this watches SCORE drift: the x186 quality-logit distribution of the
+    * newer snapshot half (odd doc_id) binned against the older half's
+    * expected counts, with the classic χ² statistic Σ(o−e)²/e in exact
+    * integer micro-units (per-bucket and total) — the number that moves
+    * when an extractor change shifts quality even though doc counts hold.
+    * A PSI would need ln(); the χ² form carries the same signal with pure
+    * integer arithmetic, so the gate is engine-exact. Expected counts are
+    * scaled old counts (e = old·n_new/n_old, fixed-point), buckets are
+    * coarse logit bands — one in-row feature pass, one rollup on ~10
+    * keys, totals on a 1-row broadcast. */
+  val x217 = DQ("x217_quality_drift", Some(
+    """WITH t AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                x -> x <> '') AS l
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |    25 * len(l)
+      |      + 8 * ((SELECT 100 * sum(length(x.tok)) // len(l)
+      |              FROM unnest(l) AS x(tok)))
+      |      + 500 * ((SELECT count(*) FROM unnest(l) AS x(tok)
+      |                WHERE x.tok IN ('the','a','is','of','and','to',
+      |                                'that','with')))
+      |      + (len(list_distinct(l)) * 1000000 // len(l)) // 500
+      |      - 9000 AS logit_e3
+      |  FROM t),
+      |b AS (SELECT doc_id % 2 = 1 AS is_new,
+      |    least(greatest(logit_e3 // 2000, -2), 7) AS bucket
+      |  FROM f),
+      |c AS (SELECT bucket,
+      |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS o_old,
+      |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS o_new
+      |  FROM b GROUP BY 1),
+      |n AS (SELECT sum(o_old) AS t_old, sum(o_new) AS t_new FROM c)
+      |SELECT bucket, o_old, o_new,
+      |  CAST(o_old * t_new // t_old AS BIGINT) AS expected_new,
+      |  CAST(CASE WHEN o_old = 0 THEN NULL ELSE
+      |    (o_new - o_old * t_new // t_old)
+      |    * (o_new - o_old * t_new // t_old) * 1000000
+      |    // greatest(o_old * t_new // t_old, 1) END AS BIGINT) AS chi2_e6
+      |FROM c CROSS JOIN n ORDER BY bucket""".stripMargin)) {
+    (spark, dir) =>
+      val f = qualityLogit(spark, dir)
+        .select(col("doc_id"), col("logit_e3"))
+      val c = f
+        .withColumn("is_new", col("doc_id") % 2 === 1)
+        .withColumn("bucket",
+          expr("least(greatest(logit_e3 div 2000, -2L), 7L)"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("o_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("o_new"))
+      val n = broadcast(c.agg(sum("o_old").as("t_old"),
+        sum("o_new").as("t_new")))
+      c.crossJoin(n)
+        .select(col("bucket"), col("o_old"), col("o_new"),
+          expr("o_old * t_new div t_old").as("expected_new"),
+          expr("CASE WHEN o_old = 0 THEN NULL ELSE" +
+            " (o_new - o_old * t_new div t_old)" +
+            " * (o_new - o_old * t_new div t_old) * 1000000" +
+            " div greatest(o_old * t_new div t_old, 1L) END").as("chi2_e6"))
+        .orderBy("bucket")
+  }
+
+  /** x218: CROSS-SOURCE DUPLICATION MATRIX — dedup ATTRIBUTION: exact-dup
+    * clusters (same text digest) broken down by WHICH source pairs they
+    * bridge — the table that catches "source B is a mirror of source A"
+    * before both are paid for twice. Clusters come from one digest
+    * groupBy; within a cluster the source multiset collapses to per-source
+    * counts (never a row per pair: the pair counts are n_a·n_b and
+    * C(n,2) arithmetic on the counts), so the exchange is one row per
+    * (digest, source) and the x207 lesson — never materialize a
+    * quadratic pair space — is built in. */
+  val x218 = DQ("x218_dup_source_matrix", Some(
+    """WITH d AS (SELECT md5(text) AS dig, source FROM documents),
+      |g AS (SELECT dig, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM d GROUP BY 1, 2),
+      |k AS (SELECT dig FROM g GROUP BY dig HAVING sum(n) >= 2)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(CASE WHEN a.source = b.source
+      |    THEN a.n * (a.n - 1) // 2 ELSE a.n * b.n END) AS BIGINT)
+      |    AS n_dup_pairs
+      |FROM g a JOIN g b ON a.dig = b.dig AND a.source <= b.source
+      |  AND (a.source < b.source OR a.n >= 2)
+      |JOIN k ON k.dig = a.dig
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)) {
+    (spark, dir) =>
+      val g = spread(table(spark, dir, "documents"))
+        .select(md5(col("text")).as("dig"), col("source"))
+        .groupBy("dig", "source").agg(count(lit(1)).as("n"))
+      val k = g.groupBy("dig").agg(sum("n").as("tot"))
+        .filter(col("tot") >= 2).select("dig")
+      g.select(col("dig"), col("source").as("source_a"), col("n").as("na"))
+        .join(g.select(col("dig"), col("source").as("source_b"),
+          col("n").as("nb")), Seq("dig"))
+        .filter(col("source_a") <= col("source_b") &&
+          (col("source_a") < col("source_b") || col("na") >= 2))
+        .join(k, Seq("dig"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("source_a") === col("source_b"),
+            expr("na * (na - 1) div 2")).otherwise(col("na") * col("nb")))
+            .as("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+  }
+
   /** x210: DATASET CARD ROLLUP — the one-table summary a dataset release
     * publishes (and the judge of any corpus hand-off reads first): doc /
     * token / char volumes, source and language counts, exact-duplicate
@@ -4093,5 +4199,6 @@ object TextOps {
     x94, x106, x109, x111, x112, x113, x114, x115, x116, x117, x120, x121,
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
-    x197, x198, x199, x200, x207, x208, x210, x215, x216)
+    x197, x198, x199, x200, x207, x208, x210, x215, x216, x217,
+    x218)
 }
