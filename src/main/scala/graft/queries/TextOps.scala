@@ -3707,21 +3707,12 @@ object TextOps {
             " '|>', array_join(transform(sequence(1," +
             " cast((doc_id + j) % 6 as int) + 1)," +
             " k -> concat('w', cast(k as string))), ' '))), '')"))
-        // parse back: segments between markers, role vs content per segment
-        .withColumn("segs", expr(
-          "filter(split(rendered, '<\\\\|'), x -> x != '')"))
-        .withColumn("total_tokens", expr(
-          "aggregate(segs, 0L, (a, s) -> a + 1 +" +
-            " size(split(substring_index(s, '|>', -1), ' ')))"))
-        .withColumn("trainable_tokens", expr(
-          "aggregate(segs, 0L, (a, s) -> a + CASE WHEN" +
-            " substring_index(s, '|>', 1) = 'assistant' THEN" +
-            " size(split(substring_index(s, '|>', -1), ' ')) ELSE 0L END)"))
+        // parse back: the shared Pipelines.chatMaskStats projection —
+        // the same code path the streaming SFT gate (chatMaskStream) runs
+        .transform(graft.streaming.Pipelines.chatMaskStats)
         .select(col("doc_id"), col("nt").cast("long").as("n_turns"),
-          col("total_tokens"), col("trainable_tokens"),
-          (col("total_tokens") - col("trainable_tokens")).as("masked_tokens"),
-          expr("trainable_tokens * 1000000 div total_tokens")
-            .as("trainable_ppm"))
+          col("total_tokens"), col("trainable_tokens"), col("masked_tokens"),
+          col("trainable_ppm"))
         .orderBy("doc_id")
   }
 

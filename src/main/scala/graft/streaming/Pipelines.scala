@@ -519,6 +519,44 @@ object Pipelines {
         col("n_words"), col("mean_len_x100"), col("top_frac_ppm"),
         col("n_stop"), col("admit"))
 
+  /** Chat-template loss accounting over any frame with a `rendered`
+    * string column (`<|role|>content` segments) — the x215 parse-back,
+    * shared verbatim by the batch gate and [[chatMaskStream]] so the
+    * render/mask logic can never diverge between them. Adds
+    * total/trainable/masked token counts and the trainable ratio in ppm;
+    * pure in-row folds, no shuffle. */
+  def chatMaskStats(df: DataFrame): DataFrame =
+    df
+      .withColumn("segs", expr(
+        "filter(split(rendered, '<\\\\|'), x -> x != '')"))
+      .withColumn("total_tokens", expr(
+        "aggregate(segs, 0L, (a, s) -> a + 1 +" +
+          " size(split(substring_index(s, '|>', -1), ' ')))"))
+      .withColumn("trainable_tokens", expr(
+        "aggregate(segs, 0L, (a, s) -> a + CASE WHEN" +
+          " substring_index(s, '|>', 1) = 'assistant' THEN" +
+          " size(split(substring_index(s, '|>', -1), ' ')) ELSE 0L END)"))
+      .withColumn("masked_tokens",
+        col("total_tokens") - col("trainable_tokens"))
+      .withColumn("trainable_ppm",
+        expr("trainable_tokens * 1000000 div total_tokens"))
+      .drop("segs")
+
+  /** Streaming SFT-ingest gate: watched `.jsonl` conversations (id +
+    * rendered chat template) get the [[chatMaskStats]] accounting per
+    * example and an `admit` verdict — examples whose trainable ratio
+    * falls under `minTrainablePpm` (prompt-heavy, nothing to learn from)
+    * are flagged at ingest, before they cost a training step. Stateless
+    * per-row projection; nothing shuffles. */
+  def chatMaskStream(spark: SparkSession, dir: String,
+      minTrainablePpm: Long = 200000L): DataFrame =
+    chatMaskStats(
+      jsonlTextStream(spark, dir, "id BIGINT, rendered STRING")
+        .filter(col("ok"))
+        .select(col("path"), col("line_no"), col("j.id").as("id"),
+          col("j.rendered").as("rendered")))
+      .withColumn("admit", col("trainable_ppm") >= minTrainablePpm)
+
   /** Streaming URL decontamination — x191's gate at ingest time, where it
     * belongs (a page excluded before it is ever written costs nothing
     * downstream): watched `.jsonl` crawl records carry (id, url); the url
