@@ -3841,7 +3841,9 @@ object TextOps {
     * (digest, source) and the x207 lesson — never materialize a
     * quadratic pair space — is built in. */
   val x218 = DQ("x218_dup_source_matrix", Some(
-    """WITH d AS (SELECT md5(text) AS dig, source FROM documents),
+    """WITH d AS (SELECT md5(text) AS dig, source FROM documents
+      |  UNION ALL
+      |  SELECT md5(text), 'mirror' FROM documents WHERE doc_id % 11 = 0),
       |g AS (SELECT dig, source, CAST(count(*) AS BIGINT) AS n
       |  FROM d GROUP BY 1, 2),
       |k AS (SELECT dig FROM g GROUP BY dig HAVING sum(n) >= 2)
@@ -3855,8 +3857,13 @@ object TextOps {
       |JOIN k ON k.dig = a.dig
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)) {
     (spark, dir) =>
-      val g = spread(table(spark, dir, "documents"))
-        .select(md5(col("text")).as("dig"), col("source"))
+      // a deterministic 'mirror' source (every 11th doc re-hosted verbatim)
+      // keeps the matrix exercised at every SF — the natural corpus only
+      // has exact dups at sf0.1
+      val base = spread(table(spark, dir, "documents"))
+      val g = base.select(md5(col("text")).as("dig"), col("source"))
+        .unionAll(base.filter(col("doc_id") % 11 === 0)
+          .select(md5(col("text")).as("dig"), lit("mirror").as("source")))
         .groupBy("dig", "source").agg(count(lit(1)).as("n"))
       val k = g.groupBy("dig").agg(sum("n").as("tot"))
         .filter(col("tot") >= 2).select("dig")
