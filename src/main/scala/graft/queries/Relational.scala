@@ -1204,8 +1204,46 @@ object Relational {
         .orderBy("user_id")
   }
 
+  /** x220: K-ANONYMITY AUDIT — the privacy sibling of x115's PII scrub:
+    * before an events table ships with a corpus, every quasi-identifier
+    * combination (cohort × event type × hour-of-day here) must hide each
+    * row among ≥ k peers; groups below k are re-identification risks. The
+    * audit reports, per event type, how many QI groups violate k=5 and
+    * how many ROWS sit exposed in them — the number a release review
+    * acts on (suppress or generalize those cells). Two rollups, both
+    * map-side-combinable; integer ppm. */
+  val x220 = DQ("x220_k_anonymity", Some(
+    """WITH g AS (SELECT event_type, user_id % 100 AS cohort,
+      |    epoch_us(ts) // 3600000000 % 24 AS hod,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating,
+      |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+      |    AS rows_at_risk,
+      |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) * 1000000
+      |    // sum(n) AS BIGINT) AS risk_ppm
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)) {
+    (spark, dir) =>
+      val g = table(spark, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_type"), (col("user_id") % 100).as("cohort"),
+          expr("us div 3600000000 % 24").as("hod"))
+        .groupBy("event_type", "cohort", "hod")
+        .agg(count(lit(1)).as("n"))
+      g.groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
+          coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+            .as("rows_at_risk"),
+          expr("coalesce(sum(CASE WHEN n < 5 THEN n END), 0) * 1000000" +
+            " div sum(n)").as("risk_ppm"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[DQ] = Seq(q01, q03, q08, q11, q12, q13, q14, q15r, q15a,
     q16, q17, q18, q19, q20, q21t, q21g, q22, q23, q24, x16, x17, x18, x19, x20,
     x21, x24, x25, x33, x34, x56, x57, x58, x62, x64, x65, x66, x67, x68, x69,
-    x70, x71, x100, x206)
+    x70, x71, x100, x206, x220)
 }

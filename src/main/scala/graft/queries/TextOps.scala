@@ -3881,6 +3881,66 @@ object TextOps {
         .orderBy("source_a", "source_b")
   }
 
+  /** x219: FILL-IN-MIDDLE SPAN PREP — code pretraining's FIM transform:
+    * each document splits at two deterministic cut points into
+    * prefix/middle/suffix, re-renders in PSM order with sentinel markers
+    * (`<PRE>p<SUF>s<MID>m`), and the audit PARSES THE RENDER BACK and
+    * proves prefix+middle+suffix reassembles the original text exactly —
+    * the x215 lesson applied to FIM: the render and the extraction are
+    * separate code paths, and an off-by-one between them corrupts every
+    * example silently. Cut points are md5-uniform per doc so re-runs
+    * reproduce the same spans. One per-row map + rollup on |source|. */
+  val x219 = DQ("x219_fim_spans", Some(
+    """WITH t AS (SELECT doc_id, source, text, length(text) AS n,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 6)
+      |      AS BIGINT) % (length(text) // 3 + 1) + 1 AS c1raw
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, text, n, c1raw AS c1,
+      |    c1raw + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'),
+      |      1, 6) AS BIGINT) % (n // 3 + 1) + 1 AS c2
+      |  FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(substr(text, 1, c1))) AS BIGINT) AS prefix_chars,
+      |  CAST(sum(length(substr(text, c1 + 1, c2 - c1))) AS BIGINT)
+      |    AS middle_chars,
+      |  CAST(sum(length(substr(text, c2 + 1))) AS BIGINT) AS suffix_chars,
+      |  CAST(sum(CASE WHEN substr(text, 1, c1)
+      |      || substr(text, c1 + 1, c2 - c1)
+      |      || substr(text, c2 + 1) = text THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_roundtrip
+      |FROM c GROUP BY source ORDER BY source""".stripMargin)) {
+    (spark, dir) =>
+      val c = spread(table(spark, dir, "documents"))
+        .withColumn("n", length(col("text")).cast("long"))
+        .withColumn("c1",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":a"))),
+            1, 6), 16, 10).cast("long") % (expr("n div 3") + 1) + 1)
+        .withColumn("c2", col("c1") +
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":b"))),
+            1, 6), 16, 10).cast("long") % (expr("n div 3") + 1) + 1)
+        // render in PSM order with sentinels...
+        .withColumn("rendered", expr(
+          "concat('<PRE>', substring(text, 1, c1)," +
+            " '<SUF>', substring(text, c2 + 1)," +
+            " '<MID>', substring(text, c1 + 1, c2 - c1))"))
+        // ...and extract back: three independent substring_index parses
+        .withColumn("p", expr(
+          "substring_index(substring_index(rendered, '<SUF>', 1)," +
+            " '<PRE>', -1)"))
+        .withColumn("sfx", expr(
+          "substring_index(substring_index(rendered, '<MID>', 1)," +
+            " '<SUF>', -1)"))
+        .withColumn("m", expr("substring_index(rendered, '<MID>', -1)"))
+      c.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("p"))).cast("long").as("prefix_chars"),
+          sum(length(col("m"))).cast("long").as("middle_chars"),
+          sum(length(col("sfx"))).cast("long").as("suffix_chars"),
+          sum(when(concat(col("p"), col("m"), col("sfx")) === col("text"),
+            1L).otherwise(0L)).as("n_roundtrip"))
+        .orderBy("source")
+  }
+
   /** x210: DATASET CARD ROLLUP — the one-table summary a dataset release
     * publishes (and the judge of any corpus hand-off reads first): doc /
     * token / char volumes, source and language counts, exact-duplicate
@@ -4198,5 +4258,5 @@ object TextOps {
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
     x197, x198, x199, x200, x207, x208, x210, x215, x216, x217,
-    x218)
+    x218, x219)
 }
