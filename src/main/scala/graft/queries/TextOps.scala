@@ -3941,6 +3941,42 @@ object TextOps {
         .orderBy("source")
   }
 
+  /** x221: LSH BUCKET-SIZE HISTOGRAM — the pre-flight check before any
+    * closure/pair stage runs (the x207/x110 failure mode, made a
+    * dashboard): band-bucket occupancy log₂-bucketed (the x197
+    * `length(bin(n))−1` trick — engine-exact), with per-bin bucket and
+    * document counts plus the global max. The pair cost of a dedup round
+    * is Σ n² over these bins — a fat tail here says "cap or sample before
+    * you join", BEFORE the cluster burns a day discovering it. One
+    * aggregation over (band, sig) then a rollup on ≤8 log bins. */
+  val x221 = DQ("x221_bucket_histogram", Some(
+    s"""WITH $wordShinglesCte,
+       |seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(s)),
+       |mh AS (
+       |  SELECT doc_id, s, min(md5(g || ':' || CAST(s AS VARCHAR))) AS mh
+       |  FROM sh CROSS JOIN seeds GROUP BY doc_id, s),
+       |bands AS (
+       |  SELECT doc_id, s % 4 AS band, string_agg(mh, '' ORDER BY s) AS sig
+       |  FROM mh GROUP BY doc_id, s % 4),
+       |bsz AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS n
+       |  FROM bands GROUP BY 1, 2)
+       |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS size_log2,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(n) AS BIGINT) AS n_entries,
+       |  CAST(sum(n * n) AS BIGINT) AS pair_cost,
+       |  CAST(max(n) AS BIGINT) AS max_size
+       |FROM bsz GROUP BY 1 ORDER BY size_log2""".stripMargin)) {
+    (spark, dir) =>
+      val bsz = lshBands(spark, dir)
+        .groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      bsz
+        .withColumn("size_log2", (length(bin(col("n"))) - 1).cast("long"))
+        .groupBy("size_log2")
+        .agg(count(lit(1)).as("n_buckets"), sum("n").as("n_entries"),
+          sum(col("n") * col("n")).as("pair_cost"), max("n").as("max_size"))
+        .orderBy("size_log2")
+  }
+
   /** x210: DATASET CARD ROLLUP — the one-table summary a dataset release
     * publishes (and the judge of any corpus hand-off reads first): doc /
     * token / char volumes, source and language counts, exact-duplicate
@@ -4258,5 +4294,5 @@ object TextOps {
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
     x197, x198, x199, x200, x207, x208, x210, x215, x216, x217,
-    x218, x219)
+    x218, x219, x221)
 }
