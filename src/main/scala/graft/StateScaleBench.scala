@@ -91,10 +91,15 @@ object StateScaleBench {
         val wall = (System.nanoTime() - t0) / 1e9
         listener.drain()
         spark.streams.removeListener(listener)
-        val reg = spark.read.parquet(registryDir)
-          .agg(max("num_rows_total").as("r"), max("state_bytes").as("b"))
-          .first()
-        val (stateRows, stateBytes) = (reg.getLong(0), reg.getLong(1))
+        // empty/absent registry (e.g. all beats dropped) must report 0, not NPE
+        val (stateRows, stateBytes) =
+          if (!Files.exists(java.nio.file.Paths.get(registryDir))) (0L, 0L)
+          else {
+            val reg = spark.read.parquet(registryDir)
+              .agg(max("num_rows_total").as("r"), max("state_bytes").as("b"))
+              .first()
+            if (reg.isNullAt(0)) (0L, 0L) else (reg.getLong(0), reg.getLong(1))
+          }
         println(s"[state-scale] n=$n arm=$arm wall=${f1(wall)}s " +
           s"rows_s=${f1(nRows / wall)} state_rows=$stateRows state_mb=${f1(stateBytes / 1048576.0)}")
         s"""{"arm":"$arm","n_files":$n,"chunk_rows":$nRows,""" +

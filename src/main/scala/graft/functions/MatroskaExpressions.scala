@@ -78,8 +78,12 @@ object Mkv {
   private def isUnknownSize(v: Long, len: Int): Boolean =
     v == (1L << (7 * len)) - 1
 
-  /** Big-endian uint of 1..8 payload bytes (EBML uint element body). */
+  /** Big-endian uint of 0..8 payload bytes (EBML uint element body).
+    * RFC 8794 §7.1: a zero-length unsigned integer element is value 0 —
+    * some muxers write e.g. TrackNumber minimally; rejecting len 0 would
+    * null out spec-valid files. */
   private def uintBody(b: Array[Byte], off: Int, len: Int): Long = {
+    if (len == 0) return 0L
     if (len < 1 || len > 8) throw new IllegalStateException("uint len")
     var v = 0L; var k = 0
     while (k < len) { v = (v << 8) | u(b, off + k); k += 1 }

@@ -151,9 +151,18 @@ object MpegTs {
       st(0) += 1
       if (pusi) st(1) += 1
       if ((afc & 1) != 0) { // CC increments only on payload-bearing packets
+        // ISO 13818-1 §2.4.3.3 permits ONE duplicate transmission of a
+        // packet (same CC): the first repeat is tolerated, a second
+        // consecutive repeat is a continuity error. State encodes
+        // cc | 0x100 once the duplicate allowance is spent.
         val prev = lastCc.get(pid)
-        if (prev != null && ((prev + 1) & 0x0f) != cc) st(2) += 1
-        lastCc.put(pid, cc)
+        if (prev != null) {
+          val pcc = prev & 0x0f
+          if (((pcc + 1) & 0x0f) == cc) lastCc.put(pid, cc) // normal advance
+          else if (pcc == cc && (prev & 0x100) == 0)
+            lastCc.put(pid, cc | 0x100)                     // tolerated dup
+          else { st(2) += 1; lastCc.put(pid, cc) }          // gap or 2nd dup
+        } else lastCc.put(pid, cc)
       }
       i += 1
     }

@@ -3778,7 +3778,11 @@ object TextOps {
     * integer arithmetic, so the gate is engine-exact. Expected counts are
     * scaled old counts (e = old·n_new/n_old, fixed-point), buckets are
     * coarse logit bands — one in-row feature pass, one rollup on ~10
-    * keys, totals on a 1-row broadcast. */
+    * keys, totals on a 1-row broadcast. Bucketing honors the x196 rule
+    * (Spark `div` truncates, DuckDB `//` floors on NEGATIVE dividends):
+    * logit_e3 ≥ −9000 by construction (every feature term is ≥ 0 and the
+    * bias is −9000), so `(logit_e3 + 18000) div 2000 − 9` keeps the
+    * dividend non-negative in both engines — never divide the raw logit. */
   val x217 = DQ("x217_quality_drift", Some(
     """WITH t AS (SELECT doc_id, lang,
       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -3795,7 +3799,7 @@ object TextOps {
       |      - 9000 AS logit_e3
       |  FROM t),
       |b AS (SELECT doc_id % 2 = 1 AS is_new,
-      |    least(greatest(logit_e3 // 2000, -2), 7) AS bucket
+      |    least(greatest((logit_e3 + 18000) // 2000 - 9, -2), 7) AS bucket
       |  FROM f),
       |c AS (SELECT bucket,
       |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS o_old,
@@ -3815,7 +3819,7 @@ object TextOps {
       val c = f
         .withColumn("is_new", col("doc_id") % 2 === 1)
         .withColumn("bucket",
-          expr("least(greatest(logit_e3 div 2000, -2L), 7L)"))
+          expr("least(greatest((logit_e3 + 18000L) div 2000 - 9, -2L), 7L)"))
         .groupBy("bucket")
         .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("o_old"),
           sum(when(col("is_new"), 1L).otherwise(0L)).as("o_new"))

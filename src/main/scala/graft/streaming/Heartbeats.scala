@@ -92,7 +92,9 @@ object Heartbeats {
       })
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    @volatile private var lastEventNanos = System.nanoTime()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      lastEventNanos = System.nanoTime()
       val ops = e.progress.stateOperators
       if (ops == null || ops.isEmpty) return
       val rows = ops.zipWithIndex.toSeq.map { case (op, i) =>
@@ -117,9 +119,20 @@ object Heartbeats {
           } finally pending.decrementAndGet()
       })
     }
-    /** Block until every queued append has landed (shutdown/test hook). */
-    def drain(): Unit =
+    /** Block until every queued append has landed (shutdown/test hook).
+      * StreamingQueryListener events ride Spark's async listener bus, so a
+      * final beat can be DELIVERED after awaitTermination() returns; a bare
+      * queue-flush would miss it. `settleMillis` waits for the bus to
+      * quiesce first: no new progress event for that long ⇒ the bus has
+      * drained to this listener, then the executor queue is flushed. */
+    def drain(settleMillis: Long = 1000L): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() - lastEventNanos < settleMillis * 1000000L &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(50)
+      }
       exec.submit(new Runnable { override def run(): Unit = () }).get()
+    }
   }
 
   /** Log forwarding (G7): drain log records into one JSON message per

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-execute a transformed logical plan (audit harnesses rebuild query
+    * plans with rewritten expressions — e.g. DivAuditSpec's floor-division
+    * shadow run — and need the private[sql] Dataset.ofRows to turn the
+    * plan back into a DataFrame). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
