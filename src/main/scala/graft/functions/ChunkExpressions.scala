@@ -260,6 +260,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("pdf_meta"),
       new ExpressionInfo(classOf[PdfMeta].getName, "pdf_meta"),
       es => PdfMeta(es.head)))
+    e.injectFunction((FunctionIdentifier("pdf_text"),
+      new ExpressionInfo(classOf[PdfText].getName, "pdf_text"),
+      es => PdfText(es.head)))
     // bloom_bits(hs, m): aggregate the array<bigint> bucket positions of
     // each row into an m-bit Bloom set (m from a foldable int literal)
     e.injectFunction((FunctionIdentifier("bloom_bits"),

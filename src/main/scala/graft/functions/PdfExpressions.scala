@@ -105,6 +105,396 @@ object Pdfs {
     (ver, size.toInt, nPages.toInt)
   }
 
+  /** xref table loaded once: object-number → byte offset, plus where the
+    * trailer begins. Same parse as [[pdfMeta]] steps 2–4, factored so the
+    * text extractor can follow object references too. Null on any
+    * structural break. */
+  private final class Xref(b: Array[Byte], first: Int, count: Int,
+      entriesAt: Int) {
+    val trailerAt: Int = entriesAt + 20 * count
+    def objOffset(num: Int): Long = {
+      if (num < first || num >= first + count) return -1L
+      val e = window(b, entriesAt + 20 * (num - first), 20)
+      if (e == null || e.length < 18 || e(17) != 'n') return -1L
+      val off = e.substring(0, 10)
+      if (!off.forall(_.isDigit)) return -1L
+      off.toLong
+    }
+  }
+
+  private def loadXref(b: Array[Byte]): Xref = {
+    val tail = window(b, math.max(0, b.length - 1024), 1024)
+    if (tail == null) return null
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) return null
+    val xrefOff = intAfter(tail.substring(sx), "startxref")
+    if (xrefOff < 0 || xrefOff >= b.length) return null
+    val xr = window(b, xrefOff.toInt, 64)
+    if (xr == null || !xr.startsWith("xref")) return null
+    var p = 4
+    while (p < xr.length && (xr(p) == '\n' || xr(p) == '\r')) p += 1
+    val hdrEnd = xr.indexOf('\n', p)
+    if (hdrEnd < 0) return null
+    val parts = xr.substring(p, hdrEnd).trim.split(" ")
+    if (parts.length != 2 || !parts.forall(_.forall(_.isDigit))) return null
+    val first = parts(0).toInt
+    val count = parts(1).toInt
+    val entriesAt = xrefOff.toInt + hdrEnd + 1
+    if (count <= 0 || entriesAt + 20L * count > b.length) return null
+    new Xref(b, first, count, entriesAt)
+  }
+
+  /** Per-page extracted TEXT (ISO 32000 §9.4 text-showing operators), or
+    * null for non-PDF / structurally broken input. The walk follows the
+    * same spec-ordered chain as [[pdfMeta]] — startxref → xref → trailer →
+    * Catalog → Pages — then per page resolves `/Contents`, decodes the
+    * content stream (uncompressed, or `/FlateDecode` via the JDK
+    * `Inflater` — the same public-codec stance as the PNG/DOCX paths),
+    * and replays the text operators:
+    *
+    *  - `(…) Tj`, `(…) '`, `(…) "` and hex `<…>` strings show text;
+    *    literal-string escapes (\\n \\r \\t \\b \\f \\( \\) \\\\ and
+    *    1–3-digit octal) and nested balanced parens decode per §7.3.4.2;
+    *  - `[…] TJ` concatenates its strings, inserting a space where an
+    *    inter-element kern adjustment is ≤ −250 thousandths of an em
+    *    (the standard extractor heuristic for a word gap);
+    *  - positioning operators order the runs into lines: `Td`/`TD` with a
+    *    nonzero ty, `T*`, `'`, `"` and a `Tm` that moves y start a new
+    *    line; runs on one line concatenate in content-stream order.
+    *
+    * A page without `/Contents` yields "". String bytes decode as UTF-8
+    * (this library writes UTF-8 into fixtures; real-corpus font-encoding
+    * CMaps are out of scope and documented as such). */
+  def pdfText(b: Array[Byte]): Array[String] = {
+    if (b == null || b.length < 32) return null
+    val head = window(b, 0, 16)
+    if (head == null || !head.startsWith("%PDF-")) return null
+    val xref = loadXref(b)
+    if (xref == null) return null
+    val tr = window(b, xref.trailerAt, 256)
+    if (tr == null || !tr.startsWith("trailer")) return null
+    val root = intAfter(tr, "/Root")
+    if (root < 0) return null
+    val catAt = xref.objOffset(root.toInt)
+    if (catAt < 0 || catAt >= b.length) return null
+    val cat = window(b, catAt.toInt, 256)
+    if (cat == null || !cat.contains("/Type /Catalog")) return null
+    val pagesRef = intAfter(cat, "/Pages")
+    if (pagesRef < 0) return null
+    val pgAt = xref.objOffset(pagesRef.toInt)
+    if (pgAt < 0 || pgAt >= b.length) return null
+    val pagesWin = window(b, pgAt.toInt, 16384)
+    if (pagesWin == null || !pagesWin.contains("/Type /Pages")) return null
+    val kidsAt = pagesWin.indexOf("/Kids")
+    if (kidsAt < 0) return null
+    val lb = pagesWin.indexOf('[', kidsAt)
+    val rb = if (lb < 0) -1 else pagesWin.indexOf(']', lb)
+    if (rb < 0) return null
+    val kids = "(\\d+) 0 R".r
+      .findAllMatchIn(pagesWin.substring(lb, rb)).map(_.group(1).toInt).toArray
+    if (kids.isEmpty) return null
+    val out = new Array[String](kids.length)
+    var i = 0
+    while (i < kids.length) {
+      val pAt = xref.objOffset(kids(i))
+      if (pAt < 0 || pAt >= b.length) return null
+      val pw = window(b, pAt.toInt, 512)
+      if (pw == null || !pw.contains("/Type /Page")) return null
+      val cRef = intAfter(pw, "/Contents")
+      out(i) = if (cRef < 0) "" else {
+        val cs = contentStream(b, xref, cRef.toInt)
+        if (cs == null) return null
+        extractText(cs)
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Resolve + decode one content-stream object: dict `/Length` bounds the
+    * raw data, `/Filter /FlateDecode` inflates it (Inflater ALWAYS ends —
+    * an unclosed JDK inflater is native-memory pressure at scale). Null on
+    * any structural or codec break. */
+  private def contentStream(b: Array[Byte], xref: Xref, num: Int): Array[Byte] = {
+    val at = xref.objOffset(num)
+    if (at < 0 || at >= b.length) return null
+    val w = window(b, at.toInt, 256)
+    if (w == null) return null
+    val dictEnd = w.indexOf(">>")
+    if (dictEnd < 0) return null
+    val dict = w.substring(0, dictEnd)
+    val len = intAfter(dict, "/Length")
+    val flate = dict.contains("/FlateDecode")
+    val sk = w.indexOf("stream", dictEnd)
+    if (sk < 0) return null
+    var ds = at.toInt + sk + 6
+    if (ds < b.length && b(ds) == '\r') ds += 1
+    if (ds < b.length && b(ds) == '\n') ds += 1
+    if (len < 0 || ds + len > b.length) return null
+    val raw = java.util.Arrays.copyOfRange(b, ds, ds + len.toInt)
+    if (!flate) raw
+    else {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(raw)
+        val buf = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val chunk = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(chunk)
+          if (n == 0 && !inf.finished()) return null // truncated/needs-dict
+          buf.write(chunk, 0, n)
+        }
+        buf.toByteArray
+      } catch {
+        case _: java.util.zip.DataFormatException => null
+      } finally inf.end()
+    }
+  }
+
+  /** Replay text-showing + text-positioning operators of one decoded
+    * content stream (see [[pdfText]] for the semantics). */
+  private def extractText(cs: Array[Byte]): String = {
+    val out = new java.lang.StringBuilder()
+    var pendingNl = false
+    def show(s: String): Unit = {
+      if (s == null) return
+      if (pendingNl && out.length() > 0) out.append('\n')
+      pendingNl = false
+      out.append(s)
+    }
+    def newLine(): Unit = pendingNl = true
+    // operand state: trailing numbers (for Td/TD/Tm), last string, TJ array
+    val nums = new scala.collection.mutable.ArrayBuffer[Double](8)
+    var lastStr: String = null
+    var arr: scala.collection.mutable.ArrayBuffer[AnyRef] = null
+    var lastY = Double.NaN
+    val n = cs.length
+    var i = 0
+
+    def parseLiteral(start: Int): (String, Int) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      var j = start
+      var depth = 1
+      while (j < n && depth > 0) {
+        val c = cs(j) & 0xff
+        if (c == '\\' && j + 1 < n) {
+          val e = cs(j + 1) & 0xff
+          e match {
+            case 'n' => buf.write(0x0a); j += 2
+            case 'r' => buf.write(0x0d); j += 2
+            case 't' => buf.write(0x09); j += 2
+            case 'b' => buf.write(0x08); j += 2
+            case 'f' => buf.write(0x0c); j += 2
+            case '(' | ')' | '\\' => buf.write(e); j += 2
+            case '\r' => j += 2; if (j < n && cs(j) == '\n') j += 1 // line cont.
+            case '\n' => j += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0; j += 1
+              while (k < 3 && j < n && cs(j) >= '0' && cs(j) <= '7') {
+                v = v * 8 + (cs(j) - '0'); j += 1; k += 1
+              }
+              buf.write(v & 0xff)
+            case _ => buf.write(e); j += 2
+          }
+        } else if (c == '(') { depth += 1; buf.write(c); j += 1 }
+        else if (c == ')') {
+          depth -= 1; if (depth > 0) buf.write(c); j += 1
+        } else if (c == '\r') { // EOL in a string reads as LF (§7.3.4.2)
+          buf.write(0x0a); j += 1; if (j < n && cs(j) == '\n') j += 1
+        } else { buf.write(c); j += 1 }
+      }
+      (new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8), j)
+    }
+
+    def parseHex(start: Int): (String, Int) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      var j = start
+      var hi = -1
+      while (j < n && cs(j) != '>') {
+        val c = cs(j) & 0xff
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { buf.write((hi << 4) | d); hi = -1 }
+        }
+        j += 1
+      }
+      if (hi >= 0) buf.write(hi << 4) // odd count: final digit pads with 0
+      (new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8),
+        if (j < n) j + 1 else j)
+    }
+
+    def flushShownString(s: String): Unit =
+      if (arr != null) arr += s else lastStr = s
+
+    while (i < n) {
+      val c = cs(i) & 0xff
+      if (c == '(') {
+        val (s, j) = parseLiteral(i + 1); flushShownString(s); i = j
+      } else if (c == '<' && i + 1 < n && cs(i + 1) == '<') {
+        // inline dictionary (BDC property lists etc.): skip balanced << >>
+        var depth = 1; var j = i + 2
+        while (j + 1 < n && depth > 0) {
+          if (cs(j) == '<' && cs(j + 1) == '<') { depth += 1; j += 2 }
+          else if (cs(j) == '>' && cs(j + 1) == '>') { depth -= 1; j += 2 }
+          else j += 1
+        }
+        i = j
+      } else if (c == '<') {
+        val (s, j) = parseHex(i + 1); flushShownString(s); i = j
+      } else if (c == '[') { arr = new scala.collection.mutable.ArrayBuffer[AnyRef](8); i += 1 }
+      else if (c == ']') { i += 1 } // array closes; TJ consumes `arr`
+      else if (c == '%') { while (i < n && cs(i) != '\n' && cs(i) != '\r') i += 1 }
+      else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        val start = i
+        i += 1
+        while (i < n && { val d = cs(i) & 0xff; d == '.' || (d >= '0' && d <= '9') }) i += 1
+        val v = try new String(cs, start, i - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1).toDouble
+        catch { case _: NumberFormatException => Double.NaN }
+        if (!v.isNaN) {
+          if (arr != null) arr += java.lang.Double.valueOf(v) else nums += v
+        }
+      } else if (c == '/' || Character.isLetter(c) || c == '\'' || c == '"' || c == '*') {
+        val start = i
+        i += 1
+        if (c != '\'' && c != '"') {
+          while (i < n && { val d = cs(i) & 0xff
+            Character.isLetterOrDigit(d) || d == '*' || d == '\'' || d == '"' }) i += 1
+        }
+        val op = new String(cs, start, i - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        op match {
+          case "Tj" => show(lastStr); lastStr = null; nums.clear()
+          case "TJ" =>
+            if (arr != null) {
+              val sb = new java.lang.StringBuilder()
+              arr.foreach {
+                case s: String => sb.append(s)
+                case d: java.lang.Double =>
+                  if (d.doubleValue() <= -250.0) sb.append(' ')
+                case _ => ()
+              }
+              show(sb.toString)
+              arr = null
+            }
+            nums.clear()
+          case "Td" | "TD" =>
+            if (nums.length >= 2 && nums.last != 0.0) newLine()
+            nums.clear()
+          case "T*" => newLine(); nums.clear()
+          case "Tm" =>
+            if (nums.length >= 6) {
+              val y = nums(nums.length - 1)
+              if (!lastY.isNaN && y != lastY) newLine()
+              lastY = y
+            }
+            nums.clear()
+          case "'" => newLine(); show(lastStr); lastStr = null; nums.clear()
+          case "\"" => newLine(); show(lastStr); lastStr = null; nums.clear()
+          case "BT" => lastY = Double.NaN; nums.clear()
+          case _ => nums.clear() // any other operator consumes its operands
+        }
+      } else i += 1
+    }
+    out.toString
+  }
+
+  /** A text-bearing single-xref PDF: Catalog(1) → Pages(2) → one Page +
+    * one content stream per entry of `pages`. Each page renders a
+    * `p<k> of <K>` header as a kerned TJ array (−600 em-milli gaps ⇒
+    * extractor word spaces), then the page text in 50-char lines — `Tj`
+    * literals on even pages, split-in-two `TJ` arrays (−100 kern ⇒ no
+    * space) on odd pages — every line preceded by a `0 −14 TD` move.
+    * `flate` wraps each content stream in FlateDecode. The extraction
+    * round-trip is therefore `p<k> of <K>` + '\n' + the 50-char-wrapped
+    * page text, which an oracle can recompute with string functions. */
+  def buildPdfWithText(pages: Seq[String], flate: Boolean): Array[Byte] = {
+    require(pages.nonEmpty)
+    val k = pages.length
+    def esc(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '(' => sb.append("\\(")
+        case ')' => sb.append("\\)")
+        case '\n' => sb.append("\\012")
+        case '\r' => sb.append("\\015")
+        case '\t' => sb.append("\\011")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val streams: Seq[Array[Byte]] = pages.zipWithIndex.map { case (pg, i) =>
+      val ops = new java.lang.StringBuilder()
+      ops.append("BT\n/F1 12 Tf\n72 720 Td\n")
+      ops.append(s"[(p${i + 1}) -600 (of) -600 ($k)] TJ\n")
+      var p = 0
+      while (p < pg.length) {
+        val line = pg.substring(p, math.min(pg.length, p + 50))
+        ops.append("0 -14 TD\n")
+        if (i % 2 == 0) ops.append(s"(${esc(line)}) Tj\n")
+        else {
+          val m = line.length / 2
+          ops.append(s"[(${esc(line.substring(0, m))}) -100 " +
+            s"(${esc(line.substring(m))})] TJ\n")
+        }
+        p += 50
+      }
+      ops.append("ET\n")
+      val raw = ops.toString.getBytes(utf8)
+      if (!flate) raw
+      else {
+        val d = new java.util.zip.Deflater()
+        try {
+          d.setInput(raw); d.finish()
+          val outB = new java.io.ByteArrayOutputStream(raw.length)
+          val chunk = new Array[Byte](8192)
+          while (!d.finished()) outB.write(chunk, 0, d.deflate(chunk))
+          outB.toByteArray
+        } finally d.end()
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(Ascii))
+    val nObj = 2 + 2 * k
+    val offsets = new Array[Long](nObj + 1)
+    w("%PDF-1.7\n")
+    offsets(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until k).map(i => s"${i + 3} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $k >>\nendobj\n")
+    var i = 0
+    while (i < k) {
+      offsets(i + 3) = out.size()
+      w(s"${i + 3} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${k + 3 + i} 0 R >>\nendobj\n")
+      i += 1
+    }
+    i = 0
+    while (i < k) {
+      offsets(k + 3 + i) = out.size()
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      w(s"${k + 3 + i} 0 obj\n<< /Length ${streams(i).length}$filter >>\nstream\n")
+      out.write(streams(i))
+      w("\nendstream\nendobj\n")
+      i += 1
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${nObj + 1}\n")
+    w("0000000000 65535 f \n")
+    var j = 1
+    while (j <= nObj) {
+      w(f"${offsets(j)}%010d 00000 n \n")
+      j += 1
+    }
+    w(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** A classic uncompressed PDF: Catalog(1) → Pages(2) → `nPages` Page
     * objects, single xref table, trailer, startxref. Each page carries a
     * `/Pad` hex string of `padPerPage` bytes so fixture size scales. */
@@ -186,4 +576,48 @@ object PdfMeta {
 
   def pdfMeta(media: Column): Column =
     GraftColumnShim.column(PdfMeta(GraftColumnShim.expression(media)))
+}
+
+/** `pdf_text(binary)` → `array<string>`: per-page extracted text (content
+  * streams decoded, FlateDecode inflated, text-showing operators replayed
+  * with line ordering — see [[Pdfs.pdfText]]); null for non-PDF or
+  * structurally broken input. */
+case class PdfText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_text expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val pages = Pdfs.pdfText(payload.asInstanceOf[Array[Byte]])
+    if (pages == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pages.map(p => UTF8String.fromString(p): AnyRef))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pdfText", this, classOf[PdfText].getName)
+    val r = ctx.freshName("pdfTxt")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PdfText =
+    copy(child = newChild)
+
+  override def prettyName: String = "pdf_text"
+}
+
+object PdfText {
+  def pdfText(media: Column): Column =
+    GraftColumnShim.column(PdfText(GraftColumnShim.expression(media)))
 }

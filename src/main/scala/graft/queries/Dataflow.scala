@@ -4129,10 +4129,65 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x222: PDF TEXT EXTRACTION — x203 stops at structure; a real corpus
+    * ingest needs the TEXT. `pdf_text` ([[graft.functions.Pdfs.pdfText]])
+    * follows the same spec-ordered object chain as x203, then decodes each
+    * page's content stream (FlateDecode via the JDK Inflater on even docs,
+    * raw on odd) and replays the text operators: `Tj` literals with escape
+    * decoding, kerned `TJ` arrays (a ≤ −250 em-milli adjustment reads as a
+    * word space, −100 intra-line splits concatenate seamlessly), and
+    * `Td`/`TD` line moves ordering runs into lines. Fixtures render each
+    * document's REAL text into a 1–3-page PDF (200 chars/page, 50-char
+    * lines, a kerned `p<k> of <K>` header per page); every 23rd doc loses
+    * its tail and must vanish (null routes, no rows), not garble. The
+    * oracle recomputes the extraction from `text` with pure string
+    * slicing, so the gate proves byte-exact xref→object→stream→operator
+    * round-trips on both the raw and the DEFLATE path. Scale shape: one
+    * in-row expression per doc, no joins, no shuffle beyond the final
+    * order — the 100 TB posture is a straight scan. */
+  val x222 = DQ("x222_pdf_text", Some(
+    """WITH d AS (SELECT doc_id, text,
+      |    greatest(1, least(3, (length(text) + 199) // 200)) AS np
+      |  FROM documents WHERE doc_id % 23 <> 0),
+      |p AS (SELECT doc_id, np, u.k AS page,
+      |    substr(text, (u.k - 1) * 200 + 1, 200) AS pg
+      |  FROM d, unnest(generate_series(1, np)) AS u(k)),
+      |e AS (SELECT doc_id, page,
+      |    'p' || CAST(page AS VARCHAR) || ' of ' || CAST(np AS VARCHAR)
+      |    || CASE WHEN pg = '' THEN '' ELSE chr(10) || array_to_string(
+      |         list_filter([substr(pg, 1, 50), substr(pg, 51, 50),
+      |                      substr(pg, 101, 50), substr(pg, 151, 50)],
+      |                     x -> x <> ''), chr(10)) END AS ptext
+      |  FROM p)
+      |SELECT doc_id AS media_id, CAST(page AS INT) AS page,
+      |  md5(ptext) AS text_md5, CAST(length(ptext) AS BIGINT) AS n_chars
+      |FROM e ORDER BY media_id, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Pdfs, PdfText}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val np = math.max(1, math.min(3, (text.length + 199) / 200))
+          val pages = (0 until np).map(k =>
+            text.substring(k * 200, math.min(text.length, k * 200 + 200)))
+          val pdf = Pdfs.buildPdfWithText(pages, flate = id % 2 == 0)
+          (id, if (id % 23 == 0) pdf.dropRight(30) else pdf)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          posexplode(PdfText.pdfText(col("media"))).as(Seq("p0", "ptext")))
+        .select(col("media_id"), (col("p0") + 1).cast("int").as("page"),
+          md5(col("ptext")).as("text_md5"),
+          length(col("ptext")).cast("long").as("n_chars"))
+        .orderBy("media_id", "page")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x202, x203, x204, x205, x209, x211, x212, x213, x214)
+    x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222)
 }

@@ -104,6 +104,25 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM ext_pdf""".stripMargin)
         .as[(String, Int, Int, Boolean)].head()
       assert(pv == "1.7" && pn == 7 && pp == 4 && cutNull)
+      // round-9 surface: pdf_text under the same no-fallback session —
+      // escape decoding (parens, backslash, octal newline), TJ kern word
+      // spaces, TD line ordering, and the FlateDecode path; plus the null
+      // route for the truncated file
+      val tricky = "line (one) with \\ and\nbreak"
+      val pdfT = graft.functions.Pdfs.buildPdfWithText(
+        Seq(tricky, "page two body"), flate = false)
+      val pdfZ = graft.functions.Pdfs.buildPdfWithText(
+        Seq(tricky), flate = true)
+      spark.createDataset(Seq((pdfT, pdfZ, pdfT.dropRight(30))))
+        .toDF("t", "z", "cut").createOrReplaceTempView("ext_pdftext")
+      val (t1, t2, z1, cutTNull) = spark.sql(
+        """SELECT pdf_text(t)[0], pdf_text(t)[1], pdf_text(z)[0],
+          |       pdf_text(cut) IS NULL
+          |FROM ext_pdftext""".stripMargin)
+        .as[(String, String, String, Boolean)].head()
+      assert(t1 == "p1 of 2\n" + tricky && cutTNull)
+      assert(t2 == "p2 of 2\npage two body")
+      assert(z1 == "p1 of 1\n" + tricky)
       // NearestCentroid (DataFrame-side; ships a collected model object)
       // under the same fallback=false session
       import org.apache.spark.sql.functions.col

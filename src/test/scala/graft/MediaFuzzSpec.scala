@@ -38,6 +38,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("warc_records", b => graft.functions.Warc.parse(b)),
     ("warc_index", b => graft.functions.Warc.index(b)),
     ("pdf_meta", b => graft.functions.Pdfs.pdfMeta(b)),
+    ("pdf_text", b => graft.functions.Pdfs.pdfText(b)),
     ("zip_entries", b => graft.functions.Archives.zipEntries(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
@@ -108,6 +109,10 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("request", "http://f.example/b", "2024-05-01T00:00:02Z",
         "GET /b".getBytes))),
     graft.functions.Pdfs.buildPdf(3, 17),
+    graft.functions.Pdfs.buildPdfWithText(
+      Seq("fuzz page (with) \\parens\nand a newline", "p2 body"), flate = false),
+    graft.functions.Pdfs.buildPdfWithText(
+      Seq("deflated fuzz body " * 4), flate = true),
     ImageHeaders.buildAvif(320, 180,
       graft.functions.Av1.buildAv1C(
         graft.functions.Av1.buildSeqHeaderObu(0, 8, 0, 320, 180)),
