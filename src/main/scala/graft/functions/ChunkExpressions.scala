@@ -263,6 +263,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("pdf_text"),
       new ExpressionInfo(classOf[PdfText].getName, "pdf_text"),
       es => PdfText(es.head)))
+    e.injectFunction((FunctionIdentifier("flac_decode"),
+      new ExpressionInfo(classOf[FlacDecode].getName, "flac_decode"),
+      es => FlacDecode(es.head)))
     // bloom_bits(hs, m): aggregate the array<bigint> bucket positions of
     // each row into an m-bit Bloom set (m from a foldable int literal)
     e.injectFunction((FunctionIdentifier("bloom_bits"),

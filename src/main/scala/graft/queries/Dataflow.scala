@@ -4184,10 +4184,66 @@ object Dataflow {
         .orderBy("media_id", "page")
   }
 
+  /** x223: FLAC SAMPLE DECODE — the audio twin of the from-scratch JPEG
+    * work: FLAC triage (x139-family) stops at STREAMINFO; this decodes the
+    * FRAMES. Fixtures are REAL multi-frame FLAC streams encoded from a
+    * deterministic 16-bit wave (`[[graft.functions.FlacCodec]]` — Rice
+    * residuals incl. escape partitions, CONSTANT blocks on every 5th doc's
+    * flat lead-in, VERBATIM/FIXED/LPC rotation, CRC-8/CRC-16); every 13th
+    * doc takes a mid-frame byte flip and must route to null via the frame
+    * CRC, not decode garbage. `flac_decode` emits a standard PCM WAV so
+    * the proven `pcm_stats` chain reduces the audio, and the oracle
+    * recomputes n/peak/Σa²/clip arithmetically from the generator formula
+    * — it never sees the FLAC, so any mis-decoded residual, warmup, or
+    * partition boundary shifts Σa² and fails the hash. One in-row
+    * expression per doc, no shuffle beyond the final order. */
+  val x223 = DQ("x223_flac_decode", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 89 + 3 AS k1, doc_id % 31 AS k2,
+      |    300 + (doc_id % 4) * 150 AS n FROM documents
+      |  WHERE doc_id % 13 <> 0),
+      |s AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 AND u.i < 256 THEN k2 * 10
+      |         ELSE ((k1 * u.i + k2) % 1601 - 800) * 20 END AS a
+      |  FROM d, unnest(generate_series(0, n - 1)) AS u(i))
+      |SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(a)) AS INT) AS peak,
+      |  CAST(sum(a * a) AS BIGINT) AS sum_sq,
+      |  CAST(sum(CASE WHEN a IN (32767, -32768) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip
+      |FROM s GROUP BY 1 ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{FlacCodec, FlacDecode, PcmStats}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val k1 = (id % 89 + 3).toInt
+          val k2 = (id % 31).toInt
+          val n = (300 + (id % 4) * 150).toInt
+          val pcm = Array.tabulate(n)(i =>
+            if (id % 5 == 0 && i < 256) k2 * 10
+            else ((k1 * i + k2) % 1601 - 800) * 20)
+          val flac = FlacCodec.encode(1, 8000, 16, Array(pcm), 256)
+          if (id % 13 == 0) {
+            // flip a bit inside the last frame: CRC-16 must catch it
+            flac(flac.length - 20) = (flac(flac.length - 20) ^ 0x10).toByte
+          }
+          (id, flac)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          PcmStats.pcmStats(FlacDecode.flacDecode(col("media"))).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("media_id"),
+          col("p.n_samples").as("n_samples"), col("p.peak").as("peak"),
+          col("p.sum_sq").as("sum_sq"), col("p.n_clip").as("n_clip"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222)
+    x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223)
 }

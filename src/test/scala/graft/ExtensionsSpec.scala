@@ -123,6 +123,20 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(t1 == "p1 of 2\n" + tricky && cutTNull)
       assert(t2 == "p2 of 2\npage two body")
       assert(z1 == "p1 of 1\n" + tricky)
+      // round-9 surface: flac_decode → WAV → pcm_stats chain in SQL under
+      // the same no-fallback session, plus the CRC null route
+      val pcm = Array.tabulate(300)(i => ((i * 37 + 11) % 1601 - 800) * 20)
+      val flac = graft.functions.FlacCodec.encode(1, 8000, 16, Array(pcm), 128)
+      val bad = flac.clone(); bad(flac.length - 9) = (bad(flac.length - 9) ^ 1).toByte
+      spark.createDataset(Seq((flac, bad))).toDF("f", "bad")
+        .createOrReplaceTempView("ext_flac")
+      val (fn, fsum, badNull) = spark.sql(
+        """SELECT pcm_stats(flac_decode(f)).n_samples,
+          |       pcm_stats(flac_decode(f)).sum_sq,
+          |       flac_decode(bad) IS NULL
+          |FROM ext_flac""".stripMargin)
+        .as[(Long, Long, Boolean)].head()
+      assert(fn == 300 && fsum == pcm.map(v => v.toLong * v).sum && badNull)
       // NearestCentroid (DataFrame-side; ships a collected model object)
       // under the same fallback=false session
       import org.apache.spark.sql.functions.col

@@ -39,6 +39,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("warc_index", b => graft.functions.Warc.index(b)),
     ("pdf_meta", b => graft.functions.Pdfs.pdfMeta(b)),
     ("pdf_text", b => graft.functions.Pdfs.pdfText(b)),
+    ("flac_decode", b => graft.functions.FlacCodec.decode(b)),
     ("zip_entries", b => graft.functions.Archives.zipEntries(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
@@ -109,6 +110,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       ("request", "http://f.example/b", "2024-05-01T00:00:02Z",
         "GET /b".getBytes))),
     graft.functions.Pdfs.buildPdf(3, 17),
+    graft.functions.FlacCodec.encode(2, 8000, 16,
+      Array(Array.tabulate(300)(i => ((i * 37 + 11) % 1601 - 800) * 20),
+        Array.tabulate(300)(i => ((i * 29 + 3) % 997 - 498) * 27)), 128),
     graft.functions.Pdfs.buildPdfWithText(
       Seq("fuzz page (with) \\parens\nand a newline", "p2 body"), flate = false),
     graft.functions.Pdfs.buildPdfWithText(
