@@ -4291,6 +4291,36 @@ object TextOps {
         .orderBy("source")
   }
 
+  /** x224: INCREMENTAL INVERTED INDEX — x112 builds the index one-shot; a
+    * daily-batch world maintains it: new arrivals land as per-batch
+    * SEGMENTS ([[graft.streaming.InvertedIndex]], the Lucene segment model
+    * on parquet — each batch shuffles only its own postings, the stored
+    * corpus is never rewritten on arrival) and reads merge segments. This
+    * gate drives the EXACT same segment → merge → serving code the
+    * streaming maintenance path runs (InvertedIndexStreamSpec proves the
+    * stream side), over three deterministic pseudo-batches (doc_id mod 3),
+    * and the oracle is x112's — the merged incremental index must equal
+    * the one-shot build row-for-row, which pins the merge arithmetic
+    * (df/total_tf sums, doc-ordered posting splice across segments). */
+  val x224 = DQ("x224_incremental_index", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+      |       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+      |FROM tf GROUP BY tok ORDER BY tok""".stripMargin)) {
+    (spark, dir) =>
+      import graft.streaming.InvertedIndex
+      val docs = spread(table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      val segments = (0 until 3)
+        .map(b => InvertedIndex.segment(docs.where(col("doc_id") % 3 === b)))
+        .reduce(_ unionByName _)
+      InvertedIndex.serving(InvertedIndex.merge(segments)).orderBy("tok")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
@@ -4298,5 +4328,5 @@ object TextOps {
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
     x197, x198, x199, x200, x207, x208, x210, x215, x216, x217,
-    x218, x219, x221)
+    x218, x219, x221, x224)
 }
