@@ -111,6 +111,62 @@ class DivAuditSpec extends AnyFunSuite {
       s"div-semantics-sensitive queries (driver DuckDB floors //, Spark div truncates):\n  ${offenders.mkString("\n  ")}")
   }
 
+  /** Floored-modulo rewrite of a truncating Remainder: r + b when the
+    * remainder is nonzero and its sign differs from the divisor's. */
+  private def flooredMod(d: Remainder): Expression = {
+    val b = d.right
+    val zeroR = Literal.default(d.dataType)
+    val zeroB = Literal.default(b.dataType)
+    val cond = And(Not(EqualTo(d, zeroR)),
+      Not(EqualTo(LessThan(d, zeroR), LessThan(b, zeroB))))
+    CaseWhen(Seq((cond, Add(d, b))), Some(d))
+  }
+
+  private def withFlooredMods(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transformUp {
+      case p => p.transformExpressionsUp { case d: Remainder => flooredMod(d) }
+    }
+    GraftColumnShim.ofRows(spark, plan)
+  }
+
+  private def hasRemainder(df: DataFrame): Boolean = {
+    var found = false
+    df.queryExecution.analyzed.foreach { p =>
+      p.expressions.foreach(_.foreach {
+        case _: Remainder => found = true
+        case _ => ()
+      })
+    }
+    found
+  }
+
+  test("every declared query is invariant to truncate-vs-floor % semantics") {
+    // Spark % and DuckDB % both truncate today, but the round-8 x217 bug
+    // showed engine-version semantics can drift under the gate; this pins
+    // every query as INVARIANT to the choice, so a future DuckDB that
+    // floors % (as it did for //) cannot produce a hash divergence.
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    var audited = 0
+    for (dq <- SparkEntry.registry) {
+      val df = dq.run(spark, sf)
+      if (hasRemainder(df)) {
+        audited += 1
+        val declared = canon(df.collect())
+        val shadow = canon(withFlooredMods(df).collect())
+        if (declared != shadow) {
+          val firstDiff = declared.zip(shadow)
+            .collectFirst { case (a, b) if a != b => s"declared=$a floored=$b" }
+            .orElse(Some(s"row counts ${declared.size} vs ${shadow.size}"))
+          offenders += s"${dq.name}: ${firstDiff.get}"
+        }
+      }
+    }
+    info(s"audited $audited %-bearing queries of ${SparkEntry.registry.size}")
+    assert(audited > 0, "expected at least one query with Remainder")
+    assert(offenders.isEmpty,
+      s"%-semantics-sensitive queries (would diverge if the oracle engine floors %):\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("the auditor detects the pre-fix x217 form (negative dividend div)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
