@@ -41,6 +41,28 @@ object Bench {
     // driver invokes with no args and times everything.
     val wanted = if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
                  else SparkEntry.queries
+
+    // SPARK_GRAFT_BENCH_SAMPLE: run the named TUNING-TIME queries (the
+    // parameter-sweep/contrast rows whose cost is their exact ground-truth
+    // arm, ~7% of the full bench) on a deterministic 25% corpus slice —
+    // local-iteration headroom as the registry grows. The driver sets no
+    // env, so committed BENCH_r{N} snapshots stay full-fidelity; a sampled
+    // run says so in its JSON ("sampled":[...]) and can never masquerade
+    // as a full one.
+    val sampleQueries = Set("x207_lsh_sweep", "x153s_image_dedup_scale")
+    val sampleDir: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_SAMPLE").map { _ =>
+      import org.apache.spark.sql.functions.col
+      val d = java.nio.file.Files.createTempDirectory("graft_bench_sample").toString
+      queries.Core.table(spark, sfDir, "documents")
+        .where(col("doc_id") % 4 === 0)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      queries.Core.table(spark, sfDir, "embeddings")
+        .where(col("vec_id") % 4 === 0)
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    def dirFor(name: String): String =
+      sampleDir.filter(_ => sampleQueries(name)).getOrElse(sfDir)
     // SPARK_GRAFT_BENCH_N=k (default 3): run each query k times and report
     // the per-query MEDIAN — the defense against a contended host, where a
     // single run can absorb another process's CPU burst and read 10-30×
@@ -60,7 +82,7 @@ object Bench {
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          try { fn(spark, dirFor(name)).write.mode("overwrite").format("noop").save(); true }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -99,8 +121,11 @@ object Bench {
     val total = fmt(results.collect { case (_, v, true) => v }.sum)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val runsTag = if (runsPerQuery > 1) s""""runs":$runsPerQuery,""" else ""
+    val sampledTag = if (sampleDir.isEmpty) "" else
+      results.collect { case (k, _, _) if sampleQueries(k) => "\"" + shortKey(k) + "\"" }
+        .mkString(""""sampled":[""", ",", "],")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$failed$runsTag"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$failed$runsTag$sampledTag"sf":"$sfName"}"""
     println(json)
     // stdout passes through sbt's logger with an [info] prefix, which breaks
     // naive line parsers — also drop the bare JSON at a well-known path.
