@@ -4240,10 +4240,65 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x225: FLAC VAD SEGMENTATION — the round-8 ask closed end-to-end:
+    * x149's windowed voice-activity mask, driven through a REAL FLAC
+    * decode instead of raw WAV. `flac_decode` inverts Rice/LPC frames to
+    * PCM, `pcm_frames` cuts 160-sample (20 ms @ 8 kHz) windows, and a
+    * plain threshold yields the activity mask. Every 5th doc's 256-sample
+    * constant lead-in (a CONSTANT FLAC subframe on the wire) lands whole
+    * windows below the energy floor — the silence the VAD must trim —
+    * while the modular wave stays hot; the oracle recomputes every window
+    * from the generator formula, so window arithmetic AND the frame
+    * decode both carry the hash. Same straight-scan shape as x223. */
+  val x225 = DQ("x225_flac_vad", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 89 + 3 AS k1, doc_id % 31 AS k2,
+      |    300 + (doc_id % 4) * 150 AS n FROM documents
+      |  WHERE doc_id % 13 <> 0),
+      |s AS (SELECT doc_id, u.i AS i,
+      |    CASE WHEN doc_id % 5 = 0 AND u.i < 256 THEN k2 * 10
+      |         ELSE ((k1 * u.i + k2) % 1601 - 800) * 20 END AS a
+      |  FROM d, unnest(generate_series(0, n - 1)) AS u(i)),
+      |f AS (SELECT doc_id, CAST(i // 160 AS INT) AS frame_idx,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(max(abs(a)) AS INT) AS peak,
+      |    CAST(sum(a * a) AS BIGINT) AS sum_sq
+      |  FROM s GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, frame_idx, n, peak, sum_sq,
+      |  (sum_sq >= n * 5000000) AS active
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{FlacCodec, FlacDecode, PcmFrames}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val k1 = (id % 89 + 3).toInt
+          val k2 = (id % 31).toInt
+          val n = (300 + (id % 4) * 150).toInt
+          val pcm = Array.tabulate(n)(i =>
+            if (id % 5 == 0 && i < 256) k2 * 10
+            else ((k1 * i + k2) % 1601 - 800) * 20)
+          val flac = FlacCodec.encode(1, 8000, 16, Array(pcm), 256)
+          if (id % 13 == 0)
+            flac(flac.length - 20) = (flac(flac.length - 20) ^ 0x10).toByte
+          (id, flac)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          explode(PcmFrames.pcmFrames(FlacDecode.flacDecode(col("media")),
+            lit(160))).as("f"))
+        .select(col("media_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.n").as("n"), col("f.peak").as("peak"),
+          col("f.sum_sq").as("sum_sq"),
+          (col("f.sum_sq") >= col("f.n") * 5000000L).as("active"))
+        .orderBy("media_id", "frame_idx")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
-    x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223)
+    x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
+    x225)
 }
