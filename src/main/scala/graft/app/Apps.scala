@@ -19,6 +19,10 @@ object AppSession {
   def require(ok: Boolean, usage: String): Unit =
     if (!ok) { System.err.println(s"usage: $usage"); sys.exit(1) }
 
+  def fail(msg: String): Nothing = {
+    System.err.println(s"error: $msg"); sys.exit(1)
+  }
+
   /** `--name=value` flag extraction (UTF-8 bytes for AES keys: 16/24/32). */
   def flagValue(args: Array[String], name: String): Option[String] =
     args.collectFirst { case a if a.startsWith(s"--$name=") =>
@@ -404,6 +408,43 @@ object AnnounceKeyApp {
     graft.streaming.KeyExchange.announce(topicDir, party, id)
     System.err.println(s"[announce] party '$party' announced on $topicDir.reqs")
     System.err.println(s"[announce] fingerprint: ${id.fingerprint}")
+  }
+}
+
+/** `ProvisionNodeApp <baseDir> <nodeId> [--announce=<topicDir>]` — the
+  * reference's provision workflow (tools/provision_wrapper.py:144-183
+  * wrapping KafkaCrypto's provision scripts) re-expressed: mint a node
+  * identity, seal the private store under the password from
+  * `SPARK_GRAFT_PROVISION_PASSWORD`, and lay out the wrapper's exact
+  * output contract (`<nodeId>/<nodeId>.{config,seed,crypto}` — see
+  * [[graft.streaming.Provision]]). With `--announce`, immediately open
+  * the store back (proving the password round-trip) and publish the
+  * signed announcement, so provision → announce → `--key-exchange`
+  * upload is one command away from a working encrypted pipeline. Pure
+  * control plane — no SparkSession. */
+object ProvisionNodeApp {
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    AppSession.require(positional.length == 2,
+      "ProvisionNodeApp <baseDir> <nodeId> [--announce=<topicDir>]")
+    val Array(baseDir, nodeId) = positional: @unchecked
+    val password = sys.env.getOrElse("SPARK_GRAFT_PROVISION_PASSWORD",
+      AppSession.fail("set SPARK_GRAFT_PROVISION_PASSWORD (never a CLI arg: " +
+        "argv is world-readable in /proc)")).toCharArray
+    val dir = graft.streaming.Provision.provision(baseDir, nodeId, password)
+    System.err.println(s"[provision] node '$nodeId' provisioned at $dir")
+    graft.streaming.Provision.validate(dir.toString) match {
+      case Right(id) => System.err.println(s"[provision] layout valid for '$id'")
+      case Left(err) => AppSession.fail(s"layout validation failed: $err")
+    }
+    flags.collectFirst { case f if f.startsWith("--announce=") =>
+      f.stripPrefix("--announce=")
+    }.foreach { topicDir =>
+      val id = graft.streaming.Provision.load(dir.toString, password)
+      graft.streaming.KeyExchange.announce(topicDir, nodeId, id)
+      System.err.println(s"[provision] announced on $topicDir.reqs")
+      System.err.println(s"[provision] fingerprint: ${id.fingerprint}")
+    }
   }
 }
 

@@ -4321,6 +4321,75 @@ object TextOps {
       InvertedIndex.serving(InvertedIndex.merge(segments)).orderBy("tok")
   }
 
+  /** x226: BM25 SERVED FROM THE INDEX — x88 scores ad hoc off the token
+    * stream; a retrieval service scores off the MATERIALIZED index. This
+    * gate rebuilds x224's merged incremental index (segments → merge) and
+    * computes the exact x88 ranking — idf from the index's df column, tf
+    * from the posting arrays, document length as Σtf over each doc's
+    * postings — and must hash-match x88's oracle (the ad-hoc formula):
+    * the strongest possible statement that the index is lossless for
+    * retrieval. Scale shape: the only corpus-width exchange is the
+    * posting explode for doc lengths (O(index), a serving-side
+    * precompute); the query-term slice is a filter on the term-keyed
+    * index, df/N/avgdl are one tiny broadcast each, and the top-5 window
+    * sees only docs containing a query term. */
+  val x226 = DQ("x226_index_bm25", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE tok IN ('data', 'spark', 'join') GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.tok AS term, t.doc_id,
+      |         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |         (CAST(t.tf AS DOUBLE) * 2.2) /
+      |         (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))) AS score
+      |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id)
+      |  CROSS JOIN stats s),
+      |r AS (SELECT term, doc_id, score,
+      |             row_number() OVER (PARTITION BY term
+      |                                ORDER BY score DESC, doc_id) AS rn
+      |      FROM scored)
+      |SELECT term, doc_id, round(score, 4) AS score FROM r WHERE rn <= 5
+      |ORDER BY term, doc_id""".stripMargin)) {
+    (spark, dir) =>
+      import graft.streaming.InvertedIndex
+      val queryTerms = Seq("data", "spark", "join")
+      val docs = spread(table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      val index = InvertedIndex.merge((0 until 3)
+        .map(b => InvertedIndex.segment(docs.where(col("doc_id") % 3 === b)))
+        .reduce(_ unionByName _))
+      val post = index
+        .select(col("tok"), col("df"), explode(col("postings")).as("p"))
+        .select(col("tok"), col("df"),
+          col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+      val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val hits = post.filter(col("tok").isin(queryTerms: _*))
+      val scored = hits
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("tok").as("term"), col("doc_id"),
+          (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf").cast("double") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+            .as("score"))
+      val w = Window.partitionBy("term")
+        .orderBy(col("score").desc, col("doc_id"))
+      scored
+        .select(col("term"), col("doc_id"), round(col("score"), 4).as("score"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy("term", "doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
@@ -4328,5 +4397,5 @@ object TextOps {
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
     x197, x198, x199, x200, x207, x208, x210, x215, x216, x217,
-    x218, x219, x221, x224)
+    x218, x219, x221, x224, x226)
 }

@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x207_lsh_sweep", // 1-row truth-count broadcast cross join
     "x210_dataset_card", // 1-row corpus-count broadcast cross join (median)
     "x216_lang_temperature", // 1-row weight-totals broadcast cross join
-    "x217_quality_drift") // 1-row half-totals broadcast cross join
+    "x217_quality_drift", // 1-row half-totals broadcast cross join
+    "x226_index_bm25") // 1-row (N, avgdl) corpus-stats broadcast cross join
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
