@@ -399,6 +399,35 @@ object Pipelines {
         col("r.payload_md5").as("payload_md5"))
   }
 
+  /** Continuous PDF text ingest over a directory watch: every PDF dropped
+    * into `dir` emits one row per page — `pdf_text`'s content-stream walk
+    * ([[graft.functions.Pdfs.pdfText]], the x222 batch gate) run as a
+    * standing query, so a document corpus grows as files land instead of
+    * being re-scanned. Structurally broken PDFs surface as ONE quarantine
+    * row (page = -1, null text, ok = false) — the dead-letter posture of
+    * every other ingest arm; they never throw and never vanish. Scale
+    * shape: a per-file in-row expression — no state, no shuffle. */
+  def pdfTextStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PdfText
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    files
+      .select(col("path"), PdfText.pdfText(col("content")).as("pages"))
+      .select(col("path"), col("pages"),
+        posexplode(when(col("pages").isNotNull, col("pages"))
+          .otherwise(array(lit("")))).as(Seq("p0", "ptext")))
+      .select(col("path"),
+        when(col("pages").isNotNull, col("p0") + 1)
+          .otherwise(lit(-1)).cast("int").as("page"),
+        when(col("pages").isNotNull, col("ptext")).as("text"),
+        when(col("pages").isNotNull, length(col("ptext")).cast("long"))
+          .as("n_chars"),
+        col("pages").isNotNull.as("ok"))
+  }
+
   /** Streaming incremental-dedup gate against a PRIOR corpus's Bloom
     * filter (the x166 batch gate's streaming twin): text files dropped
     * into a watched directory are tokenized and 8-gram-shingled IN-ROW,
