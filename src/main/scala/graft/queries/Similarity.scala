@@ -1125,6 +1125,69 @@ object Similarity {
         .orderBy("label")
   }
 
+  /** x227: INCREMENTAL IVF INDEX — x224's arrival-time maintenance story
+    * for the VECTOR modality: embeddings land over three pseudo-batches,
+    * each assigned to its nearest coarse centroid at arrival (the native
+    * `NearestCentroid` in-row argmin — x04's assignment arithmetic, ties
+    * to the smallest cid) and stored as per-batch inverted-list segments
+    * ([[graft.streaming.VectorIndex]]); search probes the query's
+    * centroid list and exact-reranks only those lists. The oracle is
+    * x04's ad-hoc IVF search verbatim — index-served search must equal
+    * the one-shot plan row-for-row, proving the segments carry exactly
+    * the assignment the search assumes. The centroid model (8 vectors,
+    * kilobytes) and the 1 query vector are driver-side model pulls — the
+    * documented bounded-collect exception, same as x110s. At 100 TB the
+    * segments partition `batch_id/cid`, so the probe filter is directory
+    * pruning and arrival cost is one scan of the new batch. */
+  val x227 = DQ("x227_incremental_ivf", Some(
+    """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |ser AS (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |         sum((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+      |             (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))) AS dist2
+      |  FROM embeddings e CROSS JOIN c CROSS JOIN ser
+      |  GROUP BY e.vec_id, c.cid),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+      |    FROM d2) t WHERE rn = 1),
+      |qc AS (SELECT cid FROM assign WHERE vec_id = 1),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+      |cand AS (
+      |  SELECT e.vec_id, e.embedding FROM embeddings e
+      |  JOIN assign a ON e.vec_id = a.vec_id JOIN qc ON a.cid = qc.cid),
+      |ex AS (
+      |  SELECT cand.vec_id,
+      |         CAST(cand.embedding[u.i] AS DOUBLE) AS x, CAST(q.qv[u.i] AS DOUBLE) AS y
+      |  FROM cand CROSS JOIN q
+      |  CROSS JOIN (SELECT CAST(generate_series AS INT) AS i FROM generate_series(1, 64)) u),
+      |s AS (SELECT vec_id, sum(x*y) AS dp, sqrt(sum(x*x)) AS ne, sqrt(sum(y*y)) AS nq
+      |      FROM ex GROUP BY vec_id)
+      |SELECT vec_id, round(dp / (ne * nq), 6) AS sim FROM s
+      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)) {
+    (spark, dir) =>
+      import graft.streaming.VectorIndex
+      val emb = table(spark, dir, "embeddings")
+      val model = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val cids = model.map(_._1)
+      val cvs = model.map(_._2)
+      val segments = (0 until 3)
+        .map(b => VectorIndex.segment(
+          emb.select("vec_id", "embedding").where(col("vec_id") % 3 === b),
+          cids, cvs))
+        .reduce(_ unionByName _)
+      val query = emb.filter(col("vec_id") === 1)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      val probes = VectorIndex.probeList(query, cids, cvs, nprobe = 1)
+      VectorIndex.search(segments, query, probes, k = 5)
+  }
+
   val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105,
-    x110, x110s, x118, x119, x122, x124, x196)
+    x110, x110s, x118, x119, x122, x124, x196, x227)
 }
