@@ -231,7 +231,13 @@ object Pipelines {
         PngPixels.pngPixels(col("content")),
         GifPixels.gifPixels(col("content")),
         JpegPixels.jpegPixels(col("content"))))
-      .withColumn("ps", PcmStats.pcmStats(col("content")))
+      // PCM energy/clipping directly for RIFF payloads; FLAC payloads
+      // decode first (round-9 frame codec) so lossless audio gets REAL
+      // sample stats at admission, not just STREAMINFO metadata
+      .withColumn("ps", coalesce(
+        PcmStats.pcmStats(col("content")),
+        PcmStats.pcmStats(
+          graft.functions.FlacDecode.flacDecode(col("content")))))
       // codec-config parse: for video the CODED dimensions live in the
       // codec's own parameter sets (H.264/H.265 SPS, AV1 sequence header),
       // not the container header

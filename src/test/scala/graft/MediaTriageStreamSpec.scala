@@ -68,6 +68,11 @@ class MediaTriageStreamSpec extends AnyFunSuite {
       graft.functions.Warc.buildGz(Seq(("warcinfo", null, null, "z".getBytes))))
     Files.write(new java.io.File(dir, "p.ts").toPath,
       graft.functions.MpegTs.patPacket(1, 32))
+    // a FLAC payload: triage classifies from STREAMINFO, and since round 9
+    // the pcm stats come from a REAL frame decode (peak 4000, no clipping)
+    Files.write(new java.io.File(dir, "q.flac").toPath,
+      graft.functions.FlacCodec.encode(1, 8000, 16,
+        Array(Array.tabulate(400)(i => if (i % 2 == 0) 4000 else -4000)), 128))
 
     val q = Pipelines.mediaTriageStream(spark, dir.getAbsolutePath)
       .writeStream.format("memory").queryName("triage")
@@ -83,7 +88,8 @@ class MediaTriageStreamSpec extends AnyFunSuite {
     }.toMap
     assert(rows.keySet == Set("a.png", "b.jpg", "c.wav", "d.mp4", "e.txt",
       "f.bmp", "g.wav", "h.png", "i.gif", "j.jpg", "k.webm",
-      "l.zip", "m.tar", "n.warc", "o.warc.gz", "p.ts"))
+      "l.zip", "m.tar", "n.warc", "o.warc.gz", "p.ts", "q.flac"))
+    assert(rows("q.flac") == (("audio", "flac", null, 50000L))) // 400/8000 s
     assert(rows("l.zip") == (("archive", "zip", null, -1L)))
     assert(rows("m.tar") == (("archive", "tar", null, -1L)))
     assert(rows("n.warc") == (("archive", "warc", null, -1L)))
@@ -115,6 +121,8 @@ class MediaTriageStreamSpec extends AnyFunSuite {
     assert(decoded("j.jpg") == ((64L * 64, -1, -1L)))
     assert(decoded("c.wav") == ((-1L, 0, 0L))) // all-zero PCM: silent, no clip
     assert(decoded("e.txt") == ((-1L, -1, -1L)))
+    // FLAC pcm stats come from the real frame decode, not STREAMINFO
+    assert(decoded("q.flac") == ((-1L, 4000, 0L)))
   }
 
   test("mjpegFrameStream decodes every MJPEG track sample to exact pixel " +
