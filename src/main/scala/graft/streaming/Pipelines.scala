@@ -289,6 +289,41 @@ object Pipelines {
         Id3Tags.id3Tags(col("content")).getField("title").as("title"))
   }
 
+  /** Continuous FLAC voice-activity segmentation over a directory watch:
+    * every FLAC dropped into `dir` decodes ([[graft.functions.FlacCodec]],
+    * the x223 frame codec) and emits one row per `frameSamples`-sample
+    * window with integer-exact (n, peak, Σa²) and the energy-floor
+    * verdict — the x225 batch gate's semantics as a standing query, so
+    * silence trimming happens at ingest instead of by rescan.
+    * Undecodable payloads (bad CRC, truncation, non-FLAC) surface as ONE
+    * quarantine row (frame_idx = -1, null stats) — dead-letter posture,
+    * never a thrown batch. Per-file in-row work, no state, no shuffle. */
+  def flacVadStream(spark: SparkSession, dir: String,
+      frameSamples: Int = 160, energyFloor: Long = 5000000L): DataFrame = {
+    import graft.functions.{FlacDecode, PcmFrames}
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    files
+      .select(col("path"),
+        PcmFrames.pcmFrames(FlacDecode.flacDecode(col("content")),
+          lit(frameSamples)).as("fs"))
+      .select(col("path"), col("fs"),
+        explode(when(col("fs").isNotNull, col("fs"))
+          .otherwise(array(struct(
+            lit(-1).as("frame_idx"), lit(null).cast("long").as("n"),
+            lit(null).cast("int").as("peak"),
+            lit(null).cast("long").as("sum_sq"))))).as("f"))
+      .select(col("path"), col("f.frame_idx").as("frame_idx"),
+        col("f.n").as("n"), col("f.peak").as("peak"),
+        col("f.sum_sq").as("sum_sq"),
+        when(col("fs").isNotNull,
+          col("f.sum_sq") >= col("f.n") * energyFloor).as("active"),
+        col("fs").isNotNull.as("ok"))
+  }
+
   /** Image-PII privacy gate over a directory watch: every payload runs
     * through [[privacyScrub]] before anything downstream may see it. */
   def privacyScrubStream(spark: SparkSession, dir: String): DataFrame =

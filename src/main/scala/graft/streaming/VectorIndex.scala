@@ -78,6 +78,44 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Segment compaction: fold every per-batch partition into one
+    * `batch_id=-1` partition (the id the engine never emits — the
+    * [[graft.batch.Compaction.compactBatchPartitioned]] contract),
+    * PRESERVING the `cid` sub-partitioning so probe filters keep their
+    * directory pruning. Vectors don't merge (unlike postings), so this is
+    * purely the small-files pass: O(batches·cids) directories fold to
+    * O(cids). Safe only between runs of the owning query. Returns
+    * (batchPartitionsBefore, batchPartitionsAfter). */
+  def compact(spark: SparkSession, indexDir: String): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val before = parts.length
+    if (before == 0) return (0, 0)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(indexDir)
+      .select("cid", "vec_id", "embedding")
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id", "cid").parquet(tmp.toString)
+    parts.foreach { p =>
+      if (!fs.delete(p.getPath, true))
+        throw new java.io.IOException(
+          s"VectorIndex.compact: failed to delete '${p.getPath}'; " +
+            s"compacted copy intact at '$tmp'")
+    }
+    val dest = new org.apache.hadoop.fs.Path(path, "batch_id=-1")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp, "batch_id=-1"), dest))
+      throw new java.io.IOException(
+        s"VectorIndex.compact: rename into '$dest' failed; ORIGINALS WERE " +
+          s"DELETED — the data survives under '$tmp', restore manually")
+    fs.delete(tmp, true)
+    val after = fs.listStatus(path)
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    (before, after)
+  }
+
   /** The query's probe list: nearest `nprobe` centroids by the same
     * argmin arithmetic, computed model-side (no data touched). */
   def probeList(query: Array[Float], cids: Array[Long],

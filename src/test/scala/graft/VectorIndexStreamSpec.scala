@@ -85,5 +85,18 @@ class VectorIndexStreamSpec extends AnyFunSuite {
     val cidDirs = new java.io.File(indexDir).listFiles()
       .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).distinct
     assert(cidDirs.forall(_.startsWith("cid=")), cidDirs.mkString(","))
+
+    // compaction folds batch partitions to one, keeps cid pruning and the
+    // search result identical
+    val preCompact = results(VectorIndex.read(spark, indexDir))
+    val (pBefore, pAfter) = VectorIndex.compact(spark, indexDir)
+    assert(pBefore > 1 && pAfter == 1, s"compact $pBefore -> $pAfter")
+    val compactedCids = new java.io.File(indexDir, "batch_id=-1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(compactedCids.nonEmpty && compactedCids.forall(_.startsWith("cid=")))
+    assert(results(VectorIndex.read(spark, indexDir)) == preCompact,
+      "compaction changed search results")
+    assert(VectorIndex.read(spark, indexDir).count() ==
+      (wave1.length + wave2.length).toLong)
   }
 }
