@@ -276,14 +276,19 @@ object AudioHeaders {
     null
   }
 
-  /** Minimal valid FLAC: magic + last-flagged STREAMINFO + opaque body. */
+  /** Minimal valid FLAC: magic + last-flagged STREAMINFO + opaque body.
+    * `minBlock`/`maxBlock` must reflect the actual frame block sizes when
+    * a body follows (RFC 9639 §8.2) — [[FlacCodec.encode]] passes them;
+    * header-only fixtures keep the 4096 default. */
   def buildFlac(channels: Int, rate: Int, bits: Int, totalSamples: Long,
-      body: Array[Byte]): Array[Byte] = {
+      body: Array[Byte], minBlock: Int = 4096, maxBlock: Int = 4096): Array[Byte] = {
     require(channels >= 1 && channels <= 8 && bits >= 4 && bits <= 32)
     require(rate > 0 && rate < (1 << 20) && totalSamples >= 0 && totalSamples < (1L << 36))
+    require(minBlock >= 16 && maxBlock <= 65535 && minBlock <= maxBlock)
     val info = new Array[Byte](34)
-    // min/max blocksize 4096, frame sizes 0 (unknown)
-    info(0) = 0x10; info(1) = 0x00; info(2) = 0x10; info(3) = 0x00
+    // min/max blocksize in samples, frame sizes 0 (unknown)
+    info(0) = ((minBlock >> 8) & 0xff).toByte; info(1) = (minBlock & 0xff).toByte
+    info(2) = ((maxBlock >> 8) & 0xff).toByte; info(3) = (maxBlock & 0xff).toByte
     info(10) = ((rate >> 12) & 0xff).toByte
     info(11) = ((rate >> 4) & 0xff).toByte
     info(12) = (((rate & 0xf) << 4) | ((channels - 1) << 1) |

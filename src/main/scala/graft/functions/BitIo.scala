@@ -34,6 +34,33 @@ private[functions] final class MsbBitReader(b: Array[Byte], startByte: Int = 0) 
     val k = ue()
     if (k % 2 == 0) -(k / 2) else (k + 1) / 2
   }
+
+  // FLAC-frame primitives (RFC 9639) — shared here per this file's
+  // one-implementation rule, so the underrun guard lives in one place.
+
+  /** Signed two's-complement n-bit read (n ≤ 31). */
+  def s(n: Int): Int = { val v = u(n); (v << (32 - n)) >> (32 - n) }
+
+  /** Unary run of zeros terminated by a 1 (Rice quotients), capped —
+    * malformed input must surface as a decode failure, not a spin. */
+  def unary(maxRun: Int): Int = {
+    var q = 0
+    while (u1() == 0) {
+      q += 1
+      if (q > maxRun) throw new IllegalStateException("unary overrun")
+    }
+    q
+  }
+
+  /** Skip to the next byte boundary (frame headers/footers are
+    * byte-aligned between bit-packed subframes). */
+  def alignToByte(): Unit = pos = (pos + 7) & ~7
+
+  /** Current byte offset; caller must be byte-aligned (CRC spans). */
+  def bytePos: Int = {
+    require((pos & 7) == 0, "not byte-aligned")
+    pos >> 3
+  }
 }
 
 private[functions] final class MsbBitWriter {

@@ -99,32 +99,9 @@ object FlacCodec {
     def result(): Array[Byte] = { align(); java.util.Arrays.copyOf(buf, bytes) }
   }
 
-  private final class FrameReader(b: Array[Byte], startByte: Int) {
-    var pos: Int = startByte * 8
-    def bit(): Int = {
-      if (pos >= b.length * 8) throw new IllegalStateException("flac underrun")
-      val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
-      pos += 1
-      v
-    }
-    def u(n: Int): Int = {
-      var v = 0; var i = 0
-      while (i < n) { v = (v << 1) | bit(); i += 1 }
-      v
-    }
-    /** Signed two's-complement n-bit read (n ≤ 25 in this decoder). */
-    def s(n: Int): Int = { val v = u(n); (v << (32 - n)) >> (32 - n) }
-    def unary(): Int = {
-      var q = 0
-      while (bit() == 0) {
-        q += 1
-        if (q > (1 << 20)) throw new IllegalStateException("unary overrun")
-      }
-      q
-    }
-    def align(): Unit = pos = (pos + 7) & ~7
-    def bytePos: Int = { require((pos & 7) == 0); pos >> 3 }
-  }
+  // The decoder reads through the SHARED [[MsbBitReader]] (BitIo.scala's
+  // one-implementation rule): the bit/u core, underrun guard, and the
+  // FLAC additions (s/unary/alignToByte/bytePos) live there.
 
   // --------------------------------------------------------- encoder
   /** Real FLAC from interleaved-per-channel PCM. `pcm(ch)(i)`, all
@@ -136,8 +113,20 @@ object FlacCodec {
     require(bits == 8 || bits == 16 || bits == 24)
     require(blockSize >= 16 && blockSize <= 65535)
     val total = pcm(0).length.toLong
+    val nFrames = (total + blockSize - 1) / blockSize
+    // the coded frame number covers 1–4 UTF-8-style bytes here (< 2^21
+    // frames); beyond that encode must refuse rather than silently write
+    // a corrupt header byte the decoder cannot follow
+    require(nFrames < (1L << 21),
+      s"$nFrames frames exceeds the 2^21 coded-frame-number range; " +
+        "use a larger blockSize")
+    // STREAMINFO min/max block size must reflect the ACTUAL frames
+    // (RFC 9639 §8.2: the last block is excluded from the minimum)
+    val lastBlock = (total - (nFrames - 1) * blockSize).toInt
+    val declaredBlock = if (nFrames == 1) lastBlock else blockSize
     val header = AudioHeaders.buildFlac(channels, rate, bits, total,
-      Array.emptyByteArray)
+      Array.emptyByteArray,
+      minBlock = math.max(16, declaredBlock), maxBlock = math.max(16, declaredBlock))
     val out = new java.io.ByteArrayOutputStream(header.length + pcm(0).length * 2)
     out.write(header)
     var start = 0
@@ -174,11 +163,17 @@ object FlacCodec {
     w.u(assign, 4)
     w.u(sampleSizeCode(bits), 3)
     w.bit(0)
-    // coded (UTF-8-style) frame number
+    // coded (UTF-8-style) frame number, 1–4 bytes (< 2^21 — encode() guards)
     val fn = frameIdx
     if (fn < 0x80) w.u(fn, 8)
     else if (fn < 0x800) { w.u(0xc0 | (fn >> 6), 8); w.u(0x80 | (fn & 0x3f), 8) }
-    else { w.u(0xe0 | (fn >> 12), 8); w.u(0x80 | ((fn >> 6) & 0x3f), 8); w.u(0x80 | (fn & 0x3f), 8) }
+    else if (fn < 0x10000) {
+      w.u(0xe0 | (fn >> 12), 8); w.u(0x80 | ((fn >> 6) & 0x3f), 8)
+      w.u(0x80 | (fn & 0x3f), 8)
+    } else {
+      w.u(0xf0 | (fn >> 18), 8); w.u(0x80 | ((fn >> 12) & 0x3f), 8)
+      w.u(0x80 | ((fn >> 6) & 0x3f), 8); w.u(0x80 | (fn & 0x3f), 8)
+    }
     w.u(n - 1, 16)
     w.align()
     w.u(crc8(w.bytesSoFar, 0, w.nBytes), 8)
@@ -343,25 +338,24 @@ object FlacCodec {
     val out = Array.fill(channels)(new Array[Int](want.toInt))
     var got = 0
     while (got < want) {
-      val r = new FrameReader(b, i)
-      val (nGot, nextByte) = decodeFrame(b, r, channels, bits, out, got)
+      val r = new MsbBitReader(b, i)
+      val (nGot, nextByte) = decodeFrame(b, r, i, channels, bits, out, got)
       got += nGot
       i = nextByte
     }
     Audio(channels, rate, bits, out)
   }
 
-  private def decodeFrame(b: Array[Byte], r: FrameReader, channels: Int,
-      infoBits: Int, out: Array[Array[Int]], at: Int): (Int, Int) = {
-    val frameStart = r.pos >> 3
+  private def decodeFrame(b: Array[Byte], r: MsbBitReader, frameStart: Int,
+      channels: Int, infoBits: Int, out: Array[Array[Int]], at: Int): (Int, Int) = {
     if (r.u(14) != 0x3ffe) throw new IllegalStateException("bad sync")
-    if (r.bit() != 0) throw new IllegalStateException("reserved")
-    r.bit() // blocking strategy
+    if (r.u1() != 0) throw new IllegalStateException("reserved")
+    r.u1() // blocking strategy
     val bsCode = r.u(4)
     val srCode = r.u(4)
     val assign = r.u(4)
     val ssCode = r.u(3)
-    if (r.bit() != 0) throw new IllegalStateException("reserved")
+    if (r.u1() != 0) throw new IllegalStateException("reserved")
     // coded number: UTF-8-like, 1..7 bytes — consume
     val first = r.u(8)
     var extra = 0
@@ -398,7 +392,7 @@ object FlacCodec {
       case _ => throw new IllegalStateException("reserved sample size")
     }
     if (bits != infoBits) throw new IllegalStateException("bits mismatch")
-    r.align()
+    r.alignToByte()
     val hdrCrc = crc8(b, frameStart, r.bytePos)
     if (r.u(8) != hdrCrc) throw new IllegalStateException("header crc")
     val nCh = if (assign < 8) assign + 1
@@ -418,7 +412,7 @@ object FlacCodec {
       sig(c) = decodeSubframe(r, blockSize, bps)
       c += 1
     }
-    r.align()
+    r.alignToByte()
     val crc = crc16(b, frameStart, r.bytePos)
     if (r.u(16) != crc) throw new IllegalStateException("frame crc")
     // undo stereo decorrelation
@@ -455,10 +449,10 @@ object FlacCodec {
     (blockSize, r.bytePos)
   }
 
-  private def decodeSubframe(r: FrameReader, n: Int, bps: Int): Array[Int] = {
-    if (r.bit() != 0) throw new IllegalStateException("subframe pad")
+  private def decodeSubframe(r: MsbBitReader, n: Int, bps: Int): Array[Int] = {
+    if (r.u1() != 0) throw new IllegalStateException("subframe pad")
     val typ = r.u(6)
-    val wasted = if (r.bit() == 1) r.unary() + 1 else 0
+    val wasted = if (r.u1() == 1) r.unary(1 << 20) + 1 else 0
     val eff = bps - wasted
     if (eff <= 0 || eff > 25) throw new IllegalStateException("bps")
     val x = new Array[Int](n)
@@ -515,7 +509,7 @@ object FlacCodec {
     x
   }
 
-  private def decodeResidual(r: FrameReader, predOrder: Int, blockSize: Int)
+  private def decodeResidual(r: MsbBitReader, predOrder: Int, blockSize: Int)
       : Array[Int] = {
     val method = r.u(2)
     if (method > 1) throw new IllegalStateException("residual method")
@@ -542,7 +536,7 @@ object FlacCodec {
       } else {
         var j = 0
         while (j < cnt) {
-          val q = r.unary()
+          val q = r.unary(1 << 20)
           val low = if (k == 0) 0 else r.u(k)
           val u = (q.toLong << k) | (low.toLong & ((1L << k) - 1))
           e(off + j) = ((u >>> 1) ^ -(u & 1L)).toInt

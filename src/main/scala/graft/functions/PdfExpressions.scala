@@ -234,15 +234,20 @@ object Pdfs {
     val raw = java.util.Arrays.copyOfRange(b, ds, ds + len.toInt)
     if (!flate) raw
     else {
+      // bound the inflate output (decompression-bomb defense, same stance
+      // as the PNG/ZIP paths): a page content stream past this size is
+      // hostile or broken either way — null-route, never OOM
+      val MaxInflated = 1 << 26 // 64 MiB per content stream
       val inf = new java.util.zip.Inflater()
       try {
         inf.setInput(raw)
-        val buf = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val buf = new java.io.ByteArrayOutputStream(math.min(raw.length * 4, 1 << 20))
         val chunk = new Array[Byte](8192)
         while (!inf.finished()) {
           val n = inf.inflate(chunk)
           if (n == 0 && !inf.finished()) return null // truncated/needs-dict
           buf.write(chunk, 0, n)
+          if (buf.size() > MaxInflated) return null
         }
         buf.toByteArray
       } catch {
@@ -365,7 +370,7 @@ object Pdfs {
         val op = new String(cs, start, i - start,
           java.nio.charset.StandardCharsets.ISO_8859_1)
         op match {
-          case "Tj" => show(lastStr); lastStr = null; nums.clear()
+          case "Tj" => show(lastStr); lastStr = null
           case "TJ" =>
             if (arr != null) {
               val sb = new java.lang.StringBuilder()
@@ -376,25 +381,26 @@ object Pdfs {
                 case _ => ()
               }
               show(sb.toString)
-              arr = null
             }
-            nums.clear()
           case "Td" | "TD" =>
             if (nums.length >= 2 && nums.last != 0.0) newLine()
-            nums.clear()
-          case "T*" => newLine(); nums.clear()
+          case "T*" => newLine()
           case "Tm" =>
             if (nums.length >= 6) {
               val y = nums(nums.length - 1)
               if (!lastY.isNaN && y != lastY) newLine()
               lastY = y
             }
-            nums.clear()
-          case "'" => newLine(); show(lastStr); lastStr = null; nums.clear()
-          case "\"" => newLine(); show(lastStr); lastStr = null; nums.clear()
-          case "BT" => lastY = Double.NaN; nums.clear()
-          case _ => nums.clear() // any other operator consumes its operands
+          case "'" => newLine(); show(lastStr); lastStr = null
+          case "\"" => newLine(); show(lastStr); lastStr = null
+          case "BT" => lastY = Double.NaN
+          case _ => ()
         }
+        // EVERY operator consumes its operands — including a non-TJ array
+        // (`[2 4] 0 d`): a stale `arr` would otherwise swallow all later
+        // strings on the page and divert Td/TD operands
+        nums.clear()
+        arr = null
       } else i += 1
     }
     out.toString

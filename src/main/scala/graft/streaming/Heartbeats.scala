@@ -122,15 +122,22 @@ object Heartbeats {
     /** Block until every queued append has landed (shutdown/test hook).
       * StreamingQueryListener events ride Spark's async listener bus, so a
       * final beat can be DELIVERED after awaitTermination() returns; a bare
-      * queue-flush would miss it. `settleMillis` waits for the bus to
-      * quiesce first: no new progress event for that long ⇒ the bus has
-      * drained to this listener, then the executor queue is flushed. */
+      * queue-flush would miss it. Two conditions must both hold before the
+      * executor queue is flushed: at least `settleMillis` has elapsed
+      * since drain() was CALLED (an event already queued on a lagging bus
+      * at call time gets that long to arrive), and no new progress event
+      * has landed for `settleMillis` (the bus has gone quiet). Heuristic —
+      * the bus exposes no public drained-signal — but bounded (30 s) and
+      * strictly conservative in both directions. */
     def drain(settleMillis: Long = 1000L): Unit = {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (System.nanoTime() - lastEventNanos < settleMillis * 1000000L &&
-          System.nanoTime() < deadline) {
-        Thread.sleep(50)
-      }
+      val start = System.nanoTime()
+      val settle = settleMillis * 1000000L
+      val deadline = start + 30L * 1000 * 1000 * 1000
+      while ({
+        val now = System.nanoTime()
+        (now - start < settle || now - lastEventNanos < settle) &&
+          now < deadline
+      }) Thread.sleep(50)
       exec.submit(new Runnable { override def run(): Unit = () }).get()
     }
   }

@@ -84,6 +84,11 @@ object InvertedIndex {
   def compact(spark: SparkSession, indexDir: String): (Long, Long) = {
     val path = new Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a fresh/empty index (no segments landed yet) compacts to nothing —
+    // same contract as VectorIndex.compact, not an AnalysisException
+    if (!fs.exists(path) || !fs.listStatus(path).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id=")))
+      return (0L, 0L)
     val before = spark.read.parquet(indexDir).count()
     val tmp = new Path(path, "_compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
