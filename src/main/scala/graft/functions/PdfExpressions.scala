@@ -256,6 +256,13 @@ object Pdfs {
     }
   }
 
+  /** Test hook: the operator replay over a raw content stream (fixture
+    * builders never emit some spec-legal shapes — non-TJ arrays, hex
+    * strings, the star and Tm moves — so their handling is pinned
+    * directly). */
+  private[graft] def extractTextForTest(cs: Array[Byte]): String =
+    extractText(cs)
+
   /** Replay text-showing + text-positioning operators of one decoded
     * content stream (see [[pdfText]] for the semantics). */
   private def extractText(cs: Array[Byte]): String = {
