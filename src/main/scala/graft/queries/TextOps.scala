@@ -3782,24 +3782,30 @@ object TextOps {
     * (Spark `div` truncates, DuckDB `//` floors on NEGATIVE dividends):
     * logit_e3 ≥ −9000 by construction (every feature term is ≥ 0 and the
     * bias is −9000), so `(logit_e3 + 18000) div 2000 − 9` keeps the
-    * dividend non-negative in both engines — never divide the raw logit. */
+    * dividend non-negative in both engines — never divide the raw logit.
+    * Oracle types: the correlated `sum()` inside logit_e3 is HUGEINT in
+    * DuckDB and would propagate int128 all the way into `bucket` (the
+    * round-8/9 hash mismatch — values identical, wire type differs), so
+    * both logit_e3 and bucket carry explicit CAST(... AS BIGINT); the
+    * whitelist in tools/compare.py pins the class. */
   val x217 = DQ("x217_quality_drift", Some(
     """WITH t AS (SELECT doc_id, lang,
       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
       |                x -> x <> '') AS l
       |  FROM documents),
       |f AS (SELECT doc_id,
-      |    25 * len(l)
+      |    CAST(25 * len(l)
       |      + 8 * ((SELECT 100 * sum(length(x.tok)) // len(l)
       |              FROM unnest(l) AS x(tok)))
       |      + 500 * ((SELECT count(*) FROM unnest(l) AS x(tok)
       |                WHERE x.tok IN ('the','a','is','of','and','to',
       |                                'that','with')))
       |      + (len(list_distinct(l)) * 1000000 // len(l)) // 500
-      |      - 9000 AS logit_e3
+      |      - 9000 AS BIGINT) AS logit_e3
       |  FROM t),
       |b AS (SELECT doc_id % 2 = 1 AS is_new,
-      |    least(greatest((logit_e3 + 18000) // 2000 - 9, -2), 7) AS bucket
+      |    CAST(least(greatest((logit_e3 + 18000) // 2000 - 9, -2), 7)
+      |         AS BIGINT) AS bucket
       |  FROM f),
       |c AS (SELECT bucket,
       |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS o_old,

@@ -13,6 +13,28 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = []
 ran = 0
+# Oracle output-type whitelist: the driver's hasher serializes DuckDB
+# result columns via pandas, and exotic types (HUGEINT/int128, DECIMAL)
+# round-trip differently from Spark's parquet output even when every
+# value is identical (x217, round 9: an un-CAST correlated sum leaked
+# HUGEINT into `bucket` -> pandas float64 -> hash mismatch). Any oracle
+# column outside this list is a gate-dialect bug, not a Spark bug.
+TYPE_OK = {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "DATE", "BOOLEAN",
+           "TIMESTAMP"}
+type_bad = []
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    try:
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            if str(t) not in TYPE_OK:
+                type_bad.append(f"{name}.{c}: {t}")
+    except Exception:
+        pass  # execution errors reported in the main loop below
+if type_bad:
+    print(f"ORACLE TYPE WHITELIST VIOLATIONS (cast these in the oracle "
+          f"SQL): {type_bad}")
 unknown = sorted(only - set(oracle)) if only else []
 if unknown:
     print(f"WARNING: not in oracle_sql.json: {unknown}")
@@ -67,4 +89,4 @@ for name in sorted(oracle):
 print(f"\n{ran - len(fail)}/{ran} OK"
       + (f" (of {len(oracle)} total)" if only else "")
       + (f", FAILED: {fail}" if fail else ""))
-sys.exit(1 if (fail or unknown) else 0)
+sys.exit(1 if (fail or unknown or type_bad) else 0)
