@@ -335,14 +335,31 @@ object FlacCodec {
     }
     val want = exactTotal
     if (want <= 0 || want > 100000000L) return null
-    val out = Array.fill(channels)(new Array[Int](want.toInt))
+    // memory-bomb defense: total-samples is an UNTRUSTED header field — a
+    // 50-byte forgery claiming 100M samples × 8 channels would otherwise
+    // allocate 3.2 GB before the first frame is read (and the resulting
+    // OutOfMemoryError is not an Exception, so it would escape the
+    // null-route). Grow the PCM buffers as frames actually decode: memory
+    // is then bounded by real payload, and a forged header dies at the
+    // first bad sync having allocated ≤ 64 KiB samples per channel.
+    val wantI = want.toInt
+    var out = Array.fill(channels)(new Array[Int](math.min(wantI, 1 << 16)))
     var got = 0
     while (got < want) {
+      // room for one max-size FLAC frame (65535 samples), never past want
+      val need = math.min(want, got.toLong + 65536L).toInt
+      if (out(0).length < need) {
+        val newLen =
+          math.min(wantI.toLong, math.max(need.toLong, out(0).length * 2L)).toInt
+        out = out.map(a => java.util.Arrays.copyOf(a, newLen))
+      }
       val r = new MsbBitReader(b, i)
       val (nGot, nextByte) = decodeFrame(b, r, i, channels, bits, out, got)
       got += nGot
       i = nextByte
     }
+    // loop exits only at got == want, and the last ensure-room call sized
+    // the arrays to exactly `want` — no trailing-zero tail to trim
     Audio(channels, rate, bits, out)
   }
 

@@ -35,7 +35,10 @@ object Pdfs {
     new String(b, at, math.min(len, b.length - at), Ascii)
   }
 
-  /** First integer after `key` inside `s`, or -1. */
+  /** First integer after `key` inside `s`, or -1. A digit run longer than
+    * 18 chars cannot be a valid offset/count/object number in any real PDF
+    * (xref offsets are 10 digits) and would overflow Long — route to -1,
+    * never throw (the never-throws contract of pdf_meta/pdf_text). */
   private def intAfter(s: String, key: String): Long = {
     val i = s.indexOf(key)
     if (i < 0) return -1L
@@ -43,11 +46,17 @@ object Pdfs {
     while (j < s.length && (s(j) == ' ' || s(j) == '\n' || s(j) == '\r')) j += 1
     val start = j
     while (j < s.length && s(j).isDigit) j += 1
-    if (j == start) -1L else s.substring(start, j).toLong
+    if (j == start || j - start > 18) -1L else s.substring(start, j).toLong
   }
 
-  /** (version, n_objects, n_pages) or null. */
-  def pdfMeta(b: Array[Byte]): (String, Int, Int) = {
+  /** (version, n_objects, n_pages) or null. Outer guard: a standing
+    * pdfTextStream query must survive ANY byte pattern, so like
+    * FlacCodec.decode the whole walk null-routes on unexpected throws
+    * (belt over the targeted digit-run bounds). */
+  def pdfMeta(b: Array[Byte]): (String, Int, Int) =
+    try pdfMetaImpl(b) catch { case scala.util.control.NonFatal(_) => null }
+
+  private def pdfMetaImpl(b: Array[Byte]): (String, Int, Int) = {
     if (b == null || b.length < 32) return null
     // 1. header: %PDF-M.N
     val head = window(b, 0, 16)
@@ -68,7 +77,9 @@ object Pdfs {
     val hdrEnd = xr.indexOf('\n', p)
     if (hdrEnd < 0) return null
     val parts = xr.substring(p, hdrEnd).trim.split(" ")
-    if (parts.length != 2 || !parts.forall(_.forall(_.isDigit))) return null
+    if (parts.length != 2 ||
+      !parts.forall(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit)))
+      return null
     val first = parts(0).toInt
     val count = parts(1).toInt
     val entriesAt = xrefOff.toInt + hdrEnd + 1
@@ -136,7 +147,9 @@ object Pdfs {
     val hdrEnd = xr.indexOf('\n', p)
     if (hdrEnd < 0) return null
     val parts = xr.substring(p, hdrEnd).trim.split(" ")
-    if (parts.length != 2 || !parts.forall(_.forall(_.isDigit))) return null
+    if (parts.length != 2 ||
+      !parts.forall(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit)))
+      return null
     val first = parts(0).toInt
     val count = parts(1).toInt
     val entriesAt = xrefOff.toInt + hdrEnd + 1
@@ -165,7 +178,10 @@ object Pdfs {
     * A page without `/Contents` yields "". String bytes decode as UTF-8
     * (this library writes UTF-8 into fixtures; real-corpus font-encoding
     * CMaps are out of scope and documented as such). */
-  def pdfText(b: Array[Byte]): Array[String] = {
+  def pdfText(b: Array[Byte]): Array[String] =
+    try pdfTextImpl(b) catch { case scala.util.control.NonFatal(_) => null }
+
+  private def pdfTextImpl(b: Array[Byte]): Array[String] = {
     if (b == null || b.length < 32) return null
     val head = window(b, 0, 16)
     if (head == null || !head.startsWith("%PDF-")) return null
@@ -190,8 +206,12 @@ object Pdfs {
     val lb = pagesWin.indexOf('[', kidsAt)
     val rb = if (lb < 0) -1 else pagesWin.indexOf(']', lb)
     if (rb < 0) return null
+    // an overlong object number (>9 digits) cannot resolve in any xref —
+    // map it to -1 so the objOffset check below null-routes, never throws
     val kids = "(\\d+) 0 R".r
-      .findAllMatchIn(pagesWin.substring(lb, rb)).map(_.group(1).toInt).toArray
+      .findAllMatchIn(pagesWin.substring(lb, rb))
+      .map { m => val g = m.group(1); if (g.length > 9) -1 else g.toInt }
+      .toArray
     if (kids.isEmpty) return null
     val out = new Array[String](kids.length)
     var i = 0
@@ -211,6 +231,42 @@ object Pdfs {
     out
   }
 
+  /** `/Length` of a stream dict, resolving the common indirect form
+    * `/Length <num> <gen> R` (the writer didn't know the stream size when
+    * it emitted the dict — most real-world PDFs) by following the xref to
+    * the integer object. -1 on any structural break; a misread direct
+    * parse of an indirect ref (e.g. 12 from `12 0 R`) would silently
+    * truncate the stream, so the indirect form MUST be detected first. */
+  private def lengthOf(b: Array[Byte], xref: Xref, dict: String): Long = {
+    def ws(c: Char): Boolean = c == ' ' || c == '\n' || c == '\r'
+    val i = dict.indexOf("/Length")
+    if (i < 0) return -1L
+    var j = i + 7
+    while (j < dict.length && ws(dict(j))) j += 1
+    val numStart = j
+    while (j < dict.length && dict(j).isDigit) j += 1
+    if (j == numStart || j - numStart > 18) return -1L
+    val first = dict.substring(numStart, j).toLong
+    // lookahead for "<gen> R" — whitespace, digits, whitespace, 'R'
+    var k = j
+    while (k < dict.length && ws(dict(k))) k += 1
+    val genStart = k
+    while (k < dict.length && dict(k).isDigit) k += 1
+    val hasGen = k > genStart && k - genStart <= 9
+    var r = k
+    while (r < dict.length && ws(dict(r))) r += 1
+    if (!(hasGen && r < dict.length && dict(r) == 'R')) return first // direct
+    // indirect: resolve the integer object `first 0 obj ... N ... endobj`
+    if (first > Int.MaxValue) return -1L
+    val at = xref.objOffset(first.toInt)
+    if (at < 0 || at >= b.length) return -1L
+    val w = window(b, at.toInt, 64)
+    if (w == null) return -1L
+    val ok = w.indexOf("obj")
+    if (ok < 0) return -1L
+    intAfter(w.substring(ok + 3), "")
+  }
+
   /** Resolve + decode one content-stream object: dict `/Length` bounds the
     * raw data, `/Filter /FlateDecode` inflates it (Inflater ALWAYS ends —
     * an unclosed JDK inflater is native-memory pressure at scale). Null on
@@ -223,7 +279,7 @@ object Pdfs {
     val dictEnd = w.indexOf(">>")
     if (dictEnd < 0) return null
     val dict = w.substring(0, dictEnd)
-    val len = intAfter(dict, "/Length")
+    val len = lengthOf(b, xref, dict)
     val flate = dict.contains("/FlateDecode")
     val sk = w.indexOf("stream", dictEnd)
     if (sk < 0) return null
