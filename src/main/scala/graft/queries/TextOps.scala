@@ -4338,7 +4338,10 @@ object TextOps {
     * posting explode for doc lengths (O(index), a serving-side
     * precompute); the query-term slice is a filter on the term-keyed
     * index, df/N/avgdl are one tiny broadcast each, and the top-5 window
-    * sees only docs containing a query term. */
+    * sees only docs containing a query term. The scoring path consumes
+    * the ≤ChunkSize chunk rows directly (InvertedIndex.postings /
+    * termStats) — a stopword query term explodes many bounded rows in
+    * parallel instead of one O(corpus) array in one task. */
   val x226 = DQ("x226_index_bm25", Some(
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -4368,13 +4371,14 @@ object TextOps {
       val queryTerms = Seq("data", "spark", "join")
       val docs = spread(table(spark, dir, "documents")
         .select(col("doc_id"), col("text")))
-      val index = InvertedIndex.merge((0 until 3)
+      // serve off CHUNK rows: each ≤ChunkSize posting row explodes
+      // independently and df comes from the no-array termStats sums — no
+      // per-term posting array is ever materialized on the BM25 path
+      val segments = (0 until 3)
         .map(b => InvertedIndex.segment(docs.where(col("doc_id") % 3 === b)))
-        .reduce(_ unionByName _))
-      val post = index
-        .select(col("tok"), col("df"), explode(col("postings")).as("p"))
-        .select(col("tok"), col("df"),
-          col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+        .reduce(_ unionByName _)
+      val post = InvertedIndex.postings(segments)
+        .join(InvertedIndex.termStats(segments).select("tok", "df"), "tok")
       val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))

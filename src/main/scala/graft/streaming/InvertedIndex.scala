@@ -14,34 +14,59 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * data_file_io/actor/data_file_stream_processor.py:1-120), here
   * maintaining a SEARCH artifact instead of a transfer registry.
   *
-  * Scale shape: each micro-batch shuffles only ITS OWN postings (one row
-  * per (term, batch) after a map-side (doc, term)→tf collapse) — the
-  * stored corpus index is never rewritten on arrival. Reads are one
-  * hash-agg over segments; compaction is one read + one write, folding
-  * O(batches) segment rows per term back to one. Exactly-once: segments
-  * land via [[IdempotentParquetSink]]'s dynamic partition overwrite, so a
+  * Scale shape: each micro-batch shuffles only ITS OWN postings (rows
+  * keyed (term, chunk) after a map-side (doc, term)→tf collapse) — the
+  * stored corpus index is never rewritten on arrival. NO stored row's
+  * posting array exceeds [[ChunkSize]] entries: a stopword term that
+  * appears in every document materializes ceil(df/cap) bounded rows, not
+  * one O(corpus) array cell (which would be a task OOM and a one-task
+  * straggler at compaction/serving). Chunk ranks come from a per-term
+  * `row_number` window — a sort-based exchange that SPILLS on skew
+  * instead of allocating, which is exactly the trade the cap exists to
+  * make. Reads are one hash-agg over segments; compaction is one read +
+  * one re-chunk + one write. Exactly-once: segments land via
+  * [[IdempotentParquetSink]]'s dynamic partition overwrite, so a
   * replayed micro-batch REPLACES its own segment instead of double
   * counting. The ingest model assumes each doc_id arrives in exactly one
   * batch (re-uploads are a dedup gate's job — x166 — not the index's).
   */
 object InvertedIndex {
 
+  /** Max postings stored in one row (segment and compacted form alike). */
+  val ChunkSize = 4096
+
   private def tokens(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), "[^a-z]+"), t => t =!= "")
 
-  /** One batch of documents `(doc_id, text)` → its index segment: per
-    * term, the batch-local document frequency, total term frequency, and
-    * doc-ordered posting array. The (doc, term) → tf collapse happens
-    * map-side (hash agg) before the term exchange, so the shuffle carries
-    * one row per posting — x112's exchange, scoped to the batch. */
-  def segment(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .groupBy("tok")
+  /** (doc_id, tok, tf) rows → chunk rows `(tok, chunk_id, df, total_tf,
+    * postings[≤cap])`, doc-ordered within and across chunks. df/total_tf
+    * are chunk-local; per-term values are their sums (each doc appears in
+    * exactly one chunk). */
+  private def chunkRows(tf: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tok").orderBy("doc_id")
+    tf.withColumn("chunk_id",
+        ((row_number().over(w) - 1) / cap).cast("int"))
+      .groupBy("tok", "chunk_id")
       .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"))
+  }
+
+  /** One batch of documents `(doc_id, text)` → its index segment: per
+    * (term, chunk), the chunk-local document frequency, total term
+    * frequency, and doc-ordered posting array capped at `cap` entries.
+    * The (doc, term) → tf collapse happens map-side (hash agg) before
+    * the term exchange, so the shuffle carries one row per posting —
+    * x112's exchange, scoped to the batch. */
+  def segment(docs: DataFrame): DataFrame = segment(docs, ChunkSize)
+
+  def segment(docs: DataFrame, cap: Int): DataFrame =
+    chunkRows(
+      docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")),
+      cap)
 
   /** foreachBatch hook: segment the micro-batch and land it replay-safe. */
   def appendBatch(indexDir: String)(batch: DataFrame, batchId: Long): Unit =
@@ -56,12 +81,31 @@ object InvertedIndex {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** Fold segment rows to one row per term (array-typed postings —
-    * doc-ordered because each doc lives in exactly one segment). */
+  /** Fold segment chunk rows to ONE row per term (array-typed postings —
+    * doc-ordered because each doc lives in exactly one segment chunk).
+    * This is the SERVING reconstruct for the gate-pinned x112 schema
+    * (full `doc:tf` string per term); it re-materializes the per-term
+    * array, so use it for term-sliced or small-vocabulary reads. Scale
+    * consumers that walk whole posting lists (BM25 — x226) explode the
+    * chunk rows directly via [[postings]] and never build this shape. */
   def merge(segments: DataFrame): DataFrame =
     segments.groupBy("tok")
       .agg(sum("df").as("df"), sum("total_tf").as("total_tf"),
         sort_array(flatten(collect_list(col("postings")))).as("postings"))
+
+  /** Posting-level flat view `(tok, doc_id, tf)` of segment chunk rows —
+    * the scale-safe consumption shape: no per-term array is ever built,
+    * each chunk row explodes independently. */
+  def postings(segments: DataFrame): DataFrame =
+    segments
+      .select(col("tok"), explode(col("postings")).as("p"))
+      .select(col("tok"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+
+  /** Per-term stats without materializing any posting array: df and
+    * total_tf summed over chunk rows. */
+  def termStats(segments: DataFrame): DataFrame =
+    segments.groupBy("tok")
+      .agg(sum("df").as("df"), sum("total_tf").as("total_tf"))
 
   /** The merged, serving-shaped index (x112's exact schema: `doc:tf`
     * posting strings) from whatever segments currently exist. */
@@ -78,10 +122,16 @@ object InvertedIndex {
   /** Posting-level compaction: fold EVERY segment into one merged segment
     * under `batch_id=-1` (the id the engine never emits — same contract
     * as [[graft.batch.Compaction.compactBatchPartitioned]], which
-    * consolidates FILES; this also consolidates ROWS, restoring one row
-    * per term). Safe only between runs of the owning query. Returns
-    * (segmentRowsBefore, segmentRowsAfter). */
-  def compact(spark: SparkSession, indexDir: String): (Long, Long) = {
+    * consolidates FILES; this also consolidates ROWS, restoring at most
+    * ceil(df/cap) chunk rows per term — NOT one unbounded row: a stopword
+    * posting list is re-chunked at [[ChunkSize]], never re-materialized
+    * as a single array cell). Safe only between runs of the owning query.
+    * Returns (segmentRowsBefore, segmentRowsAfter). */
+  def compact(spark: SparkSession, indexDir: String): (Long, Long) =
+    compact(spark, indexDir, ChunkSize)
+
+  def compact(spark: SparkSession, indexDir: String,
+      cap: Int): (Long, Long) = {
     val path = new Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a fresh/empty index (no segments landed yet) compacts to nothing —
@@ -92,7 +142,7 @@ object InvertedIndex {
     val before = spark.read.parquet(indexDir).count()
     val tmp = new Path(path, "_compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    merge(spark.read.parquet(indexDir).drop("batch_id"))
+    chunkRows(postings(spark.read.parquet(indexDir).drop("batch_id")), cap)
       .withColumn("batch_id", lit(-1L))
       .write.partitionBy("batch_id").parquet(tmp.toString)
     val parts = fs.listStatus(path)
