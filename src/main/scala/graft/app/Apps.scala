@@ -512,6 +512,114 @@ object MetadataReproducerApp {
   }
 }
 
+/** `UploadFileApp <file> <topicDir> [chunkSize] [--encrypt-key=K]
+  * [--select-bytes=a:b,c:d]` — the reference's single-file console entry
+  * `UploadDataFile` (pyproject.toml:23, data_file_io/entity/
+  * upload_data_file.py:60-117): chunk ONE file and produce its wire
+  * messages to the topic in one batch pass (rel path = the file's
+  * basename). `--select-bytes` restricts the upload to half-open byte
+  * ranges, compacted to contiguous write offsets (T2, the reference's
+  * `select_bytes` argument). Refuses a topic directory written by a
+  * streaming query (`_spark_metadata` present): streaming consumers of
+  * such a topic read only log-committed files, so a batch append there
+  * would be silently invisible. */
+object UploadFileApp {
+  /** App body, factored for tests. Does not stop `spark`. */
+  def run(spark: SparkSession, file: String, topicDir: String,
+      chunkSize: Int = graft.core.Chunker.DefaultChunkSize,
+      encryptKey: Option[Array[Byte]] = None,
+      selectBytes: Seq[(Long, Long)] = Nil): Unit = {
+    import spark.implicits._
+    val f = new java.io.File(file)
+    if (!f.isFile) AppSession.fail(s"not a file: $file")
+    if (new java.io.File(topicDir, "_spark_metadata").exists())
+      AppSession.fail(s"refusing to append to '$topicDir': it has a " +
+        "_spark_metadata FileStreamSink log, so streaming consumers would " +
+        "never see batch-appended files — use a fresh topic dir")
+    val content = java.nio.file.Files.readAllBytes(f.toPath)
+    val chunks = graft.core.Chunker.chunk(f.getName, "", content, chunkSize,
+      selectBytes, Some(f.lastModified() / 1000.0)).map(ChunkRow(_))
+    val plainWire = graft.batch.ChunkPipeline.encode(
+      spark.createDataset(chunks))
+    val wire = encryptKey.fold(plainWire)(k =>
+      graft.streaming.WireCrypto.encryptValues(plainWire, k))
+    // one file -> one sorted parquet part: a multi-task write of a single
+    // file's chunks is overhead, not parallelism
+    wire.coalesce(1).write.mode("append").parquet(topicDir)
+    System.err.println(
+      s"[upload-file] ${f.getName}: ${chunks.length} chunks -> $topicDir")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val usage = "UploadFileApp <file> <topicDir> [chunkSize] " +
+      "[--encrypt-key=K] [--select-bytes=a:b,c:d]"
+    AppSession.rejectUnknownFlags(args, usage,
+      valueFlags = Set("encrypt-key", "select-bytes"))
+    val positional = args.filterNot(_.startsWith("--"))
+    AppSession.require(positional.length >= 2 && positional.length <= 3, usage)
+    val file = positional(0)
+    val topicDir = positional(1)
+    val chunkSize = positional.drop(2).headOption.map(_.toInt)
+      .getOrElse(graft.core.Chunker.DefaultChunkSize)
+    val encryptKey = AppSession.flagValue(args, "encrypt-key")
+      .map(_.getBytes("UTF-8"))
+    val selectBytes: Seq[(Long, Long)] =
+      AppSession.flagValue(args, "select-bytes").map {
+        _.split(',').filter(_.nonEmpty).toSeq.map { r =>
+          r.split(':') match {
+            case Array(a, b) => (a.toLong, b.toLong)
+            case _ => AppSession.fail(s"bad --select-bytes range '$r' " +
+              "(want start:stop)")
+          }
+        }
+      }.getOrElse(Nil)
+    val spark = AppSession.make("graft-upload-file")
+    run(spark, file, topicDir, chunkSize, encryptKey, selectBytes)
+    spark.stop()
+  }
+}
+
+/** `GirderTransferApp <topicDir> <baseUrl> <registryDir>` — the
+  * Girder-upload stream processor (reference
+  * `GirderUploadStreamProcessor`, girder/girder_upload_stream_processor
+  * .py:28-552; console entry pyproject.toml:30): consume the chunk topic,
+  * reassemble, upload each completed file to the REST endpoint with
+  * ensure-folder + checksum skip-if-same + bounded retry on 403/429/5xx
+  * ([[graft.streaming.RestSink]]), and append one registry row per file
+  * (rel_filepath, action, attempts, batch_id) to a parquet table —
+  * the same consume→process→registry loop as [[ObjectStoreTransferApp]]
+  * with the REST connector as the processor. */
+object GirderTransferApp {
+  /** App body, factored for tests. Does not stop `spark`. */
+  def run(spark: SparkSession, topicDir: String, baseUrl: String,
+      registryDir: String): Unit = {
+    val (good, qBad) = AppSession.consumeWithQuarantine(spark, topicDir, registryDir)
+    val q = AssemblyStream.assemble(good, timeoutMs = 0)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.batch.AssembledFile],
+          batchId: Long) =>
+        graft.streaming.RestSink.upload(batch, baseUrl)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(registryDir)
+      }
+      .outputMode("append")
+      .option("checkpointLocation", s"$registryDir/_checkpoint_girder")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    qBad.awaitTermination()
+  }
+
+  def main(args: Array[String]): Unit = {
+    AppSession.require(args.length == 3,
+      "GirderTransferApp <topicDir> <baseUrl> <registryDir>")
+    val Array(topicDir, baseUrl, registryDir) = args: @unchecked
+    val spark = AppSession.make("graft-girder-transfer")
+    run(spark, topicDir, baseUrl, registryDir)
+    spark.stop()
+  }
+}
+
 /** `ObjectStoreTransferApp <topicDir> <baseUri> <topic> <registryDir>` —
   * the S3-transfer processor (reference `S3TransferStreamProcessor`,
   * s3_buckets/s3_transfer_stream_processor.py:12-106): consume the chunk
