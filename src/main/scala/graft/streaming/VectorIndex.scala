@@ -116,6 +116,131 @@ object VectorIndex {
     (before, after)
   }
 
+  // ------------------------------------------------- model generations
+
+  /** Persist a centroid model generation: rows `(cid, centroid)` under
+    * `<indexDir>/_model/gen=N`. One directory per retrain — an audit
+    * trail of WHAT partitioning each era of segments was written under,
+    * and the anchor [[loadModel]] resumes from. */
+  def saveModel(spark: SparkSession, indexDir: String, gen: Long,
+      cids: Array[Long], centroids: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    cids.zip(centroids).toSeq.toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/_model/gen=$gen")
+  }
+
+  /** The newest persisted model: (generation, cids, centroids), or None
+    * for an index that has never saved one. */
+  def loadModel(spark: SparkSession, indexDir: String):
+      Option[(Long, Array[Long], Array[Array[Float]])] = {
+    val base = new org.apache.hadoop.fs.Path(s"$indexDir/_model")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    val gens = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+    if (gens.isEmpty) return None
+    val gen = gens.max
+    val rows = spark.read.parquet(s"$indexDir/_model/gen=$gen")
+      .select("cid", "centroid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    Some((gen, rows.map(_._1), rows.map(_._2)))
+  }
+
+  /** Mean squared distance of the stored corpus to its nearest centroid
+    * under `model` — the drift signal that decides WHEN to retrain:
+    * record it at retrain time, and when fresh arrivals push it well
+    * above that baseline the partitioning no longer matches the data.
+    * One corpus scan, all math in-row (argmin via the native expression,
+    * the distance via an in-row fold against the broadcast kilobyte
+    * model); the exchange is one scalar avg. */
+  def assignmentDrift(spark: SparkSession, indexDir: String,
+      cids: Array[Long], centroids: Array[Array[Float]]): Double = {
+    import spark.implicits._
+    val model = cids.zip(centroids).toSeq.toDF("mcid", "centroid")
+    read(spark, indexDir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.nearestCentroid(col("embedding"), cids, centroids)
+          .as("mcid"))
+      .join(broadcast(model), "mcid")
+      .select(expr("aggregate(zip_with(embedding, centroid," +
+        " (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))" +
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D," +
+        " (acc, v) -> acc + v)").as("d2"))
+      .agg(avg("d2")).first().getDouble(0)
+  }
+
+  /** Lloyd's retrain over the STORED corpus (x63's iteration composed
+    * into the index): `iters` rounds of assign (native in-row argmin) →
+    * per-cluster mean (k×dims scalar aggregates, map-side combining; the
+    * model collect is kilobytes), starting from the newest persisted
+    * model — or, for a model-less index, from the `k` vectors with the
+    * smallest vec_ids (x04's deterministic seed convention). Empty
+    * clusters keep their previous centroid. Then every segment is
+    * REWRITTEN under the new model as one `batch_id=-1` partition
+    * (cid-subpartitioned, so probe pruning is still directory pruning)
+    * and the model lands as generation N+1. Safe only between runs of
+    * the owning query. Returns (newGen, cids, centroids).
+    *
+    * Reference anchor: the reference re-provisions consumer groups
+    * rather than re-clustering (no vector index there); the
+    * segment-rewrite mechanics are [[compact]]'s, with reassignment. */
+  def retrain(spark: SparkSession, indexDir: String, k: Int,
+      iters: Int): (Long, Array[Long], Array[Array[Float]]) = {
+    val vectors = read(spark, indexDir).select("vec_id", "embedding")
+    val prior = loadModel(spark, indexDir)
+    val (gen0, cids, init) = prior match {
+      case Some((g, ids, cvs)) => (g, ids, cvs)
+      case None =>
+        val seeds = vectors.orderBy("vec_id").limit(k)
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray)
+        require(seeds.length == k,
+          s"retrain: corpus has ${seeds.length} vectors, need k=$k seeds")
+        (-1L, Array.tabulate(k)(_.toLong), seeds)
+    }
+    val dim = init(0).length
+    var cur = init
+    for (_ <- 1 to iters) {
+      val assigned = vectors.withColumn("cid",
+        VectorFunctions.nearestCentroid(col("embedding"), cids, cur))
+      val dims = (0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1).cast("double")).as(s"m$i"))
+      val byCid = assigned.groupBy("cid").agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) ->
+          Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)).toMap
+      cur = cids.zipWithIndex.map { case (c, j) => byCid.getOrElse(c, cur(j)) }
+    }
+    // rewrite all segments under the new model (compact's tmp/rename walk)
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_retrain_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    segment(vectors, cids, cur)
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id", "cid").parquet(tmp.toString)
+    val parts = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    parts.foreach { p =>
+      if (!fs.delete(p.getPath, true))
+        throw new java.io.IOException(
+          s"VectorIndex.retrain: failed to delete '${p.getPath}'; " +
+            s"reassigned copy intact at '$tmp'")
+    }
+    val dest = new org.apache.hadoop.fs.Path(path, "batch_id=-1")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp, "batch_id=-1"), dest))
+      throw new java.io.IOException(
+        s"VectorIndex.retrain: rename into '$dest' failed; ORIGINALS WERE " +
+          s"DELETED — the data survives under '$tmp', restore manually")
+    fs.delete(tmp, true)
+    val gen = gen0 + 1
+    saveModel(spark, indexDir, gen, cids, cur)
+    (gen, cids, cur)
+  }
+
   /** The query's probe list: nearest `nprobe` centroids by the same
     * argmin arithmetic, computed model-side (no data touched). */
   def probeList(query: Array[Float], cids: Array[Long],
