@@ -175,9 +175,20 @@ object Pdfs {
     *    nonzero ty, `T*`, `'`, `"` and a `Tm` that moves y start a new
     *    line; runs on one line concatenate in content-stream order.
     *
-    * A page without `/Contents` yields "". String bytes decode as UTF-8
-    * (this library writes UTF-8 into fixtures; real-corpus font-encoding
-    * CMaps are out of scope and documented as such). */
+    * A page without `/Contents` yields "". String bytes decode through
+    * the font selected by `Tf`, resolved from the page's inline
+    * `/Resources /Font` dictionary:
+    *
+    *  - `/Encoding /WinAnsiEncoding` → the CP1252 byte map (ISO 32000
+    *    Annex D.2; the WinAnsi-vs-CP1252 deltas are all in slots real
+    *    writers leave unused);
+    *  - `/ToUnicode <n> 0 R` → the CMap stream's `bfchar`/`bfrange`
+    *    mappings (1- or 2-byte codes, UTF-16BE targets, one-to-many
+    *    allowed); unmapped codes read as U+FFFD;
+    *  - no declaration → UTF-8 (the fixture-identity default).
+    *
+    * A page whose declared ToUnicode CMap is unresolvable routes the doc
+    * to null (same stance as a broken content stream). */
   def pdfText(b: Array[Byte]): Array[String] =
     try pdfTextImpl(b) catch { case scala.util.control.NonFatal(_) => null }
 
@@ -218,17 +229,116 @@ object Pdfs {
     while (i < kids.length) {
       val pAt = xref.objOffset(kids(i))
       if (pAt < 0 || pAt >= b.length) return null
-      val pw = window(b, pAt.toInt, 512)
+      val pw = window(b, pAt.toInt, 1024)
       if (pw == null || !pw.contains("/Type /Page")) return null
+      val fonts = pageFonts(b, xref, pw)
+      if (fonts == null) return null // declared ToUnicode CMap unresolvable
       val cRef = intAfter(pw, "/Contents")
       out(i) = if (cRef < 0) "" else {
         val cs = contentStream(b, xref, cRef.toInt)
         if (cs == null) return null
-        extractText(cs)
+        extractText(cs, fonts)
       }
       i += 1
     }
     out
+  }
+
+  private val Utf8Decoder: Array[Byte] => String =
+    bs => new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+
+  private val WinAnsiDecoder: Array[Byte] => String =
+    bs => new String(bs, java.nio.charset.Charset.forName("windows-1252"))
+
+  /** Resolve the page's `/Resources /Font` dict to per-font-name string
+    * decoders. Empty map when the page declares no fonts (strings then
+    * read as UTF-8); null when a declared ToUnicode CMap cannot be
+    * resolved or parsed — a font promising a mapping we cannot honor must
+    * route the doc, not silently emit wrong glyphs. */
+  private def pageFonts(b: Array[Byte], xref: Xref,
+      pw: String): Map[String, Array[Byte] => String] = {
+    val fi = pw.indexOf("/Font")
+    if (fi < 0) return Map.empty
+    val lb = pw.indexOf("<<", fi + 5)
+    val rb = if (lb < 0) -1 else pw.indexOf(">>", lb)
+    if (rb < 0) return Map.empty
+    val entries = "/(\\w+)\\s+(\\d+) 0 R".r
+      .findAllMatchIn(pw.substring(lb + 2, rb)).toSeq
+    val fonts = Map.newBuilder[String, Array[Byte] => String]
+    for (m <- entries) {
+      val name = m.group(1)
+      val numS = m.group(2)
+      if (numS.length > 9) return null
+      val at = xref.objOffset(numS.toInt)
+      if (at < 0 || at >= b.length) return null
+      val fw = window(b, at.toInt, 512)
+      if (fw == null) return null
+      val dec: Array[Byte] => String =
+        if (fw.contains("/WinAnsiEncoding")) WinAnsiDecoder
+        else {
+          val tu = intAfter(fw, "/ToUnicode")
+          if (tu < 0) Utf8Decoder
+          else {
+            val cmapBytes = contentStream(b, xref, tu.toInt)
+            if (cmapBytes == null) return null
+            val cm = parseCMap(cmapBytes)
+            if (cm == null) return null
+            cm
+          }
+        }
+      fonts += name -> dec
+    }
+    fonts.result()
+  }
+
+  /** Parse a ToUnicode CMap stream (the `bfchar`/`bfrange` sections of
+    * Adobe's CMap syntax): source codes are 1- or 2-byte (taken from the
+    * widest source token seen), targets are UTF-16BE and may expand to
+    * multiple characters (a `bfchar` ligature mapping). Null when the
+    * stream carries no mappings at all — a declared-but-empty CMap is a
+    * structural break, not an identity encoding. */
+  private[graft] def parseCMap(cs: Array[Byte]): Array[Byte] => String = {
+    val s = new String(cs, Ascii)
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(p => Integer.parseInt(p, 16).toByte).toArray
+    def utf16(h: String): String =
+      new String(hexBytes(h), java.nio.charset.StandardCharsets.UTF_16BE)
+    val map = scala.collection.mutable.HashMap[Int, String]()
+    var codeBytes = 1
+    def noteWidth(srcHex: String): Unit =
+      if (srcHex.length > 2) codeBytes = 2
+    for (sec <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(s);
+         m <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+           .findAllMatchIn(sec.group(1))) {
+      noteWidth(m.group(1))
+      map(Integer.parseInt(m.group(1), 16)) = utf16(m.group(2))
+    }
+    for (sec <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(s);
+         m <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+           .findAllMatchIn(sec.group(1))) {
+      noteWidth(m.group(1))
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = Integer.parseInt(m.group(2), 16)
+      val d0 = Integer.parseInt(m.group(3), 16)
+      if (hi < lo || hi - lo > 0xffff || m.group(3).length > 4) return null
+      var c = lo
+      while (c <= hi) { map(c) = new String(Character.toChars(d0 + (c - lo))); c += 1 }
+    }
+    if (map.isEmpty) return null
+    val width = codeBytes
+    val table = map.toMap
+    bs => {
+      val sb = new java.lang.StringBuilder(bs.length)
+      var i = 0
+      while (i + width <= bs.length) {
+        val code =
+          if (width == 1) bs(i) & 0xff
+          else ((bs(i) & 0xff) << 8) | (bs(i + 1) & 0xff)
+        sb.append(table.getOrElse(code, "�"))
+        i += width
+      }
+      sb.toString
+    }
   }
 
   /** `/Length` of a stream dict, resolving the common indirect form
@@ -317,29 +427,36 @@ object Pdfs {
     * strings, the star and Tm moves — so their handling is pinned
     * directly). */
   private[graft] def extractTextForTest(cs: Array[Byte]): String =
-    extractText(cs)
+    extractText(cs, Map.empty)
 
   /** Replay text-showing + text-positioning operators of one decoded
-    * content stream (see [[pdfText]] for the semantics). */
-  private def extractText(cs: Array[Byte]): String = {
+    * content stream (see [[pdfText]] for the semantics). String bytes
+    * stay RAW until an operator shows them; the decoder then in force is
+    * the `Tf`-selected font's (UTF-8 when the page declares none). */
+  private def extractText(cs: Array[Byte],
+      fonts: Map[String, Array[Byte] => String]): String = {
     val out = new java.lang.StringBuilder()
     var pendingNl = false
-    def show(s: String): Unit = {
-      if (s == null) return
+    var decoder: Array[Byte] => String = Utf8Decoder
+    def showDecoded(s: String): Unit = {
       if (pendingNl && out.length() > 0) out.append('\n')
       pendingNl = false
       out.append(s)
     }
+    def show(s: Array[Byte]): Unit =
+      if (s != null) showDecoded(decoder(s))
     def newLine(): Unit = pendingNl = true
-    // operand state: trailing numbers (for Td/TD/Tm), last string, TJ array
+    // operand state: trailing numbers (for Td/TD/Tm), last string, TJ
+    // array, last name token (for Tf)
     val nums = new scala.collection.mutable.ArrayBuffer[Double](8)
-    var lastStr: String = null
+    var lastStr: Array[Byte] = null
+    var lastName: String = null
     var arr: scala.collection.mutable.ArrayBuffer[AnyRef] = null
     var lastY = Double.NaN
     val n = cs.length
     var i = 0
 
-    def parseLiteral(start: Int): (String, Int) = {
+    def parseLiteral(start: Int): (Array[Byte], Int) = {
       val buf = new java.io.ByteArrayOutputStream()
       var j = start
       var depth = 1
@@ -371,10 +488,10 @@ object Pdfs {
           buf.write(0x0a); j += 1; if (j < n && cs(j) == '\n') j += 1
         } else { buf.write(c); j += 1 }
       }
-      (new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8), j)
+      (buf.toByteArray, j)
     }
 
-    def parseHex(start: Int): (String, Int) = {
+    def parseHex(start: Int): (Array[Byte], Int) = {
       val buf = new java.io.ByteArrayOutputStream()
       var j = start
       var hi = -1
@@ -388,11 +505,10 @@ object Pdfs {
         j += 1
       }
       if (hi >= 0) buf.write(hi << 4) // odd count: final digit pads with 0
-      (new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8),
-        if (j < n) j + 1 else j)
+      (buf.toByteArray, if (j < n) j + 1 else j)
     }
 
-    def flushShownString(s: String): Unit =
+    def flushShownString(s: Array[Byte]): Unit =
       if (arr != null) arr += s else lastStr = s
 
     while (i < n) {
@@ -432,18 +548,23 @@ object Pdfs {
         }
         val op = new String(cs, start, i - start,
           java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (op.startsWith("/")) {
+          // a name token is an OPERAND (kept for Tf), not an operator —
+          // it must not clear the other pending operands
+          lastName = op.substring(1)
+        } else {
         op match {
           case "Tj" => show(lastStr); lastStr = null
           case "TJ" =>
             if (arr != null) {
               val sb = new java.lang.StringBuilder()
               arr.foreach {
-                case s: String => sb.append(s)
+                case s: Array[Byte] => sb.append(decoder(s))
                 case d: java.lang.Double =>
                   if (d.doubleValue() <= -250.0) sb.append(' ')
                 case _ => ()
               }
-              show(sb.toString)
+              showDecoded(sb.toString)
             }
           case "Td" | "TD" =>
             if (nums.length >= 2 && nums.last != 0.0) newLine()
@@ -456,6 +577,9 @@ object Pdfs {
             }
           case "'" => newLine(); show(lastStr); lastStr = null
           case "\"" => newLine(); show(lastStr); lastStr = null
+          case "Tf" =>
+            if (lastName != null)
+              decoder = fonts.getOrElse(lastName, Utf8Decoder)
           case "BT" => lastY = Double.NaN
           case _ => ()
         }
@@ -464,6 +588,8 @@ object Pdfs {
         // strings on the page and divert Td/TD operands
         nums.clear()
         arr = null
+        lastName = null
+        }
       } else i += 1
     }
     out.toString
@@ -561,6 +687,89 @@ object Pdfs {
     }
     w(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R >>\n")
     w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** A one-page PDF whose text routes through NON-IDENTITY font
+    * encodings: line 1 shows `«line1»` through F1 (`/Encoding
+    * /WinAnsiEncoding` — the guillemets are CP1252 high bytes 0xAB/0xBB),
+    * line 2 shows `line2` through F2, whose `/ToUnicode` CMap maps
+    * SHIFTED one-byte codes (a..z → 0x01..0x1A via one `bfrange`,
+    * space → 0x1B and the one-to-many ligature code 0x1C → "qq" via
+    * `bfchar`s) — an identity decode of either line yields provably
+    * wrong glyphs. `line2` must be [a-z ]. Every code byte writes as an
+    * octal escape (raw 0x0D inside a literal would EOL-normalize to
+    * 0x0A, corrupting 'm' to 'j'). Extraction round-trip:
+    * `«line1»\nline2qq`. */
+  def buildPdfWithEncodedText(line1: String, line2: String,
+      flate: Boolean): Array[Byte] = {
+    require(line2.forall(c => c == ' ' || (c >= 'a' && c <= 'z')),
+      "line2 must be [a-z ]")
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val content = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = content.write(s.getBytes(Ascii))
+    w("BT\n/F1 12 Tf\n72 720 Td\n(")
+    ("«" + line1 + "»").getBytes(cp1252).foreach { b =>
+      val c = b & 0xff
+      if (c == '(' || c == ')' || c == '\\') { content.write('\\'); content.write(c) }
+      else if (c < 0x20) w(f"\\$c%03o")
+      else content.write(c)
+    }
+    w(") Tj\n0 -14 TD\n/F2 12 Tf\n(")
+    (line2.map(c => if (c == ' ') 0x1b else c - 'a' + 1) :+ 0x1c)
+      .foreach(code => w(f"\\$code%03o"))
+    w(") Tj\nET\n")
+    val stream: Array[Byte] = {
+      val raw = content.toByteArray
+      if (!flate) raw
+      else {
+        val d = new java.util.zip.Deflater()
+        try {
+          d.setInput(raw); d.finish()
+          val outB = new java.io.ByteArrayOutputStream(raw.length)
+          val chunk = new Array[Byte](8192)
+          while (!d.finished()) outB.write(chunk, 0, d.deflate(chunk))
+          outB.toByteArray
+        } finally d.end()
+      }
+    }
+    val cmap = ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+      "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n" +
+      "1 beginbfrange\n<01> <1a> <0061>\nendbfrange\n" +
+      "2 beginbfchar\n<1b> <0020>\n<1c> <00710071>\nendbfchar\n" +
+      "endcmap\nend").getBytes(Ascii)
+    val out = new java.io.ByteArrayOutputStream()
+    def o(s: String): Unit = out.write(s.getBytes(Ascii))
+    val offsets = new Array[Long](8)
+    o("%PDF-1.7\n")
+    offsets(1) = out.size()
+    o("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    o("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offsets(3) = out.size()
+    o("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> " +
+      "/Contents 4 0 R >>\nendobj\n")
+    offsets(4) = out.size()
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    o(s"4 0 obj\n<< /Length ${stream.length}$filter >>\nstream\n")
+    out.write(stream)
+    o("\nendstream\nendobj\n")
+    offsets(5) = out.size()
+    o("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n")
+    offsets(6) = out.size()
+    o("6 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Custom " +
+      "/ToUnicode 7 0 R >>\nendobj\n")
+    offsets(7) = out.size()
+    o(s"7 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+    out.write(cmap)
+    o("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    o("xref\n0 8\n0000000000 65535 f \n")
+    (1 to 7).foreach(j => o(f"${offsets(j)}%010d 00000 n \n"))
+    o("trailer\n<< /Size 8 /Root 1 0 R >>\n")
+    o(s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 

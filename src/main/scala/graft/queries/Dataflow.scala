@@ -4294,11 +4294,56 @@ object Dataflow {
         .orderBy("media_id", "frame_idx")
   }
 
+  /** x228: PDF FONT-ENCODED TEXT — x222 extracts identity-encoded text;
+    * real corpora route glyphs through `/Encoding` tables and `/ToUnicode`
+    * CMaps, and ignoring them extracts WRONG TEXT silently (the worst
+    * failure class for a training corpus: plausible-looking garbage).
+    * Fixtures render each doc's text through two non-identity fonts
+    * ([[graft.functions.Pdfs.buildPdfWithEncodedText]]): line 1 in
+    * WinAnsi with CP1252 guillemet high bytes, line 2 through a ToUnicode
+    * CMap whose one-byte codes are SHIFTED (a→0x01 … via one bfrange;
+    * space and a one-to-many "qq" ligature via bfchars) — the stored
+    * bytes provably never contain the plaintext, so only a real
+    * per-font decode can hash-match. FlateDecode on even docs; every
+    * 17th doc loses its tail and must null-route. The oracle recomputes
+    * the expected extraction from `text` with pure string slicing. Same
+    * straight-scan 100 TB shape as x222: one in-row expression per doc,
+    * no shuffle beyond the final order. */
+  val x228 = DQ("x228_pdf_encodings", Some(
+    """WITH d AS (SELECT doc_id,
+      |    substr(text, 1, 30) AS c1, substr(text, 31, 30) AS c2
+      |  FROM documents WHERE doc_id % 17 <> 0),
+      |e AS (SELECT doc_id,
+      |    '«' || c1 || '»' || chr(10) || c2 || 'qq' AS ptext FROM d)
+      |SELECT doc_id AS media_id, md5(ptext) AS text_md5,
+      |  CAST(length(ptext) AS BIGINT) AS n_chars
+      |FROM e ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Pdfs, PdfText}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val c1 = text.substring(0, math.min(30, text.length))
+          val c2 = text.substring(math.min(30, text.length),
+            math.min(60, text.length))
+          val pdf = Pdfs.buildPdfWithEncodedText(c1, c2, flate = id % 2 == 0)
+          (id, if (id % 17 == 0) pdf.dropRight(25) else pdf)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          explode(PdfText.pdfText(col("media"))).as("ptext"))
+        .select(col("media_id"), md5(col("ptext")).as("text_md5"),
+          length(col("ptext")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225)
+    x225, x228)
 }
