@@ -181,10 +181,12 @@ object Pdfs {
     *
     *  - `/Encoding /WinAnsiEncoding` → the CP1252 byte map (ISO 32000
     *    Annex D.2; the WinAnsi-vs-CP1252 deltas are all in slots real
-    *    writers leave unused);
+    *    writers leave unused); `/MacRomanEncoding` → the Mac OS Roman
+    *    byte map (the JDK's x-MacRoman);
     *  - `/ToUnicode <n> 0 R` → the CMap stream's `bfchar`/`bfrange`
-    *    mappings (1- or 2-byte codes, UTF-16BE targets, one-to-many
-    *    allowed); unmapped codes read as U+FFFD;
+    *    mappings (increment AND array target forms; 1- or 2-byte codes,
+    *    UTF-16BE targets, one-to-many allowed); unmapped codes read as
+    *    U+FFFD;
     *  - no declaration → UTF-8 (the fixture-identity default).
     *
     * A page whose declared ToUnicode CMap is unresolvable routes the doc
@@ -250,6 +252,9 @@ object Pdfs {
   private val WinAnsiDecoder: Array[Byte] => String =
     bs => new String(bs, java.nio.charset.Charset.forName("windows-1252"))
 
+  private val MacRomanDecoder: Array[Byte] => String =
+    bs => new String(bs, java.nio.charset.Charset.forName("x-MacRoman"))
+
   /** Resolve the page's `/Resources /Font` dict to per-font-name string
     * decoders. Empty map when the page declares no fonts (strings then
     * read as UTF-8); null when a declared ToUnicode CMap cannot be
@@ -275,6 +280,7 @@ object Pdfs {
       if (fw == null) return null
       val dec: Array[Byte] => String =
         if (fw.contains("/WinAnsiEncoding")) WinAnsiDecoder
+        else if (fw.contains("/MacRomanEncoding")) MacRomanDecoder
         else {
           val tu = intAfter(fw, "/ToUnicode")
           if (tu < 0) Utf8Decoder
@@ -313,9 +319,13 @@ object Pdfs {
       noteWidth(m.group(1))
       map(Integer.parseInt(m.group(1), 16)) = utf16(m.group(2))
     }
+    // increment form: <lo> <hi> <dstStart>. Array groups are replaced by a
+    // lone "]" first, so neither their bracket contents nor a <lo> <hi>
+    // pair straddling an erased array can be misread as increment triples
+    // (the triple regex admits only whitespace between its tokens).
     for (sec <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(s);
          m <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
-           .findAllMatchIn(sec.group(1))) {
+           .findAllMatchIn(sec.group(1).replaceAll("\\[[^\\]]*\\]", " ] "))) {
       noteWidth(m.group(1))
       val lo = Integer.parseInt(m.group(1), 16)
       val hi = Integer.parseInt(m.group(2), 16)
@@ -323,6 +333,20 @@ object Pdfs {
       if (hi < lo || hi - lo > 0xffff || m.group(3).length > 4) return null
       var c = lo
       while (c <= hi) { map(c) = new String(Character.toChars(d0 + (c - lo))); c += 1 }
+    }
+    // bfrange ARRAY form: <lo> <hi> [<d1> <d2> ...] — one explicit target
+    // per code, each a full UTF-16BE string (ligatures allowed)
+    for (sec <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(s);
+         m <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*\\[([^\\]]*)\\]".r
+           .findAllMatchIn(sec.group(1))) {
+      noteWidth(m.group(1))
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = Integer.parseInt(m.group(2), 16)
+      val dsts = "<([0-9A-Fa-f]+)>".r.findAllMatchIn(m.group(3))
+        .map(_.group(1)).toArray
+      if (hi < lo || dsts.length != hi - lo + 1) return null
+      var c = lo
+      while (c <= hi) { map(c) = utf16(dsts(c - lo)); c += 1 }
     }
     if (map.isEmpty) return null
     val width = codeBytes

@@ -64,6 +64,60 @@ class PdfEncodingSpec extends AnyFunSuite {
     assert(dec(bytes) == "XZhi�")
   }
 
+  test("parseCMap: bfrange array form, and it cannot bleed into triples") {
+    val cmap = ("begincmap\n" +
+      "2 beginbfrange\n" +
+      "<01> <03> [<0041> <00420042> <0043>]\n" + // array: A, BB, C
+      "<10> <12> <0061>\n" +                     // increment: a, b, c
+      "endbfrange\nendcmap").getBytes(Ascii)
+    val dec = Pdfs.parseCMap(cmap)
+    assert(dec != null)
+    assert(dec(Array[Byte](0x01, 0x02, 0x03)) == "ABBC")
+    assert(dec(Array[Byte](0x10, 0x11, 0x12)) == "abc")
+    // the array's bracket contents (0x41..) must NOT have become codes
+    assert(dec(Array[Byte](0x41)) == "�")
+  }
+
+  /** One page, one font with `/Encoding /MacRomanEncoding`, text bytes
+    * containing the MacRoman-specific 0xA5 (→ U+2022 BULLET). */
+  private def macRomanPdf(): Array[Byte] = {
+    val content = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = content.write(s.getBytes(Ascii))
+    w("BT\n/F1 12 Tf\n72 720 Td\n(a")
+    content.write(0xa5)
+    w("b) Tj\nET\n")
+    val stream = content.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def o(s: String): Unit = out.write(s.getBytes(Ascii))
+    val offsets = new Array[Long](6)
+    o("%PDF-1.7\n")
+    offsets(1) = out.size()
+    o("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    o("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offsets(3) = out.size()
+    o("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    offsets(4) = out.size()
+    o(s"4 0 obj\n<< /Length ${stream.length} >>\nstream\n")
+    out.write(stream)
+    o("\nendstream\nendobj\n")
+    offsets(5) = out.size()
+    o("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Times " +
+      "/Encoding /MacRomanEncoding >>\nendobj\n")
+    val xrefAt = out.size()
+    o("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(j => o(f"${offsets(j)}%010d 00000 n \n"))
+    o("trailer\n<< /Size 6 /Root 1 0 R >>\n")
+    o(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("MacRomanEncoding maps its high bytes (0xA5 -> bullet)") {
+    val pages = Pdfs.pdfText(macRomanPdf())
+    assert(pages != null && pages(0) == "a•b")
+  }
+
   test("pages without font resources keep the UTF-8 identity default") {
     val pdf = Pdfs.buildPdfWithText(Seq("plain page text here"), flate = false)
     val pages = Pdfs.pdfText(pdf)
