@@ -4371,32 +4371,14 @@ object TextOps {
       val queryTerms = Seq("data", "spark", "join")
       val docs = spread(table(spark, dir, "documents")
         .select(col("doc_id"), col("text")))
-      // serve off CHUNK rows: each ≤ChunkSize posting row explodes
-      // independently and df comes from the no-array termStats sums — no
-      // per-term posting array is ever materialized on the BM25 path
+      // serve off CHUNK rows via the library path ([[InvertedIndex
+      // .bm25From]]): each ≤ChunkSize posting row explodes independently
+      // and df comes from the no-array termStats sums — no per-term
+      // posting array is ever materialized on the BM25 path
       val segments = (0 until 3)
         .map(b => InvertedIndex.segment(docs.where(col("doc_id") % 3 === b)))
         .reduce(_ unionByName _)
-      val post = InvertedIndex.postings(segments)
-        .join(InvertedIndex.termStats(segments).select("tok", "df"), "tok")
-      val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val hits = post.filter(col("tok").isin(queryTerms: _*))
-      val scored = hits
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("tok").as("term"), col("doc_id"),
-          (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf").cast("double") * 2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
-            .as("score"))
-      val w = Window.partitionBy("term")
-        .orderBy(col("score").desc, col("doc_id"))
-      scored
-        .select(col("term"), col("doc_id"), round(col("score"), 4).as("score"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") <= 5).drop("rn")
+      InvertedIndex.bm25From(segments, queryTerms, 5)
         .orderBy("term", "doc_id")
   }
 

@@ -119,6 +119,43 @@ object InvertedIndex {
         p => concat(p.getField("doc_id").cast("string"), lit(":"),
           p.getField("tf").cast("string"))), ",").as("postings"))
 
+  /** BM25 top-k per query term over segment chunk rows — the serving-side
+    * retrieval path (the arithmetic x88/x226 pin against the ad-hoc
+    * oracle): idf ln(1+(N-df+0.5)/(df+0.5)), k1=1.2, b=0.75, ties to the
+    * smaller doc_id, scores rounded to 4 decimals. Consumes the chunked
+    * shapes only — no per-term posting array is ever materialized; the
+    * doc-length precompute is the one corpus-width exchange, df/N/avgdl
+    * broadcast as scalars, and the top-k window sees only docs containing
+    * a query term. */
+  def bm25From(segments: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val post = postings(segments)
+      .join(termStats(segments).select("tok", "df"), "tok")
+    val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val hits = post.filter(col("tok").isin(terms: _*))
+    val scored = hits
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("tok").as("term"), col("doc_id"),
+        (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf").cast("double") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .select(col("term"), col("doc_id"), round(col("score"), 4).as("score"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** BM25 served from the STORED index (per-batch segments or the
+    * compacted form — the chunk schema is the same either way). */
+  def bm25(spark: SparkSession, indexDir: String, terms: Seq[String],
+      k: Int): DataFrame =
+    bm25From(spark.read.parquet(indexDir).drop("batch_id"), terms, k)
+
   /** Posting-level compaction: fold EVERY segment into one merged segment
     * under `batch_id=-1` (the id the engine never emits — same contract
     * as [[graft.batch.Compaction.compactBatchPartitioned]], which

@@ -66,6 +66,27 @@ class InvertedIndexChunkSpec extends AnyFunSuite {
     assert(statsC == statsW)
   }
 
+  test("bm25 from the stored index == in-memory, before and after compaction") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("inv_bm25").toFile
+    val indexDir = new java.io.File(base, "index").getAbsolutePath
+    (0 until 3).foreach { b =>
+      InvertedIndex.appendBatch(indexDir)(
+        docs.where(col("doc_id") % 3 === b), b.toLong)
+    }
+    val terms = Seq("common", "wb", "zaa")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("term", "doc_id").collect().map(_.toString).toSeq
+    val inMem = rows(InvertedIndex.bm25From(
+      InvertedIndex.segment(docs, Cap), terms, 5))
+    assert(inMem.nonEmpty)
+    val served = rows(InvertedIndex.bm25(spark, indexDir, terms, 5))
+    assert(served == inMem, "stored-index BM25 differs from in-memory")
+    InvertedIndex.compact(spark, indexDir, Cap)
+    val servedCompact = rows(InvertedIndex.bm25(spark, indexDir, terms, 5))
+    assert(servedCompact == inMem, "compaction changed BM25 serving")
+  }
+
   test("compaction re-chunks at the cap instead of rebuilding one row") {
     import spark.implicits._
     val base = Files.createTempDirectory("inv_chunk").toFile
