@@ -63,76 +63,135 @@ object Pdfs {
     if (head == null || !head.startsWith("%PDF-")) return null
     val ver = head.drop(5).takeWhile(c => c.isDigit || c == '.')
     if (!ver.matches("\\d+\\.\\d+")) return null
-    // 2. startxref from the tail (spec: last 1024 bytes must contain it)
-    val tail = window(b, math.max(0, b.length - 1024), 1024)
-    val sx = tail.lastIndexOf("startxref")
-    if (sx < 0) return null
-    val xrefOff = intAfter(tail.substring(sx), "startxref")
-    if (xrefOff < 0 || xrefOff >= b.length) return null
-    // 3. xref table: "xref\n<first> <count>\n" + 20-byte entries
-    val xr = window(b, xrefOff.toInt, 64)
-    if (xr == null || !xr.startsWith("xref")) return null
-    var p = 4
-    while (p < xr.length && (xr(p) == '\n' || xr(p) == '\r')) p += 1
-    val hdrEnd = xr.indexOf('\n', p)
-    if (hdrEnd < 0) return null
-    val parts = xr.substring(p, hdrEnd).trim.split(" ")
-    if (parts.length != 2 ||
-      !parts.forall(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit)))
-      return null
-    val first = parts(0).toInt
-    val count = parts(1).toInt
-    val entriesAt = xrefOff.toInt + hdrEnd + 1
-    if (count <= 0 || entriesAt + 20L * count > b.length) return null
-    def objOffset(num: Int): Long = {
-      if (num < first || num >= first + count) return -1L
-      val e = window(b, entriesAt + 20 * (num - first), 20)
-      if (e == null || e.length < 18 || e(17) != 'n') return -1L
-      val off = e.substring(0, 10)
-      if (!off.forall(_.isDigit)) return -1L
-      off.toLong
-    }
-    // 4. trailer: /Size and /Root
-    val trailerAt = entriesAt + 20 * count
-    val tr = window(b, trailerAt, 256)
-    if (tr == null || !tr.startsWith("trailer")) return null
-    val size = intAfter(tr, "/Size")
-    val root = intAfter(tr, "/Root")
+    // 2-4. whichever cross-reference layout startxref points at, then the
+    // trailer dict (classic `trailer` or the XRef stream's own dict)
+    val xref = loadXref(b)
+    if (xref == null) return null
+    val size = intAfter(xref.trailer, "/Size")
+    val root = intAfter(xref.trailer, "/Root")
     if (size <= 0 || root < 0) return null
-    // 5. Catalog object → /Pages reference
-    val catAt = objOffset(root.toInt)
-    if (catAt < 0 || catAt >= b.length) return null
-    val cat = window(b, catAt.toInt, 256)
+    // 5. Catalog object → /Pages reference (may live inside an ObjStm)
+    val cat = xref.objText(root.toInt, 256)
     if (cat == null || !cat.contains("/Type /Catalog")) return null
     val pagesRef = intAfter(cat, "/Pages")
     if (pagesRef < 0) return null
     // 6. Pages object → /Count
-    val pgAt = objOffset(pagesRef.toInt)
-    if (pgAt < 0 || pgAt >= b.length) return null
-    val pg = window(b, pgAt.toInt, 512)
+    val pg = xref.objText(pagesRef.toInt, 512)
     if (pg == null || !pg.contains("/Type /Pages")) return null
     val nPages = intAfter(pg, "/Count")
     if (nPages < 0) return null
     (ver, size.toInt, nPages.toInt)
   }
 
-  /** xref table loaded once: object-number → byte offset, plus where the
-    * trailer begins. Same parse as [[pdfMeta]] steps 2–4, factored so the
-    * text extractor can follow object references too. Null on any
-    * structural break. */
-  private final class Xref(b: Array[Byte], first: Int, count: Int,
-      entriesAt: Int) {
-    val trailerAt: Int = entriesAt + 20 * count
-    def objOffset(num: Int): Long = {
-      if (num < first || num >= first + count) return -1L
-      val e = window(b, entriesAt + 20 * (num - first), 20)
-      if (e == null || e.length < 18 || e(17) != 'n') return -1L
-      val off = e.substring(0, 10)
-      if (!off.forall(_.isDigit)) return -1L
-      off.toLong
+  /** Cross-reference data loaded once, BOTH layouts:
+    *
+    *  - the classic `xref` table + `trailer` dict (every PDF ≤ 1.4, and
+    *    still common);
+    *  - the PDF 1.5+ cross-reference STREAM (`/Type /XRef`): `/W` field
+    *    widths, `/Index` subsections, FlateDecode with the PNG row
+    *    predictors real writers emit (`/DecodeParms /Predictor 12`), and
+    *    type-2 entries pointing into `/Type /ObjStm` OBJECT STREAMS —
+    *    the layout where modern writers pack Catalog/Pages/Page/font
+    *    dictionaries.
+    *
+    * `trailer` is the dict carrying /Size and /Root in either layout;
+    * [[objText]] windows an object's text whether it sits at a byte
+    * offset or inside an object stream (one bounded inflate per ObjStm,
+    * cached for the walk); [[objOffset]] is the raw-offset view for
+    * STREAM objects, which the spec keeps out of object streams. */
+  private final class Xref(b: Array[Byte], val trailer: String,
+      direct: scala.collection.Map[Int, Long],
+      inStm: scala.collection.Map[Int, (Int, Int)]) {
+    def objOffset(num: Int): Long = direct.getOrElse(num, -1L)
+
+    // per-walk ObjStm cache: (header pairs, inflated payload, /First)
+    private val stmCache =
+      scala.collection.mutable.HashMap[Int, (Array[(Int, Int)], Array[Byte], Int)]()
+
+    private def loadStm(stmNum: Int): (Array[(Int, Int)], Array[Byte], Int) =
+      stmCache.getOrElseUpdate(stmNum, {
+        val at = objOffset(stmNum)
+        if (at < 0 || at >= b.length) return null
+        val w = window(b, at.toInt, 256)
+        if (w == null) return null
+        val dictEnd = w.indexOf(">>")
+        if (dictEnd < 0 || !w.contains("/ObjStm")) return null
+        val dict = w.substring(0, dictEnd)
+        val n = intAfter(dict, "/N")
+        val first = intAfter(dict, "/First")
+        if (n <= 0 || n > 100000 || first <= 0) return null
+        val payload = contentStream(b, this, stmNum)
+        if (payload == null || first > payload.length) return null
+        val header = new String(payload, 0, first.toInt, Ascii)
+        val nums = "\\d+".r.findAllIn(header)
+          .filter(_.length <= 9).map(_.toInt).toArray
+        if (nums.length < 2 * n) return null
+        val pairs = Array.tabulate(n.toInt)(i => (nums(2 * i), nums(2 * i + 1)))
+        (pairs, payload, first.toInt)
+      })
+
+    /** The object's text: direct objects window the file; type-2 objects
+      * extract their slice of the (cached) inflated object stream. Null
+      * when unresolvable. */
+    def objText(num: Int, maxLen: Int): String = {
+      val off = objOffset(num)
+      if (off >= 0 && off < b.length) return window(b, off.toInt, maxLen)
+      inStm.get(num) match {
+        case None => null
+        case Some((stmNum, idx)) =>
+          val stm = loadStm(stmNum)
+          if (stm == null) return null
+          val (pairs, payload, first) = stm
+          if (idx < 0 || idx >= pairs.length || pairs(idx)._1 != num) return null
+          val from = first + pairs(idx)._2
+          val until = if (idx + 1 < pairs.length)
+            math.min(first + pairs(idx + 1)._2, payload.length)
+          else payload.length
+          if (from < 0 || from > until) return null
+          new String(payload, from, math.min(maxLen, until - from), Ascii)
+      }
     }
   }
 
+  /** Undo the PNG row predictor over fixed-width xref-stream rows
+    * (bpp = 1; tag byte per row; Sub/Up/Average/Paeth per RFC 2083 —
+    * writers overwhelmingly emit Up/2, but all five decode). Null on a
+    * size mismatch. */
+  private def unpredict(data: Array[Byte], rowLen: Int): Array[Byte] = {
+    if (rowLen <= 0 || data.length % (rowLen + 1) != 0) return null
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val tag = data(r * (rowLen + 1)) & 0xff
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(r * (rowLen + 1) + 1 + i) & 0xff
+        val left = if (i > 0) out(r * rowLen + i - 1) & 0xff else 0
+        val above = if (r > 0) out((r - 1) * rowLen + i) & 0xff else 0
+        val upLeft = if (r > 0 && i > 0) out((r - 1) * rowLen + i - 1) & 0xff else 0
+        val v = tag match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + above
+          case 3 => raw + (left + above) / 2
+          case 4 =>
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above)
+            val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) above else upLeft)
+          case _ => return null
+        }
+        out(r * rowLen + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Load whichever cross-reference layout `startxref` points at. */
   private def loadXref(b: Array[Byte]): Xref = {
     val tail = window(b, math.max(0, b.length - 1024), 1024)
     if (tail == null) return null
@@ -141,7 +200,12 @@ object Pdfs {
     val xrefOff = intAfter(tail.substring(sx), "startxref")
     if (xrefOff < 0 || xrefOff >= b.length) return null
     val xr = window(b, xrefOff.toInt, 64)
-    if (xr == null || !xr.startsWith("xref")) return null
+    if (xr == null) return null
+    if (xr.startsWith("xref")) loadClassicXref(b, xrefOff.toInt, xr)
+    else loadXrefStream(b, xrefOff.toInt)
+  }
+
+  private def loadClassicXref(b: Array[Byte], xrefOff: Int, xr: String): Xref = {
     var p = 4
     while (p < xr.length && (xr(p) == '\n' || xr(p) == '\r')) p += 1
     val hdrEnd = xr.indexOf('\n', p)
@@ -152,9 +216,118 @@ object Pdfs {
       return null
     val first = parts(0).toInt
     val count = parts(1).toInt
-    val entriesAt = xrefOff.toInt + hdrEnd + 1
+    val entriesAt = xrefOff + hdrEnd + 1
     if (count <= 0 || entriesAt + 20L * count > b.length) return null
-    new Xref(b, first, count, entriesAt)
+    val direct = scala.collection.mutable.HashMap[Int, Long]()
+    var i = 0
+    while (i < count) {
+      val e = window(b, entriesAt + 20 * i, 20)
+      if (e != null && e.length >= 18 && e(17) == 'n') {
+        val off = e.substring(0, 10)
+        if (off.forall(_.isDigit)) direct(first + i) = off.toLong
+      }
+      i += 1
+    }
+    val tr = window(b, entriesAt + 20 * count, 256)
+    if (tr == null || !tr.startsWith("trailer")) return null
+    new Xref(b, tr, direct, Map.empty)
+  }
+
+  /** PDF 1.5+ cross-reference stream: `N 0 obj << /Type /XRef /W [a b c]
+    * /Size n [/Index [...]] [/Filter /FlateDecode] [/DecodeParms
+    * << /Predictor p >>] >> stream ... endstream`. The stream dict IS the
+    * trailer. Its own /Length must be direct (there is no xref yet to
+    * resolve an indirect one — the same constraint real writers obey). */
+  private def loadXrefStream(b: Array[Byte], at: Int): Xref = {
+    val w = window(b, at, 512)
+    if (w == null || !w.contains("/XRef")) return null
+    // /DecodeParms nests a dict, so scan to the LAST ">>" before "stream"
+    val sk = w.indexOf("stream")
+    if (sk < 0) return null
+    val dict = w.substring(0, w.lastIndexOf(">>", sk) match {
+      case -1 => return null
+      case d => d
+    })
+    val size = intAfter(dict, "/Size")
+    if (size <= 0 || size > 10000000) return null
+    val ws = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
+      .findFirstMatchIn(dict).map(m =>
+        (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+      .getOrElse(return null)
+    val (w1, w2, w3) = ws
+    if (w1 > 4 || w2 > 8 || w3 > 4 || w2 == 0) return null
+    val len = intAfter(dict, "/Length")
+    val flate = dict.contains("/FlateDecode")
+    val predictor = {
+      val p = intAfter(dict, "/Predictor")
+      if (p < 0) 1 else p.toInt
+    }
+    var ds = at + sk + 6
+    if (ds < b.length && b(ds) == '\r') ds += 1
+    if (ds < b.length && b(ds) == '\n') ds += 1
+    if (len <= 0 || ds + len > b.length) return null
+    val raw = java.util.Arrays.copyOfRange(b, ds, ds + len.toInt)
+    val inflated =
+      if (!flate) raw
+      else {
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(raw)
+          val buf = new java.io.ByteArrayOutputStream(raw.length * 4)
+          val chunk = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(chunk)
+            if (n == 0 && !inf.finished()) return null
+            buf.write(chunk, 0, n)
+            if (buf.size() > (1 << 26)) return null
+          }
+          buf.toByteArray
+        } catch {
+          case _: java.util.zip.DataFormatException => return null
+        } finally inf.end()
+      }
+    val rowLen = w1 + w2 + w3
+    val data =
+      if (predictor >= 10) unpredict(inflated, rowLen)
+      else if (predictor == 1) inflated
+      else return null
+    if (data == null || rowLen == 0 || data.length % rowLen != 0) return null
+    // /Index: subsection (start, count) pairs; default [0 /Size]
+    val index: Array[(Int, Int)] = {
+      val m = "/Index\\s*\\[([0-9 \\r\\n]+)\\]".r.findFirstMatchIn(dict)
+      m match {
+        case None => Array((0, size.toInt))
+        case Some(g) =>
+          val ns = "\\d+".r.findAllIn(g.group(1))
+            .filter(_.length <= 9).map(_.toInt).toArray
+          if (ns.length % 2 != 0 || ns.isEmpty) return null
+          Array.tabulate(ns.length / 2)(i => (ns(2 * i), ns(2 * i + 1)))
+      }
+    }
+    if (index.map(_._2.toLong).sum != data.length / rowLen) return null
+    val direct = scala.collection.mutable.HashMap[Int, Long]()
+    val inStm = scala.collection.mutable.HashMap[Int, (Int, Int)]()
+    var row = 0
+    def field(row: Int, off: Int, width: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < width) { v = (v << 8) | (data(row * rowLen + off + i) & 0xff); i += 1 }
+      v
+    }
+    for ((start, count) <- index; i <- 0 until count) {
+      val num = start + i
+      val t = if (w1 == 0) 1L else field(row, 0, w1)
+      val f2 = field(row, w1, w2)
+      val f3 = if (w3 == 0) 0L else field(row, w1 + w2, w3)
+      t match {
+        case 1L => if (f2 < b.length) direct(num) = f2
+        case 2L => if (f2 <= Int.MaxValue && f3 <= Int.MaxValue)
+          inStm(num) = (f2.toInt, f3.toInt)
+        case _ => () // type 0 (free) and unknown types skip
+      }
+      row += 1
+    }
+    new Xref(b, dict, direct, inStm)
   }
 
   /** Per-page extracted TEXT (ISO 32000 §9.4 text-showing operators), or
@@ -200,19 +373,13 @@ object Pdfs {
     if (head == null || !head.startsWith("%PDF-")) return null
     val xref = loadXref(b)
     if (xref == null) return null
-    val tr = window(b, xref.trailerAt, 256)
-    if (tr == null || !tr.startsWith("trailer")) return null
-    val root = intAfter(tr, "/Root")
+    val root = intAfter(xref.trailer, "/Root")
     if (root < 0) return null
-    val catAt = xref.objOffset(root.toInt)
-    if (catAt < 0 || catAt >= b.length) return null
-    val cat = window(b, catAt.toInt, 256)
+    val cat = xref.objText(root.toInt, 256)
     if (cat == null || !cat.contains("/Type /Catalog")) return null
     val pagesRef = intAfter(cat, "/Pages")
     if (pagesRef < 0) return null
-    val pgAt = xref.objOffset(pagesRef.toInt)
-    if (pgAt < 0 || pgAt >= b.length) return null
-    val pagesWin = window(b, pgAt.toInt, 16384)
+    val pagesWin = xref.objText(pagesRef.toInt, 16384)
     if (pagesWin == null || !pagesWin.contains("/Type /Pages")) return null
     val kidsAt = pagesWin.indexOf("/Kids")
     if (kidsAt < 0) return null
@@ -229,9 +396,7 @@ object Pdfs {
     val out = new Array[String](kids.length)
     var i = 0
     while (i < kids.length) {
-      val pAt = xref.objOffset(kids(i))
-      if (pAt < 0 || pAt >= b.length) return null
-      val pw = window(b, pAt.toInt, 1024)
+      val pw = xref.objText(kids(i), 1024)
       if (pw == null || !pw.contains("/Type /Page")) return null
       val fonts = pageFonts(b, xref, pw)
       if (fonts == null) return null // declared ToUnicode CMap unresolvable
@@ -274,9 +439,7 @@ object Pdfs {
       val name = m.group(1)
       val numS = m.group(2)
       if (numS.length > 9) return null
-      val at = xref.objOffset(numS.toInt)
-      if (at < 0 || at >= b.length) return null
-      val fw = window(b, at.toInt, 512)
+      val fw = xref.objText(numS.toInt, 512)
       if (fw == null) return null
       val dec: Array[Byte] => String =
         if (fw.contains("/WinAnsiEncoding")) WinAnsiDecoder
@@ -628,8 +791,22 @@ object Pdfs {
     * `flate` wraps each content stream in FlateDecode. The extraction
     * round-trip is therefore `p<k> of <K>` + '\n' + the 50-char-wrapped
     * page text, which an oracle can recompute with string functions. */
-  def buildPdfWithText(pages: Seq[String], flate: Boolean): Array[Byte] = {
-    require(pages.nonEmpty)
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw); d.finish()
+      val outB = new java.io.ByteArrayOutputStream(raw.length)
+      val chunk = new Array[Byte](8192)
+      while (!d.finished()) outB.write(chunk, 0, d.deflate(chunk))
+      outB.toByteArray
+    } finally d.end()
+  }
+
+  /** The per-page content streams shared by the classic and modern
+    * builders (identical text ops ⇒ identical extraction, whatever the
+    * container layout). */
+  private def textPageStreams(pages: Seq[String],
+      flate: Boolean): Seq[Array[Byte]] = {
     val k = pages.length
     def esc(s: String): String = {
       val sb = new java.lang.StringBuilder(s.length + 8)
@@ -645,7 +822,7 @@ object Pdfs {
       sb.toString
     }
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val streams: Seq[Array[Byte]] = pages.zipWithIndex.map { case (pg, i) =>
+    pages.zipWithIndex.map { case (pg, i) =>
       val ops = new java.lang.StringBuilder()
       ops.append("BT\n/F1 12 Tf\n72 720 Td\n")
       ops.append(s"[(p${i + 1}) -600 (of) -600 ($k)] TJ\n")
@@ -663,18 +840,14 @@ object Pdfs {
       }
       ops.append("ET\n")
       val raw = ops.toString.getBytes(utf8)
-      if (!flate) raw
-      else {
-        val d = new java.util.zip.Deflater()
-        try {
-          d.setInput(raw); d.finish()
-          val outB = new java.io.ByteArrayOutputStream(raw.length)
-          val chunk = new Array[Byte](8192)
-          while (!d.finished()) outB.write(chunk, 0, d.deflate(chunk))
-          outB.toByteArray
-        } finally d.end()
-      }
+      if (!flate) raw else deflate(raw)
     }
+  }
+
+  def buildPdfWithText(pages: Seq[String], flate: Boolean): Array[Byte] = {
+    require(pages.nonEmpty)
+    val k = pages.length
+    val streams = textPageStreams(pages, flate)
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(Ascii))
     val nObj = 2 + 2 * k
@@ -711,6 +884,113 @@ object Pdfs {
     }
     w(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R >>\n")
     w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The MODERN (PDF 1.5+) container layout around the SAME text content
+    * as [[buildPdfWithText]] — extraction of the two must be identical:
+    *
+    *  - content streams stay top-level (the spec keeps streams out of
+    *    object streams): objects 1..k;
+    *  - Catalog, Pages, and every Page dict pack into ONE `/Type /ObjStm`
+    *    object stream (object k+1; FlateDecoded when `flate`);
+    *  - the cross-reference is a `/Type /XRef` STREAM (object 2k+4) with
+    *    `/W [1 3 1]`, FlateDecode, and `/DecodeParms /Predictor 12` —
+    *    the PNG Up row predictor virtually every real writer emits.
+    *
+    * This is what a 2010s-era PDF off a crawl actually looks like; the
+    * classic builder's layout died with Acrobat 6. */
+  def buildPdfModern(pages: Seq[String], flate: Boolean): Array[Byte] = {
+    require(pages.nonEmpty)
+    val k = pages.length
+    val streams = textPageStreams(pages, flate)
+    // object numbers: 1..k content, k+1 ObjStm, k+2 Catalog, k+3 Pages,
+    // k+4..2k+3 Page dicts, 2k+4 the XRef stream itself
+    val objStmNum = k + 1
+    val catNum = k + 2
+    val pagesNum = k + 3
+    val xrefNum = 2 * k + 4
+    val nSize = 2 * k + 5
+    // the ObjStm payload: header of (objnum offset) pairs, then bodies
+    val bodies: Seq[(Int, String)] =
+      Seq(catNum -> s"<< /Type /Catalog /Pages $pagesNum 0 R >>",
+        pagesNum -> (s"<< /Type /Pages /Kids [" +
+          (0 until k).map(i => s"${k + 4 + i} 0 R").mkString(" ") +
+          s"] /Count $k >>")) ++
+      (0 until k).map(i => (k + 4 + i) ->
+        (s"<< /Type /Page /Parent $pagesNum 0 R " +
+          s"/MediaBox [0 0 612 792] /Contents ${i + 1} 0 R >>"))
+    val bodyBytes = bodies.map(_._2.getBytes(Ascii))
+    val offs = bodyBytes.scanLeft(0)((a, bb) => a + bb.length + 1)
+    val header = bodies.zip(offs).map { case ((num, _), o) => s"$num $o" }
+      .mkString("", " ", "\n")
+    val stmPayload = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(header.getBytes(Ascii))
+      bodyBytes.foreach { bb => o.write(bb); o.write('\n') }
+      o.toByteArray
+    }
+    val first = header.getBytes(Ascii).length
+    val stmData = if (flate) deflate(stmPayload) else stmPayload
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(Ascii))
+    val offsets = new Array[Long](nSize)
+    w("%PDF-1.5\n")
+    var i = 0
+    while (i < k) {
+      offsets(i + 1) = out.size()
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      w(s"${i + 1} 0 obj\n<< /Length ${streams(i).length}$filter >>\nstream\n")
+      out.write(streams(i))
+      w("\nendstream\nendobj\n")
+      i += 1
+    }
+    offsets(objStmNum) = out.size()
+    val stmFilter = if (flate) " /Filter /FlateDecode" else ""
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${bodies.length} " +
+      s"/First $first /Length ${stmData.length}$stmFilter >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream\nendobj\n")
+    // the XRef stream: rows [type(1) field2(3) field3(1)], Predictor 12
+    offsets(xrefNum) = out.size()
+    require(offsets(xrefNum) < (1 << 24), "fixture exceeds 3-byte offsets")
+    val rowLen = 5
+    val rows = new Array[Byte](nSize * rowLen)
+    def putRow(num: Int, t: Int, f2: Int, f3: Int): Unit = {
+      rows(num * rowLen) = t.toByte
+      rows(num * rowLen + 1) = ((f2 >> 16) & 0xff).toByte
+      rows(num * rowLen + 2) = ((f2 >> 8) & 0xff).toByte
+      rows(num * rowLen + 3) = (f2 & 0xff).toByte
+      rows(num * rowLen + 4) = f3.toByte
+    }
+    putRow(0, 0, 0, 255) // the free-list head
+    (1 to objStmNum).foreach(n => putRow(n, 1, offsets(n).toInt, 0))
+    bodies.zipWithIndex.foreach { case ((num, _), idx) =>
+      putRow(num, 2, objStmNum, idx)
+    }
+    putRow(xrefNum, 1, offsets(xrefNum).toInt, 0)
+    // apply the PNG Up predictor forward (tag 2 per row)
+    val pred = new Array[Byte](nSize * (rowLen + 1))
+    var r = 0
+    while (r < nSize) {
+      pred(r * (rowLen + 1)) = 2
+      var c = 0
+      while (c < rowLen) {
+        val above = if (r > 0) rows((r - 1) * rowLen + c) & 0xff else 0
+        pred(r * (rowLen + 1) + 1 + c) =
+          (((rows(r * rowLen + c) & 0xff) - above) & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    val xrefData = deflate(pred)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $nSize /Root $catNum 0 R " +
+      s"/W [1 3 1] /Index [0 $nSize] /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n${offsets(xrefNum)}\n%%EOF\n")
     out.toByteArray
   }
 

@@ -4339,11 +4339,63 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x229: MODERN-LAYOUT PDF TEXT — x222's fixtures use the classic
+    * `xref` table layout that died with Acrobat 6; essentially every real
+    * PDF since 1.5 stores its cross-reference as a `/Type /XRef` STREAM
+    * (FlateDecode + PNG Predictor 12 row filtering, `/W` field widths)
+    * and packs Catalog/Pages/Page dicts into `/Type /ObjStm` OBJECT
+    * streams. Fixtures re-render x222's exact text content through that
+    * modern container ([[graft.functions.Pdfs.buildPdfModern]] — same
+    * content streams, different skeleton), so the oracle is x222's
+    * string-slicing recomputation verbatim: any mis-decoded predictor
+    * row, mis-sliced ObjStm object, or mis-read /W field shifts a page
+    * boundary or loses a doc and fails the hash. Every 19th doc loses
+    * its tail (startxref gone) and must null-route. Same straight-scan
+    * 100 TB shape as x222. */
+  val x229 = DQ("x229_pdf_modern", Some(
+    """WITH d AS (SELECT doc_id, text,
+      |    greatest(1, least(3, (length(text) + 199) // 200)) AS np
+      |  FROM documents WHERE doc_id % 19 <> 0),
+      |p AS (SELECT doc_id, np, u.k AS page,
+      |    substr(text, (u.k - 1) * 200 + 1, 200) AS pg
+      |  FROM d, unnest(generate_series(1, np)) AS u(k)),
+      |e AS (SELECT doc_id, page,
+      |    'p' || CAST(page AS VARCHAR) || ' of ' || CAST(np AS VARCHAR)
+      |    || CASE WHEN pg = '' THEN '' ELSE chr(10) || array_to_string(
+      |         list_filter([substr(pg, 1, 50), substr(pg, 51, 50),
+      |                      substr(pg, 101, 50), substr(pg, 151, 50)],
+      |                     x -> x <> ''), chr(10)) END AS ptext
+      |  FROM p)
+      |SELECT doc_id AS media_id, CAST(page AS INT) AS page,
+      |  md5(ptext) AS text_md5, CAST(length(ptext) AS BIGINT) AS n_chars
+      |FROM e ORDER BY media_id, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Pdfs, PdfText}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val np = math.max(1, math.min(3, (text.length + 199) / 200))
+          val pages = (0 until np).map(k =>
+            text.substring(k * 200, math.min(text.length, k * 200 + 200)))
+          val pdf = Pdfs.buildPdfModern(pages, flate = id % 2 == 0)
+          (id, if (id % 19 == 0) pdf.dropRight(30) else pdf)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          posexplode(PdfText.pdfText(col("media"))).as(Seq("p0", "ptext")))
+        .select(col("media_id"), (col("p0") + 1).cast("int").as("page"),
+          md5(col("ptext")).as("text_md5"),
+          length(col("ptext")).cast("long").as("n_chars"))
+        .orderBy("media_id", "page")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228)
+    x225, x228, x229)
 }

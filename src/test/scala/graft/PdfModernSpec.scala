@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Pdfs
+
+/** PDF 1.5+ container support: cross-reference STREAMS (/Type /XRef,
+  * /W widths, /Index, FlateDecode + PNG Predictor 12) and OBJECT streams
+  * (/Type /ObjStm) holding the Catalog/Pages/Page dicts — the layout of
+  * essentially every real PDF written since Acrobat 6. The modern
+  * builder wraps the SAME content streams as the classic one, so
+  * extraction parity is the strongest possible container-layer check. */
+class PdfModernSpec extends AnyFunSuite {
+
+  private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private val pages = Seq(
+    "the quick brown fox jumps over the lazy dog and keeps going for a while",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow")
+
+  test("modern layout extracts identically to the classic layout") {
+    for (flate <- Seq(false, true)) {
+      val classic = Pdfs.pdfText(Pdfs.buildPdfWithText(pages, flate))
+      val modern = Pdfs.pdfText(Pdfs.buildPdfModern(pages, flate))
+      assert(classic != null && modern != null, s"flate=$flate")
+      assert(modern.toSeq == classic.toSeq, s"flate=$flate")
+    }
+  }
+
+  test("pdf_meta reads version/size/pages through the xref stream") {
+    val m = Pdfs.pdfMeta(Pdfs.buildPdfModern(pages, flate = true))
+    assert(m != null)
+    assert(m._1 == "1.5")
+    assert(m._3 == 3, s"page count: $m")
+  }
+
+  test("the predictor is load-bearing: un-predicted rows cannot resolve") {
+    // sanity: the xref stream really is predictor-encoded — byte-flip
+    // inside its compressed data and the whole doc must null-route
+    val pdf = Pdfs.buildPdfModern(pages, flate = false)
+    val s = new String(pdf, Ascii)
+    val at = s.indexOf("/Type /XRef")
+    assert(at > 0)
+    val streamAt = s.indexOf("stream\n", at) + 7
+    val broken = pdf.clone()
+    broken(streamAt + 5) = (broken(streamAt + 5) ^ 0x7f).toByte
+    val r = Pdfs.pdfText(broken)
+    // either the inflate breaks or the decoded table goes inconsistent;
+    // both must route to null, never throw or emit wrong text
+    assert(r == null || r.toSeq != Pdfs.pdfText(pdf).toSeq)
+  }
+
+  test("truncated tail routes to null (startxref gone)") {
+    val pdf = Pdfs.buildPdfModern(pages, flate = true)
+    assert(Pdfs.pdfText(pdf.dropRight(30)) == null)
+    assert(Pdfs.pdfMeta(pdf.dropRight(30)) == null)
+  }
+
+  test("a type-2 /Contents reference null-routes (streams can't nest)") {
+    // point a page's /Contents at an object that lives inside the ObjStm
+    // (the Catalog) — contentStream must fail to resolve it, not misread
+    val pdf = Pdfs.buildPdfModern(Seq("abc"), flate = false)
+    val s = new String(pdf, Ascii)
+    // page object: k=1 -> content obj 1, catalog obj 3; /Contents 1 0 R
+    val swapped = s.replace("/Contents 1 0 R", "/Contents 3 0 R")
+    assert(swapped != s)
+    assert(Pdfs.pdfText(swapped.getBytes(Ascii)) == null)
+  }
+
+  test("modern fixtures survive the fuzz battery shapes") {
+    val pdf = Pdfs.buildPdfModern(pages.take(1), flate = true)
+    // truncation sweep: every prefix must null-route or extract, never throw
+    var l = 0
+    while (l < pdf.length) {
+      Pdfs.pdfText(java.util.Arrays.copyOf(pdf, l))
+      Pdfs.pdfMeta(java.util.Arrays.copyOf(pdf, l))
+      l += 13
+    }
+    // single-byte mutation sweep
+    var i = 0
+    while (i < pdf.length) {
+      val m = pdf.clone(); m(i) = (m(i) ^ 0x55).toByte
+      Pdfs.pdfText(m)
+      i += 37
+    }
+    succeed
+  }
+}
