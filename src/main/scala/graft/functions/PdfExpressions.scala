@@ -103,6 +103,8 @@ object Pdfs {
       direct: scala.collection.Map[Int, Long],
       inStm: scala.collection.Map[Int, (Int, Int)]) {
     def objOffset(num: Int): Long = direct.getOrElse(num, -1L)
+    def directEntries: Iterator[(Int, Long)] = direct.iterator
+    def inStmEntries: Iterator[(Int, (Int, Int))] = inStm.iterator
 
     // per-walk ObjStm cache: (header pairs, inflated payload, /First)
     private val stmCache =
@@ -191,18 +193,44 @@ object Pdfs {
     out
   }
 
-  /** Load whichever cross-reference layout `startxref` points at. */
+  /** Load the cross-reference `startxref` points at, then follow the
+    * `/Prev` chain of an INCREMENTALLY UPDATED file (each edit/save
+    * appends a new body + xref section pointing back at the previous
+    * one — any PDF that was ever annotated, form-filled, or signed).
+    * Sections merge newest-wins; the newest section's trailer rules.
+    * The chain is bounded (32 hops) and cycle-proof: a /Prev loop is a
+    * structural break, not a spin. */
   private def loadXref(b: Array[Byte]): Xref = {
     val tail = window(b, math.max(0, b.length - 1024), 1024)
     if (tail == null) return null
     val sx = tail.lastIndexOf("startxref")
     if (sx < 0) return null
-    val xrefOff = intAfter(tail.substring(sx), "startxref")
-    if (xrefOff < 0 || xrefOff >= b.length) return null
-    val xr = window(b, xrefOff.toInt, 64)
-    if (xr == null) return null
-    if (xr.startsWith("xref")) loadClassicXref(b, xrefOff.toInt, xr)
-    else loadXrefStream(b, xrefOff.toInt)
+    val first = intAfter(tail.substring(sx), "startxref")
+    if (first < 0 || first >= b.length) return null
+    val direct = scala.collection.mutable.HashMap[Int, Long]()
+    val inStm = scala.collection.mutable.HashMap[Int, (Int, Int)]()
+    var trailer: String = null
+    val seen = scala.collection.mutable.HashSet[Long]()
+    var off = first
+    var hops = 0
+    while (off >= 0) {
+      if (off >= b.length || !seen.add(off) || hops >= 32) return null
+      hops += 1
+      val xr = window(b, off.toInt, 64)
+      if (xr == null) return null
+      val sec =
+        if (xr.startsWith("xref")) loadClassicXref(b, off.toInt, xr)
+        else loadXrefStream(b, off.toInt)
+      if (sec == null) return null
+      // newest-wins: only fill slots not already claimed by a newer section
+      sec.directEntries.foreach { case (k, v) =>
+        if (!direct.contains(k) && !inStm.contains(k)) direct(k) = v }
+      sec.inStmEntries.foreach { case (k, v) =>
+        if (!direct.contains(k) && !inStm.contains(k)) inStm(k) = v }
+      if (trailer == null) trailer = sec.trailer
+      off = intAfter(sec.trailer, "/Prev")
+    }
+    if (trailer == null) null else new Xref(b, trailer, direct, inStm)
   }
 
   private def loadClassicXref(b: Array[Byte], xrefOff: Int, xr: String): Xref = {
@@ -228,8 +256,14 @@ object Pdfs {
       }
       i += 1
     }
-    val tr = window(b, entriesAt + 20 * count, 256)
-    if (tr == null || !tr.startsWith("trailer")) return null
+    val tr0 = window(b, entriesAt + 20 * count, 256)
+    if (tr0 == null || !tr0.startsWith("trailer")) return null
+    // bound the trailer STRING at this section's own startxref: the raw
+    // window otherwise reaches into whatever bytes follow — in an
+    // incrementally updated file that's the NEXT appended body, whose
+    // trailer's /Prev would read as this section's and fake a cycle
+    val cut = tr0.indexOf("startxref")
+    val tr = if (cut >= 0) tr0.substring(0, cut) else tr0
     new Xref(b, tr, direct, Map.empty)
   }
 
@@ -802,12 +836,11 @@ object Pdfs {
     } finally d.end()
   }
 
-  /** The per-page content streams shared by the classic and modern
-    * builders (identical text ops ⇒ identical extraction, whatever the
-    * container layout). */
-  private def textPageStreams(pages: Seq[String],
-      flate: Boolean): Seq[Array[Byte]] = {
-    val k = pages.length
+  /** One page's content stream (header `p<i+1> of <total>` + 50-char
+    * lines; `Tj` on even page indexes, split `TJ` on odd — the classic
+    * builder's contract). */
+  private def textPageStream(pg: String, i: Int, total: Int,
+      flate: Boolean): Array[Byte] = {
     def esc(s: String): String = {
       val sb = new java.lang.StringBuilder(s.length + 8)
       s.foreach {
@@ -821,27 +854,73 @@ object Pdfs {
       }
       sb.toString
     }
-    val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    pages.zipWithIndex.map { case (pg, i) =>
-      val ops = new java.lang.StringBuilder()
-      ops.append("BT\n/F1 12 Tf\n72 720 Td\n")
-      ops.append(s"[(p${i + 1}) -600 (of) -600 ($k)] TJ\n")
-      var p = 0
-      while (p < pg.length) {
-        val line = pg.substring(p, math.min(pg.length, p + 50))
-        ops.append("0 -14 TD\n")
-        if (i % 2 == 0) ops.append(s"(${esc(line)}) Tj\n")
-        else {
-          val m = line.length / 2
-          ops.append(s"[(${esc(line.substring(0, m))}) -100 " +
-            s"(${esc(line.substring(m))})] TJ\n")
-        }
-        p += 50
+    val ops = new java.lang.StringBuilder()
+    ops.append("BT\n/F1 12 Tf\n72 720 Td\n")
+    ops.append(s"[(p${i + 1}) -600 (of) -600 ($total)] TJ\n")
+    var p = 0
+    while (p < pg.length) {
+      val line = pg.substring(p, math.min(pg.length, p + 50))
+      ops.append("0 -14 TD\n")
+      if (i % 2 == 0) ops.append(s"(${esc(line)}) Tj\n")
+      else {
+        val m = line.length / 2
+        ops.append(s"[(${esc(line.substring(0, m))}) -100 " +
+          s"(${esc(line.substring(m))})] TJ\n")
       }
-      ops.append("ET\n")
-      val raw = ops.toString.getBytes(utf8)
-      if (!flate) raw else deflate(raw)
+      p += 50
     }
+    ops.append("ET\n")
+    val raw = ops.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!flate) raw else deflate(raw)
+  }
+
+  /** The per-page content streams shared by the classic and modern
+    * builders (identical text ops ⇒ identical extraction, whatever the
+    * container layout). */
+  private def textPageStreams(pages: Seq[String],
+      flate: Boolean): Seq[Array[Byte]] =
+    pages.zipWithIndex.map { case (pg, i) =>
+      textPageStream(pg, i, pages.length, flate)
+    }
+
+  /** An INCREMENTAL UPDATE appended to a [[buildPdfWithText]] document
+    * (ISO 32000 §7.5.6): re-render page `pageIndex`'s content stream with
+    * `newText`, append it as a new body reusing the ORIGINAL object
+    * number, and chain a one-entry xref section whose trailer carries
+    * `/Prev` back to the previous section — the layout every
+    * edited/annotated/signed PDF in a crawl has. Readers must resolve
+    * the newest offset for the updated object and the /Prev chain for
+    * everything else. */
+  def appendPdfUpdate(base: Array[Byte], pageIndex: Int,
+      newText: String, flate: Boolean): Array[Byte] = {
+    val s = new String(base, Ascii)
+    val k = "/Count (\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException("no /Count in base"))
+    require(pageIndex >= 0 && pageIndex < k, s"page $pageIndex of $k")
+    val sx = s.lastIndexOf("startxref")
+    require(sx >= 0, "no startxref in base")
+    val prevOff = intAfter(s.substring(sx), "startxref")
+    val tr = s.lastIndexOf("trailer")
+    require(tr >= 0, "no classic trailer in base (classic layout only)")
+    val size = intAfter(s.substring(tr), "/Size")
+    val root = intAfter(s.substring(tr), "/Root")
+    val objNum = k + 3 + pageIndex // the classic builder's content object
+    val stream = textPageStream(newText, pageIndex, k, flate)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    def w(x: String): Unit = out.write(x.getBytes(Ascii))
+    val objAt = out.size()
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    w(s"$objNum 0 obj\n<< /Length ${stream.length}$filter >>\nstream\n")
+    out.write(stream)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n$objNum 1\n")
+    w(f"$objAt%010d 00000 n \n")
+    w(s"trailer\n<< /Size $size /Root $root 0 R /Prev $prevOff >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
   }
 
   def buildPdfWithText(pages: Seq[String], flate: Boolean): Array[Byte] = {

@@ -4391,11 +4391,74 @@ object Dataflow {
         .orderBy("media_id", "page")
   }
 
+  /** x230: INCREMENTALLY UPDATED PDF TEXT — every edited, form-filled,
+    * or signed PDF in a crawl carries APPENDED bodies: the original file
+    * plus one new section per save, chained through the trailers' /Prev
+    * pointers, with updated objects REUSING their numbers at new offsets
+    * (ISO 32000 §7.5.6). Readers must serve the NEWEST offset for the
+    * updated object and walk the chain for everything else — a reader
+    * that stops at the last xref section reads the stale page. Fixtures
+    * build x222's classic document, then append an update REPLACING page
+    * 1's content with the uppercased text ([[graft.functions.Pdfs
+    * .appendPdfUpdate]]); the oracle recomputes page 1 as upper() and the
+    * other pages verbatim, so serving the stale body, mis-merging the
+    * chain, or the trailer-window bleed this round's spec caught (the
+    * next section's /Prev read as the base's, faking a cycle) all fail
+    * the hash. Every 29th doc loses its update TAIL — which is the real
+    * torn-write case, and the documented recovery is what actual readers
+    * do: the tail scan finds the last INTACT startxref (the base
+    * revision's), so the doc serves its pre-update pages. The oracle
+    * encodes that fallback (lowercase page 1 for the corrupt arm), which
+    * pins revision recovery, not just the happy path. */
+  val x230 = DQ("x230_pdf_incremental", Some(
+    """WITH d AS (SELECT doc_id, text,
+      |    greatest(1, least(3, (length(text) + 199) // 200)) AS np
+      |  FROM documents),
+      |p AS (SELECT doc_id, np, u.k AS page,
+      |    CASE WHEN u.k = 1 AND doc_id % 29 <> 0
+      |         THEN upper(substr(text, 1, 200))
+      |         ELSE substr(text, (u.k - 1) * 200 + 1, 200) END AS pg
+      |  FROM d, unnest(generate_series(1, np)) AS u(k)),
+      |e AS (SELECT doc_id, page,
+      |    'p' || CAST(page AS VARCHAR) || ' of ' || CAST(np AS VARCHAR)
+      |    || CASE WHEN pg = '' THEN '' ELSE chr(10) || array_to_string(
+      |         list_filter([substr(pg, 1, 50), substr(pg, 51, 50),
+      |                      substr(pg, 101, 50), substr(pg, 151, 50)],
+      |                     x -> x <> ''), chr(10)) END AS ptext
+      |  FROM p)
+      |SELECT doc_id AS media_id, CAST(page AS INT) AS page,
+      |  md5(ptext) AS text_md5, CAST(length(ptext) AS BIGINT) AS n_chars
+      |FROM e ORDER BY media_id, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Pdfs, PdfText}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val np = math.max(1, math.min(3, (text.length + 199) / 200))
+          val pages = (0 until np).map(k =>
+            text.substring(k * 200, math.min(text.length, k * 200 + 200)))
+          val base = Pdfs.buildPdfWithText(pages, flate = id % 2 == 0)
+          val pdf = Pdfs.appendPdfUpdate(base, 0,
+            pages.head.toUpperCase(java.util.Locale.ROOT),
+            flate = id % 3 == 0)
+          (id, if (id % 29 == 0) pdf.dropRight(30) else pdf)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          posexplode(PdfText.pdfText(col("media"))).as(Seq("p0", "ptext")))
+        .select(col("media_id"), (col("p0") + 1).cast("int").as("page"),
+          md5(col("ptext")).as("text_md5"),
+          length(col("ptext")).cast("long").as("n_chars"))
+        .orderBy("media_id", "page")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229)
+    x225, x228, x229, x230)
 }

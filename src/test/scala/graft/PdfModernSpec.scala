@@ -68,6 +68,45 @@ class PdfModernSpec extends AnyFunSuite {
     assert(Pdfs.pdfText(swapped.getBytes(Ascii)) == null)
   }
 
+  test("incremental update: newest body wins, /Prev chain serves the rest") {
+    for (flate <- Seq(false, true)) {
+      val base = Pdfs.buildPdfWithText(pages, flate)
+      val updated = Pdfs.appendPdfUpdate(base, 1,
+        "completely different middle page content", flate)
+      val got = Pdfs.pdfText(updated)
+      // ground truth: a pristine classic build with the page replaced
+      val expect = Pdfs.pdfText(Pdfs.buildPdfWithText(
+        pages.updated(1, "completely different middle page content"), flate))
+      assert(got != null && got.toSeq == expect.toSeq, s"flate=$flate")
+    }
+  }
+
+  test("two chained updates: the second one rules") {
+    val base = Pdfs.buildPdfWithText(pages, flate = false)
+    val u1 = Pdfs.appendPdfUpdate(base, 0, "first rewrite", flate = false)
+    val u2 = Pdfs.appendPdfUpdate(u1, 0, "second rewrite", flate = true)
+    val got = Pdfs.pdfText(u2)
+    val expect = Pdfs.pdfText(Pdfs.buildPdfWithText(
+      pages.updated(0, "second rewrite"), flate = false))
+    assert(got != null && got.toSeq == expect.toSeq)
+    // and pdf_meta still resolves through the chain
+    assert(Pdfs.pdfMeta(u2) != null)
+  }
+
+  test("a /Prev cycle is a structural break, not a spin") {
+    val base = Pdfs.buildPdfWithText(Seq("x"), flate = false)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes(Ascii))
+    val xrefAt = out.size()
+    w("xref\n4 1\n")
+    w(f"${10}%010d 00000 n \n")
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $xrefAt >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    assert(Pdfs.pdfText(out.toByteArray) == null)
+    assert(Pdfs.pdfMeta(out.toByteArray) == null)
+  }
+
   test("modern fixtures survive the fuzz battery shapes") {
     val pdf = Pdfs.buildPdfModern(pages.take(1), flate = true)
     // truncation sweep: every prefix must null-route or extract, never throw
