@@ -836,6 +836,40 @@ object Pdfs {
     } finally d.end()
   }
 
+  /** How many REVISIONS (xref sections) the file carries: 1 for a
+    * single-save document, +1 per incremental update — the provenance
+    * signal a curation pipeline uses to spot edited/annotated/signed
+    * documents (a multi-revision PDF may contain residual content from
+    * EVERY prior save, a well-known redaction failure mode). Walks the
+    * same bounded /Prev chain as the extractors; -1 for non-PDF or a
+    * broken chain. */
+  def pdfRevisions(b: Array[Byte]): Int =
+    try {
+      if (b == null || b.length < 32) return -1
+      val head = window(b, 0, 16)
+      if (head == null || !head.startsWith("%PDF-")) return -1
+      val tail = window(b, math.max(0, b.length - 1024), 1024)
+      if (tail == null) return -1
+      val sx = tail.lastIndexOf("startxref")
+      if (sx < 0) return -1
+      var off = intAfter(tail.substring(sx), "startxref")
+      if (off < 0 || off >= b.length) return -1
+      val seen = scala.collection.mutable.HashSet[Long]()
+      var hops = 0
+      while (off >= 0) {
+        if (off >= b.length || !seen.add(off) || hops >= 32) return -1
+        hops += 1
+        val xr = window(b, off.toInt, 64)
+        if (xr == null) return -1
+        val sec =
+          if (xr.startsWith("xref")) loadClassicXref(b, off.toInt, xr)
+          else loadXrefStream(b, off.toInt)
+        if (sec == null) return -1
+        off = intAfter(sec.trailer, "/Prev")
+      }
+      hops
+    } catch { case scala.util.control.NonFatal(_) => -1 }
+
   /** One page's content stream (header `p<i+1> of <total>` + 50-char
     * lines; `Tj` on even page indexes, split `TJ` on odd — the classic
     * builder's contract). */
@@ -1281,4 +1315,46 @@ case class PdfText(child: Expression) extends UnaryExpression {
 object PdfText {
   def pdfText(media: Column): Column =
     GraftColumnShim.column(PdfText(GraftColumnShim.expression(media)))
+}
+
+/** `pdf_revisions(binary)` → `int`: the number of xref sections (1 +
+  * incremental updates) — the edited-document provenance signal; null
+  * for non-PDF or a broken /Prev chain (see [[Pdfs.pdfRevisions]]). */
+case class PdfRevisions(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_revisions expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val r = Pdfs.pdfRevisions(payload.asInstanceOf[Array[Byte]])
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pdfRevisions", this,
+      classOf[PdfRevisions].getName)
+    val r = ctx.freshName("pdfRev")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Integer) $r).intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PdfRevisions =
+    copy(child = newChild)
+
+  override def prettyName: String = "pdf_revisions"
+}
+
+object PdfRevisions {
+  def pdfRevisions(media: Column): Column =
+    GraftColumnShim.column(PdfRevisions(GraftColumnShim.expression(media)))
 }

@@ -4454,11 +4454,56 @@ object Dataflow {
         .orderBy("media_id", "page")
   }
 
+  /** x231: PDF REVISION AUDIT — the provenance signal over x230's layout:
+    * how many times was each document SAVED? A multi-revision PDF may
+    * carry residual content from every prior save (the classic redaction
+    * failure), so curation pipelines flag revision counts > 1.
+    * `pdf_revisions` walks the same bounded /Prev chain as the
+    * extractors and returns 1 + updates; fixtures mix classic bases with
+    * 0–2 appended updates (count = 1 + doc_id%3), modern xref-stream
+    * bases (single revision), and a corrupt arm (%PDF- header broken →
+    * null). The oracle is pure doc_id arithmetic — any chain mis-walk,
+    * double-count, or modern-layout miss shifts a count. One in-row
+    * expression per doc; straight scan at 100 TB. */
+  val x231 = DQ("x231_pdf_revisions", Some(
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+      |            WHEN doc_id % 5 = 0 THEN 1
+      |            ELSE 1 + doc_id % 3 END AS INT) AS revisions
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{PdfRevisions, Pdfs}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val page = text.substring(0, math.min(120, text.length))
+          var pdf =
+            if (id % 5 == 0) Pdfs.buildPdfModern(Seq(page), flate = id % 2 == 0)
+            else Pdfs.buildPdfWithText(Seq(page), flate = id % 2 == 0)
+          if (id % 5 != 0) {
+            var j = 0L
+            while (j < id % 3) {
+              pdf = Pdfs.appendPdfUpdate(pdf, 0, s"revision $j",
+                flate = j % 2 == 0)
+              j += 1
+            }
+          }
+          if (id % 31 == 0) { pdf = pdf.clone(); pdf(1) = 'X'.toByte }
+          (id, pdf)
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          PdfRevisions.pdfRevisions(col("media")).as("revisions"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229, x230)
+    x225, x228, x229, x230, x231)
 }

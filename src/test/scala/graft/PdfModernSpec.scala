@@ -107,6 +107,17 @@ class PdfModernSpec extends AnyFunSuite {
     assert(Pdfs.pdfMeta(out.toByteArray) == null)
   }
 
+  test("pdfRevisions counts the /Prev chain in both layouts") {
+    val base = Pdfs.buildPdfWithText(pages, flate = false)
+    assert(Pdfs.pdfRevisions(base) == 1)
+    val u1 = Pdfs.appendPdfUpdate(base, 0, "r1", flate = false)
+    assert(Pdfs.pdfRevisions(u1) == 2)
+    val u2 = Pdfs.appendPdfUpdate(u1, 1, "r2", flate = true)
+    assert(Pdfs.pdfRevisions(u2) == 3)
+    assert(Pdfs.pdfRevisions(Pdfs.buildPdfModern(pages, flate = true)) == 1)
+    assert(Pdfs.pdfRevisions("not a pdf at all".getBytes(Ascii)) == -1)
+  }
+
   test("modern fixtures survive the fuzz battery shapes") {
     val pdf = Pdfs.buildPdfModern(pages.take(1), flate = true)
     // truncation sweep: every prefix must null-route or extract, never throw
