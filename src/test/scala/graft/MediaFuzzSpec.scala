@@ -39,6 +39,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("warc_index", b => graft.functions.Warc.index(b)),
     ("pdf_meta", b => graft.functions.Pdfs.pdfMeta(b)),
     ("pdf_text", b => graft.functions.Pdfs.pdfText(b)),
+    ("pdf_revisions", b => graft.functions.Pdfs.pdfRevisions(b)),
     ("flac_decode", b => graft.functions.FlacCodec.decode(b)),
     ("zip_entries", b => graft.functions.Archives.zipEntries(b)))
 
@@ -117,6 +118,13 @@ class MediaFuzzSpec extends AnyFunSuite {
       Seq("fuzz page (with) \\parens\nand a newline", "p2 body"), flate = false),
     graft.functions.Pdfs.buildPdfWithText(
       Seq("deflated fuzz body " * 4), flate = true),
+    graft.functions.Pdfs.buildPdfModern(
+      Seq("modern layout fuzz body", "second page"), flate = true),
+    graft.functions.Pdfs.appendPdfUpdate(
+      graft.functions.Pdfs.buildPdfWithText(Seq("base rev"), flate = false),
+      0, "updated rev", flate = true),
+    graft.functions.Pdfs.buildPdfWithEncodedText(
+      "winansi fuzz", "cmap body", flate = true),
     ImageHeaders.buildAvif(320, 180,
       graft.functions.Av1.buildAv1C(
         graft.functions.Av1.buildSeqHeaderObu(0, 8, 0, 320, 180)),
