@@ -27,9 +27,20 @@ class PdfTextStreamSpec extends AnyFunSuite {
       flate = false)
     val b = Pdfs.buildPdfWithText(Seq("beta deflated body " * 3), flate = true)
     val broken = a.dropRight(30)
+    // the standing query must serve every container generation the batch
+    // extractor does: modern xref-stream/ObjStm layout, an incrementally
+    // updated file, and font-encoded text
+    val m = Pdfs.buildPdfModern(Seq("modern stream page", "second"), flate = true)
+    val u = Pdfs.appendPdfUpdate(
+      Pdfs.buildPdfWithText(Seq("original body"), flate = false),
+      0, "updated body", flate = true)
+    val e = Pdfs.buildPdfWithEncodedText("enc line", "cmap line", flate = true)
     Files.write(new java.io.File(dir, "a.pdf").toPath, a)
     Files.write(new java.io.File(dir, "b.pdf").toPath, b)
     Files.write(new java.io.File(dir, "broken.pdf").toPath, broken)
+    Files.write(new java.io.File(dir, "m.pdf").toPath, m)
+    Files.write(new java.io.File(dir, "u.pdf").toPath, u)
+    Files.write(new java.io.File(dir, "e.pdf").toPath, e)
 
     val q = Pipelines.pdfTextStream(spark, dir.getAbsolutePath)
       .writeStream.format("memory").queryName("pdf_text_stream")
@@ -52,5 +63,12 @@ class PdfTextStreamSpec extends AnyFunSuite {
     // quarantine: exactly one row, page -1, null text, ok=false
     val bad = rows.filter(_._1 == "broken.pdf")
     assert(bad == Seq(("broken.pdf", -1, None, false)))
+    // modern container, incremental update, and font encodings flow
+    // through the SAME standing query, each matching its batch replay
+    assert(rows.filter(_._1 == "m.pdf").map(_._3.get) == Pdfs.pdfText(m).toSeq)
+    assert(rows.filter(_._1 == "u.pdf").map(_._3.get) == Pdfs.pdfText(u).toSeq)
+    assert(rows.filter(_._1 == "u.pdf").head._3.get.contains("updated body"))
+    assert(rows.filter(_._1 == "e.pdf").map(_._3.get) ==
+      Seq("«enc line»\ncmap lineqq"))
   }
 }
