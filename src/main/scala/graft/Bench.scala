@@ -128,18 +128,24 @@ object Bench {
       var times = (1 to runsPerQuery).map(_ => once()).toVector
       val prior = priorTimes.get(shortKey(name))
       def threshold: Option[Double] = prior.map(guardThreshold)
-      while (threshold.exists(t => median(times.map(_._1)) > t) &&
+      // the guarded median is over the TRAILING runsPerQuery samples:
+      // keeping stalled runs in a widening window lets a partial wash-out
+      // settle exactly at the threshold and be committed unflagged as the
+      // new baseline — reruns must be able to displace the stall entirely
+      def guardedMedian: Double =
+        median(times.takeRight(runsPerQuery).map(_._1))
+      while (threshold.exists(guardedMedian > _) &&
           times.forall(_._2) && rerunBudget > 0 &&
           times.length < runsPerQuery + 4) {
         rerunBudget -= 1; rerunsUsed += 1
-        System.err.println(f"[bench] $name median ${median(times.map(_._1))}%.1f s " +
+        System.err.println(f"[bench] $name median $guardedMedian%.1f s " +
           f"exceeds ${threshold.get}%.1f s vs prior snapshot — rerunning")
         times = times :+ once()
       }
       // any failed repetition marks the query failed — a flaky query must
       // not hide behind a median of its surviving runs
-      val stillSlow = threshold.exists(t => median(times.map(_._1)) > t)
-      (name, median(times.map(_._1)), times.forall(_._2), stillSlow)
+      val stillSlow = threshold.exists(guardedMedian > _)
+      (name, guardedMedian, times.forall(_._2), stillSlow)
     }
     // A broken query must not masquerade as a fast one: failures are null in
     // the per-query map, listed in "failed", and flip the exit code.

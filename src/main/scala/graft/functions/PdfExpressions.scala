@@ -101,7 +101,8 @@ object Pdfs {
     * STREAM objects, which the spec keeps out of object streams. */
   private final class Xref(b: Array[Byte], val trailer: String,
       direct: scala.collection.Map[Int, Long],
-      inStm: scala.collection.Map[Int, (Int, Int)]) {
+      inStm: scala.collection.Map[Int, (Int, Int)],
+      val revisions: Int = 1) {
     def objOffset(num: Int): Long = direct.getOrElse(num, -1L)
     def directEntries: Iterator[(Int, Long)] = direct.iterator
     def inStmEntries: Iterator[(Int, (Int, Int))] = inStm.iterator
@@ -230,7 +231,8 @@ object Pdfs {
       if (trailer == null) trailer = sec.trailer
       off = intAfter(sec.trailer, "/Prev")
     }
-    if (trailer == null) null else new Xref(b, trailer, direct, inStm)
+    if (trailer == null) null
+    else new Xref(b, trailer, direct, inStm, revisions = hops)
   }
 
   private def loadClassicXref(b: Array[Byte], xrefOff: Int, xr: String): Xref = {
@@ -253,6 +255,11 @@ object Pdfs {
       if (e != null && e.length >= 18 && e(17) == 'n') {
         val off = e.substring(0, 10)
         if (off.forall(_.isDigit)) direct(first + i) = off.toLong
+      } else if (e != null && e.length >= 18 && e(17) == 'f') {
+        // a FREE entry claims its slot: in the /Prev merge a newer
+        // revision's deletion must SHADOW the older body (serving it is
+        // the classic redaction failure), not fall through to it
+        direct(first + i) = -1L
       }
       i += 1
     }
@@ -304,21 +311,9 @@ object Pdfs {
     val inflated =
       if (!flate) raw
       else {
-        val inf = new java.util.zip.Inflater()
-        try {
-          inf.setInput(raw)
-          val buf = new java.io.ByteArrayOutputStream(raw.length * 4)
-          val chunk = new Array[Byte](8192)
-          while (!inf.finished()) {
-            val n = inf.inflate(chunk)
-            if (n == 0 && !inf.finished()) return null
-            buf.write(chunk, 0, n)
-            if (buf.size() > (1 << 26)) return null
-          }
-          buf.toByteArray
-        } catch {
-          case _: java.util.zip.DataFormatException => return null
-        } finally inf.end()
+        val d = inflateBounded(raw, 1 << 26)
+        if (d == null) return null
+        d
       }
     val rowLen = w1 + w2 + w3
     val data =
@@ -357,7 +352,10 @@ object Pdfs {
         case 1L => if (f2 < b.length) direct(num) = f2
         case 2L => if (f2 <= Int.MaxValue && f3 <= Int.MaxValue)
           inStm(num) = (f2.toInt, f3.toInt)
-        case _ => () // type 0 (free) and unknown types skip
+        // type 0 (free) claims the slot so a newer revision's deletion
+        // shadows an older body in the /Prev merge; unknown types skip
+        case 0L => direct(num) = -1L
+        case _ => ()
       }
       row += 1
     }
@@ -473,8 +471,13 @@ object Pdfs {
       val name = m.group(1)
       val numS = m.group(2)
       if (numS.length > 9) return null
-      val fw = xref.objText(numS.toInt, 512)
-      if (fw == null) return null
+      val fwRaw = xref.objText(numS.toInt, 512)
+      if (fwRaw == null) return null
+      // bound at this dict's own close: the raw window reads past endobj
+      // and a NEIGHBORING object's /WinAnsiEncoding or /ToUnicode token
+      // would misclassify this font (silently wrong glyphs)
+      val fwEnd = fwRaw.indexOf(">>")
+      val fw = if (fwEnd < 0) fwRaw else fwRaw.substring(0, fwEnd + 2)
       val dec: Array[Byte] => String =
         if (fw.contains("/WinAnsiEncoding")) WinAnsiDecoder
         else if (fw.contains("/MacRomanEncoding")) MacRomanDecoder
@@ -619,28 +622,9 @@ object Pdfs {
     if (ds < b.length && b(ds) == '\n') ds += 1
     if (len < 0 || ds + len > b.length) return null
     val raw = java.util.Arrays.copyOfRange(b, ds, ds + len.toInt)
-    if (!flate) raw
-    else {
-      // bound the inflate output (decompression-bomb defense, same stance
-      // as the PNG/ZIP paths): a page content stream past this size is
-      // hostile or broken either way — null-route, never OOM
-      val MaxInflated = 1 << 26 // 64 MiB per content stream
-      val inf = new java.util.zip.Inflater()
-      try {
-        inf.setInput(raw)
-        val buf = new java.io.ByteArrayOutputStream(math.min(raw.length * 4, 1 << 20))
-        val chunk = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val n = inf.inflate(chunk)
-          if (n == 0 && !inf.finished()) return null // truncated/needs-dict
-          buf.write(chunk, 0, n)
-          if (buf.size() > MaxInflated) return null
-        }
-        buf.toByteArray
-      } catch {
-        case _: java.util.zip.DataFormatException => null
-      } finally inf.end()
-    }
+    // 64 MiB bound: a page content stream past this size is hostile or
+    // broken either way — null-route, never OOM
+    if (!flate) raw else inflateBounded(raw, 1 << 26)
   }
 
   /** Test hook: the operator replay over a raw content stream (fixture
@@ -825,6 +809,28 @@ object Pdfs {
     * `flate` wraps each content stream in FlateDecode. The extraction
     * round-trip is therefore `p<k> of <K>` + '\n' + the 50-char-wrapped
     * page text, which an oracle can recompute with string functions. */
+  /** Bounded inflate: null on truncation/garbage/overrun — the single
+    * decompression-bomb defense shared by content streams and xref
+    * streams. The Inflater ALWAYS ends (native-memory pressure). */
+  private def inflateBounded(raw: Array[Byte], max: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val buf = new java.io.ByteArrayOutputStream(
+        math.min(math.max(raw.length * 4, 1 << 10), 1 << 20))
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && !inf.finished()) return null // truncated/needs-dict
+        buf.write(chunk, 0, n)
+        if (buf.size() > max) return null
+      }
+      buf.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     try {
@@ -848,26 +854,8 @@ object Pdfs {
       if (b == null || b.length < 32) return -1
       val head = window(b, 0, 16)
       if (head == null || !head.startsWith("%PDF-")) return -1
-      val tail = window(b, math.max(0, b.length - 1024), 1024)
-      if (tail == null) return -1
-      val sx = tail.lastIndexOf("startxref")
-      if (sx < 0) return -1
-      var off = intAfter(tail.substring(sx), "startxref")
-      if (off < 0 || off >= b.length) return -1
-      val seen = scala.collection.mutable.HashSet[Long]()
-      var hops = 0
-      while (off >= 0) {
-        if (off >= b.length || !seen.add(off) || hops >= 32) return -1
-        hops += 1
-        val xr = window(b, off.toInt, 64)
-        if (xr == null) return -1
-        val sec =
-          if (xr.startsWith("xref")) loadClassicXref(b, off.toInt, xr)
-          else loadXrefStream(b, off.toInt)
-        if (sec == null) return -1
-        off = intAfter(sec.trailer, "/Prev")
-      }
-      hops
+      val x = loadXref(b)
+      if (x == null) -1 else x.revisions
     } catch { case scala.util.control.NonFatal(_) => -1 }
 
   /** One page's content stream (header `p<i+1> of <total>` + 50-char
@@ -1136,20 +1124,8 @@ object Pdfs {
     (line2.map(c => if (c == ' ') 0x1b else c - 'a' + 1) :+ 0x1c)
       .foreach(code => w(f"\\$code%03o"))
     w(") Tj\nET\n")
-    val stream: Array[Byte] = {
-      val raw = content.toByteArray
-      if (!flate) raw
-      else {
-        val d = new java.util.zip.Deflater()
-        try {
-          d.setInput(raw); d.finish()
-          val outB = new java.io.ByteArrayOutputStream(raw.length)
-          val chunk = new Array[Byte](8192)
-          while (!d.finished()) outB.write(chunk, 0, d.deflate(chunk))
-          outB.toByteArray
-        } finally d.end()
-      }
-    }
+    val stream: Array[Byte] =
+      if (!flate) content.toByteArray else deflate(content.toByteArray)
     val cmap = ("/CIDInit /ProcSet findresource begin\nbegincmap\n" +
       "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n" +
       "1 beginbfrange\n<01> <1a> <0061>\nendbfrange\n" +

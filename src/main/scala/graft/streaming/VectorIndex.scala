@@ -192,7 +192,13 @@ object VectorIndex {
     val vectors = read(spark, indexDir).select("vec_id", "embedding")
     val prior = loadModel(spark, indexDir)
     val (gen0, cids, init) = prior match {
-      case Some((g, ids, cvs)) => (g, ids, cvs)
+      case Some((g, ids, cvs)) =>
+        // a silent k override would be a no-op the caller can't see;
+        // changing cluster count is a different operation (reseed)
+        require(ids.length == k,
+          s"retrain: index has a k=${ids.length} model (gen $g); " +
+            s"requested k=$k — delete _model/ to reseed with a new k")
+        (g, ids, cvs)
       case None =>
         val seeds = vectors.orderBy("vec_id").limit(k)
           .select("embedding").collect()

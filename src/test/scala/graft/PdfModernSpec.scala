@@ -107,6 +107,31 @@ class PdfModernSpec extends AnyFunSuite {
     assert(Pdfs.pdfMeta(out.toByteArray) == null)
   }
 
+  test("a newer revision's FREE entry shadows the older body") {
+    // an incremental update that DELETES page 1's content object: serving
+    // the pre-deletion body is the classic redaction failure — the merged
+    // xref must treat the freed slot as unresolvable (doc null-routes),
+    // never fall through to the stale offset
+    val base = Pdfs.buildPdfWithText(Seq("secret content", "page two"),
+      flate = false)
+    assert(Pdfs.pdfText(base)(0).contains("secret content"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes(Ascii))
+    val s = new String(base, Ascii)
+    val prevOff = s.substring(s.lastIndexOf("startxref"))
+      .split("\\s+")(1).toLong
+    val xrefAt = out.size()
+    w("xref\n5 1\n") // object 5 = page 1's content stream (k=2 layout)
+    w("0000000000 65535 f \n")
+    w(s"trailer\n<< /Size 7 /Root 1 0 R /Prev $prevOff >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    val redacted = out.toByteArray
+    assert(Pdfs.pdfRevisions(redacted) == 2)
+    assert(Pdfs.pdfText(redacted) == null,
+      "deleted object's stale body was served")
+  }
+
   test("pdfRevisions counts the /Prev chain in both layouts") {
     val base = Pdfs.buildPdfWithText(pages, flate = false)
     assert(Pdfs.pdfRevisions(base) == 1)

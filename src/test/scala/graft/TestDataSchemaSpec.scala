@@ -77,4 +77,19 @@ class TestDataSchemaSpec extends AnyFunSuite {
     assert(first.toInstant.isBefore(java.time.Instant.parse("2024-01-02T00:00:00Z")),
       s"first events.ts = $first — wall-clock interpretation drifted")
   }
+
+  test("documents.text stays [a-z ] — PDF fixture builders rely on it") {
+    // x228's font-encoding fixtures map text chars through a fixed CMap
+    // alphabet and CP1252; a regeneration that introduces digits,
+    // uppercase, or punctuation must fail HERE with a clear message, not
+    // as an IllegalArgumentException inside a gated query's task
+    import org.apache.spark.sql.functions.{expr, length => len, regexp_replace}
+    val offenders = Core.table(spark, dir, "documents")
+      .where(len(regexp_replace(expr("text"), "[a-z ]", "")) > 0)
+      .count()
+    assert(offenders == 0,
+      s"$offenders documents carry chars outside [a-z ] — the x228 " +
+        "fixture alphabet contract broke; extend buildPdfWithEncodedText's " +
+        "code map AND its oracle together")
+  }
 }
