@@ -38,15 +38,28 @@ object InvertedIndex {
   private def tokens(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), "[^a-z]+"), t => t =!= "")
 
+  /** Width of the doc_id pre-split ranges under the chunk window: ranks
+    * are computed per (term, doc_id-range) rather than per term, so no
+    * single window partition ever holds more than RangeWidth rows — a
+    * stopword term at 50B docs would overflow row_number's 32-bit rank
+    * (and make one sort partition own the whole term) without it. */
+  val RangeWidth: Long = 1L << 30
+
   /** (doc_id, tok, tf) rows → chunk rows `(tok, chunk_id, df, total_tf,
-    * postings[≤cap])`, doc-ordered within and across chunks. df/total_tf
-    * are chunk-local; per-term values are their sums (each doc appears in
-    * exactly one chunk). */
+    * postings[≤cap])`, doc-ordered within and across chunks: chunk_id is
+    * range-major ((range << 30) | rank-chunk — a range holds ≤ 2^30 docs
+    * so its rank-chunks fit 30 bits at any cap ≥ 1), so ascending
+    * chunk_id IS ascending doc_id. df/total_tf are chunk-local; per-term
+    * values are their sums (each doc appears in exactly one chunk). Edge
+    * chunks at range boundaries may run short of `cap` — the cap is a
+    * MAXIMUM (the OOM/straggler bound), not a packing guarantee. */
   private def chunkRows(tf: DataFrame, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("tok").orderBy("doc_id")
-    tf.withColumn("chunk_id",
-        ((row_number().over(w) - 1) / cap).cast("int"))
+      .partitionBy("tok", "range").orderBy("doc_id")
+    tf.withColumn("range", (col("doc_id") / RangeWidth).cast("long"))
+      .withColumn("chunk_id",
+        shiftleft(col("range"), 30)
+          .bitwiseOR(((row_number().over(w) - 1) / cap).cast("long")))
       .groupBy("tok", "chunk_id")
       .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))

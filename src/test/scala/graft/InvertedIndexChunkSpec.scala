@@ -66,6 +66,27 @@ class InvertedIndexChunkSpec extends AnyFunSuite {
     assert(statsC == statsW)
   }
 
+  test("chunking straddles a doc_id range boundary without reordering") {
+    import spark.implicits._
+    // one hot term across docs on BOTH sides of the 2^30 range pre-split:
+    // the per-(term, range) window must keep global doc order through the
+    // range-major chunk ids, and the cap must hold inside each range
+    val ids = (InvertedIndex.RangeWidth - 3 to InvertedIndex.RangeWidth + 3)
+    val docs = ids.map(i => (i, "hot")).toDF("doc_id", "text")
+    val seg = InvertedIndex.segment(docs, cap = 2)
+    val hot = seg.where(col("tok") === "hot")
+    assert(hot.agg(max(size(col("postings")))).first().getInt(0) <= 2)
+    assert(hot.agg(sum("df")).first().getLong(0) == ids.length)
+    // merged serving output is globally doc-ordered despite the split
+    val served = InvertedIndex.serving(InvertedIndex.merge(seg))
+      .where(col("tok") === "hot").select("postings").first().getString(0)
+    assert(served == ids.map(i => s"$i:1").mkString(","))
+    // flat view too (the BM25 consumption path)
+    val flat = InvertedIndex.postings(seg).orderBy("doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(flat == ids.toSeq)
+  }
+
   test("bm25 from the stored index == in-memory, before and after compaction") {
     import spark.implicits._
     val base = Files.createTempDirectory("inv_bm25").toFile
