@@ -4129,6 +4129,106 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x232: RICH DOCX TEXT — x204 proves unzip→inflate→run extraction;
+    * real Word documents interleave structure the space-joined run model
+    * flattens wrong: runs inside one paragraph CONCATENATE (a bold word
+    * split across `<w:r>`s must not grow a space), `<w:tab/>` is a tab,
+    * `<w:br/>` a line break, paragraphs separate with newlines, and
+    * TABLE cells (`<w:tbl>/<w:tr>/<w:tc>`) read cell-tab-cell,
+    * row-newline-row — the shape every real extractor emits. The
+    * extraction is pure built-ins (dotall regex over paragraphs, token
+    * transform over runs/tabs/breaks); fixtures render split runs, a
+    * tabbed+broken paragraph, and a 2×2 table per doc, and the oracle
+    * recomputes the exact string from doc_id arithmetic. Every 23rd doc
+    * ships a truncated main part and must quarantine. Straight scan at
+    * 100 TB like x204. */
+  val x232 = DQ("x232_docx_rich", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 23 = 0 AS q FROM documents),
+      |t AS (SELECT doc_id, q, CASE WHEN q THEN NULL ELSE
+      |    'head' || CAST(doc_id AS VARCHAR) || 'joined' || chr(10) ||
+      |    'left' || chr(9) || 'right' || chr(10) || 'after' || chr(10) ||
+      |    'a' || CAST(doc_id % 7 AS VARCHAR) || chr(9) ||
+      |    'b' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+      |    'c' || CAST(doc_id % 3 AS VARCHAR) || chr(9) || 'd' ||
+      |    CAST(doc_id % 2 AS VARCHAR) END AS text
+      |  FROM d)
+      |SELECT doc_id AS media_id, q AS quarantined,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM t ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, ZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          // para 1: one visual word split across two runs (bold split) —
+          // concatenates with NO space; para 2: tab + explicit break
+          val body =
+            s"<w:p><w:r><w:t>head$id</w:t></w:r>" +
+            "<w:r><w:t>joined</w:t></w:r></w:p>" +
+            "<w:p><w:r><w:t>left</w:t></w:r><w:r><w:tab/></w:r>" +
+            "<w:r><w:t>right</w:t></w:r><w:r><w:br/></w:r>" +
+            "<w:r><w:t>after</w:t></w:r></w:p>" +
+            "<w:tbl><w:tr>" +
+            s"<w:tc><w:p><w:r><w:t>a${id % 7}</w:t></w:r></w:p></w:tc>" +
+            s"<w:tc><w:p><w:r><w:t>b${id % 5}</w:t></w:r></w:p></w:tc>" +
+            "</w:tr><w:tr>" +
+            s"<w:tc><w:p><w:r><w:t>c${id % 3}</w:t></w:r></w:p></w:tc>" +
+            s"<w:tc><w:p><w:r><w:t>d${id % 2}</w:t></w:r></w:p></w:tc>" +
+            "</w:tr></w:tbl>"
+          val docXml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+            s"wordprocessingml/2006/main\"><w:body>$body</w:body></w:document>"
+          val ct = "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas." +
+            "openxmlformats.org/package/2006/content-types\"><Default " +
+            "Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+          val mainBytes =
+            if (id % 23 == 0) docXml.getBytes.dropRight(40) else docXml.getBytes
+          (id, Archives.buildZip(Seq(
+            ("[Content_Types].xml", ct.getBytes, true),
+            ("word/document.xml", mainBytes, true))))
+        }.toDF("media_id", "media")
+      // table cells: within a row, cell texts join with \t; rows and
+      // paragraphs alike join with \n — handled uniformly by tokenizing
+      // the body into paragraph and cell boundaries
+      media
+        .withColumn("es", ZipEntries.zipEntries(col("media")))
+        .withColumn("docpart",
+          expr("filter(es, e -> e.name = 'word/document.xml')"))
+        .withColumn("xml", expr(
+          "CASE WHEN size(docpart) = 1 THEN cast(docpart[0].payload AS STRING) END"))
+        // a truncated XML part must quarantine, not half-extract: the
+        // main part is well-formed iff it still closes </w:document>
+        .withColumn("xml",
+          when(col("xml").contains("</w:document>"), col("xml")))
+        .withColumn("rows_", expr(
+          "regexp_extract_all(xml, '(?s)<w:tr[ >].*?</w:tr>|<w:p[ >/].*?</w:p>', 0)"))
+        .withColumn("lines", expr(
+          """transform(rows_, seg ->
+            |  CASE WHEN seg LIKE '<w:tr%' THEN
+            |    array_join(transform(
+            |      regexp_extract_all(seg, '(?s)<w:tc[ >].*?</w:tc>', 0),
+            |      c -> array_join(
+            |        regexp_extract_all(c, '<w:t[^>]*>([^<]*)</w:t>', 1), '')),
+            |      '\t')
+            |  ELSE array_join(transform(
+            |    regexp_extract_all(seg,
+            |      '(<w:t[^>]*>[^<]*</w:t>|<w:tab/>|<w:br/>)', 1),
+            |    tok -> CASE WHEN tok = '<w:tab/>' THEN '\t'
+            |                WHEN tok = '<w:br/>' THEN '\n'
+            |                ELSE regexp_extract(tok, '<w:t[^>]*>([^<]*)</w:t>', 1)
+            |           END), '')
+            |  END)""".stripMargin))
+        .withColumn("text", array_join(col("lines"), "\n"))
+        .select(col("media_id"), col("xml").isNull.as("quarantined"),
+          when(col("xml").isNotNull, md5(col("text"))).as("text_md5"),
+          when(col("xml").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"))
+        .orderBy("media_id")
+  }
+
   /** x222: PDF TEXT EXTRACTION — x203 stops at structure; a real corpus
     * ingest needs the TEXT. `pdf_text` ([[graft.functions.Pdfs.pdfText]])
     * follows the same spec-ordered object chain as x203, then decodes each
@@ -4505,5 +4605,5 @@ object Dataflow {
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229, x230, x231)
+    x225, x228, x229, x230, x231, x232)
 }
