@@ -32,6 +32,8 @@ object Archives {
   private def le32(b: Array[Byte], i: Int): Long =
     (u(b, i) | (u(b, i + 1) << 8) | (u(b, i + 2) << 16) |
       (u(b, i + 3).toLong << 24)) & 0xffffffffL
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
 
   /** ZIP entries via EOCD → central directory:
     * (name, method, usize, crc_ok, payload | null). Null for payloads
@@ -48,9 +50,25 @@ object Archives {
       i -= 1
     }
     if (eocd < 0) return null
-    val n = le16(b, eocd + 10)
-    val cdOff = le32(b, eocd + 16)
-    if (cdOff + 4 > b.length) return null
+    var n = le16(b, eocd + 10)
+    var cdOff = le32(b, eocd + 16)
+    // ZIP64: sentinel counts/offsets (0xFFFF / 0xFFFFFFFF) defer to the
+    // ZIP64 EOCD record, located via the 20-byte locator that sits
+    // immediately before the classic EOCD. Writers emit ZIP64 even for
+    // tiny archives (streaming writers can't know sizes up front), so a
+    // reader without this path nulls out real-corpus members.
+    if (n == 0xffff || cdOff == 0xffffffffL) {
+      val loc = eocd - 20
+      if (loc < 0 || le32(b, loc) != 0x07064b50L) return null
+      val z64 = le64(b, loc + 8)
+      if (z64 < 0 || z64 + 56 > b.length || le32(b, z64.toInt) != 0x06064b50L)
+        return null
+      val total = le64(b, z64.toInt + 32)
+      if (total < 0 || total > 1000000) return null
+      n = total.toInt
+      cdOff = le64(b, z64.toInt + 48)
+    }
+    if (cdOff < 0 || cdOff + 4 > b.length) return null
     val out = new Array[(String, Int, Long, Boolean, Array[Byte])](n)
     var at = cdOff.toInt
     var e = 0
@@ -58,15 +76,42 @@ object Archives {
       if (at + 46 > b.length || le32(b, at) != 0x02014b50L) return null
       val method = le16(b, at + 10)
       val crc = le32(b, at + 16)
-      val csize = le32(b, at + 20)
-      val usize = le32(b, at + 24)
+      var csize = le32(b, at + 20)
+      var usize = le32(b, at + 24)
       val nameLen = le16(b, at + 28)
       val extraLen = le16(b, at + 30)
       val commentLen = le16(b, at + 32)
-      val localOff = le32(b, at + 42)
-      if (at + 46 + nameLen > b.length) return null
+      var localOff = le32(b, at + 42)
+      if (at + 46 + nameLen + extraLen > b.length) return null
       val name = new String(b, at + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
+      // ZIP64 extended-information extra (id 0x0001): carries the 64-bit
+      // value for EACH fixed field that holds the 0xFFFFFFFF sentinel,
+      // in usize/csize/localOff order — only the sentinel'd ones appear
+      if (csize == 0xffffffffL || usize == 0xffffffffL ||
+          localOff == 0xffffffffL) {
+        var x = at + 46 + nameLen
+        val xEnd = x + extraLen
+        var found = false
+        while (!found && x + 4 <= xEnd) {
+          val id = le16(b, x)
+          val sz = le16(b, x + 2)
+          if (id == 1) {
+            var f = x + 4
+            val fEnd = math.min(x + 4 + sz, xEnd)
+            if (usize == 0xffffffffL && f + 8 <= fEnd) { usize = le64(b, f); f += 8 }
+            if (csize == 0xffffffffL && f + 8 <= fEnd) { csize = le64(b, f); f += 8 }
+            if (localOff == 0xffffffffL && f + 8 <= fEnd) { localOff = le64(b, f); f += 8 }
+            found = true
+          } else x += 4 + sz
+        }
+        if (!found || csize == 0xffffffffL || usize == 0xffffffffL ||
+            localOff == 0xffffffffL) return null
+      }
+      // forged 64-bit fields: negative or out-of-file routes, never
+      // reaches copyOfRange/array math
+      if (csize < 0 || usize < 0 || localOff < 0 || localOff > b.length)
+        return null
       // local header re-read: ITS name/extra lengths govern the data start
       var payload: Array[Byte] = null
       var ok = false
@@ -222,6 +267,72 @@ object Archives {
     val cdSize = out.size() - cdOff
     w32(0x06054b50L); w16(0); w16(0); w16(metas.length); w16(metas.length)
     w32(cdSize.toLong); w32(cdOff.toLong); w16(0)
+    out.toByteArray
+  }
+
+  /** The same archive in ZIP64 dress (APPNOTE 4.5): the classic EOCD
+    * carries 0xFFFF/0xFFFFFFFF sentinels deferring to the ZIP64 EOCD
+    * record + locator, and every central entry sentinels its
+    * csize/usize/localOff into an id-0x0001 extra field — the layout
+    * streaming writers emit even for tiny archives (they can't know
+    * sizes up front), so a crawl's zips wear it regardless of size. */
+  def buildZip64(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32((v >>> 32) & 0xffffffffL) }
+    final case class Meta(name: Array[Byte], method: Int, crc: Long,
+      csize: Int, usize: Int, off: Int)
+    val metas = entries.map { case (name, payload, deflate) =>
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val c = new java.util.zip.CRC32(); c.update(payload, 0, payload.length)
+      val comp =
+        if (!deflate) payload
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            d.setInput(payload); d.finish()
+            val buf = new Array[Byte](payload.length + 64)
+            var n = 0
+            while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+            java.util.Arrays.copyOf(buf, n)
+          } finally d.end()
+        }
+      val off = out.size()
+      // local header stays classic (real sizes fit; ZIP64 locals only
+      // matter past 4 GiB, which no fixture reaches)
+      w32(0x04034b50L); w16(45); w16(0); w16(if (deflate) 8 else 0)
+      w16(0); w16(0)
+      w32(c.getValue); w32(comp.length.toLong); w32(payload.length.toLong)
+      w16(nb.length); w16(0)
+      out.write(nb, 0, nb.length)
+      out.write(comp, 0, comp.length)
+      Meta(nb, if (deflate) 8 else 0, c.getValue, comp.length, payload.length, off)
+    }
+    val cdOff = out.size()
+    for (m <- metas) {
+      w32(0x02014b50L); w16(45); w16(45); w16(0); w16(m.method)
+      w16(0); w16(0)
+      w32(m.crc); w32(0xffffffffL); w32(0xffffffffL) // csize/usize deferred
+      w16(m.name.length); w16(4 + 24); w16(0); w16(0); w16(0); w32(0L)
+      w32(0xffffffffL) // localOff deferred
+      out.write(m.name, 0, m.name.length)
+      w16(1); w16(24) // ZIP64 extended information extra
+      w64(m.usize.toLong); w64(m.csize.toLong); w64(m.off.toLong)
+    }
+    val cdSize = out.size() - cdOff
+    val z64At = out.size()
+    w32(0x06064b50L); w64(44L) // record size (fixed part)
+    w16(45); w16(45); w32(0L); w32(0L)
+    w64(metas.length.toLong); w64(metas.length.toLong)
+    w64(cdSize.toLong); w64(cdOff.toLong)
+    w32(0x07064b50L); w32(0L); w64(z64At.toLong); w32(1L) // locator
+    w32(0x06054b50L); w16(0); w16(0); w16(0xffff); w16(0xffff)
+    w32(0xffffffffL); w32(0xffffffffL); w16(0)
     out.toByteArray
   }
 

@@ -4129,6 +4129,73 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x233: ZIP64 CONTAINERS — streaming writers emit the ZIP64 layout
+    * (sentinel EOCD deferring to the ZIP64 record + locator, per-entry
+    * 0x0001 extras carrying the real 64-bit sizes/offsets) even for tiny
+    * archives, because they can't know sizes up front — so a crawl's
+    * zips wear it regardless of size and a classic-only reader nulls
+    * them all out. This gate runs x204's exact OOXML extraction with the
+    * CONTAINER swapped to [[graft.functions.Archives.buildZip64]]: same
+    * oracle arithmetic, so any mis-read sentinel, extra-field order slip,
+    * or locator math error shifts text or drops a doc. Every 19th doc
+    * misplaces its main part and must quarantine. Straight scan at
+    * 100 TB. */
+  val x233 = DQ("x233_zip64", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS np,
+      |           doc_id % 19 = 0 AS q FROM documents),
+      |t AS (SELECT doc_id, np, q,
+      |  CASE WHEN q THEN NULL ELSE
+      |    (SELECT string_agg('para ' || CAST(u.j AS VARCHAR) || ' of doc '
+      |       || CAST(doc_id AS VARCHAR) || ' tail' || CAST(u.j AS VARCHAR),
+      |       ' ' ORDER BY u.j)
+      |     FROM unnest(generate_series(0, np - 1)) AS u(j)) END AS text
+      |  FROM d)
+      |SELECT doc_id AS media_id, TRUE AS is_ooxml, q AS quarantined,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM t ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, ZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nPar = (id % 3 + 1).toInt
+          val paras = (0 until nPar).map { j =>
+            s"<w:p><w:r><w:t>para $j of doc $id</w:t></w:r>" +
+              s"<w:r><w:t>tail$j</w:t></w:r></w:p>"
+          }.mkString
+          val docXml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+            s"wordprocessingml/2006/main\"><w:body>$paras</w:body></w:document>"
+          val ct = "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas." +
+            "openxmlformats.org/package/2006/content-types\"><Default " +
+            "Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+          val main = if (id % 19 == 0) "word/other.xml" else "word/document.xml"
+          (id, Archives.buildZip64(Seq(
+            ("[Content_Types].xml", ct.getBytes, true),
+            (main, docXml.getBytes, true))))
+        }.toDF("media_id", "media")
+      media
+        .withColumn("es", ZipEntries.zipEntries(col("media")))
+        .withColumn("is_ooxml",
+          expr("exists(es, e -> e.name = '[Content_Types].xml')"))
+        .withColumn("docpart",
+          expr("filter(es, e -> e.name = 'word/document.xml')"))
+        .withColumn("xml", expr(
+          "CASE WHEN size(docpart) = 1 THEN cast(docpart[0].payload AS STRING) END"))
+        .withColumn("runs",
+          expr("regexp_extract_all(xml, '<w:t[^>]*>([^<]*)</w:t>', 1)"))
+        .withColumn("text", array_join(col("runs"), " "))
+        .select(col("media_id"), col("is_ooxml"),
+          col("xml").isNull.as("quarantined"),
+          when(col("xml").isNotNull, md5(col("text"))).as("text_md5"),
+          when(col("xml").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"))
+        .orderBy("media_id")
+  }
+
   /** x232: RICH DOCX TEXT — x204 proves unzip→inflate→run extraction;
     * real Word documents interleave structure the space-joined run model
     * flattens wrong: runs inside one paragraph CONCATENATE (a bold word
@@ -4605,5 +4672,5 @@ object Dataflow {
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229, x230, x231, x232)
+    x225, x228, x229, x230, x231, x232, x233)
 }

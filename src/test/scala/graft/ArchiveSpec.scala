@@ -26,6 +26,41 @@ class ArchiveSpec extends AnyFunSuite {
     assert(es(1)._3 == 5000L)
   }
 
+  test("ZIP64 layout parses identically to classic") {
+    val classic = Archives.zipEntries(Archives.buildZip(zipEntries))
+    val z64 = Archives.zipEntries(Archives.buildZip64(zipEntries))
+    assert(z64 != null && z64.length == classic.length)
+    for ((a, b) <- z64.zip(classic)) {
+      assert(a._1 == b._1 && a._2 == b._2 && a._3 == b._3 && a._4 == b._4)
+      assert(java.util.Arrays.equals(a._5, b._5))
+    }
+  }
+
+  test("ZIP64 sentinel EOCD without its locator routes to null") {
+    val zip = Archives.buildZip64(zipEntries)
+    // surgically break the locator signature: the sentinel EOCD then has
+    // nowhere to defer to — a structural break, not a guess
+    var i = zip.length - 22 - 20
+    assert((zip(i) & 0xff) == 0x50 && (zip(i + 2) & 0xff) == 0x06)
+    val broken = zip.clone()
+    broken(i + 2) = 0x7f.toByte
+    assert(Archives.zipEntries(broken) == null)
+  }
+
+  test("ZIP64 truncation/mutation fuzz never throws") {
+    val zip = Archives.buildZip64(zipEntries)
+    var l = 0
+    while (l < zip.length) {
+      Archives.zipEntries(java.util.Arrays.copyOf(zip, l)); l += 7
+    }
+    var i = 0
+    while (i < zip.length) {
+      val m = zip.clone(); m(i) = (m(i) ^ 0x55).toByte
+      Archives.zipEntries(m); i += 11
+    }
+    succeed
+  }
+
   test("corrupted ZIP data keeps accounting, withholds the payload") {
     val zip = Archives.buildZip(zipEntries)
     // a.txt's data starts at 30 + len("a.txt") = 35
