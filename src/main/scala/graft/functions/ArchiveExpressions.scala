@@ -165,6 +165,11 @@ object Archives {
     val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long, Array[Byte])]()
     var at = 0
     var sawAny = false
+    // carried from GNU 'L' / PAX 'x' META entries to the next real one —
+    // the long-name mechanisms every real-world tarball (kernel sources,
+    // node_modules, ML checkpoints) uses past ustar's 100-char field
+    var pendingName: String = null
+    var pendingSize: Long = -1L
     while (at + 512 <= b.length) {
       var allZero = true
       var j = 0
@@ -179,7 +184,7 @@ object Archives {
       }
       val stored = octal(b, at + 148, 8)
       if (stored < 0 || stored != sum) return null
-      val name = cstr(b, at, 100)
+      val name0 = cstr(b, at, 100)
       val size = octal(b, at + 124, 12)
       if (size < 0 || size > (1L << 28)) return null
       val typeflag = {
@@ -189,8 +194,55 @@ object Archives {
       val dataAt = at + 512
       if (dataAt + size > b.length) return null
       val payload = java.util.Arrays.copyOfRange(b, dataAt, (dataAt + size).toInt)
-      out += ((name, typeflag, size, payload))
-      sawAny = true
+      typeflag match {
+        case "L" => // GNU long name: payload = next entry's full name
+          pendingName = {
+            var end = payload.length
+            while (end > 0 && (payload(end - 1) == 0 || payload(end - 1) == '\n'))
+              end -= 1
+            new String(payload, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+          }
+        case "K" => () // GNU long LINK name: consume, nothing to carry
+        case "x" => // PAX extended header: "<len> key=value\n" records
+          val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          var p = 0
+          while (p < s.length) {
+            val sp = s.indexOf(' ', p)
+            if (sp < 0) { p = s.length } else {
+              val lenStr = s.substring(p, sp)
+              val recLen =
+                if (lenStr.nonEmpty && lenStr.length <= 9 &&
+                  lenStr.forall(_.isDigit)) lenStr.toInt else -1
+              if (recLen <= 0 || p + recLen > s.length) return null
+              val rec = s.substring(sp + 1, p + recLen).stripSuffix("\n")
+              val eq = rec.indexOf('=')
+              if (eq > 0) rec.substring(0, eq) match {
+                case "path" => pendingName = rec.substring(eq + 1)
+                case "size" =>
+                  val v = rec.substring(eq + 1)
+                  if (v.nonEmpty && v.length <= 18 && v.forall(_.isDigit))
+                    pendingSize = v.toLong
+                  else return null
+                case _ => ()
+              }
+              p += recLen
+            }
+          }
+        case "g" => () // PAX global header: applies defaults we don't track
+        case _ =>
+          // POSIX ustar prefix (155 bytes at 345) prepends when present
+          val prefix =
+            if (cstr(b, at + 257, 5) == "ustar") cstr(b, at + 345, 155) else ""
+          val name =
+            if (pendingName != null) pendingName
+            else if (prefix.nonEmpty) prefix + "/" + name0
+            else name0
+          val effSize = if (pendingSize >= 0) pendingSize else size
+          out += ((name, typeflag, effSize, payload))
+          sawAny = true
+          pendingName = null
+          pendingSize = -1L
+      }
       at = dataAt + (((size + 511) / 512) * 512).toInt
     }
     if (sawAny) out.toArray else null

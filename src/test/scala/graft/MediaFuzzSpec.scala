@@ -125,6 +125,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       0, "updated rev", flate = true),
     graft.functions.Pdfs.buildPdfWithEncodedText(
       "winansi fuzz", "cmap body", flate = true),
+    graft.functions.Archives.buildZip64(Seq(
+      ("z64/a.txt", "zip64 fuzz payload".getBytes, true),
+      ("z64/b.bin", Array.tabulate[Byte](700)(i => (i % 83).toByte), false))),
     ImageHeaders.buildAvif(320, 180,
       graft.functions.Av1.buildAv1C(
         graft.functions.Av1.buildSeqHeaderObu(0, 8, 0, 320, 180)),
