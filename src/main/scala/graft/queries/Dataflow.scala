@@ -4196,6 +4196,92 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x234: TAR LONG NAMES — ustar's 100-char field covers almost nothing
+    * real; kernel sources, node_modules, and checkpoint tarballs carry
+    * GNU 'L' longname meta entries or PAX 'x' extended headers, and
+    * POSIX writers split paths into the 155-byte prefix field. Fixtures
+    * pack all three forms per doc (one >100-char GNU-named member, one
+    * PAX path+size member, one prefix member), plus every 13th doc a
+    * corrupted PAX record that must null the whole archive (quarantine
+    * row). The oracle recomputes the resolved names from doc_id
+    * arithmetic — emitting a meta entry, truncating a long name, or
+    * missing the prefix joins all shift the hash. Straight scan. */
+  val x234 = DQ("x234_tar_longnames", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 13 = 0 AS q,
+      |    repeat('d', 120) || '/gnu' || CAST(doc_id % 100 AS VARCHAR)
+      |      || '.txt' AS gnu_name,
+      |    repeat('p', 110) || '/pax' || CAST(doc_id % 50 AS VARCHAR)
+      |      || '.bin' AS pax_name,
+      |    'pre' || CAST(doc_id % 10 AS VARCHAR) || '/leaf.dat' AS pre_name
+      |  FROM documents)
+      |SELECT doc_id AS media_id, name,
+      |  CAST(n_bytes AS BIGINT) AS n_bytes
+      |FROM (
+      |  SELECT doc_id, gnu_name AS name, 10 + doc_id % 7 AS n_bytes
+      |    FROM d WHERE NOT q
+      |  UNION ALL
+      |  SELECT doc_id, pax_name, 20 + doc_id % 5 FROM d WHERE NOT q
+      |  UNION ALL
+      |  SELECT doc_id, pre_name, 5 FROM d WHERE NOT q
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL FROM d WHERE q)
+      |ORDER BY media_id, name""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, TarEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .flatMap { id =>
+          val gnuName = "d" * 120 + s"/gnu${id % 100}.txt"
+          val paxName = "p" * 110 + s"/pax${id % 50}.bin"
+          val gnuData = new Array[Byte]((10 + id % 7).toInt)
+          val paxData = new Array[Byte]((20 + id % 5).toInt)
+          def paxRecord(kv: String): String = {
+            var len = kv.length + 3
+            while (s"$len $kv\n".length != len) len = s"$len $kv\n".length
+            s"$len $kv\n"
+          }
+          val paxBody = (paxRecord(s"path=$paxName") +
+            paxRecord(s"size=${paxData.length}")).getBytes
+          val goodPax = if (id % 13 == 0) {
+            // corrupt ONE pax record length: the parse must null the
+            // whole archive, not resolve a half-right name
+            val s = new String(paxBody); s.replaceFirst("^\\d+", "9999").getBytes
+          } else paxBody
+          val tar0 = Archives.buildTar(Seq(
+            ("././@LongLink", "L", (gnuName + " ").getBytes),
+            (gnuName.take(100), "0", gnuData),
+            ("pax-header", "x", goodPax),
+            ("stub", "0", paxData),
+            ("leaf.dat", "0", new Array[Byte](5))))
+          // ustar prefix on the LAST member: patch + re-checksum
+          val tar = tar0.clone()
+          val last = tar.length - 1024 - 512 - 512 // header of leaf.dat
+          val hdrAt = {
+            // find leaf.dat's header by scanning for its name
+            val s = new String(tar, java.nio.charset.StandardCharsets.ISO_8859_1)
+            s.indexOf("leaf.dat ")
+          }
+          val pfx = s"pre${id % 10}".getBytes
+          System.arraycopy(pfx, 0, tar, hdrAt + 345, pfx.length)
+          java.util.Arrays.fill(tar, hdrAt + 148, hdrAt + 156, 0x20.toByte)
+          var sum = 0L
+          var j = 0
+          while (j < 512) { sum += tar(hdrAt + j) & 0xff; j += 1 }
+          val cs = java.lang.Long.toOctalString(sum)
+          val pad = "0" * (6 - cs.length) + cs
+          System.arraycopy(pad.getBytes, 0, tar, hdrAt + 148, 6)
+          tar(hdrAt + 154) = 0; tar(hdrAt + 155) = ' '
+          Seq((id, tar))
+        }.toDF("media_id", "media")
+      media
+        .withColumn("es", TarEntries.tarEntries(col("media")))
+        .select(col("media_id"), explode_outer(col("es")).as("e"))
+        .select(col("media_id"), col("e.name").as("name"),
+          col("e.size").cast("long").as("n_bytes"))
+        .orderBy("media_id", "name")
+  }
+
   /** x232: RICH DOCX TEXT — x204 proves unzip→inflate→run extraction;
     * real Word documents interleave structure the space-joined run model
     * flattens wrong: runs inside one paragraph CONCATENATE (a bold word
@@ -4672,5 +4758,5 @@ object Dataflow {
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229, x230, x231, x232, x233)
+    x225, x228, x229, x230, x231, x232, x233, x234)
 }
