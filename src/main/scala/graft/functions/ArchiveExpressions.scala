@@ -59,14 +59,19 @@ object Archives {
     // reader without this path nulls out real-corpus members.
     if (n == 0xffff || cdOff == 0xffffffffL) {
       val loc = eocd - 20
-      if (loc < 0 || le32(b, loc) != 0x07064b50L) return null
-      val z64 = le64(b, loc + 8)
-      if (z64 < 0 || z64 + 56 > b.length || le32(b, z64.toInt) != 0x06064b50L)
-        return null
-      val total = le64(b, z64.toInt + 32)
-      if (total < 0 || total > 1000000) return null
-      n = total.toInt
-      cdOff = le64(b, z64.toInt + 48)
+      if (loc >= 0 && le32(b, loc) == 0x07064b50L) {
+        val z64 = le64(b, loc + 8)
+        if (z64 < 0 || z64 + 56 > b.length || le32(b, z64.toInt) != 0x06064b50L)
+          return null // the locator points nowhere: structural break
+        val total = le64(b, z64.toInt + 32)
+        if (total < 0 || total > 1000000) return null
+        n = total.toInt
+        cdOff = le64(b, z64.toInt + 48)
+      } else if (cdOff == 0xffffffffL) {
+        return null // a sentinel offset with no ZIP64 record is unreadable
+      }
+      // else: APPNOTE semantics — a count of exactly 0xFFFF with no
+      // locator is a REAL 65535-entry classic archive, not ZIP64
     }
     if (cdOff < 0 || cdOff + 4 > b.length) return null
     val out = new Array[(String, Int, Long, Boolean, Array[Byte])](n)
@@ -191,9 +196,18 @@ object Archives {
         val t = u(b, at + 156)
         if (t == 0) "0" else String.valueOf(t.toChar)
       }
+      val isMeta = typeflag == "L" || typeflag == "K" ||
+        typeflag == "x" || typeflag == "g"
+      // a PAX size record GOVERNS the next member's data (POSIX: the
+      // header octal field may be zeros when the real size doesn't fit),
+      // so the payload slice AND the 512-block advance both honor it —
+      // and it gets the same 2^28 cap as header sizes
+      val effSize = if (!isMeta && pendingSize >= 0) pendingSize else size
+      if (effSize < 0 || effSize > (1L << 28)) return null
       val dataAt = at + 512
-      if (dataAt + size > b.length) return null
-      val payload = java.util.Arrays.copyOfRange(b, dataAt, (dataAt + size).toInt)
+      if (dataAt + effSize > b.length) return null
+      val payload =
+        java.util.Arrays.copyOfRange(b, dataAt, (dataAt + effSize).toInt)
       typeflag match {
         case "L" => // GNU long name: payload = next entry's full name
           pendingName = {
@@ -203,18 +217,32 @@ object Archives {
             new String(payload, 0, end, java.nio.charset.StandardCharsets.UTF_8)
           }
         case "K" => () // GNU long LINK name: consume, nothing to carry
-        case "x" => // PAX extended header: "<len> key=value\n" records
-          val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+        case "x" =>
+          // PAX extended header: "<len> key=value\n" records whose lengths
+          // are BYTE counts — parse over bytes, decode each record alone
+          // (a non-ASCII path would misalign every later record if the
+          // lengths were applied to a decoded string)
           var p = 0
-          while (p < s.length) {
-            val sp = s.indexOf(' ', p)
-            if (sp < 0) { p = s.length } else {
-              val lenStr = s.substring(p, sp)
-              val recLen =
-                if (lenStr.nonEmpty && lenStr.length <= 9 &&
-                  lenStr.forall(_.isDigit)) lenStr.toInt else -1
-              if (recLen <= 0 || p + recLen > s.length) return null
-              val rec = s.substring(sp + 1, p + recLen).stripSuffix("\n")
+          var done = false
+          while (!done && p < payload.length) {
+            if (payload(p) == 0) { done = true } // NUL tail padding
+            else {
+              var sp = p
+              while (sp < payload.length && payload(sp) != ' ') sp += 1
+              var recLen = -1L
+              if (sp > p && sp - p <= 9 && sp < payload.length) {
+                recLen = 0L
+                var d = p
+                while (recLen >= 0 && d < sp) {
+                  val c = payload(d) & 0xff
+                  if (c < '0' || c > '9') recLen = -1L
+                  else recLen = recLen * 10 + (c - '0')
+                  d += 1
+                }
+              }
+              if (recLen <= 0 || p + recLen > payload.length) return null
+              val rec = new String(payload, sp + 1, (p + recLen - sp - 1).toInt,
+                java.nio.charset.StandardCharsets.UTF_8).stripSuffix("\n")
               val eq = rec.indexOf('=')
               if (eq > 0) rec.substring(0, eq) match {
                 case "path" => pendingName = rec.substring(eq + 1)
@@ -225,7 +253,7 @@ object Archives {
                   else return null
                 case _ => ()
               }
-              p += recLen
+              p += recLen.toInt
             }
           }
         case "g" => () // PAX global header: applies defaults we don't track
@@ -237,13 +265,12 @@ object Archives {
             if (pendingName != null) pendingName
             else if (prefix.nonEmpty) prefix + "/" + name0
             else name0
-          val effSize = if (pendingSize >= 0) pendingSize else size
           out += ((name, typeflag, effSize, payload))
           sawAny = true
           pendingName = null
           pendingSize = -1L
       }
-      at = dataAt + (((size + 511) / 512) * 512).toInt
+      at = dataAt + (((effSize + 511) / 512) * 512).toInt
     }
     if (sawAny) out.toArray else null
   }
@@ -271,18 +298,22 @@ object Archives {
 
   // ------------------------------------------------------------- builders
 
-  /** Store (method 0) or deflate (method 8) each (name, payload, deflate?)
-    * into a spec-conformant ZIP. */
-  def buildZip(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
+  private final case class ZipMeta(name: Array[Byte], method: Int, crc: Long,
+    csize: Int, usize: Int, off: Int)
+
+  /** Write the local headers + (possibly deflated) data for every entry,
+    * returning the central-directory metadata — shared by the classic
+    * and ZIP64 builders so the compression loop exists once. Deflate
+    * streams through a growable buffer (a fixed payload+64 buffer stalls
+    * forever on a sufficiently incompressible payload). */
+  private def writeZipLocals(out: java.io.ByteArrayOutputStream, version: Int,
+      entries: Seq[(String, Array[Byte], Boolean)]): Seq[ZipMeta] = {
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
-    final case class Meta(name: Array[Byte], method: Int, crc: Long,
-      csize: Int, usize: Int, off: Int)
-    val metas = entries.map { case (name, payload, deflate) =>
+    entries.map { case (name, payload, deflate) =>
       val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val c = new java.util.zip.CRC32(); c.update(payload, 0, payload.length)
       val comp =
@@ -292,21 +323,33 @@ object Archives {
             java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
           try {
             d.setInput(payload); d.finish()
-            val buf = new Array[Byte](payload.length + 64)
-            var n = 0
-            while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
-            java.util.Arrays.copyOf(buf, n)
+            val buf = new java.io.ByteArrayOutputStream(payload.length + 64)
+            val chunk = new Array[Byte](8192)
+            while (!d.finished()) buf.write(chunk, 0, d.deflate(chunk))
+            buf.toByteArray
           } finally d.end()
         }
       val off = out.size()
-      w32(0x04034b50L); w16(20); w16(0); w16(if (deflate) 8 else 0)
+      w32(0x04034b50L); w16(version); w16(0); w16(if (deflate) 8 else 0)
       w16(0); w16(0) // time, date
       w32(c.getValue); w32(comp.length.toLong); w32(payload.length.toLong)
       w16(nb.length); w16(0)
       out.write(nb, 0, nb.length)
       out.write(comp, 0, comp.length)
-      Meta(nb, if (deflate) 8 else 0, c.getValue, comp.length, payload.length, off)
+      ZipMeta(nb, if (deflate) 8 else 0, c.getValue, comp.length, payload.length, off)
     }
+  }
+
+  /** Store (method 0) or deflate (method 8) each (name, payload, deflate?)
+    * into a spec-conformant ZIP. */
+  def buildZip(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val metas = writeZipLocals(out, 20, entries)
     val cdOff = out.size()
     for (m <- metas) {
       w32(0x02014b50L); w16(20); w16(20); w16(0); w16(m.method)
@@ -336,35 +379,9 @@ object Archives {
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
     def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32((v >>> 32) & 0xffffffffL) }
-    final case class Meta(name: Array[Byte], method: Int, crc: Long,
-      csize: Int, usize: Int, off: Int)
-    val metas = entries.map { case (name, payload, deflate) =>
-      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val c = new java.util.zip.CRC32(); c.update(payload, 0, payload.length)
-      val comp =
-        if (!deflate) payload
-        else {
-          val d = new java.util.zip.Deflater(
-            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-          try {
-            d.setInput(payload); d.finish()
-            val buf = new Array[Byte](payload.length + 64)
-            var n = 0
-            while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
-            java.util.Arrays.copyOf(buf, n)
-          } finally d.end()
-        }
-      val off = out.size()
-      // local header stays classic (real sizes fit; ZIP64 locals only
-      // matter past 4 GiB, which no fixture reaches)
-      w32(0x04034b50L); w16(45); w16(0); w16(if (deflate) 8 else 0)
-      w16(0); w16(0)
-      w32(c.getValue); w32(comp.length.toLong); w32(payload.length.toLong)
-      w16(nb.length); w16(0)
-      out.write(nb, 0, nb.length)
-      out.write(comp, 0, comp.length)
-      Meta(nb, if (deflate) 8 else 0, c.getValue, comp.length, payload.length, off)
-    }
+    // local headers stay classic (real sizes fit; ZIP64 locals only
+    // matter past 4 GiB, which no fixture reaches)
+    val metas = writeZipLocals(out, 45, entries)
     val cdOff = out.size()
     for (m <- metas) {
       w32(0x02014b50L); w16(45); w16(45); w16(0); w16(m.method)

@@ -4249,7 +4249,7 @@ object Dataflow {
             val s = new String(paxBody); s.replaceFirst("^\\d+", "9999").getBytes
           } else paxBody
           val tar0 = Archives.buildTar(Seq(
-            ("././@LongLink", "L", (gnuName + " ").getBytes),
+            ("././@LongLink", "L", (gnuName + "\u0000").getBytes),
             (gnuName.take(100), "0", gnuData),
             ("pax-header", "x", goodPax),
             ("stub", "0", paxData),
@@ -4260,7 +4260,7 @@ object Dataflow {
           val hdrAt = {
             // find leaf.dat's header by scanning for its name
             val s = new String(tar, java.nio.charset.StandardCharsets.ISO_8859_1)
-            s.indexOf("leaf.dat ")
+            s.indexOf("leaf.dat\u0000")
           }
           val pfx = s"pre${id % 10}".getBytes
           System.arraycopy(pfx, 0, tar, hdrAt + 345, pfx.length)

@@ -20,11 +20,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * posting array exceeds [[ChunkSize]] entries: a stopword term that
   * appears in every document materializes ceil(df/cap) bounded rows, not
   * one O(corpus) array cell (which would be a task OOM and a one-task
-  * straggler at compaction/serving). Chunk ranks come from a per-term
-  * `row_number` window — a sort-based exchange that SPILLS on skew
-  * instead of allocating, which is exactly the trade the cap exists to
-  * make. Reads are one hash-agg over segments; compaction is one read +
-  * one re-chunk + one write. Exactly-once: segments land via
+  * straggler at compaction/serving). Chunk ranks come from a
+  * per-(term, doc_id-range) `row_number` window — a sort-based exchange
+  * that SPILLS on skew instead of allocating, which is exactly the trade
+  * the cap exists to make. SCHEMA NOTE: chunk_id is INT64 (range-major)
+  * since the range pre-split landed; an index directory holding segments
+  * from the earlier INT32-chunk_id build cannot be mixed-read — compact
+  * it with the old build first, or rebuild (this library has no released
+  * on-disk format yet; the note exists so an upgrade mid-experiment
+  * fails understood, not mysterious). Reads are one hash-agg over
+  * segments; compaction is one read + one re-chunk + one write.
+  * Exactly-once: segments land via
   * [[IdempotentParquetSink]]'s dynamic partition overwrite, so a
   * replayed micro-batch REPLACES its own segment instead of double
   * counting. The ingest model assumes each doc_id arrives in exactly one
