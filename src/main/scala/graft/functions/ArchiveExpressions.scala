@@ -37,8 +37,15 @@ object Archives {
 
   /** ZIP entries via EOCD → central directory:
     * (name, method, usize, crc_ok, payload | null). Null for payloads
-    * with no parseable EOCD/central directory. */
-  def zipEntries(b: Array[Byte]): Array[(String, Int, Long, Boolean, Array[Byte])] = {
+    * with no parseable EOCD/central directory. Never throws — a walk
+    * that trips any unanticipated bounds case routes to null (the same
+    * contract as pdfText/pdfMeta: one adversarial member must not kill
+    * a standing stream). */
+  def zipEntries(b: Array[Byte]): Array[(String, Int, Long, Boolean, Array[Byte])] =
+    try zipEntriesImpl(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def zipEntriesImpl(b: Array[Byte]): Array[(String, Int, Long, Boolean, Array[Byte])] = {
     if (b == null || b.length < 22) return null
     // EOCD: last 64 KB + 22, scanned backward
     var eocd = -1
@@ -164,8 +171,13 @@ object Archives {
 
   /** TAR (ustar) entries: (name, typeflag, size, payload). Walk ends at
     * the two-zero-block terminator or buffer end; a bad header checksum
-    * routes the whole parse to null. */
-  def tarEntries(b: Array[Byte]): Array[(String, String, Long, Array[Byte])] = {
+    * routes the whole parse to null. Never throws (same contract as
+    * [[zipEntries]]). */
+  def tarEntries(b: Array[Byte]): Array[(String, String, Long, Array[Byte])] =
+    try tarEntriesImpl(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def tarEntriesImpl(b: Array[Byte]): Array[(String, String, Long, Array[Byte])] = {
     if (b == null || b.length < 512) return null
     val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long, Array[Byte])]()
     var at = 0
@@ -240,7 +252,11 @@ object Archives {
                   d += 1
                 }
               }
-              if (recLen <= 0 || p + recLen > payload.length) return null
+              // a valid record is longer than its length token + the
+              // space (recLen counts the WHOLE record incl. the prefix),
+              // else the substring length below goes negative ('1 x')
+              if (recLen <= 0 || p + recLen > payload.length ||
+                p + recLen <= sp + 1) return null
               val rec = new String(payload, sp + 1, (p + recLen - sp - 1).toInt,
                 java.nio.charset.StandardCharsets.UTF_8).stripSuffix("\n")
               val eq = rec.indexOf('=')

@@ -62,7 +62,9 @@ object InvertedIndex {
   private def chunkRows(tf: DataFrame, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("tok", "range").orderBy("doc_id")
-    tf.withColumn("range", (col("doc_id") / RangeWidth).cast("long"))
+    // integer shift, not `/` (which is DoubleType division and loses
+    // precision above 2^53 — a boundary doc would land in the wrong range)
+    tf.withColumn("range", shiftright(col("doc_id"), 30))
       .withColumn("chunk_id",
         shiftleft(col("range"), 30)
           .bitwiseOR(((row_number().over(w) - 1) / cap).cast("long")))

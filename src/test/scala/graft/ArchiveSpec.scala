@@ -179,6 +179,17 @@ class ArchiveSpec extends AnyFunSuite {
     assert(Archives.tarEntries(forged) == null)
   }
 
+  test("a PAX record whose length <= its digit prefix routes to null") {
+    // '1 x': recLen=1 but the length token + space already spans 2 bytes,
+    // so the record body length would be NEGATIVE — this exact payload
+    // threw StringIndexOutOfBoundsException before the guard
+    for (body <- Seq("1 x", "2 x", "3 a=b", "1 ", "2  ")) {
+      val tar = Archives.buildTar(Seq(
+        ("pax", "x", body.getBytes), ("stub", "0", "d".getBytes)))
+      assert(Archives.tarEntries(tar) == null, s"body '$body'")
+    }
+  }
+
   test("a bad TAR header checksum routes the whole parse to null") {
     val tar = Archives.buildTar(Seq(("f", "0", "hello".getBytes)))
     val bad = tar.clone(); bad(0) = 'g' // name change breaks the checksum

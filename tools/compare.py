@@ -22,19 +22,6 @@ ran = 0
 TYPE_OK = {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "DATE", "BOOLEAN",
            "TIMESTAMP"}
 type_bad = []
-for name, sql in sorted(oracle.items()):
-    if only and name not in only:
-        continue
-    try:
-        rel = con.sql(sql)
-        for c, t in zip(rel.columns, rel.types):
-            if str(t) not in TYPE_OK:
-                type_bad.append(f"{name}.{c}: {t}")
-    except Exception:
-        pass  # execution errors reported in the main loop below
-if type_bad:
-    print(f"ORACLE TYPE WHITELIST VIOLATIONS (cast these in the oracle "
-          f"SQL): {type_bad}")
 unknown = sorted(only - set(oracle)) if only else []
 if unknown:
     print(f"WARNING: not in oracle_sql.json: {unknown}")
@@ -44,7 +31,14 @@ for name in sorted(oracle):
     ran += 1
     sql = oracle[name]
     try:
-        exp = con.execute(sql).df()
+        # one bind+execute: types come off the relation the main
+        # comparison consumes (the separate whitelist pre-pass doubled
+        # gate latency by running every oracle query twice)
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            if str(t) not in TYPE_OK:
+                type_bad.append(f"{name}.{c}: {t}")
+        exp = rel.df()
     except Exception as e:
         print(f"{name}: ORACLE ERROR: {e}")
         fail.append(name); continue
@@ -86,6 +80,9 @@ for name in sorted(oracle):
         fail.append(name)
     else:
         print(f"{name}: OK rows={len(exp)} cols={list(exp.columns)}")
+if type_bad:
+    print(f"ORACLE TYPE WHITELIST VIOLATIONS (cast these in the oracle "
+          f"SQL): {type_bad}")
 print(f"\n{ran - len(fail)}/{ran} OK"
       + (f" (of {len(oracle)} total)" if only else "")
       + (f", FAILED: {fail}" if fail else ""))
