@@ -4382,6 +4382,55 @@ object TextOps {
         .orderBy("term", "doc_id")
   }
 
+  /** x235: BM25 SERVED INDEX-RESIDENT — x226 proves the chunked index is
+    * lossless for retrieval; this gate proves the full SERVING posture:
+    * the index lands ON DISK over three [[graft.streaming.InvertedIndex
+    * .appendBatch]] batches (posting chunks + the incremental doc-stats
+    * segment, the round-10 scale fix), is COMPACTED (both segment
+    * families fold to batch_id=-1), and `bm25` then scores reading only
+    * query-term posting chunks (the `tok IN` filter pushes to the parquet
+    * scan) plus the O(#docs) stats segment — never rescanning the posting
+    * store for document lengths. Must hash-match the same ad-hoc BM25
+    * formula as x88/x226 (different query terms), so the stats segment is
+    * proven to carry exactly the lengths the ad-hoc plan derives.
+    * IndexServingPlanSpec pins the scan-set claim structurally. */
+  val x235 = DQ("x235_index_bm25_served", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                                    x -> x <> '')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE tok IN ('scan', 'merge', 'key') GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.tok AS term, t.doc_id,
+      |         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |         (CAST(t.tf AS DOUBLE) * 2.2) /
+      |         (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))) AS score
+      |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id)
+      |  CROSS JOIN stats s),
+      |r AS (SELECT term, doc_id, score,
+      |             row_number() OVER (PARTITION BY term
+      |                                ORDER BY score DESC, doc_id) AS rn
+      |      FROM scored)
+      |SELECT term, doc_id, round(score, 4) AS score FROM r WHERE rn <= 5
+      |ORDER BY term, doc_id""".stripMargin)) {
+    (spark, dir) =>
+      import graft.streaming.InvertedIndex
+      val docs = spread(table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      val indexDir = java.nio.file.Files
+        .createTempDirectory("x235_index").toFile.getAbsolutePath
+      (0 until 3).foreach(b => InvertedIndex.appendBatch(indexDir)(
+        docs.where(col("doc_id") % 3 === b), b.toLong))
+      InvertedIndex.compact(spark, indexDir)
+      InvertedIndex.bm25(spark, indexDir, Seq("scan", "merge", "key"), 5)
+        .orderBy("term", "doc_id")
+  }
+
   val all: Seq[DQ] = Seq(x02, x03, x05, x06, x07, x08, x09, x10, x14, x22,
     x23, x26, x27, x28, x30, x31, x32, x36, x37, x38, x39, x40, x41, x42, x43,
     x45, x46, x47, x49, x50, x51, x52, x53, x54, x55, x59, x60, x61, x88, x93,
@@ -4389,5 +4438,5 @@ object TextOps {
     x128, x130, x131, x150, x165, x166, x172, x173, x174, x175, x177,
     x183, x184, x185, x186, x187, x188, x190, x192, x193, x194, x195,
     x197, x198, x199, x200, x207, x208, x210, x215, x216, x217,
-    x218, x219, x221, x224, x226)
+    x218, x219, x221, x224, x226, x235)
 }

@@ -89,9 +89,75 @@ object InvertedIndex {
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")),
       cap)
 
-  /** foreachBatch hook: segment the micro-batch and land it replay-safe. */
-  def appendBatch(indexDir: String)(batch: DataFrame, batchId: Long): Unit =
-    IdempotentParquetSink.writeBatch(indexDir)(segment(batch), batchId)
+  /** Directory of the doc-stats segments: `<indexDir>/_stats` — the
+    * underscore prefix makes it invisible to `spark.read.parquet(indexDir)`
+    * (Spark's FileIndex skips `_`/`.` paths), so posting readers never see
+    * stats rows and the two segment families ride one index directory. */
+  def statsDir(indexDir: String): String =
+    new Path(indexDir, "_stats").toString
+
+  /** One batch of documents → its doc-stats segment `(doc_id, dl)`:
+    * per-doc token count (Σtf). Maintained INCREMENTALLY alongside the
+    * posting segments so BM25 serving never rescans the posting store for
+    * document lengths — at corpus scale that rescan costs a full index
+    * scan + corpus-width shuffle per query (the round-10 scale flag);
+    * the stats segment is O(#docs in the batch) rows written once at
+    * arrival, exactly like the reference consolidates derived registry
+    * state with the primary on rotation (producer_file_registry.py:80-138). */
+  def statsSegment(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+  /** Read a `batch_id=N`-partitioned segment directory by its explicit
+    * children (with the directory as basePath, so the partition column
+    * survives). Needed for `_stats`: handing Spark the underscore
+    * directory itself trips the hidden-path filter's "all paths were
+    * ignored" warning on every read, while explicit non-hidden children
+    * read silently — the same dodge VectorIndex.loadModel uses for
+    * `_model/gen=N`. */
+  private def readSegmentDir(spark: SparkSession, dir: String): DataFrame = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.toString)
+    spark.read.option("basePath", dir).parquet(parts.toIndexedSeq: _*)
+  }
+
+  /** Per-doc length table `(doc_id, dl)` merged over stats segments (each
+    * doc arrives in exactly one batch, so the union IS the table).
+    * Requires at least one stats segment — gate with [[hasStats]]. */
+  def docStats(spark: SparkSession, indexDir: String): DataFrame =
+    readSegmentDir(spark, statsDir(indexDir)).drop("batch_id")
+
+  /** Whether this index directory carries the doc-stats segment family
+    * (indexes written before it existed do not). */
+  def hasStats(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new Path(statsDir(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** foreachBatch hook: segment the micro-batch and land it replay-safe —
+    * posting chunks under `indexDir/batch_id=N`, doc-length stats under
+    * `indexDir/_stats/batch_id=N`. Both ride [[IdempotentParquetSink]]'s
+    * dynamic partition overwrite, so a replayed batch replaces BOTH of its
+    * segments and the two families can never drift apart. The shared
+    * (doc, term) → tf collapse is computed once and cached for the two
+    * writes (a micro-batch, not the corpus). */
+  def appendBatch(indexDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val tf = batch
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      IdempotentParquetSink.writeBatch(indexDir)(chunkRows(tf, ChunkSize), batchId)
+      IdempotentParquetSink.writeBatch(statsDir(indexDir))(
+        tf.groupBy("doc_id").agg(sum("tf").as("dl")), batchId)
+    } finally tf.unpersist()
+  }
 
   /** Maintain the index from a streaming `(doc_id, text)` source. */
   def maintain(docs: DataFrame, indexDir: String,
@@ -150,7 +216,13 @@ object InvertedIndex {
     * a query term. */
   def bm25From(segments: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val post = postings(segments)
-    val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
+    scoreBm25(post, post.groupBy("doc_id").agg(sum("tf").as("dl")), terms, k)
+  }
+
+  /** The shared BM25 scoring tail: `post` is the flat (tok, doc_id, tf)
+    * view, `dl` the per-doc length table (however it was obtained). */
+  private def scoreBm25(post: DataFrame, dl: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     // df for the QUERY TERMS ONLY, derived from the already-filtered hits
@@ -178,11 +250,23 @@ object InvertedIndex {
       .filter(col("rn") <= k).drop("rn")
   }
 
-  /** BM25 served from the STORED index (per-batch segments or the
-    * compacted form — the chunk schema is the same either way). */
+  /** BM25 served from the STORED index. When the directory carries the
+    * doc-stats segment family (anything [[appendBatch]] maintained), the
+    * serving plan touches only QUERY-TERM posting chunks: the `tok IN`
+    * filter lands on the chunk rows BEFORE any explode, so it pushes down
+    * to the parquet scan (row-group stats skip non-matching chunks), and
+    * doc lengths / N / avgdl come from the O(#docs) stats segment instead
+    * of a full posting-store rescan — the round-10 serving-scale fix. A
+    * pre-stats index directory falls back to deriving lengths from the
+    * postings (correct, but a corpus-width scan per query). */
   def bm25(spark: SparkSession, indexDir: String, terms: Seq[String],
-      k: Int): DataFrame =
-    bm25From(spark.read.parquet(indexDir).drop("batch_id"), terms, k)
+      k: Int): DataFrame = {
+    val segments = spark.read.parquet(indexDir).drop("batch_id")
+    if (hasStats(spark, indexDir))
+      scoreBm25(postings(segments.filter(col("tok").isin(terms: _*))),
+        docStats(spark, indexDir), terms, k)
+    else bm25From(segments, terms, k)
+  }
 
   /** Posting-level compaction: fold EVERY segment into one merged segment
     * under `batch_id=-1` (the id the engine never emits — same contract
@@ -197,17 +281,34 @@ object InvertedIndex {
 
   def compact(spark: SparkSession, indexDir: String,
       cap: Int): (Long, Long) = {
-    val path = new Path(indexDir)
+    // stats first: if the posting fold later fails mid-way, a re-run still
+    // sees a consistent (if partially folded) pair — each family's fold is
+    // independently idempotent and serving reads either layout
+    foldSegments(spark, statsDir(indexDir), identity)
+    foldSegments(spark, indexDir,
+      df => chunkRows(postings(df), cap))
+  }
+
+  /** Fold every `batch_id=N` partition of one segment directory into a
+    * single `batch_id=-1` partition via tmp-write → delete → rename (the
+    * same consolidate-between-runs contract as
+    * [[graft.batch.Compaction.compactBatchPartitioned]]). `rewrite` maps
+    * the merged rows to their compacted form (posting re-chunk for the
+    * index family, identity for doc-stats). Returns (rowsBefore,
+    * rowsAfter); a directory with no segments folds to (0, 0). */
+  private def foldSegments(spark: SparkSession, dir: String,
+      rewrite: DataFrame => DataFrame): (Long, Long) = {
+    val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a fresh/empty index (no segments landed yet) compacts to nothing —
     // same contract as VectorIndex.compact, not an AnalysisException
     if (!fs.exists(path) || !fs.listStatus(path).exists(s =>
         s.isDirectory && s.getPath.getName.startsWith("batch_id=")))
       return (0L, 0L)
-    val before = spark.read.parquet(indexDir).count()
+    val before = readSegmentDir(spark, dir).count()
     val tmp = new Path(path, "_compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    chunkRows(postings(spark.read.parquet(indexDir).drop("batch_id")), cap)
+    rewrite(readSegmentDir(spark, dir).drop("batch_id"))
       .withColumn("batch_id", lit(-1L))
       .write.partitionBy("batch_id").parquet(tmp.toString)
     val parts = fs.listStatus(path)
@@ -224,6 +325,6 @@ object InvertedIndex {
         s"InvertedIndex.compact: rename into '$dest' failed; ORIGINALS WERE " +
           s"DELETED — the data survives under '$tmp', restore manually")
     fs.delete(tmp, true)
-    (before, spark.read.parquet(indexDir).count())
+    (before, readSegmentDir(spark, dir).count())
   }
 }

@@ -97,6 +97,18 @@ class InvertedIndexStreamSpec extends AnyFunSuite {
     assert(readIndex(indexDir) == batchBuild(wave1 ++ wave2),
       "replayed batch double-counted")
 
+    // doc-stats segments rode along with every append and replay: one
+    // row per doc, no double counting from the replayed batch
+    val allDocs = wave1 ++ wave2
+    def statsRows(): Seq[(Long, Long)] =
+      InvertedIndex.docStats(spark, indexDir).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expectedStats = InvertedIndex
+      .statsSegment(allDocs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(statsRows() == expectedStats,
+      "doc-stats segment != one-shot lengths after append + replay")
+
     // posting-level compaction: rows per term fold to 1, served index
     // unchanged, and a further read sees exactly one segment partition
     val servedBefore = readIndex(indexDir)
@@ -106,5 +118,21 @@ class InvertedIndexStreamSpec extends AnyFunSuite {
       .groupBy("tok").count().agg(max("count")).first().getLong(0)
     assert(perTerm == 1, "compaction left multiple segment rows for a term")
     assert(readIndex(indexDir) == servedBefore, "compaction changed the index")
+
+    // compaction folded the stats family too, losslessly
+    val statsParts = spark.read.parquet(InvertedIndex.statsDir(indexDir))
+      .select("batch_id").distinct().count()
+    assert(statsParts == 1, "compact left multiple stats segments")
+    assert(statsRows() == expectedStats, "compaction changed the doc stats")
+
+    // BM25 served from the stored (compacted) index == the ad-hoc formula
+    // on a one-shot segment build — lengths proven index-resident
+    val terms = Seq("quick", "dog", "quartz")
+    val adhoc = InvertedIndex.bm25From(
+      InvertedIndex.segment(allDocs.toDF("doc_id", "text")), terms, 3)
+      .orderBy("term", "doc_id").collect().map(_.toString).toSeq
+    assert(InvertedIndex.bm25(spark, indexDir, terms, 3)
+      .orderBy("term", "doc_id").collect().map(_.toString).toSeq == adhoc,
+      "served BM25 != ad-hoc BM25 after compaction")
   }
 }
