@@ -103,6 +103,13 @@ object Pdfs {
       direct: scala.collection.Map[Int, Long],
       inStm: scala.collection.Map[Int, (Int, Int)],
       val revisions: Int = 1) {
+    /** Standard-security-handler context when the trailer carries
+      * /Encrypt and the empty user password opens it; null = plaintext
+      * document. Set by [[loadXref]] after construction (the Encrypt
+      * object must be resolved THROUGH this xref — the spec keeps it out
+      * of object streams, so no decryption is needed to read it). */
+    var crypto: PdfCrypto.Handler = null
+
     def objOffset(num: Int): Long = direct.getOrElse(num, -1L)
     def directEntries: Iterator[(Int, Long)] = direct.iterator
     def inStmEntries: Iterator[(Int, (Int, Int))] = inStm.iterator
@@ -231,8 +238,164 @@ object Pdfs {
       if (trailer == null) trailer = sec.trailer
       off = intAfter(sec.trailer, "/Prev")
     }
-    if (trailer == null) null
-    else new Xref(b, trailer, direct, inStm, revisions = hops)
+    if (trailer == null) return null
+    val xref = new Xref(b, trailer, direct, inStm, revisions = hops)
+    // the NEWEST trailer rules encryption too; a document we cannot
+    // decrypt (non-empty user password, V5/AES-256, malformed Encrypt
+    // dict) routes WHOLE to null — the quarantine posture, never
+    // wrong-bytes-downstream
+    if (trailer.contains("/Encrypt")) {
+      val h = encryptHandler(b, xref, trailer)
+      if (h == null) return null
+      xref.crypto = h
+    }
+    xref
+  }
+
+  /** Resolve the trailer's /Encrypt reference and build the standard
+    * security handler for the EMPTY user password (ISO 32000 §7.6.3 —
+    * the owner-restricted-but-openable class that dominates crawls).
+    * Null when the dict is malformed, the scheme unsupported, or a real
+    * user password is set. */
+  private def encryptHandler(b: Array[Byte], xref: Xref,
+      trailer: String): PdfCrypto.Handler = {
+    val encRef = intAfter(trailer, "/Encrypt")
+    if (encRef < 0 || encRef > Int.MaxValue) return null
+    val ew = xref.objText(encRef.toInt, 2048)
+    if (ew == null) return null
+    val scanned = scanDict(ew)
+    if (scanned == null) return null
+    val (nums, strs, names) = scanned
+    if (!names.get("Filter").contains("Standard")) return null
+    val v = nums.getOrElse("V", 0L).toInt
+    val r = nums.getOrElse("R", -1L).toInt
+    val bits = nums.getOrElse("Length", 40L)
+    if (bits < 0 || bits > 256) return null
+    val p = nums.get("P") match {
+      case Some(x) => x.toInt // int32; unsigned spellings wrap correctly
+      case None => return null
+    }
+    val aes = v == 4 && names.get("CFM").contains("AESV2")
+    // V4 crypt filters: only the two real-world CFMs (AESV2, V2=RC4)
+    if (v == 4 && !aes && !names.get("CFM").contains("V2")) return null
+    PdfCrypto.openWithEmptyPassword(v, r, bits.toInt,
+      strs.getOrElse("O", null), strs.getOrElse("U", null), p,
+      trailerId(trailer), aes)
+  }
+
+  /** First element of the trailer's /ID array (hex-string form — what
+    * writers emit); empty when absent or unparseable (a legal, if
+    * nonconforming, input to the key derivation). */
+  private def trailerId(trailer: String): Array[Byte] = {
+    "/ID\\s*\\[\\s*<([0-9A-Fa-f\\s]*)>".r.findFirstMatchIn(trailer) match {
+      case None => Array.emptyByteArray
+      case Some(m) =>
+        val hex = m.group(1).filterNot(_.isWhitespace)
+        if (hex.length % 2 != 0 || hex.isEmpty) Array.emptyByteArray
+        else hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+  }
+
+  /** Linear scan of one dictionary window (ISO-8859-1 chars == bytes):
+    * number values, string values (literal with §7.3.4.2 escapes, or
+    * hex), and name values, keyed by the preceding name key. A linear
+    * walk CONSUMES string bodies, so binary /O /U bytes can never fake a
+    * token a regex lookup would trip on. Nested dicts flatten (their
+    * keys — /CFM — land in the same maps). Null on structural breaks. */
+  private def scanDict(s: String): (Map[String, Long],
+      Map[String, Array[Byte]], Map[String, String]) = {
+    val start = s.indexOf("<<")
+    if (start < 0) return null
+    val nums = scala.collection.mutable.HashMap[String, Long]()
+    val strs = scala.collection.mutable.HashMap[String, Array[Byte]]()
+    val names = scala.collection.mutable.HashMap[String, String]()
+    var i = start + 2
+    var depth = 1
+    def ws(c: Char) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    while (i < s.length && depth > 0) {
+      val c = s(i)
+      if (c == '>' && i + 1 < s.length && s(i + 1) == '>') { depth -= 1; i += 2 }
+      else if (c == '<' && i + 1 < s.length && s(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c == '/') {
+        var j = i + 1
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '.')) j += 1
+        val key = s.substring(i + 1, j)
+        var k = j
+        while (k < s.length && ws(s(k))) k += 1
+        if (k >= s.length) return null
+        s(k) match {
+          case '/' =>
+            var m = k + 1
+            while (m < s.length && (s(m).isLetterOrDigit || s(m) == '.')) m += 1
+            names(key) = s.substring(k + 1, m)
+            i = m
+          case '(' =>
+            val r = parseLiteralBytes(s, k)
+            if (r == null) return null
+            strs(key) = r._1
+            i = r._2
+          case '<' if k + 1 < s.length && s(k + 1) != '<' =>
+            val e = s.indexOf('>', k + 1)
+            if (e < 0) return null
+            val hex = s.substring(k + 1, e).filterNot(ws)
+            if (hex.isEmpty || hex.length % 2 != 0 ||
+              !hex.forall(h => h.isDigit || (h >= 'a' && h <= 'f') ||
+                (h >= 'A' && h <= 'F'))) return null
+            strs(key) = hex.grouped(2)
+              .map(Integer.parseInt(_, 16).toByte).toArray
+            i = e + 1
+          case d if d == '-' || d.isDigit =>
+            var m = if (d == '-') k + 1 else k
+            val ds = m
+            while (m < s.length && s(m).isDigit) m += 1
+            if (m == ds || m - ds > 18) return null
+            nums(key) = s.substring(k, m).toLong
+            i = m
+          case _ =>
+            i = k // '<<' (nested dict), '[', booleans: structure handles it
+        }
+      }
+      else i += 1
+    }
+    if (depth != 0) return null
+    (nums.toMap, strs.toMap, names.toMap)
+  }
+
+  /** PDF literal string starting at `s(start) == '('` → (bytes, index
+    * after the closing paren). Balanced nested parens, the §7.3.4.2
+    * escapes, 1–3-digit octal; a backslash before any other char yields
+    * that char. Null when unterminated. */
+  private def parseLiteralBytes(s: String, start: Int): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = start + 1
+    var depth = 1
+    while (i < s.length) {
+      s(i) match {
+        case '\\' =>
+          if (i + 1 >= s.length) return null
+          s(i + 1) match {
+            case 'n' => out.write('\n'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'b' => out.write('\b'); i += 2
+            case 'f' => out.write('\f'); i += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = i + 1; var n = 0
+              while (k < s.length && n < 3 && s(k) >= '0' && s(k) <= '7') {
+                v = v * 8 + (s(k) - '0'); k += 1; n += 1
+              }
+              out.write(v & 0xff); i = k
+            case other => out.write(other & 0xff); i += 2
+          }
+        case '(' => depth += 1; out.write('('); i += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (out.toByteArray, i + 1)
+          out.write(')'); i += 1
+        case ch => out.write(ch & 0xff); i += 1
+      }
+    }
+    null
   }
 
   private def loadClassicXref(b: Array[Byte], xrefOff: Int, xr: String): Xref = {
@@ -621,7 +784,14 @@ object Pdfs {
     if (ds < b.length && b(ds) == '\r') ds += 1
     if (ds < b.length && b(ds) == '\n') ds += 1
     if (len < 0 || ds + len > b.length) return null
-    val raw = java.util.Arrays.copyOfRange(b, ds, ds + len.toInt)
+    val enc = java.util.Arrays.copyOfRange(b, ds, ds + len.toInt)
+    // encryption wraps the COMPRESSED bytes (applied last on write), so
+    // decrypt before inflating; gen 0 — the only generation either our
+    // builders or post-2000 writers emit (this xref drops generations)
+    val raw =
+      if (xref.crypto == null) enc
+      else xref.crypto.decrypt(num, 0, enc)
+    if (raw == null) return null
     // 64 MiB bound: a page content stream past this size is hostile or
     // broken either way — null-route, never OOM
     if (!flate) raw else inflateBounded(raw, 1 << 26)
@@ -941,6 +1111,104 @@ object Pdfs {
     w(s"xref\n$objNum 1\n")
     w(f"$objAt%010d 00000 n \n")
     w(s"trailer\n<< /Size $size /Root $root 0 R /Prev $prevOff >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** [[buildPdfWithText]]'s document under the STANDARD SECURITY HANDLER
+    * (ISO 32000 §7.6.3): every content stream encrypted with its
+    * per-object key, an /Encrypt dictionary object, and the /ID the key
+    * derivation hashes (deterministic — MD5 of the page text — so
+    * fixtures hash stably). `mode`: "rc4-40" (V1/R2), "rc4-128" (V2/R3),
+    * "aes-128" (V4/R4 /CFM /AESV2). An empty `userPwd` builds the
+    * owner-restricted-but-openable document every reader silently opens;
+    * a non-empty one builds the password-protected arm extractors must
+    * QUARANTINE (null), never misdecrypt. */
+  def buildPdfEncrypted(pages: Seq[String], flate: Boolean, mode: String,
+      userPwd: String = "", literalOU: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty)
+    val (v, r, bits, aes) = mode match {
+      case "rc4-40" => (1, 2, 40, false)
+      case "rc4-128" => (2, 3, 128, false)
+      case "aes-128" => (4, 4, 128, true)
+      case other => throw new IllegalArgumentException(s"mode $other")
+    }
+    val n = if (r == 2) 5 else bits / 8
+    val perm = -44 // print allowed, modify denied — a typical owner mask
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(pages.mkString("").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val pwd = userPwd.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val o = PdfCrypto.computeO(
+      "owner".getBytes(java.nio.charset.StandardCharsets.UTF_8), pwd, r, n)
+    val key = PdfCrypto.fileKey(pwd, o, perm, id, r, n)
+    val u = PdfCrypto.computeU(key, id, r)
+    val handler = new PdfCrypto.Handler(key, aes)
+    def hex(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02x").mkString
+
+    val k = pages.length
+    val streams = textPageStreams(pages, flate)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(Ascii))
+    val nObj = 3 + 2 * k // catalog, pages, k pages, k contents, encrypt
+    val offsets = new Array[Long](nObj + 1)
+    w("%PDF-1.6\n")
+    offsets(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until k).map(i => s"${i + 3} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $k >>\nendobj\n")
+    var i = 0
+    while (i < k) {
+      offsets(i + 3) = out.size()
+      w(s"${i + 3} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${k + 3 + i} 0 R >>\nendobj\n")
+      i += 1
+    }
+    i = 0
+    while (i < k) {
+      val num = k + 3 + i
+      offsets(num) = out.size()
+      val enc = handler.encrypt(num, 0, streams(i))
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      w(s"$num 0 obj\n<< /Length ${enc.length}$filter >>\nstream\n")
+      out.write(enc)
+      w("\nendstream\nendobj\n")
+      i += 1
+    }
+    val encNum = nObj
+    offsets(encNum) = out.size()
+    val cf = if (v == 4)
+      " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>" +
+        " /StmF /StdCF /StrF /StdCF"
+    else ""
+    val lenEntry = if (v == 1) "" else s" /Length $bits"
+    // literalOU exercises the §7.3.4.2 escaped-literal form most real
+    // writers use for /O /U (every non-printable byte as 3-digit octal)
+    def litEsc(bs: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(bs.length * 4)
+      for (x <- bs) {
+        val c = x & 0xff
+        if (c == '(' || c == ')' || c == '\\') { sb.append('\\'); sb.append(c.toChar) }
+        else if (c < 32 || c > 126) sb.append(f"\\$c%03o")
+        else sb.append(c.toChar)
+      }
+      sb.toString
+    }
+    def str(bs: Array[Byte]): String =
+      if (literalOU) s"(${litEsc(bs)})" else s"<${hex(bs)}>"
+    w(s"$encNum 0 obj\n<< /Filter /Standard /V $v /R $r$lenEntry$cf" +
+      s" /P $perm /O ${str(o)} /U ${str(u)} >>\nendobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n0 ${nObj + 1}\n")
+    w("0000000000 65535 f \n")
+    var j = 1
+    while (j <= nObj) {
+      w(f"${offsets(j)}%010d 00000 n \n")
+      j += 1
+    }
+    w(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R /Encrypt $encNum 0 R" +
+      s" /ID [<${hex(id)}> <${hex(id)}>] >>\n")
     w(s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }

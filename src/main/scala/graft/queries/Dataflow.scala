@@ -4752,11 +4752,67 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x236: ENCRYPTED PDF TEXT — the standard security handler (ISO 32000
+    * §7.6.3), the "encrypted but openable" class real crawls are full of:
+    * owner-restricted documents with an EMPTY user password that every
+    * reader opens silently. Fixtures re-render x222's exact text content
+    * encrypted under the three real-world schemes by doc_id%3 — RC4-40
+    * (V1/R2), RC4-128 (V2/R3), AES-128-CBC (V4/R4 /CFM /AESV2) — via
+    * [[graft.functions.Pdfs.buildPdfEncrypted]] (per-object keys,
+    * Algorithm 2/3/4/5 /O /U values, /ID in the trailer; odd docs spell
+    * /O /U as escaped literals, even as hex). The oracle recomputes the
+    * construction formula, so a wrong key derivation, a missed per-object
+    * salt, or a misparsed /O literal garbles every byte and fails the
+    * hash. Every 23rd doc carries a REAL user password and must
+    * QUARANTINE (absent from output) — extracting it at all is the
+    * failure. Straight scan at 100 TB: decrypt is per-row CPU, zero
+    * exchanges before the output sort. */
+  val x236 = DQ("x236_pdf_encrypted", Some(
+    """WITH d AS (SELECT doc_id, text,
+      |    greatest(1, least(3, (length(text) + 199) // 200)) AS np
+      |  FROM documents WHERE doc_id % 23 <> 0),
+      |p AS (SELECT doc_id, np, u.k AS page,
+      |    substr(text, (u.k - 1) * 200 + 1, 200) AS pg
+      |  FROM d, unnest(generate_series(1, np)) AS u(k)),
+      |e AS (SELECT doc_id, page,
+      |    'p' || CAST(page AS VARCHAR) || ' of ' || CAST(np AS VARCHAR)
+      |    || CASE WHEN pg = '' THEN '' ELSE chr(10) || array_to_string(
+      |         list_filter([substr(pg, 1, 50), substr(pg, 51, 50),
+      |                      substr(pg, 101, 50), substr(pg, 151, 50)],
+      |                     x -> x <> ''), chr(10)) END AS ptext
+      |  FROM p)
+      |SELECT doc_id AS media_id, CAST(page AS INT) AS page,
+      |  md5(ptext) AS text_md5, CAST(length(ptext) AS BIGINT) AS n_chars
+      |FROM e ORDER BY media_id, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Pdfs, PdfText}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val np = math.max(1, math.min(3, (text.length + 199) / 200))
+          val pages = (0 until np).map(k =>
+            text.substring(k * 200, math.min(text.length, k * 200 + 200)))
+          val mode = Seq("rc4-40", "rc4-128", "aes-128")((id % 3).toInt)
+          val pwd = if (id % 23 == 0) "locked" else ""
+          (id, Pdfs.buildPdfEncrypted(pages, flate = id % 2 == 0, mode,
+            userPwd = pwd, literalOU = id % 2 == 1))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          posexplode(PdfText.pdfText(col("media"))).as(Seq("p0", "ptext")))
+        .select(col("media_id"), (col("p0") + 1).cast("int").as("page"),
+          md5(col("ptext")).as("text_md5"),
+          length(col("ptext")).cast("long").as("n_chars"))
+        .orderBy("media_id", "page")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229, x230, x231, x232, x233, x234)
+    x225, x228, x229, x230, x231, x232, x233, x234, x236)
 }
