@@ -4808,11 +4808,181 @@ object Dataflow {
         .orderBy("media_id", "page")
   }
 
+  /** x237: XLSX TEXT EXTRACTION — the second OOXML member: a spreadsheet
+    * is the same ZIP container as x204's DOCX, but its text is SPLIT
+    * across parts — `xl/sharedStrings.xml` holds the string table,
+    * `xl/worksheets/sheet1.xml` holds cells that REFERENCE it by index
+    * (`t="s"`, the layout Excel always writes), inline (`t="inlineStr"`),
+    * or numerically. An extractor that reads only the sheet part gets
+    * indices, not text — the shared-string join is the load-bearing step
+    * (ECMA-376 §18.4). Cells join by tab, rows by newline. Fixtures mix
+    * all three cell types per row; every 21st doc misplaces its sheet
+    * part and must quarantine. Oracle recomputes the construction from
+    * doc_id arithmetic. Straight scan at 100 TB like x204. */
+  val x237 = DQ("x237_xlsx_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS ns,
+      |           CAST(doc_id % 2 + 1 AS INT) AS nr, doc_id % 21 = 0 AS q
+      |  FROM documents),
+      |r AS (SELECT doc_id, ns, nr, q, u.r AS r
+      |  FROM d, unnest(generate_series(0, nr - 1)) AS u(r)),
+      |t AS (SELECT doc_id, nr, q, string_agg(
+      |    'shared ' || CAST(r % ns AS VARCHAR) || ' doc '
+      |    || CAST(doc_id AS VARCHAR) || chr(9)
+      |    || CAST(doc_id * 10 + r AS VARCHAR) || chr(9)
+      |    || 'inline ' || CAST(r AS VARCHAR) || ' x'
+      |    || CAST(doc_id AS VARCHAR), chr(10) ORDER BY r) AS text
+      |  FROM r GROUP BY doc_id, nr, q)
+      |SELECT doc_id AS media_id, q AS quarantined,
+      |  CAST(CASE WHEN q THEN NULL ELSE nr END AS BIGINT) AS n_rows,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM t ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, ZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val ns = (id % 3 + 1).toInt
+          val nr = (id % 2 + 1).toInt
+          val sst = "<?xml version=\"1.0\"?><sst xmlns=\"http://schemas." +
+            "openxmlformats.org/spreadsheetml/2006/main\" count=\"" + ns +
+            "\" uniqueCount=\"" + ns + "\">" +
+            (0 until ns).map(j => s"<si><t>shared $j doc $id</t></si>")
+              .mkString + "</sst>"
+          val rows = (0 until nr).map { r =>
+            s"""<row r="${r + 1}">""" +
+              s"""<c r="A${r + 1}" t="s"><v>${r % ns}</v></c>""" +
+              s"""<c r="B${r + 1}"><v>${id * 10 + r}</v></c>""" +
+              s"""<c r="C${r + 1}" t="inlineStr"><is><t>inline $r x$id""" +
+              "</t></is></c></row>"
+          }.mkString
+          val sheet = "<?xml version=\"1.0\"?><worksheet xmlns=\"http://" +
+            "schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
+            s"<sheetData>$rows</sheetData></worksheet>"
+          val ct = "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas." +
+            "openxmlformats.org/package/2006/content-types\"><Default " +
+            "Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+          val sheetName =
+            if (id % 21 == 0) "xl/worksheets/other.xml"
+            else "xl/worksheets/sheet1.xml"
+          (id, Archives.buildZip(Seq(
+            ("[Content_Types].xml", ct.getBytes, true),
+            ("xl/sharedStrings.xml", sst.getBytes, true),
+            (sheetName, sheet.getBytes, true))))
+        }.toDF("media_id", "media")
+      media
+        .withColumn("es", ZipEntries.zipEntries(col("media")))
+        .withColumn("sstPart",
+          expr("filter(es, e -> e.name = 'xl/sharedStrings.xml')"))
+        .withColumn("sheetPart",
+          expr("filter(es, e -> e.name = 'xl/worksheets/sheet1.xml')"))
+        .withColumn("sst", expr(
+          """CASE WHEN size(sstPart) = 1 THEN regexp_extract_all(
+            |  cast(sstPart[0].payload AS STRING),
+            |  '<t[^>]*>([^<]*)</t>', 1) END""".stripMargin))
+        .withColumn("sheet", expr(
+          "CASE WHEN size(sheetPart) = 1 THEN cast(sheetPart[0].payload AS STRING) END"))
+        .withColumn("rws",
+          expr("regexp_extract_all(sheet, '<row[^>]*>(.*?)</row>', 1)"))
+        .withColumn("text", expr(
+          """array_join(transform(rws, r -> array_join(
+            |  transform(regexp_extract_all(r, '<c [^>]*>.*?</c>', 0), c ->
+            |    CASE WHEN c LIKE '%t="s"%' THEN
+            |      element_at(sst, cast(regexp_extract(c, '<v>(\\d+)</v>', 1)
+            |                           AS INT) + 1)
+            |    WHEN c LIKE '%t="inlineStr"%' THEN
+            |      regexp_extract(c, '<t[^>]*>([^<]*)</t>', 1)
+            |    ELSE regexp_extract(c, '<v>([^<]*)</v>', 1) END),
+            |  '\t')), '\n')""".stripMargin))
+        .select(col("media_id"), col("sheet").isNull.as("quarantined"),
+          when(col("sheet").isNotNull, size(col("rws")).cast("long"))
+            .as("n_rows"),
+          when(col("sheet").isNotNull, md5(col("text"))).as("text_md5"),
+          when(col("sheet").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"))
+        .orderBy("media_id")
+  }
+
+  /** x238: PPTX TEXT EXTRACTION — the third OOXML member: slide decks
+    * store one part per slide (`ppt/slides/slideN.xml`), text lives in
+    * DrawingML `<a:t>` runs inside `<a:p>` paragraphs (ECMA-376 §21.1).
+    * Runs within one paragraph CONCATENATE (a styled word split across
+    * runs must not grow a space — x232's DOCX lesson applies verbatim),
+    * paragraphs join by newline, and each slide is its own output row
+    * (the page-model shape of the PDF gates). Every 19th doc ships a
+    * torn container (no EOCD) and must emit one quarantine row. Oracle
+    * recomputes the construction; straight scan at 100 TB. */
+  val x238 = DQ("x238_pptx_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS ns,
+      |           doc_id % 19 = 0 AS q FROM documents),
+      |s AS (SELECT doc_id, u.s AS slide FROM d,
+      |      unnest(generate_series(1, ns)) AS u(s) WHERE NOT q),
+      |e AS (SELECT doc_id, slide,
+      |    'title ' || CAST(slide AS VARCHAR) || ' of doc '
+      |    || CAST(doc_id AS VARCHAR) || chr(10) || 'body '
+      |    || CAST(slide AS VARCHAR) || ' x' || CAST(doc_id AS VARCHAR)
+      |    AS text
+      |  FROM s)
+      |SELECT media_id, slide, text_md5, n_chars FROM (
+      |  SELECT doc_id AS media_id, CAST(slide AS INT) AS slide,
+      |    md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL FROM d WHERE q)
+      |ORDER BY media_id, slide""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, ZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val ns = (id % 3 + 1).toInt
+          val ct = "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas." +
+            "openxmlformats.org/package/2006/content-types\"><Default " +
+            "Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+          val slides = (1 to ns).map { s =>
+            val xml = "<?xml version=\"1.0\"?><p:sld xmlns:p=\"http://" +
+              "schemas.openxmlformats.org/presentationml/2006/main\" " +
+              "xmlns:a=\"http://schemas.openxmlformats.org/drawingml/" +
+              "2006/main\"><p:cSld><p:spTree><p:sp><p:txBody>" +
+              s"<a:p><a:r><a:t>title $s </a:t></a:r>" +
+              s"<a:r><a:t>of doc $id</a:t></a:r></a:p>" +
+              s"<a:p><a:r><a:t>body $s x$id</a:t></a:r></a:p>" +
+              "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+            (s"ppt/slides/slide$s.xml", xml.getBytes, true)
+          }
+          val zip = Archives.buildZip(
+            ("[Content_Types].xml", ct.getBytes, true) +: slides)
+          (id, if (id % 19 == 0) zip.dropRight(12) else zip)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("es", ZipEntries.zipEntries(col("media")))
+        .withColumn("slides", expr(
+          "filter(es, e -> e.name LIKE 'ppt/slides/slide%.xml')"))
+        .select(col("media_id"), explode_outer(col("slides")).as("e"))
+        .withColumn("slide", expr(
+          "cast(regexp_extract(e.name, 'slide(\\\\d+)\\\\.xml', 1) AS INT)"))
+        .withColumn("text", expr(
+          """array_join(transform(
+            |  regexp_extract_all(cast(e.payload AS STRING),
+            |                     '<a:p>(.*?)</a:p>', 1),
+            |  p -> array_join(
+            |    regexp_extract_all(p, '<a:t>([^<]*)</a:t>', 1), '')),
+            |  '\n')""".stripMargin))
+        .select(col("media_id"), col("slide"),
+          when(col("e").isNotNull, md5(col("text"))).as("text_md5"),
+          when(col("e").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"))
+        .orderBy("media_id", "slide")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229, x230, x231, x232, x233, x234, x236)
+    x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238)
 }
