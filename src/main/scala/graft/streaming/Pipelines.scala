@@ -469,6 +469,77 @@ object Pipelines {
         col("pages").isNotNull.as("ok"))
   }
 
+  /** Shared projection for ARCHIVE text ingest — one row per archive
+    * MEMBER, dispatched by member extension to the existing extractors:
+    * `.txt` reads verbatim, `.pdf` through [[graft.functions.Pdfs
+    * .pdfText]] (pages joined by newline), `.docx` through the x204
+    * unzip→`word/document.xml`→`<w:t>`-runs chain (a DOCX inside an
+    * archive is itself a ZIP). The dead-letter posture is PER LAYER: an
+    * archive whose container breaks (bad EOCD, failed TAR checksum,
+    * corrupt PAX record) emits ONE `unreadable` quarantine row; a member
+    * whose CRC fails emits a `corrupt` row with no payload handed
+    * downstream; a member whose inner format breaks keeps its row with
+    * `ok = false`. Input: (path, content) rows — batch or streaming, so
+    * the two ingest modes cannot drift (the htmlMainText pattern).
+    * Scale shape: per-row expressions only — no state, no shuffle. */
+  def archiveText(files: DataFrame): DataFrame = {
+    import graft.functions.{PdfText, TarEntries, ZipEntries}
+    files
+      .withColumn("zes",
+        when(col("path").endsWith(".zip"), ZipEntries.zipEntries(col("content"))))
+      .withColumn("tes",
+        when(col("path").endsWith(".tar"), TarEntries.tarEntries(col("content"))))
+      .withColumn("ms", expr(
+        """CASE
+          |  WHEN path LIKE '%.zip' THEN
+          |    transform(zes, e ->
+          |      struct(e.name AS name, e.crc_ok AS ok, e.payload AS payload))
+          |  WHEN path LIKE '%.tar' THEN
+          |    transform(filter(tes, e -> e.typeflag = '0'), e ->
+          |      struct(e.name AS name, true AS ok, e.payload AS payload))
+          |END""".stripMargin))
+      .select(col("path"), explode_outer(col("ms")).as("m"))
+      .withColumn("kind", expr(
+        """CASE WHEN m IS NULL THEN 'unreadable'
+          |     WHEN NOT m.ok THEN 'corrupt'
+          |     WHEN m.name LIKE '%.txt' THEN 'txt'
+          |     WHEN m.name LIKE '%.pdf' THEN 'pdf'
+          |     WHEN m.name LIKE '%.docx' THEN 'docx'
+          |     ELSE 'other' END""".stripMargin))
+      .withColumn("pdf_pages",
+        when(col("kind") === "pdf", PdfText.pdfText(col("m.payload"))))
+      .withColumn("ies",
+        when(col("kind") === "docx", ZipEntries.zipEntries(col("m.payload"))))
+      .withColumn("doc_xml", expr(
+        """CASE WHEN size(filter(ies, e -> e.name = 'word/document.xml')) = 1
+          |  THEN cast(filter(ies,
+          |    e -> e.name = 'word/document.xml')[0].payload AS STRING) END"""
+          .stripMargin))
+      .withColumn("text", expr(
+        """CASE WHEN kind = 'txt' THEN cast(m.payload AS STRING)
+          |     WHEN kind = 'pdf' THEN array_join(pdf_pages, '\n')
+          |     WHEN kind = 'docx' THEN array_join(regexp_extract_all(
+          |       doc_xml, '<w:t[^>]*>([^<]*)</w:t>', 1), ' ')
+          |END""".stripMargin))
+      .select(col("path"), col("m.name").as("member"), col("kind"),
+        col("text"), length(col("text")).cast("long").as("n_chars"),
+        (col("text").isNotNull &&
+          col("kind").isin("txt", "pdf", "docx")).as("ok"))
+  }
+
+  /** Continuous archive ingest over a directory watch — the streaming
+    * twin of the x162/x163/x233/x234 batch container gates: every
+    * `.zip` / `.tar` dropped into `dir` explodes to per-member text rows
+    * through the SAME [[archiveText]] projection the batch path runs
+    * (ArchiveTextStreamSpec proves the two produce identical rows on
+    * mixed drops). */
+  def archiveTextStream(spark: SparkSession, dir: String): DataFrame =
+    archiveText(spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
   /** Streaming incremental-dedup gate against a PRIOR corpus's Bloom
     * filter (the x166 batch gate's streaming twin): text files dropped
     * into a watched directory are tokenized and 8-gram-shingled IN-ROW,

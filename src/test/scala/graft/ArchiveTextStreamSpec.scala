@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Archives, Pdfs}
+import graft.streaming.Pipelines
+
+/** Archive ingest under the streaming file source: `.zip` / `.tar`
+  * bundles dropped into a watched directory explode to per-member text
+  * rows (txt verbatim, PDF through pdf_text, DOCX through the OOXML run
+  * chain) via the SAME `archiveText` projection as a batch read — the
+  * spec's core assertion is stream ≡ batch on mixed drops, including
+  * the quarantine arms: an unreadable container (truncated ZIP, corrupt
+  * PAX record) is ONE dead-letter row, a CRC-failed member a `corrupt`
+  * row, never an exception into the standing query. */
+class ArchiveTextStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docx(text: String): Array[Byte] = {
+    val xml = "<?xml version=\"1.0\"?><w:document xmlns:w=\"http://schemas" +
+      ".openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      s"<w:p><w:r><w:t>$text</w:t></w:r></w:p></w:body></w:document>"
+    Archives.buildZip(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes, true),
+      ("word/document.xml", xml.getBytes, true)))
+  }
+
+  private def writeDrops(dir: java.io.File): Unit = {
+    // a.zip: txt + pdf + docx + other + one CRC-corrupted member
+    val goodZip = Archives.buildZip(Seq(
+      ("notes/readme.txt", "plain text member".getBytes, false),
+      ("docs/report.pdf",
+        Pdfs.buildPdfWithText(Seq("pdf page one", "pdf page two"),
+          flate = true), false),
+      ("docs/memo.docx", docx("docx body text"), false),
+      ("blob/image.bin", Array.tabulate[Byte](64)(_.toByte), false),
+      ("bad/corrupt.txt", "this payload will be garbled".getBytes, true)))
+    // garble the LAST member's compressed bytes (the central directory at
+    // the tail stays intact, so accounting survives and crc_ok = false)
+    val s = new String(goodZip, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("bad/corrupt.txt") + "bad/corrupt.txt".length + 3
+    goodZip(at) = (goodZip(at) ^ 0x7f).toByte
+    Files.write(new java.io.File(dir, "a.zip").toPath, goodZip)
+    // b.tar: txt + pdf members
+    Files.write(new java.io.File(dir, "b.tar").toPath, Archives.buildTar(Seq(
+      ("t.txt", "0", "tar text member".getBytes),
+      ("p.pdf", "0", Pdfs.buildPdfWithText(Seq("tar pdf page"),
+        flate = false)))))
+    // c.zip: truncated container → one unreadable quarantine row
+    Files.write(new java.io.File(dir, "c.zip").toPath,
+      Archives.buildZip(Seq(("x.txt", "x".getBytes, false))).dropRight(9))
+    // d.tar: corrupt PAX record → whole-archive null → quarantine row
+    Files.write(new java.io.File(dir, "d.tar").toPath, Archives.buildTar(Seq(
+      ("pax", "x", "1 x".getBytes), ("stub", "0", "d".getBytes))))
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("path", "member", "kind", "text", "n_chars", "ok")
+      .collect()
+      .map(r => Seq(
+        r.getString(0).split('/').last, Option(r.getString(1)).getOrElse("-"),
+        r.getString(2), Option(r.getString(3)).getOrElse("-"),
+        if (r.isNullAt(4)) "-" else r.getLong(4).toString,
+        r.getBoolean(5).toString).mkString("|"))
+      .toSet
+
+  test("stream rows == batch rows on mixed zip/tar drops with quarantines") {
+    val dir = Files.createTempDirectory("arch_text").toFile
+    writeDrops(dir)
+
+    val q = Pipelines.archiveTextStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("arch_text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = rowSet(spark.table("arch_text"))
+
+    val batch = rowSet(Pipelines.archiveText(spark.read
+      .format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir.getAbsolutePath)))
+    assert(streamed == batch, "stream and batch projections drifted")
+
+    // the content assertions, on either side
+    def find(member: String): String =
+      streamed.find(_.contains(s"|$member|")).getOrElse(
+        fail(s"member $member missing from $streamed"))
+    assert(find("notes/readme.txt").contains("|txt|plain text member|17|true"))
+    assert(find("docs/report.pdf").contains("|pdf|") &&
+      find("docs/report.pdf").contains("pdf page one") &&
+      find("docs/report.pdf").contains("true"))
+    assert(find("docs/memo.docx").contains("|docx|docx body text|14|true"))
+    assert(find("blob/image.bin").contains("|other|-|-|false"))
+    assert(find("bad/corrupt.txt").contains("|corrupt|-|-|false"))
+    assert(find("t.txt").contains("|txt|tar text member|15|true"))
+    assert(find("p.pdf").contains("tar pdf page"))
+    // container-level quarantines: exactly one row each, kind unreadable
+    assert(streamed.count(_.startsWith("c.zip|")) == 1)
+    assert(streamed.find(_.startsWith("c.zip|")).get
+      .contains("|unreadable|"))
+    assert(streamed.count(_.startsWith("d.tar|")) == 1)
+    assert(streamed.find(_.startsWith("d.tar|")).get
+      .contains("|unreadable|"))
+  }
+}
