@@ -1188,6 +1188,67 @@ object Similarity {
       VectorIndex.search(segments, query, probes, k = 5)
   }
 
+  /** x239: POST-RETRAIN SERVED SEARCH — x227 proves index-served search
+    * under a FIXED model; this gate proves the full lifecycle the
+    * round-10 retrain work added: embeddings land ON DISK over three
+    * batches under a deliberately BAD coarse model (each true cluster
+    * smeared across inverted lists — the drifted-index state),
+    * [[graft.streaming.VectorIndex.retrain]] re-clusters and publishes
+    * a new generation through the atomic model-commit handoff
+    * (VectorIndexHandoffSpec pins the torn states), and nprobe=1 search
+    * off the published era must equal BRUTE-FORCE cosine top-5 over the
+    * query's true cluster — which the oracle computes directly, because
+    * the synthetic geometry (4 clusters at (±10,±10), jitter ≤ 3 on one
+    * dim, k seeded one-per-cluster by the smallest-vec_id convention)
+    * makes Lloyd's provably converge to the exact cluster means. A
+    * search served off the un-retrained assignment misses most of the
+    * cluster and fails the hash. */
+  val x239 = DQ("x239_ivf_retrain_served", Some(
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    CAST((vec_id % 4) % 2 * 20 - 10 AS DOUBLE) AS d0,
+      |    CAST((vec_id % 4) // 2 * 20 - 10 AS DOUBLE) AS d1,
+      |    CAST(vec_id % 7 - 3 AS DOUBLE) AS d2
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id,
+      |    (d0 * 10 + d1 * (-10)) /
+      |    (sqrt(d0*d0 + d1*d1 + d2*d2) * sqrt(CAST(200 AS DOUBLE))) AS sim
+      |  FROM v WHERE vec_id % 4 = 1)
+      |SELECT vec_id, round(sim, 6) AS sim FROM s
+      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.VectorIndex
+      val vecs = spread(table(spark, dir, "embeddings").select(col("vec_id")))
+        .as[Long]
+        .map { id =>
+          val c = (id % 4).toInt
+          val v = new Array[Float](8)
+          v(0) = ((c % 2) * 20 - 10).toFloat
+          v(1) = ((c / 2) * 20 - 10).toFloat
+          v(2) = (id % 7 - 3).toFloat
+          (id, v)
+        }.toDF("vec_id", "embedding")
+      val indexDir = java.nio.file.Files
+        .createTempDirectory("x239_ivf").toString
+      // land under a BAD model: 4 near-origin centroids, so true clusters
+      // smear across every inverted list until the retrain fixes them
+      val badCids = Array(0L, 1L, 2L, 3L)
+      val badCvs = Array.tabulate(4) { c =>
+        val v = new Array[Float](8)
+        v(0) = c * 0.5f - 0.75f
+        v(1) = 0.25f * c - 0.4f
+        v
+      }
+      (0 until 3).foreach(b => VectorIndex.appendBatch(indexDir, badCids, badCvs)(
+        vecs.where(col("vec_id") % 3 === b), b.toLong))
+      val (_, mcids, mcvs) = VectorIndex.retrain(spark, indexDir, k = 4, iters = 2)
+      val q = { val v = new Array[Float](8); v(0) = 10f; v(1) = -10f; v }
+      VectorIndex.search(VectorIndex.read(spark, indexDir), q,
+        VectorIndex.probeList(q, mcids, mcvs, nprobe = 1), 5)
+  }
+
   val all: Seq[DQ] = Seq(q26, x04, x12, x13, x15, x29, x44, x48, x63, x105,
-    x110, x110s, x118, x119, x122, x124, x196, x227)
+    x110, x110s, x118, x119, x122, x124, x196, x227, x239)
 }

@@ -24,6 +24,26 @@ import graft.functions.VectorFunctions
   * sink's: a re-delivered micro-batch replaces its own segment. */
 object VectorIndex {
 
+  /** Segment root of one model GENERATION: `<indexDir>/gen=G/batch_id=N/
+    * cid=C`. Each era of segments is assigned under exactly one centroid
+    * model and lives under that generation's root; serving resolves the
+    * root through the newest PUBLISHED model ([[currentGen]]), which
+    * makes the model write the atomic COMMIT POINT of a retrain — a
+    * reader can never see new-model segments under an old model or a
+    * half-swapped directory (the round-10 handoff gap). SCHEMA NOTE:
+    * indexes written by the pre-generation layout (segments at the top
+    * level) don't read under this one — rebuild or re-land them (no
+    * released on-disk format yet; same stance as InvertedIndex's
+    * chunk_id note). */
+  def genRoot(indexDir: String, gen: Long): String =
+    new org.apache.hadoop.fs.Path(indexDir, s"gen=$gen").toString
+
+  /** The generation serving reads: the newest PUBLISHED model's, or 0
+    * for an index that has never persisted one (the anonymous pre-model
+    * era [[appendBatch]] writes by default). */
+  def currentGen(spark: SparkSession, indexDir: String): Long =
+    loadModel(spark, indexDir).map(_._1).getOrElse(0L)
+
   /** Assign one batch `(vec_id, embedding)` to the coarse model →
     * segment rows `(cid, vec_id, embedding)`. Assignment arithmetic is
     * the x04/x110s one (double accumulation in index order, ties to the
@@ -36,29 +56,38 @@ object VectorIndex {
         .as("cid"),
       col("vec_id"), col("embedding"))
 
-  /** foreachBatch hook: assign + land replay-safe, `batch_id/cid`
-    * partitioned (probe filters prune directories). */
+  /** foreachBatch hook: assign + land replay-safe under generation
+    * `gen`'s root, `batch_id/cid` partitioned (probe filters prune
+    * directories). `gen` names the model era the caller's
+    * cids/centroids came from ([[currentGen]] for a maintained index;
+    * the default 0 is the pre-model era). */
   def appendBatch(indexDir: String, cids: Array[Long],
-      centroids: Array[Array[Float]])(batch: DataFrame, batchId: Long): Unit =
+      centroids: Array[Array[Float]], gen: Long = 0L)(
+      batch: DataFrame, batchId: Long): Unit =
     segment(batch, cids, centroids)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "cid")
-      .parquet(indexDir)
+      .parquet(genRoot(indexDir, gen))
 
   /** Maintain the index from a streaming `(vec_id, embedding)` source. */
   def maintain(vectors: DataFrame, indexDir: String, checkpoint: String,
-      cids: Array[Long], centroids: Array[Array[Float]]): StreamingQuery =
+      cids: Array[Long], centroids: Array[Array[Float]],
+      gen: Long = 0L): StreamingQuery =
     vectors.writeStream
-      .foreachBatch(appendBatch(indexDir, cids, centroids) _)
+      .foreachBatch(appendBatch(indexDir, cids, centroids, gen) _)
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** The merged index: `(cid, vec_id, embedding)` over all segments. */
+  /** The merged index of the CURRENT generation: `(cid, vec_id,
+    * embedding)` over its segments. An unpublished newer era (a retrain
+    * that failed before its model landed) is invisible here — readers
+    * keep serving the old generation until the publish completes. */
   def read(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(indexDir).select("cid", "vec_id", "embedding")
+    spark.read.parquet(genRoot(indexDir, currentGen(spark, indexDir)))
+      .select("cid", "vec_id", "embedding")
 
   /** IVF search over an index frame: prune to the probed inverted lists,
     * exact cosine against `query`, top-k (ties to the smaller vec_id).
@@ -87,15 +116,17 @@ object VectorIndex {
     * O(cids). Safe only between runs of the owning query. Returns
     * (batchPartitionsBefore, batchPartitionsAfter). */
   def compact(spark: SparkSession, indexDir: String): (Int, Int) = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val path = new org.apache.hadoop.fs.Path(
+      genRoot(indexDir, currentGen(spark, indexDir)))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return (0, 0)
     val parts = fs.listStatus(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
     val before = parts.length
     if (before == 0) return (0, 0)
     val tmp = new org.apache.hadoop.fs.Path(path, "_compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(indexDir)
+    spark.read.parquet(path.toString)
       .select("cid", "vec_id", "embedding")
       .withColumn("batch_id", lit(-1L))
       .write.partitionBy("batch_id", "cid").parquet(tmp.toString)
@@ -121,13 +152,26 @@ object VectorIndex {
   /** Persist a centroid model generation: rows `(cid, centroid)` under
     * `<indexDir>/_model/gen=N`. One directory per retrain — an audit
     * trail of WHAT partitioning each era of segments was written under,
-    * and the anchor [[loadModel]] resumes from. */
+    * and the anchor [[loadModel]] resumes from. Published ATOMICALLY
+    * (written to a tmp dir, renamed into place): this write is the
+    * COMMIT POINT of a retrain, so a reader listing generations must
+    * never resolve a half-written one. */
   def saveModel(spark: SparkSession, indexDir: String, gen: Long,
       cids: Array[Long], centroids: Array[Array[Float]]): Unit = {
     import spark.implicits._
+    val base = new org.apache.hadoop.fs.Path(indexDir, "_model")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, "_model_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     cids.zip(centroids).toSeq.toDF("cid", "centroid")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/_model/gen=$gen")
+      .write.parquet(tmp.toString)
+    fs.mkdirs(base)
+    val dest = new org.apache.hadoop.fs.Path(base, s"gen=$gen")
+    if (fs.exists(dest)) fs.delete(dest, true) // torn earlier publish
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"VectorIndex.saveModel: rename into '$dest' failed")
   }
 
   /** The newest persisted model: (generation, cids, centroids), or None
@@ -178,34 +222,50 @@ object VectorIndex {
     * model collect is kilobytes), starting from the newest persisted
     * model — or, for a model-less index, from the `k` vectors with the
     * smallest vec_ids (x04's deterministic seed convention). Empty
-    * clusters keep their previous centroid. Then every segment is
-    * REWRITTEN under the new model as one `batch_id=-1` partition
-    * (cid-subpartitioned, so probe pruning is still directory pruning)
-    * and the model lands as generation N+1. Safe only between runs of
-    * the owning query. Returns (newGen, cids, centroids).
+    * clusters keep their previous centroid. Then the whole corpus is
+    * REWRITTEN under the new model as generation N+1's root (one
+    * `batch_id=-1` partition, cid-subpartitioned so probe pruning stays
+    * directory pruning) and the model publish COMMITS the handoff:
+    *
+    *  1. reassigned segments land in `_retrain_tmp` (invisible);
+    *  2. ONE atomic rename makes them `gen=N+1/` — still unreachable,
+    *     because readers resolve the root through the newest model;
+    *  3. `saveModel(N+1)` publishes — the first instant a reader sees
+    *     the new era, complete, under its own model;
+    *  4. older era roots are deleted (pure cleanup of unreachable data).
+    *
+    * A crash anywhere before 3 leaves readers serving generation N
+    * intact (VectorIndexHandoffSpec injects exactly that state); a
+    * re-run deletes the torn `gen=N+1` and redoes it. The old ERA is
+    * never touched until the new one is fully published. Concurrent
+    * APPENDS during a retrain remain out of contract (same as compact:
+    * between runs of the owning query). Returns (newGen, cids,
+    * centroids).
     *
     * Reference anchor: the reference re-provisions consumer groups
     * rather than re-clustering (no vector index there); the
-    * segment-rewrite mechanics are [[compact]]'s, with reassignment. */
+    * tmp-then-publish walk is its registry consolidate-on-rotation. */
   def retrain(spark: SparkSession, indexDir: String, k: Int,
       iters: Int): (Long, Array[Long], Array[Array[Float]]) = {
     val vectors = read(spark, indexDir).select("vec_id", "embedding")
     val prior = loadModel(spark, indexDir)
-    val (gen0, cids, init) = prior match {
+    val (newGen, cids, init) = prior match {
       case Some((g, ids, cvs)) =>
         // a silent k override would be a no-op the caller can't see;
         // changing cluster count is a different operation (reseed)
         require(ids.length == k,
           s"retrain: index has a k=${ids.length} model (gen $g); " +
             s"requested k=$k — delete _model/ to reseed with a new k")
-        (g, ids, cvs)
+        (g + 1, ids, cvs)
       case None =>
         val seeds = vectors.orderBy("vec_id").limit(k)
           .select("embedding").collect()
           .map(_.getSeq[Float](0).toArray)
         require(seeds.length == k,
           s"retrain: corpus has ${seeds.length} vectors, need k=$k seeds")
-        (-1L, Array.tabulate(k)(_.toLong), seeds)
+        // the pre-model corpus IS generation 0 (its root), so the first
+        // published model is generation 1
+        (1L, Array.tabulate(k)(_.toLong), seeds)
     }
     val dim = init(0).length
     var cur = init
@@ -220,31 +280,30 @@ object VectorIndex {
           Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)).toMap
       cur = cids.zipWithIndex.map { case (c, j) => byCid.getOrElse(c, cur(j)) }
     }
-    // rewrite all segments under the new model (compact's tmp/rename walk)
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 1. reassigned corpus to tmp (invisible to every reader)
     val tmp = new org.apache.hadoop.fs.Path(path, "_retrain_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     segment(vectors, cids, cur)
       .withColumn("batch_id", lit(-1L))
       .write.partitionBy("batch_id", "cid").parquet(tmp.toString)
-    val parts = fs.listStatus(path)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-    parts.foreach { p =>
-      if (!fs.delete(p.getPath, true))
-        throw new java.io.IOException(
-          s"VectorIndex.retrain: failed to delete '${p.getPath}'; " +
-            s"reassigned copy intact at '$tmp'")
-    }
-    val dest = new org.apache.hadoop.fs.Path(path, "batch_id=-1")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp, "batch_id=-1"), dest))
+    // 2. one rename → the new era root (still unreachable: no model yet).
+    // A torn earlier attempt left an unpublished root here — discard it.
+    val dest = new org.apache.hadoop.fs.Path(genRoot(indexDir, newGen))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
       throw new java.io.IOException(
-        s"VectorIndex.retrain: rename into '$dest' failed; ORIGINALS WERE " +
-          s"DELETED — the data survives under '$tmp', restore manually")
-    fs.delete(tmp, true)
-    val gen = gen0 + 1
-    saveModel(spark, indexDir, gen, cids, cur)
-    (gen, cids, cur)
+        s"VectorIndex.retrain: rename into '$dest' failed; the reassigned " +
+          s"copy is intact at '$tmp' and generation ${newGen - 1} still serves")
+    // 3. PUBLISH: from here readers resolve the new era
+    saveModel(spark, indexDir, newGen, cids, cur)
+    // 4. cleanup: every other era root is now unreachable
+    fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+        s.getPath.getName != s"gen=$newGen")
+      .foreach(p => fs.delete(p.getPath, true))
+    (newGen, cids, cur)
   }
 
   /** The query's probe list: nearest `nprobe` centroids by the same

@@ -80,9 +80,12 @@ class VectorIndexRetrainSpec extends AnyFunSuite {
     val (gen, cids2, cvs2) = VectorIndex.retrain(spark, indexDir, k = 2, iters = 5)
     assert(gen == 1L)
     assert(VectorIndex.loadModel(spark, indexDir).map(_._1).contains(1L))
-    // segments folded to the single retrain partition
-    assert(spark.read.parquet(indexDir)
+    // segments folded to the single retrain partition under the new
+    // era root (the old gen=0 root is cleaned up after the publish)
+    assert(spark.read.parquet(s"$indexDir/gen=1")
       .select("batch_id").distinct().count() == 1)
+    assert(!new java.io.File(indexDir, "gen=0").exists(),
+      "old era root not cleaned up after publish")
 
     // lossless: full-probe search identical pre/post
     val truthAfter = topIds(indexDir, query, cids2.toSeq, 10)
@@ -108,8 +111,8 @@ class VectorIndexRetrainSpec extends AnyFunSuite {
     // assignment splits by d1 and stays there) — that's k-means, not a
     // bug. What the seeding path GUARANTEES is determinism and
     // persistence: two identical corpora retrain to bit-identical models,
-    // the generation starts at 0, and loadModel returns what retrain
-    // returned.
+    // the first PUBLISHED generation is 1 (the anonymous pre-model era
+    // is generation 0), and loadModel returns what retrain returned.
     def build(): (Long, Array[Long], Array[Array[Float]], String) = {
       val indexDir = Files.createTempDirectory("vec_retrain_seed").toString
       landCorpus(indexDir, badCids, badCvs)
@@ -118,11 +121,11 @@ class VectorIndexRetrainSpec extends AnyFunSuite {
     }
     val (g1, ids1, cvs1, dir1) = build()
     val (g2, _, cvs2, _) = build()
-    assert(g1 == 0L && g2 == 0L && ids1.toSeq == Seq(0L, 1L))
+    assert(g1 == 1L && g2 == 1L && ids1.toSeq == Seq(0L, 1L))
     assert(cvs1.map(_.toSeq).toSeq == cvs2.map(_.toSeq).toSeq,
       "model-less retrain is not deterministic")
     val loaded = VectorIndex.loadModel(spark, dir1)
-    assert(loaded.map(_._1).contains(0L))
+    assert(loaded.map(_._1).contains(1L))
     assert(loaded.get._3.map(_.toSeq).toSeq == cvs1.map(_.toSeq).toSeq)
   }
 }

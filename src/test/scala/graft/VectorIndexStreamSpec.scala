@@ -53,7 +53,9 @@ class VectorIndexStreamSpec extends AnyFunSuite {
     }
     run()
 
-    assert(spark.read.parquet(indexDir)
+    // no model was ever published, so the index serves the pre-model
+    // era root gen=0
+    assert(spark.read.parquet(s"$indexDir/gen=0")
       .select("batch_id").distinct().count() >= 2, "expected >=2 segments")
 
     val query = vec(3)
@@ -74,7 +76,7 @@ class VectorIndexStreamSpec extends AnyFunSuite {
       "resumed search != one-shot search on the union")
 
     // replay: re-landing the last batch id must replace, not duplicate
-    val lastBatch = spark.read.parquet(indexDir)
+    val lastBatch = spark.read.parquet(s"$indexDir/gen=0")
       .agg(max(col("batch_id").cast("long"))).first().getLong(0)
     VectorIndex.appendBatch(indexDir, cids, cvs)(toDf(wave2), lastBatch)
     val n = VectorIndex.read(spark, indexDir).count()
@@ -82,7 +84,7 @@ class VectorIndexStreamSpec extends AnyFunSuite {
       s"replay duplicated vectors: $n rows")
 
     // segments are cid-partitioned: the probe filter prunes directories
-    val cidDirs = new java.io.File(indexDir).listFiles()
+    val cidDirs = new java.io.File(indexDir, "gen=0").listFiles()
       .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).distinct
     assert(cidDirs.forall(_.startsWith("cid=")), cidDirs.mkString(","))
 
@@ -91,7 +93,7 @@ class VectorIndexStreamSpec extends AnyFunSuite {
     val preCompact = results(VectorIndex.read(spark, indexDir))
     val (pBefore, pAfter) = VectorIndex.compact(spark, indexDir)
     assert(pBefore > 1 && pAfter == 1, s"compact $pBefore -> $pAfter")
-    val compactedCids = new java.io.File(indexDir, "batch_id=-1").listFiles()
+    val compactedCids = new java.io.File(s"$indexDir/gen=0/batch_id=-1").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(compactedCids.nonEmpty && compactedCids.forall(_.startsWith("cid=")))
     assert(results(VectorIndex.read(spark, indexDir)) == preCompact,
