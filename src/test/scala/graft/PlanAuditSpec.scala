@@ -64,7 +64,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x210_dataset_card", // 1-row corpus-count broadcast cross join (median)
     "x216_lang_temperature", // 1-row weight-totals broadcast cross join
     "x217_quality_drift", // 1-row half-totals broadcast cross join
-    "x226_index_bm25") // 1-row (N, avgdl) corpus-stats broadcast cross join
+    "x226_index_bm25", // 1-row (N, avgdl) corpus-stats broadcast cross join
+    "x235_index_bm25_served") // same 1-row stats cross join, served path
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
