@@ -98,15 +98,21 @@ object Bench {
     // regression stays slow on every rerun and is reported in "outliers".
     def parseBench(path: String): Map[String, Double] =
       try {
+        // two shapes: our own snapshot (bare JSON line) and the driver's
+        // wrapper (escaped, possibly FRONT-TRUNCATED bench output inside
+        // a "tail" string) — unescape first, then prefer the "queries"
+        // object; when truncation ate its opening, fall back to every
+        // query-shaped key:number pair (q/x ids can't collide with the
+        // wrapper's own numeric fields, which are space-separated anyway)
         val s = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+          .replace("\\\"", "\"")
         val qStart = s.indexOf("\"queries\":{")
-        if (qStart < 0) Map.empty
-        else {
-          val body = s.substring(qStart + 11, s.indexOf('}', qStart))
-          "\"([A-Za-z0-9]+)\":([0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
+        val body =
+          if (qStart >= 0) s.substring(qStart + 11, s.indexOf('}', qStart))
+          else s
+        "\"([qx][0-9]+[a-z]?)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty }
     // The per-query prior is the MIN across BENCH_LATEST and the newest
     // committed driver snapshot (BENCH_r{N}.json): a snapshot taken in a
