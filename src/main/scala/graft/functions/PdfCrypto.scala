@@ -137,11 +137,15 @@ object PdfCrypto {
 
   /** A validated decryption context: the file key plus the cipher choice.
     * Per-object keys follow Algorithm 1 (MD5 of key + low 3 bytes of the
-    * object number + low 2 of the generation, plus "sAlT" for AES). */
-  final class Handler(key: Array[Byte], aes: Boolean) {
+    * object number + low 2 of the generation, plus "sAlT" for AES) —
+    * except V5 (AES-256), where ISO 32000-2 drops the derivation and the
+    * FILE key encrypts every object directly. */
+  final class Handler(key: Array[Byte], aes: Boolean,
+      val v5: Boolean = false) {
     private val Salt = Array[Byte](0x73, 0x41, 0x6C, 0x54)
 
     def objKey(num: Int, gen: Int): Array[Byte] = {
+      if (v5) return key
       val tail = Array[Byte](
         (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
         ((num >> 16) & 0xff).toByte,
@@ -154,15 +158,113 @@ object PdfCrypto {
 
     /** Null on malformed ciphertext; never throws. */
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
-      if (aes) aesDecrypt(objKey(num, gen), data)
+      if (aes || v5) aesDecrypt(objKey(num, gen), data)
       else rc4(objKey(num, gen), data)
 
     /** Fixture side. For AES the IV derives deterministically from the
       * object number (fixtures must hash stably; the decoder never cares). */
     def encrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
-      if (aes) aesEncrypt(objKey(num, gen),
+      if (aes || v5) aesEncrypt(objKey(num, gen),
         md5(Array[Byte](num.toByte, gen.toByte), Salt), data)
       else rc4(objKey(num, gen), data)
+  }
+
+  // ----------------------------------------------- V5 / R6 (ISO 32000-2)
+
+  private def sha(n: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(s"SHA-$n")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 password hash: an iterated
+    * SHA-256/384/512 + AES-128-CBC loop (at least 64 rounds, then until
+    * the last encrypted byte ≤ round−32). `udata` is empty for the user
+    * password and the 48-byte /U string for the owner password. */
+  def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha(256, pwd, salt, udata)
+    var i = 0
+    var done = false
+    var lastE: Array[Byte] = null
+    while (!done) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        j += 1
+      }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      lastE = c.doFinal(k1)
+      val mod = (0 until 16).map(x => lastE(x) & 0xff).sum % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, lastE)
+      i += 1
+      done = i >= 64 && (lastE(lastE.length - 1) & 0xff) <= i - 32
+    }
+    k.take(32)
+  }
+
+  /** AES-256-CBC with a ZERO IV and no padding — the /UE (and /OE)
+    * wrapping of the file key (ISO 32000-2 Algorithm 8/9). */
+  def aesNoPad(key: Array[Byte], data: Array[Byte],
+      encrypt: Boolean): Array[Byte] =
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(
+        if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+        else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(data)
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** V5/R6 empty-user-password open (ISO 32000-2 Algorithm 11 + 8.A):
+    * /U = hash(32) ‖ validationSalt(8) ‖ keySalt(8); validate
+    * hash2B("", vSalt, "") against the hash, then unwrap the 256-bit
+    * file key from /UE with hash2B("", kSalt, ""). Null = wrong
+    * password or malformed strings → quarantine. */
+  def openV5EmptyPassword(u: Array[Byte], ue: Array[Byte]): Handler = {
+    if (u == null || ue == null || u.length < 48 || ue.length < 32)
+      return null
+    val vSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+    val kSalt = java.util.Arrays.copyOfRange(u, 40, 48)
+    val check = hash2B(Array.emptyByteArray, vSalt, Array.emptyByteArray)
+    var i = 0
+    while (i < 32) {
+      if (check(i) != u(i)) return null
+      i += 1
+    }
+    val wrap = hash2B(Array.emptyByteArray, kSalt, Array.emptyByteArray)
+    val fileKey = aesNoPad(wrap, java.util.Arrays.copyOf(ue, 32),
+      encrypt = false)
+    if (fileKey == null) return null
+    new Handler(fileKey, aes = true, v5 = true)
+  }
+
+  /** Fixture side: the V5/R6 /U, /UE, /O, /OE values wrapping `fileKey`
+    * for the given passwords (Algorithms 8 and 9; salts caller-supplied
+    * so fixtures stay deterministic). Returns (U, UE, O, OE). */
+  def computeV5(fileKey: Array[Byte], userPwd: Array[Byte],
+      ownerPwd: Array[Byte], salts: Array[Byte]):
+      (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    require(fileKey.length == 32 && salts.length == 32,
+      "fileKey 32 bytes, salts = 4×8 bytes")
+    val uvs = java.util.Arrays.copyOfRange(salts, 0, 8)
+    val uks = java.util.Arrays.copyOfRange(salts, 8, 16)
+    val ovs = java.util.Arrays.copyOfRange(salts, 16, 24)
+    val oks = java.util.Arrays.copyOfRange(salts, 24, 32)
+    val uHash = hash2B(userPwd, uvs, Array.emptyByteArray)
+    val u = uHash ++ uvs ++ uks
+    val ue = aesNoPad(hash2B(userPwd, uks, Array.emptyByteArray),
+      fileKey, encrypt = true)
+    val oHash = hash2B(ownerPwd, ovs, u)
+    val o = oHash ++ ovs ++ oks
+    val oe = aesNoPad(hash2B(ownerPwd, oks, u), fileKey, encrypt = true)
+    (u, ue, o, oe)
   }
 
   /** Build the handler for an /Encrypt dictionary IF the empty user

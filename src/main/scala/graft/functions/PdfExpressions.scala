@@ -275,6 +275,14 @@ object Pdfs {
       case Some(x) => x.toInt // int32; unsigned spellings wrap correctly
       case None => return null
     }
+    // V5/R6 — AES-256, ISO 32000-2 (PDF 2.0): its own key unwrap, no
+    // file ID, no per-object derivation
+    if (v == 5 || r == 6) {
+      if (v != 5 || r != 6) return null
+      if (names.get("CFM").exists(_ != "AESV3")) return null
+      return PdfCrypto.openV5EmptyPassword(
+        strs.getOrElse("U", null), strs.getOrElse("UE", null))
+    }
     val aes = v == 4 && names.get("CFM").contains("AESV2")
     // V4 crypt filters: only the two real-world CFMs (AESV2, V2=RC4)
     if (v == 4 && !aes && !names.get("CFM").contains("V2")) return null
@@ -1120,7 +1128,10 @@ object Pdfs {
     * per-object key, an /Encrypt dictionary object, and the /ID the key
     * derivation hashes (deterministic — MD5 of the page text — so
     * fixtures hash stably). `mode`: "rc4-40" (V1/R2), "rc4-128" (V2/R3),
-    * "aes-128" (V4/R4 /CFM /AESV2). An empty `userPwd` builds the
+    * "aes-128" (V4/R4 /CFM /AESV2), "aes-256" (V5/R6 /CFM /AESV3 —
+    * PDF 2.0's scheme: Algorithm-2.B password hashes, the /UE-wrapped
+    * 256-bit file key, the file key used directly per object). An empty
+    * `userPwd` builds the
     * owner-restricted-but-openable document every reader silently opens;
     * a non-empty one builds the password-protected arm extractors must
     * QUARANTINE (null), never misdecrypt. */
@@ -1131,19 +1142,35 @@ object Pdfs {
       case "rc4-40" => (1, 2, 40, false)
       case "rc4-128" => (2, 3, 128, false)
       case "aes-128" => (4, 4, 128, true)
+      case "aes-256" => (5, 6, 256, true)
       case other => throw new IllegalArgumentException(s"mode $other")
     }
-    val n = if (r == 2) 5 else bits / 8
     val perm = -44 // print allowed, modify denied — a typical owner mask
-    val id = java.security.MessageDigest.getInstance("MD5")
-      .digest(pages.mkString("").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+    val pagesUtf = pages.mkString("")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val id = java.security.MessageDigest.getInstance("MD5").digest(pagesUtf)
     val pwd = userPwd.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val o = PdfCrypto.computeO(
-      "owner".getBytes(java.nio.charset.StandardCharsets.UTF_8), pwd, r, n)
-    val key = PdfCrypto.fileKey(pwd, o, perm, id, r, n)
-    val u = PdfCrypto.computeU(key, id, r)
-    val handler = new PdfCrypto.Handler(key, aes)
+    val ownerPwd = "owner".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // V<=4: Algorithm 2/3/4/5 (/O, MD5 file key, /U). V5/R6: a 256-bit
+    // file key (content-derived here so fixtures hash stably; real
+    // writers draw it random) wrapped per password via Algorithm 2.B.
+    val (o, u, oe, ue, key) =
+      if (v < 5) {
+        val n = if (r == 2) 5 else bits / 8
+        val o0 = PdfCrypto.computeO(ownerPwd, pwd, r, n)
+        val k0 = PdfCrypto.fileKey(pwd, o0, perm, id, r, n)
+        (o0, PdfCrypto.computeU(k0, id, r),
+          null: Array[Byte], null: Array[Byte], k0)
+      } else {
+        val fileKey = java.security.MessageDigest.getInstance("SHA-256")
+          .digest("filekey".getBytes ++ pagesUtf)
+        val salts = java.security.MessageDigest.getInstance("SHA-256")
+          .digest("salts".getBytes ++ pagesUtf)
+        val (u5, ue5, o5, oe5) =
+          PdfCrypto.computeV5(fileKey, pwd, ownerPwd, salts)
+        (o5, u5, oe5, ue5, fileKey)
+      }
+    val handler = new PdfCrypto.Handler(key, aes, v5 = v == 5)
     def hex(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02x").mkString
 
     val k = pages.length
@@ -1152,7 +1179,7 @@ object Pdfs {
     def w(s: String): Unit = out.write(s.getBytes(Ascii))
     val nObj = 3 + 2 * k // catalog, pages, k pages, k contents, encrypt
     val offsets = new Array[Long](nObj + 1)
-    w("%PDF-1.6\n")
+    w(if (v == 5) "%PDF-2.0\n" else "%PDF-1.6\n")
     offsets(1) = out.size()
     w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     offsets(2) = out.size()
@@ -1178,10 +1205,14 @@ object Pdfs {
     }
     val encNum = nObj
     offsets(encNum) = out.size()
-    val cf = if (v == 4)
-      " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>" +
-        " /StmF /StdCF /StrF /StdCF"
-    else ""
+    val cf =
+      if (v == 4)
+        " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>" +
+          " /StmF /StdCF /StrF /StdCF"
+      else if (v == 5)
+        " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>" +
+          " /StmF /StdCF /StrF /StdCF"
+      else ""
     val lenEntry = if (v == 1) "" else s" /Length $bits"
     // literalOU exercises the §7.3.4.2 escaped-literal form most real
     // writers use for /O /U (every non-printable byte as 3-digit octal)
@@ -1197,8 +1228,25 @@ object Pdfs {
     }
     def str(bs: Array[Byte]): String =
       if (literalOU) s"(${litEsc(bs)})" else s"<${hex(bs)}>"
+    // V5 adds the wrapped-key strings and the encrypted permissions
+    // block (AES-256-ECB of P ‖ 0xFF×4 ‖ 'T' ‖ "adb" ‖ zeros — readers
+    // MAY verify it against /P)
+    val v5Entries =
+      if (v != 5) ""
+      else {
+        val pb = new Array[Byte](16)
+        pb(0) = (perm & 0xff).toByte; pb(1) = ((perm >> 8) & 0xff).toByte
+        pb(2) = ((perm >> 16) & 0xff).toByte
+        pb(3) = ((perm >> 24) & 0xff).toByte
+        pb(4) = -1; pb(5) = -1; pb(6) = -1; pb(7) = -1
+        pb(8) = 'T'; pb(9) = 'a'; pb(10) = 'd'; pb(11) = 'b'
+        val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"))
+        s" /OE ${str(oe)} /UE ${str(ue)} /Perms <${hex(c.doFinal(pb))}>"
+      }
     w(s"$encNum 0 obj\n<< /Filter /Standard /V $v /R $r$lenEntry$cf" +
-      s" /P $perm /O ${str(o)} /U ${str(u)} >>\nendobj\n")
+      s" /P $perm /O ${str(o)} /U ${str(u)}$v5Entries >>\nendobj\n")
     val xrefAt = out.size()
     w(s"xref\n0 ${nObj + 1}\n")
     w("0000000000 65535 f \n")

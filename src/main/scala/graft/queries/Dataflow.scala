@@ -4978,11 +4978,64 @@ object Dataflow {
         .orderBy("media_id", "slide")
   }
 
+  /** x240: AES-256 (PDF 2.0) ENCRYPTED TEXT — x236 covers the legacy
+    * schemes (RC4-40/128, AES-128); new documents increasingly carry ISO
+    * 32000-2's V5/R6 handler: the Algorithm-2.B iterated-hash password
+    * check, the /UE-wrapped 256-bit file key, AES-256-CBC with the FILE
+    * key per object (no per-object derivation), no file-ID input.
+    * Fixtures re-render x222's text under V5/R6
+    * ([[graft.functions.Pdfs.buildPdfEncrypted]] "aes-256"; every 3rd
+    * doc spells /O /U /UE as escaped literals), every 29th doc carries a
+    * real user password and must QUARANTINE. The oracle recomputes the
+    * construction — a wrong 2.B round count, a mis-sliced salt, or a
+    * per-object key applied where V5 forbids one garbles everything.
+    * Straight scan at 100 TB; the 2.B hash is a few ms of per-doc CPU
+    * paid once per open, exactly like a real reader. */
+  val x240 = DQ("x240_pdf_aes256", Some(
+    """WITH d AS (SELECT doc_id, text,
+      |    greatest(1, least(3, (length(text) + 199) // 200)) AS np
+      |  FROM documents WHERE doc_id % 29 <> 0),
+      |p AS (SELECT doc_id, np, u.k AS page,
+      |    substr(text, (u.k - 1) * 200 + 1, 200) AS pg
+      |  FROM d, unnest(generate_series(1, np)) AS u(k)),
+      |e AS (SELECT doc_id, page,
+      |    'p' || CAST(page AS VARCHAR) || ' of ' || CAST(np AS VARCHAR)
+      |    || CASE WHEN pg = '' THEN '' ELSE chr(10) || array_to_string(
+      |         list_filter([substr(pg, 1, 50), substr(pg, 51, 50),
+      |                      substr(pg, 101, 50), substr(pg, 151, 50)],
+      |                     x -> x <> ''), chr(10)) END AS ptext
+      |  FROM p)
+      |SELECT doc_id AS media_id, CAST(page AS INT) AS page,
+      |  md5(ptext) AS text_md5, CAST(length(ptext) AS BIGINT) AS n_chars
+      |FROM e ORDER BY media_id, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Pdfs, PdfText}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val np = math.max(1, math.min(3, (text.length + 199) / 200))
+          val pages = (0 until np).map(k =>
+            text.substring(k * 200, math.min(text.length, k * 200 + 200)))
+          (id, Pdfs.buildPdfEncrypted(pages, flate = id % 2 == 0, "aes-256",
+            userPwd = if (id % 29 == 0) "locked" else "",
+            literalOU = id % 3 == 0))
+        }.toDF("media_id", "media")
+      media
+        .select(col("media_id"),
+          posexplode(PdfText.pdfText(col("media"))).as(Seq("p0", "ptext")))
+        .select(col("media_id"), (col("p0") + 1).cast("int").as("page"),
+          md5(col("ptext")).as("text_md5"),
+          length(col("ptext")).cast("long").as("n_chars"))
+        .orderBy("media_id", "page")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238)
+    x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240)
 }

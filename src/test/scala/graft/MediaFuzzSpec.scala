@@ -130,6 +130,8 @@ class MediaFuzzSpec extends AnyFunSuite {
       Seq("rc4 fuzz page", "second"), flate = true, "rc4-128"),
     graft.functions.Pdfs.buildPdfEncrypted(
       Seq("aes fuzz page"), flate = false, "aes-128", literalOU = true),
+    graft.functions.Pdfs.buildPdfEncrypted(
+      Seq("aes256 fuzz page"), flate = true, "aes-256"),
     graft.functions.Archives.buildZip64(Seq(
       ("z64/a.txt", "zip64 fuzz payload".getBytes, true),
       ("z64/b.bin", Array.tabulate[Byte](700)(i => (i % 83).toByte), false))),

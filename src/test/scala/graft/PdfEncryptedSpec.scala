@@ -20,7 +20,7 @@ class PdfEncryptedSpec extends AnyFunSuite {
     "pack my box with five dozen liquor jugs",
     "sphinx of black quartz judge my vow")
 
-  private val modes = Seq("rc4-40", "rc4-128", "aes-128")
+  private val modes = Seq("rc4-40", "rc4-128", "aes-128", "aes-256")
 
   test("each scheme extracts identically to the plaintext twin") {
     for (mode <- modes; flate <- Seq(false, true)) {
@@ -68,6 +68,22 @@ class PdfEncryptedSpec extends AnyFunSuite {
     // flip a hex digit inside the /U value
     bad(uAt + 5) = (if (b(uAt + 5) == '0') '1' else '0').toByte
     assert(Pdfs.pdfText(bad) == null)
+  }
+
+  test("a tampered V5 /U hash fails Algorithm-11 validation and quarantines") {
+    val b = Pdfs.buildPdfEncrypted(pages, flate = false, "aes-256")
+    val s = new String(b, Ascii)
+    val uAt = s.indexOf("/U <")
+    assert(uAt > 0)
+    val bad = b.clone()
+    bad(uAt + 5) = (if (b(uAt + 5) == '0') '1' else '0').toByte
+    assert(Pdfs.pdfText(bad) == null)
+    // and a truncated /UE cannot unwrap a key
+    val ueAt = s.indexOf("/UE <")
+    assert(ueAt > 0)
+    val short = b.clone()
+    short(ueAt + 6) = 'z' // not hex: the string value routes to null
+    assert(Pdfs.pdfText(short) == null)
   }
 
   test("an unsupported /V routes to quarantine, not misdecryption") {
