@@ -505,26 +505,63 @@ object Pipelines {
           |     WHEN m.name LIKE '%.txt' THEN 'txt'
           |     WHEN m.name LIKE '%.pdf' THEN 'pdf'
           |     WHEN m.name LIKE '%.docx' THEN 'docx'
+          |     WHEN m.name LIKE '%.xlsx' THEN 'xlsx'
+          |     WHEN m.name LIKE '%.pptx' THEN 'pptx'
           |     ELSE 'other' END""".stripMargin))
       .withColumn("pdf_pages",
         when(col("kind") === "pdf", PdfText.pdfText(col("m.payload"))))
       .withColumn("ies",
-        when(col("kind") === "docx", ZipEntries.zipEntries(col("m.payload"))))
+        when(col("kind").isin("docx", "xlsx", "pptx"),
+          ZipEntries.zipEntries(col("m.payload"))))
       .withColumn("doc_xml", expr(
         """CASE WHEN size(filter(ies, e -> e.name = 'word/document.xml')) = 1
           |  THEN cast(filter(ies,
           |    e -> e.name = 'word/document.xml')[0].payload AS STRING) END"""
           .stripMargin))
+      // the x237 shape: shared-string indices resolved from the string
+      // table, inline and numeric cells in place; tabs between cells,
+      // newlines between rows
+      .withColumn("sst", expr(
+        """regexp_extract_all(cast(filter(ies,
+          |  e -> e.name = 'xl/sharedStrings.xml')[0].payload AS STRING),
+          |  '<t[^>]*>([^<]*)</t>', 1)""".stripMargin))
+      .withColumn("xlsx_text", expr(
+        """array_join(transform(
+          |  regexp_extract_all(cast(filter(ies,
+          |    e -> e.name = 'xl/worksheets/sheet1.xml')[0].payload AS STRING),
+          |    '<row[^>]*>(.*?)</row>', 1),
+          |  r -> array_join(
+          |    transform(regexp_extract_all(r, '<c [^>]*>.*?</c>', 0), c ->
+          |      CASE WHEN c LIKE '%t="s"%' THEN
+          |        element_at(sst, cast(regexp_extract(c, '<v>(\\d+)</v>', 1)
+          |                             AS INT) + 1)
+          |      WHEN c LIKE '%t="inlineStr"%' THEN
+          |        regexp_extract(c, '<t[^>]*>([^<]*)</t>', 1)
+          |      ELSE regexp_extract(c, '<v>([^<]*)</v>', 1) END),
+          |    '\t')), '\n')""".stripMargin))
+      // the x238 shape: runs concatenate within a paragraph, paragraphs
+      // and slides join by newline
+      .withColumn("pptx_text", expr(
+        """array_join(transform(
+          |  filter(ies, e -> e.name LIKE 'ppt/slides/slide%.xml'),
+          |  sl -> array_join(transform(
+          |    regexp_extract_all(cast(sl.payload AS STRING),
+          |                       '<a:p>(.*?)</a:p>', 1),
+          |    p -> array_join(
+          |      regexp_extract_all(p, '<a:t>([^<]*)</a:t>', 1), '')),
+          |    '\n')), '\n')""".stripMargin))
       .withColumn("text", expr(
         """CASE WHEN kind = 'txt' THEN cast(m.payload AS STRING)
           |     WHEN kind = 'pdf' THEN array_join(pdf_pages, '\n')
           |     WHEN kind = 'docx' THEN array_join(regexp_extract_all(
           |       doc_xml, '<w:t[^>]*>([^<]*)</w:t>', 1), ' ')
+          |     WHEN kind = 'xlsx' THEN xlsx_text
+          |     WHEN kind = 'pptx' THEN pptx_text
           |END""".stripMargin))
       .select(col("path"), col("m.name").as("member"), col("kind"),
         col("text"), length(col("text")).cast("long").as("n_chars"),
         (col("text").isNotNull &&
-          col("kind").isin("txt", "pdf", "docx")).as("ok"))
+          col("kind").isin("txt", "pdf", "docx", "xlsx", "pptx")).as("ok"))
   }
 
   /** Continuous archive ingest over a directory watch — the streaming

@@ -33,6 +33,31 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
       ("word/document.xml", xml.getBytes, true)))
   }
 
+  private def xlsx(): Array[Byte] = {
+    val sst = "<sst><si><t>alpha cell</t></si><si><t>beta cell</t></si></sst>"
+    val sheet = "<worksheet><sheetData>" +
+      """<row r="1"><c r="A1" t="s"><v>1</v></c><c r="B1"><v>42</v></c>""" +
+      """<c r="C1" t="inlineStr"><is><t>inline one</t></is></c></row>""" +
+      """<row r="2"><c r="A2" t="s"><v>0</v></c></row>""" +
+      "</sheetData></worksheet>"
+    Archives.buildZip(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes, true),
+      ("xl/sharedStrings.xml", sst.getBytes, true),
+      ("xl/worksheets/sheet1.xml", sheet.getBytes, true)))
+  }
+
+  private def pptx(): Array[Byte] = {
+    def slide(s: Int) =
+      "<p:sld><p:cSld><p:spTree><p:sp><p:txBody>" +
+        s"<a:p><a:r><a:t>slide $s </a:t></a:r><a:r><a:t>title</a:t></a:r></a:p>" +
+        s"<a:p><a:r><a:t>body $s</a:t></a:r></a:p>" +
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    Archives.buildZip(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes, true),
+      ("ppt/slides/slide1.xml", slide(1).getBytes, true),
+      ("ppt/slides/slide2.xml", slide(2).getBytes, true)))
+  }
+
   private def writeDrops(dir: java.io.File): Unit = {
     // a.zip: txt + pdf + docx + other + one CRC-corrupted member
     val goodZip = Archives.buildZip(Seq(
@@ -49,11 +74,13 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     val at = s.indexOf("bad/corrupt.txt") + "bad/corrupt.txt".length + 3
     goodZip(at) = (goodZip(at) ^ 0x7f).toByte
     Files.write(new java.io.File(dir, "a.zip").toPath, goodZip)
-    // b.tar: txt + pdf members
+    // b.tar: txt + pdf + the other two OOXML members
     Files.write(new java.io.File(dir, "b.tar").toPath, Archives.buildTar(Seq(
       ("t.txt", "0", "tar text member".getBytes),
       ("p.pdf", "0", Pdfs.buildPdfWithText(Seq("tar pdf page"),
-        flate = false)))))
+        flate = false)),
+      ("sheet.xlsx", "0", xlsx()),
+      ("deck.pptx", "0", pptx()))))
     // c.zip: truncated container → one unreadable quarantine row
     Files.write(new java.io.File(dir, "c.zip").toPath,
       Archives.buildZip(Seq(("x.txt", "x".getBytes, false))).dropRight(9))
@@ -102,6 +129,14 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("bad/corrupt.txt").contains("|corrupt|-|-|false"))
     assert(find("t.txt").contains("|txt|tar text member|15|true"))
     assert(find("p.pdf").contains("tar pdf page"))
+    // shared-string resolution, tabs between cells, newline between rows
+    assert(find("sheet.xlsx").contains(
+      "|xlsx|beta cell\t42\tinline one\nalpha cell|"))
+    assert(find("sheet.xlsx").endsWith("true"))
+    // runs concatenate within a paragraph; paragraphs and slides newline
+    assert(find("deck.pptx").contains(
+      "|pptx|slide 1 title\nbody 1\nslide 2 title\nbody 2|"))
+    assert(find("deck.pptx").endsWith("true"))
     // container-level quarantines: exactly one row each, kind unreadable
     assert(streamed.count(_.startsWith("c.zip|")) == 1)
     assert(streamed.find(_.startsWith("c.zip|")).get
