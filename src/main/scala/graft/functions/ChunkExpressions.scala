@@ -145,6 +145,12 @@ object ChunkFunctions {
       es => JpegPixels(es.head), "built-in")
     reg.createOrReplaceTempFunction("pcm_stats",
       es => PcmStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("odt_text",
+      es => OdtText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("epub_chapters",
+      es => EpubChapters(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rtf_text",
+      es => RtfText(es.head), "built-in")
   }
 }
 
@@ -266,6 +272,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("flac_decode"),
       new ExpressionInfo(classOf[FlacDecode].getName, "flac_decode"),
       es => FlacDecode(es.head)))
+    e.injectFunction((FunctionIdentifier("odt_text"),
+      new ExpressionInfo(classOf[OdtText].getName, "odt_text"),
+      es => OdtText(es.head)))
+    e.injectFunction((FunctionIdentifier("epub_chapters"),
+      new ExpressionInfo(classOf[EpubChapters].getName, "epub_chapters"),
+      es => EpubChapters(es.head)))
+    e.injectFunction((FunctionIdentifier("rtf_text"),
+      new ExpressionInfo(classOf[RtfText].getName, "rtf_text"),
+      es => RtfText(es.head)))
     // bloom_bits(hs, m): aggregate the array<bigint> bucket positions of
     // each row into an m-bit Bloom set (m from a foldable int literal)
     e.injectFunction((FunctionIdentifier("bloom_bits"),

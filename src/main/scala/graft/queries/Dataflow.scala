@@ -5031,11 +5031,146 @@ object Dataflow {
         .orderBy("media_id", "page")
   }
 
+  /** x241: ODT TEXT EXTRACTION — the OpenDocument sibling of x232's DOCX:
+    * a ZIP whose `content.xml` carries `<text:p>` paragraphs with
+    * ELEMENT-ENCODED whitespace (`<text:s text:c="N"/>` space runs,
+    * `<text:tab/>`, `<text:line-break/>` — ODF 1.3 part 3 §6.1), spans
+    * that concatenate without separators, and footnote subtrees that are
+    * NOT body text. Fixtures render deterministic text through
+    * [[graft.functions.Odts.buildOdt]] (runs split across two spans, a
+    * planted footnote, 2+ space runs collapsed the writer way); every
+    * 23rd doc ships a torn container and must emit one quarantine row.
+    * The oracle recomputes the construction — a stripped whitespace
+    * element or a leaked footnote garbles the hash. Straight per-row
+    * scan at 100 TB; no state, no shuffle. */
+  val x241 = DQ("x241_odt_text", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 23 = 0 AS q,
+      |    'Heading <' || CAST(doc_id AS VARCHAR) || '> & done' || chr(10)
+      |    || 'c1' || chr(9) || 'c2  wide ' || CAST(doc_id AS VARCHAR)
+      |    || chr(10) || 'note & fin' AS text
+      |  FROM documents)
+      |SELECT doc_id AS media_id, q AS quarantined,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM d ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Odts, OdtText}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val odt = Odts.buildOdt(Seq(
+            s"Heading <$id> & done",
+            s"c1\tc2  wide $id\nnote & fin"))
+          (id, if (id % 23 == 0) odt.dropRight(12) else odt)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("text", OdtText.odtText(col("media")))
+        .select(col("media_id"), col("text").isNull.as("quarantined"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
+  /** x242: EPUB CHAPTER EXTRACTION — three container hops deep (OCF 3.3:
+    * `mimetype` gate → `META-INF/container.xml` → package document whose
+    * SPINE, not zip order, is reading order). Fixtures build spec-layout
+    * books through [[graft.functions.Epubs.buildEpub]] with an UNLINKED
+    * decoy member a spine-less grep would wrongly include; every 17th
+    * doc wears a wrong mimetype (quarantine row — not an EPUB, don't
+    * guess), every 13th omits chapter 1's member (the row stays, text
+    * null: route, don't silently shrink the spine). Oracle recomputes
+    * the construction. Straight per-row scan at 100 TB. */
+  val x242 = DQ("x242_epub_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS nc,
+      |    doc_id % 17 = 0 AS q, doc_id % 13 = 0 AS miss FROM documents),
+      |c AS (SELECT doc_id, miss, u.c AS ch FROM d,
+      |    unnest(generate_series(1, nc)) AS u(c) WHERE NOT q),
+      |e AS (SELECT doc_id, ch, CASE WHEN miss AND ch = 1 THEN NULL ELSE
+      |    'Chapter ' || CAST(ch AS VARCHAR) || ' of doc '
+      |    || CAST(doc_id AS VARCHAR) || chr(10) || 'body '
+      |    || CAST(ch AS VARCHAR) || ' & <t> ' || CAST(doc_id AS VARCHAR)
+      |  END AS text FROM c)
+      |SELECT media_id, ch, href, text_md5, n_chars FROM (
+      |  SELECT doc_id AS media_id, CAST(ch AS INT) AS ch,
+      |    'ch' || CAST(ch AS VARCHAR) || '.xhtml' AS href,
+      |    md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL, NULL FROM d WHERE q)
+      |ORDER BY media_id, ch""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Epubs, EpubChapters}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nc = (id % 3 + 1).toInt
+          val chapters = (1 to nc).map(c =>
+            (s"ch$c.xhtml", s"Chapter $c of doc $id\nbody $c & <t> $id"))
+          (id, Epubs.buildEpub(chapters,
+            omit = if (id % 13 == 0) Set("ch1.xhtml") else Set.empty,
+            mime = if (id % 17 == 0) "application/zip"
+                   else "application/epub+zip"))
+        }.toDF("media_id", "media")
+      media
+        .withColumn("cs", EpubChapters.epubChapters(col("media")))
+        .select(col("media_id"), explode_outer(col("cs")).as("c"))
+        .select(col("media_id"),
+          expr("cast(regexp_extract(c.href, 'ch(\\\\d+)', 1) AS INT)")
+            .as("ch"),
+          col("c.href").as("href"),
+          md5(col("c.text")).as("text_md5"),
+          length(col("c.text")).cast("long").as("n_chars"))
+        .orderBy("media_id", "ch")
+  }
+
+  /** x243: RTF TEXT EXTRACTION — the flat-token legacy format (public
+    * RTF 1.9.1 spec): group-aware walk with `\ucN` as GROUP state,
+    * destination groups (`\fonttbl`, `\info`, starred writer extensions)
+    * skipped whole, `\'xx` cp1252 bytes, `\uN` code units with fallback
+    * consumption, `\par`/`\tab` rendering. Fixtures render deterministic
+    * text — braces, backslash, cp1252 high chars (é, —, ï), tab, par —
+    * through [[graft.functions.Rtfs.buildRtf]], which the walk must
+    * invert exactly; every 11th doc ships leading garbage (not RTF) and
+    * must quarantine. Oracle recomputes the construction. Straight
+    * per-row scan at 100 TB. */
+  val x243 = DQ("x243_rtf_text", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 11 = 0 AS q,
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' {set} \ done' || chr(10)
+      |    || 'café — naïve' || chr(9) || 'end '
+      |    || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents)
+      |SELECT doc_id AS media_id, q AS quarantined,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM d ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Rtfs, RtfText}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val rtf = Rtfs.buildRtf(
+            s"Doc $id {set} \\ done\ncafé — naïve\tend $id")
+          (id, if (id % 11 == 0) "GARBAGE".getBytes ++ rtf else rtf)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("text", RtfText.rtfText(col("media")))
+        .select(col("media_id"), col("text").isNull.as("quarantined"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
     x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x167,
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
-    x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240)
+    x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
+    x241, x242, x243)
 }

@@ -507,6 +507,9 @@ object Pipelines {
           |     WHEN m.name LIKE '%.docx' THEN 'docx'
           |     WHEN m.name LIKE '%.xlsx' THEN 'xlsx'
           |     WHEN m.name LIKE '%.pptx' THEN 'pptx'
+          |     WHEN m.name LIKE '%.odt' THEN 'odt'
+          |     WHEN m.name LIKE '%.epub' THEN 'epub'
+          |     WHEN m.name LIKE '%.rtf' THEN 'rtf'
           |     ELSE 'other' END""".stripMargin))
       .withColumn("pdf_pages",
         when(col("kind") === "pdf", PdfText.pdfText(col("m.payload"))))
@@ -550,6 +553,20 @@ object Pipelines {
           |    p -> array_join(
           |      regexp_extract_all(p, '<a:t>([^<]*)</a:t>', 1), '')),
           |    '\n')), '\n')""".stripMargin))
+      .withColumn("odt_text",
+        when(col("kind") === "odt",
+          graft.functions.OdtText.odtText(col("m.payload"))))
+      .withColumn("epub_chs",
+        when(col("kind") === "epub",
+          graft.functions.EpubChapters.epubChapters(col("m.payload"))))
+      // chapter texts join by newline; a missing spine member's null
+      // chapter is skipped (array_join's default) — the member-level
+      // quarantine already routed it
+      .withColumn("epub_text",
+        expr("array_join(transform(epub_chs, c -> c.text), '\n')"))
+      .withColumn("rtf_text",
+        when(col("kind") === "rtf",
+          graft.functions.RtfText.rtfText(col("m.payload"))))
       .withColumn("text", expr(
         """CASE WHEN kind = 'txt' THEN cast(m.payload AS STRING)
           |     WHEN kind = 'pdf' THEN array_join(pdf_pages, '\n')
@@ -557,11 +574,15 @@ object Pipelines {
           |       doc_xml, '<w:t[^>]*>([^<]*)</w:t>', 1), ' ')
           |     WHEN kind = 'xlsx' THEN xlsx_text
           |     WHEN kind = 'pptx' THEN pptx_text
+          |     WHEN kind = 'odt' THEN odt_text
+          |     WHEN kind = 'epub' THEN epub_text
+          |     WHEN kind = 'rtf' THEN rtf_text
           |END""".stripMargin))
       .select(col("path"), col("m.name").as("member"), col("kind"),
         col("text"), length(col("text")).cast("long").as("n_chars"),
-        (col("text").isNotNull &&
-          col("kind").isin("txt", "pdf", "docx", "xlsx", "pptx")).as("ok"))
+        (col("text").isNotNull && col("kind").isin(
+          "txt", "pdf", "docx", "xlsx", "pptx", "odt", "epub", "rtf"))
+          .as("ok"))
   }
 
   /** Continuous archive ingest over a directory watch — the streaming

@@ -74,13 +74,19 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     val at = s.indexOf("bad/corrupt.txt") + "bad/corrupt.txt".length + 3
     goodZip(at) = (goodZip(at) ^ 0x7f).toByte
     Files.write(new java.io.File(dir, "a.zip").toPath, goodZip)
-    // b.tar: txt + pdf + the other two OOXML members
+    // b.tar: txt + pdf + the other two OOXML members + the round-11 trio
     Files.write(new java.io.File(dir, "b.tar").toPath, Archives.buildTar(Seq(
       ("t.txt", "0", "tar text member".getBytes),
       ("p.pdf", "0", Pdfs.buildPdfWithText(Seq("tar pdf page"),
         flate = false)),
       ("sheet.xlsx", "0", xlsx()),
-      ("deck.pptx", "0", pptx()))))
+      ("deck.pptx", "0", pptx()),
+      ("doc.odt", "0", graft.functions.Odts.buildOdt(
+        Seq("odt c1\tc2  wide", "odt & fin"))),
+      ("book.epub", "0", graft.functions.Epubs.buildEpub(
+        Seq(("ch1.xhtml", "epub one"), ("ch2.xhtml", "epub two")))),
+      ("note.rtf", "0", graft.functions.Rtfs.buildRtf(
+        "rtf {body} — end")))))
     // c.zip: truncated container → one unreadable quarantine row
     Files.write(new java.io.File(dir, "c.zip").toPath,
       Archives.buildZip(Seq(("x.txt", "x".getBytes, false))).dropRight(9))
@@ -137,6 +143,15 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("deck.pptx").contains(
       "|pptx|slide 1 title\nbody 1\nslide 2 title\nbody 2|"))
     assert(find("deck.pptx").endsWith("true"))
+    // round-11 members: element-encoded ODT whitespace survives, EPUB
+    // chapters join by newline in spine order, RTF destinations skipped
+    assert(find("doc.odt").contains(
+      "|odt|odt c1\tc2  wide\nodt & fin|"))
+    assert(find("doc.odt").endsWith("true"))
+    assert(find("book.epub").contains("|epub|epub one\nepub two|"))
+    assert(find("book.epub").endsWith("true"))
+    assert(find("note.rtf").contains("|rtf|rtf {body} — end|"))
+    assert(find("note.rtf").endsWith("true"))
     // container-level quarantines: exactly one row each, kind unreadable
     assert(streamed.count(_.startsWith("c.zip|")) == 1)
     assert(streamed.find(_.startsWith("c.zip|")).get

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Archives, Epubs, Odts, Rtfs}
+
+/** Behavioral pins for the three round-11 document extractors — ODT
+  * (ODF 1.3), EPUB (OCF/EPUB 3.3), RTF (1.9.1) — beyond what the
+  * hash-gated x241-x243 queries assert: builder/parser inversion on
+  * hostile content, the skip rules (footnotes, destinations, decoys),
+  * and the quarantine arms. */
+class DocFormatsSpec extends AnyFunSuite {
+
+  // ---- ODT ----
+
+  test("odt round-trips element-encoded whitespace and entities") {
+    val ps = Seq(
+      "Heading <1> & done",
+      "c1\tc2  wide 7\nnote & fin",
+      "   lead and trail   ",
+      "five     spaces")
+    val got = Odts.odtText(Odts.buildOdt(ps))
+    assert(got == ps.mkString("\n"))
+  }
+
+  test("odt footnote and annotation subtrees are not body text") {
+    val t = Odts.odtText(Odts.buildOdt(Seq("visible")))
+    assert(t == "visible")
+    assert(!t.contains("not body text"))
+  }
+
+  test("odt rejects wrong mimetype, missing content.xml, torn zip") {
+    val good = Odts.buildOdt(Seq("x"))
+    assert(Odts.odtText(good.dropRight(12)) == null)
+    // same zip machinery, spreadsheet mimetype
+    val wrongMime = Archives.buildZip(Seq(
+      ("mimetype",
+        "application/vnd.oasis.opendocument.spreadsheet".getBytes, false),
+      ("content.xml",
+        "<office:text><text:p>x</text:p></office:text>".getBytes, true)))
+    assert(Odts.odtText(wrongMime) == null)
+    val noContent = Archives.buildZip(Seq(
+      ("mimetype",
+        "application/vnd.oasis.opendocument.text".getBytes, false)))
+    assert(Odts.odtText(noContent) == null)
+  }
+
+  test("odt empty paragraphs keep their newline positions") {
+    assert(Odts.odtText(Odts.buildOdt(Seq("a", "", "b"))) == "a\n\nb")
+  }
+
+  // ---- EPUB ----
+
+  test("epub extracts chapters in spine order, skipping the decoy") {
+    val book = Epubs.buildEpub(Seq(
+      ("ch1.xhtml", "Chapter 1\nbody & <t>"),
+      ("ch2.xhtml", "Chapter 2")))
+    val cs = Epubs.epubChapters(book)
+    assert(cs.map(_._1).toSeq == Seq("ch1.xhtml", "ch2.xhtml"))
+    assert(cs(0)._2 == "Chapter 1\nbody & <t>")
+    assert(cs(1)._2 == "Chapter 2")
+    assert(!cs.exists(c => c._2 != null && c._2.contains("decoy")))
+    assert(!cs.exists(c => c._2 != null && c._2.contains("head is not")))
+  }
+
+  test("epub missing spine member keeps its row with null text") {
+    val book = Epubs.buildEpub(
+      Seq(("ch1.xhtml", "one"), ("ch2.xhtml", "two")),
+      omit = Set("ch1.xhtml"))
+    val cs = Epubs.epubChapters(book)
+    assert(cs.length == 2)
+    assert(cs(0)._1 == "ch1.xhtml" && cs(0)._2 == null)
+    assert(cs(1)._2 == "two")
+  }
+
+  test("epub quarantines wrong mimetype and torn containers") {
+    val book = Epubs.buildEpub(Seq(("c.xhtml", "x")))
+    assert(Epubs.epubChapters(book.dropRight(12)) == null)
+    assert(Epubs.epubChapters(
+      Epubs.buildEpub(Seq(("c.xhtml", "x")), mime = "application/zip"))
+      == null)
+  }
+
+  test("epub hrefs resolve against the package directory, folding dots") {
+    // hand-build: opf in OEBPS/, chapter href ../text/c.xhtml
+    val container = """<container><rootfiles><rootfile
+      | full-path="OEBPS/content.opf"/></rootfiles></container>"""
+      .stripMargin.replace("\n", "")
+    val opf = """<package><manifest>
+      |<item id="c" href="../text/c.xhtml"/></manifest>
+      |<spine><itemref idref="c"/></spine></package>"""
+      .stripMargin.replace("\n", "")
+    val book = Archives.buildZip(Seq(
+      ("mimetype", "application/epub+zip".getBytes, false),
+      ("META-INF/container.xml", container.getBytes, true),
+      ("OEBPS/content.opf", opf.getBytes, true),
+      ("text/c.xhtml", "<body><p>found</p></body>".getBytes, true)))
+    val cs = Epubs.epubChapters(book)
+    assert(cs.length == 1 && cs(0)._2 == "found")
+  }
+
+  test("xhtml strip: entities decode after tags strip, blanks collapse") {
+    assert(Epubs.xhtmlText(
+      "<body>  <p>a &amp;lt; b</p>\n\n<p>c<br/>d</p></body>")
+      == "a &lt; b\nc\nd")
+    assert(Epubs.decodeEntities("&#x41;&#66;&amp;&bogus;") == "AB&&bogus;")
+  }
+
+  // ---- RTF ----
+
+  test("rtf round-trips braces, backslash, cp1252, unicode, whitespace") {
+    val texts = Seq(
+      "Doc 5 {set} \\ done\ncafé — naïve\tend 5",
+      "plain ascii",
+      "C1 range:  ok", // must take the \\uN path
+      "CJK 中文 and emoji-free tail",
+      "€ bullet • quote ’")
+    for (t <- texts)
+      assert(Rtfs.rtfText(Rtfs.buildRtf(t)) == t, s"round trip of: $t")
+  }
+
+  test("rtf skips font table, color table, info, starred destinations") {
+    val t = Rtfs.rtfText(Rtfs.buildRtf("body only"))
+    assert(t == "body only")
+    assert(!t.contains("Helvetica") && !t.contains("graft") &&
+      !t.contains("not body text"))
+  }
+
+  test("rtf \\uc fallback count is group state") {
+    // uc2 inside a group: \u followed by TWO fallback chars eaten there,
+    // while the outer group's uc1 eats one
+    val rtf = ("{\\rtf1\\ansi\\uc1 a{\\uc2\\u8364 XXb}\\u8364 Yc}")
+      .getBytes("ISO-8859-1")
+    assert(Rtfs.rtfText(rtf) == "a€b€c")
+  }
+
+  test("rtf \\bin skips raw bytes even when they contain braces") {
+    val rtf = ("{\\rtf1 a\\bin5 " + "}}{{\\" + "b}").getBytes("ISO-8859-1")
+    assert(Rtfs.rtfText(rtf) == "ab")
+  }
+
+  test("rtf quarantines non-RTF payloads, survives truncation anywhere") {
+    assert(Rtfs.rtfText("GARBAGE{\\rtf1 x}".getBytes) == null)
+    assert(Rtfs.rtfText(Array[Byte]()) == null)
+    val full = Rtfs.buildRtf("truncate me — café\tend")
+    for (k <- 0 until full.length)
+      Rtfs.rtfText(full.take(k)) // must not throw
+  }
+}

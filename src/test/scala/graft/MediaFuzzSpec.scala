@@ -42,7 +42,10 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("pdf_revisions", b => graft.functions.Pdfs.pdfRevisions(b)),
     ("flac_decode", b => graft.functions.FlacCodec.decode(b)),
     ("zip_entries", b => graft.functions.Archives.zipEntries(b)),
-    ("tar_entries", b => graft.functions.Archives.tarEntries(b)))
+    ("tar_entries", b => graft.functions.Archives.tarEntries(b)),
+    ("odt_text", b => graft.functions.Odts.odtText(b)),
+    ("epub_chapters", b => graft.functions.Epubs.epubChapters(b)),
+    ("rtf_text", b => graft.functions.Rtfs.rtfText(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -161,7 +164,12 @@ class MediaFuzzSpec extends AnyFunSuite {
           paxRecord("size=9")).getBytes),
         ("stub", "0", "123456789".getBytes),
         ("plain.txt", "0", Array.tabulate[Byte](600)(i => (i % 71).toByte))))
-    })
+    },
+    graft.functions.Odts.buildOdt(Seq("a  b\tc", "d & <e>\nf")),
+    graft.functions.Epubs.buildEpub(Seq(
+      ("ch1.xhtml", "hello & <t>\nworld"), ("ch2.xhtml", "tail"))),
+    graft.functions.Rtfs.buildRtf(
+      "fuzz {x} \\ café — 中\tcol\npar"))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)
