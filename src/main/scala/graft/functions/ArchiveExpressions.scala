@@ -174,8 +174,42 @@ object Archives {
     * routes the whole parse to null. Never throws (same contract as
     * [[zipEntries]]). */
   def tarEntries(b: Array[Byte]): Array[(String, String, Long, Array[Byte])] =
-    try tarEntriesImpl(b)
+    try {
+      // .tar.gz/.tgz: a tarball wearing one gzip member (the dominant
+      // on-disk form — tar itself has no compression); detect by magic
+      // so the walker, not the dispatch, owns the decision
+      val raw =
+        if (b != null && b.length > 2 && u(b, 0) == 0x1f && u(b, 1) == 0x8b)
+          gunzip(b)
+        else b
+      if (raw == null) null else tarEntriesImpl(raw)
+    }
     catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Whole-payload gunzip, bounded at 256 MiB of output (don't trust a
+    * declared length; a zip-bomb member routes to null, not OOM). The
+    * close() in finally releases the native Inflater immediately —
+    * per-row GC-relied native state is a measured superlinear wall-time
+    * curve at scale (see WarcExpressions.gunzip). */
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    var in: java.util.zip.GZIPInputStream = null
+    try {
+      in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      var n = in.read(buf)
+      while (n > 0) {
+        total += n
+        if (total > (1L << 28)) return null
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+    finally if (in != null) in.close()
+  }
 
   private def tarEntriesImpl(b: Array[Byte]): Array[(String, String, Long, Array[Byte])] = {
     if (b == null || b.length < 512) return null

@@ -151,6 +151,8 @@ object ChunkFunctions {
       es => EpubChapters(es.head), "built-in")
     reg.createOrReplaceTempFunction("rtf_text",
       es => RtfText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("eml_parse",
+      es => EmlParse(es.head), "built-in")
   }
 }
 
@@ -281,6 +283,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("rtf_text"),
       new ExpressionInfo(classOf[RtfText].getName, "rtf_text"),
       es => RtfText(es.head)))
+    e.injectFunction((FunctionIdentifier("eml_parse"),
+      new ExpressionInfo(classOf[EmlParse].getName, "eml_parse"),
+      es => EmlParse(es.head)))
     // bloom_bits(hs, m): aggregate the array<bigint> bucket positions of
     // each row into an m-bit Bloom set (m from a foldable int literal)
     e.injectFunction((FunctionIdentifier("bloom_bits"),

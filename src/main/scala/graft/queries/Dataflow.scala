@@ -5165,6 +5165,108 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x244: EML (RFC 5322 / MIME) TEXT EXTRACTION — mail archives are a
+    * major enterprise-corpus source and exercise a parsing stack nothing
+    * else here does: header UNFOLDING, RFC 2047 encoded-word subjects,
+    * per-part Content-Transfer-Encoding (base64 / quoted-printable /
+    * 7bit rotate by doc), and multipart/alternative bodies where the
+    * text/plain part must BEAT an html decoy twin (every 7th doc).
+    * Fixtures render through [[graft.functions.Emls.buildEml]]; every
+    * 23rd doc ships a headerless payload and must quarantine. Oracle
+    * recomputes subject and body construction — a mis-decoded QP byte or
+    * a leaked html decoy garbles the hash. Straight per-row scan at
+    * 100 TB. */
+  val x244 = DQ("x244_eml_text", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 23 = 0 AS q,
+      |    'Sujet café ' || CAST(doc_id AS VARCHAR) AS subject,
+      |    'line one ' || CAST(doc_id AS VARCHAR) || chr(10)
+      |    || 'ligne café — ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents)
+      |SELECT doc_id AS media_id, q AS quarantined,
+      |  CASE WHEN q THEN NULL ELSE subject END AS subject,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM d ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Emls, EmlParse}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val eml = Emls.buildEml(
+            subject = s"Sujet café $id",
+            from = s"sender$id@example.org",
+            date = s"Mon, 1 Jan 2024 0${id % 10}:00:00 +0000",
+            text = s"line one $id\nligne café — $id",
+            encoding = (id % 3) match {
+              case 0 => "base64"
+              case 1 => "quoted-printable"
+              case _ => "7bit"
+            },
+            htmlAlt = id % 7 == 0)
+          (id, if (id % 23 == 0)
+            s"headerless junk payload $id with no colon lines".getBytes
+          else eml)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("e", EmlParse.emlParse(col("media")))
+        .select(col("media_id"), col("e").isNull.as("quarantined"),
+          col("e.subject").as("subject"),
+          md5(col("e.text")).as("text_md5"),
+          length(col("e.text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
+  /** x245: GZIPPED TAR MEMBERS — tar itself has no compression, so the
+    * on-disk form of a tar corpus is overwhelmingly `.tar.gz`/`.tgz`;
+    * the walker detects the gzip magic itself (RFC 1952) and gunzips
+    * bounded before the ustar walk, so dispatch stays extension-only.
+    * Every 13th doc flips one byte inside the DEFLATE stream: CRC-32
+    * catches every single-byte error deterministically, so the doc must
+    * emit one quarantine row, never garbled member text. Oracle
+    * recomputes the construction. Straight per-row scan at 100 TB. */
+  val x245 = DQ("x245_targz_members", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 13 = 0 AS q FROM documents),
+      |m AS (SELECT doc_id, u.m AS m FROM d,
+      |    unnest(generate_series(0, 1)) AS u(m) WHERE NOT q),
+      |e AS (SELECT doc_id, 'm' || CAST(m AS VARCHAR) || '.txt' AS member,
+      |    CASE WHEN m = 0 THEN 'alpha ' || CAST(doc_id AS VARCHAR)
+      |         ELSE 'beta café ' || CAST(doc_id AS VARCHAR) END AS text
+      |  FROM m)
+      |SELECT media_id, member, text_md5, n_chars FROM (
+      |  SELECT doc_id AS media_id, member, md5(text) AS text_md5,
+      |    CAST(length(text) AS BIGINT) AS n_chars FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL FROM d WHERE q)
+      |ORDER BY media_id, member""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Archives, TarEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val tar = Archives.buildTar(Seq(
+            ("m0.txt", "0", s"alpha $id".getBytes("UTF-8")),
+            ("m1.txt", "0", s"beta café $id".getBytes("UTF-8"))))
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(tar); gz.close()
+          val bytes = bos.toByteArray
+          if (id % 13 == 0) bytes(bytes.length / 2) =
+            (bytes(bytes.length / 2) ^ 0x55).toByte
+          (id, bytes)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("tes", TarEntries.tarEntries(col("media")))
+        .select(col("media_id"), explode_outer(col("tes")).as("e"))
+        .select(col("media_id"), col("e.name").as("member"),
+          md5(col("e.payload")).as("text_md5"),
+          expr("length(cast(e.payload AS STRING))").cast("long")
+            .as("n_chars"))
+        .orderBy("media_id", "member")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5172,5 +5274,5 @@ object Dataflow {
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
-    x241, x242, x243)
+    x241, x242, x243, x244, x245)
 }

@@ -487,14 +487,18 @@ object Pipelines {
     files
       .withColumn("zes",
         when(col("path").endsWith(".zip"), ZipEntries.zipEntries(col("content"))))
+      // the TAR walker gunzips by magic, so .tar.gz/.tgz ride the same arm
       .withColumn("tes",
-        when(col("path").endsWith(".tar"), TarEntries.tarEntries(col("content"))))
+        when(col("path").endsWith(".tar") || col("path").endsWith(".tar.gz")
+          || col("path").endsWith(".tgz"),
+          TarEntries.tarEntries(col("content"))))
       .withColumn("ms", expr(
         """CASE
           |  WHEN path LIKE '%.zip' THEN
           |    transform(zes, e ->
           |      struct(e.name AS name, e.crc_ok AS ok, e.payload AS payload))
-          |  WHEN path LIKE '%.tar' THEN
+          |  WHEN path LIKE '%.tar' OR path LIKE '%.tar.gz'
+          |    OR path LIKE '%.tgz' THEN
           |    transform(filter(tes, e -> e.typeflag = '0'), e ->
           |      struct(e.name AS name, true AS ok, e.payload AS payload))
           |END""".stripMargin))
@@ -510,6 +514,7 @@ object Pipelines {
           |     WHEN m.name LIKE '%.odt' THEN 'odt'
           |     WHEN m.name LIKE '%.epub' THEN 'epub'
           |     WHEN m.name LIKE '%.rtf' THEN 'rtf'
+          |     WHEN m.name LIKE '%.eml' THEN 'eml'
           |     ELSE 'other' END""".stripMargin))
       .withColumn("pdf_pages",
         when(col("kind") === "pdf", PdfText.pdfText(col("m.payload"))))
@@ -567,6 +572,9 @@ object Pipelines {
       .withColumn("rtf_text",
         when(col("kind") === "rtf",
           graft.functions.RtfText.rtfText(col("m.payload"))))
+      .withColumn("eml",
+        when(col("kind") === "eml",
+          graft.functions.EmlParse.emlParse(col("m.payload"))))
       .withColumn("text", expr(
         """CASE WHEN kind = 'txt' THEN cast(m.payload AS STRING)
           |     WHEN kind = 'pdf' THEN array_join(pdf_pages, '\n')
@@ -577,12 +585,13 @@ object Pipelines {
           |     WHEN kind = 'odt' THEN odt_text
           |     WHEN kind = 'epub' THEN epub_text
           |     WHEN kind = 'rtf' THEN rtf_text
+          |     WHEN kind = 'eml' THEN eml.text
           |END""".stripMargin))
       .select(col("path"), col("m.name").as("member"), col("kind"),
         col("text"), length(col("text")).cast("long").as("n_chars"),
         (col("text").isNotNull && col("kind").isin(
-          "txt", "pdf", "docx", "xlsx", "pptx", "odt", "epub", "rtf"))
-          .as("ok"))
+          "txt", "pdf", "docx", "xlsx", "pptx", "odt", "epub", "rtf",
+          "eml")).as("ok"))
   }
 
   /** Continuous archive ingest over a directory watch — the streaming

@@ -86,7 +86,18 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
       ("book.epub", "0", graft.functions.Epubs.buildEpub(
         Seq(("ch1.xhtml", "epub one"), ("ch2.xhtml", "epub two")))),
       ("note.rtf", "0", graft.functions.Rtfs.buildRtf(
-        "rtf {body} — end")))))
+        "rtf {body} — end")),
+      ("mail.eml", "0", graft.functions.Emls.buildEml(
+        "subj", "a@b.c", "Mon, 1 Jan 2024 00:00:00 +0000",
+        "eml plain body", encoding = "quoted-printable",
+        htmlAlt = true)))))
+    // e.tgz: the gzip-wrapped tar form — same members must surface
+    val eTar = Archives.buildTar(Seq(
+      ("gz.txt", "0", "gzipped tar member".getBytes)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gzo = new java.util.zip.GZIPOutputStream(bos)
+    gzo.write(eTar); gzo.close()
+    Files.write(new java.io.File(dir, "e.tgz").toPath, bos.toByteArray)
     // c.zip: truncated container → one unreadable quarantine row
     Files.write(new java.io.File(dir, "c.zip").toPath,
       Archives.buildZip(Seq(("x.txt", "x".getBytes, false))).dropRight(9))
@@ -152,6 +163,10 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("book.epub").endsWith("true"))
     assert(find("note.rtf").contains("|rtf|rtf {body} — end|"))
     assert(find("note.rtf").endsWith("true"))
+    assert(find("mail.eml").contains("|eml|eml plain body|"))
+    assert(find("mail.eml").endsWith("true"))
+    assert(find("gz.txt").contains("|txt|gzipped tar member|"))
+    assert(find("gz.txt").endsWith("true"))
     // container-level quarantines: exactly one row each, kind unreadable
     assert(streamed.count(_.startsWith("c.zip|")) == 1)
     assert(streamed.find(_.startsWith("c.zip|")).get

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Archives, Epubs, Odts, Rtfs}
+import graft.functions.{Archives, Emls, Epubs, Odts, Rtfs}
 
 /** Behavioral pins for the three round-11 document extractors — ODT
   * (ODF 1.3), EPUB (OCF/EPUB 3.3), RTF (1.9.1) — beyond what the
@@ -137,6 +137,71 @@ class DocFormatsSpec extends AnyFunSuite {
   test("rtf \\bin skips raw bytes even when they contain braces") {
     val rtf = ("{\\rtf1 a\\bin5 " + "}}{{\\" + "b}").getBytes("ISO-8859-1")
     assert(Rtfs.rtfText(rtf) == "ab")
+  }
+
+  // ---- EML ----
+
+  test("eml round-trips each transfer encoding, decodes RFC 2047 subject") {
+    for (enc <- Seq("7bit", "quoted-printable", "base64")) {
+      val r = Emls.emlParse(Emls.buildEml(
+        "Sujet café", "a@b.c", "Mon, 1 Jan 2024 00:00:00 +0000",
+        "ligne café — une\nline two", encoding = enc))
+      assert(r != null, enc)
+      assert(r._1 == "Sujet café", enc)
+      assert(r._2 == "a@b.c" && r._3 == "Mon, 1 Jan 2024 00:00:00 +0000")
+      assert(r._4 == "ligne café — une\nline two", enc)
+    }
+  }
+
+  test("eml multipart/alternative: text/plain beats the html decoy") {
+    val r = Emls.emlParse(Emls.buildEml(
+      "s", "a@b.c", "d", "the plain body",
+      encoding = "base64", htmlAlt = true))
+    assert(r._4 == "the plain body")
+  }
+
+  test("eml html-only message strips tags through the xhtml chain") {
+    val raw = ("Subject: h\r\nFrom: a@b.c\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n\r\n" +
+      "<html><body><p>only &amp; html</p></body></html>\r\n")
+      .getBytes("ISO-8859-1")
+    assert(Emls.emlParse(raw)._4 == "only & html")
+  }
+
+  test("eml folded headers unfold; encoded-word gaps drop whitespace") {
+    val raw = ("Subject: =?UTF-8?B?Y2Fmw6k=?=\r\n =?UTF-8?Q?_noir?=\r\n" +
+      "From: x@y.z\r\n\r\nbody\r\n").getBytes("ISO-8859-1")
+    val r = Emls.emlParse(raw)
+    // unfolding inserts the space the continuation line carried; the
+    // whitespace BETWEEN the two encoded words is then dropped and the
+    // Q-form underscore supplies the real one
+    assert(r._1 == "café noir")
+    assert(r._4 == "body")
+  }
+
+  test("eml quarantines headerless payloads, survives truncation") {
+    assert(Emls.emlParse("no colon lines here\njust text".getBytes) == null)
+    assert(Emls.emlParse(Array[Byte]()) == null)
+    val full = Emls.buildEml("s café", "a@b.c", "d", "t\nu",
+      encoding = "base64", htmlAlt = true)
+    for (k <- 0 until full.length) Emls.emlParse(full.take(k))
+  }
+
+  // ---- tar.gz ----
+
+  test("tar walker gunzips by magic; corrupt deflate quarantines whole") {
+    val tar = Archives.buildTar(Seq(
+      ("a.txt", "0", "alpha".getBytes), ("b.txt", "0", "beta".getBytes)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(tar); gz.close()
+    val bytes = bos.toByteArray
+    val es = Archives.tarEntries(bytes)
+    assert(es != null && es.length == 2)
+    assert(new String(es(0)._4) == "alpha" && new String(es(1)._4) == "beta")
+    val bad = bytes.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x55).toByte
+    assert(Archives.tarEntries(bad) == null)
   }
 
   test("rtf quarantines non-RTF payloads, survives truncation anywhere") {

@@ -45,7 +45,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("tar_entries", b => graft.functions.Archives.tarEntries(b)),
     ("odt_text", b => graft.functions.Odts.odtText(b)),
     ("epub_chapters", b => graft.functions.Epubs.epubChapters(b)),
-    ("rtf_text", b => graft.functions.Rtfs.rtfText(b)))
+    ("rtf_text", b => graft.functions.Rtfs.rtfText(b)),
+    ("eml_parse", b => graft.functions.Emls.emlParse(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -169,7 +170,10 @@ class MediaFuzzSpec extends AnyFunSuite {
     graft.functions.Epubs.buildEpub(Seq(
       ("ch1.xhtml", "hello & <t>\nworld"), ("ch2.xhtml", "tail"))),
     graft.functions.Rtfs.buildRtf(
-      "fuzz {x} \\ café — 中\tcol\npar"))
+      "fuzz {x} \\ café — 中\tcol\npar"),
+    graft.functions.Emls.buildEml("Sujet café", "a@b.c",
+      "Mon, 1 Jan 2024 00:00:00 +0000", "ligne café — une\ntwo",
+      encoding = "quoted-printable", htmlAlt = true))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)
