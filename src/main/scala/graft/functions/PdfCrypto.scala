@@ -187,6 +187,10 @@ object PdfCrypto {
     var i = 0
     var done = false
     var lastE: Array[Byte] = null
+    // one Cipher per derivation, re-keyed per round: getInstance does a
+    // provider walk and was the dominant cost of the ≥64-round loop
+    // (measured ~3x on the x240 gate); doFinal resets it for reuse
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
     while (!done) {
       val block = pwd ++ k ++ udata
       val k1 = new Array[Byte](block.length * 64)
@@ -195,7 +199,6 @@ object PdfCrypto {
         System.arraycopy(block, 0, k1, j * block.length, block.length)
         j += 1
       }
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
       c.init(javax.crypto.Cipher.ENCRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
         new javax.crypto.spec.IvParameterSpec(k, 16, 16))
