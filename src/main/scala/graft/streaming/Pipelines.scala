@@ -503,6 +503,40 @@ object Pipelines {
           |      struct(e.name AS name, true AS ok, e.payload AS payload))
           |END""".stripMargin))
       .select(col("path"), explode_outer(col("ms")).as("m"))
+      .transform(memberText)
+  }
+
+  /** Bare-document ingest — the same per-member extraction chain as
+    * [[archiveText]] run on LOOSE files: each (path, content) row
+    * becomes one synthetic member named by its own path, so a `.pdf`
+    * dropped next to a `.zip` of PDFs extracts through byte-identical
+    * code (DocTextStreamSpec pins bare ≡ in-archive text). Unknown
+    * extensions keep their row with kind `other`, `ok = false` — route,
+    * don't drop. */
+  def docText(files: DataFrame): DataFrame =
+    memberText(files.select(col("path"),
+      expr("struct(path AS name, true AS ok, content AS payload)").as("m")))
+
+  /** Continuous bare-document ingest over a directory watch — the
+    * streaming twin of [[docText]], completing the ingest matrix: any
+    * mix of .txt/.pdf/.docx/.xlsx/.pptx/.odt/.epub/.rtf/.eml files
+    * dropped into `dir` lands as text rows through the one shared
+    * projection. */
+  def docTextStream(spark: SparkSession, dir: String): DataFrame =
+    docText(spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
+  /** The one member-level extraction chain both [[archiveText]] and
+    * [[docText]] project through: dispatch by the member NAME's
+    * extension, per-format dead-letter rows (`ok = false`, null text)
+    * when the inner format breaks. Input: (path, m) with
+    * m = struct(name, ok, payload) or null (container quarantine). */
+  private def memberText(members: DataFrame): DataFrame = {
+    import graft.functions.{PdfText, ZipEntries}
+    members
       .withColumn("kind", expr(
         """CASE WHEN m IS NULL THEN 'unreadable'
           |     WHEN NOT m.ok THEN 'corrupt'

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Archives, Emls, Epubs, Odts, Pdfs, Rtfs}
+import graft.streaming.Pipelines
+
+/** Bare-document ingest (`docText` / `docTextStream`): loose files in a
+  * watched directory extract through the SAME member-level chain as
+  * archive members, so the two ingest surfaces cannot drift. The spec's
+  * core assertions: stream ≡ batch on a mixed drop, bare-file text ≡
+  * the same payload's in-archive text, and the dead-letter posture
+  * (unknown extension and broken inner format keep their rows with
+  * ok = false — route, don't drop). */
+class DocTextStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def payloads: Seq[(String, Array[Byte])] = Seq(
+    ("plain.txt", "loose text file".getBytes),
+    ("report.pdf", Pdfs.buildPdfWithText(Seq("pdf page one"), flate = true)),
+    ("doc.odt", Odts.buildOdt(Seq("odt a\tb  c", "odt fin"))),
+    ("book.epub", Epubs.buildEpub(Seq(("c1.xhtml", "epub one")))),
+    ("note.rtf", Rtfs.buildRtf("rtf {x} — end")),
+    ("mail.eml", Emls.buildEml("s", "a@b.c", "d", "eml body",
+      encoding = "base64", htmlAlt = true)),
+    ("broken.odt", Odts.buildOdt(Seq("will tear")).dropRight(12)),
+    ("blob.bin", Array.tabulate[Byte](32)(_.toByte)))
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("path", "kind", "text", "ok").collect()
+      .map(r => Seq(
+        r.getString(0).split('/').last, r.getString(1),
+        Option(r.getString(2)).getOrElse("-"),
+        r.getBoolean(3).toString).mkString("|"))
+      .toSet
+
+  test("stream == batch on mixed loose drops; bare == in-archive text") {
+    val dir = Files.createTempDirectory("doc_text").toFile
+    for ((name, bytes) <- payloads)
+      Files.write(new java.io.File(dir, name).toPath, bytes)
+
+    val q = Pipelines.docTextStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("doc_text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = rowSet(spark.table("doc_text"))
+
+    def load(d: java.io.File) = spark.read.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(d.getAbsolutePath)
+    val batch = rowSet(Pipelines.docText(load(dir)))
+    assert(streamed == batch, "stream and batch projections drifted")
+
+    def find(name: String): String =
+      streamed.find(_.startsWith(s"$name|")).getOrElse(
+        fail(s"$name missing from $streamed"))
+    assert(find("plain.txt") == "plain.txt|txt|loose text file|true")
+    assert(find("report.pdf").contains("pdf page one") &&
+      find("report.pdf").endsWith("true"))
+    assert(find("doc.odt") == "doc.odt|odt|odt a\tb  c\nodt fin|true")
+    assert(find("book.epub") == "book.epub|epub|epub one|true")
+    assert(find("note.rtf") == "note.rtf|rtf|rtf {x} — end|true")
+    assert(find("mail.eml") == "mail.eml|eml|eml body|true")
+    // dead letters: broken inner format and unknown extension keep rows
+    assert(find("broken.odt") == "broken.odt|odt|-|false")
+    assert(find("blob.bin") == "blob.bin|other|-|false")
+
+    // the SAME payloads zipped extract to the same text member-wise
+    val zdir = Files.createTempDirectory("doc_text_zip").toFile
+    Files.write(new java.io.File(zdir, "all.zip").toPath,
+      Archives.buildZip(payloads.map { case (n, b) => (n, b, true) }))
+    val inArchive = rowSet(Pipelines.archiveText(load(zdir))
+      .withColumnRenamed("member", "path0")
+      .selectExpr("path0 AS path", "kind", "text", "ok"))
+    assert(inArchive == streamed,
+      "bare-file and in-archive extraction drifted")
+  }
+}
