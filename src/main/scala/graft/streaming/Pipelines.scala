@@ -501,21 +501,61 @@ object Pipelines {
           |    OR path LIKE '%.tgz' THEN
           |    transform(filter(tes, e -> e.typeflag = '0'), e ->
           |      struct(e.name AS name, true AS ok, e.payload AS payload))
+          |  ELSE array(struct(path AS name, true AS ok, content AS payload))
           |END""".stripMargin))
       .select(col("path"), explode_outer(col("ms")).as("m"))
+      .transform(expandNested)
       .transform(memberText)
   }
 
-  /** Bare-document ingest — the same per-member extraction chain as
-    * [[archiveText]] run on LOOSE files: each (path, content) row
-    * becomes one synthetic member named by its own path, so a `.pdf`
-    * dropped next to a `.zip` of PDFs extracts through byte-identical
-    * code (DocTextStreamSpec pins bare ≡ in-archive text). Unknown
-    * extensions keep their row with kind `other`, `ok = false` — route,
-    * don't drop. */
-  def docText(files: DataFrame): DataFrame =
-    memberText(files.select(col("path"),
-      expr("struct(path AS name, true AS ok, content AS payload)").as("m")))
+  /** Bare-document ingest — [[archiveText]] IS the universal front door
+    * (its dispatch's ELSE arm turns a loose file into one synthetic
+    * member named by its own path), so a `.pdf` dropped next to a `.zip`
+    * of PDFs extracts through byte-identical code (DocTextStreamSpec
+    * pins bare ≡ in-archive text). Unknown extensions keep their row
+    * with kind `other`, `ok = false` — route, don't drop. */
+  def docText(files: DataFrame): DataFrame = archiveText(files)
+
+  /** ONE level of archive nesting (`docs.tar` carrying `batch.zip`
+    * carrying PDFs — the shape crawl bundles and mail-house exports
+    * actually take): a member whose own name is an archive re-explodes,
+    * its children named `outer!inner` (the jar-URL convention). An
+    * unreadable INNER container keeps one `ok = false` row under the
+    * outer name. Exactly one level, deliberately: unbounded recursion
+    * is not expressible declaratively, and a self-referential zip bomb
+    * must hit a depth floor, not the executor heap. */
+  private def expandNested(members: DataFrame): DataFrame = {
+    import graft.functions.{TarEntries, ZipEntries}
+    members
+      .withColumn("nzes",
+        when(col("m.ok") && col("m.name").endsWith(".zip"),
+          ZipEntries.zipEntries(col("m.payload"))))
+      .withColumn("ntes",
+        when(col("m.ok") && (col("m.name").endsWith(".tar")
+          || col("m.name").endsWith(".tar.gz")
+          || col("m.name").endsWith(".tgz")),
+          TarEntries.tarEntries(col("m.payload"))))
+      .withColumn("ms2", expr(
+        """CASE
+          |  WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.zip' THEN
+          |    CASE WHEN nzes IS NULL THEN
+          |      array(struct(m.name AS name, false AS ok,
+          |                   CAST(NULL AS BINARY) AS payload))
+          |    ELSE transform(nzes, e -> struct(
+          |      concat(m.name, '!', e.name) AS name,
+          |      e.crc_ok AS ok, e.payload AS payload)) END
+          |  WHEN m IS NOT NULL AND m.ok AND (m.name LIKE '%.tar'
+          |    OR m.name LIKE '%.tar.gz' OR m.name LIKE '%.tgz') THEN
+          |    CASE WHEN ntes IS NULL THEN
+          |      array(struct(m.name AS name, false AS ok,
+          |                   CAST(NULL AS BINARY) AS payload))
+          |    ELSE transform(filter(ntes, e -> e.typeflag = '0'),
+          |      e -> struct(concat(m.name, '!', e.name) AS name,
+          |                  true AS ok, e.payload AS payload)) END
+          |  ELSE array(m)
+          |END""".stripMargin))
+      .select(col("path"), explode_outer(col("ms2")).as("m"))
+  }
 
   /** Continuous bare-document ingest over a directory watch — the
     * streaming twin of [[docText]], completing the ingest matrix: any

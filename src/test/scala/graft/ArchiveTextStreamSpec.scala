@@ -90,7 +90,15 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
       ("mail.eml", "0", graft.functions.Emls.buildEml(
         "subj", "a@b.c", "Mon, 1 Jan 2024 00:00:00 +0000",
         "eml plain body", encoding = "quoted-printable",
-        htmlAlt = true)))))
+        htmlAlt = true)),
+      // one level of nesting: a zip INSIDE the tar re-explodes with
+      // bang-prefixed member names; a torn inner zip keeps ONE
+      // corrupt row under the outer name
+      ("inner.zip", "0", Archives.buildZip(Seq(
+        ("n/one.txt", "nested text one".getBytes, true),
+        ("n/two.rtf", graft.functions.Rtfs.buildRtf("nested rtf"), false)))),
+      ("torn.zip", "0", Archives.buildZip(Seq(
+        ("x.txt", "x".getBytes, false))).dropRight(9)))))
     // e.tgz: the gzip-wrapped tar form — same members must surface
     val eTar = Archives.buildTar(Seq(
       ("gz.txt", "0", "gzipped tar member".getBytes)))
@@ -167,6 +175,12 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("mail.eml").endsWith("true"))
     assert(find("gz.txt").contains("|txt|gzipped tar member|"))
     assert(find("gz.txt").endsWith("true"))
+    // nested-archive expansion: bang-prefixed names, full extraction
+    assert(find("inner.zip!n/one.txt").contains("|txt|nested text one|"))
+    assert(find("inner.zip!n/one.txt").endsWith("true"))
+    assert(find("inner.zip!n/two.rtf").contains("|rtf|nested rtf|"))
+    assert(streamed.count(_.contains("|torn.zip|")) == 1)
+    assert(find("torn.zip").contains("|corrupt|-|-|false"))
     // container-level quarantines: exactly one row each, kind unreadable
     assert(streamed.count(_.startsWith("c.zip|")) == 1)
     assert(streamed.find(_.startsWith("c.zip|")).get
