@@ -130,7 +130,11 @@ object Bench {
               .iterator().asScala
               .map(_.getFileName.toString)
               .filter(_.matches("BENCH_r\\d+\\.json"))
-              .toSeq.sorted.lastOption
+              // newest by ROUND NUMBER — a lexicographic sort would pick
+              // r99 over r100 once the zero-pad width is outgrown
+              .toSeq
+              .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt)
+              .lastOption
           } catch { case _: Exception => None }
         val maps = ("BENCH_LATEST.json" +: driverSnap.toSeq).map(parseBench)
         maps.flatMap(_.keys).distinct

@@ -103,11 +103,12 @@ object Emls {
     (if (hs.isEmpty) null else hs.toMap, body)
   }
 
+  private val WordRe = java.util.regex.Pattern.compile(
+    "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=")
+
   /** RFC 2047 encoded-words in a header value. */
   def decodeWords(v: String): String = {
-    val re = java.util.regex.Pattern.compile(
-      "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=")
-    val m = re.matcher(v)
+    val m = WordRe.matcher(v)
     val sb = new java.lang.StringBuilder
     var last = 0
     var prevEnd = -1
@@ -168,71 +169,93 @@ object Emls {
     "charset\\s*=\\s*(\"([^\"]+)\"|([^;\\s]+))",
     java.util.regex.Pattern.CASE_INSENSITIVE)
 
-  /** Body text by MIME type: multipart recurses (plain beats html across
-    * the whole tree, per multipart/alternative's last-is-best ordering
-    * flipped to the extraction-stable first-plain rule), text/plain and
-    * text/html decode their transfer encoding, html strips tags. */
+  /** Body text by MIME type: the first NON-EMPTY text/plain part
+    * anywhere in the tree wins; failing that the first non-empty
+    * text/html (tag-stripped). Ranking must span the WHOLE tree, not
+    * return at the first nested hit — a multipart/mixed whose first
+    * part is multipart/related (html + images) followed by a sibling
+    * text/plain must still surface the plain body. Empty plain parts
+    * lose deliberately: mailers routinely pair an empty plain stub with
+    * a full html alternative. */
   private def bodyText(headers: Map[String, String], body: Array[Byte],
       depth: Int): String = {
-    if (depth > 8) return null
+    val (plain, html) = rankParts(headers, body, depth)
+    if (plain != null) plain else html
+  }
+
+  /** (first non-empty plain, first non-empty html) of a part subtree. */
+  private def rankParts(headers: Map[String, String], body: Array[Byte],
+      depth: Int): (String, String) = {
+    if (depth > 8) return (null, null)
     val ct = headers.getOrElse("content-type", "text/plain").trim
     val ctLower = ct.toLowerCase
     if (ctLower.startsWith("multipart/")) {
       val bm = BoundaryRe.matcher(ct)
-      if (!bm.find()) return null
+      if (!bm.find()) return (null, null)
       val boundary = Option(bm.group(2)).getOrElse(bm.group(3))
-      val parts = splitParts(body, boundary)
+      var plain: String = null
       var html: String = null
-      for (p <- parts) {
-        val (ph, pb) = splitMessage(p)
-        if (ph != null || p.nonEmpty) {
-          val phs = if (ph == null) Map.empty[String, String] else ph
-          val pct = phs.getOrElse("content-type", "text/plain")
-            .toLowerCase
-          if (pct.startsWith("multipart/")) {
-            val t = bodyText(phs, pb, depth + 1)
-            if (t != null) return t
-          } else if (pct.startsWith("text/plain")) {
-            val t = decodePart(phs, pb)
-            if (t != null) return t
-          } else if (pct.startsWith("text/html") && html == null) {
-            val t = decodePart(phs, pb)
-            if (t != null) html = Epubs.xhtmlText(t)
-          }
-        }
+      for (p <- splitParts(body, boundary) if plain == null) {
+        val (ph, pb) = splitPart(p)
+        val (cp, ch) = rankParts(ph, pb, depth + 1)
+        if (plain == null && cp != null) plain = cp
+        if (html == null && ch != null) html = ch
       }
-      html
+      (plain, html)
     } else if (ctLower.startsWith("text/html")) {
       val t = decodePart(headers, body)
-      if (t == null) null else Epubs.xhtmlText(t)
+      val stripped = if (t == null) null else Epubs.xhtmlText(t)
+      (null, if (stripped != null && stripped.nonEmpty) stripped else null)
     } else if (ctLower.startsWith("text/")) {
-      decodePart(headers, body)
-    } else null
+      val t = decodePart(headers, body)
+      (if (t != null && t.nonEmpty) t else null, null)
+    } else (null, null)
   }
 
-  /** Split a multipart body into its parts (between `--boundary` lines,
-    * ending at `--boundary--`). */
+  /** One multipart PART's (headers, body). Unlike the top-level message,
+    * a header-less part is LEGAL (RFC 2046 §5.1: a part may begin with
+    * the blank line, defaulting to text/plain US-ASCII) — its whole
+    * content is body, not garbage. */
+  private def splitPart(p: Array[Byte]): (Map[String, String], Array[Byte]) = {
+    if (p.length >= 1 && p(0) == '\n')
+      return (Map.empty, java.util.Arrays.copyOfRange(p, 1, p.length))
+    if (p.length >= 2 && p(0) == '\r' && p(1) == '\n')
+      return (Map.empty, java.util.Arrays.copyOfRange(p, 2, p.length))
+    val (h, b) = splitMessage(p)
+    if (h == null) (Map.empty, p) else (h, b)
+  }
+
+  /** Split a multipart body into its parts. RFC 2046 §5.1.1: a delimiter
+    * is `--boundary` at LINE START, the full token (only `--`, transport
+    * padding, and the line break may follow) — an unanchored substring
+    * search would also fire on a body line that merely CONTAINS the
+    * boundary string, or on a longer sibling boundary like
+    * `--boundary-extra`, truncating parts mid-line. */
   private def splitParts(body: Array[Byte], boundary: String)
       : Seq[Array[Byte]] = {
     val s = new String(body, "ISO-8859-1")
-    val marker = "--" + boundary
+    val re = java.util.regex.Pattern.compile(
+      "(?m)^--" + java.util.regex.Pattern.quote(boundary) +
+        "(--)?[ \\t]*\\r?(\\n|$)")
+    val m = re.matcher(s)
     val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    var at = s.indexOf(marker)
-    while (at >= 0) {
-      val lineEnd = s.indexOf('\n', at)
-      if (lineEnd < 0) return parts.toSeq
-      val tail = s.substring(at + marker.length,
-        math.min(s.length, at + marker.length + 2))
-      if (tail.startsWith("--")) return parts.toSeq
-      val next = s.indexOf(marker, lineEnd)
-      val end = if (next < 0) s.length else next
-      // strip the CRLF that belongs to the closing boundary line
-      var e = end
-      if (e > lineEnd + 1 && s.charAt(e - 1) == '\n') e -= 1
-      if (e > lineEnd + 1 && s.charAt(e - 1) == '\r') e -= 1
-      parts += java.util.Arrays.copyOfRange(body, lineEnd + 1, e)
-      at = next
+    var prevEnd = -1 // content start of the currently open part
+    var open = false
+    while (m.find()) {
+      if (open) {
+        // strip the CRLF that belongs to this boundary line
+        var e = m.start()
+        if (e > prevEnd && s.charAt(math.max(e - 1, 0)) == '\n') e -= 1
+        if (e > prevEnd && e > 0 && s.charAt(e - 1) == '\r') e -= 1
+        parts += java.util.Arrays.copyOfRange(body, prevEnd, math.max(e, prevEnd))
+      }
+      if (m.group(1) != null) return parts.toSeq // --boundary-- closes
+      open = true
+      prevEnd = m.end()
     }
+    // unterminated final part (no closing delimiter): keep its content
+    if (open && prevEnd <= s.length)
+      parts += java.util.Arrays.copyOfRange(body, prevEnd, s.length)
     parts.toSeq
   }
 

@@ -33,6 +33,14 @@ object Odts {
 
   private val Mime = "application/vnd.oasis.opendocument.text"
 
+  // hot-path patterns compiled once (these run per row at corpus scale,
+  // and the space-run pattern would otherwise recompile per element)
+  private val PRe = java.util.regex.Pattern.compile(
+    "<text:(p|h)\\b[^>]*(/>|>(.*?)</text:\\1>)",
+    java.util.regex.Pattern.DOTALL)
+  private val SRe = java.util.regex.Pattern.compile("<text:s\\b([^>]*)/>")
+  private val CRe = java.util.regex.Pattern.compile("text:c\\s*=\\s*\"(\\d+)\"")
+
   /** Body text of an ODT payload, or null when it isn't one. */
   def odtText(bytes: Array[Byte]): String = {
     try odtTextImpl(bytes)
@@ -61,10 +69,7 @@ object Odts {
     // <text:p>/<text:h> in document order; with note subtrees gone ODF
     // has no direct p-in-p nesting, so a non-greedy body match is exact.
     // Self-closing empty paragraphs contribute their newline.
-    val pRe = java.util.regex.Pattern.compile(
-      "<text:(p|h)\\b[^>]*(/>|>(.*?)</text:\\1>)",
-      java.util.regex.Pattern.DOTALL)
-    val m = pRe.matcher(xml)
+    val m = PRe.matcher(xml)
     var first = true
     while (m.find()) {
       if (!first) out.append('\n')
@@ -83,13 +88,11 @@ object Odts {
     s = s.replaceAll("<text:line-break\\s*/>", "\n")
     // <text:s text:c="N"/> = N spaces; bare <text:s/> = one
     val sb = new java.lang.StringBuilder
-    val sRe = java.util.regex.Pattern.compile("<text:s\\b([^>]*)/>")
-    val m = sRe.matcher(s)
+    val m = SRe.matcher(s)
     var last = 0
     while (m.find()) {
       sb.append(s, last, m.start())
-      val cm = java.util.regex.Pattern.compile("text:c\\s*=\\s*\"(\\d+)\"")
-        .matcher(m.group(1))
+      val cm = CRe.matcher(m.group(1))
       val n = if (cm.find()) math.min(cm.group(1).toInt, 1 << 20) else 1
       var k = 0
       while (k < n) { sb.append(' '); k += 1 }

@@ -90,13 +90,21 @@ object PdfCrypto {
   }
 
   /** Algorithm 2: the file encryption key from a (user) password. `n` =
-    * key length in bytes (R2 → 5, else /Length/8). */
+    * key length in bytes (R2 → 5, else /Length/8). R4 documents with
+    * `/EncryptMetadata false` (unencrypted XMP — common in the wild)
+    * append 0xFFFFFFFF to the MD5 input (ISO 32000 §7.6.3.3 step f);
+    * skipping it derives the wrong key and mis-quarantines an openable
+    * document. */
   def fileKey(userPwd: Array[Byte], o: Array[Byte], p: Int, id: Array[Byte],
-      r: Int, n: Int): Array[Byte] = {
+      r: Int, n: Int, encryptMetadata: Boolean = true): Array[Byte] = {
     val pLe = Array[Byte](
       (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
       ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
-    var h = md5(padPwd(userPwd), o, pLe, id)
+    val noMeta =
+      if (r >= 4 && !encryptMetadata)
+        Array[Byte](-1, -1, -1, -1)
+      else Array.emptyByteArray
+    var h = md5(padPwd(userPwd), o, pLe, id, noMeta)
     if (r >= 3) {
       var i = 0
       while (i < 50) { h = md5(h.take(n)); i += 1 }
@@ -277,7 +285,7 @@ object PdfCrypto {
     * the caller quarantines the document. */
   def openWithEmptyPassword(v: Int, r: Int, lengthBits: Int,
       o: Array[Byte], u: Array[Byte], p: Int, id: Array[Byte],
-      aes: Boolean): Handler = {
+      aes: Boolean, encryptMetadata: Boolean = true): Handler = {
     if (o == null || u == null || o.length < 32 || u.length < 32) return null
     val ok = (v, r) match {
       case (1, 2) | (2, 3) | (4, 4) => true
@@ -289,7 +297,7 @@ object PdfCrypto {
         return null
       lengthBits / 8
     }
-    val key = fileKey(Array.emptyByteArray, o, p, id, r, n)
+    val key = fileKey(Array.emptyByteArray, o, p, id, r, n, encryptMetadata)
     val uCheck = computeU(key, id, r)
     val cmpLen = if (r == 2) 32 else 16
     var i = 0

@@ -288,7 +288,8 @@ object Pdfs {
     if (v == 4 && !aes && !names.get("CFM").contains("V2")) return null
     PdfCrypto.openWithEmptyPassword(v, r, bits.toInt,
       strs.getOrElse("O", null), strs.getOrElse("U", null), p,
-      trailerId(trailer), aes)
+      trailerId(trailer), aes,
+      encryptMetadata = !names.get("EncryptMetadata").contains("false"))
   }
 
   /** First element of the trailer's /ID array (hex-string form — what
@@ -306,10 +307,14 @@ object Pdfs {
 
   /** Linear scan of one dictionary window (ISO-8859-1 chars == bytes):
     * number values, string values (literal with §7.3.4.2 escapes, or
-    * hex), and name values, keyed by the preceding name key. A linear
-    * walk CONSUMES string bodies, so binary /O /U bytes can never fake a
-    * token a regex lookup would trip on. Nested dicts flatten (their
-    * keys — /CFM — land in the same maps). Null on structural breaks. */
+    * hex), name values, and the booleans (as names), keyed by the
+    * preceding name key. A linear walk CONSUMES string bodies, so binary
+    * /O /U bytes can never fake a token a regex lookup would trip on.
+    * Nested dicts flatten (their keys — /CFM — land in the same maps)
+    * but the SHALLOWEST depth wins per key: a crypt-filter's
+    * `/Length 16` (bytes) must never overwrite the top-level
+    * `/Length 128` (bits) just because the writer emitted /CF after it.
+    * Null on structural breaks. */
   private def scanDict(s: String): (Map[String, Long],
       Map[String, Array[Byte]], Map[String, String]) = {
     val start = s.indexOf("<<")
@@ -317,8 +322,14 @@ object Pdfs {
     val nums = scala.collection.mutable.HashMap[String, Long]()
     val strs = scala.collection.mutable.HashMap[String, Array[Byte]]()
     val names = scala.collection.mutable.HashMap[String, String]()
+    val depthOf = scala.collection.mutable.HashMap[String, Int]()
     var i = start + 2
     var depth = 1
+    def wins(key: String): Boolean = {
+      val keep = depthOf.get(key).forall(depth < _)
+      if (keep) depthOf(key) = depth
+      keep
+    }
     def ws(c: Char) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     while (i < s.length && depth > 0) {
       val c = s(i)
@@ -335,12 +346,12 @@ object Pdfs {
           case '/' =>
             var m = k + 1
             while (m < s.length && (s(m).isLetterOrDigit || s(m) == '.')) m += 1
-            names(key) = s.substring(k + 1, m)
+            if (wins(key)) names(key) = s.substring(k + 1, m)
             i = m
           case '(' =>
             val r = parseLiteralBytes(s, k)
             if (r == null) return null
-            strs(key) = r._1
+            if (wins(key)) strs(key) = r._1
             i = r._2
           case '<' if k + 1 < s.length && s(k + 1) != '<' =>
             val e = s.indexOf('>', k + 1)
@@ -349,7 +360,7 @@ object Pdfs {
             if (hex.isEmpty || hex.length % 2 != 0 ||
               !hex.forall(h => h.isDigit || (h >= 'a' && h <= 'f') ||
                 (h >= 'A' && h <= 'F'))) return null
-            strs(key) = hex.grouped(2)
+            if (wins(key)) strs(key) = hex.grouped(2)
               .map(Integer.parseInt(_, 16).toByte).toArray
             i = e + 1
           case d if d == '-' || d.isDigit =>
@@ -357,10 +368,16 @@ object Pdfs {
             val ds = m
             while (m < s.length && s(m).isDigit) m += 1
             if (m == ds || m - ds > 18) return null
-            nums(key) = s.substring(k, m).toLong
+            if (wins(key)) nums(key) = s.substring(k, m).toLong
             i = m
+          case 't' if s.startsWith("true", k) =>
+            if (wins(key)) names(key) = "true"
+            i = k + 4
+          case 'f' if s.startsWith("false", k) =>
+            if (wins(key)) names(key) = "false"
+            i = k + 5
           case _ =>
-            i = k // '<<' (nested dict), '[', booleans: structure handles it
+            i = k // '<<' (nested dict), '[': structure handles it
         }
       }
       else i += 1
@@ -794,11 +811,20 @@ object Pdfs {
     if (len < 0 || ds + len > b.length) return null
     val enc = java.util.Arrays.copyOfRange(b, ds, ds + len.toInt)
     // encryption wraps the COMPRESSED bytes (applied last on write), so
-    // decrypt before inflating; gen 0 — the only generation either our
-    // builders or post-2000 writers emit (this xref drops generations)
+    // decrypt before inflating. The per-object key mixes the GENERATION
+    // (Algorithm 1) — read it from the object header itself ("num gen
+    // obj"), because this xref drops generations: an incrementally
+    // updated object at gen>0 decrypted with gen 0 would hand garbage
+    // downstream on the raw (non-flate) path, where no inflate step
+    // exists to catch the wrong key.
     val raw =
       if (xref.crypto == null) enc
-      else xref.crypto.decrypt(num, 0, enc)
+      else {
+        val gm = java.util.regex.Pattern
+          .compile("^\\s*\\d+\\s+(\\d{1,5})\\s+obj").matcher(w)
+        val gen = if (gm.find()) gm.group(1).toInt else 0
+        xref.crypto.decrypt(num, gen, enc)
+      }
     if (raw == null) return null
     // 64 MiB bound: a page content stream past this size is hostile or
     // broken either way — null-route, never OOM
@@ -1136,7 +1162,8 @@ object Pdfs {
     * a non-empty one builds the password-protected arm extractors must
     * QUARANTINE (null), never misdecrypt. */
   def buildPdfEncrypted(pages: Seq[String], flate: Boolean, mode: String,
-      userPwd: String = "", literalOU: Boolean = false): Array[Byte] = {
+      userPwd: String = "", literalOU: Boolean = false,
+      encryptMetadata: Boolean = true): Array[Byte] = {
     require(pages.nonEmpty)
     val (v, r, bits, aes) = mode match {
       case "rc4-40" => (1, 2, 40, false)
@@ -1158,7 +1185,7 @@ object Pdfs {
       if (v < 5) {
         val n = if (r == 2) 5 else bits / 8
         val o0 = PdfCrypto.computeO(ownerPwd, pwd, r, n)
-        val k0 = PdfCrypto.fileKey(pwd, o0, perm, id, r, n)
+        val k0 = PdfCrypto.fileKey(pwd, o0, perm, id, r, n, encryptMetadata)
         (o0, PdfCrypto.computeU(k0, id, r),
           null: Array[Byte], null: Array[Byte], k0)
       } else {
@@ -1207,8 +1234,11 @@ object Pdfs {
     offsets(encNum) = out.size()
     val cf =
       if (v == 4)
-        " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>" +
-          " /StmF /StdCF /StrF /StdCF"
+        // the crypt-filter /Length 16 is BYTES (real writers emit it) —
+        // a flattening dict scan that lets it shadow the top-level
+        // /Length 128 (bits) mis-rejects the document
+        " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >>" +
+          " >> /StmF /StdCF /StrF /StdCF"
       else if (v == 5)
         " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>" +
           " /StmF /StdCF /StrF /StdCF"
@@ -1245,8 +1275,10 @@ object Pdfs {
           new javax.crypto.spec.SecretKeySpec(key, "AES"))
         s" /OE ${str(oe)} /UE ${str(ue)} /Perms <${hex(c.doFinal(pb))}>"
       }
+    val emEntry =
+      if (encryptMetadata) "" else " /EncryptMetadata false"
     w(s"$encNum 0 obj\n<< /Filter /Standard /V $v /R $r$lenEntry$cf" +
-      s" /P $perm /O ${str(o)} /U ${str(u)}$v5Entries >>\nendobj\n")
+      s"$emEntry /P $perm /O ${str(o)} /U ${str(u)}$v5Entries >>\nendobj\n")
     val xrefAt = out.size()
     w(s"xref\n0 ${nObj + 1}\n")
     w("0000000000 65535 f \n")

@@ -107,30 +107,11 @@ object Warc {
   private def ascii(b: Array[Byte], from: Int, to: Int): String =
     new String(b, from, to - from, java.nio.charset.StandardCharsets.US_ASCII)
 
-  private def gunzip(b: Array[Byte]): Array[Byte] = {
-    // close() releases the native Inflater immediately — relying on GC
-    // here turns a per-row decompress into native-memory pressure and a
-    // superlinear wall-time curve at scale (measured: 14× at 10× docs).
-    // The constructor itself reads (and can throw on) the member header,
-    // so it sits inside the try; `in` may thus be null in the finally.
-    var in: java.util.zip.GZIPInputStream = null
-    try {
-      in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      var n = in.read(buf)
-      while (n > 0) {
-        total += n
-        if (total > (1L << 28)) return null // bound before trusting lengths
-        out.write(buf, 0, n)
-        n = in.read(buf)
-      }
-      out.toByteArray
-    } catch { case _: java.io.IOException => null }
-    finally if (in != null) in.close()
-  }
+  // bounded whole-payload gunzip shared with the TAR walker — one
+  // implementation to keep the 256 MiB bound and the explicit
+  // Inflater-release discipline (GC-relied native state measured 14× at
+  // 10× docs) in a single place
+  private def gunzip(b: Array[Byte]): Array[Byte] = Archives.gunzip(b)
 
   // ----------------------------------------------------------- CDX index
 

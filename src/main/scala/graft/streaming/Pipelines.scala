@@ -602,25 +602,36 @@ object Pipelines {
           .stripMargin))
       // the x237 shape: shared-string indices resolved from the string
       // table, inline and numeric cells in place; tabs between cells,
-      // newlines between rows
+      // newlines between rows — over EVERY sheet member (a multi-sheet
+      // workbook must not silently drop sheets 2..n), sheets in numeric
+      // order joined by newline
       .withColumn("sst", expr(
         """regexp_extract_all(cast(filter(ies,
           |  e -> e.name = 'xl/sharedStrings.xml')[0].payload AS STRING),
           |  '<t[^>]*>([^<]*)</t>', 1)""".stripMargin))
       .withColumn("xlsx_text", expr(
-        """array_join(transform(
-          |  regexp_extract_all(cast(filter(ies,
-          |    e -> e.name = 'xl/worksheets/sheet1.xml')[0].payload AS STRING),
-          |    '<row[^>]*>(.*?)</row>', 1),
-          |  r -> array_join(
-          |    transform(regexp_extract_all(r, '<c [^>]*>.*?</c>', 0), c ->
-          |      CASE WHEN c LIKE '%t="s"%' THEN
-          |        element_at(sst, cast(regexp_extract(c, '<v>(\\d+)</v>', 1)
-          |                             AS INT) + 1)
-          |      WHEN c LIKE '%t="inlineStr"%' THEN
-          |        regexp_extract(c, '<t[^>]*>([^<]*)</t>', 1)
-          |      ELSE regexp_extract(c, '<v>([^<]*)</v>', 1) END),
-          |    '\t')), '\n')""".stripMargin))
+        """CASE WHEN size(filter(ies,
+          |    e -> e.name LIKE 'xl/worksheets/sheet%.xml')) <= 0
+          |  THEN NULL ELSE
+          |array_join(transform(
+          |  array_sort(
+          |    transform(filter(ies,
+          |        e -> e.name LIKE 'xl/worksheets/sheet%.xml'),
+          |      e -> struct(
+          |        cast(regexp_extract(e.name, 'sheet(\\d+)\\.xml', 1)
+          |             AS INT) AS n,
+          |        cast(e.payload AS STRING) AS xml))),
+          |  sh -> array_join(transform(
+          |    regexp_extract_all(sh.xml, '<row[^>]*>(.*?)</row>', 1),
+          |    r -> array_join(
+          |      transform(regexp_extract_all(r, '<c [^>]*>.*?</c>', 0), c ->
+          |        CASE WHEN c LIKE '%t="s"%' THEN
+          |          element_at(sst, cast(regexp_extract(c, '<v>(\\d+)</v>', 1)
+          |                               AS INT) + 1)
+          |        WHEN c LIKE '%t="inlineStr"%' THEN
+          |          regexp_extract(c, '<t[^>]*>([^<]*)</t>', 1)
+          |        ELSE regexp_extract(c, '<v>([^<]*)</v>', 1) END),
+          |      '\t')), '\n')), '\n') END""".stripMargin))
       // the x238 shape: runs concatenate within a paragraph, paragraphs
       // and slides join by newline
       .withColumn("pptx_text", expr(

@@ -40,9 +40,15 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
       """<c r="C1" t="inlineStr"><is><t>inline one</t></is></c></row>""" +
       """<row r="2"><c r="A2" t="s"><v>0</v></c></row>""" +
       "</sheetData></worksheet>"
+    // a second sheet: multi-sheet workbooks must not silently drop it
+    val sheet2 = "<worksheet><sheetData>" +
+      """<row r="1"><c r="A1"><v>99</v></c></row>""" +
+      "</sheetData></worksheet>"
     Archives.buildZip(Seq(
       ("[Content_Types].xml", "<Types/>".getBytes, true),
       ("xl/sharedStrings.xml", sst.getBytes, true),
+      // stored out of order: extraction must sort sheets numerically
+      ("xl/worksheets/sheet2.xml", sheet2.getBytes, true),
       ("xl/worksheets/sheet1.xml", sheet.getBytes, true)))
   }
 
@@ -154,9 +160,10 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("bad/corrupt.txt").contains("|corrupt|-|-|false"))
     assert(find("t.txt").contains("|txt|tar text member|15|true"))
     assert(find("p.pdf").contains("tar pdf page"))
-    // shared-string resolution, tabs between cells, newline between rows
+    // shared-string resolution, tabs between cells, newline between rows,
+    // sheets joined in NUMERIC order regardless of archive order
     assert(find("sheet.xlsx").contains(
-      "|xlsx|beta cell\t42\tinline one\nalpha cell|"))
+      "|xlsx|beta cell\t42\tinline one\nalpha cell\n99|"))
     assert(find("sheet.xlsx").endsWith("true"))
     // runs concatenate within a paragraph; paragraphs and slides newline
     assert(find("deck.pptx").contains(

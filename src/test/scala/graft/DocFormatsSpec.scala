@@ -179,6 +179,55 @@ class DocFormatsSpec extends AnyFunSuite {
     assert(r._4 == "body")
   }
 
+  test("eml plain beats a nested multipart's html even when html nests first") {
+    // multipart/mixed: [multipart/related(html only), text/plain] — the
+    // plain SIBLING must win over the html resolved inside the nested part
+    val bnd = "outer42"
+    val inner = "inner42"
+    val raw = ("Subject: s\r\nFrom: a@b.c\r\n" +
+      s"""Content-Type: multipart/mixed; boundary="$bnd"\r\n\r\n""" +
+      s"--$bnd\r\n" +
+      s"""Content-Type: multipart/related; boundary="$inner"\r\n\r\n""" +
+      s"--$inner\r\n" +
+      "Content-Type: text/html\r\n\r\n<p>html wins?</p>\r\n" +
+      s"--$inner--\r\n" +
+      s"--$bnd\r\n" +
+      "Content-Type: text/plain\r\n\r\nplain wins\r\n" +
+      s"--$bnd--\r\n").getBytes("ISO-8859-1")
+    assert(Emls.emlParse(raw)._4 == "plain wins")
+  }
+
+  test("eml header-less part keeps its body; empty plain loses to html") {
+    // RFC 2046 §5.1: a part may start with the blank line (defaults to
+    // text/plain); its content is body, not garbage
+    val bnd = "b7"
+    val headerless = ("Subject: s\r\nFrom: a@b.c\r\n" +
+      s"""Content-Type: multipart/mixed; boundary="$bnd"\r\n\r\n""" +
+      s"--$bnd\r\n\r\nbare body line\r\n" +
+      s"--$bnd--\r\n").getBytes("ISO-8859-1")
+    assert(Emls.emlParse(headerless)._4 == "bare body line")
+    // the empty-plain-stub + html pattern mailers emit: html must win
+    val emptyPlain = ("Subject: s\r\nFrom: a@b.c\r\n" +
+      s"""Content-Type: multipart/alternative; boundary="$bnd"\r\n\r\n""" +
+      s"--$bnd\r\nContent-Type: text/plain\r\n\r\n\r\n" +
+      s"--$bnd\r\nContent-Type: text/html\r\n\r\n<p>rich body</p>\r\n" +
+      s"--$bnd--\r\n").getBytes("ISO-8859-1")
+    assert(Emls.emlParse(emptyPlain)._4 == "rich body")
+  }
+
+  test("eml boundaries only match whole delimiter lines") {
+    val bnd = "bx"
+    // '--bx' mid-line and a LONGER sibling '--bxtra' at line start must
+    // not split the part (RFC 2046 §5.1.1 delimiter anchoring)
+    val raw = ("Subject: s\r\nFrom: a@b.c\r\n" +
+      s"""Content-Type: multipart/mixed; boundary="$bnd"\r\n\r\n""" +
+      s"--$bnd\r\nContent-Type: text/plain\r\n\r\n" +
+      "see --bx mid-line\r\n--bxtra\r\nstill one part\r\n" +
+      s"--$bnd--\r\n").getBytes("ISO-8859-1")
+    assert(Emls.emlParse(raw)._4 ==
+      "see --bx mid-line\n--bxtra\nstill one part")
+  }
+
   test("eml quarantines headerless payloads, survives truncation") {
     assert(Emls.emlParse("no colon lines here\njust text".getBytes) == null)
     assert(Emls.emlParse(Array[Byte]()) == null)

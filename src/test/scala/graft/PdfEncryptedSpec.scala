@@ -50,6 +50,22 @@ class PdfEncryptedSpec extends AnyFunSuite {
     }
   }
 
+  test("/EncryptMetadata false (R4) derives with the 0xFFFFFFFF suffix") {
+    // the unencrypted-XMP form common in the wild: Algorithm 2 appends
+    // 0xFFFFFFFF to the MD5 input (§7.6.3.3 step f) — skipping it derives
+    // the wrong key and mis-quarantines an openable document
+    val enc = Pdfs.pdfText(Pdfs.buildPdfEncrypted(pages, flate = true,
+      "aes-128", encryptMetadata = false))
+    val plain = Pdfs.pdfText(Pdfs.buildPdfWithText(pages, flate = true))
+    assert(enc != null, "EncryptMetadata=false doc quarantined")
+    assert(enc.toSeq == plain.toSeq)
+    // and R2/R3 ignore the flag entirely (it is an R4 input)
+    val r3 = Pdfs.pdfText(Pdfs.buildPdfEncrypted(pages, flate = false,
+      "rc4-128", encryptMetadata = false))
+    assert(r3 != null && r3.toSeq == Pdfs.pdfText(
+      Pdfs.buildPdfWithText(pages, flate = false)).toSeq)
+  }
+
   test("a real user password quarantines the whole document") {
     for (mode <- modes) {
       val b = Pdfs.buildPdfEncrypted(pages, flate = false, mode,
