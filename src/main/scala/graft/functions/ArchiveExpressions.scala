@@ -493,6 +493,49 @@ object Archives {
   }
 }
 
+/** `gunzip_bytes(binary)` → the decompressed member bytes (bounded at
+  * 256 MiB); null when the payload is not gzip or the stream breaks —
+  * the single-file `.txt.gz` / `.jsonl.gz` form corpora ship in. */
+case class GunzipBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gunzip_bytes expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val b = payload.asInstanceOf[Array[Byte]]
+    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) null
+    else Archives.gunzip(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gunzipBytes", this,
+      classOf[GunzipBytes].getName)
+    val r = ctx.freshName("gz")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (byte[]) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GunzipBytes =
+    copy(child = newChild)
+
+  override def prettyName: String = "gunzip_bytes"
+}
+
+object GunzipBytes {
+  def gunzipBytes(media: Column): Column =
+    GraftColumnShim.column(GunzipBytes(GraftColumnShim.expression(media)))
+}
+
 /** `zip_entries(binary)` → `array<struct<name string, method int,
   * usize bigint, crc_ok boolean, payload binary>>` via the central
   * directory, payloads decompressed and CRC-verified; null when no

@@ -153,6 +153,8 @@ object ChunkFunctions {
       es => RtfText(es.head), "built-in")
     reg.createOrReplaceTempFunction("eml_parse",
       es => EmlParse(es.head), "built-in")
+    reg.createOrReplaceTempFunction("gunzip_bytes",
+      es => GunzipBytes(es.head), "built-in")
   }
 }
 
@@ -286,6 +288,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("eml_parse"),
       new ExpressionInfo(classOf[EmlParse].getName, "eml_parse"),
       es => EmlParse(es.head)))
+    e.injectFunction((FunctionIdentifier("gunzip_bytes"),
+      new ExpressionInfo(classOf[GunzipBytes].getName, "gunzip_bytes"),
+      es => GunzipBytes(es.head)))
     // bloom_bits(hs, m): aggregate the array<bigint> bucket positions of
     // each row into an m-bit Bloom set (m from a foldable int literal)
     e.injectFunction((FunctionIdentifier("bloom_bits"),

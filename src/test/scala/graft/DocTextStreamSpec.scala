@@ -32,7 +32,18 @@ class DocTextStreamSpec extends AnyFunSuite {
     ("mail.eml", Emls.buildEml("s", "a@b.c", "d", "eml body",
       encoding = "base64", htmlAlt = true)),
     ("broken.odt", Odts.buildOdt(Seq("will tear")).dropRight(12)),
-    ("blob.bin", Array.tabulate[Byte](32)(_.toByte)))
+    ("blob.bin", Array.tabulate[Byte](32)(_.toByte)),
+    // single-file gzip: unwraps in place and re-dispatches on the
+    // inner extension; a torn stream keeps a dead-letter row
+    ("notes.txt.gz", gz("gz text body".getBytes)),
+    ("torn.txt.gz", gz("will break".getBytes).dropRight(5)))
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
 
   private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.select("path", "kind", "text", "ok").collect()
@@ -73,15 +84,22 @@ class DocTextStreamSpec extends AnyFunSuite {
     // dead letters: broken inner format and unknown extension keep rows
     assert(find("broken.odt") == "broken.odt|odt|-|false")
     assert(find("blob.bin") == "blob.bin|other|-|false")
+    // single-file gzip unwraps and re-dispatches (the path keeps its
+    // .gz, the member name drops it); torn gzip dead-letters
+    assert(find("notes.txt.gz") == "notes.txt.gz|txt|gz text body|true")
+    assert(find("torn.txt.gz") == "torn.txt.gz|corrupt|-|false")
 
-    // the SAME payloads zipped extract to the same text member-wise
+    // the SAME payloads zipped extract to the same text member-wise —
+    // compared on the MEMBER name, which both sides normalize (a .gz
+    // member drops its suffix on unwrap; the file path keeps it)
     val zdir = Files.createTempDirectory("doc_text_zip").toFile
     Files.write(new java.io.File(zdir, "all.zip").toPath,
       Archives.buildZip(payloads.map { case (n, b) => (n, b, true) }))
-    val inArchive = rowSet(Pipelines.archiveText(load(zdir))
-      .withColumnRenamed("member", "path0")
-      .selectExpr("path0 AS path", "kind", "text", "ok"))
-    assert(inArchive == streamed,
+    def memberSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      rowSet(df.selectExpr("member AS path", "kind", "text", "ok"))
+    val inArchive = memberSet(Pipelines.archiveText(load(zdir)))
+    val bare = memberSet(Pipelines.docText(load(dir)))
+    assert(inArchive == bare,
       "bare-file and in-archive extraction drifted")
   }
 }
