@@ -155,6 +155,10 @@ object ChunkFunctions {
       es => EmlParse(es.head), "built-in")
     reg.createOrReplaceTempFunction("gunzip_bytes",
       es => GunzipBytes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ods_text",
+      es => OdsText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("odp_slides",
+      es => OdpSlides(es.head), "built-in")
   }
 }
 
@@ -291,6 +295,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("gunzip_bytes"),
       new ExpressionInfo(classOf[GunzipBytes].getName, "gunzip_bytes"),
       es => GunzipBytes(es.head)))
+    e.injectFunction((FunctionIdentifier("ods_text"),
+      new ExpressionInfo(classOf[OdsText].getName, "ods_text"),
+      es => OdsText(es.head)))
+    e.injectFunction((FunctionIdentifier("odp_slides"),
+      new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
+      es => OdpSlides(es.head)))
     // bloom_bits(hs, m): aggregate the array<bigint> bucket positions of
     // each row into an m-bit Bloom set (m from a foldable int literal)
     e.injectFunction((FunctionIdentifier("bloom_bits"),

@@ -5267,6 +5267,99 @@ object Dataflow {
         .orderBy("media_id", "member")
   }
 
+  /** x246: ODS TEXT EXTRACTION — the spreadsheet completes the
+    * OpenDocument half of the office matrix (ODT=x241 / ODS / ODP=x247
+    * mirroring DOCX/XLSX/PPTX): `content.xml` carries
+    * `<table:table-row>` rows of `<table:table-cell>` cells whose text
+    * lives in nested `<text:p>` paragraphs with the SAME element-encoded
+    * whitespace as ODT (the 2+-space runs in the fixtures force
+    * `<text:s text:c>` round-trips inside cells). Cells join by tab,
+    * rows by newline — the XLSX rule in ODF dress. Every 17th doc ships
+    * a torn container and must quarantine. Oracle recomputes the
+    * construction. Straight per-row scan at 100 TB. */
+  val x246 = DQ("x246_ods_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS nr,
+      |           doc_id % 17 = 0 AS q FROM documents),
+      |r AS (SELECT doc_id, q, u.r AS r FROM d,
+      |    unnest(generate_series(0, nr - 1)) AS u(r)),
+      |t AS (SELECT doc_id, q, string_agg(
+      |    'a' || CAST(r AS VARCHAR) || ' <&> ' || CAST(doc_id AS VARCHAR)
+      |    || chr(9) || 'b' || CAST(r AS VARCHAR) || '  wide' || chr(9)
+      |    || 'c' || CAST(r AS VARCHAR) || ' of ' || CAST(doc_id AS VARCHAR),
+      |    chr(10) ORDER BY r) AS text
+      |  FROM r GROUP BY doc_id, q)
+      |SELECT doc_id AS media_id, q AS quarantined,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM t ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Odts, OdsText}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nr = (id % 2 + 1).toInt
+          val rows = (0 until nr).map(r =>
+            Seq(s"a$r <&> $id", s"b$r  wide", s"c$r of $id"))
+          val ods = Odts.buildOds(rows)
+          (id, if (id % 17 == 0) ods.dropRight(12) else ods)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("text", OdsText.odsText(col("media")))
+        .select(col("media_id"), col("text").isNull.as("quarantined"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
+  /** x247: ODP TEXT EXTRACTION — the presentation half: one
+    * `<draw:page>` per slide in deck order (the x238 page model),
+    * paragraphs newline-joined inside a page, and a planted
+    * `<presentation:notes>` decoy per slide that must NOT surface
+    * (presenter notes are not slide text — the ODT footnote rule).
+    * Every 19th doc ships a torn container → one quarantine row.
+    * Oracle recomputes the construction. Straight per-row scan. */
+  val x247 = DQ("x247_odp_text", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS ns,
+      |           doc_id % 19 = 0 AS q FROM documents),
+      |s AS (SELECT doc_id, u.s AS slide FROM d,
+      |      unnest(generate_series(1, ns)) AS u(s) WHERE NOT q),
+      |e AS (SELECT doc_id, slide,
+      |    'title ' || CAST(slide AS VARCHAR) || ' of '
+      |    || CAST(doc_id AS VARCHAR) || chr(10) || 'body '
+      |    || CAST(slide AS VARCHAR) || ' & ' || CAST(doc_id AS VARCHAR)
+      |  AS text FROM s)
+      |SELECT media_id, slide, text_md5, n_chars FROM (
+      |  SELECT doc_id AS media_id, CAST(slide AS INT) AS slide,
+      |    md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL FROM d WHERE q)
+      |ORDER BY media_id, slide""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Odts, OdpSlides}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val ns = (id % 3 + 1).toInt
+          val slides = (1 to ns).map(s =>
+            Seq(s"title $s of $id", s"body $s & $id"))
+          val odp = Odts.buildOdp(slides)
+          (id, if (id % 19 == 0) odp.dropRight(12) else odp)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("ss", OdpSlides.odpSlides(col("media")))
+        .select(col("media_id"),
+          posexplode_outer(col("ss")).as(Seq("p0", "text")))
+        .select(col("media_id"),
+          when(col("text").isNotNull, col("p0") + 1).cast("int").as("slide"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id", "slide")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5274,5 +5367,5 @@ object Dataflow {
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
-    x241, x242, x243, x244, x245)
+    x241, x242, x243, x244, x245, x246, x247)
 }

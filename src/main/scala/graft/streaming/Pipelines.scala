@@ -599,6 +599,8 @@ object Pipelines {
           |     WHEN m.name LIKE '%.xlsx' THEN 'xlsx'
           |     WHEN m.name LIKE '%.pptx' THEN 'pptx'
           |     WHEN m.name LIKE '%.odt' THEN 'odt'
+          |     WHEN m.name LIKE '%.ods' THEN 'ods'
+          |     WHEN m.name LIKE '%.odp' THEN 'odp'
           |     WHEN m.name LIKE '%.epub' THEN 'epub'
           |     WHEN m.name LIKE '%.rtf' THEN 'rtf'
           |     WHEN m.name LIKE '%.eml' THEN 'eml'
@@ -659,6 +661,12 @@ object Pipelines {
       .withColumn("odt_text",
         when(col("kind") === "odt",
           graft.functions.OdtText.odtText(col("m.payload"))))
+      .withColumn("ods_text",
+        when(col("kind") === "ods",
+          graft.functions.OdsText.odsText(col("m.payload"))))
+      .withColumn("odp_text",
+        when(col("kind") === "odp", array_join(
+          graft.functions.OdpSlides.odpSlides(col("m.payload")), "\n")))
       .withColumn("epub_chs",
         when(col("kind") === "epub",
           graft.functions.EpubChapters.epubChapters(col("m.payload"))))
@@ -681,6 +689,8 @@ object Pipelines {
           |     WHEN kind = 'xlsx' THEN xlsx_text
           |     WHEN kind = 'pptx' THEN pptx_text
           |     WHEN kind = 'odt' THEN odt_text
+          |     WHEN kind = 'ods' THEN ods_text
+          |     WHEN kind = 'odp' THEN odp_text
           |     WHEN kind = 'epub' THEN epub_text
           |     WHEN kind = 'rtf' THEN rtf_text
           |     WHEN kind = 'eml' THEN eml.text
@@ -688,8 +698,8 @@ object Pipelines {
       .select(col("path"), col("m.name").as("member"), col("kind"),
         col("text"), length(col("text")).cast("long").as("n_chars"),
         (col("text").isNotNull && col("kind").isin(
-          "txt", "pdf", "docx", "xlsx", "pptx", "odt", "epub", "rtf",
-          "eml")).as("ok"))
+          "txt", "pdf", "docx", "xlsx", "pptx", "odt", "ods", "odp",
+          "epub", "rtf", "eml")).as("ok"))
   }
 
   /** Continuous archive ingest over a directory watch — the streaming

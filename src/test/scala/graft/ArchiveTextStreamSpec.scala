@@ -89,6 +89,10 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
       ("deck.pptx", "0", pptx()),
       ("doc.odt", "0", graft.functions.Odts.buildOdt(
         Seq("odt c1\tc2  wide", "odt & fin"))),
+      ("sheet.ods", "0", graft.functions.Odts.buildOds(
+        Seq(Seq("ods a", "ods  b"), Seq("ods c")))),
+      ("deck.odp", "0", graft.functions.Odts.buildOdp(
+        Seq(Seq("odp t1", "odp b1"), Seq("odp t2")))),
       ("book.epub", "0", graft.functions.Epubs.buildEpub(
         Seq(("ch1.xhtml", "epub one"), ("ch2.xhtml", "epub two")))),
       ("note.rtf", "0", graft.functions.Rtfs.buildRtf(
@@ -174,6 +178,10 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("doc.odt").contains(
       "|odt|odt c1\tc2  wide\nodt & fin|"))
     assert(find("doc.odt").endsWith("true"))
+    assert(find("sheet.ods").contains("|ods|ods a\tods  b\nods c|"))
+    assert(find("sheet.ods").endsWith("true"))
+    assert(find("deck.odp").contains("|odp|odp t1\nodp b1\nodp t2|"))
+    assert(find("deck.odp").endsWith("true"))
     assert(find("book.epub").contains("|epub|epub one\nepub two|"))
     assert(find("book.epub").endsWith("true"))
     assert(find("note.rtf").contains("|rtf|rtf {body} — end|"))

@@ -49,6 +49,29 @@ class DocFormatsSpec extends AnyFunSuite {
     assert(Odts.odtText(Odts.buildOdt(Seq("a", "", "b"))) == "a\n\nb")
   }
 
+  test("ods round-trips cells (tabs between, rows by newline, ws elements)") {
+    val rows = Seq(
+      Seq("a0 <&> 7", "b0  wide", "c0\tof 7"),
+      Seq("single"))
+    val got = Odts.odsText(Odts.buildOds(rows))
+    assert(got == "a0 <&> 7\tb0  wide\tc0\tof 7\nsingle")
+  }
+
+  test("ods rejects an ODT mimetype; torn zip quarantines") {
+    assert(Odts.odsText(Odts.buildOdt(Seq("not a sheet"))) == null)
+    assert(Odts.odsText(Odts.buildOds(Seq(Seq("x"))).dropRight(12)) == null)
+    // and the sibling direction: odt_text refuses a spreadsheet
+    assert(Odts.odtText(Odts.buildOds(Seq(Seq("x")))) == null)
+  }
+
+  test("odp extracts per-page text, dropping presenter notes") {
+    val got = Odts.odpSlides(Odts.buildOdp(Seq(
+      Seq("title 1", "body 1 & x"), Seq("title 2"))))
+    assert(got.toSeq == Seq("title 1\nbody 1 & x", "title 2"))
+    assert(!got.exists(_.contains("not slide text")))
+    assert(Odts.odpSlides(Odts.buildOdp(Seq(Seq("x"))).dropRight(12)) == null)
+  }
+
   // ---- EPUB ----
 
   test("epub extracts chapters in spine order, skipping the decoy") {

@@ -44,6 +44,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("zip_entries", b => graft.functions.Archives.zipEntries(b)),
     ("tar_entries", b => graft.functions.Archives.tarEntries(b)),
     ("odt_text", b => graft.functions.Odts.odtText(b)),
+    ("ods_text", b => graft.functions.Odts.odsText(b)),
+    ("odp_slides", b => graft.functions.Odts.odpSlides(b)),
     ("epub_chapters", b => graft.functions.Epubs.epubChapters(b)),
     ("rtf_text", b => graft.functions.Rtfs.rtfText(b)),
     ("eml_parse", b => graft.functions.Emls.emlParse(b)))
@@ -167,6 +169,8 @@ class MediaFuzzSpec extends AnyFunSuite {
         ("plain.txt", "0", Array.tabulate[Byte](600)(i => (i % 71).toByte))))
     },
     graft.functions.Odts.buildOdt(Seq("a  b\tc", "d & <e>\nf")),
+    graft.functions.Odts.buildOds(Seq(Seq("a  b", "c\td"), Seq("e & f"))),
+    graft.functions.Odts.buildOdp(Seq(Seq("t1", "b1"), Seq("t2"))),
     graft.functions.Epubs.buildEpub(Seq(
       ("ch1.xhtml", "hello & <t>\nworld"), ("ch2.xhtml", "tail"))),
     graft.functions.Rtfs.buildRtf(
