@@ -157,6 +157,8 @@ object ChunkFunctions {
       es => GunzipBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction("ods_text",
       es => OdsText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bunzip_bytes",
+      es => BunzipBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction("odp_slides",
       es => OdpSlides(es.head), "built-in")
   }
@@ -298,6 +300,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("ods_text"),
       new ExpressionInfo(classOf[OdsText].getName, "ods_text"),
       es => OdsText(es.head)))
+    e.injectFunction((FunctionIdentifier("bunzip_bytes"),
+      new ExpressionInfo(classOf[BunzipBytes].getName, "bunzip_bytes"),
+      es => BunzipBytes(es.head)))
     e.injectFunction((FunctionIdentifier("odp_slides"),
       new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
       es => OdpSlides(es.head)))

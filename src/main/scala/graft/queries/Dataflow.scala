@@ -5360,6 +5360,46 @@ object Dataflow {
         .orderBy("media_id", "slide")
   }
 
+  /** x248: BZIP2 DECODE — the compression the largest public text
+    * corpora actually wear (Wikipedia dumps ship as
+    * `pages-articles.xml.bz2`), built from scratch because the JDK has
+    * no bzip2: per-block Huffman groups switched by MTF-coded selectors
+    * → RLE2+MTF → inverse Burrows-Wheeler → RLE1, CRC-32-checked per
+    * block and per stream ([[graft.functions.Bzip2]]; Bzip2Spec proves
+    * TRUE interop against the system bzip2 in both directions). Each
+    * document's REAL text round-trips; every 13th doc ships a truncated
+    * stream (no footer — the mid-transfer corpus reality) and must
+    * quarantine — wrong bytes never flow downstream. (A byte FLIP is
+    * deliberately not the arm here: the subset encoder's two identical
+    * Huffman groups make selector bits semantically dead, so a flip can
+    * decode cleanly; Bzip2Spec pins flip-corruption on payload bytes.)
+    * Straight per-row scan at 100 TB; at cluster scale one `.bz2`
+    * member decodes per task exactly like the gzip arm. */
+  val x248 = DQ("x248_bz2_roundtrip", Some(
+    """SELECT doc_id AS media_id, doc_id % 13 = 0 AS quarantined,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE length(text) END
+      |       AS BIGINT) AS n_chars
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Bzip2, BunzipBytes}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val enc = Bzip2.encode(text.getBytes("UTF-8"))
+          (id, if (id % 13 == 0) enc.dropRight(6) else enc)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("text",
+          BunzipBytes.bunzipBytes(col("media")).cast("string"))
+        .select(col("media_id"), col("text").isNull.as("quarantined"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5367,5 +5407,5 @@ object Dataflow {
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
-    x241, x242, x243, x244, x245, x246, x247)
+    x241, x242, x243, x244, x245, x246, x247, x248)
 }

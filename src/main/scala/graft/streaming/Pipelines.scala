@@ -527,18 +527,25 @@ object Pipelines {
   private def expandNested(members: DataFrame): DataFrame = {
     import graft.functions.{GunzipBytes, TarEntries, ZipEntries}
     members
-      // single-file gzip (story.txt.gz, data.jsonl.gz — NOT .tar.gz,
-      // which the TAR arm owns): unwrap in place, re-dispatching on the
-      // inner name; a broken stream keeps one dead-letter row
+      // single-file gzip/bzip2 (story.txt.gz, dump.xml.bz2 — NOT
+      // .tar.gz, which the TAR arm owns): unwrap in place,
+      // re-dispatching on the inner name; a broken stream keeps one
+      // dead-letter row
       .withColumn("gz",
         when(col("m.ok") && col("m.name").endsWith(".gz")
           && !col("m.name").endsWith(".tar.gz"),
           GunzipBytes.gunzipBytes(col("m.payload"))))
+      .withColumn("bz",
+        when(col("m.ok") && col("m.name").endsWith(".bz2"),
+          graft.functions.BunzipBytes.bunzipBytes(col("m.payload"))))
       .withColumn("m", expr(
         """CASE WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.gz'
           |       AND m.name NOT LIKE '%.tar.gz' THEN
           |  struct(substring(m.name, 1, length(m.name) - 3) AS name,
           |         gz IS NOT NULL AS ok, gz AS payload)
+          |WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.bz2' THEN
+          |  struct(substring(m.name, 1, length(m.name) - 4) AS name,
+          |         bz IS NOT NULL AS ok, bz AS payload)
           |ELSE m END""".stripMargin))
       .withColumn("nzes",
         when(col("m.ok") && col("m.name").endsWith(".zip"),

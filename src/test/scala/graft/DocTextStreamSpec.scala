@@ -36,7 +36,8 @@ class DocTextStreamSpec extends AnyFunSuite {
     // single-file gzip: unwraps in place and re-dispatches on the
     // inner extension; a torn stream keeps a dead-letter row
     ("notes.txt.gz", gz("gz text body".getBytes)),
-    ("torn.txt.gz", gz("will break".getBytes).dropRight(5)))
+    ("torn.txt.gz", gz("will break".getBytes).dropRight(5)),
+    ("dump.txt.bz2", graft.functions.Bzip2.encode("bz2 text body".getBytes)))
 
   private def gz(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -88,6 +89,7 @@ class DocTextStreamSpec extends AnyFunSuite {
     // .gz, the member name drops it); torn gzip dead-letters
     assert(find("notes.txt.gz") == "notes.txt.gz|txt|gz text body|true")
     assert(find("torn.txt.gz") == "torn.txt.gz|corrupt|-|false")
+    assert(find("dump.txt.bz2") == "dump.txt.bz2|txt|bz2 text body|true")
 
     // the SAME payloads zipped extract to the same text member-wise —
     // compared on the MEMBER name, which both sides normalize (a .gz

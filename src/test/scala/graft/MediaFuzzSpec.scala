@@ -48,7 +48,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("odp_slides", b => graft.functions.Odts.odpSlides(b)),
     ("epub_chapters", b => graft.functions.Epubs.epubChapters(b)),
     ("rtf_text", b => graft.functions.Rtfs.rtfText(b)),
-    ("eml_parse", b => graft.functions.Emls.emlParse(b)))
+    ("eml_parse", b => graft.functions.Emls.emlParse(b)),
+    ("bunzip", b => graft.functions.Bzip2.decode(b)))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -177,7 +178,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       "fuzz {x} \\ café — 中\tcol\npar"),
     graft.functions.Emls.buildEml("Sujet café", "a@b.c",
       "Mon, 1 Jan 2024 00:00:00 +0000", "ligne café — une\ntwo",
-      encoding = "quoted-printable", htmlAlt = true))
+      encoding = "quoted-printable", htmlAlt = true),
+    graft.functions.Bzip2.encode(
+      ("bz2 corpus stand-in " * 40 + "rrrr" * 30).getBytes))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)
