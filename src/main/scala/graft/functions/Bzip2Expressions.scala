@@ -61,6 +61,8 @@ object Bzip2 {
   private final class BitIn(b: Array[Byte]) {
     private var pos = 0L // bit position
     private val end = b.length.toLong * 8
+    def align(): Unit = pos = (pos + 7) & ~7L
+    def atEnd: Boolean = pos >= end
     def bit(): Int = {
       if (pos >= end) throw Truncated
       val r = (b((pos >> 3).toInt) >> (7 - (pos & 7)).toInt) & 1
@@ -118,28 +120,49 @@ object Bzip2 {
   }
 
   private def decodeImpl(b: Array[Byte]): Array[Byte] = {
-    if (b == null || b.length < 10) return null
-    if (b(0) != 'B' || b(1) != 'Z' || b(2) != 'h') return null
-    val level = b(3) - '0'
-    if (level < 1 || level > 9) return null
-    val maxBlock = 100000 * level
-    val in = new BitIn(java.util.Arrays.copyOfRange(b, 4, b.length))
+    if (b == null || b.length < 14) return null
+    val in = new BitIn(b) // no copy: the header is just the first 32 bits
     val out = new java.io.ByteArrayOutputStream()
-    var combined = 0
+    var streams = 0
     var blocks = 0
-    while (true) {
-      val magic = in.bitsLong(48)
-      if (magic == FooterMagic) {
-        val streamCrc = in.bits(32)
-        if (streamCrc != combined) return null
-        if (blocks == 0) return null
-        return out.toByteArray
+    // a .bz2 FILE is a byte-aligned CONCATENATION of streams (pbzip2,
+    // `cat a.bz2 b.bz2`, Wikipedia's multistream dumps); stopping at the
+    // first footer would pass a silently truncated payload downstream
+    while (!in.atEnd) {
+      if (in.bits(8) != 'B' || in.bits(8) != 'Z' || in.bits(8) != 'h')
+        return null
+      val level = in.bits(8) - '0'
+      if (level < 1 || level > 9) return null
+      val maxBlock = 100000 * level
+      var combined = 0
+      var footer = false
+      while (!footer) {
+        val magic = in.bitsLong(48)
+        if (magic == FooterMagic) {
+          val streamCrc = in.bits(32)
+          if (streamCrc != combined) return null
+          footer = true
+        } else if (magic == BlockMagic) {
+          blocks += 1
+          if (blocks > (1 << 16)) return null
+          combined = decodeBlock(in, maxBlock, out, combined)
+        } else return null
       }
-      if (magic != BlockMagic) return null
-      blocks += 1
-      if (blocks > (1 << 16)) return null
+      streams += 1
+      in.align() // the next stream, if any, starts on a byte boundary
+    }
+    if (streams == 0) null else out.toByteArray
+  }
+
+  /** One block: Huffman groups → MTF/RLE2 → inverse BWT → RLE1 into
+    * `out`; returns the updated combined CRC. Throws Truncated (caught
+    * by decode) on any structural break. */
+  private def decodeBlock(in: BitIn, maxBlock: Int,
+      out: java.io.ByteArrayOutputStream, combined0: Int): Int = {
+    var combined = combined0
+    locally {
       val blockCrc = in.bits(32)
-      if (in.bit() != 0) return null // deprecated randomized blocks
+      if (in.bit() != 0) throw Truncated // deprecated randomized blocks
       val origPtr = in.bits(24)
       // used-symbol map: 16 range bits, then a 16-bit map per used range
       val used = new Array[Boolean](256)
@@ -158,20 +181,20 @@ object Bzip2 {
       }
       val inUse = (0 until 256).filter(used).toArray
       val nInUse = inUse.length
-      if (nInUse == 0) return null
+      if (nInUse == 0) throw Truncated
       val alpha = nInUse + 2
       val eob = alpha - 1
       val nGroups = in.bits(3)
-      if (nGroups < 2 || nGroups > 6) return null
+      if (nGroups < 2 || nGroups > 6) throw Truncated
       val nSelectors = in.bits(15)
-      if (nSelectors < 1) return null
+      if (nSelectors < 1) throw Truncated
       // selectors arrive MTF-coded over the group list
       val selectors = new Array[Int](nSelectors)
       val gmtf = Array.tabulate(nGroups)(identity)
       i = 0
       while (i < nSelectors) {
         var j = 0
-        while (in.bit() == 1) { j += 1; if (j >= nGroups) return null }
+        while (in.bit() == 1) { j += 1; if (j >= nGroups) throw Truncated }
         val g = gmtf(j)
         while (j > 0) { gmtf(j) = gmtf(j - 1); j -= 1 }
         gmtf(0) = g
@@ -189,7 +212,7 @@ object Bzip2 {
           while (in.bit() == 1) {
             if (in.bit() == 0) len += 1 else len -= 1
             guard += 1
-            if (len < 1 || len > 20 || guard > 200) return null
+            if (len < 1 || len > 20 || guard > 200) throw Truncated
           }
           lens(g)(s) = len
           s += 1
@@ -279,10 +302,10 @@ object Bzip2 {
           // RUNA=1, RUNB=2 in bijective base 2
           run += (sym + 1).toLong << runBit
           runBit += 1
-          if (run > maxBlock || runBit > 24) return null
+          if (run > maxBlock || runBit > 24) throw Truncated
         } else {
           if (run > 0) {
-            if (bwtLen + run > maxBlock) return null
+            if (bwtLen + run > maxBlock) throw Truncated
             val c = mtf(0)
             var r = 0L
             while (r < run) { bwt(bwtLen) = c.toByte; bwtLen += 1; r += 1 }
@@ -295,13 +318,13 @@ object Bzip2 {
             var j = j0
             while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
             mtf(0) = c
-            if (bwtLen >= maxBlock) return null
+            if (bwtLen >= maxBlock) throw Truncated
             bwt(bwtLen) = c.toByte
             bwtLen += 1
           }
         }
       }
-      if (origPtr >= bwtLen) return null
+      if (origPtr >= bwtLen) throw Truncated
       // inverse BWT: counting sort to build the T vector, then one walk
       val counts = new Array[Int](256)
       i = 0
@@ -339,13 +362,13 @@ object Bzip2 {
           if (c == prev) runLen += 1 else { runLen = 1; prev = c }
           out.write(c)
           crc.update(c.toByte)
-          if (out.size() > (1 << 28)) return null // bound hostile streams
+          if (out.size() > (1 << 28)) throw Truncated // bound hostile streams
         }
       }
-      if (crc.value != blockCrc) return null
+      if (crc.value != blockCrc) throw Truncated
       combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
     }
-    null // unreachable
+    combined
   }
 
   // ------------------------------------------------------------- encode
@@ -354,16 +377,16 @@ object Bzip2 {
     * output, two identical Huffman groups, naive rotation-sort BWT. The
     * output is spec-valid bzip2 any reader opens. */
   def encode(data: Array[Byte]): Array[Byte] = {
-    require(data.nonEmpty, "fixture encoder: empty input not supported")
     val out = new BitOut()
     out.bits('B', 8); out.bits('Z', 8); out.bits('h', 8); out.bits('1', 8)
     var combined = 0
     var off = 0
-    do {
+    // empty input is a legal zero-block stream (header + footer with
+    // combined CRC 0 — what the real bzip2 emits for empty files)
+    while (off < data.length) {
       // RLE1-encode greedily until the block is full (or input ends)
       val rle = new java.io.ByteArrayOutputStream()
       val crc = new Crc()
-      val blockStart = off
       while (off < data.length && rle.size() < 99000) {
         val c = data(off)
         var run = 1
@@ -377,12 +400,11 @@ object Bzip2 {
         while (k < take) { crc.update(c); k += 1 }
         off += take
       }
-      if (off == blockStart && data.length > 0) return null // no progress
       val block = rle.toByteArray
       val blockCrc = crc.value
       combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
       writeBlock(out, block, blockCrc)
-    } while (off < data.length)
+    }
     out.bitsLong(FooterMagic, 48)
     out.bits(combined, 32)
     out.toBytes

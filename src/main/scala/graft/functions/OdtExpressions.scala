@@ -34,9 +34,15 @@ object Odts {
   private val Mime = "application/vnd.oasis.opendocument.text"
 
   // hot-path patterns compiled once (these run per row at corpus scale,
-  // and the space-run pattern would otherwise recompile per element)
+  // and the space-run pattern would otherwise recompile per element).
+  // The attribute part is `(?:[^>/]|/(?!>))*`, NOT `[^>]*`: a greedy
+  // any-but-'>' would swallow the '/' of a SELF-CLOSING element, make
+  // the '>' alternative match, and run the lazy body to the NEXT closing
+  // tag — merging an empty cell/row/paragraph with its neighbor
+  // (LibreOffice routinely writes `<table:table-cell/>` padding).
+  private val Attrs = "(?:[^>/]|/(?!>))*"
   private val PRe = java.util.regex.Pattern.compile(
-    "<text:(p|h)\\b[^>]*(/>|>(.*?)</text:\\1>)",
+    "<text:(p|h)\\b" + Attrs + "(/>|>(.*?)</text:\\1>)",
     java.util.regex.Pattern.DOTALL)
   private val SRe = java.util.regex.Pattern.compile("<text:s\\b([^>]*)/>")
   private val CRe = java.util.regex.Pattern.compile("text:c\\s*=\\s*\"(\\d+)\"")
@@ -127,10 +133,10 @@ object Odts {
   private val OdsMime = "application/vnd.oasis.opendocument.spreadsheet"
   private val OdpMime = "application/vnd.oasis.opendocument.presentation"
   private val RowRe = java.util.regex.Pattern.compile(
-    "<table:table-row\\b[^>]*(/>|>(.*?)</table:table-row>)",
+    "<table:table-row\\b" + Attrs + "(/>|>(.*?)</table:table-row>)",
     java.util.regex.Pattern.DOTALL)
   private val CellRe = java.util.regex.Pattern.compile(
-    "<table:table-cell\\b[^>]*(/>|>(.*?)</table:table-cell>)",
+    "<table:table-cell\\b" + Attrs + "(/>|>(.*?)</table:table-cell>)",
     java.util.regex.Pattern.DOTALL)
   private val PageRe = java.util.regex.Pattern.compile(
     "<draw:page\\b[^>]*>(.*?)</draw:page>",

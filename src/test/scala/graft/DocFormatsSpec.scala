@@ -57,6 +57,30 @@ class DocFormatsSpec extends AnyFunSuite {
     assert(got == "a0 <&> 7\tb0  wide\tc0\tof 7\nsingle")
   }
 
+  test("ods self-closing empty cells and rows keep their boundaries") {
+    // LibreOffice writes `<table:table-cell/>` padding; a greedy
+    // attribute match would merge the empty cell with its neighbor and
+    // shift every following column left
+    val xml = "<office:spreadsheet><table:table>" +
+      "<table:table-row><table:table-cell/>" +
+      "<table:table-cell><text:p>B</text:p></table:table-cell>" +
+      "</table:table-row>" +
+      "<table:table-row table:number-rows-repeated=\"2\"/>" +
+      "<table:table-row><table:table-cell><text:p>C</text:p>" +
+      "</table:table-cell></table:table-row>" +
+      "</table:table></office:spreadsheet>"
+    val content = ("<?xml version=\"1.0\"?><office:document-content>" +
+      "<office:body>" + xml + "</office:body></office:document-content>")
+      .getBytes("UTF-8")
+    val zip = Archives.buildZip(Seq(
+      ("mimetype",
+        "application/vnd.oasis.opendocument.spreadsheet".getBytes, false),
+      ("content.xml", content, true)))
+    assert(Odts.odsText(zip) == "\tB\n\nC")
+    // and an empty self-closing paragraph keeps its newline in ODT
+    assert(Odts.odtText(Odts.buildOdt(Seq("a", "", "b"))) == "a\n\nb")
+  }
+
   test("ods rejects an ODT mimetype; torn zip quarantines") {
     assert(Odts.odsText(Odts.buildOdt(Seq("not a sheet"))) == null)
     assert(Odts.odsText(Odts.buildOds(Seq(Seq("x"))).dropRight(12)) == null)
