@@ -5400,6 +5400,73 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x249: WIKIPEDIA-DUMP INGEST — the composed capstone of x248: the
+    * exact shape the largest public text corpus ships in
+    * (`pages-articles.xml.bz2`): a bzip2 stream whose XML carries
+    * `<page><title>…</title>…<text>…</text></page>` records (the
+    * MediaWiki export schema, a public format). The plan is FULLY
+    * declarative — `bunzip_bytes` (native, codegen'd) feeds
+    * `regexp_extract_all` page splitting and per-page title/text pulls,
+    * so Catalyst owns the whole pipeline; one dump decodes per task at
+    * 100 TB with no state and no shuffle. Every 13th doc ships a torn
+    * stream → one quarantine row (CRC/footer, never partial pages). */
+  val x249 = DQ("x249_wikidump_pages", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS np,
+      |           doc_id % 13 = 0 AS q FROM documents),
+      |p AS (SELECT doc_id, u.p AS page FROM d,
+      |      unnest(generate_series(1, np)) AS u(p) WHERE NOT q),
+      |e AS (SELECT doc_id, page,
+      |    'Article ' || CAST(page AS VARCHAR) || ' of doc '
+      |    || CAST(doc_id AS VARCHAR) AS title,
+      |    'Body text ' || CAST(page AS VARCHAR) || ' for doc '
+      |    || CAST(doc_id AS VARCHAR) || chr(10) || 'second line '
+      |    || CAST(page AS VARCHAR) AS text FROM p)
+      |SELECT media_id, page, title, text_md5, n_chars FROM (
+      |  SELECT doc_id AS media_id, CAST(page AS INT) AS page, title,
+      |    md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL, NULL FROM d WHERE q)
+      |ORDER BY media_id, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Bzip2, BunzipBytes}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val np = (id % 3 + 1).toInt
+          val xml = "<mediawiki xmlns=\"http://www.mediawiki.org/xml/" +
+            "export-0.11/\"><siteinfo><sitename>graft</sitename>" +
+            "</siteinfo>" + (1 to np).map { p =>
+              s"<page><title>Article $p of doc $id</title><ns>0</ns>" +
+                s"<id>${id * 10 + p}</id><revision><id>1</id>" +
+                s"<text bytes=\"0\">Body text $p for doc $id\n" +
+                s"second line $p</text></revision></page>"
+            }.mkString + "</mediawiki>"
+          val enc = Bzip2.encode(xml.getBytes("UTF-8"))
+          (id, if (id % 13 == 0) enc.dropRight(6) else enc)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("xml",
+          BunzipBytes.bunzipBytes(col("media")).cast("string"))
+        .withColumn("pages",
+          expr("regexp_extract_all(xml, '(?s)<page>(.*?)</page>', 1)"))
+        .select(col("media_id"),
+          posexplode_outer(col("pages")).as(Seq("p0", "p")))
+        .select(col("media_id"),
+          when(col("p").isNotNull, col("p0") + 1).cast("int").as("page"),
+          expr("regexp_extract(p, '<title>([^<]*)</title>', 1)")
+            .as("title0"),
+          expr("regexp_extract(p, '(?s)<text[^>]*>(.*?)</text>', 1)")
+            .as("text"))
+        .select(col("media_id"), col("page"),
+          when(col("page").isNotNull, col("title0")).as("title"),
+          when(col("page").isNotNull, md5(col("text"))).as("text_md5"),
+          when(col("page").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"))
+        .orderBy("media_id", "page")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5407,5 +5474,5 @@ object Dataflow {
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
-    x241, x242, x243, x244, x245, x246, x247, x248)
+    x241, x242, x243, x244, x245, x246, x247, x248, x249)
 }
