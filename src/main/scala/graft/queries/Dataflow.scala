@@ -5430,7 +5430,7 @@ object Dataflow {
       |ORDER BY media_id, page""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
-      import graft.functions.{Bzip2, BunzipBytes}
+      import graft.functions.Bzip2
       val media = spread(table(spark, dir, "documents").select(col("doc_id")))
         .as[Long]
         .map { id =>
@@ -5446,24 +5446,18 @@ object Dataflow {
           val enc = Bzip2.encode(xml.getBytes("UTF-8"))
           (id, if (id % 13 == 0) enc.dropRight(6) else enc)
         }.toDF("media_id", "media")
-      media
-        .withColumn("xml",
-          BunzipBytes.bunzipBytes(col("media")).cast("string"))
-        .withColumn("pages",
-          expr("regexp_extract_all(xml, '(?s)<page>(.*?)</page>', 1)"))
-        .select(col("media_id"),
-          posexplode_outer(col("pages")).as(Seq("p0", "p")))
-        .select(col("media_id"),
-          when(col("p").isNotNull, col("p0") + 1).cast("int").as("page"),
-          expr("regexp_extract(p, '<title>([^<]*)</title>', 1)")
-            .as("title0"),
-          expr("regexp_extract(p, '(?s)<text[^>]*>(.*?)</text>', 1)")
-            .as("text"))
-        .select(col("media_id"), col("page"),
-          when(col("page").isNotNull, col("title0")).as("title"),
-          when(col("page").isNotNull, md5(col("text"))).as("text_md5"),
-          when(col("page").isNotNull, length(col("text")).cast("long"))
-            .as("n_chars"))
+      // the SHARED dump projection (streaming twin included) does the
+      // decode + page walk, so the gate also pins that surface; its
+      // quarantine row (page = -1, ok = false) maps to this gate's
+      // null-page row
+      graft.streaming.Pipelines.wikidumpPages(
+          media.select(col("media_id").cast("string").as("path"),
+            col("media").as("content")))
+        .select(col("path").cast("long").as("media_id"),
+          when(col("ok"), col("page")).as("page"),
+          when(col("ok"), col("title")).as("title"),
+          when(col("ok"), md5(col("text"))).as("text_md5"),
+          when(col("ok"), length(col("text")).cast("long")).as("n_chars"))
         .orderBy("media_id", "page")
   }
 

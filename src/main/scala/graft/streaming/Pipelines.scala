@@ -589,6 +589,46 @@ object Pipelines {
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .load(dir))
 
+  /** Wikipedia-dump ingest (the x249 gate's projection as a reusable
+    * surface): (path, content) rows of `.xml.bz2` dumps → one row per
+    * `<page>` (title, text) in dump order, through the native
+    * `bunzip_bytes` (multi-stream aware — real multistream dumps decode
+    * whole) and declarative regexp extraction over the public MediaWiki
+    * export schema. A torn stream emits ONE quarantine row (page = -1,
+    * nulls) — never partial pages. Batch or streaming input, so the two
+    * modes cannot drift. Per-row only: no state, no shuffle. */
+  def wikidumpPages(files: DataFrame): DataFrame = {
+    files
+      .withColumn("xml",
+        graft.functions.BunzipBytes.bunzipBytes(col("content"))
+          .cast("string"))
+      .withColumn("ps",
+        expr("regexp_extract_all(xml, '(?s)<page>(.*?)</page>', 1)"))
+      .select(col("path"), col("xml"),
+        posexplode(when(col("xml").isNotNull, col("ps"))
+          .otherwise(array(lit("")))).as(Seq("p0", "p")))
+      .select(col("path"),
+        when(col("xml").isNotNull, col("p0") + 1)
+          .otherwise(lit(-1)).cast("int").as("page"),
+        when(col("xml").isNotNull,
+          expr("regexp_extract(p, '<title>([^<]*)</title>', 1)"))
+          .as("title"),
+        when(col("xml").isNotNull,
+          expr("regexp_extract(p, '(?s)<text[^>]*>(.*?)</text>', 1)"))
+          .as("text"),
+        col("xml").isNotNull.as("ok"))
+  }
+
+  /** Continuous dump ingest over a directory watch — the streaming twin
+    * of [[wikidumpPages]] (the pdfTextStream pattern: a corpus grows as
+    * dump files land instead of being re-scanned). */
+  def wikidumpStream(spark: SparkSession, dir: String): DataFrame =
+    wikidumpPages(spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
   /** The one member-level extraction chain both [[archiveText]] and
     * [[docText]] project through: dispatch by the member NAME's
     * extension, per-format dead-letter rows (`ok = false`, null text)
