@@ -37,7 +37,12 @@ class DocTextStreamSpec extends AnyFunSuite {
     // inner extension; a torn stream keeps a dead-letter row
     ("notes.txt.gz", gz("gz text body".getBytes)),
     ("torn.txt.gz", gz("will break".getBytes).dropRight(5)),
-    ("dump.txt.bz2", graft.functions.Bzip2.encode("bz2 text body".getBytes)))
+    ("dump.txt.bz2", graft.functions.Bzip2.encode("bz2 text body".getBytes)),
+    // .tar.bz2 composes: bz2 unwrap -> name drops to .tar -> tar arm
+    // explodes its members in the same expansion pass
+    ("bundle.tar.bz2", graft.functions.Bzip2.encode(
+      Archives.buildTar(Seq(
+        ("inner/tb.txt", "0", "tar bz2 member".getBytes))))))
 
   private def gz(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -90,6 +95,8 @@ class DocTextStreamSpec extends AnyFunSuite {
     assert(find("notes.txt.gz") == "notes.txt.gz|txt|gz text body|true")
     assert(find("torn.txt.gz") == "torn.txt.gz|corrupt|-|false")
     assert(find("dump.txt.bz2") == "dump.txt.bz2|txt|bz2 text body|true")
+    assert(find("bundle.tar.bz2") ==
+      "bundle.tar.bz2|txt|tar bz2 member|true")
 
     // the SAME payloads zipped extract to the same text member-wise —
     // compared on the MEMBER name, which both sides normalize (a .gz
