@@ -4,9 +4,11 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Library-free bzip2 (the public .bz2 format, as documented in the
@@ -113,10 +115,44 @@ object Bzip2 {
 
   // ------------------------------------------------------------- decode
 
-  /** Decompressed bytes, or null on any structural or CRC break. */
+  /** Decompressed bytes, or null on any structural or CRC break.
+    *
+    * OUTPUT BOUND: decode refuses to inflate past 256 MiB (the
+    * zip-bomb guard at the RLE1 sink) and null-routes such input
+    * exactly like corruption — deliberate for a PER-ROW column value,
+    * where an unbounded inflate is an executor-heap attack. A
+    * monolithic single-stream dump above the bound therefore
+    * quarantines; real multistream corpora split at `BZh` stream
+    * boundaries first ([[Bzip2Extents]]) so no single decode ever
+    * exceeds one stream (~1 MB for a 100-page Wikipedia stream). */
   def decode(b: Array[Byte]): Array[Byte] = {
     try decodeImpl(b)
     catch { case Truncated => null; case NonFatal(_) => null }
+  }
+
+  /** True iff a byte-aligned bzip2 STREAM starts at `i`: `BZh` +
+    * level digit + the first block's 48-bit magic. 10 bytes of
+    * signature — strong enough to cut multistream files at, weak
+    * enough to scan at wire speed (see [[Bzip2Extents]] on the
+    * false-positive budget). */
+  def isStreamStart(b: Array[Byte], i: Int): Boolean =
+    i >= 0 && i + 10 <= b.length &&
+      b(i) == 'B' && b(i + 1) == 'Z' && b(i + 2) == 'h' &&
+      b(i + 3) >= '1' && b(i + 3) <= '9' &&
+      b(i + 4) == 0x31 && b(i + 5) == 0x41 && b(i + 6) == 0x59 &&
+      b(i + 7) == 0x26 && b(i + 8) == 0x53 && b(i + 9) == 0x59
+
+  /** Byte offsets of every stream signature in a (multi-stream) .bz2,
+    * or null when the payload does not itself start with one. */
+  def streamOffsets(b: Array[Byte]): Array[Long] = {
+    if (b == null || !isStreamStart(b, 0)) return null
+    val offs = scala.collection.mutable.ArrayBuffer[Long](0L)
+    var i = 1
+    while (i + 10 <= b.length) {
+      if (b(i) == 'B' && isStreamStart(b, i)) { offs += i.toLong; i += 10 }
+      else i += 1
+    }
+    offs.toArray
   }
 
   private def decodeImpl(b: Array[Byte]): Array[Byte] = {
@@ -593,4 +629,72 @@ case class BunzipBytes(child: Expression) extends UnaryExpression {
 object BunzipBytes {
   def bunzipBytes(media: Column): Column =
     GraftColumnShim.column(BunzipBytes(GraftColumnShim.expression(media)))
+}
+
+/** `bz2_extents(binary)` → `array<struct<off bigint, len bigint>>` —
+  * the byte extents of the bzip2 STREAMS inside a (possibly
+  * multi-stream) `.bz2`, found by scanning for the byte-aligned
+  * 10-byte stream-start signature `BZh[1-9]` + the first block's
+  * magic `0x314159265359`. This is the split layer that makes
+  * monolithic-looking dumps parallel: Wikipedia publishes the
+  * MULTISTREAM `pages-articles` form precisely so readers can cut at
+  * stream boundaries, and every extent this emits is independently
+  * decodable by [[Bzip2.decode]] — N streams become N tasks, and no
+  * decoded value ever exceeds ONE stream's output (so the 256 MiB
+  * inflate bound applies per stream, not per file).
+  *
+  * Null when the payload does not START with a stream signature (not
+  * a bzip2 file). A 10-byte aligned signature appearing by chance
+  * inside compressed payload would mis-split (both halves then fail
+  * CRC and quarantine, never yielding wrong bytes); at ~2^-74 per
+  * aligned position that is ~4e-11 expected false cuts across a
+  * 20 GB dump — documented, not defended. */
+case class Bzip2Extents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Bzip2Extents.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bz2_extents expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val offs = Bzip2.streamOffsets(payload.asInstanceOf[Array[Byte]])
+    if (offs == null) null
+    else {
+      val n = payload.asInstanceOf[Array[Byte]].length.toLong
+      new GenericArrayData(offs.indices.map { i =>
+        val end = if (i + 1 < offs.length) offs(i + 1) else n
+        InternalRow(offs(i), end - offs(i)): Any
+      }.toArray)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bz2Extents", this,
+      classOf[Bzip2Extents].getName)
+    val r = ctx.freshName("ext")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bzip2Extents =
+    copy(child = newChild)
+
+  override def prettyName: String = "bz2_extents"
+}
+
+object Bzip2Extents {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("off", LongType),
+    StructField("len", LongType))), containsNull = false)
+
+  def bz2Extents(media: Column): Column =
+    GraftColumnShim.column(Bzip2Extents(GraftColumnShim.expression(media)))
 }

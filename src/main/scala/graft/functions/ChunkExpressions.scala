@@ -159,6 +159,8 @@ object ChunkFunctions {
       es => OdsText(es.head), "built-in")
     reg.createOrReplaceTempFunction("bunzip_bytes",
       es => BunzipBytes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bz2_extents",
+      es => Bzip2Extents(es.head), "built-in")
     reg.createOrReplaceTempFunction("odp_slides",
       es => OdpSlides(es.head), "built-in")
   }
@@ -303,6 +305,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("bunzip_bytes"),
       new ExpressionInfo(classOf[BunzipBytes].getName, "bunzip_bytes"),
       es => BunzipBytes(es.head)))
+    e.injectFunction((FunctionIdentifier("bz2_extents"),
+      new ExpressionInfo(classOf[Bzip2Extents].getName, "bz2_extents"),
+      es => Bzip2Extents(es.head)))
     e.injectFunction((FunctionIdentifier("odp_slides"),
       new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
       es => OdpSlides(es.head)))

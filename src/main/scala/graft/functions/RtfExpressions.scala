@@ -110,8 +110,12 @@ object Rtfs {
             if (j < n && (b(j) & 0xff).toChar == '-') { neg = true; j += 1 }
             var num = 0L
             var hasNum = false
+            // cap at Int.MaxValue (not lower): \binN skips N raw bytes, and a
+            // lower saturation point would skip the wrong count and leak the
+            // remainder of the blob into extracted text as garbage — any N
+            // beyond the array length is clamped at the skip site anyway
             while (j < n && ((b(j) & 0xff).toChar).isDigit) {
-              num = math.min(num * 10 + ((b(j) & 0xff) - '0'), 1000000L)
+              num = math.min(num * 10 + ((b(j) & 0xff) - '0'), Int.MaxValue.toLong)
               hasNum = true; j += 1
             }
             val arg = if (neg) -num else num

@@ -589,34 +589,87 @@ object Pipelines {
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .load(dir))
 
-  /** Wikipedia-dump ingest (the x249 gate's projection as a reusable
+  /** Wikipedia-dump ingest (the x249/x250 projection as a reusable
     * surface): (path, content) rows of `.xml.bz2` dumps → one row per
-    * `<page>` (title, text) in dump order, through the native
-    * `bunzip_bytes` (multi-stream aware — real multistream dumps decode
-    * whole) and declarative regexp extraction over the public MediaWiki
-    * export schema. A torn stream emits ONE quarantine row (page = -1,
-    * nulls) — never partial pages. Batch or streaming input, so the two
-    * modes cannot drift. Per-row only: no state, no shuffle. */
-  def wikidumpPages(files: DataFrame): DataFrame = {
+    * `<page>` (title, text), SPLIT AT BZIP2 STREAM BOUNDARIES first
+    * (`bz2_extents`) so a multistream dump — the form Wikipedia
+    * publishes `pages-articles` in precisely to make this possible —
+    * decodes N streams in N tasks, with no column ever holding more
+    * than one stream's output (the 2 GB column limit and the decoder's
+    * 256 MiB inflate bound both apply per STREAM, not per file).
+    * Dump order is `ORDER BY (path, stream, page)`; `page` numbers
+    * within its stream (for a single-stream file that IS the global
+    * page number).
+    *
+    * Row contract (route, don't drop — every extent is visible):
+    *  - a page row: (stream ≥ 1, page ≥ 1, title, text, ok = true);
+    *  - a decoded extent with NO pages (the multistream header /
+    *    footer streams): one (stream, page = 0, nulls, ok = true) row;
+    *  - a torn extent (CRC/structural break, over-bound inflate, or a
+    *    page FRAGMENT spanning the boundary — nonconforming input;
+    *    `<page>`/`</page>` counts disagree): one (stream, page = -1,
+    *    nulls, ok = false) row — never partial pages;
+    *  - a file that is not bzip2 at all: one (stream = -1, page = -1,
+    *    nulls, ok = false) row.
+    * Batch or streaming input, so the two modes cannot drift; the one
+    * shuffle is the deliberate extent spread. */
+  def wikidumpPages(files: DataFrame): DataFrame =
+    wikidumpExtract(wikidumpSlices(files))
+
+  /** Stage 1 of [[wikidumpPages]]: stream-extent scan + slice. Emits
+    * (path, stream, payload) with payload = ONE stream's compressed
+    * bytes, then repartitions on (path, stream) so the per-extent
+    * decode spreads across the cluster instead of serializing inside
+    * the file's scan task — the slice happens MAP-SIDE, so the shuffle
+    * carries each compressed stream exactly once and the whole-file
+    * column never crosses the wire. */
+  private[graft] def wikidumpSlices(files: DataFrame): DataFrame = {
     files
+      .withColumn("exts",
+        graft.functions.Bzip2Extents.bz2Extents(col("content")))
+      .select(col("path"), col("content"),
+        posexplode_outer(col("exts")).as(Seq("s0", "ext")))
+      .select(col("path"),
+        when(col("ext").isNotNull, col("s0") + 1)
+          .otherwise(lit(-1)).cast("int").as("stream"),
+        when(col("ext").isNotNull,
+          expr("substring(content, cast(ext.off as int) + 1, " +
+            "cast(ext.len as int))")).as("payload"))
+      .repartition(col("path"), col("stream"))
+  }
+
+  /** Stage 2 of [[wikidumpPages]]: per-extent decode + page walk —
+    * ALSO the tail of the ranged (no-whole-file-column) reader, so the
+    * two paths cannot diverge on extraction semantics. */
+  private[graft] def wikidumpExtract(slices: DataFrame): DataFrame = {
+    slices
       .withColumn("xml",
-        graft.functions.BunzipBytes.bunzipBytes(col("content"))
+        graft.functions.BunzipBytes.bunzipBytes(col("payload"))
           .cast("string"))
       .withColumn("ps",
         expr("regexp_extract_all(xml, '(?s)<page>(.*?)</page>', 1)"))
-      .select(col("path"), col("xml"),
-        posexplode(when(col("xml").isNotNull, col("ps"))
+      // a dangling <page> (or stray </page>) means a page fragment
+      // spans this extent's boundary: quarantine the EXTENT — partial
+      // pages must never flow downstream
+      .withColumn("torn",
+        size(expr("regexp_extract_all(xml, '<page>', 0)")) =!=
+          size(expr("regexp_extract_all(xml, '</page>', 0)")))
+      .withColumn("ok", col("xml").isNotNull && !col("torn"))
+      .withColumn("npages", size(col("ps")))
+      .select(col("path"), col("stream"), col("ok"), col("npages"),
+        posexplode(when(col("ok") && col("npages") > 0, col("ps"))
           .otherwise(array(lit("")))).as(Seq("p0", "p")))
-      .select(col("path"),
-        when(col("xml").isNotNull, col("p0") + 1)
-          .otherwise(lit(-1)).cast("int").as("page"),
-        when(col("xml").isNotNull,
+      .select(col("path"), col("stream"),
+        when(!col("ok"), lit(-1))
+          .when(col("npages") === 0, lit(0))
+          .otherwise(col("p0") + 1).cast("int").as("page"),
+        when(col("ok") && col("npages") > 0,
           expr("regexp_extract(p, '<title>([^<]*)</title>', 1)"))
           .as("title"),
-        when(col("xml").isNotNull,
+        when(col("ok") && col("npages") > 0,
           expr("regexp_extract(p, '(?s)<text[^>]*>(.*?)</text>', 1)"))
           .as("text"),
-        col("xml").isNotNull.as("ok"))
+        col("ok"))
   }
 
   /** Continuous dump ingest over a directory watch — the streaming twin

@@ -108,7 +108,18 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
         ("n/one.txt", "nested text one".getBytes, true),
         ("n/two.rtf", graft.functions.Rtfs.buildRtf("nested rtf"), false)))),
       ("torn.zip", "0", Archives.buildZip(Seq(
-        ("x.txt", "x".getBytes, false))).dropRight(9)))))
+        ("x.txt", "x".getBytes, false))).dropRight(9)),
+      // a NESTED .tgz must take the tar arm, not the single-file gzip
+      // unwrap (".tgz" does not end with ".gz", so the gz arm cannot
+      // hijack it — pinned here so the dispatch can never regress)
+      ("inner2.tgz", "0", {
+        val t = Archives.buildTar(Seq(
+          ("deep.txt", "0", "nested tgz member".getBytes)))
+        val b2 = new java.io.ByteArrayOutputStream()
+        val g2 = new java.util.zip.GZIPOutputStream(b2)
+        g2.write(t); g2.close()
+        b2.toByteArray
+      }))))
     // e.tgz: the gzip-wrapped tar form — same members must surface
     val eTar = Archives.buildTar(Seq(
       ("gz.txt", "0", "gzipped tar member".getBytes)))
@@ -194,6 +205,9 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("inner.zip!n/one.txt").contains("|txt|nested text one|"))
     assert(find("inner.zip!n/one.txt").endsWith("true"))
     assert(find("inner.zip!n/two.rtf").contains("|rtf|nested rtf|"))
+    // nested .tgz rides the tar arm (NOT the gz unwrap) and explodes
+    assert(find("inner2.tgz!deep.txt").contains("|txt|nested tgz member|"))
+    assert(find("inner2.tgz!deep.txt").endsWith("true"))
     assert(streamed.count(_.contains("|torn.zip|")) == 1)
     assert(find("torn.zip").contains("|corrupt|-|-|false"))
     // container-level quarantines: exactly one row each, kind unreadable
