@@ -5461,6 +5461,86 @@ object Dataflow {
         .orderBy("media_id", "page")
   }
 
+  /** x250: MULTISTREAM DUMP SPLIT — the 100 TB posture of x249: real
+    * `pages-articles` dumps are ~20 GB compressed / ~90 GB decoded,
+    * far past both Spark's 2 GB column limit and any sane single-task
+    * decode, and Wikipedia publishes the MULTISTREAM form (concatenated
+    * bzip2 streams, pages aligned to streams) precisely so readers can
+    * cut at stream boundaries. `bz2_extents` finds the byte-aligned
+    * `BZh…π` signatures map-side, the slice ships ONE stream per row
+    * through the (path, stream) repartition, and each extent decodes
+    * independently — so damage LOCALIZES: every 13th doc ships a torn
+    * page stream whose extent alone quarantines while the header,
+    * later page streams, and footer still serve (the whole point of
+    * the multistream layout; under x249's monolithic decode the same
+    * tear killed the entire dump). Header/footer streams surface as
+    * page-0 marker rows; pages number within their stream.
+    * WikidumpSplitPlanSpec pins the plan shape (map-side slice, one
+    * exchange on (path, stream), no whole-file column downstream). */
+  val x250 = DQ("x250_wikidump_multistream", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS np,
+      |           doc_id % 13 = 0 AS q FROM documents),
+      |p AS (SELECT doc_id, np, q, u.p AS p FROM d,
+      |      unnest(generate_series(1, np)) AS u(p)),
+      |e AS (SELECT doc_id, q,
+      |    CASE WHEN p <= 2 THEN 2 ELSE 3 END AS stream,
+      |    CASE WHEN p <= 2 THEN p ELSE 1 END AS page,
+      |    'Article ' || CAST(p AS VARCHAR) || ' of doc '
+      |      || CAST(doc_id AS VARCHAR) AS title,
+      |    'Body text ' || CAST(p AS VARCHAR) || ' for doc '
+      |      || CAST(doc_id AS VARCHAR) || chr(10) || 'second line '
+      |      || CAST(p AS VARCHAR) AS text FROM p),
+      |r AS (
+      |  SELECT doc_id, 1 AS stream, 0 AS page, CAST(NULL AS VARCHAR) AS title,
+      |    CAST(NULL AS VARCHAR) AS text_md5, CAST(NULL AS BIGINT) AS n_chars,
+      |    true AS ok FROM d
+      |  UNION ALL
+      |  SELECT doc_id, stream, page, title, md5(text),
+      |    CAST(length(text) AS BIGINT), true FROM e
+      |  WHERE NOT (q AND stream = 2)
+      |  UNION ALL
+      |  SELECT doc_id, 2, -1, NULL, NULL, NULL, false FROM d WHERE q
+      |  UNION ALL
+      |  SELECT doc_id, CASE WHEN np = 3 THEN 4 ELSE 3 END, 0, NULL, NULL,
+      |    NULL, true FROM d)
+      |SELECT doc_id AS media_id, CAST(stream AS INT) AS stream,
+      |  CAST(page AS INT) AS page, title, text_md5, n_chars, ok
+      |FROM r ORDER BY media_id, stream, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Bzip2
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val np = (id % 3 + 1).toInt
+          def pg(p: Int): String =
+            s"<page><title>Article $p of doc $id</title><ns>0</ns>" +
+              s"<id>${id * 10 + p}</id><revision><id>1</id>" +
+              s"<text bytes=\"0\">Body text $p for doc $id\n" +
+              s"second line $p</text></revision></page>"
+          val header = Bzip2.encode(
+            ("<mediawiki xmlns=\"http://www.mediawiki.org/xml/" +
+              "export-0.11/\"><siteinfo><sitename>graft</sitename>" +
+              "</siteinfo>").getBytes("UTF-8"))
+          val s2raw = Bzip2.encode(
+            (1 to math.min(2, np)).map(pg).mkString.getBytes("UTF-8"))
+          val s2 = if (id % 13 == 0) s2raw.dropRight(6) else s2raw
+          val s3 =
+            if (np == 3) Bzip2.encode(pg(3).getBytes("UTF-8"))
+            else Array.empty[Byte]
+          val footer = Bzip2.encode("</mediawiki>".getBytes("UTF-8"))
+          (id, header ++ s2 ++ s3 ++ footer)
+        }.toDF("media_id", "media")
+      graft.streaming.Pipelines.wikidumpPages(
+          media.select(col("media_id").cast("string").as("path"),
+            col("media").as("content")))
+        .select(col("path").cast("long").as("media_id"),
+          col("stream"), col("page"), col("title"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"), col("ok"))
+        .orderBy("media_id", "stream", "page")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5468,5 +5548,5 @@ object Dataflow {
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
-    x241, x242, x243, x244, x245, x246, x247, x248, x249)
+    x241, x242, x243, x244, x245, x246, x247, x248, x249, x250)
 }
