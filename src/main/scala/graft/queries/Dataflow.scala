@@ -5508,33 +5508,107 @@ object Dataflow {
       |FROM r ORDER BY media_id, stream, page""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
-      import graft.functions.Bzip2
       val media = spread(table(spark, dir, "documents").select(col("doc_id")))
         .as[Long]
-        .map { id =>
-          val np = (id % 3 + 1).toInt
-          def pg(p: Int): String =
-            s"<page><title>Article $p of doc $id</title><ns>0</ns>" +
-              s"<id>${id * 10 + p}</id><revision><id>1</id>" +
-              s"<text bytes=\"0\">Body text $p for doc $id\n" +
-              s"second line $p</text></revision></page>"
-          val header = Bzip2.encode(
-            ("<mediawiki xmlns=\"http://www.mediawiki.org/xml/" +
-              "export-0.11/\"><siteinfo><sitename>graft</sitename>" +
-              "</siteinfo>").getBytes("UTF-8"))
-          val s2raw = Bzip2.encode(
-            (1 to math.min(2, np)).map(pg).mkString.getBytes("UTF-8"))
-          val s2 = if (id % 13 == 0) s2raw.dropRight(6) else s2raw
-          val s3 =
-            if (np == 3) Bzip2.encode(pg(3).getBytes("UTF-8"))
-            else Array.empty[Byte]
-          val footer = Bzip2.encode("</mediawiki>".getBytes("UTF-8"))
-          (id, header ++ s2 ++ s3 ++ footer)
-        }.toDF("media_id", "media")
+        .map(id => (id, multistreamDump(id)))
+        .toDF("media_id", "media")
       graft.streaming.Pipelines.wikidumpPages(
           media.select(col("media_id").cast("string").as("path"),
             col("media").as("content")))
         .select(col("path").cast("long").as("media_id"),
+          col("stream"), col("page"), col("title"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"), col("ok"))
+        .orderBy("media_id", "stream", "page")
+  }
+
+  /** The x250/x251 fixture: a conforming multistream dump for `id` —
+    * header stream (siteinfo, no pages), a stream with pages 1..min(2,np),
+    * a third stream with page 3 when np = 3, a footer stream; every
+    * 13th doc's page stream torn (dropRight 6) so its extent alone
+    * quarantines. */
+  private def multistreamDump(id: Long): Array[Byte] = {
+    import graft.functions.Bzip2
+    val np = (id % 3 + 1).toInt
+    def pg(p: Int): String =
+      s"<page><title>Article $p of doc $id</title><ns>0</ns>" +
+        s"<id>${id * 10 + p}</id><revision><id>1</id>" +
+        s"<text bytes=\"0\">Body text $p for doc $id\n" +
+        s"second line $p</text></revision></page>"
+    val header = Bzip2.encode(
+      ("<mediawiki xmlns=\"http://www.mediawiki.org/xml/" +
+        "export-0.11/\"><siteinfo><sitename>graft</sitename>" +
+        "</siteinfo>").getBytes("UTF-8"))
+    val s2raw = Bzip2.encode(
+      (1 to math.min(2, np)).map(pg).mkString.getBytes("UTF-8"))
+    val s2 = if (id % 13 == 0) s2raw.dropRight(6) else s2raw
+    val s3 =
+      if (np == 3) Bzip2.encode(pg(3).getBytes("UTF-8"))
+      else Array.empty[Byte]
+    val footer = Bzip2.encode("</mediawiki>".getBytes("UTF-8"))
+    header ++ s2 ++ s3 ++ footer
+  }
+
+  /** x251: RANGED DUMP READ — the reader for dumps the column path
+    * cannot even LOAD: `wikidumpPagesRanged` takes a bare LISTING (no
+    * binary column anywhere), scans each file for stream signatures
+    * through a fixed 64 KiB buffer executor-side, repartitions the
+    * (path, stream, off, len) extent rows, and only then range-reads
+    * one stream's bytes per row — so a 20 GB dump needs 20 GB of
+    * sequential IO but never more than one compressed stream of
+    * memory on any node. Same fixture and oracle shape as x250 (the
+    * dumps are REAL FILES in a scratch dir here, written by a
+    * distributed foreachPartition); the extraction tail is shared
+    * verbatim with the column path, so this gate pins end-to-end that
+    * listing-in ≡ column-in, quarantine arms included. */
+  val x251 = DQ("x251_wikidump_ranged", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS np,
+      |           doc_id % 13 = 0 AS q FROM documents WHERE doc_id % 5 = 0),
+      |p AS (SELECT doc_id, np, q, u.p AS p FROM d,
+      |      unnest(generate_series(1, np)) AS u(p)),
+      |e AS (SELECT doc_id, q,
+      |    CASE WHEN p <= 2 THEN 2 ELSE 3 END AS stream,
+      |    CASE WHEN p <= 2 THEN p ELSE 1 END AS page,
+      |    'Article ' || CAST(p AS VARCHAR) || ' of doc '
+      |      || CAST(doc_id AS VARCHAR) AS title,
+      |    'Body text ' || CAST(p AS VARCHAR) || ' for doc '
+      |      || CAST(doc_id AS VARCHAR) || chr(10) || 'second line '
+      |      || CAST(p AS VARCHAR) AS text FROM p),
+      |r AS (
+      |  SELECT doc_id, 1 AS stream, 0 AS page, CAST(NULL AS VARCHAR) AS title,
+      |    CAST(NULL AS VARCHAR) AS text_md5, CAST(NULL AS BIGINT) AS n_chars,
+      |    true AS ok FROM d
+      |  UNION ALL
+      |  SELECT doc_id, stream, page, title, md5(text),
+      |    CAST(length(text) AS BIGINT), true FROM e
+      |  WHERE NOT (q AND stream = 2)
+      |  UNION ALL
+      |  SELECT doc_id, 2, -1, NULL, NULL, NULL, false FROM d WHERE q
+      |  UNION ALL
+      |  SELECT doc_id, CASE WHEN np = 3 THEN 4 ELSE 3 END, 0, NULL, NULL,
+      |    NULL, true FROM d)
+      |SELECT doc_id AS media_id, CAST(stream AS INT) AS stream,
+      |  CAST(page AS INT) AS page, title, text_md5, n_chars, ok
+      |FROM r ORDER BY media_id, stream, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("x251_dumps")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id"))
+          .where(col("doc_id") % 5 === 0))
+        .as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"$id.xml.bz2"),
+              multistreamDump(id))
+          }
+        }
+      val paths = new java.io.File(tmp).listFiles.map(_.getAbsolutePath).toSeq
+      graft.streaming.Pipelines.wikidumpPagesRanged(paths.toDF("path"))
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.xml\\.bz2$", 1)
+            .cast("long").as("media_id"),
           col("stream"), col("page"), col("title"),
           md5(col("text")).as("text_md5"),
           length(col("text")).cast("long").as("n_chars"), col("ok"))
@@ -5548,5 +5622,5 @@ object Dataflow {
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
-    x241, x242, x243, x244, x245, x246, x247, x248, x249, x250)
+    x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251)
 }

@@ -672,6 +672,45 @@ object Pipelines {
         col("ok"))
   }
 
+  /** The NO-COLUMN dump reader for files past the 2 GB binary-column
+    * limit (a real enwiki `pages-articles-multistream.xml.bz2` is
+    * ~20 GB compressed — `binaryFile` cannot even load it): input is
+    * just a LISTING (a `path` string column), extents come from a
+    * streaming executor-side scan over Hadoop FS (fixed 64 KiB buffer,
+    * O(1) memory — [[graft.sources.RangedBz2.scanExtents]]), and each
+    * extent's bytes are range-read only AFTER the (path, stream)
+    * repartition spreads them — so the heaviest value ever held is one
+    * compressed stream, on exactly one executor. The extraction tail
+    * is [[wikidumpExtract]], shared verbatim with the column path, so
+    * the two readers cannot drift (WikidumpRangedSpec pins parity
+    * file-for-file). A monolithic single-stream file larger than
+    * `maxExtentBytes` caps to a quarantine row instead of allocating
+    * the monolith — the documented monolith posture. */
+  def wikidumpPagesRanged(paths: DataFrame,
+      maxExtentBytes: Long =
+        graft.sources.RangedBz2.DefaultMaxExtentBytes): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    import graft.sources.{RangedBz2, SerializableHadoopConf}
+    val bc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val extents = paths.select(col("path")).as[String]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          RangedBz2.scanExtents(bc.value.value, p).iterator
+            .map { case (s, off, len) => (p, s, off, len) }
+        }
+      }.toDF("path", "stream", "off", "len")
+    val slices = extents
+      .repartition(col("path"), col("stream"))
+      .as[(String, Int, Long, Long)]
+      .map { case (p, s, off, len) =>
+        (p, s, RangedBz2.readRange(bc.value.value, p, off, len, maxExtentBytes))
+      }
+      .toDF("path", "stream", "payload")
+    wikidumpExtract(slices)
+  }
+
   /** Continuous dump ingest over a directory watch — the streaming twin
     * of [[wikidumpPages]] (the pdfTextStream pattern: a corpus grows as
     * dump files land instead of being re-scanned). */
