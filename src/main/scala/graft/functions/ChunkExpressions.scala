@@ -161,6 +161,8 @@ object ChunkFunctions {
       es => BunzipBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction("bz2_extents",
       es => Bzip2Extents(es.head), "built-in")
+    reg.createOrReplaceTempFunction("wikitext_plain",
+      es => WikitextPlain(es.head), "built-in")
     reg.createOrReplaceTempFunction("odp_slides",
       es => OdpSlides(es.head), "built-in")
   }
@@ -308,6 +310,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("bz2_extents"),
       new ExpressionInfo(classOf[Bzip2Extents].getName, "bz2_extents"),
       es => Bzip2Extents(es.head)))
+    e.injectFunction((FunctionIdentifier("wikitext_plain"),
+      new ExpressionInfo(classOf[WikitextPlain].getName, "wikitext_plain"),
+      es => WikitextPlain(es.head)))
     e.injectFunction((FunctionIdentifier("odp_slides"),
       new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
       es => OdpSlides(es.head)))

@@ -5615,6 +5615,58 @@ object Dataflow {
         .orderBy("media_id", "stream", "page")
   }
 
+  /** x252: WIKITEXT → PLAIN TEXT — x249/x250 emit RAW wikitext; the
+    * corpus stage needs prose. `wikitext_plain` (native, codegen'd —
+    * [[graft.functions.Wikitext]]) resolves the public MediaWiki
+    * constructs with nesting a regex cannot express: each page body
+    * here carries bold quotes, a `{{cite}}` template, piped and plain
+    * `[[links]]`, a `<ref>`, a heading, a list item, a `{|table|}`,
+    * and an `&amp;` entity, and the oracle states the expected prose
+    * BY CONSTRUCTION. Runs inside the shared [[Pipelines.wikidumpPlain]]
+    * projection (streaming twin identical), so the markup strip rides
+    * the same per-extent parallelism as the decode — per-row, no
+    * extra exchange at 100 TB. */
+  val x252 = DQ("x252_wikitext_plain", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS np
+      |           FROM documents),
+      |p AS (SELECT doc_id, u.p AS p FROM d,
+      |      unnest(generate_series(1, np)) AS u(p)),
+      |e AS (SELECT doc_id, p,
+      |  'Body text ' || CAST(p AS VARCHAR) || ' of doc '
+      |  || CAST(doc_id AS VARCHAR) || ' and plain ' || CAST(p AS VARCHAR)
+      |  || chr(10) || 'Sec ' || CAST(p AS VARCHAR) || chr(10) || 'item '
+      |  || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || 'Tail & '
+      |  || CAST(doc_id AS VARCHAR) AS plain FROM p)
+      |SELECT doc_id AS media_id, CAST(p AS INT) AS page,
+      |  md5(plain) AS plain_md5, CAST(length(plain) AS BIGINT) AS n_chars
+      |FROM e ORDER BY media_id, page""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Bzip2
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val np = (id % 3 + 1).toInt
+          val xml = "<mediawiki><siteinfo><sitename>graft</sitename>" +
+            "</siteinfo>" + (1 to np).map { p =>
+              val wt = s"'''Body''' text $p{{cite|$id}} of " +
+                s"[[Doc $id|doc $id]] and [[plain $p]]<ref>r$p</ref>\n" +
+                s"== Sec $p ==\n* item $id\n{| class=x\n|-\n|cell\n|}\n" +
+                s"Tail &amp; $id"
+              s"<page><title>Article $p</title><ns>0</ns><revision>" +
+                s"<text bytes=\"0\">$wt</text></revision></page>"
+            }.mkString + "</mediawiki>"
+          (id, Bzip2.encode(xml.getBytes("UTF-8")))
+        }.toDF("media_id", "media")
+      graft.streaming.Pipelines.wikidumpPlain(
+          media.select(col("media_id").cast("string").as("path"),
+            col("media").as("content")))
+        .select(col("path").cast("long").as("media_id"), col("page"),
+          md5(col("plain")).as("plain_md5"),
+          length(col("plain")).cast("long").as("n_chars"))
+        .orderBy("media_id", "page")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5622,5 +5674,5 @@ object Dataflow {
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
-    x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251)
+    x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252)
 }

@@ -711,6 +711,23 @@ object Pipelines {
     wikidumpExtract(slices)
   }
 
+  /** [[wikidumpPages]] + the corpus stage's text: `plain` is the page
+    * body with MediaWiki markup resolved (templates/tables/refs
+    * dropped, links → labels — [[graft.functions.Wikitext.plain]]),
+    * computed per page row so it rides the same extent parallelism.
+    * Marker and quarantine rows keep a null `plain`. */
+  def wikidumpPlain(files: DataFrame): DataFrame =
+    wikidumpPages(files).withColumn("plain",
+      graft.functions.WikitextPlain.wikitextPlain(col("text")))
+
+  /** Streaming twin of [[wikidumpPlain]] — same projection verbatim. */
+  def wikidumpPlainStream(spark: SparkSession, dir: String): DataFrame =
+    wikidumpPlain(spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
   /** Continuous dump ingest over a directory watch — the streaming twin
     * of [[wikidumpPages]] (the pdfTextStream pattern: a corpus grows as
     * dump files land instead of being re-scanned). */

@@ -110,4 +110,19 @@ class WikidumpStreamSpec extends AnyFunSuite {
     assert(streamed.contains("e.xml.bz2|1|0|-|-|true"))
     assert(streamed.contains("f.xml.bz2|-1|-1|-|-|false"))
   }
+
+  test("wikidumpPlainStream strips markup through the shared projection") {
+    val dir = Files.createTempDirectory("wikidump_plain").toFile
+    Files.write(new java.io.File(dir, "m.xml.bz2").toPath,
+      dump(Seq(("Marked", "'''Bold''' [[x|link]] {{tmpl}} done"))))
+    val q = Pipelines.wikidumpPlainStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("wikidump_plain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("wikidump_plain")
+      .select("title", "plain").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("Marked", "Bold link  done")))
+  }
 }
