@@ -163,6 +163,8 @@ object ChunkFunctions {
       es => Bzip2Extents(es.head), "built-in")
     reg.createOrReplaceTempFunction("wikitext_plain",
       es => WikitextPlain(es.head), "built-in")
+    reg.createOrReplaceTempFunction("zstd_bytes",
+      es => ZstdBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction("odp_slides",
       es => OdpSlides(es.head), "built-in")
   }
@@ -313,6 +315,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("wikitext_plain"),
       new ExpressionInfo(classOf[WikitextPlain].getName, "wikitext_plain"),
       es => WikitextPlain(es.head)))
+    e.injectFunction((FunctionIdentifier("zstd_bytes"),
+      new ExpressionInfo(classOf[ZstdBytes].getName, "zstd_bytes"),
+      es => ZstdBytes(es.head)))
     e.injectFunction((FunctionIdentifier("odp_slides"),
       new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
       es => OdpSlides(es.head)))

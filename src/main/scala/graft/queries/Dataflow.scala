@@ -5667,6 +5667,54 @@ object Dataflow {
         .orderBy("media_id", "page")
   }
 
+  /** x253: ZSTD DECODE — the compression modern corpus distributions
+    * actually ship (`.zst`, `.warc.zst`, `.tar.zst`), decoded through
+    * the `zstd-jni` binding Spark itself bundles for its shuffle codec
+    * (a public dependency already on every executor — nothing to
+    * hand-build, unlike bzip2/LZMA). Each document's REAL text
+    * round-trips through a checksummed frame; every 13th doc ships a
+    * TRUNCATED frame and every 17th a payload byte-FLIP (the content
+    * checksum catches it) — both quarantine, wrong bytes never flow.
+    * ZstdSpec proves two-way interop against the system `zstd` binary
+    * and multi-frame concatenations decoding whole; the member chain
+    * (`archiveText`) unwraps `.zst` members and walks `.tar.zst` like
+    * `.tar.gz`. Per-row scan at 100 TB, exactly like the gzip arm. */
+  val x253 = DQ("x253_zstd_roundtrip", Some(
+    """SELECT doc_id AS media_id,
+      |  doc_id % 13 = 0 OR doc_id % 17 = 0 AS quarantined,
+      |  CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+      |       ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+      |       ELSE length(text) END AS BIGINT) AS n_chars
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Zstandard, ZstdBytes}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val enc = Zstandard.encode(text.getBytes("UTF-8"))
+          val arm =
+            if (id % 13 == 0) enc.dropRight(5)
+            else if (id % 17 == 0) {
+              val b = enc.clone()
+              // flip inside the compressed body (past the 4-byte magic
+              // + frame header), caught by the content checksum
+              b(b.length / 2) = (b(b.length / 2) ^ 0x41).toByte
+              b
+            } else enc
+          (id, arm)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("text",
+          ZstdBytes.zstdBytes(col("media")).cast("string"))
+        .select(col("media_id"), col("text").isNull.as("quarantined"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5674,5 +5722,6 @@ object Dataflow {
     x168, x169, x170, x171, x176, x178, x179, x180, x181, x182, x189, x191,
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
-    x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252)
+    x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
+    x253)
 }

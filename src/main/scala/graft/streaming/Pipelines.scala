@@ -487,18 +487,22 @@ object Pipelines {
     files
       .withColumn("zes",
         when(col("path").endsWith(".zip"), ZipEntries.zipEntries(col("content"))))
-      // the TAR walker gunzips by magic, so .tar.gz/.tgz ride the same arm
+      // the TAR walker gunzips by magic, so .tar.gz/.tgz ride the same
+      // arm; .tar.zst pre-inflates through the zstd member decode
       .withColumn("tes",
         when(col("path").endsWith(".tar") || col("path").endsWith(".tar.gz")
           || col("path").endsWith(".tgz"),
-          TarEntries.tarEntries(col("content"))))
+          TarEntries.tarEntries(col("content")))
+        .when(col("path").endsWith(".tar.zst"),
+          TarEntries.tarEntries(
+            graft.functions.ZstdBytes.zstdBytes(col("content")))))
       .withColumn("ms", expr(
         """CASE
           |  WHEN path LIKE '%.zip' THEN
           |    transform(zes, e ->
           |      struct(e.name AS name, e.crc_ok AS ok, e.payload AS payload))
           |  WHEN path LIKE '%.tar' OR path LIKE '%.tar.gz'
-          |    OR path LIKE '%.tgz' THEN
+          |    OR path LIKE '%.tgz' OR path LIKE '%.tar.zst' THEN
           |    transform(filter(tes, e -> e.typeflag = '0'), e ->
           |      struct(e.name AS name, true AS ok, e.payload AS payload))
           |  ELSE array(struct(path AS name, true AS ok, content AS payload))
@@ -538,6 +542,10 @@ object Pipelines {
       .withColumn("bz",
         when(col("m.ok") && col("m.name").endsWith(".bz2"),
           graft.functions.BunzipBytes.bunzipBytes(col("m.payload"))))
+      .withColumn("zs",
+        when(col("m.ok") && col("m.name").endsWith(".zst")
+          && !col("m.name").endsWith(".tar.zst"),
+          graft.functions.ZstdBytes.zstdBytes(col("m.payload"))))
       .withColumn("m", expr(
         """CASE WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.gz'
           |       AND m.name NOT LIKE '%.tar.gz' THEN
@@ -546,6 +554,10 @@ object Pipelines {
           |WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.bz2' THEN
           |  struct(substring(m.name, 1, length(m.name) - 4) AS name,
           |         bz IS NOT NULL AS ok, bz AS payload)
+          |WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.zst'
+          |     AND m.name NOT LIKE '%.tar.zst' THEN
+          |  struct(substring(m.name, 1, length(m.name) - 4) AS name,
+          |         zs IS NOT NULL AS ok, zs AS payload)
           |ELSE m END""".stripMargin))
       .withColumn("nzes",
         when(col("m.ok") && col("m.name").endsWith(".zip"),
@@ -554,7 +566,10 @@ object Pipelines {
         when(col("m.ok") && (col("m.name").endsWith(".tar")
           || col("m.name").endsWith(".tar.gz")
           || col("m.name").endsWith(".tgz")),
-          TarEntries.tarEntries(col("m.payload"))))
+          TarEntries.tarEntries(col("m.payload")))
+        .when(col("m.ok") && col("m.name").endsWith(".tar.zst"),
+          TarEntries.tarEntries(
+            graft.functions.ZstdBytes.zstdBytes(col("m.payload")))))
       .withColumn("ms2", expr(
         """CASE
           |  WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.zip' THEN
@@ -565,7 +580,8 @@ object Pipelines {
           |      concat(m.name, '!', e.name) AS name,
           |      e.crc_ok AS ok, e.payload AS payload)) END
           |  WHEN m IS NOT NULL AND m.ok AND (m.name LIKE '%.tar'
-          |    OR m.name LIKE '%.tar.gz' OR m.name LIKE '%.tgz') THEN
+          |    OR m.name LIKE '%.tar.gz' OR m.name LIKE '%.tgz'
+          |    OR m.name LIKE '%.tar.zst') THEN
           |    CASE WHEN ntes IS NULL THEN
           |      array(struct(m.name AS name, false AS ok,
           |                   CAST(NULL AS BINARY) AS payload))

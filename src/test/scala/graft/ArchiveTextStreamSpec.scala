@@ -112,6 +112,9 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
       // a NESTED .tgz must take the tar arm, not the single-file gzip
       // unwrap (".tgz" does not end with ".gz", so the gz arm cannot
       // hijack it — pinned here so the dispatch can never regress)
+      // a nested single-file .zst member unwraps in place like .gz/.bz2
+      ("note2.txt.zst", "0", graft.functions.Zstandard.encode(
+        "zstd member text".getBytes)),
       ("inner2.tgz", "0", {
         val t = Archives.buildTar(Seq(
           ("deep.txt", "0", "nested tgz member".getBytes)))
@@ -127,6 +130,10 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     val gzo = new java.util.zip.GZIPOutputStream(bos)
     gzo.write(eTar); gzo.close()
     Files.write(new java.io.File(dir, "e.tgz").toPath, bos.toByteArray)
+    // g.tar.zst: the zstd-wrapped tar form — same members must surface
+    Files.write(new java.io.File(dir, "g.tar.zst").toPath,
+      graft.functions.Zstandard.encode(Archives.buildTar(Seq(
+        ("zs.txt", "0", "zstd tar member".getBytes)))))
     // c.zip: truncated container → one unreadable quarantine row
     Files.write(new java.io.File(dir, "c.zip").toPath,
       Archives.buildZip(Seq(("x.txt", "x".getBytes, false))).dropRight(9))
@@ -208,6 +215,11 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     // nested .tgz rides the tar arm (NOT the gz unwrap) and explodes
     assert(find("inner2.tgz!deep.txt").contains("|txt|nested tgz member|"))
     assert(find("inner2.tgz!deep.txt").endsWith("true"))
+    // .zst members: in-place unwrap (name loses .zst) and .tar.zst walk
+    assert(find("note2.txt").contains("|txt|zstd member text|"))
+    assert(find("note2.txt").endsWith("true"))
+    assert(find("zs.txt").contains("|txt|zstd tar member|"))
+    assert(find("zs.txt").endsWith("true"))
     assert(streamed.count(_.contains("|torn.zip|")) == 1)
     assert(find("torn.zip").contains("|corrupt|-|-|false"))
     // container-level quarantines: exactly one row each, kind unreadable

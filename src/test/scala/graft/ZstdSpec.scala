@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Zstandard
+
+/** Zstandard decode against the REAL world: two-way interop with the
+  * system `zstd` binary (their bytes decode here; our bytes decode
+  * there), multi-frame concatenations decoding whole, and the
+  * quarantine arms (truncation, checksum flip, not-zstd, inflate
+  * bound). The binding is the zstd-jni Spark bundles — the spec's job
+  * is pinning OUR decode contract around it. */
+class ZstdSpec extends AnyFunSuite {
+
+  private def sysZstd: Option[String] =
+    Seq("/root/miniconda/bin/zstd", "/usr/bin/zstd", "/usr/local/bin/zstd")
+      .find(p => new java.io.File(p).canExecute)
+
+  test("roundtrip through our encode/decode") {
+    val data = ("the quick brown fox, " * 100).getBytes("UTF-8")
+    val enc = Zstandard.encode(data)
+    assert(java.util.Arrays.equals(Zstandard.decode(enc), data))
+  }
+
+  test("system zstd output decodes here (both levels)") {
+    sysZstd match {
+      case None => cancel("no system zstd binary")
+      case Some(z) =>
+        for (lvl <- Seq("-1", "-19")) {
+          val dir = Files.createTempDirectory("zstd_in").toFile
+          val raw = new java.io.File(dir, "in.txt")
+          val data = ("interop payload line\n" * 500).getBytes("UTF-8")
+          Files.write(raw.toPath, data)
+          val rc = new ProcessBuilder(z, lvl, "-q", raw.getAbsolutePath)
+            .start().waitFor()
+          assert(rc == 0)
+          val enc = Files.readAllBytes(
+            new java.io.File(dir, "in.txt.zst").toPath)
+          assert(java.util.Arrays.equals(Zstandard.decode(enc), data),
+            s"system zstd $lvl bytes did not decode")
+        }
+    }
+  }
+
+  test("our encode decodes under system zstd") {
+    sysZstd match {
+      case None => cancel("no system zstd binary")
+      case Some(z) =>
+        val dir = Files.createTempDirectory("zstd_out").toFile
+        val data = ("round the other way\n" * 300).getBytes("UTF-8")
+        val f = new java.io.File(dir, "out.zst")
+        Files.write(f.toPath, Zstandard.encode(data))
+        val rc = new ProcessBuilder(z, "-d", "-q", f.getAbsolutePath)
+          .start().waitFor()
+        assert(rc == 0, "system zstd rejected our frame")
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(new java.io.File(dir, "out").toPath), data))
+    }
+  }
+
+  test("multi-frame concatenation decodes whole") {
+    val a = "first frame ".getBytes
+    val b = "second frame".getBytes
+    val cat = Zstandard.encode(a) ++ Zstandard.encode(b)
+    assert(new String(Zstandard.decode(cat)) == "first frame second frame")
+  }
+
+  test("quarantine arms: truncation, flip, not-zstd") {
+    val data = ("payload to protect " * 50).getBytes
+    val enc = Zstandard.encode(data)
+    assert(Zstandard.decode(enc.dropRight(5)) == null, "truncation")
+    val flip = enc.clone()
+    flip(flip.length / 2) = (flip(flip.length / 2) ^ 0x41).toByte
+    assert(Zstandard.decode(flip) == null, "checksum flip")
+    assert(Zstandard.decode("not zstd at all".getBytes) == null)
+    assert(Zstandard.decode(Array[Byte]()) == null)
+  }
+}
