@@ -165,6 +165,8 @@ object ChunkFunctions {
       es => WikitextPlain(es.head), "built-in")
     reg.createOrReplaceTempFunction("zstd_bytes",
       es => ZstdBytes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("xz_bytes",
+      es => XzBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction("odp_slides",
       es => OdpSlides(es.head), "built-in")
   }
@@ -318,6 +320,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("zstd_bytes"),
       new ExpressionInfo(classOf[ZstdBytes].getName, "zstd_bytes"),
       es => ZstdBytes(es.head)))
+    e.injectFunction((FunctionIdentifier("xz_bytes"),
+      new ExpressionInfo(classOf[XzBytes].getName, "xz_bytes"),
+      es => XzBytes(es.head)))
     e.injectFunction((FunctionIdentifier("odp_slides"),
       new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
       es => OdpSlides(es.head)))

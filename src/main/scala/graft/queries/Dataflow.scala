@@ -5715,6 +5715,54 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x254: XZ/LZMA DECODE — `.tar.xz` and many academic dumps ship in
+    * XZ, and the JDK has no LZMA; built from scratch on the public
+    * Tukaani xz-file-format + 7-Zip LZMA specifications (the x248
+    * bzip2 precedent, one format over): range decoder, the full
+    * 12-state LZMA machine, LZMA2 chunking with state/props/dict
+    * resets, the XZ container with CRC-checked headers/index/footer
+    * and CRC32/CRC64/SHA-256 block checks ([[graft.functions.Xz]]).
+    * Fixtures alternate the subset encoder's two modes (literal-only
+    * LZMA chunks through a REAL range encoder / uncompressed chunks);
+    * MATCH decoding is proven against the system `xz` at presets
+    * 0/6/9e in XzSpec — both directions. Every 13th doc ships a
+    * truncated container, every 17th a payload flip caught by the
+    * block check — quarantine, wrong bytes never flow. Per-row scan
+    * at 100 TB like the other codec arms. */
+  val x254 = DQ("x254_xz_roundtrip", Some(
+    """SELECT doc_id AS media_id,
+      |  doc_id % 13 = 0 OR doc_id % 17 = 0 AS quarantined,
+      |  CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+      |       ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN NULL
+      |       ELSE length(text) END AS BIGINT) AS n_chars
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Xz, XzBytes}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val enc = Xz.encode(text.getBytes("UTF-8"),
+            literalLzma = id % 2 == 0, chunkSize = 1 << 9)
+          val arm =
+            if (id % 13 == 0) enc.dropRight(7)
+            else if (id % 17 == 0) {
+              val b = enc.clone()
+              b(b.length / 2) = (b(b.length / 2) ^ 0x55).toByte
+              b
+            } else enc
+          (id, arm)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("text", XzBytes.xzBytes(col("media")).cast("string"))
+        .select(col("media_id"), col("text").isNull.as("quarantined"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5723,5 +5771,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253)
+    x253, x254)
 }

@@ -495,14 +495,18 @@ object Pipelines {
           TarEntries.tarEntries(col("content")))
         .when(col("path").endsWith(".tar.zst"),
           TarEntries.tarEntries(
-            graft.functions.ZstdBytes.zstdBytes(col("content")))))
+            graft.functions.ZstdBytes.zstdBytes(col("content"))))
+        .when(col("path").endsWith(".tar.xz"),
+          TarEntries.tarEntries(
+            graft.functions.XzBytes.xzBytes(col("content")))))
       .withColumn("ms", expr(
         """CASE
           |  WHEN path LIKE '%.zip' THEN
           |    transform(zes, e ->
           |      struct(e.name AS name, e.crc_ok AS ok, e.payload AS payload))
           |  WHEN path LIKE '%.tar' OR path LIKE '%.tar.gz'
-          |    OR path LIKE '%.tgz' OR path LIKE '%.tar.zst' THEN
+          |    OR path LIKE '%.tgz' OR path LIKE '%.tar.zst'
+          |    OR path LIKE '%.tar.xz' THEN
           |    transform(filter(tes, e -> e.typeflag = '0'), e ->
           |      struct(e.name AS name, true AS ok, e.payload AS payload))
           |  ELSE array(struct(path AS name, true AS ok, content AS payload))
@@ -546,6 +550,10 @@ object Pipelines {
         when(col("m.ok") && col("m.name").endsWith(".zst")
           && !col("m.name").endsWith(".tar.zst"),
           graft.functions.ZstdBytes.zstdBytes(col("m.payload"))))
+      .withColumn("xzb",
+        when(col("m.ok") && col("m.name").endsWith(".xz")
+          && !col("m.name").endsWith(".tar.xz"),
+          graft.functions.XzBytes.xzBytes(col("m.payload"))))
       .withColumn("m", expr(
         """CASE WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.gz'
           |       AND m.name NOT LIKE '%.tar.gz' THEN
@@ -558,6 +566,10 @@ object Pipelines {
           |     AND m.name NOT LIKE '%.tar.zst' THEN
           |  struct(substring(m.name, 1, length(m.name) - 4) AS name,
           |         zs IS NOT NULL AS ok, zs AS payload)
+          |WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.xz'
+          |     AND m.name NOT LIKE '%.tar.xz' THEN
+          |  struct(substring(m.name, 1, length(m.name) - 3) AS name,
+          |         xzb IS NOT NULL AS ok, xzb AS payload)
           |ELSE m END""".stripMargin))
       .withColumn("nzes",
         when(col("m.ok") && col("m.name").endsWith(".zip"),
@@ -569,7 +581,10 @@ object Pipelines {
           TarEntries.tarEntries(col("m.payload")))
         .when(col("m.ok") && col("m.name").endsWith(".tar.zst"),
           TarEntries.tarEntries(
-            graft.functions.ZstdBytes.zstdBytes(col("m.payload")))))
+            graft.functions.ZstdBytes.zstdBytes(col("m.payload"))))
+        .when(col("m.ok") && col("m.name").endsWith(".tar.xz"),
+          TarEntries.tarEntries(
+            graft.functions.XzBytes.xzBytes(col("m.payload")))))
       .withColumn("ms2", expr(
         """CASE
           |  WHEN m IS NOT NULL AND m.ok AND m.name LIKE '%.zip' THEN
@@ -581,7 +596,7 @@ object Pipelines {
           |      e.crc_ok AS ok, e.payload AS payload)) END
           |  WHEN m IS NOT NULL AND m.ok AND (m.name LIKE '%.tar'
           |    OR m.name LIKE '%.tar.gz' OR m.name LIKE '%.tgz'
-          |    OR m.name LIKE '%.tar.zst') THEN
+          |    OR m.name LIKE '%.tar.zst' OR m.name LIKE '%.tar.xz') THEN
           |    CASE WHEN ntes IS NULL THEN
           |      array(struct(m.name AS name, false AS ok,
           |                   CAST(NULL AS BINARY) AS payload))

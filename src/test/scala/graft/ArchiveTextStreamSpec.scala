@@ -115,6 +115,9 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
       // a nested single-file .zst member unwraps in place like .gz/.bz2
       ("note2.txt.zst", "0", graft.functions.Zstandard.encode(
         "zstd member text".getBytes)),
+      // and a nested single-file .xz member
+      ("note3.txt.xz", "0", graft.functions.Xz.encode(
+        "xz member text".getBytes)),
       ("inner2.tgz", "0", {
         val t = Archives.buildTar(Seq(
           ("deep.txt", "0", "nested tgz member".getBytes)))
@@ -134,6 +137,10 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     Files.write(new java.io.File(dir, "g.tar.zst").toPath,
       graft.functions.Zstandard.encode(Archives.buildTar(Seq(
         ("zs.txt", "0", "zstd tar member".getBytes)))))
+    // h.tar.xz: the xz-wrapped tar form
+    Files.write(new java.io.File(dir, "h.tar.xz").toPath,
+      graft.functions.Xz.encode(Archives.buildTar(Seq(
+        ("xzm.txt", "0", "xz tar member".getBytes)))))
     // c.zip: truncated container → one unreadable quarantine row
     Files.write(new java.io.File(dir, "c.zip").toPath,
       Archives.buildZip(Seq(("x.txt", "x".getBytes, false))).dropRight(9))
@@ -220,6 +227,11 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("note2.txt").endsWith("true"))
     assert(find("zs.txt").contains("|txt|zstd tar member|"))
     assert(find("zs.txt").endsWith("true"))
+    // .xz members: in-place unwrap and .tar.xz walk
+    assert(find("note3.txt").contains("|txt|xz member text|"))
+    assert(find("note3.txt").endsWith("true"))
+    assert(find("xzm.txt").contains("|txt|xz tar member|"))
+    assert(find("xzm.txt").endsWith("true"))
     assert(streamed.count(_.contains("|torn.zip|")) == 1)
     assert(find("torn.zip").contains("|corrupt|-|-|false"))
     // container-level quarantines: exactly one row each, kind unreadable

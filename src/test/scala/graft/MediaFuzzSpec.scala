@@ -49,7 +49,12 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("epub_chapters", b => graft.functions.Epubs.epubChapters(b)),
     ("rtf_text", b => graft.functions.Rtfs.rtfText(b)),
     ("eml_parse", b => graft.functions.Emls.emlParse(b)),
-    ("bunzip", b => graft.functions.Bzip2.decode(b)))
+    ("bunzip", b => graft.functions.Bzip2.decode(b)),
+    ("bz2_extents", b => graft.functions.Bzip2.streamOffsets(b)),
+    ("zstd_decode", b => graft.functions.Zstandard.decode(b)),
+    ("xz_decode", b => graft.functions.Xz.decode(b)),
+    ("wikitext_plain", b => graft.functions.Wikitext.plain(
+      new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))))
 
   private def validPayloads: Seq[Array[Byte]] = Seq(
     ImageHeaders.buildBmp24(5, 4, topDown = false)((x, y) => (x, y, x + y)),
@@ -180,7 +185,13 @@ class MediaFuzzSpec extends AnyFunSuite {
       "Mon, 1 Jan 2024 00:00:00 +0000", "ligne café — une\ntwo",
       encoding = "quoted-printable", htmlAlt = true),
     graft.functions.Bzip2.encode(
-      ("bz2 corpus stand-in " * 40 + "rrrr" * 30).getBytes))
+      ("bz2 corpus stand-in " * 40 + "rrrr" * 30).getBytes),
+    graft.functions.Zstandard.encode(
+      ("zstd corpus stand-in " * 40).getBytes),
+    graft.functions.Xz.encode(
+      ("xz corpus stand-in " * 40).getBytes, literalLzma = true),
+    graft.functions.Xz.encode(
+      ("xz corpus stand-in " * 40).getBytes, literalLzma = false))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)

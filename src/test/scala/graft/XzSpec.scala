@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Xz
+
+/** The from-scratch XZ/LZMA decoder against the real world: system
+  * `xz` output at several presets must decode here byte-identically
+  * (that covers MATCH/rep decoding, which the subset encoder never
+  * emits), our subset frames must decode under the system `xz`, and
+  * the quarantine arms (truncation, payload flip caught by the block
+  * check, header flip caught by the header CRC, not-xz) must
+  * null-route — the Bzip2Spec posture, one format over. */
+class XzSpec extends AnyFunSuite {
+
+  private def sysXz: Option[String] =
+    Seq("/root/miniconda/bin/xz", "/usr/bin/xz", "/usr/local/bin/xz")
+      .find(p => new java.io.File(p).canExecute)
+
+  // repetitive enough that xz emits real matches and reps
+  private def corpus: Array[Byte] =
+    (1 to 400).map(i => s"line $i of the corpus, the corpus of line $i\n")
+      .mkString.getBytes("UTF-8")
+
+  test("roundtrip: literal-LZMA subset encoder") {
+    val data = corpus
+    val enc = Xz.encode(data, literalLzma = true, chunkSize = 1 << 12)
+    assert(java.util.Arrays.equals(Xz.decode(enc), data))
+  }
+
+  test("roundtrip: uncompressed-chunk subset encoder") {
+    val data = corpus
+    val enc = Xz.encode(data, literalLzma = false, chunkSize = 1 << 12)
+    assert(java.util.Arrays.equals(Xz.decode(enc), data))
+  }
+
+  test("empty input roundtrips") {
+    assert(Xz.decode(Xz.encode(Array[Byte]())).length == 0)
+  }
+
+  test("system xz output decodes here (presets 0, 6, 9e; checks crc32/crc64/sha256)") {
+    sysXz match {
+      case None => cancel("no system xz binary")
+      case Some(xz) =>
+        val arms = Seq(
+          Seq("-0", "--check=crc32"),
+          Seq("-6", "--check=crc64"),
+          Seq("-9e", "--check=sha256"))
+        for (args <- arms) {
+          val dir = Files.createTempDirectory("xz_in").toFile
+          val raw = new java.io.File(dir, "in.txt")
+          Files.write(raw.toPath, corpus)
+          val cmd = Seq(xz, "-q", "-k") ++ args :+ raw.getAbsolutePath
+          val rc = new ProcessBuilder(cmd: _*).start().waitFor()
+          assert(rc == 0, s"system xz failed for $args")
+          val enc = Files.readAllBytes(
+            new java.io.File(dir, "in.txt.xz").toPath)
+          assert(java.util.Arrays.equals(Xz.decode(enc), corpus),
+            s"system xz $args bytes did not decode")
+        }
+    }
+  }
+
+  test("our subset frames decode under system xz") {
+    sysXz match {
+      case None => cancel("no system xz binary")
+      case Some(xz) =>
+        for (lit <- Seq(true, false)) {
+          val dir = Files.createTempDirectory("xz_out").toFile
+          val f = new java.io.File(dir, s"out_$lit.xz")
+          Files.write(f.toPath, Xz.encode(corpus, literalLzma = lit))
+          val rc = new ProcessBuilder(xz, "-d", "-q", f.getAbsolutePath)
+            .start().waitFor()
+          assert(rc == 0, s"system xz rejected our frame (literal=$lit)")
+          assert(java.util.Arrays.equals(
+            Files.readAllBytes(
+              new java.io.File(dir, s"out_$lit").toPath), corpus))
+        }
+    }
+  }
+
+  test("concatenated streams decode whole (with stream padding)") {
+    val a = Xz.encode("first part ".getBytes)
+    val b = Xz.encode("second part".getBytes)
+    val pad = new Array[Byte](4)
+    assert(new String(Xz.decode(a ++ b)) == "first part second part")
+    assert(new String(Xz.decode(a ++ pad ++ b)) == "first part second part")
+  }
+
+  test("quarantine arms: truncation, payload flip, header flip, not-xz") {
+    val enc = Xz.encode(corpus)
+    assert(Xz.decode(enc.dropRight(7)) == null, "truncation")
+    val flip = enc.clone()
+    flip(40) = (flip(40) ^ 0x55).toByte // inside LZMA2 payload → check fails
+    assert(Xz.decode(flip) == null, "payload flip")
+    val hdr = enc.clone()
+    hdr(7) = (hdr(7) ^ 0x01).toByte // stream flags → header CRC fails
+    assert(Xz.decode(hdr) == null, "header flip")
+    assert(Xz.decode("certainly not xz".getBytes) == null)
+    assert(Xz.decode(Array[Byte]()) == null)
+  }
+}
