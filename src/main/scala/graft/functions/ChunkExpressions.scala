@@ -167,6 +167,8 @@ object ChunkFunctions {
       es => ZstdBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction("xz_bytes",
       es => XzBytes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sevenz_entries",
+      es => SevenZipEntries(es.head), "built-in")
     reg.createOrReplaceTempFunction("odp_slides",
       es => OdpSlides(es.head), "built-in")
   }
@@ -323,6 +325,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("xz_bytes"),
       new ExpressionInfo(classOf[XzBytes].getName, "xz_bytes"),
       es => XzBytes(es.head)))
+    e.injectFunction((FunctionIdentifier("sevenz_entries"),
+      new ExpressionInfo(classOf[SevenZipEntries].getName, "sevenz_entries"),
+      es => SevenZipEntries(es.head)))
     e.injectFunction((FunctionIdentifier("odp_slides"),
       new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
       es => OdpSlides(es.head)))

@@ -1,0 +1,639 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Library-free 7z container walk (the public 7z format as documented
+  * in 7-Zip's 7zFormat.txt) — Stack Exchange dumps and plenty of
+  * mirror corpora ship as `.7z`. Built on the x162 ZIP precedent
+  * (container triage + member extraction, build-then-parse inversion
+  * for fixtures; no 7z tool exists in this environment, so interop is
+  * by-construction rather than binary-vs-binary) and on the x254 LZMA
+  * machinery for payloads:
+  *
+  *  - full signature/start-header CRC chain, raw AND LZMA-compressed
+  *    (`kEncodedHeader`) headers, PackInfo/UnpackInfo/SubStreamsInfo,
+  *    FilesInfo with UTF-16LE names and empty-stream/empty-file bits;
+  *  - folder payload decode for the Copy (0x00), LZMA2 (0x21) and raw
+  *    LZMA (0x030101) coders — the three plain-archive coders; a
+  *    folder wearing anything else (BCJ/delta chains) keeps its
+  *    members visible with `crc_ok = false` and null payloads: triage
+  *    never dies on an exotic coder, it routes;
+  *  - per-substream CRC32 verification where the archive carries
+  *    digests.
+  *
+  * Null for a broken CONTAINER (bad magic, start-header CRC, torn
+  * next header); per-member dead letters for everything below that —
+  * the same two-level quarantine as `zip_entries`. */
+object SevenZip {
+
+  final case class Entry(name: String, crcOk: Boolean, payload: Array[Byte])
+
+  private object Corrupt extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def fail(): Nothing = throw Corrupt
+
+  private val Magic = Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C)
+
+  private final class Cursor(val b: Array[Byte], var pos: Int, val end: Int) {
+    def u8(): Int = {
+      if (pos >= end) fail()
+      pos += 1
+      b(pos - 1) & 0xFF
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > end) fail()
+      val r = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n
+      r
+    }
+    def le32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    def le64(): Long = (le32().toLong & 0xFFFFFFFFL) | (le32().toLong << 32)
+
+    /** 7z's variable-length number: first byte's high bits say how
+      * many EXTRA bytes follow (7zFormat.txt REAL_UINT64). */
+    def num(): Long = {
+      val first = u8()
+      var mask = 0x80
+      var value = 0L
+      var i = 0
+      while (i < 8) {
+        if ((first & mask) == 0)
+          return value | ((first & (mask - 1)).toLong << (8 * i))
+        value |= u8().toLong << (8 * i)
+        mask >>= 1
+        i += 1
+      }
+      value
+    }
+    def numInt(): Int = {
+      val v = num()
+      if (v < 0 || v > Int.MaxValue) fail()
+      v.toInt
+    }
+  }
+
+  /** A bit vector, optionally preceded by an all-defined marker byte. */
+  private def readBoolVector(c: Cursor, n: Int): Array[Boolean] = {
+    val out = new Array[Boolean](n)
+    var mask = 0
+    var cur = 0
+    var i = 0
+    while (i < n) {
+      if (mask == 0) { cur = c.u8(); mask = 0x80 }
+      out(i) = (cur & mask) != 0
+      mask >>= 1
+      i += 1
+    }
+    out
+  }
+
+  private def readOptionalBoolVector(c: Cursor, n: Int): Array[Boolean] = {
+    if (c.u8() != 0) Array.fill(n)(true) else readBoolVector(c, n)
+  }
+
+  private final case class Coder(id: Long, props: Array[Byte],
+      nIn: Int, nOut: Int)
+  private final case class Folder(coders: Seq[Coder],
+      bindPairs: Seq[(Int, Int)], packedIndices: Seq[Int],
+      var unpackSizes: Seq[Long], var crc: Option[Int])
+
+  private final case class StreamsInfo(packPos: Long, packSizes: Seq[Long],
+      folders: Seq[Folder],
+      subCounts: Seq[Int], subSizes: Seq[Seq[Long]],
+      subCrcs: Seq[Seq[Option[Int]]])
+
+  // property ids (7zFormat.txt)
+  private val kEnd = 0x00
+  private val kHeader = 0x01
+  private val kMainStreamsInfo = 0x04
+  private val kFilesInfo = 0x05
+  private val kPackInfo = 0x06
+  private val kUnpackInfo = 0x07
+  private val kSubStreamsInfo = 0x08
+  private val kSize = 0x09
+  private val kCRC = 0x0A
+  private val kFolder = 0x0B
+  private val kCodersUnpackSize = 0x0C
+  private val kNumUnpackStream = 0x0D
+  private val kEmptyStream = 0x0E
+  private val kEmptyFile = 0x0F
+  private val kName = 0x11
+  private val kEncodedHeader = 0x17
+
+  def entries(raw: Array[Byte]): Seq[Entry] = {
+    try entriesImpl(raw)
+    catch { case Corrupt => null; case NonFatal(_) => null }
+  }
+
+  private def entriesImpl(raw: Array[Byte]): Seq[Entry] = {
+    if (raw == null || raw.length < 32) fail()
+    var i = 0
+    while (i < 6) { if (raw(i) != Magic(i)) fail(); i += 1 }
+    // version (major 0) + start-header CRC over the 20 bytes after it
+    if (Xz.crc32(raw, 12, 32) != (new Cursor(raw, 8, 12)).le32()) fail()
+    val sh = new Cursor(raw, 12, 32)
+    val nhOff = sh.le64()
+    val nhSize = sh.le64()
+    val nhCrc = sh.le32()
+    if (nhOff < 0 || nhSize < 0 || 32L + nhOff + nhSize > raw.length) fail()
+    val hAt = (32L + nhOff).toInt
+    if (Xz.crc32(raw, hAt, hAt + nhSize.toInt) != nhCrc) fail()
+
+    var header = java.util.Arrays.copyOfRange(raw, hAt, hAt + nhSize.toInt)
+    if (header.isEmpty) fail()
+    if ((header(0) & 0xFF) == kEncodedHeader) {
+      // the header itself is a folder payload — decode and re-read
+      val hc = new Cursor(header, 1, header.length)
+      val si = readStreamsInfo(hc)
+      if (si.folders.size != 1) fail()
+      val dec = decodeFolder(raw, si, 0)
+      if (dec == null) fail()
+      header = dec
+      if (header.isEmpty || (header(0) & 0xFF) != kHeader) fail()
+    } else if ((header(0) & 0xFF) != kHeader) fail()
+
+    val c = new Cursor(header, 1, header.length)
+    var streams: StreamsInfo = null
+    var names: Seq[String] = Nil
+    var emptyStream: Array[Boolean] = Array.empty
+    var done = false
+    while (!done) {
+      val id = c.numInt()
+      id match {
+        case `kEnd` => done = true
+        case `kMainStreamsInfo` => streams = readStreamsInfo(c)
+        case `kFilesInfo` =>
+          val nFiles = c.numInt()
+          names = Seq.fill(nFiles)("")
+          emptyStream = new Array[Boolean](nFiles)
+          var fDone = false
+          while (!fDone) {
+            val pid = c.numInt()
+            if (pid == kEnd) fDone = true
+            else {
+              val size = c.numInt()
+              val endAt = c.pos + size
+              pid match {
+                case `kEmptyStream` =>
+                  emptyStream = readBoolVector(c, nFiles)
+                case `kName` =>
+                  if (c.u8() != 0) fail() // external names unsupported
+                  val nb = ArrayBuffer[String]()
+                  val sb = new StringBuilder
+                  while (c.pos < endAt) {
+                    val lo = c.u8(); val hi = c.u8()
+                    val ch = (lo | (hi << 8)).toChar
+                    if (ch == 0) { nb += sb.toString; sb.clear() }
+                    else sb.append(ch)
+                  }
+                  if (nb.size != nFiles) fail()
+                  names = nb.toSeq
+                case _ => // mtime/attributes/kEmptyFile: triage ignores
+              }
+              c.pos = endAt
+            }
+          }
+        case _ =>
+          // unknown top-level property: sized, skippable
+          val size = c.numInt()
+          c.pos += size
+          if (c.pos > c.end) fail()
+      }
+    }
+    if (names.isEmpty) fail()
+
+    // decode folders and cut substreams
+    val subPayloads = ArrayBuffer[(Boolean, Array[Byte])]()
+    if (streams != null) {
+      var f = 0
+      while (f < streams.folders.size) {
+        val unc = decodeFolder(raw, streams, f)
+        val sizes = streams.subSizes(f)
+        val crcs = streams.subCrcs(f)
+        if (unc == null) {
+          sizes.indices.foreach(_ => subPayloads += ((false, null)))
+        } else {
+          var off = 0L
+          var s = 0
+          while (s < sizes.size) {
+            val len = sizes(s)
+            if (off + len > unc.length) {
+              subPayloads += ((false, null))
+            } else {
+              val part = java.util.Arrays.copyOfRange(
+                unc, off.toInt, (off + len).toInt)
+              val ok = crcs(s).forall(d => Xz.crc32(part, 0, part.length) == d)
+              subPayloads += ((ok, if (ok) part else null))
+            }
+            off += len
+            s += 1
+          }
+        }
+        f += 1
+      }
+    }
+
+    // map files over substreams; empty-stream files carry empty payloads
+    var sub = 0
+    names.indices.map { fi =>
+      if (emptyStream.length > fi && emptyStream(fi))
+        Entry(names(fi), crcOk = true, Array.empty[Byte])
+      else if (sub < subPayloads.size) {
+        val (ok, p) = subPayloads(sub)
+        sub += 1
+        Entry(names(fi), ok, p)
+      } else Entry(names(fi), crcOk = false, null)
+    }
+  }
+
+  private def readStreamsInfo(c: Cursor): StreamsInfo = {
+    var packPos = 0L
+    var packSizes: Seq[Long] = Nil
+    var folders: Seq[Folder] = Nil
+    var subCounts: Seq[Int] = Nil
+    var subSizes: Seq[Seq[Long]] = Nil
+    var subCrcs: Seq[Seq[Option[Int]]] = Nil
+    var done = false
+    while (!done) {
+      c.numInt() match {
+        case `kEnd` => done = true
+        case `kPackInfo` =>
+          packPos = c.num()
+          val n = c.numInt()
+          var pDone = false
+          while (!pDone) {
+            c.numInt() match {
+              case `kEnd` => pDone = true
+              case `kSize` => packSizes = Seq.fill(n)(c.num())
+              case `kCRC` =>
+                val defined = readOptionalBoolVector(c, n)
+                defined.foreach(d => if (d) c.le32())
+              case _ => fail()
+            }
+          }
+        case `kUnpackInfo` =>
+          if (c.numInt() != kFolder) fail()
+          val nf = c.numInt()
+          if (c.u8() != 0) fail() // external folders unsupported
+          folders = Seq.fill(nf)(readFolder(c))
+          if (c.numInt() != kCodersUnpackSize) fail()
+          folders.foreach { f =>
+            val total = f.coders.map(_.nOut).sum
+            f.unpackSizes = Seq.fill(total)(c.num())
+          }
+          var uDone = false
+          while (!uDone) {
+            c.numInt() match {
+              case `kEnd` => uDone = true
+              case `kCRC` =>
+                val defined = readOptionalBoolVector(c, nf)
+                folders.zip(defined).foreach { case (f, d) =>
+                  if (d) f.crc = Some(c.le32())
+                }
+              case _ => fail()
+            }
+          }
+        case `kSubStreamsInfo` =>
+          subCounts = folders.map(_ => 1)
+          var haveSizes = false
+          var sDone = false
+          while (!sDone) {
+            c.numInt() match {
+              case `kEnd` => sDone = true
+              case `kNumUnpackStream` =>
+                subCounts = folders.map(_ => c.numInt())
+              case `kSize` =>
+                haveSizes = true
+                subSizes = folders.zip(subCounts).map { case (f, n) =>
+                  val known = Seq.fill(n - 1)(c.num())
+                  known :+ (folderUnpackSize(f) - known.sum)
+                }
+              case `kCRC` =>
+                // digests for streams whose CRC is not already known
+                // (single-substream folders with a folder CRC keep it)
+                val need = folders.zip(subCounts).flatMap { case (f, n) =>
+                  if (n == 1 && f.crc.isDefined) Seq(f.crc)
+                  else Seq.fill(n)(None: Option[Int])
+                }
+                val undefinedCount = need.count(_.isEmpty)
+                val defined = readOptionalBoolVector(c, undefinedCount)
+                var di = 0
+                subCrcs = {
+                  val all = need.map {
+                    case Some(d) => Some(d)
+                    case None =>
+                      val r = if (defined(di)) Some(c.le32()) else None
+                      di += 1
+                      r
+                  }
+                  // regroup per folder
+                  var at = 0
+                  folders.zip(subCounts).map { case (_, n) =>
+                    val g = all.slice(at, at + n)
+                    at += n
+                    g
+                  }
+                }
+              case _ => fail()
+            }
+          }
+          if (!haveSizes)
+            subSizes = folders.zip(subCounts).map { case (f, n) =>
+              if (n == 1) Seq(folderUnpackSize(f)) else fail()
+            }
+        case _ => fail()
+      }
+    }
+    if (subCounts.isEmpty) {
+      subCounts = folders.map(_ => 1)
+      subSizes = folders.map(f => Seq(folderUnpackSize(f)))
+    }
+    if (subCrcs.isEmpty)
+      subCrcs = folders.zip(subCounts).map { case (f, n) =>
+        if (n == 1) Seq(f.crc) else Seq.fill(n)(None: Option[Int])
+      }
+    StreamsInfo(packPos, packSizes, folders, subCounts, subSizes, subCrcs)
+  }
+
+  private def readFolder(c: Cursor): Folder = {
+    val nCoders = c.numInt()
+    if (nCoders <= 0 || nCoders > 8) fail()
+    val coders = Seq.fill(nCoders) {
+      val flag = c.u8()
+      val idLen = flag & 0x0F
+      var id = 0L
+      var i = 0
+      while (i < idLen) { id = (id << 8) | c.u8(); i += 1 }
+      val (nIn, nOut) =
+        if ((flag & 0x10) != 0) (c.numInt(), c.numInt()) else (1, 1)
+      val props =
+        if ((flag & 0x20) != 0) c.bytes(c.numInt()) else Array.empty[Byte]
+      Coder(id, props, nIn, nOut)
+    }
+    val totalIn = coders.map(_.nIn).sum
+    val totalOut = coders.map(_.nOut).sum
+    val bindPairs = Seq.fill(totalOut - 1)((c.numInt(), c.numInt()))
+    val nPacked = totalIn - bindPairs.size
+    val packedIndices =
+      if (nPacked == 1) {
+        // the single packed stream is the input not bound by any pair
+        val bound = bindPairs.map(_._1).toSet
+        Seq((0 until totalIn).find(i => !bound.contains(i)).getOrElse(fail()))
+      } else Seq.fill(nPacked)(c.numInt())
+    Folder(coders, bindPairs, packedIndices, Nil, None)
+  }
+
+  /** The folder's final output size: the out-stream no bind pair
+    * consumes. */
+  private def folderUnpackSize(f: Folder): Long = {
+    val bound = f.bindPairs.map(_._2).toSet
+    val idx = (f.unpackSizes.indices).reverse
+      .find(i => !bound.contains(i)).getOrElse(0)
+    f.unpackSizes(idx)
+  }
+
+  /** Decode folder `fi`'s payload from the packed region, or null when
+    * the coder chain is unsupported or the data breaks — the caller
+    * turns that into per-member dead letters. */
+  private def decodeFolder(raw: Array[Byte], si: StreamsInfo,
+      fi: Int): Array[Byte] = {
+    // pack streams are laid out consecutively from 32 + packPos;
+    // folder fi consumes its packedIndices-worth in order (we support
+    // one packed stream per folder, the plain-archive layout)
+    var at = 32L + si.packPos
+    var firstPack = 0
+    var f = 0
+    while (f < fi) {
+      firstPack += si.folders(f).packedIndices.size
+      f += 1
+    }
+    var i = 0
+    while (i < firstPack) { at += si.packSizes(i); i += 1 }
+    val folder = si.folders(fi)
+    if (folder.packedIndices.size != 1 || folder.coders.size != 1) return null
+    val packSize = si.packSizes(firstPack)
+    if (at + packSize > raw.length) return null
+    val packed = java.util.Arrays.copyOfRange(
+      raw, at.toInt, (at + packSize).toInt)
+    val unpackSize = folderUnpackSize(folder)
+    if (unpackSize < 0 || unpackSize > Xz.MaxOut) return null
+    val coder = folder.coders.head
+    val out = coder.id match {
+      case 0x00 => // Copy
+        if (packed.length.toLong != unpackSize) null else packed
+      case 0x21 => // LZMA2
+        Xz.lzma2Decode(packed)
+      case 0x030101 => // raw LZMA
+        if (coder.props.length < 1) null
+        else Xz.lzmaRawDecode(packed, coder.props(0) & 0xFF, unpackSize.toInt)
+      case _ => null // BCJ/delta chains: triage, don't decode
+    }
+    if (out == null || out.length.toLong != unpackSize) return null
+    folder.crc match {
+      case Some(d) if Xz.crc32(out, 0, out.length) != d => null
+      case _ => out
+    }
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** Fixture writer: one folder per file (Copy, LZMA2-literal, or raw
+    * LZMA coder round-robin), raw or LZMA2-ENCODED header, per-folder
+    * CRC32 digests — enough surface to invert every parser branch. */
+  def build(files: Seq[(String, Array[Byte])],
+      encodedHeader: Boolean = false): Array[Byte] = {
+    val packs = ArrayBuffer[Array[Byte]]()
+    val folderMeta = ArrayBuffer[(Int, Array[Byte], Long, Int)]()
+    files.zipWithIndex.foreach { case ((_, data), i) =>
+      val crc = Xz.crc32(data, 0, data.length)
+      i % 3 match {
+        case 0 =>
+          packs += data
+          folderMeta += ((0, Array.empty[Byte], data.length.toLong, crc))
+        case 1 =>
+          packs += Xz.lzma2EncodeLiterals(data)
+          folderMeta += ((1, Array[Byte](26), data.length.toLong, crc))
+        case _ =>
+          val (props, packed) = Xz.lzmaRawEncodeLiterals(data)
+          packs += packed
+          val pb = new Array[Byte](5)
+          pb(0) = props.toByte
+          pb(1) = 0; pb(2) = 0; pb(3) = 2; pb(4) = 0 // 128 KiB dict, LE
+          folderMeta += ((2, pb, data.length.toLong, crc))
+      }
+    }
+
+    val header = new java.io.ByteArrayOutputStream()
+    header.write(kHeader)
+    header.write(kMainStreamsInfo)
+    writeStreamsInfo(header, packs.toSeq, folderMeta.toSeq, packPos = 0)
+    header.write(kFilesInfo)
+    writeNum(header, files.size.toLong)
+    val nameBytes = new java.io.ByteArrayOutputStream()
+    nameBytes.write(0) // not external
+    files.foreach { case (n, _) =>
+      n.foreach { ch =>
+        nameBytes.write(ch.toInt & 0xFF); nameBytes.write((ch.toInt >> 8) & 0xFF)
+      }
+      nameBytes.write(0); nameBytes.write(0)
+    }
+    header.write(kName)
+    writeNum(header, nameBytes.size().toLong)
+    nameBytes.writeTo(header)
+    header.write(kEnd) // files info
+    header.write(kEnd) // header
+    val headerArr = header.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic, 0, 6)
+    out.write(0); out.write(4) // version 0.4
+    val body = new java.io.ByteArrayOutputStream()
+    packs.foreach(p => body.write(p, 0, p.length))
+    val nextHeader =
+      if (!encodedHeader) headerArr
+      else {
+        // compress the header itself as a one-folder LZMA2 stream
+        val packedHeader = Xz.lzma2EncodeLiterals(headerArr)
+        val eh = new java.io.ByteArrayOutputStream()
+        eh.write(kEncodedHeader)
+        writeStreamsInfo(eh, Seq(packedHeader),
+          Seq((1, Array[Byte](26), headerArr.length.toLong,
+            Xz.crc32(headerArr, 0, headerArr.length))),
+          packPos = body.size().toLong)
+        body.write(packedHeader, 0, packedHeader.length)
+        eh.toByteArray
+      }
+    val bodyArr = body.toByteArray
+    val sh = new java.io.ByteArrayOutputStream()
+    writeLe64(sh, bodyArr.length.toLong) // next header offset
+    writeLe64(sh, nextHeader.length.toLong)
+    writeLe32(sh, Xz.crc32(nextHeader, 0, nextHeader.length))
+    val shArr = sh.toByteArray
+    writeLe32(out, Xz.crc32(shArr, 0, shArr.length))
+    out.write(shArr, 0, shArr.length)
+    out.write(bodyArr, 0, bodyArr.length)
+    out.write(nextHeader, 0, nextHeader.length)
+    out.toByteArray
+  }
+
+  /** StreamsInfo for one-coder-per-folder layouts: (kind 0=Copy,
+    * 1=LZMA2, 2=LZMA; props; unpackSize; crc) per folder. */
+  private def writeStreamsInfo(out: java.io.ByteArrayOutputStream,
+      packs: Seq[Array[Byte]], folders: Seq[(Int, Array[Byte], Long, Int)],
+      packPos: Long): Unit = {
+    out.write(kPackInfo)
+    writeNum(out, packPos)
+    writeNum(out, packs.size.toLong)
+    out.write(kSize)
+    packs.foreach(p => writeNum(out, p.length.toLong))
+    out.write(kEnd)
+    out.write(kUnpackInfo)
+    out.write(kFolder)
+    writeNum(out, folders.size.toLong)
+    out.write(0) // not external
+    folders.foreach { case (kind, props, _, _) =>
+      writeNum(out, 1) // one coder
+      kind match {
+        case 0 => out.write(0x01); out.write(0x00) // id len 1, Copy
+        case 1 =>
+          out.write(0x21); out.write(0x21) // id len 1 + props, LZMA2
+          writeNum(out, props.length.toLong)
+          out.write(props, 0, props.length)
+        case _ =>
+          out.write(0x23) // id len 3 + props
+          out.write(0x03); out.write(0x01); out.write(0x01)
+          writeNum(out, props.length.toLong)
+          out.write(props, 0, props.length)
+      }
+    }
+    out.write(kCodersUnpackSize)
+    folders.foreach { case (_, _, sz, _) => writeNum(out, sz) }
+    out.write(kCRC)
+    out.write(1) // all defined
+    folders.foreach { case (_, _, _, crc) => writeLe32(out, crc) }
+    out.write(kEnd)
+    out.write(kEnd)
+  }
+
+  private def writeNum(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    // canonical short forms are enough for fixtures
+    if (v < 0x80) out.write(v.toInt)
+    else if (v < 0x4000) {
+      out.write(0x80 | (v >> 8).toInt); out.write((v & 0xFF).toInt)
+    } else {
+      out.write(0xC0 | (v >> 16).toInt)
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+    }
+  }
+
+  private def writeLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+  }
+
+  private def writeLe64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    writeLe32(out, (v & 0xFFFFFFFFL).toInt)
+    writeLe32(out, (v >>> 32).toInt)
+  }
+}
+
+/** `sevenz_entries(binary)` → `array<struct<name string, crc_ok
+  * boolean, payload binary>>`; null when the CONTAINER is unreadable,
+  * per-member dead letters below that (see [[SevenZip]]). */
+case class SevenZipEntries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = SevenZipEntries.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sevenz_entries expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val es = SevenZip.entries(payload.asInstanceOf[Array[Byte]])
+    if (es == null) null
+    else new GenericArrayData(es.map(e => InternalRow(
+      UTF8String.fromString(e.name), e.crcOk, e.payload): Any).toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sevenzEntries", this,
+      classOf[SevenZipEntries].getName)
+    val r = ctx.freshName("sz")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SevenZipEntries =
+    copy(child = newChild)
+
+  override def prettyName: String = "sevenz_entries"
+}
+
+object SevenZipEntries {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType),
+    StructField("crc_ok", BooleanType),
+    StructField("payload", BinaryType))), containsNull = false)
+
+  def sevenzEntries(media: Column): Column =
+    GraftColumnShim.column(SevenZipEntries(GraftColumnShim.expression(media)))
+}

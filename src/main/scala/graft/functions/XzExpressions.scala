@@ -252,6 +252,64 @@ object Xz {
     (hsz.toLong + compSize + checkLen, uncSize.toLong)
   }
 
+  // ---------------------------------------- entry points for 7z coders
+
+  /** Standalone LZMA2 chunk-stream decode (the 7z LZMA2 coder's data
+    * is the same chunked format the XZ block carries). Null on break. */
+  private[functions] def lzma2Decode(packed: Array[Byte]): Array[Byte] = {
+    try {
+      val c = new Cursor(packed)
+      val out = new java.io.ByteArrayOutputStream()
+      Lzma2.decode(c, out)
+      if (c.pos != packed.length) fail()
+      out.toByteArray
+    } catch { case Corrupt => null; case NonFatal(_) => null }
+  }
+
+  /** Standalone LZMA2 chunk stream over the literal-only subset
+    * encoder (fixture side of the 7z LZMA2 coder). */
+  private[functions] def lzma2EncodeLiterals(data: Array[Byte],
+      chunkSize: Int = 1 << 15): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(chunkSize, data.length - off)
+      val chunk = encodeLiteralChunk(data, off, n)
+      out.write(chunk, 0, chunk.length)
+      off += n
+    }
+    out.write(0)
+    out.toByteArray
+  }
+
+  /** Raw LZMA1 stream decode with a known unpacked size (the 7z LZMA
+    * coder, id 0x030101): one range-coded stream, no chunk framing.
+    * Null on break. */
+  private[functions] def lzmaRawDecode(packed: Array[Byte], propsByte: Int,
+      unpackSize: Int): Array[Byte] = {
+    try {
+      if (propsByte >= 9 * 5 * 5 || unpackSize < 0 || unpackSize > MaxOut)
+        fail()
+      val c = new Cursor(packed)
+      val out = new java.io.ByteArrayOutputStream()
+      val win = new Lzma.GrowWindow(out)
+      val st = new Lzma.State(propsByte)
+      Lzma.decodeChunk(c, st, win, 0, unpackSize, packed.length)
+      win.flush()
+      out.toByteArray
+    } catch { case Corrupt => null; case NonFatal(_) => null }
+  }
+
+  /** Raw literal-only LZMA1 stream (fixture side of the 7z LZMA
+    * coder): (props byte, packed bytes). */
+  private[functions] def lzmaRawEncodeLiterals(
+      data: Array[Byte]): (Int, Array[Byte]) = {
+    val lc = 3; val lp = 0; val pb = 2
+    (
+      (pb * 5 + lp) * 9 + lc,
+      encodeLiteralBody(data, 0, data.length, lc, lp, pb))
+  }
+
   // -------------------------------------------------- LZMA2 chunk layer
 
   private object Lzma2 {
@@ -613,10 +671,10 @@ object Xz {
   /** One literal-only LZMA chunk over data[off, off+n): control byte
     * with props+dict reset when `first`, plain state reset otherwise
     * (self-contained chunks keep the fixture simple). */
-  private def encodeLiteralChunk(data: Array[Byte], off: Int,
-      n: Int): Array[Byte] = {
-    val lc = 3; val lp = 0; val pb = 2
-    val props = (pb * 5 + lp) * 9 + lc
+  /** The raw range-coded literal stream shared by the LZMA2 chunk
+    * writer and the 7z raw-LZMA fixture writer. */
+  private def encodeLiteralBody(data: Array[Byte], off: Int, n: Int,
+      lc: Int, lp: Int, pb: Int): Array[Byte] = {
     val isMatch = Array.fill[Short](12 << 4)(1024)
     val lit = Array.fill[Short](0x300 << (lc + lp))(1024)
     val body = new java.io.ByteArrayOutputStream()
@@ -640,7 +698,14 @@ object Xz {
       i += 1
     }
     re.flush()
-    val packed = body.toByteArray
+    body.toByteArray
+  }
+
+  private def encodeLiteralChunk(data: Array[Byte], off: Int,
+      n: Int): Array[Byte] = {
+    val lc = 3; val lp = 0; val pb = 2
+    val props = (pb * 5 + lp) * 9 + lc
+    val packed = encodeLiteralBody(data, off, n, lc, lp, pb)
     val outc = new java.io.ByteArrayOutputStream()
     // reset 3 (props + dict) every chunk: keeps each chunk independent
     outc.write(0x80 | (3 << 5) | (((n - 1) >>> 16) & 0x1F))

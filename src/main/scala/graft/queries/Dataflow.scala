@@ -5763,6 +5763,71 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x255: 7Z CONTAINER WALK — Stack Exchange dumps and mirror
+    * corpora ship `.7z`; `sevenz_entries` walks the public 7z format
+    * from scratch ([[graft.functions.SevenZip]]): signature/start-
+    * header CRC chain, raw AND LZMA2-compressed headers (alternating
+    * by doc), UTF-16LE names, and per-folder payload decode across
+    * ALL THREE plain-archive coders — the three members here
+    * round-robin Copy, LZMA2 (x254's chunk layer), and raw LZMA
+    * (x254's range decoder, no framing). Two-level quarantine: every
+    * 13th doc tears the container (ONE dead-letter row), every 17th
+    * flips the first pack byte — member `a.txt` alone dead-letters
+    * (folder CRC) while `b.txt`/`c.txt` keep serving. No 7z binary
+    * exists in this environment, so fixtures are build-then-parse
+    * inversion (the x162 ZIP posture). Per-row scan at 100 TB. */
+  val x255 = DQ("x255_sevenz_members", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 13 = 0 AS tq,
+      |    doc_id % 17 = 0 AND doc_id % 13 <> 0 AS fq FROM documents),
+      |m AS (SELECT doc_id, fq, u.m AS m FROM d,
+      |    unnest(generate_series(0, 2)) AS u(m) WHERE NOT tq),
+      |e AS (SELECT doc_id,
+      |    CASE m WHEN 0 THEN 'a.txt' WHEN 1 THEN 'b.txt'
+      |           ELSE 'c.txt' END AS member,
+      |    fq AND m = 0 AS dead,
+      |    CASE m WHEN 0 THEN 'alpha ' WHEN 1 THEN 'bravo '
+      |           ELSE 'charlie ' END || CAST(doc_id AS VARCHAR) AS text
+      |  FROM m)
+      |SELECT media_id, member, ok, text_md5, n_chars FROM (
+      |  SELECT doc_id AS media_id, member, NOT dead AS ok,
+      |    CASE WHEN dead THEN NULL ELSE md5(text) END AS text_md5,
+      |    CAST(CASE WHEN dead THEN NULL ELSE length(text) END AS BIGINT)
+      |      AS n_chars
+      |  FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, false, NULL, NULL FROM d WHERE tq)
+      |ORDER BY media_id, member""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{SevenZip, SevenZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val arc = SevenZip.build(Seq(
+            ("a.txt", s"alpha $id".getBytes("UTF-8")),
+            ("b.txt", s"bravo $id".getBytes("UTF-8")),
+            ("c.txt", s"charlie $id".getBytes("UTF-8"))),
+            encodedHeader = id % 2 == 1)
+          val arm =
+            if (id % 13 == 0) arc.dropRight(5)
+            else if (id % 17 == 0) {
+              val b = arc.clone()
+              b(32) = (b(32) ^ 0x55).toByte // first pack byte → a.txt
+              b
+            } else arc
+          (id, arm)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("es", SevenZipEntries.sevenzEntries(col("media")))
+        .select(col("media_id"), explode_outer(col("es")).as("e"))
+        .select(col("media_id"), col("e.name").as("member"),
+          coalesce(col("e.crc_ok"), lit(false)).as("ok"),
+          md5(col("e.payload")).as("text_md5"),
+          expr("length(cast(e.payload AS STRING))").cast("long")
+            .as("n_chars"))
+        .orderBy("media_id", "member")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5771,5 +5836,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254)
+    x253, x254, x255)
 }

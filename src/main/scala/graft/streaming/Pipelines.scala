@@ -487,6 +487,9 @@ object Pipelines {
     files
       .withColumn("zes",
         when(col("path").endsWith(".zip"), ZipEntries.zipEntries(col("content"))))
+      .withColumn("szs",
+        when(col("path").endsWith(".7z"),
+          graft.functions.SevenZipEntries.sevenzEntries(col("content"))))
       // the TAR walker gunzips by magic, so .tar.gz/.tgz ride the same
       // arm; .tar.zst pre-inflates through the zstd member decode
       .withColumn("tes",
@@ -503,6 +506,9 @@ object Pipelines {
         """CASE
           |  WHEN path LIKE '%.zip' THEN
           |    transform(zes, e ->
+          |      struct(e.name AS name, e.crc_ok AS ok, e.payload AS payload))
+          |  WHEN path LIKE '%.7z' THEN
+          |    transform(szs, e ->
           |      struct(e.name AS name, e.crc_ok AS ok, e.payload AS payload))
           |  WHEN path LIKE '%.tar' OR path LIKE '%.tar.gz'
           |    OR path LIKE '%.tgz' OR path LIKE '%.tar.zst'

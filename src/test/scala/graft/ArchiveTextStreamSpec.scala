@@ -141,6 +141,13 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     Files.write(new java.io.File(dir, "h.tar.xz").toPath,
       graft.functions.Xz.encode(Archives.buildTar(Seq(
         ("xzm.txt", "0", "xz tar member".getBytes)))))
+    // i.7z: the 7z container rides the same member chain as zip
+    Files.write(new java.io.File(dir, "i.7z").toPath,
+      graft.functions.SevenZip.build(Seq(
+        ("seven/one.txt", "7z member one".getBytes),
+        ("seven/two.rtf", graft.functions.Rtfs.buildRtf("7z rtf")),
+        ("seven/three.txt", "7z member three".getBytes)),
+        encodedHeader = true))
     // c.zip: truncated container → one unreadable quarantine row
     Files.write(new java.io.File(dir, "c.zip").toPath,
       Archives.buildZip(Seq(("x.txt", "x".getBytes, false))).dropRight(9))
@@ -232,6 +239,12 @@ class ArchiveTextStreamSpec extends AnyFunSuite {
     assert(find("note3.txt").endsWith("true"))
     assert(find("xzm.txt").contains("|txt|xz tar member|"))
     assert(find("xzm.txt").endsWith("true"))
+    // .7z members extract through the shared chain (Copy/LZMA2/LZMA
+    // coders round-robin; the header here is itself LZMA2-compressed)
+    assert(find("seven/one.txt").contains("|txt|7z member one|"))
+    assert(find("seven/one.txt").endsWith("true"))
+    assert(find("seven/two.rtf").contains("|rtf|7z rtf|"))
+    assert(find("seven/three.txt").contains("|txt|7z member three|"))
     assert(streamed.count(_.contains("|torn.zip|")) == 1)
     assert(find("torn.zip").contains("|corrupt|-|-|false"))
     // container-level quarantines: exactly one row each, kind unreadable

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SevenZip
+
+/** The 7z container walk by build-then-parse inversion (no 7z tool
+  * exists in this environment — the x162 ZIP posture): the writer
+  * round-robins every supported coder (Copy / LZMA2-literal / raw
+  * LZMA) across members, raw and LZMA2-ENCODED headers both parse,
+  * and the two-level quarantine holds — container breaks null whole,
+  * member-level breaks dead-letter just the member. */
+class SevenZipSpec extends AnyFunSuite {
+
+  private val files = Seq(
+    ("docs/a.txt", ("alpha content " * 20).getBytes("UTF-8")),
+    ("docs/b.txt", ("bravo content " * 30).getBytes("UTF-8")),
+    ("c.bin", Array.tabulate[Byte](256)(_.toByte)),
+    ("d.txt", "short".getBytes("UTF-8")),
+    ("empty.txt", Array.empty[Byte]))
+
+  test("roundtrip across all three coders, raw header") {
+    val arc = SevenZip.build(files)
+    val es = SevenZip.entries(arc)
+    assert(es != null && es.size == files.size)
+    es.zip(files).foreach { case (e, (n, d)) =>
+      assert(e.name == n)
+      assert(e.crcOk, s"${e.name} lost its CRC")
+      assert(java.util.Arrays.equals(e.payload, d), s"${e.name} payload")
+    }
+  }
+
+  test("LZMA2-encoded header parses identically") {
+    val arc = SevenZip.build(files, encodedHeader = true)
+    val es = SevenZip.entries(arc)
+    assert(es != null && es.map(_.name) == files.map(_._1))
+    es.zip(files).foreach { case (e, (_, d)) =>
+      assert(e.crcOk && java.util.Arrays.equals(e.payload, d))
+    }
+  }
+
+  test("container-level breaks null whole") {
+    val arc = SevenZip.build(files)
+    assert(SevenZip.entries(arc.dropRight(3)) == null, "torn next header")
+    val magic = arc.clone(); magic(1) = 'x'.toByte
+    assert(SevenZip.entries(magic) == null, "bad magic")
+    val shc = arc.clone(); shc(9) = (shc(9) ^ 0x10).toByte
+    assert(SevenZip.entries(shc) == null, "start-header CRC")
+    assert(SevenZip.entries("not 7z".getBytes) == null)
+  }
+
+  test("member-level payload flip dead-letters just that member") {
+    val arc = SevenZip.build(files)
+    // flip a byte inside the FIRST pack stream (Copy coder for file 0:
+    // packed region starts at byte 32)
+    val flip = arc.clone()
+    flip(40) = (flip(40) ^ 0x55).toByte
+    val es = SevenZip.entries(flip)
+    assert(es != null, "container must survive a payload flip")
+    assert(!es.head.crcOk && es.head.payload == null,
+      "flipped member must dead-letter")
+    assert(es(1).crcOk, "other members must keep serving")
+    assert(java.util.Arrays.equals(es(1).payload, files(1)._2))
+  }
+
+  test("empty member round-trips as empty, not as dead letter") {
+    val es = SevenZip.entries(SevenZip.build(files))
+    val e = es.find(_.name == "empty.txt").get
+    // the empty member rides the substream path in this writer (no
+    // kEmptyStream bit emitted) — a zero-length payload with a valid
+    // CRC is the contract either way
+    assert(e.crcOk && e.payload.length == 0)
+  }
+}
