@@ -5527,7 +5527,14 @@ object Dataflow {
     * a third stream with page 3 when np = 3, a footer stream; every
     * 13th doc's page stream torn (dropRight 6) so its extent alone
     * quarantines. */
-  private def multistreamDump(id: Long): Array[Byte] = {
+  private def multistreamDump(id: Long): Array[Byte] =
+    multistreamDumpIndexed(id)._1
+
+  /** [[multistreamDump]] plus its published-format index lines
+    * (`offset:pageid:title`, offsets into the FINAL bytes — i.e. after
+    * the torn-stream arm, exactly as a real index describes its real
+    * dump). */
+  private def multistreamDumpIndexed(id: Long): (Array[Byte], Seq[String]) = {
     import graft.functions.Bzip2
     val np = (id % 3 + 1).toInt
     def pg(p: Int): String =
@@ -5546,7 +5553,12 @@ object Dataflow {
       if (np == 3) Bzip2.encode(pg(3).getBytes("UTF-8"))
       else Array.empty[Byte]
     val footer = Bzip2.encode("</mediawiki>".getBytes("UTF-8"))
-    header ++ s2 ++ s3 ++ footer
+    val o2 = header.length.toLong
+    val o3 = o2 + s2.length
+    val lines = (1 to math.min(2, np))
+      .map(p => s"$o2:${id * 10 + p}:Article $p of doc $id") ++
+      (if (np == 3) Seq(s"$o3:${id * 10 + 3}:Article 3 of doc $id") else Nil)
+    (header ++ s2 ++ s3 ++ footer, lines)
   }
 
   /** x251: RANGED DUMP READ — the reader for dumps the column path
@@ -5828,6 +5840,71 @@ object Dataflow {
         .orderBy("media_id", "member")
   }
 
+  /** x256: RANDOM-ACCESS PAGE FETCH over the published multistream
+    * INDEX — the whole point of the multistream distribution: a
+    * `…-index.txt.bz2` of `offset:pageid:title` lines lets a reader
+    * serve SINGLE pages out of a 20 GB dump by range-reading one
+    * stream each, never scanning the dump. Full published-format
+    * fidelity: per-doc dump AND index files land on disk, the index
+    * parses through [[Pipelines.wikidumpIndexLines]] (limit-3 split —
+    * titles may carry ':'), and [[Pipelines.wikidumpFetch]] reads only
+    * hit extents (WikidumpFetchSpec proves un-hit dump files can be
+    * ABSENT entirely). Every 11th doc's page 1 is requested; for the
+    * 13-torn docs that page's stream is torn, so the fetch must emit
+    * its (ok = false) row — the index promised a page the stream
+    * cannot deliver, and the row routes instead of dropping. */
+  val x256 = DQ("x256_wikidump_fetch", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 13 = 0 AS q FROM documents
+      |           WHERE doc_id % 11 = 0),
+      |e AS (SELECT doc_id, q,
+      |  'Article 1 of doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |  'Body text 1 for doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+      |    || 'second line 1' AS text FROM d)
+      |SELECT doc_id AS media_id, doc_id * 10 + 1 AS page_id,
+      |  q AS quarantined,
+      |  CASE WHEN q THEN NULL ELSE title END AS title,
+      |  CASE WHEN q THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN q THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM e ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Bzip2
+      val tmp = java.nio.file.Files.createTempDirectory("x256_dumps")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val (bytes, lines) = multistreamDumpIndexed(id)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"$id.xml.bz2"), bytes)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"$id-index.txt.bz2"),
+              Bzip2.encode((lines.mkString("\n") + "\n").getBytes("UTF-8")))
+          }
+        }
+      val idx = graft.streaming.Pipelines.wikidumpIndexLines(
+          spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*-index.txt.bz2")
+            .load(tmp)
+            .select(col("path"), col("content")))
+        .withColumn("path",
+          regexp_replace(col("path"), "-index\\.txt\\.bz2$", ".xml.bz2"))
+      val wanted = table(spark, dir, "documents")
+        .where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") * 10 + 1).as("page_id"))
+      graft.streaming.Pipelines.wikidumpFetch(idx, wanted)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.xml\\.bz2$", 1)
+            .cast("long").as("media_id"),
+          col("page_id"), (!col("ok")).as("quarantined"),
+          col("title"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5836,5 +5913,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255)
+    x253, x254, x255, x256)
 }
