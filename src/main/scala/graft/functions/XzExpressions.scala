@@ -210,15 +210,28 @@ object Xz {
     val declComp = if ((flags & 0x40) != 0) Some(c.vli()) else None
     val declUnc = if ((flags & 0x80) != 0) Some(c.vli()) else None
     var lzma2 = false
+    // non-last prefilters (encoding order), applied INVERSE after the
+    // LZMA2 decode, last first: delta (0x03) and BCJ x86 (0x04) — the
+    // chains real .tar.xz distributions actually wear; anything else
+    // null-routes as quarantine
+    var prefilters = List.empty[(Long, Array[Byte])]
     var i = 0
     while (i < nFilters) {
       val id = c.vli()
       val propsLen = c.vli()
       val props = c.bytes(propsLen.toInt)
-      if (id == 0x21L && i == nFilters - 1) {
-        if (props.length != 1 || (props(0) & 0xFF) > 40) fail()
+      if (i == nFilters - 1) {
+        if (id != 0x21L || props.length != 1 || (props(0) & 0xFF) > 40) fail()
         lzma2 = true
-      } else fail() // delta/BCJ prefilters: unsupported → quarantine
+      } else id match {
+        case 0x03L =>
+          if (props.length != 1) fail()
+          prefilters ::= (id, props)
+        case 0x04L =>
+          if (props.length != 0 && props.length != 4) fail()
+          prefilters ::= (id, props)
+        case _ => fail()
+      }
       i += 1
     }
     while (c.pos - headAt < hsz - 4) if (c.u8() != 0) fail()
@@ -227,7 +240,28 @@ object Xz {
     val dataAt = c.pos
     val uncStart = out.size()
     if (!lzma2) fail()
-    Lzma2.decode(c, out)
+    if (prefilters.isEmpty) Lzma2.decode(c, out)
+    else {
+      // decode this block alone, run the inverse prefilters over it
+      // (prefilters list is already reversed: last-applied first),
+      // then append — the block check runs over the FINAL bytes
+      val tmp = new java.io.ByteArrayOutputStream()
+      Lzma2.decode(c, tmp)
+      var block = tmp.toByteArray
+      prefilters.foreach {
+        case (0x03L, props) =>
+          deltaDecode(block, (props(0) & 0xFF) + 1)
+        case (0x04L, props) =>
+          val ip =
+            if (props.length == 4)
+              (props(0) & 0xFF) | ((props(1) & 0xFF) << 8) |
+                ((props(2) & 0xFF) << 16) | ((props(3) & 0xFF) << 24)
+            else 0
+          x86Convert(block, ip, encoding = false)
+        case _ => fail()
+      }
+      out.write(block, 0, block.length)
+    }
     val compSize = c.pos - dataAt
     val uncSize = out.size() - uncStart
     declComp.foreach(d => if (d != compSize.toLong) fail())
@@ -250,6 +284,91 @@ object Xz {
         if (!java.util.Arrays.equals(c.bytes(32), md.digest())) fail()
     }
     (hsz.toLong + compSize + checkLen, uncSize.toLong)
+  }
+
+  // ------------------------------------------------- prefilter kernels
+
+  /** Delta filter (xz id 0x03), in place. Encoded[i] = raw[i] −
+    * raw[i−dist], so decode accumulates forward. */
+  private[functions] def deltaDecode(b: Array[Byte], dist: Int): Unit = {
+    var i = dist
+    while (i < b.length) {
+      b(i) = (b(i) + b(i - dist)).toByte
+      i += 1
+    }
+  }
+
+  /** Delta encode (fixture side). */
+  private[functions] def deltaEncode(b: Array[Byte], dist: Int): Unit = {
+    var i = b.length - 1
+    while (i >= dist) {
+      b(i) = (b(i) - b(i - dist)).toByte
+      i -= 1
+    }
+  }
+
+  /** BCJ x86 filter (xz id 0x04), in place, whole-buffer: rewrites the
+    * 32-bit displacement of relative CALL/JMP (opcodes E8/E9) between
+    * relative and absolute so compressed code deduplicates — the
+    * standard branch-converter algorithm the xz/7-Zip format documents
+    * share (Bra86), with the rolling 3-bit mask that suppresses
+    * conversions inside recently-converted displacement bytes. The
+    * SAME routine encodes and decodes (add vs subtract), which the
+    * fixtures exploit for by-construction roundtrips. */
+  private[functions] def x86Convert(data: Array[Byte], ip0: Int,
+      encoding: Boolean): Unit = {
+    def ms(b: Int): Boolean = b == 0x00 || b == 0xFF
+    if (data.length < 5) return
+    val size = data.length - 4
+    val ip = ip0 + 5
+    var pos = 0
+    var mask = 0
+    var done = false
+    while (!done) {
+      var p = pos
+      while (p < size && (data(p) & 0xFE) != 0xE8) p += 1
+      val d = p - pos
+      pos = p
+      if (p >= size) done = true
+      else {
+        var skip = false
+        if (d > 2) mask = 0
+        else {
+          mask >>>= d
+          if (mask != 0 && (mask > 4 || mask == 3 ||
+              ms(data(p + (mask >>> 1) + 1) & 0xFF))) {
+            mask = (mask >>> 1) | 4
+            pos += 1
+            skip = true
+          }
+        }
+        if (!skip) {
+          if (ms(data(p + 4) & 0xFF)) {
+            var v = ((data(p + 4) & 0xFF) << 24) |
+              ((data(p + 3) & 0xFF) << 16) |
+              ((data(p + 2) & 0xFF) << 8) | (data(p + 1) & 0xFF)
+            val cur = ip + pos
+            pos += 5
+            if (encoding) v += cur else v -= cur
+            if (mask != 0) {
+              val sh = (mask & 6) << 2
+              if (ms((v >>> sh) & 0xFF)) {
+                v ^= ((0x100 << sh) - 1)
+                if (encoding) v += cur else v -= cur
+              }
+              mask = 0
+            }
+            data(p + 1) = v.toByte
+            data(p + 2) = (v >>> 8).toByte
+            data(p + 3) = (v >>> 16).toByte
+            data(p + 4) = (0 - ((v >>> 24) & 1)).toByte
+          } else {
+            mask = (mask >>> 1) | 4
+            pos += 1
+          }
+        }
+      }
+    }
   }
 
   // ---------------------------------------- entry points for 7z coders
@@ -589,16 +708,38 @@ object Xz {
     * (lc=3 lp=0 pb=2, props+dict reset on the first chunk, state kept
     * across following chunks). */
   def encode(data: Array[Byte], literalLzma: Boolean = true,
-      chunkSize: Int = 1 << 15): Array[Byte] = {
+      chunkSize: Int = 1 << 15,
+      prefilter: Option[(Int, Array[Byte])] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic, 0, 6)
     out.write(0); out.write(1) // check = CRC32
     writeLe32(out, crc32(Array[Byte](0, 1), 0, 2))
 
-    // block header: no declared sizes, single LZMA2 filter, 8 MiB dict
+    // the prefiltered view of the data (delta / BCJ x86 applied in
+    // ENCODE direction before compression, exactly as xz chains them)
+    val filtered = prefilter match {
+      case None => data
+      case Some((0x03, props)) =>
+        val b = data.clone()
+        deltaEncode(b, (props(0) & 0xFF) + 1)
+        b
+      case Some((0x04, _)) =>
+        val b = data.clone()
+        x86Convert(b, 0, encoding = true)
+        b
+      case Some((id, _)) =>
+        throw new IllegalArgumentException(s"unsupported prefilter $id")
+    }
+
+    // block header: no declared sizes, [prefilter +] LZMA2, 32 MiB dict
     val bh = new java.io.ByteArrayOutputStream()
     bh.write(0) // placeholder for size byte
-    bh.write(0) // flags: 1 filter, no size fields
+    bh.write(if (prefilter.isDefined) 1 else 0) // nFilters - 1
+    prefilter.foreach { case (id, props) =>
+      bh.write(id)
+      bh.write(props.length)
+      bh.write(props, 0, props.length)
+    }
     bh.write(0x21) // filter id (fits a 1-byte VLI)
     bh.write(1) // props size
     bh.write(26) // dict size code: (2 | (26 & 1)) << (26/2 + 11) = 32 MiB
@@ -613,15 +754,15 @@ object Xz {
     val dataStart = out.size()
     var off = 0
     var first = true
-    while (off < data.length) {
-      val n = math.min(chunkSize, data.length - off)
+    while (off < filtered.length) {
+      val n = math.min(chunkSize, filtered.length - off)
       if (literalLzma) {
-        val chunk = encodeLiteralChunk(data, off, n)
+        val chunk = encodeLiteralChunk(filtered, off, n)
         out.write(chunk, 0, chunk.length)
       } else {
         out.write(if (first) 1 else 2)
         out.write((n - 1) >>> 8); out.write((n - 1) & 0xFF)
-        out.write(data, off, n)
+        out.write(filtered, off, n)
       }
       off += n
       first = false

@@ -5905,6 +5905,50 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x257: XZ FILTER CHAINS — real `.tar.xz` distributions wear
+    * PREFILTERS before LZMA2 (delta for numeric tables, BCJ x86 for
+    * binaries); the block-header filter list drives them, decode
+    * applies the inverses after the LZMA2 stage, and the block check
+    * runs over the FINAL bytes. Docs round-robin none / delta (doc-id
+    * varied distance) / BCJ x86 — the fixture text carries 艾 (0xE8
+    * lead byte) and 退 (0xE9) so the branch converter genuinely
+    * rewrites displacements inside valid UTF-8; XzSpec additionally
+    * proves both chains against the system `xz --delta` / `--x86`
+    * output in both directions. Torn containers quarantine. */
+  val x257 = DQ("x257_xz_filter_chains", Some(
+    """SELECT doc_id AS media_id, doc_id % 13 = 0 AS quarantined,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE md5(text || ' 艾退 ' || CAST(doc_id AS VARCHAR))
+      |  END AS text_md5,
+      |  CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE length(text || ' 艾退 ' || CAST(doc_id AS VARCHAR))
+      |  END AS BIGINT) AS n_chars
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Xz, XzBytes}
+      val media = spread(table(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val aug = text + " 艾退 " + id
+          val pf = (id % 3) match {
+            case 0 => None
+            case 1 => Some((0x03, Array[Byte]((id % 4).toByte)))
+            case _ => Some((0x04, Array.empty[Byte]))
+          }
+          val enc = Xz.encode(aug.getBytes("UTF-8"), literalLzma = true,
+            chunkSize = 1 << 10, prefilter = pf)
+          (id, if (id % 13 == 0) enc.dropRight(7) else enc)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("text", XzBytes.xzBytes(col("media")).cast("string"))
+        .select(col("media_id"), col("text").isNull.as("quarantined"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5913,5 +5957,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255, x256)
+    x253, x254, x255, x256, x257)
 }

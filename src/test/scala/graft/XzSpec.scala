@@ -89,6 +89,64 @@ class XzSpec extends AnyFunSuite {
     assert(new String(Xz.decode(a ++ pad ++ b)) == "first part second part")
   }
 
+  // E8/E9-rich bytes so the BCJ branch converter genuinely rewrites
+  // displacements (pure ASCII never triggers it)
+  private def codeish: Array[Byte] = {
+    val rnd = new scala.util.Random(0xB4A)
+    Array.tabulate[Byte](4096) { i =>
+      if (i % 11 == 0) 0xE8.toByte
+      else if (i % 13 == 0) 0xE9.toByte
+      else if (i % 7 == 0) 0x00
+      else rnd.nextInt(256).toByte
+    }
+  }
+
+  test("delta and x86 prefilter chains roundtrip through our encoder") {
+    for ((pf, payload) <- Seq(
+        ((0x03, Array[Byte](3)), corpus), // delta dist=4
+        ((0x04, Array.empty[Byte]), codeish))) {
+      val enc = Xz.encode(payload, literalLzma = true, prefilter = Some(pf))
+      assert(java.util.Arrays.equals(Xz.decode(enc), payload),
+        s"prefilter ${pf._1} roundtrip")
+    }
+  }
+
+  test("system xz --delta / --x86 chains decode here; ours decode there") {
+    sysXz match {
+      case None => cancel("no system xz binary")
+      case Some(xz) =>
+        val arms = Seq(
+          ("--delta=dist=4", corpus),
+          ("--x86", codeish))
+        for ((flt, payload) <- arms) {
+          val dir = Files.createTempDirectory("xz_flt").toFile
+          val raw = new java.io.File(dir, "in.bin")
+          Files.write(raw.toPath, payload)
+          val rc = new ProcessBuilder(xz, "-q", "-k", flt,
+            "--lzma2=preset=4", raw.getAbsolutePath).start().waitFor()
+          assert(rc == 0, s"system xz failed for $flt")
+          val enc = Files.readAllBytes(
+            new java.io.File(dir, "in.bin.xz").toPath)
+          assert(java.util.Arrays.equals(Xz.decode(enc), payload),
+            s"system xz $flt bytes did not decode")
+        }
+        // and the reverse direction for both of our prefiltered frames
+        for ((pf, payload, tag) <- Seq(
+            ((0x03, Array[Byte](3)), corpus, "delta"),
+            ((0x04, Array.empty[Byte]), codeish, "x86"))) {
+          val dir = Files.createTempDirectory("xz_flt_out").toFile
+          val f = new java.io.File(dir, s"$tag.xz")
+          Files.write(f.toPath,
+            Xz.encode(payload, literalLzma = true, prefilter = Some(pf)))
+          val rc = new ProcessBuilder(xz, "-d", "-q", f.getAbsolutePath)
+            .start().waitFor()
+          assert(rc == 0, s"system xz rejected our $tag frame")
+          assert(java.util.Arrays.equals(
+            Files.readAllBytes(new java.io.File(dir, tag).toPath), payload))
+        }
+    }
+  }
+
   test("quarantine arms: truncation, payload flip, header flip, not-xz") {
     val enc = Xz.encode(corpus)
     assert(Xz.decode(enc.dropRight(7)) == null, "truncation")
