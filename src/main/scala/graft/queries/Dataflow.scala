@@ -5949,6 +5949,55 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x258: ARTICLE-ONLY CORPUS VIEW — what a training-data stage
+    * actually keeps from `pages-articles`: ns-0, non-redirect pages
+    * with markup stripped. Each dump here carries one real article,
+    * one `Talk:` page (ns 1 — drop by the published `<ns>` element),
+    * and one `#REDIRECT` stub (ns 0 but `<redirect/>` present — drop);
+    * [[Pipelines.wikidumpArticles]] must keep exactly the article,
+    * with `wikitext_plain` applied. Torn dumps (every 13th) contribute
+    * NOTHING here — corpus views filter ok=true; their quarantine
+    * accounting lives in wikidumpPages, where x250 pins it. */
+  val x258 = DQ("x258_wikidump_articles", Some(
+    """SELECT doc_id AS media_id,
+      |  'Article of doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |  md5('Bold link label ' || CAST(doc_id AS VARCHAR) || ' done')
+      |    AS plain_md5,
+      |  CAST(length('Bold link label ' || CAST(doc_id AS VARCHAR)
+      |    || ' done') AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 13 <> 0 ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Bzip2
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val xml = "<mediawiki><siteinfo><sitename>graft</sitename>" +
+            "</siteinfo>" +
+            s"<page><title>Article of doc $id</title><ns>0</ns>" +
+            s"<id>${id * 10 + 1}</id><revision><id>1</id>" +
+            "<text bytes=\"0\">'''Bold''' link " +
+            s"[[Target|label $id]] done</text></revision></page>" +
+            s"<page><title>Talk:Article of doc $id</title><ns>1</ns>" +
+            s"<id>${id * 10 + 2}</id><revision><id>1</id>" +
+            s"<text bytes=\"0\">talk chatter $id</text></revision></page>" +
+            s"<page><title>Alias $id</title><ns>0</ns>" +
+            s"""<redirect title="Article of doc $id" />""" +
+            s"<id>${id * 10 + 3}</id><revision><id>1</id>" +
+            s"<text bytes=\"0\">#REDIRECT [[Article of doc $id]]</text>" +
+            "</revision></page></mediawiki>"
+          val enc = Bzip2.encode(xml.getBytes("UTF-8"))
+          (id, if (id % 13 == 0) enc.dropRight(6) else enc)
+        }.toDF("media_id", "media")
+      graft.streaming.Pipelines.wikidumpArticles(
+          media.select(col("media_id").cast("string").as("path"),
+            col("media").as("content")))
+        .select(col("path").cast("long").as("media_id"), col("title"),
+          md5(col("plain")).as("plain_md5"),
+          length(col("plain")).cast("long").as("n_chars"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -5957,5 +6006,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255, x256, x257)
+    x253, x254, x255, x256, x257, x258)
 }

@@ -703,11 +703,34 @@ object Pipelines {
         when(col("ok") && col("npages") > 0,
           expr("regexp_extract(p, '<title>([^<]*)</title>', 1)"))
           .as("title"),
+        // the MediaWiki export namespace (0 = articles) and redirect
+        // target — what a corpus stage filters on; null on marker and
+        // quarantine rows, and ns null when the page carries no <ns>
+        when(col("ok") && col("npages") > 0,
+          expr("CASE WHEN p RLIKE '<ns>-?[0-9]+</ns>' THEN " +
+            "cast(regexp_extract(p, '<ns>(-?[0-9]+)</ns>', 1) as int) END"))
+          .as("ns"),
+        when(col("ok") && col("npages") > 0,
+          expr("CASE WHEN p RLIKE '<redirect ' THEN " +
+            "regexp_extract(p, '<redirect title=\"([^\"]*)\"', 1) END"))
+          .as("redirect"),
         when(col("ok") && col("npages") > 0,
           expr("regexp_extract(p, '(?s)<text[^>]*>(.*?)</text>', 1)"))
           .as("text"),
         col("ok"))
   }
+
+  /** The CORPUS view of a dump: ns-0, non-redirect pages only, with
+    * the markup already stripped — what a training-data stage actually
+    * wants from `pages-articles`. Marker and quarantine rows do NOT
+    * appear here (they stay visible in [[wikidumpPages]], where
+    * accounting belongs); Talk:/File:/Category: namespaces and
+    * `#REDIRECT` stubs are dropped by the published semantics (ns
+    * element ≠ 0, `<redirect/>` element present). */
+  def wikidumpArticles(files: DataFrame): DataFrame =
+    wikidumpPlain(files)
+      .where(col("ok") && col("page") > 0 &&
+        col("ns") === 0 && col("redirect").isNull)
 
   /** The NO-COLUMN dump reader for files past the 2 GB binary-column
     * limit (a real enwiki `pages-articles-multistream.xml.bz2` is

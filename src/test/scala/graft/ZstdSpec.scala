@@ -67,6 +67,18 @@ class ZstdSpec extends AnyFunSuite {
     assert(new String(Zstandard.decode(cat)) == "first frame second frame")
   }
 
+  test("a skippable frame between data frames is skipped (RFC 8878 §3.1.2)") {
+    val skip = Array[Byte](0x50, 0x2A, 0x4D, 0x18, // magic 0x184D2A50 LE
+      4, 0, 0, 0, // 4 content bytes
+      9, 9, 9, 9)
+    // a LEADING skippable frame fails our strict first-4-bytes magic
+    // check (that is the `.zst` admission gate), but one BETWEEN data
+    // frames must be transparently skipped by the frame walker
+    val cat = Zstandard.encode("before ".getBytes) ++ skip ++
+      Zstandard.encode("after".getBytes)
+    assert(new String(Zstandard.decode(cat)) == "before after")
+  }
+
   test("quarantine arms: truncation, flip, not-zstd") {
     val data = ("payload to protect " * 50).getBytes
     val enc = Zstandard.encode(data)
