@@ -5998,6 +5998,59 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x259: DUMP → CORPUS CAPSTONE — the whole wikidump surface
+    * composed into the pipeline a training-data stage actually runs:
+    * [[Pipelines.wikidumpArticles]] (decode + ns/redirect filter +
+    * markup strip) → EXACT DEDUP across dumps (md5 groupBy, min-id
+    * survivor — map-side combine, one row per distinct text crosses
+    * the wire, the q25 posture) → token-count quality gate (the
+    * shared [[Core.tokens]] tokenizer). Bodies repeat every 50 docs
+    * so real cross-dump duplicates exist; every 7th body is a stub
+    * that fails the ≥5-token gate; torn dumps (13s) contribute
+    * nothing, so survivor identity and duplicate counts must reflect
+    * their absence — the oracle computes all of it by construction. */
+  val x259 = DQ("x259_wikidump_corpus", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 50 AS INT) AS k
+      |           FROM documents WHERE doc_id % 13 <> 0),
+      |g AS (SELECT k, MIN(doc_id) AS media_id, COUNT(*) AS n_dups
+      |      FROM d WHERE k % 7 <> 0 GROUP BY k)
+      |SELECT media_id, CAST(n_dups AS BIGINT) AS n_dups,
+      |  CAST(6 + k % 3 AS BIGINT) AS n_tokens,
+      |  md5('shared body ' || CAST(k AS VARCHAR) || ' '
+      |      || trim(repeat('alpha ', 4 + k % 3))) AS text_md5
+      |FROM g ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.Bzip2
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val k = (id % 50).toInt
+          val body =
+            if (k % 7 == 0) s"tiny $k"
+            else s"shared body $k " + ("alpha " * (4 + k % 3)).trim
+          val xml = "<mediawiki><siteinfo/>" +
+            s"<page><title>Doc $id</title><ns>0</ns><id>${id * 10 + 1}</id>" +
+            s"<revision><id>1</id><text bytes=\"0\">$body</text>" +
+            "</revision></page></mediawiki>"
+          val enc = Bzip2.encode(xml.getBytes("UTF-8"))
+          (id, if (id % 13 == 0) enc.dropRight(6) else enc)
+        }.toDF("media_id", "media")
+      graft.streaming.Pipelines.wikidumpArticles(
+          media.select(col("media_id").cast("string").as("path"),
+            col("media").as("content")))
+        .select(col("path").cast("long").as("media_id"), col("plain"))
+        .withColumn("n_tokens", size(Core.tokens(col("plain"))).cast("long"))
+        .where(col("n_tokens") >= 5)
+        .groupBy(md5(col("plain")).as("text_md5"))
+        .agg(min(col("media_id")).as("media_id"),
+          count(lit(1)).as("n_dups"),
+          min(col("n_tokens")).as("n_tokens"))
+        .select(col("media_id"), col("n_dups"), col("n_tokens"),
+          col("text_md5"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6006,5 +6059,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255, x256, x257, x258)
+    x253, x254, x255, x256, x257, x258, x259)
 }
