@@ -169,6 +169,8 @@ object ChunkFunctions {
       es => XzBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction("sevenz_entries",
       es => SevenZipEntries(es.head), "built-in")
+    reg.createOrReplaceTempFunction("zstd_extents",
+      es => ZstdExtents(es.head), "built-in")
     reg.createOrReplaceTempFunction("odp_slides",
       es => OdpSlides(es.head), "built-in")
   }
@@ -328,6 +330,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("sevenz_entries"),
       new ExpressionInfo(classOf[SevenZipEntries].getName, "sevenz_entries"),
       es => SevenZipEntries(es.head)))
+    e.injectFunction((FunctionIdentifier("zstd_extents"),
+      new ExpressionInfo(classOf[ZstdExtents].getName, "zstd_extents"),
+      es => ZstdExtents(es.head)))
     e.injectFunction((FunctionIdentifier("odp_slides"),
       new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
       es => OdpSlides(es.head)))

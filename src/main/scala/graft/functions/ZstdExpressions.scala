@@ -58,6 +58,53 @@ object Zstandard {
       ctx.compress(b)
     } finally ctx.close()
   }
+
+  private def dataMagicAt(b: Array[Byte], i: Int): Boolean =
+    i + 4 <= b.length && b(i) == 0x28.toByte && b(i + 1) == 0xB5.toByte &&
+      b(i + 2) == 0x2F.toByte && b(i + 3) == 0xFD.toByte
+
+  private def skipMagicAt(b: Array[Byte], i: Int): Boolean =
+    i + 4 <= b.length && (b(i) & 0xF0) == 0x50 &&
+      b(i + 1) == 0x2A.toByte && b(i + 2) == 0x4D.toByte &&
+      b(i + 3) == 0x18.toByte
+
+  /** Byte extents of the DATA frames in a multi-frame .zst (the
+    * [[Bzip2.streamOffsets]] twin): zstd frame boundaries cannot be
+    * found by magic scan (the magic can occur inside payload), so the
+    * walk is SEQUENTIAL over frame headers via zstd's own
+    * findFrameCompressedSize — still O(headers), no decompression.
+    * Skippable frames (the .warc.zst dictionary convention) are
+    * walked over and not emitted. A torn TAIL becomes one final
+    * extent that will fail its decode and quarantine, so intact
+    * leading frames keep serving — the damage-localization posture of
+    * the bzip2 extents. Null when the payload does not start with a
+    * frame at all. */
+  def frameExtents(b: Array[Byte]): Array[(Long, Long)] = {
+    if (b == null || b.length < 4) return null
+    if (!dataMagicAt(b, 0) && !skipMagicAt(b, 0)) return null
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var off = 0
+    var torn = false
+    while (off < b.length && !torn) {
+      val isData = dataMagicAt(b, off)
+      val isSkip = skipMagicAt(b, off)
+      val sz =
+        if (!isData && !isSkip) -1L
+        else
+          try com.github.luben.zstd.Zstd
+            .findFrameCompressedSize(b, off, b.length - off)
+          catch { case NonFatal(_) => -1L }
+      if (sz <= 0 || off + sz > b.length) {
+        // torn or unwalkable tail: surface it as one failing extent
+        out += ((off.toLong, (b.length - off).toLong))
+        torn = true
+      } else {
+        if (isData) out += ((off.toLong, sz))
+        off += sz.toInt
+      }
+    }
+    out.toArray
+  }
 }
 
 /** `zstd_bytes(binary)` → decompressed bytes; null when the payload is
@@ -96,4 +143,53 @@ case class ZstdBytes(child: Expression) extends UnaryExpression {
 object ZstdBytes {
   def zstdBytes(media: Column): Column =
     GraftColumnShim.column(ZstdBytes(GraftColumnShim.expression(media)))
+}
+
+/** `zstd_extents(binary)` → `array<struct<off bigint, len bigint>>` —
+  * data-frame extents of a multi-frame .zst (see
+  * [[Zstandard.frameExtents]]); null when not zstd at all. */
+case class ZstdExtents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ZstdExtents.resultType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zstd_extents expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any = {
+    val exts = Zstandard.frameExtents(payload.asInstanceOf[Array[Byte]])
+    if (exts == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      exts.map(e =>
+        org.apache.spark.sql.catalyst.InternalRow(e._1, e._2): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("zstdExtents", this,
+      classOf[ZstdExtents].getName)
+    val r = ctx.freshName("zx")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZstdExtents =
+    copy(child = newChild)
+
+  override def prettyName: String = "zstd_extents"
+}
+
+object ZstdExtents {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("off", LongType),
+    StructField("len", LongType))), containsNull = false)
+
+  def zstdExtents(media: Column): Column =
+    GraftColumnShim.column(ZstdExtents(GraftColumnShim.expression(media)))
 }

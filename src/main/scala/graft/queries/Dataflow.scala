@@ -6051,6 +6051,66 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x260: WARC.ZST SPLIT — the zstd twin of the x250 bzip2 work, for
+    * the other giant-file corpus format: `.warc.zst` distributions put
+    * whole records in their own zstd frames precisely so readers can
+    * cut at frame boundaries. zstd frames cannot be found by magic
+    * scan (the magic may occur in payload), so `zstd_extents` walks
+    * frame HEADERS sequentially via zstd's own frame-size probe — no
+    * decompression, skippable frames (the dictionary convention)
+    * stepped over — then each frame decodes and parses its records
+    * independently. Every 13th doc's LAST frame is torn: its row
+    * quarantines while every earlier frame keeps serving (damage
+    * localizes at frame granularity, as with bzip2 streams). */
+  val x260 = DQ("x260_warczst_split", Some(
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nr,
+      |           doc_id % 13 = 0 AS q FROM documents),
+      |r AS (SELECT doc_id, nr, q, u.r AS r FROM d,
+      |      unnest(generate_series(0, nr - 1)) AS u(r)),
+      |e AS (SELECT doc_id, r + 1 AS frame, q AND r = nr - 1 AS dead,
+      |  'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+      |    || CAST(r AS VARCHAR) AS uri,
+      |  '<html><body>doc ' || CAST(doc_id AS VARCHAR) || ' page '
+      |    || CAST(r AS VARCHAR) || '</body></html>' AS pl FROM r)
+      |SELECT doc_id AS media_id, CAST(frame AS INT) AS frame,
+      |  NOT dead AS ok,
+      |  CASE WHEN dead THEN NULL ELSE uri END AS uri,
+      |  CASE WHEN dead THEN NULL ELSE md5(pl) END AS payload_md5
+      |FROM e ORDER BY media_id, frame""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{Warc, WarcRecords, Zstandard, ZstdBytes, ZstdExtents}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val nr = (id % 4 + 1).toInt
+          val dt = f"2024-${id % 12 + 1}%02d-01T00:00:00Z"
+          val frames = (0 until nr).map { r =>
+            val uri = s"http://site${id % 50}.example/p$r"
+            Zstandard.encode(Warc.build(Seq(("response", uri, dt,
+              s"<html><body>doc $id page $r</body></html>".getBytes))))
+          }
+          val cat = frames.reduce(_ ++ _)
+          (id, if (id % 13 == 0) cat.dropRight(7) else cat)
+        }.toDF("media_id", "media")
+      media
+        .withColumn("exts", ZstdExtents.zstdExtents(col("media")))
+        .select(col("media_id"), col("media"),
+          posexplode(col("exts")).as(Seq("f0", "ext")))
+        .withColumn("w", ZstdBytes.zstdBytes(
+          expr("substring(media, cast(ext.off as int) + 1, " +
+            "cast(ext.len as int))")))
+        .withColumn("recs", WarcRecords.warcRecords(col("w")))
+        .withColumn("ok", col("w").isNotNull && size(col("recs")) === 1)
+        .select(col("media_id"), (col("f0") + 1).cast("int").as("frame"),
+          col("ok"),
+          when(col("ok"), col("recs").getItem(0).getField("uri")).as("uri"),
+          when(col("ok"),
+            md5(col("recs").getItem(0).getField("payload")))
+            .as("payload_md5"))
+        .orderBy("media_id", "frame")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6059,5 +6119,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255, x256, x257, x258, x259)
+    x253, x254, x255, x256, x257, x258, x259, x260)
 }

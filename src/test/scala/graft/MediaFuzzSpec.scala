@@ -52,6 +52,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("bunzip", b => graft.functions.Bzip2.decode(b)),
     ("bz2_extents", b => graft.functions.Bzip2.streamOffsets(b)),
     ("zstd_decode", b => graft.functions.Zstandard.decode(b)),
+    ("zstd_extents", b => graft.functions.Zstandard.frameExtents(b)),
+    ("sevenz_entries", b => graft.functions.SevenZip.entries(b)),
     ("xz_decode", b => graft.functions.Xz.decode(b)),
     ("wikitext_plain", b => graft.functions.Wikitext.plain(
       new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))))

@@ -79,6 +79,30 @@ class ZstdSpec extends AnyFunSuite {
     assert(new String(Zstandard.decode(cat)) == "before after")
   }
 
+  test("frame extents: sequential walk, skippables dropped, torn tail surfaces") {
+    val f1 = Zstandard.encode("frame one".getBytes)
+    val f2 = Zstandard.encode("frame two".getBytes)
+    val skip = Array[Byte](0x50, 0x2A, 0x4D, 0x18, 4, 0, 0, 0, 9, 9, 9, 9)
+    val cat = f1 ++ skip ++ f2
+    val exts = Zstandard.frameExtents(cat)
+    assert(exts.toSeq == Seq(
+      (0L, f1.length.toLong),
+      ((f1.length + skip.length).toLong, f2.length.toLong)))
+    // each extent decodes independently
+    for (((off, len), want) <- exts.zip(Seq("frame one", "frame two")))
+      assert(new String(Zstandard.decode(
+        java.util.Arrays.copyOfRange(cat, off.toInt, (off + len).toInt)))
+        == want)
+    // torn tail: leading frames stay walkable, the tail is one
+    // failing extent
+    val torn = Zstandard.frameExtents(cat.dropRight(4))
+    assert(torn.length == 2 && torn(0) == (0L, f1.length.toLong))
+    assert(Zstandard.decode(java.util.Arrays.copyOfRange(
+      cat.dropRight(4), torn(1)._1.toInt,
+      (torn(1)._1 + torn(1)._2).toInt)) == null)
+    assert(Zstandard.frameExtents("not zstd".getBytes) == null)
+  }
+
   test("quarantine arms: truncation, flip, not-zstd") {
     val data = ("payload to protect " * 50).getBytes
     val enc = Zstandard.encode(data)
