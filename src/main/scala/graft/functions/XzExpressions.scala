@@ -709,7 +709,8 @@ object Xz {
     * across following chunks). */
   def encode(data: Array[Byte], literalLzma: Boolean = true,
       chunkSize: Int = 1 << 15,
-      prefilter: Option[(Int, Array[Byte])] = None): Array[Byte] = {
+      prefilter: Option[(Int, Array[Byte])] = None,
+      greedyMatch: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic, 0, 6)
     out.write(0); out.write(1) // check = CRC32
@@ -756,7 +757,10 @@ object Xz {
     var first = true
     while (off < filtered.length) {
       val n = math.min(chunkSize, filtered.length - off)
-      if (literalLzma) {
+      if (greedyMatch) {
+        val chunk = encodeGreedyChunk(filtered, off, n)
+        out.write(chunk, 0, chunk.length)
+      } else if (literalLzma) {
         val chunk = encodeLiteralChunk(filtered, off, n)
         out.write(chunk, 0, chunk.length)
       } else {
@@ -842,6 +846,159 @@ object Xz {
     body.toByteArray
   }
 
+  /** GREEDY match-emitting LZMA body (fixture side): longest match of
+    * length ≥ 4 within the chunk window wins, literals otherwise —
+    * including MATCHED-literal encoding after a match (state ≥ 7),
+    * so gates exercise the full decode surface hermetically: length
+    * trees, pos-slot + reverse-bit-tree + aligned distances, and the
+    * match-byte literal context. Spec-exact bit emission; XzSpec
+    * proves system xz decodes these frames. */
+  private def encodeGreedyBody(data: Array[Byte], off: Int, n: Int,
+      lc: Int, lp: Int, pb: Int): Array[Byte] = {
+    val isMatch = Array.fill[Short](12 << 4)(1024)
+    val isRep = Array.fill[Short](12)(1024)
+    val lit = Array.fill[Short](0x300 << (lc + lp))(1024)
+    val lenChoice = Array.fill[Short](2)(1024)
+    val lenLow = Array.fill[Short](16 * 8)(1024)
+    val lenMid = Array.fill[Short](16 * 8)(1024)
+    val lenHigh = Array.fill[Short](256)(1024)
+    val posSlot = Array.fill[Short](4 * 64)(1024)
+    val specPos = Array.fill[Short](115)(1024)
+    val align = Array.fill[Short](16)(1024)
+    val body = new java.io.ByteArrayOutputStream()
+    val re = new RangeEncoder(body)
+
+    def tree(p: Array[Short], base: Int, v: Int, bits: Int): Unit = {
+      var m = 1
+      var k = bits - 1
+      while (k >= 0) {
+        val b = (v >>> k) & 1
+        re.encodeBit(p, base + m, b)
+        m = (m << 1) | b
+        k -= 1
+      }
+    }
+    def treeRev(p: Array[Short], base: Int, v: Int, bits: Int): Unit = {
+      var m = 1
+      var i = 0
+      while (i < bits) {
+        val b = (v >>> i) & 1
+        re.encodeBit(p, base + m, b)
+        m = (m << 1) | b
+        i += 1
+      }
+    }
+
+    var state = 0
+    var rep0 = 0
+    var i = 0
+    while (i < n) {
+      val posState = i & ((1 << pb) - 1)
+      // longest match ≥ 4 within this chunk (dict resets per chunk)
+      var bestLen = 0
+      var bestDist = 0
+      val maxBack = math.min(i, 1 << 12)
+      var d = 1
+      while (d <= maxBack) {
+        var l = 0
+        val cap = math.min(n - i, 273)
+        while (l < cap && data(off + i + l) == data(off + i - d + l)) l += 1
+        if (l > bestLen) { bestLen = l; bestDist = d }
+        d += 1
+      }
+      if (bestLen >= 4) {
+        re.encodeBit(isMatch, (state << 4) | posState, 1)
+        re.encodeBit(isRep, state, 0)
+        val lv = bestLen - 2
+        if (lv < 8) {
+          re.encodeBit(lenChoice, 0, 0)
+          tree(lenLow, posState << 3, lv, 3)
+        } else if (lv < 16) {
+          re.encodeBit(lenChoice, 0, 1)
+          re.encodeBit(lenChoice, 1, 0)
+          tree(lenMid, posState << 3, lv - 8, 3)
+        } else {
+          re.encodeBit(lenChoice, 0, 1)
+          re.encodeBit(lenChoice, 1, 1)
+          tree(lenHigh, 0, lv - 16, 8)
+        }
+        val dist = bestDist - 1
+        val lenState = math.min(bestLen - 2, 3)
+        val slot =
+          if (dist < 4) dist
+          else {
+            val nb = 31 - Integer.numberOfLeadingZeros(dist)
+            (nb << 1) | ((dist >>> (nb - 1)) & 1)
+          }
+        tree(posSlot, lenState << 6, slot, 6)
+        if (slot >= 4) {
+          val nd = (slot >> 1) - 1
+          val base = (2 | (slot & 1)) << nd
+          val rest = dist - base
+          if (slot < 14) treeRev(specPos, base - slot, rest, nd)
+          else {
+            re.encodeDirect(rest >>> 4, nd - 4)
+            treeRev(align, 0, rest & 15, 4)
+          }
+        }
+        rep0 = dist
+        state = if (state < 7) 7 else 10
+        i += bestLen
+      } else {
+        re.encodeBit(isMatch, (state << 4) | posState, 0)
+        val prev = if (i == 0) 0 else data(off + i - 1) & 0xFF
+        val base = 0x300 * ((i & ((1 << lp) - 1)) << lc | (prev >>> (8 - lc)))
+        val sym = data(off + i) & 0xFF
+        if (state >= 7) {
+          var matchByte = data(off + i - rep0 - 1) & 0xFF
+          var m = 1
+          var k = 7
+          var matched = true
+          while (k >= 0) {
+            val b = (sym >>> k) & 1
+            if (matched) {
+              val mb = (matchByte >>> 7) & 1
+              matchByte = (matchByte << 1) & 0xFF
+              re.encodeBit(lit, base + ((1 + mb) << 8) + m, b)
+              if (mb != b) matched = false
+            } else re.encodeBit(lit, base + m, b)
+            m = (m << 1) | b
+            k -= 1
+          }
+        } else {
+          var m = 1
+          var k = 7
+          while (k >= 0) {
+            val b = (sym >>> k) & 1
+            re.encodeBit(lit, base + m, b)
+            m = (m << 1) | b
+            k -= 1
+          }
+        }
+        state = if (state < 4) 0 else if (state < 10) state - 3 else state - 6
+        i += 1
+      }
+    }
+    re.flush()
+    body.toByteArray
+  }
+
+  /** One greedy-match LZMA2 chunk (reset 3 per chunk, like the literal
+    * writer). */
+  private def encodeGreedyChunk(data: Array[Byte], off: Int,
+      n: Int): Array[Byte] = {
+    val lc = 3; val lp = 0; val pb = 2
+    val props = (pb * 5 + lp) * 9 + lc
+    val packed = encodeGreedyBody(data, off, n, lc, lp, pb)
+    val outc = new java.io.ByteArrayOutputStream()
+    outc.write(0x80 | (3 << 5) | (((n - 1) >>> 16) & 0x1F))
+    outc.write(((n - 1) >>> 8) & 0xFF); outc.write((n - 1) & 0xFF)
+    outc.write((packed.length - 1) >>> 8); outc.write((packed.length - 1) & 0xFF)
+    outc.write(props)
+    outc.write(packed, 0, packed.length)
+    outc.toByteArray
+  }
+
   private def encodeLiteralChunk(data: Array[Byte], off: Int,
       n: Int): Array[Byte] = {
     val lc = 3; val lp = 0; val pb = 2
@@ -862,6 +1019,18 @@ object Xz {
     private var range = -1 // 0xFFFFFFFF
     private var cacheSize = 1L
     private var cache = 0
+    def encodeDirect(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        range >>>= 1
+        if (((v >>> k) & 1) == 1) low += range.toLong & 0xFFFFFFFFL
+        if ((range & 0xFF000000) == 0) {
+          range <<= 8
+          shiftLow()
+        }
+        k -= 1
+      }
+    }
     def encodeBit(p: Array[Short], i: Int, bit: Int): Unit = {
       val pr = p(i)
       val bound = (range >>> 11) * pr

@@ -5756,8 +5756,13 @@ object Dataflow {
           .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
+          // id%3 rotates the subset-encoder modes so every decode
+          // surface sits under the oracle: uncompressed chunks,
+          // literal-only LZMA, and GREEDY-MATCH LZMA (real match/
+          // distance coding + matched literals, hermetically)
           val enc = Xz.encode(text.getBytes("UTF-8"),
-            literalLzma = id % 2 == 0, chunkSize = 1 << 9)
+            literalLzma = id % 3 == 1, chunkSize = 1 << 9,
+            greedyMatch = id % 3 == 2)
           val arm =
             if (id % 13 == 0) enc.dropRight(7)
             else if (id % 17 == 0) {

@@ -40,6 +40,35 @@ class XzSpec extends AnyFunSuite {
     assert(Xz.decode(Xz.encode(Array[Byte]())).length == 0)
   }
 
+  test("greedy-match subset encoder roundtrips (real matches + matched literals)") {
+    // highly repetitive → long matches; the tail salt → matched-literal
+    // paths right after matches
+    val data = ((1 to 60).map(i => s"repeat segment $i tail" + (i % 3))
+      .mkString + ("abcd" * 200)).getBytes("UTF-8")
+    val enc = Xz.encode(data, chunkSize = 1 << 12, greedyMatch = true)
+    assert(java.util.Arrays.equals(Xz.decode(enc), data))
+    // matches must actually compress: far below the literal-only form
+    val lit = Xz.encode(data, literalLzma = true, chunkSize = 1 << 12)
+    assert(enc.length < lit.length / 2,
+      s"greedy encoder did not emit matches (${enc.length} vs ${lit.length})")
+  }
+
+  test("system xz decodes our greedy-match frames") {
+    sysXz match {
+      case None => cancel("no system xz binary")
+      case Some(xz) =>
+        val data = corpus ++ corpus // cross-copy repeats
+        val dir = Files.createTempDirectory("xz_match").toFile
+        val f = new java.io.File(dir, "m.xz")
+        Files.write(f.toPath, Xz.encode(data, greedyMatch = true))
+        val rc = new ProcessBuilder(xz, "-d", "-q", f.getAbsolutePath)
+          .start().waitFor()
+        assert(rc == 0, "system xz rejected our match frame")
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(new java.io.File(dir, "m").toPath), data))
+    }
+  }
+
   test("system xz output decodes here (presets 0, 6, 9e; checks crc32/crc64/sha256)") {
     sysXz match {
       case None => cancel("no system xz binary")
