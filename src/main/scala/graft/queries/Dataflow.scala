@@ -6116,6 +6116,53 @@ object Dataflow {
         .orderBy("media_id", "frame")
   }
 
+  /** x261: MULTISTREAM CORPUS SINK, full circle — a curated corpus
+    * written back out as the randomly-accessible artifact the
+    * ecosystem serves: [[Pipelines.wikidumpSink]] turns each
+    * partition into one multistream dump + published-format index
+    * (pages grouped 16 to a stream here, executor-side Hadoop FS
+    * writes, no driver funnel), and the gate closes the loop by
+    * serving single pages back OUT of what the sink wrote through
+    * [[Pipelines.wikidumpFetch]] — write → index-parse → range-read
+    * one stream per hit → exact text. Survives any partitioning: the
+    * index, not file layout, locates pages. */
+  val x261 = DQ("x261_wikidump_sink_roundtrip", Some(
+    """SELECT doc_id AS page_id,
+      |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |  md5('corpus body of ' || CAST(doc_id AS VARCHAR) || chr(10)
+      |      || 'line two ' || CAST(doc_id % 7 AS VARCHAR)) AS text_md5,
+      |  CAST(length('corpus body of ' || CAST(doc_id AS VARCHAR)
+      |      || chr(10) || 'line two ' || CAST(doc_id % 7 AS VARCHAR))
+      |    AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 9 = 0 ORDER BY page_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("x261_sink")
+        .toFile.getAbsolutePath
+      val pages = table(spark, dir, "documents").select(col("doc_id"))
+        .select(col("doc_id").as("page_id"),
+          concat(lit("Doc "), col("doc_id")).as("title"),
+          concat(lit("corpus body of "), col("doc_id"), lit("\nline two "),
+            col("doc_id") % 7).as("text"))
+        .repartition(7)
+      graft.streaming.Pipelines.wikidumpSink(pages, tmp, pagesPerStream = 16)
+      val idx = graft.streaming.Pipelines.wikidumpIndexLines(
+          spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*-index.txt.bz2")
+            .load(tmp)
+            .select(col("path"), col("content")))
+        .withColumn("path",
+          regexp_replace(col("path"), "-index\\.txt\\.bz2$", ".xml.bz2"))
+      val wanted = table(spark, dir, "documents")
+        .where(col("doc_id") % 9 === 0)
+        .select(col("doc_id").as("page_id"))
+      graft.streaming.Pipelines.wikidumpFetch(idx, wanted)
+        .select(col("page_id"), col("title"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("page_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6124,5 +6171,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255, x256, x257, x258, x259, x260)
+    x253, x254, x255, x256, x257, x258, x259, x260, x261)
 }

@@ -883,6 +883,69 @@ object Pipelines {
         col("text").isNotNull.as("ok"))
   }
 
+  /** Streaming twin of [[wikidumpArticles]] — the corpus view over a
+    * directory watch, same projection verbatim. */
+  def wikidumpArticlesStream(spark: SparkSession, dir: String): DataFrame =
+    wikidumpArticles(spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
+  /** The INVERSE path: write a curated corpus back out as the
+    * randomly-accessible artifact the ecosystem already knows how to
+    * serve — multistream `.xml.bz2` dumps plus their published-format
+    * `offset:pageid:title` index files. Each PARTITION becomes one
+    * dump (`part-<pid>.xml.bz2` + `part-<pid>-index.txt.bz2`), pages
+    * grouped `pagesPerStream` to a bzip2 stream (the 100-page
+    * convention, parameterized), header/footer streams framing them —
+    * so [[wikidumpFetch]] serves single pages out of what this wrote
+    * (the x261 gate closes that circle). Executor-side Hadoop FS
+    * writes, no driver funnel; one file per partition, sized by the
+    * caller's partitioning. */
+  def wikidumpSink(pages: DataFrame, dir: String,
+      pagesPerStream: Int = 100): Unit = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import graft.functions.Bzip2
+    import graft.sources.SerializableHadoopConf
+    val bc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    pages.select(col("page_id").cast("long"), col("title"), col("text"))
+      .as[(Long, String, String)]
+      .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+        val rows = it.toVector
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val dump = new java.io.ByteArrayOutputStream()
+          val idx = new StringBuilder
+          dump.write(Bzip2.encode(
+            "<mediawiki><siteinfo><sitename>graft</sitename></siteinfo>"
+              .getBytes("UTF-8")))
+          rows.grouped(pagesPerStream).foreach { g =>
+            val off = dump.size().toLong
+            val xml = g.map { case (id, t, b) =>
+              s"<page><title>$t</title><ns>0</ns><id>$id</id>" +
+                s"<revision><id>1</id><text bytes=\"0\">$b</text>" +
+                "</revision></page>"
+            }.mkString
+            dump.write(Bzip2.encode(xml.getBytes("UTF-8")))
+            g.foreach { case (id, t, _) => idx.append(s"$off:$id:$t\n") }
+          }
+          dump.write(Bzip2.encode("</mediawiki>".getBytes("UTF-8")))
+          val conf = bc.value.value
+          def write(name: String, bytes: Array[Byte]): Unit = {
+            val p = new org.apache.hadoop.fs.Path(dir, name)
+            val os = p.getFileSystem(conf).create(p, true)
+            try os.write(bytes) finally os.close()
+          }
+          write(f"part-$pid%05d.xml.bz2", dump.toByteArray)
+          write(f"part-$pid%05d-index.txt.bz2",
+            Bzip2.encode(idx.toString.getBytes("UTF-8")))
+        }
+      }
+  }
+
   /** Continuous dump ingest over a directory watch — the streaming twin
     * of [[wikidumpPages]] (the pdfTextStream pattern: a corpus grows as
     * dump files land instead of being re-scanned). */

@@ -111,6 +111,30 @@ class WikidumpStreamSpec extends AnyFunSuite {
     assert(streamed.contains("f.xml.bz2|-1|-1|-|-|false"))
   }
 
+  test("wikidumpArticlesStream filters ns/redirects through the shared projection") {
+    val dir = Files.createTempDirectory("wikidump_articles").toFile
+    val xml = "<mediawiki><siteinfo/>" +
+      "<page><title>Keep</title><ns>0</ns><id>1</id><revision>" +
+      "<text bytes=\"0\">kept '''body'''</text></revision></page>" +
+      "<page><title>Talk:Keep</title><ns>1</ns><id>2</id><revision>" +
+      "<text bytes=\"0\">chatter</text></revision></page>" +
+      "<page><title>Alias</title><ns>0</ns>" +
+      "<redirect title=\"Keep\" /><id>3</id><revision>" +
+      "<text bytes=\"0\">#REDIRECT [[Keep]]</text></revision></page>" +
+      "</mediawiki>"
+    Files.write(new java.io.File(dir, "n.xml.bz2").toPath,
+      Bzip2.encode(xml.getBytes("UTF-8")))
+    val q = Pipelines.wikidumpArticlesStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("wikidump_articles")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("wikidump_articles")
+      .select("title", "plain").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("Keep", "kept body")))
+  }
+
   test("wikidumpPlainStream strips markup through the shared projection") {
     val dir = Files.createTempDirectory("wikidump_plain").toFile
     Files.write(new java.io.File(dir, "m.xml.bz2").toPath,
