@@ -451,12 +451,18 @@ object SevenZip {
 
   /** Fixture writer: one folder per file (Copy, LZMA2-literal, or raw
     * LZMA coder round-robin), raw or LZMA2-ENCODED header, per-folder
-    * CRC32 digests — enough surface to invert every parser branch. */
+    * CRC32 digests — enough surface to invert every parser branch.
+    * With `emptyStreamBits` set, zero-length files take the
+    * kEmptyStream route (bit vector in FilesInfo, NO folder) instead
+    * of an empty substream — the layout real 7z tools emit. */
   def build(files: Seq[(String, Array[Byte])],
-      encodedHeader: Boolean = false): Array[Byte] = {
+      encodedHeader: Boolean = false,
+      emptyStreamBits: Boolean = false): Array[Byte] = {
     val packs = ArrayBuffer[Array[Byte]]()
     val folderMeta = ArrayBuffer[(Int, Array[Byte], Long, Int)]()
-    files.zipWithIndex.foreach { case ((_, data), i) =>
+    val isEmpty = files.map(f => emptyStreamBits && f._2.isEmpty)
+    files.zipWithIndex.filter(t => !isEmpty(t._2)).zipWithIndex
+      .foreach { case (((_, data), _), i) =>
       val crc = Xz.crc32(data, 0, data.length)
       i % 3 match {
         case 0 =>
@@ -481,6 +487,21 @@ object SevenZip {
     writeStreamsInfo(header, packs.toSeq, folderMeta.toSeq, packPos = 0)
     header.write(kFilesInfo)
     writeNum(header, files.size.toLong)
+    if (isEmpty.exists(identity)) {
+      // kEmptyStream: one bit per file, msb-first
+      val bits = new java.io.ByteArrayOutputStream()
+      var cur = 0
+      var nbits = 0
+      isEmpty.foreach { e =>
+        cur = (cur << 1) | (if (e) 1 else 0)
+        nbits += 1
+        if (nbits == 8) { bits.write(cur); cur = 0; nbits = 0 }
+      }
+      if (nbits > 0) bits.write(cur << (8 - nbits))
+      header.write(kEmptyStream)
+      writeNum(header, bits.size().toLong)
+      bits.writeTo(header)
+    }
     val nameBytes = new java.io.ByteArrayOutputStream()
     nameBytes.write(0) // not external
     files.foreach { case (n, _) =>

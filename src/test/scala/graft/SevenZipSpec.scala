@@ -71,4 +71,19 @@ class SevenZipSpec extends AnyFunSuite {
     // CRC is the contract either way
     assert(e.crcOk && e.payload.length == 0)
   }
+
+  test("kEmptyStream layout: empty files by bit vector, no folder") {
+    // the layout real 7z tools emit — empty files carry NO substream,
+    // only a bit in FilesInfo; non-empty files must keep mapping to
+    // their folders in order around the gaps
+    for (enc <- Seq(false, true)) {
+      val es = SevenZip.entries(
+        SevenZip.build(files, encodedHeader = enc, emptyStreamBits = true))
+      assert(es != null && es.map(_.name) == files.map(_._1))
+      es.zip(files).foreach { case (e, (n, d)) =>
+        assert(e.crcOk, s"$n lost its CRC (encodedHeader=$enc)")
+        assert(java.util.Arrays.equals(e.payload, d), s"$n payload")
+      }
+    }
+  }
 }

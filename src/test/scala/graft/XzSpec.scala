@@ -110,6 +110,23 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("system xz multi-block files decode (index with several records)") {
+    sysXz match {
+      case None => cancel("no system xz binary")
+      case Some(xz) =>
+        val dir = Files.createTempDirectory("xz_blocks").toFile
+        val raw = new java.io.File(dir, "in.txt")
+        Files.write(raw.toPath, corpus)
+        val rc = new ProcessBuilder(xz, "-q", "-k", "--block-size=4KiB",
+          raw.getAbsolutePath).start().waitFor()
+        assert(rc == 0)
+        val enc = Files.readAllBytes(
+          new java.io.File(dir, "in.txt.xz").toPath)
+        assert(java.util.Arrays.equals(Xz.decode(enc), corpus),
+          "multi-block xz did not decode")
+    }
+  }
+
   test("concatenated streams decode whole (with stream padding)") {
     val a = Xz.encode("first part ".getBytes)
     val b = Xz.encode("second part".getBytes)
