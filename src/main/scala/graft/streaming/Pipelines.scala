@@ -832,8 +832,12 @@ object Pipelines {
     val bc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
+    // NOT cached: the returned DataFrame is lazy, so there is no safe
+    // unpersist point (the x39 rule in SCALE.md) — hits is a cheap
+    // index∩wanted join and recomputing it beats leaking a cached
+    // frame per fetch call
     val hits = idx.join(wanted.select("page_id").distinct(), "page_id")
-      .select(col("path"), col("off"), col("page_id")).cache()
+      .select(col("path"), col("off"), col("page_id"))
     val hitPaths = hits.select("path").distinct()
     val fileLens = hitPaths.as[String]
       .mapPartitions { it =>
