@@ -25,10 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (`kEncodedHeader`) headers, PackInfo/UnpackInfo/SubStreamsInfo,
   *    FilesInfo with UTF-16LE names and empty-stream/empty-file bits;
   *  - folder payload decode for the Copy (0x00), LZMA2 (0x21) and raw
-  *    LZMA (0x030101) coders — the three plain-archive coders; a
-  *    folder wearing anything else (BCJ/delta chains) keeps its
-  *    members visible with `crc_ok = false` and null payloads: triage
-  *    never dies on an exotic coder, it routes;
+  *    LZMA (0x030101) coders, plus bind-pair FILTER CHAINS over them:
+  *    delta (0x03) and BCJ x86 (0x04 new id, 0x03030103 legacy) — the
+  *    layouts Stack-Exchange-style dumps of code/binaries actually
+  *    wear; a folder wearing anything else (non-x86 branch
+  *    converters, BCJ2's 4-stream graph, PPMd) keeps its members
+  *    visible with `crc_ok = false` and null payloads: triage never
+  *    dies on an exotic coder, it routes;
   *  - per-substream CRC32 verification where the archive carries
   *    digests.
   *
@@ -406,12 +409,19 @@ object SevenZip {
 
   /** Decode folder `fi`'s payload from the packed region, or null when
     * the coder chain is unsupported or the data breaks — the caller
-    * turns that into per-member dead letters. */
+    * turns that into per-member dead letters.
+    *
+    * Supported folder shapes: ONE packed stream feeding a chain of
+    * single-in/single-out coders linked by bind pairs — which covers
+    * every plain archive (one coder) and the filter-chained layouts
+    * real-world 7z wears (delta or BCJ-x86 in front of LZMA/LZMA2,
+    * the Stack-Exchange-dump shape). Multi-input folders (BCJ2's
+    * 4-stream graph) and non-x86 branch converters route as
+    * quarantine, never die. */
   private def decodeFolder(raw: Array[Byte], si: StreamsInfo,
       fi: Int): Array[Byte] = {
     // pack streams are laid out consecutively from 32 + packPos;
-    // folder fi consumes its packedIndices-worth in order (we support
-    // one packed stream per folder, the plain-archive layout)
+    // folder fi consumes its packedIndices-worth in order
     var at = 32L + si.packPos
     var firstPack = 0
     var f = 0
@@ -422,29 +432,69 @@ object SevenZip {
     var i = 0
     while (i < firstPack) { at += si.packSizes(i); i += 1 }
     val folder = si.folders(fi)
-    if (folder.packedIndices.size != 1 || folder.coders.size != 1) return null
+    if (folder.packedIndices.size != 1) return null
+    if (folder.coders.exists(cd => cd.nIn != 1 || cd.nOut != 1)) return null
+    if (firstPack >= si.packSizes.size) return null
+    if (folder.unpackSizes.size != folder.coders.size) return null
     val packSize = si.packSizes(firstPack)
     if (at + packSize > raw.length) return null
-    val packed = java.util.Arrays.copyOfRange(
+    var data = java.util.Arrays.copyOfRange(
       raw, at.toInt, (at + packSize).toInt)
-    val unpackSize = folderUnpackSize(folder)
-    if (unpackSize < 0 || unpackSize > Xz.MaxOut) return null
-    val coder = folder.coders.head
-    val out = coder.id match {
-      case 0x00 => // Copy
-        if (packed.length.toLong != unpackSize) null else packed
-      case 0x21 => // LZMA2
-        Xz.lzma2Decode(packed)
-      case 0x030101 => // raw LZMA
-        if (coder.props.length < 1) null
-        else Xz.lzmaRawDecode(packed, coder.props(0) & 0xFF, unpackSize.toInt)
-      case _ => null // BCJ/delta chains: triage, don't decode
+    // with every coder 1-in/1-out, input index i and output index i
+    // both belong to coder i: walk from the packed input along bind
+    // pairs (inIndex, outIndex) until the unbound output
+    var idx = folder.packedIndices.head
+    var steps = 0
+    var out: Array[Byte] = null
+    while (out == null) {
+      if (idx < 0 || idx >= folder.coders.size) return null
+      steps += 1
+      if (steps > folder.coders.size) return null // bind-pair cycle
+      val expect = folder.unpackSizes(idx)
+      if (expect < 0 || expect > Xz.MaxOut) return null
+      data = decodeCoder(folder.coders(idx), data, expect)
+      if (data == null || data.length.toLong != expect) return null
+      folder.bindPairs.find(_._2 == idx) match {
+        case Some((nextIn, _)) => idx = nextIn
+        case None => out = data // unbound output = the folder's output
+      }
     }
-    if (out == null || out.length.toLong != unpackSize) return null
     folder.crc match {
       case Some(d) if Xz.crc32(out, 0, out.length) != d => null
       case _ => out
     }
+  }
+
+  /** One chain stage. The filter coders (delta 0x03, BCJ x86 under
+    * both its new 0x04 and legacy 0x03030103 ids) are size-preserving
+    * in-place kernels shared with the XZ block decode (x257) — 7z and
+    * xz document the same Bra86/delta algorithms. Anything else —
+    * non-x86 branch converters (PPC 0x05 … SPARC 0x09), BCJ2,
+    * PPMd/BZip2 payload coders — returns null: triage, don't die. */
+  private def decodeCoder(coder: Coder, in: Array[Byte],
+      expect: Long): Array[Byte] = coder.id match {
+    case 0x00 => // Copy
+      if (in.length.toLong != expect) null else in
+    case 0x21 => // LZMA2
+      Xz.lzma2Decode(in)
+    case 0x030101 => // raw LZMA
+      if (coder.props.length < 1) null
+      else Xz.lzmaRawDecode(in, coder.props(0) & 0xFF, expect.toInt)
+    case 0x03 => // delta filter: props byte = distance - 1
+      if (coder.props.length != 1 || in.length.toLong != expect) null
+      else {
+        val cp = java.util.Arrays.copyOf(in, in.length)
+        Xz.deltaDecode(cp, (coder.props(0) & 0xFF) + 1)
+        cp
+      }
+    case 0x04 | 0x03030103 => // BCJ x86, new and legacy method ids
+      if (in.length.toLong != expect) null
+      else {
+        val cp = java.util.Arrays.copyOf(in, in.length)
+        Xz.x86Convert(cp, 0, encoding = false)
+        cp
+      }
+    case _ => null
   }
 
   // ------------------------------------------------------------- writer
@@ -457,27 +507,52 @@ object SevenZip {
     * of an empty substream — the layout real 7z tools emit. */
   def build(files: Seq[(String, Array[Byte])],
       encodedHeader: Boolean = false,
-      emptyStreamBits: Boolean = false): Array[Byte] = {
+      emptyStreamBits: Boolean = false,
+      chainFor: Int => Option[(Long, Array[Byte])] = _ => None): Array[Byte] = {
     val packs = ArrayBuffer[Array[Byte]]()
-    val folderMeta = ArrayBuffer[(Int, Array[Byte], Long, Int)]()
+    val folderMeta = ArrayBuffer[FolderSpec]()
     val isEmpty = files.map(f => emptyStreamBits && f._2.isEmpty)
     files.zipWithIndex.filter(t => !isEmpty(t._2)).zipWithIndex
-      .foreach { case (((_, data), _), i) =>
+      .foreach { case ((((_, data), origIdx), i)) =>
       val crc = Xz.crc32(data, 0, data.length)
-      i % 3 match {
-        case 0 =>
-          packs += data
-          folderMeta += ((0, Array.empty[Byte], data.length.toLong, crc))
-        case 1 =>
-          packs += Xz.lzma2EncodeLiterals(data)
-          folderMeta += ((1, Array[Byte](26), data.length.toLong, crc))
-        case _ =>
-          val (props, packed) = Xz.lzmaRawEncodeLiterals(data)
-          packs += packed
-          val pb = new Array[Byte](5)
-          pb(0) = props.toByte
-          pb(1) = 0; pb(2) = 0; pb(3) = 2; pb(4) = 0 // 128 KiB dict, LE
-          folderMeta += ((2, pb, data.length.toLong, crc))
+      chainFor(origIdx) match {
+        case Some((fid, fprops)) =>
+          // filter-chained folder, the real-world "-mf=…" layout: the
+          // filter saw the RAW bytes at encode time, LZMA2 packs the
+          // filtered bytes, so the wire chain decodes
+          // packed →(LZMA2)→ filtered →(filter⁻¹)→ raw. An id we
+          // don't encode for (a non-x86 arch) packs the raw bytes
+          // unfiltered — the decoder must ROUTE it before any
+          // byte-level check, which is exactly what the gate pins.
+          val filtered = java.util.Arrays.copyOf(data, data.length)
+          fid match {
+            case 0x03L => Xz.deltaEncode(filtered, (fprops(0) & 0xFF) + 1)
+            case 0x04L | 0x03030103L =>
+              Xz.x86Convert(filtered, 0, encoding = true)
+            case _ => // exotic arch: decoder routes, payload form moot
+          }
+          packs += Xz.lzma2EncodeLiterals(filtered)
+          folderMeta += ((
+            Seq(coderSpec(1, Array[Byte](26)), (fid, fprops)),
+            Seq(data.length.toLong, data.length.toLong), crc))
+        case None => i % 3 match {
+          case 0 =>
+            packs += data
+            folderMeta += ((Seq(coderSpec(0, Array.empty[Byte])),
+              Seq(data.length.toLong), crc))
+          case 1 =>
+            packs += Xz.lzma2EncodeLiterals(data)
+            folderMeta += ((Seq(coderSpec(1, Array[Byte](26))),
+              Seq(data.length.toLong), crc))
+          case _ =>
+            val (props, packed) = Xz.lzmaRawEncodeLiterals(data)
+            packs += packed
+            val pb = new Array[Byte](5)
+            pb(0) = props.toByte
+            pb(1) = 0; pb(2) = 0; pb(3) = 2; pb(4) = 0 // 128 KiB dict, LE
+            folderMeta += ((Seq(coderSpec(2, pb)),
+              Seq(data.length.toLong), crc))
+        }
       }
     }
 
@@ -530,7 +605,8 @@ object SevenZip {
         val eh = new java.io.ByteArrayOutputStream()
         eh.write(kEncodedHeader)
         writeStreamsInfo(eh, Seq(packedHeader),
-          Seq((1, Array[Byte](26), headerArr.length.toLong,
+          Seq((Seq(coderSpec(1, Array[Byte](26))),
+            Seq(headerArr.length.toLong),
             Xz.crc32(headerArr, 0, headerArr.length))),
           packPos = body.size().toLong)
         body.write(packedHeader, 0, packedHeader.length)
@@ -549,10 +625,22 @@ object SevenZip {
     out.toByteArray
   }
 
-  /** StreamsInfo for one-coder-per-folder layouts: (kind 0=Copy,
-    * 1=LZMA2, 2=LZMA; props; unpackSize; crc) per folder. */
+  /** A folder on the writer side: its coder CHAIN in pack-to-output
+    * order (each 1-in/1-out; id + props), per-coder unpack sizes in
+    * the same order, and the folder CRC. A one-element chain is the
+    * plain-archive layout; longer chains get bind pairs
+    * (inIndex = i+1 consumes outIndex = i). */
+  private type FolderSpec = (Seq[(Long, Array[Byte])], Seq[Long], Int)
+
+  private def coderSpec(kind: Int, props: Array[Byte]): (Long, Array[Byte]) =
+    kind match {
+      case 0 => (0x00L, Array.empty[Byte])
+      case 1 => (0x21L, props)
+      case _ => (0x030101L, props)
+    }
+
   private def writeStreamsInfo(out: java.io.ByteArrayOutputStream,
-      packs: Seq[Array[Byte]], folders: Seq[(Int, Array[Byte], Long, Int)],
+      packs: Seq[Array[Byte]], folders: Seq[FolderSpec],
       packPos: Long): Unit = {
     out.write(kPackInfo)
     writeNum(out, packPos)
@@ -564,38 +652,66 @@ object SevenZip {
     out.write(kFolder)
     writeNum(out, folders.size.toLong)
     out.write(0) // not external
-    folders.foreach { case (kind, props, _, _) =>
-      writeNum(out, 1) // one coder
-      kind match {
-        case 0 => out.write(0x01); out.write(0x00) // id len 1, Copy
-        case 1 =>
-          out.write(0x21); out.write(0x21) // id len 1 + props, LZMA2
+    folders.foreach { case (coders, _, _) =>
+      writeNum(out, coders.size.toLong)
+      coders.foreach { case (id, props) =>
+        val idLen = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8)
+        out.write(idLen | (if (props.nonEmpty) 0x20 else 0x00))
+        var k = idLen - 1
+        while (k >= 0) { out.write(((id >>> (8 * k)) & 0xFF).toInt); k -= 1 }
+        if (props.nonEmpty) {
           writeNum(out, props.length.toLong)
           out.write(props, 0, props.length)
-        case _ =>
-          out.write(0x23) // id len 3 + props
-          out.write(0x03); out.write(0x01); out.write(0x01)
-          writeNum(out, props.length.toLong)
-          out.write(props, 0, props.length)
+        }
       }
+      // bind pairs: coder i+1's input consumes coder i's output
+      var b = 0
+      while (b < coders.size - 1) {
+        writeNum(out, (b + 1).toLong) // in index
+        writeNum(out, b.toLong) // out index
+        b += 1
+      }
+      // nPacked = totalIn - bindPairs = 1: no packed indices on the wire
     }
     out.write(kCodersUnpackSize)
-    folders.foreach { case (_, _, sz, _) => writeNum(out, sz) }
+    folders.foreach { case (_, sizes, _) =>
+      sizes.foreach(sz => writeNum(out, sz))
+    }
     out.write(kCRC)
     out.write(1) // all defined
-    folders.foreach { case (_, _, _, crc) => writeLe32(out, crc) }
+    folders.foreach { case (_, _, crc) => writeLe32(out, crc) }
     out.write(kEnd)
     out.write(kEnd)
   }
 
+  /** Full REAL_UINT64 writer (7zFormat.txt): the first byte's high
+    * bits count the LSB-first extra bytes, its low bits carry the
+    * number's top bits — all nine forms, so a member or pack stream
+    * past 2 MiB (or 2^56) round-trips instead of silently corrupting
+    * the header (the old 3-byte cap spilled `v >> 16` into the
+    * extra-byte flags). */
   private def writeNum(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
-    // canonical short forms are enough for fixtures
-    if (v < 0x80) out.write(v.toInt)
-    else if (v < 0x4000) {
-      out.write(0x80 | (v >> 8).toInt); out.write((v & 0xFF).toInt)
-    } else {
-      out.write(0xC0 | (v >> 16).toInt)
-      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+    var first = 0
+    var mask = 0x80
+    var extras = 0
+    var fits = false
+    while (extras < 8 && !fits) {
+      if (java.lang.Long.compareUnsigned(v, 1L << (7 * (extras + 1))) < 0) {
+        first |= (v >>> (8 * extras)).toInt
+        fits = true
+      } else {
+        first |= mask
+        mask >>= 1
+        extras += 1
+      }
+    }
+    out.write(first)
+    var rest = v
+    var i = 0
+    while (i < extras) {
+      out.write((rest & 0xFF).toInt)
+      rest >>>= 8
+      i += 1
     }
   }
 

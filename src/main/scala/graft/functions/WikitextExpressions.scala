@@ -36,6 +36,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * construction (the x252 oracle states it in SQL). */
 object Wikitext {
 
+  /** Dump WIRE form of element text: MediaWiki entity-escapes `&`,
+    * `<`, `>` (and `"`) when writing page XML — a title or body
+    * containing a literal `</text>` or `<page>` must not be able to
+    * corrupt the dump ([[graft.streaming.Pipelines.wikidumpSink]]'s
+    * write side; the x261 hostile-text gate). */
+  def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Inverse of [[xmlEscape]] plus the numeric apostrophe — `&amp;`
+    * decoded LAST so `&amp;lt;` round-trips to the literal text
+    * `&lt;`, not `<`. */
+  def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&amp;", "&")
+
   def plain(src: String): String = {
     if (src == null) return null
     var s = src

@@ -31,8 +31,12 @@ import org.apache.spark.sql.types._
   *    proven against the system `xz` binary in XzSpec (levels 0/9e),
   *    the same two-way-interop posture as Bzip2Spec.
   *
-  * Unsupported filter chains (delta/BCJ prefilters) null-route as
-  * quarantine, documented — corpus `.xz` in the wild is plain LZMA2. */
+  * Filter chains: plain LZMA2 plus the two prefilters real `.tar.xz`
+  * distributions wear — delta (0x03) and BCJ x86 (0x04) — DECODE
+  * (x257); the inverse filter runs per block after the LZMA2 stage and
+  * the block check verifies the final bytes. Any other prefilter id
+  * (the non-x86 branch converters 0x05–0x0B, LZMA1 0x4000000000000001,
+  * unknown ids) null-routes as quarantine. */
 object Xz {
 
   // --------------------------------------------------------------- CRCs
@@ -244,9 +248,14 @@ object Xz {
     else {
       // decode this block alone, run the inverse prefilters over it
       // (prefilters list is already reversed: last-applied first),
-      // then append — the block check runs over the FINAL bytes
+      // then append — the block check runs over the FINAL bytes. The
+      // LZMA2 budget is what the 256 MiB per-ROW bound has LEFT after
+      // prior blocks (tmp's window doesn't carry them), so N filtered
+      // blocks can't stack N × 256 MiB; the declared size, when
+      // present, fails the same way before any decode work
+      declUnc.foreach(d => if (uncStart + d > MaxOut.toLong) fail())
       val tmp = new java.io.ByteArrayOutputStream()
-      Lzma2.decode(c, tmp)
+      Lzma2.decode(c, tmp, budget = MaxOut - uncStart)
       var block = tmp.toByteArray
       prefilters.foreach {
         case (0x03L, props) =>
@@ -432,7 +441,14 @@ object Xz {
   // -------------------------------------------------- LZMA2 chunk layer
 
   private object Lzma2 {
-    def decode(c: Cursor, out: java.io.ByteArrayOutputStream): Unit = {
+    /** `budget` is the remaining per-ROW inflate allowance, not a
+      * per-block one: the prefiltered path decodes each block into a
+      * fresh buffer (the window `before` no longer carries prior
+      * blocks), so the caller passes `MaxOut - bytesAlreadyOut` to
+      * keep the bound GLOBAL — N delta-filtered blocks cannot stack
+      * N × 256 MiB. */
+    def decode(c: Cursor, out: java.io.ByteArrayOutputStream,
+        budget: Int = MaxOut): Unit = {
       val win = new Lzma.GrowWindow(out)
       var st: Lzma.State = null
       var props = -1
@@ -444,7 +460,7 @@ object Xz {
         else if (control == 1 || control == 2) {
           if (control == 1) dictStart = win.size
           val n = ((c.u8() << 8) | c.u8()) + 1
-          if (win.size + n > MaxOut) fail()
+          if (win.size + n > budget) fail()
           win.putAll(c.bytes(n))
           st = null // an uncompressed chunk invalidates LZMA state
         } else if ((control & 0x80) != 0) {
@@ -458,7 +474,7 @@ object Xz {
           if (reset == 3) dictStart = win.size
           if (props < 0) fail() // first LZMA chunk must carry props
           if (reset >= 1 || st == null) st = new Lzma.State(props)
-          if (win.size + unpack > MaxOut) fail()
+          if (win.size + unpack > budget) fail()
           Lzma.decodeChunk(c, st, win, dictStart, unpack, pack)
         } else fail()
       }
@@ -632,7 +648,14 @@ object Xz {
                 dist += rd.direct(nd - 4) << 4
                 dist += rd.treeRev(st.align, 0, 4)
               }
-              if (dist == -1) fail() // end marker: not allowed in LZMA2 chunks
+              // dist is a 32-bit unsigned quantity decoded into an Int:
+              // 0xFFFFFFFF is the end marker (not allowed in LZMA2
+              // chunks) and anything else >= 2^31 went negative here —
+              // both are structurally invalid for a window bounded at
+              // MaxOut, and a negative rep0 would slip past the
+              // `winB.size - rep0 - 1 < dictStart` guard below, so
+              // reject the whole sign-flipped range, not just -1
+              if (dist < 0) fail()
               st.rep0 = dist
             }
             st.state = if (st.state < 7) 7 else 10
@@ -685,7 +708,9 @@ object Xz {
       private var tailLen = 0
       def size: Int = before.length + tailLen
       def at(i: Int): Byte =
-        if (i < before.length) before(i) else tailArr(i - before.length)
+        if (i < 0 || i >= size) fail() // never read capacity slack
+        else if (i < before.length) before(i)
+        else tailArr(i - before.length)
       def put(b: Byte): Unit = {
         if (tailLen == tailArr.length)
           tailArr = java.util.Arrays.copyOf(tailArr, tailArr.length * 2)

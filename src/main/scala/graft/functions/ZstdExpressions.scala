@@ -30,8 +30,14 @@ object Zstandard {
     b.length >= 4 && b(0) == 0x28.toByte && b(1) == 0xB5.toByte &&
       b(2) == 0x2F.toByte && b(3) == 0xFD.toByte
 
+  /** Admission accepts a data frame OR a skippable frame (§3.1.2) at
+    * offset 0: real `.warc.zst` conventionally leads with a skippable
+    * dictionary frame, and zstd's own streaming decoder walks over
+    * skippables wherever they sit — so must the whole-payload path,
+    * matching [[frameExtents]]' admission. */
   def decode(b: Array[Byte]): Array[Byte] = {
-    if (b == null || !hasMagic(b)) return null
+    if (b == null || b.length < 4 || !(hasMagic(b) || skipMagicAt(b, 0)))
+      return null
     try {
       val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
         new java.io.ByteArrayInputStream(b))

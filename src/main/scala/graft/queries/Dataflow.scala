@@ -6125,25 +6125,32 @@ object Dataflow {
     * serving single pages back OUT of what the sink wrote through
     * [[Pipelines.wikidumpFetch]] — write → index-parse → range-read
     * one stream per hit → exact text. Survives any partitioning: the
-    * index, not file layout, locates pages. */
+    * index, not file layout, locates pages. The corpus text is
+    * deliberately HOSTILE to the dump format — every page body
+    * carries `&`, `<`, a literal `</text>` and `<page>`, and the
+    * title carries `<`, `&`, `"` — so the gate proves the sink's
+    * entity escaping and the fetch's decoding round-trip byte-exactly
+    * (unescaped interpolation would truncate at the embedded
+    * `</text>` and silently mis-serve). */
   val x261 = DQ("x261_wikidump_sink_roundtrip", Some(
-    """SELECT doc_id AS page_id,
-      |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-      |  md5('corpus body of ' || CAST(doc_id AS VARCHAR) || chr(10)
-      |      || 'line two ' || CAST(doc_id % 7 AS VARCHAR)) AS text_md5,
-      |  CAST(length('corpus body of ' || CAST(doc_id AS VARCHAR)
-      |      || chr(10) || 'line two ' || CAST(doc_id % 7 AS VARCHAR))
-      |    AS BIGINT) AS n_chars
-      |FROM documents WHERE doc_id % 9 = 0 ORDER BY page_id""".stripMargin)) {
+    """WITH p AS (SELECT doc_id,
+      |  'Doc <' || CAST(doc_id AS VARCHAR) || '> & "q"' AS title,
+      |  'a & b <page></text> of ' || CAST(doc_id AS VARCHAR) || chr(10)
+      |    || 'line two ' || CAST(doc_id % 7 AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 9 = 0)
+      |SELECT doc_id AS page_id, title,
+      |  md5(text) AS text_md5,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM p ORDER BY page_id""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("x261_sink")
         .toFile.getAbsolutePath
       val pages = table(spark, dir, "documents").select(col("doc_id"))
         .select(col("doc_id").as("page_id"),
-          concat(lit("Doc "), col("doc_id")).as("title"),
-          concat(lit("corpus body of "), col("doc_id"), lit("\nline two "),
-            col("doc_id") % 7).as("text"))
+          concat(lit("Doc <"), col("doc_id"), lit("> & \"q\"")).as("title"),
+          concat(lit("a & b <page></text> of "), col("doc_id"),
+            lit("\nline two "), col("doc_id") % 7).as("text"))
         .repartition(7)
       graft.streaming.Pipelines.wikidumpSink(pages, tmp, pagesPerStream = 16)
       val idx = graft.streaming.Pipelines.wikidumpIndexLines(
@@ -6163,6 +6170,67 @@ object Dataflow {
         .orderBy("page_id")
   }
 
+  /** x262: 7Z FILTER CHAINS — real-world 7z of code and binaries
+    * (Stack-Exchange-style dumps) wears bind-pair filter chains, not
+    * bare coders: delta in front of LZMA2 for numeric tables, BCJ x86
+    * for executables. [[graft.functions.SevenZip]] walks the folder's
+    * coder GRAPH from the packed stream along bind pairs (x257's
+    * delta/Bra86 kernels do the inverse filtering), under raw and
+    * LZMA2-encoded headers both, with BOTH x86 method ids (0x04 new,
+    * 0x03030103 legacy) alternating by doc and the delta distance
+    * varying by doc. The `arm.bin` member wears an ARM (0x07) chain
+    * we deliberately do not decode: it must ROUTE as a dead letter on
+    * every row while its siblings keep serving — exotic coders
+    * quarantine, never die. The 艾/退 bytes (0xE8/0xE9 leads) force
+    * the branch converter to genuinely rewrite displacements. Per-row
+    * scan at 100 TB. */
+  val x262 = DQ("x262_sevenz_filter_chains", Some(
+    """WITH m AS (SELECT doc_id, u.m AS m FROM documents,
+      |    unnest(generate_series(0, 2)) AS u(m)),
+      |e AS (SELECT doc_id,
+      |    CASE m WHEN 0 THEN 'arm.bin' WHEN 1 THEN 'num.bin'
+      |           ELSE 'x86.bin' END AS member,
+      |    m = 0 AS dead,
+      |    CASE m WHEN 0 THEN 'arm ' WHEN 1 THEN 'delta 0123456789 '
+      |           ELSE 'call 艾退 x86 ' END
+      |      || CAST(doc_id AS VARCHAR) AS text
+      |  FROM m)
+      |SELECT doc_id AS media_id, member, NOT dead AS ok,
+      |  CASE WHEN dead THEN NULL ELSE md5(text) END AS text_md5,
+      |  CAST(CASE WHEN dead THEN NULL ELSE length(text) END AS BIGINT)
+      |    AS n_chars
+      |FROM e ORDER BY media_id, member""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{SevenZip, SevenZipEntries}
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val files = Seq(
+            ("arm.bin", s"arm $id".getBytes("UTF-8")),
+            ("num.bin", s"delta 0123456789 $id".getBytes("UTF-8")),
+            ("x86.bin", s"call 艾退 x86 $id".getBytes("UTF-8")))
+          val chains: Int => Option[(Long, Array[Byte])] = {
+            case 0 => Some((0x07L, Array.empty[Byte])) // ARM: must route
+            case 1 => Some((0x03L, Array[Byte]((id % 4).toByte)))
+            case _ => Some((
+              if (id % 2 == 0) 0x04L else 0x03030103L,
+              Array.empty[Byte]))
+          }
+          (id, SevenZip.build(files, encodedHeader = id % 2 == 1,
+            chainFor = chains))
+        }.toDF("media_id", "media")
+      media
+        .withColumn("es", SevenZipEntries.sevenzEntries(col("media")))
+        .select(col("media_id"), explode_outer(col("es")).as("e"))
+        .select(col("media_id"), col("e.name").as("member"),
+          coalesce(col("e.crc_ok"), lit(false)).as("ok"),
+          md5(col("e.payload")).as("text_md5"),
+          expr("length(cast(e.payload AS STRING))").cast("long")
+            .as("n_chars"))
+        .orderBy("media_id", "member")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6171,5 +6239,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255, x256, x257, x258, x259, x260, x261)
+    x253, x254, x255, x256, x257, x258, x259, x260, x261, x262)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.batch.{ChunkRow, ChunkPipeline}
@@ -649,7 +649,15 @@ object Pipelines {
     *  - a file that is not bzip2 at all: one (stream = -1, page = -1,
     *    nulls, ok = false) row.
     * Batch or streaming input, so the two modes cannot drift; the one
-    * shuffle is the deliberate extent spread. */
+    * shuffle is the deliberate extent spread.
+    *
+    * ENTITY CONTRACT: `title` and `text` are the dump's WIRE form —
+    * XML entities (`&amp;` `&lt;` `&gt;` …) intact, exactly as real
+    * MediaWiki dumps carry them. The decoded views are
+    * [[wikidumpPlain]] / [[wikidumpArticles]] (via `wikitext_plain`)
+    * and [[wikidumpFetch]] (single-page serving); a consumer of THIS
+    * raw view must unescape itself and must not double-decode after
+    * those views. [[wikidumpSink]] escapes symmetrically on write. */
   def wikidumpPages(files: DataFrame): DataFrame =
     wikidumpExtract(wikidumpSlices(files))
 
@@ -821,7 +829,12 @@ object Pipelines {
     * but the stream doesn't hold — comes back as one (ok = false) row:
     * route, don't drop. All joins against the wanted/extent sides are
     * O(hits); the per-path `lead` window runs over O(#streams) 16-byte
-    * rows, not data. */
+    * rows, not data.
+    *
+    * Unlike the raw [[wikidumpPages]] view, this is a SERVING path:
+    * `title`/`text` come back entity-DECODED (the inverse of what
+    * [[wikidumpSink]] and real MediaWiki dumps escape on write), so a
+    * fetched page is the original text byte-for-byte. */
   def wikidumpFetch(idx: DataFrame, wanted: DataFrame,
       maxExtentBytes: Long =
         graft.sources.RangedBz2.DefaultMaxExtentBytes): DataFrame = {
@@ -883,9 +896,20 @@ object Pipelines {
 
     hits
       .join(pages, Seq("path", "off", "page_id"), "left")
-      .select(col("path"), col("page_id"), col("title"), col("text"),
+      .select(col("path"), col("page_id"),
+        xmlUnescapeCol(col("title")).as("title"),
+        xmlUnescapeCol(col("text")).as("text"),
         col("text").isNotNull.as("ok"))
   }
+
+  /** Column-side inverse of [[graft.functions.Wikitext.xmlEscape]]
+    * (the dump wire form → served text): `&amp;` decoded LAST so
+    * `&amp;lt;` comes back as the literal text `&lt;`, not `<`. */
+  private def xmlUnescapeCol(c: Column): Column =
+    replace(replace(replace(replace(replace(c,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
 
   /** Streaming twin of [[wikidumpArticles]] — the corpus view over a
     * directory watch, same projection verbatim. */
@@ -906,46 +930,69 @@ object Pipelines {
     * so [[wikidumpFetch]] serves single pages out of what this wrote
     * (the x261 gate closes that circle). Executor-side Hadoop FS
     * writes, no driver funnel; one file per partition, sized by the
-    * caller's partitioning. */
+    * caller's partitioning.
+    *
+    * Wire hygiene (what real MediaWiki dumps do): title and text are
+    * entity-ESCAPED into the page XML (`& < > "`), so a corpus body
+    * carrying a literal `</text>` or `<page>` cannot truncate or
+    * corrupt the dump on re-read — [[wikidumpFetch]] decodes the
+    * entities back, closing the hostile-text round trip byte-exactly.
+    * Index lines carry the title in PLAIN form (the published index is
+    * a text file, not XML) with newlines flattened to spaces — a title
+    * with an embedded newline would otherwise tear its index line in
+    * two. Memory posture: each stream group is built, compressed and
+    * written to the FS stream in turn — the dump never materializes in
+    * heap; only the (≈1% of dump size, the published ratio) index text
+    * accumulates per partition. */
   def wikidumpSink(pages: DataFrame, dir: String,
       pagesPerStream: Int = 100): Unit = {
     val spark = pages.sparkSession
     import spark.implicits._
-    import graft.functions.Bzip2
+    import graft.functions.{Bzip2, Wikitext}
     import graft.sources.SerializableHadoopConf
     val bc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     pages.select(col("page_id").cast("long"), col("title"), col("text"))
       .as[(Long, String, String)]
       .foreachPartition { (it: Iterator[(Long, String, String)]) =>
-        val rows = it.toVector
-        if (rows.nonEmpty) {
+        if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val dump = new java.io.ByteArrayOutputStream()
-          val idx = new StringBuilder
-          dump.write(Bzip2.encode(
-            "<mediawiki><siteinfo><sitename>graft</sitename></siteinfo>"
-              .getBytes("UTF-8")))
-          rows.grouped(pagesPerStream).foreach { g =>
-            val off = dump.size().toLong
-            val xml = g.map { case (id, t, b) =>
-              s"<page><title>$t</title><ns>0</ns><id>$id</id>" +
-                s"<revision><id>1</id><text bytes=\"0\">$b</text>" +
-                "</revision></page>"
-            }.mkString
-            dump.write(Bzip2.encode(xml.getBytes("UTF-8")))
-            g.foreach { case (id, t, _) => idx.append(s"$off:$id:$t\n") }
-          }
-          dump.write(Bzip2.encode("</mediawiki>".getBytes("UTF-8")))
           val conf = bc.value.value
-          def write(name: String, bytes: Array[Byte]): Unit = {
-            val p = new org.apache.hadoop.fs.Path(dir, name)
-            val os = p.getFileSystem(conf).create(p, true)
-            try os.write(bytes) finally os.close()
+          val dumpPath = new org.apache.hadoop.fs.Path(
+            dir, f"part-$pid%05d.xml.bz2")
+          val fs = dumpPath.getFileSystem(conf)
+          val idx = new StringBuilder
+          val os = fs.create(dumpPath, true)
+          var pos = 0L
+          def emit(bytes: Array[Byte]): Unit = {
+            os.write(bytes)
+            pos += bytes.length
           }
-          write(f"part-$pid%05d.xml.bz2", dump.toByteArray)
-          write(f"part-$pid%05d-index.txt.bz2",
-            Bzip2.encode(idx.toString.getBytes("UTF-8")))
+          try {
+            emit(Bzip2.encode(
+              "<mediawiki><siteinfo><sitename>graft</sitename></siteinfo>"
+                .getBytes("UTF-8")))
+            it.grouped(pagesPerStream).foreach { g =>
+              val off = pos
+              val xml = g.map { case (id, t, b) =>
+                val te = Wikitext.xmlEscape(
+                  t.replaceAll("[\r\n]+", " "))
+                s"<page><title>$te</title><ns>0</ns><id>$id</id>" +
+                  s"<revision><id>1</id><text bytes=\"0\">" +
+                  Wikitext.xmlEscape(b) + "</text></revision></page>"
+              }.mkString
+              emit(Bzip2.encode(xml.getBytes("UTF-8")))
+              g.foreach { case (id, t, _) =>
+                idx.append(s"$off:$id:${t.replaceAll("[\r\n]+", " ")}\n")
+              }
+            }
+            emit(Bzip2.encode("</mediawiki>".getBytes("UTF-8")))
+          } finally os.close()
+          val ip = new org.apache.hadoop.fs.Path(
+            dir, f"part-$pid%05d-index.txt.bz2")
+          val ios = ip.getFileSystem(conf).create(ip, true)
+          try ios.write(Bzip2.encode(idx.toString.getBytes("UTF-8")))
+          finally ios.close()
         }
       }
   }

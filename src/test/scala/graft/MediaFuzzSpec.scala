@@ -193,7 +193,16 @@ class MediaFuzzSpec extends AnyFunSuite {
     graft.functions.Xz.encode(
       ("xz corpus stand-in " * 40).getBytes, literalLzma = true),
     graft.functions.Xz.encode(
-      ("xz corpus stand-in " * 40).getBytes, literalLzma = false))
+      ("xz corpus stand-in " * 40).getBytes, literalLzma = false),
+    graft.functions.Xz.encode(
+      ("xz delta stand-in " * 30).getBytes, literalLzma = true,
+      prefilter = Some((0x03, Array[Byte](2)))),
+    graft.functions.SevenZip.build(Seq(
+      ("a.bin", ("7z chain 艾退 " * 10).getBytes("UTF-8")),
+      ("b.bin", "delta member 0123456789".getBytes("UTF-8"))),
+      chainFor = i =>
+        if (i == 0) Some((0x04L, Array.empty[Byte]))
+        else Some((0x03L, Array[Byte](0)))))
 
   test("every parser survives pure random bytes") {
     val rnd = new scala.util.Random(0xFADEDBEEFL)

@@ -72,6 +72,64 @@ class SevenZipSpec extends AnyFunSuite {
     assert(e.crcOk && e.payload.length == 0)
   }
 
+  test("filter-chained folders decode: delta and BCJ x86 (both ids) behind LZMA2") {
+    // 艾 (0xE8 lead byte) / 退 (0xE9) make the branch converter
+    // genuinely rewrite displacements inside valid UTF-8 — the XzSpec
+    // trick, so a no-op BCJ stage cannot pass this test
+    val body = ("call graph 艾退 jump table 艾 " * 40).getBytes("UTF-8")
+    val nums = Array.tabulate[Byte](512)(i => (i * 7).toByte)
+    val cf = Seq(
+      ("a.bin", body), ("b.bin", nums), ("c.bin", body),
+      ("d.txt", "plain member, no chain".getBytes("UTF-8")))
+    val chains: Int => Option[(Long, Array[Byte])] = {
+      case 0 => Some((0x04L, Array.empty[Byte]))       // BCJ x86, new id
+      case 1 => Some((0x03L, Array[Byte](1)))          // delta, distance 2
+      case 2 => Some((0x03030103L, Array.empty[Byte])) // BCJ x86, legacy id
+      case _ => None
+    }
+    for (enc <- Seq(false, true)) {
+      val es = SevenZip.entries(
+        SevenZip.build(cf, encodedHeader = enc, chainFor = chains))
+      assert(es != null && es.size == cf.size, s"encodedHeader=$enc")
+      es.zip(cf).foreach { case (e, (n, d)) =>
+        assert(e.crcOk, s"$n lost its CRC (encodedHeader=$enc)")
+        assert(java.util.Arrays.equals(e.payload, d), s"$n payload")
+      }
+    }
+  }
+
+  test("exotic filter chains route as dead letters, never die") {
+    // ARM (0x07) and SPARC (0x09) branch filters exist in the wild but
+    // aren't decoded here: their members must stay VISIBLE with
+    // crc_ok = false while plain members keep serving
+    val cf = Seq(
+      ("arm.bin", "arm-filtered payload".getBytes("UTF-8")),
+      ("ok.txt", "fine".getBytes("UTF-8")),
+      ("sparc.bin", "sparc-filtered".getBytes("UTF-8")))
+    val chains: Int => Option[(Long, Array[Byte])] = {
+      case 0 => Some((0x07L, Array.empty[Byte]))
+      case 2 => Some((0x09L, Array.empty[Byte]))
+      case _ => None
+    }
+    val es = SevenZip.entries(SevenZip.build(cf, chainFor = chains))
+    assert(es != null && es.map(_.name) == cf.map(_._1))
+    assert(!es(0).crcOk && es(0).payload == null, "ARM chain must route")
+    assert(es(1).crcOk &&
+      java.util.Arrays.equals(es(1).payload, cf(1)._2))
+    assert(!es(2).crcOk && es(2).payload == null, "SPARC chain must route")
+  }
+
+  test("REAL_UINT64 writer: a member past the old 3-byte cap round-trips") {
+    // any pack/unpack size >= 0x200000 used to spill into the
+    // extra-byte flags and silently corrupt the header; 3 MiB through
+    // the Copy coder exercises the 4-byte form on both numbers
+    val big = new Array[Byte](3 * 1024 * 1024)
+    new java.util.Random(7).nextBytes(big)
+    val es = SevenZip.entries(SevenZip.build(Seq(("big.bin", big))))
+    assert(es != null && es.size == 1 && es.head.crcOk)
+    assert(java.util.Arrays.equals(es.head.payload, big))
+  }
+
   test("kEmptyStream layout: empty files by bit vector, no folder") {
     // the layout real 7z tools emit — empty files carry NO substream,
     // only a bit in FilesInfo; non-empty files must keep mapping to

@@ -93,4 +93,46 @@ class WikidumpFetchSpec extends AnyFunSuite {
       (999L, "-", "-", false)  // index lie: promised, not delivered
     ), s"got $got")
   }
+
+  test("sink escapes, fetch decodes: hostile titles and bodies round-trip " +
+      "byte-exactly; newline titles keep index lines whole") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink_hostile").toFile.getAbsolutePath
+    val hostile = Seq(
+      (1L, "A & B <T> \"q\"",
+        "body with & and <page></page> and a literal </text> terminator" +
+          "\nsecond line"),
+      (2L, "Line\nbroken:title", "plain body"),
+      // text that ALREADY looks like entities must come back verbatim —
+      // double-decoding would turn &lt; into <
+      (3L, "&amp; pre-escaped title",
+        "text holding &lt; entities that must NOT double-decode"))
+    Pipelines.wikidumpSink(
+      hostile.toDF("page_id", "title", "text").repartition(1),
+      dir, pagesPerStream = 2)
+    val idx = Pipelines.wikidumpIndexLines(
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*-index.txt.bz2").load(dir)
+          .select(col("path"), col("content")))
+      .withColumn("path",
+        regexp_replace(col("path"), "-index\\.txt\\.bz2$", ".xml.bz2"))
+    // index lines carry the PLAIN title (the index is text, not XML),
+    // newlines flattened so each page stays exactly one line
+    val titles = idx.select(col("page_id"), col("title"))
+      .as[(Long, String)].collect().toMap
+    assert(titles.size == 3, s"index must hold one line per page: $titles")
+    assert(titles(1L) == "A & B <T> \"q\"")
+    assert(titles(2L) == "Line broken:title")
+    assert(titles(3L) == "&amp; pre-escaped title")
+    val got = Pipelines.wikidumpFetch(idx, Seq(1L, 2L, 3L).toDF("page_id"))
+      .select("page_id", "title", "text", "ok").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, "A & B <T> \"q\"", hostile(0)._3, true),
+      (2L, "Line broken:title", "plain body", true),
+      (3L, "&amp; pre-escaped title",
+        "text holding &lt; entities that must NOT double-decode", true)),
+      s"got $got")
+  }
 }

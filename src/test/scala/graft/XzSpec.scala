@@ -193,6 +193,33 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-block delta chains respect the GLOBAL 256 MiB bound, not per block") {
+    sysXz match {
+      case None => cancel("no system xz binary")
+      case Some(xz) =>
+        // 3 delta-filtered blocks of 96 MiB each: every BLOCK is inside
+        // the bound, the FILE inflates to 288 MiB. The prefiltered path
+        // decodes each block into a fresh buffer, so a per-block-only
+        // check would admit the lot — the bound must be global across
+        // blocks, same as the plain-LZMA2 path.
+        val dir = Files.createTempDirectory("xz_bound").toFile
+        val raw = new java.io.File(dir, "in.bin")
+        val zeros = new Array[Byte](96 * 1024 * 1024)
+        val os = new java.io.FileOutputStream(raw)
+        try { var i = 0; while (i < 3) { os.write(zeros); i += 1 } }
+        finally os.close()
+        val rc = new ProcessBuilder(xz, "-q", "-k", "--delta=dist=1",
+          "--lzma2=preset=0", "--block-size=100663296",
+          raw.getAbsolutePath).start().waitFor()
+        assert(rc == 0, "system xz failed to build the multi-block file")
+        val enc = Files.readAllBytes(new java.io.File(dir, "in.bin.xz").toPath)
+        assert(Xz.decode(enc) == null,
+          "a 288 MiB multi-block delta file must null-route at the row bound")
+        raw.delete()
+        new java.io.File(dir, "in.bin.xz").delete()
+    }
+  }
+
   test("quarantine arms: truncation, payload flip, header flip, not-xz") {
     val enc = Xz.encode(corpus)
     assert(Xz.decode(enc.dropRight(7)) == null, "truncation")

@@ -71,12 +71,18 @@ class ZstdSpec extends AnyFunSuite {
     val skip = Array[Byte](0x50, 0x2A, 0x4D, 0x18, // magic 0x184D2A50 LE
       4, 0, 0, 0, // 4 content bytes
       9, 9, 9, 9)
-    // a LEADING skippable frame fails our strict first-4-bytes magic
-    // check (that is the `.zst` admission gate), but one BETWEEN data
-    // frames must be transparently skipped by the frame walker
     val cat = Zstandard.encode("before ".getBytes) ++ skip ++
       Zstandard.encode("after".getBytes)
     assert(new String(Zstandard.decode(cat)) == "before after")
+    // a LEADING skippable frame is admitted too — the `.warc.zst`
+    // dictionary convention puts one at offset 0, and zstd's own
+    // streaming decoder walks over it (admission matches frameExtents)
+    val leading = skip ++ Zstandard.encode("payload".getBytes)
+    assert(new String(Zstandard.decode(leading)) == "payload")
+    // a payload that is ONLY skippable frames is a valid, EMPTY member
+    assert(Zstandard.decode(skip).length == 0)
+    // junk after the magic nibble still null-routes
+    assert(Zstandard.decode(Array[Byte](0x50, 0x2A, 0x4D, 0x19, 0)) == null)
   }
 
   test("frame extents: sequential walk, skippables dropped, torn tail surfaces") {
