@@ -6231,6 +6231,88 @@ object Dataflow {
         .orderBy("media_id", "member")
   }
 
+  /** x263: STACK-EXCHANGE DUMP → POSTS CORPUS — the public
+    * archive.org data-dump layout (one `.7z` per site holding
+    * attribute-style XML tables) composed end-to-end on the x262
+    * machinery: the 7z folder walk (filter chains rotating none /
+    * delta / BCJ-x86 by doc, raw and encoded headers by parity) opens
+    * `Posts.xml`, each self-closing `<row Id=".." PostTypeId=".."
+    * Body="..entity-escaped HTML.." />` explodes to a post, the Body
+    * attribute XML-decodes, and the embedded HTML strips through the
+    * SAME chain crawl pages take ([[Pipelines.htmlTextCol]]) — the
+    * oracle states the expected text BY CONSTRUCTION (it never runs a
+    * regex), so attribute parse + entity decode + tag strip must land
+    * string-exact. Quarantine arms: every 13th doc tears the
+    * container, every 17th flips the first pack byte — both must
+    * surface as one routed null-id row. The `Id=`/`PostTypeId=`
+    * extraction must not snag on the `ParentId=` attribute planted
+    * between them. Map-only per-row scan at 100 TB. */
+  val x263 = DQ("x263_sedump_posts", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 13 = 0 AS tq,
+      |    doc_id % 17 = 0 AND doc_id % 13 <> 0 AS fq FROM documents),
+      |p AS (SELECT doc_id, u.p AS p FROM d,
+      |    unnest(generate_series(1, 2)) AS u(p) WHERE NOT tq AND NOT fq),
+      |e AS (SELECT doc_id, CAST(doc_id * 10 + p AS BIGINT) AS post_id,
+      |    CAST(p AS INTEGER) AS post_type,
+      |    CASE WHEN p = 1
+      |      THEN 'Question body ' || CAST(doc_id AS VARCHAR) || ' & more.'
+      |      ELSE 'Answer for ' || CAST(doc_id AS VARCHAR) || ' x < 1'
+      |    END AS text
+      |  FROM p)
+      |SELECT media_id, post_id, post_type, text, n_chars, ok FROM (
+      |  SELECT doc_id AS media_id, post_id, post_type, text,
+      |    CAST(length(text) AS BIGINT) AS n_chars, true AS ok FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL, NULL, false FROM d WHERE tq OR fq)
+      |ORDER BY media_id, post_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val media = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("\"", "&quot;")
+          val rows = Seq(1, 2).map { p =>
+            val html =
+              if (p == 1) s"<p>Question body $id &amp; more.</p>"
+              else s"<p>Answer for $id</p><pre><code>x &lt; 1</code></pre>"
+            // ParentId sits between Id and PostTypeId: a sloppy
+            // `Id="…"` regex would bind to it
+            val parent = if (p == 2) s"""ParentId="${id * 10 + 1}" """ else ""
+            s"""<row Id="${id * 10 + p}" ${parent}PostTypeId="$p" """ +
+              s"""Body="${esc(html)}" />"""
+          }.mkString
+          val xml =
+            s"""<?xml version="1.0" encoding="utf-8"?><posts>$rows</posts>"""
+          val chains: Int => Option[(Long, Array[Byte])] = _ => (id % 3) match {
+            case 0 => None
+            case 1 => Some((0x03L, Array[Byte](0)))
+            case _ => Some((
+              if (id % 2 == 0) 0x04L else 0x03030103L, Array.empty[Byte]))
+          }
+          val arc = SevenZip.build(
+            Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+            encodedHeader = id % 2 == 1, chainFor = chains)
+          val arm =
+            if (id % 13 == 0) arc.dropRight(5)
+            else if (id % 17 == 0) {
+              val b = arc.clone()
+              b(40) = (b(40) ^ 0x55).toByte // inside the pack stream
+              b
+            } else arc
+          (id, arm)
+        }.toDF("media_id", "media")
+      graft.streaming.Pipelines.sedumpPosts(
+          media.select(col("media_id").cast("string").as("path"),
+            col("media").as("content")))
+        .select(col("path").cast("long").as("media_id"), col("post_id"),
+          col("post_type"), col("text"),
+          when(col("ok"), length(col("text"))).cast("long").as("n_chars"),
+          col("ok"))
+        .orderBy("media_id", "post_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6239,5 +6321,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255, x256, x257, x258, x259, x260, x261, x262)
+    x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263)
 }

@@ -1353,17 +1353,71 @@ object Pipelines {
     * column; adds title/text/text_len/link_count. */
   def htmlMainText(pages: DataFrame): DataFrame =
     pages
-      .withColumn("stripped", regexp_replace(col("html"),
-        "(?is)<script.*?</script>|<style.*?</style>", ""))
-      .withColumn("spaced", regexp_replace(col("stripped"), "<[^>]*>", " "))
-      .withColumn("decoded", regexp_replace(regexp_replace(regexp_replace(
-        col("spaced"), "&amp;", "&"), "&lt;", "<"), "&gt;", ">"))
-      .withColumn("text", trim(regexp_replace(col("decoded"), "\\s+", " ")))
+      .withColumn("text", htmlTextCol(col("html")))
       .withColumn("title",
         regexp_extract(col("html"), "(?is)<title>(.*?)</title>", 1))
       .withColumn("text_len", length(col("text")))
       .withColumn("link_count", size(split(col("html"), "<a href=")) - 1)
-      .drop("stripped", "spaced", "decoded")
+
+  /** The strip chain [[htmlMainText]] applies, as a reusable Column so
+    * every HTML-bearing surface (crawl pages, Stack-Exchange post
+    * bodies) lands on IDENTICAL text: script/style removal, tags →
+    * space, the three core entities, whitespace collapse. All
+    * codegen'd regexp/string builtins, no UDF. */
+  private[graft] def htmlTextCol(html: Column): Column = {
+    val stripped = regexp_replace(html,
+      "(?is)<script.*?</script>|<style.*?</style>", "")
+    val spaced = regexp_replace(stripped, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      spaced, "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Stack-Exchange-style dump ingest (the public archive.org data-dump
+    * layout: one `.7z` per site holding attribute-style XML tables —
+    * `Posts.xml` is one self-closing `<row Id=".." PostTypeId=".."
+    * Body="..entity-escaped HTML.." />` per post). Input (path,
+    * content) rows of `.7z` bytes — the member walk rides
+    * `sevenz_entries` incl. its delta/BCJ filter-chain folders (x262);
+    * each `.xml` member's rows explode, the `Body` attribute decodes
+    * its XML entities (`&amp;` last), and the embedded HTML strips to
+    * main text through [[htmlTextCol]] — the SAME chain crawl pages
+    * take, so post text and page text cannot drift.
+    *
+    * Row contract (route, don't drop):
+    *  - a post: (member, post_id, post_type, text, ok = true);
+    *  - a broken container, a member that failed its folder/CRC
+    *    decode, or an `.xml` member with no rows: one null-id
+    *    (ok = false) row;
+    *  - non-XML members (license files, media) emit nothing.
+    * Per-row work only — at 100 TB the plan is a map-only scan; no
+    * shuffle touches the archive bytes. */
+  def sedumpPosts(archives: DataFrame): DataFrame = {
+    import graft.functions.SevenZipEntries
+    archives
+      .withColumn("es", SevenZipEntries.sevenzEntries(col("content")))
+      .select(col("path"), explode_outer(col("es")).as("e"))
+      .withColumn("mok",
+        col("e").isNotNull && coalesce(col("e.crc_ok"), lit(false)))
+      // non-XML members drop out; a broken container's null `e` and a
+      // dead member both stay visible for the quarantine row below
+      .where(col("e").isNull || !col("mok") ||
+        col("e.name").rlike("(?i)\\.xml$"))
+      .withColumn("xml", when(col("mok"), col("e.payload").cast("string")))
+      .withColumn("rows", when(col("mok"),
+        expr("regexp_extract_all(xml, '<row\\\\s[^>]*/>', 0)")))
+      .select(col("path"), col("e.name").as("member"),
+        explode_outer(col("rows")).as("r"))
+      .select(col("path"), col("member"),
+        expr("regexp_extract(r, '\\\\bId=\"(\\\\d+)\"', 1)")
+          .cast("long").as("post_id"),
+        expr("regexp_extract(r, '\\\\bPostTypeId=\"(\\\\d+)\"', 1)")
+          .cast("int").as("post_type"),
+        when(col("r").isNotNull, htmlTextCol(xmlUnescapeCol(
+          expr("regexp_extract(r, '\\\\bBody=\"([^\"]*)\"', 1)"))))
+          .as("text"),
+        col("r").isNotNull.as("ok"))
+  }
 
   /** The FRAME-level arm of [[mediaTriageStream]] for MJPEG-shaped video:
     * each watched MP4's sample table explodes to per-frame rows and every

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SevenZip
+import graft.streaming.Pipelines
+
+/** Stack-Exchange-style dump ingest edge arms beyond the x263 gate:
+  * multi-member archives where only `.xml` tables emit rows, an empty
+  * table routing one quarantine row, attribute values whose decoded
+  * HTML carries quotes and entities, and a dead member staying visible
+  * while its siblings serve. */
+class SedumpPostsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+    .replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def run(arcs: (String, Array[Byte])*) = {
+    import spark.implicits._
+    Pipelines.sedumpPosts(arcs.toSeq.toDF("path", "content"))
+      .select("path", "member", "post_id", "post_type", "text", "ok")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull,
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        Option(r.getString(4)).orNull, r.getBoolean(5)))
+      .toSet
+  }
+
+  test("only .xml members emit rows; quotes and entities decode; " +
+      "empty tables and dead members route") {
+    // a: Posts.xml (2 rows, quoted body) + license.txt (must emit nothing)
+    val html1 = "<p>He said &quot;hi&quot; &amp; left.</p>"
+    val html2 = "<blockquote>x &lt; y &gt; z</blockquote>"
+    val posts =
+      s"""<?xml version="1.0"?><posts>""" +
+        s"""<row Id="11" PostTypeId="1" Body="${esc(html1)}" />""" +
+        s"""<row Id="12" ParentId="11" PostTypeId="2" Body="${esc(html2)}" />""" +
+        "</posts>"
+    val a = SevenZip.build(Seq(
+      ("Posts.xml", posts.getBytes("UTF-8")),
+      ("license.txt", "not a table".getBytes("UTF-8"))))
+    // b: an EMPTY table must still be visible as one routed row
+    val b = SevenZip.build(Seq(
+      ("Empty.xml", """<?xml version="1.0"?><posts></posts>"""
+        .getBytes("UTF-8"))))
+    // c: dead member (pack byte flipped) routes, container survives
+    val c0 = SevenZip.build(Seq(("Posts.xml", posts.getBytes("UTF-8"))))
+    val c = c0.clone(); c(40) = (c(40) ^ 0x55).toByte
+
+    val got = run(("a", a), ("b", b), ("c", c))
+    assert(got == Set(
+      // the strip chain decodes the three core entities only (the
+      // pinned x160 contract): &quot; in HTML SOURCE stays literal
+      ("a", "Posts.xml", 11L, 1, "He said &quot;hi&quot; & left.", true),
+      ("a", "Posts.xml", 12L, 2, "x < y > z", true),
+      ("b", "Empty.xml", -1L, -1, null, false),
+      ("c", "Posts.xml", -1L, -1, null, false)), s"got $got")
+  }
+
+  test("a torn container is one null-member quarantine row") {
+    val arc = SevenZip.build(Seq(
+      ("Posts.xml", """<row Id="1" PostTypeId="1" Body="b" />"""
+        .getBytes("UTF-8"))))
+    val got = run(("t", arc.dropRight(4)))
+    assert(got == Set(("t", null, -1L, -1, null, false)), s"got $got")
+  }
+}
