@@ -6313,6 +6313,54 @@ object Dataflow {
         .orderBy("media_id", "post_id")
   }
 
+  /** x264: WARC.ZST CORPUS SINK, full circle — the zstd twin of the
+    * x261 multistream sink: a curated corpus written back out as the
+    * modern crawl artifact ([[Pipelines.warcZstSink]]: one
+    * `part-<pid>.warc.zst` per partition, a LEADING SKIPPABLE frame in
+    * the dictionary slot, one zstd frame PER RECORD so the file splits
+    * at frame boundaries), then read back through the x260 machinery —
+    * `zstd_extents` must step over the skippable lead and cut one
+    * frame per record, each frame parses as exactly one WARC response,
+    * and uri + payload round-trip byte-exactly. Executor-side streamed
+    * writes, one record's frame in heap at a time. */
+  val x264 = DQ("x264_warczst_sink_roundtrip", Some(
+    """SELECT doc_id AS media_id,
+      |  'http://d' || CAST(doc_id AS VARCHAR) || '.example/x' AS uri,
+      |  md5('warc body ' || CAST(doc_id AS VARCHAR) || chr(10)
+      |      || 'tail ' || CAST(doc_id % 5 AS VARCHAR)) AS payload_md5,
+      |  CAST(length('warc body ' || CAST(doc_id AS VARCHAR) || chr(10)
+      |      || 'tail ' || CAST(doc_id % 5 AS VARCHAR)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.{WarcRecords, ZstdBytes, ZstdExtents}
+      val tmp = java.nio.file.Files.createTempDirectory("x264_sink")
+        .toFile.getAbsolutePath
+      val recs = table(spark, dir, "documents").select(col("doc_id"))
+        .select(
+          concat(lit("http://d"), col("doc_id"), lit(".example/x")).as("uri"),
+          lit("2024-01-01T00:00:00Z").as("date"),
+          concat(lit("warc body "), col("doc_id"), lit("\ntail "),
+            col("doc_id") % 5).cast("binary").as("payload"))
+        .repartition(5)
+      graft.streaming.Pipelines.warcZstSink(recs, tmp)
+      spark.read.format("binaryFile").load(tmp)
+        .select(col("content"))
+        .withColumn("exts", ZstdExtents.zstdExtents(col("content")))
+        .select(col("content"), explode(col("exts")).as("ext"))
+        .withColumn("w", ZstdBytes.zstdBytes(
+          expr("substring(content, cast(ext.off as int) + 1, " +
+            "cast(ext.len as int))")))
+        .select(explode(WarcRecords.warcRecords(col("w"))).as("r"))
+        .select(
+          regexp_extract(col("r.uri"), "http://d(\\d+)\\.example", 1)
+            .cast("long").as("media_id"),
+          col("r.uri").as("uri"),
+          md5(col("r.payload")).as("payload_md5"),
+          length(col("r.payload")).cast("long").as("n_bytes"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6321,5 +6369,5 @@ object Dataflow {
     x201, x202, x203, x204, x205, x209, x211, x212, x213, x214, x222, x223,
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-    x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263)
+    x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263, x264)
 }

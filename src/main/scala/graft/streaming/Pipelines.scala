@@ -997,6 +997,52 @@ object Pipelines {
       }
   }
 
+  /** The `.warc.zst` CORPUS SINK — the zstd twin of [[wikidumpSink]],
+    * for the other giant-file corpus format: each PARTITION becomes one
+    * `part-<pid>.warc.zst` with a LEADING SKIPPABLE frame (the
+    * dictionary-slot convention real `.warc.zst` distributions wear;
+    * RFC 8878 §3.1.2) followed by ONE zstd frame PER RECORD — the
+    * frame-per-record layout that makes the file splittable at frame
+    * boundaries, so `zstd_extents` cuts it back into per-record tasks
+    * (x260) and [[Zstandard.decode]] reads it whole, skippable and
+    * all. Streamed record-by-record to the Hadoop FS output
+    * executor-side: the sink never holds more than one record's frame
+    * in heap (the wikidumpSink posture). `records`: (uri, date,
+    * payload) rows; the x264 gate closes the write → frame-split →
+    * parse circle byte-exactly. */
+  def warcZstSink(records: DataFrame, dir: String): Unit = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    import graft.functions.{Warc, Zstandard}
+    import graft.sources.SerializableHadoopConf
+    val bc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    records.select(col("uri"), col("date"), col("payload"))
+      .as[(String, String, Array[Byte])]
+      .foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(
+            dir, f"part-$pid%05d.warc.zst")
+          val os = p.getFileSystem(bc.value.value).create(p, true)
+          try {
+            // leading skippable frame (magic 0x184D2A50 LE + LE32 size)
+            val meta = "graft warc.zst v1".getBytes("UTF-8")
+            os.write(Array[Byte](0x50, 0x2A, 0x4D, 0x18))
+            os.write(Array[Byte](
+              (meta.length & 0xFF).toByte, ((meta.length >> 8) & 0xFF).toByte,
+              ((meta.length >> 16) & 0xFF).toByte,
+              ((meta.length >> 24) & 0xFF).toByte))
+            os.write(meta)
+            it.foreach { case (uri, date, payload) =>
+              os.write(Zstandard.encode(
+                Warc.build(Seq(("response", uri, date, payload)))))
+            }
+          } finally os.close()
+        }
+      }
+  }
+
   /** Continuous dump ingest over a directory watch — the streaming twin
     * of [[wikidumpPages]] (the pdfTextStream pattern: a corpus grows as
     * dump files land instead of being re-scanned). */
