@@ -35,12 +35,23 @@ object Zstandard {
     * dictionary frame, and zstd's own streaming decoder walks over
     * skippables wherever they sit — so must the whole-payload path,
     * matching [[frameExtents]]' admission. */
-  def decode(b: Array[Byte]): Array[Byte] = {
+  def decode(b: Array[Byte]): Array[Byte] = decodeImpl(b, null)
+
+  /** Dictionary-compressed decode — the IIPC `.warc.zst` record
+    * frames reference the dictionary carried in the dump's leading
+    * skippable frame ([[leadingDictionary]]). Same bound and
+    * null-on-break contract as [[decode]]; a frame compressed against
+    * a DIFFERENT dictionary (id mismatch) null-routes. */
+  def decodeWithDict(b: Array[Byte], dict: Array[Byte]): Array[Byte] =
+    if (dict == null) null else decodeImpl(b, dict)
+
+  private def decodeImpl(b: Array[Byte], dict: Array[Byte]): Array[Byte] = {
     if (b == null || b.length < 4 || !(hasMagic(b) || skipMagicAt(b, 0)))
       return null
     try {
       val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
         new java.io.ByteArrayInputStream(b))
+      if (dict != null) in.setDict(dict)
       try {
         val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](64 * 1024)
@@ -53,6 +64,47 @@ object Zstandard {
         out.toByteArray
       } finally in.close()
     } catch { case NonFatal(_) => null }
+  }
+
+  /** The IIPC `.warc.zst` DICTIONARY frame: the dump leads with a
+    * skippable frame whose magic is pinned to 0x184D2A5D (the `D`
+    * nibble marks "dictionary" — iipc/warc-specifications) and whose
+    * content is the zstd dictionary the record frames were compressed
+    * against; the spec allows the dictionary itself to ship
+    * zstd-compressed, decoded transparently here. Null when the
+    * payload does not lead with a dictionary frame (a plain skippable
+    * lead is NOT a dictionary). */
+  def leadingDictionary(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 8 || !skipMagicAt(b, 0)) return null
+    if ((b(0) & 0x0F) != 0x0D) return null
+    val n = (b(4) & 0xFF) | ((b(5) & 0xFF) << 8) | ((b(6) & 0xFF) << 16) |
+      ((b(7) & 0xFF) << 24)
+    if (n <= 0 || 8L + n > b.length) return null
+    val payload = java.util.Arrays.copyOfRange(b, 8, 8 + n)
+    if (dataMagicAt(payload, 0)) decode(payload) else payload
+  }
+
+  /** Fixture/sink-side dictionary-referencing encoder (checksum on,
+    * matching [[encode]]). */
+  def encodeWithDict(b: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setChecksum(true)
+      ctx.loadDict(dict)
+      ctx.compress(b)
+    } finally ctx.close()
+  }
+
+  /** Train a zstd dictionary (zstd's COVER trainer via zstd-jni) from
+    * sample payloads — the sink-side half of the IIPC dictionary
+    * convention. Throws ZstdException when the samples are too few or
+    * too uniform to train from (zstd's own admission); callers decide
+    * whether to fall back to dictionary-less frames. */
+  def trainDictionary(samples: Seq[Array[Byte]], dictBytes: Int): Array[Byte] = {
+    val t = new com.github.luben.zstd.ZstdDictTrainer(
+      samples.map(_.length).sum, dictBytes)
+    samples.foreach(t.addSample)
+    t.trainSamples()
   }
 
   /** Fixture-side encoder (one frame, default level, content checksum
@@ -149,6 +201,91 @@ case class ZstdBytes(child: Expression) extends UnaryExpression {
 object ZstdBytes {
   def zstdBytes(media: Column): Column =
     GraftColumnShim.column(ZstdBytes(GraftColumnShim.expression(media)))
+}
+
+/** `zstd_dict(binary)` → the dictionary carried in a leading
+  * 0x184D2A5D skippable frame (see [[Zstandard.leadingDictionary]]);
+  * null when the payload has no dictionary frame. */
+case class ZstdDictExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zstd_dict expects binary, got $other")
+  }
+
+  override def nullSafeEval(payload: Any): Any =
+    Zstandard.leadingDictionary(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("zstdDict", this, classOf[ZstdDictExpr].getName)
+    val r = ctx.freshName("zd")
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |Object $r = $self.nullSafeEval($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (byte[]) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZstdDictExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "zstd_dict"
+}
+
+object ZstdDictExpr {
+  def zstdDict(media: Column): Column =
+    GraftColumnShim.column(ZstdDictExpr(GraftColumnShim.expression(media)))
+}
+
+/** `zstd_bytes_dict(binary, binary)` → dictionary-referencing frame
+  * decode (see [[Zstandard.decodeWithDict]]); null when either side is
+  * null, the frame breaks, or it was compressed against a different
+  * dictionary. */
+case class ZstdBytesDict(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"zstd_bytes_dict expects (binary, binary), got $other")
+    }
+
+  override def nullSafeEval(frame: Any, dict: Any): Any =
+    Zstandard.decodeWithDict(
+      frame.asInstanceOf[Array[Byte]], dict.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("zstdBytesDict", this,
+      classOf[ZstdBytesDict].getName)
+    val r = ctx.freshName("zbd")
+    nullSafeCodeGen(ctx, ev, (f, d) => {
+      s"""
+         |Object $r = $self.nullSafeEval($f, $d);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (byte[]) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZstdBytesDict =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "zstd_bytes_dict"
+}
+
+object ZstdBytesDict {
+  def zstdBytesDict(frame: Column, dict: Column): Column =
+    GraftColumnShim.column(ZstdBytesDict(
+      GraftColumnShim.expression(frame), GraftColumnShim.expression(dict)))
 }
 
 /** `zstd_extents(binary)` → `array<struct<off bigint, len bigint>>` —

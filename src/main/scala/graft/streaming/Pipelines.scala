@@ -1009,38 +1009,102 @@ object Pipelines {
     * executor-side: the sink never holds more than one record's frame
     * in heap (the wikidumpSink posture). `records`: (uri, date,
     * payload) rows; the x264 gate closes the write → frame-split →
-    * parse circle byte-exactly. */
-  def warcZstSink(records: DataFrame, dir: String): Unit = {
+    * parse circle byte-exactly.
+    *
+    * With `dict = Some(d)` the sink writes the FULL IIPC dictionary
+    * convention: the leading skippable frame wears the pinned
+    * 0x184D2A5D "dictionary" magic and carries `d`, and every record
+    * frame is compressed REFERENCING it (train one with
+    * [[trainWarcDict]]) — the layout that makes tiny per-record
+    * frames compress like a big stream. [[warcZstRecords]] reads
+    * either form back; the x265 gate closes the dictionary circle. */
+  def warcZstSink(records: DataFrame, dir: String,
+      dict: Option[Array[Byte]] = None): Unit = {
     val spark = records.sparkSession
     import spark.implicits._
     import graft.functions.{Warc, Zstandard}
     import graft.sources.SerializableHadoopConf
     val bc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val bcDict = spark.sparkContext.broadcast(dict)
     records.select(col("uri"), col("date"), col("payload"))
       .as[(String, String, Array[Byte])]
       .foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
         if (it.hasNext) {
+          val d = bcDict.value
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val p = new org.apache.hadoop.fs.Path(
             dir, f"part-$pid%05d.warc.zst")
           val os = p.getFileSystem(bc.value.value).create(p, true)
           try {
-            // leading skippable frame (magic 0x184D2A50 LE + LE32 size)
-            val meta = "graft warc.zst v1".getBytes("UTF-8")
-            os.write(Array[Byte](0x50, 0x2A, 0x4D, 0x18))
+            // leading skippable frame: LE magic + LE32 size + content.
+            // 0x184D2A5D = the IIPC dictionary slot; 0x184D2A50 = a
+            // plain metadata skippable when no dictionary is used
+            val (magic0, content) = d match {
+              case Some(bytes) => (0x5D.toByte, bytes)
+              case None => (0x50.toByte, "graft warc.zst v1".getBytes("UTF-8"))
+            }
+            os.write(Array[Byte](magic0, 0x2A, 0x4D, 0x18))
             os.write(Array[Byte](
-              (meta.length & 0xFF).toByte, ((meta.length >> 8) & 0xFF).toByte,
-              ((meta.length >> 16) & 0xFF).toByte,
-              ((meta.length >> 24) & 0xFF).toByte))
-            os.write(meta)
+              (content.length & 0xFF).toByte,
+              ((content.length >> 8) & 0xFF).toByte,
+              ((content.length >> 16) & 0xFF).toByte,
+              ((content.length >> 24) & 0xFF).toByte))
+            os.write(content)
             it.foreach { case (uri, date, payload) =>
-              os.write(Zstandard.encode(
-                Warc.build(Seq(("response", uri, date, payload)))))
+              val rec = Warc.build(Seq(("response", uri, date, payload)))
+              os.write(d match {
+                case Some(bytes) => Zstandard.encodeWithDict(rec, bytes)
+                case None => Zstandard.encode(rec)
+              })
             }
           } finally os.close()
         }
       }
+  }
+
+  /** Train a zstd dictionary for [[warcZstSink]] from up to
+    * `maxSamples` record payloads — a bounded, model-sized driver
+    * collect (the IVF-centroid precedent: the DICTIONARY is a model
+    * artifact, not data). Throws when zstd's trainer judges the
+    * samples too few/too uniform; callers fall back to `dict = None`. */
+  def trainWarcDict(records: DataFrame, maxSamples: Int = 1024,
+      dictBytes: Int = 16 << 10): Array[Byte] =
+    graft.functions.Zstandard.trainDictionary(
+      records.select(col("payload")).limit(maxSamples)
+        .collect().map(_.getAs[Array[Byte]](0)).toSeq,
+      dictBytes)
+
+  /** The read side of [[warcZstSink]], both forms: (path, content)
+    * rows of `.warc.zst` → one row per WARC record. The leading
+    * skippable frame is probed for the IIPC dictionary
+    * (`zstd_dict`); record frames decode plain or
+    * dictionary-referencing accordingly (`zstd_bytes_dict`), each on
+    * its own extent. Route, don't drop: a torn frame, a frame
+    * compressed against a missing/different dictionary, or a file
+    * that is not zstd at all each surface as one (ok = false) row.
+    * Per-row work — no shuffle touches the archive bytes. */
+  def warcZstRecords(files: DataFrame): DataFrame = {
+    import graft.functions.{WarcRecords, ZstdBytes, ZstdBytesDict,
+      ZstdDictExpr, ZstdExtents}
+    files
+      .withColumn("dict", ZstdDictExpr.zstdDict(col("content")))
+      .withColumn("exts", ZstdExtents.zstdExtents(col("content")))
+      .select(col("path"), col("dict"), col("content"),
+        posexplode_outer(col("exts")).as(Seq("f0", "ext")))
+      .withColumn("fr", expr(
+        "substring(content, cast(ext.off as int) + 1, cast(ext.len as int))"))
+      .withColumn("w",
+        when(col("dict").isNull, ZstdBytes.zstdBytes(col("fr")))
+          .otherwise(ZstdBytesDict.zstdBytesDict(col("fr"), col("dict"))))
+      .select(col("path"),
+        when(col("ext").isNotNull, col("f0") + 1)
+          .otherwise(lit(-1)).cast("int").as("frame"),
+        explode_outer(WarcRecords.warcRecords(col("w"))).as("r"))
+      .select(col("path"), col("frame"),
+        col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
+        col("r.date").as("date"), col("r.payload").as("payload"),
+        col("r").isNotNull.as("ok"))
   }
 
   /** Continuous dump ingest over a directory watch — the streaming twin
