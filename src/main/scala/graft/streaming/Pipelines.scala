@@ -997,6 +997,27 @@ object Pipelines {
       }
   }
 
+  /** Streaming twin of [[sedumpPosts]] — `.7z` dumps landing in a
+    * watched directory emit post rows through the same projection
+    * verbatim, so the two ingest modes cannot drift. */
+  def sedumpPostsStream(spark: SparkSession, dir: String): DataFrame =
+    sedumpPosts(spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.7z")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
+  /** Streaming twin of [[warcZstRecords]] — same projection verbatim,
+    * dictionary frames and all. */
+  def warcZstStream(spark: SparkSession, dir: String): DataFrame =
+    warcZstRecords(spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.warc.zst")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
+
   /** The `.warc.zst` CORPUS SINK — the zstd twin of [[wikidumpSink]],
     * for the other giant-file corpus format: each PARTITION becomes one
     * `part-<pid>.warc.zst` with a LEADING SKIPPABLE frame (the
