@@ -53,6 +53,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     ("bz2_extents", b => graft.functions.Bzip2.streamOffsets(b)),
     ("zstd_decode", b => graft.functions.Zstandard.decode(b)),
     ("zstd_extents", b => graft.functions.Zstandard.frameExtents(b)),
+    ("zstd_dict", b => graft.functions.Zstandard.leadingDictionary(b)),
+    ("zstd_decode_dict", b => graft.functions.Zstandard.decodeWithDict(
+      b, MediaFuzzSpec.FuzzDict)),
     ("sevenz_entries", b => graft.functions.SevenZip.entries(b)),
     ("xz_decode", b => graft.functions.Xz.decode(b)),
     ("wikitext_plain", b => graft.functions.Wikitext.plain(
@@ -256,4 +259,13 @@ class MediaFuzzSpec extends AnyFunSuite {
       }
     }
   }
+}
+
+object MediaFuzzSpec {
+  /** A small real dictionary so the dict-decode fuzz arm exercises the
+    * dictionary-referencing path, not just the null guard. */
+  lazy val FuzzDict: Array[Byte] = graft.functions.Zstandard.trainDictionary(
+    (0 until 300).map(i =>
+      s"fuzz dictionary sample boilerplate | body $i".getBytes("UTF-8")),
+    1 << 10)
 }
