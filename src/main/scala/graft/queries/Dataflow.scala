@@ -6424,6 +6424,96 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x266: SE-DUMP RELATIONAL COMPOSITION — a real Stack-Exchange site
+    * dump is SEVERAL attribute tables (Users.xml, Posts.xml,
+    * Comments.xml …) that only become a corpus after joins:
+    * [[Pipelines.sedumpTable]] reads each table generically (named
+    * attributes out of `<row …/>`, entity-decoded, absent ≠ empty),
+    * then posts join their owners on (archive, OwnerUserId) and
+    * aggregate their comments on (archive, PostId) — foreign keys are
+    * only unique WITHIN a site dump, so every join keys on the archive
+    * too (the classic per-tenant composite-key shape; at 100 TB the
+    * comment aggregation is map-side-combined before its one
+    * exchange). Entity-bearing display names prove the attribute
+    * decode rides the joins intact; a zero-comment post must survive
+    * the left join with count 0, not vanish. */
+  val x266 = DQ("x266_sedump_relational", Some(
+    """WITH p AS (SELECT doc_id, u.p AS p FROM documents,
+      |    unnest(generate_series(1, 2)) AS u(p)),
+      |e AS (SELECT doc_id, CAST(doc_id * 10 + p AS BIGINT) AS post_id,
+      |  CASE WHEN p = 1 THEN 'User A' || CAST(doc_id AS VARCHAR)
+      |       ELSE 'B & C <' || CAST(doc_id AS VARCHAR) || '>' END AS owner_name,
+      |  CAST(CASE WHEN p = 1 THEN doc_id % 1000
+      |       ELSE doc_id % 577 END AS BIGINT) AS owner_rep,
+      |  CAST(CASE WHEN p = 1 THEN doc_id % 3 ELSE 1 END AS BIGINT)
+      |    AS n_comments,
+      |  CAST(CASE WHEN p = 1 THEN (doc_id % 3) * ((doc_id % 3) + 1) / 2
+      |       ELSE doc_id % 7 END AS BIGINT) AS sum_score
+      |  FROM p)
+      |SELECT doc_id AS media_id, post_id, owner_name, owner_rep,
+      |  n_comments, sum_score
+      |FROM e ORDER BY media_id, post_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val arcs = spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("\"", "&quot;")
+          val users =
+            s"""<?xml version="1.0"?><users>""" +
+              s"""<row Id="${id * 100 + 1}" DisplayName="User A$id" """ +
+              s"""Reputation="${id % 1000}" />""" +
+              s"""<row Id="${id * 100 + 2}" DisplayName="${esc(s"B & C <$id>")}" """ +
+              s"""Reputation="${id % 577}" /></users>"""
+          val posts =
+            s"""<?xml version="1.0"?><posts>""" +
+              s"""<row Id="${id * 10 + 1}" PostTypeId="1" """ +
+              s"""OwnerUserId="${id * 100 + 1}" Body="q" />""" +
+              s"""<row Id="${id * 10 + 2}" ParentId="${id * 10 + 1}" """ +
+              s"""PostTypeId="2" OwnerUserId="${id * 100 + 2}" Body="a" />""" +
+              "</posts>"
+          val k = (id % 3).toInt
+          val comments =
+            s"""<?xml version="1.0"?><comments>""" +
+              (1 to k).map(c =>
+                s"""<row Id="${id * 1000 + c}" PostId="${id * 10 + 1}" """ +
+                  s"""Score="$c" />""").mkString +
+              s"""<row Id="${id * 1000 + 9}" PostId="${id * 10 + 2}" """ +
+              s"""Score="${id % 7}" /></comments>"""
+          (id, SevenZip.build(Seq(
+            ("Users.xml", users.getBytes("UTF-8")),
+            ("Posts.xml", posts.getBytes("UTF-8")),
+            ("Comments.xml", comments.getBytes("UTF-8"))),
+            encodedHeader = id % 2 == 0))
+        }.toDF("media_id", "media")
+      val arcDf = arcs.select(col("media_id").cast("string").as("path"),
+        col("media").as("content"))
+      def tbl(member: String, attrs: Seq[String]) =
+        graft.streaming.Pipelines.sedumpTable(arcDf, member, attrs)
+          .where(col("ok"))
+      val users = tbl("Users.xml", Seq("Id", "DisplayName", "Reputation"))
+        .select(col("path"), col("Id").cast("long").as("uid"),
+          col("DisplayName").as("owner_name"),
+          col("Reputation").cast("long").as("owner_rep"))
+      val posts = tbl("Posts.xml", Seq("Id", "OwnerUserId"))
+        .select(col("path"), col("Id").cast("long").as("post_id"),
+          col("OwnerUserId").cast("long").as("uid"))
+      val comments = tbl("Comments.xml", Seq("PostId", "Score"))
+        .groupBy(col("path"), col("PostId").cast("long").as("post_id"))
+        .agg(count(lit(1)).as("n_comments"),
+          sum(col("Score").cast("long")).as("sum_score"))
+      posts
+        .join(users, Seq("path", "uid"))
+        .join(comments, Seq("path", "post_id"), "left")
+        .select(col("path").cast("long").as("media_id"), col("post_id"),
+          col("owner_name"), col("owner_rep"),
+          coalesce(col("n_comments"), lit(0L)).as("n_comments"),
+          coalesce(col("sum_score"), lit(0L)).as("sum_score"))
+        .orderBy("media_id", "post_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6433,5 +6523,5 @@ object Dataflow {
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
     x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263, x264,
-    x265)
+    x265, x266)
 }

@@ -997,6 +997,39 @@ object Pipelines {
       }
   }
 
+  /** Generic attribute-table reader for SE-style dumps — the
+    * [[sedumpPosts]] machinery for ANY of the dump's tables
+    * (`Users.xml`, `Comments.xml`, `Votes.xml`, …): every self-closing
+    * `<row …/>` of the named member becomes one row with the requested
+    * attributes as STRING columns (entity-decoded; null when the
+    * attribute is absent from the row), plus `ok`. Quarantine mirrors
+    * [[sedumpPosts]]: broken containers and dead members surface as
+    * one all-null (ok = false) row; healthy members under other names
+    * emit nothing. Per-row work only — at 100 TB each table is its
+    * own archive file and this is a map-only scan over it. */
+  def sedumpTable(archives: DataFrame, member: String,
+      attrs: Seq[String]): DataFrame = {
+    import graft.functions.SevenZipEntries
+    val base = archives
+      .withColumn("es", SevenZipEntries.sevenzEntries(col("content")))
+      .select(col("path"), explode_outer(col("es")).as("e"))
+      .withColumn("mok",
+        col("e").isNotNull && coalesce(col("e.crc_ok"), lit(false)))
+      .where(col("e").isNull || !col("mok") || col("e.name") === member)
+      .withColumn("xml", when(col("mok"), col("e.payload").cast("string")))
+      .withColumn("rows", when(col("mok"),
+        expr("regexp_extract_all(xml, '<row\\\\s[^>]*/>', 0)")))
+      .select(col("path"), explode_outer(col("rows")).as("r"))
+    attrs.foldLeft(base) { (df, a) =>
+      // \b guards against suffix collisions (Id= must not bind inside
+      // ParentId=); rlike distinguishes ABSENT (null) from empty ("")
+      df.withColumn(a, xmlUnescapeCol(
+        when(col("r").rlike("\\b" + a + "=\""),
+          regexp_extract(col("r"), "\\b" + a + "=\"([^\"]*)\"", 1))))
+    }.select(
+      (col("path") +: attrs.map(col)) :+ col("r").isNotNull.as("ok"): _*)
+  }
+
   /** Streaming twin of [[sedumpPosts]] — `.7z` dumps landing in a
     * watched directory emit post rows through the same projection
     * verbatim, so the two ingest modes cannot drift. */

@@ -66,6 +66,27 @@ class SedumpPostsSpec extends AnyFunSuite {
       ("c", "Posts.xml", -1L, -1, null, false)), s"got $got")
   }
 
+  test("sedumpTable: absent attribute is NULL, empty attribute is ''; " +
+      "entities decode; suffix names don't collide") {
+    import spark.implicits._
+    val xml = """<?xml version="1.0"?><users>""" +
+      """<row Id="1" DisplayName="A &amp; B" Location="" />""" +
+      """<row Id="2" AccountId="99" DisplayName="plain" /></users>"""
+    val arc = SevenZip.build(Seq(("Users.xml", xml.getBytes("UTF-8"))))
+    val got = Pipelines.sedumpTable(
+        Seq(("u", arc)).toDF("path", "content"),
+        "Users.xml", Seq("Id", "DisplayName", "Location"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), Option(r.getString(3)),
+        r.getBoolean(4)))
+      .toSet
+    // row 2 carries AccountId="99": the \b-guarded Id= extraction must
+    // bind to Id="2", not to AccountId's tail
+    assert(got == Set(
+      ("1", "A & B", Some(""), true),
+      ("2", "plain", None, true)), s"got $got")
+  }
+
   test("a torn container is one null-member quarantine row") {
     val arc = SevenZip.build(Seq(
       ("Posts.xml", """<row Id="1" PostTypeId="1" Body="b" />"""
