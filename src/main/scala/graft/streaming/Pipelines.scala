@@ -941,9 +941,11 @@ object Pipelines {
     * a text file, not XML) with newlines flattened to spaces — a title
     * with an embedded newline would otherwise tear its index line in
     * two. Memory posture: each stream group is built, compressed and
-    * written to the FS stream in turn — the dump never materializes in
-    * heap; only the (≈1% of dump size, the published ratio) index text
-    * accumulates per partition. */
+    * written to the FS stream in turn, and the index text flushes as
+    * its own bzip2 stream every ~1 MiB (a multistream `.txt.bz2` is
+    * legal bzip2; [[wikidumpIndexLines]]' whole-member decode already
+    * reads concatenated streams) — the heap high-water is one stream
+    * group plus one index chunk, NEVER a function of partition size. */
   def wikidumpSink(pages: DataFrame, dir: String,
       pagesPerStream: Int = 100): Unit = {
     val spark = pages.sparkSession
@@ -961,13 +963,21 @@ object Pipelines {
           val dumpPath = new org.apache.hadoop.fs.Path(
             dir, f"part-$pid%05d.xml.bz2")
           val fs = dumpPath.getFileSystem(conf)
-          val idx = new StringBuilder
           val os = fs.create(dumpPath, true)
+          val ip = new org.apache.hadoop.fs.Path(
+            dir, f"part-$pid%05d-index.txt.bz2")
+          val ios = ip.getFileSystem(conf).create(ip, true)
+          val idx = new StringBuilder
           var pos = 0L
           def emit(bytes: Array[Byte]): Unit = {
             os.write(bytes)
             pos += bytes.length
           }
+          def flushIdx(force: Boolean): Unit =
+            if (idx.nonEmpty && (force || idx.length >= (1 << 20))) {
+              ios.write(Bzip2.encode(idx.toString.getBytes("UTF-8")))
+              idx.clear()
+            }
           try {
             emit(Bzip2.encode(
               "<mediawiki><siteinfo><sitename>graft</sitename></siteinfo>"
@@ -985,14 +995,13 @@ object Pipelines {
               g.foreach { case (id, t, _) =>
                 idx.append(s"$off:$id:${t.replaceAll("[\r\n]+", " ")}\n")
               }
+              flushIdx(force = false)
             }
             emit(Bzip2.encode("</mediawiki>".getBytes("UTF-8")))
-          } finally os.close()
-          val ip = new org.apache.hadoop.fs.Path(
-            dir, f"part-$pid%05d-index.txt.bz2")
-          val ios = ip.getFileSystem(conf).create(ip, true)
-          try ios.write(Bzip2.encode(idx.toString.getBytes("UTF-8")))
-          finally ios.close()
+            flushIdx(force = true)
+          } finally {
+            try os.close() finally ios.close()
+          }
         }
       }
   }
@@ -1555,7 +1564,11 @@ object Pipelines {
     *    (ok = false) row;
     *  - non-XML members (license files, media) emit nothing.
     * Per-row work only — at 100 TB the plan is a map-only scan; no
-    * shuffle touches the archive bytes. */
+    * shuffle touches the archive bytes. Members inherit the 7z coder's
+    * 256 MiB inflate bound, so a monolithic Posts.xml beyond that
+    * quarantines rather than allocating (the documented monolith
+    * posture — a giant site's table wants a splittable distribution,
+    * as with single-stream dumps). */
   def sedumpPosts(archives: DataFrame): DataFrame = {
     import graft.functions.SevenZipEntries
     archives

@@ -94,6 +94,20 @@ class WikidumpFetchSpec extends AnyFunSuite {
     ), s"got $got")
   }
 
+  test("a multistream index file (the sink's chunk-flushed form) parses whole") {
+    import spark.implicits._
+    // the sink flushes index text as its own bzip2 stream every ~1 MiB:
+    // the reader must decode the CONCATENATION as one line set
+    val content = Bzip2.encode("10:1:Alpha\n20:2:Beta\n".getBytes("UTF-8")) ++
+      Bzip2.encode("30:3:Gamma has:colon\n".getBytes("UTF-8"))
+    val got = Pipelines.wikidumpIndexLines(
+        Seq(("d.xml.bz2", content)).toDF("path", "content"))
+      .select("off", "page_id", "title").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((10L, 1L, "Alpha"), (20L, 2L, "Beta"),
+      (30L, 3L, "Gamma has:colon")), s"got $got")
+  }
+
   test("sink escapes, fetch decodes: hostile titles and bodies round-trip " +
       "byte-exactly; newline titles keep index lines whole") {
     import spark.implicits._
