@@ -1146,7 +1146,16 @@ object Pipelines {
     * its own extent. Route, don't drop: a torn frame, a frame
     * compressed against a missing/different dictionary, or a file
     * that is not zstd at all each surface as one (ok = false) row.
-    * Per-row work — no shuffle touches the archive bytes. */
+    * Per-row work — no shuffle touches the archive bytes.
+    *
+    * Column-path scoping: input rides the `content` column, bounded by
+    * Spark's 2 GB binary limit — the right shape for Common-Crawl-style
+    * distributions, which ship ~1 GB segments precisely so whole-file
+    * handling stays cheap. A beyond-2 GB `.warc.zst` monolith would
+    * need a ranged frame walk (the [[wikidumpPagesRanged]] analog;
+    * zstd data-frame sizes live in per-block headers, so the scan is a
+    * block-header walk, not a seek table) — deliberately out of scope
+    * while no public corpus ships such files. */
   def warcZstRecords(files: DataFrame): DataFrame = {
     import graft.functions.{WarcRecords, ZstdBytes, ZstdBytesDict,
       ZstdDictExpr, ZstdExtents}
