@@ -171,6 +171,10 @@ object ChunkFunctions {
       es => SevenZipEntries(es.head), "built-in")
     reg.createOrReplaceTempFunction("zstd_extents",
       es => ZstdExtents(es.head), "built-in")
+    reg.createOrReplaceTempFunction("zstd_dict",
+      es => ZstdDictExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("zstd_bytes_dict",
+      es => ZstdBytesDict(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("odp_slides",
       es => OdpSlides(es.head), "built-in")
   }
@@ -333,6 +337,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("zstd_extents"),
       new ExpressionInfo(classOf[ZstdExtents].getName, "zstd_extents"),
       es => ZstdExtents(es.head)))
+    e.injectFunction((FunctionIdentifier("zstd_dict"),
+      new ExpressionInfo(classOf[ZstdDictExpr].getName, "zstd_dict"),
+      es => ZstdDictExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("zstd_bytes_dict"),
+      new ExpressionInfo(classOf[ZstdBytesDict].getName, "zstd_bytes_dict"),
+      es => ZstdBytesDict(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("odp_slides"),
       new ExpressionInfo(classOf[OdpSlides].getName, "odp_slides"),
       es => OdpSlides(es.head)))

@@ -45,13 +45,42 @@ object Zstandard {
   def decodeWithDict(b: Array[Byte], dict: Array[Byte]): Array[Byte] =
     if (dict == null) null else decodeImpl(b, dict)
 
+  /** Digested-dictionary caches: a zstd dictionary must be DIGESTED
+    * (entropy tables built) before use, and doing that per record is
+    * the constant-factor tax the per-row expressions would otherwise
+    * pay — `ZSTD_DDict`/`ZSTD_CDict` exist precisely to amortize it,
+    * and both are immutable + thread-safe to share. Keyed by dict
+    * CONTENT (a corpus ships one dictionary; a job sees a handful), and
+    * never evicted — eviction would race in-flight native use; instead
+    * a full cache falls back to the raw-bytes per-call digest, which is
+    * merely slower, never wrong. */
+  private final class DictKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: DictKey => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+  private val dDicts = new java.util.concurrent.ConcurrentHashMap[
+    DictKey, com.github.luben.zstd.ZstdDictDecompress]()
+  private val cDicts = new java.util.concurrent.ConcurrentHashMap[
+    DictKey, com.github.luben.zstd.ZstdDictCompress]()
+  private val MaxCachedDicts = 256
+
   private def decodeImpl(b: Array[Byte], dict: Array[Byte]): Array[Byte] = {
     if (b == null || b.length < 4 || !(hasMagic(b) || skipMagicAt(b, 0)))
       return null
     try {
       val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
         new java.io.ByteArrayInputStream(b))
-      if (dict != null) in.setDict(dict)
+      if (dict != null) {
+        val k = new DictKey(dict)
+        val d =
+          if (dDicts.size >= MaxCachedDicts && !dDicts.containsKey(k)) null
+          else dDicts.computeIfAbsent(k,
+            kk => new com.github.luben.zstd.ZstdDictDecompress(kk.bytes))
+        if (d != null) in.setDict(d) else in.setDict(dict)
+      }
       try {
         val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](64 * 1024)
@@ -90,7 +119,13 @@ object Zstandard {
     val ctx = new com.github.luben.zstd.ZstdCompressCtx()
     try {
       ctx.setChecksum(true)
-      ctx.loadDict(dict)
+      val k = new DictKey(dict)
+      val d =
+        if (cDicts.size >= MaxCachedDicts && !cDicts.containsKey(k)) null
+        else cDicts.computeIfAbsent(k,
+          kk => new com.github.luben.zstd.ZstdDictCompress(kk.bytes,
+            com.github.luben.zstd.Zstd.defaultCompressionLevel()))
+      if (d != null) ctx.loadDict(d) else ctx.loadDict(dict)
       ctx.compress(b)
     } finally ctx.close()
   }

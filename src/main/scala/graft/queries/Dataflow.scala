@@ -6246,17 +6246,22 @@ object Dataflow {
     * container, every 17th flips the first pack byte — both must
     * surface as one routed null-id row. The `Id=`/`PostTypeId=`
     * extraction must not snag on the `ParentId=` attribute planted
-    * between them. Map-only per-row scan at 100 TB. */
+    * between them, and the p=3 row carries a RAW `>` and a raw
+    * newline inside Body (legal XML — .NET's XmlWriter leaves `>`
+    * unescaped in attribute values): the quote-aware row matcher must
+    * keep the row. Map-only per-row scan at 100 TB. */
   val x263 = DQ("x263_sedump_posts", Some(
     """WITH d AS (SELECT doc_id, doc_id % 13 = 0 AS tq,
       |    doc_id % 17 = 0 AND doc_id % 13 <> 0 AS fq FROM documents),
       |p AS (SELECT doc_id, u.p AS p FROM d,
-      |    unnest(generate_series(1, 2)) AS u(p) WHERE NOT tq AND NOT fq),
+      |    unnest(generate_series(1, 3)) AS u(p) WHERE NOT tq AND NOT fq),
       |e AS (SELECT doc_id, CAST(doc_id * 10 + p AS BIGINT) AS post_id,
       |    CAST(p AS INTEGER) AS post_type,
       |    CASE WHEN p = 1
       |      THEN 'Question body ' || CAST(doc_id AS VARCHAR) || ' & more.'
-      |      ELSE 'Answer for ' || CAST(doc_id AS VARCHAR) || ' x < 1'
+      |      WHEN p = 2
+      |      THEN 'Answer for ' || CAST(doc_id AS VARCHAR) || ' x < 1'
+      |      ELSE 'Note ' || CAST(doc_id AS VARCHAR) || ': a > b c'
       |    END AS text
       |  FROM p)
       |SELECT media_id, post_id, post_type, text, n_chars, ok FROM (
@@ -6273,15 +6278,22 @@ object Dataflow {
         .map { id =>
           def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;").replace("\"", "&quot;")
-          val rows = Seq(1, 2).map { p =>
+          // .NET's XmlWriter (which writes the real archive.org dumps)
+          // escapes & < " in attribute values but leaves `>` RAW — the
+          // p=3 arm wears that form, plus a raw newline
+          def escNet(s: String) = s.replace("&", "&amp;")
+            .replace("<", "&lt;").replace("\"", "&quot;")
+          val rows = Seq(1, 2, 3).map { p =>
             val html =
               if (p == 1) s"<p>Question body $id &amp; more.</p>"
-              else s"<p>Answer for $id</p><pre><code>x &lt; 1</code></pre>"
+              else if (p == 2)
+                s"<p>Answer for $id</p><pre><code>x &lt; 1</code></pre>"
+              else s"<p>Note $id: a > b\nc</p>"
             // ParentId sits between Id and PostTypeId: a sloppy
             // `Id="…"` regex would bind to it
             val parent = if (p == 2) s"""ParentId="${id * 10 + 1}" """ else ""
             s"""<row Id="${id * 10 + p}" ${parent}PostTypeId="$p" """ +
-              s"""Body="${esc(html)}" />"""
+              s"""Body="${if (p == 3) escNet(html) else esc(html)}" />"""
           }.mkString
           val xml =
             s"""<?xml version="1.0" encoding="utf-8"?><posts>$rows</posts>"""
@@ -6429,26 +6441,30 @@ object Dataflow {
     * Comments.xml …) that only become a corpus after joins:
     * [[Pipelines.sedumpTable]] reads each table generically (named
     * attributes out of `<row …/>`, entity-decoded, absent ≠ empty),
-    * then posts join their owners on (archive, OwnerUserId) and
-    * aggregate their comments on (archive, PostId) — foreign keys are
-    * only unique WITHIN a site dump, so every join keys on the archive
-    * too (the classic per-tenant composite-key shape; at 100 TB the
-    * comment aggregation is map-side-combined before its one
-    * exchange). Entity-bearing display names prove the attribute
-    * decode rides the joins intact; a zero-comment post must survive
-    * the left join with count 0, not vanish. */
+    * then posts LEFT-join their owners on (archive, OwnerUserId) —
+    * real dumps carry ownerless posts (deleted users), which keep
+    * their text with a null owner — and aggregate their comments on
+    * (archive, PostId) — foreign keys are only unique WITHIN a site
+    * dump, so every join keys on the archive too (the classic
+    * per-tenant composite-key shape; at 100 TB the comment aggregation
+    * is map-side-combined before its one exchange). Entity-bearing
+    * display names prove the attribute decode rides the joins intact;
+    * a zero-comment post must survive the left join with count 0, not
+    * vanish; and the ownerless post's Body carries a raw `>` plus a
+    * raw newline — the quote-aware row matcher must not tear. */
   val x266 = DQ("x266_sedump_relational", Some(
     """WITH p AS (SELECT doc_id, u.p AS p FROM documents,
-      |    unnest(generate_series(1, 2)) AS u(p)),
+      |    unnest(generate_series(1, 3)) AS u(p)),
       |e AS (SELECT doc_id, CAST(doc_id * 10 + p AS BIGINT) AS post_id,
       |  CASE WHEN p = 1 THEN 'User A' || CAST(doc_id AS VARCHAR)
-      |       ELSE 'B & C <' || CAST(doc_id AS VARCHAR) || '>' END AS owner_name,
+      |       WHEN p = 2 THEN 'B & C <' || CAST(doc_id AS VARCHAR) || '>'
+      |       END AS owner_name,
       |  CAST(CASE WHEN p = 1 THEN doc_id % 1000
-      |       ELSE doc_id % 577 END AS BIGINT) AS owner_rep,
-      |  CAST(CASE WHEN p = 1 THEN doc_id % 3 ELSE 1 END AS BIGINT)
-      |    AS n_comments,
+      |       WHEN p = 2 THEN doc_id % 577 END AS BIGINT) AS owner_rep,
+      |  CAST(CASE WHEN p = 1 THEN doc_id % 3 WHEN p = 2 THEN 1
+      |       ELSE 0 END AS BIGINT) AS n_comments,
       |  CAST(CASE WHEN p = 1 THEN (doc_id % 3) * ((doc_id % 3) + 1) / 2
-      |       ELSE doc_id % 7 END AS BIGINT) AS sum_score
+      |       WHEN p = 2 THEN doc_id % 7 ELSE 0 END AS BIGINT) AS sum_score
       |  FROM p)
       |SELECT doc_id AS media_id, post_id, owner_name, owner_rep,
       |  n_comments, sum_score
@@ -6473,6 +6489,14 @@ object Dataflow {
               s"""OwnerUserId="${id * 100 + 1}" Body="q" />""" +
               s"""<row Id="${id * 10 + 2}" ParentId="${id * 10 + 1}" """ +
               s"""PostTypeId="2" OwnerUserId="${id * 100 + 2}" Body="a" />""" +
+              // the hostile arm: OWNERLESS (deleted user — real dumps
+              // carry these; must survive the owner join as null, not
+              // vanish), with a RAW `>` and a raw newline in Body —
+              // legal in XML attribute values (.NET's XmlWriter leaves
+              // `>` unescaped there); the quote-aware row matcher must
+              // not tear on either
+              s"""<row Id="${id * 10 + 3}" PostTypeId="1" """ +
+              "Body=\"q > 0\nnext\" />" +
               "</posts>"
           val k = (id % 3).toInt
           val comments =
@@ -6505,7 +6529,9 @@ object Dataflow {
         .agg(count(lit(1)).as("n_comments"),
           sum(col("Score").cast("long")).as("sum_score"))
       posts
-        .join(users, Seq("path", "uid"))
+        // LEFT: real dumps carry ownerless posts (deleted users) — the
+        // corpus keeps the text with a null owner, it does not shrink
+        .join(users, Seq("path", "uid"), "left")
         .join(comments, Seq("path", "post_id"), "left")
         .select(col("path").cast("long").as("media_id"), col("post_id"),
           col("owner_name"), col("owner_rep"),

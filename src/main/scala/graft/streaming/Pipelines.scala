@@ -966,17 +966,23 @@ object Pipelines {
           val os = fs.create(dumpPath, true)
           val ip = new org.apache.hadoop.fs.Path(
             dir, f"part-$pid%05d-index.txt.bz2")
-          val ios = ip.getFileSystem(conf).create(ip, true)
+          // the dump stream must not leak if the index create throws —
+          // it is already open when this second create runs
+          val ios =
+            try ip.getFileSystem(conf).create(ip, true)
+            catch { case t: Throwable => os.close(); throw t }
           val idx = new StringBuilder
+          var idxBytes = 0L // UTF-8 bytes, not chars — the bound is literal
           var pos = 0L
           def emit(bytes: Array[Byte]): Unit = {
             os.write(bytes)
             pos += bytes.length
           }
           def flushIdx(force: Boolean): Unit =
-            if (idx.nonEmpty && (force || idx.length >= (1 << 20))) {
+            if (idx.nonEmpty && (force || idxBytes >= (1 << 20))) {
               ios.write(Bzip2.encode(idx.toString.getBytes("UTF-8")))
               idx.clear()
+              idxBytes = 0L
             }
           try {
             emit(Bzip2.encode(
@@ -993,7 +999,9 @@ object Pipelines {
               }.mkString
               emit(Bzip2.encode(xml.getBytes("UTF-8")))
               g.foreach { case (id, t, _) =>
-                idx.append(s"$off:$id:${t.replaceAll("[\r\n]+", " ")}\n")
+                val line = s"$off:$id:${t.replaceAll("[\r\n]+", " ")}\n"
+                idx.append(line)
+                idxBytes += line.getBytes("UTF-8").length
               }
               flushIdx(force = false)
             }
@@ -1005,6 +1013,16 @@ object Pipelines {
         }
       }
   }
+
+  /** The self-closing `<row …/>` matcher [[sedumpPosts]] and
+    * [[sedumpTable]] share, QUOTE-AWARE: a raw `>` inside a quoted
+    * attribute value is legal XML (writers must escape `<` and `&`
+    * there, not `>` — and .NET's XmlWriter, which produces the real
+    * archive.org dumps, leaves it unescaped), so the value alternates
+    * `[^">]` with whole quoted spans rather than stopping at the first
+    * `>`. Raw newlines inside values are fine too (character classes,
+    * not dot). SQL-string-escaped form, for `expr(...)`. */
+  private val RowRe = "<row\\\\s(?:[^\">]|\"[^\"]*\")*/>"
 
   /** Generic attribute-table reader for SE-style dumps — the
     * [[sedumpPosts]] machinery for ANY of the dump's tables
@@ -1026,15 +1044,22 @@ object Pipelines {
         col("e").isNotNull && coalesce(col("e.crc_ok"), lit(false)))
       .where(col("e").isNull || !col("mok") || col("e.name") === member)
       .withColumn("xml", when(col("mok"), col("e.payload").cast("string")))
-      .withColumn("rows", when(col("mok"),
-        expr("regexp_extract_all(xml, '<row\\\\s[^>]*/>', 0)")))
+      .withColumn("rows0", when(col("mok"),
+        expr(s"regexp_extract_all(xml, '$RowRe', 0)")))
+      // route, don't drop: a `<row` opening the quote-aware matcher
+      // could not close (torn tag, unterminated quote) quarantines the
+      // MEMBER — a silent subset is worse than a null row
+      .withColumn("rows", when(
+        size(expr("regexp_extract_all(xml, '<row\\\\s', 0)")) ===
+          size(col("rows0")), col("rows0")))
       .select(col("path"), explode_outer(col("rows")).as("r"))
     attrs.foldLeft(base) { (df, a) =>
-      // \b guards against suffix collisions (Id= must not bind inside
-      // ParentId=); rlike distinguishes ABSENT (null) from empty ("")
+      // whitespace-anchored (attrs are space-delimited inside a row
+      // tag): Id= must bind neither inside ParentId= nor data-Id=;
+      // rlike distinguishes ABSENT (null) from empty ("")
       df.withColumn(a, xmlUnescapeCol(
-        when(col("r").rlike("\\b" + a + "=\""),
-          regexp_extract(col("r"), "\\b" + a + "=\"([^\"]*)\"", 1))))
+        when(col("r").rlike("(?:^|\\s)" + a + "=\""),
+          regexp_extract(col("r"), "(?:^|\\s)" + a + "=\"([^\"]*)\"", 1))))
     }.select(
       (col("path") +: attrs.map(col)) :+ col("r").isNotNull.as("ok"): _*)
   }
@@ -1569,7 +1594,9 @@ object Pipelines {
     * Row contract (route, don't drop):
     *  - a post: (member, post_id, post_type, text, ok = true);
     *  - a broken container, a member that failed its folder/CRC
-    *    decode, or an `.xml` member with no rows: one null-id
+    *    decode, an `.xml` member with no rows, or a member where any
+    *    `<row` opening failed to close under the quote-aware matcher
+    *    [[RowRe]] (a silent subset would be worse): one null-id
     *    (ok = false) row;
     *  - non-XML members (license files, media) emit nothing.
     * Per-row work only — at 100 TB the plan is a map-only scan; no
@@ -1590,17 +1617,22 @@ object Pipelines {
       .where(col("e").isNull || !col("mok") ||
         col("e.name").rlike("(?i)\\.xml$"))
       .withColumn("xml", when(col("mok"), col("e.payload").cast("string")))
-      .withColumn("rows", when(col("mok"),
-        expr("regexp_extract_all(xml, '<row\\\\s[^>]*/>', 0)")))
+      .withColumn("rows0", when(col("mok"),
+        expr(s"regexp_extract_all(xml, '$RowRe', 0)")))
+      // route, don't drop: an opening the quote-aware matcher could
+      // not close quarantines the member (see [[sedumpTable]])
+      .withColumn("rows", when(
+        size(expr("regexp_extract_all(xml, '<row\\\\s', 0)")) ===
+          size(col("rows0")), col("rows0")))
       .select(col("path"), col("e.name").as("member"),
         explode_outer(col("rows")).as("r"))
       .select(col("path"), col("member"),
-        expr("regexp_extract(r, '\\\\bId=\"(\\\\d+)\"', 1)")
+        expr("regexp_extract(r, '(?:^|\\\\s)Id=\"(\\\\d+)\"', 1)")
           .cast("long").as("post_id"),
-        expr("regexp_extract(r, '\\\\bPostTypeId=\"(\\\\d+)\"', 1)")
+        expr("regexp_extract(r, '(?:^|\\\\s)PostTypeId=\"(\\\\d+)\"', 1)")
           .cast("int").as("post_type"),
         when(col("r").isNotNull, htmlTextCol(xmlUnescapeCol(
-          expr("regexp_extract(r, '\\\\bBody=\"([^\"]*)\"', 1)"))))
+          expr("regexp_extract(r, '(?:^|\\\\s)Body=\"([^\"]*)\"', 1)"))))
           .as("text"),
         col("r").isNotNull.as("ok"))
   }

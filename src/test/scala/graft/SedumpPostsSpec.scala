@@ -87,6 +87,49 @@ class SedumpPostsSpec extends AnyFunSuite {
       ("2", "plain", None, true)), s"got $got")
   }
 
+  test("raw > and raw newline inside attribute values keep their rows; " +
+      "an unterminated quote quarantines the MEMBER, never a silent subset") {
+    // legal XML: `>` and newlines need no escaping inside quoted
+    // attribute values (.NET's XmlWriter, which writes the real
+    // archive.org dumps, leaves them raw)
+    val good =
+      "<?xml version=\"1.0\"?><posts>" +
+        "<row Id=\"21\" PostTypeId=\"1\" Body=\"a &gt; b > c\nd\" />" +
+        "<row Id=\"22\" PostTypeId=\"2\" Body=\"plain\" />" +
+        "</posts>"
+    val g = SevenZip.build(Seq(("Posts.xml", good.getBytes("UTF-8"))))
+    // an unterminated quote tears row 31's tag: the old [^>]* matcher
+    // would silently return only row 32 — the member must quarantine
+    val torn =
+      "<?xml version=\"1.0\"?><posts>" +
+        "<row Id=\"31\" PostTypeId=\"1\" Body=\"oops />" +
+        "<row Id=\"32\" PostTypeId=\"2\" Body=\"fine\" />" +
+        "</posts>"
+    val t = SevenZip.build(Seq(("Posts.xml", torn.getBytes("UTF-8"))))
+    val got = run(("g", g), ("t", t))
+    assert(got == Set(
+      ("g", "Posts.xml", 21L, 1, "a > b > c d", true),
+      ("g", "Posts.xml", 22L, 2, "plain", true),
+      ("t", "Posts.xml", -1L, -1, null, false)), s"got $got")
+  }
+
+  test("sedumpTable: attribute names anchor on whitespace — data-Id " +
+      "and x:Id must not satisfy an Id lookup") {
+    import spark.implicits._
+    val xml = """<?xml version="1.0"?><t>""" +
+      """<row data-Id="7" x:Id="8" Name="n1" />""" +
+      """<row Id="9" Name="n2" /></t>"""
+    val arc = SevenZip.build(Seq(("T.xml", xml.getBytes("UTF-8"))))
+    val got = Pipelines.sedumpTable(
+        Seq(("u", arc)).toDF("path", "content"), "T.xml", Seq("Id", "Name"))
+      .collect()
+      .map(r => (Option(r.getString(1)), r.getString(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (None, "n1", true),
+      (Some("9"), "n2", true)), s"got $got")
+  }
+
   test("a torn container is one null-member quarantine row") {
     val arc = SevenZip.build(Seq(
       ("Posts.xml", """<row Id="1" PostTypeId="1" Body="b" />"""
