@@ -140,28 +140,43 @@ object SevenZip {
     catch { case Corrupt => null; case NonFatal(_) => null }
   }
 
-  private def entriesImpl(raw: Array[Byte]): Seq[Entry] = {
-    if (raw == null || raw.length < 32) fail()
+  /** The parsed header: stream layout + file names + empty-stream
+    * bits — everything both the in-memory and the ranged reader need
+    * before touching any member payload byte. */
+  private final case class HeaderDoc(streams: StreamsInfo,
+      names: Seq[String], emptyStream: Array[Boolean])
+
+  /** Parse the container's header through a RANGE READER — the shared
+    * front half of [[entries]] (array-backed) and the ranged layout
+    * scan [[scanLayout]] (Hadoop-FS pread): 32-byte start header, next
+    * header at its declared offset, and — for `kEncodedHeader` — just
+    * the header folder's pack bytes. Member payloads are never read.
+    * `read` must return exactly `n` bytes or throw. */
+  private def readHeaderDoc(read: (Long, Int) => Array[Byte],
+      fileLen: Long): HeaderDoc = {
+    if (fileLen < 32) fail()
+    val start = read(0, 32)
     var i = 0
-    while (i < 6) { if (raw(i) != Magic(i)) fail(); i += 1 }
+    while (i < 6) { if (start(i) != Magic(i)) fail(); i += 1 }
     // version (major 0) + start-header CRC over the 20 bytes after it
-    if (Xz.crc32(raw, 12, 32) != (new Cursor(raw, 8, 12)).le32()) fail()
-    val sh = new Cursor(raw, 12, 32)
+    if (Xz.crc32(start, 12, 32) != (new Cursor(start, 8, 12)).le32()) fail()
+    val sh = new Cursor(start, 12, 32)
     val nhOff = sh.le64()
     val nhSize = sh.le64()
     val nhCrc = sh.le32()
-    if (nhOff < 0 || nhSize < 0 || 32L + nhOff + nhSize > raw.length) fail()
-    val hAt = (32L + nhOff).toInt
-    if (Xz.crc32(raw, hAt, hAt + nhSize.toInt) != nhCrc) fail()
-
-    var header = java.util.Arrays.copyOfRange(raw, hAt, hAt + nhSize.toInt)
+    if (nhOff < 0 || nhSize < 0 || 32L + nhOff + nhSize > fileLen) fail()
+    if (nhSize > Xz.MaxOut) fail() // headers are metadata, not payload
+    var header = read(32L + nhOff, nhSize.toInt)
+    if (Xz.crc32(header, 0, header.length) != nhCrc) fail()
     if (header.isEmpty) fail()
     if ((header(0) & 0xFF) == kEncodedHeader) {
       // the header itself is a folder payload — decode and re-read
       val hc = new Cursor(header, 1, header.length)
       val si = readStreamsInfo(hc)
       if (si.folders.size != 1) fail()
-      val dec = decodeFolder(raw, si, 0)
+      val (po, ps) = folderPackExtent(si, 0)
+      if (po < 0 || ps < 0 || ps > Xz.MaxOut || po + ps > fileLen) fail()
+      val dec = decodeFolderPacked(read(po, ps.toInt), si.folders(0))
       if (dec == null) fail()
       header = dec
       if (header.isEmpty || (header(0) & 0xFF) != kHeader) fail()
@@ -216,6 +231,19 @@ object SevenZip {
       }
     }
     if (names.isEmpty) fail()
+    HeaderDoc(streams, names, emptyStream)
+  }
+
+  private def entriesImpl(raw: Array[Byte]): Seq[Entry] = {
+    if (raw == null) fail()
+    val read = (off: Long, n: Int) => {
+      if (off < 0 || n < 0 || off + n > raw.length) fail()
+      java.util.Arrays.copyOfRange(raw, off.toInt, off.toInt + n)
+    }
+    val doc = readHeaderDoc(read, raw.length.toLong)
+    val streams = doc.streams
+    val names = doc.names
+    val emptyStream = doc.emptyStream
 
     // decode folders and cut substreams
     val subPayloads = ArrayBuffer[(Boolean, Array[Byte])]()
@@ -420,48 +448,78 @@ object SevenZip {
     * quarantine, never die. */
   private def decodeFolder(raw: Array[Byte], si: StreamsInfo,
       fi: Int): Array[Byte] = {
-    // pack streams are laid out consecutively from 32 + packPos;
-    // folder fi consumes its packedIndices-worth in order
-    var at = 32L + si.packPos
+    val (at, packSize) = folderPackExtent(si, fi)
+    if (at < 0 || packSize < 0 || at + packSize > raw.length) return null
+    decodeFolderPacked(java.util.Arrays.copyOfRange(
+      raw, at.toInt, (at + packSize).toInt), si.folders(fi))
+  }
+
+  /** The ABSOLUTE byte extent (offset from file start, size) of folder
+    * `fi`'s single packed stream — pack streams are laid out
+    * consecutively from 32 + packPos, each folder consuming its
+    * packedIndices-worth in order. (-1, -1) for the unsupported
+    * multi-pack-stream shapes (BCJ2). This is what lets the ranged
+    * reader seek straight to a member's compressed bytes without
+    * loading the container. */
+  private def folderPackExtent(si: StreamsInfo, fi: Int): (Long, Long) = {
     var firstPack = 0
     var f = 0
     while (f < fi) {
       firstPack += si.folders(f).packedIndices.size
       f += 1
     }
-    var i = 0
-    while (i < firstPack) { at += si.packSizes(i); i += 1 }
-    val folder = si.folders(fi)
+    if (si.folders(fi).packedIndices.size != 1 ||
+      firstPack >= si.packSizes.size) (-1L, -1L)
+    else {
+      var at = 32L + si.packPos
+      var i = 0
+      while (i < firstPack) { at += si.packSizes(i); i += 1 }
+      (at, si.packSizes(firstPack))
+    }
+  }
+
+  /** The folder's coder chain in pack→output order with each stage's
+    * declared unpack size, or null when the folder is not the supported
+    * single-pack chain of 1-in/1-out coders (see [[decodeFolder]]'s
+    * shape notes). With every coder 1-in/1-out, input index i and
+    * output index i both belong to coder i: walk from the packed input
+    * along bind pairs (inIndex, outIndex) until the unbound output. */
+  private def folderChain(folder: Folder): Seq[(Coder, Long)] = {
     if (folder.packedIndices.size != 1) return null
     if (folder.coders.exists(cd => cd.nIn != 1 || cd.nOut != 1)) return null
-    if (firstPack >= si.packSizes.size) return null
     if (folder.unpackSizes.size != folder.coders.size) return null
-    val packSize = si.packSizes(firstPack)
-    if (at + packSize > raw.length) return null
-    var data = java.util.Arrays.copyOfRange(
-      raw, at.toInt, (at + packSize).toInt)
-    // with every coder 1-in/1-out, input index i and output index i
-    // both belong to coder i: walk from the packed input along bind
-    // pairs (inIndex, outIndex) until the unbound output
+    val out = ArrayBuffer[(Coder, Long)]()
     var idx = folder.packedIndices.head
     var steps = 0
-    var out: Array[Byte] = null
-    while (out == null) {
+    while (true) {
       if (idx < 0 || idx >= folder.coders.size) return null
       steps += 1
       if (steps > folder.coders.size) return null // bind-pair cycle
-      val expect = folder.unpackSizes(idx)
-      if (expect < 0 || expect > Xz.MaxOut) return null
-      data = decodeCoder(folder.coders(idx), data, expect)
-      if (data == null || data.length.toLong != expect) return null
+      out += ((folder.coders(idx), folder.unpackSizes(idx)))
       folder.bindPairs.find(_._2 == idx) match {
         case Some((nextIn, _)) => idx = nextIn
-        case None => out = data // unbound output = the folder's output
+        case None => return out.toSeq // unbound output = folder output
       }
     }
+    null // unreachable
+  }
+
+  private def decodeFolderPacked(packed: Array[Byte],
+      folder: Folder): Array[Byte] = {
+    val chain = folderChain(folder)
+    if (chain == null) return null
+    var data = packed
+    var i = 0
+    while (i < chain.size) {
+      val (coder, expect) = chain(i)
+      if (expect < 0 || expect > Xz.MaxOut) return null
+      data = decodeCoder(coder, data, expect)
+      if (data == null || data.length.toLong != expect) return null
+      i += 1
+    }
     folder.crc match {
-      case Some(d) if Xz.crc32(out, 0, out.length) != d => null
-      case _ => out
+      case Some(d) if Xz.crc32(data, 0, data.length) != d => null
+      case _ => data
     }
   }
 
@@ -497,6 +555,74 @@ object SevenZip {
     case _ => null
   }
 
+  // ------------------------------------------------- ranged layout scan
+
+  /** One coder stage of a folder chain, as the ranged reader sees it
+    * (pack→output order). */
+  final case class RangedCoder(id: Long, props: Array[Byte])
+
+  /** One member as the HEADER alone describes it — everything a ranged
+    * reader needs to stream the member's rows without ever loading the
+    * container: the folder's absolute pack extent, its coder chain, and
+    * the member's (offset, length) slice of the folder's output.
+    * `folder == -1` marks a member with no decodable stream behind it
+    * (empty files — `length == 0` — or a header/substream mismatch —
+    * `length == -1`); `coders.isEmpty` with `folder >= 0` marks a
+    * folder shape the ranged path does not stream (BCJ2 multi-pack,
+    * bind-pair cycles) — routed, never dropped. */
+  final case class RangedMember(
+      name: String, folder: Int,
+      packOff: Long, packLen: Long,
+      coders: Seq[RangedCoder],
+      offsetInFolder: Long, length: Long,
+      folderUnpack: Long, crc: Option[Int])
+
+  /** HEADER-ONLY layout scan through a range reader — the [[entries]]
+    * front half for files too large to hold (a stackoverflow.com dump
+    * is tens of GB): reads the 32-byte start header, the next header,
+    * and (for encoded headers) just the header folder's pack bytes.
+    * Null when the CONTAINER is broken — same admission as
+    * [[entries]]. */
+  def scanLayout(read: (Long, Int) => Array[Byte],
+      fileLen: Long): Seq[RangedMember] = try {
+    val doc = readHeaderDoc(read, fileLen)
+    val si = doc.streams
+    // per folder: pack extent + chain + final unpack size
+    val folderMeta: IndexedSeq[(Long, Long, Seq[RangedCoder], Long)] =
+      if (si == null) IndexedSeq.empty
+      else si.folders.indices.map { fi =>
+        val (po, ps) = folderPackExtent(si, fi)
+        val chain = folderChain(si.folders(fi))
+        if (po < 0 || ps < 0 || po + ps > fileLen || chain == null)
+          (po, ps, Nil, folderUnpackSize(si.folders(fi)))
+        else (po, ps,
+          chain.map { case (c, _) => RangedCoder(c.id, c.props) },
+          folderUnpackSize(si.folders(fi)))
+      }
+    // flatten substreams: (folder, offsetInFolder, length, crc)
+    val subs = ArrayBuffer[(Int, Long, Long, Option[Int])]()
+    if (si != null) si.folders.indices.foreach { f =>
+      var off = 0L
+      si.subSizes(f).zip(si.subCrcs(f)).foreach { case (len, crc) =>
+        subs += ((f, off, len, crc))
+        off += len
+      }
+    }
+    var sub = 0
+    doc.names.indices.map { fi =>
+      if (doc.emptyStream.length > fi && doc.emptyStream(fi))
+        RangedMember(doc.names(fi), -1, -1L, -1L, Nil, 0L, 0L, 0L,
+          Some(Xz.crc32(Array.empty[Byte], 0, 0)))
+      else if (sub < subs.size) {
+        val (f, off, len, crc) = subs(sub)
+        sub += 1
+        val (po, ps, chain, funp) = folderMeta(f)
+        RangedMember(doc.names(fi), f, po, ps, chain, off, len, funp, crc)
+      } else
+        RangedMember(doc.names(fi), -1, -1L, -1L, Nil, 0L, -1L, 0L, None)
+    }
+  } catch { case Corrupt => null; case NonFatal(_) => null }
+
   // ------------------------------------------------------------- writer
 
   /** Fixture writer: one folder per file (Copy, LZMA2-literal, or raw
@@ -508,7 +634,8 @@ object SevenZip {
   def build(files: Seq[(String, Array[Byte])],
       encodedHeader: Boolean = false,
       emptyStreamBits: Boolean = false,
-      chainFor: Int => Option[(Long, Array[Byte])] = _ => None): Array[Byte] = {
+      chainFor: Int => Option[(Long, Array[Byte])] = _ => None,
+      coderFor: Int => Int = i => i % 3): Array[Byte] = {
     val packs = ArrayBuffer[Array[Byte]]()
     val folderMeta = ArrayBuffer[FolderSpec]()
     val isEmpty = files.map(f => emptyStreamBits && f._2.isEmpty)
@@ -535,7 +662,7 @@ object SevenZip {
           folderMeta += ((
             Seq(coderSpec(1, Array[Byte](26)), (fid, fprops)),
             Seq(data.length.toLong, data.length.toLong), crc))
-        case None => i % 3 match {
+        case None => coderFor(i) % 3 match {
           case 0 =>
             packs += data
             folderMeta += ((Seq(coderSpec(0, Array.empty[Byte])),

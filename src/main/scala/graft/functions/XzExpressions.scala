@@ -64,6 +64,22 @@ object Xz {
     ~c
   }
 
+  /** Incremental CRC32 (same polynomial/table as [[crc32]]) for the
+    * streaming readers, which never hold the whole payload: start from
+    * [[crc32Init]], fold blocks with [[crc32Update]], finish with
+    * [[crc32Done]]. */
+  def crc32Init: Int = 0xFFFFFFFF
+  def crc32Update(c0: Int, b: Array[Byte], from: Int, until: Int): Int = {
+    var c = c0
+    var i = from
+    while (i < until) {
+      c = (c >>> 8) ^ Crc32Table((c ^ b(i)) & 0xFF)
+      i += 1
+    }
+    c
+  }
+  def crc32Done(c: Int): Int = ~c
+
   private val Crc64Table: Array[Long] = {
     val poly = 0xC96C5795D7870F42L // ECMA-182, reflected
     val t = new Array[Long](256)
@@ -438,6 +454,166 @@ object Xz {
       encodeLiteralBody(data, 0, data.length, lc, lp, pb))
   }
 
+  // -------------------------------------- streaming LZMA2 (ranged 7z path)
+
+  /** The 7z LZMA2 coder's declared dictionary size — its single props
+    * byte encodes `(2 | (b & 1)) << (b / 2 + 11)` (7-Zip Lzma2Dec.c);
+    * -1 when the props are malformed. This is the STREAMING path's
+    * window bound: a decode never needs to look further back. */
+  private[graft] def lzma2DictSize(props: Array[Byte]): Long = {
+    if (props == null || props.length != 1) return -1L
+    val b = props(0) & 0xFF
+    if (b > 40) -1L
+    else if (b == 40) 0xFFFFFFFFL
+    else (2L | (b & 1L)) << (b / 2 + 11)
+  }
+
+  /** PULL-mode streaming LZMA2 chunk decoder — the engine under the
+    * ranged 7z member reader ([[graft.sources.Ranged7z]]): one call
+    * decodes ONE chunk (≤ 2 MiB unpacked by the format) and returns its
+    * bytes; null after the clean 0x00 terminator. Heap is the ring
+    * window (the coder's declared dictionary, floored at 128 KiB so the
+    * ring's 64 KiB drain block always fits) plus one packed chunk
+    * (≤ 64 KiB by the format) — NEVER the member, which is the whole
+    * point: a 50 GB `Posts.xml` decodes in O(dict-window).
+    *
+    * `expect` bounds total output (the folder's declared unpack size —
+    * the zip-bomb guard the bounded path gets from [[MaxOut]]); any
+    * break (truncation, corrupt range coding, size overrun, a
+    * back-reference past the declared window) throws IOException — the
+    * routing currency of the ranged readers. */
+  private[graft] final class Lzma2StreamReader(in: java.io.InputStream,
+      windowBytes: Int, expect: Long) {
+    private val pend = new java.io.ByteArrayOutputStream()
+    private val win = new Lzma.RingWindow(
+      math.max(windowBytes, 1 << 17), (b, o, n) => pend.write(b, o, n))
+    private var st: Lzma.State = null
+    private var props = -1
+    private var dictStart = 0L
+    private var done = false
+
+    /** Total bytes decoded so far. */
+    def unpacked: Long = win.size
+    /** True once the 0x00 end marker was consumed. */
+    def finished: Boolean = done
+
+    private def corrupt(why: String): Nothing =
+      throw new java.io.IOException(s"lzma2 stream: $why")
+    private def u8(): Int = {
+      val c = in.read()
+      if (c < 0) corrupt("truncated")
+      c
+    }
+    private def readFully(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val r = in.read(b, got, n - got)
+        if (r <= 0) corrupt("truncated")
+        got += r
+      }
+      b
+    }
+
+    /** Decode the next chunk; its decoded bytes, or null at clean
+      * end-of-stream. */
+    def nextChunk(): Array[Byte] = {
+      if (done) return null
+      val control = u8()
+      if (control == 0) {
+        done = true
+        if (win.size != expect) corrupt("unpacked size mismatch")
+      } else if (control == 1 || control == 2) {
+        if (control == 1) dictStart = win.size
+        val n = ((u8() << 8) | u8()) + 1
+        if (win.size + n > expect) corrupt("overruns declared size")
+        val b = readFully(n)
+        var i = 0
+        while (i < n) { win.put(b(i)); i += 1 }
+        st = null // an uncompressed chunk invalidates LZMA state
+      } else if ((control & 0x80) != 0) {
+        val unpack = (((control & 0x1F) << 16) | (u8() << 8) | u8()) + 1
+        val pack = ((u8() << 8) | u8()) + 1
+        val reset = (control >>> 5) & 3
+        if (reset >= 2) {
+          props = u8()
+          if (props >= 9 * 5 * 5) corrupt("bad chunk props")
+        }
+        if (reset == 3) dictStart = win.size
+        if (props < 0) corrupt("first chunk carries no props")
+        if (reset >= 1 || st == null) st = new Lzma.State(props)
+        if (win.size + unpack > expect) corrupt("overruns declared size")
+        val packed = readFully(pack)
+        try Lzma.decodeChunk(new Cursor(packed), st, win, dictStart,
+          unpack, pack)
+        catch { case Corrupt => corrupt("corrupt chunk") }
+      } else corrupt("bad control byte")
+      win.drain()
+      val out = pend.toByteArray
+      pend.reset()
+      if (out.isEmpty && done) null else out
+    }
+  }
+
+  /** Walk LZMA2 chunk HEADERS without decoding — O(#chunks) reads, no
+    * decompression, no window. Returns (resetPoints, unpackTotal,
+    * packTotal): `resetPoints` are the (packOffset, unpackOffset)
+    * positions of compressed chunks that reset dict+state+PROPS
+    * (control `111xxxxx` — an uncompressed dict-reset chunk does not
+    * qualify: a later compressed chunk may omit props and expect the
+    * pre-split ones) — a decode
+    * may START at any of them with fresh state, which is what makes a
+    * multi-GB member SPLITTABLE when its encoder emitted resets
+    * (multi-threaded 7z does; single-threaded streams yield just the
+    * mandatory reset at offset 0 and stay one sequential task).
+    * IOException on malformed framing. */
+  private[graft] def lzma2SplitScan(
+      in: java.io.InputStream): (Seq[(Long, Long)], Long, Long) = {
+    def corrupt(): Nothing =
+      throw new java.io.IOException("lzma2 stream: bad framing")
+    def u8(): Int = {
+      val c = in.read()
+      if (c < 0) corrupt()
+      c
+    }
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) {
+          if (in.read() < 0) corrupt()
+          left -= 1
+        } else left -= s
+      }
+    }
+    val resets = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var packOff = 0L
+    var unpackOff = 0L
+    var done = false
+    while (!done) {
+      val control = u8()
+      if (control == 0) {
+        done = true
+        packOff += 1
+      } else if (control == 1 || control == 2) {
+        val n = ((u8() << 8) | u8()) + 1
+        skip(n.toLong)
+        packOff += 3L + n
+        unpackOff += n
+      } else if ((control & 0x80) != 0) {
+        val unpack = (((control & 0x1F) << 16) | (u8() << 8) | u8()) + 1
+        val pack = ((u8() << 8) | u8()) + 1
+        val reset = (control >>> 5) & 3
+        val hdr = if (reset >= 2) { u8(); 6L } else 5L
+        if (reset == 3) resets += ((packOff, unpackOff))
+        skip(pack.toLong)
+        packOff += hdr + pack
+        unpackOff += unpack
+      } else corrupt()
+    }
+    (resets.toSeq, unpackOff, packOff)
+  }
+
   // -------------------------------------------------- LZMA2 chunk layer
 
   private object Lzma2 {
@@ -601,19 +777,19 @@ object Xz {
       * exactly `pack` bytes in, state carried in `st`, output through
       * the block's shared read-back window. The LZMA position counter
       * (posState / lp context) is relative to the last DICT reset. */
-    def decodeChunk(c: Cursor, st: State, winB: GrowWindow,
-        dictStart: Int, unpack: Int, pack: Int): Unit = {
+    def decodeChunk(c: Cursor, st: State, winB: LzWindow,
+        dictStart: Long, unpack: Int, pack: Int): Unit = {
       val rd = new RangeDecoder(c.b, c.pos, c.pos + pack)
       if (rd.end > c.b.length) fail()
       rd.init()
       var left = unpack
       while (left > 0) {
         val total = winB.size - dictStart
-        val posState = total & st.pbMask
+        val posState = (total & st.pbMask).toInt
         if (rd.bit(st.isMatch, (st.state << 4) | posState) == 0) {
           // literal
           val prev = if (winB.size > dictStart) winB.at(winB.size - 1) else 0
-          val base = 0x300 * (((total & st.lpMask) << st.lc) + ((prev & 0xFF) >>> (8 - st.lc)))
+          val base = 0x300 * ((((total & st.lpMask).toInt) << st.lc) + ((prev & 0xFF) >>> (8 - st.lc)))
           var sym = 1
           if (st.state >= 7) {
             if (winB.size - st.rep0 - 1 < dictStart) fail()
@@ -699,18 +875,33 @@ object Xz {
       c.pos = rd.end
     }
 
+    /** The window the LZMA match copier reads back from. Long-addressed
+      * so ONE decode loop serves both postures: the in-memory
+      * [[GrowWindow]] (whole output buffered, bounded by [[MaxOut]])
+      * and the streaming [[RingWindow]] (only the last dictionary-size
+      * bytes held, output handed off as it falls out of reach — the
+      * multi-GB 7z member path). */
+    trait LzWindow {
+      def size: Long
+      def at(i: Long): Byte
+      def put(b: Byte): Unit
+    }
+
     /** Read-back-able window over the ByteArrayOutputStream: LZMA
       * matches copy from earlier OUTPUT, which BAOS can't address, so
-      * buffer the block locally and flush once at block end. */
-    final class GrowWindow(out: java.io.ByteArrayOutputStream) {
+      * buffer the block locally and flush once at block end. Int-sized
+      * internally — every caller bounds output at [[MaxOut]]. */
+    final class GrowWindow(out: java.io.ByteArrayOutputStream) extends LzWindow {
       private val before = out.toByteArray
       private var tailArr = new Array[Byte](1 << 16)
       private var tailLen = 0
-      def size: Int = before.length + tailLen
-      def at(i: Int): Byte =
-        if (i < 0 || i >= size) fail() // never read capacity slack
-        else if (i < before.length) before(i)
+      def size: Long = (before.length + tailLen).toLong
+      def at(i0: Long): Byte = {
+        if (i0 < 0 || i0 >= size) fail() // never read capacity slack
+        val i = i0.toInt
+        if (i < before.length) before(i)
         else tailArr(i - before.length)
+      }
       def put(b: Byte): Unit = {
         if (tailLen == tailArr.length)
           tailArr = java.util.Arrays.copyOf(tailArr, tailArr.length * 2)
@@ -722,6 +913,42 @@ object Xz {
         while (i < b.length) { put(b(i)); i += 1 }
       }
       def flush(): Unit = out.write(tailArr, 0, tailLen)
+    }
+
+    /** Fixed-capacity RING window for streaming decode: holds the last
+      * `capacity` bytes only (capacity ≥ the stream's declared
+      * dictionary size, so every legal match distance stays
+      * addressable) and hands older bytes to `sink` before they are
+      * overwritten — heap is O(window) however large the total output
+      * grows. A read further back than the ring fails like any other
+      * corruption (a legal stream never references past its declared
+      * dictionary). Capacity must exceed the 64 KiB drain block, which
+      * [[Xz.Lzma2StreamReader]] guarantees by flooring it at 128 KiB. */
+    final class RingWindow(capacity: Int,
+        sink: (Array[Byte], Int, Int) => Unit) extends LzWindow {
+      private val buf = new Array[Byte](capacity)
+      private var total = 0L
+      private var emitted = 0L
+      def size: Long = total
+      def at(i: Long): Byte = {
+        if (i < 0 || i >= total || total - i > capacity) fail()
+        buf((i % capacity).toInt)
+      }
+      def put(b: Byte): Unit = {
+        buf((total % capacity).toInt) = b
+        total += 1
+        if (total - emitted >= (1 << 16)) drain()
+      }
+      /** Hand every pending byte to the sink (they stay readable in the
+        * ring until overwritten). */
+      def drain(): Unit = {
+        while (emitted < total) {
+          val start = (emitted % capacity).toInt
+          val n = math.min(total - emitted, (capacity - start).toLong).toInt
+          sink(buf, start, n)
+          emitted += n
+        }
+      }
     }
   }
 

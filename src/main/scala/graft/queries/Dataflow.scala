@@ -6231,6 +6231,32 @@ object Dataflow {
         .orderBy("media_id", "member")
   }
 
+  /** The 3-post `Posts.xml` both SE-dump ingest gates build (x263
+    * bounded, x267 ranged) — SAME text formulas so both oracles state
+    * the expected corpus BY CONSTRUCTION. p=3 is the hostile arm: a
+    * raw `>` and a raw newline inside Body (.NET's XmlWriter, which
+    * writes the real archive.org dumps, escapes & < " in attribute
+    * values but leaves `>` raw). */
+  private def sedumpPostsFixtureXml(id: Long): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    def escNet(s: String) = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace("\"", "&quot;")
+    val rows = Seq(1, 2, 3).map { p =>
+      val html =
+        if (p == 1) s"<p>Question body $id &amp; more.</p>"
+        else if (p == 2)
+          s"<p>Answer for $id</p><pre><code>x &lt; 1</code></pre>"
+        else s"<p>Note $id: a > b\nc</p>"
+      // ParentId sits between Id and PostTypeId: a sloppy
+      // `Id="…"` regex would bind to it
+      val parent = if (p == 2) s"""ParentId="${id * 10 + 1}" """ else ""
+      s"""<row Id="${id * 10 + p}" ${parent}PostTypeId="$p" """ +
+        s"""Body="${if (p == 3) escNet(html) else esc(html)}" />"""
+    }.mkString
+    s"""<?xml version="1.0" encoding="utf-8"?><posts>$rows</posts>"""
+  }
+
   /** x263: STACK-EXCHANGE DUMP → POSTS CORPUS — the public
     * archive.org data-dump layout (one `.7z` per site holding
     * attribute-style XML tables) composed end-to-end on the x262
@@ -6276,27 +6302,7 @@ object Dataflow {
       val media = spread(table(spark, dir, "documents").select(col("doc_id")))
         .as[Long]
         .map { id =>
-          def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;").replace("\"", "&quot;")
-          // .NET's XmlWriter (which writes the real archive.org dumps)
-          // escapes & < " in attribute values but leaves `>` RAW — the
-          // p=3 arm wears that form, plus a raw newline
-          def escNet(s: String) = s.replace("&", "&amp;")
-            .replace("<", "&lt;").replace("\"", "&quot;")
-          val rows = Seq(1, 2, 3).map { p =>
-            val html =
-              if (p == 1) s"<p>Question body $id &amp; more.</p>"
-              else if (p == 2)
-                s"<p>Answer for $id</p><pre><code>x &lt; 1</code></pre>"
-              else s"<p>Note $id: a > b\nc</p>"
-            // ParentId sits between Id and PostTypeId: a sloppy
-            // `Id="…"` regex would bind to it
-            val parent = if (p == 2) s"""ParentId="${id * 10 + 1}" """ else ""
-            s"""<row Id="${id * 10 + p}" ${parent}PostTypeId="$p" """ +
-              s"""Body="${if (p == 3) escNet(html) else esc(html)}" />"""
-          }.mkString
-          val xml =
-            s"""<?xml version="1.0" encoding="utf-8"?><posts>$rows</posts>"""
+          val xml = sedumpPostsFixtureXml(id)
           val chains: Int => Option[(Long, Array[Byte])] = _ => (id % 3) match {
             case 0 => None
             case 1 => Some((0x03L, Array[Byte](0)))
@@ -6540,6 +6546,76 @@ object Dataflow {
         .orderBy("media_id", "post_id")
   }
 
+  /** x267: RANGED SE-DUMP INGEST — the streaming answer to the one
+    * artifact the bounded path cannot serve (a stackoverflow.com
+    * `Posts.xml` is tens of GB inside its `.7z`): dumps live ON DISK
+    * as files, input is a LISTING, the member layout comes from a
+    * header-only pread, and rows stream through an O(dict-window)
+    * LZMA2 ring decode ([[Pipelines.sedumpPostsRanged]] /
+    * `sources/Ranged7z.scala`; the >2 GiB soak is
+    * Sedump7zRangedSoakSpec). SAME post construction as x263 — the
+    * oracle states the corpus by construction and both ingest modes
+    * must land string-exact — with the ranged routing arms: every
+    * 13th doc's container is torn (header unreachable → one
+    * null-member row) and every 17th wears the raw-LZMA coder, which
+    * the ranged reader does not stream (one routed member row; the
+    * bounded path serves those members — the two modes' coverage
+    * overlaps but differs exactly where documented). Coders rotate
+    * Copy/LZMA2 and headers raw/encoded by parity. At 100 TB this is
+    * the plan that matters: per-file parallel header scans, per-slice
+    * parallel decodes, no byte of payload through the driver. */
+  val x267 = DQ("x267_sedump_ranged", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 13 = 0 AS tq,
+      |    doc_id % 17 = 0 AND doc_id % 13 <> 0 AS fq FROM documents),
+      |p AS (SELECT doc_id, u.p AS p FROM d,
+      |    unnest(generate_series(1, 3)) AS u(p) WHERE NOT tq AND NOT fq),
+      |e AS (SELECT doc_id, CAST(doc_id * 10 + p AS BIGINT) AS post_id,
+      |    CAST(p AS INTEGER) AS post_type,
+      |    CASE WHEN p = 1
+      |      THEN 'Question body ' || CAST(doc_id AS VARCHAR) || ' & more.'
+      |      WHEN p = 2
+      |      THEN 'Answer for ' || CAST(doc_id AS VARCHAR) || ' x < 1'
+      |      ELSE 'Note ' || CAST(doc_id AS VARCHAR) || ': a > b c'
+      |    END AS text
+      |  FROM p)
+      |SELECT media_id, post_id, post_type, text, n_chars, ok FROM (
+      |  SELECT doc_id AS media_id, post_id, post_type, text,
+      |    CAST(length(text) AS BIGINT) AS n_chars, true AS ok FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL, NULL, false FROM d WHERE tq OR fq)
+      |ORDER BY media_id, post_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val tmp = java.nio.file.Files.createTempDirectory("x267_sedump")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val xml = sedumpPostsFixtureXml(id)
+            val arc = SevenZip.build(
+              Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+              encodedHeader = id % 2 == 1,
+              coderFor = _ =>
+                if (id % 17 == 0 && id % 13 != 0) 2 // raw LZMA: routes
+                else if (id % 3 == 0) 0 else 1) // Copy / LZMA2
+            val arm = if (id % 13 == 0) arc.dropRight(5) else arc
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"$id.7z"), arm)
+          }
+        }
+      val paths = table(spark, dir, "documents").select(
+        concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
+      graft.streaming.Pipelines.sedumpPostsRanged(paths)
+        .select(
+          expr("regexp_extract(path, '(\\\\d+)\\\\.7z$', 1)")
+            .cast("long").as("media_id"),
+          col("post_id"), col("post_type"), col("text"),
+          when(col("ok"), length(col("text"))).cast("long").as("n_chars"),
+          col("ok"))
+        .orderBy("media_id", "post_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6549,5 +6625,5 @@ object Dataflow {
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
     x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263, x264,
-    x265, x266)
+    x265, x266, x267)
 }

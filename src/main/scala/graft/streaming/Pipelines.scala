@@ -1053,6 +1053,14 @@ object Pipelines {
         size(expr("regexp_extract_all(xml, '<row\\\\s', 0)")) ===
           size(col("rows0")), col("rows0")))
       .select(col("path"), explode_outer(col("rows")).as("r"))
+    sedumpAttrColumns(base, attrs)
+  }
+
+  /** The attribute projection [[sedumpTable]] and [[sedumpTableRanged]]
+    * share verbatim, over (path, r) rows — the two ingest modes cannot
+    * drift. */
+  private def sedumpAttrColumns(base: DataFrame,
+      attrs: Seq[String]): DataFrame =
     attrs.foldLeft(base) { (df, a) =>
       // whitespace-anchored (attrs are space-delimited inside a row
       // tag): Id= must bind neither inside ParentId= nor data-Id=;
@@ -1062,7 +1070,72 @@ object Pipelines {
           regexp_extract(col("r"), "(?:^|\\s)" + a + "=\"([^\"]*)\"", 1))))
     }.select(
       (col("path") +: attrs.map(col)) :+ col("r").isNotNull.as("ok"): _*)
+
+  /** The RANGED row reader under both ranged SE-dump views — the 7z
+    * twin of [[wikidumpPagesRanged]], for the one famous artifact the
+    * bounded column reader cannot serve (a stackoverflow.com
+    * `Posts.xml` is tens of GB inside its `.7z`): input is just a
+    * LISTING (a `path` string column); member layout comes from a
+    * header-only pread ([[graft.sources.Ranged7z.scanMembers]] — start
+    * header + next header, never a payload byte); big LZMA2 members
+    * get a no-decode chunk-header walk whose dict+props resets become
+    * independent decode slices; and each slice streams its rows
+    * through an O(dict-window) ring decode that holds one row at a
+    * time ([[graft.sources.Ranged7z.rows]]). The (path, slice)
+    * repartition spreads decode work BEFORE any byte is read, so the
+    * heaviest thing ever held is one ring window on one executor.
+    *
+    * Contract vs the bounded path: same row matcher semantics
+    * ([[RowRe]], byte-level), same projections downstream — but
+    * damage LOCALIZES (per-slice dead-letter rows alongside the rows
+    * already streamed) instead of quarantining the whole member, and a
+    * SPLIT decode trades the folder-global CRC for parallelism
+    * (LZMA2 carries no per-chunk checksum; a single-slice pass still
+    * verifies it incrementally). Scaladoc on
+    * [[graft.sources.Ranged7z]] carries the full routing table. */
+  private[graft] def sedumpRowsRanged(paths: DataFrame, memberRe: String,
+      lzma2SplitMin: Long = 64L << 20,
+      copyTile: Long = 256L << 20): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    import graft.sources.{Ranged7z, SerializableHadoopConf}
+    val bc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val slices = paths.select(col("path")).as[String]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val ms = Ranged7z.scanMembers(bc.value.value, p)
+          if (ms == null) Iterator(Ranged7z.deadSlice(p, null))
+          else {
+            // a matching-member dump with zero matches emits nothing,
+            // like the bounded path's non-XML members
+            ms.iterator.filter(m => memberRe.r.findFirstIn(m.name).isDefined)
+              .flatMap(m =>
+                Ranged7z.planSlices(bc.value.value, p, m, lzma2SplitMin,
+                  copyTile))
+          }
+        }
+      }
+    slices
+      .repartition(col("path"), col("member"), col("sliceUnpack"))
+      .flatMap { s =>
+        Ranged7z.rows(bc.value.value, s).map { case (r, _) =>
+          (s.path, s.member, r)
+        }
+      }
+      .toDF("path", "member", "r")
   }
+
+  /** Ranged twin of [[sedumpTable]]: same attribute projection
+    * verbatim, rows streamed in O(dict-window) from members of any
+    * size. */
+  def sedumpTableRanged(paths: DataFrame, member: String,
+      attrs: Seq[String]): DataFrame =
+    sedumpAttrColumns(
+      sedumpRowsRanged(paths,
+        "^" + java.util.regex.Pattern.quote(member) + "$")
+        .select(col("path"), col("r")),
+      attrs)
 
   /** Streaming twin of [[sedumpPosts]] — `.7z` dumps landing in a
     * watched directory emit post rows through the same projection
@@ -1607,7 +1680,7 @@ object Pipelines {
     * as with single-stream dumps). */
   def sedumpPosts(archives: DataFrame): DataFrame = {
     import graft.functions.SevenZipEntries
-    archives
+    val rows = archives
       .withColumn("es", SevenZipEntries.sevenzEntries(col("content")))
       .select(col("path"), explode_outer(col("es")).as("e"))
       .withColumn("mok",
@@ -1626,16 +1699,30 @@ object Pipelines {
           size(col("rows0")), col("rows0")))
       .select(col("path"), col("e.name").as("member"),
         explode_outer(col("rows")).as("r"))
-      .select(col("path"), col("member"),
-        expr("regexp_extract(r, '(?:^|\\\\s)Id=\"(\\\\d+)\"', 1)")
-          .cast("long").as("post_id"),
-        expr("regexp_extract(r, '(?:^|\\\\s)PostTypeId=\"(\\\\d+)\"', 1)")
-          .cast("int").as("post_type"),
-        when(col("r").isNotNull, htmlTextCol(xmlUnescapeCol(
-          expr("regexp_extract(r, '(?:^|\\\\s)Body=\"([^\"]*)\"', 1)"))))
-          .as("text"),
-        col("r").isNotNull.as("ok"))
+    sedumpPostColumns(rows)
   }
+
+  /** The post projection [[sedumpPosts]] and [[sedumpPostsRanged]]
+    * share verbatim, over (path, member, r) rows — the two ingest
+    * modes cannot drift. */
+  private def sedumpPostColumns(rows: DataFrame): DataFrame =
+    rows.select(col("path"), col("member"),
+      expr("regexp_extract(r, '(?:^|\\\\s)Id=\"(\\\\d+)\"', 1)")
+        .cast("long").as("post_id"),
+      expr("regexp_extract(r, '(?:^|\\\\s)PostTypeId=\"(\\\\d+)\"', 1)")
+        .cast("int").as("post_type"),
+      when(col("r").isNotNull, htmlTextCol(xmlUnescapeCol(
+        expr("regexp_extract(r, '(?:^|\\\\s)Body=\"([^\"]*)\"', 1)"))))
+        .as("text"),
+      col("r").isNotNull.as("ok"))
+
+  /** Ranged twin of [[sedumpPosts]]: same projection verbatim, rows
+    * streamed in O(dict-window) heap from `.xml` members of ANY size —
+    * the monolithic stackoverflow.com `Posts.xml` ingests instead of
+    * quarantining at the bounded path's 256 MiB member bound (see
+    * [[sedumpRowsRanged]]). */
+  def sedumpPostsRanged(paths: DataFrame): DataFrame =
+    sedumpPostColumns(sedumpRowsRanged(paths, "(?i)\\.xml$"))
 
   /** The FRAME-level arm of [[mediaTriageStream]] for MJPEG-shaped video:
     * each watched MP4's sample table explodes to per-frame rows and every
