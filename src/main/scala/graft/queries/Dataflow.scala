@@ -6231,6 +6231,11 @@ object Dataflow {
         .orderBy("media_id", "member")
   }
 
+  /** x267's fixture directories, one per sf dir per JVM (see the gate's
+    * setup note). */
+  private val x267Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The 3-post `Posts.xml` both SE-dump ingest gates build (x263
     * bounded, x267 ranged) — SAME text formulas so both oracles state
     * the expected corpus BY CONSTRUCTION. p=3 is the hostile arm: a
@@ -6587,23 +6592,28 @@ object Dataflow {
     (spark, dir) =>
       import spark.implicits._
       import graft.functions.SevenZip
-      val tmp = java.nio.file.Files.createTempDirectory("x267_sedump")
-        .toFile.getAbsolutePath
-      spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
-        .foreachPartition { (it: Iterator[Long]) =>
-          it.foreach { id =>
-            val xml = sedumpPostsFixtureXml(id)
-            val arc = SevenZip.build(
-              Seq(("Posts.xml", xml.getBytes("UTF-8"))),
-              encodedHeader = id % 2 == 1,
-              coderFor = _ =>
-                if (id % 17 == 0 && id % 13 != 0) 2 // raw LZMA: routes
-                else if (id % 3 == 0) 0 else 1) // Copy / LZMA2
-            val arm = if (id % 13 == 0) arc.dropRight(5) else arc
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(tmp, s"$id.7z"), arm)
+      // fixture build is SETUP, not the operator under test: one write
+      // per (JVM, sf dir), so bench repetitions measure the ranged read
+      val tmp = Dataflow.x267Fixtures.computeIfAbsent(dir, { _ =>
+        val t = java.nio.file.Files.createTempDirectory("x267_sedump")
+          .toFile.getAbsolutePath
+        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            it.foreach { id =>
+              val xml = sedumpPostsFixtureXml(id)
+              val arc = SevenZip.build(
+                Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+                encodedHeader = id % 2 == 1,
+                coderFor = _ =>
+                  if (id % 17 == 0 && id % 13 != 0) 2 // raw LZMA: routes
+                  else if (id % 3 == 0) 0 else 1) // Copy / LZMA2
+              val arm = if (id % 13 == 0) arc.dropRight(5) else arc
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(t, s"$id.7z"), arm)
+            }
           }
-        }
+        t
+      })
       val paths = table(spark, dir, "documents").select(
         concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
       graft.streaming.Pipelines.sedumpPostsRanged(paths)

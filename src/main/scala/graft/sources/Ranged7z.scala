@@ -137,8 +137,10 @@ object Ranged7z {
         }
         tiles.toSeq
       case 0x21 => // LZMA2
+        // the working window is min(declared dict, folder output) — a
+        // huge declared dictionary over a small folder still streams
         val window = Xz.lzma2DictSize(coder.props)
-        if (window < 0 || window > MaxWindowBytes)
+        if (window < 0 || math.min(window, m.folderUnpack) > MaxWindowBytes)
           return Seq(deadSlice(path, m.name))
         val resets: Seq[(Long, Long)] =
           if (m.packLen < lzma2SplitMin) Seq((0L, 0L))
@@ -229,8 +231,13 @@ object Ranged7z {
       if (slice.kind == KindCopy) in.seek(slice.packOff + slice.scanFrom)
       else {
         in.seek(slice.packOff)
+        // ring = min(declared dict, this decode's total output): a
+        // back-reference can never reach past either, and real dumps
+        // declare 32-64 MiB dictionaries over members of every size —
+        // zeroing 32 MiB per tiny member would dwarf the decode
         rd = new Xz.Lzma2StreamReader(new BoundedIn(in, slice.packLen),
-          Xz.lzma2DictSize(slice.props).toInt, slice.expect)
+          math.min(Xz.lzma2DictSize(slice.props), slice.expect).toInt,
+          slice.expect)
       }
     } catch { case NonFatal(_) => fail() }
 

@@ -1101,7 +1101,11 @@ object Pipelines {
     import graft.sources.{Ranged7z, SerializableHadoopConf}
     val bc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
-    val slices = paths.select(col("path")).as[String]
+    // spread the LISTING before the header scans: a listing often
+    // arrives as one split (one parquet row-group, one text file), and
+    // without this every header pread would run in a single task
+    val slices = paths.select(col("path")).repartition(col("path"))
+      .as[String]
       .mapPartitions { it =>
         it.flatMap { p =>
           val ms = Ranged7z.scanMembers(bc.value.value, p)
