@@ -6626,6 +6626,73 @@ object Dataflow {
         .orderBy("media_id", "post_id")
   }
 
+  /** x268: RANGED WARC.ZST INGEST — the zstd member of the ranged
+    * trio, lifting the column path's 2 GB bound for crawl monoliths:
+    * the x265 dictionary sink writes real `.warc.zst` files (leading
+    * skippable dictionary frame, dictionary-referencing record
+    * frames), and [[Pipelines.warcZstRanged]] reads them back from a
+    * LISTING — frame extents from a streaming block-header walk
+    * (3 bytes read per block, payloads skipped, no decompression:
+    * `sources/RangedZstd.scala`, deriving from the format what real
+    * tooling keeps in external seek tables), the (path, frame)
+    * repartition spreading decode before any payload byte is read,
+    * each task range-reading exactly one frame and resolving the IIPC
+    * dictionary once per file. Same record projection as the bounded
+    * path verbatim; uri + payload round-trip byte-exactly (oracle by
+    * construction). RangedZstdSpec pins extent parity with
+    * `frameExtents`, row parity with `warcZstRecords`, and the
+    * routing arms (not-zstd, torn tail, over-cap frame, RLE/raw
+    * blocks). */
+  val x268 = DQ("x268_warczst_ranged", Some(
+    """WITH p AS (SELECT doc_id,
+      |  'HTTP/1.1 200 OK | Content-Type: text/html; charset=utf-8 | '
+      |  || 'Server: graft-origin/2.4 (corpus mirror tier) | '
+      |  || 'Cache-Control: max-age=86400, public | '
+      |  || 'X-Crawl-Tier: curated-common-corpus | '
+      |  || '<!doctype html><html lang=en><head><meta charset=utf-8>'
+      |  || '<title>corpus page</title></head><body><main id=content>'
+      |  || 'doc ' || CAST(doc_id AS VARCHAR) || ' tail '
+      |  || CAST(doc_id % 7 AS VARCHAR) || '</main></body></html>' AS payload
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  'http://d' || CAST(doc_id AS VARCHAR) || '.example/p' AS uri,
+      |  md5(payload) AS payload_md5,
+      |  CAST(length(payload) AS BIGINT) AS n_bytes
+      |FROM p ORDER BY media_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("x268_ranged")
+        .toFile.getAbsolutePath
+      val boiler = "HTTP/1.1 200 OK | Content-Type: text/html; " +
+        "charset=utf-8 | Server: graft-origin/2.4 (corpus mirror tier) | " +
+        "Cache-Control: max-age=86400, public | " +
+        "X-Crawl-Tier: curated-common-corpus | " +
+        "<!doctype html><html lang=en><head><meta charset=utf-8>" +
+        "<title>corpus page</title></head><body><main id=content>"
+      val recs = table(spark, dir, "documents").select(col("doc_id"))
+        .select(
+          concat(lit("http://d"), col("doc_id"), lit(".example/p")).as("uri"),
+          lit("2024-01-01T00:00:00Z").as("date"),
+          concat(lit(boiler), lit("doc "), col("doc_id"), lit(" tail "),
+            col("doc_id") % 7, lit("</main></body></html>"))
+            .cast("binary").as("payload"))
+        .repartition(4)
+      val dict = graft.streaming.Pipelines.trainWarcDict(
+        recs, maxSamples = 1024, dictBytes = 4 << 10)
+      graft.streaming.Pipelines.warcZstSink(recs, tmp, dict = Some(dict))
+      val listing = spark.read.format("binaryFile").load(tmp)
+        .select(regexp_replace(col("path"), "^file:", "").as("path"))
+      graft.streaming.Pipelines.warcZstRanged(listing)
+        .where(col("ok"))
+        .select(
+          regexp_extract(col("uri"), "http://d(\\d+)\\.example", 1)
+            .cast("long").as("media_id"),
+          col("uri"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("media_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6635,5 +6702,5 @@ object Dataflow {
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
     x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263, x264,
-    x265, x266, x267)
+    x265, x266, x267, x268)
 }

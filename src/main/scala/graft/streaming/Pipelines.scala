@@ -1253,15 +1253,12 @@ object Pipelines {
     * Column-path scoping: input rides the `content` column, bounded by
     * Spark's 2 GB binary limit — the right shape for Common-Crawl-style
     * distributions, which ship ~1 GB segments precisely so whole-file
-    * handling stays cheap. A beyond-2 GB `.warc.zst` monolith would
-    * need a ranged frame walk (the [[wikidumpPagesRanged]] analog;
-    * zstd data-frame sizes live in per-block headers, so the scan is a
-    * block-header walk, not a seek table) — deliberately out of scope
-    * while no public corpus ships such files. */
+    * handling stays cheap. A beyond-2 GB monolith takes
+    * [[warcZstRanged]], the ranged frame walk. */
   def warcZstRecords(files: DataFrame): DataFrame = {
-    import graft.functions.{WarcRecords, ZstdBytes, ZstdBytesDict,
-      ZstdDictExpr, ZstdExtents}
-    files
+    import graft.functions.{ZstdBytes, ZstdBytesDict, ZstdDictExpr,
+      ZstdExtents}
+    warcRecordColumns(files
       .withColumn("dict", ZstdDictExpr.zstdDict(col("content")))
       .withColumn("exts", ZstdExtents.zstdExtents(col("content")))
       .select(col("path"), col("dict"), col("content"),
@@ -1274,11 +1271,85 @@ object Pipelines {
       .select(col("path"),
         when(col("ext").isNotNull, col("f0") + 1)
           .otherwise(lit(-1)).cast("int").as("frame"),
+        col("w")))
+  }
+
+  /** The record projection [[warcZstRecords]] and [[warcZstRanged]]
+    * share verbatim over (path, frame, w) decoded-frame rows — the two
+    * ingest modes cannot drift. */
+  private def warcRecordColumns(frames: DataFrame): DataFrame = {
+    import graft.functions.WarcRecords
+    frames
+      .select(col("path"), col("frame"),
         explode_outer(WarcRecords.warcRecords(col("w"))).as("r"))
       .select(col("path"), col("frame"),
         col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
         col("r.date").as("date"), col("r.payload").as("payload"),
         col("r").isNotNull.as("ok"))
+  }
+
+  /** Ranged twin of [[warcZstRecords]] for `.warc.zst` monoliths past
+    * the 2 GB binary-column bound — the zstd member of the ranged
+    * trio: input is a LISTING (a `path` column); frame extents come
+    * from a streaming BLOCK-HEADER walk (3 bytes read per block,
+    * payloads skipped, O(1) memory, no decompression —
+    * [[graft.sources.RangedZstd.scanExtents]], deriving from the
+    * format what real `.warc.zst` tooling keeps in external seek
+    * tables); the (path, frame) repartition spreads decode BEFORE any
+    * payload byte is read; and each task range-reads exactly one
+    * frame, resolving the leading-skippable IIPC dictionary once per
+    * (task, file). Same projection as the column path verbatim; same
+    * quarantine currency (not-zstd → one frame = -1 row; a torn tail
+    * or an over-`maxFrameBytes` frame decodes to null and routes). */
+  def warcZstRanged(paths: DataFrame,
+      maxFrameBytes: Long =
+        graft.sources.RangedBz2.DefaultMaxExtentBytes): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    import graft.functions.Zstandard
+    import graft.sources.{RangedBz2, RangedZstd, SerializableHadoopConf}
+    val bc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val extents = paths.select(col("path")).repartition(col("path"))
+      .as[String]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val e = RangedZstd.scanExtents(bc.value.value, p)
+          if (e == null) Iterator((p, -1, -1L, -1L, -1L, -1L))
+          else e.frames.iterator.zipWithIndex.map { case ((off, len), i) =>
+            (p, i + 1, off, len, e.dictOff, e.dictLen)
+          }
+        }
+      }.toDF("path", "frame", "off", "len", "dictOff", "dictLen")
+    val frames = extents
+      .repartition(col("path"), col("frame"))
+      .as[(String, Int, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val conf = bc.value.value
+        // the dictionary is per FILE and tiny; resolve once per task
+        val dicts = scala.collection.mutable.Map[String, Array[Byte]]()
+        it.map { case (p, f, off, len, dOff, dLen) =>
+          val w =
+            if (f < 0) null
+            else {
+              val fr = RangedBz2.readRange(conf, p, off, len, maxFrameBytes)
+              if (fr == null) null
+              else {
+                val dict =
+                  if (dLen <= 0) null
+                  else dicts.getOrElseUpdate(p, {
+                    val head = RangedBz2.readRange(conf, p, dOff, dLen)
+                    if (head == null) null
+                    else Zstandard.leadingDictionary(head)
+                  })
+                if (dict == null) Zstandard.decode(fr)
+                else Zstandard.decodeWithDict(fr, dict)
+              }
+            }
+          (p, f, w)
+        }
+      }.toDF("path", "frame", "w")
+    warcRecordColumns(frames)
   }
 
   /** Continuous dump ingest over a directory watch — the streaming twin
