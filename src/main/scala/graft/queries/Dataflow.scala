@@ -6486,41 +6486,7 @@ object Dataflow {
       val arcs = spread(table(spark, dir, "documents").select(col("doc_id")))
         .as[Long]
         .map { id =>
-          def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;").replace("\"", "&quot;")
-          val users =
-            s"""<?xml version="1.0"?><users>""" +
-              s"""<row Id="${id * 100 + 1}" DisplayName="User A$id" """ +
-              s"""Reputation="${id % 1000}" />""" +
-              s"""<row Id="${id * 100 + 2}" DisplayName="${esc(s"B & C <$id>")}" """ +
-              s"""Reputation="${id % 577}" /></users>"""
-          val posts =
-            s"""<?xml version="1.0"?><posts>""" +
-              s"""<row Id="${id * 10 + 1}" PostTypeId="1" """ +
-              s"""OwnerUserId="${id * 100 + 1}" Body="q" />""" +
-              s"""<row Id="${id * 10 + 2}" ParentId="${id * 10 + 1}" """ +
-              s"""PostTypeId="2" OwnerUserId="${id * 100 + 2}" Body="a" />""" +
-              // the hostile arm: OWNERLESS (deleted user — real dumps
-              // carry these; must survive the owner join as null, not
-              // vanish), with a RAW `>` and a raw newline in Body —
-              // legal in XML attribute values (.NET's XmlWriter leaves
-              // `>` unescaped there); the quote-aware row matcher must
-              // not tear on either
-              s"""<row Id="${id * 10 + 3}" PostTypeId="1" """ +
-              "Body=\"q > 0\nnext\" />" +
-              "</posts>"
-          val k = (id % 3).toInt
-          val comments =
-            s"""<?xml version="1.0"?><comments>""" +
-              (1 to k).map(c =>
-                s"""<row Id="${id * 1000 + c}" PostId="${id * 10 + 1}" """ +
-                  s"""Score="$c" />""").mkString +
-              s"""<row Id="${id * 1000 + 9}" PostId="${id * 10 + 2}" """ +
-              s"""Score="${id % 7}" /></comments>"""
-          (id, SevenZip.build(Seq(
-            ("Users.xml", users.getBytes("UTF-8")),
-            ("Posts.xml", posts.getBytes("UTF-8")),
-            ("Comments.xml", comments.getBytes("UTF-8"))),
+          (id, SevenZip.build(sedumpTablesFixture(id),
             encodedHeader = id % 2 == 0))
         }.toDF("media_id", "media")
       val arcDf = arcs.select(col("media_id").cast("string").as("path"),
@@ -6549,6 +6515,50 @@ object Dataflow {
           coalesce(col("n_comments"), lit(0L)).as("n_comments"),
           coalesce(col("sum_score"), lit(0L)).as("sum_score"))
         .orderBy("media_id", "post_id")
+  }
+
+  /** The 3-table site dump both relational SE-dump gates build (x266
+    * bounded, x269 ranged): Users/Posts/Comments with entity-bearing
+    * display names, an ownerless post whose Body carries a raw `>`
+    * and a raw newline (the quote-aware matcher's hostile arm), and a
+    * `ParentId` planted between `Id` and `PostTypeId`. Same rows →
+    * same oracle for both ingest modes. */
+  private def sedumpTablesFixture(id: Long): Seq[(String, Array[Byte])] = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val users =
+      s"""<?xml version="1.0"?><users>""" +
+        s"""<row Id="${id * 100 + 1}" DisplayName="User A$id" """ +
+        s"""Reputation="${id % 1000}" />""" +
+        s"""<row Id="${id * 100 + 2}" DisplayName="${esc(s"B & C <$id>")}" """ +
+        s"""Reputation="${id % 577}" /></users>"""
+    val posts =
+      s"""<?xml version="1.0"?><posts>""" +
+        s"""<row Id="${id * 10 + 1}" PostTypeId="1" """ +
+        s"""OwnerUserId="${id * 100 + 1}" Body="q" />""" +
+        s"""<row Id="${id * 10 + 2}" ParentId="${id * 10 + 1}" """ +
+        s"""PostTypeId="2" OwnerUserId="${id * 100 + 2}" Body="a" />""" +
+        // the hostile arm: OWNERLESS (deleted user — real dumps
+        // carry these; must survive the owner join as null, not
+        // vanish), with a RAW `>` and a raw newline in Body —
+        // legal in XML attribute values (.NET's XmlWriter leaves
+        // `>` unescaped there); the quote-aware row matcher must
+        // not tear on either
+        s"""<row Id="${id * 10 + 3}" PostTypeId="1" """ +
+        "Body=\"q > 0\nnext\" />" +
+        "</posts>"
+    val k = (id % 3).toInt
+    val comments =
+      s"""<?xml version="1.0"?><comments>""" +
+        (1 to k).map(c =>
+          s"""<row Id="${id * 1000 + c}" PostId="${id * 10 + 1}" """ +
+            s"""Score="$c" />""").mkString +
+        s"""<row Id="${id * 1000 + 9}" PostId="${id * 10 + 2}" """ +
+        s"""Score="${id % 7}" /></comments>"""
+    Seq(
+      ("Users.xml", users.getBytes("UTF-8")),
+      ("Posts.xml", posts.getBytes("UTF-8")),
+      ("Comments.xml", comments.getBytes("UTF-8")))
   }
 
   /** x267: RANGED SE-DUMP INGEST — the streaming answer to the one
@@ -6693,6 +6703,84 @@ object Dataflow {
         .orderBy("media_id")
   }
 
+  /** x269's fixture directories, one per sf dir per JVM (the x267
+    * setup-caching note applies). */
+  private val x269Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x269: RANGED SE-DUMP RELATIONAL — x266's composition (generic
+    * attribute tables, LEFT owner join for ownerless posts, map-side
+    * combined comment aggregation on the composite (archive, key))
+    * with every table read through the RANGED path
+    * ([[Pipelines.sedumpTableRanged]]): dumps live on disk, each of
+    * the three tables is its own header-scan + slice plan + streamed
+    * row scan, and the joins see EXACTLY the bounded path's rows — the
+    * same oracle as x266 proves the two ingest modes compose
+    * identically, not just project identically. Coders rotate
+    * Copy/LZMA2 and headers raw/encoded by archive parity. */
+  val x269 = DQ("x269_sedump_ranged_relational", Some(
+    """WITH p AS (SELECT doc_id, u.p AS p FROM documents,
+      |    unnest(generate_series(1, 3)) AS u(p)),
+      |e AS (SELECT doc_id, CAST(doc_id * 10 + p AS BIGINT) AS post_id,
+      |  CASE WHEN p = 1 THEN 'User A' || CAST(doc_id AS VARCHAR)
+      |       WHEN p = 2 THEN 'B & C <' || CAST(doc_id AS VARCHAR) || '>'
+      |       END AS owner_name,
+      |  CAST(CASE WHEN p = 1 THEN doc_id % 1000
+      |       WHEN p = 2 THEN doc_id % 577 END AS BIGINT) AS owner_rep,
+      |  CAST(CASE WHEN p = 1 THEN doc_id % 3 WHEN p = 2 THEN 1
+      |       ELSE 0 END AS BIGINT) AS n_comments,
+      |  CAST(CASE WHEN p = 1 THEN (doc_id % 3) * ((doc_id % 3) + 1) / 2
+      |       WHEN p = 2 THEN doc_id % 7 ELSE 0 END AS BIGINT) AS sum_score
+      |  FROM p)
+      |SELECT doc_id AS media_id, post_id, owner_name, owner_rep,
+      |  n_comments, sum_score
+      |FROM e ORDER BY media_id, post_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val tmp = Dataflow.x269Fixtures.computeIfAbsent(dir, { _ =>
+        val t = java.nio.file.Files.createTempDirectory("x269_sedump")
+          .toFile.getAbsolutePath
+        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            it.foreach { id =>
+              val arc = SevenZip.build(sedumpTablesFixture(id),
+                encodedHeader = id % 4 < 2,
+                coderFor = _ => if (id % 2 == 0) 0 else 1)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(t, s"$id.7z"), arc)
+            }
+          }
+        t
+      })
+      val paths = table(spark, dir, "documents").select(
+        concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
+      def tbl(member: String, attrs: Seq[String]) =
+        graft.streaming.Pipelines.sedumpTableRanged(paths, member, attrs)
+          .where(col("ok"))
+      val users = tbl("Users.xml", Seq("Id", "DisplayName", "Reputation"))
+        .select(col("path"), col("Id").cast("long").as("uid"),
+          col("DisplayName").as("owner_name"),
+          col("Reputation").cast("long").as("owner_rep"))
+      val posts = tbl("Posts.xml", Seq("Id", "OwnerUserId"))
+        .select(col("path"), col("Id").cast("long").as("post_id"),
+          col("OwnerUserId").cast("long").as("uid"))
+      val comments = tbl("Comments.xml", Seq("PostId", "Score"))
+        .groupBy(col("path"), col("PostId").cast("long").as("post_id"))
+        .agg(count(lit(1)).as("n_comments"),
+          sum(col("Score").cast("long")).as("sum_score"))
+      posts
+        .join(users, Seq("path", "uid"), "left")
+        .join(comments, Seq("path", "post_id"), "left")
+        .select(
+          expr("regexp_extract(path, '(\\\\d+)\\\\.7z$', 1)")
+            .cast("long").as("media_id"),
+          col("post_id"), col("owner_name"), col("owner_rep"),
+          coalesce(col("n_comments"), lit(0L)).as("n_comments"),
+          coalesce(col("sum_score"), lit(0L)).as("sum_score"))
+        .orderBy("media_id", "post_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6702,5 +6790,5 @@ object Dataflow {
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
     x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263, x264,
-    x265, x266, x267, x268)
+    x265, x266, x267, x268, x269)
 }

@@ -218,12 +218,19 @@ object Ranged7z {
       maxRowBytes)
     private var in: org.apache.hadoop.fs.FSDataInputStream = _
     private var rd: Xz.Lzma2StreamReader = _
-    private val buf = if (slice.kind == KindCopy) new Array[Byte](1 << 16)
+    private var buf = if (slice.kind == KindCopy) new Array[Byte](1 << 16)
       else null
     private var abs = if (slice.kind == KindCopy) slice.scanFrom
       else slice.sliceUnpack
     private var crc = Xz.crc32Init
     private var inputDone = false
+
+    // a Spark limit/take may abandon the iterator mid-stream: close
+    // with the task, not with GC
+    locally {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => finish())
+    }
 
     try {
       val p = new Path(slice.path)
@@ -252,6 +259,12 @@ object Ranged7z {
         try in.close() catch { case NonFatal(_) => }
         in = null
       }
+      // the task-completion listener (and Spark's iterator plumbing)
+      // keeps THIS object reachable until task end — a task draining
+      // thousands of slices must not retain thousands of ring windows
+      rd = null
+      buf = null
+      sc.shrink()
     }
 
     /** Decode one more block and feed the scanner; sets inputDone when
@@ -391,6 +404,10 @@ object Ranged7z {
     }
 
     def deadLetter(): Unit = out.add((null, false))
+
+    /** Drop the row buffer once the slice is done decoding (pending
+      * results stay drainable) — see RowIterator.finish. */
+    def shrink(): Unit = rowBuf = new Array[Byte](16)
 
     def pendingEmpty: Boolean = out.isEmpty
     def poll(): (String, Boolean) = out.poll()
