@@ -1799,6 +1799,35 @@ object Pipelines {
   def sedumpPostsRanged(paths: DataFrame): DataFrame =
     sedumpPostColumns(sedumpRowsRanged(paths, "(?i)\\.xml$"))
 
+  /** A LISTING-only directory watch: the binaryFile source with every
+    * column but `path` pruned away — files are never opened by the
+    * source (its 2 GB binary-column refusal never trips), so multi-GB
+    * monoliths can LAND in a watched directory and ingest through the
+    * ranged readers. RangedStreamSpec proves the pruning with a sparse
+    * 3 GB file: the bounded source would throw; the listing stream
+    * routes it. */
+  private def pathStream(spark: SparkSession, dir: String,
+      glob: String): DataFrame =
+    spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select(col("path"))
+
+  /** Streaming twin of [[sedumpPostsRanged]] — same projection
+    * verbatim over a listing-only watch ([[pathStream]]): the ranged
+    * answer to [[sedumpPostsStream]]'s 2 GB bound for dumps that land
+    * as monoliths. */
+  def sedumpPostsRangedStream(spark: SparkSession, dir: String): DataFrame =
+    sedumpPostsRanged(pathStream(spark, dir, "*.7z"))
+
+  /** Streaming twin of [[warcZstRanged]] — same projection verbatim
+    * over a listing-only watch. */
+  def warcZstRangedStream(spark: SparkSession, dir: String): DataFrame =
+    warcZstRanged(pathStream(spark, dir, "*.warc.zst"))
+
   /** The FRAME-level arm of [[mediaTriageStream]] for MJPEG-shaped video:
     * each watched MP4's sample table explodes to per-frame rows and every
     * frame's bytes run the REAL baseline-JPEG entropy decode — per-frame
