@@ -325,6 +325,8 @@ object Ranged7z {
     * tag (well-formed only when preceded by `/`), inside quotes `>`
     * and newlines are data (XML escapes `<` and `&` in attribute
     * values but not `>` — the .NET-writer convention real dumps wear).
+    * Both quote styles count: XML permits `Id='1'`, and a `'`-quoted
+    * span shields `>` exactly like a `"`-quoted one.
     * Only candidates whose `<row` START lies in [scanFrom, scanUntil)
     * are owned by this slice; an owned candidate that closes malformed,
     * overruns `maxRowBytes`, or is still open at member end becomes a
@@ -334,9 +336,11 @@ object Ranged7z {
     private val out = new java.util.ArrayDeque[(String, Boolean)]()
     private val Prefix = "<row".getBytes("US-ASCII")
     private var prefixLen = 0 // matched bytes of "<row" while OUTSIDE
+    private var prefixAbs = -1L // absolute position of that match's '<'
     private var collecting = false
     private var owned = false
     private var inQuote = false
+    private var quoteCh: Byte = 0
     private var prev: Byte = 0
     // plain growable buffer: this is a per-byte hot path over the whole
     // member (a BAOS would take a monitor per byte)
@@ -349,7 +353,15 @@ object Ranged7z {
       rowLen += 1
     }
 
-    def open: Boolean = collecting && owned
+    /** True while stopping would lose a row this slice could own: an
+      * owned candidate mid-collection, OR a pending "<row" prefix whose
+      * '<' lies inside the scan window — a row starting 1-4 bytes
+      * before `scanUntil` resolves only after the boundary, and the
+      * next slice does not own it (its start is before that slice's
+      * `scanFrom`), so the owner must keep decoding until the prefix
+      * either opens (then closes) or dissolves. */
+    def open: Boolean = (collecting && owned) ||
+      (prefixLen > 0 && prefixAbs >= scanFrom && prefixAbs < scanUntil)
 
     def feed(b: Array[Byte], off: Int, len: Int, absStart: Long): Unit = {
       var i = off
@@ -358,25 +370,29 @@ object Ranged7z {
         val c = b(i)
         if (!collecting) {
           if (prefixLen < 4) {
-            if (c == Prefix(prefixLen)) prefixLen += 1
-            else prefixLen = if (c == '<') 1 else 0
+            if (c == Prefix(prefixLen)) {
+              if (prefixLen == 0) prefixAbs = absStart + (i - off)
+              prefixLen += 1
+            } else resetPrefix(c, absStart + (i - off))
           } else {
             // have "<row"; a whitespace byte opens a candidate
             if (c == ' ' || c == '\t' || c == '\r' || c == '\n') {
-              val startAbs = absStart + (i - off) - 4
-              owned = startAbs >= scanFrom && startAbs < scanUntil
+              owned = prefixAbs >= scanFrom && prefixAbs < scanUntil
               collecting = true
               inQuote = false
               rowLen = 0
               rowPut('<'); rowPut('r'); rowPut('o'); rowPut('w')
               rowPut(c)
               prev = c
-            } else prefixLen = if (c == '<') 1 else 0
+            } else resetPrefix(c, absStart + (i - off))
           }
           if (collecting) prefixLen = 0
         } else {
           rowPut(c)
-          if (c == '"') inQuote = !inQuote
+          // either quote style opens a span (XML permits Id='1'); only
+          // the SAME character closes it — the other is data inside
+          if (!inQuote && (c == '"' || c == '\'')) { inQuote = true; quoteCh = c }
+          else if (inQuote && c == quoteCh) inQuote = false
           else if (c == '>' && !inQuote) {
             if (prev == '/') {
               if (owned)
@@ -396,10 +412,17 @@ object Ranged7z {
       }
     }
 
-    /** The member ended with a candidate still open. */
+    private def resetPrefix(c: Byte, abs: Long): Unit =
+      if (c == '<') { prefixLen = 1; prefixAbs = abs }
+      else prefixLen = 0
+
+    /** The member ended with a candidate still open (a pending prefix
+      * that never opened is trailing junk, not a torn row — the
+      * bounded matcher would not have counted it either). */
     def closeTorn(): Unit = {
-      if (owned) out.add((null, false))
+      if (collecting && owned) out.add((null, false))
       collecting = false
+      prefixLen = 0
       rowLen = 0
     }
 

@@ -1019,10 +1019,13 @@ object Pipelines {
     * attribute value is legal XML (writers must escape `<` and `&`
     * there, not `>` — and .NET's XmlWriter, which produces the real
     * archive.org dumps, leaves it unescaped), so the value alternates
-    * `[^">]` with whole quoted spans rather than stopping at the first
+    * `[^"'>]` with whole quoted spans rather than stopping at the first
     * `>`. Raw newlines inside values are fine too (character classes,
-    * not dot). SQL-string-escaped form, for `expr(...)`. */
-  private val RowRe = "<row\\\\s(?:[^\">]|\"[^\"]*\")*/>"
+    * not dot). BOTH quote styles count: XML permits `Id='1'`, and a
+    * `'`-quoted span shields `>` exactly like a `"`-quoted one (the
+    * byte scanner `Ranged7z.RowScanner` mirrors this). SQL-string-
+    * escaped form, for `expr(...)`. */
+  private val RowRe = "<row\\\\s(?:[^\"\\'>]|\"[^\"]*\"|\\'[^\\']*\\')*/>"
 
   /** Generic attribute-table reader for SE-style dumps — the
     * [[sedumpPosts]] machinery for ANY of the dump's tables
@@ -1060,16 +1063,26 @@ object Pipelines {
     * share verbatim, over (path, r) rows — the two ingest modes cannot
     * drift. */
   private def sedumpAttrColumns(base: DataFrame,
-      attrs: Seq[String]): DataFrame =
+      attrs: Seq[String], extra: Seq[String] = Nil): DataFrame =
     attrs.foldLeft(base) { (df, a) =>
-      // whitespace-anchored (attrs are space-delimited inside a row
-      // tag): Id= must bind neither inside ParentId= nor data-Id=;
-      // rlike distinguishes ABSENT (null) from empty ("")
-      df.withColumn(a, xmlUnescapeCol(
-        when(col("r").rlike("(?:^|\\s)" + a + "=\""),
-          regexp_extract(col("r"), "(?:^|\\s)" + a + "=\"([^\"]*)\"", 1))))
+      df.withColumn(a, xmlUnescapeCol(rowAttr(a)))
     }.select(
-      (col("path") +: attrs.map(col)) :+ col("r").isNotNull.as("ok"): _*)
+      ((col("path") +: attrs.map(col)) :+ col("r").isNotNull.as("ok")) ++
+        extra.map(col): _*)
+
+  /** One attribute's raw (entity-encoded) value out of a `<row …/>`
+    * string in column `r` — whitespace-anchored (attrs are
+    * space-delimited inside a row tag: Id= must bind neither inside
+    * ParentId= nor data-Id=), BOTH quote styles accepted (XML permits
+    * `Id='1'`; the double-quote arm wins when both could bind, which
+    * also keeps an `A='…'` lookalike inside a `"`-quoted value from
+    * shadowing a real `A="…"`), null when ABSENT — `rlike`
+    * distinguishes absent from empty (""). */
+  private def rowAttr(a: String): Column =
+    when(col("r").rlike("(?:^|\\s)" + a + "=\""),
+      regexp_extract(col("r"), "(?:^|\\s)" + a + "=\"([^\"]*)\"", 1))
+      .when(col("r").rlike("(?:^|\\s)" + a + "='"),
+        regexp_extract(col("r"), "(?:^|\\s)" + a + "='([^']*)'", 1))
 
   /** The RANGED row reader under both ranged SE-dump views — the 7z
     * twin of [[wikidumpPagesRanged]], for the one famous artifact the
@@ -1123,11 +1136,15 @@ object Pipelines {
     slices
       .repartition(col("path"), col("member"), col("sliceUnpack"))
       .flatMap { s =>
+        // crc_checked surfaces the split-decode trade per ROW: a
+        // single-slice whole-folder pass verified the folder CRC
+        // (slice.checkCrc), a split or partial decode could not —
+        // consumers can tell verified from CRC-skipped output
         Ranged7z.rows(bc.value.value, s).map { case (r, _) =>
-          (s.path, s.member, r)
+          (s.path, s.member, r, s.checkCrc)
         }
       }
-      .toDF("path", "member", "r")
+      .toDF("path", "member", "r", "crc_checked")
   }
 
   /** Ranged twin of [[sedumpTable]]: same attribute projection
@@ -1138,8 +1155,8 @@ object Pipelines {
     sedumpAttrColumns(
       sedumpRowsRanged(paths,
         "^" + java.util.regex.Pattern.quote(member) + "$")
-        .select(col("path"), col("r")),
-      attrs)
+        .select(col("path"), col("r"), col("crc_checked")),
+      attrs, extra = Seq("crc_checked"))
 
   /** Streaming twin of [[sedumpPosts]] — `.7z` dumps landing in a
     * watched directory emit post rows through the same projection
@@ -1277,15 +1294,16 @@ object Pipelines {
   /** The record projection [[warcZstRecords]] and [[warcZstRanged]]
     * share verbatim over (path, frame, w) decoded-frame rows — the two
     * ingest modes cannot drift. */
-  private def warcRecordColumns(frames: DataFrame): DataFrame = {
+  private def warcRecordColumns(frames: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
     import graft.functions.WarcRecords
     frames
-      .select(col("path"), col("frame"),
-        explode_outer(WarcRecords.warcRecords(col("w"))).as("r"))
-      .select(col("path"), col("frame"),
+      .select(Seq(col("path"), col("frame")) ++ extra.map(col) :+
+        explode_outer(WarcRecords.warcRecords(col("w"))).as("r"): _*)
+      .select(Seq(col("path"), col("frame"),
         col("r.rec_type").as("rec_type"), col("r.uri").as("uri"),
         col("r.date").as("date"), col("r.payload").as("payload"),
-        col("r").isNotNull.as("ok"))
+        col("r").isNotNull.as("ok")) ++ extra.map(col): _*)
   }
 
   /** Ranged twin of [[warcZstRecords]] for `.warc.zst` monoliths past
@@ -1315,7 +1333,12 @@ object Pipelines {
       .mapPartitions { it =>
         it.flatMap { p =>
           val e = RangedZstd.scanExtents(bc.value.value, p)
-          if (e == null) Iterator((p, -1, -1L, -1L, -1L, -1L))
+          // route, don't drop — parity with the bounded path's
+          // explode_outer: a file whose extent walk finds NO data
+          // frames (e.g. only a leading skippable/dictionary frame)
+          // still surfaces as one routed frame = -1 row
+          if (e == null || e.frames.isEmpty)
+            Iterator((p, -1, -1L, -1L, -1L, -1L))
           else e.frames.iterator.zipWithIndex.map { case ((off, len), i) =>
             (p, i + 1, off, len, e.dictOff, e.dictLen)
           }
@@ -1329,6 +1352,7 @@ object Pipelines {
         // the dictionary is per FILE and tiny; resolve once per task
         val dicts = scala.collection.mutable.Map[String, Array[Byte]]()
         it.map { case (p, f, off, len, dOff, dLen) =>
+          var checked = false
           val w =
             if (f < 0) null
             else {
@@ -1342,14 +1366,21 @@ object Pipelines {
                     if (head == null) null
                     else Zstandard.leadingDictionary(head)
                   })
-                if (dict == null) Zstandard.decode(fr)
-                else Zstandard.decodeWithDict(fr, dict)
+                val d = if (dict == null) Zstandard.decode(fr)
+                  else Zstandard.decodeWithDict(fr, dict)
+                // Content_Checksum_flag (RFC 8878 §3.1.1.1 FHD bit 2):
+                // libzstd verifies the trailing XXH64 during streaming
+                // decode, so a flag-bearing frame that decoded is
+                // checksum-VERIFIED output — the zstd twin of the 7z
+                // path's crc_checked
+                checked = d != null && fr.length > 4 && (fr(4) & 0x04) != 0
+                d
               }
             }
-          (p, f, w)
+          (p, f, w, checked)
         }
-      }.toDF("path", "frame", "w")
-    warcRecordColumns(frames)
+      }.toDF("path", "frame", "w", "crc_checked")
+    warcRecordColumns(frames, extra = Seq("crc_checked"))
   }
 
   /** Continuous dump ingest over a directory watch — the streaming twin
@@ -1780,16 +1811,14 @@ object Pipelines {
   /** The post projection [[sedumpPosts]] and [[sedumpPostsRanged]]
     * share verbatim, over (path, member, r) rows — the two ingest
     * modes cannot drift. */
-  private def sedumpPostColumns(rows: DataFrame): DataFrame =
-    rows.select(col("path"), col("member"),
-      expr("regexp_extract(r, '(?:^|\\\\s)Id=\"(\\\\d+)\"', 1)")
-        .cast("long").as("post_id"),
-      expr("regexp_extract(r, '(?:^|\\\\s)PostTypeId=\"(\\\\d+)\"', 1)")
-        .cast("int").as("post_type"),
-      when(col("r").isNotNull, htmlTextCol(xmlUnescapeCol(
-        expr("regexp_extract(r, '(?:^|\\\\s)Body=\"([^\"]*)\"', 1)"))))
-        .as("text"),
-      col("r").isNotNull.as("ok"))
+  private def sedumpPostColumns(rows: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
+    rows.select(Seq(col("path"), col("member"),
+      rowAttr("Id").cast("long").as("post_id"),
+      rowAttr("PostTypeId").cast("int").as("post_type"),
+      when(col("r").isNotNull,
+        htmlTextCol(xmlUnescapeCol(rowAttr("Body")))).as("text"),
+      col("r").isNotNull.as("ok")) ++ extra.map(col): _*)
 
   /** Ranged twin of [[sedumpPosts]]: same projection verbatim, rows
     * streamed in O(dict-window) heap from `.xml` members of ANY size —
@@ -1797,7 +1826,8 @@ object Pipelines {
     * quarantining at the bounded path's 256 MiB member bound (see
     * [[sedumpRowsRanged]]). */
   def sedumpPostsRanged(paths: DataFrame): DataFrame =
-    sedumpPostColumns(sedumpRowsRanged(paths, "(?i)\\.xml$"))
+    sedumpPostColumns(sedumpRowsRanged(paths, "(?i)\\.xml$"),
+      extra = Seq("crc_checked"))
 
   /** A LISTING-only directory watch: the binaryFile source with every
     * column but `path` pruned away — files are never opened by the

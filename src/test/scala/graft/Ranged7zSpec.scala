@@ -177,6 +177,88 @@ class Ranged7zSpec extends AnyFunSuite {
     assert(!tornRows.exists(t => t._4 && t._1 == 31L))
   }
 
+  test("a <row whose '<' lies 1-4 bytes before a slice boundary is " +
+      "owned and emitted by the slice it starts in (no lost rows, no dupes)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("r7z_edge").toString
+    // the fixture encoder resets dict+props every 32 KiB chunk, so with
+    // splitMin = 0 the slice boundary sits at exactly 32768; pin row 2's
+    // '<' at boundary − k for k = 0..5 (k = 1..4 is the pending-prefix
+    // hazard: '<', '<r', '<ro', '<row' unresolved at the stop check)
+    val prefix = """<?xml version="1.0"?><posts>"""
+    val r1a = """<row Id="1" PostTypeId="1" Body=""""
+    val r1b = "\" />"
+    val row2 = """<row Id="2" PostTypeId="2" Body="tail" />"""
+    (0 to 5).foreach { k =>
+      val padLen = (32768 - k) - prefix.length - r1a.length - r1b.length
+      val xml = prefix + r1a + ("x" * padLen) + r1b + row2 + "</posts>"
+      assert(xml.indexOf(row2) == 32768 - k)
+      val p = writeArc(tmp, s"edge$k.7z",
+        SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+          coderFor = _ => 1))
+      import graft.sources.Ranged7z
+      val conf = spark.sparkContext.hadoopConfiguration
+      val slices = Ranged7z.planSlices(conf, p,
+        Ranged7z.scanMembers(conf, p).head, lzma2SplitMin = 0L)
+      assert(slices.size > 1, s"k=$k: only ${slices.size} slices")
+      val split = rangedRows(Seq(p), splitMin = 0L)
+        .select("r").collect().map(r => Option(r.getString(0)).orNull)
+      assert(split.count(_ == null) == 0, s"k=$k: dead letters in $split")
+      assert(split.count(_ != null) == 2, s"k=$k: got ${split.length} rows")
+      assert(split.exists(r => r != null && r.contains("Id=\"2\"")),
+        s"k=$k: boundary row lost")
+    }
+  }
+
+  test("crc_checked: a single-slice whole-folder pass verifies the " +
+      "folder CRC (true); a split decode trades it for parallelism " +
+      "(false); routed rows are false") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("r7z_crc").toString
+    val xml = postsXml(300) // ~280 KiB → 9 reset chunks
+    val p = writeArc(tmp, "crc.7z",
+      SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+        coderFor = _ => 1))
+    val pc = writeArc(tmp, "crccopy.7z",
+      SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+        coderFor = _ => 0))
+    val whole = rangedRows(Seq(p, pc))
+      .select("crc_checked").as[Boolean].collect()
+    assert(whole.nonEmpty && whole.forall(identity), "whole-folder ⇒ true")
+    val split = rangedRows(Seq(p), splitMin = 0L)
+      .select("crc_checked").as[Boolean].collect()
+    assert(split.nonEmpty && !split.exists(identity), "split ⇒ false")
+    val torn = writeArc(tmp, "torn.7z",
+      SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8")))).dropRight(6))
+    val routed = rangedRows(Seq(torn))
+      .select("crc_checked").as[Boolean].collect()
+    assert(routed.toSeq == Seq(false), "routed ⇒ false")
+  }
+
+  test("single-quoted attributes: XML permits Id='1' — the ranged " +
+      "scanner and the bounded matcher both parse them, and a " +
+      "'-quoted span shields raw > exactly like a \"-quoted one") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("r7z_squote").toString
+    val xml = "<?xml version=\"1.0\"?><posts>" +
+      "<row Id='41' PostTypeId='1' Body='a &gt; b > c\nd' />" +
+      "<row Id=\"42\" PostTypeId='2' Body=\"it's fine\" />" +
+      "<row Id='43' PostTypeId=\"1\" Body='say \"hi\" now' />" +
+      "</posts>"
+    val arc = SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+      coderFor = _ => 1)
+    val p = writeArc(tmp, "squote.7z", arc)
+    val want = Set(
+      (41L, 1, "a > b > c d", true),
+      (42L, 2, "it's fine", true),
+      (43L, 1, "say \"hi\" now", true))
+    val ranged = postSet(Pipelines.sedumpPostsRanged(Seq(p).toDF("path")))
+    val bounded = postSet(Pipelines.sedumpPosts(
+      Seq((p, arc)).toDF("path", "content")))
+    assert(ranged == want, s"ranged $ranged")
+    assert(bounded == want, s"bounded $bounded")
+  }
+
   test("solid archive: member offsets slice the folder output correctly") {
     import spark.implicits._
     // one folder per member is what build emits; simulate the offset

@@ -114,6 +114,54 @@ class RangedZstdSpec extends AnyFunSuite {
     assert(capped.exists(!_._5) && !capped.exists(t => t._5 && t._2 == 1))
   }
 
+  test("crc_checked: a checksum-bearing frame that decoded is " +
+      "verified output (true); a checksum-free frame and a routed " +
+      "row are false") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("rzst_crc").toString
+    // the fixture encoder sets the content checksum → all true
+    val p = write(tmp, "sum.warc.zst", warcZst(5, None))
+    val got = Pipelines.warcZstRanged(Seq(p).toDF("path"))
+      .select("ok", "crc_checked").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(got.length == 5 && got.forall(_ == ((true, true))), got.toSeq)
+    // strip the checksum flag + trailing XXH64 from one frame: the
+    // frame still decodes but is unverified → crc_checked false
+    val rec = Warc.build(Seq(("response", "http://b.example/x",
+      "2024-01-01T00:00:00Z", "bare body".getBytes("UTF-8"))))
+    val noSum = {
+      val f = Zstandard.encode(rec)
+      assert((f(4) & 0x04) != 0, "fixture encoder must set the flag")
+      val out = f.dropRight(4) // checksum trailer: 4 bytes (RFC 8878)
+      out(4) = (out(4) & ~0x04).toByte
+      out
+    }
+    val pb = write(tmp, "bare.warc.zst", noSum)
+    val gb = Pipelines.warcZstRanged(Seq(pb).toDF("path"))
+      .select("ok", "crc_checked").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(gb.toSeq == Seq((true, false)), gb.toSeq)
+    // routed (not zstd at all) → false
+    val pn = write(tmp, "not.warc.zst", "nope".getBytes("UTF-8"))
+    val gn = Pipelines.warcZstRanged(Seq(pn).toDF("path"))
+      .select("ok", "crc_checked").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(gn.toSeq == Seq((false, false)), gn.toSeq)
+  }
+
+  test("a file with ONLY a leading skippable frame (no data frames) " +
+      "routes one frame = -1 row — parity with the bounded path") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("rzst_skiponly").toString
+    val bytes = warcZst(0, Some("just a dictionary".getBytes("UTF-8")))
+    val p = write(tmp, "skiponly.warc.zst", bytes)
+    val ranged = recSet(Pipelines.warcZstRanged(Seq(p).toDF("path")))
+    val bounded = recSet(Pipelines.warcZstRecords(
+      Seq((p, bytes)).toDF("path", "content")))
+    assert(ranged == bounded, s"ranged $ranged vs bounded $bounded")
+    assert(ranged == Set((p, -1, null, null, false)), s"got $ranged")
+  }
+
   test("block-shape coverage: RLE and raw blocks walk correctly " +
       "(highly repetitive + incompressible payloads)") {
     import spark.implicits._

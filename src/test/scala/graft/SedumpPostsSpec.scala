@@ -130,6 +130,37 @@ class SedumpPostsSpec extends AnyFunSuite {
       (Some("9"), "n2", true)), s"got $got")
   }
 
+  test("sedumpTable: single-quoted attributes parse — absent stays " +
+      "NULL, empty stays ''; an unterminated single quote quarantines") {
+    import spark.implicits._
+    val xml = """<?xml version="1.0"?><users>""" +
+      """<row Id='1' DisplayName='A &amp; B' Location='' />""" +
+      """<row Id="2" DisplayName='mix "q"' /></users>"""
+    val arc = SevenZip.build(Seq(("Users.xml", xml.getBytes("UTF-8"))))
+    val got = Pipelines.sedumpTable(
+        Seq(("u", arc)).toDF("path", "content"),
+        "Users.xml", Seq("Id", "DisplayName", "Location"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), Option(r.getString(3)),
+        r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      ("1", "A & B", Some(""), true),
+      ("2", "mix \"q\"", None, true)), s"got $got")
+    // an unterminated single quote tears the tag exactly like an
+    // unterminated double quote: the member quarantines whole
+    val torn = """<?xml version="1.0"?><users>""" +
+      """<row Id='3' DisplayName='oops />""" +
+      """<row Id='4' DisplayName='fine' /></users>"""
+    val tArc = SevenZip.build(Seq(("Users.xml", torn.getBytes("UTF-8"))))
+    val tGot = Pipelines.sedumpTable(
+        Seq(("t", tArc)).toDF("path", "content"),
+        "Users.xml", Seq("Id", "DisplayName"))
+      .collect()
+      .map(r => (Option(r.getString(1)), r.getBoolean(3))).toSet
+    assert(tGot == Set((None, false)), s"got $tGot")
+  }
+
   test("a torn container is one null-member quarantine row") {
     val arc = SevenZip.build(Seq(
       ("Posts.xml", """<row Id="1" PostTypeId="1" Body="b" />"""
