@@ -446,7 +446,7 @@ object Xz {
 
   /** Raw literal-only LZMA1 stream (fixture side of the 7z LZMA
     * coder): (props byte, packed bytes). */
-  private[functions] def lzmaRawEncodeLiterals(
+  private[graft] def lzmaRawEncodeLiterals(
       data: Array[Byte]): (Int, Array[Byte]) = {
     val lc = 3; val lp = 0; val pb = 2
     (
@@ -468,6 +468,16 @@ object Xz {
     else (2L | (b & 1L)) << (b / 2 + 11)
   }
 
+  /** What the ranged 7z member reader pulls on: one call, one batch of
+    * decoded bytes, null at clean end — implemented by the chunked
+    * LZMA2 and raw LZMA1 streaming decoders so the slice iterator is
+    * coder-agnostic. */
+  private[graft] trait StreamDecoder {
+    def nextChunk(): Array[Byte]
+    def finished: Boolean
+    def unpacked: Long
+  }
+
   /** PULL-mode streaming LZMA2 chunk decoder — the engine under the
     * ranged 7z member reader ([[graft.sources.Ranged7z]]): one call
     * decodes ONE chunk (≤ 2 MiB unpacked by the format) and returns its
@@ -483,7 +493,7 @@ object Xz {
     * back-reference past the declared window) throws IOException — the
     * routing currency of the ranged readers. */
   private[graft] final class Lzma2StreamReader(in: java.io.InputStream,
-      windowBytes: Int, expect: Long) {
+      windowBytes: Int, expect: Long) extends StreamDecoder {
     private val pend = new java.io.ByteArrayOutputStream()
     private val win = new Lzma.RingWindow(
       math.max(windowBytes, 1 << 17), (b, o, n) => pend.write(b, o, n))
@@ -552,6 +562,68 @@ object Xz {
       val out = pend.toByteArray
       pend.reset()
       if (out.isEmpty && done) null else out
+    }
+  }
+
+  /** The 7z LZMA coder's declared dictionary size — props bytes 1-4,
+    * little-endian (byte 0 is the lc/lp/pb byte; 7-Zip LzmaDec.c
+    * floors the working dictionary at 4 KiB). -1 when malformed. */
+  private[graft] def lzma1DictSize(props: Array[Byte]): Long =
+    if (props == null || props.length < 5) -1L
+    else {
+      val d = (props(1) & 0xFFL) | ((props(2) & 0xFFL) << 8) |
+        ((props(3) & 0xFFL) << 16) | ((props(4) & 0xFFL) << 24)
+      math.max(d, 1L << 12)
+    }
+
+  /** PULL-mode streaming decoder for a RAW LZMA1 stream with a known
+    * unpacked size — the 7z LZMA coder (id 0x030101), which pre-2015
+    * 7-Zip wrote by default: ONE range-coded stream, no chunk framing,
+    * no resets, so the whole member is a single sequential decode —
+    * but through the same O(dict-window) ring as LZMA2, which is what
+    * lifts the bounded path's 256 MiB member cap
+    * ([[graft.sources.Ranged7z]]). Each [[nextChunk]] call decodes
+    * ~1 MiB more output (a match is never split, so a call may run
+    * slightly over); null once `expect` bytes are out. 7z knows the
+    * unpack size from the folder header, so decode stops AT `expect`
+    * without requiring the optional end marker; overrunning `expect`,
+    * truncation, or corrupt range coding throw IOException — the
+    * routing currency of the ranged readers. */
+  private[graft] final class Lzma1StreamReader(in: java.io.InputStream,
+      props: Array[Byte], windowBytes: Int, expect: Long)
+      extends StreamDecoder {
+    private val pend = new java.io.ByteArrayOutputStream()
+    private val win = new Lzma.RingWindow(
+      math.max(windowBytes, 1 << 17), (b, o, n) => pend.write(b, o, n))
+    private val st = {
+      if (props == null || props.length < 5 ||
+        (props(0) & 0xFF) >= 9 * 5 * 5)
+        throw new java.io.IOException("lzma1 stream: bad props")
+      new Lzma.State(props(0) & 0xFF)
+    }
+    private val rd = new Lzma.StreamRangeDecoder(in)
+    private var inited = false
+
+    /** Total bytes decoded so far. */
+    def unpacked: Long = win.size
+    /** True once the declared unpack size has been produced. */
+    def finished: Boolean = win.size == expect
+
+    /** Decode the next ~1 MiB of output; null at clean end. */
+    def nextChunk(): Array[Byte] = {
+      if (finished) return null
+      try {
+        if (!inited) { rd.init(); inited = true }
+        val remaining = expect - win.size
+        Lzma.decodeRun(rd, st, win, 0L,
+          math.min(1L << 20, remaining), remaining)
+      } catch { case Corrupt =>
+        throw new java.io.IOException("lzma1 stream: corrupt")
+      }
+      win.drain()
+      val out = pend.toByteArray
+      pend.reset()
+      out
     }
   }
 
@@ -693,15 +765,22 @@ object Xz {
       private def probs(n: Int): Array[Short] = Array.fill(n)(1024.toShort)
     }
 
-    private final class RangeDecoder(val b: Array[Byte], var pos: Int, val end: Int) {
+    /** Range decoder over an abstract byte source. Exactly two
+      * subclasses — the ARRAY form (LZMA2 chunks: pack size known and
+      * consumed exactly) and the STREAM form (raw LZMA1: one
+      * range-coded stream pulled on demand, the multi-GB 7z member
+      * path) — so the per-normalize `nextByte` call site stays
+      * bimorphic and JIT-inlineable. */
+    private[functions] sealed abstract class RangeDecoder {
       var range: Int = -1
       var code: Int = 0
+      /** One pack byte; fails on truncation. */
+      protected def nextByte(): Int
       def init(): Unit = {
-        if (pos + 5 > end || b(pos) != 0) fail()
+        if (nextByte() != 0) fail()
         code = 0
-        var i = 1
-        while (i < 5) { code = (code << 8) | (b(pos + i) & 0xFF); i += 1 }
-        pos += 5
+        var i = 0
+        while (i < 4) { code = (code << 8) | nextByte(); i += 1 }
       }
       // normalization AFTER each operation, as the LZMA spec decoder
       // does — the lazy variant consumes one byte less at chunk end and
@@ -709,9 +788,7 @@ object Xz {
       @inline private def normalize(): Unit = {
         if ((range & 0xFF000000) == 0) {
           range <<= 8
-          if (pos >= end) fail()
-          code = (code << 8) | (b(pos) & 0xFF)
-          pos += 1
+          code = (code << 8) | nextByte()
         }
       }
       def bit(p: Array[Short], i: Int): Int = {
@@ -765,6 +842,36 @@ object Xz {
       }
     }
 
+    private final class ArrayRangeDecoder(val b: Array[Byte],
+        var pos: Int, val end: Int) extends RangeDecoder {
+      protected def nextByte(): Int = {
+        if (pos >= end) fail()
+        val x = b(pos) & 0xFF
+        pos += 1
+        x
+      }
+    }
+
+    /** Stream form with its own refill buffer: the underlying source
+      * is a bounded Hadoop pread envelope — a virtual read() per pack
+      * byte would dominate the decode. */
+    private[functions] final class StreamRangeDecoder(
+        in: java.io.InputStream) extends RangeDecoder {
+      private val buf = new Array[Byte](1 << 16)
+      private var pos = 0
+      private var lim = 0
+      protected def nextByte(): Int = {
+        if (pos >= lim) {
+          lim = in.read(buf, 0, buf.length)
+          pos = 0
+          if (lim <= 0) fail()
+        }
+        val x = buf(pos) & 0xFF
+        pos += 1
+        x
+      }
+    }
+
     private def decodeLen(rd: RangeDecoder, choice: Array[Short],
         low: Array[Short], mid: Array[Short], high: Array[Short],
         posState: Int): Int = {
@@ -779,10 +886,26 @@ object Xz {
       * (posState / lp context) is relative to the last DICT reset. */
     def decodeChunk(c: Cursor, st: State, winB: LzWindow,
         dictStart: Long, unpack: Int, pack: Int): Unit = {
-      val rd = new RangeDecoder(c.b, c.pos, c.pos + pack)
+      val rd = new ArrayRangeDecoder(c.b, c.pos, c.pos + pack)
       if (rd.end > c.b.length) fail()
       rd.init()
-      var left = unpack
+      decodeRun(rd, st, winB, dictStart, unpack, unpack)
+      if (rd.pos != rd.end) fail()
+      c.pos = rd.end
+    }
+
+    /** The LZMA symbol loop shared by the chunked (LZMA2) and raw
+      * (LZMA1) decoders: decodes until AT LEAST `target` bytes have
+      * been produced this call — a match is never split, so the call
+      * may overshoot the target — while producing more than `hard`
+      * bytes fails (the declared-size zip-bomb guard; with
+      * `target == hard`, as every LZMA2 chunk passes, any overshoot is
+      * structural corruption). Returns the bytes produced. */
+    private[functions] def decodeRun(rd: RangeDecoder, st: State,
+        winB: LzWindow, dictStart: Long, target: Long,
+        hard: Long): Long = {
+      var left = target
+      var hardLeft = hard
       while (left > 0) {
         val total = winB.size - dictStart
         val posState = (total & st.pbMask).toInt
@@ -806,6 +929,7 @@ object Xz {
           while (sym < 0x100) sym = (sym << 1) | rd.bit(st.lit, base + sym)
           winB.put((sym & 0xFF).toByte)
           left -= 1
+          hardLeft -= 1
           st.state = if (st.state < 4) 0 else if (st.state < 10) st.state - 3 else st.state - 6
         } else {
           var len = 0
@@ -843,6 +967,7 @@ object Xz {
                 if (winB.size - st.rep0 - 1 < dictStart) fail()
                 winB.put(winB.at(winB.size - st.rep0 - 1))
                 left -= 1
+                hardLeft -= 1
                 st.state = if (st.state < 7) 9 else 11
                 len = -1 // handled
               }
@@ -860,7 +985,7 @@ object Xz {
             }
           }
           if (len > 0) {
-            if (len > left) fail()
+            if (len > hardLeft) fail()
             if (winB.size - st.rep0 - 1 < dictStart) fail()
             var k = 0
             while (k < len) {
@@ -868,11 +993,11 @@ object Xz {
               k += 1
             }
             left -= len
+            hardLeft -= len
           }
         }
       }
-      if (rd.pos != rd.end) fail()
-      c.pos = rd.end
+      target - left
     }
 
     /** The window the LZMA match copier reads back from. Long-addressed

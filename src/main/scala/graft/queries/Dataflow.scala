@@ -6572,11 +6572,11 @@ object Dataflow {
     * oracle states the corpus by construction and both ingest modes
     * must land string-exact — with the ranged routing arms: every
     * 13th doc's container is torn (header unreachable → one
-    * null-member row) and every 17th wears the raw-LZMA coder, which
-    * the ranged reader does not stream (one routed member row; the
-    * bounded path serves those members — the two modes' coverage
-    * overlaps but differs exactly where documented). Coders rotate
-    * Copy/LZMA2 and headers raw/encoded by parity. At 100 TB this is
+    * null-member row) and every 17th wears an exotic branch-converter
+    * chain (a non-x86 arch) that neither mode streams (one routed
+    * member row). Coders rotate Copy/LZMA2/raw-LZMA1 and headers
+    * raw/encoded by parity — LZMA1, pre-2015 7-Zip's default, streams
+    * through the same ring as one sequential slice. At 100 TB this is
     * the plan that matters: per-file parallel header scans, per-slice
     * parallel decodes, no byte of payload through the driver. */
   val x267 = DQ("x267_sedump_ranged", Some(
@@ -6614,9 +6614,16 @@ object Dataflow {
               val arc = SevenZip.build(
                 Seq(("Posts.xml", xml.getBytes("UTF-8"))),
                 encodedHeader = id % 2 == 1,
+                chainFor = _ =>
+                  // exotic branch-converter chain (a non-x86 arch):
+                  // unstreamable in BOTH modes — the routing arm
+                  if (id % 17 == 0 && id % 13 != 0)
+                    Some((0x05L, Array.empty[Byte]))
+                  else None,
                 coderFor = _ =>
-                  if (id % 17 == 0 && id % 13 != 0) 2 // raw LZMA: routes
-                  else if (id % 3 == 0) 0 else 1) // Copy / LZMA2
+                  if (id % 3 == 0) 0
+                  else if (id % 5 == 0) 2 // raw LZMA1: streams ranged too
+                  else 1) // Copy / LZMA2
               val arm = if (id % 13 == 0) arc.dropRight(5) else arc
               java.nio.file.Files.write(
                 java.nio.file.Paths.get(t, s"$id.7z"), arm)
@@ -6781,6 +6788,89 @@ object Dataflow {
         .orderBy("media_id", "post_id")
   }
 
+  /** x270's fixture directories (the x267 setup-caching note applies). */
+  private val x270Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x270: RANGED SE-DUMP OVER RAW-LZMA1 ARCHIVES — the coder
+    * pre-2015 7-Zip wrote by DEFAULT, so a large slice of real
+    * archive.org-era dumps wears it: one range-coded stream per
+    * member, no chunk framing and no reset points, which previously
+    * had NO ingest path past the bounded reader's 256 MiB member cap.
+    * [[graft.functions.Xz.Lzma1StreamReader]] streams it through the
+    * same O(dict-window) ring as LZMA2 — one sequential slice per
+    * member, per-FILE parallelism (the honest bound for a format that
+    * is sequential by construction). Same 3-table relational
+    * composition and SAME oracle as x266/x269: every table of every
+    * archive reads through [[Pipelines.sedumpTableRanged]] with every
+    * member raw-LZMA1, so the coder swap must be invisible to the
+    * composed plan. Headers rotate raw/encoded by parity; XzSpec pins
+    * the decoder against system `xz --format=lzma` output (real
+    * matches, ring wraparound); Ranged7zSpec pins truncation/flip
+    * routing. */
+  val x270 = DQ("x270_sedump_lzma1_ranged", Some(
+    """WITH p AS (SELECT doc_id, u.p AS p FROM documents,
+      |    unnest(generate_series(1, 3)) AS u(p)),
+      |e AS (SELECT doc_id, CAST(doc_id * 10 + p AS BIGINT) AS post_id,
+      |  CASE WHEN p = 1 THEN 'User A' || CAST(doc_id AS VARCHAR)
+      |       WHEN p = 2 THEN 'B & C <' || CAST(doc_id AS VARCHAR) || '>'
+      |       END AS owner_name,
+      |  CAST(CASE WHEN p = 1 THEN doc_id % 1000
+      |       WHEN p = 2 THEN doc_id % 577 END AS BIGINT) AS owner_rep,
+      |  CAST(CASE WHEN p = 1 THEN doc_id % 3 WHEN p = 2 THEN 1
+      |       ELSE 0 END AS BIGINT) AS n_comments,
+      |  CAST(CASE WHEN p = 1 THEN (doc_id % 3) * ((doc_id % 3) + 1) / 2
+      |       WHEN p = 2 THEN doc_id % 7 ELSE 0 END AS BIGINT) AS sum_score
+      |  FROM p)
+      |SELECT doc_id AS media_id, post_id, owner_name, owner_rep,
+      |  n_comments, sum_score
+      |FROM e ORDER BY media_id, post_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val tmp = Dataflow.x270Fixtures.computeIfAbsent(dir, { _ =>
+        val t = java.nio.file.Files.createTempDirectory("x270_lzma1")
+          .toFile.getAbsolutePath
+        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            it.foreach { id =>
+              val arc = SevenZip.build(sedumpTablesFixture(id),
+                encodedHeader = id % 2 == 0,
+                coderFor = _ => 2) // every member raw LZMA1
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(t, s"$id.7z"), arc)
+            }
+          }
+        t
+      })
+      val paths = table(spark, dir, "documents").select(
+        concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
+      def tbl(member: String, attrs: Seq[String]) =
+        graft.streaming.Pipelines.sedumpTableRanged(paths, member, attrs)
+          .where(col("ok"))
+      val users = tbl("Users.xml", Seq("Id", "DisplayName", "Reputation"))
+        .select(col("path"), col("Id").cast("long").as("uid"),
+          col("DisplayName").as("owner_name"),
+          col("Reputation").cast("long").as("owner_rep"))
+      val posts = tbl("Posts.xml", Seq("Id", "OwnerUserId"))
+        .select(col("path"), col("Id").cast("long").as("post_id"),
+          col("OwnerUserId").cast("long").as("uid"))
+      val comments = tbl("Comments.xml", Seq("PostId", "Score"))
+        .groupBy(col("path"), col("PostId").cast("long").as("post_id"))
+        .agg(count(lit(1)).as("n_comments"),
+          sum(col("Score").cast("long")).as("sum_score"))
+      posts
+        .join(users, Seq("path", "uid"), "left")
+        .join(comments, Seq("path", "post_id"), "left")
+        .select(
+          expr("regexp_extract(path, '(\\\\d+)\\\\.7z$', 1)")
+            .cast("long").as("media_id"),
+          col("post_id"), col("owner_name"), col("owner_rep"),
+          coalesce(col("n_comments"), lit(0L)).as("n_comments"),
+          coalesce(col("sum_score"), lit(0L)).as("sum_score"))
+        .orderBy("media_id", "post_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6790,5 +6880,5 @@ object Dataflow {
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
     x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263, x264,
-    x265, x266, x267, x268, x269)
+    x265, x266, x267, x268, x269, x270)
 }

@@ -28,7 +28,10 @@ import graft.functions.{SevenZip, Xz}
   *    emit them; single-threaded streams stay one sequential slice —
   *    LZMA2's window-carrying design is sequential by construction, the
   *    honest bound at 100 TB is per-FILE parallelism plus whatever
-  *    resets the encoder left); Copy members tile anywhere;
+  *    resets the encoder left); raw-LZMA1 members (pre-2015 7-Zip's
+  *    default — one range-coded stream, never splittable) are one
+  *    sequential slice through the same ring; Copy members tile
+  *    anywhere;
   *  - [[rows]] streams one slice: an O(dict-window) ring decode
   *    ([[Xz.Lzma2StreamReader]]) feeding a byte-level quote-aware
   *    `<row …/>` scanner that holds only the CURRENT row — a 50 GB
@@ -45,8 +48,8 @@ import graft.functions.{SevenZip, Xz}
   * [[graft.streaming.Pipelines.sedumpPosts]]'s member quarantine,
   * localized the way the bzip2 extents localize damage):
   *  - broken container → one (member = null, ok = false) row;
-  *  - unstreamable member (exotic/filter-chained coder, raw LZMA,
-  *    declared dictionary past the 256 MiB window bound, empty or
+  *  - unstreamable member (exotic/filter-chained coder, declared
+  *    dictionary past the 256 MiB window bound, empty or
   *    unmatched member) → one (member, ok = false) row;
   *  - a decode break mid-slice, a torn/oversized/malformed row
   *    candidate, or a folder-CRC mismatch after a whole-folder pass →
@@ -75,6 +78,7 @@ object Ranged7z {
   private val KindLzma2 = 0
   private val KindCopy = 1
   private val KindDead = 2
+  private val KindLzma1 = 3
 
   /** One independently-decodable piece of one member — the unit of
     * parallelism the ranged reader hands Spark. Plain fields only (it
@@ -176,8 +180,21 @@ object Ranged7z {
           i += 1
         }
         if (out.isEmpty) Seq(deadSlice(path, m.name)) else out.toSeq
-      case _ => // raw LZMA (one unsplittable range-coded stream held
-        // whole by the bounded path), filter chains, exotics: route
+      case 0x030101 => // raw LZMA1: pre-2015 7-Zip's default coder —
+        // ONE range-coded stream, no chunk framing, no reset points,
+        // so the member is a single sequential decode (per-FILE
+        // parallelism, the same honest bound as no-reset LZMA2) —
+        // through the same O(dict-window) ring as LZMA2
+        val window = Xz.lzma1DictSize(coder.props)
+        if (window < 0 || math.min(window, m.folderUnpack) > MaxWindowBytes)
+          Seq(deadSlice(path, m.name))
+        else Seq(Slice(path, m.name, KindLzma1,
+          m.packOff, m.packLen, coder.props,
+          0L, mStart, mEnd, mEnd, m.folderUnpack,
+          m.crc.getOrElse(0),
+          checkCrc = m.crc.isDefined && mStart == 0 &&
+            mEnd == m.folderUnpack))
+      case _ => // filter chains, exotics (BCJ2, PPMd): route
         Seq(deadSlice(path, m.name))
     }
   }
@@ -217,7 +234,7 @@ object Ranged7z {
     private val sc = new RowScanner(slice.scanFrom, slice.scanUntil,
       maxRowBytes)
     private var in: org.apache.hadoop.fs.FSDataInputStream = _
-    private var rd: Xz.Lzma2StreamReader = _
+    private var rd: Xz.StreamDecoder = _
     private var buf = if (slice.kind == KindCopy) new Array[Byte](1 << 16)
       else null
     private var abs = if (slice.kind == KindCopy) slice.scanFrom
@@ -242,9 +259,15 @@ object Ranged7z {
         // back-reference can never reach past either, and real dumps
         // declare 32-64 MiB dictionaries over members of every size —
         // zeroing 32 MiB per tiny member would dwarf the decode
-        rd = new Xz.Lzma2StreamReader(new BoundedIn(in, slice.packLen),
-          math.min(Xz.lzma2DictSize(slice.props), slice.expect).toInt,
-          slice.expect)
+        val bounded = new BoundedIn(in, slice.packLen)
+        rd =
+          if (slice.kind == KindLzma1)
+            new Xz.Lzma1StreamReader(bounded, slice.props,
+              math.min(Xz.lzma1DictSize(slice.props), slice.expect).toInt,
+              slice.expect)
+          else new Xz.Lzma2StreamReader(bounded,
+            math.min(Xz.lzma2DictSize(slice.props), slice.expect).toInt,
+            slice.expect)
       }
     } catch { case NonFatal(_) => fail() }
 

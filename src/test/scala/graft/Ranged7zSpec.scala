@@ -68,7 +68,10 @@ class Ranged7zSpec extends AnyFunSuite {
       ("lzma2eh.7z", SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
         encodedHeader = true, coderFor = _ => 1)),
       ("copy.7z", SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
-        coderFor = _ => 0)))
+        coderFor = _ => 0)),
+      // raw LZMA1 (pre-2015 7-Zip default): one sequential slice
+      ("lzma1.7z", SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+        coderFor = _ => 2)))
     val paths = arcs.map { case (n, b) => writeArc(tmp, n, b) }
     val ranged = Pipelines.sedumpPostsRanged(paths.toDF("path"))
     val bounded = Pipelines.sedumpPosts(
@@ -76,8 +79,8 @@ class Ranged7zSpec extends AnyFunSuite {
     val got = postSet(ranged)
     val want = postSet(bounded)
     assert(got == want, s"diff: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
-    assert(ranged.where(col("ok")).count() == 600) // 200 posts × 3 archives
-    assert(ranged.count() == 600) // and nothing routed
+    assert(ranged.where(col("ok")).count() == 800) // 200 posts × 4 archives
+    assert(ranged.count() == 800) // and nothing routed
   }
 
   test("split decode at LZMA2 dict resets: same rows, no duplicates, " +
@@ -112,14 +115,20 @@ class Ranged7zSpec extends AnyFunSuite {
       coderFor = _ => 1)
     // torn container: header unreachable
     val torn = writeArc(tmp, "torn.7z", good.dropRight(6))
-    // raw LZMA member: the bounded path serves it, the ranged one routes
-    val rawLzma = writeArc(tmp, "raw.7z",
-      SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
-        coderFor = _ => 2))
-    // filter-chained folder: unstreamable, routes
+    // exotic branch-converter chain (non-x86 arch): unstreamable, routes
     val chained = writeArc(tmp, "chain.7z",
       SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
-        chainFor = _ => Some((0x03L, Array[Byte](0)))))
+        chainFor = _ => Some((0x05L, Array.empty[Byte]))))
+    // truncated raw-LZMA1 pack bytes: the stream decodes but the pack
+    // runs dry before the declared size — dead letter, never silence
+    val lzma1good = SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+      coderFor = _ => 2)
+    val rawLzma = writeArc(tmp, "rawtrunc.7z", {
+      val b = lzma1good.clone()
+      // flip a mid-pack byte: range coding breaks or the CRC catches it
+      b(40) = (b(40) ^ 0x55).toByte
+      b
+    })
     // flipped first pack byte: LZMA2 framing breaks (or the folder CRC
     // catches a structurally-lucky decode) — dead letter either way
     val flippedBytes = good.clone()

@@ -92,6 +92,75 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("raw LZMA1 streams through Lzma1StreamReader with a ring " +
+      "smaller than the output; truncation throws, never silence") {
+    // ~640 KiB through a 128 KiB ring: drain + wraparound mechanics
+    val data = (1 to 16000)
+      .map(i => s"line $i of the long corpus body $i\n")
+      .mkString.getBytes("UTF-8")
+    assert(data.length > (1 << 17) * 3)
+    val (propsByte, packed) = Xz.lzmaRawEncodeLiterals(data)
+    def props(dict: Int) = Array[Byte](propsByte.toByte,
+      (dict & 0xFF).toByte, ((dict >> 8) & 0xFF).toByte,
+      ((dict >> 16) & 0xFF).toByte, ((dict >> 24) & 0xFF).toByte)
+    def decodeAll(bytes: Array[Byte]): Array[Byte] = {
+      val rd = new Xz.Lzma1StreamReader(
+        new java.io.ByteArrayInputStream(bytes), props(1 << 16),
+        1 << 16, data.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      var c = rd.nextChunk()
+      while (c != null) { out.write(c, 0, c.length); c = rd.nextChunk() }
+      assert(rd.finished && rd.unpacked == data.length.toLong)
+      out.toByteArray
+    }
+    assert(java.util.Arrays.equals(decodeAll(packed), data))
+    intercept[java.io.IOException] {
+      decodeAll(packed.dropRight(packed.length / 2))
+    }
+  }
+
+  test("system xz --format=lzma output streams through " +
+      "Lzma1StreamReader (real matches, dict window smaller than output)") {
+    sysXz match {
+      case None => cancel("no system xz binary")
+      case Some(xz) =>
+        // ~1 MiB repetitive text; preset 0 declares a 256 KiB dict →
+        // the ring wraps and real match/rep paths run at distance
+        val data = (1 to 12000)
+          .map(i => s"row $i of the corpus, the corpus of row ${i % 97}\n")
+          .mkString.getBytes("UTF-8")
+        val dir = Files.createTempDirectory("lzma1_sys").toFile
+        val raw = new java.io.File(dir, "in.txt")
+        Files.write(raw.toPath, data)
+        val rc = new ProcessBuilder(xz, "-q", "-k", "--format=lzma", "-0",
+          raw.getAbsolutePath).start().waitFor()
+        assert(rc == 0, "system xz --format=lzma failed")
+        val enc = Files.readAllBytes(
+          new java.io.File(dir, "in.txt.lzma").toPath)
+        // .lzma header: 5 props bytes + LE64 uncompressed size
+        val props = java.util.Arrays.copyOf(enc, 5)
+        var declared = 0L
+        (0 until 8).foreach(i => declared |= (enc(5 + i) & 0xFFL) << (8 * i))
+        // xz writes the .lzma size field as -1 (unknown) and relies on
+        // the end marker; 7z headers always carry the size, so decode
+        // to the known length — the marker is simply never consumed
+        assert(declared == -1L || declared == data.length.toLong,
+          s"declared $declared")
+        val size = data.length.toLong
+        val dict = Xz.lzma1DictSize(props)
+        assert(dict < data.length, "preset 0 dict must be < output")
+        val rd = new Xz.Lzma1StreamReader(
+          new java.io.ByteArrayInputStream(enc, 13, enc.length - 13),
+          props, math.min(dict, size).toInt, size)
+        val out = new java.io.ByteArrayOutputStream()
+        var c = rd.nextChunk()
+        while (c != null) { out.write(c, 0, c.length); c = rd.nextChunk() }
+        assert(rd.finished)
+        assert(java.util.Arrays.equals(out.toByteArray, data),
+          "system-encoded LZMA1 did not stream-decode byte-identically")
+    }
+  }
+
   test("our subset frames decode under system xz") {
     sysXz match {
       case None => cancel("no system xz binary")
