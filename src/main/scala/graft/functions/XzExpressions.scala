@@ -315,7 +315,7 @@ object Xz {
 
   /** Delta filter (xz id 0x03), in place. Encoded[i] = raw[i] −
     * raw[i−dist], so decode accumulates forward. */
-  private[functions] def deltaDecode(b: Array[Byte], dist: Int): Unit = {
+  private[graft] def deltaDecode(b: Array[Byte], dist: Int): Unit = {
     var i = dist
     while (i < b.length) {
       b(i) = (b(i) + b(i - dist)).toByte
@@ -324,7 +324,7 @@ object Xz {
   }
 
   /** Delta encode (fixture side). */
-  private[functions] def deltaEncode(b: Array[Byte], dist: Int): Unit = {
+  private[graft] def deltaEncode(b: Array[Byte], dist: Int): Unit = {
     var i = b.length - 1
     while (i >= dist) {
       b(i) = (b(i) - b(i - dist)).toByte
@@ -340,7 +340,7 @@ object Xz {
     * conversions inside recently-converted displacement bytes. The
     * SAME routine encodes and decodes (add vs subtract), which the
     * fixtures exploit for by-construction roundtrips. */
-  private[functions] def x86Convert(data: Array[Byte], ip0: Int,
+  private[graft] def x86Convert(data: Array[Byte], ip0: Int,
       encoding: Boolean): Unit = {
     def ms(b: Int): Boolean = b == 0x00 || b == 0xFF
     if (data.length < 5) return

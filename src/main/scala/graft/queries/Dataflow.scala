@@ -6871,6 +6871,89 @@ object Dataflow {
         .orderBy("media_id", "post_id")
   }
 
+  /** x271's fixture directories (the x267 setup-caching note applies). */
+  private val x271Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x271: RANGED SE-DUMP OVER FILTER-CHAINED ARCHIVES — delta and
+    * BCJ-x86 folders (`-mf=…`, the real-world chained layout x262/x263
+    * decode bounded) now STREAM through the ranged reader: the decoder
+    * output pushes through [[graft.sources.Ranged7z.StreamFilters]]
+    * chunk-by-chunk, so a chained multi-GB member ingests in
+    * O(dict-window) heap. Chains rotate none / delta (distance 1-4) /
+    * BCJ-x86 (new + legacy ids) per doc, and the unchained docs
+    * rotate the LZMA2/LZMA1 payload coders;
+    * because filter state spans the folder output, a chained member is
+    * always ONE slice decoded from folder start (Ranged7zSpec pins
+    * that, plus streaming-vs-whole-buffer kernel equivalence under
+    * random chunkings in X86StreamSpec). Same corpus and oracle shape
+    * as x263; routing arms: every 13th doc's container is torn, every
+    * 17th wears an exotic branch-converter chain neither mode
+    * streams. */
+  val x271 = DQ("x271_sedump_chained_ranged", Some(
+    """WITH d AS (SELECT doc_id, doc_id % 13 = 0 AS tq,
+      |    doc_id % 17 = 0 AND doc_id % 13 <> 0 AS fq FROM documents),
+      |p AS (SELECT doc_id, u.p AS p FROM d,
+      |    unnest(generate_series(1, 3)) AS u(p) WHERE NOT tq AND NOT fq),
+      |e AS (SELECT doc_id, CAST(doc_id * 10 + p AS BIGINT) AS post_id,
+      |    CAST(p AS INTEGER) AS post_type,
+      |    CASE WHEN p = 1
+      |      THEN 'Question body ' || CAST(doc_id AS VARCHAR) || ' & more.'
+      |      WHEN p = 2
+      |      THEN 'Answer for ' || CAST(doc_id AS VARCHAR) || ' x < 1'
+      |      ELSE 'Note ' || CAST(doc_id AS VARCHAR) || ': a > b c'
+      |    END AS text
+      |  FROM p)
+      |SELECT media_id, post_id, post_type, text, n_chars, ok FROM (
+      |  SELECT doc_id AS media_id, post_id, post_type, text,
+      |    CAST(length(text) AS BIGINT) AS n_chars, true AS ok FROM e
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, NULL, NULL, false FROM d WHERE tq OR fq)
+      |ORDER BY media_id, post_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val tmp = Dataflow.x271Fixtures.computeIfAbsent(dir, { _ =>
+        val t = java.nio.file.Files.createTempDirectory("x271_chained")
+          .toFile.getAbsolutePath
+        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            it.foreach { id =>
+              val xml = sedumpPostsFixtureXml(id)
+              val chains: Int => Option[(Long, Array[Byte])] = _ =>
+                if (id % 17 == 0 && id % 13 != 0)
+                  Some((0x05L, Array.empty[Byte])) // exotic: routes
+                else (id % 3) match {
+                  case 0 => None
+                  case 1 => Some((0x03L, Array[Byte]((id % 4).toByte)))
+                  case _ => Some((
+                    if (id % 2 == 0) 0x04L else 0x03030103L,
+                    Array.empty[Byte]))
+                }
+              val arc = SevenZip.build(
+                Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+                encodedHeader = id % 2 == 1,
+                chainFor = chains,
+                coderFor = _ => if (id % 5 == 0) 2 else 1)
+              val arm = if (id % 13 == 0) arc.dropRight(5) else arc
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(t, s"$id.7z"), arm)
+            }
+          }
+        t
+      })
+      val paths = table(spark, dir, "documents").select(
+        concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
+      graft.streaming.Pipelines.sedumpPostsRanged(paths)
+        .select(
+          expr("regexp_extract(path, '(\\\\d+)\\\\.7z$', 1)")
+            .cast("long").as("media_id"),
+          col("post_id"), col("post_type"), col("text"),
+          when(col("ok"), length(col("text"))).cast("long").as("n_chars"),
+          col("ok"))
+        .orderBy("media_id", "post_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6880,5 +6963,5 @@ object Dataflow {
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
     x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263, x264,
-    x265, x266, x267, x268, x269, x270)
+    x265, x266, x267, x268, x269, x270, x271)
 }

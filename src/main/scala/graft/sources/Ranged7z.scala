@@ -48,8 +48,10 @@ import graft.functions.{SevenZip, Xz}
   * [[graft.streaming.Pipelines.sedumpPosts]]'s member quarantine,
   * localized the way the bzip2 extents localize damage):
   *  - broken container → one (member = null, ok = false) row;
-  *  - unstreamable member (exotic/filter-chained coder, declared
-  *    dictionary past the 256 MiB window bound, empty or
+  *  - unstreamable member (exotic coder or filter — BCJ2's 4-stream
+  *    graph, non-x86 branch converters; delta and BCJ-x86 chains DO
+  *    stream, as one whole-folder slice through [[StreamFilters]] —
+  *    declared dictionary past the 256 MiB window bound, empty or
   *    unmatched member) → one (member, ok = false) row;
   *  - a decode break mid-slice, a torn/oversized/malformed row
   *    candidate, or a folder-CRC mismatch after a whole-folder pass →
@@ -88,13 +90,221 @@ object Ranged7z {
       packOff: Long, packLen: Long, props: Array[Byte],
       sliceUnpack: Long, scanFrom: Long, scanUntil: Long,
       memberEnd: Long, expect: Long,
-      crc: Int, checkCrc: Boolean)
+      crc: Int, checkCrc: Boolean,
+      filters: Array[Byte] = Array.empty[Byte])
 
   /** The routed marker slice: one (member, ok = false) row. A null
     * `member` marks a broken CONTAINER. */
   def deadSlice(path: String, member: String): Slice =
     Slice(path, member, KindDead, -1L, -1L, Array.empty[Byte],
       0L, 0L, 0L, 0L, 0L, 0, checkCrc = false)
+
+  /** STREAMING inverse filters for the chained folders real-world 7z
+    * wears (delta or BCJ-x86 in front of the payload coder — the
+    * `-mf=…` layout): the bounded path decodes them whole via the
+    * in-place kernels ([[graft.functions.Xz.deltaDecode]] /
+    * `x86Convert`); the ranged path pushes the decoder's output
+    * through these stages chunk-by-chunk, so a multi-GB chained
+    * member streams in the same O(dict-window) heap. Both transforms
+    * are size-preserving, so filtered positions == decoder positions
+    * and the row scanner's ownership arithmetic is unchanged — but
+    * their STATE spans the whole folder output, which is why a
+    * chained member is always ONE slice decoded from folder start
+    * (reset-point splitting would need the filter state at the reset,
+    * i.e. the very bytes a split exists to avoid decoding). */
+  private[graft] object StreamFilters {
+    /** Push-style stage: transform more input, hand output downstream
+      * (possibly fewer bytes — BCJ holds back a 4-byte lookahead). */
+    sealed trait Stage {
+      def feed(b: Array[Byte], off: Int, len: Int,
+          out: (Array[Byte], Int, Int) => Unit): Unit
+      def flush(out: (Array[Byte], Int, Int) => Unit): Unit
+    }
+
+    /** Delta decode (7z id 0x03): out[i] = in[i] + out[i-dist], state =
+      * the last `dist` output bytes in a ring. Transforms IN PLACE —
+      * every producer hands fresh or consumed-immediately buffers. */
+    final class Delta(dist: Int) extends Stage {
+      private val hist = new Array[Byte](dist)
+      private var p = 0
+      def feed(b: Array[Byte], off: Int, len: Int,
+          out: (Array[Byte], Int, Int) => Unit): Unit = {
+        var i = off
+        val end = off + len
+        while (i < end) {
+          val v = (b(i) + hist(p)).toByte
+          b(i) = v
+          hist(p) = v
+          p += 1
+          if (p == dist) p = 0
+          i += 1
+        }
+        out(b, off, len)
+      }
+      def flush(out: (Array[Byte], Int, Int) => Unit): Unit = ()
+    }
+
+    /** BCJ x86 inverse (7z ids 0x04 / legacy 0x03030103): the Bra86
+      * branch-converter ported to a continuation — identical mask and
+      * position logic to the whole-buffer kernel
+      * ([[graft.functions.Xz.x86Convert]], decode direction), with the
+      * anchor position and 3-bit mask carried across feeds and a
+      * ≤ 4-byte lookahead held back (the last 4 bytes of a buffer are
+      * never converted, exactly as the whole-buffer form leaves them).
+      * X86StreamSpec pins equivalence against the whole-buffer kernel
+      * over random chunkings. */
+    final class X86 extends Stage {
+      private var buf = new Array[Byte](1 << 16)
+      private var have = 0
+      private var base = 0L // absolute stream position of buf(0)
+      private var anchorAbs = 0L // the kernel's `pos`, absolute
+      private var mask = 0
+      private def ms(b: Int): Boolean = b == 0x00 || b == 0xFF
+
+      def feed(b: Array[Byte], off: Int, len: Int,
+          out: (Array[Byte], Int, Int) => Unit): Unit = {
+        if (have + len > buf.length) {
+          var cap = buf.length
+          while (cap < have + len) cap *= 2
+          buf = java.util.Arrays.copyOf(buf, cap)
+        }
+        System.arraycopy(b, off, buf, have, len)
+        have += len
+        val n = process()
+        if (n > 0) {
+          out(buf, 0, n)
+          System.arraycopy(buf, n, buf, 0, have - n)
+          have -= n
+          base += n
+        }
+      }
+
+      def flush(out: (Array[Byte], Int, Int) => Unit): Unit = {
+        // the tail (≤ 4 lookahead bytes plus any already-converted
+        // operand bytes past the last scan) is final as-is
+        if (have > 0) {
+          out(buf, 0, have)
+          base += have
+          have = 0
+        }
+      }
+
+      /** One pass of the Bra86 loop over the buffered bytes; returns
+        * how many leading bytes are final (no later conversion can
+        * touch a byte more than 4 positions behind the scan end). */
+      private def process(): Int = {
+        val size = have - 4
+        if (size <= 0) return 0
+        var scan = math.max(0L, anchorAbs - base).toInt
+        var done = false
+        while (!done) {
+          var p = scan
+          while (p < size && (buf(p) & 0xFE) != 0xE8) p += 1
+          if (p >= size) done = true
+          else {
+            val d = (base + p) - anchorAbs
+            anchorAbs = base + p
+            var skip = false
+            if (d > 2) mask = 0
+            else {
+              mask >>>= d.toInt
+              if (mask != 0 && (mask > 4 || mask == 3 ||
+                  ms(buf(p + (mask >>> 1) + 1) & 0xFF))) {
+                mask = (mask >>> 1) | 4
+                anchorAbs += 1
+                skip = true
+              }
+            }
+            if (!skip) {
+              if (ms(buf(p + 4) & 0xFF)) {
+                var v = ((buf(p + 4) & 0xFF) << 24) |
+                  ((buf(p + 3) & 0xFF) << 16) |
+                  ((buf(p + 2) & 0xFF) << 8) | (buf(p + 1) & 0xFF)
+                // instruction addresses are uint32 on the wire: the
+                // absolute position truncates mod 2^32, as the kernel's
+                // Int arithmetic does
+                val cur = (anchorAbs + 5).toInt
+                anchorAbs += 5
+                v -= cur
+                if (mask != 0) {
+                  val sh = (mask & 6) << 2
+                  if (ms((v >>> sh) & 0xFF)) {
+                    v ^= ((0x100 << sh) - 1)
+                    v -= cur
+                  }
+                  mask = 0
+                }
+                buf(p + 1) = v.toByte
+                buf(p + 2) = (v >>> 8).toByte
+                buf(p + 3) = (v >>> 16).toByte
+                buf(p + 4) = (0 - ((v >>> 24) & 1)).toByte
+              } else {
+                mask = (mask >>> 1) | 4
+                anchorAbs += 1
+              }
+            }
+            scan = math.max(0L, anchorAbs - base).toInt
+          }
+        }
+        size
+      }
+    }
+
+    /** The folder's filter stages in application order, parsed from a
+      * slice's compact blob ([id, propsLen, props…]*); null = none. */
+    final class Chain(stages: Array[Stage]) {
+      def feed(b: Array[Byte], off: Int, len: Int,
+          out: (Array[Byte], Int, Int) => Unit): Unit =
+        push(0, b, off, len, out)
+      private def push(i: Int, b: Array[Byte], off: Int, len: Int,
+          out: (Array[Byte], Int, Int) => Unit): Unit =
+        if (i == stages.length) out(b, off, len)
+        else stages(i).feed(b, off, len,
+          (b2, o2, l2) => push(i + 1, b2, o2, l2, out))
+      def flush(out: (Array[Byte], Int, Int) => Unit): Unit = {
+        var i = 0
+        while (i < stages.length) {
+          stages(i).flush((b2, o2, l2) => push(i + 1, b2, o2, l2, out))
+          i += 1
+        }
+      }
+    }
+
+    /** Blob encoding of a supported filter tail; null when any stage
+      * is not a streamable inverse (non-x86 branch converters, BCJ
+      * start-offset props, BCJ2). */
+    def encode(tail: Seq[graft.functions.SevenZip.RangedCoder]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      tail.foreach { c =>
+        c.id match {
+          case 0x03 if c.props != null && c.props.length == 1 =>
+            out.write(0x03); out.write(1); out.write(c.props(0) & 0xFF)
+          case 0x04 | 0x03030103
+              if c.props == null || c.props.isEmpty =>
+            out.write(0x04); out.write(0)
+          case _ => return null
+        }
+      }
+      out.toByteArray
+    }
+
+    def parse(blob: Array[Byte]): Chain = {
+      if (blob == null || blob.isEmpty) return null
+      val stages = scala.collection.mutable.ArrayBuffer[Stage]()
+      var i = 0
+      while (i < blob.length) {
+        val id = blob(i) & 0xFF
+        val n = blob(i + 1) & 0xFF
+        id match {
+          case 0x03 => stages += new Delta((blob(i + 2) & 0xFF) + 1)
+          case 0x04 => stages += new X86
+          case _ => throw new IllegalStateException(s"filter $id")
+        }
+        i += 2 + n
+      }
+      new Chain(stages.toArray)
+    }
+  }
 
   /** Header-only member scan; null when the container is unreadable or
     * broken (the caller routes that as a null-member row). */
@@ -122,9 +332,44 @@ object Ranged7z {
       copyTile: Long = 256L << 20): Seq[Slice] = {
     val mStart = m.offsetInFolder
     val mEnd = mStart + m.length
-    if (m.folder < 0 || m.length <= 0 || m.coders.size != 1)
+    if (m.folder < 0 || m.length <= 0 || m.coders.isEmpty)
       return Seq(deadSlice(path, m.name))
     val coder = m.coders.head
+    if (m.coders.size > 1) {
+      // filter-chained folder (delta / BCJ-x86 behind the payload
+      // coder): the filter STATE spans the whole folder output, so a
+      // chained member is one slice decoded from folder start — no
+      // reset splitting, no Copy tiling
+      val filters = StreamFilters.encode(m.coders.tail)
+      if (filters == null) return Seq(deadSlice(path, m.name))
+      val whole = mStart == 0 && mEnd == m.folderUnpack && m.crc.isDefined
+      return coder.id match {
+        case 0x00 =>
+          Seq(Slice(path, m.name, KindCopy,
+            m.packOff, m.packLen, Array.empty[Byte],
+            0L, mStart, mEnd, mEnd, m.folderUnpack,
+            m.crc.getOrElse(0), checkCrc = whole, filters = filters))
+        case 0x21 =>
+          val window = Xz.lzma2DictSize(coder.props)
+          if (window < 0 ||
+            math.min(window, m.folderUnpack) > MaxWindowBytes)
+            Seq(deadSlice(path, m.name))
+          else Seq(Slice(path, m.name, KindLzma2,
+            m.packOff, m.packLen, coder.props,
+            0L, mStart, mEnd, mEnd, m.folderUnpack,
+            m.crc.getOrElse(0), checkCrc = whole, filters = filters))
+        case 0x030101 =>
+          val window = Xz.lzma1DictSize(coder.props)
+          if (window < 0 ||
+            math.min(window, m.folderUnpack) > MaxWindowBytes)
+            Seq(deadSlice(path, m.name))
+          else Seq(Slice(path, m.name, KindLzma1,
+            m.packOff, m.packLen, coder.props,
+            0L, mStart, mEnd, mEnd, m.folderUnpack,
+            m.crc.getOrElse(0), checkCrc = whole, filters = filters))
+        case _ => Seq(deadSlice(path, m.name))
+      }
+    }
     coder.id match {
       case 0x00 => // Copy: output bytes ARE the pack bytes — tile freely
         val tiles = ArrayBuffer[Slice]()
@@ -235,10 +480,11 @@ object Ranged7z {
       maxRowBytes)
     private var in: org.apache.hadoop.fs.FSDataInputStream = _
     private var rd: Xz.StreamDecoder = _
+    private var filt = StreamFilters.parse(slice.filters)
     private var buf = if (slice.kind == KindCopy) new Array[Byte](1 << 16)
       else null
-    private var abs = if (slice.kind == KindCopy) slice.scanFrom
-      else slice.sliceUnpack
+    private var abs = slice.sliceUnpack
+    private var fabs = slice.sliceUnpack // FILTERED-stream position
     private var crc = Xz.crc32Init
     private var inputDone = false
 
@@ -252,7 +498,7 @@ object Ranged7z {
     try {
       val p = new Path(slice.path)
       in = p.getFileSystem(conf).open(p)
-      if (slice.kind == KindCopy) in.seek(slice.packOff + slice.scanFrom)
+      if (slice.kind == KindCopy) in.seek(slice.packOff + slice.sliceUnpack)
       else {
         in.seek(slice.packOff)
         // ring = min(declared dict, this decode's total output): a
@@ -287,14 +533,60 @@ object Ranged7z {
       // thousands of slices must not retain thousands of ring windows
       rd = null
       buf = null
+      filt = null
       sc.shrink()
+    }
+
+    /** Filtered bytes arriving in stream order: CRC them (the folder
+      * digest is over the FINAL, unfiltered-member bytes), clip to the
+      * member extent, and hand them to the scanner at their filtered
+      * position — size-preserving filters keep filtered == decoder
+      * coordinates, just delayed by the BCJ lookahead. */
+    private val emitFiltered: (Array[Byte], Int, Int) => Unit =
+      (b, off, len) => {
+        if (slice.checkCrc) crc = Xz.crc32Update(crc, b, off, off + len)
+        val lo = math.max(fabs, slice.scanFrom)
+        val hi = math.min(fabs + len, slice.memberEnd)
+        if (lo < hi)
+          sc.feed(b, off + (lo - fabs).toInt, (hi - lo).toInt, lo)
+        fabs += len
+      }
+
+    /** The filtered-slice pump: raw bytes (Copy read or decoder chunk)
+      * push through the filter chain; stop at source end (flush, then
+      * the usual end-of-slice checks) or once the scan window closed
+      * on a slice with no folder-CRC pass to drain. */
+    private def pumpFiltered(): Unit = {
+      if (slice.kind == KindCopy) {
+        if (abs >= slice.memberEnd) { finishFiltered(); return }
+        val want = math.min(buf.length.toLong, slice.memberEnd - abs).toInt
+        val n = in.read(buf, 0, want)
+        if (n <= 0) { fail(); return } // short file: route
+        abs += n
+        filt.feed(buf, 0, n, emitFiltered)
+        if (abs >= slice.memberEnd) { finishFiltered(); return }
+      } else {
+        val chunk = rd.nextChunk()
+        if (chunk == null) { finishFiltered(); return }
+        abs += chunk.length
+        filt.feed(chunk, 0, chunk.length, emitFiltered)
+      }
+      if (!slice.checkCrc && fabs >= slice.scanUntil && !sc.open)
+        endOfSlice()
+    }
+
+    private def finishFiltered(): Unit = {
+      filt.flush(emitFiltered)
+      endOfSlice()
     }
 
     /** Decode one more block and feed the scanner; sets inputDone when
       * the slice is exhausted (running the end-of-slice checks once). */
     private def pump(): Unit =
       try {
-        if (slice.kind == KindCopy) {
+        if (filt != null) {
+          pumpFiltered()
+        } else if (slice.kind == KindCopy) {
           if (abs >= slice.memberEnd) { endOfSlice(); return }
           val want = math.min(buf.length.toLong, slice.memberEnd - abs).toInt
           val n = in.read(buf, 0, want)

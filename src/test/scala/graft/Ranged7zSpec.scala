@@ -106,6 +106,47 @@ class Ranged7zSpec extends AnyFunSuite {
     assert(slices.size > 4, s"only ${slices.size} slices")
   }
 
+  test("delta and BCJ-x86 filter chains decode ranged == bounded; a " +
+      "split is refused (filter state spans the folder) but the single " +
+      "slice streams") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("r7z_chain").toString
+    val xml = postsXml(200)
+    val arcs = Seq(
+      ("delta.7z", SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+        chainFor = _ => Some((0x03L, Array[Byte](0))))), // dist 1
+      ("delta4.7z", SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+        chainFor = _ => Some((0x03L, Array[Byte](3))))), // dist 4
+      ("bcj.7z", SevenZip.build(Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+        chainFor = _ => Some((0x04L, Array.empty[Byte])))),
+      ("bcjlegacy.7z", SevenZip.build(
+        Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+        encodedHeader = true,
+        chainFor = _ => Some((0x03030103L, Array.empty[Byte])))))
+    val paths = arcs.map { case (n, b) => writeArc(tmp, n, b) }
+    val ranged = Pipelines.sedumpPostsRanged(paths.toDF("path"))
+    val bounded = Pipelines.sedumpPosts(
+      arcs.zip(paths).map { case ((_, b), p) => (p, b) }
+        .toDF("path", "content"))
+    val got = postSet(ranged)
+    val want = postSet(bounded)
+    assert(got == want,
+      s"diff: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+    assert(ranged.where(col("ok")).count() == 800)
+    assert(ranged.count() == 800)
+    // chained members are one slice even when the chunk walk is forced
+    import graft.sources.Ranged7z
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.foreach { p =>
+      val slices = Ranged7z.planSlices(conf, p,
+        Ranged7z.scanMembers(conf, p).head, lzma2SplitMin = 0L)
+      assert(slices.size == 1, s"$p: ${slices.size} slices")
+    }
+    // whole-folder single slice → the folder CRC is verified THROUGH
+    // the filters (digest is over final member bytes)
+    assert(ranged.where(col("crc_checked")).count() == 800)
+  }
+
   test("routing: truncated container, unstreamable coder, flipped pack " +
       "byte, empty member — dead letters, never silence") {
     import spark.implicits._
