@@ -6954,6 +6954,112 @@ object Dataflow {
         .orderBy("media_id", "post_id")
   }
 
+  /** x272's fixture directories (the x267 setup-caching note applies). */
+  private val x272Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x272: SE-DUMP CAPSTONE — the ranged front door FEEDS the curation
+    * pipeline end-to-end in ONE declarative plan: `.7z` site dumps on
+    * disk (coders rotating Copy/LZMA2/LZMA1, filter chains rotating
+    * delta/BCJ-x86, headers raw/encoded — the full ranged surface)
+    * stream posts through [[Pipelines.sedumpPostsRanged]], the Body
+    * HTML strips via the shared [[Pipelines.htmlTextCol]] chain, a
+    * quality gate drops sub-length posts, and EXACT DEDUP collapses
+    * the cross-site duplicate texts real dumps carry (question/answer
+    * bodies repeat across sites here by construction: doc_id % 37 and
+    * % 53 classes), keeping the first (media, post) of each class with
+    * its duplicate count. Plan shape at 100 TB: the ranged reader's
+    * two metadata-sized exchanges (listing, slices), then exactly ONE
+    * data shuffle — the dedup groupBy on text — with map-side partial
+    * aggregation; no post crosses the wire twice. Routing arms (torn
+    * container %13, exotic chain %17) drop at the ok-gate without
+    * disturbing the corpus. */
+  val x272 = DQ("x272_sedump_ranged_corpus", Some(
+    """WITH d AS (SELECT doc_id FROM documents
+      |    WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+      |e AS (
+      |  SELECT doc_id, CAST(doc_id * 10 + 1 AS BIGINT) AS post_id,
+      |    'Question body ' || CAST(doc_id % 37 AS VARCHAR) || ' & more.'
+      |      AS text FROM d
+      |  UNION ALL
+      |  SELECT doc_id, CAST(doc_id * 10 + 2 AS BIGINT),
+      |    'Answer for ' || CAST(doc_id % 53 AS VARCHAR) || ' x < 1' FROM d
+      |  UNION ALL
+      |  SELECT doc_id, CAST(doc_id * 10 + 3 AS BIGINT),
+      |    CASE WHEN doc_id % 7 = 0 THEN 'no'
+      |         ELSE 'Note ' || CAST(doc_id AS VARCHAR) || ': a > b c' END
+      |    FROM d),
+      |q AS (SELECT * FROM e WHERE length(text) >= 12),
+      |w AS (SELECT doc_id AS media_id, post_id, text,
+      |    count(*) OVER (PARTITION BY text) AS n_dups,
+      |    row_number() OVER (PARTITION BY text ORDER BY doc_id, post_id)
+      |      AS rn
+      |  FROM q)
+      |SELECT media_id, post_id, text, CAST(n_dups AS BIGINT) AS n_dups
+      |FROM w WHERE rn = 1 ORDER BY media_id, post_id""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val tmp = Dataflow.x272Fixtures.computeIfAbsent(dir, { _ =>
+        val t = java.nio.file.Files.createTempDirectory("x272_capstone")
+          .toFile.getAbsolutePath
+        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            def esc(s: String) = s.replace("&", "&amp;")
+              .replace("<", "&lt;").replace("\"", "&quot;")
+            it.foreach { id =>
+              val note =
+                if (id % 7 == 0) "<p>no</p>"
+                else s"<p>Note $id: a > b\nc</p>"
+              val xml =
+                s"""<?xml version="1.0"?><posts>""" +
+                  s"""<row Id="${id * 10 + 1}" PostTypeId="1" Body="${esc(
+                    s"<p>Question body ${id % 37} &amp; more.</p>")}" />""" +
+                  s"""<row Id="${id * 10 + 2}" PostTypeId="2" Body="${esc(
+                    s"<p>Answer for ${id % 53}</p>" +
+                      "<pre><code>x &lt; 1</code></pre>")}" />""" +
+                  s"""<row Id="${id * 10 + 3}" PostTypeId="3" """ +
+                  s"""Body="${esc(note)}" /></posts>"""
+              val chains: Int => Option[(Long, Array[Byte])] = _ =>
+                if (id % 17 == 0 && id % 13 != 0)
+                  Some((0x05L, Array.empty[Byte])) // exotic: routes
+                else (id % 3) match {
+                  case 1 => Some((0x03L, Array[Byte]((id % 4).toByte)))
+                  case 2 => Some((
+                    if (id % 2 == 0) 0x04L else 0x03030103L,
+                    Array.empty[Byte]))
+                  case _ => None
+                }
+              val arc = SevenZip.build(
+                Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+                encodedHeader = id % 2 == 1,
+                chainFor = chains,
+                coderFor = _ => ((id % 5) % 3).toInt)
+              val arm = if (id % 13 == 0) arc.dropRight(5) else arc
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(t, s"$id.7z"), arm)
+            }
+          }
+        t
+      })
+      val paths = table(spark, dir, "documents").select(
+        concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
+      graft.streaming.Pipelines.sedumpPostsRanged(paths)
+        .where(col("ok") && length(col("text")) >= 12) // quality gate
+        .select(
+          expr("regexp_extract(path, '(\\\\d+)\\\\.7z$', 1)")
+            .cast("long").as("media_id"),
+          col("post_id"), col("text"))
+        .groupBy(col("text"))
+        .agg(
+          min(struct(col("media_id").as("m"), col("post_id").as("p")))
+            .as("keeper"),
+          count(lit(1)).as("n_dups"))
+        .select(col("keeper.m").as("media_id"),
+          col("keeper.p").as("post_id"), col("text"), col("n_dups"))
+        .orderBy("media_id", "post_id")
+  }
+
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,
     x142, x143, x144, x145, x146, x147, x148, x149, x151, x152, x153, x153s,
@@ -6963,5 +7069,5 @@ object Dataflow {
     x225, x228, x229, x230, x231, x232, x233, x234, x236, x237, x238, x240,
     x241, x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
     x253, x254, x255, x256, x257, x258, x259, x260, x261, x262, x263, x264,
-    x265, x266, x267, x268, x269, x270, x271)
+    x265, x266, x267, x268, x269, x270, x271, x272)
 }
