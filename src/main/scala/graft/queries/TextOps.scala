@@ -72,8 +72,14 @@ object TextOps {
     * definition of the minhash scheme (seed format, hash), shared by the
     * band derivation (x02/x27) and the accuracy audit (x43) so the scheme
     * can never silently diverge between them. */
-  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(spark, dir)
+  private def minhashes(spark: SparkSession, dir: String): DataFrame =
+    minhashesFrom(wordShingles(spark, dir))
+
+  /** [[minhashes]] over an already-built shingle frame — lets a consumer
+    * that also reads the shingles themselves (x207) share ONE shingle
+    * materialization instead of re-running the tokenize→shingle pipeline
+    * per consumer. Same scheme, same rows. */
+  private def minhashesFrom(sh: DataFrame): DataFrame = {
     val mhCols = (0 until 8).map(s =>
       min(md5(concat(col("g"), lit(s":$s")))).as(s"mh$s"))
     sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
@@ -1905,7 +1911,9 @@ object TextOps {
       val toks = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // unigram LM folded from tf (Σ tf per tok ≡ corpus count per tok):
+      // one tokenize+explode pass instead of two (guide §2.3)
+      val lm = tf.groupBy("tok").agg(sum("tf").as("cnt"))
       val tot = lm.agg(sum("cnt").as("total"))
       val scored = tf.join(broadcast(lm), "tok")
         .crossJoin(broadcast(tot))
@@ -1913,6 +1921,7 @@ object TextOps {
         .agg(round(
           sum(col("tf") * log(col("total").cast("double") / col("cnt"))) /
             sum("tf"), 6).as("nll"))
+        .localCheckpoint() // feeds both the global rank and the count
       val ranked = graft.batch.Joins.globalRank(scored, 32, "nll", "doc_id")
       val n = scored.agg(count(lit(1)).as("n"))
       ranked.crossJoin(broadcast(n))
@@ -2317,15 +2326,26 @@ object TextOps {
           (expr("aggregate(l, 0L, (acc, t) -> acc + length(t))").cast("double") /
             col("n_toks")).between(2, 12))
       // stage 2: exact dedup — min doc_id survives per content digest
-      // (min_by aggregation: map-side combining, no digest window)
+      // (min_by aggregation: map-side combining, no digest window). dd
+      // feeds the NLL pipeline and the stage-4 join-back; the shared
+      // digest exchange dedups via ReuseExchange, and NOT checkpointing
+      // here is deliberate — materializing the token arrays was a
+      // measured 2× regression this round (cache write of deserialized
+      // string arrays dwarfed the recompute).
       val dd = q.groupBy(md5(col("text")).as("dg"))
         .agg(min_by(struct(col("doc_id"), col("l"), col("n_toks")),
           col("doc_id")).as("s"))
         .select(col("s.doc_id"), col("s.l"), col("s.n_toks"))
-      // stage 3: NLL over the survivor corpus (LM broadcast, x109 shape)
+      // stage 3: NLL over the survivor corpus (LM broadcast, x109 shape);
+      // the unigram LM folds from tf (Σ tf per tok ≡ count per tok) so the
+      // doc explode runs ONCE, not once per aggregation (guide §2.3
+      // "aggregate before you shuffle")
       val toks = dd.select(col("doc_id"), explode(col("l")).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // unigram LM folded from tf (Σ tf per tok ≡ corpus count per tok):
+      // one explode feeds one shared exchange (measured 1 s faster than
+      // the second explode at sf0.1)
+      val lm = tf.groupBy("tok").agg(sum("tf").as("cnt"))
       val tot = lm.agg(sum("cnt").as("total"))
       val scored = tf.join(broadcast(lm), "tok")
         .crossJoin(broadcast(tot))
@@ -2601,10 +2621,13 @@ object TextOps {
       }: _*)
       val t0 = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("l"))
+      // one materialization: the distinct 8-gram set feeds the Bloom bits
+      // agg, the prior-member digest set AND the probe side — without it
+      // the tokenize→shingle→distinct pipeline ran three times
       val grams = t0
         .select((col("doc_id") % 2).as("par"),
           explode(wordNgrams(col("l"), 8)).as("g"))
-        .distinct()
+        .distinct().localCheckpoint()
       val prior = grams.filter(col("par") === 0).select(col("g"))
       val bits = prior.select(buckets(col("g")).as("hs"))
         .agg(BloomBits.bloomBits(col("hs"), M).as("bits"))
@@ -2775,8 +2798,11 @@ object TextOps {
       |       c AS n_pair, CAST(ppm AS BIGINT) AS pmi_p100k
       |FROM r WHERE rn <= 3 ORDER BY word, rank""".stripMargin)) {
     (spark, dir) =>
+      // tokenized once (localCheckpoint): t0 feeds the pair explode AND
+      // the unigram explode — two tokenize passes collapsed to one
       val t0 = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("l"))
+        .localCheckpoint()
       // ±2-window pairs generated in-row, alphabetically ordered
       val pp = t0.select(explode(expr(
         """CASE WHEN size(l) >= 2 THEN
@@ -2798,13 +2824,15 @@ object TextOps {
         .filter(col("c") >= 3)
       val toks = t0.select(explode(col("l")).as("tok"))
       val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
-      val tot = toks.agg(count(lit(1)).as("t"))
+      // Σ per-token counts ≡ corpus token count: no second explode pass
+      val tot = uni.agg(sum("cu").as("t"))
       val sc = pairs
         .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("c1"))), "w1")
         .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("c2"))), "w2")
         .crossJoin(broadcast(tot))
         .select(col("w1"), col("w2"), col("c"),
           expr("(c * t * 100000) div (c1 * c2)").as("ppm"))
+        .localCheckpoint() // both direction branches of the union read it
       val dir2 = sc.select(col("w1").as("word"), col("w2").as("nb"),
           col("c"), col("ppm"))
         .unionAll(sc.select(col("w2").as("word"), col("w1").as("nb"),
@@ -2859,8 +2887,11 @@ object TextOps {
       |       round(avg(nll), 6) AS mean_nll
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
     (spark, dir) =>
+      // tokenized once (localCheckpoint): t0 feeds the bigram explode AND
+      // the unigram explode
       val t0 = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("l"))
+        .localCheckpoint()
       // consecutive pairs, generated in-row once per doc
       val bp = t0.select(col("doc_id"), explode(expr(
         """CASE WHEN size(l) >= 2 THEN
@@ -2870,10 +2901,12 @@ object TextOps {
           .stripMargin)).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         .withColumn("bk", gramKey(concat_ws(" ", col("w1"), col("w2"))))
+        .localCheckpoint() // feeds the bigram LM agg AND the scoring probe
       val big = bp.groupBy("bk").agg(count(lit(1)).as("c2"))
       val toks = t0.select(explode(col("l")).as("tok"))
       val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
-      val tot = toks.agg(count(lit(1)).as("t"))
+      // Σ per-token counts ≡ corpus token count: no second explode pass
+      val tot = uni.agg(sum("c1").as("t"))
       bp.join(big, "bk")
         .join(broadcast(uni.select(col("tok").as("w1"), col("c1").as("ca"))), "w1")
         .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("cb"))), "w2")
@@ -4118,8 +4151,16 @@ object TextOps {
        |LEFT JOIN over o ON c.cfg_b = o.cfg_b
        |CROSS JOIN tn GROUP BY c.cfg_b ORDER BY bands DESC""".stripMargin)) {
     (spark, dir) =>
-      val sh = wordShingles(spark, dir)
-      val mh = minhashes(spark, dir)
+      // the sweep's whole point is REUSE: sh feeds the candidate ground
+      // truth twice and the per-doc counts once, mh feeds three band
+      // schemes, kept self-joins, cand feeds both the pair union and the
+      // final scoring join. Materialize each shared frame once
+      // (localCheckpoint — per-invocation, recomputed from parquet every
+      // run) instead of re-embedding the tokenize→shingle pipeline in
+      // every consumer: the round-15 baseline plan was 270 KB of
+      // duplicated subtrees (guide §1.2 step 1, §3.3).
+      val sh = wordShingles(spark, dir).localCheckpoint()
+      val mh = minhashesFrom(sh).localCheckpoint()
       def bandsFor(bCount: Int): DataFrame = {
         val r = 8 / bCount
         mh.select(col("doc_id"), explode(array(
@@ -4132,10 +4173,11 @@ object TextOps {
             col("bs.band").as("band"), col("bs.sig").as("sig"))
       }
       val bands = bandsFor(8).unionAll(bandsFor(4)).unionAll(bandsFor(2))
+        .localCheckpoint()
       val bsz = bands.groupBy("cfg_b", "band", "sig")
         .agg(count(lit(1)).as("bn"))
       val kept = bands.join(bsz.filter(col("bn") <= 64),
-        Seq("cfg_b", "band", "sig")).drop("bn")
+        Seq("cfg_b", "band", "sig")).drop("bn").localCheckpoint()
       val over = bsz.filter(col("bn") > 64).groupBy("cfg_b")
         .agg(count(lit(1)).as("n_over"))
       val cand = kept.select(col("cfg_b"), col("doc_id").as("id1"),
@@ -4144,7 +4186,7 @@ object TextOps {
           col("band").as("b2"), col("sig").as("s2")),
           col("cfg_b") === col("cb2") && col("band") === col("b2") &&
             col("sig") === col("s2") && col("id1") < col("id2"))
-        .select("cfg_b", "id1", "id2").distinct()
+        .select("cfg_b", "id1", "id2").distinct().localCheckpoint()
       val ap = cand.select("id1", "id2").distinct()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = ap
@@ -4156,6 +4198,7 @@ object TextOps {
         .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
         .filter(lit(3L) * col("ninter") >= col("n1") + col("n2"))
         .select(col("id1"), col("id2"), lit(true).as("is_true"))
+        .localCheckpoint()
       val tn = broadcast(truth.agg(count(lit(1)).as("n_truth")))
       cand.join(truth, Seq("id1", "id2"), "left_outer")
         .crossJoin(tn)
@@ -4375,9 +4418,13 @@ object TextOps {
       // .bm25From]]): each ≤ChunkSize posting row explodes independently
       // and df comes from the no-array termStats sums — no per-term
       // posting array is ever materialized on the BM25 path
+      // materialize the chunk rows once: bm25From consumes them twice
+      // (query-term hits + the corpus doc-length precompute) and the
+      // segment pipeline (tokenize → tf → chunk) re-ran per consumer
       val segments = (0 until 3)
         .map(b => InvertedIndex.segment(docs.where(col("doc_id") % 3 === b)))
         .reduce(_ unionByName _)
+        .localCheckpoint()
       InvertedIndex.bm25From(segments, queryTerms, 5)
         .orderBy("term", "doc_id")
   }
@@ -4424,8 +4471,15 @@ object TextOps {
         .select(col("doc_id"), col("text")))
       val indexDir = java.nio.file.Files
         .createTempDirectory("x235_index").toFile.getAbsolutePath
-      (0 until 3).foreach(b => InvertedIndex.appendBatch(indexDir)(
-        docs.where(col("doc_id") % 3 === b), b.toLong))
+      // the three batch appends are independent jobs (disjoint batch_id
+      // partitions); submit them concurrently so each job's task tail
+      // back-fills the others' idle cores (guide §2.6 "overlap
+      // independent jobs") — Spark's scheduler runs them FIFO
+      (0 until 3).map { b =>
+        java.util.concurrent.CompletableFuture.runAsync(() =>
+          InvertedIndex.appendBatch(indexDir)(
+            docs.where(col("doc_id") % 3 === b), b.toLong))
+      }.foreach(_.join())
       InvertedIndex.compact(spark, indexDir)
       InvertedIndex.bm25(spark, indexDir, Seq("scan", "merge", "key"), 5)
         .orderBy("term", "doc_id")

@@ -13,6 +13,20 @@ import graft.core.{ChunkCodec, Chunker}
   */
 object Pipelines {
 
+  /** Keyed repartition that AQE cannot coalesce away — for the
+    * work-heavy, byte-light exchanges of the ranged/extent readers
+    * (listings, extent tables, slice plans). AQE's partition coalescing
+    * sizes partitions by BYTES; a 5000-path listing is a few hundred KB,
+    * so `repartition(col(...))` collapsed to ONE post-shuffle partition
+    * and every header pread / extent decode serialized on a single core
+    * (measured round 15: the ranged SE-dump read ran 6 single-task
+    * stages). An explicit partition count is user-specified partitioning
+    * that AQE leaves alone; `defaultParallelism` scales it with the
+    * cluster (total executor cores) instead of pinning a local constant
+    * — the guide §2.5 "input skew"/§2.2 posture. */
+  private def spreadBy(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   /** S1/S2/S3 upload side: a directory watched by the binaryFile file source
     * (existing files read first batch, new files per microbatch —
     * `maxFilesPerTrigger` paces; reference debounce becomes the source's
@@ -680,7 +694,7 @@ object Pipelines {
         when(col("ext").isNotNull,
           expr("substring(content, cast(ext.off as int) + 1, " +
             "cast(ext.len as int))")).as("payload"))
-      .repartition(col("path"), col("stream"))
+      .transform(spreadBy(_, col("path"), col("stream")))
   }
 
   /** Stage 2 of [[wikidumpPages]]: per-extent decode + page walk —
@@ -762,15 +776,15 @@ object Pipelines {
     import graft.sources.{RangedBz2, SerializableHadoopConf}
     val bc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
-    val extents = paths.select(col("path")).as[String]
+    val extents = spreadBy(paths.select(col("path")), col("path"))
+      .as[String]
       .mapPartitions { it =>
         it.flatMap { p =>
           RangedBz2.scanExtents(bc.value.value, p).iterator
             .map { case (s, off, len) => (p, s, off, len) }
         }
       }.toDF("path", "stream", "off", "len")
-    val slices = extents
-      .repartition(col("path"), col("stream"))
+    val slices = spreadBy(extents, col("path"), col("stream"))
       .as[(String, Int, Long, Long)]
       .map { case (p, s, off, len) =>
         (p, s, RangedBz2.readRange(bc.value.value, p, off, len, maxExtentBytes))
@@ -870,9 +884,10 @@ object Pipelines {
       .join(fileLens, "path")
       .withColumn("len", coalesce(col("next"), col("file_len")) - col("off"))
 
-    val pages = hits.select("path", "off").distinct()
-      .join(extents, Seq("path", "off"))
-      .repartition(col("path"), col("off"))
+    val pages = spreadBy(
+        hits.select("path", "off").distinct()
+          .join(extents, Seq("path", "off")),
+        col("path"), col("off"))
       .select(col("path"), col("off"), col("len"))
       .as[(String, Long, Long)]
       .map { case (p, off, len) =>
@@ -1117,7 +1132,7 @@ object Pipelines {
     // spread the LISTING before the header scans: a listing often
     // arrives as one split (one parquet row-group, one text file), and
     // without this every header pread would run in a single task
-    val slices = paths.select(col("path")).repartition(col("path"))
+    val slices = spreadBy(paths.select(col("path")), col("path"))
       .as[String]
       .mapPartitions { it =>
         it.flatMap { p =>
@@ -1134,7 +1149,10 @@ object Pipelines {
         }
       }
     slices
-      .repartition(col("path"), col("member"), col("sliceUnpack"))
+      // explicit-count keyed spread — same AQE-coalescing rationale as
+      // [[spreadBy]] (a slice table is bytes-tiny, decode-heavy)
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("path"), col("member"), col("sliceUnpack"))
       .flatMap { s =>
         // crc_checked surfaces the split-decode trade per ROW: a
         // single-slice whole-folder pass verified the folder CRC
@@ -1328,7 +1346,7 @@ object Pipelines {
     import graft.sources.{RangedBz2, RangedZstd, SerializableHadoopConf}
     val bc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
-    val extents = paths.select(col("path")).repartition(col("path"))
+    val extents = spreadBy(paths.select(col("path")), col("path"))
       .as[String]
       .mapPartitions { it =>
         it.flatMap { p =>
@@ -1344,8 +1362,7 @@ object Pipelines {
           }
         }
       }.toDF("path", "frame", "off", "len", "dictOff", "dictLen")
-    val frames = extents
-      .repartition(col("path"), col("frame"))
+    val frames = spreadBy(extents, col("path"), col("frame"))
       .as[(String, Int, Long, Long, Long, Long)]
       .mapPartitions { it =>
         val conf = bc.value.value
