@@ -448,8 +448,10 @@ object Breadth {
     (spark, dir) =>
       // one percentile buffer per group (array form), not three — the
       // value-count map is the expensive part, so ask it all three
-      // questions in a single pass
-      table(spark, dir, "lineitem")
+      // questions in a single pass; spread first or the partial buffers
+      // build on the compact scan's 1-2 partitions (q18/x24 posture)
+      spread(table(spark, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),

@@ -2153,7 +2153,11 @@ object Dataflow {
       |       (lab.id = lab.rep) AS is_canonical
       |FROM lab JOIN cs USING (rep) ORDER BY doc_id""".stripMargin)) {
     (spark, dir) =>
-      val bands = ahashBands(spark, dir)
+      // one materialization of the (doc, band, key) table: its lineage is
+      // the full JPEG/BMP body decode, and it feeds the bucket minima,
+      // the star-edge join AND the node set — localCheckpoint keeps the
+      // decode to a single pass (per-invocation; recomputed every run)
+      val bands = ahashBands(spark, dir).localCheckpoint()
       val bucketMin = bands.groupBy("band", "key")
         .agg(min("doc_id").as("root"))
       val e0 = bands.join(bucketMin, Seq("band", "key"))

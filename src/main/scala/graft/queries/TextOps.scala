@@ -1377,7 +1377,9 @@ object TextOps {
        |JOIN documents d2 ON d2.doc_id = p.id2
        |ORDER BY id1, id2""".stripMargin)) {
     (spark, dir) =>
-      val bands = lshBands(spark, dir)
+      // materialized once: the tokenize→shingle→minhash pipeline fed both
+      // sides of the candidate self-join
+      val bands = lshBands(spark, dir).localCheckpoint()
       val a = bands.select(col("doc_id").as("id1"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("id2"), col("band").as("band2"),
         col("sig").as("sig2"))
@@ -1397,9 +1399,11 @@ object TextOps {
         .select(col("id1"), col("id2"), col("text").as("t1"))
       docs.join(broadcast(withT1), col("doc_id") === col("id2"))
         .select(col("id1"), col("id2"),
-          levenshtein(col("t1"), col("text")).cast("int").as("dist"),
-          when(levenshtein(col("t1"), col("text")) <= 25, 1).otherwise(0)
-            .cast("int").as("is_dup"))
+          levenshtein(col("t1"), col("text")).cast("int").as("dist"))
+        // derive the flag from the computed column: the O(len²) edit
+        // distance evaluates ONCE per pair, not twice
+        .select(col("id1"), col("id2"), col("dist"),
+          when(col("dist") <= 25, 1).otherwise(0).cast("int").as("is_dup"))
         .orderBy("id1", "id2")
   }
 
@@ -1657,8 +1661,11 @@ object TextOps {
       |       coalesce(a.cleaned, '') AS cleaned
       |FROM n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id""".stripMargin)) {
     (spark, dir) =>
+      // tokenized once (localCheckpoint): t0 feeds the gram-position
+      // explode, the token posexplode AND the final length projection
       val t0 = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), Core.tokens(col("text")).as("l"))
+        .localCheckpoint()
       // positional 8-grams hashed IN-ROW to 60-bit md5-prefix keys (the
       // oracle mirrors the hash, so the corpus-width exchanges — distinct,
       // df count, semi-join — carry 8-byte keys, not ~50-byte grams).
@@ -1729,7 +1736,9 @@ object TextOps {
       val toks = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // unigram LM folded from tf (Σ tf per tok ≡ corpus count per tok):
+      // one tokenize+explode pass, one shared exchange (guide §2.3)
+      val lm = tf.groupBy("tok").agg(sum("tf").as("cnt"))
       val tot = lm.agg(sum("cnt").as("total"))
       tf.join(broadcast(lm), "tok")
         .crossJoin(broadcast(tot))
