@@ -195,10 +195,16 @@ object PdfCrypto {
     var i = 0
     var done = false
     var lastE: Array[Byte] = null
-    // one Cipher per derivation, re-keyed per round: getInstance does a
-    // provider walk and was the dominant cost of the ≥64-round loop
-    // (measured ~3x on the x240 gate); doFinal resets it for reuse
+    // one Cipher AND one digest per SHA width per derivation: getInstance
+    // does a provider walk and was the dominant cost of the ≥64-round
+    // loop (measured ~3x on the x240 gate for the cipher; the per-round
+    // MessageDigest walk is the same pattern); doFinal/digest reset both
+    // for reuse
     val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val ds = Array(
+      java.security.MessageDigest.getInstance("SHA-256"),
+      java.security.MessageDigest.getInstance("SHA-384"),
+      java.security.MessageDigest.getInstance("SHA-512"))
     while (!done) {
       val block = pwd ++ k ++ udata
       val k1 = new Array[Byte](block.length * 64)
@@ -211,8 +217,12 @@ object PdfCrypto {
         new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
         new javax.crypto.spec.IvParameterSpec(k, 16, 16))
       lastE = c.doFinal(k1)
-      val mod = (0 until 16).map(x => lastE(x) & 0xff).sum % 3
-      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, lastE)
+      var s = 0
+      var x = 0
+      while (x < 16) { s += lastE(x) & 0xff; x += 1 }
+      val d = ds(s % 3)
+      d.update(lastE)
+      k = d.digest()
       i += 1
       done = i >= 64 && (lastE(lastE.length - 1) & 0xff) <= i - 32
     }

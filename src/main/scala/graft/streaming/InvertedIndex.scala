@@ -275,18 +275,21 @@ object InvertedIndex {
     * ceil(df/cap) chunk rows per term — NOT one unbounded row: a stopword
     * posting list is re-chunked at [[ChunkSize]], never re-materialized
     * as a single array cell). Safe only between runs of the owning query.
-    * Returns (segmentRowsBefore, segmentRowsAfter). */
+    * Returns (segmentRowsBefore, segmentRowsAfter); `counted = false`
+    * skips the row-count scans (report instrumentation — extra segment
+    * scans per compaction) and returns (-1, -1). */
   def compact(spark: SparkSession, indexDir: String): (Long, Long) =
     compact(spark, indexDir, ChunkSize)
 
   def compact(spark: SparkSession, indexDir: String,
-      cap: Int): (Long, Long) = {
+      cap: Int, counted: Boolean = true): (Long, Long) = {
     // stats first: if the posting fold later fails mid-way, a re-run still
     // sees a consistent (if partially folded) pair — each family's fold is
-    // independently idempotent and serving reads either layout
-    foldSegments(spark, statsDir(indexDir), identity)
+    // independently idempotent and serving reads either layout. The stats
+    // fold never counts: no caller reads stats row counts.
+    foldSegments(spark, statsDir(indexDir), identity, counted = false)
     foldSegments(spark, indexDir,
-      df => chunkRows(postings(df), cap))
+      df => chunkRows(postings(df), cap), counted)
   }
 
   /** Fold every `batch_id=N` partition of one segment directory into a
@@ -297,7 +300,7 @@ object InvertedIndex {
     * index family, identity for doc-stats). Returns (rowsBefore,
     * rowsAfter); a directory with no segments folds to (0, 0). */
   private def foldSegments(spark: SparkSession, dir: String,
-      rewrite: DataFrame => DataFrame): (Long, Long) = {
+      rewrite: DataFrame => DataFrame, counted: Boolean = true): (Long, Long) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a fresh/empty index (no segments landed yet) compacts to nothing —
@@ -305,7 +308,7 @@ object InvertedIndex {
     if (!fs.exists(path) || !fs.listStatus(path).exists(s =>
         s.isDirectory && s.getPath.getName.startsWith("batch_id=")))
       return (0L, 0L)
-    val before = readSegmentDir(spark, dir).count()
+    val before = if (counted) readSegmentDir(spark, dir).count() else -1L
     val tmp = new Path(path, "_compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     rewrite(readSegmentDir(spark, dir).drop("batch_id"))
@@ -325,6 +328,6 @@ object InvertedIndex {
         s"InvertedIndex.compact: rename into '$dest' failed; ORIGINALS WERE " +
           s"DELETED — the data survives under '$tmp', restore manually")
     fs.delete(tmp, true)
-    (before, readSegmentDir(spark, dir).count())
+    (before, if (counted) readSegmentDir(spark, dir).count() else -1L)
   }
 }
