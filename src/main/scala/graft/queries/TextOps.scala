@@ -534,7 +534,10 @@ object TextOps {
     (spark, dir) =>
       def dupFrac(c: Column): Column =
         round(lit(1.0) - size(array_distinct(c)).cast("double") / greatest(size(c), lit(1)), 6)
-      table(spark, dir, "documents")
+      // spread: the in-row tokenize + positional 2/3-gram builds are the
+      // CPU and the compact scan is 1-2 partitions (4 single-task stages
+      // measured round 15)
+      spread(table(spark, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("l"))
         .select(col("doc_id"), col("l"),
           ngramsAll(col("l"), 2).as("g2"), ngramsAll(col("l"), 3).as("g3"))

@@ -57,7 +57,11 @@ class RangedZstdSoakSpec extends AnyFunSuite {
     info(s"fixture: ${size / (1 << 20)} MiB, $n records")
 
     val rt = Runtime.getRuntime
-    System.gc()
+    // settle the baseline: in the shared test JVM, sibling suites leave
+    // async-collectable state (checkpoint blocks pending ContextCleaner,
+    // humongous G1 regions) that one gc pass can under-collect — which
+    // would inflate the measured DELTA, not the live set under test
+    (1 to 3).foreach { _ => System.gc(); Thread.sleep(150) }
     val baseline = rt.totalMemory - rt.freeMemory
     @volatile var done = false
     @volatile var peak = baseline
@@ -102,8 +106,19 @@ class RangedZstdSoakSpec extends AnyFunSuite {
     val deltaMiB = (peak - baseline) / (1 << 20)
     info(s"peak used-heap delta $deltaMiB MiB over a " +
       s"${size / (1 << 20)} MiB file")
-    assert(peak - baseline < (1280L << 20),
-      s"live-heap delta $deltaMiB MiB suggests O(file) materialization")
+    // Live-set model: since the round-15 explicit-count spread, the
+    // frame decodes genuinely run CONCURRENTLY (defaultParallelism
+    // tasks × a few copies of one ~4 MiB frame each — before, AQE's
+    // byte-based coalescing silently serialized them), plus sampler lag
+    // and shared-JVM residue from sibling suites. The failure mode under
+    // guard — materializing the FILE — would add the whole ~2.2 GiB;
+    // the bound stays well under it (measured standalone: ~590 MiB).
+    val par = spark.sparkContext.defaultParallelism
+    val bound = math.min((1536L << 20) + par.toLong * (64L << 20),
+      size * 3 / 4)
+    assert(peak - baseline < bound,
+      s"live-heap delta $deltaMiB MiB (bound ${bound / (1 << 20)} MiB) " +
+        "suggests O(file) materialization")
 
     assert(f.delete())
   }
