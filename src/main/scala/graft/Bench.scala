@@ -63,6 +63,18 @@ object Bench {
     }
     def dirFor(name: String): String =
       sampleDir.filter(_ => sampleQueries(name)).getOrElse(sfDir)
+    // Untimed FIXTURE SETUP phase (round 16): every per-(JVM, sf dir)
+    // cached fixture (the x256/x267–x272 on-disk archive corpora) builds
+    // HERE, before the timing loop, so the timed region is honest by
+    // construction — previously run 1 of median-of-3 paid the build and
+    // runs 2–3 skipped it, which shifted the measurement boundary inside
+    // the median. The operator under test (the ranged read) still runs
+    // fully on every repetition; only the one-shot fixture ENCODE (bzip2 /
+    // 7z / zstd-dict sink — gated as operators elsewhere) moves out.
+    // The JSON carries "fixtures_pretimed":true so snapshots are
+    // distinguishable from pre-round-16 ones.
+    for ((name, setup) <- queries.Dataflow.fixtureSetups if wanted.contains(name))
+      setup(spark, dirFor(name))
     // SPARK_GRAFT_BENCH_N=k (default 3): run each query k times and report
     // the per-query MEDIAN — the defense against a contended host, where a
     // single run can absorb another process's CPU burst and read 10-30×
@@ -153,7 +165,18 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // UNTIMED unpersist sweep (round 16): localCheckpoint blocks are
+        // per-invocation — nothing references them once the noop save
+        // returns — but nothing freed them either, so across 303 queries
+        // × 3 runs they accumulated in the shared 8 g heap's storage pool
+        // and competed with execution memory exactly when 32 tasks run
+        // (guide §5 "unpersist when done"; the round-15 32-core-only
+        // regressions). Blocking so cleanup cannot bleed into the next
+        // timed region.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        (dt, ok)
       }
       var times = (1 to runsPerQuery).map(_ => once()).toVector
       val prior = priorTimes.get(shortKey(name))
@@ -209,7 +232,7 @@ object Bench {
       results.collect { case (k, _, _, _) if sampleQueries(k) => "\"" + shortKey(k) + "\"" }
         .mkString(""""sampled":[""", ",", "],")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$failed$outliers$rerunsTag$runsTag$sampledTag"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$failed$outliers$rerunsTag$runsTag$sampledTag"fixtures_pretimed":true,"sf":"$sfName"}"""
     println(json)
     // stdout passes through sbt's logger with an [info] prefix, which breaks
     // naive line parsers — also drop the bare JSON at a well-known path.

@@ -48,18 +48,33 @@ object Components {
     // same code degrades to the standard shuffled CC loop.
     val e = edges.localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint()
+    // FRONTIER (round 16, guide §2.3/§2.4): only nodes whose label CHANGED
+    // last round need to re-announce — a neighbor already folded every
+    // earlier announcement into its own label via least(old, …), and
+    // labels only ever decrease, so a message from an unchanged node can
+    // never beat what its neighbors already hold. Round 1 announces from
+    // every node (frontier = all labels); after that the message join's
+    // input shrinks monotonically with the frontier while the fixpoint —
+    // and hence the declared result — is unchanged (ComponentsSpec's
+    // brute-force union-find arm pins it). The pointer jump still reads
+    // the FULL label table: jumps chase reps of stable nodes too.
+    var frontier = labels
     var changed = 1L
     var iter = 0
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     // One propagate+jump per materialized round. (Chaining k lazy
-    // advances per checkpoint was measured this round as a 30× wall-time
+    // advances per checkpoint was measured in round 15 as a 30× wall-time
     // blowup at k = 3: each advance references its input four times, so
-    // the un-checkpointed plan grows 4^k-fold.)
+    // the un-checkpointed plan grows 4^k-fold. Round 16 re-tested the
+    // cheaper-looking variant — 3 chained PURE jump joins whose right
+    // side is the already-checkpointed labels table — and it was worse
+    // still: >15 min vs ~4.6 s steady for x153s, the left subtree still
+    // multiplying through every jump during analysis/planning.)
     while (changed > 0 && iter < maxIter) {
-      // neighbor messages, min-combined per node (map-side combine); the
-      // self-label rides the join below instead of a union, so the labels
-      // table itself is never re-shuffled
-      val m = e.join(labels, e("dst") === labels("id"))
+      // neighbor messages from the frontier only, min-combined per node
+      // (map-side combine); the self-label rides the join below instead
+      // of a union, so the labels table itself is never re-shuffled
+      val m = e.join(frontier, e("dst") === frontier("id"))
         .groupBy(e("src").as("id")).agg(min("rep").as("mrep"))
       val one = labels.withColumnRenamed("rep", "old")
         .join(m, Seq("id"), "left_outer")
@@ -75,8 +90,16 @@ object Components {
           least(col("rep"), coalesce(col("jrep"), col("rep"))).as("rep"))
         .localCheckpoint()
       // the convergence count reads the materialized step rows — no
-      // recompute, no extra join
+      // recompute, no extra join; the same materialized rows serve as the
+      // next round's frontier (changed rows only). (A LAZY checkpoint
+      // folding materialization into the count — one job per round
+      // instead of two — was measured SLOWER here: x37 1.4→1.9 s, x153s
+      // ~4.6→~5.0 s steady-state; the count-with-filter job over the
+      // unmaterialized plan schedules its broadcast/AQE stages less
+      // favorably than the plain eager materialization + block-read
+      // count.)
       changed = step.filter(col("rep") < col("old")).count()
+      frontier = step.filter(col("rep") < col("old")).select("id", "rep")
       labels = step.select("id", "rep")
       iter += 1
     }

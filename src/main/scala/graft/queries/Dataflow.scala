@@ -5862,6 +5862,35 @@ object Dataflow {
   private val x256Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** x256 fixture build (SETUP, not the operator under test): one
+    * bzip2-encode + write of the dump/index pair per (JVM, sf dir).
+    * Named so [[graft.Bench]] can run it in its untimed setup phase
+    * (via [[fixtureSetups]]) — the timed region then measures only the
+    * index parse + range fetch, never the from-scratch bzip2 ENCODER
+    * (~1 MB/s). Idempotent: standalone callers (Verify, tests) hit the
+    * same computeIfAbsent on first use. */
+  private[graft] def x256FixtureDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    x256Fixtures.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import graft.functions.Bzip2
+      val t = java.nio.file.Files.createTempDirectory("x256_dumps")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val (bytes, lines) = multistreamDumpIndexed(id)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(t, s"$id.xml.bz2"), bytes)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(t, s"$id-index.txt.bz2"),
+              Bzip2.encode((lines.mkString("\n") + "\n").getBytes("UTF-8")))
+          }
+        }
+      t
+    })
+
   /** x256: RANDOM-ACCESS PAGE FETCH over the published multistream
     * INDEX — the whole point of the multistream distribution: a
     * `…-index.txt.bz2` of `offset:pageid:title` lines lets a reader
@@ -5892,27 +5921,10 @@ object Dataflow {
     (spark, dir) =>
       import spark.implicits._
       import graft.functions.Bzip2
-      // fixture build is SETUP, not the operator under test (the x267
-      // setup-caching note): one bzip2-encode + write of the dump/index
-      // pair per (JVM, sf dir); bench repetitions measure the index parse
-      // + range fetch, not the from-scratch bzip2 ENCODER (~1 MB/s)
-      val tmp = Dataflow.x256Fixtures.computeIfAbsent(dir, { _ =>
-        val t = java.nio.file.Files.createTempDirectory("x256_dumps")
-          .toFile.getAbsolutePath
-        spread(table(spark, dir, "documents").select(col("doc_id")))
-          .as[Long]
-          .foreachPartition { (it: Iterator[Long]) =>
-            it.foreach { id =>
-              val (bytes, lines) = multistreamDumpIndexed(id)
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(t, s"$id.xml.bz2"), bytes)
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(t, s"$id-index.txt.bz2"),
-                Bzip2.encode((lines.mkString("\n") + "\n").getBytes("UTF-8")))
-            }
-          }
-        t
-      })
+      // fixture build is SETUP, not the operator under test: built in
+      // Bench's untimed setup phase (fixtureSetups); first-use fallback
+      // here for standalone callers (see x256FixtureDir)
+      val tmp = Dataflow.x256FixtureDir(spark, dir)
       val idx = graft.streaming.Pipelines.wikidumpIndexLines(
           spark.read.format("binaryFile")
             .option("pathGlobFilter", "*-index.txt.bz2")
@@ -6259,6 +6271,40 @@ object Dataflow {
     * setup note). */
   private val x267Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x267 fixture build — see the x256FixtureDir note: Bench runs this
+    * untimed via [[fixtureSetups]]; first use elsewhere builds on demand. */
+  private[graft] def x267FixtureDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    x267Fixtures.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val t = java.nio.file.Files.createTempDirectory("x267_sedump")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val xml = sedumpPostsFixtureXml(id)
+            val arc = SevenZip.build(
+              Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+              encodedHeader = id % 2 == 1,
+              chainFor = _ =>
+                // exotic branch-converter chain (a non-x86 arch):
+                // unstreamable in BOTH modes — the routing arm
+                if (id % 17 == 0 && id % 13 != 0)
+                  Some((0x05L, Array.empty[Byte]))
+                else None,
+              coderFor = _ =>
+                if (id % 3 == 0) 0
+                else if (id % 5 == 0) 2 // raw LZMA1: streams ranged too
+                else 1) // Copy / LZMA2
+            val arm = if (id % 13 == 0) arc.dropRight(5) else arc
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(t, s"$id.7z"), arm)
+          }
+        }
+      t
+    })
 
   /** The 3-post `Posts.xml` both SE-dump ingest gates build (x263
     * bounded, x267 ranged) — SAME text formulas so both oracles state
@@ -6626,35 +6672,10 @@ object Dataflow {
     (spark, dir) =>
       import spark.implicits._
       import graft.functions.SevenZip
-      // fixture build is SETUP, not the operator under test: one write
-      // per (JVM, sf dir), so bench repetitions measure the ranged read
-      val tmp = Dataflow.x267Fixtures.computeIfAbsent(dir, { _ =>
-        val t = java.nio.file.Files.createTempDirectory("x267_sedump")
-          .toFile.getAbsolutePath
-        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
-          .foreachPartition { (it: Iterator[Long]) =>
-            it.foreach { id =>
-              val xml = sedumpPostsFixtureXml(id)
-              val arc = SevenZip.build(
-                Seq(("Posts.xml", xml.getBytes("UTF-8"))),
-                encodedHeader = id % 2 == 1,
-                chainFor = _ =>
-                  // exotic branch-converter chain (a non-x86 arch):
-                  // unstreamable in BOTH modes — the routing arm
-                  if (id % 17 == 0 && id % 13 != 0)
-                    Some((0x05L, Array.empty[Byte]))
-                  else None,
-                coderFor = _ =>
-                  if (id % 3 == 0) 0
-                  else if (id % 5 == 0) 2 // raw LZMA1: streams ranged too
-                  else 1) // Copy / LZMA2
-              val arm = if (id % 13 == 0) arc.dropRight(5) else arc
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(t, s"$id.7z"), arm)
-            }
-          }
-        t
-      })
+      // fixture build is SETUP, not the operator under test: built in
+      // Bench's untimed setup phase (fixtureSetups); bench repetitions
+      // measure the ranged read
+      val tmp = Dataflow.x267FixtureDir(spark, dir)
       val paths = table(spark, dir, "documents").select(
         concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
       graft.streaming.Pipelines.sedumpPostsRanged(paths)
@@ -6670,6 +6691,34 @@ object Dataflow {
   /** x268's fixture directories (the x267 setup-caching note applies). */
   private val x268Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x268 fixture build — dictionary training + .warc.zst sink (x264/
+    * x265's operators, gated there). Bench runs this untimed via
+    * [[fixtureSetups]]; first use elsewhere builds on demand. */
+  private[graft] def x268FixtureDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    x268Fixtures.computeIfAbsent(dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("x268_ranged")
+        .toFile.getAbsolutePath
+      val boiler = "HTTP/1.1 200 OK | Content-Type: text/html; " +
+        "charset=utf-8 | Server: graft-origin/2.4 (corpus mirror tier) | " +
+        "Cache-Control: max-age=86400, public | " +
+        "X-Crawl-Tier: curated-common-corpus | " +
+        "<!doctype html><html lang=en><head><meta charset=utf-8>" +
+        "<title>corpus page</title></head><body><main id=content>"
+      val recs = table(spark, dir, "documents").select(col("doc_id"))
+        .select(
+          concat(lit("http://d"), col("doc_id"), lit(".example/p")).as("uri"),
+          lit("2024-01-01T00:00:00Z").as("date"),
+          concat(lit(boiler), lit("doc "), col("doc_id"), lit(" tail "),
+            col("doc_id") % 7, lit("</main></body></html>"))
+            .cast("binary").as("payload"))
+        .repartition(4)
+      val dict = graft.streaming.Pipelines.trainWarcDict(
+        recs, maxSamples = 1024, dictBytes = 4 << 10)
+      graft.streaming.Pipelines.warcZstSink(recs, t, dict = Some(dict))
+      t
+    })
 
   /** x268: RANGED WARC.ZST INGEST — the zstd member of the ranged
     * trio, lifting the column path's 2 GB bound for crawl monoliths:
@@ -6706,32 +6755,10 @@ object Dataflow {
       |FROM p ORDER BY media_id""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
-      // fixture build is SETUP, not the operator under test (the x267
-      // setup-caching note): the dictionary training + .warc.zst sink —
-      // x264/x265's operators, gated there — run once per (JVM, sf dir);
-      // bench repetitions measure the RANGED READ
-      val tmp = Dataflow.x268Fixtures.computeIfAbsent(dir, { _ =>
-        val t = java.nio.file.Files.createTempDirectory("x268_ranged")
-          .toFile.getAbsolutePath
-        val boiler = "HTTP/1.1 200 OK | Content-Type: text/html; " +
-          "charset=utf-8 | Server: graft-origin/2.4 (corpus mirror tier) | " +
-          "Cache-Control: max-age=86400, public | " +
-          "X-Crawl-Tier: curated-common-corpus | " +
-          "<!doctype html><html lang=en><head><meta charset=utf-8>" +
-          "<title>corpus page</title></head><body><main id=content>"
-        val recs = table(spark, dir, "documents").select(col("doc_id"))
-          .select(
-            concat(lit("http://d"), col("doc_id"), lit(".example/p")).as("uri"),
-            lit("2024-01-01T00:00:00Z").as("date"),
-            concat(lit(boiler), lit("doc "), col("doc_id"), lit(" tail "),
-              col("doc_id") % 7, lit("</main></body></html>"))
-              .cast("binary").as("payload"))
-          .repartition(4)
-        val dict = graft.streaming.Pipelines.trainWarcDict(
-          recs, maxSamples = 1024, dictBytes = 4 << 10)
-        graft.streaming.Pipelines.warcZstSink(recs, t, dict = Some(dict))
-        t
-      })
+      // fixture build is SETUP, not the operator under test: built in
+      // Bench's untimed setup phase (fixtureSetups); bench repetitions
+      // measure the RANGED READ
+      val tmp = Dataflow.x268FixtureDir(spark, dir)
       val listing = spark.read.format("binaryFile").load(tmp)
         .select(regexp_replace(col("path"), "^file:", "").as("path"))
       graft.streaming.Pipelines.warcZstRanged(listing)
@@ -6749,6 +6776,27 @@ object Dataflow {
     * setup-caching note applies). */
   private val x269Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x269 fixture build — see the x256FixtureDir note. */
+  private[graft] def x269FixtureDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    x269Fixtures.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val t = java.nio.file.Files.createTempDirectory("x269_sedump")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val arc = SevenZip.build(sedumpTablesFixture(id),
+              encodedHeader = id % 4 < 2,
+              coderFor = _ => if (id % 2 == 0) 0 else 1)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(t, s"$id.7z"), arc)
+          }
+        }
+      t
+    })
 
   /** x269: RANGED SE-DUMP RELATIONAL — x266's composition (generic
     * attribute tables, LEFT owner join for ownerless posts, map-side
@@ -6780,21 +6828,8 @@ object Dataflow {
     (spark, dir) =>
       import spark.implicits._
       import graft.functions.SevenZip
-      val tmp = Dataflow.x269Fixtures.computeIfAbsent(dir, { _ =>
-        val t = java.nio.file.Files.createTempDirectory("x269_sedump")
-          .toFile.getAbsolutePath
-        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
-          .foreachPartition { (it: Iterator[Long]) =>
-            it.foreach { id =>
-              val arc = SevenZip.build(sedumpTablesFixture(id),
-                encodedHeader = id % 4 < 2,
-                coderFor = _ => if (id % 2 == 0) 0 else 1)
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(t, s"$id.7z"), arc)
-            }
-          }
-        t
-      })
+      // fixture build: Bench untimed setup phase (fixtureSetups)
+      val tmp = Dataflow.x269FixtureDir(spark, dir)
       val paths = table(spark, dir, "documents").select(
         concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
       def tbl(member: String, attrs: Seq[String]) =
@@ -6826,6 +6861,27 @@ object Dataflow {
   /** x270's fixture directories (the x267 setup-caching note applies). */
   private val x270Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x270 fixture build — see the x256FixtureDir note. */
+  private[graft] def x270FixtureDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    x270Fixtures.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val t = java.nio.file.Files.createTempDirectory("x270_lzma1")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val arc = SevenZip.build(sedumpTablesFixture(id),
+              encodedHeader = id % 2 == 0,
+              coderFor = _ => 2) // every member raw LZMA1
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(t, s"$id.7z"), arc)
+          }
+        }
+      t
+    })
 
   /** x270: RANGED SE-DUMP OVER RAW-LZMA1 ARCHIVES — the coder
     * pre-2015 7-Zip wrote by DEFAULT, so a large slice of real
@@ -6863,21 +6919,8 @@ object Dataflow {
     (spark, dir) =>
       import spark.implicits._
       import graft.functions.SevenZip
-      val tmp = Dataflow.x270Fixtures.computeIfAbsent(dir, { _ =>
-        val t = java.nio.file.Files.createTempDirectory("x270_lzma1")
-          .toFile.getAbsolutePath
-        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
-          .foreachPartition { (it: Iterator[Long]) =>
-            it.foreach { id =>
-              val arc = SevenZip.build(sedumpTablesFixture(id),
-                encodedHeader = id % 2 == 0,
-                coderFor = _ => 2) // every member raw LZMA1
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(t, s"$id.7z"), arc)
-            }
-          }
-        t
-      })
+      // fixture build: Bench untimed setup phase (fixtureSetups)
+      val tmp = Dataflow.x270FixtureDir(spark, dir)
       val paths = table(spark, dir, "documents").select(
         concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
       def tbl(member: String, attrs: Seq[String]) =
@@ -6909,6 +6952,41 @@ object Dataflow {
   /** x271's fixture directories (the x267 setup-caching note applies). */
   private val x271Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x271 fixture build — see the x256FixtureDir note. */
+  private[graft] def x271FixtureDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    x271Fixtures.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val t = java.nio.file.Files.createTempDirectory("x271_chained")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val xml = sedumpPostsFixtureXml(id)
+            val chains: Int => Option[(Long, Array[Byte])] = _ =>
+              if (id % 17 == 0 && id % 13 != 0)
+                Some((0x05L, Array.empty[Byte])) // exotic: routes
+              else (id % 3) match {
+                case 0 => None
+                case 1 => Some((0x03L, Array[Byte]((id % 4).toByte)))
+                case _ => Some((
+                  if (id % 2 == 0) 0x04L else 0x03030103L,
+                  Array.empty[Byte]))
+              }
+            val arc = SevenZip.build(
+              Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+              encodedHeader = id % 2 == 1,
+              chainFor = chains,
+              coderFor = _ => if (id % 5 == 0) 2 else 1)
+            val arm = if (id % 13 == 0) arc.dropRight(5) else arc
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(t, s"$id.7z"), arm)
+          }
+        }
+      t
+    })
 
   /** x271: RANGED SE-DUMP OVER FILTER-CHAINED ARCHIVES — delta and
     * BCJ-x86 folders (`-mf=…`, the real-world chained layout x262/x263
@@ -6948,35 +7026,8 @@ object Dataflow {
     (spark, dir) =>
       import spark.implicits._
       import graft.functions.SevenZip
-      val tmp = Dataflow.x271Fixtures.computeIfAbsent(dir, { _ =>
-        val t = java.nio.file.Files.createTempDirectory("x271_chained")
-          .toFile.getAbsolutePath
-        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
-          .foreachPartition { (it: Iterator[Long]) =>
-            it.foreach { id =>
-              val xml = sedumpPostsFixtureXml(id)
-              val chains: Int => Option[(Long, Array[Byte])] = _ =>
-                if (id % 17 == 0 && id % 13 != 0)
-                  Some((0x05L, Array.empty[Byte])) // exotic: routes
-                else (id % 3) match {
-                  case 0 => None
-                  case 1 => Some((0x03L, Array[Byte]((id % 4).toByte)))
-                  case _ => Some((
-                    if (id % 2 == 0) 0x04L else 0x03030103L,
-                    Array.empty[Byte]))
-                }
-              val arc = SevenZip.build(
-                Seq(("Posts.xml", xml.getBytes("UTF-8"))),
-                encodedHeader = id % 2 == 1,
-                chainFor = chains,
-                coderFor = _ => if (id % 5 == 0) 2 else 1)
-              val arm = if (id % 13 == 0) arc.dropRight(5) else arc
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(t, s"$id.7z"), arm)
-            }
-          }
-        t
-      })
+      // fixture build: Bench untimed setup phase (fixtureSetups)
+      val tmp = Dataflow.x271FixtureDir(spark, dir)
       val paths = table(spark, dir, "documents").select(
         concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
       graft.streaming.Pipelines.sedumpPostsRanged(paths)
@@ -6992,6 +7043,54 @@ object Dataflow {
   /** x272's fixture directories (the x267 setup-caching note applies). */
   private val x272Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x272 fixture build — see the x256FixtureDir note. */
+  private[graft] def x272FixtureDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    x272Fixtures.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import graft.functions.SevenZip
+      val t = java.nio.file.Files.createTempDirectory("x272_capstone")
+        .toFile.getAbsolutePath
+      spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          def esc(s: String) = s.replace("&", "&amp;")
+            .replace("<", "&lt;").replace("\"", "&quot;")
+          it.foreach { id =>
+            val note =
+              if (id % 7 == 0) "<p>no</p>"
+              else s"<p>Note $id: a > b\nc</p>"
+            val xml =
+              s"""<?xml version="1.0"?><posts>""" +
+                s"""<row Id="${id * 10 + 1}" PostTypeId="1" Body="${esc(
+                  s"<p>Question body ${id % 37} &amp; more.</p>")}" />""" +
+                s"""<row Id="${id * 10 + 2}" PostTypeId="2" Body="${esc(
+                  s"<p>Answer for ${id % 53}</p>" +
+                    "<pre><code>x &lt; 1</code></pre>")}" />""" +
+                s"""<row Id="${id * 10 + 3}" PostTypeId="3" """ +
+                s"""Body="${esc(note)}" /></posts>"""
+            val chains: Int => Option[(Long, Array[Byte])] = _ =>
+              if (id % 17 == 0 && id % 13 != 0)
+                Some((0x05L, Array.empty[Byte])) // exotic: routes
+              else (id % 3) match {
+                case 1 => Some((0x03L, Array[Byte]((id % 4).toByte)))
+                case 2 => Some((
+                  if (id % 2 == 0) 0x04L else 0x03030103L,
+                  Array.empty[Byte]))
+                case _ => None
+              }
+            val arc = SevenZip.build(
+              Seq(("Posts.xml", xml.getBytes("UTF-8"))),
+              encodedHeader = id % 2 == 1,
+              chainFor = chains,
+              coderFor = _ => ((id % 5) % 3).toInt)
+            val arm = if (id % 13 == 0) arc.dropRight(5) else arc
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(t, s"$id.7z"), arm)
+          }
+        }
+      t
+    })
 
   /** x272: SE-DUMP CAPSTONE — the ranged front door FEEDS the curation
     * pipeline end-to-end in ONE declarative plan: `.7z` site dumps on
@@ -7035,48 +7134,8 @@ object Dataflow {
     (spark, dir) =>
       import spark.implicits._
       import graft.functions.SevenZip
-      val tmp = Dataflow.x272Fixtures.computeIfAbsent(dir, { _ =>
-        val t = java.nio.file.Files.createTempDirectory("x272_capstone")
-          .toFile.getAbsolutePath
-        spread(table(spark, dir, "documents").select(col("doc_id"))).as[Long]
-          .foreachPartition { (it: Iterator[Long]) =>
-            def esc(s: String) = s.replace("&", "&amp;")
-              .replace("<", "&lt;").replace("\"", "&quot;")
-            it.foreach { id =>
-              val note =
-                if (id % 7 == 0) "<p>no</p>"
-                else s"<p>Note $id: a > b\nc</p>"
-              val xml =
-                s"""<?xml version="1.0"?><posts>""" +
-                  s"""<row Id="${id * 10 + 1}" PostTypeId="1" Body="${esc(
-                    s"<p>Question body ${id % 37} &amp; more.</p>")}" />""" +
-                  s"""<row Id="${id * 10 + 2}" PostTypeId="2" Body="${esc(
-                    s"<p>Answer for ${id % 53}</p>" +
-                      "<pre><code>x &lt; 1</code></pre>")}" />""" +
-                  s"""<row Id="${id * 10 + 3}" PostTypeId="3" """ +
-                  s"""Body="${esc(note)}" /></posts>"""
-              val chains: Int => Option[(Long, Array[Byte])] = _ =>
-                if (id % 17 == 0 && id % 13 != 0)
-                  Some((0x05L, Array.empty[Byte])) // exotic: routes
-                else (id % 3) match {
-                  case 1 => Some((0x03L, Array[Byte]((id % 4).toByte)))
-                  case 2 => Some((
-                    if (id % 2 == 0) 0x04L else 0x03030103L,
-                    Array.empty[Byte]))
-                  case _ => None
-                }
-              val arc = SevenZip.build(
-                Seq(("Posts.xml", xml.getBytes("UTF-8"))),
-                encodedHeader = id % 2 == 1,
-                chainFor = chains,
-                coderFor = _ => ((id % 5) % 3).toInt)
-              val arm = if (id % 13 == 0) arc.dropRight(5) else arc
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(t, s"$id.7z"), arm)
-            }
-          }
-        t
-      })
+      // fixture build: Bench untimed setup phase (fixtureSetups)
+      val tmp = Dataflow.x272FixtureDir(spark, dir)
       val paths = table(spark, dir, "documents").select(
         concat(lit(tmp + "/"), col("doc_id"), lit(".7z")).as("path"))
       graft.streaming.Pipelines.sedumpPostsRanged(paths)
@@ -7094,6 +7153,23 @@ object Dataflow {
           col("keeper.p").as("post_id"), col("text"), col("n_dups"))
         .orderBy("media_id", "post_id")
   }
+
+  /** Every per-(JVM, sf dir) cached fixture build, keyed by the query that
+    * needs it. [[graft.Bench]] runs these in its explicit UNTIMED setup
+    * phase (before the timing loop), so the timed region is honest by
+    * construction: no run of a measured query — first or later — pays for
+    * (or skips) fixture construction. Standalone callers (Verify, specs)
+    * that never ran setup still build on first use via the same
+    * computeIfAbsent, so results are unchanged everywhere. */
+  val fixtureSetups: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
+    Seq(
+      "x256_wikidump_fetch" -> ((s, d) => { x256FixtureDir(s, d); () }),
+      "x267_sedump_ranged" -> ((s, d) => { x267FixtureDir(s, d); () }),
+      "x268_warczst_ranged" -> ((s, d) => { x268FixtureDir(s, d); () }),
+      "x269_sedump_ranged_relational" -> ((s, d) => { x269FixtureDir(s, d); () }),
+      "x270_sedump_lzma1_ranged" -> ((s, d) => { x270FixtureDir(s, d); () }),
+      "x271_sedump_chained_ranged" -> ((s, d) => { x271FixtureDir(s, d); () }),
+      "x272_sedump_ranged_corpus" -> ((s, d) => { x272FixtureDir(s, d); () }))
 
   val all: Seq[DQ] = Seq(x01, x11, x102, x103, x104, x107, x108, x123, x125,
     x126, x127, x132, x133, x134, x135, x136, x137, x138, x139, x140, x141,

@@ -449,14 +449,53 @@ object Relational {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) {
     (spark, dir) =>
-      // spread: the sort-based percentile partial agg is the CPU; one
-      // single-row-group scan task would run it alone.
-      spread(table(spark, dir, "orders").select("o_orderpriority", "o_totalprice"))
-        .groupBy("o_orderpriority")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
-          count(lit(1)).as("n"))
+      // Round 16 (guide §1.2 step 2 / §4): `percentile()` aggregates
+      // through an interpreted ObjectHashAggregate whose per-(group,
+      // partition) state is an OpenHashMap of EVERY distinct value,
+      // built twice (one buffer per requested percentile), serialized
+      // whole through the exchange and merged per group on one core —
+      // the values are near-unique, so "partial" aggregation reduced
+      // nothing and the query anti-scaled (driver r15: 2.2 s at 32
+      // cores, 0.7 s at 8). Equivalent whole-stage-codegen plan: ONE
+      // exchange partitions by group, row_number() ranks values within
+      // each group, and the two order statistics per percentile
+      // interpolate with the EXACT formula of Spark's
+      // Percentile.getPercentile ((higher-pos)*lo + (pos-lower)*hi,
+      // lo when the indices coincide) — value-at-rank is deterministic
+      // under ties because tied rows hold equal values, so the declared
+      // result is bit-identical. The groupBy rides the window's
+      // partitioning (§2.4: no second exchange).
+      val wSort = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      val wAll = Window.partitionBy("o_orderpriority")
+      val ranked = table(spark, dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .withColumn("rn", row_number().over(wSort))
+        .withColumn("n", count(lit(1)).over(wAll))
+      def ordStats(p: Double, tag: String) = {
+        val pos = lit(p) * (col("n") - 1).cast("double")
+        Seq(
+          max(when(col("rn") === floor(pos) + 1, col("o_totalprice")))
+            .as(s"lo$tag"),
+          max(when(col("rn") === ceil(pos) + 1, col("o_totalprice")))
+            .as(s"hi$tag"))
+      }
+      val aggCols = ordStats(0.5, "50") ++ ordStats(0.9, "90") :+
+        count(lit(1)).as("n")
+      def interp(p: Double, lo: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column) = {
+        val pos = lit(p) * (col("n") - 1).cast("double")
+        val lower = floor(pos)
+        val higher = ceil(pos)
+        round(when(higher === lower, lo)
+          .otherwise((higher.cast("double") - pos) * lo +
+            (pos - lower.cast("double")) * hi), 6)
+      }
+      ranked.groupBy("o_orderpriority")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col("o_orderpriority"),
+          interp(0.5, col("lo50"), col("hi50")).as("p50"),
+          interp(0.9, col("lo90"), col("hi90")).as("p90"),
+          col("n"))
         .orderBy("o_orderpriority")
   }
 
