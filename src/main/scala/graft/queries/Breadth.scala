@@ -962,7 +962,14 @@ object Breadth {
           slice(col("l"), lit(1), size(col("l")) - 1),
           expr("slice(l, 2, size(l) - 1)"),
           (a, b) => concat(a, lit(" "), b))).as("g"))
-      val sk = toks.as[(String, String)]
+      // Round 16 (§2.3): ONE tokenize+explode pass — the distinct
+      // (lang, bigram) set materializes once and feeds the KMV sketch
+      // build, the per-lang exact counts AND both sides of the exact
+      // intersection self-join (previously the sketch aggregated from a
+      // separate full pass over the raw bigram stream; Kmv.reduce dedups
+      // by hash, so the sketch of the distinct set is the SAME sketch).
+      val sets = toks.distinct().localCheckpoint()
+      val sk = sets.as[(String, String)]
         .groupByKey(_._1).mapValues(_._2)
         .agg(new graft.batch.Sketches.KmvValues(K).toColumn.name("sk"))
         .toDF("lang", "sk")
@@ -982,8 +989,7 @@ object Breadth {
               "filter(u, h -> array_contains(sa, h) AND array_contains(sb, h))"))
               .cast("double") / size(col("u"))))
         .select("l1", "l2", "est_union", "est_j")
-      // exact side: distinct (lang, bigram) sets, pair intersections
-      val sets = toks.distinct()
+      // exact side: the same distinct (lang, bigram) sets, pair intersections
       val nl = sets.groupBy("lang").agg(count(lit(1)).as("nd"))
       val inter = sets.select(col("lang").as("l1"), col("g"))
         .join(sets.select(col("lang").as("l2"), col("g")), Seq("g"))

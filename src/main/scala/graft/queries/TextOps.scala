@@ -1397,7 +1397,13 @@ object TextOps {
       // winning only 1.4× at 100× (35.8 s vs 49.2 s) where the candidate
       // texts' broadcast nears its limit — so broadcast stays the declared
       // plan, and a corpus whose candidate set outgrows broadcast should
-      // drop the hints and take the shuffle-join shape
+      // drop the hints and take the shuffle-join shape. (Round 16 also
+      // A/B'd a one-scan variant — candidate ids broadcast into a single
+      // text fetch, both pair sides reading the materialized (id, text)
+      // frame: ~2.1 → ~2.5 s, and ~3.8 s with the pair list checkpointed;
+      // the extra materialization jobs cost more than the second
+      // columnar scan saves at any SF where the candidates broadcast, so
+      // the two-scan broadcast chain stays.)
       val withT1 = docs.join(broadcast(pairs), col("doc_id") === col("id1"))
         .select(col("id1"), col("id2"), col("text").as("t1"))
       docs.join(broadcast(withT1), col("doc_id") === col("id2"))
@@ -2359,19 +2365,30 @@ object TextOps {
       // the second explode at sf0.1)
       val lm = tf.groupBy("tok").agg(sum("tf").as("cnt"))
       val tot = lm.agg(sum("cnt").as("total"))
+      // n_toks rides the scoring aggregate (round 16): Σ tf per doc ≡
+      // size(l) — the tf rows ARE the exploded tokens — so the stage-4
+      // join back to dd (which re-evaluated the whole tokenize+dedup
+      // pipeline a second time) is pure recompute and drops out.
       val scored = tf.join(broadcast(lm), "tok")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(round(
           sum(col("tf") * log(col("total").cast("double") / col("cnt"))) /
-            sum("tf"), 6).as("nll"))
+            sum("tf"), 6).as("nll"),
+          sum("tf").as("n_toks"))
+        // (doc_id, nll, n_toks) — three scalars per surviving doc, NOT the
+        // token-array frame the round-15 note below rejects. Its consumers
+        // are three separate evaluations (globalRank's ranged + offsets
+        // branches, the tertile count): checkpointing collapses the
+        // tokenize → dedup → tf → LM pipeline to ONE run (measured
+        // ~3.8 → ~1.8 s steady at local[32] sf0.1).
+        .localCheckpoint()
       // stage 4: keep head+middle tertiles via the two-pass global rank
       val ranked = graft.batch.Joins.globalRank(scored, 32, "nll", "doc_id")
       val n = scored.agg(count(lit(1)).as("n"))
       val kept = ranked.crossJoin(broadcast(n))
         .filter(col("global_rank") * 3 <= col("n") * 2)
-        .select(col("doc_id"), col("nll"))
-        .join(dd.select("doc_id", "n_toks"), "doc_id")
+        .select(col("doc_id"), col("nll"), col("n_toks"))
       // stage 5: packing layout via the distributed prefix sum
       graft.batch.Joins.globalCumSum(kept, 32, "n_toks", "doc_id")
         .select(col("doc_id"), col("n_toks"), col("nll"),
@@ -2633,26 +2650,30 @@ object TextOps {
       }: _*)
       val t0 = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("l"))
-      // one materialization: the distinct 8-gram set feeds the Bloom bits
-      // agg, the prior-member digest set AND the probe side — without it
-      // the tokenize→shingle→distinct pipeline ran three times
-      val grams = t0
+      // Round 16 (§2.3/§2.4): ONE gram-keyed exchange replaces the round-15
+      // three-consumer distinct. Per-gram parity flags (has0 = seen in the
+      // prior member, has1 = seen in the probe member) aggregate map-side
+      // straight off the shingle explode — no (par, g) distinct pre-pass —
+      // and is_dup IS has0, so the md5-digest build + its sort-merge join
+      // back onto the probe side drop out entirely (r15 plan: distinct
+      // exchange + priorM distinct exchange + SMJ; now: one hash agg).
+      val gstat = t0
         .select((col("doc_id") % 2).as("par"),
           explode(wordNgrams(col("l"), 8)).as("g"))
-        .distinct().localCheckpoint()
-      val prior = grams.filter(col("par") === 0).select(col("g"))
-      val bits = prior.select(buckets(col("g")).as("hs"))
+        .groupBy("g")
+        .agg(max(when(col("par") === 0, 1).otherwise(0)).as("has0"),
+          max(when(col("par") === 1, 1).otherwise(0)).as("has1"))
+        .localCheckpoint() // feeds the Bloom bits agg AND the probe side
+      val bits = gstat.filter(col("has0") === 1)
+        .select(buckets(col("g")).as("hs"))
         .agg(BloomBits.bloomBits(col("hs"), M).as("bits"))
-      val priorM = prior.select(md5(col("g")).as("gm")).distinct()
-        .withColumn("is_dup", lit(true))
-      grams.filter(col("par") === 1)
-        .select(md5(col("g")).as("gm"), buckets(col("g")).as("hs"))
+      gstat.filter(col("has1") === 1)
+        .select(md5(col("g")).as("gm"), buckets(col("g")).as("hs"),
+          (col("has0") === 1).as("is_dup"))
         .crossJoin(broadcast(bits))
         .withColumn("flagged", expr(
           "forall(hs, h -> (element_at(bits, cast(h div 64 as int) + 1) & " +
             "shiftleft(cast(1 as bigint), cast(h % 64 as int))) != 0)"))
-        .join(priorM, Seq("gm"), "left_outer")
-        .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
         .withColumn("bucket", substring(col("gm"), 1, 1))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_new"),
