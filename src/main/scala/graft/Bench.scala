@@ -28,6 +28,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // The between-runs unpersist sweep (below) frees localCheckpoint
+    // blocks that are dead by design; Spark WARNs once per such RDD that
+    // its lineage cannot be recomputed — true, intended, and noise at
+    // 300+ queries, so keep the tail window clean for the JSON line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Untimed warmup: exercise each table family's parquet scan plus
     // shuffle/sort/codegen once so the first measured query per family
