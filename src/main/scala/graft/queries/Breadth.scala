@@ -446,20 +446,19 @@ object Breadth {
       |  round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)) {
     (spark, dir) =>
-      // one percentile buffer per group (array form), not three — the
-      // value-count map is the expensive part, so ask it all three
-      // questions in a single pass; spread first or the partial buffers
-      // build on the compact scan's 1-2 partitions (q18/x24 posture)
-      spread(table(spark, dir, "lineitem")
-          .select("l_returnflag", "l_extendedprice"))
-        .groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).as("n"),
-          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))").as("ps"))
-        .select(col("l_returnflag"), col("n"),
-          round(col("ps").getItem(0), 6).as("p25"),
-          round(col("ps").getItem(1), 6).as("p50"),
-          round(col("ps").getItem(2), 6).as("p90"))
+      // Round 16: order-statistics plan via Joins.exactPercentiles — the
+      // interpreted percentile() value-count map (one OpenHashMap of
+      // 600k near-unique prices per partial, merged per group on one
+      // core) becomes a codegen window rank + interpolation with the
+      // same formula, bit-identical output (see the helper's doc).
+      graft.batch.Joins.exactPercentiles(
+          table(spark, dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.9))
+        .select(col("l_returnflag"), col("_ep_n").as("n"),
+          round(col("_ep_p0"), 6).as("p25"),
+          round(col("_ep_p1"), 6).as("p50"),
+          round(col("_ep_p2"), 6).as("p90"))
         .orderBy("l_returnflag")
   }
 

@@ -465,37 +465,14 @@ object Relational {
       // under ties because tied rows hold equal values, so the declared
       // result is bit-identical. The groupBy rides the window's
       // partitioning (§2.4: no second exchange).
-      val wSort = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-      val wAll = Window.partitionBy("o_orderpriority")
-      val ranked = table(spark, dir, "orders")
-        .select("o_orderpriority", "o_totalprice")
-        .withColumn("rn", row_number().over(wSort))
-        .withColumn("n", count(lit(1)).over(wAll))
-      def ordStats(p: Double, tag: String) = {
-        val pos = lit(p) * (col("n") - 1).cast("double")
-        Seq(
-          max(when(col("rn") === floor(pos) + 1, col("o_totalprice")))
-            .as(s"lo$tag"),
-          max(when(col("rn") === ceil(pos) + 1, col("o_totalprice")))
-            .as(s"hi$tag"))
-      }
-      val aggCols = ordStats(0.5, "50") ++ ordStats(0.9, "90") :+
-        count(lit(1)).as("n")
-      def interp(p: Double, lo: org.apache.spark.sql.Column,
-          hi: org.apache.spark.sql.Column) = {
-        val pos = lit(p) * (col("n") - 1).cast("double")
-        val lower = floor(pos)
-        val higher = ceil(pos)
-        round(when(higher === lower, lo)
-          .otherwise((higher.cast("double") - pos) * lo +
-            (pos - lower.cast("double")) * hi), 6)
-      }
-      ranked.groupBy("o_orderpriority")
-        .agg(aggCols.head, aggCols.tail: _*)
+      graft.batch.Joins.exactPercentiles(
+          table(spark, dir, "orders")
+            .select("o_orderpriority", "o_totalprice"),
+          "o_orderpriority", "o_totalprice", Seq(0.5, 0.9))
         .select(col("o_orderpriority"),
-          interp(0.5, col("lo50"), col("hi50")).as("p50"),
-          interp(0.9, col("lo90"), col("hi90")).as("p90"),
-          col("n"))
+          round(col("_ep_p0"), 6).as("p50"),
+          round(col("_ep_p1"), 6).as("p90"),
+          col("_ep_n").as("n"))
         .orderBy("o_orderpriority")
   }
 

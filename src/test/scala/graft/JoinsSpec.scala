@@ -135,6 +135,31 @@ class JoinsSpec extends AnyFunSuite {
       s"unexpected single-partition exchange outside the offsets branch:\n$plan")
   }
 
+  test("exactPercentiles == percentile() aggregate, incl. ties and 1-row groups") {
+    import spark.implicits._
+    // skewed group sizes, duplicate values, a single-row group, and values
+    // whose interpolation positions hit both the lower==higher and the
+    // fractional branch
+    val df = (Seq(("a", 5.0)) ++                       // 1-row group
+      (0 until 997).map(i => ("b", (i % 41).toDouble)) ++ // heavy ties
+      (0 until 10).map(i => ("c", i * 1.5))).toDF("g", "v")
+    val expected = df.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(v, 0.25)").as("p0"),
+        expr("percentile(v, 0.5)").as("p1"),
+        expr("percentile(v, 0.9)").as("p2"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val got = Joins.exactPercentiles(df, "g", "v", Seq(0.25, 0.5, 0.9))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    // bit-exact, not approximate: the helper replicates
+    // Percentile.getPercentile's interpolation formula
+    assert(got == expected)
+  }
+
   test("globalCumSum == single-partition running sum, with zeros and skew") {
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(20000)
