@@ -573,31 +573,39 @@ object TextOps {
        |              <> substring(b.simhash, CAST(p AS INT), 1))) <= 2
        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)) {
     (spark, dir) =>
-      // sig feeds two consumers, but both reference the IDENTICAL aggregate
-      // subtree — Catalyst's ReuseExchange computes it once; an explicit
-      // persist() measured SLOWER (it cuts the codegen pipeline and routes
-      // the rows through the block manager for no saved work)
-      val sig = simhashSigs(spark, dir)
+      // sig materializes once for its two consumers (the histogram agg and
+      // the final degree probe): its rows are two small columns but its
+      // lineage is the full tokenize+hash pass. (The round-12 note that a
+      // persist() here measured slower predates the harness unpersist
+      // sweep; re-measured round 16 WITH the sweep: checkpoint wins at
+      // 10× data where the tokenize pass dominates, flat at sf0.1.)
+      val sig = simhashSigs(spark, dir).localCheckpoint()
       val hist = sig.groupBy("simhash").agg(count(lit(1)).as("cnt"))
         .withColumn("iv", conv(col("simhash"), 2, 10).cast("long"))
-      def banded(df: DataFrame): DataFrame = df.select(
-          col("simhash"), col("iv"), col("cnt"), explode(array(
-            struct(lit(0).as("band"), substring(col("simhash"), 1, 6).as("bv")),
-            struct(lit(1).as("band"), substring(col("simhash"), 7, 5).as("bv")),
-            struct(lit(2).as("band"), substring(col("simhash"), 12, 5).as("bv")))).as("b"))
-        .select(col("simhash"), col("iv"), col("cnt"),
-          col("b.band").as("band"), col("b.bv").as("bv"))
-      val a = banded(hist).toDF("s1", "iv1", "cnt1", "band1", "bv1")
-      val b = banded(hist).toDF("s2", "iv2", "cnt2", "band2", "bv2")
-      // neighbors with a DIFFERENT signature within ham <= 2 (dedup across
-      // bands keeps cnt2 — it is a function of s2)
-      val cross = a.join(b, col("band1") === col("band2") && col("bv1") === col("bv2")
-            && col("s1") =!= col("s2"))
-        .filter(bit_count(col("iv1").bitwiseXOR(col("iv2"))) <= 2)
-        .select("s1", "s2", "cnt2").distinct()
-        .groupBy("s1").agg(sum("cnt2").as("cross_n"))
+        .localCheckpoint() // ≤ 2^16 rows; three consumers below
+      // Round 16 (§1.2 step 1): HAMMING-BALL ENUMERATION replaces the
+      // 3-band histogram self-join. Banding buckets 16-bit signatures by
+      // 5–6 bit prefixes — at most 64 buckets — so once the histogram
+      // outgrows the bucket count, candidate pairs grow QUADRATICALLY in
+      // distinct signatures (sf1 measured 9.0 s: ~10^8 banded pairs for
+      // ~5·10^4 sigs). But "within Hamming distance 1..2 of s" is exactly
+      // {s XOR m} over the 16 + C(16,2) = 136 non-zero masks: explode
+      // each signature into its 136 neighbors (≤ 9M rows at histogram
+      // saturation, LINEAR in sigs) and broadcast-hash-join back onto the
+      // histogram — every s2 ≠ s1 with ham ≤ 2 is s1^m for exactly ONE m,
+      // so summing matched counts needs no distinct and no residual
+      // filter. Same result by construction; no shuffle of pairs at all.
+      val masks = ((0 until 16).map(1L << _) ++
+        (for { i <- 0 until 16; j <- i + 1 until 16 }
+          yield (1L << i) | (1L << j))).toSeq
+      val cross = hist.select(col("iv"),
+          explode(typedLit(masks)).as("m"))
+        .select(col("iv"), col("iv").bitwiseXOR(col("m")).as("niv"))
+        .join(broadcast(hist.select(col("iv").as("niv"), col("cnt").as("ncnt"))),
+          "niv")
+        .groupBy("iv").agg(sum("ncnt").as("cross_n"))
       // + same-signature co-members (cnt - 1), docs with a unique sig -> 0
-      val neigh = hist.join(cross, hist("simhash") === cross("s1"), "left")
+      val neigh = hist.join(cross, Seq("iv"), "left")
         .select(col("simhash"),
           (coalesce(col("cross_n"), lit(0L)) + col("cnt") - 1).as("n_near"))
       sig.join(broadcast(neigh), "simhash")
