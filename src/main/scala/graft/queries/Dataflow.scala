@@ -5932,6 +5932,10 @@ object Dataflow {
             .select(col("path"), col("content")))
         .withColumn("path",
           regexp_replace(col("path"), "-index\\.txt\\.bz2$", ".xml.bz2"))
+        // materialized once: wikidumpFetch consumes idx twice (hit join +
+        // extent walk) and its lineage is the whole index-file read+decode
+        // — at 10× data that is 2 × 50k small-file bunzips saved
+        .localCheckpoint()
       val wanted = table(spark, dir, "documents")
         .where(col("doc_id") % 11 === 0)
         .select((col("doc_id") * 10 + 1).as("page_id"))
@@ -6196,6 +6200,9 @@ object Dataflow {
             .select(col("path"), col("content")))
         .withColumn("path",
           regexp_replace(col("path"), "-index\\.txt\\.bz2$", ".xml.bz2"))
+        // materialized once: wikidumpFetch consumes idx twice (hit join +
+        // extent walk) and its lineage is the whole index-file read+decode
+        .localCheckpoint()
       val wanted = table(spark, dir, "documents")
         .where(col("doc_id") % 9 === 0)
         .select(col("doc_id").as("page_id"))
