@@ -22,19 +22,22 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    @volatile var stages = 0
-    @volatile var tasks = 0
+    // AtomicInteger, not '+=' on @volatile (ADVICE r15): the listener bus
+    // delivers on its own thread, and read-modify-write on a volatile can
+    // lose increments against it
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        stages += 1; tasks += sc.stageInfo.numTasks
+        stages.incrementAndGet(); tasks.addAndGet(sc.stageInfo.numTasks)
       }
     })
     args.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           (1 to runs).foreach { i =>
-            stages = 0; tasks = 0
+            stages.set(0); tasks.set(0)
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             val dt = (System.nanoTime() - t0) / 1e9

@@ -24,8 +24,19 @@ object Pipelines {
     * that AQE leaves alone; `defaultParallelism` scales it with the
     * cluster (total executor cores) instead of pinning a local constant
     * — the guide §2.5 "input skew"/§2.2 posture. */
-  private def spreadBy(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+  private def spreadBy(df: DataFrame, keys: Column*): DataFrame = {
+    // Floor at spark.sql.shuffle.partitions (ADVICE r15): under dynamic
+    // allocation defaultParallelism reflects currently-REGISTERED
+    // executors — ~2 at application start — which would re-serialize the
+    // very header preads this spread exists to parallelize; the
+    // shuffle-partitions conf is the operator's configured width and
+    // does not shrink with a cold cluster. Locally both are the core
+    // count, so bench plans are unchanged.
+    val sess = df.sparkSession
+    val n = math.max(sess.sparkContext.defaultParallelism,
+      sess.conf.get("spark.sql.shuffle.partitions", "1").toInt)
+    df.repartition(n, keys: _*)
+  }
 
   /** S1/S2/S3 upload side: a directory watched by the binaryFile file source
     * (existing files read first batch, new files per microbatch —

@@ -56,23 +56,39 @@ class RangedZstdSoakSpec extends AnyFunSuite {
     assert(size > boundary, s"fixture must cross 2^31: $size")
     info(s"fixture: ${size / (1 << 20)} MiB, $n records")
 
-    val rt = Runtime.getRuntime
+    // LIVE-set measurement via POST-COLLECTION pool usage (round 16):
+    // `totalMemory - freeMemory` read after a System.gc() hint races with
+    // the concurrent decode tasks — 4 tasks churning ~4 MiB frames
+    // allocate hundreds of MiB between the collection finishing and the
+    // read, so the old sampler's "live" peak swung 494→1801 MiB across
+    // runs of IDENTICAL code (bisected round 16: the spread within one
+    // commit equalled the spread between commits; the flagged failures
+    // were this race, not retention). MemoryPoolMXBean.getCollectionUsage
+    // is the pool occupancy frozen AT THE END of the last GC — no
+    // allocation race by construction — so the sampled peak is the true
+    // live high-water.
+    def liveAfterGc(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getType == java.lang.management.MemoryType.HEAP &&
+          p.getCollectionUsage != null)
+        .map(_.getCollectionUsage.getUsed).sum
+    }
     // settle the baseline: in the shared test JVM, sibling suites leave
     // async-collectable state (checkpoint blocks pending ContextCleaner,
     // humongous G1 regions) that one gc pass can under-collect — which
     // would inflate the measured DELTA, not the live set under test
     (1 to 3).foreach { _ => System.gc(); Thread.sleep(150) }
-    val baseline = rt.totalMemory - rt.freeMemory
+    val baseline = liveAfterGc()
     @volatile var done = false
     @volatile var peak = baseline
-    // LIVE-set sampling (gc before each sample): per-record transient
-    // garbage (4 MiB frames through decode → WARC parse → md5) churns
-    // GBs on a lazy 8 GiB heap; the claim under test is that nothing
-    // LIVE ever approaches the file size
+    // LIVE-set sampling (full gc before each sample, then read the
+    // post-collection usage): the claim under test is that nothing LIVE
+    // ever approaches the file size
     val sampler = new Thread(() => {
       while (!done) {
         System.gc()
-        val u = rt.totalMemory - rt.freeMemory
+        val u = liveAfterGc()
         if (u > peak) peak = u
         Thread.sleep(300)
       }
@@ -109,13 +125,18 @@ class RangedZstdSoakSpec extends AnyFunSuite {
     // Live-set model: since the round-15 explicit-count spread, the
     // frame decodes genuinely run CONCURRENTLY (defaultParallelism
     // tasks × a few copies of one ~4 MiB frame each — before, AQE's
-    // byte-based coalescing silently serialized them), plus sampler lag
-    // and shared-JVM residue from sibling suites. The failure mode under
-    // guard — materializing the FILE — would add the whole ~2.2 GiB;
-    // the bound stays well under it (measured standalone: ~590 MiB).
+    // byte-based coalescing silently serialized them), plus shared-JVM
+    // residue from sibling suites. The race-free post-collection sampler
+    // (above) measures the good path at ~240–250 MiB standalone, so the
+    // round-15 allocation-race headroom is gone from the bound: the cap
+    // is back to the ADVICE-r15 size-proportional HALF of the file (a
+    // regression buffering even half the frames of one member fails),
+    // with a 768 MiB + 64 MiB/task floor for small fixtures/shared-JVM
+    // runs. The failure mode under guard — materializing the FILE —
+    // would add the whole ~2.2 GiB and overshoot either arm.
     val par = spark.sparkContext.defaultParallelism
-    val bound = math.min((1536L << 20) + par.toLong * (64L << 20),
-      size * 3 / 4)
+    val bound = math.min((768L << 20) + par.toLong * (64L << 20),
+      size / 2)
     assert(peak - baseline < bound,
       s"live-heap delta $deltaMiB MiB (bound ${bound / (1 << 20)} MiB) " +
         "suggests O(file) materialization")

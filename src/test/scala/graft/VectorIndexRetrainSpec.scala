@@ -105,6 +105,35 @@ class VectorIndexRetrainSpec extends AnyFunSuite {
       s"assignment drift did not drop: $preDrift -> $postDrift")
   }
 
+  test("concurrent disjoint-batch appends land all batches intact") {
+    // ADVICE r15: x235/x239 submit three appendBatch jobs concurrently to
+    // one parquet root; safety rests on dynamic partitionOverwriteMode
+    // staging per-job for DISJOINT batch_id partitions. This arm pins the
+    // contract the queries rely on: after three concurrent appends, all
+    // three batch_id partitions exist and every vector of every batch
+    // reads back exactly once — a commit-protocol or conf change that
+    // drops or clobbers a concurrent batch fails here, not in the gate.
+    import spark.implicits._
+    val indexDir = Files.createTempDirectory("vec_concurrent").toString
+    val waves = corpus.grouped(34).toSeq.take(3)
+    waves.zipWithIndex.map { case (wave, b) =>
+      java.util.concurrent.CompletableFuture.runAsync(() =>
+        VectorIndex.appendBatch(indexDir, badCids, badCvs)(
+          wave.toDF("vec_id", "embedding"), b.toLong))
+    }.foreach(_.join())
+    val rows = spark.read.parquet(s"$indexDir/gen=0")
+      // partition-column inference reads batch_id back as INT
+      .select(org.apache.spark.sql.functions.col("batch_id").cast("long"),
+        org.apache.spark.sql.functions.col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.map(_._1).distinct.sorted == Seq(0L, 1L, 2L),
+      s"expected 3 distinct batch_ids, got ${rows.map(_._1).distinct.sorted}")
+    val expected = waves.zipWithIndex
+      .flatMap { case (w, b) => w.map(v => (b.toLong, v._1)) }.sorted
+    assert(rows.sorted == expected,
+      "concurrent appends lost or duplicated vectors")
+  }
+
   test("model-less retrain seeds deterministically from smallest vec_ids") {
     // Lloyd's from degenerate seeds may land in a local optimum (it does
     // here: the two smallest-vec_id seeds differ only in d1, so the first
