@@ -2388,8 +2388,9 @@ object TextOps {
         // token-array frame the round-15 note below rejects. Its consumers
         // are three separate evaluations (globalRank's ranged + offsets
         // branches, the tertile count): checkpointing collapses the
-        // tokenize → dedup → tf → LM pipeline to ONE run (measured
-        // ~3.8 → ~1.8 s steady at local[32] sf0.1).
+        // tokenize → dedup → tf → LM pipeline to ONE run (A/B'd round 16
+        // together with the n_toks fold: 5.6–5.8 → 3.4–3.7 s steady at
+        // local[32] sf0.1; 2.1 s in the final bench window).
         .localCheckpoint()
       // stage 4: keep head+middle tertiles via the two-pass global rank
       val ranked = graft.batch.Joins.globalRank(scored, 32, "nll", "doc_id")
