@@ -28,13 +28,7 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    // The between-runs unpersist sweep (below) frees localCheckpoint
-    // blocks that are dead by design; Spark WARNs once per such RDD that
-    // its lineage cannot be recomputed — true, intended, and noise at
-    // 300+ queries, so keep the tail window clean for the JSON line.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    Harness.silenceSweepWarn()
 
     // Untimed warmup: exercise each table family's parquet scan plus
     // shuffle/sort/codegen once so the first measured query per family
@@ -173,16 +167,8 @@ object Bench {
               false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        // UNTIMED unpersist sweep (round 16): localCheckpoint blocks are
-        // per-invocation — nothing references them once the noop save
-        // returns — but nothing freed them either, so across 303 queries
-        // × 3 runs they accumulated in the shared 8 g heap's storage pool
-        // and competed with execution memory exactly when 32 tasks run
-        // (guide §5 "unpersist when done"; the round-15 32-core-only
-        // regressions). Blocking so cleanup cannot bleed into the next
-        // timed region.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // UNTIMED between-runs sweep — see Harness.sweepCheckpoints
+        Harness.sweepCheckpoints(spark)
         (dt, ok)
       }
       var times = (1 to runsPerQuery).map(_ => once()).toVector

@@ -41,10 +41,8 @@ object Prof {
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             val dt = (System.nanoTime() - t0) / 1e9
-            // untimed sweep, mirroring Bench: localCheckpoint blocks are
-            // per-invocation and must not accumulate across runs
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = true))
+            // untimed sweep, mirroring Bench
+            Harness.sweepCheckpoints(spark)
             Thread.sleep(300)
             println(f"[prof] $name run$i $dt%.2f s  stages=$stages tasks=$tasks")
           }

@@ -22,10 +22,7 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    // expected per-RDD WARN from the unpersist sweep (see Bench.scala)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    Harness.silenceSweepWarn()
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
@@ -38,9 +35,8 @@ object Verify {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
       // localCheckpoint blocks are per-invocation; sweep them so 300+
-      // queries in one JVM don't accumulate storage (see Bench.scala)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // queries in one JVM don't accumulate storage
+      Harness.sweepCheckpoints(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -98,8 +98,9 @@ object Components {
       // unmaterialized plan schedules its broadcast/AQE stages less
       // favorably than the plain eager materialization + block-read
       // count.)
-      changed = step.filter(col("rep") < col("old")).count()
-      frontier = step.filter(col("rep") < col("old")).select("id", "rep")
+      val delta = step.filter(col("rep") < col("old"))
+      changed = delta.count()
+      frontier = delta.select("id", "rep")
       labels = step.select("id", "rep")
       iter += 1
     }

@@ -157,10 +157,18 @@ object Joins {
     * deterministic under ties because tied rows hold equal values).
     *
     * Returns one row per group: `groupCol`, `_ep_n` (BIGINT group count),
-    * `_ep_p0 … _ep_p{k-1}` (DOUBLE, un-rounded) in `ps` order. Every
-    * stage is parallel at any group count — no per-group single-task
-    * sort and no per-partition value map; the 100 TB swap for truly
-    * enormous inputs remains approx_percentile (SCALE.md).
+    * `_ep_p0 … _ep_p{k-1}` (DOUBLE, un-rounded) in `ps` order. The data
+    * path is parallel at any group count (no per-group single-task sort,
+    * no per-partition value map); the per-group COUNTS branch is a
+    * single-task window + broadcast over one row per group — fine for
+    * the handful-of-groups shape it serves, a funnel once groups number
+    * in the millions (scope the same way globalRank scopes its offsets
+    * frame). PRECONDITION: `groupCol` and `valueCol` non-null — the
+    * aggregate it replaces ignores null values but keeps null groups,
+    * while this shape would rank nulls first and drop a null group at
+    * the offsets join; both current callers read NOT NULL columns. The
+    * 100 TB swap for truly enormous inputs remains approx_percentile
+    * (SCALE.md).
     */
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {

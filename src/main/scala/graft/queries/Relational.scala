@@ -456,15 +456,15 @@ object Relational {
       // whole through the exchange and merged per group on one core —
       // the values are near-unique, so "partial" aggregation reduced
       // nothing and the query anti-scaled (driver r15: 2.2 s at 32
-      // cores, 0.7 s at 8). Equivalent whole-stage-codegen plan: ONE
-      // exchange partitions by group, row_number() ranks values within
-      // each group, and the two order statistics per percentile
-      // interpolate with the EXACT formula of Spark's
-      // Percentile.getPercentile ((higher-pos)*lo + (pos-lower)*hi,
-      // lo when the indices coincide) — value-at-rank is deterministic
-      // under ties because tied rows hold equal values, so the declared
-      // result is bit-identical. The groupBy rides the window's
-      // partitioning (§2.4: no second exchange).
+      // cores, 0.7 s at 8). Equivalent whole-stage-codegen plan via
+      // Joins.exactPercentiles: range-partitioned parallel ranking over
+      // (group, value), within-group rank from broadcast group offsets,
+      // and the two order statistics per percentile interpolate with
+      // the EXACT formula of Spark's Percentile.getPercentile
+      // ((higher-pos)*lo + (pos-lower)*hi, lo when the indices
+      // coincide) — value-at-rank is deterministic under ties because
+      // tied rows hold equal values, so the declared result is
+      // bit-identical (JoinsSpec pins it).
       graft.batch.Joins.exactPercentiles(
           table(spark, dir, "orders")
             .select("o_orderpriority", "o_totalprice"),
